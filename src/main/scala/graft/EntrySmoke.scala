@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Driver-contract smoke: run SparkEntry.entry exactly as the driver does
+  * and print the row count + a sample. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"[entry] rows=${rows.length}")
+    rows.take(5).foreach(r => println(s"[entry] $r"))
+    spark.stop()
+  }
+}

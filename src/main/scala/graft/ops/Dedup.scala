@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, exact and near.
+  *
+  * Design for 100 TB: every method is "signature → shuffle on signature →
+  * verify within bucket". No method ever compares all N² pairs; candidate
+  * generation is a hash-partitioned groupBy/join on a short key, and
+  * verification runs only inside buckets. Signatures are built from
+  * codegen'd built-ins (xxhash64 + higher-order array functions), no UDFs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the row with the smallest `idCol` per distinct
+    * `textCol` content (hashed). One shuffle on the 256-bit content hash —
+    * the grouping key is 32 bytes regardless of document size, so the
+    * shuffle moves ids + hashes, not documents. */
+  def exact(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame =
+    Keyed.firstPerKey(
+      docs.withColumn("__content_hash", sha2(col(textCol), 256)),
+      Seq("__content_hash"), idCol)
+      .drop("__content_hash")
+
+  /** Exact-dup groups report: content hash → count + representative id. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles as a distinct array. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  // --------------------------------------------------------------- MinHash
+
+  /** k-permutation MinHash signature from a column of shingle-hash longs.
+    * Each shingle is string-hashed ONCE (xxhash64); the k permutations are
+    * derived by re-hashing that long with the permutation index — O(|sh|)
+    * string hashes + O(k·|sh|) long hashes per doc, instead of the naive
+    * O(k·|sh|) string hashes over k rebuilt shingle arrays. */
+  def minhashSignatureFromHashes(shingleHashes: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleHashes, h => xxhash64(h, i))))
+
+  /** Convenience one-shot signature (prefer the staged form in
+    * [[minhashNearDupPairs]] which materializes shingles once). */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    minhashSignatureFromHashes(
+      transform(wordShingles(text, shingleSize), s => xxhash64(s)), numHashes)
+
+  /** MinHash + LSH banding near-dup candidate pairs.
+    *
+    * signature (map-only) → explode into `bands` rows of (band_idx,
+    * band_hash) → shuffle-group on the band key → pairs within buckets →
+    * exact Jaccard verify on the shingle sets of candidate pairs only.
+    *
+    * With b bands of r rows, P(candidate) = 1-(1-j^r)^b — standard LSH
+    * S-curve; defaults (16 bands × 8) target j ≈ 0.8.
+    *
+    * Scale: the only shuffles are (a) the band-key groupBy, whose skew is
+    * bounded by `maxBucketSize` (drops degenerate buckets — e.g. empty
+    * docs — the same guard industrial dedup pipelines use), and (b) the
+    * id→shingles re-join for verification, which touches candidate rows
+    * only.
+    */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          numHashes: Int = 128, bands: Int = 16,
+                          shingleSize: Int = 3, jaccardThreshold: Double = 0.8,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // Stage 1 (map-only, computed once and persisted — at cluster scale
+    // this relation would be checkpointed to parquet instead): doc →
+    // shingle set + minhash signature. Staged withColumns keep each heavy
+    // array expression evaluated once per row.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigd = docs
+      .select(col(idCol).as("doc_id"),
+        wordShingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig",
+        call_function("graft_minhash", col("shingles"), lit(numHashes)))
+      .select("doc_id", "shingles", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Stage 2: id-only banded relation — the shuffle/join key set never
+    // carries shingle payloads.
+    val banded = sigd.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
+        .as(Seq("band_idx", "band_hash")))
+
+    // Skew guard: drop degenerate buckets (empty/boilerplate docs).
+    val buckets = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .select("band_idx", "band_hash", "doc_id")
+
+    // Stage 3: candidate id pairs within buckets (self-join on the band
+    // key, ordered ids → each unordered pair once, distinct across bands).
+    val candidates = buckets.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_id_a"))
+      .join(buckets.select(col("band_idx"), col("band_hash"),
+        col("doc_id").as("doc_id_b")), Seq("band_idx", "band_hash"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b")
+      .dropDuplicates("doc_id_a", "doc_id_b")
+
+    // Stage 4: exact Jaccard verification — fetch shingle sets for
+    // candidate rows only.
+    candidates
+      .join(sigd.select(col("doc_id").as("doc_id_a"),
+        col("shingles").as("shingles_a")), Seq("doc_id_a"))
+      .join(sigd.select(col("doc_id").as("doc_id_b"),
+        col("shingles").as("shingles_b")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
+          size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Dedup a corpus with MinHash-LSH: connected near-dup pairs collapse to
+    * the smallest id (single-link, one union step — sufficient when dup
+    * clusters are star-shaped; full transitive closure would iterate). */
+  def minhashDedup(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   jaccardThreshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, textCol, idCol,
+      jaccardThreshold = jaccardThreshold)
+    val losers = pairs.groupBy(col("doc_id_b").as(idCol))
+      .agg(min("doc_id_a").as("__kept"))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash signature over tokens: per-bit weighted vote of token
+    * hashes, folded with higher-order aggregates (stays in codegen). */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: block on 4 16-bit signature quarters (two
+    * near-dup docs differing in ≤ `maxHammingDistance` ≤ 3 bits must agree
+    * on at least one quarter — pigeonhole), verify Hamming distance via
+    * bit_count(xor). Same shuffle shape as MinHash banding. */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          maxHammingDistance: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigd = docs.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = sigd.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("q_idx", "q_val")))
+    val a = blocked.select(col("q_idx"), col("q_val"),
+      col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+    val b = blocked.select(col("q_idx"), col("q_val"),
+      col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q_idx", "q_val"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .dropDuplicates("doc_id_a", "doc_id_b")
+      .filter(col("hamming") <= maxHammingDistance)
+  }
+
+  // ----------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard similarity for pairs sharing a cheap blocking
+    * key (fingerprint of the rarest shingle): a portable, oracle-checkable
+    * near-dup path (no engine-specific hash in the result). */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val withSh = docs.select(col(idCol).as("doc_id"),
+      wordShingles(col(textCol), n).as("shingles"))
+      .withColumn("block", array_min(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withSh.select(col("block"), col("doc_id").as("doc_id_a"),
+      col("shingles").as("shingles_a"))
+    val b = withSh.select(col("block"), col("doc_id").as("doc_id_b"),
+      col("shingles").as("shingles_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
+          size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

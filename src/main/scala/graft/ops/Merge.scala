@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-based MERGE upsert — the engine's implementation of the reference's
+  * declared `MERGE INTO silver.live_event` semantics
+  * (notebooks/03_silver/32_merge_silver_live_event.sql is empty; key spec at
+  * resources/uc/objects.sql:137-149, rerun-safety at docs/backlog.md:49-51).
+  *
+  * WHEN MATCHED → take the update row; WHEN NOT MATCHED → insert the update
+  * row; target rows with no update pass through unchanged.
+  *
+  * Scale notes: both sides hash-partition on `keys` (one shuffle each, the
+  * same movement Delta's MERGE performs); if the update side is small Spark's
+  * AQE broadcasts it. Callers must ensure updates are unique per key
+  * (VersionedTable.merge dedups first), keeping the join 1:1.
+  */
+object Merge {
+
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val cols = target.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"merge schema mismatch: target=${cols.mkString(",")} updates=${updates.columns.mkString(",")}")
+
+    val t = cols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+    val u = cols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
+      .withColumn("__u_present", lit(true))
+    val joinCond = keys.map(k => t(s"__t_$k") <=> u(s"__u_$k")).reduce(_ && _)
+
+    t.join(u, joinCond, "full_outer")
+      .select(cols.map { c =>
+        // Presence flag (not coalesce of the value columns) decides the
+        // side, so an update that sets a non-key column to NULL wins.
+        when(col("__u_present"), col(s"__u_$c"))
+          .otherwise(col(s"__t_$c")).as(c)
+      }: _*)
+  }
+}

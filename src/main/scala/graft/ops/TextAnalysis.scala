@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are built from codegen'd built-in functions
+  * (split / regexp / higher-order array functions) — no UDFs — so they
+  * stay inside whole-stage codegen and scale linearly with a single scan,
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword-token estimate: alpha runs, digit runs, and single
+    * punctuation marks each count as one token (a common pre-tokenizer
+    * approximation when no tokenizer model is available). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) > 0, punct.cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column,
+                    stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    val sw = size(filter(toks, t => t.isin(stopwords: _*)))
+    when(size(toks) > 0, sw.cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length documents with a
+    * healthy stopword ratio and low punctuation density (the standard
+    * heuristic trio used by web-scale corpus filters). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(5.0), lit(0.0))
+    ((lenScore + swScore + punctPenalty) / lit(3.0))
+  }
+
+  private val StopwordsByLang: Map[String, Seq[String]] = Map(
+    "en" -> EnglishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "auf", "für", "von", "den", "im"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "des",
+      "dans", "pour", "que", "qui", "au", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "en", "por", "que", "no", "con", "para"),
+  )
+
+  /** N-gram-free language ID heuristic: score each candidate language by
+    * its stopword hit-count in the token stream; ties and zero scores →
+    * "und" (undetermined). One projection, no shuffle. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = StopwordsByLang.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(toks, t => t.isin(sw: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set (the classic "fingerprint" clustering key from record-
+    * linkage literature). Portable: identical result is computable in any
+    * engine with md5 — used by the DuckDB oracle. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling hash over the token sequence — order-SENSITIVE fingerprint.
+    * Chained xxhash64 (hash of previous state + next token) rather than a
+    * polynomial accumulator: same collision properties, and no 64-bit
+    * overflow (Spark 4 runs ANSI mode, where wrap-around multiply throws). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Full per-document stats projection over a corpus. */
+  def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("*"),
+      length(t).as("char_count"),
+      tokenCount(t).as("token_count"),
+      bpeishTokenCount(t).as("bpeish_token_count"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality_score"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"),
+    )
+  }
+}

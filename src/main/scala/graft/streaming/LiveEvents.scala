@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.fpl.Schemas
+import graft.tables.VersionedTable
+
+/** Live-event streaming path — the reference's declared slice_v2
+  * (notebooks/02_streaming/21_autoloader_live_events.py and
+  * 03_silver/32/33 are empty; semantics from docs/backlog.md:63-81,
+  * docs/architecture.md:103-129, resources/uc/objects.sql:30-57,137-161).
+  *
+  * OSS equivalents of the Databricks pieces:
+  *  - Auto Loader `cloudFiles` JSON landing-dir ingest → `readStream
+  *    .schema(...).json(dir)` with PERMISSIVE mode + `_corrupt_record`
+  *    (the `_rescued_data` analog), `Trigger.AvailableNow`, checkpointed.
+  *  - MERGE-on-write conformance → `foreachBatch` + VersionedTable.merge
+  *    keyed on the deterministic `event_key` (rerun-safe, late-data
+  *    tolerant — docs/backlog.md:75-78).
+  */
+object LiveEvents {
+
+  /** Deterministic event key (resources/uc/objects.sql:138: "deterministic
+    * event key = f(fixture, ts, event type, entity ids)"). */
+  def eventKey(df: DataFrame): DataFrame =
+    df.withColumn("event_key",
+      coalesce(col("event_key"),
+        sha2(concat_ws("|", col("fixture_id"),
+          col("event_ts").cast("string"), col("event_type"),
+          coalesce(col("team_id"), lit("")),
+          coalesce(col("player_id"), lit(""))), 256)))
+
+  /** ST1: finite file-stream ingest of a JSON landing dir into the bronze
+    * stream table. Returns after the availableNow drain completes. */
+  def ingestAvailableNow(spark: SparkSession, landingDir: String,
+                         checkpointDir: String, bronze: VersionedTable): Unit = {
+    val stream = spark.readStream
+      .schema(Schemas.liveEventRaw)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        bronze.append(batch.withColumn("ingest_ts", current_timestamp()))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST2+ST4: conform bronze live events → silver with watermarked
+    * dedup-in-batch then MERGE upsert (late/re-delivered events replace by
+    * event_key; newest updated_at wins). Runs as an availableNow stream
+    * over the bronze table's current snapshot directory. */
+  def conformToSilver(spark: SparkSession, bronzeDir: String,
+                      checkpointDir: String, silver: VersionedTable,
+                      watermarkDelay: String = "1 hour"): Unit = {
+    val stream = spark.readStream
+      .schema(spark.read.parquet(bronzeDir).schema)
+      .parquet(bronzeDir)
+    val conformed = eventKey(stream)
+      .withWatermark("event_ts", watermarkDelay)
+      .filter(col("_corrupt_record").isNull && col("event_key").isNotNull)
+      .withColumn("updated_at", current_timestamp())
+      .select("event_key", "fixture_id", "event_ts", "team_id",
+        "player_id", "event_type", "payload", "updated_at")
+    val q = conformed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        silver.merge(batch, Seq("event_key"), preferUpdateBy = Some("event_ts"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** ST3 (batch form): silver.live_fixture_state — latest score/status per
+    * fixture from the event stream (resources/uc/objects.sql:151-161).
+    * One shuffle on fixture_id; the streaming form is the same expression
+    * under availableNow via foreachBatch + merge on fixture_id. */
+  def latestFixtureState(silverEvents: DataFrame): DataFrame =
+    graft.ops.Keyed.latestPerKey(silverEvents, Seq("fixture_id"),
+        "event_ts", tieBreakers = Seq("event_key"))
+      .select(col("fixture_id"), col("event_ts").as("state_ts"),
+        col("event_type").as("last_event_type"), col("payload"),
+        col("updated_at"))
+
+  /** Per-fixture event timeline with running event count — the
+    * score/status timeline shape of silver.live_fixture_state. */
+  def fixtureTimeline(silverEvents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fixture_id")
+      .orderBy(col("event_ts").asc, col("event_key").asc)
+    silverEvents.select(
+      col("fixture_id"), col("event_ts"), col("event_type"),
+      row_number().over(w).as("event_seq"),
+      count(lit(1)).over(w.rowsBetween(Long.MinValue, 0)).as("events_so_far"))
+  }
+}

@@ -35,11 +35,17 @@ object DQ {
     assertNoDuplicateKeys(df, name, key)
   }
 
-  /** from_json returned null struct → invalid payload (Q3). */
+  /** Parse-failure gate (Q3). The reference checks `from_json(...)
+    * IS NULL` (31_build_silver_dims.py:126-128), but Spark 4's PERMISSIVE
+    * `from_json` returns an all-null-fields struct — never a null struct —
+    * for malformed input, which would make the literal check dead code.
+    * `to_json` of that struct renders "{}" (or a null array for array
+    * schemas), so we gate on that: same intent, alive on Spark 4. */
   def assertParsed(df: DataFrame, parsedCol: String, name: String): Unit =
-    if (df.where(col(parsedCol).isNull).limit(1).count() > 0)
+    if (df.where(col(parsedCol).isNull ||
+          to_json(col(parsedCol)).isin("{}", "[]")).limit(1).count() > 0)
       throw new DQException(
-        s"DQ fail: $name JSON parse produced null $parsedCol")
+        s"DQ fail: $name JSON parse produced null/empty $parsedCol")
 
   def assertNonEmpty(df: DataFrame, name: String): Unit =
     if (df.limit(1).count() == 0)

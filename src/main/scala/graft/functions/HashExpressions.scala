@@ -18,9 +18,14 @@ import org.apache.spark.sql.types._
   */
 
 /** array<string> shingles → array<long> k-permutation MinHash signature.
-  * Hash family: h0 = xxhash64(shingle, seed=42) once per shingle, then
-  * permutation i = xxhash64(h0, seed=i) — the standard "one strong hash,
-  * k cheap rehashes" construction. */
+  *
+  * Bit-for-bit identical to the built-in higher-order formulation
+  * `transform(sequence(0, k-1), i -> array_min(transform(hashes, h ->
+  * xxhash64(h, i))))` over `hashes = transform(shingles, xxhash64)`:
+  * h0 = xxhash64(shingle) = hashUnsafeBytes(s, 42); then Spark's binary
+  * xxhash64(h0, i) chains hashLong(h0, 42) → hashInt(i, ·). Keeping the
+  * families equal makes the expression a drop-in swap verified by
+  * HashExpressionsSpec. */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -37,9 +42,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         val s = arr.getUTF8String(i)
         val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
           s.numBytes, 42L)
+        val h1 = XXH64.hashLong(h0, 42L)
         var k = 0
         while (k < numHashes) {
-          val h = XXH64.hashLong(h0, k)
+          val h = XXH64.hashInt(k, h1)
           if (h < sig(k)) sig(k) = h
           k += 1
         }

@@ -167,21 +167,33 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: block on 4 16-bit signature quarters (two
-    * near-dup docs differing in ≤ `maxHammingDistance` ≤ 3 bits must agree
-    * on at least one quarter — pigeonhole), verify Hamming distance via
-    * bit_count(xor). Same shuffle shape as MinHash banding. */
+  /** SimHash near-dup pairs: block on `maxHammingDistance + 1` disjoint
+    * bit-chunks of the 64-bit signature — by pigeonhole, two signatures
+    * differing in ≤ d bits must agree on at least one of d+1 chunks, so
+    * recall within the Hamming budget is exact for any d ≤ 31 (chunks
+    * stay ≥ 2 bits). Verify with bit_count(xor). Same shuffle shape as
+    * MinHash banding. */
   def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
                           maxHammingDistance: Int = 3): DataFrame = {
+    require(maxHammingDistance >= 0 && maxHammingDistance <= 31,
+      "maxHammingDistance must be in [0, 31]")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val numChunks = maxHammingDistance + 1
+    // chunk i covers [offsets(i), offsets(i) + widths(i)); widths differ
+    // by at most 1 so the 64 bits are spread evenly
+    val widths = Array.tabulate(numChunks)(i =>
+      64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigd = docs.select(col(idCol).as("doc_id"),
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkExprs = (0 until numChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask))
+    }
     val blocked = sigd.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        q => call_function("shiftright", col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))))
-        .as(Seq("q_idx", "q_val")))
+      posexplode(array(chunkExprs: _*)).as(Seq("q_idx", "q_val")))
     val a = blocked.select(col("q_idx"), col("q_val"),
       col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
     val b = blocked.select(col("q_idx"), col("q_val"),

@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 base docs of 30 distinct-ish tokens; ids 1000+i are near-dups of
+    * doc i (2 tokens dropped) for i % 4 == 0; 2000/2001 are exact dups. */
+  private lazy val corpus: DataFrame = {
+    val base = (0 until 40).map { i =>
+      val toks = (0 until 30).map(j => s"tok${(i * 7 + j * 3) % 97}_$j")
+      (i.toLong, toks.mkString(" "))
+    }
+    val near = base.filter(_._1 % 4 == 0).map { case (id, text) =>
+      (1000L + id, text.split(" ").dropRight(2).mkString(" "))
+    }
+    val exact = Seq((2000L, base(1)._2), (2001L, base(1)._2))
+    (base ++ near ++ exact).toDF("doc_id", "text")
+  }
+
+  test("exact keeps smallest id per identical content") {
+    val out = Dedup.exact(corpus)
+    assert(out.count() === corpus.count() - 2) // 2000/2001 fold into doc 1
+    assert(out.filter($"doc_id".isin(2000L, 2001L)).count() === 0)
+    assert(out.filter($"doc_id" === 1L).count() === 1)
+  }
+
+  test("exactGroups reports group sizes") {
+    val g = Dedup.exactGroups(corpus)
+      .filter($"n_docs" > 1).select("keep_id", "n_docs")
+      .as[(Long, Long)].collect().toSet
+    assert(g === Set((1L, 3L)))
+  }
+
+  test("minhash near-dup pairs find all planted near-dups, no false pairs") {
+    val pairs = Dedup.minhashNearDupPairs(corpus, jaccardThreshold = 0.7)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 40).filter(_ % 4 == 0)
+      .map(i => (i.toLong, 1000L + i)).toSet
+    val exactPair = Set((1L, 2000L), (1L, 2001L), (2000L, 2001L))
+    assert((planted -- pairs).isEmpty, s"missed planted pairs: ${planted -- pairs}")
+    assert((pairs -- planted -- exactPair).isEmpty,
+      s"unexpected pairs: ${pairs -- planted -- exactPair}")
+  }
+
+  test("minhashDedup removes near-dup losers, keeps winners") {
+    val out = Dedup.minhashDedup(corpus, jaccardThreshold = 0.7)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    // all 1000+ near-dup ids lose to their base doc
+    assert(kept.forall(_ < 2000L) || !kept.exists(id => id >= 1000L && id < 2000L))
+    (0 until 40).filter(_ % 4 == 0).foreach { i =>
+      assert(kept.contains(i.toLong) && !kept.contains(1000L + i))
+    }
+  }
+
+  test("simhash blocking recall is exact within the hamming budget") {
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = Dedup.simhashNearDupPairs(corpus, maxHammingDistance = 6)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // independently compute the true hamming distance of every pair via a
+    // full cross join — the blocked result must match exactly (no recall
+    // loss within the budget, no pair beyond it)
+    val sigs = corpus.select($"doc_id",
+      call_function("graft_simhash",
+        TextAnalysis.tokens($"text")).as("sig"))
+    val truth = sigs.as("a").join(sigs.as("b"),
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        bit_count($"a.sig".bitwiseXOR($"b.sig")).as("h"))
+      .filter($"h" <= 6)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(pairs === truth,
+      s"missed: ${truth -- pairs}; extra: ${pairs -- truth}")
+    // exact dups have hamming 0 and must always appear
+    assert(pairs.contains((2000L, 2001L)))
+  }
+
+  test("ngram jaccard matches hand-computed similarity") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"),
+      (4L, "p q r s t"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.1)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // shingles(1): {abc,bcd,cde}; shingles(3): {abc,bcd,cdx} -> 2/4
+    assert(math.abs(pairs((1L, 3L)) - 0.5) < 1e-9)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("wordShingles of short docs fall back to the whole text") {
+    val out = spark.range(1).select(
+      Dedup.wordShingles(lit("only two"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(out === Seq("only two"))
+  }
+}

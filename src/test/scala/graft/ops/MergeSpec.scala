@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+  ).toDF("id", "tag", "v")
+
+  test("upsert updates matched, inserts unmatched, passes through the rest") {
+    val updates = Seq((2, "B", 200.0), (4, "d", 40.0)).toDF("id", "tag", "v")
+    val out = Merge.upsert(target, updates, Seq("id"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(out === Set((1, "a", 10.0), (2, "B", 200.0), (3, "c", 30.0),
+      (4, "d", 40.0)))
+  }
+
+  test("an update that nulls a non-key column wins (presence-flag semantics)") {
+    val updates = Seq((1, null.asInstanceOf[String], 11.0)).toDF("id", "tag", "v")
+    val out = Merge.upsert(target, updates, Seq("id"))
+      .filter($"id" === 1).select("tag").collect().head
+    assert(out.isNullAt(0))
+  }
+
+  test("merge is rerun-idempotent: applying the same updates twice == once") {
+    val updates = Seq((2, "B", 200.0), (4, "d", 40.0)).toDF("id", "tag", "v")
+    val once = Merge.upsert(target, updates, Seq("id"))
+    val twice = Merge.upsert(once, updates, Seq("id"))
+    assert(twice.as[(Int, String, Double)].collect().toSet ===
+      once.as[(Int, String, Double)].collect().toSet)
+  }
+
+  test("schema mismatch is rejected") {
+    val bad = Seq((1, "x")).toDF("id", "tag")
+    assertThrows[IllegalArgumentException] {
+      Merge.upsert(target, bad, Seq("id"))
+    }
+  }
+
+  test("null join keys match via null-safe equality") {
+    val t = Seq((Some(1), "a"), (None, "n")).toDF("id", "tag")
+    val u = Seq((None.asInstanceOf[Option[Int]], "N")).toDF("id", "tag")
+    val out = Merge.upsert(t, u, Seq("id"))
+      .select("tag").as[String].collect().toSet
+    assert(out === Set("a", "N"))
+  }
+}

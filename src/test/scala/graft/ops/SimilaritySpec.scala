@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches hand computation and handles zero vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 1.0), Seq(1.0, 0.0), math.sqrt(0.5)),
+      (Seq(0.0, 0.0), Seq(1.0, 0.0), 0.0), // zero-norm guard
+    ).toDF("a", "b", "expected")
+    val out = df.select(Similarity.cosine($"a", $"b").as("c"), $"expected")
+      .as[(Double, Double)].collect()
+    out.foreach { case (c, e) => assert(math.abs(c - e) < 1e-12) }
+  }
+
+  test("bruteForceTopK returns exact nearest neighbours in order") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(-1f, 0f)), (5L, Seq(0.5f, 0.5f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, Seq(1f, 0f), 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out === Seq(1L, 2L, 5L))
+  }
+
+  test("lshTopK recall: planted duplicate of the query is always found") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val query = base(5)._2
+    val df = base.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, query, k = 1, numPlanes = 10,
+      probeHamming = 1)
+      .select("vec_id").as[Long].collect()
+    assert(out.headOption === Some(5L)) // identical vector -> same bucket
+  }
+
+  test("embeddingNearDupPairs finds planted duplicates within buckets") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val planted = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (1000L + id, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, dim = 16,
+      threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = base.filter(_._1 % 10 == 0)
+      .map { case (id, _) => (id, 1000L + id) }.toSet
+    assert(expected subsetOf pairs,
+      s"missed planted identical vectors: ${expected -- pairs}")
+  }
+
+  test("hyperplanes are deterministic under a seed") {
+    assert(Similarity.hyperplanes(4, 8, 42L) === Similarity.hyperplanes(4, 8, 42L))
+    assert(Similarity.hyperplanes(4, 8, 42L) !== Similarity.hyperplanes(4, 8, 43L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokenCount: whitespace tokens, empty text is 0") {
+    assert(eval1[Int](TextAnalysis.tokenCount(lit("Hello  world foo"))) === 3)
+    assert(eval1[Int](TextAnalysis.tokenCount(lit(""))) === 0)
+    assert(eval1[Int](TextAnalysis.tokenCount(lit("   "))) === 0)
+  }
+
+  test("bpeishTokenCount: alpha runs + digit runs + punct marks") {
+    // "it's 2025!" -> [it][']['s][2025][!] = 5
+    assert(eval1[Int](TextAnalysis.bpeishTokenCount(lit("it's 2025!"))) === 5)
+  }
+
+  test("stopwordRatio and punctRatio") {
+    val r = eval1[Double](TextAnalysis.stopwordRatio(lit("the cat and the dog")))
+    assert(math.abs(r - 3.0 / 5.0) < 1e-12)
+    val p = eval1[Double](TextAnalysis.punctRatio(lit("ab.,")))
+    assert(math.abs(p - 0.5) < 1e-12)
+  }
+
+  test("qualityScore is in [0,1] and favors clean English prose") {
+    val good = eval1[Double](TextAnalysis.qualityScore(
+      lit("the quick brown fox jumps over the lazy dog and runs to the hills " * 8)))
+    val bad = eval1[Double](TextAnalysis.qualityScore(lit("!!! ??? ### $$$")))
+    assert(good > bad && good <= 1.0 && bad >= 0.0)
+  }
+
+  test("langId picks the language with most stopword hits, und when none") {
+    assert(eval1[String](TextAnalysis.langId(lit("the cat is on the mat"))) === "en")
+    assert(eval1[String](TextAnalysis.langId(lit("der hund ist nicht da und"))) === "de")
+    assert(eval1[String](TextAnalysis.langId(lit("el perro es un animal"))) === "es")
+    assert(eval1[String](TextAnalysis.langId(lit("zzz qqq xxx"))) === "und")
+  }
+
+  test("fingerprint is order-insensitive; rollingHash is order-sensitive") {
+    val fp1 = eval1[String](TextAnalysis.fingerprint(lit("b a c")))
+    val fp2 = eval1[String](TextAnalysis.fingerprint(lit("c b a a")))
+    assert(fp1 === fp2) // same distinct token set
+    val rh1 = eval1[Long](TextAnalysis.rollingHash(lit("a b c")))
+    val rh2 = eval1[Long](TextAnalysis.rollingHash(lit("c b a")))
+    assert(rh1 !== rh2)
+  }
+
+  test("documentStats projects all features without shuffle") {
+    val docs = Seq((1L, "the cat sat"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.documentStats(docs)
+    assert(out.columns.toSet.intersect(Set("char_count", "token_count",
+      "quality_score", "lang_pred", "fingerprint")).size === 5)
+    assert(out.count() === 2)
+    // map-only: no Exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tables.VersionedTable
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class LiveEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  private def silverEvents = Seq(
+    ("k1", "f1", ts(10), "p1", "goal", "{}", ts(100)),
+    ("k2", "f1", ts(20), "p2", "card", "{}", ts(100)),
+    ("k3", "f2", ts(5), "p3", "start", "{}", ts(100)),
+  ).toDF("event_key", "fixture_id", "event_ts", "player_id",
+    "event_type", "payload", "updated_at")
+    .select($"event_key", $"fixture_id", $"event_ts",
+      lit(null).cast("string").as("team_id"), $"player_id",
+      $"event_type", $"payload", $"updated_at")
+
+  test("eventKey is deterministic and fills only missing keys") {
+    val df = Seq(
+      (null.asInstanceOf[String], "f1", ts(10), "goal"),
+      ("explicit", "f1", ts(10), "goal"),
+    ).toDF("event_key", "fixture_id", "event_ts", "event_type")
+      .withColumn("team_id", lit(null).cast("string"))
+      .withColumn("player_id", lit("p1"))
+    val keys = LiveEvents.eventKey(df).select("event_key").as[String].collect()
+    assert(keys(1) === "explicit")
+    assert(keys(0).length === 64) // sha256 hex
+    // determinism: same inputs -> same derived key
+    val again = LiveEvents.eventKey(df).select("event_key").as[String].collect()
+    assert(keys(0) === again(0))
+  }
+
+  test("latestFixtureState keeps the newest event per fixture") {
+    val out = LiveEvents.latestFixtureState(silverEvents)
+      .select("fixture_id", "last_event_type")
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("f1", "card"), ("f2", "start")))
+  }
+
+  test("fixtureTimeline assigns monotone sequence numbers per fixture") {
+    val out = LiveEvents.fixtureTimeline(silverEvents)
+      .select("fixture_id", "event_seq", "events_so_far")
+      .as[(String, Int, Long)].collect()
+    out.foreach { case (_, seq, sofar) => assert(seq.toLong === sofar) }
+    assert(out.count(_._1 == "f1") === 2)
+  }
+
+  test("availableNow ingest + conform: stream lands in bronze, merges to silver") {
+    val tmp = tmpDir("les-")
+    val landing = s"$tmp/landing"
+    silverEvents.drop("updated_at").write.json(landing)
+    val bronze = VersionedTable(spark, s"$tmp/bronze")
+    LiveEvents.ingestAvailableNow(spark, landing, s"$tmp/cp1", bronze)
+    assert(bronze.read.count() === 3)
+    val bronzeDir = bronze.read.inputFiles.head.replaceAll("/[^/]*$", "")
+    val silver = VersionedTable(spark, s"$tmp/silver")
+    LiveEvents.conformToSilver(spark, bronzeDir, s"$tmp/cp2", silver)
+    assert(silver.read.count() === 3)
+    // re-run with same checkpoint: no new data -> silver unchanged
+    LiveEvents.conformToSilver(spark, bronzeDir, s"$tmp/cp2", silver)
+    assert(silver.read.count() === 3)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.tables
+
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append accumulates rows across versions; overwrite replaces") {
+    val t = VersionedTable(spark, tmpDir("vt-"))
+    assert(!t.exists)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))
+    assert(t.read.count() === 2)
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    assert(t.read.as[(Int, String)].collect().toSet === Set((9, "z")))
+    assert(t.latestVersion === Some(2L))
+  }
+
+  test("readVersion / asOf time travel reach historical snapshots") {
+    val t = VersionedTable(spark, tmpDir("vt-"))
+    t.append(Seq(1).toDF("id"))
+    val ts0 = t.history.last.tsMillis
+    Thread.sleep(5)
+    t.append(Seq(2).toDF("id"))
+    assert(t.readVersion(0).as[Int].collect().toSet === Set(1))
+    assert(t.readVersion(1).as[Int].collect().toSet === Set(1, 2))
+    assert(t.asOf(ts0).as[Int].collect().toSet === Set(1))
+    assertThrows[RuntimeException](t.readVersion(99))
+  }
+
+  test("merge dedups update side then upserts; rerun yields same snapshot") {
+    val t = VersionedTable(spark, tmpDir("vt-"))
+    t.overwrite(Seq((1, 10L, "a"), (2, 10L, "b")).toDF("id", "ts", "v"))
+    // two update rows for id=2: latest ts wins
+    val updates = Seq((2, 20L, "b2"), (2, 30L, "b3"), (3, 5L, "c"))
+      .toDF("id", "ts", "v")
+    t.merge(updates, Seq("id"), preferUpdateBy = Some("ts"))
+    val snap1 = t.read.as[(Int, Long, String)].collect().toSet
+    assert(snap1 === Set((1, 10L, "a"), (2, 30L, "b3"), (3, 5L, "c")))
+    t.merge(updates, Seq("id"), preferUpdateBy = Some("ts"))
+    assert(t.read.as[(Int, Long, String)].collect().toSet === snap1)
+  }
+
+  test("compact rewrites current snapshot; vacuum drops unreachable files") {
+    val t = VersionedTable(spark, tmpDir("vt-"))
+    t.append(Seq(1, 2).toDF("id").repartition(4))
+    t.append(Seq(3).toDF("id"))
+    t.compact(numFiles = 1)
+    assert(t.read.as[Int].collect().toSet === Set(1, 2, 3))
+    assert(t.read.inputFiles.length === 1)
+    t.vacuum(retainVersions = 1)
+    // current snapshot still readable; version 0 files gone
+    assert(t.read.as[Int].collect().toSet === Set(1, 2, 3))
+    assertThrows[Exception](t.readVersion(0).collect())
+  }
+
+  test("empty table read errors; merge into empty table bootstraps it") {
+    val t = VersionedTable(spark, tmpDir("vt-"))
+    assertThrows[RuntimeException](t.read)
+    t.merge(Seq((1, "a")).toDF("id", "v"), Seq("id"))
+    assert(t.read.count() === 1)
+  }
+}

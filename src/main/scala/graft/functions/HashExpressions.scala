@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the signature-heavy dedup operators.
   *
@@ -56,6 +57,127 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<string> distinct n-token shingle strings,
+  * first-occurrence order — same output as the higher-order formulation
+  * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+  * slice(toks, i+1, n))))` (Dedup.wordShingles), evaluated in one loop
+  * (no per-lambda interpretation). Shorter-than-n docs yield the whole
+  * text as one shingle. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val count = if (m <= n) 1 else m - n + 1
+    val width = math.min(n, m)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](width)
+      var j = 0
+      while (j < width) { parts(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> distinct hashes of n-token shingles.
+  *
+  * Replaces "build shingle strings, then hash them": each token is hashed
+  * once (xxhash64, seed 42) and the shingle hash is the chained
+  * hashLong-combine of its n token hashes — no string concatenation, no
+  * intermediate arrays, one pass. Order-sensitive like the string form.
+  * Shorter-than-n docs yield one whole-doc shingle hash (mirrors
+  * Dedup.wordShingles' fallback). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val tokHashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      tokHashes(i) =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      i += 1
+    }
+    val count = if (m <= n) 1 else m - n + 1
+    val width = math.min(n, m)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+    i = 0
+    while (i < count) {
+      var h = 42L
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(tokHashes(i + j), h); j += 1 }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** array<long> shingle hashes → array<long> k-permutation MinHash
+  * signature. Same permutation family as [[MinHashSignature]] but skips
+  * the string hash (inputs are already hashed): per element,
+  * h1 = hashLong(x, 42), then permutation k = hashInt(k, h1). */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h1 = XXH64.hashLong(arr.getLong(i), 42L)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashInt(k, h1)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
     copy(child = newChild)
 }
 
@@ -113,6 +235,33 @@ object GraftFunctions {
         case Seq(child, Literal(k: Int, IntegerType)) => MinHashSignature(child, k)
         case _ => throw new IllegalArgumentException(
           "usage: graft_minhash(array<string>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child, Literal(n: Int, IntegerType)) => WordShingles(child, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_word_shingles(array<string>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child, Literal(n: Int, IntegerType)) => ShingleHashes(child, n)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_shingle_hashes(array<string>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_minhash_hashes"),
+      new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash_hashes"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child, Literal(k: Int, IntegerType)) => MinHashFromHashes(child, k)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_minhash_hashes(array<long>, <int literal>)")
       })
 
     registry.registerFunction(

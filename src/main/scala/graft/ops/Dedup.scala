@@ -43,6 +43,29 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  // ------------------------------------------------------- candidate pairs
+
+  /** Ordered candidate id pairs within blocking groups, in ONE shuffle:
+    * group by the blocking key(s), expand ordered pairs in-array. Compared
+    * with the window-guard + self-join formulation this saves a window
+    * sort and two join shuffles; `maxGroupSize` is the skew guard (drops
+    * degenerate groups — empty/boilerplate content).
+    * Returns distinct (id_a < id_b) pairs. */
+  private[ops] def pairsWithinGroups(df: DataFrame, groupCols: Seq[String],
+                                     idCol: String,
+                                     maxGroupSize: Int): DataFrame = {
+    val grouped = df.groupBy(groupCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxGroupSize))
+    val sorted = array_sort(col("ids"))
+    grouped
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** k-permutation MinHash signature from a column of shingle-hash longs.
@@ -84,18 +107,21 @@ object Dedup {
     val r = numHashes / bands
     // Stage 1 (map-only, computed once and persisted — at cluster scale
     // this relation would be checkpointed to parquet instead): doc →
-    // shingle set + minhash signature. Staged withColumns keep each heavy
-    // array expression evaluated once per row.
+    // hashed shingle set + minhash signature. Shingle STRINGS are never
+    // materialized: graft_shingle_hashes combines per-token hashes in one
+    // loop, and Jaccard verification is identical on the hash sets (64-bit
+    // collisions are negligible), at a fraction of the string-building and
+    // shuffle cost.
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigd = docs
       .select(col(idCol).as("doc_id"),
-        wordShingles(col(textCol), shingleSize).as("shingles"))
+        call_function("graft_shingle_hashes",
+          TextAnalysis.tokens(col(textCol)), lit(shingleSize)).as("shingles"))
       .withColumn("sig",
-        call_function("graft_minhash", col("shingles"), lit(numHashes)))
-      .select("doc_id", "shingles", "sig")
+        call_function("graft_minhash_hashes", col("shingles"), lit(numHashes)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Stage 2: id-only banded relation — the shuffle/join key set never
+    // Stage 2: id-only banded relation — the shuffle key set never
     // carries shingle payloads.
     val banded = sigd.select(
       col("doc_id"),
@@ -103,25 +129,15 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
         .as(Seq("band_idx", "band_hash")))
 
-    // Skew guard: drop degenerate buckets (empty/boilerplate docs).
-    val buckets = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .select("band_idx", "band_hash", "doc_id")
+    // Stage 3: candidate id pairs within band buckets — one shuffle, with
+    // the bucket-size cap as the skew guard (degenerate buckets — empty /
+    // boilerplate docs — are dropped, the same guard industrial dedup
+    // pipelines use).
+    val candidates = pairsWithinGroups(banded,
+        Seq("band_idx", "band_hash"), "doc_id", maxBucketSize)
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
 
-    // Stage 3: candidate id pairs within buckets (self-join on the band
-    // key, ordered ids → each unordered pair once, distinct across bands).
-    val candidates = buckets.select(col("band_idx"), col("band_hash"),
-        col("doc_id").as("doc_id_a"))
-      .join(buckets.select(col("band_idx"), col("band_hash"),
-        col("doc_id").as("doc_id_b")), Seq("band_idx", "band_hash"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select("doc_id_a", "doc_id_b")
-      .dropDuplicates("doc_id_a", "doc_id_b")
-
-    // Stage 4: exact Jaccard verification — fetch shingle sets for
+    // Stage 4: exact Jaccard verification — fetch shingle-hash sets for
     // candidate rows only.
     candidates
       .join(sigd.select(col("doc_id").as("doc_id_a"),
@@ -175,7 +191,8 @@ object Dedup {
     * MinHash banding. */
   def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
-                          maxHammingDistance: Int = 3): DataFrame = {
+                          maxHammingDistance: Int = 3,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxHammingDistance >= 0 && maxHammingDistance <= 31,
       "maxHammingDistance must be in [0, 31]")
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -187,23 +204,38 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val sigd = docs.select(col(idCol).as("doc_id"),
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkExprs = (0 until numChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask))
     }
     val blocked = sigd.select(col("doc_id"), col("sig"),
       posexplode(array(chunkExprs: _*)).as(Seq("q_idx", "q_val")))
-    val a = blocked.select(col("q_idx"), col("q_val"),
+    // Optional skew guard: drop oversized buckets (correlated bits in
+    // templated corpora make small chunks collide heavily). The default
+    // keeps the operator's exact-recall-within-budget contract.
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) blocked
+      else blocked.join(
+        broadcast(blocked.groupBy("q_idx", "q_val").count()
+          .filter(col("count") > maxBucketSize)
+          .select("q_idx", "q_val")),
+        Seq("q_idx", "q_val"), "left_anti")
+    // Self-join carrying only (id, 8-byte sig); the Hamming test runs
+    // BEFORE pair-dedup so the dropDuplicates shuffle sees true pairs
+    // only, not the full candidate blowup. In-bucket pair streaming via
+    // join beats in-array expansion here: a 1700-doc bucket is 1.4M pairs
+    // — streamed through a codegen'd bit_count filter vs materialized as
+    // one giant array row.
+    val a = guarded.select(col("q_idx"), col("q_val"),
       col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
-    val b = blocked.select(col("q_idx"), col("q_val"),
+    val b = guarded.select(col("q_idx"), col("q_val"),
       col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("q_idx", "q_val"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .dropDuplicates("doc_id_a", "doc_id_b")
       .filter(col("hamming") <= maxHammingDistance)
+      .dropDuplicates("doc_id_a", "doc_id_b")
   }
 
   // ----------------------------------------------------- n-gram Jaccard
@@ -214,17 +246,22 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val withSh = docs.select(col(idCol).as("doc_id"),
-      wordShingles(col(textCol), n).as("shingles"))
+      call_function("graft_word_shingles",
+        TextAnalysis.tokens(col(textCol)), lit(n)).as("shingles"))
       .withColumn("block", array_min(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withSh.select(col("block"), col("doc_id").as("doc_id_a"),
-      col("shingles").as("shingles_a"))
-    val b = withSh.select(col("block"), col("doc_id").as("doc_id_b"),
-      col("shingles").as("shingles_b"))
-    a.join(b, Seq("block"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"),
+    // Candidates from id-only block groups (one shuffle of (block, id));
+    // shingle arrays are fetched back for candidate rows only, instead of
+    // shuffling them on both sides of a self-join.
+    Dedup.pairsWithinGroups(withSh.select("block", "doc_id"), Seq("block"),
+        "doc_id", maxGroupSize = Int.MaxValue)
+      .join(withSh.select(col("doc_id").as("id_a"),
+        col("shingles").as("shingles_a")), Seq("id_a"))
+      .join(withSh.select(col("doc_id").as("id_b"),
+        col("shingles").as("shingles_b")), Seq("id_b"))
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
         (size(array_intersect(col("shingles_a"), col("shingles_b"))).cast("double") /
           size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"))
           .as("jaccard"))

@@ -96,16 +96,17 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = embeddings.select(col(idCol).as("id"),
       col(vecCol).as("vec"), lshBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate id pairs from id-only bucket groups (one shuffle of
+    // (bucket, id)); vectors — the heavy payload — are fetched back for
+    // candidate rows only instead of riding both sides of a self-join.
+    Dedup.pairsWithinGroups(bucketed.select("bucket", "id"), Seq("bucket"),
+        "id", maxGroupSize = Int.MaxValue)
+      .join(bucketed.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(bucketed.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a").cast("array<double>"),
           col("vec_b").cast("array<double>")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 }

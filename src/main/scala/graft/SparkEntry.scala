@@ -74,6 +74,29 @@ object SparkEntry {
       col("props").as("payload"),
       col("ts").as("updated_at"))
 
+  /** Deterministic events→player-history mapping feeding the ML1 feature
+    * pipeline, so DuckDB can replicate it. */
+  private def mlFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ts = java.sql.Timestamp.valueOf("2025-08-12 06:15:00")
+    val history = events(s, dir).select(
+      col("user_id").cast("int").as("player_id"),
+      (col("user_id") % 20).cast("int").as("team_id"),
+      (col("event_id") % 10 + 1).cast("int").as("gameweek_id"),
+      (col("event_id") % 90).cast("int").as("minutes"),
+      (col("event_id") % 13).cast("int").as("points"))
+    val playerGameweek = graft.fpl.Gold.factPlayerGameweek(history, ts)
+    val priceSnapshot = playerGameweek.select("player_id").distinct()
+      .select(col("player_id"),
+        (lit(40) + col("player_id") % 100).cast("int")
+          .as("now_cost_tenths_million"))
+    val teamGwDifficulty = playerGameweek
+      .select("team_id", "gameweek_id").distinct()
+      .select(col("team_id"), col("gameweek_id"),
+        ((col("team_id") + col("gameweek_id")) % 5 + 1).cast("int")
+          .as("difficulty"))
+    graft.ml.Points.features(playerGameweek, priceSnapshot, teamGwDifficulty)
+  }
+
   // ------------------------------------------------------------------
   // Query inventory (names reference SURVEY.md §2 operator ids)
   // ------------------------------------------------------------------
@@ -382,6 +405,99 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ML1: feature materialization — windows over the player×gameweek
+    // grain + broadcast dim joins (docs/backlog.md:84-89), phrased over a
+    // deterministic events→history mapping so DuckDB can oracle it.
+    "q_ml1_features" -> ((s, dir) =>
+      mlFeatures(s, dir)
+        .select(col("player_id"), col("team_id"), col("gameweek_id"),
+          col("minutes"), col("points"),
+          round(col("form_score"), 4).as("form_score4"),
+          round(col("minutes_risk"), 4).as("minutes_risk4"),
+          col("now_cost_tenths_million"),
+          round(col("fixture_difficulty"), 4).as("fixture_difficulty4"),
+          col("target_points_next_3_gws"))
+        .orderBy("player_id", "gameweek_id")),
+
+    // ML2: GBT points regressor on the ML1 features (docs/backlog.md:90-93)
+    // — deterministic seed; metrics row (rows-only: model training is not
+    // SQL-expressible; pinned by PointsSpec).
+    "q_ml2_gbt_points" -> ((s, dir) => {
+      val t = graft.ml.Points.trainGBT(mlFeatures(s, dir), maxIter = 8)
+      graft.ml.Points.metricsRow(s, t)
+        .select(col("n_train"), col("n_test"), col("num_trees"), col("depth"),
+          round(col("rmse"), 2).as("rmse2"), round(col("r2"), 2).as("r2_2"))
+    }),
+
+    // ML3 (domain form): the transfer recommender end-to-end on synthetic
+    // FPL data (rows-only; constraint semantics pinned by GoldSpec).
+    "q_fpl_recommend" -> ((s, dir) => {
+      val env = graft.fpl.Bronze.envelope(
+        graft.fpl.Bronze.payloadRows(s, Seq(
+          (java.sql.Timestamp.valueOf("2025-08-12 06:15:00"),
+            "test://bootstrap", 200,
+            graft.fpl.SampleData.bootstrapJson(nTeams = 4, playersPerTeam = 5)))),
+        runId = "bench")
+      val dimPlayer = graft.fpl.Gold.dimPlayer(
+        graft.fpl.Silver.players(graft.fpl.Silver.parseBootstrap(env)))
+      graft.fpl.Gold.factTransferRecommendation(dimPlayer,
+        squadIds = Seq(1, 2, 3, 6, 7, 11), bankTenths = 15,
+        runId = "bench", snapshotDate = java.sql.Date.valueOf("2025-08-12"),
+        createdAt = java.sql.Timestamp.valueOf("2025-08-12 06:15:00"))
+        .select("out_player_id", "in_player_id", "expected_points_delta",
+          "cost_delta_tenths_million", "constraint_flags")
+    }),
+
+    // M3: OPTIMIZE-style compaction + VACUUM — data identical afterwards
+    // (the oracle reads the same rows straight from parquet).
+    "q_m3_compact" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-compact-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+      tbl.append(o.filter(col("o_orderkey") % 2 === 0).repartition(16))
+      tbl.append(o.filter(col("o_orderkey") % 2 === 1).repartition(16))
+      tbl.compact(numFiles = 2)
+      tbl.vacuum(retainVersions = 1)
+      tbl.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ST3 stateful-streaming form: flatMapGroupsWithState over an
+    // availableNow file stream, merged per batch into a versioned table.
+    "q_st4_stateful_state" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-state-").toString
+      eventsAsLiveEvents(s, dir)
+        .filter(col("event_key").cast("long") % 3 === 0)
+        .drop("updated_at").write.json(s"$tmp/landing")
+      val out = VersionedTable(s, s"$tmp/state")
+      graft.streaming.LiveEvents.runFixtureStateAvailableNow(
+        s, s"$tmp/landing", s"$tmp/cp", out)
+      out.read.select(col("fixture_id"), col("n_events"),
+          unix_millis(col("last_event_ts")).as("last_ts_ms"),
+          col("last_event_type"))
+        .orderBy("fixture_id")
+    }),
+
+    // IVF ANN top-k (rows-only: KMeans cells are engine-specific; recall
+    // vs brute force pinned by SimilaritySpec).
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val idx = Similarity.ivfIndex(e.filter(col("vec_id") =!= 0), nCells = 16)
+      Similarity.ivfTopK(idx, q, k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
+        .orderBy(col("sim4").desc, col("vec_id").asc)
+    }),
+
+    // Distinct-cardinality estimation: HLL++ sketch vs exact (rows-only:
+    // sketch estimates are engine-specific; 5%-accuracy pinned by spec).
+    "q_cnt_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct("l_partkey").as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))),
+
     // Multimodal: binary media columns + partition-parallel feature
     // extraction (stub decode, real plumbing) — metadata aggregate is
     // fully deterministic and oracle-checkable.
@@ -647,6 +763,54 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events WHERE event_id % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ml1_features" ->
+      """WITH history AS (
+        | SELECT CAST(user_id AS INT) AS player_id,
+        |        CAST(user_id % 20 AS INT) AS team_id,
+        |        CAST(event_id % 10 + 1 AS INT) AS gameweek_id,
+        |        CAST(event_id % 90 AS INT) AS minutes,
+        |        CAST(event_id % 13 AS INT) AS points
+        | FROM events),
+        |pg AS (
+        | SELECT gameweek_id, player_id, max(team_id) AS team_id,
+        |        CAST(sum(minutes) AS INT) AS minutes,
+        |        CAST(sum(points) AS INT) AS points
+        | FROM history GROUP BY 1, 2),
+        |feat AS (
+        | SELECT *,
+        |   avg(points) OVER w3 AS form_score,
+        |   1.0 - least(avg(minutes) OVER w3 / 90.0, 1.0) AS minutes_risk,
+        |   sum(points) OVER wn AS target
+        | FROM pg
+        | WINDOW w3 AS (PARTITION BY player_id ORDER BY gameweek_id
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |        wn AS (PARTITION BY player_id ORDER BY gameweek_id
+        |               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING))
+        |SELECT player_id, team_id, gameweek_id, minutes, points,
+        | round(form_score, 4) AS form_score4,
+        | round(minutes_risk, 4) AS minutes_risk4,
+        | CAST(40 + player_id % 100 AS INT) AS now_cost_tenths_million,
+        | round(CAST((team_id + gameweek_id) % 5 + 1 AS DOUBLE), 4) AS fixture_difficulty4,
+        | CAST(target AS BIGINT) AS target_points_next_3_gws
+        |FROM feat WHERE target IS NOT NULL
+        |ORDER BY player_id, gameweek_id""".stripMargin,
+
+    "q_m3_compact" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_st4_stateful_state" ->
+      """SELECT fixture_id, n_events, last_ts_ms, last_event_type FROM (
+        | SELECT CAST(user_id % 100 AS VARCHAR) AS fixture_id,
+        |        CAST(count(*) OVER (PARTITION BY user_id % 100) AS BIGINT) AS n_events,
+        |        epoch_ms(ts) AS last_ts_ms,
+        |        event_type AS last_event_type,
+        |        row_number() OVER (PARTITION BY user_id % 100
+        |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) DESC) AS rn
+        | FROM events WHERE event_id % 3 = 0)
+        |WHERE rn = 1 ORDER BY fixture_id""".stripMargin,
 
     "q_mm_media_features" ->
       """SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'

@@ -153,6 +153,86 @@ object Gold {
   def easiestFixturePlayers(view: DataFrame, k: Int = 20): DataFrame =
     view.orderBy(col("h5_avg_fdr").asc, col("player_id").asc).limit(k)
 
+  // ------------------------------------------------------- declared facts
+
+  /** gold.fact_price_snapshot (declared: resources/uc/objects.sql:214-223;
+    * notebooks/04_gold/43_build_fact_price_snapshot.py is empty): one row
+    * per player per snapshot day, for "price deltas" analysis
+    * (docs/backlog.md:46). */
+  def factPriceSnapshot(dimPlayer: DataFrame, snapshotDate: java.sql.Date,
+                        updatedAt: java.sql.Timestamp): DataFrame =
+    dimPlayer.select(
+      lit(snapshotDate).as("snapshot_date"),
+      col("player_id").cast("int"),
+      col("now_cost").cast("int").as("now_cost_tenths_million"),
+      col("selected_by_percent").cast("double"),
+      col("form").cast("double"),
+      col("status"),
+      lit(updatedAt).as("updated_at"))
+
+  /** Price deltas between consecutive snapshots per player
+    * (docs/backlog.md:46: "price deltas" over fact_price_snapshot) —
+    * lag window, one shuffle on player_id. */
+  def priceDeltas(priceSnapshots: DataFrame): DataFrame =
+    graft.ops.WindowOps.snapshotDeltas(priceSnapshots, "player_id",
+        "snapshot_date", "now_cost_tenths_million", "snapshot_date")
+      .withColumnRenamed("prev_value", "prev_cost_tenths")
+      .withColumnRenamed("delta", "cost_delta_tenths")
+
+  /** gold.fact_player_gameweek (declared: resources/uc/objects.sql:226-235):
+    * the core modelling grain. Input: per-event player history rows
+    * (player_id, team_id, gameweek_id, minutes, points); output one row
+    * per player × gameweek. One shuffle on the composite key. */
+  def factPlayerGameweek(history: DataFrame,
+                         updatedAt: java.sql.Timestamp): DataFrame =
+    history.groupBy(col("gameweek_id").cast("int").as("gameweek_id"),
+        col("player_id").cast("int").as("player_id"))
+      .agg(
+        max(col("team_id")).cast("int").as("team_id"),
+        sum(col("minutes")).cast("int").as("minutes"),
+        sum(col("points")).cast("int").as("points"))
+      .withColumn("updated_at", lit(updatedAt))
+
+  /** gold.fact_live_form (declared: resources/uc/objects.sql:238-246;
+    * docs/backlog.md:79-81 "rolling form_score, minutes_risk"): rolling
+    * `windowGws`-gameweek mean points (form) and minutes-shortfall risk per
+    * player. Bounded rows frame → one shuffle on player_id, O(frame) state. */
+  def factLiveForm(playerGameweek: DataFrame, windowGws: Int,
+                   snapshotDate: java.sql.Date,
+                   updatedAt: java.sql.Timestamp): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("player_id").orderBy(col("gameweek_id").asc)
+      .rowsBetween(-(windowGws - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    playerGameweek.select(
+      lit(snapshotDate).as("snapshot_date"),
+      col("player_id").cast("string").as("player_id"),
+      concat(lit("last_"), lit(windowGws), lit("_gws"),
+        lit("@gw"), col("gameweek_id")).as("fixture_window"),
+      avg(col("points")).over(w).as("form_score"),
+      (lit(1.0) - least(avg(col("minutes")).over(w) / lit(90.0), lit(1.0)))
+        .as("minutes_risk"),
+      lit(updatedAt).as("updated_at"))
+  }
+
+  /** gold.fact_transfer_recommendation (declared:
+    * resources/uc/objects.sql:249-260): the recommender's persisted
+    * product row, with rationale + constraint flags. */
+  def factTransferRecommendation(dimPlayer: DataFrame, squadIds: Seq[Int],
+                                 bankTenths: Int, runId: String,
+                                 snapshotDate: java.sql.Date,
+                                 createdAt: java.sql.Timestamp): DataFrame =
+    recommendTransfer(dimPlayer, squadIds, bankTenths).select(
+      lit(runId).as("run_id"),
+      lit(snapshotDate).as("snapshot_date"),
+      col("out_player_id"), col("in_player_id"),
+      col("expected_points_delta").cast("double"),
+      col("cost_delta_tenths").cast("int").as("cost_delta_tenths_million"),
+      lit("budget_ok,position_match,team_limit_ok").as("constraint_flags"),
+      concat(lit("swap "), col("out_web_name"), lit(" -> "), col("in_web_name"),
+        lit(" for +"), round(col("expected_points_delta"), 2),
+        lit(" expected pts")).as("rationale"),
+      lit(createdAt).as("created_at"))
+
   // ------------------------------------------------------------ recommender
 
   /** Deterministic transfer recommender (ML3, declared:

@@ -1,0 +1,94 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML slice: points-prediction feature pipeline + GBT baseline model.
+  *
+  * Declared by the reference (all notebooks empty): feature materialization
+  * joining dims + price snapshots + fixture difficulty + live form with
+  * target `predicted_points_next_3_gws` (docs/backlog.md:84-93,
+  * docs/architecture.md:149-155 — "GBT or similar; interpretable
+  * baseline"). MLflow tracking is out of scope offline; metrics come back
+  * as a one-row DataFrame instead.
+  *
+  * Scale notes: the feature build is window functions over the
+  * player×gameweek grain (one shuffle on player_id) plus broadcast joins
+  * against small dims; GBT training on Spark ML is data-parallel over the
+  * feature matrix.
+  */
+object Points {
+
+  /** ML1: training frame at the player×gameweek grain.
+    *
+    * Features: rolling form (last `formWindow` gws), minutes risk, price,
+    * team fixture-difficulty for the gameweek; target: points over the
+    * NEXT 3 gameweeks (lead-sum window).
+    *
+    * Inputs: `playerGameweek` (player_id, team_id, gameweek_id, minutes,
+    * points), `priceSnapshot` (player_id, now_cost_tenths_million, ...),
+    * `teamGwDifficulty` (team_id, gameweek_id, difficulty). */
+  def features(playerGameweek: DataFrame, priceSnapshot: DataFrame,
+               teamGwDifficulty: DataFrame, formWindow: Int = 3): DataFrame = {
+    val byPlayer = Window.partitionBy("player_id").orderBy(col("gameweek_id").asc)
+    val form = byPlayer.rowsBetween(-(formWindow - 1), Window.currentRow)
+    val next3 = byPlayer.rowsBetween(1, 3)
+    playerGameweek
+      .withColumn("form_score", avg(col("points")).over(form))
+      .withColumn("minutes_risk",
+        lit(1.0) - least(avg(col("minutes")).over(form) / lit(90.0), lit(1.0)))
+      .withColumn("target_points_next_3_gws", sum(col("points")).over(next3))
+      .join(priceSnapshot.select(col("player_id"),
+        col("now_cost_tenths_million")), Seq("player_id"), "left")
+      .join(broadcast(teamGwDifficulty
+          .groupBy("team_id", "gameweek_id")
+          .agg(avg(col("difficulty")).as("fixture_difficulty"))),
+        Seq("team_id", "gameweek_id"), "left")
+      .na.fill(0.0, Seq("form_score", "minutes_risk", "fixture_difficulty"))
+      .na.fill(0, Seq("now_cost_tenths_million"))
+      .filter(col("target_points_next_3_gws").isNotNull)
+      .select("player_id", "team_id", "gameweek_id", "minutes", "points",
+        "form_score", "minutes_risk", "now_cost_tenths_million",
+        "fixture_difficulty", "target_points_next_3_gws")
+  }
+
+  val FeatureCols: Array[String] = Array("form_score", "minutes_risk",
+    "now_cost_tenths_million", "fixture_difficulty", "minutes", "points")
+
+  final case class Trained(model: GBTRegressionModel, rmse: Double,
+                           r2: Double, nTrain: Long, nTest: Long)
+
+  /** ML2: GBT points model — interpretable baseline regressor
+    * (docs/backlog.md:90-93). Deterministic under `seed`. */
+  def trainGBT(featureFrame: DataFrame, seed: Long = 42L,
+               maxIter: Int = 20): Trained = {
+    val assembled = new VectorAssembler()
+      .setInputCols(FeatureCols).setOutputCol("features")
+      .transform(featureFrame)
+      .withColumnRenamed("target_points_next_3_gws", "label")
+    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed)
+    val model = new GBTRegressor()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
+      .fit(train)
+    val preds = model.transform(test)
+    def metric(m: String) = new RegressionEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName(m).evaluate(preds)
+    Trained(model, metric("rmse"), metric("r2"), train.count(), test.count())
+  }
+
+  /** Metrics as a one-row DataFrame (the offline stand-in for MLflow run
+    * logging). */
+  def metricsRow(spark: org.apache.spark.sql.SparkSession,
+                 t: Trained): DataFrame = {
+    import spark.implicits._
+    Seq((t.rmse, t.r2, t.nTrain, t.nTest,
+      t.model.getNumTrees.toLong, t.model.getMaxDepth.toLong))
+      .toDF("rmse", "r2", "n_train", "n_test", "num_trees", "depth")
+  }
+}

@@ -86,6 +86,59 @@ object Similarity {
     bruteForceTopK(pruned, query, k, idCol, vecCol)
   }
 
+  /** IVF (inverted-file) ANN index: a KMeans coarse quantizer assigns each
+    * vector to its nearest centroid; at query time only the `nProbe`
+    * closest centroid partitions are scanned, then exact cosine re-ranks.
+    *
+    * The standard scale path for billion-vector search (FAISS IVF-Flat
+    * shape): write the table partitioned by `ivf_cell` and the cell
+    * predicate becomes partition pruning — a query scans nProbe/nCells of
+    * the data. Training samples at most `trainSampleSize` vectors to the
+    * driver-side KMeans fit; assignment is a broadcast map-side pass. */
+  final case class IvfIndex(centroids: Array[Array[Double]],
+                            assigned: DataFrame) {
+    /** Cells ranked nearest-first for a query vector. */
+    def probeCells(query: Seq[Float], nProbe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val qd = query.map(_.toDouble).toArray
+        val dot = c.zip(qd).map { case (a, b) => a * b }.sum
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        val nq = math.sqrt(qd.map(x => x * x).sum)
+        (i, if (nc > 0 && nq > 0) dot / (nc * nq) else 0.0)
+      }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+  }
+
+  /** Build an IVF index over an embedding table (map-only assignment after
+    * a sampled KMeans fit). */
+  def ivfIndex(embeddings: DataFrame, nCells: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding", seed: Long = 42L,
+               trainSampleSize: Int = 100000): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val asVec = embeddings.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+    val n = embeddings.count()
+    val trainFrac = math.min(1.0, trainSampleSize.toDouble / math.max(n, 1L))
+    val train = if (trainFrac >= 1.0) asVec else asVec.sample(trainFrac, seed)
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("ivf_cell")
+      .fit(train)
+    val assigned = model.transform(asVec)
+      .select(col(idCol), col(vecCol), col("ivf_cell"))
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** IVF ANN top-k: scan only the `nProbe` nearest cells, exact re-rank.
+    * With `nProbe = nCells` this is exact brute force. */
+  def ivfTopK(index: IvfIndex, query: Seq[Float], k: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = index.probeCells(query, nProbe)
+    bruteForceTopK(
+      index.assigned.filter(col("ivf_cell").isin(cells: _*)),
+      query, k, idCol, vecCol)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket join + exact cosine verify
     * within buckets — the embedding analog of Dedup.minhashNearDupPairs. */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int,

@@ -89,6 +89,89 @@ object LiveEvents {
         col("event_type").as("last_event_type"), col("payload"),
         col("updated_at"))
 
+  /** Accumulated per-fixture state for the stateful streaming form of ST3.
+    * `last_event_key` is part of the state so the (ts, key) max-reduction
+    * stays deterministic across arbitrary micro-batch splits. */
+  final case class FixtureState(fixture_id: String, n_events: Long,
+                                last_event_ts: java.sql.Timestamp,
+                                last_event_key: String,
+                                last_event_type: String)
+
+  /** Input projection for [[fixtureStateStream]] (public: encoder codegen
+    * needs access). */
+  final case class EventIn(fixture_id: String,
+                           event_ts: java.sql.Timestamp,
+                           event_key: String, event_type: String)
+
+  /** ST3 (stateful streaming form): per-fixture score/status state
+    * maintained with `flatMapGroupsWithState` — Spark's native keyed-state
+    * operator (the OSS analog of the declared live-state notebook,
+    * notebooks/03_silver/33_build_silver_live_fixture_state.py, empty;
+    * semantics resources/uc/objects.sql:151-161).
+    *
+    * Emits the updated state of every fixture touched by each micro-batch.
+    * State is O(1) per fixture (count + latest event), partitioned by
+    * fixture_id — scales to any number of concurrent fixtures. Determinism:
+    * within a batch, events reduce by (max ts, tie-break max event_key),
+    * so replays converge. Run with `Trigger.AvailableNow` over a landing
+    * dir for the finite/batch-equivalent mode. */
+  def fixtureStateStream(events: DataFrame): org.apache.spark.sql.Dataset[FixtureState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("fixture_id").cast("string"), col("event_ts"),
+        col("event_key").cast("string"), col("event_type").cast("string"))
+      .as[EventIn]
+      .groupByKey(_.fixture_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fixtureId: String, batch: Iterator[EventIn],
+         state: GroupState[FixtureState]) =>
+          var st = state.getOption.getOrElse(
+            FixtureState(fixtureId, 0L, null, "", null))
+          var latestTs = Option(st.last_event_ts)
+          var latestKey = st.last_event_key
+          var latestType = st.last_event_type
+          batch.foreach { e =>
+            st = st.copy(n_events = st.n_events + 1)
+            val newer = latestTs.forall { ts =>
+              e.event_ts.after(ts) ||
+                (e.event_ts.equals(ts) && e.event_key > latestKey)
+            }
+            if (newer) {
+              latestTs = Some(e.event_ts); latestKey = e.event_key
+              latestType = e.event_type
+            }
+          }
+          st = st.copy(last_event_ts = latestTs.orNull,
+            last_event_key = latestKey, last_event_type = latestType)
+          state.update(st)
+          Iterator.single(st)
+      }
+  }
+
+  /** Finite run of [[fixtureStateStream]] over a JSON landing dir: drains
+    * with availableNow, merging each batch's emitted states into `out`
+    * keyed by fixture (newest batch wins). Returns after the drain. */
+  def runFixtureStateAvailableNow(spark: SparkSession, landingDir: String,
+                                  checkpointDir: String,
+                                  out: VersionedTable): Unit = {
+    val stream = spark.readStream
+      .schema(Schemas.liveEventRaw)
+      .json(landingDir)
+    val states = fixtureStateStream(stream).toDF()
+    val q = states.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out.merge(batch, Seq("fixture_id"), preferUpdateBy = Some("n_events"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-fixture event timeline with running event count — the
     * score/status timeline shape of silver.live_fixture_state. */
   def fixtureTimeline(silverEvents: DataFrame): DataFrame = {

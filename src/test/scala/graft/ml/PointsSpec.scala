@@ -1,0 +1,71 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class PointsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pg = Seq(
+    // (player, team, gw, minutes, points)
+    (1, 10, 1, 90, 6), (1, 10, 2, 90, 2), (1, 10, 3, 45, 0),
+    (1, 10, 4, 90, 10), (1, 10, 5, 0, 0),
+    (2, 11, 1, 30, 1), (2, 11, 2, 60, 3),
+  ).toDF("player_id", "team_id", "gameweek_id", "minutes", "points")
+
+  private def price = Seq((1, 55), (2, 40))
+    .toDF("player_id", "now_cost_tenths_million")
+
+  private def fdr = Seq((10, 1, 2), (10, 2, 3), (10, 3, 2), (10, 4, 4),
+    (10, 5, 2), (11, 1, 5), (11, 2, 3))
+    .toDF("team_id", "gameweek_id", "difficulty")
+
+  test("features: rolling form, minutes risk, and next-3 target are exact") {
+    val f = Points.features(pg, price, fdr, formWindow = 3)
+      .select("player_id", "gameweek_id", "form_score", "minutes_risk",
+        "target_points_next_3_gws")
+      .as[(Int, Int, Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // player 1 gw1: form = 6 (1 row), risk = 0, target = 2+0+10 = 12
+    assert(f((1, 1)) === ((6.0, 0.0, 12L)))
+    // player 1 gw2: form = (6+2)/2 = 4, target = 0+10+0 = 10
+    assert(f((1, 2)) === ((4.0, 0.0, 10L)))
+    // player 1 gw3: form = (6+2+0)/3, risk = 1 - min((90+90+45)/3/90, 1) = 1/6
+    val (form3, risk3, t3) = f((1, 3))
+    assert(math.abs(form3 - 8.0 / 3) < 1e-12)
+    assert(math.abs(risk3 - 1.0 / 6) < 1e-12)
+    assert(t3 === 10L)
+    // last gameweek per player has no following rows -> filtered out
+    assert(!f.contains((1, 5)) && !f.contains((2, 2)))
+  }
+
+  test("features joins price and fixture difficulty") {
+    val f = Points.features(pg, price, fdr)
+      .select("player_id", "gameweek_id", "now_cost_tenths_million",
+        "fixture_difficulty")
+      .as[(Int, Int, Int, Double)].collect()
+    f.foreach { case (p, gw, cost, d) =>
+      assert(cost === (if (p == 1) 55 else 40))
+      val expected = Map((10, 1) -> 2.0, (10, 2) -> 3.0, (10, 3) -> 2.0,
+        (10, 4) -> 4.0, (11, 1) -> 5.0)
+      assert(d === expected((if (p == 1) 10 else 11, gw)))
+    }
+  }
+
+  test("GBT training is deterministic under a seed and returns sane metrics") {
+    // larger synthetic frame so the 0.8/0.2 split trains
+    val n = 300
+    val synth = (0 until n).map { i =>
+      val form = (i % 7).toDouble
+      (i % 30, i % 5, i / 30 + 1, 90, i % 7,
+        form, 0.1, 50, 3.0, (form * 3 + (i % 3)).toLong)
+    }.toDF("player_id", "team_id", "gameweek_id", "minutes", "points",
+      "form_score", "minutes_risk", "now_cost_tenths_million",
+      "fixture_difficulty", "target_points_next_3_gws")
+    val t1 = Points.trainGBT(synth)
+    val t2 = Points.trainGBT(synth)
+    assert(t1.rmse === t2.rmse)
+    assert(t1.nTrain + t1.nTest === n)
+    // the target is mostly 3*form -> the model must beat the mean baseline
+    assert(t1.r2 > 0.5, s"r2 was ${t1.r2}")
+  }
+}

@@ -56,6 +56,38 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted identical vectors: ${expected -- pairs}")
   }
 
+  test("IVF top-k: full-probe is exact; partial probe keeps high recall") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(7)._2
+    val brute = Similarity.bruteForceTopK(df, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = Similarity.ivfIndex(df, nCells = 8)
+    // probing all cells must be exactly brute force
+    val full = Similarity.ivfTopK(idx, query, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === brute)
+    // probing 3/8 cells: the identical vector (id 7) must be found, and
+    // recall vs brute force should be substantial
+    val partial = Similarity.ivfTopK(idx, query, 10, nProbe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(partial.contains(7L))
+    assert(partial.intersect(brute).size >= 5,
+      s"recall too low: ${partial.intersect(brute).size}/10")
+  }
+
+  test("approx_count_distinct stays within 5% of exact (HLL++ contract)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100000).select((col("id") % 7777).as("k"))
+    val (approx, exact) = df.agg(
+      approx_count_distinct(col("k"), 0.01).as("a"), countDistinct("k").as("e"))
+      .as[(Long, Long)].collect().head
+    assert(math.abs(approx - exact).toDouble / exact < 0.03,
+      s"approx=$approx exact=$exact")
+  }
+
   test("hyperplanes are deterministic under a seed") {
     assert(Similarity.hyperplanes(4, 8, 42L) === Similarity.hyperplanes(4, 8, 42L))
     assert(Similarity.hyperplanes(4, 8, 42L) !== Similarity.hyperplanes(4, 8, 43L))

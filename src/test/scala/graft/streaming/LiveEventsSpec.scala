@@ -50,6 +50,29 @@ class LiveEventsSpec extends SparkSpec {
     assert(out.count(_._1 == "f1") === 2)
   }
 
+  test("stateful fixture-state stream equals the batch derivation") {
+    val tmp = tmpDir("state-")
+    silverEvents.drop("updated_at").write.json(s"$tmp/landing")
+    val out = VersionedTable(spark, s"$tmp/state")
+    LiveEvents.runFixtureStateAvailableNow(spark, s"$tmp/landing",
+      s"$tmp/cp", out)
+    val streamed = out.read
+      .select("fixture_id", "n_events", "last_event_type")
+      .as[(String, Long, String)].collect().toSet
+    assert(streamed === Set(("f1", 2L, "card"), ("f2", 1L, "start")))
+    // feeding more events through the same checkpoint accumulates state
+    Seq(("k4", "f2", ts(30), "p4", "goal", "{}"))
+      .toDF("event_key", "fixture_id", "event_ts", "player_id",
+        "event_type", "payload")
+      .write.mode("append").json(s"$tmp/landing")
+    LiveEvents.runFixtureStateAvailableNow(spark, s"$tmp/landing",
+      s"$tmp/cp", out)
+    val after = out.read
+      .select("fixture_id", "n_events", "last_event_type")
+      .as[(String, Long, String)].collect().toSet
+    assert(after === Set(("f1", 2L, "card"), ("f2", 2L, "goal")))
+  }
+
   test("availableNow ingest + conform: stream lands in bronze, merges to silver") {
     val tmp = tmpDir("les-")
     val landing = s"$tmp/landing"

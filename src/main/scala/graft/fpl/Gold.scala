@@ -1,6 +1,6 @@
 package graft.fpl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Gold layer: published dims, the fixture-difficulty horizon fact, the
@@ -89,37 +89,29 @@ object Gold {
       .filter(col("gameweek_id").isNotNull)
   }
 
-  /** One horizon aggregate (42:52-67): avg difficulty + fixture count over
-    * the next `n` gameweeks from `asofGw`. */
-  private def horizon(futureFx: DataFrame, asofGw: Int, n: Int): DataFrame =
-    futureFx.filter(col("gameweek_id") < lit(asofGw + n))
-      .groupBy("team_id")
-      .agg(
-        avg(col("difficulty")).as(s"h${n}_avg_fdr"),
-        count(lit(1)).as(s"h${n}_fixture_count"),
-        max(col("source_snapshot_ts")).as("source_snapshot_ts"),
-        max(col("source_snapshot_date")).as("source_snapshot_date"),
-        max(col("source_run_id")).as("source_run_id"))
-
   /** gold.fact_team_fixture_horizon_snapshot (42:30-92): 3/5/8-gameweek
-    * fixture-difficulty horizons per team, assembled by left joins.
+    * fixture-difficulty horizons per team.
     *
-    * Scale note: the three horizon aggregates and the two assembly joins
-    * all hash on `team_id`, so Catalyst reuses one exchange; the dims are
-    * tiny → broadcast. At 1000× data this is 1 shuffle of the unpivoted
-    * fixture relation. */
+    * The reference builds three filtered aggregates and assembles them
+    * with two left joins (42:52-73). Re-expressed Spark-first as ONE
+    * aggregation with conditional (filtered) aggregates — a single
+    * shuffle of the unpivoted fixture relation, no joins; at 1000× data
+    * this is the minimal data movement. The reference's base-is-h3
+    * semantics (teams with no fixture in the next 3 gameweeks are absent)
+    * are preserved by the `h3_fixture_count > 0` filter. */
   def fixtureHorizons(dimFixture: DataFrame, asofGw: Int,
                       snapshotDate: java.sql.Date,
                       updatedAt: java.sql.Timestamp): DataFrame = {
     val futureFx = teamFixtureDifficulty(dimFixture)
       .filter(col("gameweek_id") >= lit(asofGw))
-    val h3 = horizon(futureFx, asofGw, 3)
-    val h5 = horizon(futureFx, asofGw, 5)
-      .select("team_id", "h5_avg_fdr", "h5_fixture_count")
-    val h8 = horizon(futureFx, asofGw, 8)
-      .select("team_id", "h8_avg_fdr", "h8_fixture_count")
-    h3.join(h5, Seq("team_id"), "left")
-      .join(h8, Seq("team_id"), "left")
+    def within(n: Int): Column = col("gameweek_id") < lit(asofGw + n)
+    def h(n: Int): Seq[Column] = Seq(
+      avg(when(within(n), col("difficulty"))).as(s"h${n}_avg_fdr"),
+      count(when(within(n), 1)).as(s"h${n}_fixture_count"))
+    val aggs = h(3) ++ h(5) ++ h(8)
+    futureFx.groupBy("team_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("h3_fixture_count") > 0)
       .withColumn("snapshot_date", lit(snapshotDate))
       .withColumn("asof_gameweek_id", lit(asofGw).cast("int"))
       .withColumn("updated_at", lit(updatedAt))
@@ -129,7 +121,6 @@ object Gold {
         col("h5_avg_fdr"), col("h5_fixture_count"),
         col("h8_avg_fdr"), col("h8_fixture_count"),
         col("updated_at"))
-      .dropDuplicates("snapshot_date", "asof_gameweek_id", "team_id")
   }
 
   /** gold.vw_player_fixture_horizon (00_create_uc_objects.py:312-324):

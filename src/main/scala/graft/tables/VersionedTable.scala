@@ -60,9 +60,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     entry
   }
 
-  private def writeFileSet(df: DataFrame): String = {
+  private def writeFileSet(df: DataFrame, partitionBy: Seq[String] = Nil): String = {
     val id = UUID.randomUUID().toString
-    df.write.mode(SaveMode.ErrorIfExists)
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataDir.resolve(id).toString)
     id
   }
@@ -85,24 +86,34 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     history.filter(_.tsMillis <= tsMillis).lastOption
       .getOrElse(sys.error(s"no version as of $tsMillis at $root")))
 
+  /** Each file-set is scanned from its own root (required for hive-style
+    * partition discovery — multiple roots in one scan conflict) and the
+    * scans union. Predicate pushdown and partition pruning apply to every
+    * union arm; `allowMissingColumns` tolerates additive schema evolution
+    * across file-sets (M4). */
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty)
       spark.emptyDataFrame // overwrite-with-empty edge case
     else
-      spark.read.parquet(e.fileSets.map(dataDir.resolve(_).toString): _*)
+      e.fileSets.map(f => spark.read.parquet(dataDir.resolve(f).toString))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
 
   // ----------------------------------------------------------------- writes
 
-  /** Append-only write: O(new data), never rewrites existing files. */
-  def append(df: DataFrame): LogEntry = {
-    val id = writeFileSet(df)
+  /** Append-only write: O(new data), never rewrites existing files.
+    * `partitionBy` (e.g. snapshot_date — the partitioning the reference
+    * documents at docs/architecture.md:56 but never declares) lays the
+    * file-set out hive-style so reads get partition pruning; all file-sets
+    * of a table must use the same partitioning. */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry = {
+    val id = writeFileSet(df, partitionBy)
     commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
   }
 
   /** Full-snapshot replace (the reference's overwrite+overwriteSchema
     * publish). Old versions stay readable — time travel for free. */
-  def overwrite(df: DataFrame): LogEntry =
-    commit("overwrite", Seq(writeFileSet(df)))
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry =
+    commit("overwrite", Seq(writeFileSet(df, partitionBy)))
 
   /** MERGE upsert: update matched target rows with the update row, insert
     * unmatched updates, keep unmatched target rows. Rerun-idempotent

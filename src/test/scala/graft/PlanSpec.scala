@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan contracts: the scale properties SURVEY.md §4 calls out
+  * must be visible in the executed plan, not assumed. Uses sf0.001 test
+  * data (plan shape is scale-invariant; AQE finalizes at execution). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("A1 pricing summary: predicate pushed to parquet, columns pruned") {
+    val p = plan("q_a1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$p")
+    // only the 6 referenced columns are read, not the full 16-col schema
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag:string,l_linestatu"))
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+  }
+
+  test("J1 join dims: every dim side is a broadcast hash join") {
+    val p = plan("q_j1_join_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("W1 latest-per-key: WindowGroupLimit prunes before the shuffle") {
+    val p = plan("q_w1_latest_per_key")
+    assert(p.contains("WindowGroupLimit"), s"top-1-per-key not pushed down:\n$p")
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined,
+      "no map-side (Partial) group limit")
+  }
+
+  test("W3 top-k: TakeOrderedAndProject instead of a global sort") {
+    val p = plan("q_w3_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
+  test("text stats: map-only — no shuffle in the whole plan") {
+    val p = graft.ops.TextAnalysis.documentStats(
+      spark.read.parquet(s"$dir/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("metadata-only media stats never read the binary payload column") {
+    val media = graft.multimodal.Multimodal.synthesize(spark, 10)
+    val tmp = tmpDir("media-")
+    media.write.parquet(s"$tmp/media")
+    val p = graft.multimodal.Multimodal.mediaStats(
+      spark.read.parquet(s"$tmp/media"))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("bytes"),
+      s"binary column not pruned from scan: $readSchema")
+  }
+
+  test("horizon fact build is a single shuffle, no joins") {
+    import java.sql.{Date, Timestamp}
+    val fx = (1 to 40).map { i =>
+      (i, i % 8 + 1, (i % 5) + 1, ((i + 2) % 5) + 1, i % 20 + 1, (i + 7) % 20 + 1)
+    }
+    import spark.implicits._
+    val dimFixture = fx.toDF("fixture_id", "gameweek_id", "team_h_difficulty",
+      "team_a_difficulty", "team_h_id", "team_a_id")
+      .withColumn("source_snapshot_ts", lit(Timestamp.valueOf("2025-08-12 06:00:00")))
+      .withColumn("source_snapshot_date", lit(Date.valueOf("2025-08-12")))
+      .withColumn("source_run_id", lit("r"))
+    val fact = graft.fpl.Gold.fixtureHorizons(dimFixture, asofGw = 2,
+      Date.valueOf("2025-08-12"), Timestamp.valueOf("2025-08-12 06:00:00"))
+    fact.collect() // let AQE finalize
+    // count only the final plan (the string repeats exchanges under the
+    // "== Initial Plan ==" section)
+    val p = fact.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"horizon fact should shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"horizon fact should not join:\n$p")
+  }
+}

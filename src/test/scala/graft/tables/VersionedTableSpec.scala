@@ -54,6 +54,33 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[Exception](t.readVersion(0).collect())
   }
 
+  test("partitioned append: reads prune partitions on the partition key") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-part-"))
+    val day = (d: String, n: Int) => spark.range(n.toLong)
+      .select(col("id"), lit(d).as("snapshot_date"))
+    t.append(day("2025-08-11", 10), partitionBy = Seq("snapshot_date"))
+    t.append(day("2025-08-12", 20), partitionBy = Seq("snapshot_date"))
+    val q = t.read.filter(col("snapshot_date") === "2025-08-12")
+    assert(q.count() === 20)
+    val plan = q.queryExecution.executedPlan.toString
+    // the equality predicate must land in PartitionFilters (pruning),
+    // not in the row-level DataFilters
+    assert("PartitionFilters: \\[isnotnull\\(snapshot_date[^\\]]*= 2025-08-12"
+      .r.findFirstIn(plan).isDefined,
+      s"partition filter not applied:\n$plan")
+    // pruning is real: the selected-partition count drops to 1 per scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.totalNumberOfFiles
+    }
+    // the 2025-08-11 partition contributes no files post-pruning: total
+    // files read across scans < total files in the table
+    val allFiles = t.read.inputFiles.length
+    assert(scans.nonEmpty && scans.sum < allFiles,
+      s"pruning read all $allFiles files ($scans)")
+  }
+
   test("empty table read errors; merge into empty table bootstraps it") {
     val t = VersionedTable(spark, tmpDir("vt-"))
     assertThrows[RuntimeException](t.read)

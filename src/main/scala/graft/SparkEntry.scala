@@ -498,6 +498,16 @@ object SparkEntry {
         approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))),
 
+    // Skew: two-phase salted aggregation — identical result to the direct
+    // groupBy, hot keys spread over 16 reducers first.
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+        t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+        Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag")),
+
     // Multimodal: binary media columns + partition-parallel feature
     // extraction (stub decode, real plumbing) — metadata aggregate is
     // fully deterministic and oracle-checkable.
@@ -763,6 +773,11 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events WHERE event_id % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ml1_features" ->
       """WITH history AS (

@@ -83,6 +83,57 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
       table("gold", "dim_player").read,
       table("gold", "fact_team_fixture_horizon_snapshot").read)
 
+  /** slice_v2 "live pulse" (declared: resources/workflows/
+    * slice_v2_live_pulse.yml is empty; semantics docs/backlog.md:63-81):
+    * land live-event JSON → availableNow bronze ingest → conform to
+    * silver with MERGE on event_key → derive live fixture state (both the
+    * batch and the stateful-streaming form land in tables). */
+  def runSliceV2(landingDir: String, checkpointRoot: String): DataFrame = {
+    val bronze = table("bronze", "live_events_stream_raw")
+    graft.streaming.LiveEvents.ingestAvailableNow(spark, landingDir,
+      s"$checkpointRoot/bronze", bronze)
+    val silver = table("silver", "live_event")
+    val bronzeDir = bronze.read.inputFiles.head.replaceAll("/[^/]*$", "")
+    graft.streaming.LiveEvents.conformToSilver(spark, bronzeDir,
+      s"$checkpointRoot/silver", silver)
+    val state = graft.streaming.LiveEvents.latestFixtureState(silver.read)
+    table("silver", "live_fixture_state").overwrite(state)
+    state
+  }
+
+  /** slice_v3 "transfer reco" (declared: resources/workflows/
+    * slice_v3_transfer_reco.yml is empty; semantics docs/backlog.md:84-100):
+    * price snapshot → live form → ML features → GBT points model →
+    * deterministic transfer recommendation, all persisted to gold. */
+  def runSliceV3(history: DataFrame, squadIds: Seq[Int], bankTenths: Int,
+                 runId: String, snapshotDate: Date,
+                 now: Timestamp): DataFrame = {
+    val dimPlayer = table("gold", "dim_player").read
+    val price = Gold.factPriceSnapshot(dimPlayer, snapshotDate, now)
+    table("gold", "fact_price_snapshot").append(price,
+      partitionBy = Seq("snapshot_date"))
+
+    val pg = Gold.factPlayerGameweek(history, now)
+    DQ.assertNoDuplicateKeys(pg, "gold.fact_player_gameweek",
+      "gameweek_id", "player_id")
+    table("gold", "fact_player_gameweek").overwrite(pg)
+
+    val liveForm = Gold.factLiveForm(pg, windowGws = 3, snapshotDate, now)
+    table("gold", "fact_live_form").overwrite(liveForm)
+
+    val fdr = Gold.teamFixtureDifficulty(table("gold", "dim_fixture").read)
+    val features = graft.ml.Points.features(pg,
+      price.select("player_id", "now_cost_tenths_million"), fdr)
+    val trained = graft.ml.Points.trainGBT(features, maxIter = 5)
+    table("gold", "ml_points_metrics").overwrite(
+      graft.ml.Points.metricsRow(spark, trained))
+
+    val reco = Gold.factTransferRecommendation(dimPlayer, squadIds,
+      bankTenths, runId, snapshotDate, now)
+    table("gold", "fact_transfer_recommendation").append(reco)
+    reco
+  }
+
   /** Run the whole slice_v1 DAG over synthetic payloads. Returns the
     * flagship query result (top-20 easiest-fixture players). */
   def runSliceV1(runId: String = "run-1"): DataFrame = {

@@ -51,6 +51,52 @@ class FplPipelineSpec extends SparkSpec {
     assert(out2.collect().toSet === out1.collect().toSet)
   }
 
+  test("slice_v2 live pulse: landing JSON through bronze/silver to state") {
+    val wh = tmpDir("fpl-wh2-")
+    val tmp = tmpDir("fpl-landing-")
+    Seq(
+      ("k1", "fx1", java.sql.Timestamp.valueOf("2025-08-12 15:00:00"),
+        null.asInstanceOf[String], "p1", "goal", "{}"),
+      ("k2", "fx1", java.sql.Timestamp.valueOf("2025-08-12 15:30:00"),
+        null.asInstanceOf[String], "p2", "card", "{}"),
+      ("k3", "fx2", java.sql.Timestamp.valueOf("2025-08-12 15:10:00"),
+        null.asInstanceOf[String], "p3", "kickoff", "{}"),
+    ).toDF("event_key", "fixture_id", "event_ts", "team_id", "player_id",
+      "event_type", "payload").write.json(s"$tmp/landing")
+    val p = new Pipeline(spark, wh)
+    val state = p.runSliceV2(s"$tmp/landing", s"$tmp/cp")
+    assert(state.select("fixture_id", "last_event_type")
+      .as[(String, String)].collect().toSet ===
+      Set(("fx1", "card"), ("fx2", "kickoff")))
+    // tables landed
+    assert(p.table("silver", "live_event").read.count() === 3)
+    assert(p.table("silver", "live_fixture_state").read.count() === 2)
+  }
+
+  test("slice_v3 transfer reco: price/form/features/model/recommendation") {
+    val wh = tmpDir("fpl-wh3-")
+    val p = new Pipeline(spark, wh)
+    p.runSliceV1() // populate dims
+    val history = (for { pl <- 1 to 12; gw <- 1 to 6 } yield
+      (pl, (pl - 1) / 3 + 1, gw, 90 - (pl + gw) % 45, (pl * gw) % 9))
+      .toDF("player_id", "team_id", "gameweek_id", "minutes", "points")
+    val reco = p.runSliceV3(history, squadIds = Seq(1, 2, 3),
+      bankTenths = 20, runId = "r3",
+      snapshotDate = java.sql.Date.valueOf("2025-08-12"),
+      now = java.sql.Timestamp.valueOf("2025-08-12 07:00:00"))
+    assert(reco.count() === 1)
+    assert(p.table("gold", "fact_price_snapshot").read.count() === 12)
+    assert(p.table("gold", "fact_live_form").read.count() === 72)
+    assert(p.table("gold", "ml_points_metrics").read.count() === 1)
+    assert(p.table("gold", "fact_transfer_recommendation").read
+      .select("run_id").as[String].head() === "r3")
+    // appending a second run keeps both recommendation rows (append sink)
+    p.runSliceV3(history, Seq(1, 2, 3), 20, "r4",
+      java.sql.Date.valueOf("2025-08-13"),
+      java.sql.Timestamp.valueOf("2025-08-13 07:00:00"))
+    assert(p.table("gold", "fact_transfer_recommendation").read.count() === 2)
+  }
+
   test("fixtures builder dedups and drops unscheduled fixtures downstream") {
     val fx = Silver.fixtures(Silver.parseFixtures(
       env(SampleData.fixturesJson(), "test://fixtures")))

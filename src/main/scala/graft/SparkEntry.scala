@@ -479,6 +479,24 @@ object SparkEntry {
         .orderBy("fixture_id")
     }),
 
+    // ST4: watermarked tumbling-window streaming aggregation over an
+    // availableNow drain — equals the batch window expression, which the
+    // DuckDB oracle replicates with date_trunc.
+    "q_st5_windowed_counts" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-win-").toString
+      eventsAsLiveEvents(s, dir)
+        .filter(col("event_key").cast("long") % 7 === 0)
+        .drop("updated_at").write.json(s"$tmp/landing")
+      val out = VersionedTable(s, s"$tmp/win")
+      graft.streaming.LiveEvents.runWindowedCountsAvailableNow(
+        s, s"$tmp/landing", s"$tmp/cp", out)
+      out.read.select(col("fixture_id"),
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("n_events"),
+          unix_millis(col("max_event_ts")).as("max_ts_ms"))
+        .orderBy("fixture_id", "window_start_ms")
+    }),
+
     // IVF ANN top-k (rows-only: KMeans cells are engine-specific; recall
     // vs brute force pinned by SimilaritySpec).
     "q_sim_ivf_topk" -> ((s, dir) => {
@@ -826,6 +844,14 @@ object SparkEntry {
         |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) DESC) AS rn
         | FROM events WHERE event_id % 3 = 0)
         |WHERE rn = 1 ORDER BY fixture_id""".stripMargin,
+
+    "q_st5_windowed_counts" ->
+      """SELECT CAST(user_id % 100 AS VARCHAR) AS fixture_id,
+        | epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | epoch_ms(max(ts)) AS max_ts_ms
+        |FROM events WHERE event_id % 7 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_mm_media_features" ->
       """SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'

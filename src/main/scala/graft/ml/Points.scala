@@ -66,20 +66,42 @@ object Points {
     * (docs/backlog.md:90-93). Deterministic under `seed`. */
   def trainGBT(featureFrame: DataFrame, seed: Long = 42L,
                maxIter: Int = 20): Trained = {
-    val assembled = new VectorAssembler()
+    // cache the assembled features: fit + transform + two evaluator
+    // passes + two counts would otherwise each recompute the full
+    // window/join feature pipeline
+    val raw = new VectorAssembler()
       .setInputCols(FeatureCols).setOutputCol("features")
       .transform(featureFrame)
       .withColumnRenamed("target_points_next_3_gws", "label")
-    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed)
-    val model = new GBTRegressor()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
-      .fit(train)
-    val preds = model.transform(test)
-    def metric(m: String) = new RegressionEvaluator()
-      .setLabelCol("label").setPredictionCol("prediction")
-      .setMetricName(m).evaluate(preds)
-    Trained(model, metric("rmse"), metric("r2"), train.count(), test.count())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // GBT runs many small jobs per boosting iteration; right-size the
+    // partition count to the data (~25k rows/partition) so tiny inputs
+    // aren't task-scheduling-bound across the full parallelism
+    val n = raw.count()
+    val parts = math.max(2, math.min((n / 25000L).toInt + 1,
+      raw.rdd.getNumPartitions))
+    val assembled =
+      if (parts < raw.rdd.getNumPartitions) {
+        val c = raw.coalesce(parts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count(); raw.unpersist(); c
+      } else raw
+    try {
+      val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed)
+      val model = new GBTRegressor()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
+        .fit(train)
+      val preds = model.transform(test)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def metric(m: String) = new RegressionEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName(m).evaluate(preds)
+      val out = Trained(model, metric("rmse"), metric("r2"),
+        train.count(), test.count())
+      preds.unpersist()
+      out
+    } finally assembled.unpersist()
   }
 
   /** Metrics as a one-row DataFrame (the offline stand-in for MLflow run

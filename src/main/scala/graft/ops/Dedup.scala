@@ -113,7 +113,7 @@ object Dedup {
     // collisions are negligible), at a fraction of the string-building and
     // shuffle cost.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sigd = docs
+    val sigd = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"),
         call_function("graft_shingle_hashes",
           TextAnalysis.tokens(col(textCol)), lit(shingleSize)).as("shingles"))
@@ -202,7 +202,7 @@ object Dedup {
     val widths = Array.tabulate(numChunks)(i =>
       64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigd = docs.select(col(idCol).as("doc_id"),
+    val sigd = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
     val chunkExprs = (0 until numChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
@@ -247,7 +247,7 @@ object Dedup {
                         idCol: String = "doc_id", n: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val withSh = docs.select(col(idCol).as("doc_id"),
+    val withSh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       call_function("graft_word_shingles",
         TextAnalysis.tokens(col(textCol)), lit(n)).as("shingles"))
       .withColumn("block", array_min(col("shingles")))

@@ -147,7 +147,7 @@ object Similarity {
                             vecCol: String = "embedding",
                             seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
-    val bucketed = embeddings.select(col(idCol).as("id"),
+    val bucketed = Partitioning.spread(embeddings).select(col(idCol).as("id"),
       col(vecCol).as("vec"), lshBucket(col(vecCol), planes).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate id pairs from id-only bucket groups (one shuffle of

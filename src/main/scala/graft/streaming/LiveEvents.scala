@@ -172,6 +172,44 @@ object LiveEvents {
     q.awaitTermination()
   }
 
+  /** Tumbling event-time window aggregation (the `fixture_window` concept
+    * of gold.fact_live_form, resources/uc/objects.sql:242): events per
+    * (fixture, window). Works identically on batch and streaming inputs;
+    * in streaming pair with [[runWindowedCountsAvailableNow]] which adds
+    * the watermark (ST4 late-data bound). */
+  def eventCountsByWindow(events: DataFrame,
+                          windowLength: String = "1 hour"): DataFrame =
+    events.groupBy(col("fixture_id"),
+        window(col("event_ts"), windowLength).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("event_ts")).as("max_event_ts"))
+      .select(col("fixture_id"), col("w.start").as("window_start"),
+        col("n_events"), col("max_event_ts"))
+
+  /** ST4: watermarked tumbling-window counts over a JSON landing dir,
+    * drained with availableNow into `out`. The watermark bounds state:
+    * windows older than (max event time - delay) finalize and evict —
+    * state is O(open windows), not O(stream length). */
+  def runWindowedCountsAvailableNow(spark: SparkSession, landingDir: String,
+                                    checkpointDir: String, out: VersionedTable,
+                                    windowLength: String = "1 hour",
+                                    watermarkDelay: String = "2 hours"): Unit = {
+    val stream = spark.readStream.schema(Schemas.liveEventRaw).json(landingDir)
+    val counts = eventCountsByWindow(
+      stream.withWatermark("event_ts", watermarkDelay), windowLength)
+    val q = counts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out.merge(batch, Seq("fixture_id", "window_start"),
+          preferUpdateBy = Some("n_events"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-fixture event timeline with running event count — the
     * score/status timeline shape of silver.live_fixture_state. */
   def fixtureTimeline(silverEvents: DataFrame): DataFrame = {

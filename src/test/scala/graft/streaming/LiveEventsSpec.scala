@@ -50,6 +50,31 @@ class LiveEventsSpec extends SparkSpec {
     assert(out.count(_._1 == "f1") === 2)
   }
 
+  test("windowed counts: streaming availableNow equals the batch expression") {
+    val tmp = tmpDir("win-")
+    val evts = Seq(
+      ("k1", "f1", ts(600), "p1", "goal", "{}"),     // 00:10
+      ("k2", "f1", ts(1200), "p2", "card", "{}"),    // 00:20
+      ("k3", "f1", ts(4200), "p3", "goal", "{}"),    // 01:10
+      ("k4", "f2", ts(300), "p4", "kickoff", "{}"),  // 00:05
+    ).toDF("event_key", "fixture_id", "event_ts", "player_id",
+      "event_type", "payload")
+    evts.write.json(s"$tmp/landing")
+    val out = VersionedTable(spark, s"$tmp/win")
+    LiveEvents.runWindowedCountsAvailableNow(spark, s"$tmp/landing",
+      s"$tmp/cp", out)
+    val streamed = out.read
+      .select("fixture_id", "window_start", "n_events")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    val batch = LiveEvents.eventCountsByWindow(
+      evts.withColumn("team_id", org.apache.spark.sql.functions.lit(null)))
+      .select("fixture_id", "window_start", "n_events")
+      .as[(String, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.map(r => (r._1, r._3)) ===
+      Set(("f1", 2L), ("f1", 1L), ("f2", 1L)))
+  }
+
   test("stateful fixture-state stream equals the batch derivation") {
     val tmp = tmpDir("state-")
     silverEvents.drop("updated_at").write.json(s"$tmp/landing")

@@ -130,7 +130,11 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
 
     val reco = Gold.factTransferRecommendation(dimPlayer, squadIds,
       bankTenths, runId, snapshotDate, now)
-    table("gold", "fact_transfer_recommendation").append(reco)
+    // keyed on (run_id, snapshot_date): re-running a slice is idempotent
+    // (same rerun-safety contract as bronze's sha-guard and the live-event
+    // MERGE), while new runs append new product rows
+    table("gold", "fact_transfer_recommendation")
+      .merge(reco, Seq("run_id", "snapshot_date"))
     reco
   }
 

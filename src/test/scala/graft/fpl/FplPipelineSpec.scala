@@ -90,7 +90,12 @@ class FplPipelineSpec extends SparkSpec {
     assert(p.table("gold", "ml_points_metrics").read.count() === 1)
     assert(p.table("gold", "fact_transfer_recommendation").read
       .select("run_id").as[String].head() === "r3")
-    // appending a second run keeps both recommendation rows (append sink)
+    // rerunning the SAME run is idempotent (merge on run_id+snapshot_date)
+    p.runSliceV3(history, Seq(1, 2, 3), 20, "r3",
+      java.sql.Date.valueOf("2025-08-12"),
+      java.sql.Timestamp.valueOf("2025-08-12 07:30:00"))
+    assert(p.table("gold", "fact_transfer_recommendation").read.count() === 1)
+    // a NEW run appends its own product row
     p.runSliceV3(history, Seq(1, 2, 3), 20, "r4",
       java.sql.Date.valueOf("2025-08-13"),
       java.sql.Timestamp.valueOf("2025-08-13 07:00:00"))

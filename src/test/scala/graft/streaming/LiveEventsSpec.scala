@@ -50,6 +50,25 @@ class LiveEventsSpec extends SparkSpec {
     assert(out.count(_._1 == "f1") === 2)
   }
 
+  test("corrupt landing records are quarantined, not propagated to silver") {
+    val tmp = tmpDir("corrupt-")
+    // two good records + one malformed line in the landing dir
+    silverEvents.drop("updated_at").limit(2).write.json(s"$tmp/landing")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/landing/part-corrupt.json"),
+      "{this is not json\n")
+    val bronze = VersionedTable(spark, s"$tmp/bronze")
+    LiveEvents.ingestAvailableNow(spark, s"$tmp/landing", s"$tmp/cp1", bronze)
+    // bronze keeps everything (permissive) with the corrupt line captured
+    assert(bronze.read.count() === 3)
+    assert(bronze.read.filter($"_corrupt_record".isNotNull).count() === 1)
+    val bronzeDir = bronze.read.inputFiles.head.replaceAll("/[^/]*$", "")
+    val silver = VersionedTable(spark, s"$tmp/silver")
+    LiveEvents.conformToSilver(spark, bronzeDir, s"$tmp/cp2", silver)
+    // silver gets only the 2 valid events
+    assert(silver.read.count() === 2)
+  }
+
   test("windowed counts: streaming availableNow equals the batch expression") {
     val tmp = tmpDir("win-")
     val evts = Seq(

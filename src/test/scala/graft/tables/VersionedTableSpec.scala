@@ -81,6 +81,18 @@ class VersionedTableSpec extends SparkSpec {
       s"pruning read all $allFiles files ($scans)")
   }
 
+  test("M4 schema evolution: additive columns appear as null for old rows") {
+    val t = VersionedTable(spark, tmpDir("vt-evo-"))
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    // later append adds a column (the silver "controlled additions" path)
+    t.append(Seq((2, "b", 9.9)).toDF("id", "v", "score"))
+    val out = t.read.select("id", "v", "score")
+      .as[(Int, String, Option[Double])].collect().toSet
+    assert(out === Set((1, "a", None), (2, "b", Some(9.9))))
+    // old versions remain readable with their own schema
+    assert(!t.readVersion(0).columns.contains("score"))
+  }
+
   test("empty table read errors; merge into empty table bootstraps it") {
     val t = VersionedTable(spark, tmpDir("vt-"))
     assertThrows[RuntimeException](t.read)

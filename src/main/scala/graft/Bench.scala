@@ -34,11 +34,10 @@ object Bench {
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       val c = spark.read.parquet(s"$sfDir/customer.parquet")
       o.join(c, o("o_custkey") === c("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(sum("o_totalprice"),
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("c_mktsegment").orderBy("o_orderkey")))
+        .groupBy("c_mktsegment").agg(sum("o_totalprice"))
         .count()
+      o.select(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.map { case (name, fn) =>

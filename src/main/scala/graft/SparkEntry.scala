@@ -395,12 +395,12 @@ object SparkEntry {
       val tmp = Files.createTempDirectory("graft-stream-").toString
       val landing = s"$tmp/landing"; val cp = s"$tmp/cp"; val cp2 = s"$tmp/cp2"
       eventsAsLiveEvents(s, dir).filter(col("event_key").cast("long") % 5 === 0)
-        .drop("updated_at").write.json(landing)
+        .drop("updated_at").coalesce(4).write.json(landing)
       val bronze = VersionedTable(s, s"$tmp/bronze")
       graft.streaming.LiveEvents.ingestAvailableNow(s, landing, cp, bronze)
       val silver = VersionedTable(s, s"$tmp/silver")
-      graft.streaming.LiveEvents.conformToSilver(s,
-        bronze.read.inputFiles.head.replaceAll("/[^/]*$", ""), cp2, silver)
+      graft.streaming.LiveEvents.conformToSilver(s, bronze.dataGlob, cp2,
+        silver)
       silver.read.groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
@@ -469,7 +469,7 @@ object SparkEntry {
       val tmp = Files.createTempDirectory("graft-state-").toString
       eventsAsLiveEvents(s, dir)
         .filter(col("event_key").cast("long") % 3 === 0)
-        .drop("updated_at").write.json(s"$tmp/landing")
+        .drop("updated_at").coalesce(4).write.json(s"$tmp/landing")
       val out = VersionedTable(s, s"$tmp/state")
       graft.streaming.LiveEvents.runFixtureStateAvailableNow(
         s, s"$tmp/landing", s"$tmp/cp", out)
@@ -486,7 +486,7 @@ object SparkEntry {
       val tmp = Files.createTempDirectory("graft-win-").toString
       eventsAsLiveEvents(s, dir)
         .filter(col("event_key").cast("long") % 7 === 0)
-        .drop("updated_at").write.json(s"$tmp/landing")
+        .drop("updated_at").coalesce(4).write.json(s"$tmp/landing")
       val out = VersionedTable(s, s"$tmp/win")
       graft.streaming.LiveEvents.runWindowedCountsAvailableNow(
         s, s"$tmp/landing", s"$tmp/cp", out)
@@ -841,7 +841,7 @@ object SparkEntry {
         |        epoch_ms(ts) AS last_ts_ms,
         |        event_type AS last_event_type,
         |        row_number() OVER (PARTITION BY user_id % 100
-        |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) DESC) AS rn
+        |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) ASC) AS rn
         | FROM events WHERE event_id % 3 = 0)
         |WHERE rn = 1 ORDER BY fixture_id""".stripMargin,
 

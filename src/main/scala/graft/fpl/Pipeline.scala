@@ -93,8 +93,7 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
     graft.streaming.LiveEvents.ingestAvailableNow(spark, landingDir,
       s"$checkpointRoot/bronze", bronze)
     val silver = table("silver", "live_event")
-    val bronzeDir = bronze.read.inputFiles.head.replaceAll("/[^/]*$", "")
-    graft.streaming.LiveEvents.conformToSilver(spark, bronzeDir,
+    graft.streaming.LiveEvents.conformToSilver(spark, bronze.dataGlob,
       s"$checkpointRoot/silver", silver)
     val state = graft.streaming.LiveEvents.latestFixtureState(silver.read)
     table("silver", "live_fixture_state").overwrite(state)
@@ -110,8 +109,15 @@ final class Pipeline(spark: SparkSession, warehouse: String) {
                  now: Timestamp): DataFrame = {
     val dimPlayer = table("gold", "dim_player").read
     val price = Gold.factPriceSnapshot(dimPlayer, snapshotDate, now)
-    table("gold", "fact_price_snapshot").append(price,
-      partitionBy = Seq("snapshot_date"))
+    // rerun-idempotent like bronze's sha-guard: skip the append when this
+    // snapshot_date is already present (the one-row-per-player-per-day
+    // grain must survive reruns)
+    val priceTable = table("gold", "fact_price_snapshot")
+    val dateExists = priceTable.exists && priceTable.read
+      .filter(org.apache.spark.sql.functions.col("snapshot_date") ===
+        snapshotDate).limit(1).count() > 0
+    if (!dateExists)
+      priceTable.append(price, partitionBy = Seq("snapshot_date"))
 
     val pg = Gold.factPlayerGameweek(history, now)
     DQ.assertNoDuplicateKeys(pg, "gold.fact_player_gameweek",

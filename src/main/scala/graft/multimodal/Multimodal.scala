@@ -87,7 +87,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes, w, h) =>
           val scale = if (w * h > 0)
-            math.min(1.0, targetW.toLong * targetH / (w.toLong * h)) else 1.0
+            math.min(1.0, (targetW.toDouble * targetH) / (w.toDouble * h))
+          else 1.0
           val keep = if (bytes == null) 0
             else math.max(1, (bytes.length * scale).toInt)
           (id, if (bytes == null) bytes else bytes.take(keep), targetW, targetH)

@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * generation is a hash-partitioned groupBy/join on a short key, and
   * verification runs only inside buckets. Signatures are built from
   * codegen'd built-ins (xxhash64 + higher-order array functions), no UDFs.
+  *
+  * Caller contract: the near-dup operators `persist()` their signature
+  * relation (it is consumed by both the candidate and the verify stage).
+  * The cache lives until the session drops it — long-lived sessions
+  * issuing many dedup calls should `spark.catalog.clearCache()` (or
+  * unpersist) between calls, as graft.Verify/Bench do.
   */
 object Dedup {
 

@@ -121,7 +121,7 @@ object Similarity {
     val n = embeddings.count()
     val trainFrac = math.min(1.0, trainSampleSize.toDouble / math.max(n, 1L))
     val train = if (trainFrac >= 1.0) asVec else asVec.sample(trainFrac, seed)
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__features").setPredictionCol("ivf_cell")
       .fit(train)
     val assigned = model.transform(asVec)

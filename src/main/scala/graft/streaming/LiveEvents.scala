@@ -22,14 +22,18 @@ import graft.tables.VersionedTable
 object LiveEvents {
 
   /** Deterministic event key (resources/uc/objects.sql:138: "deterministic
-    * event key = f(fixture, ts, event type, entity ids)"). */
-  def eventKey(df: DataFrame): DataFrame =
+    * event key = f(fixture, ts, event type, entity ids)"). Every field is
+    * null-coalesced: concat_ws silently DROPS null arguments (no
+    * separator), so without the guards two distinct events with nulls in
+    * different fields could collide on the same key. */
+  def eventKey(df: DataFrame): DataFrame = {
+    def part(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
     df.withColumn("event_key",
       coalesce(col("event_key"),
-        sha2(concat_ws("|", col("fixture_id"),
-          col("event_ts").cast("string"), col("event_type"),
-          coalesce(col("team_id"), lit("")),
-          coalesce(col("player_id"), lit(""))), 256)))
+        sha2(concat_ws("|", part(col("fixture_id")), part(col("event_ts")),
+          part(col("event_type")), part(col("team_id")),
+          part(col("player_id"))), 256)))
+  }
 
   /** ST1: finite file-stream ingest of a JSON landing dir into the bronze
     * stream table. Returns after the availableNow drain completes. */
@@ -55,12 +59,15 @@ object LiveEvents {
     * dedup-in-batch then MERGE upsert (late/re-delivered events replace by
     * event_key; newest updated_at wins). Runs as an availableNow stream
     * over the bronze table's current snapshot directory. */
-  def conformToSilver(spark: SparkSession, bronzeDir: String,
+  /** `bronzeGlob` must cover ALL of the bronze table's file-sets
+    * (VersionedTable.dataGlob) — a single file-set dir would silently
+    * miss events appended by other micro-batches/runs. */
+  def conformToSilver(spark: SparkSession, bronzeGlob: String,
                       checkpointDir: String, silver: VersionedTable,
                       watermarkDelay: String = "1 hour"): Unit = {
     val stream = spark.readStream
-      .schema(spark.read.parquet(bronzeDir).schema)
-      .parquet(bronzeDir)
+      .schema(spark.read.parquet(bronzeGlob).schema)
+      .parquet(bronzeGlob)
     val conformed = eventKey(stream)
       .withWatermark("event_ts", watermarkDelay)
       .filter(col("_corrupt_record").isNull && col("event_key").isNotNull)
@@ -134,9 +141,12 @@ object LiveEvents {
           var latestType = st.last_event_type
           batch.foreach { e =>
             st = st.copy(n_events = st.n_events + 1)
+            // same tie-break as the batch latestFixtureState (max ts,
+            // then SMALLEST event_key): batch and streaming forms must
+            // agree on identical input
             val newer = latestTs.forall { ts =>
               e.event_ts.after(ts) ||
-                (e.event_ts.equals(ts) && e.event_key > latestKey)
+                (e.event_ts.equals(ts) && e.event_key < latestKey)
             }
             if (newer) {
               latestTs = Some(e.event_ts); latestKey = e.event_key
@@ -159,6 +169,10 @@ object LiveEvents {
     val stream = spark.readStream
       .schema(Schemas.liveEventRaw)
       .json(landingDir)
+      // quarantine malformed lines and rows missing the state keys —
+      // a null event_ts/event_key would NPE the state reducer
+      .filter(col("_corrupt_record").isNull && col("fixture_id").isNotNull &&
+        col("event_ts").isNotNull && col("event_key").isNotNull)
     val states = fixtureStateStream(stream).toDF()
     val q = states.writeStream
       .option("checkpointLocation", checkpointDir)

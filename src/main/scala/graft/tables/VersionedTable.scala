@@ -36,16 +36,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def logDir: Path = Paths.get(root, "_log")
   private def dataDir: Path = Paths.get(root, "data")
 
+  /** Glob covering every file-set dir — the path to hand a streaming
+    * reader that must see ALL committed data, present and future (a
+    * single file-set dir would silently miss later appends). */
+  def dataGlob: String = dataDir.resolve("*").toString
+
+  /** Files.list leaks its DirectoryStream unless closed; every directory
+    * listing goes through here. */
+  private def listDir(p: Path): Seq[Path] = {
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   // ---------------------------------------------------------------- log I/O
 
   /** All committed log entries, ascending by version. */
-  def history: Seq[LogEntry] = {
-    if (!Files.isDirectory(logDir)) return Seq.empty
-    Files.list(logDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .sortBy(_.getFileName.toString)
-      .map(p => LogEntry.parse(Files.readString(p)))
-  }
+  def history: Seq[LogEntry] = listDir(logDir)
+    .filter(_.getFileName.toString.endsWith(".json"))
+    .sortBy(_.getFileName.toString)
+    .map(p => LogEntry.parse(Files.readString(p)))
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
@@ -149,15 +159,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def vacuum(retainVersions: Int = 1): Unit = {
     val h = history
     val keep = h.takeRight(retainVersions).flatMap(_.fileSets).toSet
-    if (!Files.isDirectory(dataDir)) return
-    Files.list(dataDir).iterator().asScala.toSeq
+    listDir(dataDir)
       .filterNot(p => keep.contains(p.getFileName.toString))
       .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

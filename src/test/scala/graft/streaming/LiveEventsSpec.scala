@@ -62,9 +62,8 @@ class LiveEventsSpec extends SparkSpec {
     // bronze keeps everything (permissive) with the corrupt line captured
     assert(bronze.read.count() === 3)
     assert(bronze.read.filter($"_corrupt_record".isNotNull).count() === 1)
-    val bronzeDir = bronze.read.inputFiles.head.replaceAll("/[^/]*$", "")
     val silver = VersionedTable(spark, s"$tmp/silver")
-    LiveEvents.conformToSilver(spark, bronzeDir, s"$tmp/cp2", silver)
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp2", silver)
     // silver gets only the 2 valid events
     assert(silver.read.count() === 2)
   }
@@ -124,12 +123,21 @@ class LiveEventsSpec extends SparkSpec {
     val bronze = VersionedTable(spark, s"$tmp/bronze")
     LiveEvents.ingestAvailableNow(spark, landing, s"$tmp/cp1", bronze)
     assert(bronze.read.count() === 3)
-    val bronzeDir = bronze.read.inputFiles.head.replaceAll("/[^/]*$", "")
     val silver = VersionedTable(spark, s"$tmp/silver")
-    LiveEvents.conformToSilver(spark, bronzeDir, s"$tmp/cp2", silver)
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp2", silver)
     assert(silver.read.count() === 3)
     // re-run with same checkpoint: no new data -> silver unchanged
-    LiveEvents.conformToSilver(spark, bronzeDir, s"$tmp/cp2", silver)
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp2", silver)
     assert(silver.read.count() === 3)
+    // a SECOND ingest run appends a NEW bronze file-set; conform must see
+    // it (the dataGlob covers all file-sets, not just the first)
+    Seq(("k9", "f9", ts(99), "p9", "goal", "{}"))
+      .toDF("event_key", "fixture_id", "event_ts", "player_id",
+        "event_type", "payload")
+      .write.mode("append").json(landing)
+    LiveEvents.ingestAvailableNow(spark, landing, s"$tmp/cp1", bronze)
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp2", silver)
+    assert(silver.read.count() === 4)
+    assert(silver.read.filter($"event_key" === "k9").count() === 1)
   }
 }

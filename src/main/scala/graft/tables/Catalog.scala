@@ -25,11 +25,17 @@ final class Catalog(spark: SparkSession, root: String) {
     VersionedTable(spark, s"$root/$layer/$name")
   }
 
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!Files.isDirectory(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   /** All (layer, table) pairs with at least one committed version. */
   def tables: Seq[(String, String)] =
     for {
-      l <- Layers if Files.isDirectory(Paths.get(root, l))
-      t <- Files.list(Paths.get(root, l)).iterator().asScala.toSeq
+      l <- Layers
+      t <- listDir(Paths.get(root, l))
         .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
       if table(l, t).exists
     } yield (l, t)
@@ -47,8 +53,7 @@ final class Catalog(spark: SparkSession, root: String) {
   def dropTable(layer: String, name: String): Unit = {
     spark.catalog.dropTempView(s"${layer}_$name")
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(Paths.get(root, layer, name))

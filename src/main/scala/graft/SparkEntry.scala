@@ -516,6 +516,23 @@ object SparkEntry {
         approx_count_distinct("l_partkey").as("approx_parts"),
         countDistinct("l_partkey").as("exact_parts"))),
 
+    // As-of (point-in-time) join: events enriched with the latest
+    // "snapshot" value at or before their timestamp — single-shuffle
+    // union+carry-forward formulation vs DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val snapshots = e.filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts").agg(max("value").as("snap_value"))
+      val trades = e.filter(col("event_id") % 10 =!= 0)
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.asofJoinBackward(trades, snapshots,
+          Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          round(col("asof_snap_value"), 4).as("snap4"))
+        .orderBy("event_id")
+    }),
+
     // Skew: two-phase salted aggregation — identical result to the direct
     // groupBy, hot keys spread over 16 reducers first.
     "q_skew_salted_agg" -> ((s, dir) =>
@@ -791,6 +808,18 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events WHERE event_id % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH snapshots AS (
+        | SELECT user_id, ts, max(value) AS snap_value
+        | FROM events WHERE event_id % 10 = 0 GROUP BY 1, 2),
+        |trades AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_id % 10 <> 0)
+        |SELECT t.event_id, t.user_id, epoch_ms(t.ts) AS ts_ms,
+        | round(s.snap_value, 4) AS snap4
+        |FROM trades t ASOF JOIN snapshots s
+        |  ON t.user_id = s.user_id AND t.ts >= s.ts
+        |ORDER BY t.event_id""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

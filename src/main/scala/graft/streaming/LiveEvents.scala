@@ -186,6 +186,16 @@ object LiveEvents {
     q.awaitTermination()
   }
 
+  /** Streaming dedup with bounded state: drops re-deliveries of the same
+    * `event_key` arriving within the watermark delay. State evicts with
+    * the watermark (O(keys-per-watermark-window), not O(stream)) — the
+    * in-stream complement to the MERGE-on-write dedup of
+    * [[conformToSilver]] (which handles re-deliveries across restarts). */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_key")
+
   /** Tumbling event-time window aggregation (the `fixture_window` concept
     * of gold.fact_live_form, resources/uc/objects.sql:242): events per
     * (fixture, window). Works identically on batch and streaming inputs;

@@ -50,6 +50,28 @@ class LiveEventsSpec extends SparkSpec {
     assert(out.count(_._1 == "f1") === 2)
   }
 
+  test("streaming dedup drops re-delivered event keys within the watermark") {
+    val tmp = tmpDir("dedup-")
+    // k1 delivered twice (same key), k2 once
+    silverEvents.drop("updated_at")
+      .unionByName(silverEvents.drop("updated_at").filter($"event_key" === "k1"))
+      .write.json(s"$tmp/landing")
+    val out = VersionedTable(spark, s"$tmp/out")
+    val stream = spark.readStream
+      .schema(graft.fpl.Schemas.liveEventRaw).json(s"$tmp/landing")
+      .filter($"_corrupt_record".isNull)
+    val q = LiveEvents.dedupWithinWatermark(stream)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.append(b.drop("_corrupt_record")); ()
+      }.start()
+    q.awaitTermination()
+    assert(out.read.count() === 3) // 4 delivered, 1 duplicate dropped
+    assert(out.read.filter($"event_key" === "k1").count() === 1)
+  }
+
   test("corrupt landing records are quarantined, not propagated to silver") {
     val tmp = tmpDir("corrupt-")
     // two good records + one malformed line in the landing dir

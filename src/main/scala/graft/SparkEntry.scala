@@ -423,7 +423,7 @@ object SparkEntry {
     // — deterministic seed; metrics row (rows-only: model training is not
     // SQL-expressible; pinned by PointsSpec).
     "q_ml2_gbt_points" -> ((s, dir) => {
-      val t = graft.ml.Points.trainGBT(mlFeatures(s, dir), maxIter = 8)
+      val t = graft.ml.Points.trainGBT(mlFeatures(s, dir), maxIter = 5)
       graft.ml.Points.metricsRow(s, t)
         .select(col("n_train"), col("n_test"), col("num_trees"), col("depth"),
           round(col("rmse"), 2).as("rmse2"), round(col("r2"), 2).as("r2_2"))
@@ -468,7 +468,7 @@ object SparkEntry {
     "q_st4_stateful_state" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft-state-").toString
       eventsAsLiveEvents(s, dir)
-        .filter(col("event_key").cast("long") % 3 === 0)
+        .filter(col("event_key").cast("long") % 9 === 0)
         .drop("updated_at").coalesce(4).write.json(s"$tmp/landing")
       val out = VersionedTable(s, s"$tmp/state")
       graft.streaming.LiveEvents.runFixtureStateAvailableNow(
@@ -871,7 +871,7 @@ object SparkEntry {
         |        event_type AS last_event_type,
         |        row_number() OVER (PARTITION BY user_id % 100
         |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) ASC) AS rn
-        | FROM events WHERE event_id % 3 = 0)
+        | FROM events WHERE event_id % 9 = 0)
         |WHERE rn = 1 ORDER BY fixture_id""".stripMargin,
 
     "q_st5_windowed_counts" ->

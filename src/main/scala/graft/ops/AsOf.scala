@@ -33,14 +33,30 @@ object AsOf {
     val payloadCols = right.columns.filterNot(c =>
       keys.contains(c) || c == tsCol).toSeq
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__p", "__side", "__asof")
+    require(!leftCols.exists(reserved.contains),
+      s"left must not contain reserved columns ${reserved.mkString(",")}")
+    val outNames = payloadCols.map(rightPrefix + _)
+    require(!leftCols.exists(outNames.contains),
+      s"output name collision: left already has ${
+        leftCols.filter(outNames.contains).mkString(",")}")
+
+    // SQL join semantics: NULL keys (or NULL ts) never match. Right rows
+    // with null keys can't match anything; left rows with null keys match
+    // nothing — dropped for inner, passed through with null payload for
+    // left joins.
+    def keysNotNull(df: DataFrame) =
+      keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull
+    val leftValid = left.filter(keysNotNull(left))
+    val leftNullKeyed = left.filter(!keysNotNull(left))
 
     // one unified relation: left rows carry a null payload struct, right
     // rows carry only (keys, ts, payload)
     val payloadStruct = struct(payloadCols.map(col): _*)
-    val r = right.select(
+    val r = right.filter(keysNotNull(right)).select(
       (keys.map(col) :+ col(tsCol) :+ payloadStruct.as("__p")): _*)
       .withColumn("__side", lit(0))
-    val l = left
+    val l = leftValid
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
       .withColumn("__side", lit(1))
     val unioned = l.select(
@@ -61,8 +77,15 @@ object AsOf {
     val matched =
       if (joinType == "inner") carried.filter(col("__asof").isNotNull)
       else carried
-    matched.select(
+    val enriched = matched.select(
       leftCols.map(col) ++
-        payloadCols.map(c => col(s"__asof.$c").as(s"$rightPrefix$c")): _*)
+        payloadCols.map(c =>
+          col("__asof").getField(c).as(s"$rightPrefix$c")): _*)
+    if (joinType == "left")
+      enriched.unionByName(
+        leftNullKeyed.select(leftCols.map(col) ++ payloadCols.map(c =>
+          lit(null).cast(right.schema(c).dataType)
+            .as(s"$rightPrefix$c")): _*))
+    else enriched
   }
 }

@@ -38,6 +38,33 @@ class AsOfSpec extends SparkSpec {
     assert(out.size === 6)
   }
 
+  test("NULL keys never match (SQL semantics); left join passes them through") {
+    val p = Seq((Some("A"), 10L, 100.0), (None, 5L, 999.0))
+      .toDF("asset", "ts", "price")
+    val t = Seq((Some("A"), 20L, 1), (None, 20L, 2))
+      .toDF("asset", "ts", "trade_id")
+    val inner = AsOf.asofJoinBackward(t, p, Seq("asset"), "ts")
+      .select("trade_id").as[Int].collect().toSet
+    assert(inner === Set(1)) // null-key trade matches nothing
+    val leftJ = AsOf.asofJoinBackward(t, p, Seq("asset"), "ts",
+      joinType = "left")
+      .select("trade_id", "asof_price").as[(Int, Option[Double])]
+      .collect().toMap
+    assert(leftJ === Map(1 -> Some(100.0), 2 -> None))
+  }
+
+  test("reserved and colliding column names are rejected loudly") {
+    assertThrows[IllegalArgumentException] {
+      AsOf.asofJoinBackward(trades.withColumnRenamed("trade_id", "__side"),
+        prices, Seq("asset"), "ts")
+    }
+    assertThrows[IllegalArgumentException] {
+      AsOf.asofJoinBackward(
+        trades.withColumnRenamed("trade_id", "asof_price"),
+        prices, Seq("asset"), "ts")
+    }
+  }
+
   test("as-of join shuffles exactly once") {
     val q = AsOf.asofJoinBackward(trades, prices, Seq("asset"), "ts")
     val p = q.queryExecution.executedPlan.toString

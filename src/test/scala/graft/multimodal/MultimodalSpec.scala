@@ -17,6 +17,39 @@ class MultimodalSpec extends SparkSpec {
       Set("image", "audio", "video"))
   }
 
+  test("resize keeps a byte fraction proportional to the area ratio") {
+    val media = Multimodal.synthesize(spark, 12)
+    val sizes = media.select("media_id", "bytes", "meta.width", "meta.height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1).length, r.getInt(2), r.getInt(3))).toMap
+    val resized = Multimodal.resize(spark, media, targetW = 64, targetH = 64)
+      .select("media_id", "bytes").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    resized.foreach { case (id, outLen) =>
+      val (inLen, w, h) = sizes(id)
+      val scale = math.min(1.0, 64.0 * 64 / (w.toDouble * h))
+      val expected = math.max(1, (inLen * scale).toInt)
+      // regression for the Long-division bug (every downscale kept 1 byte)
+      assert(outLen === expected, s"media $id: $outLen != $expected")
+      if (w.toLong * h > 64 * 64) assert(outLen > 1 || inLen * scale < 2)
+    }
+  }
+
+  test("sampleFrames chunks video payloads at the stride") {
+    val media = Multimodal.synthesize(spark, 30)
+    val frames = Multimodal.sampleFrames(spark, media, frameSize = 16,
+      stride = 2).collect()
+    assert(frames.nonEmpty)
+    // only video rows produce frames; frame indices follow the stride
+    val kinds = media.select("media_id", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    frames.foreach { f =>
+      assert(kinds(f.media_id) === "video")
+      assert(f.frame_idx % 2 === 0)
+      assert(f.frame_bytes.length <= 16)
+    }
+  }
+
   test("extractFeatures is deterministic and partition-parallel") {
     val media = Multimodal.synthesize(spark, 30)
     val f1 = Multimodal.extractFeatures(spark, media).collect()

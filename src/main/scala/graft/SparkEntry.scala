@@ -179,6 +179,18 @@ object SparkEntry {
         .orderBy("side")
     }),
 
+    // U1-reverse: pivot with explicit values (deterministic columns) —
+    // per-user event-type counts as a wide relation.
+    "q_u3_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("user_id"), col("click").as("n_click"),
+          col("view").as("n_view"), col("purchase").as("n_purchase"))
+        .orderBy("user_id")),
+
     // W1: latest-per-key (the latest-snapshot pick, distributed form).
     "q_w1_latest_per_key" -> ((s, dir) =>
       Keyed.latestPerKey(events(s, dir), Seq("user_id"), "ts",
@@ -615,6 +627,13 @@ object SparkEntry {
         | UNION ALL
         | SELECT l_orderkey, l_suppkey AS key, 'supp' AS side FROM lineitem
         |) GROUP BY side ORDER BY side""".stripMargin,
+
+    "q_u3_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_w1_latest_per_key" ->
       """SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms

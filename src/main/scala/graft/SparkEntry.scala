@@ -179,6 +179,42 @@ object SparkEntry {
         .orderBy("side")
     }),
 
+    // Hierarchical aggregates: ROLLUP over (year, priority) with grouping
+    // flags — subtotals + grand total in one pass.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("int").as("yr"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(col("yr"), col("o_orderpriority"), col("n"), col("total"))
+        .orderBy(col("yr").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Sessionization: gap-based session windows per user (30-minute
+    // inactivity gap) — the classic training-data session derivation,
+    // expressed with a lag + cumulative-sum window (portable to the
+    // oracle; Spark's session_window is the streaming form).
+    "q_sessions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gapped = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      gapped.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          unix_millis(min(col("ts"))).as("session_start_ms"),
+          unix_millis(max(col("ts"))).as("session_end_ms"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // U1-reverse: pivot with explicit values (deterministic columns) —
     // per-user event-type counts as a wide relation.
     "q_u3_pivot" -> ((s, dir) =>
@@ -627,6 +663,32 @@ object SparkEntry {
         | UNION ALL
         | SELECT l_orderkey, l_suppkey AS key, 'supp' AS side FROM lineitem
         |) GROUP BY side ORDER BY side""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (1, 2)
+        |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_sessions" ->
+      """WITH gapped AS (
+        | SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |        THEN 1 ELSE 0 END AS new_session
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |sessions AS (
+        | SELECT user_id, ts,
+        |   sum(new_session) OVER (PARTITION BY user_id
+        |     ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM gapped)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | epoch_ms(min(ts)) AS session_start_ms,
+        | epoch_ms(max(ts)) AS session_end_ms
+        |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_u3_pivot" ->
       """SELECT user_id,

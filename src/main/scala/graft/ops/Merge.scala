@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   * same movement Delta's MERGE performs); if the update side is small Spark's
   * AQE broadcasts it. Callers must ensure updates are unique per key
   * (VersionedTable.merge dedups first), keeping the join 1:1.
+  *
+  * NULL keys never match (plain equality, as in SQL/Delta `MERGE ON`): a
+  * NULL-keyed update row takes the insert path and a NULL-keyed target row
+  * passes through unchanged.
   */
 object Merge {
 
@@ -27,7 +31,7 @@ object Merge {
     val t = cols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
     val u = cols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
       .withColumn("__u_present", lit(true))
-    val joinCond = keys.map(k => t(s"__t_$k") <=> u(s"__u_$k")).reduce(_ && _)
+    val joinCond = keys.map(k => t(s"__t_$k") === u(s"__u_$k")).reduce(_ && _)
 
     t.join(u, joinCond, "full_outer")
       .select(cols.map { c =>

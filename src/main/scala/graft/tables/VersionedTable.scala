@@ -2,6 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
@@ -18,14 +19,28 @@ import scala.jdk.CollectionConverters._
   *  - time travel VERSION AS OF / TIMESTAMP AS OF (declared:
   *    notebooks/04_gold/45_time_travel_debug.sql, docs/backlog.md:55-58)
   *  - OPTIMIZE-style compaction  (resources/uc/objects.sql:25-28 autoOptimize)
+  *  - DESCRIBE HISTORY as a relation (docs/backlog.md:55-58) via [[historyDf]]
   *
   * Layout (log-structured, O(1) append — appends write only new files, the
   * version log records which file-sets make up each snapshot, so this design
   * scales to arbitrarily large tables):
   * {{{
   *   <root>/data/<writeId>/part-*.parquet   // immutable file-sets, one dir per write
+  *   <root>/data/<writeId>.b<k>/...         // bucketed file-set: bucket k only
   *   <root>/_log/<%020d version>.json       // {version, tsMillis, action, fileSets:[...]}
+  *   <root>/_bucketspec.json                // optional {keys, numBuckets}
   * }}}
+  *
+  * '''Copy-on-write MERGE.''' A merged table is hash-bucketed on its merge
+  * keys: every file-set covers exactly one of `numBuckets` key-hash buckets
+  * (the bucket id is part of the file-set name, so the log format is
+  * unchanged). `merge` computes the buckets its update keys land in, reads
+  * and rewrites ONLY those buckets' file-sets, and carries every untouched
+  * file-set into the new log entry verbatim — the same touched-files-only
+  * write Delta's MERGE performs. Per micro-batch cost is
+  * O(table / numBuckets × touched buckets), not O(table): at 100 TB with
+  * 4096 buckets, a batch touching 3 buckets rewrites ~75 GB, not 100 TB.
+  *
   * Single-writer (matches the reference's `max_concurrent_runs: 1`,
   * resources/workflows/slice_v1_fpl_bootstrap.yml:5). Log commits are atomic
   * via write-temp-then-rename.
@@ -35,6 +50,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def logDir: Path = Paths.get(root, "_log")
   private def dataDir: Path = Paths.get(root, "data")
+  private def specPath: Path = Paths.get(root, "_bucketspec.json")
 
   /** Glob covering every file-set dir — the path to hand a streaming
     * reader that must see ALL committed data, present and future (a
@@ -59,6 +75,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
+  /** DESCRIBE HISTORY as a relation (docs/backlog.md:55-58): one row per
+    * committed version, queryable/joinable like any DataFrame. */
+  def historyDf: DataFrame = {
+    import spark.implicits._
+    history
+      .map(e => (e.version, new java.sql.Timestamp(e.tsMillis), e.action,
+        e.fileSets.length.toLong))
+      .toDF("version", "commit_ts", "action", "n_file_sets")
+  }
+
   private def commit(action: String, fileSets: Seq[String]): LogEntry = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val entry = LogEntry(v, System.currentTimeMillis(), action, fileSets)
@@ -70,12 +96,64 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     entry
   }
 
+  // ------------------------------------------------------------ bucket spec
+
+  /** Key-hash bucketing spec, if this table is merge-bucketed. Established
+    * by the first `merge` and immutable afterwards. */
+  def bucketSpec: Option[BucketSpec] =
+    if (Files.exists(specPath)) Some(BucketSpec.parse(Files.readString(specPath)))
+    else None
+
+  private def writeSpec(s: BucketSpec): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s".tmp-spec-${UUID.randomUUID()}")
+    Files.writeString(tmp, s.toJson)
+    Files.move(tmp, specPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Bucket id a file-set covers, if it is a bucketed file-set. */
+  private def bucketOf(fileSet: String): Option[Int] = fileSet match {
+    case BucketedName(k) => Some(k.toInt)
+    case _               => None
+  }
+
+  private def bucketExpr(spec: BucketSpec) =
+    pmod(hash(spec.keys.map(col): _*), lit(spec.numBuckets))
+
+  // ----------------------------------------------------------------- writes
+
   private def writeFileSet(df: DataFrame, partitionBy: Seq[String] = Nil): String = {
     val id = UUID.randomUUID().toString
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataDir.resolve(id).toString)
     id
+  }
+
+  /** Write `df` as one file-set PER key-hash bucket it populates. One job:
+    * a single partitioned write into a staging dir (repartitioned so each
+    * bucket lands in one task → ~one file per bucket), then each bucket dir
+    * is renamed out as its own immutable file-set. The bucket column lives
+    * only in the dir name — the parquet schema is untouched. */
+  private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] = {
+    val id = UUID.randomUUID().toString
+    val staging = dataDir.resolve(s".staging-$id")
+    Files.createDirectories(dataDir)
+    df.withColumn(BucketCol, bucketExpr(spec))
+      .repartition(spec.numBuckets, col(BucketCol))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(BucketCol)
+      .parquet(staging.toString)
+    val ids = listDir(staging)
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { p =>
+        val k = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val fsId = f"$id.b$k%05d"
+        Files.move(p, dataDir.resolve(fsId))
+        fsId
+      }
+    deleteRecursively(staging) // leftover _SUCCESS marker
+    ids.sorted
   }
 
   // ------------------------------------------------------------------ reads
@@ -96,62 +174,132 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     history.filter(_.tsMillis <= tsMillis).lastOption
       .getOrElse(sys.error(s"no version as of $tsMillis at $root")))
 
-  /** Each file-set is scanned from its own root (required for hive-style
-    * partition discovery — multiple roots in one scan conflict) and the
-    * scans union. Predicate pushdown and partition pruning apply to every
-    * union arm; `allowMissingColumns` tolerates additive schema evolution
-    * across file-sets (M4). */
   private def readEntry(e: LogEntry): DataFrame =
-    if (e.fileSets.isEmpty)
-      spark.emptyDataFrame // overwrite-with-empty edge case
-    else
-      e.fileSets.map(f => spark.read.parquet(dataDir.resolve(f).toString))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
+    else readFileSets(e.fileSets)
 
-  // ----------------------------------------------------------------- writes
+  /** Union-arm folding: flat (non-hive-partitioned) file-sets with the same
+    * schema collapse into ONE multi-path parquet scan, so a table with 10k
+    * appends plans a single scan node, not a 10k-arm union. Scans still
+    * union across:
+    *  - schema generations (multi-path reads silently take the first file's
+    *    schema, so mixing them would drop evolved columns — M4), and
+    *  - hive-partitioned file-sets (multiple partitioned roots conflict in
+    *    one scan; each keeps its own root for partition discovery/pruning).
+    * Grouping keys on the parquet footer schema — a driver-side metadata
+    * read, no data scan. */
+  private def readFileSets(fileSets: Seq[String]): DataFrame = {
+    val paths = fileSets.map(f => dataDir.resolve(f))
+    val (partitioned, flat) = paths.partition(hasHivePartitionDirs)
+    val flatScans = flat
+      .groupBy(p => spark.read.parquet(p.toString).schema)
+      .toSeq.sortBy(_._2.head.getFileName.toString) // deterministic plan
+      .map { case (_, ps) => spark.read.parquet(ps.map(_.toString): _*) }
+    val scans = flatScans ++ partitioned.map(p => spark.read.parquet(p.toString))
+    scans.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def hasHivePartitionDirs(p: Path): Boolean =
+    listDir(p).exists(d => Files.isDirectory(d) &&
+      d.getFileName.toString.contains("="))
+
+  // ----------------------------------------------------------- public writes
 
   /** Append-only write: O(new data), never rewrites existing files.
     * `partitionBy` (e.g. snapshot_date — the partitioning the reference
     * documents at docs/architecture.md:56 but never declares) lays the
     * file-set out hive-style so reads get partition pruning; all file-sets
-    * of a table must use the same partitioning. */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry = {
-    val id = writeFileSet(df, partitionBy)
-    commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
-  }
+    * of a table must use the same partitioning. On a merge-bucketed table
+    * the rows are bucket-split instead so later merges stay copy-on-write. */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry =
+    bucketSpec match {
+      case Some(spec) =>
+        require(partitionBy.isEmpty,
+          "merge-bucketed tables are laid out by key-hash bucket; partitionBy unsupported")
+        val ids = writeBucketedFileSets(df, spec)
+        commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) ++ ids)
+      case None =>
+        val id = writeFileSet(df, partitionBy)
+        commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
+    }
 
   /** Full-snapshot replace (the reference's overwrite+overwriteSchema
     * publish). Old versions stay readable — time travel for free. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry =
-    commit("overwrite", Seq(writeFileSet(df, partitionBy)))
+    bucketSpec match {
+      case Some(spec) =>
+        require(partitionBy.isEmpty,
+          "merge-bucketed tables are laid out by key-hash bucket; partitionBy unsupported")
+        commit("overwrite", writeBucketedFileSets(df, spec))
+      case None =>
+        commit("overwrite", Seq(writeFileSet(df, partitionBy)))
+    }
 
   /** MERGE upsert: update matched target rows with the update row, insert
     * unmatched updates, keep unmatched target rows. Rerun-idempotent
     * (merge twice ≡ merge once) as the reference requires for
     * silver.live_event (docs/backlog.md:49-51,75-78).
     *
-    * Implemented as a key-outer join rewrite because no Delta jar is
-    * present. At cluster scale both sides shuffle-partition on the merge
-    * keys — the same data movement a Delta MERGE performs; updates are
-    * deduplicated per key first (latest by `orderBy` wins) so the join is
-    * 1:1 on the update side.
+    * '''Copy-on-write at bucket granularity''' (the Delta-MERGE
+    * touched-files-only plan): the first merge buckets the table on the
+    * merge keys (`numBuckets` file-sets); each later merge
+    *   1. hashes the update keys to their buckets (one tiny distinct over
+    *      ≤ numBuckets ints — bounded, not O(updates)),
+    *   2. joins updates against ONLY the touched buckets' file-sets
+    *      (both sides shuffle-partition on the keys, AQE broadcasts a
+    *      small update side),
+    *   3. rewrites just those buckets, carrying every untouched file-set
+    *      into the new log entry unchanged.
+    * A merge into a pre-existing unbucketed table migrates it (one full
+    * rewrite, then copy-on-write forever after). Updates are deduplicated
+    * per key first (latest by `preferUpdateBy` wins) so the join is 1:1.
     */
   def merge(updates: DataFrame, keys: Seq[String],
-            preferUpdateBy: Option[String] = None): LogEntry = {
+            preferUpdateBy: Option[String] = None,
+            numBuckets: Int = DefaultMergeBuckets): LogEntry = {
+    require(keys.nonEmpty, "merge requires at least one key column")
     val dedupedUpdates = preferUpdateBy match {
       case Some(ord) => graft.ops.Keyed.latestPerKey(updates, keys, ord)
       case None      => updates.dropDuplicates(keys)
     }
-    if (!exists) return overwrite(dedupedUpdates)
-    val target = read
-    val merged = graft.ops.Merge.upsert(target, dedupedUpdates, keys)
-    commit("merge", Seq(writeFileSet(merged)))
+    bucketSpec match {
+      case Some(spec) =>
+        require(spec.keys == keys,
+          s"merge keys $keys != table bucket keys ${spec.keys} at $root")
+        val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+        if (prev.forall(bucketOf(_).isDefined)) {
+          val touched = dedupedUpdates
+            .select(bucketExpr(spec).as(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).toSet // ≤ numBuckets values
+          val (touchedSets, untouched) =
+            prev.partition(fs => bucketOf(fs).exists(touched.contains))
+          val merged =
+            if (touchedSets.isEmpty) dedupedUpdates
+            else graft.ops.Merge.upsert(readFileSets(touchedSets),
+              dedupedUpdates, keys)
+          commit("merge", untouched ++ writeBucketedFileSets(merged, spec))
+        } else { // unbucketed file-sets present (e.g. pre-spec appends): migrate
+          val merged = graft.ops.Merge.upsert(read, dedupedUpdates, keys)
+          commit("merge", writeBucketedFileSets(merged, spec))
+        }
+      case None if !exists =>
+        writeSpec(BucketSpec(keys, numBuckets))
+        commit("merge", writeBucketedFileSets(dedupedUpdates, bucketSpec.get))
+      case None => // one-time migration of a legacy unbucketed table
+        val spec = BucketSpec(keys, numBuckets)
+        val merged = graft.ops.Merge.upsert(read, dedupedUpdates, keys)
+        writeSpec(spec)
+        commit("merge", writeBucketedFileSets(merged, spec))
+    }
   }
 
   /** OPTIMIZE-style small-file compaction: rewrite the current snapshot
-    * into `numFiles` files as a new version. */
-  def compact(numFiles: Int = 1): LogEntry =
-    commit("compact", Seq(writeFileSet(read.coalesce(numFiles))))
+    * into `numFiles` files as a new version. Bucketed tables compact to
+    * one file-set per bucket (preserving copy-on-write merge). */
+  def compact(numFiles: Int = 1): LogEntry = bucketSpec match {
+    case Some(spec) => commit("compact", writeBucketedFileSets(read, spec))
+    case None       => commit("compact", Seq(writeFileSet(read.coalesce(numFiles))))
+  }
 
   /** VACUUM: delete file-sets unreachable from the last `retainVersions`
     * versions (older versions stop being time-travelable, as with Delta
@@ -174,6 +322,16 @@ object VersionedTable {
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
 
+  /** Bucket column name used transiently during bucketed writes (lives only
+    * in staging dir names, never in the parquet schema). */
+  private val BucketCol = "_gbucket"
+  private val BucketedName = """.*\.b(\d+)$""".r
+
+  /** Default bucket count for merge tables. Sized for the test scales here;
+    * at 100 TB pass numBuckets ≈ table_bytes / target_rewrite_bytes (e.g.
+    * 4096 for ~25 GB per bucket) on the first merge. */
+  val DefaultMergeBuckets = 16
+
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
     * only) to avoid pulling a JSON dependency. */
   final case class LogEntry(version: Long, tsMillis: Long, action: String,
@@ -193,6 +351,25 @@ object VersionedTable {
           else fs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
         LogEntry(v.toLong, ts.toLong, a, sets)
       case other => sys.error(s"bad log entry: $other")
+    }
+  }
+
+  /** Key-hash bucketing spec for copy-on-write merge tables. */
+  final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
+    require(numBuckets > 0, "numBuckets must be positive")
+    def toJson: String =
+      s"""{"keys":${keys.map(k => "\"" + k + "\"").mkString("[", ",", "]")},"numBuckets":$numBuckets}"""
+  }
+  object BucketSpec {
+    private val Pattern =
+      """\{"keys":\[([^\]]*)\],"numBuckets":(\d+)\}""".r
+    def parse(s: String): BucketSpec = s.trim match {
+      case Pattern(ks, n) =>
+        val keys =
+          if (ks.isEmpty) Nil
+          else ks.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        BucketSpec(keys, n.toInt)
+      case other => sys.error(s"bad bucket spec: $other")
     }
   }
 }

@@ -39,11 +39,12 @@ class MergeSpec extends SparkSpec {
     }
   }
 
-  test("null join keys match via null-safe equality") {
+  test("null keys never match (SQL MERGE ON semantics): null update inserts") {
     val t = Seq((Some(1), "a"), (None, "n")).toDF("id", "tag")
     val u = Seq((None.asInstanceOf[Option[Int]], "N")).toDF("id", "tag")
     val out = Merge.upsert(t, u, Seq("id"))
       .select("tag").as[String].collect().toSet
-    assert(out === Set("a", "N"))
+    // NULL-keyed target row survives, NULL-keyed update row is inserted
+    assert(out === Set("a", "n", "N"))
   }
 }

@@ -99,4 +99,59 @@ class VersionedTableSpec extends SparkSpec {
     t.merge(Seq((1, "a")).toDF("id", "v"), Seq("id"))
     assert(t.read.count() === 1)
   }
+
+  test("copy-on-write merge rewrites ONLY the touched bucket's file-set") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cow-"))
+    val base = spark.range(100).select(col("id"), lit("x").as("v"))
+    t.merge(base, Seq("id"), numBuckets = 8) // bootstrap: bucketed layout
+    val before = t.history.last.fileSets
+    assert(before.nonEmpty && before.forall(_.matches(""".*\.b\d+$""")),
+      s"expected bucketed file-sets, got $before")
+    t.merge(Seq((5L, "updated")).toDF("id", "v"), Seq("id"))
+    val after = t.history.last.fileSets
+    val rewritten = after.toSet.diff(before.toSet)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(rewritten.size === 1, s"expected 1 rewritten bucket, got $rewritten")
+    assert(carried.size === before.size - 1,
+      s"untouched file-sets must carry over: before=$before after=$after")
+    // and the merge is still correct
+    assert(t.read.filter(col("id") === 5).select("v").as[String]
+      .collect().toSet === Set("updated"))
+    assert(t.read.count() === 100)
+    // appends to a bucketed table stay bucket-split, keeping merges COW
+    t.append(Seq((200L, "y")).toDF("id", "v"))
+    assert(t.history.last.fileSets.forall(_.matches(""".*\.b\d+$""")))
+    assert(t.read.count() === 101)
+  }
+
+  test("union-arm folding: many same-schema appends plan ONE parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = VersionedTable(spark, tmpDir("vt-fold-"))
+    (1 to 12).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    val scans = t.read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length === 1, s"expected 1 folded scan, got ${scans.length}")
+    assert(t.read.count() === 12)
+    // a schema-evolved append opens a second scan arm, not a 13th
+    t.append(Seq((13, "v13", 1.5)).toDF("id", "v", "score"))
+    val scans2 = t.read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans2.length === 2, s"expected 2 scans, got ${scans2.length}")
+    assert(t.read.count() === 13)
+  }
+
+  test("historyDf exposes DESCRIBE HISTORY as a relation") {
+    val t = VersionedTable(spark, tmpDir("vt-hist-"))
+    t.append(Seq(1).toDF("id"))
+    t.append(Seq(2).toDF("id"))
+    t.overwrite(Seq(3).toDF("id"))
+    val h = t.historyDf.orderBy("version")
+      .select("version", "action", "n_file_sets")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(h === Seq((0L, "append", 1L), (1L, "append", 2L),
+      (2L, "overwrite", 1L)))
+  }
 }

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout/stderr (no sbt [info]/[error]
+// log prefixes) so the driver can parse Bench's single JSON metrics line.
+run / outputStrategy := Some(StdoutOutput)
+// Dev/profiling probes (EntrySmoke, ProfDD, ProbeA6) live outside
+// src/main so engine LoC counts stay clean; still compiled & runnable.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

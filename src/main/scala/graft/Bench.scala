@@ -52,7 +52,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for log-decorated stdout: the same line as a file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -56,9 +56,12 @@ object SparkEntry {
   private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val toks = split(col("text"), "\\s+")
+    // greatest(...) guard: a ≤2-token doc would make the slice length
+    // negative (Spark errors; DuckDB yields ''), failing the whole query
     d.unionByName(d.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"),
-        concat_ws(" ", slice(toks, lit(1), size(toks) - 2)).as("text")))
+        concat_ws(" ",
+          slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text")))
   }
 
   /** events mapped onto the declared silver.live_event shape
@@ -411,9 +414,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), q, 10)
+      // round BEFORE the top-k cut so Spark and the oracle select the
+      // same rows when neighbors tie at 4 decimals (TakeOrderedAndProject
+      // still applies — same plan shape as bruteForceTopK)
+      Similarity.bruteForceCosine(e.filter(col("vec_id") =!= 0), q)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
         .orderBy(col("sim4").desc, col("vec_id").asc)
+        .limit(10)
     }),
 
     // Similarity 2: LSH-bucketed near-dup pairs on planted duplicate
@@ -451,6 +458,28 @@ object SparkEntry {
         silver)
       silver.read.groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+
+    // ST: streaming schema evolution — a field added mid-stream is rescued
+    // into `_rescued_data` (Auto Loader rescuedDataColumn analog,
+    // docs/backlog.md:70-74) and recoverable with get_json_object.
+    "q_st6_rescued" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-rescue-").toString
+      // the JSON writer omits null fields, so `extra_xg` appears only on
+      // %3 rows — simulating a producer that added a field mid-stream
+      eventsAsLiveEvents(s, dir).filter(col("event_key").cast("long") % 5 === 0)
+        .drop("updated_at")
+        .withColumn("extra_xg",
+          when(col("event_key").cast("long") % 3 === 0,
+            concat(lit("v"), col("event_key"))))
+        .coalesce(4).write.json(s"$tmp/landing")
+      val bronze = VersionedTable(s, s"$tmp/bronze")
+      graft.streaming.LiveEvents.ingestWithRescueAvailableNow(
+        s, s"$tmp/landing", s"$tmp/cp", bronze)
+      bronze.read.filter(col("_rescued_data").isNotNull)
+        .select(col("event_key"),
+          get_json_object(col("_rescued_data"), "$.extra_xg").as("xg"))
+        .orderBy("event_key")
     }),
 
     // ML1: feature materialization — windows over the player×gameweek
@@ -545,14 +574,31 @@ object SparkEntry {
         .orderBy("fixture_id", "window_start_ms")
     }),
 
-    // IVF ANN top-k (rows-only: KMeans cells are engine-specific; recall
-    // vs brute force pinned by SimilaritySpec).
+    // IVF ANN, build-once/serve-many: write the cell-partitioned serving
+    // table, then the query is a partition-pruned probe-read of the nProbe
+    // nearest cells (rows-only: KMeans cells are engine-specific; recall
+    // and pruning pinned by SimilaritySpec).
     "q_sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val idx = Similarity.ivfIndex(e.filter(col("vec_id") =!= 0), nCells = 16)
-      Similarity.ivfTopK(idx, q, k = 10, nProbe = 4)
+      val path = Files.createTempDirectory("graft-ivf-").toString + "/ivf"
+      Similarity.writeIvfTable(e.filter(col("vec_id") =!= 0), path, nCells = 16)
+      Similarity.ivfProbeTopK(s, path, q, k = 10, nProbe = 4)
+    }),
+
+    // LSH ANN serving table: bucket-partitioned write + multiprobe
+    // partition-pruned probe-read (rows-only: buckets engine-specific;
+    // recall and pruning pinned by SimilaritySpec).
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val path = Files.createTempDirectory("graft-lsh-").toString + "/lsh"
+      Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), path,
+        numPlanes = 8, dim = q.size)
+      Similarity.lshProbeTopK(s, path, q, k = 10, numPlanes = 8,
+          probeHamming = 1)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
         .orderBy(col("sim4").desc, col("vec_id").asc)
     }),
@@ -601,6 +647,76 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(avg("n_bytes"), 2).as("avg_bytes"))
         .orderBy("kind")
     }),
+
+    // SQL entry surface 1: CREATE OR REPLACE VIEW + report consumed through
+    // spark.sql, exercising view expansion end-to-end (the reference's E3
+    // path — 00_create_uc_objects.py:312-324 view DDL,
+    // 42_build_fixture_horizons.py:136-139 consumption).
+    "q_sql_view_report" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("sql_orders")
+      t(s, dir, "customer").createOrReplaceTempView("sql_customer")
+      s.sql("""CREATE OR REPLACE TEMP VIEW vw_segment_orders AS
+               SELECT c.c_mktsegment, o.o_totalprice
+               FROM sql_orders o JOIN sql_customer c
+                 ON o.o_custkey = c.c_custkey""")
+      s.sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total_price
+               FROM vw_segment_orders
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    // SQL entry surface 2: a VersionedTable warehouse queried through the
+    // Catalog's registered `<layer>_<table>` namespace under spark.sql —
+    // the engine's layer.table query path.
+    "q_sql_warehouse" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-sqlwh-").toString
+      val cat = new graft.tables.Catalog(s, root)
+      cat.bootstrap()
+      cat.table("silver", "nation").overwrite(t(s, dir, "nation"))
+      cat.table("silver", "region").overwrite(t(s, dir, "region"))
+      cat.table("silver", "supplier").overwrite(t(s, dir, "supplier"))
+      cat.registerViews()
+      s.sql("""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                 round(sum(sup.s_acctbal), 2) AS total_acctbal
+               FROM silver_supplier sup
+               JOIN silver_nation n ON sup.s_nationkey = n.n_nationkey
+               JOIN silver_region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY r.r_name ORDER BY r.r_name""")
+    }),
+
+    // SQL entry surface 3: DESCRIBE HISTORY as a queryable relation
+    // (docs/backlog.md:55-58) — a deterministically-built table's version
+    // log surfaced through a SQL view.
+    "q_sql_history" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-sqlhist-").toString
+      val tbl = VersionedTable(s, root)
+      val nation = t(s, dir, "nation")
+      tbl.append(nation)
+      tbl.append(nation.filter(col("n_regionkey") === 0))
+      tbl.compact()
+      tbl.overwrite(nation.filter(col("n_regionkey") === 1))
+      tbl.historyDf.createOrReplaceTempView("sql_table_history")
+      s.sql("""SELECT version, action, n_file_sets
+               FROM sql_table_history ORDER BY version""")
+    }),
+
+    // SQL entry surface 4 (rows-only: FPL-domain synthetic warehouse):
+    // the reference's player-horizon view DDL + consumption phrased in
+    // SQL over the registered gold tables.
+    "q_sql_horizon" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sqlfpl-").toString
+      new graft.fpl.Pipeline(s, wh).runSliceV1()
+      new graft.tables.Catalog(s, wh).registerViews()
+      s.sql("""CREATE OR REPLACE TEMP VIEW vw_player_next3 AS
+               SELECT f.snapshot_date, f.asof_gameweek_id, p.player_id,
+                      p.team_id, f.h3_avg_fdr, f.h3_fixture_count
+               FROM gold_dim_player p
+               JOIN gold_fact_team_fixture_horizon_snapshot f
+                 ON p.team_id = f.team_id""")
+      s.sql("""SELECT player_id, team_id, h3_avg_fdr, h3_fixture_count
+               FROM vw_player_next3
+               ORDER BY h3_avg_fdr ASC, player_id ASC LIMIT 20""")
+    }),
   )
 
   // ------------------------------------------------------------------
@@ -608,6 +724,28 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_sql_view_report" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sql_warehouse" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | round(sum(s_acctbal), 2) AS total_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_sql_history" ->
+      """SELECT * FROM (VALUES
+        | (CAST(0 AS BIGINT), 'append',    CAST(1 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 'append',    CAST(2 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 'compact',   CAST(1 AS BIGINT)),
+        | (CAST(3 AS BIGINT), 'overwrite', CAST(1 AS BIGINT))
+        |) AS t(version, action, n_file_sets) ORDER BY version""".stripMargin,
+
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -889,6 +1027,12 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events WHERE event_id % 5 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_st6_rescued" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_key,
+        | 'v' || CAST(event_id AS VARCHAR) AS xg
+        |FROM events WHERE event_id % 5 = 0 AND event_id % 3 = 0
+        |ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH snapshots AS (

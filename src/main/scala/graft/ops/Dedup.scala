@@ -57,6 +57,11 @@ object Dedup {
     * sort and two join shuffles; `maxGroupSize` is the skew guard (drops
     * degenerate groups — empty/boilerplate content).
     * Returns distinct (id_a < id_b) pairs. */
+  /** Profiling alias for [[pairsWithinGroups]] (dev tool access). */
+  private[graft] def pairsWithinGroupsForProf(df: DataFrame, groupCols: Seq[String],
+                                              idCol: String, maxGroupSize: Int): DataFrame =
+    pairsWithinGroups(df, groupCols, idCol, maxGroupSize)
+
   private[ops] def pairsWithinGroups(df: DataFrame, groupCols: Seq[String],
                                      idCol: String,
                                      maxGroupSize: Int): DataFrame = {
@@ -251,7 +256,8 @@ object Dedup {
     * near-dup path (no engine-specific hash in the result). */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        maxGroupSize: Int = 1000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val withSh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       call_function("graft_word_shingles",
@@ -260,9 +266,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidates from id-only block groups (one shuffle of (block, id));
     // shingle arrays are fetched back for candidate rows only, instead of
-    // shuffling them on both sides of a self-join.
+    // shuffling them on both sides of a self-join. `maxGroupSize` is the
+    // skew guard: a degenerate blocking key (a min-shingle shared corpus-
+    // wide) would otherwise materialize O(n²) pairs in one array row.
     Dedup.pairsWithinGroups(withSh.select("block", "doc_id"), Seq("block"),
-        "doc_id", maxGroupSize = Int.MaxValue)
+        "doc_id", maxGroupSize)
       .join(withSh.select(col("doc_id").as("id_a"),
         col("shingles").as("shingles_a")), Seq("id_a"))
       .join(withSh.select(col("doc_id").as("id_b"),

@@ -37,18 +37,26 @@ object Similarity {
   private def vecLit(v: Seq[Float]): Column =
     array(v.map(x => lit(x.toDouble)): _*)
 
-  /** Brute-force cosine top-k against a constant query vector. */
-  def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
-                     idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+  /** Map-only cosine scoring against a constant query vector: (id,
+    * cosine_sim) for every row. Callers apply their own top-k cut (possibly
+    * on a rounded key for oracle-stable ties). */
+  def bruteForceCosine(embeddings: DataFrame, query: Seq[Float],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
     val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
     val d = dot(col(vecCol).cast("array<double>"), vecLit(query))
     val sim = when(l2Norm(col(vecCol).cast("array<double>")) > 0 && lit(qn) > 0,
       d / (l2Norm(col(vecCol).cast("array<double>")) * lit(qn))).otherwise(0.0d)
     embeddings.select(col(idCol), sim.as("cosine_sim"))
+  }
+
+  /** Brute-force cosine top-k against a constant query vector. */
+  def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame =
+    bruteForceCosine(embeddings, query, idCol, vecCol)
       .orderBy(col("cosine_sim").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** Deterministic random hyperplanes (seeded) — `numPlanes` × `dim`. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
@@ -139,13 +147,91 @@ object Similarity {
       query, k, idCol, vecCol)
   }
 
+  // ------------------------------------------------- persisted serving path
+
+  /** Write an IVF index as a SERVING TABLE: the assigned vectors land in a
+    * parquet table hive-partitioned by `ivf_cell`, and the centroids in a
+    * small sidecar file. This is the build-once/serve-many shape real ANN
+    * systems use — [[ivfProbeTopK]] then reads only the probed cells'
+    * partitions (partition pruning, no index rebuild per query). At 100 TB
+    * a query with nProbe=4 of 4096 cells scans ~0.1% of the table. */
+  def writeIvfTable(embeddings: DataFrame, path: String, nCells: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 42L): Unit = {
+    val idx = ivfIndex(embeddings, nCells, idCol, vecCol, seed)
+    idx.assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    val lines = idx.centroids.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_centroids.csv"), lines)
+  }
+
+  private def readCentroids(path: String): Array[Array[Double]] =
+    java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_centroids.csv"))
+      .split("\n").map(_.split(",").map(_.toDouble))
+
+  /** Probe-read top-k over a table written by [[writeIvfTable]]: rank the
+    * centroids driver-side (tiny — nCells vectors), scan ONLY the nProbe
+    * nearest `ivf_cell=` partitions (the IN-predicate lands in the scan's
+    * PartitionFilters), exact cosine re-rank. The `cosine_sim` ties are cut
+    * on the 4-decimal rounded value with id tiebreak so results are stable
+    * across engines. */
+  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   query: Seq[Float], k: Int, nProbe: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cells = IvfIndex(readCentroids(path), null).probeCells(query, nProbe)
+    val pruned = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells: _*))
+    bruteForceCosine(pruned, query, idCol, vecCol)
+      .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))
+      .orderBy(col("sim4").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Write an LSH serving table partitioned by the sign-bit bucket — the
+    * persisted form the [[lshBucket]] docs promise: probe reads prune to
+    * the multiprobe bucket set. */
+  def writeLshTable(embeddings: DataFrame, path: String, numPlanes: Int,
+                    dim: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding", seed: Long = 42L): Unit = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    embeddings.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes).as("lsh_bucket"))
+      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+  }
+
+  /** Probe-read top-k over a [[writeLshTable]] table: enumerate buckets
+    * within `probeHamming` bits of the query's bucket (multiprobe) as a
+    * literal IN-list → partition pruning on `lsh_bucket`, then exact
+    * re-rank. */
+  def lshProbeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   query: Seq[Float], k: Int, numPlanes: Int = 12,
+                   probeHamming: Int = 1, idCol: String = "vec_id",
+                   vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, query.size, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    // multiprobe bucket enumeration: all bucket ids within the Hamming
+    // radius (each fold step widens the frontier by one bit flip)
+    val buckets = (1 to probeHamming).foldLeft(Set(qBucket)) { (acc, _) =>
+      acc ++ acc.flatMap(b => (0 until numPlanes).map(i => b ^ (1L << i)))
+    }.toSeq.sorted
+    val pruned = spark.read.parquet(path)
+      .filter(col("lsh_bucket").isin(buckets: _*))
+    bruteForceTopK(pruned, query, k, idCol, vecCol)
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucket join + exact cosine verify
     * within buckets — the embedding analog of Dedup.minhashNearDupPairs. */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int,
                             threshold: Double = 0.95, numPlanes: Int = 8,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            maxBucketSize: Int = 1000): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = Partitioning.spread(embeddings).select(col(idCol).as("id"),
       col(vecCol).as("vec"), lshBucket(col(vecCol), planes).as("bucket"))
@@ -153,8 +239,10 @@ object Similarity {
     // Candidate id pairs from id-only bucket groups (one shuffle of
     // (bucket, id)); vectors — the heavy payload — are fetched back for
     // candidate rows only instead of riding both sides of a self-join.
+    // `maxBucketSize` guards a hot LSH bucket (e.g. near-zero vectors all
+    // landing in one sign pattern) from an O(n²) in-array pair blowup.
     Dedup.pairsWithinGroups(bucketed.select("bucket", "id"), Seq("bucket"),
-        "id", maxGroupSize = Int.MaxValue)
+        "id", maxBucketSize)
       .join(bucketed.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(bucketed.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

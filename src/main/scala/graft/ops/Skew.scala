@@ -50,12 +50,19 @@ object Skew {
   }
 
   /** Heavy-hitter report: keys holding more than `threshold` of all rows
-    * (the diagnostic used to decide whether salting is needed). */
+    * (the diagnostic used to decide whether salting is needed).
+    *
+    * Single-job shape: the grand total is the sum of the per-key counts,
+    * broadcast-joined back onto them — both arms share the same groupBy
+    * exchange, which Spark's exchange reuse executes ONCE (no separate
+    * count() scan of the input). */
   def heavyHitters(df: DataFrame, keyCols: Seq[String],
                    threshold: Double = 0.01): DataFrame = {
-    val total = df.count()
-    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n") / lit(total.toDouble))
+    val grouped = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = grouped.agg(sum("n").as("__total"))
+    grouped.join(broadcast(total))
+      .withColumn("share", col("n") / col("__total").cast("double"))
+      .drop("__total")
       .filter(col("share") >= threshold)
       .orderBy(col("n").desc)
   }

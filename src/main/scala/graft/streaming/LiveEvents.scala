@@ -55,6 +55,49 @@ object LiveEvents {
     q.awaitTermination()
   }
 
+  /** Streaming schema evolution: Auto Loader's `rescuedDataColumn` analog
+    * (docs/backlog.md:70-74, docs/architecture.md:117-129). The landing
+    * stream is read as raw text lines: known fields parse against the
+    * fixed schema, and any top-level JSON field NOT in the schema is
+    * captured into the `_rescued_data` JSON-map column instead of being
+    * silently dropped — a field added mid-stream is recoverable from
+    * bronze (and carried to silver by [[conformToSilver]]) without a
+    * schema migration. Malformed lines land whole in `_corrupt_record`.
+    *
+    * Detection trick: `from_json` to a struct NEVER returns null in
+    * PERMISSIVE mode (all-null struct instead), so corruption is detected
+    * on the map-parse being null — a line is either a JSON object (map
+    * parses) or corrupt. Map-only, no shuffle, all codegen built-ins. */
+  def ingestWithRescueAvailableNow(spark: SparkSession, landingDir: String,
+                                   checkpointDir: String,
+                                   bronze: VersionedTable): Unit = {
+    import org.apache.spark.sql.types.{MapType, StringType, StructType}
+    val knownFields = Schemas.liveEventRaw.fields
+      .filterNot(_.name == "_corrupt_record")
+    val known = knownFields.map(_.name).toSeq
+    val parseSchema = StructType(knownFields.toIndexedSeq)
+    val stream = spark.readStream.text(landingDir)
+    val asMap = from_json(col("value"), MapType(StringType, StringType))
+    val unknown = map_filter(col("__m"), (k, _) => !k.isin(known: _*))
+    val parsed = stream
+      .select(from_json(col("value"), parseSchema).as("__r"),
+        asMap.as("__m"), col("value"))
+      .select(
+        (known.map(f => col(s"__r.$f")) ++ Seq(
+          when(col("__m").isNull, col("value")).as("_corrupt_record"),
+          when(col("__m").isNotNull && size(map_keys(unknown)) > 0,
+            to_json(unknown)).as("_rescued_data"))): _*)
+    val q = parsed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        bronze.append(batch.withColumn("ingest_ts", current_timestamp()))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** ST2+ST4: conform bronze live events → silver with watermarked
     * dedup-in-batch then MERGE upsert (late/re-delivered events replace by
     * event_key; newest updated_at wins). Runs as an availableNow stream
@@ -68,12 +111,17 @@ object LiveEvents {
     val stream = spark.readStream
       .schema(spark.read.parquet(bronzeGlob).schema)
       .parquet(bronzeGlob)
+    // carry `_rescued_data` through when the bronze feed has it, so
+    // schema-evolved fields stay recoverable in silver
+    val silverCols = Seq("event_key", "fixture_id", "event_ts", "team_id",
+      "player_id", "event_type", "payload", "updated_at") ++
+      (if (stream.columns.contains("_rescued_data")) Seq("_rescued_data")
+       else Nil)
     val conformed = eventKey(stream)
       .withWatermark("event_ts", watermarkDelay)
       .filter(col("_corrupt_record").isNull && col("event_key").isNotNull)
       .withColumn("updated_at", current_timestamp())
-      .select("event_key", "fixture_id", "event_ts", "team_id",
-        "player_id", "event_type", "payload", "updated_at")
+      .select(silverCols.map(col): _*)
     val q = conformed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -78,6 +78,58 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: ${partial.intersect(brute).size}/10")
   }
 
+  test("IVF serving table: probe-read is partition-pruned and full-probe exact") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = vecs(7)._2
+    val path = tmpDir("ivf-serve-") + "/ivf"
+    Similarity.writeIvfTable(df, path, nCells = 8)
+    // full probe == brute force (exactness at nProbe = nCells)
+    val brute = Similarity.bruteForceTopK(df, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val full = Similarity.ivfProbeTopK(spark, path, query, 10, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full === brute)
+    // partial probe: plan must PRUNE to the probed cells' partitions
+    val probed = Similarity.ivfProbeTopK(spark, path, query, 10, nProbe = 2)
+    val scan = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("ivf_cell"),
+      s"no partition filter: ${scan.metadata("PartitionFilters")}")
+    val allParts = spark.read.parquet(path)
+      .select("ivf_cell").distinct().count()
+    assert(scan.selectedPartitions.partitionCount === 2,
+      s"expected 2 of $allParts partitions scanned, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    assert(probed.select("vec_id").as[Long].collect().contains(7L))
+  }
+
+  test("LSH serving table: multiprobe probe-read prunes and finds the planted vec") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val query = base(5)._2
+    val df = base.toDF("vec_id", "embedding")
+    val path = tmpDir("lsh-serve-") + "/lsh"
+    Similarity.writeLshTable(df, path, numPlanes = 6, dim = 16)
+    val out = Similarity.lshProbeTopK(spark, path, query, k = 1,
+      numPlanes = 6, probeHamming = 1)
+    val scan = out.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("lsh_bucket"))
+    val allParts = spark.read.parquet(path)
+      .select("lsh_bucket").distinct().count()
+    assert(scan.selectedPartitions.partitionCount < allParts,
+      s"no pruning: scanned ${scan.selectedPartitions.partitionCount}/$allParts")
+    assert(out.select("vec_id").as[Long].collect().headOption === Some(5L))
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL++ contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(100000).select((col("id") % 7777).as("k"))

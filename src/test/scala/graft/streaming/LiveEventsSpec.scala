@@ -50,6 +50,39 @@ class LiveEventsSpec extends SparkSpec {
     assert(out.count(_._1 == "f1") === 2)
   }
 
+  test("rescue ingest: mid-stream field lands in _rescued_data, recoverable in silver") {
+    import java.nio.file.{Files, Paths}
+    val tmp = tmpDir("rescue-")
+    val landing = s"$tmp/landing"
+    Files.createDirectories(Paths.get(landing))
+    // batch 1: schema-conformant row + a malformed line
+    Files.writeString(Paths.get(landing, "b1.json"),
+      """{"event_key":"k1","fixture_id":"f1","event_ts":"2025-08-12T10:00:00.000Z","event_type":"goal","payload":"{}"}""" +
+        "\nnot json at all\n")
+    // batch 2: the producer added a NEW field `xg` mid-stream
+    Files.writeString(Paths.get(landing, "b2.json"),
+      """{"event_key":"k2","fixture_id":"f1","event_ts":"2025-08-12T10:05:00.000Z","event_type":"card","payload":"{}","xg":"0.42"}""" + "\n")
+    val bronze = VersionedTable(spark, s"$tmp/bronze")
+    LiveEvents.ingestWithRescueAvailableNow(spark, landing, s"$tmp/cp", bronze)
+    val b = bronze.read
+    assert(b.filter(col("_corrupt_record").isNotNull).count() === 1)
+    val rescued = b.filter(col("_rescued_data").isNotNull)
+    assert(rescued.select("event_key").as[String].collect().toSeq === Seq("k2"))
+    assert(rescued.select(get_json_object(col("_rescued_data"), "$.xg"))
+      .as[String].collect().head === "0.42")
+    // unevolved rows keep a null rescue column
+    assert(b.filter(col("event_key") === "k1")
+      .select("_rescued_data").collect().head.isNullAt(0))
+    // conform carries the rescued column into silver
+    val silver = VersionedTable(spark, s"$tmp/silver")
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp2", silver)
+    assert(silver.read.columns.contains("_rescued_data"))
+    assert(silver.read.filter(col("event_key") === "k2")
+      .select(get_json_object(col("_rescued_data"), "$.xg"))
+      .as[String].collect().head === "0.42")
+    assert(silver.read.count() === 2) // corrupt line filtered out
+  }
+
   test("streaming dedup drops re-delivered event keys within the watermark") {
     val tmp = tmpDir("dedup-")
     // k1 delivered twice (same key), k2 once

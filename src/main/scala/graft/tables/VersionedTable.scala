@@ -293,6 +293,43 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Point-lookup read on a merge-bucketed table: scans ONLY the file-sets
+    * of the buckets the given key tuples hash to — the read-side payoff of
+    * the bucketed layout (a key lookup touches 1/numBuckets of the table's
+    * files; at 100 TB with 4096 buckets, ~25 GB instead of 100 TB). Falls
+    * back to a full-snapshot read + filter on unbucketed tables. The
+    * returned frame is already filtered to the requested keys.
+    *
+    * `keyValues`: one Seq per key tuple, values in `bucketSpec.keys` order. */
+  def readForKeys(keyValues: Seq[Seq[Any]]): DataFrame = {
+    require(keyValues.nonEmpty, "readForKeys requires at least one key tuple")
+    val spec = bucketSpec
+    val keyFilter = (df: DataFrame) => {
+      val keys = spec.map(_.keys).getOrElse(
+        sys.error(s"readForKeys needs a bucketed table at $root"))
+      val cond = keyValues.map(tuple =>
+        keys.zip(tuple).map { case (k, v) => col(k) <=> lit(v) }
+          .reduce(_ && _)).reduce(_ || _)
+      df.filter(cond)
+    }
+    spec match {
+      case None => keyFilter(read)
+      case Some(sp) =>
+        // bucket each key tuple driver-side with Spark's own hash expr so
+        // the routing matches the write path exactly (one tiny local job)
+        val lits = keyValues.map(tuple =>
+          pmod(hash(tuple.map(lit): _*), lit(sp.numBuckets)))
+        val buckets = spark.range(1)
+          .select(array(lits: _*).as("b")).head().getSeq[Int](0).toSet
+        val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+        val (tagged, untagged) = prev.partition(bucketOf(_).isDefined)
+        val hit = tagged.filter(fs => bucketOf(fs).exists(buckets.contains)) ++
+          untagged // pre-spec file-sets can hold any key
+        if (hit.isEmpty) keyFilter(read.limit(0))
+        else keyFilter(readFileSets(hit))
+    }
+  }
+
   /** OPTIMIZE-style small-file compaction: rewrite the current snapshot
     * into `numFiles` files as a new version. Bucketed tables compact to
     * one file-set per bucket (preserving copy-on-write merge). */

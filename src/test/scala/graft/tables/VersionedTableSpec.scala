@@ -125,6 +125,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 101)
   }
 
+  test("readForKeys scans only the key's bucket file-sets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = VersionedTable(spark, tmpDir("vt-lookup-"))
+    val base = spark.range(200).select(col("id"), (col("id") * 2).as("v"))
+    t.merge(base, Seq("id"), numBuckets = 8)
+    val out = t.readForKeys(Seq(Seq(42L)))
+    assert(out.select("v").as[Long].collect().toSeq === Seq(84L))
+    // the scan must touch ~1/8 of the table's files, not all of them
+    val scanned = out.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.totalNumberOfFiles
+    }.sum
+    val allFiles = t.read.inputFiles.length
+    assert(scanned < allFiles,
+      s"lookup scanned all $allFiles files (no bucket pruning)")
+    // multiple keys across buckets still resolve
+    val multi = t.readForKeys(Seq(Seq(1L), Seq(42L), Seq(199L)))
+    assert(multi.select("id").as[Long].collect().toSet === Set(1L, 42L, 199L))
+  }
+
   test("union-arm folding: many same-schema appends plan ONE parquet scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val t = VersionedTable(spark, tmpDir("vt-fold-"))

@@ -594,10 +594,13 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
+      // 5 planes → 32 buckets: sized to the corpus (over-partitioning a
+      // small table into 256 dirs costs more than it prunes; at larger SF
+      // raise numPlanes with corpus size)
       val path = Files.createTempDirectory("graft-lsh-").toString + "/lsh"
       Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), path,
-        numPlanes = 8, dim = q.size)
-      Similarity.lshProbeTopK(s, path, q, k = 10, numPlanes = 8,
+        numPlanes = 5, dim = q.size)
+      Similarity.lshProbeTopK(s, path, q, k = 10, numPlanes = 5,
           probeHamming = 1)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
         .orderBy(col("sim4").desc, col("vec_id").asc)
@@ -705,8 +708,29 @@ object SparkEntry {
     // SQL over the registered gold tables.
     "q_sql_horizon" -> ((s, dir) => {
       val wh = Files.createTempDirectory("graft-sqlfpl-").toString
-      new graft.fpl.Pipeline(s, wh).runSliceV1()
-      new graft.tables.Catalog(s, wh).registerViews()
+      // build ONLY the two gold tables the view consumes, in-memory (the
+      // SQL surface is what's under test here; the full bronze→gold DAG
+      // with its DQ gates is the flagship `entry`)
+      val ts = java.sql.Timestamp.valueOf("2025-08-12 06:15:00")
+      import graft.fpl.{Bronze, Gold, SampleData, Silver}
+      val parsed = Silver.parseBootstrap(Bronze.envelope(
+        Bronze.payloadRows(s, Seq((ts,
+          "https://fantasy.premierleague.com/api/bootstrap-static/", 200,
+          SampleData.bootstrapJson()))), "run-sql"))
+      val parsedFx = Silver.parseFixtures(Bronze.envelope(
+        Bronze.payloadRows(s, Seq((ts,
+          "https://fantasy.premierleague.com/api/fixtures/", 200,
+          SampleData.fixturesJson()))), "run-sql"))
+      val dimPlayer = Gold.dimPlayer(Silver.players(parsed))
+      val gw = Gold.dimGameweek(Silver.gameweeks(parsed))
+      val fact = Gold.fixtureHorizons(
+        Gold.dimFixture(Silver.fixtures(parsedFx)), Gold.asOfGameweek(gw),
+        java.sql.Date.valueOf("2025-08-12"), ts)
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      cat.table("gold", "dim_player").overwrite(dimPlayer)
+      cat.table("gold", "fact_team_fixture_horizon_snapshot").overwrite(fact)
+      cat.registerViews()
       s.sql("""CREATE OR REPLACE TEMP VIEW vw_player_next3 AS
                SELECT f.snapshot_date, f.asof_gameweek_id, p.player_id,
                       p.team_id, f.h3_avg_fdr, f.h3_fixture_count

@@ -221,6 +221,41 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** array<double> vector × literal hyperplanes → sign-bit LSH bucket id.
+  * Same math as the higher-order formulation (per-plane zip_with dot,
+  * accumulated left-to-right in doubles, bit set when dot >= 0 — see
+  * Similarity.lshBucketHof) in one loop per row: numPlanes interpreted
+  * HOF dots collapse into a single scalar pass over the vector. */
+case class LshBucketId(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val m = math.min(n, pl.length)
+      var d = 0.0d
+      var i = 0
+      while (i < m) {
+        if (!vec.isNullAt(i)) d += vec.getDouble(i) * pl(i)
+        i += 1
+      }
+      if (d >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketId =
+    copy(child = newChild)
+}
+
 /** Session registration for the custom expressions, so plans can call them
   * via `call_function("graft_minhash", shingles, lit(k))`. Idempotent. */
 object GraftFunctions {
@@ -262,6 +297,19 @@ object GraftFunctions {
         case Seq(child, Literal(k: Int, IntegerType)) => MinHashFromHashes(child, k)
         case _ => throw new IllegalArgumentException(
           "usage: graft_minhash_hashes(array<long>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketId].getName, "graft_lsh_bucket"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(vec, pl @ Literal(_, ArrayType(ArrayType(DoubleType, _), _))) =>
+          val planes = pl.value.asInstanceOf[ArrayData]
+            .toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray())
+          LshBucketId(vec, planes)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_lsh_bucket(array<double>, <array<array<double>> literal>)")
       })
 
     registry.registerFunction(

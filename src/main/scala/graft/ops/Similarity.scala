@@ -66,8 +66,20 @@ object Similarity {
 
   /** Sign-bit LSH bucket id for a vector column under the given planes.
     * Map-only; write the table partitioned/bucketed by this column to get
-    * partition-pruned candidate lookup at serving time. */
+    * partition-pruned candidate lookup at serving time.
+    *
+    * Uses the custom `graft_lsh_bucket` expression — one scalar pass per
+    * row instead of numPlanes interpreted higher-order dots (the same ~20×
+    * constant the MinHash expressions buy; HashExpressionsSpec-style pin
+    * vs [[lshBucketHof]] lives in SimilaritySpec). Callers must have
+    * GraftFunctions registered (every public entry point here does). */
   def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column =
+    call_function("graft_lsh_bucket", vec.cast("array<double>"),
+      typedlit(planes.map(_.map(_.toDouble))))
+
+  /** The built-in higher-order formulation of [[lshBucket]] (kept as the
+    * semantic reference the custom expression is pinned against). */
+  private[ops] def lshBucketHof(vec: Column, planes: Seq[Seq[Float]]): Column =
     (0 until planes.size).map { i =>
       when(dot(vec.cast("array<double>"), vecLit(planes(i))) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -82,6 +94,7 @@ object Similarity {
               numPlanes: Int = 12, probeHamming: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val planes = hyperplanes(numPlanes, query.size, seed)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
@@ -159,7 +172,10 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 42L): Unit = {
     val idx = ivfIndex(embeddings, nCells, idCol, vecCol, seed)
-    idx.assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    // cluster rows by cell before the partitioned write: one task per
+    // cell → one file per cell, instead of (tasks × cells) small files
+    idx.assigned.repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
     val lines = idx.centroids.map(_.mkString(",")).mkString("\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_centroids.csv"), lines)
@@ -195,9 +211,12 @@ object Similarity {
   def writeLshTable(embeddings: DataFrame, path: String, numPlanes: Int,
                     dim: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding", seed: Long = 42L): Unit = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val planes = hyperplanes(numPlanes, dim, seed)
     embeddings.select(col(idCol), col(vecCol),
         lshBucket(col(vecCol), planes).as("lsh_bucket"))
+      // cluster by bucket first: one file per bucket, not tasks × buckets
+      .repartition(col("lsh_bucket"))
       .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
   }
 
@@ -232,6 +251,7 @@ object Similarity {
                             vecCol: String = "embedding",
                             seed: Long = 42L,
                             maxBucketSize: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val planes = hyperplanes(numPlanes, dim, seed)
     val bucketed = Partitioning.spread(embeddings).select(col(idCol).as("id"),
       col(vecCol).as("vec"), lshBucket(col(vecCol), planes).as("bucket"))

@@ -140,6 +140,20 @@ class SimilaritySpec extends SparkSpec {
       s"approx=$approx exact=$exact")
   }
 
+  test("graft_lsh_bucket expression == higher-order formulation, bit for bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(19)
+    val vecs = (0 until 500).map(i =>
+      (i.toLong, Seq.fill(24)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(10, 24, 42L)
+    val mismatches = df.select(
+        Similarity.lshBucket(col("embedding"), planes).as("fast"),
+        Similarity.lshBucketHof(col("embedding"), planes).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
   test("hyperplanes are deterministic under a seed") {
     assert(Similarity.hyperplanes(4, 8, 42L) === Similarity.hyperplanes(4, 8, 42L))
     assert(Similarity.hyperplanes(4, 8, 42L) !== Similarity.hyperplanes(4, 8, 43L))

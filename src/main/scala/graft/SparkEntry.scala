@@ -651,6 +651,54 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Text: PII-style redaction (emails/URLs → placeholders) — the
+    // standard first-pass corpus scrub; planted PII so the op provably
+    // fires, counts recovered from placeholder lengths.
+    "q_txt_redact" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com see https://ex.org/d/"),
+        col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.redact(aug).as("red"))
+        .select(col("doc_id"), length(col("red")).as("redacted_len"),
+          ((length(col("red")) -
+            length(replace(col("red"), lit("<EMAIL>"), lit("")))) / 7)
+            .cast("int").as("n_emails"),
+          ((length(col("red")) -
+            length(replace(col("red"), lit("<URL>"), lit("")))) / 5)
+            .cast("int").as("n_urls"))
+        .orderBy("doc_id")
+    }),
+
+    // Sampling 1: deterministic content-hash sample — same rows selected
+    // on any engine/run/parallelism (md5 nibble predicate, pushed to scan).
+    "q_sample_hash" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(
+          t(s, dir, "documents").select("doc_id"), "doc_id", 2)
+        .orderBy("doc_id")),
+
+    // Sampling 2: deterministic train/val/test split by key hash (stable
+    // under reruns and resharding — the split-assignment op of an ML
+    // data pipeline).
+    "q_sample_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(graft.ops.Sampling.splitLabel(col("doc_id")).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
+    // Stats: exact grouped quantiles (linear interpolation, = DuckDB
+    // quantile_cont; computed over the integer-valued quantity so the
+    // interpolation is floating-point-exact in every engine). At 100 TB
+    // swap in approx_percentile — same call shape, sketch-merged instead
+    // of sort-based.
+    "q_stats_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 2).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 2).as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // SQL entry surface 1: CREATE OR REPLACE VIEW + report consumed through
     // spark.sql, exercising view expansion end-to-end (the reference's E3
     // path — 00_create_uc_objects.py:312-324 view DDL,
@@ -748,6 +796,45 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_txt_redact" ->
+      """WITH aug AS (
+        | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+        |   AS a FROM documents),
+        |red AS (
+        | SELECT doc_id, regexp_replace(
+        |   regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |     '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g') AS red FROM aug)
+        |SELECT doc_id, CAST(length(red) AS INT) AS redacted_len,
+        | CAST((length(red) - length(replace(red, '<EMAIL>', ''))) / 7 AS INT)
+        |   AS n_emails,
+        | CAST((length(red) - length(replace(red, '<URL>', ''))) / 5 AS INT)
+        |   AS n_urls
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      """SELECT CASE
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+        |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |    IN ('c','d') THEN 'val'
+        |  ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stats_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 2) AS q25,
+        | round(quantile_cont(l_quantity, 0.5), 2) AS q50,
+        | round(quantile_cont(l_quantity, 0.75), 2) AS q75,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_sql_view_report" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
         | round(sum(o_totalprice), 2) AS total_price

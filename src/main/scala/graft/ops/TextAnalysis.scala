@@ -93,6 +93,18 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** PII-style redaction patterns (portable RE2-compatible regexes, so the
+    * same patterns run in any engine — the DuckDB oracle uses them
+    * verbatim). The standard first-pass scrub of a web corpus before
+    * training: emails and URLs replaced by stable placeholder tokens. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Replace emails then URLs with placeholder tokens. Map-only, codegen. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      UrlRe, "<URL>")
+
   /** Full per-document stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

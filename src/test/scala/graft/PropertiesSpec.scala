@@ -30,6 +30,20 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: bucketed COW merge == plain upsert of the full snapshot") {
+    import graft.tables.VersionedTable
+    for (((t, u), i) <- samples(4).zip(samples(4).reverse).zipWithIndex) {
+      val target = t.toDF("id", "ver", "v").dropDuplicates("id")
+      val updates = u.toDF("id", "ver", "v").dropDuplicates("id")
+      val tbl = VersionedTable(spark, tmpDir(s"prop-cow-$i-"))
+      tbl.merge(target, Seq("id"), numBuckets = 4)   // bootstrap, bucketed
+      tbl.merge(updates, Seq("id"))                  // COW path
+      val expected = Merge.upsert(target, updates, Seq("id"))
+      assert(tbl.read.collect().toSet === expected.collect().toSet,
+        s"COW merge diverged from reference upsert (sample $i)")
+    }
+  }
+
   test("property: append-with-guard twice == once (S7 dup-payload skip)") {
     for ((e, i) <- samples(5).zip(samples(5).reverse)) {
       val existing = e.toDF("id", "ver", "v").select("id").distinct()

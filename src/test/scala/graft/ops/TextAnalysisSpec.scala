@@ -50,6 +50,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rh1 !== rh2)
   }
 
+  test("redact replaces every email and URL, leaves clean text alone") {
+    val red = eval1[String](TextAnalysis.redact(
+      lit("mail a.b+c@ex-1.org or x@y.io, see https://a.b/c?d=1 and http://z.io plain")))
+    assert(red === "mail <EMAIL> or <EMAIL>, see <URL> and <URL> plain")
+    assert(eval1[String](TextAnalysis.redact(lit("no pii here"))) ===
+      "no pii here")
+  }
+
   test("documentStats projects all features without shuffle") {
     val docs = Seq((1L, "the cat sat"), (2L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.documentStats(docs)

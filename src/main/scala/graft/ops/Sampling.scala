@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   *  - [[hashSample]]: DETERMINISTIC content-hash sampling — the same rows
   *    are selected on every run, on any engine, at any parallelism (the
   *    property train/eval splits need; Bernoulli `df.sample` draws differ
-  *    per run/partitioning). Map-only predicate, pushes to the scan.
+  *    per run/partitioning). Map-only predicate evaluated inside the scan
+  *    stage (md5 can't push into parquet, but nothing shuffles).
   *  - [[stratifiedSample]]: per-stratum fractions via `df.stat.sampleBy`
   *    (seeded Bernoulli) — for rebalancing skewed strata where exact
   *    reproducibility across engines is not required.

@@ -47,6 +47,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
   }
 
+  test("redaction and hash sampling: map-only, no shuffle before the sort") {
+    // q_txt_redact / q_sample_hash end in an orderBy for the oracle; the
+    // operators themselves must add no Exchange beyond that final sort
+    val redact = graft.ops.TextAnalysis.redact(col("text"))
+    val p1 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), redact.as("red"))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"redact shuffled:\n$p1")
+    val p2 = graft.ops.Sampling.hashSample(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+        "doc_id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"hashSample shuffled:\n$p2")
+    // and the scan reads only doc_id for the sample
+    assert("ReadSchema: struct<doc_id:bigint>".r.findFirstIn(p2).isDefined,
+      s"column pruning lost:\n$p2")
+  }
+
   test("metadata-only media stats never read the binary payload column") {
     val media = graft.multimodal.Multimodal.synthesize(spark, 10)
     val tmp = tmpDir("media-")

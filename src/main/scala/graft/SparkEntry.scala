@@ -600,8 +600,7 @@ object SparkEntry {
       val path = Files.createTempDirectory("graft-lsh-").toString + "/lsh"
       Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), path,
         numPlanes = 5, dim = q.size)
-      Similarity.lshProbeTopK(s, path, q, k = 10, numPlanes = 5,
-          probeHamming = 1)
+      Similarity.lshProbeTopK(s, path, q, k = 10, probeHamming = 1)
         .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
         .orderBy(col("sim4").desc, col("vec_id").asc)
     }),
@@ -1074,12 +1073,16 @@ object SparkEntry {
         | FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |       FROM corpus)),
         |blocked AS (
-        | SELECT doc_id, shingles, list_aggregate(shingles, 'min') AS block FROM sh)
+        | SELECT doc_id, shingles, list_aggregate(shingles, 'min') AS block FROM sh),
+        |-- mirror the engine's maxGroupSize=1000 skew guard: degenerate
+        |-- blocks are excluded on BOTH sides so the contract stays equal
+        |big AS (SELECT block FROM blocked GROUP BY block HAVING count(*) > 1000)
         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         | round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |       (len(a.shingles) + len(b.shingles)
         |        - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard4
         |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  AND a.block NOT IN (SELECT block FROM big)
         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |      (len(a.shingles) + len(b.shingles)
         |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5

@@ -230,23 +230,30 @@ case class LshBucketId(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_lsh_bucket"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  /** Degenerate inputs follow the HOF reference exactly: a NULL vector, a
+    * NULL element, or a dimension mismatch NULLs every per-plane dot there
+    * (zip_with pads with NULL, NULL * x = NULL), and `when(null >= 0)`
+    * takes the otherwise(0) branch — so the bucket is 0L, never NULL. */
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val vec = v.asInstanceOf[ArrayData]
     val n = vec.numElements()
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return 0L; i += 1 }
     var bucket = 0L
     var p = 0
     while (p < planes.length) {
       val pl = planes(p)
-      val m = math.min(n, pl.length)
-      var d = 0.0d
-      var i = 0
-      while (i < m) {
-        if (!vec.isNullAt(i)) d += vec.getDouble(i) * pl(i)
-        i += 1
+      if (pl.length == n) { // mismatch → dot is NULL in the HOF → bit 0
+        var d = 0.0d
+        i = 0
+        while (i < n) { d += vec.getDouble(i) * pl(i); i += 1 }
+        if (d >= 0) bucket |= (1L << p)
       }
-      if (d >= 0) bucket |= (1L << p)
       p += 1
     }
     bucket

@@ -22,11 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Pad each side with typed NULL columns for fields only the other side
+    * has (Delta `mergeSchema`/autoMerge-style ADDITIVE evolution), so a
+    * feed that gained a column — e.g. `_rescued_data` appearing after a
+    * producer schema change — merges into a pre-evolution target instead
+    * of crashing, and vice versa. Column ORDER follows target-then-new. */
+  def alignForEvolution(target: DataFrame, updates: DataFrame): (DataFrame, DataFrame) = {
+    val tFields = target.schema.fields
+    val uFields = updates.schema.fields
+    val tNames = tFields.map(_.name).toSet
+    val uNames = uFields.map(_.name).toSet
+    val t2 = uFields.filterNot(f => tNames.contains(f.name))
+      .foldLeft(target)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val order = t2.columns.toSeq
+    val u2 = tFields.filterNot(f => uNames.contains(f.name))
+      .foldLeft(updates)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(order.map(col): _*)
+    (t2, u2)
+  }
+
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
-      s"merge schema mismatch: target=${cols.mkString(",")} updates=${updates.columns.mkString(",")}")
+      s"merge schema mismatch: target=${cols.mkString(",")} updates=${updates.columns.mkString(",")}; " +
+        "use alignForEvolution for additive schema changes")
 
     val t = cols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
     val u = cols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))

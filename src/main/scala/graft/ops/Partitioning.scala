@@ -23,9 +23,8 @@ object Partitioning {
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val maxBytes = math.max(1L,
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        .stripSuffix("b").toLong)
+    // typed accessor handles unit-suffixed settings ("128m", "1g")
+    val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val scans = df.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f
     }

@@ -207,7 +207,9 @@ object Similarity {
 
   /** Write an LSH serving table partitioned by the sign-bit bucket — the
     * persisted form the [[lshBucket]] docs promise: probe reads prune to
-    * the multiprobe bucket set. */
+    * the multiprobe bucket set. The plane spec (numPlanes, dim, seed) is
+    * persisted as a sidecar so probes always recompute the SAME planes —
+    * a caller-supplied mismatch would silently probe wrong buckets. */
   def writeLshTable(embeddings: DataFrame, path: String, numPlanes: Int,
                     dim: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding", seed: Long = 42L): Unit = {
@@ -218,16 +220,23 @@ object Similarity {
       // cluster by bucket first: one file per bucket, not tasks × buckets
       .repartition(col("lsh_bucket"))
       .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_lshspec.csv"), s"$numPlanes,$dim,$seed")
   }
 
   /** Probe-read top-k over a [[writeLshTable]] table: enumerate buckets
     * within `probeHamming` bits of the query's bucket (multiprobe) as a
     * literal IN-list → partition pruning on `lsh_bucket`, then exact
-    * re-rank. */
+    * re-rank. Planes come from the table's sidecar spec, never the caller. */
   def lshProbeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-                   query: Seq[Float], k: Int, numPlanes: Int = 12,
+                   query: Seq[Float], k: Int,
                    probeHamming: Int = 1, idCol: String = "vec_id",
-                   vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+                   vecCol: String = "embedding"): DataFrame = {
+    val Array(np, dim, seed) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_lshspec.csv")).trim.split(",").map(_.toLong)
+    val numPlanes = np.toInt
+    require(dim == query.size,
+      s"query dim ${query.size} != indexed dim $dim at $path")
     val planes = hyperplanes(numPlanes, query.size, seed)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum

@@ -108,8 +108,11 @@ object LiveEvents {
   def conformToSilver(spark: SparkSession, bronzeGlob: String,
                       checkpointDir: String, silver: VersionedTable,
                       watermarkDelay: String = "1 hour"): Unit = {
+    // mergeSchema: bronze may mix pre- and post-evolution file-sets (e.g.
+    // `_rescued_data` appearing mid-feed); a plain read would take ONE
+    // file's footer schema nondeterministically and could drop the column
     val stream = spark.readStream
-      .schema(spark.read.parquet(bronzeGlob).schema)
+      .schema(spark.read.option("mergeSchema", "true").parquet(bronzeGlob).schema)
       .parquet(bronzeGlob)
     // carry `_rescued_data` through when the bronze feed has it, so
     // schema-evolved fields stay recoverable in silver

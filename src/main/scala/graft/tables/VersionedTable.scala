@@ -153,7 +153,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         fsId
       }
     deleteRecursively(staging) // leftover _SUCCESS marker
-    ids.sorted
+    if (ids.nonEmpty) ids.sorted
+    else {
+      // empty input: a dynamic-partition write emits no bucket dirs, which
+      // would commit a schema-LESS snapshot (read = emptyDataFrame). Write
+      // one schema-bearing empty file-set instead, tagged bucket 0.
+      val fid = writeFileSet(df)
+      val tagged = f"$fid.b${0}%05d"
+      Files.move(dataDir.resolve(fid), dataDir.resolve(tagged))
+      Seq(tagged)
+    }
   }
 
   // ------------------------------------------------------------------ reads
@@ -237,8 +246,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** MERGE upsert: update matched target rows with the update row, insert
     * unmatched updates, keep unmatched target rows. Rerun-idempotent
-    * (merge twice ≡ merge once) as the reference requires for
-    * silver.live_event (docs/backlog.md:49-51,75-78).
+    * (merge twice ≡ merge once) for non-NULL keys, as the reference
+    * requires for silver.live_event (docs/backlog.md:49-51,75-78).
+    * NULL-keyed update rows INSERT on every run (SQL MERGE ON semantics —
+    * NULL never matches); replay-safe callers must pre-filter NULL keys,
+    * as the streaming conformers do. Additive schema changes on either
+    * side are tolerated (Merge.alignForEvolution pads typed NULLs).
     *
     * '''Copy-on-write at bucket granularity''' (the Delta-MERGE
     * touched-files-only plan): the first merge buckets the table on the
@@ -258,11 +271,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             preferUpdateBy: Option[String] = None,
             numBuckets: Int = DefaultMergeBuckets): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    val dedupedUpdates = preferUpdateBy match {
+    // the deduped lineage (a window / dropDuplicates) feeds the touched-
+    // bucket probe, the upsert join AND the bucketed write — persist so
+    // it is computed once per merge, not three times
+    val dedupedUpdates = (preferUpdateBy match {
       case Some(ord) => graft.ops.Keyed.latestPerKey(updates, keys, ord)
       case None      => updates.dropDuplicates(keys)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def upsertInto(target: DataFrame): DataFrame = {
+      val (t2, u2) = graft.ops.Merge.alignForEvolution(target, dedupedUpdates)
+      graft.ops.Merge.upsert(t2, u2, keys)
     }
-    bucketSpec match {
+    try bucketSpec match {
       case Some(spec) =>
         require(spec.keys == keys,
           s"merge keys $keys != table bucket keys ${spec.keys} at $root")
@@ -275,22 +295,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             prev.partition(fs => bucketOf(fs).exists(touched.contains))
           val merged =
             if (touchedSets.isEmpty) dedupedUpdates
-            else graft.ops.Merge.upsert(readFileSets(touchedSets),
-              dedupedUpdates, keys)
+            else upsertInto(readFileSets(touchedSets))
           commit("merge", untouched ++ writeBucketedFileSets(merged, spec))
         } else { // unbucketed file-sets present (e.g. pre-spec appends): migrate
-          val merged = graft.ops.Merge.upsert(read, dedupedUpdates, keys)
-          commit("merge", writeBucketedFileSets(merged, spec))
+          commit("merge", writeBucketedFileSets(upsertInto(read), spec))
         }
       case None if !exists =>
         writeSpec(BucketSpec(keys, numBuckets))
         commit("merge", writeBucketedFileSets(dedupedUpdates, bucketSpec.get))
       case None => // one-time migration of a legacy unbucketed table
         val spec = BucketSpec(keys, numBuckets)
-        val merged = graft.ops.Merge.upsert(read, dedupedUpdates, keys)
+        val merged = upsertInto(read)
         writeSpec(spec)
         commit("merge", writeBucketedFileSets(merged, spec))
-    }
+    } finally dedupedUpdates.unpersist()
   }
 
   /** Point-lookup read on a merge-bucketed table: scans ONLY the file-sets
@@ -316,9 +334,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None => keyFilter(read)
       case Some(sp) =>
         // bucket each key tuple driver-side with Spark's own hash expr so
-        // the routing matches the write path exactly (one tiny local job)
-        val lits = keyValues.map(tuple =>
-          pmod(hash(tuple.map(lit): _*), lit(sp.numBuckets)))
+        // the routing matches the write path exactly (one tiny local job).
+        // Literals are CAST to the table's column types first: hash() is
+        // type-sensitive (hash(42: int) != hash(42L: bigint)), so an
+        // uncast literal would silently probe the wrong bucket.
+        val schema = read.schema
+        val lits = keyValues.map { tuple =>
+          val typed = sp.keys.zip(tuple).map { case (k, v) =>
+            schema.find(_.name == k)
+              .map(f => lit(v).cast(f.dataType)).getOrElse(lit(v))
+          }
+          pmod(hash(typed: _*), lit(sp.numBuckets))
+        }
         val buckets = spark.range(1)
           .select(array(lits: _*).as("b")).head().getSeq[Int](0).toSet
         val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)

@@ -39,6 +39,22 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("alignForEvolution pads additive columns with typed nulls, both ways") {
+    val t = Seq((1, "a")).toDF("id", "tag")
+    val u = Seq((2, "b", 0.5)).toDF("id", "tag", "score") // updates evolved
+    val (t2, u2) = Merge.alignForEvolution(t, u)
+    assert(t2.columns.toSeq === u2.columns.toSeq)
+    val out = Merge.upsert(t2, u2, Seq("id"))
+      .as[(Int, String, Option[Double])].collect().toSet
+    assert(out === Set((1, "a", None), (2, "b", Some(0.5))))
+    // reverse: target has the extra column
+    val (t3, u3) = Merge.alignForEvolution(u, t)
+    assert(t3.columns.toSeq === u3.columns.toSeq)
+    val out2 = Merge.upsert(t3, u3, Seq("id"))
+      .as[(Int, String, Option[Double])].collect().toSet
+    assert(out2 === Set((1, "a", None), (2, "b", Some(0.5))))
+  }
+
   test("null keys never match (SQL MERGE ON semantics): null update inserts") {
     val t = Seq((Some(1), "a"), (None, "n")).toDF("id", "tag")
     val u = Seq((None.asInstanceOf[Option[Int]], "N")).toDF("id", "tag")

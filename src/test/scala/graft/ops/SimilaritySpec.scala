@@ -118,7 +118,7 @@ class SimilaritySpec extends SparkSpec {
     val path = tmpDir("lsh-serve-") + "/lsh"
     Similarity.writeLshTable(df, path, numPlanes = 6, dim = 16)
     val out = Similarity.lshProbeTopK(spark, path, query, k = 1,
-      numPlanes = 6, probeHamming = 1)
+      probeHamming = 1)
     val scan = out.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec => f
     }.head
@@ -152,6 +152,21 @@ class SimilaritySpec extends SparkSpec {
         Similarity.lshBucketHof(col("embedding"), planes).as("hof"))
       .filter(col("fast") =!= col("hof")).count()
     assert(mismatches === 0)
+    // degenerate inputs too: null vector, null element, dim mismatch all
+    // bucket to 0 in the HOF reference — the expression must agree
+    val degen = Seq(
+      (1L, None: Option[Seq[Option[Float]]]),
+      (2L, Some(Seq(Some(1f), None))),              // null element
+      (3L, Some(Seq(Some(1f), Some(2f), Some(3f)))) // dim mismatch (3 != 24)
+    ).toDF("vec_id", "embedding")
+    val dm = degen.select(
+        Similarity.lshBucket(col("embedding"), planes).as("fast"),
+        Similarity.lshBucketHof(col("embedding"), planes).as("hof"))
+      .collect()
+    dm.foreach { r =>
+      assert(!r.isNullAt(0) && r.getLong(0) === 0L, s"fast: $r")
+      assert((if (r.isNullAt(1)) 0L else r.getLong(1)) === 0L, s"hof: $r")
+    }
   }
 
   test("hyperplanes are deterministic under a seed") {

@@ -125,6 +125,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 101)
   }
 
+  test("merge tolerates additive schema evolution and empty batches") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-evo-merge-"))
+    t.merge(Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"))
+    // a later feed gained a column (e.g. _rescued_data appearing mid-feed)
+    t.merge(Seq((2, "b2", "extra")).toDF("id", "v", "rescued"), Seq("id"))
+    val out = t.read.select("id", "v", "rescued")
+      .as[(Int, String, Option[String])].collect().toSet
+    assert(out === Set((1, "a", None), (2, "b2", Some("extra"))))
+    // an empty micro-batch must not produce a schema-less snapshot
+    val empty = Seq.empty[(Int, String, String)].toDF("id", "v", "rescued")
+    t.merge(empty, Seq("id"))
+    assert(t.read.columns.contains("id"))
+    assert(t.read.count() === 2)
+    // and bootstrapping a NEW table from an empty batch keeps the schema
+    val t2 = VersionedTable(spark, tmpDir("vt-empty-boot-"))
+    t2.merge(Seq.empty[(Int, String)].toDF("id", "v"), Seq("id"))
+    assert(t2.read.columns.toSeq === Seq("id", "v"))
+    assert(t2.read.count() === 0)
+  }
+
   test("readForKeys scans only the key's bucket file-sets") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.execution.FileSourceScanExec

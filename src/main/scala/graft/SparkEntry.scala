@@ -639,6 +639,20 @@ object SparkEntry {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n_rows"))
         .orderBy("l_returnflag")),
 
+    // Skew 2: salted broadcast join — hot fact keys spread over 16 salt
+    // buckets while the small dim is replicated; result equals the plain
+    // join (oracle).
+    "q_skew_salted_join" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoinSmall(
+          t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+          t(s, dir, "part").select(col("p_partkey").as("l_partkey"),
+            col("p_brand")),
+          "l_partkey")
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
     // Multimodal: binary media columns + partition-parallel feature
     // extraction (stub decode, real plumbing) — metadata aggregate is
     // fully deterministic and oracle-checkable.
@@ -1164,6 +1178,12 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ml1_features" ->
       """WITH history AS (

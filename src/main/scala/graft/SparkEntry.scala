@@ -664,6 +664,23 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Text: corpus top-terms — explode tokens, count, deterministic
+    // top-20 (n desc, term asc); the tie-stable total order makes the
+    // cut identical in every engine.
+    "q_txt_top_terms" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20)),
+
+    // Funnel: ordered-step conversion counts (view → click → purchase),
+    // each step gated on happening at/after the entity's previous step.
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnelCounts(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))),
+
     // Text: PII-style redaction (emails/URLs → placeholders) — the
     // standard first-pass corpus scrub; planted PII so the op provably
     // fires, counts recovered from placeholder lengths.
@@ -809,6 +826,31 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_txt_top_terms" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |      FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS step_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_entities
+        |UNION ALL SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
+
     "q_txt_redact" ->
       """WITH aug AS (
         | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)

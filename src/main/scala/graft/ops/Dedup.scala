@@ -114,10 +114,8 @@ object Dedup {
                           numHashes: Int = 128, bands: Int = 16,
                           shingleSize: Int = 3, jaccardThreshold: Double = 0.8,
                           maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // Stage 1 (map-only, computed once and persisted — at cluster scale
-    // this relation would be checkpointed to parquet instead): doc →
+    // checkpoint via writeMinhashSignatureTable instead): doc →
     // hashed shingle set + minhash signature. Shingle STRINGS are never
     // materialized: graft_shingle_hashes combines per-token hashes in one
     // loop, and Jaccard verification is identical on the hash sets (64-bit
@@ -131,7 +129,17 @@ object Dedup {
       .withColumn("sig",
         call_function("graft_minhash_hashes", col("shingles"), lit(numHashes)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairsFromSignatures(sigd, numHashes, bands, jaccardThreshold, maxBucketSize)
+  }
 
+  /** Stages 2–4 of the MinHash pipeline over a (doc_id, shingles, sig)
+    * relation — shared by the in-memory path and the checkpointed-table
+    * path ([[writeMinhashSignatureTable]]). */
+  private def pairsFromSignatures(sigd: DataFrame, numHashes: Int, bands: Int,
+                                  jaccardThreshold: Double,
+                                  maxBucketSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     // Stage 2: id-only banded relation — the shuffle key set never
     // carries shingle payloads.
     val banded = sigd.select(
@@ -160,6 +168,45 @@ object Dedup {
           size(array_union(col("shingles_a"), col("shingles_b"))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** Checkpoint the signature relation to parquet — the cluster-scale
+    * shape the near-dup docstring promises: signatures are computed ONCE
+    * per corpus version (the expensive stage), and candidate generation /
+    * verification reruns (tuning bands, thresholds) read the table
+    * instead of re-hashing 100 TB of text. numHashes/shingleSize land in
+    * a sidecar so later probes can't run with mismatched parameters. */
+  def writeMinhashSignatureTable(docs: DataFrame, path: String,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 numHashes: Int = 128,
+                                 shingleSize: Int = 3): Unit = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        call_function("graft_shingle_hashes",
+          TextAnalysis.tokens(col(textCol)), lit(shingleSize)).as("shingles"))
+      .withColumn("sig",
+        call_function("graft_minhash_hashes", col("shingles"), lit(numHashes)))
+      .write.mode("overwrite").parquet(path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_minhashspec.csv"),
+      s"$numHashes,$shingleSize")
+  }
+
+  /** Near-dup pairs from a checkpointed signature table: stages 2–4 only
+    * — no text is re-read, no signatures recomputed. `bands` stays a
+    * query-time knob (the S-curve operating point), numHashes comes from
+    * the table's sidecar. */
+  def minhashNearDupPairsFromTable(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, bands: Int = 16,
+                                   jaccardThreshold: Double = 0.8,
+                                   maxBucketSize: Int = 1000): DataFrame = {
+    val numHashes = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_minhashspec.csv"))
+      .trim.split(",")(0).toInt
+    pairsFromSignatures(spark.read.parquet(path), numHashes, bands,
+      jaccardThreshold, maxBucketSize)
   }
 
   /** Dedup a corpus with MinHash-LSH: connected near-dup pairs collapse to

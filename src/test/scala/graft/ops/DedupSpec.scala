@@ -46,6 +46,18 @@ class DedupSpec extends SparkSpec {
       s"unexpected pairs: ${pairs -- planted -- exactPair}")
   }
 
+  test("checkpointed signature table yields the same near-dup pairs") {
+    val path = tmpDir("mh-sigs-") + "/sigs"
+    Dedup.writeMinhashSignatureTable(corpus, path)
+    val fromTable = Dedup.minhashNearDupPairsFromTable(spark, path,
+        jaccardThreshold = 0.7)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val direct = Dedup.minhashNearDupPairs(corpus, jaccardThreshold = 0.7)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(fromTable === direct)
+    assert(fromTable.nonEmpty)
+  }
+
   test("minhashDedup removes near-dup losers, keeps winners") {
     val out = Dedup.minhashDedup(corpus, jaccardThreshold = 0.7)
     val kept = out.select("doc_id").as[Long].collect().toSet

@@ -639,6 +639,20 @@ object SparkEntry {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n_rows"))
         .orderBy("l_returnflag")),
 
+    // M: incremental append consumption (change-feed-lite) — rows added
+    // after a version, read from only the NEW file-sets (O(new data)).
+    "q_m4_incremental" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-incr-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+      tbl.append(o.filter(col("o_orderkey") % 3 === 0)) // v0: the base
+      tbl.append(o.filter(col("o_orderkey") % 3 === 1)) // v1
+      tbl.append(o.filter(col("o_orderkey") % 3 === 2)) // v2
+      tbl.readAddedSince(0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Skew 2: salted broadcast join — hot fact keys spread over 16 salt
     // buckets while the small dim is replicated; result equals the plain
     // join (oracle).
@@ -1220,6 +1234,11 @@ object SparkEntry {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         | CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m4_incremental" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,

@@ -183,6 +183,27 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     history.filter(_.tsMillis <= tsMillis).lastOption
       .getOrElse(sys.error(s"no version as of $tsMillis at $root")))
 
+  /** Incremental consumption for append-only feeds (the change-feed-lite
+    * a downstream batch consumer needs): exactly the rows added after
+    * version `v`, read from the file-sets that version `v` did not have —
+    * O(new data), the table's size is irrelevant. Valid only while every
+    * action after `v` is an append; compact/overwrite/merge rewrite
+    * file-sets, so the diff would misreport — those histories error and
+    * the caller falls back to a full re-read. */
+  def readAddedSince(v: Long): DataFrame = {
+    val h = history
+    val base = h.find(_.version == v)
+      .getOrElse(sys.error(s"no version $v at $root"))
+    val later = h.filter(_.version > v)
+    require(later.forall(_.action == "append"),
+      s"readAddedSince needs append-only history after v$v at $root; " +
+        s"saw ${later.map(_.action).distinct.mkString(",")} — re-read the snapshot")
+    val baseSets = base.fileSets.toSet
+    val newSets = h.lastOption.map(_.fileSets).getOrElse(Nil)
+      .filterNot(baseSets.contains)
+    if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
+  }
+
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
     else readFileSets(e.fileSets)

@@ -184,6 +184,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 13)
   }
 
+  test("readAddedSince returns only post-version appends; rejects rewrites") {
+    val t = VersionedTable(spark, tmpDir("vt-incr-"))
+    t.append(Seq(1, 2).toDF("id"))             // v0
+    t.append(Seq(3).toDF("id"))                // v1
+    t.append(Seq(4, 5).toDF("id"))             // v2
+    assert(t.readAddedSince(0).as[Int].collect().toSet === Set(3, 4, 5))
+    assert(t.readAddedSince(1).as[Int].collect().toSet === Set(4, 5))
+    assert(t.readAddedSince(2).count() === 0)  // nothing after the head
+    t.compact()                                // v3 rewrites file-sets
+    assertThrows[IllegalArgumentException](t.readAddedSince(0))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

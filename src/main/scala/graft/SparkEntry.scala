@@ -678,6 +678,22 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Connected components (dedup-cluster operator): iterative min-label
+    // propagation over a deterministic consecutive-pair edge set; the
+    // oracle computes the same components in closed form (gaps-and-
+    // islands), so the general algorithm is checked against an
+    // independent derivation.
+    "q_cc_components" -> ((s, dir) => {
+      val ids = events(s, dir).select(col("event_id").cast("long").as("id"))
+      val edges = ids.select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .filter(col("src") % 7 < 3 || col("src") % 5 === 0)
+        .join(ids.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Components.connectedComponents(edges)
+        .groupBy("comp").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
+    }),
+
     // Text: corpus top-terms — explode tokens, count, deterministic
     // top-20 (n desc, term asc); the tie-stable total order makes the
     // cut identical in every engine.
@@ -840,6 +856,24 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_cc_components" ->
+      """WITH e AS (
+        |  SELECT event_id AS src, event_id + 1 AS dst FROM events
+        |  WHERE (event_id % 7 < 3 OR event_id % 5 = 0)
+        |    AND event_id + 1 <= (SELECT max(event_id) FROM events)),
+        |verts AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+        |flagged AS (
+        |  SELECT v, CASE WHEN EXISTS (SELECT 1 FROM e WHERE e.dst = v)
+        |    THEN 0 ELSE 1 END AS is_start FROM verts),
+        |islands AS (
+        |  SELECT v, sum(is_start) OVER (ORDER BY v) AS comp FROM flagged),
+        |sizes AS (SELECT comp, count(*) AS size FROM islands GROUP BY 1)
+        |SELECT CAST(size AS BIGINT) AS size,
+        |  CAST(count(*) AS BIGINT) AS n_components
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_txt_top_terms" ->
       """SELECT term, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the operator that turns
+  * near-dup PAIRS into dedup CLUSTERS (transitive closure), which
+  * single-link pair collapsing approximates only for star-shaped
+  * clusters.
+  *
+  * Algorithm: iterative min-label propagation, the standard Spark
+  * formulation of distributed union-find (GraphX/GraphFrames use the
+  * same shape). Every vertex starts labeled with its own id; each round
+  * every vertex takes the minimum label in its closed neighborhood;
+  * fixpoint when no label changes. Rounds = cluster diameter — small for
+  * the chain/star clusters dedup produces (label-prop is O(diameter);
+  * the large-star/small-star variant would make it O(log n) if ever
+  * needed for long chains).
+  *
+  * Scale shape per round: ONE shuffle-join of the symmetrized edges with
+  * the current labels (both hash-partitioned on vertex id) + one
+  * min-aggregation. Lineage is cut every round with an eager
+  * localCheckpoint so the plan stays bounded instead of growing by two
+  * joins per iteration; the change count that drives convergence rides
+  * the same materialization.
+  */
+object Components {
+
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+                          dstCol: String = "dst",
+                          maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
+      .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+    var labels = sym.select("id").distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("nbr"), col("comp").as("nbr_comp")),
+          "nbr")
+        .groupBy("id").agg(min("nbr_comp").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+            .as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("old_comp")).count()
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(cluster diameter exceeds maxIter)")
+    labels
+  }
+}

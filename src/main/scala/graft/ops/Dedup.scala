@@ -211,7 +211,8 @@ object Dedup {
 
   /** Dedup a corpus with MinHash-LSH: connected near-dup pairs collapse to
     * the smallest id (single-link, one union step — sufficient when dup
-    * clusters are star-shaped; full transitive closure would iterate). */
+    * clusters are star-shaped; [[minhashDedupTransitive]] does the full
+    * closure). */
   def minhashDedup(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
                    jaccardThreshold: Double = 0.8): DataFrame = {
@@ -219,6 +220,22 @@ object Dedup {
       jaccardThreshold = jaccardThreshold)
     val losers = pairs.groupBy(col("doc_id_b").as(idCol))
       .agg(min("doc_id_a").as("__kept"))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Transitive-closure dedup: near-dup pairs → connected components →
+    * keep only each cluster's smallest id. Correct for CHAIN-shaped
+    * clusters too (A~B~C where A and C are not direct near-dups — the
+    * shape templated/versioned corpora produce), where pairwise collapse
+    * has no cluster notion. */
+  def minhashDedupTransitive(docs: DataFrame, textCol: String = "text",
+                             idCol: String = "doc_id",
+                             jaccardThreshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, textCol, idCol,
+      jaccardThreshold = jaccardThreshold)
+    val comps = Components.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+    val losers = comps.filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

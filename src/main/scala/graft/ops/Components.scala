@@ -31,28 +31,36 @@ object Components {
                           maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+
+    // one label-propagation hop: every vertex takes the min label in its
+    // closed neighborhood
+    def propagate(l: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(l.select(col("id").as("nbr"), col("comp").as("nbr_comp")), "nbr")
+        .groupBy("id").agg(min("nbr_comp").as("nbr_min"))
+      l.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+    }
+
     var labels = sym.select("id").distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("nbr"), col("comp").as("nbr_comp")),
-          "nbr")
-        .groupBy("id").agg(min("nbr_comp").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp")))
-            .as("comp"))
-        .localCheckpoint()
-      changed = next.filter(col("comp") =!= col("old_comp")).count()
-      labels = next.select("id", "comp")
+      // TWO hops per materialization round: halves the checkpoint +
+      // convergence-check actions for the same label spread
+      val next = propagate(propagate(labels)).localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("comp", "old_comp"), "id")
+        .filter(col("comp") =!= col("old_comp")).count()
+      labels = next
       iter += 1
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
-        "(cluster diameter exceeds maxIter)")
+        "(cluster diameter exceeds ${2 * maxIter} hops)")
     labels
   }
 }

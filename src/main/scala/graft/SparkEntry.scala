@@ -858,9 +858,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_cc_components" ->
       """WITH e AS (
-        |  SELECT event_id AS src, event_id + 1 AS dst FROM events
+        |  SELECT event_id AS src, event_id + 1 AS dst FROM events ev
         |  WHERE (event_id % 7 < 3 OR event_id % 5 = 0)
-        |    AND event_id + 1 <= (SELECT max(event_id) FROM events)),
+        |    AND EXISTS (SELECT 1 FROM events e2
+        |                WHERE e2.event_id = ev.event_id + 1)),
         |verts AS (
         |  SELECT DISTINCT v FROM (
         |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),

@@ -29,8 +29,13 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
                           dstCol: String = "dst",
                           maxIter: Int = 30): DataFrame = {
+    // materialize the symmetrized edges ONCE: `edges` may be an expensive
+    // pipeline (in minhashDedupTransitive it is the whole LSH candidate +
+    // verify DAG) and is re-joined every round — without this cut each
+    // round would recompute that entire lineage
     val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nbr"))
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nbr")))
+      .localCheckpoint()
 
     // one label-propagation hop: every vertex takes the min label in its
     // closed neighborhood
@@ -60,7 +65,9 @@ object Components {
     }
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds " +
-        "(cluster diameter exceeds ${2 * maxIter} hops)")
+        s"(cluster diameter exceeds ${2 * maxIter} hops)")
+    // checkpointed per-round label copies are freed by the ContextCleaner
+    // once dereferenced; rounds = diameter/2, small for dedup clusters
     labels
   }
 }

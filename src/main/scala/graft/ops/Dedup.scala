@@ -189,8 +189,7 @@ object Dedup {
       .withColumn("sig",
         call_function("graft_minhash_hashes", col("shingles"), lit(numHashes)))
       .write.mode("overwrite").parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_minhashspec.csv"),
+    Sidecar.write(docs.sparkSession, path, "_minhashspec.csv",
       s"$numHashes,$shingleSize")
   }
 
@@ -202,9 +201,8 @@ object Dedup {
                                    path: String, bands: Int = 16,
                                    jaccardThreshold: Double = 0.8,
                                    maxBucketSize: Int = 1000): DataFrame = {
-    val numHashes = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_minhashspec.csv"))
-      .trim.split(",")(0).toInt
+    val numHashes =
+      Sidecar.read(spark, path, "_minhashspec.csv").split(",")(0).toInt
     pairsFromSignatures(spark.read.parquet(path), numHashes, bands,
       jaccardThreshold, maxBucketSize)
   }

@@ -176,14 +176,13 @@ object Similarity {
     // cell → one file per cell, instead of (tasks × cells) small files
     idx.assigned.repartition(col("ivf_cell"))
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
-    val lines = idx.centroids.map(_.mkString(",")).mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_centroids.csv"), lines)
+    Sidecar.write(embeddings.sparkSession, path, "_centroids.csv",
+      idx.centroids.map(_.mkString(",")).mkString("\n"))
   }
 
-  private def readCentroids(path: String): Array[Array[Double]] =
-    java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path, "_centroids.csv"))
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Double]] =
+    Sidecar.read(spark, path, "_centroids.csv")
       .split("\n").map(_.split(",").map(_.toDouble))
 
   /** Probe-read top-k over a table written by [[writeIvfTable]]: rank the
@@ -196,7 +195,8 @@ object Similarity {
                    query: Seq[Float], k: Int, nProbe: Int,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val cells = IvfIndex(readCentroids(path), null).probeCells(query, nProbe)
+    val cells = IvfIndex(readCentroids(spark, path), null)
+      .probeCells(query, nProbe)
     val pruned = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(cells: _*))
     bruteForceCosine(pruned, query, idCol, vecCol)
@@ -220,8 +220,8 @@ object Similarity {
       // cluster by bucket first: one file per bucket, not tasks × buckets
       .repartition(col("lsh_bucket"))
       .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_lshspec.csv"), s"$numPlanes,$dim,$seed")
+    Sidecar.write(embeddings.sparkSession, path, "_lshspec.csv",
+      s"$numPlanes,$dim,$seed")
   }
 
   /** Probe-read top-k over a [[writeLshTable]] table: enumerate buckets
@@ -232,8 +232,8 @@ object Similarity {
                    query: Seq[Float], k: Int,
                    probeHamming: Int = 1, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val Array(np, dim, seed) = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_lshspec.csv")).trim.split(",").map(_.toLong)
+    val Array(np, dim, seed) =
+      Sidecar.read(spark, path, "_lshspec.csv").split(",").map(_.toLong)
     val numPlanes = np.toInt
     require(dim == query.size,
       s"query dim ${query.size} != indexed dim $dim at $path")

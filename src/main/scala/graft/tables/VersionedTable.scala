@@ -128,7 +128,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * table plans with zero per-file-set metadata reads instead of 10k
     * driver-side footer fetches. */
   private def schemaTag(df: DataFrame): String =
-    f"${df.schema.json.hashCode & 0xffffffffL}%08x".takeRight(8)
+    // first 8 hex of SHA-256: String.hashCode collides trivially
+    // ("Aa" vs "BB"), and a tag collision would silently fold two schema
+    // generations into one scan that drops the evolved columns
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(df.schema.json.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
 
   private def writeFileSet(df: DataFrame, partitionBy: Seq[String] = Nil): String = {
     val id = s"${UUID.randomUUID().toString}.s${schemaTag(df)}"

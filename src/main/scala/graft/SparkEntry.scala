@@ -678,6 +678,21 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Range join (no equi key): points-in-interval via grid bucketing —
+    // cell equi-join + exact refine instead of the cartesian Spark plans
+    // for a naive BETWEEN join. Oracle is DuckDB's native inequality join.
+    "q_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val points = e.select(col("event_id").as("pid"), col("ts").as("pt"))
+      val intervals = e.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("iid"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      graft.ops.RangeJoin.pointInInterval(points, "pt",
+          intervals, "start_ts", "end_ts", cellWidthMs = 15 * 60 * 1000)
+        .groupBy("iid").agg(count(lit(1)).as("n_points"))
+        .orderBy("iid")
+    }),
+
     // Connected components (dedup-cluster operator): iterative min-label
     // propagation over a deterministic consecutive-pair edge set; the
     // oracle computes the same components in closed form (gaps-and-
@@ -856,6 +871,13 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT i.event_id AS iid, CAST(count(*) AS BIGINT) AS n_points
+        |FROM (SELECT event_id, ts FROM events WHERE event_id % 97 = 0) i
+        |JOIN events p
+        |  ON p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_cc_components" ->
       """WITH e AS (
         |  SELECT event_id AS src, event_id + 1 AS dst FROM events ev

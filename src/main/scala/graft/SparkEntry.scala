@@ -639,6 +639,27 @@ object SparkEntry {
           round(col("sum_l_quantity"), 2).as("sum_qty"), col("n_rows"))
         .orderBy("l_returnflag")),
 
+    // M: data-skipping range read — per-file-set min/max stats prune
+    // whole file-sets before any parquet is opened; the residual filter
+    // keeps results exact (Delta data-skipping analog).
+    "q_m5_range_read" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-skip-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+      val d95 = lit("1995-01-01").cast("timestamp")
+      val d97 = lit("1997-01-01").cast("timestamp")
+      tbl.append(o.filter(col("o_orderdate") < d95),
+        statsFor = Seq("o_orderdate"))
+      tbl.append(o.filter(col("o_orderdate") >= d95 &&
+        col("o_orderdate") < d97), statsFor = Seq("o_orderdate"))
+      tbl.append(o.filter(col("o_orderdate") >= d97),
+        statsFor = Seq("o_orderdate"))
+      tbl.readRange("o_orderdate", "1995-06-01", "1996-06-01")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // M: incremental append consumption (change-feed-lite) — rows added
     // after a version, read from only the NEW file-sets (O(new data)).
     "q_m4_incremental" -> ((s, dir) => {
@@ -1295,6 +1316,14 @@ object SparkEntry {
     "q_m4_incremental" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
         |FROM orders WHERE o_orderkey % 3 IN (1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m5_range_read" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-06-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted_join" ->

@@ -253,6 +253,67 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     listDir(p).exists(d => Files.isDirectory(d) &&
       d.getFileName.toString.contains("="))
 
+  // ------------------------------------------------------- file-set stats
+
+  /** Delta-style data skipping: per-file-set min/max of declared columns,
+    * written as a sidecar at append time (one tiny agg over the NEW
+    * file-set only — O(new data)), consumed by [[readRange]] to prune
+    * whole file-sets without opening them. Values are URL-encoded so any
+    * string content round-trips; numeric columns compare numerically,
+    * everything else lexically (correct for ISO dates/timestamps). */
+  private def writeStatsSidecar(fileSet: String, statsFor: Seq[String]): Unit = {
+    if (statsFor.isEmpty) return
+    val fsDf = spark.read.parquet(dataDir.resolve(fileSet).toString)
+    val aggs = statsFor.flatMap(c =>
+      Seq(min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+    val row = fsDf.agg(aggs.head, aggs.tail: _*).collect().head
+    val numeric = fsDf.schema.fields
+      .filter(f => statsFor.contains(f.name))
+      .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .toMap
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val lines = statsFor.zipWithIndex.flatMap { case (c, i) =>
+      val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
+      if (mn == null || mx == null) None // all-null column: no skipping
+      else Some(s"${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${numeric(c)}")
+    }
+    Files.writeString(dataDir.resolve(fileSet).resolve("_fstats.tsv"),
+      lines.mkString("\n"))
+  }
+
+  /** (min, max, isNumeric) per column for a file-set, if stats exist. */
+  private def readStatsSidecar(fileSet: String): Map[String, (String, String, Boolean)] = {
+    val p = dataDir.resolve(fileSet).resolve("_fstats.tsv")
+    if (!Files.exists(p)) return Map.empty
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(c, mn, mx, num) = line.split("\t", 4)
+      dec(c) -> ((dec(mn), dec(mx), num.toBoolean))
+    }.toMap
+  }
+
+  /** Range read with file-set skipping: scans ONLY the file-sets whose
+    * recorded [min, max] for `column` overlaps [lower, upper] (file-sets
+    * without stats are always read — skipping never loses rows). The
+    * residual filter still applies, so results are exact. */
+  def readRange(column: String, lower: String, upper: String): DataFrame = {
+    val fileSets = history.lastOption.map(_.fileSets)
+      .getOrElse(sys.error(s"empty table at $root"))
+    val kept = fileSets.filter { fs =>
+      readStatsSidecar(fs).get(column) match {
+        case Some((mn, mx, numeric)) =>
+          if (numeric)
+            !(mx.toDouble < lower.toDouble || mn.toDouble > upper.toDouble)
+          else !(mx < lower || mn > upper)
+        case None => true
+      }
+    }
+    val base = if (kept.isEmpty) read.limit(0) else readFileSets(kept)
+    base.filter(col(column) >= lit(lower).cast(base.schema(column).dataType) &&
+      col(column) <= lit(upper).cast(base.schema(column).dataType))
+  }
+
   // ----------------------------------------------------------- public writes
 
   /** Append-only write: O(new data), never rewrites existing files.
@@ -260,16 +321,21 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * documents at docs/architecture.md:56 but never declares) lays the
     * file-set out hive-style so reads get partition pruning; all file-sets
     * of a table must use the same partitioning. On a merge-bucketed table
-    * the rows are bucket-split instead so later merges stay copy-on-write. */
-  def append(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry =
+    * the rows are bucket-split instead so later merges stay copy-on-write.
+    * `statsFor` records per-file-set min/max sidecars for [[readRange]]
+    * data skipping. */
+  def append(df: DataFrame, partitionBy: Seq[String] = Nil,
+             statsFor: Seq[String] = Nil): LogEntry =
     bucketSpec match {
       case Some(spec) =>
         require(partitionBy.isEmpty,
           "merge-bucketed tables are laid out by key-hash bucket; partitionBy unsupported")
         val ids = writeBucketedFileSets(df, spec)
+        ids.foreach(writeStatsSidecar(_, statsFor))
         commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) ++ ids)
       case None =>
         val id = writeFileSet(df, partitionBy)
+        writeStatsSidecar(id, statsFor)
         commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
     }
 

@@ -184,6 +184,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 13)
   }
 
+  test("readRange skips file-sets via min/max stats sidecars, exactly") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-stats-"))
+    // three appends with disjoint id ranges, stats recorded on `id`
+    t.append(spark.range(0, 100).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(200, 300).toDF("id"), statsFor = Seq("id"))
+    val out = t.readRange("id", "120", "180")
+    assert(out.as[Long].collect().toSet === (120L to 180L).toSet)
+    // skipping is real: only the middle file-set's files are opened
+    assert(out.inputFiles.length < t.read.inputFiles.length,
+      s"no skipping: ${out.inputFiles.length}/${t.read.inputFiles.length}")
+    // file-sets without stats are never skipped (correctness first)
+    t.append(spark.range(150, 160).toDF("id")) // no statsFor
+    val out2 = t.readRange("id", "150", "159")
+    assert(out2.count() === 20) // 10 from stats'd set + 10 from statless
+  }
+
   test("readAddedSince returns only post-version appends; rejects rewrites") {
     val t = VersionedTable(spark, tmpDir("vt-incr-"))
     t.append(Seq(1, 2).toDF("id"))             // v0

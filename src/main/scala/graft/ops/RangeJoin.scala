@@ -26,6 +26,9 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       cellWidthMs: Long): DataFrame = {
     require(cellWidthMs > 0, "cellWidthMs must be positive")
+    require(!points.columns.contains("__cell") &&
+      !intervals.columns.contains("__cell"),
+      "inputs must not carry a __cell column (reserved working column)")
     val pc = points.withColumn("__cell",
       floor(unix_millis(col(ptCol)) / cellWidthMs))
     val ic = intervals.withColumn("__cell",

@@ -261,25 +261,35 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * whole file-sets without opening them. Values are URL-encoded so any
     * string content round-trips; numeric columns compare numerically,
     * everything else lexically (correct for ISO dates/timestamps). */
-  private def writeStatsSidecar(fileSet: String, statsFor: Seq[String]): Unit = {
-    if (statsFor.isEmpty) return
-    val fsDf = spark.read.parquet(dataDir.resolve(fileSet).toString)
+  /** One grouped pass over ALL the new file-sets (they share a schema —
+    * written together): min/max per (file-set, column) from a single job
+    * instead of one read+agg+collect per bucket file-set. */
+  private def writeStatsSidecars(fileSets: Seq[String], statsFor: Seq[String]): Unit = {
+    if (statsFor.isEmpty || fileSets.isEmpty) return
+    val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
+    val fsDf = spark.read.parquet(paths: _*)
+      .withColumn("__fs",
+        regexp_extract(input_file_name(), "/data/([^/]+)/", 1))
     val aggs = statsFor.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c")))
-    val row = fsDf.agg(aggs.head, aggs.tail: _*).collect().head
+    val rows = fsDf.groupBy("__fs").agg(aggs.head, aggs.tail: _*)
+      .collect() // ≤ one row per new file-set
     val numeric = fsDf.schema.fields
       .filter(f => statsFor.contains(f.name))
       .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .toMap
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val lines = statsFor.zipWithIndex.flatMap { case (c, i) =>
-      val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
-      if (mn == null || mx == null) None // all-null column: no skipping
-      else Some(s"${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${numeric(c)}")
+    rows.foreach { row =>
+      val fs = row.getString(0)
+      val lines = statsFor.zipWithIndex.flatMap { case (c, i) =>
+        val mn = row.getString(1 + 2 * i); val mx = row.getString(2 + 2 * i)
+        if (mn == null || mx == null) None // all-null column: no skipping
+        else Some(s"${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${numeric(c)}")
+      }
+      Files.writeString(dataDir.resolve(fs).resolve("_fstats.tsv"),
+        lines.mkString("\n"))
     }
-    Files.writeString(dataDir.resolve(fileSet).resolve("_fstats.tsv"),
-      lines.mkString("\n"))
   }
 
   /** (min, max, isNumeric) per column for a file-set, if stats exist. */
@@ -296,22 +306,48 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** Range read with file-set skipping: scans ONLY the file-sets whose
     * recorded [min, max] for `column` overlaps [lower, upper] (file-sets
     * without stats are always read — skipping never loses rows). The
-    * residual filter still applies, so results are exact. */
+    * residual filter still applies, so results are exact.
+    *
+    * The bounds are canonicalized through the SAME cast chain the stats
+    * were produced with (value → column type → string, evaluated by
+    * Spark itself), so pruning and the residual filter agree: a bound
+    * like "1996-06-01" compares as "1996-06-01 00:00:00" against
+    * timestamp stats instead of lexically mismatching. String ordering
+    * uses UTF-8 bytes to match Spark's binary collation. */
   def readRange(column: String, lower: String, upper: String): DataFrame = {
     val fileSets = history.lastOption.map(_.fileSets)
       .getOrElse(sys.error(s"empty table at $root"))
+    if (fileSets.isEmpty) return spark.emptyDataFrame // empty-overwrite edge
+    val full = readFileSets(fileSets) // lazy: schema only unless needed
+    val dt = full.schema(column).dataType
+    val bounds = spark.range(1).select(
+      lit(lower).cast(dt).cast("string"), lit(upper).cast(dt).cast("string"))
+      .collect().head
+    require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
+      s"bound not castable to $dt: ($lower, $upper)")
+    val (lo, hi) = (bounds.getString(0), bounds.getString(1))
+    def utf8Lt(a: String, b: String): Boolean = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     val kept = fileSets.filter { fs =>
       readStatsSidecar(fs).get(column) match {
         case Some((mn, mx, numeric)) =>
           if (numeric)
-            !(mx.toDouble < lower.toDouble || mn.toDouble > upper.toDouble)
-          else !(mx < lower || mn > upper)
+            !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+          else !(utf8Lt(mx, lo) || utf8Lt(hi, mn))
         case None => true
       }
     }
-    val base = if (kept.isEmpty) read.limit(0) else readFileSets(kept)
-    base.filter(col(column) >= lit(lower).cast(base.schema(column).dataType) &&
-      col(column) <= lit(upper).cast(base.schema(column).dataType))
+    val base = if (kept.isEmpty) full.limit(0) else readFileSets(kept)
+    base.filter(col(column) >= lit(lower).cast(dt) &&
+      col(column) <= lit(upper).cast(dt))
   }
 
   // ----------------------------------------------------------- public writes
@@ -331,11 +367,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         require(partitionBy.isEmpty,
           "merge-bucketed tables are laid out by key-hash bucket; partitionBy unsupported")
         val ids = writeBucketedFileSets(df, spec)
-        ids.foreach(writeStatsSidecar(_, statsFor))
+        writeStatsSidecars(ids, statsFor)
         commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) ++ ids)
       case None =>
         val id = writeFileSet(df, partitionBy)
-        writeStatsSidecar(id, statsFor)
+        writeStatsSidecars(Seq(id), statsFor)
         commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
     }
 

@@ -202,6 +202,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(out2.count() === 20) // 10 from stats'd set + 10 from statless
   }
 
+  test("readRange bounds canonicalize through the column type (no lexical skips)") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-stats-ts-"))
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    t.append(Seq(ts("1996-06-01 00:00:00"), ts("1996-06-15 12:00:00"))
+      .toDF("event_ts"), statsFor = Seq("event_ts"))
+    // a date-form upper bound equal to the file-set's min must NOT skip:
+    // lexically "1996-06-01 00:00:00" > "1996-06-01", but canonicalized
+    // through the timestamp type both are midnight
+    val out = t.readRange("event_ts", "1995-01-01", "1996-06-01")
+    assert(out.count() === 1, "boundary row lost to lexical pruning")
+    assert(out.as[java.sql.Timestamp].collect().head ===
+      ts("1996-06-01 00:00:00"))
+  }
+
   test("readAddedSince returns only post-version appends; rejects rewrites") {
     val t = VersionedTable(spark, tmpDir("vt-incr-"))
     t.append(Seq(1, 2).toDF("id"))             // v0

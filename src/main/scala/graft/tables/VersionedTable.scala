@@ -50,6 +50,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def logDir: Path = Paths.get(root, "_log")
   private def dataDir: Path = Paths.get(root, "data")
+  private def stagingDir: Path = Paths.get(root, "_staging")
   private def specPath: Path = Paths.get(root, "_bucketspec.json")
 
   /** Glob covering every file-set dir — the path to hand a streaming
@@ -135,11 +136,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .digest(df.schema.json.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
 
+  /** All writes stage under `_staging/` and rename into `data/` when
+    * complete (atomic dir move on one filesystem): a crashed writer can
+    * never leave a partial file-set where `dataGlob` streaming readers or
+    * glob expansion would see it — `data/` only ever contains finished
+    * file-sets. */
   private def writeFileSet(df: DataFrame, partitionBy: Seq[String] = Nil): String = {
     val id = s"${UUID.randomUUID().toString}.s${schemaTag(df)}"
+    Files.createDirectories(dataDir)
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dataDir.resolve(id).toString)
+      .parquet(stagingDir.resolve(id).toString)
+    Files.move(stagingDir.resolve(id), dataDir.resolve(id))
     id
   }
 
@@ -150,7 +158,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * only in the dir name — the parquet schema is untouched. */
   private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] = {
     val id = UUID.randomUUID().toString
-    val staging = dataDir.resolve(s".staging-$id")
+    val staging = stagingDir.resolve(id)
     Files.createDirectories(dataDir)
     val tag = schemaTag(df)
     df.withColumn(BucketCol, bucketExpr(spec))
@@ -517,6 +525,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     listDir(dataDir)
       .filterNot(p => keep.contains(p.getFileName.toString))
       .foreach(deleteRecursively)
+    // orphaned staging from crashed writers (never referenced by the log)
+    listDir(stagingDir).foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {

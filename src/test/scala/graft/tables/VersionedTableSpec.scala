@@ -229,6 +229,26 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.readAddedSince(0))
   }
 
+  test("crashed-writer staging never reaches data/; vacuum clears orphans") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = tmpDir("vt-crash-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq(1, 2, 3).toDF("id"))
+    // simulate a crash mid-write: partial output left in _staging
+    val orphan = Paths.get(root, "_staging", "deadbeef")
+    JFiles.createDirectories(orphan)
+    JFiles.writeString(orphan.resolve("junk.txt"), "not parquet")
+    // snapshot reads go through the log and never see it
+    assert(t.read.as[Int].collect().toSet === Set(1, 2, 3))
+    // the streaming glob covers data/* only — staging is outside it, so
+    // a crashed writer can never corrupt a stream reader
+    assert(spark.read.schema("id INT").parquet(t.dataGlob).count() === 3)
+    // vacuum clears the orphan (never referenced by the log)
+    t.vacuum(retainVersions = 1)
+    assert(!JFiles.exists(orphan), "vacuum left the orphaned staging dir")
+    assert(t.read.count() === 3)
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

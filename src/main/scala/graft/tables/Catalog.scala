@@ -40,12 +40,16 @@ final class Catalog(spark: SparkSession, root: String) {
       if table(l, t).exists
     } yield (l, t)
 
-  /** CREATE OR REPLACE VIEW for every table: `<layer>_<table>`. */
+  /** CREATE OR REPLACE VIEW for every table: `<layer>_<table>`, plus a
+    * `<layer>_<table>_history` view over its version log (the DESCRIBE
+    * HISTORY SQL surface, docs/backlog.md:55-58). */
   def registerViews(): Seq[String] =
-    tables.map { case (l, t) =>
+    tables.flatMap { case (l, t) =>
       val name = s"${l}_$t"
-      table(l, t).read.createOrReplaceTempView(name)
-      name
+      val tbl = table(l, t)
+      tbl.read.createOrReplaceTempView(name)
+      tbl.historyDf.createOrReplaceTempView(s"${name}_history")
+      Seq(name, s"${name}_history")
     }
 
   /** DROP TABLE semantics (01_environment_smoke_test.py:93): remove the

@@ -202,6 +202,18 @@ class VersionedTableSpec extends SparkSpec {
     assert(out2.count() === 20) // 10 from stats'd set + 10 from statless
   }
 
+  test("stats sidecars round-trip hostile string values (tabs, newlines, unicode)") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-stats-str-"))
+    t.append(Seq("a\tb", "z\nx", "émoji 🎈").toDF("s"), statsFor = Seq("s"))
+    // all three fall inside [a, 🎈] under UTF-8 binary order
+    assert(t.readRange("s", "a", "🎈").count() === 3)
+    // a range below every value prunes the file-set entirely
+    val none = t.readRange("s", "0", "1")
+    assert(none.count() === 0)
+    assert(none.inputFiles.isEmpty, "stats failed to skip the file-set")
+  }
+
   test("readRange bounds canonicalize through the column type (no lexical skips)") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-stats-ts-"))

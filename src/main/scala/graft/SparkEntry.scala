@@ -847,6 +847,22 @@ object SparkEntry {
                FROM sql_table_history ORDER BY version""")
     }),
 
+    // SQL entry surface: VERSION AS OF as queryable relations — an old
+    // version and the current snapshot registered side by side and
+    // compared in one SQL statement (docs/backlog.md:55-58).
+    "q_sql_timetravel" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-sqltt-").toString
+      val tbl = VersionedTable(s, root)
+      val n = t(s, dir, "nation")
+      tbl.append(n)                                     // v0: all nations
+      tbl.overwrite(n.filter(col("n_regionkey") === 0)) // v1: subset
+      tbl.readVersion(0).createOrReplaceTempView("tt_v0")
+      tbl.read.createOrReplaceTempView("tt_current")
+      s.sql("""SELECT
+                 (SELECT CAST(count(*) AS BIGINT) FROM tt_v0) AS n_v0,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tt_current) AS n_current""")
+    }),
+
     // SQL entry surface 4 (rows-only: FPL-domain synthetic warehouse):
     // the reference's player-horizon view DDL + consumption phrased in
     // SQL over the registered gold tables.
@@ -995,6 +1011,11 @@ object SparkEntry {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_sql_timetravel" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_v0,
+        | (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |  WHERE n_regionkey = 0) AS n_current""".stripMargin,
 
     "q_sql_history" ->
       """SELECT * FROM (VALUES

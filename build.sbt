@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output goes straight to stdout/stderr (no sbt [info]/[error]
 // log prefixes) so the driver can parse Bench's single JSON metrics line.
 run / outputStrategy := Some(StdoutOutput)
+// ... and no trailing "[success] Total time:" line either — Bench's JSON
+// must be the LAST stdout line for last-line parsers.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Dev/profiling probes (EntrySmoke, ProfDD, ProbeA6) live outside
 // src/main so engine LoC counts stay clean; still compiled & runnable.
 Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "tools" / "scala"

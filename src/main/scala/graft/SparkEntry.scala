@@ -601,8 +601,6 @@ object SparkEntry {
       Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), path,
         numPlanes = 5, dim = q.size)
       Similarity.lshProbeTopK(s, path, q, k = 10, probeHamming = 1)
-        .select(col("vec_id"), round(col("cosine_sim"), 4).as("sim4"))
-        .orderBy(col("sim4").desc, col("vec_id").asc)
     }),
 
     // Distinct-cardinality estimation: HLL++ sketch vs exact (rows-only:

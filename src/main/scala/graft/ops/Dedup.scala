@@ -65,9 +65,14 @@ object Dedup {
   private[ops] def pairsWithinGroups(df: DataFrame, groupCols: Seq[String],
                                      idCol: String,
                                      maxGroupSize: Int): DataFrame = {
-    val grouped = df.groupBy(groupCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxGroupSize))
+    // groups over maxGroupSize are dropped (bounds the O(n²) in-group
+    // expansion) — the cap filter is an accumulator-backed probe, so the
+    // recall loss is counted and WARN-logged, never silent
+    val grouped = Diagnostics.sizeCapFilter(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(collect_list(col(idCol)).as("ids")),
+      size(col("ids")).cast("long"), 2, maxGroupSize,
+      groupCols.mkString("_"))
     val sorted = array_sort(col("ids"))
     grouped
       .select(explode(flatten(transform(sorted, (x, i) =>

@@ -249,7 +249,13 @@ object Similarity {
     }.toSeq.sorted
     val pruned = spark.read.parquet(path)
       .filter(col("lsh_bucket").isin(buckets: _*))
-    bruteForceTopK(pruned, query, k, idCol, vecCol)
+    // cut on the ROUNDED similarity with id tiebreak (same as
+    // ivfProbeTopK): cutting on raw doubles and rounding after would
+    // reintroduce cross-engine tie instability at the k boundary
+    bruteForceCosine(pruned, query, idCol, vecCol)
+      .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))
+      .orderBy(col("sim4").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Embedding near-duplicate pairs: LSH-bucket join + exact cosine verify
@@ -270,6 +276,9 @@ object Similarity {
     // candidate rows only instead of riding both sides of a self-join.
     // `maxBucketSize` guards a hot LSH bucket (e.g. near-zero vectors all
     // landing in one sign pattern) from an O(n²) in-array pair blowup.
+    // Buckets over the cap are DROPPED (recall loss) — the drop count is
+    // observed in-job and WARN-logged (Diagnostics.observeDrops), never
+    // silent.
     Dedup.pairsWithinGroups(bucketed.select("bucket", "id"), Seq("bucket"),
         "id", maxBucketSize)
       .join(bucketed.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))

@@ -275,9 +275,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def writeStatsSidecars(fileSets: Seq[String], statsFor: Seq[String]): Unit = {
     if (statsFor.isEmpty || fileSets.isEmpty) return
     val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
+    // file-set id = the path segment right after THIS table's data dir —
+    // anchored to the absolute dataDir path, not the first "/data/"
+    // segment anywhere in the path (a table rooted under e.g.
+    // /mnt/data/wh/tbl would otherwise capture "wh" and every sidecar
+    // write would miss its file-set)
+    val anchor = java.util.regex.Pattern.quote(
+      dataDir.toAbsolutePath.toString) + "/([^/]+)/"
     val fsDf = spark.read.parquet(paths: _*)
-      .withColumn("__fs",
-        regexp_extract(input_file_name(), "/data/([^/]+)/", 1))
+      .withColumn("__fs", regexp_extract(input_file_name(), anchor, 1))
     val aggs = statsFor.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c")))
@@ -422,12 +428,28 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             preferUpdateBy: Option[String] = None,
             numBuckets: Int = DefaultMergeBuckets): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    // Key columns are cast to the TABLE's types up front: hash() is
+    // type-sensitive (hash(42: int) != hash(42L: bigint) — same reason
+    // readForKeys casts its literals), so an update feed whose key type
+    // drifted (int vs bigint producer) would hash to the WRONG buckets —
+    // the stale target row would survive in a carried file-set and the
+    // update would land as a duplicate insert in another bucket.
+    val typedUpdates = if (!exists) updates else {
+      val tblSchema = read.schema
+      keys.foldLeft(updates) { (d, k) =>
+        (tblSchema.find(_.name == k), d.schema.find(_.name == k)) match {
+          case (Some(t), Some(u)) if t.dataType != u.dataType =>
+            d.withColumn(k, col(k).cast(t.dataType))
+          case _ => d
+        }
+      }
+    }
     // the deduped lineage (a window / dropDuplicates) feeds the touched-
     // bucket probe, the upsert join AND the bucketed write — persist so
     // it is computed once per merge, not three times
     val dedupedUpdates = (preferUpdateBy match {
-      case Some(ord) => graft.ops.Keyed.latestPerKey(updates, keys, ord)
-      case None      => updates.dropDuplicates(keys)
+      case Some(ord) => graft.ops.Keyed.latestPerKey(typedUpdates, keys, ord)
+      case None      => typedUpdates.dropDuplicates(keys)
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def upsertInto(target: DataFrame): DataFrame = {
       val (t2, u2) = graft.ops.Merge.alignForEvolution(target, dedupedUpdates)

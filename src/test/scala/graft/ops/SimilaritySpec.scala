@@ -56,6 +56,27 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted identical vectors: ${expected -- pairs}")
   }
 
+  test("oversized-bucket drops are observed, never silent") {
+    Diagnostics.resetDrops("graft_drops_bucket")
+    val rnd = new scala.util.Random(3)
+    // 50 copies of ONE vector → one LSH bucket of 50 > cap of 10:
+    // every pair is dropped, which must surface through the observation
+    val v = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val df = (0 until 50).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, dim = 16,
+      threshold = 0.999, maxBucketSize = 10)
+    assert(pairs.count() === 0) // all candidates were in the capped bucket
+    // QueryExecutionListener delivery is async: poll briefly
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var seen = Diagnostics.lastDrops("graft_drops_bucket")
+    while (seen.forall(_._1 == 0) && System.nanoTime() < deadline) {
+      Thread.sleep(50); seen = Diagnostics.lastDrops("graft_drops_bucket")
+    }
+    assert(seen.exists(_._1 >= 1),
+      s"dropped oversized bucket was not observed: $seen")
+    assert(seen.exists(_._2 === 50L), s"largest-group metric wrong: $seen")
+  }
+
   test("IVF top-k: full-probe is exact; partial probe keeps high recall") {
     val rnd = new scala.util.Random(3)
     val vecs = (0 until 300).map(i =>

@@ -261,6 +261,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 3)
   }
 
+  test("COW merge survives key-type drift (int update feed, bigint table)") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-drift-"))
+    val base = spark.range(100).select(col("id"), lit("x").as("v")) // bigint
+    t.merge(base, Seq("id"), numBuckets = 8)
+    // a producer drifting to int keys must still hit the right buckets:
+    // hash(5: int) != hash(5L: bigint), so without the cast the stale row
+    // survives in a carried file-set and the update inserts a duplicate
+    val updates = Seq((5, "updated"), (200, "new")).toDF("id", "v") // int
+    t.merge(updates, Seq("id"))
+    val snap = t.read
+    assert(snap.count() === 101)
+    assert(snap.groupBy("id").count().filter(col("count") > 1).count() === 0,
+      "type-drifted merge left duplicate keys")
+    assert(snap.filter(col("id") === 5).select("v").as[String]
+      .collect().toSet === Set("updated"))
+    assert(snap.filter(col("id") === 200).count() === 1)
+  }
+
+  test("stats sidecars work under a root that itself contains /data/") {
+    val t = VersionedTable(spark, tmpDir("vt-dd-") + "/data/wh/tbl")
+    // the file-set extraction must anchor on THIS table's data dir, not
+    // the first '/data/' path segment ('wh' here)
+    t.append(spark.range(0, 100).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id"), statsFor = Seq("id"))
+    val out = t.readRange("id", "0", "50")
+    assert(out.as[Long].collect().toSet === (0L to 50L).toSet)
+    assert(out.inputFiles.length < t.read.inputFiles.length,
+      "stats sidecar missed: no file-set was skipped")
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -48,22 +48,32 @@ object Components {
           least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
     }
 
+    // convergence check: labels only ever DECREASE (least() includes the
+    // vertex's own label), so the label sum is strictly monotone until
+    // fixpoint — comparing sums is exact and costs one tiny aggregation
+    // over the just-materialized round instead of a join + filter + count
+    // job per round. decimal(38,0) so the sum can't overflow at any scale.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)) // null on an empty graph
+        .getOrElse(java.math.BigDecimal.ZERO)
     var labels = sym.select("id").distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // TWO hops per materialization round: halves the checkpoint +
       // convergence-check actions for the same label spread
       val next = propagate(propagate(labels)).localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("comp", "old_comp"), "id")
-        .filter(col("comp") =!= col("old_comp")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
-    require(changed == 0,
+    require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
         s"(cluster diameter exceeds ${2 * maxIter} hops)")
     // checkpointed per-round label copies are freed by the ContextCleaner

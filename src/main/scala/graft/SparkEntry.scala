@@ -694,6 +694,84 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // M6: DELETE WHERE with data skipping — a retention-style ranged
+    // delete rewrites ONLY the file-sets whose stats overlap the range
+    // (Delta's file-pruned DELETE; rewrite scope pinned by
+    // VersionedTableSpec). Result = the surviving rows.
+    "q_m6_delete" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-del-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cut = 1000000L
+      tbl.append(o.filter(col("o_orderkey") < cut),
+        statsFor = Seq("o_orderkey"))
+      tbl.append(o.filter(col("o_orderkey") >= cut),
+        statsFor = Seq("o_orderkey"))
+      tbl.deleteRange("o_orderkey", "0", (cut - 1).toString,
+        extraCond = Some(col("o_totalprice") < 150000.0))
+      tbl.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // M7: RESTORE — metadata-only rollback to an earlier version as a new
+    // version (Delta RESTORE TABLE ... VERSION AS OF).
+    "q_m7_restore" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-restore-").toString
+      val tbl = VersionedTable(s, root)
+      val n = t(s, dir, "nation")
+      tbl.append(n)                                      // v0: all nations
+      tbl.overwrite(n.filter(col("n_regionkey") === 2))  // v1: bad publish
+      tbl.restore(0)                                     // v2: rollback
+      tbl.read.select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // M8: OPTIMIZE ZORDER BY — multi-dimensional clustering; a range read
+    // on the SECOND z-ordered column still skips file-sets (pruning
+    // pinned by VersionedTableSpec; here: result correctness).
+    "q_m8_zorder" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-zorder-").toString
+      val tbl = VersionedTable(s, root)
+      tbl.append(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+      tbl.compactZOrder(Seq("o_custkey", "o_totalprice"), numFileSets = 16)
+      tbl.readRange("o_totalprice", "100000", "150000")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price2"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Text: TF-IDF term weighting — tf per (doc, term), df per term, the
+    // textbook corpus weighting; top-3 terms per document over a
+    // deterministic doc slice, tie-stable.
+    "q_txt_tfidf" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      TextAnalysis.tfidf(t(s, dir, "documents").filter(col("doc_id") < 20))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 4).as("tfidf4"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // J: bloom-prefiltered semi join — explicit runtime-filter pushdown;
+    // identical to a plain semi join (no false negatives), but the probe
+    // side is pruned map-side BEFORE the shuffle.
+    "q_bloom_join" -> ((s, dir) => {
+      val buyers = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      graft.ops.BloomJoin.semiJoin(
+          t(s, dir, "orders"), buyers, "o_custkey", "c_custkey",
+          expectedItems = 50000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // M: incremental append consumption (change-feed-lite) — rows added
     // after a version, read from only the NEW file-sets (O(new data)).
     "q_m4_incremental" -> ((s, dir) => {
@@ -1379,6 +1457,56 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
         |  AND o_orderdate <= TIMESTAMP '1996-06-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m6_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE NOT (o_orderkey BETWEEN 0 AND 999999
+        |           AND o_totalprice < 150000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m7_restore" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_m8_zorder" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price2
+        |FROM orders
+        |WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_txt_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE doc_id < 20),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms WHERE length(term) > 0 GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (
+        |  SELECT count(*) AS n FROM documents WHERE doc_id < 20),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) DESC,
+        |                    tf.term ASC) AS INTEGER) AS rk
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, rk, term, tf, df, round(tfidf, 4) AS tfidf4
+        |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted_join" ->

@@ -105,6 +105,26 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       UrlRe, "<URL>")
 
+  /** TF-IDF term weights per (document, term): tf = raw in-doc term
+    * count, idf = ln(N / df) over the corpus. Two shuffles total — one
+    * groupBy (doc, term) for tf, one groupBy term for df — then a
+    * broadcast-sized join of the per-term df back onto the tf rows (the
+    * term dictionary is vastly smaller than the corpus; Spark broadcasts
+    * it). The doc count N is one scalar agg, not a per-row window. */
+  def tfidf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val terms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).as("df")) // tf rows are distinct per (doc, term)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+  }
+
   /** Full per-document stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
@@ -187,6 +187,71 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** One file-set per contiguous key range: range-repartition on `key`,
+    * write all ranges in ONE job (dynamic partitions on the range id),
+    * rename each range dir out as its own immutable file-set. The range id
+    * lives only in the dir name — parquet schema untouched. */
+  private def writeRangeFileSets(df: DataFrame, key: Column, n: Int): Seq[String] = {
+    val id = UUID.randomUUID().toString
+    val staging = stagingDir.resolve(id)
+    Files.createDirectories(dataDir)
+    val tag = schemaTag(df)
+    df.withColumn("__zkey", key)
+      .repartitionByRange(n, col("__zkey"))
+      .withColumn(BucketCol, spark_partition_id())
+      .drop("__zkey")
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(BucketCol)
+      .parquet(staging.toString)
+    val ids = listDir(staging)
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { p =>
+        val k = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+        val fsId = f"$id-z$k%05d.s$tag" // no .b suffix: NOT a hash bucket
+        Files.move(p, dataDir.resolve(fsId))
+        fsId
+      }
+    deleteRecursively(staging) // leftover _SUCCESS marker
+    if (ids.nonEmpty) ids.sorted
+    else Seq(writeFileSet(df)) // empty input: keep a schema-bearing set
+  }
+
+  /** OPTIMIZE ZORDER BY analog (Delta's multi-dimensional clustering):
+    * rewrite the current snapshot clustered on the Morton key of `cols`
+    * (numeric columns), split into `numFileSets` contiguous key ranges,
+    * each with min/max stats sidecars on every z-ordered column — after
+    * this, [[readRange]] on ANY of `cols` skips most file-sets, not just
+    * on one leading sort key (a linear sort clusters only its first
+    * column). Bucket cuts are equi-depth per column (driver-side
+    * approxQuantile, one pass), so skewed columns still spread across the
+    * full bucket space. The Morton key itself is a custom expression —
+    * one tight loop per row, no per-row driver work. */
+  def compactZOrder(cols: Seq[String], numFileSets: Int = 16,
+                    bitsPerCol: Int = 8): LogEntry = {
+    require(cols.nonEmpty, "compactZOrder needs at least one column")
+    require(bucketSpec.isEmpty,
+      s"merge-bucketed table at $root is laid out by key hash; " +
+        "z-ordering would break copy-on-write merge routing")
+    val snap = read
+    val nCuts = (1 << bitsPerCol) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    val cuts: Array[Array[Double]] = cols.map(c =>
+      snap.stat.approxQuantile(c, probs, 0.001).distinct.sorted).toArray
+    // per-call function registration (closure carries the cuts), same
+    // mechanism as GraftFunctions / Diagnostics probes
+    val fname = s"graft_zorder_${UUID.randomUUID().toString.replace("-", "")}"
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fname),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ZOrderKey].getName, fname),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ZOrderKey(exprs, cuts, bitsPerCol))
+    val zkey = call_function(fname, cols.map(c => col(c).cast("double")): _*)
+    val ids = writeRangeFileSets(snap, zkey, numFileSets)
+    writeStatsSidecars(ids, cols)
+    commit("zorder", ids)
+  }
+
   // ------------------------------------------------------------------ reads
 
   /** Current snapshot. Empty table → analysis error; guard with `exists`. */
@@ -334,6 +399,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (fileSets.isEmpty) return spark.emptyDataFrame // empty-overwrite edge
     val full = readFileSets(fileSets) // lazy: schema only unless needed
     val dt = full.schema(column).dataType
+    val kept = overlappingFileSets(fileSets, column, lower, upper, dt)
+    val base = if (kept.isEmpty) full.limit(0) else readFileSets(kept)
+    base.filter(col(column) >= lit(lower).cast(dt) &&
+      col(column) <= lit(upper).cast(dt))
+  }
+
+  /** File-sets whose recorded [min, max] for `column` overlaps
+    * [lower, upper] under the stats sidecar's comparison rules (numeric
+    * columns numerically, everything else UTF-8 binary order after
+    * canonicalizing the bounds through the column type). File-sets
+    * without stats always qualify — skipping never loses rows. */
+  private def overlappingFileSets(fileSets: Seq[String], column: String,
+                                  lower: String, upper: String,
+                                  dt: org.apache.spark.sql.types.DataType): Seq[String] = {
     val bounds = spark.range(1).select(
       lit(lower).cast(dt).cast("string"), lit(upper).cast(dt).cast("string"))
       .collect().head
@@ -350,7 +429,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       }
       x.length < y.length
     }
-    val kept = fileSets.filter { fs =>
+    fileSets.filter { fs =>
       readStatsSidecar(fs).get(column) match {
         case Some((mn, mx, numeric)) =>
           if (numeric)
@@ -359,9 +438,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         case None => true
       }
     }
-    val base = if (kept.isEmpty) full.limit(0) else readFileSets(kept)
-    base.filter(col(column) >= lit(lower).cast(dt) &&
-      col(column) <= lit(upper).cast(dt))
   }
 
   // ----------------------------------------------------------- public writes
@@ -400,6 +476,67 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None =>
         commit("overwrite", Seq(writeFileSet(df, partitionBy)))
     }
+
+  /** Delta-style RESTORE: make version `v`'s file-set list the CURRENT
+    * snapshot, committed as a NEW version. Metadata-only — no data is
+    * read or written (the restored file-sets are immutable and still on
+    * disk while `v` is within vacuum retention), and the rollback itself
+    * stays in history, exactly Delta's `RESTORE TABLE ... TO VERSION AS
+    * OF` semantics (declared: docs/backlog.md:55-58 time-travel family). */
+  def restore(v: Long): LogEntry = {
+    val e = history.find(_.version == v)
+      .getOrElse(sys.error(s"no version $v at $root"))
+    commit("restore", e.fileSets)
+  }
+
+  /** DELETE WHERE with data skipping: deletes rows with `column` in
+    * [lower, upper] (optionally AND `extraCond`) by rewriting ONLY the
+    * file-sets whose min/max stats overlap the range — every other
+    * file-set is CARRIED into the new version untouched, which is Delta's
+    * file-pruned DELETE. At 100 TB a date-ranged retention delete
+    * rewrites the few file-sets of that date range, not the table.
+    *
+    * File-sets without stats are conservatively rewritten (never lose a
+    * delete). Rows where `extraCond` evaluates to NULL are KEPT (SQL
+    * DELETE semantics: only predicate-TRUE rows are deleted). Stats
+    * sidecars of rewritten file-sets are regenerated for the same
+    * columns. Bucketed tables rewrite bucket-split so merges stay COW;
+    * hive-partitioned file-sets are rewritten flat (layout, not
+    * correctness). */
+  def deleteRange(column: String, lower: String, upper: String,
+                  extraCond: Option[Column] = None): LogEntry = {
+    val fileSets = history.lastOption.map(_.fileSets)
+      .getOrElse(sys.error(s"empty table at $root"))
+    if (fileSets.isEmpty) return commit("delete", fileSets)
+    val dt = readFileSets(fileSets).schema(column).dataType
+    val touched = overlappingFileSets(fileSets, column, lower, upper, dt)
+    val carried = fileSets.diff(touched)
+    if (touched.isEmpty) return commit("delete", fileSets)
+    val cond = col(column) >= lit(lower).cast(dt) &&
+      col(column) <= lit(upper).cast(dt) &&
+      extraCond.getOrElse(lit(true))
+    val remaining = readFileSets(touched)
+      .filter(!coalesce(cond, lit(false))) // NULL predicate keeps the row
+    val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys)
+      .distinct
+    val newSets = bucketSpec match {
+      case Some(spec) => writeBucketedFileSets(remaining, spec)
+      case None       => Seq(writeFileSet(remaining))
+    }
+    writeStatsSidecars(newSets, statsCols)
+    commit("delete", carried ++ newSets)
+  }
+
+  /** General DELETE WHERE (no skipping): rewrites the full snapshot minus
+    * predicate-TRUE rows. Prefer [[deleteRange]] when the predicate is
+    * range-shaped over a stats column. */
+  def delete(cond: Column): LogEntry = {
+    val remaining = read.filter(!coalesce(cond, lit(false)))
+    bucketSpec match {
+      case Some(spec) => commit("delete", writeBucketedFileSets(remaining, spec))
+      case None       => commit("delete", Seq(writeFileSet(remaining)))
+    }
+  }
 
   /** MERGE upsert: update matched target rows with the update row, insert
     * unmatched updates, keep unmatched target rows. Rerun-idempotent

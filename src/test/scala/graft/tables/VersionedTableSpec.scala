@@ -292,6 +292,69 @@ class VersionedTableSpec extends SparkSpec {
       "stats sidecar missed: no file-set was skipped")
   }
 
+  test("restore rolls back to an old version as a NEW metadata-only version") {
+    val t = VersionedTable(spark, tmpDir("vt-restore-"))
+    t.append(Seq(1).toDF("id"))
+    t.append(Seq(2).toDF("id"))          // v1: {1,2}
+    t.overwrite(Seq(9).toDF("id"))       // v2: {9}
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(t.root))
+      .count()
+    t.restore(1)
+    assert(t.read.as[Int].collect().toSet === Set(1, 2))
+    // metadata-only: one new log entry, zero new data files
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(t.root))
+      .count()
+    assert(after === before + 1, "restore must not write data files")
+    assert(t.history.last.action === "restore")
+    assert(t.readVersion(2).as[Int].collect().toSet === Set(9),
+      "the rolled-back version must stay in history")
+  }
+
+  test("deleteRange rewrites ONLY stats-overlapping file-sets") {
+    val t = VersionedTable(spark, tmpDir("vt-del-"))
+    t.append(spark.range(0, 100).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(200, 300).toDF("id"), statsFor = Seq("id"))
+    val before = t.history.last.fileSets
+    t.deleteRange("id", "120", "180")
+    val after = t.history.last.fileSets
+    assert(t.history.last.action === "delete")
+    assert(after.toSet.intersect(before.toSet).size === 2,
+      s"untouched file-sets must carry: before=$before after=$after")
+    assert(t.read.count() === 300 - 61)
+    assert(t.read.as[Long].collect().toSet ===
+      ((0L until 120L) ++ (181L until 300L)).toSet)
+    // rewritten file-set got fresh stats: a later range read still skips
+    val probe = t.readRange("id", "0", "50")
+    assert(probe.inputFiles.length < t.read.inputFiles.length)
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val t = VersionedTable(spark, tmpDir("vt-delnull-"))
+    t.append(Seq(Some(1), Some(2), None).toDF("v"))
+    t.delete($"v" === 2)
+    assert(t.read.as[Option[Int]].collect().toSet === Set(Some(1), None))
+  }
+
+  test("compactZOrder: range reads on EITHER column skip file-sets") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-z-"))
+    // 64x64 grid: a linear sort on x would cluster only x
+    val grid = spark.range(64 * 64) // "/" is double division in Spark SQL
+      .select((col("id") % 64).as("x"), floor(col("id") / 64).as("y"))
+    t.append(grid)
+    t.compactZOrder(Seq("x", "y"), numFileSets = 16)
+    assert(t.history.last.action === "zorder")
+    assert(t.read.count() === 64 * 64)
+    val total = t.read.inputFiles.length
+    val xFiles = t.readRange("x", "10", "13").inputFiles.length
+    val yFiles = t.readRange("y", "10", "13").inputFiles.length
+    assert(t.readRange("x", "10", "13").count() === 4 * 64)
+    assert(t.readRange("y", "10", "13").count() === 4 * 64)
+    assert(xFiles < total && yFiles < total,
+      s"z-order skipped nothing: x=$xFiles y=$yFiles total=$total")
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

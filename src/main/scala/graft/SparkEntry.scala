@@ -772,6 +772,66 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Training-data: concat-and-chunk sequence packing — documents laid
+    // end-to-end and cut into 4096-token chunks. The prefix sum is the
+    // two-phase distributed scan (partitioned windows pinned by
+    // PackingSpec), NOT a global-sort window.
+    "q_pack_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("tokens"))
+      graft.ops.Packing.packChunks(docs, "doc_id", "tokens", budget = 4096)
+        .select(col("doc_id"), col("tokens"), col("start_offset"),
+          col("first_chunk"), col("last_chunk"), col("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-data: deterministic domain-mixture sampling ("web at 0.25,
+    // books at 0.5, curated at 1.0") — md5-prefix selection, portable
+    // across engines, replayed exactly by the oracle.
+    "q_mix_sample" -> ((s, dir) => {
+      val rates = Map("src13" -> 1.0, "src8" -> 0.5, "src7" -> 0.25)
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents"), "doc_id", "source", rates)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("source")
+    }),
+
+    // Training-data: benchmark decontamination — per-train-doc count of
+    // distinct 3-gram shingles shared with an "eval" corpus (every 13th
+    // doc). Hashed shingle join in the engine (8-byte keys, eval side
+    // broadcast); the oracle joins the shingle STRINGS — equality also
+    // pinned by PackingSpec.
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Contamination.overlapCounts(
+          docs, docs.filter(col("doc_id") % 13 === 0).select("text"), n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // M9: incremental materialized-view maintenance — the MV absorbs
+    // per-increment deltas via MERGE updateExprs (cnt = cnt + delta) over
+    // readAddedSince, never recomputing from the full source; result ==
+    // full recompute (the oracle).
+    "q_mv_incremental" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-mv-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      val ev = events(s, dir)
+        .select(col("event_id").cast("long").as("id"), col("event_type"))
+      src.append(ev.filter(col("id") % 4 =!= 0))
+      val v0 = src.latestVersion.get
+      mv.merge(src.read.groupBy("event_type").agg(count(lit(1)).as("cnt")),
+        Seq("event_type"), numBuckets = 4)
+      src.append(ev.filter(col("id") % 4 === 0)) // late-arriving increment
+      val incr = src.readAddedSince(v0)
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      mv.merge(incr, Seq("event_type"),
+        updateExprs = Map("cnt" -> ((t, u) => t + u)))
+      mv.read.orderBy("event_type")
+    }),
+
     // M: incremental append consumption (change-feed-lite) — rows added
     // after a version, read from only the NEW file-sets (O(new data)).
     "q_m4_incremental" -> ((s, dir) => {
@@ -1508,6 +1568,61 @@ object SparkEntry {
         |              WHERE c.c_custkey = o.o_custkey
         |                AND c.c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+        |    END AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(sum(tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS e
+        |  FROM d)
+        |SELECT doc_id, tokens, e - tokens AS start_offset,
+        |  CAST(floor((e - tokens) / 4096.0) AS BIGINT) AS first_chunk,
+        |  CAST(CASE WHEN tokens > 0 THEN floor((e - 1) / 4096.0)
+        |    ELSE floor((e - tokens) / 4096.0) END AS BIGINT) AS last_chunk,
+        |  CAST(CASE WHEN tokens > 0 THEN floor((e - 1) / 4096.0)
+        |    ELSE floor((e - tokens) / 4096.0) END AS BIGINT)
+        |    - CAST(floor((e - tokens) / 4096.0) AS BIGINT) + 1 AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_mix_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents
+        |WHERE source = 'src13'
+        |   OR (source = 'src8'
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |   OR (source = 'src7'
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) < 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)),
+        |esh AS (
+        |  SELECT DISTINCT unnest(shingles) AS shingle
+        |  FROM sh WHERE doc_id % 13 = 0),
+        |tsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlapping_shingles
+        |FROM tsh JOIN esh USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mv_incremental" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,

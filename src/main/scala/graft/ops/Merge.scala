@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join-based MERGE upsert — the engine's implementation of the reference's
@@ -43,14 +43,25 @@ object Merge {
     (t2, u2)
   }
 
-  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+  /** `updateExprs`: Delta's `WHEN MATCHED THEN UPDATE SET c = expr(t, u)`
+    * — per-column (targetValue, updateValue) => newValue combiners applied
+    * ONLY on matched rows (e.g. `"cnt" -> (t + u)` turns the merge into
+    * incremental aggregate maintenance). Unlisted columns take the update
+    * row's value; inserts always take the update row. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
+             updateExprs: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
       s"merge schema mismatch: target=${cols.mkString(",")} updates=${updates.columns.mkString(",")}; " +
         "use alignForEvolution for additive schema changes")
+    require(updateExprs.keySet.subsetOf(cols.toSet),
+      s"updateExprs reference unknown columns: ${updateExprs.keySet -- cols}")
+    require(updateExprs.keySet.intersect(keys.toSet).isEmpty,
+      "updateExprs cannot rewrite merge key columns")
 
     val t = cols.foldLeft(target)((d, c) => d.withColumnRenamed(c, s"__t_$c"))
+      .withColumn("__t_present", lit(true))
     val u = cols.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"__u_$c"))
       .withColumn("__u_present", lit(true))
     val joinCond = keys.map(k => t(s"__t_$k") === u(s"__u_$k")).reduce(_ && _)
@@ -59,8 +70,14 @@ object Merge {
       .select(cols.map { c =>
         // Presence flag (not coalesce of the value columns) decides the
         // side, so an update that sets a non-key column to NULL wins.
-        when(col("__u_present"), col(s"__u_$c"))
-          .otherwise(col(s"__t_$c")).as(c)
+        val base = when(col("__u_present"), col(s"__u_$c"))
+          .otherwise(col(s"__t_$c"))
+        updateExprs.get(c) match {
+          case Some(f) =>
+            when(col("__u_present") && col("__t_present"),
+              f(col(s"__t_$c"), col(s"__u_$c"))).otherwise(base).as(c)
+          case None => base.as(c)
+        }
       }: _*)
   }
 }

@@ -52,4 +52,32 @@ object Sampling {
                        fractions: Map[Any, Double],
                        seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic DOMAIN-MIXTURE sampling — the "sample web at 0.3,
+    * books at 1.0, code at 0.8" step of corpus construction, with
+    * [[hashSample]]'s portability: selection depends only on (key,
+    * domain rate), not run/engine/partitioning, so mixes are
+    * reproducible and the DuckDB oracle replays them exactly.
+    *
+    * Rates quantize to 1/65536 (first FOUR md5 nibbles compared as a hex
+    * string — hex strings order like their values, so both engines need
+    * only a lexical compare). Domains not in `rates` are dropped.
+    * Map-only: the predicate is a when-chain over the (small) domain
+    * list, evaluated in the scan stage, nothing shuffles. */
+  def mixtureSampleCond(key: Column, domain: Column,
+                        rates: Map[String, Double]): Column = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val h4 = substring(md5(key.cast("string")), 1, 4)
+    rates.foldLeft(lit(false)) { case (acc, (d, r)) =>
+      val cond =
+        if (r >= 1.0) lit(true)
+        else h4 < lit(f"${math.round(r * 65536).toInt}%04x")
+      when(domain === d, cond).otherwise(acc)
+    }
+  }
+
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+                    rates: Map[String, Double]): DataFrame =
+    df.filter(mixtureSampleCond(col(keyCol), col(domainCol), rates))
 }

@@ -563,7 +563,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     */
   def merge(updates: DataFrame, keys: Seq[String],
             preferUpdateBy: Option[String] = None,
-            numBuckets: Int = DefaultMergeBuckets): LogEntry = {
+            numBuckets: Int = DefaultMergeBuckets,
+            updateExprs: Map[String, (Column, Column) => Column] = Map.empty): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
     // Key columns are cast to the TABLE's types up front: hash() is
     // type-sensitive (hash(42: int) != hash(42L: bigint) — same reason
@@ -590,7 +591,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def upsertInto(target: DataFrame): DataFrame = {
       val (t2, u2) = graft.ops.Merge.alignForEvolution(target, dedupedUpdates)
-      graft.ops.Merge.upsert(t2, u2, keys)
+      graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
     }
     try bucketSpec match {
       case Some(spec) =>

@@ -63,4 +63,26 @@ class MergeSpec extends SparkSpec {
     // NULL-keyed target row survives, NULL-keyed update row is inserted
     assert(out === Set("a", "n", "N"))
   }
+
+  test("updateExprs: WHEN MATCHED combines target and update (incremental counts)") {
+    import org.apache.spark.sql.functions._
+    val t = Seq(("a", 10L), ("b", 1L)).toDF("k", "cnt")
+    val u = Seq(("a", 5L), ("c", 7L)).toDF("k", "cnt")
+    val out = Merge.upsert(t, u, Seq("k"),
+        updateExprs = Map("cnt" -> ((tc, uc) => tc + uc)))
+      .as[(String, Long)].collect().toSet
+    // matched a: 10+5; unmatched target b passes; unmatched update c inserts
+    assert(out === Set(("a", 15L), ("b", 1L), ("c", 7L)))
+  }
+
+  test("updateExprs through VersionedTable.merge keeps COW + idempotent rerun semantics") {
+    import org.apache.spark.sql.functions._
+    val tbl = graft.tables.VersionedTable(spark, tmpDir("vt-incragg-"))
+    tbl.merge(Seq(("a", 10L), ("b", 1L)).toDF("k", "cnt"), Seq("k"),
+      numBuckets = 4)
+    tbl.merge(Seq(("a", 5L), ("c", 7L)).toDF("k", "cnt"), Seq("k"),
+      updateExprs = Map("cnt" -> ((tc, uc) => tc + uc)))
+    assert(tbl.read.as[(String, Long)].collect().toSet ===
+      Set(("a", 15L), ("b", 1L), ("c", 7L)))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withRunningTotal == single-partition window cumsum, exactly") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 5000).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("ord", "v")
+    val expected = df
+      .withColumn("rt", sum("v").over(
+        org.apache.spark.sql.expressions.Window.orderBy("ord")
+          .rowsBetween(Long.MinValue, 0)))
+      .select("ord", "rt").as[(Long, Long)].collect().toMap
+    val got = Packing.withRunningTotal(df, "ord", "v", "rt", numBuckets = 8)
+      .select("ord", "rt").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("withRunningTotal uses a PARTITIONED window, not a global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = spark.range(10000).select(col("id").as("ord"), lit(1L).as("v"))
+    val out = Packing.withRunningTotal(df, "ord", "v", numBuckets = 8)
+    // every window in the plan partitions on the range bucket — a global
+    // orderBy window (empty partitionSpec) would collapse to ONE task at
+    // any scale (AQE may still coalesce tiny test shuffles; that's fine)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"global-sort window found: $windows")
+    assert(out.agg(max("running_total")).as[Long].head() === 10000L)
+  }
+
+  test("packChunks: spans tile the stream; straddlers split across chunks") {
+    val docs = Seq((1L, 300L), (2L, 500L), (3L, 300L), (4L, 1L))
+      .toDF("doc_id", "tokens")
+    val out = Packing.packChunks(docs, "doc_id", "tokens", budget = 512)
+      .select("doc_id", "start_offset", "first_chunk", "last_chunk", "n_chunks")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 1L)))      // [0, 300)
+    assert(out(2L) === ((300L, 0L, 1L, 2L)))    // [300, 800) straddles 512
+    assert(out(3L) === ((800L, 1L, 2L, 2L)))    // [800, 1100) straddles 1024
+    assert(out(4L) === ((1100L, 2L, 2L, 1L)))   // [1100, 1101)
+  }
+
+  test("contamination overlap: hashed == unhashed == hand truth") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "totally unrelated text here now"),
+      (3L, "the quick brown cat sits")).toDF("doc_id", "text")
+    val evalSet = Seq("the quick brown fox ran away").toDF("text")
+    def run(hashed: Boolean) =
+      Contamination.overlapCounts(train, evalSet, n = 3, hashed = hashed)
+        .as[(Long, Long)].collect().toMap
+    val hashedOut = run(true)
+    assert(run(false) === hashedOut)
+    // eval 3-grams: {the quick brown, quick brown fox, brown fox ran,
+    // fox ran away}; doc1 shares the first two, doc3 shares one, doc2 none
+    assert(hashedOut === Map(1L -> 2L, 3L -> 1L))
+  }
+}

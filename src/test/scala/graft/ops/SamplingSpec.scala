@@ -48,4 +48,22 @@ class SamplingSpec extends SparkSpec {
     assert(byStratum(true) > 800 && byStratum(true) < 1200)
     assert(byStratum(false) > 100 && byStratum(false) < 320)
   }
+
+  test("mixtureSample: per-domain rates, deterministic, unlisted dropped") {
+    val df = spark.range(30000).select(col("id"),
+      element_at(typedlit(Seq("web", "books", "code")),
+        (col("id") % 3).cast("int") + 1).as("domain"))
+    val rates = Map("web" -> 0.25, "books" -> 1.0)
+    val out = Sampling.mixtureSample(df, "id", "domain", rates)
+    val byDomain = out.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain("books") === 10000L) // rate 1.0 keeps every row
+    assert(byDomain("web") > 2100 && byDomain("web") < 2900) // ~2500
+    assert(!byDomain.contains("code")) // unlisted domain dropped
+    // deterministic: a second evaluation selects the identical set
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(df, "id", "domain", rates)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
 }

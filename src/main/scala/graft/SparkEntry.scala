@@ -832,6 +832,31 @@ object SparkEntry {
       mv.read.orderBy("event_type")
     }),
 
+    // Time series: per-key daily spine + LOCF gap fill — the feature-store
+    // regularization step. Spine generated map-side (sequence + explode),
+    // no calendar cross join.
+    "q_gap_fill" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .filter(col("user_id") < 8)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum("value").as("daily_v"))
+      graft.ops.TimeSeries.gapFillDaily(daily, "user_id", "day", Seq("daily_v"))
+        .select(col("user_id"), col("day"),
+          round(col("daily_v_filled"), 2).as("v_filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Graph: fixed-point PageRank — scaled-integer power iteration, so
+    // ranks are engine-exact (double summation order can't perturb them)
+    // and the DuckDB oracle replays all 3 iterations bit-for-bit.
+    "q_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val edges = o.select((col("o_custkey") % 97).as("src"),
+        (col("o_orderkey") % 97).as("dst"))
+      graft.ops.Graphs.pageRankFixedPoint(edges, iters = 3)
+        .orderBy("id")
+    }),
+
     // M: incremental append consumption (change-feed-lite) — rows added
     // after a version, read from only the NEW file-sets (O(new data)).
     "q_m4_incremental" -> ((s, dir) => {
@@ -1623,6 +1648,54 @@ object SparkEntry {
     "q_mv_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS daily_v
+        |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+        |        FROM daily GROUP BY 1)),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.daily_v
+        |  FROM spine s LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day,
+        |  round(last_value(daily_v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 97 AS src, o_orderkey % 97 AS dst
+        |  FROM orders),
+        |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank_fp FROM v),
+        |c1 AS (SELECT e.dst AS id, sum(r0.rank_fp // d.deg) AS contrib
+        |       FROM e JOIN r0 ON e.src = r0.id JOIN d ON e.src = d.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT v.id,
+        |         CAST(150000000000 + (85 * coalesce(c1.contrib, 0)) // 100
+        |           AS BIGINT) AS rank_fp
+        |       FROM v LEFT JOIN c1 USING (id)),
+        |c2 AS (SELECT e.dst AS id, sum(r1.rank_fp // d.deg) AS contrib
+        |       FROM e JOIN r1 ON e.src = r1.id JOIN d ON e.src = d.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT v.id,
+        |         CAST(150000000000 + (85 * coalesce(c2.contrib, 0)) // 100
+        |           AS BIGINT) AS rank_fp
+        |       FROM v LEFT JOIN c2 USING (id)),
+        |c3 AS (SELECT e.dst AS id, sum(r2.rank_fp // d.deg) AS contrib
+        |       FROM e JOIN r2 ON e.src = r2.id JOIN d ON e.src = d.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT v.id,
+        |         CAST(150000000000 + (85 * coalesce(c3.contrib, 0)) // 100
+        |           AS BIGINT) AS rank_fp
+        |       FROM v LEFT JOIN c3 USING (id))
+        |SELECT id, rank_fp FROM r3 ORDER BY id""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,

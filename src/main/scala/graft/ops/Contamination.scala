@@ -28,15 +28,20 @@ object Contamination {
   def overlapCounts(train: DataFrame, evalSet: DataFrame, n: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text",
                     hashed: Boolean = true): DataFrame = {
-    def keyed(c: org.apache.spark.sql.Column) =
-      if (hashed) xxhash64(c) else c
-    // explode is a generator — it must sit top-level in its own select
+    // hashed path: the codegen'd graft_shingle_hashes expression — ONE
+    // tight loop per row (same ~20x constant over interpreted HOF
+    // shingling that the MinHash stack buys); per-doc distinctness
+    // matches wordShingles' array_distinct, so counts agree with the
+    // string path (pinned by PackingSpec)
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    def shingleArr(c: org.apache.spark.sql.Column) =
+      if (hashed) call_function("graft_shingle_hashes",
+        TextAnalysis.tokens(c), lit(n))
+      else Dedup.wordShingles(c, n)
     val trainSh = train
-      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
-      .select(col(idCol), keyed(col("sh")).as("shingle"))
+      .select(col(idCol), explode(shingleArr(col(textCol))).as("shingle"))
     val evalSh = evalSet
-      .select(explode(Dedup.wordShingles(col(textCol), n)).as("sh"))
-      .select(keyed(col("sh")).as("shingle"))
+      .select(explode(shingleArr(col(textCol))).as("shingle"))
       .distinct()
     trainSh.join(broadcast(evalSh), Seq("shingle"))
       .groupBy(idCol)

@@ -28,17 +28,38 @@ object SparkEntry {
     * probe-read alone, which is the access pattern real ANN serving has
     * (FAISS-style: index once per corpus version, query many). A stale
     * partial dir (no marker, e.g. crashed builder) is discarded. */
+  /** Fingerprint of a source dataset dir (names + sizes + mtimes): the
+    * serving cache key must change when the INPUT changes — regenerated
+    * testdata at the same path must never serve a stale index. */
+  private def sourceFingerprint(p: String): String = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val path = JP.get(p)
+    if (!JF.exists(path)) return "absent"
+    val s = JF.walk(path)
+    val desc =
+      try s.sorted().map[String] { f =>
+        val a = JF.readAttributes(f, classOf[java.nio.file.attribute.BasicFileAttributes])
+        s"${path.relativize(f)}:${a.size}:${a.lastModifiedTime.toMillis}"
+      }.reduce("", (a, b) => a + "\n" + b)
+      finally s.close()
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
   private def cachedServingTable(kind: String, key: String)
                                 (build: String => Unit): String = {
     import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
     val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = JP.get("/tmp/graft-serving", s"$kind-$safe")
     val marker = root.resolve("_SERVING_READY")
+    def removeTree(p: java.nio.file.Path): Unit = {
+      val s = JF.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => JF.deleteIfExists(f))
+      finally s.close()
+    }
     if (!JF.exists(marker)) {
-      if (JF.exists(root)) { // stale partial build: remove before retry
-        JF.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => JF.deleteIfExists(p))
-      }
+      if (JF.exists(root)) removeTree(root) // stale partial build
       JF.createDirectories(root.getParent)
       val staging = JP.get(s"$root.tmp-${java.util.UUID.randomUUID()}")
       build(staging.toString)
@@ -47,8 +68,7 @@ object SparkEntry {
       catch { case _: java.nio.file.FileAlreadyExistsException |
                    _: java.nio.file.DirectoryNotEmptyException =>
         // a concurrent builder won the rename; its table is equivalent
-        JF.walk(staging).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => JF.deleteIfExists(p))
+        removeTree(staging)
       }
     }
     root.toString
@@ -615,7 +635,8 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val path = cachedServingTable("ivf", s"$dir-c16") { staging =>
+      val path = cachedServingTable("ivf",
+        s"$dir-c16-${sourceFingerprint(s"$dir/embeddings.parquet")}") { staging =>
         Similarity.writeIvfTable(e.filter(col("vec_id") =!= 0), staging,
           nCells = 16)
       }
@@ -632,7 +653,8 @@ object SparkEntry {
       // 5 planes → 32 buckets: sized to the corpus (over-partitioning a
       // small table into 256 dirs costs more than it prunes; at larger SF
       // raise numPlanes with corpus size)
-      val path = cachedServingTable("lsh", s"$dir-p5") { staging =>
+      val path = cachedServingTable("lsh",
+        s"$dir-p5-${sourceFingerprint(s"$dir/embeddings.parquet")}") { staging =>
         Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), staging,
           numPlanes = 5, dim = q.size)
       }
@@ -1548,8 +1570,10 @@ object SparkEntry {
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders
-        |WHERE NOT (o_orderkey BETWEEN 0 AND 999999
-        |           AND o_totalprice < 150000.0)
+        |-- coalesce mirrors deleteRange's SQL DELETE semantics exactly:
+        |-- a NULL predicate KEEPS the row (latent here, columns NOT NULL)
+        |WHERE NOT coalesce(o_orderkey BETWEEN 0 AND 999999
+        |                   AND o_totalprice < 150000.0, FALSE)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_m7_restore" ->

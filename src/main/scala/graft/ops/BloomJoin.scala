@@ -3,9 +3,8 @@ package graft.ops
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -42,9 +41,10 @@ object BloomJoin {
       .na.drop("any", Seq("k"))
       .stat.bloomFilter("k", expectedItems, fpp)
     val name = s"graft_bloom_contains_${names.incrementAndGet()}"
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[BloomMightContainLong].getName, name),
+    // bounded registration: the closure holds the whole Bloom sketch, so
+    // unevicted per-call registrations would leak ~1 MB each
+    graft.functions.TransientFunctions.register(spark, "graft_bloom", name,
+      classOf[BloomMightContainLong],
       (exprs: Seq[Expression]) => BloomMightContainLong(exprs.head, bloom))
     val prefiltered = probe.filter(
       call_function(name, col(probeKey).cast("long")))

@@ -4,9 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Nondeterministic, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -83,13 +82,13 @@ object Diagnostics {
     sc.register(l, s"$name.largest_group")
     stats.put(name, DropStats(d, l))
     // the probe carries accumulator references, so it can't go through a
-    // shared function name — register a per-probe builder (same session
-    // FunctionRegistry mechanism as GraftFunctions; names are unique)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[SizeCapProbe].getName, name),
+    // shared function name — register a per-probe builder (bounded: the
+    // registrar evicts old probes AND their stats entries)
+    graft.functions.TransientFunctions.register(spark, "graft_drops", name,
+      classOf[SizeCapProbe],
       (exprs: Seq[Expression]) =>
-        SizeCapProbe(exprs.head, minSize, cap, name, d, l))
+        SizeCapProbe(exprs.head, minSize, cap, name, d, l),
+      onEvict = stats.remove(_))
     df.filter(call_function(name, sizeCol))
   }
 }

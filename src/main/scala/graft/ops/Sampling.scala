@@ -70,9 +70,13 @@ object Sampling {
       "rates must be in [0, 1]")
     val h4 = substring(md5(key.cast("string")), 1, 4)
     rates.foldLeft(lit(false)) { case (acc, (d, r)) =>
+      // rates rounding UP to 65536 must short-circuit to keep-all: the
+      // 5-char literal "10000" would otherwise compare lexically SMALLER
+      // than most 4-char prefixes and keep only ~1/16 of a ~1.0 domain
+      val t = math.round(r * 65536).toInt
       val cond =
-        if (r >= 1.0) lit(true)
-        else h4 < lit(f"${math.round(r * 65536).toInt}%04x")
+        if (t >= 65536) lit(true)
+        else h4 < lit(f"$t%04x")
       when(domain === d, cond).otherwise(acc)
     }
   }

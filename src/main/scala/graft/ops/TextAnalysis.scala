@@ -113,7 +113,9 @@ object TextAnalysis {
     * it). The doc count N is one scalar agg, not a per-row window. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val n = docs.count()
+    // N rides along as a broadcast one-row cross join: the operator stays
+    // LAZY (no count() action at plan-construction time, no extra pass)
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val terms = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
@@ -122,7 +124,9 @@ object TextAnalysis {
     val df = tf.groupBy("term")
       .agg(count(lit(1)).as("df")) // tf rows are distinct per (doc, term)
     tf.join(broadcast(df), Seq("term"))
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
+      .drop("__n")
   }
 
   /** Full per-document stats projection over a corpus. */

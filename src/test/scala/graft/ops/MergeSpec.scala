@@ -75,14 +75,21 @@ class MergeSpec extends SparkSpec {
     assert(out === Set(("a", 15L), ("b", 1L), ("c", 7L)))
   }
 
-  test("updateExprs through VersionedTable.merge keeps COW + idempotent rerun semantics") {
+  test("updateExprs through VersionedTable.merge: combining, NOT rerun-idempotent") {
     import org.apache.spark.sql.functions._
     val tbl = graft.tables.VersionedTable(spark, tmpDir("vt-incragg-"))
     tbl.merge(Seq(("a", 10L), ("b", 1L)).toDF("k", "cnt"), Seq("k"),
       numBuckets = 4)
-    tbl.merge(Seq(("a", 5L), ("c", 7L)).toDF("k", "cnt"), Seq("k"),
-      updateExprs = Map("cnt" -> ((tc, uc) => tc + uc)))
+    val incr = Seq(("a", 5L), ("c", 7L)).toDF("k", "cnt")
+    val plus = Map("cnt" -> ((tc: org.apache.spark.sql.Column,
+                              uc: org.apache.spark.sql.Column) => tc + uc))
+    tbl.merge(incr, Seq("k"), updateExprs = plus)
     assert(tbl.read.as[(String, Long)].collect().toSet ===
       Set(("a", 15L), ("b", 1L), ("c", 7L)))
+    // a combining merge re-applies on rerun BY DESIGN (incremental
+    // aggregation) — retry-safety must come from increment dedup upstream
+    tbl.merge(incr, Seq("k"), updateExprs = plus)
+    assert(tbl.read.as[(String, Long)].collect().toSet ===
+      Set(("a", 20L), ("b", 1L), ("c", 14L)))
   }
 }

@@ -47,20 +47,4 @@ class PackingSpec extends SparkSpec {
     assert(out(3L) === ((800L, 1L, 2L, 2L)))    // [800, 1100) straddles 1024
     assert(out(4L) === ((1100L, 2L, 2L, 1L)))   // [1100, 1101)
   }
-
-  test("contamination overlap: hashed == unhashed == hand truth") {
-    val train = Seq(
-      (1L, "the quick brown fox jumps"),
-      (2L, "totally unrelated text here now"),
-      (3L, "the quick brown cat sits")).toDF("doc_id", "text")
-    val evalSet = Seq("the quick brown fox ran away").toDF("text")
-    def run(hashed: Boolean) =
-      Contamination.overlapCounts(train, evalSet, n = 3, hashed = hashed)
-        .as[(Long, Long)].collect().toMap
-    val hashedOut = run(true)
-    assert(run(false) === hashedOut)
-    // eval 3-grams: {the quick brown, quick brown fox, brown fox ran,
-    // fox ran away}; doc1 shares the first two, doc3 shares one, doc2 none
-    assert(hashedOut === Map(1L -> 2L, 3L -> 1L))
-  }
 }

@@ -65,5 +65,10 @@ class SamplingSpec extends SparkSpec {
     val b = Sampling.mixtureSample(df, "id", "domain", rates)
       .select("id").as[Long].collect().toSet
     assert(a === b)
+    // a rate rounding UP to 1.0 (65536/65536) keeps EVERYTHING — the
+    // 5-char "10000" hex literal must not sneak into the lexical compare
+    val nearOne = Sampling.mixtureSample(df, "id", "domain",
+      Map("web" -> 0.999999))
+    assert(nearOne.count() === 10000L)
   }
 }

@@ -68,4 +68,22 @@ class TextAnalysisSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("tfidf: weights match hand computation") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // Catalyst math exprs use StrictMath (reproducible across JVMs) —
+    // expectations must too, Math.log differs by 1 ulp
+    assert(out((1L, "apple")) === ((2L, 1L, 2.0 * StrictMath.log(3.0 / 1.0))))
+    assert(out((1L, "banana")) === ((1L, 2L, 1.0 * StrictMath.log(3.0 / 2.0))))
+    assert(out((3L, "cherry")) === ((2L, 2L, 2.0 * StrictMath.log(3.0 / 2.0))))
+    assert(out((3L, "date"))._3 === StrictMath.log(3.0))
+    assert(out.size === 6)
+  }
 }

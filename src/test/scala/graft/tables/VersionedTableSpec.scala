@@ -308,6 +308,11 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.history.last.action === "restore")
     assert(t.readVersion(2).as[Int].collect().toSet === Set(9),
       "the rolled-back version must stay in history")
+    // restoring past a vacuum must REFUSE, not commit a broken HEAD
+    t.overwrite(Seq(7).toDF("id"))
+    t.vacuum(retainVersions = 1)
+    assertThrows[IllegalArgumentException](t.restore(0))
+    assert(t.read.as[Int].collect().toSet === Set(7), "table must stay usable")
   }
 
   test("deleteRange rewrites ONLY stats-overlapping file-sets") {

@@ -661,6 +661,22 @@ object SparkEntry {
       Similarity.lshProbeTopK(s, path, q, k = 10, probeHamming = 1)
     }),
 
+    // ANN serving compression: per-vector int8 scalar quantization —
+    // 4x memory/IO over float32; the affine map is all-double IEEE math
+    // so the oracle replays it exactly (reconstruction-error bound and
+    // cosine preservation pinned by SimilaritySpec).
+    "q_sim_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings")
+          .filter(col("vec_id") < 50))
+        .select(col("vec_id"),
+          round(col("q_scale"), 6).as("scale6"),
+          round(col("q_min"), 4).as("min4"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("q"), lit(127), (a, x) => least(a, x)).as("q_lo"),
+          aggregate(col("q"), lit(-128), (a, x) => greatest(a, x)).as("q_hi"))
+        .orderBy("vec_id")
+    }),
+
     // Distinct-cardinality estimation: HLL++ sketch vs exact (rows-only:
     // sketch estimates are engine-specific; 5%-accuracy pinned by spec).
     "q_cnt_approx_distinct" -> ((s, dir) =>
@@ -1690,6 +1706,27 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS v_filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q_sim_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS l
+        |  FROM embeddings WHERE vec_id < 50),
+        |m AS (
+        |  SELECT vec_id, l, list_min(l) AS mn,
+        |    (list_max(l) - list_min(l)) / 255.0 AS scale
+        |  FROM v),
+        |qq AS (
+        |  SELECT vec_id, mn, scale,
+        |    list_transform(l, x -> CAST(round((x - mn) /
+        |      (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)) AS INTEGER)
+        |      - 128) AS ql
+        |  FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale6, round(mn, 4) AS min4,
+        |  CAST(list_aggregate(ql, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(ql, 'min') AS INTEGER) AS q_lo,
+        |  CAST(list_aggregate(ql, 'max') AS INTEGER) AS q_hi
+        |FROM qq ORDER BY vec_id""".stripMargin,
 
     "q_pagerank" ->
       """WITH e AS (

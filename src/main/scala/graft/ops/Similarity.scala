@@ -288,4 +288,31 @@ object Similarity {
           col("vec_b").cast("array<double>")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  // ---------------------------------------------------------- quantization
+
+  /** Scalar int8 quantization: per-vector affine map of each element to
+    * [-128, 127] (`q = round((v - min) / scale) - 128`, scale =
+    * (max - min) / 255). 4x memory/IO over float32 — the standard first
+    * compression step for billion-vector ANN serving (a quantized table
+    * scan reads a quarter of the bytes; re-rank fetches float vectors for
+    * the shortlist only). Map-only, engine-exact arithmetic (all-double
+    * IEEE ops + round-half-up on nonnegative values), so the DuckDB
+    * oracle replays it bit-for-bit. Flat vectors (max == min) quantize to
+    * all -128 with scale 0 and dequantize back to the constant. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val mn = array_min(v)
+    val scale = (array_max(v) - mn) / lit(255.0d)
+    val safe = when(scale === 0.0d, 1.0d).otherwise(scale)
+    embeddings.select(col(idCol),
+      transform(v, x => (round((x - mn) / safe) - 128).cast("int")).as("q"),
+      scale.as("q_scale"), mn.as("q_min"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `v ≈ (q + 128) * q_scale + q_min`
+    * (max per-element error `q_scale / 2`). */
+  def dequantizeInt8(q: Column, scale: Column, min: Column): Column =
+    transform(q, x => (x + 128) * scale + min)
 }

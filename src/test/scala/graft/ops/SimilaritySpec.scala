@@ -56,6 +56,33 @@ class SimilaritySpec extends SparkSpec {
       s"missed planted identical vectors: ${expected -- pairs}")
   }
 
+  test("int8 quantization: bounded error, cosine preserved, flat vectors safe") {
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextGaussian().toFloat))) :+
+      (99L, Seq.fill(32)(1.5f)) // flat vector: max == min
+    val df = base.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df)
+    val roundTrip = q.select(col("vec_id"), col("q_scale"),
+        Similarity.dequantizeInt8(col("q"), col("q_scale"), col("q_min"))
+          .as("deq"))
+      .join(df, Seq("vec_id"))
+      .select(col("vec_id"),
+        // max abs per-element reconstruction error vs scale/2 bound
+        aggregate(zip_with(col("deq"), col("embedding").cast("array<double>"),
+          (a, b) => abs(a - b)), lit(0.0d),
+          (acc, x) => greatest(acc, x)).as("maxErr"),
+        col("q_scale"))
+      .as[(Long, Double, Double)].collect()
+    roundTrip.foreach { case (id, err, scale) =>
+      assert(err <= scale / 2 + 1e-12, s"vec $id error $err > ${scale / 2}")
+    }
+    // quantized range is fully inside int8
+    val bounds = q.select(aggregate(col("q"), lit(0),
+      (acc, x) => greatest(acc, abs(x)))).as[Int].collect().max
+    assert(bounds <= 128)
+  }
+
   test("oversized-bucket drops are observed, never silent") {
     Diagnostics.resetDrops("graft_drops_bucket")
     val rnd = new scala.util.Random(3)

@@ -535,6 +535,46 @@ object SparkEntry {
         .orderBy("event_key")
     }),
 
+    // W5: analytic window-function suite — lag/lead/ntile/cume_dist/rank
+    // in one pass (two window specs share the o_custkey partition
+    // shuffle).
+    "q_w5_window_suite" -> ((s, dir) => {
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey")
+      val byPrice = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(byKey).as("prev_key"),
+          lead("o_orderkey", 1).over(byKey).as("next_key"),
+          ntile(4).over(byKey).as("quartile"),
+          round(cume_dist().over(byKey), 6).as("cd6"),
+          rank().over(byPrice).as("price_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ST7: stream-stream interval join — purchases joined to same-user
+    // views within 1 hour, both sides watermarked (bounded join state).
+    // ONE landing file → one micro-batch, so the watermark cannot drop
+    // rows mid-drain and the result equals the batch join (the oracle).
+    "q_st7_stream_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-ssj-").toString
+      eventsAsLiveEvents(s, dir)
+        .filter(col("player_id").cast("long") < 300)
+        .drop("updated_at")
+        .coalesce(1).write.json(s"$tmp/landing")
+      val out = VersionedTable(s, s"$tmp/joined")
+      graft.streaming.LiveEvents.runViewPurchaseJoinAvailableNow(
+        s, s"$tmp/landing", s"$tmp/cp", out)
+      out.read.select(col("user_id").cast("long").as("user_id"),
+          col("purchase_key").cast("long").as("purchase_key"),
+          col("view_key").cast("long").as("view_key"),
+          unix_millis(col("purchase_ts")).as("purchase_ms"),
+          unix_millis(col("view_ts")).as("view_ms"))
+        .orderBy("user_id", "purchase_key", "view_key")
+    }),
+
     // ML1: feature materialization — windows over the player×gameweek
     // grain + broadcast dim joins (docs/backlog.md:84-89), phrased over a
     // deterministic events→history mapping so DuckDB can oracle it.
@@ -1688,6 +1728,30 @@ object SparkEntry {
     "q_mv_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_w5_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cd6,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER)
+        |    AS price_rank
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_st7_stream_join" ->
+      """SELECT p.user_id AS user_id,
+        |  p.event_id AS purchase_key, v.event_id AS view_key,
+        |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(v.ts) AS view_ms
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.user_id < 300 AND v.user_id < 300
+        |ORDER BY user_id, purchase_key, view_key""".stripMargin,
 
     "q_gap_fill" ->
       """WITH daily AS (

@@ -285,6 +285,45 @@ object LiveEvents {
     q.awaitTermination()
   }
 
+  /** ST7: STREAM-STREAM interval join with watermarks on both sides —
+    * the view→purchase attribution shape: each 'purchase' event joins
+    * the same user's 'view' events at most `horizon` earlier. The
+    * event-time bound plus both watermarks is the canonical recipe that
+    * lets Spark EVICT join state once the watermark passes the interval:
+    * buffered state is O(events within horizon+delay), never the whole
+    * stream — the property that makes stream-stream joins viable on an
+    * unbounded 100 TB/day feed. Inner join → append output mode. */
+  def runViewPurchaseJoinAvailableNow(spark: SparkSession, landingDir: String,
+                                      checkpointDir: String, out: VersionedTable,
+                                      horizon: String = "1 hour",
+                                      watermarkDelay: String = "2 hours"): Unit = {
+    val raw = spark.readStream.schema(Schemas.liveEventRaw).json(landingDir)
+    val views = raw.filter(col("event_type") === "view")
+      .select(col("player_id").as("user_id"),
+        col("event_ts").as("view_ts"), col("event_key").as("view_key"))
+      .withWatermark("view_ts", watermarkDelay)
+    val purchases = raw.filter(col("event_type") === "purchase")
+      .select(col("player_id").as("p_user"),
+        col("event_ts").as("purchase_ts"),
+        col("event_key").as("purchase_key"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    val joined = purchases.join(views,
+      col("user_id") === col("p_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"interval $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_key"),
+        col("purchase_ts"), col("view_key"), col("view_ts"))
+    val q = joined.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { out.append(batch); () }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-fixture event timeline with running event count — the
     * score/status timeline shape of silver.live_fixture_state. */
   def fixtureTimeline(silverEvents: DataFrame): DataFrame = {

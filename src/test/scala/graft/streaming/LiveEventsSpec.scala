@@ -195,4 +195,30 @@ class LiveEventsSpec extends SparkSpec {
     assert(silver.read.count() === 4)
     assert(silver.read.filter($"event_key" === "k9").count() === 1)
   }
+
+  test("stream-stream join: same-user views within horizon, others excluded") {
+    val tmp = tmpDir("ssj-")
+    // u1: view at t=100 and purchase at t=1000 (within 1h) → joins;
+    //     a second view at t=-5000 is OUTSIDE the horizon → excluded
+    // u2: view AFTER the purchase → excluded
+    // u3: purchase with no view → excluded (inner join)
+    Seq(
+      ("v1", "u1", ts(100), "view"),
+      ("v0", "u1", ts(-5000), "view"),
+      ("p1", "u1", ts(1000), "purchase"),
+      ("v2", "u2", ts(2000), "view"),
+      ("p2", "u2", ts(1500), "purchase"),
+      ("p3", "u3", ts(300), "purchase"),
+    ).toDF("event_key", "player_id", "event_ts", "event_type")
+      .withColumn("fixture_id", lit("f"))
+      .withColumn("team_id", lit(null).cast("string"))
+      .withColumn("payload", lit("{}"))
+      .coalesce(1).write.json(s"$tmp/landing")
+    val out = VersionedTable(spark, s"$tmp/joined")
+    LiveEvents.runViewPurchaseJoinAvailableNow(spark, s"$tmp/landing",
+      s"$tmp/cp", out)
+    val rows = out.read.select("user_id", "purchase_key", "view_key")
+      .as[(String, String, String)].collect().toSet
+    assert(rows === Set(("u1", "p1", "v1")))
+  }
 }

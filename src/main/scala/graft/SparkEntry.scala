@@ -1016,6 +1016,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
+    // Approximate top-K heavy hitters: deterministic two-pass (md5
+    // hash-sampled candidates → exact count of candidates only) — no
+    // sketch UDAF, exact reported counts, oracle replays both passes.
+    "q_topk_terms" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      graft.ops.TopK.approxTopK(pairs, col("doc_id"), col("term"), k = 10)
+    }),
+
     // Funnel: ordered-step conversion counts (view → click → purchase),
     // each step gated on happening at/after the entity's previous step.
     "q_funnel" -> ((s, dir) =>
@@ -1215,6 +1225,20 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(term) > 0
         |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_topk_terms" ->
+      """WITH pairs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS value
+        |  FROM documents),
+        |v2 AS (SELECT doc_id, value FROM pairs WHERE length(value) > 0),
+        |cand AS (
+        |  SELECT value FROM v2
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |  GROUP BY value ORDER BY count(*) DESC, value ASC LIMIT 40)
+        |SELECT value, CAST(count(*) AS BIGINT) AS n
+        |FROM v2 WHERE value IN (SELECT value FROM cand)
+        |GROUP BY value ORDER BY n DESC, value ASC LIMIT 10""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (

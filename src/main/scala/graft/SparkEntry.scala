@@ -562,6 +562,11 @@ object SparkEntry {
       val tmp = Files.createTempDirectory("graft-ssj-").toString
       eventsAsLiveEvents(s, dir)
         .filter(col("player_id").cast("long") < 300)
+        // truncate to SECONDS before the JSON round-trip: raw event time
+        // is ns-precision and JSON carries ms, so join membership at
+        // interval boundaries would otherwise depend on which precision
+        // each engine compared at; the oracle truncates identically
+        .withColumn("event_ts", date_trunc("second", col("event_ts")))
         .drop("updated_at")
         .coalesce(1).write.json(s"$tmp/landing")
       val out = VersionedTable(s, s"$tmp/joined")
@@ -1021,9 +1026,14 @@ object SparkEntry {
     // sketch UDAF, exact reported counts, oracle replays both passes.
     "q_topk_terms" -> ((s, dir) => {
       val pairs = t(s, dir, "documents")
-        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
         .filter(length(col("term")) > 0)
-      graft.ops.TopK.approxTopK(pairs, col("doc_id"), col("term"), k = 10)
+      // sample key = (doc, position): keying on doc_id alone would
+      // keep/drop a whole document's tokens together (correlated drop —
+      // the failure mode TopK's doc warns about, at document level)
+      graft.ops.TopK.approxTopK(pairs,
+        concat_ws(":", col("doc_id"), col("pos")), col("term"), k = 10)
     }),
 
     // Funnel: ordered-step conversion counts (view → click → purchase),
@@ -1227,14 +1237,17 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
 
     "q_topk_terms" ->
-      """WITH pairs AS (
+      """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS value
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
         |  FROM documents),
-        |v2 AS (SELECT doc_id, value FROM pairs WHERE length(value) > 0),
+        |pairs AS (
+        |  SELECT doc_id, i - 1 AS pos, tk[i] AS value
+        |  FROM toks, unnest(range(1, len(tk) + 1)) AS r(i)),
+        |v2 AS (SELECT doc_id, pos, value FROM pairs WHERE length(value) > 0),
         |cand AS (
         |  SELECT value FROM v2
-        |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |  WHERE substr(md5(doc_id || ':' || pos), 1, 1) IN ('0', '1')
         |  GROUP BY value ORDER BY count(*) DESC, value ASC LIMIT 40)
         |SELECT value, CAST(count(*) AS BIGINT) AS n
         |FROM v2 WHERE value IN (SELECT value FROM cand)
@@ -1767,14 +1780,17 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_st7_stream_join" ->
-      """SELECT p.user_id AS user_id,
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         date_trunc('second', ts) AS ts
+        |  FROM events WHERE user_id < 300)
+        |SELECT p.user_id AS user_id,
         |  p.event_id AS purchase_key, v.event_id AS view_key,
         |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(v.ts) AS view_ms
-        |FROM events p JOIN events v
+        |FROM e p JOIN e v
         |  ON v.user_id = p.user_id
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
-        |WHERE p.user_id < 300 AND v.user_id < 300
         |ORDER BY user_id, purchase_key, view_key""".stripMargin,
 
     "q_gap_fill" ->

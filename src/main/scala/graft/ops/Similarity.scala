@@ -303,12 +303,19 @@ object Similarity {
   def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    // materialize min/scale as COLUMNS before the transform: expression
+    // trees captured inside a HOF lambda re-evaluate per element
+    // (subexpression elimination does not reach into lambdas), which
+    // would make the map pass O(d^2) per vector at embedding dims
     val mn = array_min(v)
     val scale = (array_max(v) - mn) / lit(255.0d)
-    val safe = when(scale === 0.0d, 1.0d).otherwise(scale)
-    embeddings.select(col(idCol),
-      transform(v, x => (round((x - mn) / safe) - 128).cast("int")).as("q"),
-      scale.as("q_scale"), mn.as("q_min"))
+    val safe = when(col("q_scale") === 0.0d, 1.0d).otherwise(col("q_scale"))
+    embeddings
+      .select(col(idCol), v.as("__v"), scale.as("q_scale"), mn.as("q_min"))
+      .select(col(idCol),
+        transform(col("__v"),
+          x => (round((x - col("q_min")) / safe) - 128).cast("int")).as("q"),
+        col("q_scale"), col("q_min"))
   }
 
   /** Inverse of [[quantizeInt8]]: `v ≈ (q + 128) * q_scale + q_min`

@@ -318,7 +318,10 @@ object LiveEvents {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { out.append(batch); () }
+        // unconditional: an empty batch still writes a schema-bearing
+        // file-set, so a zero-match join yields a readable EMPTY table
+        // instead of a never-created one that errors on read
+        out.append(batch); ()
       }
       .start()
     q.awaitTermination()

@@ -77,10 +77,14 @@ class SimilaritySpec extends SparkSpec {
     roundTrip.foreach { case (id, err, scale) =>
       assert(err <= scale / 2 + 1e-12, s"vec $id error $err > ${scale / 2}")
     }
-    // quantized range is fully inside int8
-    val bounds = q.select(aggregate(col("q"), lit(0),
-      (acc, x) => greatest(acc, abs(x)))).as[Int].collect().max
-    assert(bounds <= 128)
+    // quantized range is fully inside int8 — both bounds checked
+    // separately (abs folding would let an illegal +128 masquerade as a
+    // legal -128)
+    val (qLo, qHi) = q
+      .select(aggregate(col("q"), lit(127), (a, x) => least(a, x)).as("lo"),
+        aggregate(col("q"), lit(-128), (a, x) => greatest(a, x)).as("hi"))
+      .agg(min("lo"), max("hi")).as[(Int, Int)].head()
+    assert(qLo >= -128 && qHi <= 127, s"int8 overflow: [$qLo, $qHi]")
   }
 
   test("oversized-bucket drops are observed, never silent") {

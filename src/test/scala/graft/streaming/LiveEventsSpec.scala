@@ -198,17 +198,20 @@ class LiveEventsSpec extends SparkSpec {
 
   test("stream-stream join: same-user views within horizon, others excluded") {
     val tmp = tmpDir("ssj-")
-    // u1: view at t=100 and purchase at t=1000 (within 1h) → joins;
-    //     a second view at t=-5000 is OUTSIDE the horizon → excluded
+    // u1: view at t=9500 and purchase at t=10000 (within 1h) → joins;
+    //     a view at t=100 is 9900s before — OUTSIDE the 1h horizon →
+    //     excluded BY THE INTERVAL BOUND (post-epoch on purpose: a
+    //     pre-epoch ts could be dropped by batch-0 watermark filtering
+    //     instead, leaving the horizon bound untested)
     // u2: view AFTER the purchase → excluded
     // u3: purchase with no view → excluded (inner join)
     Seq(
-      ("v1", "u1", ts(100), "view"),
-      ("v0", "u1", ts(-5000), "view"),
-      ("p1", "u1", ts(1000), "purchase"),
-      ("v2", "u2", ts(2000), "view"),
-      ("p2", "u2", ts(1500), "purchase"),
-      ("p3", "u3", ts(300), "purchase"),
+      ("v1", "u1", ts(9500), "view"),
+      ("v0", "u1", ts(100), "view"),
+      ("p1", "u1", ts(10000), "purchase"),
+      ("v2", "u2", ts(11000), "view"),
+      ("p2", "u2", ts(10500), "purchase"),
+      ("p3", "u3", ts(10300), "purchase"),
     ).toDF("event_key", "player_id", "event_ts", "event_type")
       .withColumn("fixture_id", lit("f"))
       .withColumn("team_id", lit(null).cast("string"))

@@ -1027,6 +1027,18 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
+    // Text quality: Gopher-style repetition filters — duplicate-token
+    // fraction (map-only) + most-frequent-bigram share (one groupBy);
+    // the standard boilerplate/spam cut before pretraining.
+    "q_txt_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+          t(s, dir, "documents").filter(col("doc_id") < 100))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dup_token_frac"), 4).as("dup_frac4"),
+          round(col("top_bigram_frac"), 4).as("bigram_frac4"))
+        .orderBy("doc_id")
+    }),
+
     // Approximate top-K heavy hitters: deterministic two-pass (md5
     // hash-sampled candidates → exact count of candidates only) — no
     // sketch UDAF, exact reported counts, oracle replays both passes.
@@ -1241,6 +1253,33 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(term) > 0
         |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_txt_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(tk) END AS INTEGER) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(tk)) AS DOUBLE)
+        |        / CAST(len(tk) AS DOUBLE) AS dup_frac
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS g
+        |  FROM toks, unnest(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS top_frac
+        |  FROM gc GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |  round(b.dup_frac, 4) AS dup_frac4,
+        |  round(coalesce(t.top_frac, 0.0), 4) AS bigram_frac4
+        |FROM base b LEFT JOIN top t USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q_topk_terms" ->
       """WITH toks AS (

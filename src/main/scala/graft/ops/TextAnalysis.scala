@@ -105,6 +105,45 @@ object TextAnalysis {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       UrlRe, "<URL>")
 
+  /** Word n-grams WITH repetitions (unlike `Dedup.wordShingles`, which
+    * dedups for set semantics) — repetition analysis needs the counts.
+    * Fewer than `n` tokens → no n-grams (empty array, NOT a short
+    * shingle: sequence(0, negative) would go descending). */
+  def ngramList(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token: 1 -
+    * distinct/total. Map-only. */
+  def duplicateTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Gopher-style repetition filters: per doc, token count, duplicate-
+    * token fraction (map-only) and the most-frequent-bigram fraction
+    * (one groupBy — a doc whose top bigram covers a large share of all
+    * bigrams is boilerplate/spam; the standard pretraining quality cut).
+    * Docs with < 2 tokens get top_bigram_frac 0. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      duplicateTokenFraction(col(textCol)).as("dup_token_frac"))
+    val top = docs
+      .select(col(idCol), explode(ngramList(col(textCol), 2)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    base.join(top, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_bigram_frac"))
+  }
+
   /** TF-IDF term weights per (document, term): tf = raw in-doc term
     * count, idf = ln(N / df) over the corpus. Two shuffles total — one
     * groupBy (doc, term) for tf, one groupBy term for df — then a

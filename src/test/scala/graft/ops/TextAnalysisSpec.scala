@@ -69,6 +69,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("repetitionStats: duplicate and top-bigram fractions by hand") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),   // 1 distinct of 4; bigram "spam spam" 3/3
+      (2L, "all words are unique"),  // 0 dup; every bigram count 1 → 1/3
+      (3L, "one")).toDF("doc_id", "text") // < 2 tokens → bigram frac 0
+    val out = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
+      .as[(Long, Int, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) === ((4, 0.75, 1.0)))
+    assert(out(2L)._2 === 0.0)
+    assert(out(2L)._3 === (1.0 / 3.0))
+    assert(out(3L) === ((1, 0.0, 0.0)))
+  }
+
   test("tfidf: weights match hand computation") {
     val docs = Seq(
       (1L, "apple banana apple"),

@@ -1027,6 +1027,46 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
+    // Crawl-pipeline: URL canonicalization + URL-level dedup — synthetic
+    // URLs (tracking params, WWW, fragments, trailing slashes) built
+    // identically in both engines, canonicalized by mirrored regex
+    // chains, then grouped: the dedup key collapses the variants.
+    "q_url_canon" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), concat(
+          lit("https://WWW.Example"), col("doc_id") % 7,
+          lit(".com/Path"), col("doc_id") % 5,
+          when(col("doc_id") % 2 === 0,
+            concat(lit("/?utm_source=x&id="), col("doc_id") % 3,
+              lit("&fbclid=abc#frag")))
+            .otherwise(lit("/"))).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // Stats: Pearson correlation via EXACT integer sufficient statistics
+    // — corr() aggregates are float-summation-order-dependent across
+    // engines, but integer sums are exact and associative, so one double
+    // formula at the end is engine-identical (sums < 2^53 stay exact
+    // through the double cast).
+    "q_stats_corr" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          (col("user_id") % 97).as("x"), (col("event_id") % 101).as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("corr6"))
+        .orderBy("event_type")
+    }),
+
     // Text quality: Gopher-style repetition filters — duplicate-token
     // fraction (map-only) + most-frequent-bigram share (one groupBy);
     // the standard boilerplate/spam cut before pretraining.
@@ -1253,6 +1293,55 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(term) > 0
         |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://WWW.Example' || (doc_id % 7) || '.com/Path' ||
+        |    (doc_id % 5) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '/?utm_source=x&id=' || (doc_id % 3) || '&fbclid=abc#frag'
+        |      ELSE '/' END AS url
+        |  FROM documents WHERE doc_id < 50),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM u),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      lower(regexp_extract(nofrag,
+        |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)', 1)),
+        |      '://www\.', '://') AS host,
+        |    regexp_replace(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+', '') AS rest
+        |  FROM c),
+        |q AS (
+        |  SELECT doc_id, url, host,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(rest,
+        |          '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |        '[?&]$', ''),
+        |      '\?&', '?') AS tidy
+        |  FROM p)
+        |SELECT doc_id, url, host || regexp_replace(tidy, '/$', '') AS canonical
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_stats_corr" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id % 97 AS x, event_id % 101 AS y
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |         CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr6
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q_txt_repetition" ->
       """WITH toks AS (

@@ -168,6 +168,24 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Crawl-style URL canonicalization — the dedup key for URL-level
+    * dedup before content-level passes: lowercases scheme+host, strips
+    * `www.`, the fragment, common tracking params (utm_*, fbclid,
+    * gclid), empty query remnants, and the trailing slash. Path and
+    * query VALUE case are preserved (they are semantically significant).
+    * Map-only regex chain, engine-portable (mirrored in the
+    * `q_url_canon` DuckDB oracle). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)", 1))
+    val host = regexp_replace(schemeHost, "://www\\.", "://")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+", "")
+    val noTrack = regexp_replace(rest, "(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    val tidyQ = regexp_replace(regexp_replace(noTrack, "[?&]$", ""), "\\?&", "?")
+    val noSlash = regexp_replace(tidyQ, "/$", "")
+    concat(host, noSlash)
+  }
+
   /** Full per-document stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

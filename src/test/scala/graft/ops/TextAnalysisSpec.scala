@@ -84,6 +84,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((1, 0.0, 0.0)))
   }
 
+  test("canonicalizeUrl: tracking params, www, fragment, slash, case") {
+    def canon(u: String): String =
+      eval1[String](TextAnalysis.canonicalizeUrl(org.apache.spark.sql
+        .functions.lit(u)))
+    assert(canon("https://WWW.Example.COM/Path/?utm_source=x&id=1&fbclid=z#f")
+      === "https://example.com/Path/?id=1")
+    assert(canon("http://example.com/") === "http://example.com")
+    assert(canon("https://example.com/a/b") === "https://example.com/a/b")
+    // path case preserved; only scheme+host lowered
+    assert(canon("HTTPS://EX.COM/CaseSensitive") ===
+      "https://ex.com/CaseSensitive")
+    // variants collapse to one key
+    assert(canon("https://www.ex.com/p?utm_campaign=a") ===
+      canon("https://ex.com/p"))
+  }
+
   test("tfidf: weights match hand computation") {
     val docs = Seq(
       (1L, "apple banana apple"),

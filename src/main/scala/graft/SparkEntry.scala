@@ -1027,10 +1027,10 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
-    // Crawl-pipeline: URL canonicalization + URL-level dedup — synthetic
-    // URLs (tracking params, WWW, fragments, trailing slashes) built
-    // identically in both engines, canonicalized by mirrored regex
-    // chains, then grouped: the dedup key collapses the variants.
+    // Crawl-pipeline: URL canonicalization — synthetic URLs (tracking
+    // params, WWW, fragments, trailing slashes) built identically in
+    // both engines, canonicalized by semantically-mirrored regex chains;
+    // variant-collapse behavior is pinned by TextAnalysisSpec.
     "q_url_canon" -> ((s, dir) => {
       val urls = t(s, dir, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"), concat(
@@ -1047,10 +1047,12 @@ object SparkEntry {
 
     // Stats: Pearson correlation via EXACT integer sufficient statistics
     // — corr() aggregates are float-summation-order-dependent across
-    // engines, but integer sums are exact and associative, so one double
-    // formula at the end is engine-identical (sums < 2^53 stay exact
-    // through the double cast).
+    // engines, but integer sums are exact and associative. The products
+    // run in decimal(38,0) (they pass a long near 3e7 rows/group; DuckDB
+    // uses HUGEINT) and both engines round the SAME exact integer to
+    // double at the end, so one final float formula is engine-identical.
     "q_stats_corr" -> ((s, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       events(s, dir)
         .select(col("event_type"),
           (col("user_id") % 97).as("x"), (col("event_id") % 101).as("y"))
@@ -1060,9 +1062,9 @@ object SparkEntry {
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("event_type"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double") /
+            sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double") *
+              (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double")),
             6).as("corr6"))
         .orderBy("event_type")
     }),
@@ -1311,19 +1313,18 @@ object SparkEntry {
         |  SELECT doc_id, url,
         |    regexp_replace(
         |      lower(regexp_extract(nofrag,
-        |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)', 1)),
-        |      '://www\.', '://') AS host,
+        |        '^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?]+)', 1)),
+        |      '^(www\.|([A-Za-z][A-Za-z0-9+.-]*://)www\.)', '\2') AS host,
         |    regexp_replace(nofrag,
-        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+', '') AS rest
+        |      '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?]+', '') AS rest
         |  FROM c),
         |q AS (
         |  SELECT doc_id, url, host,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(rest,
-        |          '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        |        '[?&]$', ''),
-        |      '\?&', '?') AS tidy
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(rest,
+        |        '([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+        |      '\?[?&]+', '?', 'g'), '&[?&]+', '&', 'g'),
+        |      '[?&]+$', '') AS tidy
         |  FROM p)
         |SELECT doc_id, url, host || regexp_replace(tidy, '/$', '') AS canonical
         |FROM q ORDER BY doc_id""".stripMargin,

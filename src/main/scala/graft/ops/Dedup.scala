@@ -42,11 +42,13 @@ object Dedup {
 
   /** Word n-gram shingles as a distinct array. */
   def wordShingles(text: Column, n: Int): Column = {
+    // set semantics over TextAnalysis.ngramList — ONE shingling core for
+    // the dedup and text-quality stacks (short docs fall back to a single
+    // whole-doc shingle; ngramList returns none below n tokens)
     val toks = TextAnalysis.tokens(text)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(TextAnalysis.ngramList(text, n)))
   }
 
   // ------------------------------------------------------- candidate pairs

@@ -124,25 +124,35 @@ object TextAnalysis {
       size(toks).cast("double")
   }
 
-  /** Gopher-style repetition filters: per doc, token count, duplicate-
-    * token fraction (map-only) and the most-frequent-bigram fraction
-    * (one groupBy — a doc whose top bigram covers a large share of all
-    * bigrams is boilerplate/spam; the standard pretraining quality cut).
-    * Docs with < 2 tokens get top_bigram_frac 0. */
-  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol),
-      tokenCount(col(textCol)).as("n_tokens"),
-      duplicateTokenFraction(col(textCol)).as("dup_token_frac"))
-    val top = docs
-      .select(col(idCol), explode(ngramList(col(textCol), 2)).as("g"))
-      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
-      .groupBy(idCol)
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
-        .as("top_bigram_frac"))
-    base.join(top, Seq(idCol), "left")
-      .na.fill(0.0, Seq("top_bigram_frac"))
+  /** Most-frequent-bigram share of a document, MAP-ONLY: sort the
+    * bigram array and take the longest equal run via one aggregate pass
+    * (same value as a groupBy-count formulation, zero shuffle — the
+    * per-doc statistic must not shuffle every bigram of a 100 TB
+    * corpus). < 2 tokens → 0. */
+  def topBigramFraction(text: Column): Column = {
+    val grams = array_sort(ngramList(text, 2))
+    val run = aggregate(grams,
+      struct(lit(0).as("best"), lit(0).as("cur"),
+        lit("").cast("string").as("prev")),
+      (acc, x) => {
+        val cur = when(x === acc("prev"), acc("cur") + 1).otherwise(lit(1))
+        struct(greatest(acc("best"), cur).as("best"), cur.as("cur"),
+          x.as("prev"))
+      })
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(run("best").cast("double") / size(grams).cast("double"))
   }
+
+  /** Gopher-style repetition filters: per doc, token count, duplicate-
+    * token fraction and most-frequent-bigram fraction — a doc whose top
+    * bigram covers a large share of all bigrams is boilerplate/spam (the
+    * standard pretraining quality cut). Fully map-only projection. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      duplicateTokenFraction(col(textCol)).as("dup_token_frac"),
+      topBigramFraction(col(textCol)).as("top_bigram_frac"))
 
   /** TF-IDF term weights per (document, term): tf = raw in-doc term
     * count, idf = ln(N / df) over the corpus. Two shuffles total — one
@@ -177,11 +187,21 @@ object TextAnalysis {
     * `q_url_canon` DuckDB oracle). */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val schemeHost = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]+)", 1))
-    val host = regexp_replace(schemeHost, "://www\\.", "://")
-    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+", "")
-    val noTrack = regexp_replace(rest, "(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
-    val tidyQ = regexp_replace(regexp_replace(noTrack, "[?&]$", ""), "\\?&", "?")
+    // scheme optional so bare-host crawl entries ("www.ex.com/p")
+    // canonicalize too; a path-only input has no host and passes through
+    val hostPat = "^((?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?]+)"
+    val host = regexp_replace(
+      lower(regexp_extract(noFrag, hostPat, 1)),
+      "^(www\\.|([A-Za-z][A-Za-z0-9+.-]*://)www\\.)", "$2")
+    val rest = regexp_replace(noFrag, hostPat, "")
+    // tracking params: anchored on a separator (an unanchored pattern
+    // would eat substrings of longer names, e.g. "refbclid"); the
+    // separator is KEPT and duplicates collapsed after, so adjacent
+    // tracking params all strip
+    val noTrack = regexp_replace(rest,
+      "([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "$1")
+    val tidyQ = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "\\?[?&]+", "?"), "&[?&]+", "&"), "[?&]+$", "")
     val noSlash = regexp_replace(tidyQ, "/$", "")
     concat(host, noSlash)
   }

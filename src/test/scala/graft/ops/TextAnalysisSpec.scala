@@ -98,6 +98,16 @@ class TextAnalysisSpec extends SparkSpec {
     // variants collapse to one key
     assert(canon("https://www.ex.com/p?utm_campaign=a") ===
       canon("https://ex.com/p"))
+    // anchored tracking pattern: "refbclid" is NOT a tracking param
+    assert(canon("https://ex.com/p?refbclid=7&id=1") ===
+      "https://ex.com/p?refbclid=7&id=1")
+    // adjacent tracking params all strip
+    assert(canon("https://ex.com/p?utm_a=1&utm_b=2&id=3") ===
+      "https://ex.com/p?id=3")
+    assert(canon("https://ex.com/p?id=3&gclid=z&utm_x=1") ===
+      "https://ex.com/p?id=3")
+    // scheme-less crawl entries still canonicalize
+    assert(canon("WWW.Ex.com/p") === "ex.com/p")
   }
 
   test("tfidf: weights match hand computation") {

@@ -1027,6 +1027,26 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term").asc)
         .limit(20)),
 
+    // M10: SCD Type-2 dimension maintenance — changed keys close their
+    // current version and open a new one; unchanged keys keep their
+    // original validity window (rerun-idempotence pinned by Scd2Spec).
+    "q_scd2_dim" -> ((s, dir) => {
+      val t1 = lit("2025-01-01 00:00:00").cast("timestamp")
+      val t2 = lit("2025-02-01 00:00:00").cast("timestamp")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val dim = graft.ops.Scd2.init(c, t1)
+      val batch2 = c.withColumn("c_mktsegment",
+        when(col("c_custkey") % 3 === 0, lit("REASSIGNED"))
+          .otherwise(col("c_mktsegment")))
+      graft.ops.Scd2.applyBatch(dim, batch2,
+          Seq("c_custkey"), Seq("c_mktsegment"), t2)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          unix_millis(col("valid_from")).as("from_ms"),
+          coalesce(unix_millis(col("valid_to")), lit(-1L)).as("to_ms"),
+          col("is_current"))
+        .orderBy("c_custkey", "from_ms")
+    }),
+
     // Crawl-pipeline: URL canonicalization — synthetic URLs (tracking
     // params, WWW, fragments, trailing slashes) built identically in
     // both engines, canonicalized by semantically-mirrored regex chains;
@@ -1295,6 +1315,25 @@ object SparkEntry {
         |      FROM documents)
         |WHERE length(term) > 0
         |GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_scd2_dim" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    epoch_ms(TIMESTAMP '2025-01-01 00:00:00') AS from_ms,
+        |    CAST(-1 AS BIGINT) AS to_ms, TRUE AS is_current
+        |  FROM c WHERE c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment,
+        |    epoch_ms(TIMESTAMP '2025-01-01 00:00:00'),
+        |    epoch_ms(TIMESTAMP '2025-02-01 00:00:00'), FALSE
+        |  FROM c WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'REASSIGNED',
+        |    epoch_ms(TIMESTAMP '2025-02-01 00:00:00'),
+        |    CAST(-1 AS BIGINT), TRUE
+        |  FROM c WHERE c_custkey % 3 = 0)
+        |ORDER BY c_custkey, from_ms""".stripMargin,
 
     "q_url_canon" ->
       """WITH u AS (

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 dimension maintenance — the versioned-dimension pattern the
+  * reference's dim tables (dim_player price/team attributes) call for
+  * when history must be queryable: instead of overwriting an attribute,
+  * the current row is CLOSED (`valid_to` = batch time, `is_current` =
+  * false) and a new open version inserted.
+  *
+  * Join shape per batch (all hash-partitioned on the keys, one shuffle
+  * each side; AQE broadcasts small update batches):
+  *   - changed  = updates ⋈ current where any tracked column differs
+  *                (null-safe: NULL → value counts as a change)
+  *   - newKeys  = updates anti-join current
+  *   - result   = closed-history ∪ untouched-current ∪ closed(changed)
+  *                ∪ open versions for (changed ∪ newKeys)
+  * Unchanged keys are untouched — re-applying the same batch is a no-op
+  * (rerun-idempotent), the property Delta MERGE-based SCD recipes pin. */
+object Scd2 {
+
+  /** Columns an SCD2 dimension carries beyond the business columns. */
+  val MetaCols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  /** Bootstrap an SCD2 dimension from an initial snapshot. */
+  def init(snapshot: DataFrame, batchTs: Column): DataFrame =
+    snapshot
+      .withColumn("valid_from", batchTs.cast("timestamp"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+
+  /** Apply one update batch to an SCD2 dimension. `updates` carries the
+    * business columns only (keys ++ tracked). */
+  def applyBatch(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                 tracked: Seq[String], batchTs: Column): DataFrame = {
+    require(keys.nonEmpty && tracked.nonEmpty)
+    val bizCols = keys ++ tracked
+    require(updates.columns.toSeq.sorted == bizCols.sorted,
+      s"updates must carry exactly keys+tracked: ${bizCols.sorted}")
+    val ts = batchTs.cast("timestamp")
+    val u = updates.dropDuplicates(keys)
+    val cur = dim.filter(col("is_current"))
+    val history = dim.filter(!col("is_current"))
+
+    val joinCond = keys.map(k => cur(k) === u(k)).reduce(_ && _)
+    val anyDiff = tracked.map(c => !(cur(c) <=> u(c))).reduce(_ || _)
+    // keys whose tracked payload changed this batch (update-side values)
+    val changed = u.join(cur, joinCond && anyDiff, "left_semi")
+    val newKeys = u.join(cur, joinCond, "left_anti")
+
+    val closeSet = cur.join(changed,
+      keys.map(k => cur(k) === changed(k)).reduce(_ && _), "left_semi")
+    val keepCurrent = cur.join(changed,
+      keys.map(k => cur(k) === changed(k)).reduce(_ && _), "left_anti")
+    val closed = closeSet
+      .withColumn("valid_to", ts)
+      .withColumn("is_current", lit(false))
+    val opened = changed.unionByName(newKeys)
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .select(dim.columns.map(col): _*)
+    history.unionByName(keepCurrent).unionByName(closed)
+      .unionByName(opened)
+  }
+}

@@ -35,6 +35,32 @@ class Scd2Spec extends SparkSpec {
     assert(twice.collect().toSet === once.collect().toSet)
   }
 
+  test("applyBatchToTable: incremental, equals full applyBatch, COW buckets") {
+    val tbl = graft.tables.VersionedTable(spark, tmpDir("scd2-tbl-"))
+    val snap = (1 to 64).map(i => (i, s"seg$i")).toDF("id", "seg")
+    Scd2.applyBatchToTable(tbl, snap, Seq("id"), Seq("seg"), t1,
+      numBuckets = 8)
+    val before = tbl.history.last.fileSets
+    // one key changes → only its (id, valid_from)-hash buckets rewrite
+    Scd2.applyBatchToTable(tbl, snap.withColumn("seg",
+        when(col("id") === 5, lit("CHANGED")).otherwise(col("seg"))),
+      Seq("id"), Seq("seg"), t2)
+    val after = tbl.history.last.fileSets
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.nonEmpty && carried.size >= before.size - 2,
+      s"COW merge rewrote too much: before=$before after=$after")
+    // content equals the full non-table formulation
+    val expected = Scd2.applyBatch(
+      Scd2.init(snap, t1),
+      snap.withColumn("seg",
+        when(col("id") === 5, lit("CHANGED")).otherwise(col("seg"))),
+      Seq("id"), Seq("seg"), t2)
+      .select("id", "seg", "is_current").as[(Int, String, Boolean)]
+      .collect().toSet
+    assert(tbl.read.select("id", "seg", "is_current")
+      .as[(Int, String, Boolean)].collect().toSet === expected)
+  }
+
   test("NULL transitions count as changes (null-safe compare)") {
     val dim = Scd2.init(Seq((1, Some("a")), (2, None))
       .toDF("id", "seg"), t1)

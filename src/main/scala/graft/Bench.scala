@@ -40,18 +40,28 @@ object Bench {
         .partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Pinned alphabetical order + best-of-2: HashMap iteration order made
+    // per-query timings inherit different neighbor effects (page cache, GC,
+    // streaming state-store maintenance) whenever the query set changed, so
+    // round-over-round deltas were noise. Sorted order keeps neighbors stable
+    // across rounds; min-of-2 suppresses one-off GC/compilation hiccups.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // release operator-internal persisted relations so one query's
       // scratch cache can't GC-pressure the next
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) =>
+      name -> (1 to passes).map(_ => timeOnce(name, fn)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

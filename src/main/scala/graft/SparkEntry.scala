@@ -1111,9 +1111,13 @@ object SparkEntry {
         .filter(length(col("term")) > 0)
       // sample key = (doc, position): keying on doc_id alone would
       // keep/drop a whole document's tokens together (correlated drop —
-      // the failure mode TopK's doc warns about, at document level)
+      // the failure mode TopK's doc warns about, at document level).
+      // Both parts are numeric, so the sampler is the arithmetic stride
+      // predicate — one integer op per token occurrence, not an md5 digest
+      // (which was this query's dominant cost).
       graft.ops.TopK.approxTopK(pairs,
-        concat_ws(":", col("doc_id"), col("pos")), col("term"), k = 10)
+        graft.ops.Sampling.foldKey(col("doc_id"), col("pos")), col("term"),
+        k = 10, sampler = graft.ops.Sampling.arithmeticSampleCond)
     }),
 
     // Funnel: ordered-step conversion counts (view → click → purchase),
@@ -1421,7 +1425,7 @@ object SparkEntry {
         |v2 AS (SELECT doc_id, pos, value FROM pairs WHERE length(value) > 0),
         |cand AS (
         |  SELECT value FROM v2
-        |  WHERE substr(md5(doc_id || ':' || pos), 1, 1) IN ('0', '1')
+        |  WHERE (doc_id * 1000003 + pos) % 16 < 2
         |  GROUP BY value ORDER BY count(*) DESC, value ASC LIMIT 40)
         |SELECT value, CAST(count(*) AS BIGINT) AS n
         |FROM v2 WHERE value IN (SELECT value FROM cand)

@@ -30,6 +30,31 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, sixteenths: Int): DataFrame =
     df.filter(hashSampleCond(col(keyCol), sixteenths))
 
+  /** Arithmetic variant of [[hashSampleCond]] for NUMERIC row identities:
+    * keeps rows where `key mod 16 < sixteenths`. Orders of magnitude
+    * cheaper than md5 (one integer op vs a crypto digest per row) and just
+    * as portable (`(a*P+b) % 16` replays identically in any engine for
+    * non-negative inputs). Use when the row key is, or folds to, an
+    * integer — e.g. `(doc_id, pos)` via [[foldKey]]; keep md5 for string
+    * identities. A stride sample (every 16th run of `sixteenths`
+    * consecutive key values) is exactly as good as a hash sample whenever
+    * the sampled statistic is uncorrelated with key arithmetic — true for
+    * row-identity keys by construction. */
+  def arithmeticSampleCond(key: Column, sixteenths: Int): Column = {
+    require(sixteenths >= 1 && sixteenths <= 16, "sixteenths in [1,16]")
+    pmod(key.cast("long"), lit(16L)) < lit(sixteenths.toLong)
+  }
+
+  /** Fold a multi-part numeric row identity into one long for
+    * [[arithmeticSampleCond]]: `((p1 * P + p2) * P + p3)…` with P a prime
+    * large enough that distinct identities stay distinct for realistic
+    * cardinalities (overflow-safe below ~9e12 for two parts — ANSI mode
+    * would error loudly, not wrap, beyond that). */
+  def foldKey(parts: Column*): Column = {
+    require(parts.nonEmpty, "foldKey needs at least one part")
+    parts.map(_.cast("long")).reduce((a, b) => a * lit(1000003L) + b)
+  }
+
   /** Deterministic train/validation/test split by key hash: returns the
     * split label column ("train"/"val"/"test") from the md5 of the key —
     * stable under reruns, resharding, and engine changes. Fractions are in

@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   * the DuckDB oracle replays both passes. */
 object TopK {
 
+  /** `sampler` picks the pass-1 row sample from the row key (default: md5
+    * hash sample — portable for ANY key type). When the row identity is
+    * numeric, pass [[Sampling.arithmeticSampleCond]]: one integer op per
+    * row instead of a crypto digest, which is the dominant pass-1 cost on
+    * wide corpora (the digest runs once per token occurrence). */
   def approxTopK(df: DataFrame, keyCol: Column, valueCol: Column, k: Int,
                  sampleSixteenths: Int = 2,
-                 candidateFactor: Int = 4): DataFrame = {
+                 candidateFactor: Int = 4,
+                 sampler: (Column, Int) => Column = Sampling.hashSampleCond): DataFrame = {
     require(k >= 1 && candidateFactor >= 1)
     val base = df.select(keyCol.as("__row_key"), valueCol.as("value"))
     val candidates = base
-      .filter(Sampling.hashSampleCond(col("__row_key"), sampleSixteenths))
+      .filter(sampler(col("__row_key"), sampleSixteenths))
       .groupBy("value").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc)
       .limit(candidateFactor * k)

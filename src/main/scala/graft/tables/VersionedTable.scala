@@ -68,11 +68,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   // ---------------------------------------------------------------- log I/O
 
-  /** All committed log entries, ascending by version. */
+  /** All committed log entries, ascending by version. Log files are
+    * immutable once committed (atomic rename), so parses are memoized
+    * process-wide by absolute path: the directory is re-listed on every
+    * call (staleness-safe for concurrent readers of new commits) but each
+    * entry's JSON is read and parsed exactly once — a merge/commit
+    * sequence calls this a dozen times and previously re-parsed the whole
+    * log each time. */
   def history: Seq[LogEntry] = listDir(logDir)
     .filter(_.getFileName.toString.endsWith(".json"))
     .sortBy(_.getFileName.toString)
-    .map(p => LogEntry.parse(Files.readString(p)))
+    .map(p => logCacheLookup(p.toAbsolutePath.toString,
+      _ => LogEntry.parse(Files.readString(p))))
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
@@ -97,6 +104,51 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     entry
   }
 
+  // --------------------------------------------------- hive partition layout
+
+  private def layoutPath: Path = Paths.get(root, "_layout.json")
+
+  /** Hive partition columns of a NON-bucketed table, recorded at the
+    * first partitioned append/overwrite: snapshot rewrites (compact,
+    * delete) re-apply it, so compacting a date-partitioned bronze keeps
+    * partition pruning instead of silently flattening the layout. */
+  def partitionLayout: Seq[String] =
+    if (!Files.exists(layoutPath)) Nil
+    else PartitionLayoutJson.findFirstMatchIn(Files.readString(layoutPath))
+      .map(m => Option(m.group(1)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Nil))
+      .getOrElse(sys.error(s"bad layout file at $layoutPath"))
+
+  /** `allowExisting=true` (append): an existing recorded layout must
+    * match; `false` (overwrite): the new layout replaces the record. */
+  private def recordPartitionLayout(cols: Seq[String], allowExisting: Boolean): Unit = {
+    val cur = partitionLayout
+    if (allowExisting && cols.isEmpty) return // flat append onto any layout
+    if (allowExisting && cur.nonEmpty) {
+      require(cur == cols,
+        s"append partitionBy $cols != recorded table layout $cur at $root")
+      return
+    }
+    if (cols == cur) return
+    Files.createDirectories(Paths.get(root))
+    if (cols.isEmpty) { Files.deleteIfExists(layoutPath); return }
+    val tmp = Paths.get(root, s".tmp-layout-${UUID.randomUUID()}")
+    Files.writeString(tmp,
+      s"""{"partitionBy":${cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")}}""")
+    Files.move(tmp, layoutPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Rewrite helper preserving the recorded hive layout (one file per
+    * partition value: the repartition keys the dynamic write so each
+    * value's rows land in one task — without it, every task would emit a
+    * file into every partition dir). */
+  private def writeFileSetPreservingLayout(df: DataFrame): String =
+    partitionLayout match {
+      case Nil  => writeFileSet(df)
+      case cols => writeFileSet(df.repartition(cols.map(col): _*), cols)
+    }
+
   // ------------------------------------------------------------ bucket spec
 
   /** Key-hash bucketing spec, if this table is merge-bucketed. Established
@@ -118,8 +170,55 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     case _               => None
   }
 
+  /** Full split suffix of a file-set name — `b00007` for a plain bucket,
+    * `p<enc>.b00007` for a partitioned bucket. Copy-on-write routing
+    * compares these verbatim; a file-set WITHOUT a parseable suffix
+    * (pre-spec appends, empty fallbacks) is conservatively rewritten by
+    * every merge, never wrongly carried. */
+  private def splitSuffixOf(fileSet: String): Option[String] = fileSet match {
+    case SplitSuffixName(s) => Some(s)
+    case _                  => None
+  }
+
   private def bucketExpr(spec: BucketSpec) =
     pmod(hash(spec.keys.map(col): _*), lit(spec.numBuckets))
+
+  /** String split value for one row under `spec`: `b00007`, or
+    * `p<hexenc val>[~<hexenc val>…].b00007` when the spec is partitioned.
+    * Partition values are HEX-encoded (UTF-8 bytes): only [0-9A-F] ever
+    * appears, so the value can never collide with the `.`/`~` separators,
+    * never needs escaping by the dynamic-partition writer, and decodes
+    * unambiguously for pruning. A NULL partition value encodes as the
+    * sentinel `N` (hex never produces letters past F): pruning treats it
+    * as unknown and always reads the file-set. */
+  private def splitExpr(spec: BucketSpec): Column = {
+    val b = concat(lit("b"),
+      lpad(bucketExpr(spec).cast("string"), 5, "0"))
+    if (spec.partitionKeys.isEmpty) b
+    else {
+      val encs = spec.partitionKeys.map(k =>
+        coalesce(hex(encode(col(k).cast("string"), "UTF-8")), lit("N")))
+      concat(lit("p"), concat_ws("~", encs: _*), lit("."), b)
+    }
+  }
+
+  /** Decoded partition values of a file-set, aligned with
+    * `spec.partitionKeys` — None if the name carries no parseable
+    * partition tag or the value was NULL at write time. */
+  private def partitionValuesOf(fileSet: String, nKeys: Int): Option[Seq[Option[String]]] =
+    fileSet match {
+      case PartTaggedName(enc) =>
+        val parts = enc.split("~", -1).toSeq
+        if (parts.length != nKeys) None
+        else Some(parts.map {
+          case "N" => None
+          case hexStr =>
+            try Some(new String(
+              java.util.HexFormat.of().parseHex(hexStr.toLowerCase), "UTF-8"))
+            catch { case _: IllegalArgumentException => return None }
+        })
+      case _ => None
+    }
 
   // ----------------------------------------------------------------- writes
 
@@ -151,19 +250,27 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     id
   }
 
-  /** Write `df` as one file-set PER key-hash bucket it populates. One job:
-    * a single partitioned write into a staging dir (repartitioned so each
-    * bucket lands in one task → ~one file per bucket), then each bucket dir
-    * is renamed out as its own immutable file-set. The bucket column lives
-    * only in the dir name — the parquet schema is untouched. */
+  /** Write `df` as one file-set PER (partition, key-hash bucket) cell it
+    * populates. One job: a single partitioned write into a staging dir
+    * (repartitioned on the split value so each cell lands in few tasks),
+    * then each cell dir is renamed out as its own immutable file-set. The
+    * split column lives only in the dir name — the parquet schema is
+    * untouched (partition COLUMNS, when the spec has them, stay in the
+    * data files: reads stay flat multi-path scans, no hive-root
+    * conflicts). */
   private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] =
     writeSplitFileSets(df,
-      layout = d => d.withColumn(BucketCol, bucketExpr(spec))
-        .repartition(spec.numBuckets, col(BucketCol)),
-      nameFor = (id, tag, k) => f"$id.s$tag.b$k%05d",
-      // empty-input fallback must still carry the bucket tag so later
-      // merges keep treating the table as fully bucketed (COW routing)
-      emptyName = fid => f"$fid.b${0}%05d")
+      layout = d => d.withColumn(BucketCol, splitExpr(spec))
+        .repartition(math.max(spec.numBuckets,
+          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
+          col(BucketCol)),
+      nameFor = (id, tag, v) => s"$id.s$tag.$v",
+      // empty-input fallback: plain bucketed tables carry the bucket tag
+      // so COW routing stays fully bucketed; partitioned tables leave it
+      // untagged — an unparseable suffix is conservatively rewritten by
+      // the next merge (self-healing), which is correct for an empty set
+      emptyName = fid =>
+        if (spec.partitionKeys.isEmpty) f"$fid.b${0}%05d" else fid)
 
   /** One file-set per contiguous key range: range-repartition on `key`;
     * the range id lives only in the dir name ([[writeSplitFileSets]]).
@@ -174,7 +281,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         .repartitionByRange(n, col("__zkey"))
         .withColumn(BucketCol, spark_partition_id())
         .drop("__zkey"),
-      nameFor = (id, tag, k) => f"$id-z$k%05d.s$tag",
+      nameFor = (id, tag, v) => f"$id-z${v.toInt}%05d.s$tag",
       emptyName = identity)
 
   /** Shared split-write protocol: ONE dynamic-partition job into staging
@@ -187,7 +294,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * file-set renamed through `emptyName`. */
   private def writeSplitFileSets(df: DataFrame,
                                  layout: DataFrame => DataFrame,
-                                 nameFor: (String, String, Int) => String,
+                                 nameFor: (String, String, String) => String,
                                  emptyName: String => String): Seq[String] = {
     val id = UUID.randomUUID().toString
     val staging = stagingDir.resolve(id)
@@ -197,14 +304,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(BucketCol)
       .parquet(staging.toString)
-    val ids = listDir(staging)
-      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
-      .map { p =>
-        val k = p.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
-        val fsId = nameFor(id, tag, k)
-        Files.move(p, dataDir.resolve(fsId))
-        fsId
-      }
+    val ids = adoptSplitDirs(staging, id, tag, nameFor)
     deleteRecursively(staging) // leftover _SUCCESS marker
     if (ids.nonEmpty) ids.sorted
     else {
@@ -214,6 +314,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       Seq(renamed)
     }
   }
+
+  /** Rename every `_gbucket=<v>` dir under `staging` into `data/` as its
+    * own file-set named `nameFor(writeId, schemaTag, v)`. */
+  private def adoptSplitDirs(staging: Path, id: String, tag: String,
+                             nameFor: (String, String, String) => String): Seq[String] =
+    listDir(staging)
+      .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+      .map { p =>
+        val v = p.getFileName.toString.stripPrefix(s"$BucketCol=")
+        val fsId = nameFor(id, tag, v)
+        Files.move(p, dataDir.resolve(fsId))
+        fsId
+      }
 
   /** OPTIMIZE ZORDER BY analog (Delta's multi-dimensional clustering):
     * rewrite the current snapshot clustered on the Morton key of `cols`
@@ -405,8 +518,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** File-sets whose recorded [min, max] for `column` overlaps
     * [lower, upper] under the stats sidecar's comparison rules (numeric
     * columns numerically, everything else UTF-8 binary order after
-    * canonicalizing the bounds through the column type). File-sets
-    * without stats always qualify — skipping never loses rows. */
+    * canonicalizing the bounds through the column type). When `column` is
+    * one of the bucket spec's partitionKeys, the partition value embedded
+    * in the file-set NAME prunes too — free partition pruning with no
+    * sidecar write. File-sets without stats or a parseable partition tag
+    * always qualify — skipping never loses rows. */
   private def overlappingFileSets(fileSets: Seq[String], column: String,
                                   lower: String, upper: String,
                                   dt: org.apache.spark.sql.types.DataType): Seq[String] = {
@@ -426,14 +542,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       }
       x.length < y.length
     }
+    val isNum = dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def overlaps(mn: String, mx: String, numeric: Boolean): Boolean =
+      if (numeric) !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+      else !(utf8Lt(mx, lo) || utf8Lt(hi, mn))
+    val pIdx = bucketSpec.map(_.partitionKeys.indexOf(column)).getOrElse(-1)
+    val nPartKeys = bucketSpec.map(_.partitionKeys.length).getOrElse(0)
     fileSets.filter { fs =>
-      readStatsSidecar(fs).get(column) match {
-        case Some((mn, mx, numeric)) =>
-          if (numeric)
-            !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
-          else !(utf8Lt(mx, lo) || utf8Lt(hi, mn))
-        case None => true
-      }
+      val partOk = pIdx < 0 ||
+        partitionValuesOf(fs, nPartKeys).flatMap(_(pIdx))
+          .forall(v => overlaps(v, v, isNum)) // min == max == the value
+      partOk && (readStatsSidecar(fs).get(column) match {
+        case Some((mn, mx, numeric)) => overlaps(mn, mx, numeric)
+        case None                    => true
+      })
     }
   }
 
@@ -451,12 +573,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
              statsFor: Seq[String] = Nil): LogEntry =
     bucketSpec match {
       case Some(spec) =>
-        require(partitionBy.isEmpty,
-          "merge-bucketed tables are laid out by key-hash bucket; partitionBy unsupported")
+        require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
+          s"append partitionBy $partitionBy != table partition keys " +
+            s"${spec.partitionKeys} at $root (merge-bucketed layout)")
         val ids = writeBucketedFileSets(df, spec)
         writeStatsSidecars(ids, statsFor)
         commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) ++ ids)
       case None =>
+        recordPartitionLayout(partitionBy, allowExisting = true)
         val id = writeFileSet(df, partitionBy)
         writeStatsSidecars(Seq(id), statsFor)
         commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
@@ -467,10 +591,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry =
     bucketSpec match {
       case Some(spec) =>
-        require(partitionBy.isEmpty,
-          "merge-bucketed tables are laid out by key-hash bucket; partitionBy unsupported")
+        require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
+          s"overwrite partitionBy $partitionBy != table partition keys " +
+            s"${spec.partitionKeys} at $root (merge-bucketed layout)")
         commit("overwrite", writeBucketedFileSets(df, spec))
       case None =>
+        // an overwrite REDEFINES the layout: record the new partitioning
+        // (or clear it) so later compact/delete rewrites preserve it
+        recordPartitionLayout(partitionBy, allowExisting = false)
         commit("overwrite", Seq(writeFileSet(df, partitionBy)))
     }
 
@@ -504,9 +632,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * delete). Rows where `extraCond` evaluates to NULL are KEPT (SQL
     * DELETE semantics: only predicate-TRUE rows are deleted). Stats
     * sidecars of rewritten file-sets are regenerated for the same
-    * columns. Bucketed tables rewrite bucket-split so merges stay COW;
-    * hive-partitioned file-sets are rewritten flat (layout, not
-    * correctness). */
+    * columns. Bucketed tables rewrite (partition, bucket)-split so merges
+    * stay COW; hive-partitioned tables re-apply their recorded layout. */
   def deleteRange(column: String, lower: String, upper: String,
                   extraCond: Option[Column] = None): LogEntry = {
     val fileSets = history.lastOption.map(_.fileSets)
@@ -525,7 +652,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .distinct
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
-      case None       => Seq(writeFileSet(remaining))
+      case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
     commit("delete", carried ++ newSets)
@@ -538,7 +665,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val remaining = read.filter(!coalesce(cond, lit(false)))
     bucketSpec match {
       case Some(spec) => commit("delete", writeBucketedFileSets(remaining, spec))
-      case None       => commit("delete", Seq(writeFileSet(remaining)))
+      case None => commit("delete", Seq(writeFileSetPreservingLayout(remaining)))
     }
   }
 
@@ -555,15 +682,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * as the streaming conformers do. Additive schema changes on either
     * side are tolerated (Merge.alignForEvolution pads typed NULLs).
     *
-    * '''Copy-on-write at bucket granularity''' (the Delta-MERGE
-    * touched-files-only plan): the first merge buckets the table on the
-    * merge keys (`numBuckets` file-sets); each later merge
-    *   1. hashes the update keys to their buckets (one tiny distinct over
-    *      ≤ numBuckets ints — bounded, not O(updates)),
-    *   2. joins updates against ONLY the touched buckets' file-sets
-    *      (both sides shuffle-partition on the keys, AQE broadcasts a
-    *      small update side),
-    *   3. rewrites just those buckets, carrying every untouched file-set
+    * '''Copy-on-write at (partition, bucket)-cell granularity''' (the
+    * Delta-MERGE touched-files-only plan): the first merge buckets the
+    * table on the merge keys — and, with `partitionBy`, partitions it
+    * Delta-style within the bucketed layout ([[VersionedTable.BucketSpec]]
+    * documents the partition-stability contract). Each later merge
+    *   1. stages the deduped updates split by cell in ONE job — the
+    *      staged parquet is the update materialization AND its dir names
+    *      are the touched-cell probe (no separate distinct/collect pass),
+    *   2. if no existing file-set covers a touched cell, RENAMES the
+    *      staged files in as the new file-sets (insert-only fast path:
+    *      zero additional jobs),
+    *   3. otherwise joins the staged updates against ONLY the touched
+    *      cells' file-sets (AQE broadcasts a small update side) and
+    *      rewrites just those cells, carrying every untouched file-set
     *      into the new log entry unchanged.
     * A merge into a pre-existing unbucketed table migrates it (one full
     * rewrite, then copy-on-write forever after). Updates are deduplicated
@@ -572,8 +704,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def merge(updates: DataFrame, keys: Seq[String],
             preferUpdateBy: Option[String] = None,
             numBuckets: Int = DefaultMergeBuckets,
-            updateExprs: Map[String, (Column, Column) => Column] = Map.empty): LogEntry = {
+            updateExprs: Map[String, (Column, Column) => Column] = Map.empty,
+            partitionBy: Seq[String] = Nil): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    val spec = bucketSpec match {
+      case Some(sp) =>
+        require(sp.keys == keys,
+          s"merge keys $keys != table bucket keys ${sp.keys} at $root")
+        require(partitionBy.isEmpty || partitionBy == sp.partitionKeys,
+          s"merge partitionBy $partitionBy != table partition keys " +
+            s"${sp.partitionKeys} at $root")
+        sp
+      case None => BucketSpec(keys, numBuckets, partitionBy)
+    }
     // Key columns are cast to the TABLE's types up front: hash() is
     // type-sensitive (hash(42: int) != hash(42L: bigint) — same reason
     // readForKeys casts its literals), so an update feed whose key type
@@ -590,44 +733,60 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         }
       }
     }
-    // the deduped lineage (a window / dropDuplicates) feeds the touched-
-    // bucket probe, the upsert join AND the bucketed write — persist so
-    // it is computed once per merge, not three times
-    val dedupedUpdates = (preferUpdateBy match {
+    val deduped = preferUpdateBy match {
       case Some(ord) => graft.ops.Keyed.latestPerKey(typedUpdates, keys, ord)
       case None      => typedUpdates.dropDuplicates(keys)
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // ONE job stages the deduped updates split by (partition, bucket)
+    // cell. This replaces the previous persist + distinct().collect()
+    // probe: the staged parquet IS the materialization the persist
+    // provided (the dedup lineage runs exactly once), and the staged DIR
+    // NAMES are the touched-cell set — the probe needs no extra pass.
+    val stageId = UUID.randomUUID().toString
+    val staging = stagingDir.resolve(s"$stageId-upd")
+    Files.createDirectories(dataDir)
+    val tag = schemaTag(deduped)
+    deduped.withColumn(BucketCol, splitExpr(spec))
+      .repartition(math.max(spec.numBuckets,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
+        col(BucketCol))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(BucketCol)
+      .parquet(staging.toString)
+    val touched: Set[String] = listDir(staging)
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=")).toSet
+    def readStaged(): DataFrame =
+      spark.read.parquet(staging.toString).drop(BucketCol)
     def upsertInto(target: DataFrame): DataFrame = {
-      val (t2, u2) = graft.ops.Merge.alignForEvolution(target, dedupedUpdates)
+      val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
       graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
     }
-    try bucketSpec match {
-      case Some(spec) =>
-        require(spec.keys == keys,
-          s"merge keys $keys != table bucket keys ${spec.keys} at $root")
-        val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
-        if (prev.forall(bucketOf(_).isDefined)) {
-          val touched = dedupedUpdates
-            .select(bucketExpr(spec).as(BucketCol)).distinct()
-            .collect().map(_.getInt(0)).toSet // ≤ numBuckets values
-          val (touchedSets, untouched) =
-            prev.partition(fs => bucketOf(fs).exists(touched.contains))
-          val merged =
-            if (touchedSets.isEmpty) dedupedUpdates
-            else upsertInto(readFileSets(touchedSets))
-          commit("merge", untouched ++ writeBucketedFileSets(merged, spec))
-        } else { // unbucketed file-sets present (e.g. pre-spec appends): migrate
-          commit("merge", writeBucketedFileSets(upsertInto(read), spec))
-        }
-      case None if !exists =>
-        writeSpec(BucketSpec(keys, numBuckets))
-        commit("merge", writeBucketedFileSets(dedupedUpdates, bucketSpec.get))
-      case None => // one-time migration of a legacy unbucketed table
-        val spec = BucketSpec(keys, numBuckets)
-        val merged = upsertInto(read)
-        writeSpec(spec)
-        commit("merge", writeBucketedFileSets(merged, spec))
-    } finally dedupedUpdates.unpersist()
+    try {
+      if (bucketSpec.isEmpty) writeSpec(spec)
+      val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+      // carried = file-sets whose parseable split suffix is NOT a touched
+      // cell. Everything else — touched cells, pre-spec appends, empty
+      // fallbacks (no parseable suffix) — is read and rewritten:
+      // conservative and self-migrating, never wrongly carried.
+      val (carried, touchedSets) = prev.partition(fs =>
+        splitSuffixOf(fs).exists(sfx => !touched.contains(sfx)))
+      if (touchedSets.isEmpty && touched.nonEmpty)
+        // insert-only fast path: no existing rows in any touched cell —
+        // the staged files ARE the new file-sets; rename them in, zero
+        // further jobs (the common shape of an MV's first build and of
+        // append-heavy streaming merges)
+        commit("merge", carried ++
+          adoptSplitDirs(staging, stageId, tag, (i, t, v) => s"$i.s$t.$v"))
+      else if (touchedSets.isEmpty) // empty update batch, nothing touched
+        commit("merge",
+          if (prev.nonEmpty) prev
+          else writeBucketedFileSets(deduped, spec)) // schema-bearing empty
+      else
+        commit("merge", carried ++
+          writeBucketedFileSets(upsertInto(readFileSets(touchedSets)), spec))
+    } finally deleteRecursively(staging)
   }
 
   /** Point-lookup read on a merge-bucketed table: scans ONLY the file-sets
@@ -678,10 +837,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** OPTIMIZE-style small-file compaction: rewrite the current snapshot
     * into `numFiles` files as a new version. Bucketed tables compact to
-    * one file-set per bucket (preserving copy-on-write merge). */
+    * one file-set per (partition, bucket) cell (preserving copy-on-write
+    * merge AND partition pruning); hive-partitioned tables re-apply their
+    * recorded layout (one file per partition value) so compaction never
+    * silently flattens partition pruning away. */
   def compact(numFiles: Int = 1): LogEntry = bucketSpec match {
     case Some(spec) => commit("compact", writeBucketedFileSets(read, spec))
-    case None       => commit("compact", Seq(writeFileSet(read.coalesce(numFiles))))
+    case None if partitionLayout.nonEmpty =>
+      commit("compact", Seq(writeFileSetPreservingLayout(read)))
+    case None => commit("compact", Seq(writeFileSet(read.coalesce(numFiles))))
   }
 
   /** VACUUM: delete file-sets unreachable from the last `retainVersions`
@@ -707,16 +871,39 @@ object VersionedTable {
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
 
+  /** Parsed-log-entry cache (see [[VersionedTable.history]]): log files are
+    * write-once, so entries cache forever. Bounded by a coarse size cap —
+    * entries are ~100 bytes, the cap only matters to very long-lived
+    * processes churning temp tables. */
+  private val logCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LogEntry]()
+  private[tables] def logCacheLookup(path: String,
+                                     parse: String => LogEntry): LogEntry = {
+    if (logCache.size > 100000) logCache.clear()
+    logCache.computeIfAbsent(path, p => parse(p))
+  }
+
   /** Bucket column name used transiently during bucketed writes (lives only
     * in staging dir names, never in the parquet schema). */
   private val BucketCol = "_gbucket"
   private val BucketedName = """.*\.b(\d+)$""".r
-  private val SchemaTagged = """.*\.s([0-9a-f]{8})(?:\.b\d+)?$""".r
+  private val SchemaTagged =
+    """.*\.s([0-9a-f]{8})(?:\.p[^.]*)?(?:\.b\d+)?$""".r
+  /** `b00007` or `p<enc>.b00007` — the split suffix COW routing matches.
+    * The leading `.*?` is LAZY: a greedy `.*` would swallow the `p<enc>.`
+    * segment and capture a bare `b00007` for partitioned names, so a
+    * partitioned cell would never match its staged split value and every
+    * merge would wrongly carry the touched cell (duplicate keys). */
+  private val SplitSuffixName = """.*?\.((?:p[^.]*\.)?b\d+)$""".r
+  /** Encoded partition values of a partition-bucketed file-set name. */
+  private val PartTaggedName = """.*\.p([^.]*)\.b\d+$""".r
 
   /** Default bucket count for merge tables. Sized for the test scales here;
     * at 100 TB pass numBuckets ≈ table_bytes / target_rewrite_bytes (e.g.
     * 4096 for ~25 GB per bucket) on the first merge. */
   val DefaultMergeBuckets = 16
+
+  private val PartitionLayoutJson = """\{"partitionBy":\[([^\]]*)\]\}""".r
 
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
     * only) to avoid pulling a JSON dependency. */
@@ -740,21 +927,40 @@ object VersionedTable {
     }
   }
 
-  /** Key-hash bucketing spec for copy-on-write merge tables. */
-  final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
+  /** Key-hash bucketing spec for copy-on-write merge tables.
+    *
+    * `partitionKeys` adds Delta-style partitioning WITHIN the bucketed
+    * layout (the reference's intended `snapshot_date` partitioning on its
+    * MERGE tables, docs/architecture.md:56 + docs/backlog.md:45,49-51):
+    * every file-set covers exactly one (partition values, key-hash bucket)
+    * cell, so a table gets date-range file-set pruning AND
+    * touched-cells-only copy-on-write merge simultaneously.
+    *
+    * CONTRACT for partitioned merge tables: a key's partition values must
+    * be stable across updates (e.g. an event's snapshot_date never
+    * changes). Merge routes rewrites by the (partition, bucket) cells of
+    * the UPDATE rows — the same contract as a Delta MERGE whose condition
+    * includes a partition predicate; a row whose partition value moved
+    * must be deleted from the old partition first. */
+  final case class BucketSpec(keys: Seq[String], numBuckets: Int,
+                              partitionKeys: Seq[String] = Nil) {
     require(numBuckets > 0, "numBuckets must be positive")
-    def toJson: String =
-      s"""{"keys":${keys.map(k => "\"" + k + "\"").mkString("[", ",", "]")},"numBuckets":$numBuckets}"""
+    require(keys.intersect(partitionKeys).isEmpty,
+      "partitionKeys must be disjoint from bucket keys")
+    def toJson: String = {
+      def arr(xs: Seq[String]) =
+        xs.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+      s"""{"keys":${arr(keys)},"numBuckets":$numBuckets,"partitionKeys":${arr(partitionKeys)}}"""
+    }
   }
   object BucketSpec {
     private val Pattern =
-      """\{"keys":\[([^\]]*)\],"numBuckets":(\d+)\}""".r
+      """\{"keys":\[([^\]]*)\],"numBuckets":(\d+)(?:,"partitionKeys":\[([^\]]*)\])?\}""".r
+    private def arr(s: String): Seq[String] =
+      if (s == null || s.isEmpty) Nil
+      else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     def parse(s: String): BucketSpec = s.trim match {
-      case Pattern(ks, n) =>
-        val keys =
-          if (ks.isEmpty) Nil
-          else ks.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        BucketSpec(keys, n.toInt)
+      case Pattern(ks, n, ps) => BucketSpec(arr(ks), n.toInt, arr(ps))
       case other => sys.error(s"bad bucket spec: $other")
     }
   }

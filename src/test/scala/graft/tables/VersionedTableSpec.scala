@@ -360,6 +360,80 @@ class VersionedTableSpec extends SparkSpec {
       s"z-order skipped nothing: x=$xFiles y=$yFiles total=$total")
   }
 
+  test("partition×bucket COW: merge rewrites only the touched (date, bucket) cell") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-pb-"))
+    val base = spark.range(100).select(col("id"),
+      when(col("id") < 50, "2025-08-11").otherwise("2025-08-12")
+        .as("snapshot_date"),
+      lit("x").as("v"))
+    t.merge(base, Seq("id"), numBuckets = 4,
+      partitionBy = Seq("snapshot_date"))
+    val before = t.history.last.fileSets
+    assert(before.nonEmpty && before.forall(_.matches(""".*\.p[^.]*\.b\d+$""")),
+      s"expected partition-bucketed file-sets, got $before")
+    assert(before.size > 4, s"expected per-(date,bucket) cells, got $before")
+
+    // update ONE key in ONE date: exactly one (date, bucket) cell rewrites
+    t.merge(Seq((5L, "2025-08-11", "updated"))
+      .toDF("id", "snapshot_date", "v"), Seq("id"))
+    val after = t.history.last.fileSets
+    assert(after.toSet.diff(before.toSet).size === 1,
+      s"expected 1 rewritten cell: before=$before after=$after")
+    assert(after.toSet.intersect(before.toSet).size === before.size - 1)
+    assert(t.read.filter(col("id") === 5).select("v").as[String]
+      .collect().toSet === Set("updated"))
+    assert(t.read.count() === 100)
+
+    // insert-only merge into a NEW date: staged files adopt directly,
+    // every pre-existing file-set carries
+    t.merge(spark.range(200, 220).select(col("id"),
+      lit("2025-08-13").as("snapshot_date"), lit("y").as("v")), Seq("id"))
+    val afterIns = t.history.last.fileSets
+    assert(after.toSet.subsetOf(afterIns.toSet),
+      s"insert-only merge must carry all: $after vs $afterIns")
+    assert(t.read.count() === 120)
+
+    // AND a date-range read prunes the other dates' file-sets by NAME
+    val pruned = t.readRange("snapshot_date", "2025-08-12", "2025-08-12")
+    assert(pruned.count() === 50)
+    assert(pruned.inputFiles.length < t.read.inputFiles.length,
+      "partition tag in the file-set name must prune the scan")
+  }
+
+  test("compact and deleteRange preserve hive partition layout (plan-pinned)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = VersionedTable(spark, tmpDir("vt-keep-layout-"))
+    val day = (d: String, n0: Int, n1: Int) => spark.range(n0.toLong, n1.toLong)
+      .select(col("id"), lit(d).as("snapshot_date"))
+    t.append(day("2025-08-11", 0, 10), partitionBy = Seq("snapshot_date"))
+    t.append(day("2025-08-12", 10, 30), partitionBy = Seq("snapshot_date"))
+    t.compact()
+    def assertPruned(expectRows: Long): Unit = {
+      val q = t.read.filter(col("snapshot_date") === "2025-08-12")
+      assert(q.count() === expectRows)
+      val plan = q.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[isnotnull\\(snapshot_date[^\\]]*= 2025-08-12"
+        .r.findFirstIn(plan).isDefined,
+        s"partition pruning lost after rewrite:\n$plan")
+      val read = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      assert(read < t.read.inputFiles.length,
+        "pruned scan must touch fewer files than the full table")
+    }
+    assertPruned(20)
+    // a ranged delete must also re-apply the layout to its rewrite
+    t.deleteRange("id", "0", "4")
+    assert(t.read.count() === 25)
+    assertPruned(20)
+    // flat overwrite clears the recorded layout; rewrites stop partitioning
+    t.overwrite(day("2025-08-12", 0, 5))
+    t.compact()
+    assert(t.read.count() === 5)
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -389,6 +389,27 @@ object SparkEntry {
         .orderBy("version", "o_orderstatus")
     }),
 
+    // M9: partition×bucket merge — the reference's intended snapshot_date
+    // partitioning on its MERGE tables (docs/architecture.md:56,
+    // docs/backlog.md:45,49-51): one table gets date-range file-set
+    // pruning AND touched-(partition, bucket)-cells-only copy-on-write
+    // upsert simultaneously (the Delta combination).
+    "q_m9_partitioned_merge" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-pmerge-").toString
+      val tbl = VersionedTable(s, root)
+      val e = events(s, dir)
+        .select(col("event_id").cast("long").as("event_id"), col("user_id"),
+          col("event_type"), date_format(col("ts"), "yyyy-MM").as("snapshot_month"))
+      tbl.merge(e, Seq("event_id"), numBuckets = 8,
+        partitionBy = Seq("snapshot_month"))
+      val upd = e.filter(col("event_id") % 10 === 0)
+        .withColumn("event_type", lit("updated"))
+      tbl.merge(upd, Seq("event_id"))
+      tbl.read.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+        .orderBy("event_type")
+    }),
+
     // Backlog "price deltas": lag window per entity over snapshots.
     "q_w2_price_deltas" -> ((s, dir) =>
       WindowOps.snapshotDeltas(t(s, dir, "orders"), "o_custkey",
@@ -1226,19 +1247,25 @@ object SparkEntry {
                FROM sql_table_history ORDER BY version""")
     }),
 
-    // SQL entry surface: VERSION AS OF as queryable relations — an old
-    // version and the current snapshot registered side by side and
-    // compared in one SQL statement (docs/backlog.md:55-58).
+    // SQL entry surface: VERSION AS OF and TIMESTAMP AS OF as queryable
+    // relations — an old version (by number AND by commit timestamp) and
+    // the current snapshot registered side by side and compared in one
+    // SQL statement (docs/backlog.md:55-58, the time-travel debug flow of
+    // notebooks/04_gold/45_time_travel_debug.sql).
     "q_sql_timetravel" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft-sqltt-").toString
       val tbl = VersionedTable(s, root)
       val n = t(s, dir, "nation")
       tbl.append(n)                                     // v0: all nations
+      val ts0 = tbl.history.last.tsMillis
+      Thread.sleep(3) // v1 must commit at a LATER millisecond than ts0
       tbl.overwrite(n.filter(col("n_regionkey") === 0)) // v1: subset
       tbl.readVersion(0).createOrReplaceTempView("tt_v0")
+      tbl.asOf(ts0).createOrReplaceTempView("tt_asof")  // TIMESTAMP AS OF
       tbl.read.createOrReplaceTempView("tt_current")
       s.sql("""SELECT
                  (SELECT CAST(count(*) AS BIGINT) FROM tt_v0) AS n_v0,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tt_asof) AS n_asof,
                  (SELECT CAST(count(*) AS BIGINT) FROM tt_current) AS n_current""")
     }),
 
@@ -1504,8 +1531,47 @@ object SparkEntry {
 
     "q_sql_timetravel" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_v0,
+        | (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_asof,
         | (SELECT CAST(count(*) AS BIGINT) FROM nation
         |  WHERE n_regionkey = 0) AS n_current""".stripMargin,
+
+    // Deterministic over the SampleData fixtures (3 players × 4 teams,
+    // fixed FDRs), so the oracle is the expected relation as literals;
+    // h3_avg_fdr values are written as DOUBLE divisions so both engines
+    // produce bit-identical IEEE results (avg = sum/count in double).
+    "q_sql_horizon" ->
+      """SELECT * FROM (VALUES
+        | (7,  3, CAST(2 AS DOUBLE),    CAST(3 AS BIGINT)),
+        | (8,  3, CAST(2 AS DOUBLE),    CAST(3 AS BIGINT)),
+        | (9,  3, CAST(2 AS DOUBLE),    CAST(3 AS BIGINT)),
+        | (4,  2, CAST(8 AS DOUBLE)/3,  CAST(3 AS BIGINT)),
+        | (5,  2, CAST(8 AS DOUBLE)/3,  CAST(3 AS BIGINT)),
+        | (6,  2, CAST(8 AS DOUBLE)/3,  CAST(3 AS BIGINT)),
+        | (10, 4, CAST(3 AS DOUBLE),    CAST(3 AS BIGINT)),
+        | (11, 4, CAST(3 AS DOUBLE),    CAST(3 AS BIGINT)),
+        | (12, 4, CAST(3 AS DOUBLE),    CAST(3 AS BIGINT)),
+        | (1,  1, CAST(10 AS DOUBLE)/3, CAST(3 AS BIGINT)),
+        | (2,  1, CAST(10 AS DOUBLE)/3, CAST(3 AS BIGINT)),
+        | (3,  1, CAST(10 AS DOUBLE)/3, CAST(3 AS BIGINT))
+        |) AS t(player_id, team_id, h3_avg_fdr, h3_fixture_count)
+        |ORDER BY h3_avg_fdr, player_id""".stripMargin,
+
+    // Deterministic over SampleData: the recommender must surface the
+    // single affordable upgrade (out=1 -> in=5) with all constraints
+    // satisfied — pinned as literals (GoldSpec pins the constraint logic).
+    "q_fpl_recommend" ->
+      """SELECT * FROM (VALUES
+        | (1, 5, CAST(4 AS DOUBLE), 12,
+        |  'budget_ok,position_match,team_limit_ok')
+        |) AS t(out_player_id, in_player_id, expected_points_delta,
+        |       cost_delta_tenths_million, constraint_flags)""".stripMargin,
+
+    "q_m9_partitioned_merge" ->
+      """SELECT CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END
+        |   AS event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_history" ->
       """SELECT * FROM (VALUES

@@ -130,6 +130,20 @@ object SparkEntry {
       col("props").as("payload"),
       col("ts").as("updated_at"))
 
+  /** Scope `spark.sql.shuffle.partitions` down for a bounded streaming
+    * drain: stateful operators (window aggs, stream-stream joins,
+    * flatMapGroupsWithState) spin up one state store per partition per
+    * micro-batch, and at drain scale the per-store init/commit dominates
+    * the actual work. Results are identical — state partitioning is
+    * internal — and each drain starts a FRESH checkpoint, so the baked-in
+    * partition count never conflicts across runs. At production scale
+    * state parallelism should instead match the stream's key cardinality. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Deterministic events→player-history mapping feeding the ML1 feature
     * pipeline, so DuckDB can replicate it. */
   private def mlFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -594,11 +608,10 @@ object SparkEntry {
       // stream-stream joins spin up per-partition state stores on BOTH
       // sides; for this bounded drain 4 partitions cut ~6s of pure state
       // init (results identical — state partitioning is internal)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.LiveEvents.runViewPurchaseJoinAvailableNow(
-        s, s"$tmp/landing", s"$tmp/cp", out)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      withStatePartitions(s, 4) {
+        graft.streaming.LiveEvents.runViewPurchaseJoinAvailableNow(
+          s, s"$tmp/landing", s"$tmp/cp", out)
+      }
       out.read.select(col("user_id").cast("long").as("user_id"),
           col("purchase_key").cast("long").as("purchase_key"),
           col("view_key").cast("long").as("view_key"),
@@ -673,8 +686,10 @@ object SparkEntry {
         .filter(col("event_key").cast("long") % 9 === 0)
         .drop("updated_at").coalesce(4).write.json(s"$tmp/landing")
       val out = VersionedTable(s, s"$tmp/state")
-      graft.streaming.LiveEvents.runFixtureStateAvailableNow(
-        s, s"$tmp/landing", s"$tmp/cp", out)
+      withStatePartitions(s, 4) {
+        graft.streaming.LiveEvents.runFixtureStateAvailableNow(
+          s, s"$tmp/landing", s"$tmp/cp", out)
+      }
       out.read.select(col("fixture_id"), col("n_events"),
           unix_millis(col("last_event_ts")).as("last_ts_ms"),
           col("last_event_type"))
@@ -690,8 +705,10 @@ object SparkEntry {
         .filter(col("event_key").cast("long") % 7 === 0)
         .drop("updated_at").coalesce(4).write.json(s"$tmp/landing")
       val out = VersionedTable(s, s"$tmp/win")
-      graft.streaming.LiveEvents.runWindowedCountsAvailableNow(
-        s, s"$tmp/landing", s"$tmp/cp", out)
+      withStatePartitions(s, 4) {
+        graft.streaming.LiveEvents.runWindowedCountsAvailableNow(
+          s, s"$tmp/landing", s"$tmp/cp", out)
+      }
       out.read.select(col("fixture_id"),
           unix_millis(col("window_start")).as("window_start_ms"),
           col("n_events"),

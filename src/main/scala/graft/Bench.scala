@@ -46,24 +46,38 @@ object Bench {
     // round-over-round deltas were noise. Sorted order keeps neighbors stable
     // across rounds; min-of-2 suppresses one-off GC/compilation hiccups.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (seconds, succeeded): a throwing pass must never publish its
+    // elapsed-to-failure as a timing — with min-of-passes a fast crash
+    // would otherwise masquerade as a speedup
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] $name failed: ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // release operator-internal persisted relations so one query's
       // scratch cache can't GC-pressure the next
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
-      name -> (1 to passes).map(_ => timeOnce(name, fn)).min
+      val runs = (1 to passes).map(_ => timeOnce(name, fn))
+      val good = runs.collect { case (dt, true) => dt }
+      // min over SUCCESSFUL passes; all-failed → -1 sentinel (never a
+      // plausible timing, and it drags the total down visibly)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces for log-decorated stdout: the same line as a file
     try java.nio.file.Files.writeString(

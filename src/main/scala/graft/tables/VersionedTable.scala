@@ -70,16 +70,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** All committed log entries, ascending by version. Log files are
     * immutable once committed (atomic rename), so parses are memoized
-    * process-wide by absolute path: the directory is re-listed on every
-    * call (staleness-safe for concurrent readers of new commits) but each
+    * process-wide: the directory is re-listed on every call
+    * (staleness-safe for concurrent readers of new commits) but each
     * entry's JSON is read and parsed exactly once — a merge/commit
     * sequence calls this a dozen times and previously re-parsed the whole
-    * log each time. */
+    * log each time. The cache key includes the file's fileKey (inode) and
+    * mtime, NOT just the path: a table dropped and recreated at the same
+    * root re-uses identical log file names (version 0 is always
+    * `000…0.json`), and a path-only key would resurrect the dropped
+    * table's metadata. */
   def history: Seq[LogEntry] = listDir(logDir)
     .filter(_.getFileName.toString.endsWith(".json"))
     .sortBy(_.getFileName.toString)
-    .map(p => logCacheLookup(p.toAbsolutePath.toString,
-      _ => LogEntry.parse(Files.readString(p))))
+    .map { p =>
+      val attrs = Files.readAttributes(p,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val key = s"${p.toAbsolutePath}|${attrs.fileKey}|${attrs.lastModifiedTime.toMillis}"
+      logCacheLookup(key, _ => LogEntry.parse(Files.readString(p)))
+    }
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
@@ -258,19 +266,45 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * untouched (partition COLUMNS, when the spec has them, stay in the
     * data files: reads stay flat multi-path scans, no hive-root
     * conflicts). */
-  private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] =
-    writeSplitFileSets(df,
-      layout = d => d.withColumn(BucketCol, splitExpr(spec))
-        .repartition(math.max(spec.numBuckets,
-          spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
-          col(BucketCol)),
-      nameFor = (id, tag, v) => s"$id.s$tag.$v",
+  private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] = {
+    val (staging, id, tag) = stageCellSplit(df, spec)
+    val ids = adoptSplitDirs(staging, id, tag, CellName)
+    deleteRecursively(staging) // leftover _SUCCESS marker
+    if (ids.nonEmpty) ids.sorted
+    else {
       // empty-input fallback: plain bucketed tables carry the bucket tag
       // so COW routing stays fully bucketed; partitioned tables leave it
       // untagged — an unparseable suffix is conservatively rewritten by
       // the next merge (self-healing), which is correct for an empty set
-      emptyName = fid =>
-        if (spec.partitionKeys.isEmpty) f"$fid.b${0}%05d" else fid)
+      val fid = writeFileSet(df)
+      val renamed =
+        if (spec.partitionKeys.isEmpty) f"$fid.b${0}%05d" else fid
+      if (renamed != fid)
+        Files.move(dataDir.resolve(fid), dataDir.resolve(renamed))
+      Seq(renamed)
+    }
+  }
+
+  /** Stage `df` split by (partition, bucket) cell under `_staging/` in ONE
+    * dynamic-partition job; returns (stagingDir, writeId, schemaTag). The
+    * SINGLE definition of the cell layout — both the committed file-set
+    * names ([[writeBucketedFileSets]]) and merge's touched-cell probe
+    * derive from these staged dir names, so they can never disagree
+    * (a drifted copy would silently carry touched cells = duplicate keys). */
+  private def stageCellSplit(df: DataFrame, spec: BucketSpec): (Path, String, String) = {
+    val id = UUID.randomUUID().toString
+    val staging = stagingDir.resolve(id)
+    Files.createDirectories(dataDir)
+    val tag = schemaTag(df)
+    df.withColumn(BucketCol, splitExpr(spec))
+      .repartition(math.max(spec.numBuckets,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
+        col(BucketCol))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(BucketCol)
+      .parquet(staging.toString)
+    (staging, id, tag)
+  }
 
   /** One file-set per contiguous key range: range-repartition on `key`;
     * the range id lives only in the dir name ([[writeSplitFileSets]]).
@@ -742,23 +776,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // probe: the staged parquet IS the materialization the persist
     // provided (the dedup lineage runs exactly once), and the staged DIR
     // NAMES are the touched-cell set — the probe needs no extra pass.
-    val stageId = UUID.randomUUID().toString
-    val staging = stagingDir.resolve(s"$stageId-upd")
-    Files.createDirectories(dataDir)
-    val tag = schemaTag(deduped)
-    deduped.withColumn(BucketCol, splitExpr(spec))
-      .repartition(math.max(spec.numBuckets,
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
-        col(BucketCol))
-      .write.mode(SaveMode.ErrorIfExists)
-      .partitionBy(BucketCol)
-      .parquet(staging.toString)
+    val (staging, stageId, tag) = stageCellSplit(deduped, spec)
     val touched: Set[String] = listDir(staging)
       .map(_.getFileName.toString)
       .filter(_.startsWith(s"$BucketCol="))
       .map(_.stripPrefix(s"$BucketCol=")).toSet
+    // an EMPTY batch stages no parquet files (just _SUCCESS), which
+    // spark.read.parquet cannot infer a schema from — fall back to the
+    // (empty) lineage frame so a legacy/unparseable prev file-set can
+    // still migrate through the upsert path without crashing
     def readStaged(): DataFrame =
-      spark.read.parquet(staging.toString).drop(BucketCol)
+      if (touched.isEmpty) deduped
+      else spark.read.parquet(staging.toString).drop(BucketCol)
     def upsertInto(target: DataFrame): DataFrame = {
       val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
       graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
@@ -778,7 +807,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // further jobs (the common shape of an MV's first build and of
         // append-heavy streaming merges)
         commit("merge", carried ++
-          adoptSplitDirs(staging, stageId, tag, (i, t, v) => s"$i.s$t.$v"))
+          adoptSplitDirs(staging, stageId, tag, CellName))
       else if (touchedSets.isEmpty) // empty update batch, nothing touched
         commit("merge",
           if (prev.nonEmpty) prev
@@ -886,6 +915,9 @@ object VersionedTable {
   /** Bucket column name used transiently during bucketed writes (lives only
     * in staging dir names, never in the parquet schema). */
   private val BucketCol = "_gbucket"
+  /** Canonical cell file-set name: `<writeId>.s<schemaTag>.<splitValue>`. */
+  private val CellName: (String, String, String) => String =
+    (id, tag, v) => s"$id.s$tag.$v"
   private val BucketedName = """.*\.b(\d+)$""".r
   private val SchemaTagged =
     """.*\.s([0-9a-f]{8})(?:\.p[^.]*)?(?:\.b\d+)?$""".r
@@ -945,6 +977,11 @@ object VersionedTable {
   final case class BucketSpec(keys: Seq[String], numBuckets: Int,
                               partitionKeys: Seq[String] = Nil) {
     require(numBuckets > 0, "numBuckets must be positive")
+    // cell names zero-pad bucket ids to 5 digits (lpad TRUNCATES above
+    // that, which would silently desynchronize readForKeys' bucket
+    // pruning from the written names); 99999 buckets ≈ 1 GB rewrite
+    // granularity at 100 TB — far past any sensible setting
+    require(numBuckets <= 99999, "numBuckets must be <= 99999")
     require(keys.intersect(partitionKeys).isEmpty,
       "partitionKeys must be disjoint from bucket keys")
     def toJson: String = {

@@ -1,6 +1,7 @@
 package graft.tables
 
 import graft.SparkSpec
+import scala.jdk.CollectionConverters._
 
 class VersionedTableSpec extends SparkSpec {
   import spark.implicits._
@@ -432,6 +433,53 @@ class VersionedTableSpec extends SparkSpec {
     t.overwrite(day("2025-08-12", 0, 5))
     t.compact()
     assert(t.read.count() === 5)
+  }
+
+  test("drop-and-recreate at the same root never resurrects stale log metadata") {
+    val root = tmpDir("vt-recreate-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq(1, 2).toDF("id"))
+    assert(t.read.count() === 2)
+    // drop exactly like Catalog.dropTable: delete the whole root; a later
+    // recreate writes version 0 at the IDENTICAL log path, so a path-only
+    // parse cache would serve the dropped table's entry (file-sets
+    // pointing at deleted dirs)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.toList.foreach(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(root))
+    val t2 = VersionedTable(spark, root)
+    assert(!t2.exists)
+    t2.append(Seq(9).toDF("id"))
+    assert(t2.latestVersion === Some(0L))
+    assert(t2.read.as[Int].collect().toSet === Set(9))
+  }
+
+  test("empty merge batches handle legacy and partitioned-fallback file-sets") {
+    import org.apache.spark.sql.functions._
+    // legacy unbucketed file-set + empty FIRST merge: must migrate, not
+    // crash on an unreadable empty staging dir
+    val t = VersionedTable(spark, tmpDir("vt-emptymig-"))
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.merge(Seq.empty[(Int, String)].toDF("id", "v"), Seq("id"))
+    assert(t.read.as[(Int, String)].collect().toSet === Set((1, "a")))
+    // partitioned table bootstrapped from an EMPTY batch (untagged
+    // fallback file-set), then a real merge: fallback must be rewritten
+    // into proper cells, not carried forever
+    val t2 = VersionedTable(spark, tmpDir("vt-emptyboot-"))
+    t2.merge(Seq.empty[(Long, String, String)].toDF("id", "snapshot_date", "v"),
+      Seq("id"), numBuckets = 4, partitionBy = Seq("snapshot_date"))
+    assert(t2.read.count() === 0)
+    t2.merge(Seq((1L, "2025-08-11", "a")).toDF("id", "snapshot_date", "v"),
+      Seq("id"))
+    assert(t2.read.as[(Long, String, String)].collect().toSet ===
+      Set((1L, "2025-08-11", "a")))
+    assert(t2.history.last.fileSets.forall(_.matches(""".*\.p[^.]*\.b\d+$""")),
+      s"fallback must rewrite into cells: ${t2.history.last.fileSets}")
   }
 
   test("historyDf exposes DESCRIBE HISTORY as a relation") {

@@ -105,9 +105,18 @@ object LiveEvents {
   /** `bronzeGlob` must cover ALL of the bronze table's file-sets
     * (VersionedTable.dataGlob) — a single file-set dir would silently
     * miss events appended by other micro-batches/runs. */
+  /** `partitionByEventDate` derives `snapshot_date = to_date(event_ts)`
+    * (stable per event_key — the key embeds the event timestamp) and
+    * routes the MERGE to (partition, bucket) cells: the `snapshot_date`
+    * partitioning the reference documents for its live-event tables
+    * (docs/architecture.md:56, docs/backlog.md:45) combined with keyed
+    * upsert. At production volume this makes date-range reads prune whole
+    * cells and each drain rewrite only its dates; the bench-scale default
+    * stays unpartitioned because cell granularity should match volume. */
   def conformToSilver(spark: SparkSession, bronzeGlob: String,
                       checkpointDir: String, silver: VersionedTable,
-                      watermarkDelay: String = "1 hour"): Unit = {
+                      watermarkDelay: String = "1 hour",
+                      partitionByEventDate: Boolean = false): Unit = {
     // mergeSchema: bronze may mix pre- and post-evolution file-sets (e.g.
     // `_rescued_data` appearing mid-feed); a plain read would take ONE
     // file's footer schema nondeterministically and could drop the column
@@ -120,16 +129,22 @@ object LiveEvents {
       "player_id", "event_type", "payload", "updated_at") ++
       (if (stream.columns.contains("_rescued_data")) Seq("_rescued_data")
        else Nil)
-    val conformed = eventKey(stream)
+    val base = eventKey(stream)
       .withWatermark("event_ts", watermarkDelay)
       .filter(col("_corrupt_record").isNull && col("event_key").isNotNull)
       .withColumn("updated_at", current_timestamp())
       .select(silverCols.map(col): _*)
+    val conformed =
+      if (partitionByEventDate)
+        base.withColumn("snapshot_date", to_date(col("event_ts")).cast("string"))
+      else base
     val q = conformed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        silver.merge(batch, Seq("event_key"), preferUpdateBy = Some("event_ts"))
+        silver.merge(batch, Seq("event_key"), preferUpdateBy = Some("event_ts"),
+          partitionBy =
+            if (partitionByEventDate) Seq("snapshot_date") else Nil)
         ()
       }
       .start()

@@ -739,7 +739,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             preferUpdateBy: Option[String] = None,
             numBuckets: Int = DefaultMergeBuckets,
             updateExprs: Map[String, (Column, Column) => Column] = Map.empty,
-            partitionBy: Seq[String] = Nil): LogEntry = {
+            partitionBy: Seq[String] = Nil,
+            statsFor: Seq[String] = Nil): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val spec = bucketSpec match {
       case Some(sp) =>
@@ -801,20 +802,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // conservative and self-migrating, never wrongly carried.
       val (carried, touchedSets) = prev.partition(fs =>
         splitSuffixOf(fs).exists(sfx => !touched.contains(sfx)))
+      // `statsFor`: per-file-set min/max sidecars on the NEW cells only
+      // (O(merged cells), like append's) — [[readRange]] then prunes merge
+      // tables on non-partition columns too, matching Delta's stats-on-write
+      def withStats(newSets: Seq[String]): Seq[String] = {
+        writeStatsSidecars(newSets, statsFor); newSets
+      }
       if (touchedSets.isEmpty && touched.nonEmpty)
         // insert-only fast path: no existing rows in any touched cell —
         // the staged files ARE the new file-sets; rename them in, zero
         // further jobs (the common shape of an MV's first build and of
         // append-heavy streaming merges)
         commit("merge", carried ++
-          adoptSplitDirs(staging, stageId, tag, CellName))
+          withStats(adoptSplitDirs(staging, stageId, tag, CellName)))
       else if (touchedSets.isEmpty) // empty update batch, nothing touched
         commit("merge",
           if (prev.nonEmpty) prev
           else writeBucketedFileSets(deduped, spec)) // schema-bearing empty
       else
-        commit("merge", carried ++
-          writeBucketedFileSets(upsertInto(readFileSets(touchedSets)), spec))
+        commit("merge", carried ++ withStats(
+          writeBucketedFileSets(upsertInto(readFileSets(touchedSets)), spec)))
     } finally deleteRecursively(staging)
   }
 

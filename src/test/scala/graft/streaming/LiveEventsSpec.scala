@@ -83,6 +83,27 @@ class LiveEventsSpec extends SparkSpec {
     assert(silver.read.count() === 2) // corrupt line filtered out
   }
 
+  test("conformToSilver(partitionByEventDate) lands a partition-bucketed silver") {
+    val tmp = tmpDir("pconform-")
+    silverEvents.drop("updated_at").write.json(s"$tmp/landing")
+    val bronze = VersionedTable(spark, s"$tmp/bronze")
+    LiveEvents.ingestAvailableNow(spark, s"$tmp/landing", s"$tmp/cp1", bronze)
+    val silver = VersionedTable(spark, s"$tmp/silver")
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp2", silver,
+      partitionByEventDate = true)
+    assert(silver.read.count() === 3)
+    assert(silver.read.columns.contains("snapshot_date"))
+    // the layout is (date, bucket) cells — the Delta-style combination of
+    // snapshot_date pruning and keyed MERGE the reference intends
+    assert(silver.history.last.fileSets.forall(_.matches(""".*\.p[^.]*\.b\d+$""")),
+      s"expected cells: ${silver.history.last.fileSets}")
+    assert(silver.bucketSpec.exists(_.partitionKeys === Seq("snapshot_date")))
+    // re-delivery stays idempotent through the partitioned path
+    LiveEvents.conformToSilver(spark, bronze.dataGlob, s"$tmp/cp3", silver,
+      partitionByEventDate = true)
+    assert(silver.read.count() === 3)
+  }
+
   test("streaming dedup drops re-delivered event keys within the watermark") {
     val tmp = tmpDir("dedup-")
     // k1 delivered twice (same key), k2 once

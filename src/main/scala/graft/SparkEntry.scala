@@ -959,6 +959,39 @@ object SparkEntry {
       mv.read.orderBy("event_type")
     }),
 
+    // M10: incremental rollup over a PARTITIONED MERGE source — the
+    // reprocess-changed-partitions pattern (what Delta users run when
+    // row-level CDF is off): a late batch merges into the source, the
+    // affected-partition feed names the months it touched, and the MV
+    // recomputes ONLY those months via partition-pruned range reads, then
+    // upserts them by month key. Result == full recompute (the oracle).
+    "q_mv2_partition_incremental" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-mvp-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      val e = events(s, dir).select(
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM").as("snapshot_month"))
+      val lastMonth = e.agg(max("snapshot_month")).head.getString(0)
+      def rollup(df: DataFrame) = df.groupBy("snapshot_month")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("sum_id"))
+      // v0: everything except the last month's (late-arriving) events
+      src.merge(e.filter(col("snapshot_month") < lastMonth), Seq("event_id"),
+        numBuckets = 4, partitionBy = Seq("snapshot_month"))
+      val v0 = src.latestVersion.get
+      mv.merge(rollup(src.read), Seq("snapshot_month"), numBuckets = 4)
+      // the late month lands via MERGE; only its cells are new
+      src.merge(e.filter(col("snapshot_month") === lastMonth), Seq("event_id"))
+      val refreshed = src.changedPartitionsSince(v0) match {
+        case Some(parts) => parts.map(p =>
+          src.readRange("snapshot_month", p.head, p.head))
+          .reduce(_.unionByName(_))
+        case None => src.read // unparseable file-sets: full recompute
+      }
+      mv.merge(rollup(refreshed), Seq("snapshot_month"))
+      mv.read.orderBy("snapshot_month")
+    }),
+
     // Time series: per-key daily spine + LOCF gap fill — the feature-store
     // regularization step. Spine generated map-side (sequence + explode),
     // no calendar cross join.
@@ -1582,6 +1615,12 @@ object SparkEntry {
         |  'budget_ok,position_match,team_limit_ok')
         |) AS t(out_player_id, in_player_id, expected_points_delta,
         |       cost_delta_tenths_million, constraint_flags)""".stripMargin,
+
+    "q_mv2_partition_incremental" ->
+      """SELECT strftime(ts, '%Y-%m') AS snapshot_month,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_m9_partitioned_merge" ->
       """SELECT CASE WHEN event_id % 10 = 0 THEN 'updated' ELSE event_type END

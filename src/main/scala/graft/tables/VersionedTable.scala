@@ -435,6 +435,33 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
   }
 
+  /** Affected-partition change feed for partitioned COW merge tables: the
+    * distinct partition values of file-sets created after version `v` —
+    * every (partition, bucket) cell a merge/delete/append touched since
+    * then lands in exactly one of them. An incremental consumer (e.g. a
+    * partition-grain rollup MV) re-reads and recomputes ONLY these
+    * partitions — the reprocess-changed-partitions pattern used over
+    * Delta when row-level CDF is not enabled. O(log diff) metadata work;
+    * no data is read.
+    *
+    * Returns None when any changed file-set carries no parseable
+    * partition tag (pre-spec or empty-fallback file-sets) — the caller
+    * must fall back to a full recompute; never silently under-reports. */
+  def changedPartitionsSince(v: Long): Option[Seq[Seq[String]]] = {
+    val spec = bucketSpec.getOrElse(
+      sys.error(s"changedPartitionsSince needs a bucketed table at $root"))
+    require(spec.partitionKeys.nonEmpty,
+      s"changedPartitionsSince needs a partitioned bucket spec at $root")
+    val h = history
+    val base = h.find(_.version == v)
+      .getOrElse(sys.error(s"no version $v at $root")).fileSets.toSet
+    val newSets = h.lastOption.map(_.fileSets).getOrElse(Nil)
+      .filterNot(base.contains)
+    val decoded = newSets.map(partitionValuesOf(_, spec.partitionKeys.length))
+    if (decoded.exists(d => d.isEmpty || d.get.exists(_.isEmpty))) None
+    else Some(decoded.map(_.get.map(_.get)).distinct)
+  }
+
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
     else readFileSets(e.fileSets)

@@ -435,6 +435,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 5)
   }
 
+  test("changedPartitionsSince reports exactly the touched partitions, or None") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-chgp-"))
+    val rows = (d: String, ids: Seq[Long]) => ids.toDF("id")
+      .select(col("id"), lit(d).as("snapshot_date"))
+    t.merge(rows("2025-08-11", 0L to 9L)
+      .unionByName(rows("2025-08-12", 10L to 19L)), Seq("id"),
+      numBuckets = 4, partitionBy = Seq("snapshot_date"))
+    val v0 = t.latestVersion.get
+    assert(t.changedPartitionsSince(v0) === Some(Nil)) // nothing yet
+    // a merge touching only 2025-08-12 reports only that partition
+    t.merge(rows("2025-08-12", Seq(11L, 99L)), Seq("id"))
+    assert(t.changedPartitionsSince(v0) === Some(Seq(Seq("2025-08-12"))))
+    assert(t.read.count() === 21)
+    // an unparseable file-set in the diff forces the conservative None
+    val t2 = VersionedTable(spark, tmpDir("vt-chgp2-"))
+    t2.merge(rows("2025-08-11", 0L to 4L), Seq("id"),
+      numBuckets = 4, partitionBy = Seq("snapshot_date"))
+    val w0 = t2.latestVersion.get
+    t2.merge(Seq.empty[(Long, String)].toDF("id", "snapshot_date"), Seq("id"))
+    // empty merge carries prev file-sets: still no changes
+    assert(t2.changedPartitionsSince(w0) === Some(Nil))
+  }
+
   test("drop-and-recreate at the same root never resurrects stale log metadata") {
     val root = tmpDir("vt-recreate-")
     val t = VersionedTable(spark, root)

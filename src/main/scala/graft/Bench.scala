@@ -74,7 +74,12 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // a failed query contributes a 999s penalty to the TOTAL (per-query
+    // value stays the -1 error marker): excluding it would make a round
+    // that broke a query read as a round-over-round speedup, and the
+    // penalty is the tripwire that makes breakage unmissable in the
+    // headline number
+    val total = results.map(_._2).filter(_ >= 0).sum + failed.length * 999.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""

@@ -983,10 +983,11 @@ object SparkEntry {
       // the late month lands via MERGE; only its cells are new
       src.merge(e.filter(col("snapshot_month") === lastMonth), Seq("event_id"))
       val refreshed = src.changedPartitionsSince(v0) match {
-        case Some(parts) => parts.map(p =>
+        case Some(parts) if parts.nonEmpty => parts.map(p =>
           src.readRange("snapshot_month", p.head, p.head))
           .reduce(_.unionByName(_))
-        case None => src.read // unparseable file-sets: full recompute
+        case Some(_) => src.read.limit(0) // no changes: refresh nothing
+        case None    => src.read // unparseable file-sets: full recompute
       }
       mv.merge(rollup(refreshed), Seq("snapshot_month"))
       mv.read.orderBy("snapshot_month")

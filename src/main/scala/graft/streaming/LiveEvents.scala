@@ -106,13 +106,23 @@ object LiveEvents {
     * (VersionedTable.dataGlob) — a single file-set dir would silently
     * miss events appended by other micro-batches/runs. */
   /** `partitionByEventDate` derives `snapshot_date = to_date(event_ts)`
-    * (stable per event_key — the key embeds the event timestamp) and
-    * routes the MERGE to (partition, bucket) cells: the `snapshot_date`
-    * partitioning the reference documents for its live-event tables
-    * (docs/architecture.md:56, docs/backlog.md:45) combined with keyed
-    * upsert. At production volume this makes date-range reads prune whole
-    * cells and each drain rewrite only its dates; the bench-scale default
-    * stays unpartitioned because cell granularity should match volume. */
+    * and routes the MERGE to (partition, bucket) cells: the
+    * `snapshot_date` partitioning the reference documents for its
+    * live-event tables (docs/architecture.md:56, docs/backlog.md:45)
+    * combined with keyed upsert. At production volume this makes
+    * date-range reads prune whole cells and each drain rewrite only its
+    * dates; the bench-scale default stays unpartitioned because cell
+    * granularity should match volume.
+    *
+    * CONTRACT (the partition-stability rule of
+    * [[graft.tables.VersionedTable.BucketSpec]]): a key's event DATE must
+    * not change across deliveries. Derived keys satisfy this by
+    * construction (the sha2 key embeds event_ts, so a changed timestamp
+    * IS a different key); a producer supplying explicit event_keys must
+    * not re-deliver a key with a corrected event_ts that crosses
+    * midnight — the old date's row would survive as a duplicate, exactly
+    * as with a Delta MERGE whose condition includes a partition
+    * predicate. Such corrections must delete the old row first. */
   def conformToSilver(spark: SparkSession, bronzeGlob: String,
                       checkpointDir: String, silver: VersionedTable,
                       watermarkDelay: String = "1 hour",

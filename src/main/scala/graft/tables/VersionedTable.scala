@@ -78,7 +78,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * mtime, NOT just the path: a table dropped and recreated at the same
     * root re-uses identical log file names (version 0 is always
     * `000…0.json`), and a path-only key would resurrect the dropped
-    * table's metadata. */
+    * table's metadata. The per-file stat this costs is negligible next to
+    * the parse it replaces; reading history() concurrently with a DROP of
+    * the same table can throw here (NoSuchFile between list and stat) —
+    * inherent to drop-during-read and outside the single-writer model. */
   def history: Seq[LogEntry] = listDir(logDir)
     .filter(_.getFileName.toString.endsWith(".json"))
     .sortBy(_.getFileName.toString)
@@ -268,21 +271,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * conflicts). */
   private def writeBucketedFileSets(df: DataFrame, spec: BucketSpec): Seq[String] = {
     val (staging, id, tag) = stageCellSplit(df, spec)
-    val ids = adoptSplitDirs(staging, id, tag, CellName)
-    deleteRecursively(staging) // leftover _SUCCESS marker
-    if (ids.nonEmpty) ids.sorted
-    else {
-      // empty-input fallback: plain bucketed tables carry the bucket tag
-      // so COW routing stays fully bucketed; partitioned tables leave it
-      // untagged — an unparseable suffix is conservatively rewritten by
-      // the next merge (self-healing), which is correct for an empty set
-      val fid = writeFileSet(df)
-      val renamed =
-        if (spec.partitionKeys.isEmpty) f"$fid.b${0}%05d" else fid
-      if (renamed != fid)
-        Files.move(dataDir.resolve(fid), dataDir.resolve(renamed))
-      Seq(renamed)
-    }
+    // empty-input fallback: plain bucketed tables carry the bucket tag
+    // so COW routing stays fully bucketed; partitioned tables leave it
+    // untagged — an unparseable suffix is conservatively rewritten by
+    // the next merge (self-healing), which is correct for an empty set
+    commitSplitStaging(staging, df, id, tag, CellName,
+      emptyName = fid =>
+        if (spec.partitionKeys.isEmpty) f"$fid.b${0}%05d" else fid)
   }
 
   /** Stage `df` split by (partition, bucket) cell under `_staging/` in ONE
@@ -338,6 +333,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(BucketCol)
       .parquet(staging.toString)
+    commitSplitStaging(staging, df, id, tag, nameFor, emptyName)
+  }
+
+  /** Shared commit tail of every split write: adopt the staged dirs as
+    * file-sets, clean the staging dir, and degrade an EMPTY input (no
+    * partition dirs — a schema-LESS snapshot otherwise) to one
+    * schema-bearing empty file-set renamed through `emptyName`. ONE copy:
+    * a drifted duplicate of the adopt/fallback protocol is how split
+    * writers and the merge probe stop agreeing on names. */
+  private def commitSplitStaging(staging: Path, df: DataFrame, id: String,
+                                 tag: String,
+                                 nameFor: (String, String, String) => String,
+                                 emptyName: String => String): Seq[String] = {
     val ids = adoptSplitDirs(staging, id, tag, nameFor)
     deleteRecursively(staging) // leftover _SUCCESS marker
     if (ids.nonEmpty) ids.sorted
@@ -436,13 +444,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   }
 
   /** Affected-partition change feed for partitioned COW merge tables: the
-    * distinct partition values of file-sets created after version `v` —
-    * every (partition, bucket) cell a merge/delete/append touched since
-    * then lands in exactly one of them. An incremental consumer (e.g. a
-    * partition-grain rollup MV) re-reads and recomputes ONLY these
-    * partitions — the reprocess-changed-partitions pattern used over
-    * Delta when row-level CDF is not enabled. O(log diff) metadata work;
-    * no data is read.
+    * distinct partition values of file-sets ADDED OR REMOVED after
+    * version `v` — every (partition, bucket) cell a merge/delete/append/
+    * overwrite/restore touched since then appears on one side of that
+    * symmetric diff (added-only would miss a partition whose data was
+    * entirely deleted: its cells vanish without replacements). An
+    * incremental consumer (e.g. a partition-grain rollup MV) re-reads and
+    * recomputes ONLY these partitions — the reprocess-changed-partitions
+    * pattern used over Delta when row-level CDF is not enabled. O(log
+    * diff) metadata work; no data is read. A reported partition may now
+    * hold ZERO rows (full deletion): consumers must treat an empty
+    * recompute as "remove this partition's derived rows", not as a no-op.
     *
     * Returns None when any changed file-set carries no parseable
     * partition tag (pre-spec or empty-fallback file-sets) — the caller
@@ -455,9 +467,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val h = history
     val base = h.find(_.version == v)
       .getOrElse(sys.error(s"no version $v at $root")).fileSets.toSet
-    val newSets = h.lastOption.map(_.fileSets).getOrElse(Nil)
-      .filterNot(base.contains)
-    val decoded = newSets.map(partitionValuesOf(_, spec.partitionKeys.length))
+    val current = h.lastOption.map(_.fileSets).getOrElse(Nil).toSet
+    val changed = (current.diff(base) ++ base.diff(current)).toSeq.sorted
+    val decoded = changed.map(partitionValuesOf(_, spec.partitionKeys.length))
     if (decoded.exists(d => d.isEmpty || d.get.exists(_.isEmpty))) None
     else Some(decoded.map(_.get.map(_.get)).distinct)
   }
@@ -829,11 +841,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // conservative and self-migrating, never wrongly carried.
       val (carried, touchedSets) = prev.partition(fs =>
         splitSuffixOf(fs).exists(sfx => !touched.contains(sfx)))
-      // `statsFor`: per-file-set min/max sidecars on the NEW cells only
-      // (O(merged cells), like append's) — [[readRange]] then prunes merge
-      // tables on non-partition columns too, matching Delta's stats-on-write
+      // `statsFor` + the columns the REWRITTEN cells' sidecars already
+      // covered (like deleteRange's regeneration): per-file-set min/max on
+      // the NEW cells only (O(merged cells)) — without the union, every
+      // merge would silently strip data-skipping coverage that appends
+      // had established
       def withStats(newSets: Seq[String]): Seq[String] = {
-        writeStatsSidecars(newSets, statsFor); newSets
+        val statsCols = (statsFor ++
+          touchedSets.flatMap(fs => readStatsSidecar(fs).keys)).distinct
+        writeStatsSidecars(newSets, statsCols); newSets
       }
       if (touchedSets.isEmpty && touched.nonEmpty)
         // insert-only fast path: no existing rows in any touched cell —

@@ -449,7 +449,11 @@ class VersionedTableSpec extends SparkSpec {
     t.merge(rows("2025-08-12", Seq(11L, 99L)), Seq("id"))
     assert(t.changedPartitionsSince(v0) === Some(Seq(Seq("2025-08-12"))))
     assert(t.read.count() === 21)
-    // an unparseable file-set in the diff forces the conservative None
+    // a fully-deleted partition must still be reported (it appears on the
+    // REMOVED side of the diff; added-only reporting would miss it and a
+    // downstream MV would serve the stale aggregate forever)
+    t.delete(col("snapshot_date") === "2025-08-11")
+    assert(t.changedPartitionsSince(v0).exists(_.contains(Seq("2025-08-11"))))
     val t2 = VersionedTable(spark, tmpDir("vt-chgp2-"))
     t2.merge(rows("2025-08-11", 0L to 4L), Seq("id"),
       numBuckets = 4, partitionBy = Seq("snapshot_date"))
@@ -457,6 +461,10 @@ class VersionedTableSpec extends SparkSpec {
     t2.merge(Seq.empty[(Long, String)].toDF("id", "snapshot_date"), Seq("id"))
     // empty merge carries prev file-sets: still no changes
     assert(t2.changedPartitionsSince(w0) === Some(Nil))
+    // an unparseable NEW file-set (empty append's untagged fallback) in
+    // the diff forces the conservative None → caller does a full recompute
+    t2.append(Seq.empty[(Long, String)].toDF("id", "snapshot_date"))
+    assert(t2.changedPartitionsSince(w0) === None)
   }
 
   test("drop-and-recreate at the same root never resurrects stale log metadata") {

@@ -876,7 +876,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * returned frame is already filtered to the requested keys.
     *
     * `keyValues`: one Seq per key tuple, values in `bucketSpec.keys` order. */
-  def readForKeys(keyValues: Seq[Seq[Any]]): DataFrame = {
+  /** `partitionValues` (one Seq per expected partition tuple, values in
+    * `bucketSpec.partitionKeys` order) additionally prunes by partition:
+    * without it a point lookup on a partitioned table reads its key's
+    * bucket across EVERY partition (1000 dates × one cell each at scale);
+    * with it only the named partitions' cells are touched. Purely a
+    * pruning hint — file-sets whose partition can't be decoded are always
+    * read, and the key filter still applies, so a WRONG hint can lose
+    * rows only by naming the wrong partitions (same contract as a Delta
+    * MERGE/SELECT partition predicate). */
+  def readForKeys(keyValues: Seq[Seq[Any]],
+                  partitionValues: Option[Seq[Seq[String]]] = None): DataFrame = {
     require(keyValues.nonEmpty, "readForKeys requires at least one key tuple")
     val spec = bucketSpec
     val keyFilter = (df: DataFrame) => {
@@ -907,7 +917,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           .select(array(lits: _*).as("b")).head().getSeq[Int](0).toSet
         val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
         val (tagged, untagged) = prev.partition(bucketOf(_).isDefined)
-        val hit = tagged.filter(fs => bucketOf(fs).exists(buckets.contains)) ++
+        val wanted = partitionValues.map(_.toSet)
+        val partHit = (fs: String) => wanted match {
+          case Some(ws) if sp.partitionKeys.nonEmpty =>
+            partitionValuesOf(fs, sp.partitionKeys.length) match {
+              case Some(vals) if vals.forall(_.isDefined) =>
+                ws.contains(vals.map(_.get))
+              case _ => true // undecodable partition: always read
+            }
+          case _ => true
+        }
+        val hit = tagged.filter(fs =>
+          bucketOf(fs).exists(buckets.contains) && partHit(fs)) ++
           untagged // pre-spec file-sets can hold any key
         if (hit.isEmpty) keyFilter(read.limit(0))
         else keyFilter(readFileSets(hit))

@@ -400,6 +400,14 @@ class VersionedTableSpec extends SparkSpec {
     assert(pruned.count() === 50)
     assert(pruned.inputFiles.length < t.read.inputFiles.length,
       "partition tag in the file-set name must prune the scan")
+
+    // point lookup: the partition hint narrows the scan from the key's
+    // bucket across ALL dates to just the named date's cell
+    val unhinted = t.readForKeys(Seq(Seq(5L)))
+    val hinted = t.readForKeys(Seq(Seq(5L)), Some(Seq(Seq("2025-08-11"))))
+    assert(hinted.select("v").as[String].collect().toSet === Set("updated"))
+    assert(hinted.inputFiles.length < unhinted.inputFiles.length,
+      "partition hint must prune cells of other dates")
   }
 
   test("compact and deleteRange preserve hive partition layout (plan-pinned)") {

@@ -948,6 +948,35 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     case None => commit("compact", Seq(writeFileSet(read.coalesce(numFiles))))
   }
 
+  /** `OPTIMIZE … WHERE` analog: compact ONLY the named partitions' cells
+    * (repeated merges/appends leave many file-sets per (partition,
+    * bucket) cell; this coalesces them to one per cell), carrying every
+    * other file-set verbatim — O(named partitions) where full-table
+    * [[compact]] is O(table), the difference between a nightly
+    * maintenance job and an impossible one at 100 TB. File-sets without a
+    * decodable partition tag (pre-spec appends, empty fallbacks) are
+    * compacted too: rewriting them into proper cells is self-healing.
+    * `partitionValues`: one Seq per partition tuple, in
+    * `bucketSpec.partitionKeys` order. */
+  def compactPartitions(partitionValues: Seq[Seq[String]]): LogEntry = {
+    require(partitionValues.nonEmpty, "compactPartitions needs partitions")
+    val spec = bucketSpec.getOrElse(
+      sys.error(s"compactPartitions needs a bucketed table at $root"))
+    require(spec.partitionKeys.nonEmpty,
+      s"compactPartitions needs a partitioned bucket spec at $root")
+    val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+    val wanted = partitionValues.toSet
+    val (touched, carried) = prev.partition(fs =>
+      partitionValuesOf(fs, spec.partitionKeys.length) match {
+        case Some(vals) if vals.forall(_.isDefined) =>
+          wanted.contains(vals.map(_.get))
+        case _ => true // undecodable: fold it into proper cells
+      })
+    if (touched.isEmpty) commit("compact", prev)
+    else commit("compact",
+      carried ++ writeBucketedFileSets(readFileSets(touched), spec))
+  }
+
   /** VACUUM: delete file-sets unreachable from the last `retainVersions`
     * versions (older versions stop being time-travelable, as with Delta
     * VACUUM). */

@@ -443,6 +443,38 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 5)
   }
 
+  test("compactPartitions coalesces only the named partitions' cells") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-pcompact-"))
+    val rows = (d: String, ids: Seq[Long]) => ids.toDF("id")
+      .select(col("id"), lit(d).as("snapshot_date"))
+    // a merge bootstrap + two appends → several file-sets per cell
+    // (appends add new cell file-sets; they never rewrite existing ones)
+    t.merge(rows("2025-08-11", 0L to 19L)
+      .unionByName(rows("2025-08-12", 100L to 119L)), Seq("id"),
+      numBuckets = 2, partitionBy = Seq("snapshot_date"))
+    t.append(rows("2025-08-11", 20L to 29L)
+      .unionByName(rows("2025-08-12", 120L to 129L)))
+    t.append(rows("2025-08-11", 30L to 39L)
+      .unionByName(rows("2025-08-12", 130L to 139L)))
+    val before = t.history.last.fileSets
+    t.compactPartitions(Seq(Seq("2025-08-11")))
+    val after = t.history.last.fileSets
+    // the other date's file-sets carried verbatim
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.nonEmpty, "2025-08-12 cells must carry")
+    assert(carried.forall(_.contains("." + "p")),
+      s"carried sets must be cells: $carried")
+    // compacted date coalesces: one file-set per touched cell
+    val rewrittenBefore = before.toSet.diff(after.toSet)
+    val rewrittenAfter = after.toSet.diff(before.toSet)
+    assert(rewrittenAfter.size < rewrittenBefore.size,
+      s"cells must coalesce: $rewrittenBefore -> $rewrittenAfter")
+    // data intact, pruning intact
+    assert(t.read.count() === 80)
+    assert(t.readRange("snapshot_date", "2025-08-11", "2025-08-11").count() === 40)
+  }
+
   test("changedPartitionsSince reports exactly the touched partitions, or None") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-chgp-"))

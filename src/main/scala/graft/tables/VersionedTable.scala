@@ -241,10 +241,31 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def schemaTag(df: DataFrame): String =
     // first 8 hex of SHA-256: String.hashCode collides trivially
     // ("Aa" vs "BB"), and a tag collision would silently fold two schema
-    // generations into one scan that drops the evolved columns
+    // generations into one scan that drops the evolved columns. The
+    // schema is canonicalized all-nullable first: nullability drifts
+    // between write generations (a lit() batch vs a when() batch), Spark
+    // treats parquet-read fields as nullable regardless, and without the
+    // canonicalization each drift would open a new fold group — a
+    // 10k-merge table would plan a many-arm union for one logical schema
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(df.schema.json.getBytes("UTF-8"))
+      .digest(allNullable(df.schema).json.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
+
+  private def allNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = allNullable(a.elementType),
+        containsNull = true)
+      case m: MapType => m.copy(valueType = allNullable(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+  }
+  private def allNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    allNullable(s: org.apache.spark.sql.types.DataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** All writes stage under `_staging/` and rename into `data/` when
     * complete (atomic dir move on one filesystem): a crashed writer can
@@ -845,10 +866,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // covered (like deleteRange's regeneration): per-file-set min/max on
       // the NEW cells only (O(merged cells)) — without the union, every
       // merge would silently strip data-skipping coverage that appends
-      // had established
+      // had established. The insert-only fast path touches no cells, so
+      // it inherits coverage from one carried sidecar instead.
       def withStats(newSets: Seq[String]): Seq[String] = {
         val statsCols = (statsFor ++
-          touchedSets.flatMap(fs => readStatsSidecar(fs).keys)).distinct
+          (touchedSets ++ carried.take(1))
+            .flatMap(fs => readStatsSidecar(fs).keys)).distinct
         writeStatsSidecars(newSets, statsCols); newSets
       }
       if (touchedSets.isEmpty && touched.nonEmpty)

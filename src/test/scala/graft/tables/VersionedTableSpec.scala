@@ -408,6 +408,16 @@ class VersionedTableSpec extends SparkSpec {
     assert(hinted.select("v").as[String].collect().toSet === Set("updated"))
     assert(hinted.inputFiles.length < unhinted.inputFiles.length,
       "partition hint must prune cells of other dates")
+
+    // same-schema cells from MANY writes still fold into ONE multi-path
+    // scan (folding groups on the schema tag, not the write id) — a
+    // 10k-merge table must not plan a 10k-arm union
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = t.read.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length === 1,
+      s"expected one folded scan over all cells, got ${scans.length}")
   }
 
   test("compact and deleteRange preserve hive partition layout (plan-pinned)") {

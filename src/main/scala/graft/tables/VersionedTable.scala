@@ -104,6 +104,30 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .toDF("version", "commit_ts", "action", "n_file_sets")
   }
 
+  /** DESCRIBE DETAIL as a relation (Delta's `DESCRIBE DETAIL` surface):
+    * one row of current-snapshot metadata — version, file-set/file/byte
+    * counts, bucket and partition layout. Metadata-only (file sizes come
+    * from directory listings of the current file-sets, no data read). */
+  def detailDf: DataFrame = {
+    import spark.implicits._
+    val e = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    def filesUnder(p: Path): Seq[Path] =
+      listDir(p).flatMap(c => if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
+    val files = e.fileSets.flatMap(fs => filesUnder(dataDir.resolve(fs)))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val spec = bucketSpec
+    Seq((root, e.version, new java.sql.Timestamp(e.tsMillis),
+      e.fileSets.length.toLong, files.length.toLong,
+      files.map(Files.size).sum,
+      spec.map(_.numBuckets).getOrElse(0),
+      spec.map(_.keys.mkString(",")).getOrElse(""),
+      spec.map(_.partitionKeys.mkString(",")).filter(_.nonEmpty)
+        .orElse(Some(partitionLayout.mkString(","))).getOrElse("")))
+      .toDF("location", "version", "last_modified", "num_file_sets",
+        "num_files", "size_bytes", "num_buckets", "bucket_keys",
+        "partition_columns")
+  }
+
   private def commit(action: String, fileSets: Seq[String]): LogEntry = {
     val v = latestVersion.map(_ + 1).getOrElse(0L)
     val entry = LogEntry(v, System.currentTimeMillis(), action, fileSets)

@@ -564,6 +564,24 @@ class VersionedTableSpec extends SparkSpec {
       s"fallback must rewrite into cells: ${t2.history.last.fileSets}")
   }
 
+  test("detailDf exposes DESCRIBE DETAIL metadata for the current snapshot") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-detail-"))
+    val rows = (d: String, ids: Seq[Long]) => ids.toDF("id")
+      .select(col("id"), lit(d).as("snapshot_date"))
+    t.merge(rows("2025-08-11", 0L to 9L), Seq("id"), numBuckets = 2,
+      partitionBy = Seq("snapshot_date"))
+    val d = t.detailDf.select("version", "num_file_sets", "num_buckets",
+      "bucket_keys", "partition_columns")
+      .as[(Long, Long, Int, String, String)].head()
+    assert(d._1 === 0L)
+    assert(d._2 === t.history.last.fileSets.length.toLong)
+    assert(d._3 === 2)
+    assert(d._4 === "id")
+    assert(d._5 === "snapshot_date")
+    assert(t.detailDf.select("size_bytes").as[Long].head() > 0L)
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

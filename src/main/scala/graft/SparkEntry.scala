@@ -982,14 +982,24 @@ object SparkEntry {
       mv.merge(rollup(src.read), Seq("snapshot_month"), numBuckets = 4)
       // the late month lands via MERGE; only its cells are new
       src.merge(e.filter(col("snapshot_month") === lastMonth), Seq("event_id"))
-      val refreshed = src.changedPartitionsSince(v0) match {
-        case Some(parts) if parts.nonEmpty => parts.map(p =>
-          src.readRange("snapshot_month", p.head, p.head))
-          .reduce(_.unionByName(_))
-        case Some(_) => src.read.limit(0) // no changes: refresh nothing
-        case None    => src.read // unparseable file-sets: full recompute
+      src.changedPartitionsSince(v0) match {
+        case Some(parts) if parts.nonEmpty =>
+          val roll = rollup(parts.map(p =>
+            src.readRange("snapshot_month", p.head, p.head))
+            .reduce(_.unionByName(_)))
+          mv.merge(roll, Seq("snapshot_month"))
+          // the feed's contract: a reported partition ABSENT from the
+          // recompute was fully deleted upstream — drop its derived rows
+          // (collect is ≤ #changed partitions, bounded metadata)
+          val present = roll.select("snapshot_month")
+            .collect().map(_.getString(0)).toSet
+          val vanished = parts.map(_.head).filterNot(present.contains)
+          if (vanished.nonEmpty)
+            mv.delete(col("snapshot_month").isin(vanished: _*))
+        case Some(_) => () // no changes: nothing to refresh
+        case None    => // unparseable file-sets: full recompute
+          mv.merge(rollup(src.read), Seq("snapshot_month"))
       }
-      mv.merge(rollup(refreshed), Seq("snapshot_month"))
       mv.read.orderBy("snapshot_month")
     }),
 

@@ -121,8 +121,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       files.map(Files.size).sum,
       spec.map(_.numBuckets).getOrElse(0),
       spec.map(_.keys.mkString(",")).getOrElse(""),
-      spec.map(_.partitionKeys.mkString(",")).filter(_.nonEmpty)
-        .orElse(Some(partitionLayout.mkString(","))).getOrElse("")))
+      // bucketed tables report the SPEC's partition keys only — the hive
+      // layout record applies solely to non-bucketed tables
+      spec.map(_.partitionKeys.mkString(","))
+        .getOrElse(partitionLayout.mkString(","))))
       .toDF("location", "version", "last_modified", "num_file_sets",
         "num_files", "size_bytes", "num_buckets", "bucket_keys",
         "partition_columns")
@@ -565,8 +567,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** One grouped pass over ALL the new file-sets (they share a schema —
     * written together): min/max per (file-set, column) from a single job
     * instead of one read+agg+collect per bucket file-set. */
-  private def writeStatsSidecars(fileSets: Seq[String], statsFor: Seq[String]): Unit = {
-    if (statsFor.isEmpty || fileSets.isEmpty) return
+  private def writeStatsSidecars(fileSets: Seq[String], statsRequested: Seq[String]): Unit = {
+    if (statsRequested.isEmpty || fileSets.isEmpty) return
     val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
     // file-set id = the path segment right after THIS table's data dir —
     // anchored to the absolute dataDir path, not the first "/data/"
@@ -577,6 +579,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       dataDir.toAbsolutePath.toString) + "/([^/]+)/"
     val fsDf = spark.read.parquet(paths: _*)
       .withColumn("__fs", regexp_extract(input_file_name(), anchor, 1))
+    // only columns the written files actually HAVE: inherited stats
+    // columns can name fields an evolved (narrower) update batch lacks,
+    // and aggregating a missing column would abort the whole write
+    val statsFor = statsRequested.filter(fsDf.columns.contains)
+    if (statsFor.isEmpty) return
     val aggs = statsFor.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c")))
@@ -878,7 +885,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
     }
     try {
-      if (bucketSpec.isEmpty) writeSpec(spec)
+      if (bucketSpec.isEmpty) {
+        writeSpec(spec)
+        // the bucketed layout supersedes any recorded hive layout (the
+        // migration rewrites every file-set as cells) — a stale
+        // _layout.json would misreport partition_columns in detailDf and
+        // mis-partition later snapshot rewrites
+        Files.deleteIfExists(layoutPath)
+      }
       val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
       // carried = file-sets whose parseable split suffix is NOT a touched
       // cell. Everything else — touched cells, pre-spec appends, empty
@@ -893,10 +907,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // had established. The insert-only fast path touches no cells, so
       // it inherits coverage from one carried sidecar instead.
       def withStats(newSets: Seq[String]): Seq[String] = {
-        val statsCols = (statsFor ++
-          (touchedSets ++ carried.take(1))
-            .flatMap(fs => readStatsSidecar(fs).keys)).distinct
-        writeStatsSidecars(newSets, statsCols); newSets
+        // for the insert-only fast path (no touched cells) scan a BOUNDED
+        // prefix of carried file-sets for an existing sidecar — pinning
+        // the arbitrary first would silently lose coverage whenever it
+        // happens to be a pre-stats file-set
+        val inherited =
+          if (touchedSets.nonEmpty)
+            touchedSets.flatMap(fs => readStatsSidecar(fs).keys)
+          else carried.take(64).iterator.map(readStatsSidecar)
+            .find(_.nonEmpty).map(_.keys.toSeq).getOrElse(Nil)
+        writeStatsSidecars(newSets, (statsFor ++ inherited).distinct)
+        newSets
       }
       if (touchedSets.isEmpty && touched.nonEmpty)
         // insert-only fast path: no existing rows in any touched cell —
@@ -964,6 +985,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           .select(array(lits: _*).as("b")).head().getSeq[Int](0).toSet
         val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
         val (tagged, untagged) = prev.partition(bucketOf(_).isDefined)
+        partitionValues.foreach { pv =>
+          // an accidental empty or wrong-arity hint would silently prune
+          // EVERY decodable cell ("read nothing") — refuse it instead
+          require(pv.nonEmpty,
+            "partitionValues hint must name at least one partition")
+          require(pv.forall(_.length == sp.partitionKeys.length),
+            s"partitionValues tuples must match partitionKeys arity " +
+              s"${sp.partitionKeys.length} at $root")
+        }
         val wanted = partitionValues.map(_.toSet)
         val partHit = (fs: String) => wanted match {
           case Some(ws) if sp.partitionKeys.nonEmpty =>
@@ -1003,7 +1033,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * maintenance job and an impossible one at 100 TB. File-sets without a
     * decodable partition tag (pre-spec appends, empty fallbacks) are
     * compacted too: rewriting them into proper cells is self-healing.
-    * `partitionValues`: one Seq per partition tuple, in
+    * Cells of a NULL partition value are carried (they're proper cells
+    * this API just can't name). Rewritten cells keep their data-skipping
+    * sidecars. `partitionValues`: one Seq per partition tuple, in
     * `bucketSpec.partitionKeys` order. */
   def compactPartitions(partitionValues: Seq[Seq[String]]): LogEntry = {
     require(partitionValues.nonEmpty, "compactPartitions needs partitions")
@@ -1017,11 +1049,23 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       partitionValuesOf(fs, spec.partitionKeys.length) match {
         case Some(vals) if vals.forall(_.isDefined) =>
           wanted.contains(vals.map(_.get))
-        case _ => true // undecodable: fold it into proper cells
+        // a decodable cell with a NULL partition value (pN sentinel) is a
+        // PROPER cell that just can't be named by this API — carry it,
+        // or every nightly scoped compaction would rewrite the whole
+        // NULL partition forever without converging
+        case Some(_) => false
+        case None    => true // truly unparseable: fold into proper cells
       })
     if (touched.isEmpty) commit("compact", prev)
-    else commit("compact",
-      carried ++ writeBucketedFileSets(readFileSets(touched), spec))
+    else {
+      val newSets = writeBucketedFileSets(readFileSets(touched), spec)
+      // regenerate the data-skipping coverage the rewritten cells carried
+      // (same guard as deleteRange and merge — a maintenance op must not
+      // silently strip pruning)
+      writeStatsSidecars(newSets,
+        touched.flatMap(fs => readStatsSidecar(fs).keys).distinct)
+      commit("compact", carried ++ newSets)
+    }
   }
 
   /** VACUUM: delete file-sets unreachable from the last `retainVersions`

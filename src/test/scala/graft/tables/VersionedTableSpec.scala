@@ -483,6 +483,21 @@ class VersionedTableSpec extends SparkSpec {
     // data intact, pruning intact
     assert(t.read.count() === 80)
     assert(t.readRange("snapshot_date", "2025-08-11", "2025-08-11").count() === 40)
+
+    // NULL-partition rows land in sentinel (pN) cells, which scoped
+    // compaction must CARRY — rewriting them every night would never
+    // converge and break the O(named partitions) cost promise
+    val tn = VersionedTable(spark, tmpDir("vt-pcompact-null-"))
+    tn.merge(rows("2025-08-11", 0L to 9L)
+      .unionByName((100L to 109L).toDF("id")
+        .select(col("id"), lit(null).cast("string").as("snapshot_date"))),
+      Seq("id"), numBuckets = 2, partitionBy = Seq("snapshot_date"))
+    val nullCells = tn.history.last.fileSets.filter(_.contains(".pN."))
+    assert(nullCells.nonEmpty, s"expected pN cells: ${tn.history.last.fileSets}")
+    tn.compactPartitions(Seq(Seq("2025-08-11")))
+    assert(nullCells.forall(tn.history.last.fileSets.contains),
+      "NULL-partition cells must carry through scoped compaction")
+    assert(tn.read.count() === 20)
   }
 
   test("changedPartitionsSince reports exactly the touched partitions, or None") {

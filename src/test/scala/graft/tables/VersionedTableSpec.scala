@@ -453,6 +453,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === 5)
   }
 
+  test("overwrite on a partition-bucketed table keeps the cell layout") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-pow-"))
+    val rows = (d: String, ids: Seq[Long]) => ids.toDF("id")
+      .select(col("id"), lit(d).as("snapshot_date"))
+    t.merge(rows("2025-08-11", 0L to 9L), Seq("id"), numBuckets = 2,
+      partitionBy = Seq("snapshot_date"))
+    t.overwrite(rows("2025-08-12", 100L to 119L))
+    assert(t.read.count() === 20)
+    assert(t.history.last.fileSets.forall(_.matches(""".*\.p[^.]*\.b\d+$""")),
+      s"overwrite must stay cell-split: ${t.history.last.fileSets}")
+    // and a later merge is still copy-on-write over the new snapshot
+    val before = t.history.last.fileSets
+    t.merge(rows("2025-08-12", Seq(100L)), Seq("id"))
+    assert(t.history.last.fileSets.toSet.intersect(before.toSet).size ===
+      before.size - 1)
+    // mismatched partitionBy is refused, not silently accepted
+    assertThrows[IllegalArgumentException](
+      t.overwrite(rows("2025-08-12", Seq(1L)), partitionBy = Seq("other")))
+  }
+
   test("compactPartitions coalesces only the named partitions' cells") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-pcompact-"))

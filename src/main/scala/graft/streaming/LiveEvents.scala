@@ -151,10 +151,16 @@ object LiveEvents {
     val q = conformed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // txn = (this query's checkpoint, batchId): after a crash,
+        // Structured Streaming REPLAYS the last uncommitted batch — the
+        // ledger marker in the merge's own commit makes the replay a
+        // metadata no-op instead of a re-applied upsert (Delta
+        // txnAppId/txnVersion idempotent sinks)
         silver.merge(batch, Seq("event_key"), preferUpdateBy = Some("event_ts"),
           partitionBy =
-            if (partitionByEventDate) Seq("snapshot_date") else Nil)
+            if (partitionByEventDate) Seq("snapshot_date") else Nil,
+          txn = Some((s"conform@$checkpointDir", batchId)))
         ()
       }
       .start()

@@ -41,9 +41,17 @@ import scala.jdk.CollectionConverters._
   * O(table / numBuckets × touched buckets), not O(table): at 100 TB with
   * 4096 buckets, a batch touching 3 buckets rewrites ~75 GB, not 100 TB.
   *
-  * Single-writer (matches the reference's `max_concurrent_runs: 1`,
-  * resources/workflows/slice_v1_fpl_bootstrap.yml:5). Log commits are atomic
-  * via write-temp-then-rename.
+  * '''Concurrency: optimistic, Delta-style.''' Commits are put-if-absent
+  * (write-temp + hard-link, which FAILS on an occupied version slot where
+  * a rename would silently replace a concurrent writer's commit).
+  * Concurrent blind appends/overwrites rebase onto the winner's snapshot
+  * and retry; read-modify-write commits (merge/delete/compact/zorder/
+  * restore) detect that the snapshot they derived from went stale and
+  * throw ConcurrentModificationException for the caller to rerun — lost
+  * updates are impossible either way. (The reference serializes writers
+  * via `max_concurrent_runs: 1`,
+  * resources/workflows/slice_v1_fpl_bootstrap.yml:5; a 100 TB deployment
+  * with parallel ingest jobs cannot.)
   */
 final class VersionedTable(val spark: SparkSession, val root: String) {
   import VersionedTable._
@@ -94,6 +102,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
+  /** Latest committed transaction version for `appId` — the Delta
+    * `txnAppId`/`txnVersion` idempotent-writes ledger, read straight from
+    * the version log (the markers ride in the commit entries, so this
+    * can never disagree with table contents). O(history), cached parses.
+    * Survives [[vacuum]], which reclaims data file-sets but never log
+    * entries — the ledger has no retention cliff. */
+  def lastTxnVersion(appId: String): Option[Long] =
+    history.flatMap(_.txn.collect { case (app, v) if app == appId => v })
+      .maxOption
+
   /** DESCRIBE HISTORY as a relation (docs/backlog.md:55-58): one row per
     * committed version, queryable/joinable like any DataFrame. */
   def historyDf: DataFrame = {
@@ -130,15 +148,87 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         "partition_columns")
   }
 
-  private def commit(action: String, fileSets: Seq[String]): LogEntry = {
-    val v = latestVersion.map(_ + 1).getOrElse(0L)
-    val entry = LogEntry(v, System.currentTimeMillis(), action, fileSets)
+  /** Read-modify-write commit: `fileSets` was derived by READING snapshot
+    * `basedOn` (None = the empty table) — merge/delete/compact/restore
+    * carry forward the file-sets they did not rewrite. If the table moved
+    * past that snapshot, or a concurrent writer wins the version slot in
+    * the final put-if-absent race, the carried-file-set arithmetic is
+    * stale: retrying would silently drop the winner's changes, so throw
+    * (Delta's ConcurrentModificationException family) and let the caller
+    * rerun against the new snapshot. Versions are dense, so "snapshot
+    * moved" ⟺ "next slot occupied" — [[tryWriteEntry]] cannot succeed on
+    * a stale snapshot. */
+  private[tables] def commit(action: String, fileSets: Seq[String],
+                             basedOn: Option[Long],
+                             txn: Option[(String, Long)] = None): LogEntry = {
+    val latest = latestVersion
+    if (latest != basedOn) throw conflict(action, basedOn, latest)
+    val entry = LogEntry(latest.map(_ + 1).getOrElse(0L),
+      System.currentTimeMillis(), action, fileSets, txn)
+    if (!tryWriteEntry(entry)) throw conflict(action, basedOn, latestVersion)
+    entry
+  }
+
+  /** Snapshot-independent commit (blind append / overwrite): `derive`
+    * builds the new file-set list FROM the current snapshot's list and is
+    * simply re-run against the winner's snapshot whenever a concurrent
+    * writer takes the version slot first — concurrent blind appends
+    * serialize without lost updates (each writer's new file-set dirs are
+    * disjoint UUIDs), exactly the concurrent transactions Delta admits. */
+  private[tables] def commitRebase(action: String,
+                                   derive: Seq[String] => Seq[String],
+                                   txn: Option[(String, Long)] = None): LogEntry = {
+    @annotation.tailrec
+    def attempt(retries: Int): LogEntry = {
+      // the txn idempotence check re-runs on EVERY attempt: if a racing
+      // writer committed the same (app, version) between our history read
+      // and the link, our link fails, and the retry must SKIP, not
+      // double-apply (versions are dense, so the racer's commit is
+      // guaranteed visible to the re-read)
+      val h = history
+      val replayed = txn.exists { case (app, v) =>
+        h.exists(_.txn.exists(t => t._1 == app && t._2 >= v))
+      }
+      if (replayed) h.last
+      else {
+        val snap = h.lastOption
+        val entry = LogEntry(snap.map(_.version + 1).getOrElse(0L),
+          System.currentTimeMillis(), action,
+          derive(snap.map(_.fileSets).getOrElse(Nil)), txn)
+        if (tryWriteEntry(entry)) entry
+        else if (retries > 0) attempt(retries - 1)
+        else sys.error(
+          s"$action at $root: lost the commit race $MaxCommitRetries times")
+      }
+    }
+    attempt(MaxCommitRetries)
+  }
+
+  private def conflict(action: String, basedOn: Option[Long],
+                       latest: Option[Long]) =
+    new java.util.ConcurrentModificationException(
+      s"$action at $root derives from snapshot version " +
+        s"${basedOn.fold("<empty>")(_.toString)} but the table is at " +
+        s"${latest.fold("<empty>")(_.toString)}: a concurrent writer " +
+        "committed first; re-read and rerun")
+
+  /** True iff this process won `entry.version`'s log slot. Put-if-absent
+    * via write-temp + hard-link: Files.createLink FAILS on an existing
+    * target where the previous rename would silently replace a concurrent
+    * writer's commit. Filesystems without hard links degrade to atomic
+    * rename (last-writer-wins, as before); an object-store port swaps in
+    * its conditional PUT (S3 If-None-Match, GCS generation-0). */
+  private def tryWriteEntry(entry: LogEntry): Boolean = {
     Files.createDirectories(logDir)
     val tmp = logDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, entry.toJson)
-    Files.move(tmp, logDir.resolve(f"$v%020d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    entry
+    val target = logDir.resolve(f"${entry.version}%020d.json")
+    try { Files.createLink(target, tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
   // --------------------------------------------------- hive partition layout
@@ -433,6 +523,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     require(bucketSpec.isEmpty,
       s"merge-bucketed table at $root is laid out by key hash; " +
         "z-ordering would break copy-on-write merge routing")
+    val rv = latestVersion
     val snap = read
     val nCuts = (1 << bitsPerCol) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
@@ -448,7 +539,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val zkey = call_function(fname, cols.map(c => col(c).cast("double")): _*)
     val ids = writeRangeFileSets(snap, zkey, numFileSets)
     writeStatsSidecars(ids, cols)
-    commit("zorder", ids)
+    commit("zorder", ids, basedOn = rv)
   }
 
   // ------------------------------------------------------------------ reads
@@ -695,7 +786,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * `statsFor` records per-file-set min/max sidecars for [[readRange]]
     * data skipping. */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,
-             statsFor: Seq[String] = Nil): LogEntry =
+             statsFor: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): LogEntry = {
+    // replayed txn: skip before writing any data files (the authoritative
+    // re-check under the commit race lives in commitRebase)
+    if (txnAlreadyApplied(txn)) return history.last
     bucketSpec match {
       case Some(spec) =>
         require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
@@ -703,29 +798,40 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
         val ids = writeBucketedFileSets(df, spec)
         writeStatsSidecars(ids, statsFor)
-        commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) ++ ids)
+        commitRebase("append", _ ++ ids, txn)
       case None =>
         recordPartitionLayout(partitionBy, allowExisting = true)
         val id = writeFileSet(df, partitionBy)
         writeStatsSidecars(Seq(id), statsFor)
-        commit("append", history.lastOption.map(_.fileSets).getOrElse(Nil) :+ id)
+        commitRebase("append", _ :+ id, txn)
     }
+  }
+
+  /** True iff `txn`'s (appId, version) is at or behind the table's
+    * committed ledger — i.e. this write is a replay and must not apply. */
+  private def txnAlreadyApplied(txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (app, v) => lastTxnVersion(app).exists(_ >= v) }
 
   /** Full-snapshot replace (the reference's overwrite+overwriteSchema
     * publish). Old versions stay readable — time travel for free. */
-  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil): LogEntry =
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): LogEntry = {
+    if (txnAlreadyApplied(txn)) return history.last
     bucketSpec match {
       case Some(spec) =>
         require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
           s"overwrite partitionBy $partitionBy != table partition keys " +
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
-        commit("overwrite", writeBucketedFileSets(df, spec))
+        val sets = writeBucketedFileSets(df, spec)
+        commitRebase("overwrite", _ => sets, txn)
       case None =>
         // an overwrite REDEFINES the layout: record the new partitioning
         // (or clear it) so later compact/delete rewrites preserve it
         recordPartitionLayout(partitionBy, allowExisting = false)
-        commit("overwrite", Seq(writeFileSet(df, partitionBy)))
+        val sets = Seq(writeFileSet(df, partitionBy))
+        commitRebase("overwrite", _ => sets, txn)
     }
+  }
 
   /** Delta-style RESTORE: make version `v`'s file-set list the CURRENT
     * snapshot, committed as a NEW version. Metadata-only — no data is
@@ -734,6 +840,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * stays in history, exactly Delta's `RESTORE TABLE ... TO VERSION AS
     * OF` semantics (declared: docs/backlog.md:55-58 time-travel family). */
   def restore(v: Long): LogEntry = {
+    val rv = latestVersion
     val e = history.find(_.version == v)
       .getOrElse(sys.error(s"no version $v at $root"))
     // refuse BEFORE committing if vacuum already reclaimed the version's
@@ -743,7 +850,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     require(missing.isEmpty,
       s"cannot restore to version $v at $root: file-sets vacuumed: " +
         missing.mkString(", "))
-    commit("restore", e.fileSets)
+    commit("restore", e.fileSets, basedOn = rv)
   }
 
   /** DELETE WHERE with data skipping: deletes rows with `column` in
@@ -761,13 +868,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * stay COW; hive-partitioned tables re-apply their recorded layout. */
   def deleteRange(column: String, lower: String, upper: String,
                   extraCond: Option[Column] = None): LogEntry = {
-    val fileSets = history.lastOption.map(_.fileSets)
+    val snap = history.lastOption
       .getOrElse(sys.error(s"empty table at $root"))
-    if (fileSets.isEmpty) return commit("delete", fileSets)
+    val rv = Some(snap.version)
+    val fileSets = snap.fileSets
+    if (fileSets.isEmpty) return commit("delete", fileSets, basedOn = rv)
     val dt = readFileSets(fileSets).schema(column).dataType
     val touched = overlappingFileSets(fileSets, column, lower, upper, dt)
     val carried = fileSets.diff(touched)
-    if (touched.isEmpty) return commit("delete", fileSets)
+    if (touched.isEmpty) return commit("delete", fileSets, basedOn = rv)
     val cond = col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt) &&
       extraCond.getOrElse(lit(true))
@@ -780,17 +889,21 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
-    commit("delete", carried ++ newSets)
+    commit("delete", carried ++ newSets, basedOn = rv)
   }
 
   /** General DELETE WHERE (no skipping): rewrites the full snapshot minus
     * predicate-TRUE rows. Prefer [[deleteRange]] when the predicate is
     * range-shaped over a stats column. */
   def delete(cond: Column): LogEntry = {
+    val rv = latestVersion
     val remaining = read.filter(!coalesce(cond, lit(false)))
     bucketSpec match {
-      case Some(spec) => commit("delete", writeBucketedFileSets(remaining, spec))
-      case None => commit("delete", Seq(writeFileSetPreservingLayout(remaining)))
+      case Some(spec) =>
+        commit("delete", writeBucketedFileSets(remaining, spec), basedOn = rv)
+      case None =>
+        commit("delete", Seq(writeFileSetPreservingLayout(remaining)),
+          basedOn = rv)
     }
   }
 
@@ -800,8 +913,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * requires for silver.live_event (docs/backlog.md:49-51,75-78) —
     * EXCEPT with `updateExprs`: a combining expression like
     * `cnt -> (t + u)` intentionally re-applies on every run (that is what
-    * incremental aggregation means), so retrying callers must dedupe
-    * increments upstream (e.g. via [[readAddedSince]] version bounds).
+    * incremental aggregation means) — retrying callers pass `txn`
+    * (Delta's txnAppId/txnVersion) so a replayed batch is recognized from
+    * the commit ledger and skipped instead of double-counted, which is
+    * how the streaming conformers run exactly-once under foreachBatch
+    * replay; alternatively dedupe increments upstream via
+    * [[readAddedSince]] version bounds.
     * NULL-keyed update rows INSERT on every run (SQL MERGE ON semantics —
     * NULL never matches); replay-safe callers must pre-filter NULL keys,
     * as the streaming conformers do. Additive schema changes on either
@@ -831,8 +948,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             numBuckets: Int = DefaultMergeBuckets,
             updateExprs: Map[String, (Column, Column) => Column] = Map.empty,
             partitionBy: Seq[String] = Nil,
-            statsFor: Seq[String] = Nil): LogEntry = {
+            statsFor: Seq[String] = Nil,
+            txn: Option[(String, Long)] = None): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
+    // replayed txn: skip before staging any data. The window between this
+    // check and the commit is covered by `basedOn` conflict detection —
+    // any intervening commit (including a racer applying this same txn)
+    // fails our commit, and the caller's rerun lands back here and skips.
+    if (txnAlreadyApplied(txn)) return history.last
     val spec = bucketSpec match {
       case Some(sp) =>
         require(sp.keys == keys,
@@ -893,7 +1016,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // mis-partition later snapshot rewrites
         Files.deleteIfExists(layoutPath)
       }
-      val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+      val snapEntry = history.lastOption
+      val rv = snapEntry.map(_.version)
+      val prev = snapEntry.map(_.fileSets).getOrElse(Nil)
       // carried = file-sets whose parseable split suffix is NOT a touched
       // cell. Everything else — touched cells, pre-spec appends, empty
       // fallbacks (no parseable suffix) — is read and rewritten:
@@ -925,14 +1050,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // further jobs (the common shape of an MV's first build and of
         // append-heavy streaming merges)
         commit("merge", carried ++
-          withStats(adoptSplitDirs(staging, stageId, tag, CellName)))
+          withStats(adoptSplitDirs(staging, stageId, tag, CellName)),
+          basedOn = rv, txn = txn)
       else if (touchedSets.isEmpty) // empty update batch, nothing touched
         commit("merge",
           if (prev.nonEmpty) prev
-          else writeBucketedFileSets(deduped, spec)) // schema-bearing empty
+          else writeBucketedFileSets(deduped, spec), // schema-bearing empty
+          basedOn = rv, txn = txn)
       else
         commit("merge", carried ++ withStats(
-          writeBucketedFileSets(upsertInto(readFileSets(touchedSets)), spec)))
+          writeBucketedFileSets(upsertInto(readFileSets(touchedSets)), spec)),
+          basedOn = rv, txn = txn)
     } finally deleteRecursively(staging)
   }
 
@@ -1018,11 +1146,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * merge AND partition pruning); hive-partitioned tables re-apply their
     * recorded layout (one file per partition value) so compaction never
     * silently flattens partition pruning away. */
-  def compact(numFiles: Int = 1): LogEntry = bucketSpec match {
-    case Some(spec) => commit("compact", writeBucketedFileSets(read, spec))
-    case None if partitionLayout.nonEmpty =>
-      commit("compact", Seq(writeFileSetPreservingLayout(read)))
-    case None => commit("compact", Seq(writeFileSet(read.coalesce(numFiles))))
+  def compact(numFiles: Int = 1): LogEntry = {
+    val rv = latestVersion
+    bucketSpec match {
+      case Some(spec) =>
+        commit("compact", writeBucketedFileSets(read, spec), basedOn = rv)
+      case None if partitionLayout.nonEmpty =>
+        commit("compact", Seq(writeFileSetPreservingLayout(read)), basedOn = rv)
+      case None =>
+        commit("compact", Seq(writeFileSet(read.coalesce(numFiles))),
+          basedOn = rv)
+    }
   }
 
   /** `OPTIMIZE … WHERE` analog: compact ONLY the named partitions' cells
@@ -1043,7 +1177,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       sys.error(s"compactPartitions needs a bucketed table at $root"))
     require(spec.partitionKeys.nonEmpty,
       s"compactPartitions needs a partitioned bucket spec at $root")
-    val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+    val snapEntry = history.lastOption
+    val rv = snapEntry.map(_.version)
+    val prev = snapEntry.map(_.fileSets).getOrElse(Nil)
     val wanted = partitionValues.toSet
     val (touched, carried) = prev.partition(fs =>
       partitionValuesOf(fs, spec.partitionKeys.length) match {
@@ -1056,7 +1192,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         case Some(_) => false
         case None    => true // truly unparseable: fold into proper cells
       })
-    if (touched.isEmpty) commit("compact", prev)
+    if (touched.isEmpty) commit("compact", prev, basedOn = rv)
     else {
       val newSets = writeBucketedFileSets(readFileSets(touched), spec)
       // regenerate the data-skipping coverage the rewritten cells carried
@@ -1064,7 +1200,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // silently strip pruning)
       writeStatsSidecars(newSets,
         touched.flatMap(fs => readStatsSidecar(fs).keys).distinct)
-      commit("compact", carried ++ newSets)
+      commit("compact", carried ++ newSets, basedOn = rv)
     }
   }
 
@@ -1126,26 +1262,39 @@ object VersionedTable {
     * 4096 for ~25 GB per bucket) on the first merge. */
   val DefaultMergeBuckets = 16
 
+  /** Rebase attempts before a blind append gives up the commit race —
+    * far above any plausible concurrent-writer count. */
+  private val MaxCommitRetries = 20
+
   private val PartitionLayoutJson = """\{"partitionBy":\[([^\]]*)\]\}""".r
 
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
-    * only) to avoid pulling a JSON dependency. */
+    * only) to avoid pulling a JSON dependency. `txn` is the Delta
+    * `txnAppId`/`txnVersion` idempotence marker: riding IN the entry
+    * makes it atomic with the data commit, so "was this batch already
+    * applied?" and "what does the table contain?" can never disagree. */
   final case class LogEntry(version: Long, tsMillis: Long, action: String,
-                            fileSets: Seq[String]) {
+                            fileSets: Seq[String],
+                            txn: Option[(String, Long)] = None) {
     def toJson: String = {
       val fs = fileSets.map(f => "\"" + f + "\"").mkString("[", ",", "]")
-      s"""{"version":$version,"tsMillis":$tsMillis,"action":"$action","fileSets":$fs}"""
+      val tx = txn.fold("") { case (app, v) =>
+        s""","txnApp":"$app","txnVersion":$v"""
+      }
+      s"""{"version":$version,"tsMillis":$tsMillis,"action":"$action","fileSets":$fs$tx}"""
     }
   }
   object LogEntry {
     private val Pattern =
-      """\{"version":(\d+),"tsMillis":(\d+),"action":"([^"]*)","fileSets":\[([^\]]*)\]\}""".r
+      ("""\{"version":(\d+),"tsMillis":(\d+),"action":"([^"]*)","fileSets":\[([^\]]*)\]""" +
+        """(?:,"txnApp":"([^"]*)","txnVersion":(\d+))?\}""").r
     def parse(s: String): LogEntry = s.trim match {
-      case Pattern(v, ts, a, fs) =>
+      case Pattern(v, ts, a, fs, txnApp, txnVer) =>
         val sets =
           if (fs.isEmpty) Nil
           else fs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        LogEntry(v.toLong, ts.toLong, a, sets)
+        LogEntry(v.toLong, ts.toLong, a, sets,
+          Option(txnApp).map(app => (app, txnVer.toLong)))
       case other => sys.error(s"bad log entry: $other")
     }
   }

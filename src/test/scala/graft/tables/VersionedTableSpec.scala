@@ -474,6 +474,70 @@ class VersionedTableSpec extends SparkSpec {
       t.overwrite(rows("2025-08-12", Seq(1L)), partitionBy = Seq("other")))
   }
 
+  test("concurrent appends rebase onto the winner's snapshot: no lost updates") {
+    val t = VersionedTable(spark, tmpDir("vt-occ-append-"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { t.append(Seq((i, s"w$i")).toDF("id", "v")); () }
+        })
+      }
+      futs.foreach(_.get()) // propagates any worker failure
+    } finally pool.shutdown()
+    // every writer's row AND every writer's commit must survive: with the
+    // old rename-over commit, racing appends clobber each other's log
+    // entry (last-writer-wins) and rows vanish from the final snapshot
+    assert(t.latestVersion === Some(7L))
+    assert(t.read.count() === 8)
+    assert(t.history.last.fileSets.length === 8)
+  }
+
+  test("a stale read-modify-write commit is refused, not silently clobbered") {
+    val t = VersionedTable(spark, tmpDir("vt-occ-stale-"))
+    t.append(Seq((1, "a")).toDF("id", "v")) // v0
+    // a commit derived from a snapshot the table has moved past (here:
+    // derived from the empty table while v0 exists) must throw — this is
+    // the merge/delete/compact lost-update guard
+    assertThrows[java.util.ConcurrentModificationException](
+      t.commit("merge", Seq(), basedOn = None))
+    // while one derived from the CURRENT snapshot commits normally
+    val e = t.commit("compact", t.history.last.fileSets, basedOn = Some(0L))
+    assert(e.version === 1L)
+    assert(t.read.count() === 1)
+  }
+
+  test("txn markers make replayed batches exactly-once (Delta txnAppId/txnVersion)") {
+    val t = VersionedTable(spark, tmpDir("vt-txn-"))
+    val app = "ingest-job"
+    t.append(Seq((1, "a")).toDF("id", "v"), txn = Some((app, 0L)))
+    // replay of batch 0: metadata no-op — no new version, no duplicate rows
+    val replay = t.append(Seq((1, "a")).toDF("id", "v"), txn = Some((app, 0L)))
+    assert(t.latestVersion === Some(0L))
+    assert(replay.version === 0L)
+    assert(t.read.count() === 1)
+    // the ledger is per-app: another writer's batch 0 still applies
+    t.append(Seq((2, "b")).toDF("id", "v"), txn = Some(("other-job", 0L)))
+    assert(t.read.count() === 2)
+    assert(t.lastTxnVersion(app) === Some(0L))
+
+    // the real hazard: an increment-merge (updateExprs) replay would
+    // double-count without the ledger
+    val t2 = VersionedTable(spark, tmpDir("vt-txn-merge-"))
+    val bump = Map[String, (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+      "cnt" -> ((tc, uc) => tc + uc))
+    t2.merge(Seq((1, 5L)).toDF("id", "cnt"), Seq("id"), numBuckets = 2,
+      updateExprs = bump, txn = Some((app, 0L)))
+    t2.merge(Seq((1, 5L)).toDF("id", "cnt"), Seq("id"), numBuckets = 2,
+      updateExprs = bump, txn = Some((app, 1L)))
+    assert(t2.read.select("cnt").as[Long].head() === 10L)
+    t2.merge(Seq((1, 5L)).toDF("id", "cnt"), Seq("id"), numBuckets = 2,
+      updateExprs = bump, txn = Some((app, 1L))) // replayed batch 1: no-op
+    assert(t2.read.select("cnt").as[Long].head() === 10L)
+    assert(t2.lastTxnVersion(app) === Some(1L))
+  }
+
   test("compactPartitions coalesces only the named partitions' cells") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-pcompact-"))

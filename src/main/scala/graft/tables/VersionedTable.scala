@@ -276,6 +276,65 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case cols => writeFileSet(df.repartition(cols.map(col): _*), cols)
     }
 
+  // ------------------------------------------------------ CHECK constraints
+
+  private def checksPath: Path = Paths.get(root, "_checks.json")
+
+  /** Declared CHECK constraints as (name, SQL expression) pairs. */
+  def checks: Seq[(String, String)] =
+    if (!Files.exists(checksPath)) Nil
+    else CheckJson.findAllMatchIn(Files.readString(checksPath))
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** Delta `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` analog. The
+    * CURRENT snapshot must already satisfy the constraint — one
+    * violation-counting scan, after which the DDL is refused on any hit
+    * (exactly Delta's behavior). Afterwards every append/overwrite/merge
+    * batch enforces the constraint INSIDE the write job via a
+    * raise_error projection (no extra validation pass — Delta's
+    * invariant-enforcement strategy): a violating batch fails before any
+    * commit, leaving only staged files that vacuum reclaims. Maintenance
+    * rewrites (compact/zorder/delete) skip re-enforcement: their rows
+    * already passed at write time or at DDL time. */
+  def addCheck(name: String, sqlExpr: String): Unit = {
+    require(!name.contains("\"") && !sqlExpr.contains("\"") &&
+      !name.contains("\n") && !sqlExpr.contains("\n"),
+      "check name/expr must not contain double quotes or newlines")
+    require(!checks.exists(_._1 == name), s"check $name already exists at $root")
+    if (exists) {
+      val bad = read.filter(!coalesce(expr(sqlExpr), lit(true))).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"cannot add CHECK $name ($sqlExpr) at $root: " +
+          s"$bad existing row(s) violate it")
+    }
+    writeChecks(checks :+ (name, sqlExpr))
+  }
+
+  def dropCheck(name: String): Unit =
+    writeChecks(checks.filterNot(_._1 == name))
+
+  private def writeChecks(cs: Seq[(String, String)]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val body = cs.map { case (n, e) => s"""{"name":"$n","expr":"$e"}""" }
+      .mkString("""{"checks":[""", ",", "]}")
+    val tmp = Paths.get(root, s".tmp-checks-${UUID.randomUUID()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, checksPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Per-row enforcement projection: rows passing every check (or
+    * evaluating it to NULL — SQL CHECK semantics, unknown passes) stream
+    * through untouched; the first violating row throws from inside the
+    * write job with the check name and the row's JSON. Cost is one
+    * codegen'd predicate per row per check, zero extra passes. */
+  private def withCheckEnforcement(df: DataFrame): DataFrame =
+    checks.foldLeft(df) { case (d, (n, e)) =>
+      d.filter(when(coalesce(expr(e), lit(true)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"CHECK constraint $n ($e) violated by row "),
+          to_json(struct(d.columns.map(col): _*))))))
+    }
+
   // ------------------------------------------------------------ bucket spec
 
   /** Key-hash bucketing spec, if this table is merge-bucketed. Established
@@ -791,17 +850,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // replayed txn: skip before writing any data files (the authoritative
     // re-check under the commit race lives in commitRebase)
     if (txnAlreadyApplied(txn)) return history.last
+    val checked = withCheckEnforcement(df)
     bucketSpec match {
       case Some(spec) =>
         require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
           s"append partitionBy $partitionBy != table partition keys " +
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
-        val ids = writeBucketedFileSets(df, spec)
+        val ids = writeBucketedFileSets(checked, spec)
         writeStatsSidecars(ids, statsFor)
         commitRebase("append", _ ++ ids, txn)
       case None =>
         recordPartitionLayout(partitionBy, allowExisting = true)
-        val id = writeFileSet(df, partitionBy)
+        val id = writeFileSet(checked, partitionBy)
         writeStatsSidecars(Seq(id), statsFor)
         commitRebase("append", _ :+ id, txn)
     }
@@ -817,19 +877,56 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
                 txn: Option[(String, Long)] = None): LogEntry = {
     if (txnAlreadyApplied(txn)) return history.last
+    val checked = withCheckEnforcement(df)
     bucketSpec match {
       case Some(spec) =>
         require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
           s"overwrite partitionBy $partitionBy != table partition keys " +
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
-        val sets = writeBucketedFileSets(df, spec)
+        val sets = writeBucketedFileSets(checked, spec)
         commitRebase("overwrite", _ => sets, txn)
       case None =>
         // an overwrite REDEFINES the layout: record the new partitioning
         // (or clear it) so later compact/delete rewrites preserve it
         recordPartitionLayout(partitionBy, allowExisting = false)
-        val sets = Seq(writeFileSet(df, partitionBy))
+        val sets = Seq(writeFileSet(checked, partitionBy))
         commitRebase("overwrite", _ => sets, txn)
+    }
+  }
+
+  /** Delta SHALLOW CLONE analog: a zero-copy table at `targetRoot` whose
+    * first commit references the source's CURRENT file-sets via hard
+    * links — O(file count) metadata ops, no data bytes copied (an
+    * object-store port swaps links for server-side copy). The clone is
+    * fully independent afterwards: it has its own log, its merges
+    * copy-on-write against its own root, and vacuuming either table
+    * cannot break the other (parquet files are immutable and links keep
+    * shared inodes alive while referenced). Layout metadata (bucket
+    * spec, hive layout, CHECK constraints) and per-file-set stats
+    * sidecars (inside the linked dirs) carry over; the txn ledger
+    * intentionally does NOT — a clone is a new sink, and Delta clones
+    * likewise reset application transaction state. */
+  def shallowCloneTo(targetRoot: String): VersionedTable = {
+    val src = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val t = new VersionedTable(spark, targetRoot)
+    require(!t.exists, s"clone target $targetRoot already has versions")
+    Files.createDirectories(t.dataDir)
+    Seq(specPath, layoutPath, checksPath).foreach { p =>
+      if (Files.exists(p))
+        Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    src.fileSets.foreach(fs =>
+      linkTree(dataDir.resolve(fs), t.dataDir.resolve(fs)))
+    t.commit("clone", src.fileSets, basedOn = None)
+    t
+  }
+
+  private def linkTree(from: Path, to: Path): Unit = {
+    Files.createDirectories(to)
+    listDir(from).foreach { c =>
+      if (Files.isDirectory(c)) linkTree(c, to.resolve(c.getFileName.toString))
+      else Files.createLink(to.resolve(c.getFileName.toString), c)
     }
   }
 
@@ -982,10 +1079,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         }
       }
     }
-    val deduped = preferUpdateBy match {
+    // CHECK enforcement on the update batch rides in the staging job
+    // (insert rows land verbatim from here)
+    val deduped = withCheckEnforcement(preferUpdateBy match {
       case Some(ord) => graft.ops.Keyed.latestPerKey(typedUpdates, keys, ord)
       case None      => typedUpdates.dropDuplicates(keys)
-    }
+    })
     // ONE job stages the deduped updates split by (partition, bucket)
     // cell. This replaces the previous persist + distinct().collect()
     // probe: the staged parquet IS the materialization the persist
@@ -1005,7 +1104,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       else spark.read.parquet(staging.toString).drop(BucketCol)
     def upsertInto(target: DataFrame): DataFrame = {
       val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
-      graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
+      val r = graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
+      // updateExprs computes NEW post-image values (t+u …) that neither
+      // side was checked for — enforce on the merged frame; the plain
+      // upsert needs nothing (both sides passed when written/staged)
+      if (updateExprs.isEmpty) r else withCheckEnforcement(r)
     }
     try {
       if (bucketSpec.isEmpty) {
@@ -1267,6 +1370,7 @@ object VersionedTable {
   private val MaxCommitRetries = 20
 
   private val PartitionLayoutJson = """\{"partitionBy":\[([^\]]*)\]\}""".r
+  private val CheckJson = """\{"name":"([^"]*)","expr":"([^"]*)"\}""".r
 
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
     * only) to avoid pulling a JSON dependency. `txn` is the Delta

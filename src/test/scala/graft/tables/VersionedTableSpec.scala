@@ -538,6 +538,73 @@ class VersionedTableSpec extends SparkSpec {
     assert(t2.lastTxnVersion(app) === Some(1L))
   }
 
+  test("CHECK constraints refuse violating writes, Delta-style") {
+    val t = VersionedTable(spark, tmpDir("vt-check-"))
+    t.append(Seq((1, 10L)).toDF("id", "price"))
+    t.addCheck("price_nonneg", "price >= 0")
+    // a check the current snapshot violates is refused at DDL time
+    assertThrows[IllegalStateException](t.addCheck("bad", "price > 100"))
+    assert(t.checks === Seq(("price_nonneg", "price >= 0")))
+    // a violating append fails inside the write job; nothing commits
+    val vBefore = t.latestVersion
+    val ex = intercept[Exception](t.append(Seq((2, -5L)).toDF("id", "price")))
+    assert(ex.getMessage != null || ex.getCause != null) // raised from the job
+    assert(t.latestVersion === vBefore)
+    assert(t.read.count() === 1)
+    // NULL predicate passes (SQL CHECK semantics: unknown is not false)
+    t.append(Seq((3, Option.empty[Long])).toDF("id", "price"))
+    assert(t.read.count() === 2)
+    // dropCheck lifts enforcement
+    t.dropCheck("price_nonneg")
+    t.append(Seq((4, -1L)).toDF("id", "price"))
+    assert(t.read.count() === 3)
+
+    // the updateExprs post-image is enforced too: neither input side
+    // violates, but the combined value does
+    val t2 = VersionedTable(spark, tmpDir("vt-check-merge-"))
+    t2.merge(Seq((1, 5L)).toDF("id", "price"), Seq("id"), numBuckets = 2)
+    t2.addCheck("nonneg", "price >= 0")
+    val drain = Map[String, (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) => org.apache.spark.sql.Column](
+      "price" -> ((tc, uc) => tc - uc))
+    intercept[Exception](t2.merge(Seq((1, 10L)).toDF("id", "price"),
+      Seq("id"), updateExprs = drain)) // 5 - 10 = -5 violates
+    assert(t2.read.select("price").as[Long].head() === 5L)
+    t2.merge(Seq((1, 3L)).toDF("id", "price"), Seq("id"),
+      updateExprs = drain) // 5 - 3 = 2 passes
+    assert(t2.read.select("price").as[Long].head() === 2L)
+  }
+
+  test("shallowCloneTo: zero-copy clone diverges independently of the source") {
+    val t = VersionedTable(spark, tmpDir("vt-clone-src-"))
+    t.merge(Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"), numBuckets = 2)
+    t.addCheck("id_pos", "id > 0")
+    val c = t.shallowCloneTo(tmpDir("vt-clone-dst-"))
+    assert(c.read.as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    assert(c.bucketSpec === t.bucketSpec)
+    assert(c.checks === Seq(("id_pos", "id > 0")))
+    // zero-copy: the clone's parquet files are hard links (shared inode)
+    val aClonedParquet = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(c.root, "data"))
+      .iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    assert(java.nio.file.Files
+      .getAttribute(aClonedParquet, "unix:nlink").asInstanceOf[Int] >= 2)
+    // divergence: writes to the clone never touch the source (and the
+    // cloned CHECK still enforces)
+    c.merge(Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    assert(c.read.count() === 3)
+    assert(t.read.count() === 2)
+    intercept[Exception](c.append(Seq((-1, "x")).toDF("id", "v")))
+    // source rewrite + vacuum reclaims ITS dirs; the clone keeps reading
+    // the shared immutable inodes through its own links
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    t.vacuum(retainVersions = 1)
+    assert(c.read.count() === 3)
+    // a target with committed versions is refused
+    assertThrows[IllegalArgumentException](t.shallowCloneTo(c.root))
+  }
+
   test("compactPartitions coalesces only the named partitions' cells") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-pcompact-"))

@@ -855,6 +855,50 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // M11: deletion vectors — merge-on-read DELETE (Delta deletion
+    // vectors): a sparse delete writes a tiny (file, position) vector
+    // instead of rewriting file-sets; reads apply it as a broadcast
+    // anti-join. No-rewrite + purge behavior pinned by
+    // VersionedTableSpec; here: read-path correctness over the vector.
+    "q_m11_delete_vectors" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-dv-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cut = 1000000L
+      tbl.append(o.filter(col("o_orderkey") < cut))
+      tbl.append(o.filter(col("o_orderkey") >= cut))
+      // sparse point-delete (~1% of keys) — the DV's design load
+      tbl.deleteVectors(col("o_orderkey") % 97 === 0)
+      tbl.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // M10: UPDATE … SET WHERE with data skipping — file-pruned
+    // copy-on-write update (Delta UPDATE): assignments apply to
+    // predicate-TRUE rows only, and only the file-sets whose stats
+    // overlap the key range are rewritten (carry-vs-rewrite pinned by
+    // VersionedTableSpec; here: post-image correctness).
+    "q_m10_update" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-upd-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cut = 1000000L
+      tbl.append(o.filter(col("o_orderkey") < cut),
+        statsFor = Seq("o_orderkey"))
+      tbl.append(o.filter(col("o_orderkey") >= cut),
+        statsFor = Seq("o_orderkey"))
+      tbl.updateRange("o_orderkey", "0", (cut - 1).toString,
+        Map("o_orderstatus" -> lit("X"),
+            "o_totalprice" -> (col("o_totalprice") * 1.1)),
+        extraCond = Some(col("o_totalprice") < 50000.0))
+      tbl.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // M8: OPTIMIZE ZORDER BY — multi-dimensional clustering; a range read
     // on the SECOND z-ordered column still skips file-sets (pruning
     // pinned by VersionedTableSpec; here: result correctness).
@@ -1983,6 +2027,30 @@ object SparkEntry {
     "q_m7_restore" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_m11_delete_vectors" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE NOT coalesce(o_orderkey % 97 = 0, FALSE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m10_update" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM (
+        |  -- mirrors updateRange: assignments hit predicate-TRUE rows
+        |  -- only (NULL predicate keeps the old values), RHS sees the
+        |  -- pre-update row
+        |  SELECT CASE WHEN coalesce(o_orderkey BETWEEN 0 AND 999999
+        |                            AND o_totalprice < 50000.0, FALSE)
+        |              THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN coalesce(o_orderkey BETWEEN 0 AND 999999
+        |                            AND o_totalprice < 50000.0, FALSE)
+        |              THEN o_totalprice * 1.1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_m8_zorder" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price2

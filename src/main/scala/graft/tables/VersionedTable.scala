@@ -60,6 +60,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def dataDir: Path = Paths.get(root, "data")
   private def stagingDir: Path = Paths.get(root, "_staging")
   private def specPath: Path = Paths.get(root, "_bucketspec.json")
+  private def dvDir: Path = Paths.get(root, "_dv")
 
   /** Glob covering every file-set dir — the path to hand a streaming
     * reader that must see ALL committed data, present and future (a
@@ -160,11 +161,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * a stale snapshot. */
   private[tables] def commit(action: String, fileSets: Seq[String],
                              basedOn: Option[Long],
-                             txn: Option[(String, Long)] = None): LogEntry = {
+                             txn: Option[(String, Long)] = None,
+                             dvs: Seq[String] = Nil): LogEntry = {
     val latest = latestVersion
     if (latest != basedOn) throw conflict(action, basedOn, latest)
     val entry = LogEntry(latest.map(_ + 1).getOrElse(0L),
-      System.currentTimeMillis(), action, fileSets, txn)
+      System.currentTimeMillis(), action, fileSets, txn, dvs)
     if (!tryWriteEntry(entry)) throw conflict(action, basedOn, latestVersion)
     entry
   }
@@ -177,7 +179,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * disjoint UUIDs), exactly the concurrent transactions Delta admits. */
   private[tables] def commitRebase(action: String,
                                    derive: Seq[String] => Seq[String],
-                                   txn: Option[(String, Long)] = None): LogEntry = {
+                                   txn: Option[(String, Long)] = None,
+                                   deriveDvs: Seq[String] => Seq[String] = identity): LogEntry = {
     @annotation.tailrec
     def attempt(retries: Int): LogEntry = {
       // the txn idempotence check re-runs on EVERY attempt: if a racing
@@ -192,9 +195,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       if (replayed) h.last
       else {
         val snap = h.lastOption
+        // deletion vectors rebase too: an append carries the WINNER's dvs
+        // (its deletes must stay applied), an overwrite clears them
         val entry = LogEntry(snap.map(_.version + 1).getOrElse(0L),
           System.currentTimeMillis(), action,
-          derive(snap.map(_.fileSets).getOrElse(Nil)), txn)
+          derive(snap.map(_.fileSets).getOrElse(Nil)), txn,
+          deriveDvs(snap.map(_.dvs).getOrElse(Nil)))
         if (tryWriteEntry(entry)) entry
         else if (retries > 0) attempt(retries - 1)
         else sys.error(
@@ -673,7 +679,27 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
-    else readFileSets(e.fileSets)
+    else readSets(e.fileSets, e.dvs)
+
+  /** Read `fileSets` with the snapshot's deletion vectors applied —
+    * merge-on-read (Delta deletion vectors): the scan projects each row's
+    * (file, position) identity and anti-joins the DV set, so a
+    * vectorized-delete's cost at read time is one BROADCAST anti hash
+    * join (DVs are sparse by contract — point/GDPR deletes; bulk deletes
+    * belong to the copy-on-write paths). No shuffle of the table, and
+    * scans/pruning/pushdown are unchanged underneath. DV entries whose
+    * file was since rewritten match nothing (the path no longer exists in
+    * the snapshot) — inert, reclaimed by [[purgeDeleteVectors]]/vacuum. */
+  private def readSets(fileSets: Seq[String], dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty || fileSets.isEmpty) readFileSets(fileSets)
+    else {
+      val withPos = readFileSets(fileSets, withPos = true)
+      val dv = spark.read.parquet(dvs.map(d => dvDir.resolve(d).toString): _*)
+      val keep = withPos.columns
+        .filterNot(c => c == DvFileCol || c == DvPosCol)
+      withPos.join(broadcast(dv), Seq(DvFileCol, DvPosCol), "left_anti")
+        .select(keep.map(col): _*)
+    }
 
   /** Union-arm folding: flat (non-hive-partitioned) file-sets with the same
     * schema collapse into ONE multi-path parquet scan, so a table with 10k
@@ -685,10 +711,29 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     *    one scan; each keeps its own root for partition discovery/pruning).
     * Grouping keys on the schema fingerprint embedded in the file-set NAME
     * — zero metadata IO; legacy untagged file-sets fall back to one
-    * parquet footer read each. */
-  private def readFileSets(fileSets: Seq[String]): DataFrame = {
+    * parquet footer read each.
+    *
+    * `withPos = true` additionally projects each row's stable identity —
+    * its file path RELATIVE to this table's data dir (so a relocated
+    * table's vectors stay valid) and its `_metadata.row_index` position
+    * within that file — as [[DvFileCol]]/[[DvPosCol]], the join identity
+    * deletion vectors are keyed by. Row positions come from the parquet
+    * reader itself, so they are stable across column pruning, predicate
+    * pushdown, and split planning. */
+  private def readFileSets(fileSets: Seq[String],
+                           withPos: Boolean = false): DataFrame = {
     val paths = fileSets.map(f => dataDir.resolve(f))
     val (partitioned, flat) = paths.partition(hasHivePartitionDirs)
+    val quotedData =
+      java.util.regex.Pattern.quote(dataDir.toAbsolutePath.toString)
+    def scan(ps: Seq[String]): DataFrame = {
+      val d = spark.read.parquet(ps: _*)
+      if (!withPos) d
+      else d.select(col("*"),
+        regexp_extract(col("_metadata.file_path"), quotedData + "/(.*)$", 1)
+          .as(DvFileCol),
+        col("_metadata.row_index").as(DvPosCol))
+    }
     val flatScans = flat
       .groupBy { p =>
         p.getFileName.toString match {
@@ -697,8 +742,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         }
       }
       .toSeq.sortBy(_._2.head.getFileName.toString) // deterministic plan
-      .map { case (_, ps) => spark.read.parquet(ps.map(_.toString): _*) }
-    val scans = flatScans ++ partitioned.map(p => spark.read.parquet(p.toString))
+      .map { case (_, ps) => scan(ps.map(_.toString)) }
+    val scans = flatScans ++ partitioned.map(p => scan(Seq(p.toString)))
     scans.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -779,13 +824,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * timestamp stats instead of lexically mismatching. String ordering
     * uses UTF-8 bytes to match Spark's binary collation. */
   def readRange(column: String, lower: String, upper: String): DataFrame = {
-    val fileSets = history.lastOption.map(_.fileSets)
+    val snap = history.lastOption
       .getOrElse(sys.error(s"empty table at $root"))
+    val fileSets = snap.fileSets
     if (fileSets.isEmpty) return spark.emptyDataFrame // empty-overwrite edge
     val full = readFileSets(fileSets) // lazy: schema only unless needed
     val dt = full.schema(column).dataType
     val kept = overlappingFileSets(fileSets, column, lower, upper, dt)
-    val base = if (kept.isEmpty) full.limit(0) else readFileSets(kept)
+    // DV'd rows may still be a sidecar's recorded min/max — skipping
+    // stays conservative (an over-kept file-set just filters to nothing)
+    val base = if (kept.isEmpty) full.limit(0) else readSets(kept, snap.dvs)
     base.filter(col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt))
   }
@@ -884,13 +932,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           s"overwrite partitionBy $partitionBy != table partition keys " +
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
         val sets = writeBucketedFileSets(checked, spec)
-        commitRebase("overwrite", _ => sets, txn)
+        commitRebase("overwrite", _ => sets, txn, deriveDvs = _ => Nil)
       case None =>
         // an overwrite REDEFINES the layout: record the new partitioning
         // (or clear it) so later compact/delete rewrites preserve it
         recordPartitionLayout(partitionBy, allowExisting = false)
         val sets = Seq(writeFileSet(checked, partitionBy))
-        commitRebase("overwrite", _ => sets, txn)
+        commitRebase("overwrite", _ => sets, txn, deriveDvs = _ => Nil)
     }
   }
 
@@ -918,7 +966,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     }
     src.fileSets.foreach(fs =>
       linkTree(dataDir.resolve(fs), t.dataDir.resolve(fs)))
-    t.commit("clone", src.fileSets, basedOn = None)
+    // deletion vectors are part of the snapshot: link them too (DV paths
+    // are RELATIVE to each table's data dir, so the links stay valid
+    // under the clone's root)
+    src.dvs.foreach(d => linkTree(dvDir.resolve(d), t.dvDir.resolve(d)))
+    t.commit("clone", src.fileSets, basedOn = None, dvs = src.dvs)
     t
   }
 
@@ -943,11 +995,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // refuse BEFORE committing if vacuum already reclaimed the version's
     // file-sets — committing a HEAD that points at deleted dirs would
     // brick every subsequent read (Delta RESTORE errors the same way)
-    val missing = e.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs)))
+    val missing = e.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs))) ++
+      e.dvs.filterNot(d => Files.exists(dvDir.resolve(d)))
     require(missing.isEmpty,
       s"cannot restore to version $v at $root: file-sets vacuumed: " +
         missing.mkString(", "))
-    commit("restore", e.fileSets, basedOn = rv)
+    commit("restore", e.fileSets, basedOn = rv, dvs = e.dvs)
   }
 
   /** DELETE WHERE with data skipping: deletes rows with `column` in
@@ -969,15 +1022,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
     val fileSets = snap.fileSets
-    if (fileSets.isEmpty) return commit("delete", fileSets, basedOn = rv)
+    if (fileSets.isEmpty)
+      return commit("delete", fileSets, basedOn = rv, dvs = snap.dvs)
     val dt = readFileSets(fileSets).schema(column).dataType
     val touched = overlappingFileSets(fileSets, column, lower, upper, dt)
     val carried = fileSets.diff(touched)
-    if (touched.isEmpty) return commit("delete", fileSets, basedOn = rv)
+    if (touched.isEmpty)
+      return commit("delete", fileSets, basedOn = rv, dvs = snap.dvs)
     val cond = col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt) &&
       extraCond.getOrElse(lit(true))
-    val remaining = readFileSets(touched)
+    val remaining = readSets(touched, snap.dvs)
       .filter(!coalesce(cond, lit(false))) // NULL predicate keeps the row
     val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys)
       .distinct
@@ -986,22 +1041,189 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
-    commit("delete", carried ++ newSets, basedOn = rv)
+    // carried file-sets may still have live DV entries: the vectors ride
+    // along (rewritten sets' entries just went inert)
+    commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs)
   }
 
   /** General DELETE WHERE (no skipping): rewrites the full snapshot minus
-    * predicate-TRUE rows. Prefer [[deleteRange]] when the predicate is
-    * range-shaped over a stats column. */
+    * predicate-TRUE rows, regenerating data-skipping sidecars for the
+    * previously covered columns (a maintenance-shaped rewrite must not
+    * silently strip pruning). Prefer [[deleteRange]] when the predicate
+    * is range-shaped over a stats column. */
   def delete(cond: Column): LogEntry = {
-    val rv = latestVersion
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
     val remaining = read.filter(!coalesce(cond, lit(false)))
-    bucketSpec match {
-      case Some(spec) =>
-        commit("delete", writeBucketedFileSets(remaining, spec), basedOn = rv)
-      case None =>
-        commit("delete", Seq(writeFileSetPreservingLayout(remaining)),
-          basedOn = rv)
+    val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val newSets = bucketSpec match {
+      case Some(spec) => writeBucketedFileSets(remaining, spec)
+      case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
+    writeStatsSidecars(newSets, statsCols)
+    commit("delete", newSets, basedOn = rv)
+  }
+
+  /** DELETE WHERE as a deletion vector — merge-on-read (Delta deletion
+    * vectors): instead of rewriting every file-set the predicate touches
+    * (copy-on-write [[delete]]/[[deleteRange]]), ONE scan finds the
+    * matching rows' (file, position) identities and writes them as a tiny
+    * DV sidecar; no data file is rewritten. Reads anti-join the DV set
+    * (broadcast — see [[readSets]]). This is the point-delete path a
+    * 100 TB table needs: a GDPR delete of 1k rows scattered across 10k
+    * file-sets writes kilobytes, where COW would rewrite terabytes.
+    * Every read surface (read/time travel/readRange/readForKeys/merge/
+    * compact/update) sees DVs applied; rewriting paths drop each
+    * file-set's entries as they rewrite it; [[purgeDeleteVectors]]
+    * materializes all DVs at once (Delta `REORG TABLE … APPLY (PURGE)`).
+    * Time travel to a pre-delete version ignores the DV, as with Delta.
+    * NULL-predicate rows are KEPT (SQL DELETE semantics). */
+  def deleteVectors(cond: Column): LogEntry = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    if (snap.fileSets.isEmpty)
+      return commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs)
+    // anti-join existing DVs first: a rerun of the same predicate finds
+    // its rows already dead and appends only an empty (dropped) vector —
+    // rerun-idempotent like the COW deletes
+    val withPos = readFileSets(snap.fileSets, withPos = true)
+    val live =
+      if (snap.dvs.isEmpty) withPos
+      else withPos.join(
+        broadcast(spark.read.parquet(
+          snap.dvs.map(d => dvDir.resolve(d).toString): _*)),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    val id = s"dv-${UUID.randomUUID()}"
+    val out = dvDir.resolve(id)
+    Files.createDirectories(dvDir)
+    // sparse-DV contract: the vector is small, one file keeps the
+    // broadcast read cheap (a bulk delete belongs on the COW paths)
+    live.filter(coalesce(cond, lit(false)))
+      .select(col(DvFileCol), col(DvPosCol))
+      .coalesce(1).write.parquet(out.toString)
+    val n = spark.read.parquet(out.toString).count() // footer-only count
+    if (n == 0) { // nothing matched: don't accrete empty vectors
+      deleteRecursively(out)
+      commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs)
+    } else commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs :+ id)
+  }
+
+  /** Materialize all deletion vectors (Delta `REORG TABLE … APPLY
+    * (PURGE)`): rewrites ONLY the file-sets that still have live DV
+    * entries — found from the vectors themselves, O(DV size) metadata
+    * work — applying the deletes for real, and drops every vector.
+    * Untouched file-sets are carried verbatim. The maintenance
+    * counterpart of [[deleteVectors]]: run it when accumulated vectors
+    * make the read-side anti-join noticeable. */
+  def purgeDeleteVectors(): LogEntry = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    if (snap.dvs.isEmpty) return snap // no vectors: nothing to do, no commit
+    val dv = spark.read.parquet(snap.dvs.map(d => dvDir.resolve(d).toString): _*)
+    // a DV row's file-set is the first segment of its relative path;
+    // entries of rewritten (vanished) file-sets drop out via the
+    // intersect. Bounded collect: ≤ one row per file-set.
+    val named = dv.select(regexp_extract(col(DvFileCol), "^([^/]+)/", 1))
+      .distinct().collect().map(_.getString(0)).toSet
+    val touched = snap.fileSets.filter(named.contains)
+    if (touched.isEmpty) return commit("purge_dv", snap.fileSets, rv)
+    val remaining = readSets(touched, snap.dvs)
+    val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val newSets = bucketSpec match {
+      case Some(spec) => writeBucketedFileSets(remaining, spec)
+      case None       => Seq(writeFileSetPreservingLayout(remaining))
+    }
+    writeStatsSidecars(newSets, statsCols)
+    commit("purge_dv", snap.fileSets.diff(touched) ++ newSets, rv)
+  }
+
+  /** One projection computing the UPDATE post-image. Every assignment's
+    * right-hand side sees the OLD row (chained withColumn would leak
+    * earlier assignments into later RHS — SQL UPDATE evaluates all
+    * assignments against the pre-update row), and values cast back to
+    * the column's declared type so the table schema is stable across
+    * updates (Delta casts UPDATE assignments the same way). Rows where
+    * `cond` is NULL keep their old values (only predicate-TRUE rows
+    * update). CHECK constraints re-enforce on the post-image — an
+    * assignment can manufacture a violating value out of passing rows. */
+  private def applyAssignments(df: DataFrame, set: Map[String, Column],
+                               cond: Column): DataFrame = {
+    val unknown = set.keySet.diff(df.columns.toSet)
+    require(unknown.isEmpty,
+      s"UPDATE SET of unknown column(s) ${unknown.mkString(",")} at $root")
+    val c = coalesce(cond, lit(false))
+    val projected = df.select(df.schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(e) =>
+          when(c, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    withCheckEnforcement(projected)
+  }
+
+  /** UPDATE … SET WHERE, copy-on-write (Delta `UPDATE`): rewrites the
+    * snapshot with `set` assignments applied to predicate-TRUE rows.
+    * Bucketed tables rewrite cell-split so merges stay COW (assigning a
+    * bucket key is fine here: the full rewrite re-routes moved rows);
+    * hive layouts are preserved. Data-skipping sidecars regenerate for
+    * the previously covered columns (assignments can move a min/max).
+    * Prefer [[updateRange]] when the predicate is range-shaped over a
+    * stats column — it rewrites only the overlapping file-sets. */
+  def update(set: Map[String, Column], cond: Column): LogEntry = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    val updated = applyAssignments(read, set, cond)
+    val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val newSets = bucketSpec match {
+      case Some(spec) => writeBucketedFileSets(updated, spec)
+      case None       => Seq(writeFileSetPreservingLayout(updated))
+    }
+    writeStatsSidecars(newSets, statsCols)
+    commit("update", newSets, basedOn = rv)
+  }
+
+  /** UPDATE with data skipping: `set` applies to rows with `column` in
+    * [lower, upper] (optionally AND `extraCond`); ONLY file-sets whose
+    * min/max stats overlap the range are rewritten, every other file-set
+    * is carried verbatim — Delta's file-pruned UPDATE. At 100 TB,
+    * backfilling one day's column rewrites that day's file-sets, not the
+    * table. File-sets without stats are conservatively rewritten.
+    * Refuses assignments to bucket/partition keys on bucketed tables — a
+    * touched-sets-only rewrite cannot move rows into carried cells; use
+    * [[update]] (full rewrite) for that. Rewritten file-sets regenerate
+    * their stats sidecars. */
+  def updateRange(column: String, lower: String, upper: String,
+                  set: Map[String, Column],
+                  extraCond: Option[Column] = None): LogEntry = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    val fileSets = snap.fileSets
+    if (fileSets.isEmpty)
+      return commit("update", fileSets, basedOn = rv, dvs = snap.dvs)
+    bucketSpec.foreach { sp =>
+      val moved = set.keySet.intersect((sp.keys ++ sp.partitionKeys).toSet)
+      require(moved.isEmpty, s"updateRange cannot assign bucket/partition " +
+        s"key(s) ${moved.mkString(",")} at $root; use update()")
+    }
+    val dt = readFileSets(fileSets).schema(column).dataType
+    val touched = overlappingFileSets(fileSets, column, lower, upper, dt)
+    val carried = fileSets.diff(touched)
+    if (touched.isEmpty)
+      return commit("update", fileSets, basedOn = rv, dvs = snap.dvs)
+    val cond = col(column) >= lit(lower).cast(dt) &&
+      col(column) <= lit(upper).cast(dt) &&
+      extraCond.getOrElse(lit(true))
+    val updated = applyAssignments(readSets(touched, snap.dvs), set, cond)
+    val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val newSets = bucketSpec match {
+      case Some(spec) => writeBucketedFileSets(updated, spec)
+      case None       => Seq(writeFileSetPreservingLayout(updated))
+    }
+    writeStatsSidecars(newSets, statsCols)
+    commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs)
   }
 
   /** MERGE upsert: update matched target rows with the update row, insert
@@ -1122,6 +1344,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       val snapEntry = history.lastOption
       val rv = snapEntry.map(_.version)
       val prev = snapEntry.map(_.fileSets).getOrElse(Nil)
+      val prevDvs = snapEntry.map(_.dvs).getOrElse(Nil)
       // carried = file-sets whose parseable split suffix is NOT a touched
       // cell. Everything else — touched cells, pre-spec appends, empty
       // fallbacks (no parseable suffix) — is read and rewritten:
@@ -1154,16 +1377,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // append-heavy streaming merges)
         commit("merge", carried ++
           withStats(adoptSplitDirs(staging, stageId, tag, CellName)),
-          basedOn = rv, txn = txn)
+          basedOn = rv, txn = txn, dvs = prevDvs)
       else if (touchedSets.isEmpty) // empty update batch, nothing touched
         commit("merge",
           if (prev.nonEmpty) prev
           else writeBucketedFileSets(deduped, spec), // schema-bearing empty
-          basedOn = rv, txn = txn)
+          basedOn = rv, txn = txn, dvs = prevDvs)
       else
+        // deletion vectors apply to the rewritten cells' rows (a
+        // DV-deleted row must not resurrect through an upsert) and ride
+        // along for the carried cells
         commit("merge", carried ++ withStats(
-          writeBucketedFileSets(upsertInto(readFileSets(touchedSets)), spec)),
-          basedOn = rv, txn = txn)
+          writeBucketedFileSets(upsertInto(readSets(touchedSets, prevDvs)), spec)),
+          basedOn = rv, txn = txn, dvs = prevDvs)
     } finally deleteRecursively(staging)
   }
 
@@ -1239,7 +1465,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           bucketOf(fs).exists(buckets.contains) && partHit(fs)) ++
           untagged // pre-spec file-sets can hold any key
         if (hit.isEmpty) keyFilter(read.limit(0))
-        else keyFilter(readFileSets(hit))
+        else keyFilter(readSets(hit,
+          history.lastOption.map(_.dvs).getOrElse(Nil)))
     }
   }
 
@@ -1250,16 +1477,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * recorded layout (one file per partition value) so compaction never
     * silently flattens partition pruning away. */
   def compact(numFiles: Int = 1): LogEntry = {
-    val rv = latestVersion
-    bucketSpec match {
-      case Some(spec) =>
-        commit("compact", writeBucketedFileSets(read, spec), basedOn = rv)
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val newSets = bucketSpec match {
+      case Some(spec) => writeBucketedFileSets(read, spec)
       case None if partitionLayout.nonEmpty =>
-        commit("compact", Seq(writeFileSetPreservingLayout(read)), basedOn = rv)
-      case None =>
-        commit("compact", Seq(writeFileSet(read.coalesce(numFiles))),
-          basedOn = rv)
+        Seq(writeFileSetPreservingLayout(read))
+      case None => Seq(writeFileSet(read.coalesce(numFiles)))
     }
+    // OPTIMIZE must not strip data skipping: regenerate the sidecar
+    // coverage the compacted file-sets carried (same guard as
+    // deleteRange/compactPartitions/merge)
+    writeStatsSidecars(newSets, statsCols)
+    commit("compact", newSets, basedOn = rv)
   }
 
   /** `OPTIMIZE … WHERE` analog: compact ONLY the named partitions' cells
@@ -1295,15 +1526,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         case Some(_) => false
         case None    => true // truly unparseable: fold into proper cells
       })
-    if (touched.isEmpty) commit("compact", prev, basedOn = rv)
+    val prevDvs = snapEntry.map(_.dvs).getOrElse(Nil)
+    if (touched.isEmpty) commit("compact", prev, basedOn = rv, dvs = prevDvs)
     else {
-      val newSets = writeBucketedFileSets(readFileSets(touched), spec)
+      val newSets =
+        writeBucketedFileSets(readSets(touched, prevDvs), spec)
       // regenerate the data-skipping coverage the rewritten cells carried
       // (same guard as deleteRange and merge — a maintenance op must not
       // silently strip pruning)
       writeStatsSidecars(newSets,
         touched.flatMap(fs => readStatsSidecar(fs).keys).distinct)
-      commit("compact", carried ++ newSets, basedOn = rv)
+      commit("compact", carried ++ newSets, basedOn = rv, dvs = prevDvs)
     }
   }
 
@@ -1315,6 +1548,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val keep = h.takeRight(retainVersions).flatMap(_.fileSets).toSet
     listDir(dataDir)
       .filterNot(p => keep.contains(p.getFileName.toString))
+      .foreach(deleteRecursively)
+    // deletion vectors unreferenced by any retained version (purged,
+    // superseded, or orphaned by a crashed deleteVectors)
+    val keepDvs = h.takeRight(retainVersions).flatMap(_.dvs).toSet
+    listDir(dvDir)
+      .filterNot(p => keepDvs.contains(p.getFileName.toString))
       .foreach(deleteRecursively)
     // orphaned staging from crashed writers (never referenced by the log)
     listDir(stagingDir).foreach(deleteRecursively)
@@ -1345,6 +1584,11 @@ object VersionedTable {
   /** Bucket column name used transiently during bucketed writes (lives only
     * in staging dir names, never in the parquet schema). */
   private val BucketCol = "_gbucket"
+  /** Deletion-vector row identity: file path relative to the table's data
+    * dir + `_metadata.row_index` position within that file. Transient —
+    * projected during DV-aware reads, never in a data file's schema. */
+  private val DvFileCol = "_dv_file"
+  private val DvPosCol = "_dv_pos"
   /** Canonical cell file-set name: `<writeId>.s<schemaTag>.<splitValue>`. */
   private val CellName: (String, String, String) => String =
     (id, tag, v) => s"$id.s$tag.$v"
@@ -1379,26 +1623,32 @@ object VersionedTable {
     * applied?" and "what does the table contain?" can never disagree. */
   final case class LogEntry(version: Long, tsMillis: Long, action: String,
                             fileSets: Seq[String],
-                            txn: Option[(String, Long)] = None) {
+                            txn: Option[(String, Long)] = None,
+                            dvs: Seq[String] = Nil) {
     def toJson: String = {
-      val fs = fileSets.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      def arr(xs: Seq[String]) = xs.map(f => "\"" + f + "\"")
+        .mkString("[", ",", "]")
+      // dvs omitted when empty: entries written by older code parse
+      // identically, and most entries never carry deletion vectors
+      val dv = if (dvs.isEmpty) "" else s""","dvs":${arr(dvs)}"""
       val tx = txn.fold("") { case (app, v) =>
         s""","txnApp":"$app","txnVersion":$v"""
       }
-      s"""{"version":$version,"tsMillis":$tsMillis,"action":"$action","fileSets":$fs$tx}"""
+      s"""{"version":$version,"tsMillis":$tsMillis,"action":"$action","fileSets":${arr(fileSets)}$dv$tx}"""
     }
   }
   object LogEntry {
     private val Pattern =
       ("""\{"version":(\d+),"tsMillis":(\d+),"action":"([^"]*)","fileSets":\[([^\]]*)\]""" +
+        """(?:,"dvs":\[([^\]]*)\])?""" +
         """(?:,"txnApp":"([^"]*)","txnVersion":(\d+))?\}""").r
+    private def arr(s: String): Seq[String] =
+      if (s == null || s.isEmpty) Nil
+      else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     def parse(s: String): LogEntry = s.trim match {
-      case Pattern(v, ts, a, fs, txnApp, txnVer) =>
-        val sets =
-          if (fs.isEmpty) Nil
-          else fs.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        LogEntry(v.toLong, ts.toLong, a, sets,
-          Option(txnApp).map(app => (app, txnVer.toLong)))
+      case Pattern(v, ts, a, fs, dv, txnApp, txnVer) =>
+        LogEntry(v.toLong, ts.toLong, a, arr(fs),
+          Option(txnApp).map(app => (app, txnVer.toLong)), arr(dv))
       case other => sys.error(s"bad log entry: $other")
     }
   }

@@ -335,6 +335,168 @@ class VersionedTableSpec extends SparkSpec {
     assert(probe.inputFiles.length < t.read.inputFiles.length)
   }
 
+  test("update applies assignments against the OLD row, typed and stable") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-upd-"))
+    t.append(Seq((1, 10, 100), (2, 20, 200), (3, 30, 300)).toDF("id", "a", "b"))
+    // both RHS reference the pre-update row: after swap a=old b, b=old a+old b
+    t.update(Map("a" -> $"b", "b" -> ($"a" + $"b")), $"id" >= 2)
+    assert(t.history.last.action === "update")
+    assert(t.read.orderBy("id").as[(Int, Int, Int)].collect().toSeq ===
+      Seq((1, 10, 100), (2, 200, 220), (3, 300, 330)))
+    // schema stays INT even though a+b could widen; NULL predicate keeps rows
+    assert(t.read.schema("b").dataType === org.apache.spark.sql.types.IntegerType)
+    t.update(Map("a" -> lit(-1)), when($"id" === 1, lit(true)))
+    assert(t.read.orderBy("id").select("a").as[Int].collect().toSeq ===
+      Seq(-1, 200, 300))
+  }
+
+  test("updateRange rewrites ONLY stats-overlapping file-sets") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-updrange-"))
+    t.append(spark.range(0, 100).toDF("id").withColumn("v", lit(0L)),
+      statsFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id").withColumn("v", lit(0L)),
+      statsFor = Seq("id"))
+    t.append(spark.range(200, 300).toDF("id").withColumn("v", lit(0L)),
+      statsFor = Seq("id"))
+    val before = t.history.last.fileSets
+    t.updateRange("id", "120", "180", Map("v" -> lit(7L)))
+    val after = t.history.last.fileSets
+    assert(after.toSet.intersect(before.toSet).size === 2,
+      s"untouched file-sets must carry: before=$before after=$after")
+    assert(t.read.filter($"v" === 7L).count() === 61)
+    assert(t.read.filter($"v" === 0L).count() === 239)
+    // rewritten file-set regained stats: range reads still skip
+    assert(t.readRange("id", "0", "50").inputFiles.length <
+      t.read.inputFiles.length)
+  }
+
+  test("update enforces CHECK constraints on the post-image") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-updcheck-"))
+    t.append(Seq((1, 5), (2, 6)).toDF("id", "v"))
+    t.addCheck("v_pos", "v > 0")
+    intercept[Exception] { t.update(Map("v" -> lit(-1)), $"id" === 1) }
+    // failed update never committed; a passing one does
+    assert(t.read.filter($"v" < 0).count() === 0)
+    t.update(Map("v" -> ($"v" + 1)), $"id" === 1)
+    assert(t.read.orderBy("id").select("v").as[Int].collect().toSeq === Seq(6, 6))
+  }
+
+  test("updateRange refuses bucket-key assignments; update() re-routes them") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-updkey-"))
+    t.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keys = Seq("k"),
+      numBuckets = 4)
+    intercept[IllegalArgumentException] {
+      t.updateRange("k", "1", "2", Map("k" -> lit(99L)))
+    }
+    t.update(Map("k" -> lit(99L)), $"k" === 2L)
+    // moved row landed in its new bucket: merge on k=99 still finds it
+    t.merge(Seq((99L, "b2")).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read.orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (99L, "b2")))
+  }
+
+  test("deleteVectors: merge-on-read delete writes NO data files; reads apply it") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-dv-"))
+    t.append(spark.range(0, 100).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id"), statsFor = Seq("id"))
+    val before = t.history.last.fileSets
+    t.deleteVectors($"id" % 10 === 3)
+    val e = t.history.last
+    assert(e.action === "delete_dv")
+    assert(e.fileSets === before, "DV delete must not rewrite any file-set")
+    assert(e.dvs.length === 1)
+    assert(t.read.count() === 180)
+    assert(t.read.filter($"id" % 10 === 3).count() === 0)
+    // time travel to the pre-delete version ignores the vector
+    assert(t.readVersion(1).count() === 200)
+    // stats-pruned range reads apply the vector too
+    assert(t.readRange("id", "0", "49").count() === 45)
+    // rerun-idempotent: same predicate again finds nothing new
+    t.deleteVectors($"id" % 10 === 3)
+    assert(t.history.last.dvs.length === 1, "empty rerun vector must be dropped")
+    assert(t.read.count() === 180)
+    // second vector stacks on the first
+    t.deleteVectors($"id" === 0)
+    assert(t.history.last.dvs.length === 2)
+    assert(t.read.count() === 179)
+  }
+
+  test("purgeDeleteVectors materializes vectors, rewriting only hit file-sets") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-dvpurge-"))
+    t.append(spark.range(0, 100).toDF("id"), statsFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id"), statsFor = Seq("id"))
+    t.deleteVectors($"id".isin(5, 7))   // both rows live in file-set 1
+    val before = t.history.last.fileSets
+    t.purgeDeleteVectors()
+    val e = t.history.last
+    assert(e.action === "purge_dv")
+    assert(e.dvs.isEmpty)
+    assert(e.fileSets.toSet.intersect(before.toSet).size === 1,
+      s"only the hit file-set rewrites: before=$before after=${e.fileSets}")
+    assert(t.read.count() === 198)
+    assert(t.read.filter($"id".isin(5, 7)).count() === 0)
+    // purge preserved data-skipping on the rewritten file-set
+    assert(t.readRange("id", "0", "10").inputFiles.length <
+      t.read.inputFiles.length)
+    // purging a vector-free table is a no-op, not a new version
+    val v = t.latestVersion
+    t.purgeDeleteVectors()
+    assert(t.latestVersion === v)
+  }
+
+  test("deletion vectors survive merge/compact and clear on overwrite") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-dvmerge-"))
+    t.merge(spark.range(0, 40).select($"id".as("k"), lit("a").as("v")),
+      keys = Seq("k"), numBuckets = 4)
+    t.deleteVectors($"k" === 17)
+    assert(t.read.count() === 39)
+    // a merge that does NOT touch k=17's row keeps the delete applied
+    t.merge(Seq((17L + 4L, "b")).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read.count() === 39)
+    assert(t.read.filter($"k" === 17).count() === 0)
+    assert(t.history.last.dvs.nonEmpty, "merge carries the vector")
+    // a merge UPSERTING k=17 re-inserts it (its old row is dead, the
+    // update row is unmatched — SQL MERGE semantics on current state)
+    t.merge(Seq((17L, "back")).toDF("k", "v"), keys = Seq("k"))
+    assert(t.read.filter($"k" === 17).count() === 1)
+    assert(t.read.count() === 40)
+    // compact (full rewrite) materializes: vectors drop
+    t.compact()
+    assert(t.history.last.dvs.isEmpty)
+    assert(t.read.count() === 40)
+    // overwrite clears any vectors outright
+    t.deleteVectors($"k" === 3)
+    t.overwrite(Seq((1L, "x")).toDF("k", "v"))
+    assert(t.history.last.dvs.isEmpty)
+    assert(t.read.count() === 1)
+  }
+
+  test("vacuum reclaims unreferenced deletion vectors; restore revives them") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-dvvac-"))
+    t.append(spark.range(0, 50).toDF("id"))
+    t.deleteVectors($"id" < 10)          // v1: dv
+    val dvId = t.history.last.dvs.head
+    t.restore(0)                          // v2: vector-free again
+    assert(t.read.count() === 50)
+    t.restore(1)                          // v3: the vector is BACK
+    assert(t.read.count() === 40)
+    assert(t.history.last.dvs === Seq(dvId))
+    t.vacuum(retainVersions = 1)          // keeps v3's dv
+    assert(t.read.count() === 40)
+    t.overwrite(spark.range(0, 5).toDF("id"))
+    t.vacuum(retainVersions = 1)          // dv now unreferenced: reclaimed
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(t.root, "_dv", dvId)))
+  }
+
   test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
     val t = VersionedTable(spark, tmpDir("vt-delnull-"))
     t.append(Seq(Some(1), Some(2), None).toDF("v"))

@@ -91,15 +91,78 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * the parse it replaces; reading history() concurrently with a DROP of
     * the same table can throw here (NoSuchFile between list and stat) —
     * inherent to drop-during-read and outside the single-writer model. */
-  def history: Seq[LogEntry] = listDir(logDir)
-    .filter(_.getFileName.toString.endsWith(".json"))
-    .sortBy(_.getFileName.toString)
-    .map { p =>
-      val attrs = Files.readAttributes(p,
-        classOf[java.nio.file.attribute.BasicFileAttributes])
-      val key = s"${p.toAbsolutePath}|${attrs.fileKey}|${attrs.lastModifiedTime.toMillis}"
-      logCacheLookup(key, _ => LogEntry.parse(Files.readString(p)))
+  def history: Seq[LogEntry] = {
+    // one retry: pruneEntries can legitimately delete a listed entry file
+    // between our list and read — the re-list sees the checkpoint that
+    // replaced it (any OTHER missing-file cause still throws on pass 2)
+    try historyOnce()
+    catch { case _: java.nio.file.NoSuchFileException |
+                 _: java.io.UncheckedIOException => historyOnce() }
+  }
+
+  private def historyOnce(): Seq[LogEntry] = {
+    val files = listDir(logDir)
+    // newest checkpoint = folded entries [0, cpV]; raw .json entries
+    // beyond it are the tail. Without a checkpoint this is the original
+    // parse-every-entry path.
+    val cp = files.filter(_.getFileName.toString.endsWith(".checkpoint"))
+      .sortBy(_.getFileName.toString).lastOption
+    val base = cp.map(p => cachedParse(p, s =>
+      s.linesIterator.filter(_.nonEmpty).map(LogEntry.parse).toList))
+      .getOrElse(Nil)
+    val cpV = base.lastOption.map(_.version).getOrElse(-1L)
+    base ++ files
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && n.stripSuffix(".json").toLong > cpV
+      }
+      .sortBy(_.getFileName.toString)
+      .map(p => cachedParse(p, s => List(LogEntry.parse(s))).head)
+  }
+
+  private def cachedParse(p: Path, parse: String => List[LogEntry]): List[LogEntry] = {
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = s"${p.toAbsolutePath}|${attrs.fileKey}|${attrs.lastModifiedTime.toMillis}"
+    logCacheLookup(key, _ => parse(Files.readString(p)))
+  }
+
+  /** Delta-style log checkpoint: fold every committed entry into ONE
+    * `<%020d v>.checkpoint` file (JSON lines, atomic replace). `history`
+    * then reads checkpoint + post-checkpoint tail — O(1 + tail) metadata
+    * reads instead of O(versions): at 100 TB a streaming-merged table
+    * commits every few minutes and holds ~100k versions within a year;
+    * without checkpoints EVERY snapshot read opens 100k tiny files (and
+    * on an object store, lists them). Auto-invoked every
+    * [[VersionedTable.CheckpointInterval]] commits.
+    *
+    * `pruneEntries = true` additionally deletes the folded `.json` entry
+    * files (Delta's metadata cleanup): time travel, DESCRIBE HISTORY and
+    * the txn ledger are unaffected — the checkpoint holds the complete
+    * entries — and the log dir stays bounded by the interval. Older
+    * checkpoints are always removed (each is a superset of the last). */
+  def checkpointLog(pruneEntries: Boolean = false): Unit = {
+    val h = historyOnce()
+    if (h.isEmpty) return
+    val v = h.last.version
+    val tmp = logDir.resolve(s".tmp-cp-${UUID.randomUUID()}")
+    Files.writeString(tmp, h.map(_.toJson).mkString("", "\n", "\n"))
+    Files.move(tmp, logDir.resolve(f"$v%020d.checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val stale = listDir(logDir).filter { p =>
+      val n = p.getFileName.toString
+      (n.endsWith(".checkpoint") && n.stripSuffix(".checkpoint").toLong < v) ||
+        (pruneEntries && n.endsWith(".json") &&
+          n.stripSuffix(".json").toLong <= v)
     }
+    stale.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Best-effort auto-checkpoint after `entry`'s commit won its slot:
+    * failure never fails the commit (the raw entry is already durable). */
+  private def maybeCheckpoint(entry: LogEntry): Unit =
+    if (entry.version > 0 && entry.version % CheckpointInterval == 0)
+      try checkpointLog() catch { case _: Exception => }
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
@@ -168,6 +231,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val entry = LogEntry(latest.map(_ + 1).getOrElse(0L),
       System.currentTimeMillis(), action, fileSets, txn, dvs)
     if (!tryWriteEntry(entry)) throw conflict(action, basedOn, latestVersion)
+    maybeCheckpoint(entry)
     entry
   }
 
@@ -201,7 +265,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           System.currentTimeMillis(), action,
           derive(snap.map(_.fileSets).getOrElse(Nil)), txn,
           deriveDvs(snap.map(_.dvs).getOrElse(Nil)))
-        if (tryWriteEntry(entry)) entry
+        if (tryWriteEntry(entry)) { maybeCheckpoint(entry); entry }
         else if (retries > 0) attempt(retries - 1)
         else sys.error(
           s"$action at $root: lost the commit race $MaxCommitRetries times")
@@ -1569,17 +1633,21 @@ object VersionedTable {
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
 
-  /** Parsed-log-entry cache (see [[VersionedTable.history]]): log files are
-    * write-once, so entries cache forever. Bounded by a coarse size cap —
-    * entries are ~100 bytes, the cap only matters to very long-lived
-    * processes churning temp tables. */
+  /** Parsed-log cache (see [[VersionedTable.history]]): entry files are
+    * write-once and checkpoint files are keyed by (inode, mtime), so
+    * parses cache safely. Bounded by a coarse size cap — entries are
+    * ~100 bytes, the cap only matters to very long-lived processes
+    * churning temp tables. */
   private val logCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LogEntry]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[LogEntry]]()
   private[tables] def logCacheLookup(path: String,
-                                     parse: String => LogEntry): LogEntry = {
+                                     parse: String => List[LogEntry]): List[LogEntry] = {
     if (logCache.size > 100000) logCache.clear()
     logCache.computeIfAbsent(path, p => parse(p))
   }
+
+  /** Commits between automatic log checkpoints ([[VersionedTable.checkpointLog]]). */
+  val CheckpointInterval = 32L
 
   /** Bucket column name used transiently during bucketed writes (lives only
     * in staging dir names, never in the parquet schema). */

@@ -399,6 +399,50 @@ class VersionedTableSpec extends SparkSpec {
       Seq((1L, "a"), (99L, "b2")))
   }
 
+  test("log checkpoint folds entries; pruned logs keep full history + ledger") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cp-"))
+    (0 until 8).foreach(i => t.append(Seq(i).toDF("v"),
+      txn = if (i == 5) Some(("app", 41L)) else None))
+    t.deleteVectors($"v" === 3) // a vector-bearing entry must round-trip
+    t.checkpointLog(pruneEntries = true)
+    val logs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.root, "_log")).iterator().asScala.toList
+      .map(_.getFileName.toString).sorted
+    assert(logs.count(_.endsWith(".checkpoint")) === 1)
+    assert(!logs.exists(_.endsWith(".json")), s"entries must prune: $logs")
+    // complete history through the checkpoint alone
+    assert(t.history.map(_.version) === (0L to 8L))
+    assert(t.history.last.dvs.length === 1)
+    assert(t.lastTxnVersion("app") === Some(41L))
+    assert(t.read.count() === 7)
+    assert(t.readVersion(2).count() === 3) // time travel through checkpoint
+    // post-checkpoint commits land as tail entries and fold on the next one
+    t.append(Seq(100).toDF("v"))
+    assert(t.history.map(_.version) === (0L to 9L))
+    assert(t.read.count() === 8)
+    t.checkpointLog(pruneEntries = true)
+    assert(t.history.map(_.version) === (0L to 9L))
+    // older checkpoint replaced, not accumulated
+    val logs2 = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.root, "_log")).iterator().asScala.toList
+      .map(_.getFileName.toString)
+    assert(logs2.count(_.endsWith(".checkpoint")) === 1)
+  }
+
+  test("auto-checkpoint kicks in at the commit interval") {
+    val t = VersionedTable(spark, tmpDir("vt-autocp-"))
+    val n = VersionedTable.CheckpointInterval.toInt + 2
+    (0 until n).foreach(i => t.append(Seq(i).toDF("v")))
+    val logs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.root, "_log")).iterator().asScala.toList
+      .map(_.getFileName.toString)
+    assert(logs.exists(_.endsWith(".checkpoint")),
+      s"expected an auto checkpoint among $logs")
+    assert(t.history.length === n)
+    assert(t.read.count() === n)
+  }
+
   test("deleteVectors: merge-on-read delete writes NO data files; reads apply it") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-dv-"))

@@ -482,6 +482,21 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard4"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // Dedup 5: SemDeDup — semantic (embedding-space) duplicate removal
+    // via clustered cosine cliques, the meaning-level dedup exact/MinHash
+    // passes cannot see (rows-only: KMeans cells are engine-specific;
+    // planted-recall, survivor rule and determinism pinned by
+    // SimilaritySpec). Planted exact copies must all drop.
+    "q_dd5_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semDedup(e.unionByName(planted), nClusters = 32, tau = 0.99)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("vec_id") >= 1000000, 1L).otherwise(0L))
+            .as("n_planted_kept"))
+    }),
+
     // Text analysis: counts, ratios, quality, fingerprint, language ID.
     "q_txt_stats" -> ((s, dir) => {
       val txt = col("text")

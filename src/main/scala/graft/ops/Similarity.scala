@@ -160,6 +160,53 @@ object Similarity {
       query, k, idCol, vecCol)
   }
 
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over an embedding column — the LLM-curation step that
+    * removes *meaning-level* duplicates exact/MinHash dedup cannot see.
+    * Vectors are clustered by a sampled KMeans fit ([[ivfIndex]]'s
+    * coarse quantizer; assignment is one map-side pass) and every
+    * within-cluster pair with cosine ≥ `tau` is a semantic duplicate.
+    * Of each duplicate pair the member FARTHER from its centroid
+    * survives — the paper's keep-low-centroid-similarity rule, which
+    * preserves cluster-edge diversity — with an id tiebreak so the
+    * result is deterministic.
+    *
+    * Scale shape: the all-pairs comparison is confined to clusters —
+    * O(Σ cluster²) with clusters sized ~N/k, never corpus-wide — and the
+    * self-join shuffles (cluster, id, vector, centroid_sim) once on the
+    * cluster id. Centroid similarities are computed map-side against a
+    * broadcast literal (k × dim doubles). Exact duplicates always share
+    * a cluster (identical vectors assign identically), so guaranteed
+    * recall there; near-dup recall degrades only across cluster borders,
+    * the paper's own approximation. At larger scale, persist the
+    * assignment cell-partitioned ([[writeIvfTable]]) and dedup per cell.
+    *
+    * Returns the KEPT rows of `embeddings`, all original columns. */
+  def semDedup(embeddings: DataFrame, nClusters: Int, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               seed: Long = 42L, trainSampleSize: Int = 100000): DataFrame = {
+    val idx = ivfIndex(embeddings, nClusters, idCol, vecCol, seed,
+      trainSampleSize)
+    val centLit = array(idx.centroids.map(c => array(c.map(lit): _*)): _*)
+    val vecD = col(vecCol).cast("array<double>")
+    val pts = idx.assigned.withColumn("__cent_sim",
+      cosine(vecD, element_at(centLit, col("ivf_cell") + 1)))
+    def side(sfx: String) = pts.select(col("ivf_cell"),
+      col(idCol).as(s"id$sfx"), vecD.as(s"vec$sfx"),
+      col("__cent_sim").as(s"cs$sfx"))
+    val dropped = side("_a").join(side("_b"), Seq("ivf_cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      // a drops iff SOME ≥tau neighbor ranks lower on (centroid_sim, id)
+      // — exactly one survivor per mutually-duplicate group
+      .filter(col("cs_b") < col("cs_a") ||
+        (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= tau)
+      .select(col("id_a").as(idCol)).distinct()
+    embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------------------- persisted serving path
 
   /** Write an IVF index as a SERVING TABLE: the assigned vectors land in a

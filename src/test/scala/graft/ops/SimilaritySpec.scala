@@ -182,6 +182,51 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("vec_id").as[Long].collect().headOption === Some(5L))
   }
 
+  test("semDedup drops within-cluster semantic dups, keeping the centroid-farthest") {
+    // two well-separated groups; group 1 = exact dup pair {1,2} + near
+    // dup 3 (cos ≈ 0.995 to them), group 2 = exact dup pair {10,11}.
+    // tau=0.99 makes group 1 one mutual-duplicate clique: its survivor
+    // is the centroid-FARTHEST member (id 3 — the paper's keep-low-
+    // centroid-similarity rule preserves the cluster edge); group 2's
+    // survivor is the id tiebreak (10).
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(1.1f, 0.11f, 0f, 0f)),
+      (10L, Seq(0f, 1f, 0f, 0f)),
+      (11L, Seq(0f, 1f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, nClusters = 2, tau = 0.99)
+    assert(kept.select("vec_id").as[Long].collect().toSet === Set(3L, 10L))
+    // deterministic under the seed: a second run keeps the same rows
+    assert(Similarity.semDedup(vecs, nClusters = 2, tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet === Set(3L, 10L))
+    // orthogonal members never pair: raising tau above any true pair
+    // keeps everything
+    assert(Similarity.semDedup(vecs, nClusters = 2, tau = 1.01).count() === 5)
+  }
+
+  test("semDedup exact-dup recall is clustering-independent") {
+    // identical vectors always co-cluster, so exact dups drop no matter
+    // where KMeans draws its borders (k=2 over a cloud with no 2-cluster
+    // structure: assignments are arbitrary but identical-vector groups
+    // can never split)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq((i % 8).toFloat + 1f, ((i * 3) % 5).toFloat, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val planted = vecs.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100).as("vec_id"), $"embedding")
+    val kept = Similarity.semDedup(vecs.unionByName(planted),
+      nClusters = 2, tau = 0.999999)
+    // every planted copy pairs with its original; originals win the id
+    // tiebreak at equal centroid distance... unless the original itself
+    // had an identical twin in the corpus — either way exactly one
+    // survivor per identical-vector group
+    val ids = kept.select("vec_id").as[Long].collect().toSet
+    assert(!ids.exists(_ >= 100), s"planted exact dups must drop: $ids")
+    assert(kept.count() === vecs.dropDuplicates("embedding").count())
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL++ contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(100000).select((col("id") % 7777).as("k"))

@@ -870,6 +870,34 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // M12: row-level change data feed (Delta CDF / table_changes): merge
+    // emits update_preimage/update_postimage/insert, UPDATE emits
+    // pre/post, DELETE emits the deleted rows, and appends synthesize
+    // their inserts from the file-set diff — the incremental-ETL surface
+    // that lets a downstream consumer apply updates AND deletes without
+    // re-reading the table. Atomicity/no-op/NULL-key/vacuum behavior
+    // pinned by VersionedTableSpec; here: the full feed vs a SQL
+    // state-machine reconstruction.
+    "q_m12_change_feed" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-cdf-").toString
+      val tbl = VersionedTable(s, root)
+      tbl.enableChangeFeed()
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      tbl.append(n.filter(col("n_regionkey") <= 1))               // v0
+      tbl.merge(n.filter(col("n_regionkey").isin(1, 2))
+          .withColumn("n_name", concat(col("n_name"), lit("_u"))),
+        keys = Seq("n_nationkey"))                                // v1
+      tbl.update(Map("n_name" -> concat(col("n_name"), lit("!"))),
+        col("n_nationkey") < 5)                                   // v2
+      tbl.deleteRange("n_nationkey", "10", "14")                  // v3
+      tbl.readChangeFeed(-1)
+        .select(col("_commit_version").as("v"),
+          col("_change_type").as("ct"),
+          col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("v", "ct", "n_nationkey")
+    }),
+
     // M11: deletion vectors — merge-on-read DELETE (Delta deletion
     // vectors): a sparse delete writes a tiny (file, position) vector
     // instead of rewriting file-sets; reads apply it as a broadcast
@@ -2042,6 +2070,39 @@ object SparkEntry {
     "q_m7_restore" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_m12_change_feed" ->
+      """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+        |s0 AS (SELECT * FROM base WHERE n_regionkey <= 1),
+        |u1 AS (SELECT n_nationkey, n_name || '_u' AS n_name, n_regionkey
+        |       FROM base WHERE n_regionkey IN (1, 2)),
+        |s1 AS (SELECT * FROM s0
+        |       WHERE n_nationkey NOT IN (SELECT n_nationkey FROM u1)
+        |       UNION ALL SELECT * FROM u1),
+        |s2 AS (SELECT n_nationkey,
+        |              CASE WHEN n_nationkey < 5 THEN n_name || '!'
+        |                   ELSE n_name END AS n_name, n_regionkey FROM s1),
+        |feed AS (
+        |  SELECT CAST(0 AS BIGINT) AS v, 'insert' AS ct, s.* FROM s0 s
+        |  UNION ALL
+        |  SELECT 1, 'update_preimage', s.* FROM s0 s
+        |  WHERE s.n_nationkey IN (SELECT n_nationkey FROM u1)
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', u.* FROM u1 u
+        |  WHERE u.n_nationkey IN (SELECT n_nationkey FROM s0)
+        |  UNION ALL
+        |  SELECT 1, 'insert', u.* FROM u1 u
+        |  WHERE u.n_nationkey NOT IN (SELECT n_nationkey FROM s0)
+        |  UNION ALL
+        |  SELECT 2, 'update_preimage', s.* FROM s1 s WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', n_nationkey, n_name || '!',
+        |         n_regionkey FROM s1 WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT 3, 'delete', s.* FROM s2 s
+        |  WHERE n_nationkey BETWEEN 10 AND 14)
+        |SELECT v, ct, n_nationkey, n_name, n_regionkey FROM feed
+        |ORDER BY v, ct, n_nationkey""".stripMargin,
 
     "q_m11_delete_vectors" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -225,11 +225,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private[tables] def commit(action: String, fileSets: Seq[String],
                              basedOn: Option[Long],
                              txn: Option[(String, Long)] = None,
-                             dvs: Seq[String] = Nil): LogEntry = {
+                             dvs: Seq[String] = Nil,
+                             cdf: Option[String] = None): LogEntry = {
     val latest = latestVersion
     if (latest != basedOn) throw conflict(action, basedOn, latest)
     val entry = LogEntry(latest.map(_ + 1).getOrElse(0L),
-      System.currentTimeMillis(), action, fileSets, txn, dvs)
+      System.currentTimeMillis(), action, fileSets, txn, dvs, cdf)
     if (!tryWriteEntry(entry)) throw conflict(action, basedOn, latestVersion)
     maybeCheckpoint(entry)
     entry
@@ -741,6 +742,107 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     else Some(decoded.map(_.get.map(_.get)).distinct)
   }
 
+  // ------------------------------------------------- change data feed (CDF)
+
+  private def changesDir: Path = Paths.get(root, "_changes")
+  private def cdfMarker: Path = Paths.get(root, "_cdf.json")
+
+  /** Delta `delta.enableChangeDataFeed` analog: once enabled, every
+    * merge/update/delete commit stages its row-level changes
+    * (`_change_type` ∈ insert / update_preimage / update_postimage /
+    * delete) as a change file-set whose id rides IN the commit's log
+    * entry — atomic with the data, a crashed writer can never publish a
+    * commit whose changes are missing. Appends need no change files
+    * ([[readChangeFeed]] synthesizes their inserts from the file-set
+    * diff, Delta's own optimization). Costs one extra write of the
+    * CHANGED rows per commit — O(delta), never O(table). */
+  def enableChangeFeed(): Unit = {
+    Files.createDirectories(Paths.get(root))
+    if (!Files.exists(cdfMarker)) Files.writeString(cdfMarker, "{\"enabled\":true}")
+  }
+  def disableChangeFeed(): Unit = { Files.deleteIfExists(cdfMarker); () }
+  def changeFeedEnabled: Boolean = Files.exists(cdfMarker)
+
+  /** Schema-bearing EMPTY change set for a no-op DML commit: a feed
+    * reader must distinguish "this commit changed nothing" (skip) from
+    * "CDF was off when this committed" (error) — so when the feed is on,
+    * every DML commit carries a change set, possibly empty. */
+  private def noChanges(like: DataFrame): Option[String] =
+    writeChangeSet(Seq(tagged(like.limit(0), "delete")))
+
+  /** Stage `frames` (each already carrying `_change_type`) as this
+    * commit's change file-set; returns its id for the log entry. Written
+    * BEFORE the commit — an orphan from a failed commit is reclaimed by
+    * vacuum, and a committed entry's changes are always present. */
+  private def writeChangeSet(frames: Seq[DataFrame]): Option[String] = {
+    if (!changeFeedEnabled) return None
+    val id = s"c-${UUID.randomUUID()}"
+    val tmp = stagingDir.resolve(id)
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      .write.parquet(tmp.toString)
+    Files.createDirectories(changesDir)
+    Files.move(tmp, changesDir.resolve(id), StandardCopyOption.ATOMIC_MOVE)
+    Some(id)
+  }
+
+  private def tagged(df: DataFrame, changeType: String): DataFrame =
+    df.withColumn(ChangeTypeCol, lit(changeType))
+
+  /** Row-level change feed (Delta `table_changes` / CDF): every change in
+    * versions (`sinceVersion`, `endVersion`], with `_change_type`,
+    * `_commit_version` and `_commit_timestamp` — the incremental-ETL
+    * surface that lets a downstream MERGE consume updates AND deletes,
+    * where [[readAddedSince]] handles append-only feeds. O(changed rows):
+    * explicit change file-sets for merge/update/delete commits, inserts
+    * synthesized from append commits' file-set diffs (no CDF write cost
+    * on the ingest hot path), nothing for data-identical rewrites
+    * (compact / zorder / purge_dv / clone). Overwrite and restore
+    * commits error — a full replace is not expressible as row changes;
+    * re-read the snapshot instead (Delta's CDF reads refuse the same
+    * boundary). `sinceVersion = -1` reads from the beginning. */
+  def readChangeFeed(sinceVersion: Long,
+                     endVersion: Option[Long] = None): DataFrame = {
+    val h = history
+    require(sinceVersion == -1L || h.exists(_.version == sinceVersion),
+      s"no version $sinceVersion at $root")
+    val hi = endVersion.getOrElse(Long.MaxValue)
+    val entries = h.filter(e => e.version > sinceVersion && e.version <= hi)
+    val byVersion = h.map(e => e.version -> e).toMap
+    val frames = entries.flatMap { e =>
+      val base: Option[DataFrame] = e.cdf match {
+        case Some(id) =>
+          val p = changesDir.resolve(id)
+          require(Files.exists(p),
+            s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
+          Some(spark.read.parquet(p.toString))
+        case None => e.action match {
+          case "append" =>
+            val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
+              .getOrElse(Set.empty)
+            val added = e.fileSets.filterNot(prev)
+            // raw read, deliberately WITHOUT later deletion vectors: the
+            // feed reports rows as of THIS commit; later deletes appear
+            // as their own delete changes
+            if (added.isEmpty) None
+            else Some(tagged(readFileSets(added), "insert"))
+          // data-identical rewrites: no logical change to report
+          case "compact" | "zorder" | "purge_dv" | "clone" => None
+          case other => sys.error(s"change feed cannot reconstruct " +
+            s"'$other' at v${e.version} of $root; re-read the snapshot")
+        }
+      }
+      base.map(_.withColumn("_commit_version", lit(e.version))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(e.tsMillis))))
+    }
+    if (frames.isEmpty)
+      tagged(read.limit(0), "insert")
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp", current_timestamp())
+        .limit(0)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
     else readSets(e.fileSets, e.dvs)
@@ -1023,7 +1125,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val t = new VersionedTable(spark, targetRoot)
     require(!t.exists, s"clone target $targetRoot already has versions")
     Files.createDirectories(t.dataDir)
-    Seq(specPath, layoutPath, checksPath).foreach { p =>
+    Seq(specPath, layoutPath, checksPath, cdfMarker).foreach { p =>
       if (Files.exists(p))
         Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
@@ -1087,19 +1189,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val rv = Some(snap.version)
     val fileSets = snap.fileSets
     if (fileSets.isEmpty)
-      return commit("delete", fileSets, basedOn = rv, dvs = snap.dvs)
+      return commit("delete", fileSets, basedOn = rv, dvs = snap.dvs,
+        cdf = noChanges(spark.emptyDataFrame))
     val dt = readFileSets(fileSets).schema(column).dataType
     val touched = overlappingFileSets(fileSets, column, lower, upper, dt)
     val carried = fileSets.diff(touched)
     if (touched.isEmpty)
-      return commit("delete", fileSets, basedOn = rv, dvs = snap.dvs)
+      return commit("delete", fileSets, basedOn = rv, dvs = snap.dvs,
+        cdf = noChanges(readFileSets(fileSets)))
     val cond = col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt) &&
       extraCond.getOrElse(lit(true))
-    val remaining = readSets(touched, snap.dvs)
+    val touchedRows = readSets(touched, snap.dvs)
+    val remaining = touchedRows
       .filter(!coalesce(cond, lit(false))) // NULL predicate keeps the row
     val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys)
       .distinct
+    val cdf = writeChangeSet(Seq(
+      tagged(touchedRows.filter(coalesce(cond, lit(false))), "delete")))
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
       case None       => Seq(writeFileSetPreservingLayout(remaining))
@@ -1107,7 +1214,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     writeStatsSidecars(newSets, statsCols)
     // carried file-sets may still have live DV entries: the vectors ride
     // along (rewritten sets' entries just went inert)
-    commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs)
+    commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
+      cdf = cdf)
   }
 
   /** General DELETE WHERE (no skipping): rewrites the full snapshot minus
@@ -1120,12 +1228,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val rv = Some(snap.version)
     val remaining = read.filter(!coalesce(cond, lit(false)))
     val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val cdf = writeChangeSet(Seq(
+      tagged(read.filter(coalesce(cond, lit(false))), "delete")))
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
-    commit("delete", newSets, basedOn = rv)
+    commit("delete", newSets, basedOn = rv, cdf = cdf)
   }
 
   /** DELETE WHERE as a deletion vector — merge-on-read (Delta deletion
@@ -1146,7 +1256,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
     if (snap.fileSets.isEmpty)
-      return commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs)
+      return commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs,
+        cdf = noChanges(spark.emptyDataFrame))
     // anti-join existing DVs first: a rerun of the same predicate finds
     // its rows already dead and appends only an empty (dropped) vector —
     // rerun-idempotent like the COW deletes
@@ -1166,10 +1277,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .select(col(DvFileCol), col(DvPosCol))
       .coalesce(1).write.parquet(out.toString)
     val n = spark.read.parquet(out.toString).count() // footer-only count
+    val dataCols = live.columns
+      .filterNot(c => c == DvFileCol || c == DvPosCol).map(col)
+    val cdf = writeChangeSet(Seq(tagged(
+      live.filter(coalesce(cond, lit(false))).select(dataCols: _*),
+      "delete")))
     if (n == 0) { // nothing matched: don't accrete empty vectors
       deleteRecursively(out)
-      commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs)
-    } else commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs :+ id)
+      commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs, cdf = cdf)
+    } else
+      commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs :+ id, cdf = cdf)
   }
 
   /** Materialize all deletion vectors (Delta `REORG TABLE … APPLY
@@ -1240,12 +1357,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val rv = Some(snap.version)
     val updated = applyAssignments(read, set, cond)
     val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    // pre/postimage over cond-TRUE rows only; the postimage pre-filters
+    // on the OLD row (an assignment may falsify its own predicate)
+    val pre = read.filter(coalesce(cond, lit(false)))
+    val cdf = writeChangeSet(Seq(
+      tagged(pre, "update_preimage"),
+      tagged(applyAssignments(pre, set, lit(true)), "update_postimage")))
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(updated, spec)
       case None       => Seq(writeFileSetPreservingLayout(updated))
     }
     writeStatsSidecars(newSets, statsCols)
-    commit("update", newSets, basedOn = rv)
+    commit("update", newSets, basedOn = rv, cdf = cdf)
   }
 
   /** UPDATE with data skipping: `set` applies to rows with `column` in
@@ -1266,7 +1389,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val rv = Some(snap.version)
     val fileSets = snap.fileSets
     if (fileSets.isEmpty)
-      return commit("update", fileSets, basedOn = rv, dvs = snap.dvs)
+      return commit("update", fileSets, basedOn = rv, dvs = snap.dvs,
+        cdf = noChanges(spark.emptyDataFrame))
     bucketSpec.foreach { sp =>
       val moved = set.keySet.intersect((sp.keys ++ sp.partitionKeys).toSet)
       require(moved.isEmpty, s"updateRange cannot assign bucket/partition " +
@@ -1276,18 +1400,25 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val touched = overlappingFileSets(fileSets, column, lower, upper, dt)
     val carried = fileSets.diff(touched)
     if (touched.isEmpty)
-      return commit("update", fileSets, basedOn = rv, dvs = snap.dvs)
+      return commit("update", fileSets, basedOn = rv, dvs = snap.dvs,
+        cdf = noChanges(readFileSets(fileSets)))
     val cond = col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt) &&
       extraCond.getOrElse(lit(true))
-    val updated = applyAssignments(readSets(touched, snap.dvs), set, cond)
+    val touchedRows = readSets(touched, snap.dvs)
+    val updated = applyAssignments(touchedRows, set, cond)
     val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val pre = touchedRows.filter(coalesce(cond, lit(false)))
+    val cdf = writeChangeSet(Seq(
+      tagged(pre, "update_preimage"),
+      tagged(applyAssignments(pre, set, lit(true)), "update_postimage")))
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(updated, spec)
       case None       => Seq(writeFileSetPreservingLayout(updated))
     }
     writeStatsSidecars(newSets, statsCols)
-    commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs)
+    commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
+      cdf = cdf)
   }
 
   /** MERGE upsert: update matched target rows with the update row, insert
@@ -1434,26 +1565,45 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         writeStatsSidecars(newSets, (statsFor ++ inherited).distinct)
         newSets
       }
-      if (touchedSets.isEmpty && touched.nonEmpty)
+      if (touchedSets.isEmpty && touched.nonEmpty) {
         // insert-only fast path: no existing rows in any touched cell —
         // the staged files ARE the new file-sets; rename them in, zero
         // further jobs (the common shape of an MV's first build and of
         // append-heavy streaming merges)
-        commit("merge", carried ++
-          withStats(adoptSplitDirs(staging, stageId, tag, CellName)),
-          basedOn = rv, txn = txn, dvs = prevDvs)
-      else if (touchedSets.isEmpty) // empty update batch, nothing touched
+        val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName))
+        val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
+        commit("merge", carried ++ adopted,
+          basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
+      } else if (touchedSets.isEmpty) // empty update batch, nothing touched
         commit("merge",
           if (prev.nonEmpty) prev
           else writeBucketedFileSets(deduped, spec), // schema-bearing empty
-          basedOn = rv, txn = txn, dvs = prevDvs)
-      else
+          basedOn = rv, txn = txn, dvs = prevDvs,
+          cdf = noChanges(deduped))
+      else {
         // deletion vectors apply to the rewritten cells' rows (a
         // DV-deleted row must not resurrect through an upsert) and ride
         // along for the carried cells
+        val target = readSets(touchedSets, prevDvs)
+        val merged = upsertInto(target)
+        // change classification (feed on only): matched keys split the
+        // merged frame into update_postimage vs pass-through, the staged
+        // side into updates vs inserts; NULL-keyed updates never match,
+        // so they land as inserts — SQL MERGE ON semantics
+        val cdf = if (!changeFeedEnabled) None else {
+          val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
+          val tK = t2.select(keys.map(col): _*)
+          val matched = u2.select(keys.map(col): _*)
+            .join(tK, keys, "left_semi")
+          writeChangeSet(Seq(
+            tagged(t2.join(matched, keys, "left_semi"), "update_preimage"),
+            tagged(merged.join(matched, keys, "left_semi"), "update_postimage"),
+            tagged(u2.join(tK, keys, "left_anti"), "insert")))
+        }
         commit("merge", carried ++ withStats(
-          writeBucketedFileSets(upsertInto(readSets(touchedSets, prevDvs)), spec)),
-          basedOn = rv, txn = txn, dvs = prevDvs)
+          writeBucketedFileSets(merged, spec)),
+          basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
+      }
     } finally deleteRecursively(staging)
   }
 
@@ -1619,6 +1769,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     listDir(dvDir)
       .filterNot(p => keepDvs.contains(p.getFileName.toString))
       .foreach(deleteRecursively)
+    // change-feed sets follow the same retention as data file-sets
+    // (Delta VACUUM reclaims CDC files past retention identically);
+    // feed reads past the cliff error explicitly, never misreport
+    val keepCdf = h.takeRight(retainVersions).flatMap(_.cdf).toSet
+    listDir(changesDir)
+      .filterNot(p => keepCdf.contains(p.getFileName.toString))
+      .foreach(deleteRecursively)
     // orphaned staging from crashed writers (never referenced by the log)
     listDir(stagingDir).foreach(deleteRecursively)
   }
@@ -1657,6 +1814,9 @@ object VersionedTable {
     * projected during DV-aware reads, never in a data file's schema. */
   private val DvFileCol = "_dv_file"
   private val DvPosCol = "_dv_pos"
+  /** Change-data-feed change kind: insert / update_preimage /
+    * update_postimage / delete (Delta CDF's column and vocabulary). */
+  private val ChangeTypeCol = "_change_type"
   /** Canonical cell file-set name: `<writeId>.s<schemaTag>.<splitValue>`. */
   private val CellName: (String, String, String) => String =
     (id, tag, v) => s"$id.s$tag.$v"
@@ -1692,31 +1852,35 @@ object VersionedTable {
   final case class LogEntry(version: Long, tsMillis: Long, action: String,
                             fileSets: Seq[String],
                             txn: Option[(String, Long)] = None,
-                            dvs: Seq[String] = Nil) {
+                            dvs: Seq[String] = Nil,
+                            cdf: Option[String] = None) {
     def toJson: String = {
       def arr(xs: Seq[String]) = xs.map(f => "\"" + f + "\"")
         .mkString("[", ",", "]")
-      // dvs omitted when empty: entries written by older code parse
-      // identically, and most entries never carry deletion vectors
+      // dvs/cdf omitted when empty: entries written by older code parse
+      // identically, and most entries carry neither
       val dv = if (dvs.isEmpty) "" else s""","dvs":${arr(dvs)}"""
+      val cd = cdf.fold("")(c => s""","cdf":"$c"""")
       val tx = txn.fold("") { case (app, v) =>
         s""","txnApp":"$app","txnVersion":$v"""
       }
-      s"""{"version":$version,"tsMillis":$tsMillis,"action":"$action","fileSets":${arr(fileSets)}$dv$tx}"""
+      s"""{"version":$version,"tsMillis":$tsMillis,"action":"$action","fileSets":${arr(fileSets)}$dv$cd$tx}"""
     }
   }
   object LogEntry {
     private val Pattern =
       ("""\{"version":(\d+),"tsMillis":(\d+),"action":"([^"]*)","fileSets":\[([^\]]*)\]""" +
         """(?:,"dvs":\[([^\]]*)\])?""" +
+        """(?:,"cdf":"([^"]*)")?""" +
         """(?:,"txnApp":"([^"]*)","txnVersion":(\d+))?\}""").r
     private def arr(s: String): Seq[String] =
       if (s == null || s.isEmpty) Nil
       else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     def parse(s: String): LogEntry = s.trim match {
-      case Pattern(v, ts, a, fs, dv, txnApp, txnVer) =>
+      case Pattern(v, ts, a, fs, dv, cd, txnApp, txnVer) =>
         LogEntry(v.toLong, ts.toLong, a, arr(fs),
-          Option(txnApp).map(app => (app, txnVer.toLong)), arr(dv))
+          Option(txnApp).map(app => (app, txnVer.toLong)), arr(dv),
+          Option(cd))
       case other => sys.error(s"bad log entry: $other")
     }
   }

@@ -443,6 +443,76 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === n)
   }
 
+  test("change feed: merge/update/delete emit row changes; appends synthesize") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdf-"))
+    t.enableChangeFeed()
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))          // v0
+    t.merge(Seq((2, "b2"), (3, "c")).toDF("k", "v"), Seq("k")) // v1
+    t.update(Map("v" -> concat($"v", lit("!"))), $"k" === 1)   // v2
+    t.delete($"k" === 3)                                       // v3
+    val feed = t.readChangeFeed(-1)
+      .select("_commit_version", "_change_type", "k", "v")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed === Set(
+      (0L, "insert", 1, "a"), (0L, "insert", 2, "b"),
+      (1L, "update_preimage", 2, "b"), (1L, "update_postimage", 2, "b2"),
+      (1L, "insert", 3, "c"),
+      (2L, "update_preimage", 1, "a"), (2L, "update_postimage", 1, "a!"),
+      (3L, "delete", 3, "c")))
+    // bounded window + since filtering
+    assert(t.readChangeFeed(1, endVersion = Some(2))
+      .select("_change_type").as[String].collect().sorted.toSeq ===
+      Seq("update_postimage", "update_preimage"))
+    // compact produces no logical changes; the feed stays readable across it
+    t.compact()
+    assert(t.readChangeFeed(3).count() === 0)
+    // overwrite is not expressible as row changes: the feed refuses
+    t.overwrite(Seq((9, "z")).toDF("k", "v"))
+    intercept[RuntimeException] { t.readChangeFeed(3).count() }
+    assert(t.readChangeFeed(t.latestVersion.get).count() === 0) // past it: fine
+  }
+
+  test("change feed: DV deletes and no-op DMLs report exactly their rows") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdfdv-"))
+    t.enableChangeFeed()
+    t.append(spark.range(0, 10).toDF("id"), statsFor = Seq("id"))  // v0
+    t.deleteVectors($"id" === 4)                                   // v1
+    t.deleteRange("id", "100", "200")                              // v2: no-op
+    val feed = t.readChangeFeed(0)
+      .select("_commit_version", "_change_type", "id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed === Set((1L, "delete", 4L)))
+    // CDF disabled tables refuse reconstruction of DML commits
+    val t2 = VersionedTable(spark, tmpDir("vt-nocdf-"))
+    t2.append(Seq(1).toDF("v"))
+    t2.delete($"v" === 1)
+    intercept[RuntimeException] { t2.readChangeFeed(0).count() }
+    assert(t2.readChangeFeed(-1, endVersion = Some(0)).count() === 1) // appends ok
+  }
+
+  test("change feed survives merge classification with updateExprs and NULL keys") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdfmerge-"))
+    t.enableChangeFeed()
+    t.merge(Seq((Some(1), 10L), (Some(2), 20L)).toDF("k", "cnt"), Seq("k")) // v0
+    t.merge(Seq((Some(1), 5L), (None, 7L)).toDF("k", "cnt"), Seq("k"),
+      updateExprs = Map("cnt" -> ((tc, u) => tc + u)))                      // v1
+    val feed = t.readChangeFeed(0)
+      .select("_change_type", "k", "cnt")
+      .as[(String, Option[Int], Long)].collect().toSet
+    // matched key 1 combines 10+5; NULL key inserts (MERGE ON semantics)
+    assert(feed === Set(
+      ("update_preimage", Some(1), 10L),
+      ("update_postimage", Some(1), 15L),
+      ("insert", None, 7L)))
+    // vacuum retention reclaims old change sets; the feed then errors
+    t.append(Seq((Some(9), 9L)).toDF("k", "cnt"))
+    t.vacuum(retainVersions = 1)
+    intercept[RuntimeException] { t.readChangeFeed(0).count() }
+  }
+
   test("deleteVectors: merge-on-read delete writes NO data files; reads apply it") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-dv-"))

@@ -1046,6 +1046,45 @@ object SparkEntry {
       mv.read.orderBy("event_type")
     }),
 
+    // MV3: CDC-driven incremental aggregate — the change feed consumed
+    // end-to-end. readAddedSince handles append-only feeds and mv2's
+    // partition feed recomputes whole partitions; row-level CDF is what
+    // lets a rollup absorb UPDATEs and DELETEs as O(changed rows) signed
+    // deltas (+postimage/insert, -preimage/delete) merged with combining
+    // expressions. Result == full recompute over the final state (the
+    // oracle).
+    "q_mv3_cdf_incremental" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-mvc-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      src.enableChangeFeed()
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      src.append(o)
+      val v0 = src.latestVersion.get
+      def rollup(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("total"))
+      mv.merge(rollup(src.read), Seq("o_orderstatus"), numBuckets = 4)
+      // correction batch: reprice small orders, retire a key range
+      src.update(Map("o_totalprice" -> (col("o_totalprice") * 1.1)),
+        col("o_totalprice") < 10000)
+      src.deleteRange("o_orderkey", "0", "499")
+      val signed = src.readChangeFeed(v0).withColumn("sgn",
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(-1))
+      val delta = signed.groupBy("o_orderstatus").agg(
+        sum(col("sgn")).as("cnt"),
+        sum(col("sgn") * col("o_totalprice")).as("total"))
+      mv.merge(delta, Seq("o_orderstatus"), updateExprs = Map(
+        "cnt" -> ((mvc, u) => mvc + u),
+        "total" -> ((mvc, u) => mvc + u)))
+      // groups whose rows all vanished net to cnt=0: drop them, as a
+      // full recompute would (the standard CDC-MV maintenance step)
+      mv.delete(col("cnt") === 0)
+      mv.read.select(col("o_orderstatus"), col("cnt"),
+        round(col("total"), 2).as("total2")).orderBy("o_orderstatus")
+    }),
+
     // M10: incremental rollup over a PARTITIONED MERGE source — the
     // reprocess-changed-partitions pattern (what Delta users run when
     // row-level CDF is off): a late batch merges into the source, the
@@ -2070,6 +2109,15 @@ object SparkEntry {
     "q_m7_restore" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_mv3_cdf_incremental" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN o_totalprice < 10000
+        |                THEN o_totalprice * 1.1
+        |                ELSE o_totalprice END), 2) AS total2
+        |FROM orders
+        |WHERE NOT coalesce(o_orderkey BETWEEN 0 AND 499, FALSE)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_m12_change_feed" ->
       """WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),

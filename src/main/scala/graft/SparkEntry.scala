@@ -870,6 +870,28 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // M13: bloom-filter file skipping (Delta bloom index analog): point
+    // lookups on an UNSORTED high-cardinality column (o_custkey,
+    // scattered across every orderkey-split file-set, so min/max stats
+    // prune nothing) consult per-file-set Bloom sketches built in one
+    // grouped job at write time. Pruning + rewrite-regeneration pinned
+    // by VersionedTableSpec; here: exact results over the sketch path.
+    "q_m13_bloom_lookup" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-bloom-").toString
+      val tbl = VersionedTable(s, root)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cut = 1000000L
+      tbl.append(o.filter(col("o_orderkey") < cut),
+        bloomFor = Seq("o_custkey"))
+      tbl.append(o.filter(col("o_orderkey") >= cut),
+        bloomFor = Seq("o_custkey"))
+      tbl.readEquals("o_custkey", Seq(7, 11, 13))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price2"))
+        .orderBy("o_orderkey")
+    }),
+
     // M12: row-level change data feed (Delta CDF / table_changes): merge
     // emits update_preimage/update_postimage/insert, UPDATE emits
     // pre/post, DELETE emits the deleted rows, and appends synthesize
@@ -2109,6 +2131,11 @@ object SparkEntry {
     "q_m7_restore" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_m13_bloom_lookup" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price2
+        |FROM orders WHERE o_custkey IN (7, 11, 13)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_mv3_cdf_incremental" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,

@@ -669,6 +669,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val zkey = call_function(fname, cols.map(c => col(c).cast("double")): _*)
     val ids = writeRangeFileSets(snap, zkey, numFileSets)
     writeStatsSidecars(ids, cols)
+    writeBloomSidecars(ids,
+      bloomColsOf(history.lastOption.map(_.fileSets).getOrElse(Nil)))
     commit("zorder", ids, basedOn = rv)
   }
 
@@ -978,6 +980,103 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     }.toMap
   }
 
+  // ---------------------------------------------------- bloom sidecars
+
+  /** Delta bloom-filter-index analog: per-file-set Bloom sketches over
+    * declared columns, consumed by [[readEquals]] to prune file-sets for
+    * point lookups on UNSORTED high-cardinality columns — exactly where
+    * min/max stats overlap everything and help nothing (an id scattered
+    * uniformly makes every file-set's [min,max] cover every probe).
+    * Built in ONE grouped job over the new file-sets (the same pass
+    * shape as [[writeStatsSidecars]]) via Spark's own
+    * BloomFilterAggregate — the aggregate the optimizer injects for
+    * runtime join filters — over `xxhash64(column)`; probes hash through
+    * the identical expression, type-cast first (xxhash64 is
+    * type-sensitive, like the bucket routing). ~[[DefaultBloomItems]]
+    * capacity at [[DefaultBloomFpp]] ≈ 0.9 MB per (file-set, column):
+    * metadata-scale next to the data it prunes. */
+  private def writeBloomSidecars(fileSets: Seq[String], columns: Seq[String],
+                                 expectedItems: Long = DefaultBloomItems,
+                                 fpp: Double = DefaultBloomFpp): Unit = {
+    if (columns.isEmpty || fileSets.isEmpty) return
+    val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
+    val anchor = java.util.regex.Pattern.quote(
+      dataDir.toAbsolutePath.toString) + "/([^/]+)/"
+    val fsDf = spark.read.parquet(paths: _*)
+      .withColumn("__fs", regexp_extract(input_file_name(), anchor, 1))
+    val cols = columns.filter(fsDf.columns.contains)
+    if (cols.isEmpty) return
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val fname = s"graft_bloom_agg_${UUID.randomUUID().toString.replace("-", "")}"
+    graft.functions.TransientFunctions.register(spark, "graft_bloom_agg",
+      fname,
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits)))
+    val aggs = cols.map(c => call_function(fname, xxhash64(col(c))).as(s"bf_$c"))
+    val rows = fsDf.groupBy("__fs").agg(aggs.head, aggs.tail: _*)
+      .collect() // ≤ one row per new file-set; each cell a serialized sketch
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    rows.foreach { row =>
+      val fs = row.getString(0)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        Option(row.getAs[Array[Byte]](1 + i)).foreach(bytes =>
+          Files.write(dataDir.resolve(fs).resolve(s"_fbloom.${enc(c)}"), bytes))
+      }
+    }
+  }
+
+  private def readBloomSidecar(fileSet: String, column: String) = {
+    val p = dataDir.resolve(fileSet).resolve(
+      s"_fbloom.${java.net.URLEncoder.encode(column, "UTF-8")}")
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(p))))
+  }
+
+  /** Columns with a bloom sidecar in ANY of `fileSets` — what a rewrite
+    * must regenerate so maintenance never silently strips pruning. */
+  private def bloomColsOf(fileSets: Seq[String]): Seq[String] =
+    fileSets.flatMap(fs => listDir(dataDir.resolve(fs))
+      .map(_.getFileName.toString).filter(_.startsWith("_fbloom."))
+      .map(n => java.net.URLDecoder.decode(n.stripPrefix("_fbloom."), "UTF-8")))
+      .distinct
+
+  /** Point-lookup read with bloom skipping: scans ONLY the file-sets
+    * whose Bloom sketch for `column` might contain at least one of
+    * `values` (no sidecar → always read; false positives only cost an
+    * over-read, never a wrong result — the exact IN filter still
+    * applies). The non-sorted complement of [[readRange]]: at 100 TB an
+    * id probe against date-partitioned file-sets reads the handful of
+    * file-sets that can hold it. Deletion vectors apply as on every
+    * read surface. */
+  def readEquals(column: String, values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readEquals needs at least one probe value")
+    val snap = history.lastOption
+      .getOrElse(sys.error(s"empty table at $root"))
+    val fileSets = snap.fileSets
+    if (fileSets.isEmpty) return spark.emptyDataFrame
+    val full = readFileSets(fileSets) // lazy: schema only unless needed
+    val dt = full.schema(column).dataType
+    // probe hashes ride the same expression path as the write: xxhash64
+    // over a value CAST to the column's type
+    val hashes = spark.range(1)
+      .select(values.map(v => xxhash64(lit(v).cast(dt))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val kept = fileSets.filter { fs =>
+      readBloomSidecar(fs, column) match {
+        case Some(bf) => hashes.exists(bf.mightContainLong)
+        case None     => true // no sketch: never skip
+      }
+    }
+    val base = if (kept.isEmpty) full.limit(0) else readSets(kept, snap.dvs)
+    base.filter(col(column).isin(values: _*))
+  }
+
   /** Range read with file-set skipping: scans ONLY the file-sets whose
     * recorded [min, max] for `column` overlaps [lower, upper] (file-sets
     * without stats are always read — skipping never loses rows). The
@@ -1060,7 +1159,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * data skipping. */
   def append(df: DataFrame, partitionBy: Seq[String] = Nil,
              statsFor: Seq[String] = Nil,
-             txn: Option[(String, Long)] = None): LogEntry = {
+             txn: Option[(String, Long)] = None,
+             bloomFor: Seq[String] = Nil): LogEntry = {
     // replayed txn: skip before writing any data files (the authoritative
     // re-check under the commit race lives in commitRebase)
     if (txnAlreadyApplied(txn)) return history.last
@@ -1072,11 +1172,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
         val ids = writeBucketedFileSets(checked, spec)
         writeStatsSidecars(ids, statsFor)
+        writeBloomSidecars(ids, bloomFor)
         commitRebase("append", _ ++ ids, txn)
       case None =>
         recordPartitionLayout(partitionBy, allowExisting = true)
         val id = writeFileSet(checked, partitionBy)
         writeStatsSidecars(Seq(id), statsFor)
+        writeBloomSidecars(Seq(id), bloomFor)
         commitRebase("append", _ :+ id, txn)
     }
   }
@@ -1212,6 +1314,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
+    writeBloomSidecars(newSets, bloomColsOf(touched))
     // carried file-sets may still have live DV entries: the vectors ride
     // along (rewritten sets' entries just went inert)
     commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
@@ -1235,6 +1338,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
+    writeBloomSidecars(newSets, bloomColsOf(snap.fileSets))
     commit("delete", newSets, basedOn = rv, cdf = cdf)
   }
 
@@ -1315,6 +1419,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
     writeStatsSidecars(newSets, statsCols)
+    writeBloomSidecars(newSets, bloomColsOf(touched))
     commit("purge_dv", snap.fileSets.diff(touched) ++ newSets, rv)
   }
 
@@ -1368,6 +1473,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(updated))
     }
     writeStatsSidecars(newSets, statsCols)
+    writeBloomSidecars(newSets, bloomColsOf(snap.fileSets))
     commit("update", newSets, basedOn = rv, cdf = cdf)
   }
 
@@ -1417,6 +1523,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None       => Seq(writeFileSetPreservingLayout(updated))
     }
     writeStatsSidecars(newSets, statsCols)
+    writeBloomSidecars(newSets, bloomColsOf(touched))
     commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
       cdf = cdf)
   }
@@ -1563,6 +1670,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           else carried.take(64).iterator.map(readStatsSidecar)
             .find(_.nonEmpty).map(_.keys.toSeq).getOrElse(Nil)
         writeStatsSidecars(newSets, (statsFor ++ inherited).distinct)
+        // bloom coverage regenerates on the same rule (touched cells, or
+        // a bounded probe of carried cells on the insert-only fast path)
+        writeBloomSidecars(newSets, bloomColsOf(
+          if (touchedSets.nonEmpty) touchedSets else carried.take(64)))
         newSets
       }
       if (touchedSets.isEmpty && touched.nonEmpty) {
@@ -1704,6 +1815,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // coverage the compacted file-sets carried (same guard as
     // deleteRange/compactPartitions/merge)
     writeStatsSidecars(newSets, statsCols)
+    writeBloomSidecars(newSets, bloomColsOf(snap.fileSets))
     commit("compact", newSets, basedOn = rv)
   }
 
@@ -1750,6 +1862,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // silently strip pruning)
       writeStatsSidecars(newSets,
         touched.flatMap(fs => readStatsSidecar(fs).keys).distinct)
+      writeBloomSidecars(newSets, bloomColsOf(touched))
       commit("compact", carried ++ newSets, basedOn = rv, dvs = prevDvs)
     }
   }
@@ -1805,6 +1918,13 @@ object VersionedTable {
 
   /** Commits between automatic log checkpoints ([[VersionedTable.checkpointLog]]). */
   val CheckpointInterval = 32L
+
+  /** Bloom sidecar sizing: capacity and false-positive rate. ~0.9 MB of
+    * bits per (file-set, column) at these defaults — rewrites regenerate
+    * with the same defaults. A false positive costs one over-read
+    * file-set, never a wrong result. */
+  val DefaultBloomItems = 1000000L
+  val DefaultBloomFpp = 0.03
 
   /** Bucket column name used transiently during bucketed writes (lives only
     * in staging dir names, never in the parquet schema). */

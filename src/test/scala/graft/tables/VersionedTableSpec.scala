@@ -443,6 +443,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === n)
   }
 
+  test("bloom sidecars prune point lookups where min/max stats cannot") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-bloom-"))
+    // evens and odds: DISJOINT values, near-identical [min,max] — range
+    // stats can never separate them, the bloom sketch can
+    val evens = spark.range(0, 1000).filter($"id" % 2 === 0).toDF("id")
+    val odds = spark.range(0, 1000).filter($"id" % 2 =!= 0).toDF("id")
+    val highs = spark.range(1000, 2000).toDF("id")
+    Seq(evens, odds, highs).foreach(df =>
+      t.append(df, statsFor = Seq("id"), bloomFor = Seq("id")))
+    val probe = t.readEquals("id", Seq(500L))
+    assert(probe.as[Long].collect().toSeq === Seq(500L))
+    assert(probe.inputFiles.length < t.read.inputFiles.length,
+      "bloom must prune the odd and high file-sets")
+    val evensOnly = probe.inputFiles.length
+    // multi-value probes union their buckets; absent values stay exact
+    assert(t.readEquals("id", Seq(500L, 501L)).as[Long].collect().toSet ===
+      Set(500L, 501L))
+    assert(t.readEquals("id", Seq(5000L)).count() === 0)
+    // a rewrite regenerates bloom coverage (maintenance must not strip
+    // pruning): after deleting inside highs, a probe for 500 must still
+    // read ONLY the evens file-set — if the rewritten highs lost its
+    // sketch it would be conservatively read
+    t.deleteRange("id", "1500", "1600")
+    val p2 = t.readEquals("id", Seq(500L))
+    assert(p2.as[Long].collect().toSeq === Seq(500L))
+    assert(p2.inputFiles.length === evensOnly,
+      "rewritten file-set must regain its bloom sidecar")
+    assert(t.readEquals("id", Seq(1500L)).count() === 0) // deleted
+    assert(t.readEquals("id", Seq(1601L)).as[Long].collect().toSeq ===
+      Seq(1601L)) // survived the rewrite
+  }
+
   test("change feed: merge/update/delete emit row changes; appends synthesize") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-cdf-"))

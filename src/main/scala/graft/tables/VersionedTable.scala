@@ -146,9 +146,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (h.isEmpty) return
     val v = h.last.version
     val tmp = logDir.resolve(s".tmp-cp-${UUID.randomUUID()}")
-    Files.writeString(tmp, h.map(_.toJson).mkString("", "\n", "\n"))
-    Files.move(tmp, logDir.resolve(f"$v%020d.checkpoint"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.writeString(tmp, h.map(_.toJson).mkString("", "\n", "\n"))
+      Files.move(tmp, logDir.resolve(f"$v%020d.checkpoint"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally { Files.deleteIfExists(tmp); () } // crash/dirty-exit orphan
     val stale = listDir(logDir).filter { p =>
       val n = p.getFileName.toString
       (n.endsWith(".checkpoint") && n.stripSuffix(".checkpoint").toLong < v) ||
@@ -668,8 +670,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         graft.functions.ZOrderKey(exprs, cuts, bitsPerCol))
     val zkey = call_function(fname, cols.map(c => col(c).cast("double")): _*)
     val ids = writeRangeFileSets(snap, zkey, numFileSets)
-    writeStatsSidecars(ids, cols)
-    writeBloomSidecars(ids,
+    writeSkippingSidecars(ids, cols,
       bloomColsOf(history.lastOption.map(_.fileSets).getOrElse(Nil)))
     commit("zorder", ids, basedOn = rv)
   }
@@ -775,8 +776,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** Stage `frames` (each already carrying `_change_type`) as this
     * commit's change file-set; returns its id for the log entry. Written
     * BEFORE the commit — an orphan from a failed commit is reclaimed by
-    * vacuum, and a committed entry's changes are always present. */
-  private def writeChangeSet(frames: Seq[DataFrame]): Option[String] = {
+    * vacuum, and a committed entry's changes are always present.
+    * `frames` is BY-NAME: callers on hot paths (the insert-only merge
+    * fast path) must not even construct their change frames when the
+    * feed is off. */
+  private def writeChangeSet(frames: => Seq[DataFrame]): Option[String] = {
     if (!changeFeedEnabled) return None
     val id = s"c-${UUID.randomUUID()}"
     val tmp = stagingDir.resolve(id)
@@ -822,6 +826,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
               .getOrElse(Set.empty)
             val added = e.fileSets.filterNot(prev)
+            // synthesized inserts read the appended file-sets directly —
+            // if a later rewrite + vacuum reclaimed them, fail with the
+            // same curated message as the explicit-change-set path, not
+            // a raw parquet path error
+            val gone = added.filterNot(fs => Files.exists(dataDir.resolve(fs)))
+            require(gone.isEmpty,
+              s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
             // raw read, deliberately WITHOUT later deletion vectors: the
             // feed reports rows as of THIS commit; later deletes appear
             // as their own delete changes
@@ -838,7 +849,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           lit(new java.sql.Timestamp(e.tsMillis))))
     }
     if (frames.isEmpty)
-      tagged(read.limit(0), "insert")
+      // schema-bearing empty feed; a freshly-enabled EMPTY table (no
+      // commits yet) yields a zero-column frame plus the meta columns
+      // rather than erroring on a consumer polling before first data
+      tagged(h.lastOption.map(readEntry).getOrElse(spark.emptyDataFrame)
+        .limit(0), "insert")
         .withColumn("_commit_version", lit(0L))
         .withColumn("_commit_timestamp", current_timestamp())
         .limit(0)
@@ -928,10 +943,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * string content round-trips; numeric columns compare numerically,
     * everything else lexically (correct for ISO dates/timestamps). */
   /** One grouped pass over ALL the new file-sets (they share a schema —
-    * written together): min/max per (file-set, column) from a single job
-    * instead of one read+agg+collect per bucket file-set. */
-  private def writeStatsSidecars(fileSets: Seq[String], statsRequested: Seq[String]): Unit = {
-    if (statsRequested.isEmpty || fileSets.isEmpty) return
+    * written together): min/max AND bloom sketches per (file-set,
+    * column) from a single job instead of one read+agg+collect per
+    * sidecar kind — rewrite paths regenerate both coverages without
+    * scanning the new data twice. */
+  private def writeSkippingSidecars(fileSets: Seq[String],
+                                    statsRequested: Seq[String],
+                                    bloomRequested: Seq[String],
+                                    expectedItems: Long = DefaultBloomItems,
+                                    fpp: Double = DefaultBloomFpp): Unit = {
+    if ((statsRequested.isEmpty && bloomRequested.isEmpty) ||
+      fileSets.isEmpty) return
     val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
     // file-set id = the path segment right after THIS table's data dir —
     // anchored to the absolute dataDir path, not the first "/data/"
@@ -946,10 +968,32 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // columns can name fields an evolved (narrower) update batch lacks,
     // and aggregating a missing column would abort the whole write
     val statsFor = statsRequested.filter(fsDf.columns.contains)
-    if (statsFor.isEmpty) return
-    val aggs = statsFor.flatMap(c =>
+    val bloomFor = bloomRequested.filter(fsDf.columns.contains)
+    if (statsFor.isEmpty && bloomFor.isEmpty) return
+    val statsAggs = statsFor.flatMap(c =>
       Seq(min(col(c)).cast("string").as(s"mn_$c"),
         max(col(c)).cast("string").as(s"mx_$c")))
+    val bloomAggs = if (bloomFor.isEmpty) Nil else {
+      val numBits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(expectedItems, fpp)
+      val fname =
+        s"graft_bloom_agg_${UUID.randomUUID().toString.replace("-", "")}"
+      graft.functions.TransientFunctions.register(spark, "graft_bloom_agg",
+        fname,
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs.head,
+            org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+            org.apache.spark.sql.catalyst.expressions.Literal(numBits)))
+      // hash the STRING form: a probe can then normalize through the
+      // same cast regardless of which schema generation wrote a file-set
+      // (xxhash64 of int 5 != long 5, but "5" == "5" — type drift across
+      // appends must not turn into false bloom skips / missing rows)
+      bloomFor.map(c =>
+        call_function(fname, xxhash64(col(c).cast("string"))).as(s"bf_$c"))
+    }
+    val aggs = statsAggs ++ bloomAggs
     val rows = fsDf.groupBy("__fs").agg(aggs.head, aggs.tail: _*)
       .collect() // ≤ one row per new file-set
     val numeric = fsDf.schema.fields
@@ -959,15 +1003,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     rows.foreach { row =>
       val fs = row.getString(0)
-      val lines = statsFor.zipWithIndex.flatMap { case (c, i) =>
-        val mn = row.getString(1 + 2 * i); val mx = row.getString(2 + 2 * i)
-        if (mn == null || mx == null) None // all-null column: no skipping
-        else Some(s"${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${numeric(c)}")
+      if (statsFor.nonEmpty) {
+        val lines = statsFor.zipWithIndex.flatMap { case (c, i) =>
+          val mn = row.getString(1 + 2 * i); val mx = row.getString(2 + 2 * i)
+          if (mn == null || mx == null) None // all-null column: no skipping
+          else Some(s"${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${numeric(c)}")
+        }
+        Files.writeString(dataDir.resolve(fs).resolve("_fstats.tsv"),
+          lines.mkString("\n"))
       }
-      Files.writeString(dataDir.resolve(fs).resolve("_fstats.tsv"),
-        lines.mkString("\n"))
+      bloomFor.zipWithIndex.foreach { case (c, i) =>
+        Option(row.getAs[Array[Byte]](1 + 2 * statsFor.length + i))
+          .foreach(bytes => Files.write(
+            dataDir.resolve(fs).resolve(s"_fbloom.${enc(c)}"), bytes))
+      }
     }
   }
+
+  private def writeStatsSidecars(fileSets: Seq[String],
+                                 statsRequested: Seq[String]): Unit =
+    writeSkippingSidecars(fileSets, statsRequested, Nil)
 
   /** (min, max, isNumeric) per column for a file-set, if stats exist. */
   private def readStatsSidecar(fileSet: String): Map[String, (String, String, Boolean)] = {
@@ -997,38 +1052,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * metadata-scale next to the data it prunes. */
   private def writeBloomSidecars(fileSets: Seq[String], columns: Seq[String],
                                  expectedItems: Long = DefaultBloomItems,
-                                 fpp: Double = DefaultBloomFpp): Unit = {
-    if (columns.isEmpty || fileSets.isEmpty) return
-    val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
-    val anchor = java.util.regex.Pattern.quote(
-      dataDir.toAbsolutePath.toString) + "/([^/]+)/"
-    val fsDf = spark.read.parquet(paths: _*)
-      .withColumn("__fs", regexp_extract(input_file_name(), anchor, 1))
-    val cols = columns.filter(fsDf.columns.contains)
-    if (cols.isEmpty) return
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedItems, fpp)
-    val fname = s"graft_bloom_agg_${UUID.randomUUID().toString.replace("-", "")}"
-    graft.functions.TransientFunctions.register(spark, "graft_bloom_agg",
-      fname,
-      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs.head,
-          org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
-          org.apache.spark.sql.catalyst.expressions.Literal(numBits)))
-    val aggs = cols.map(c => call_function(fname, xxhash64(col(c))).as(s"bf_$c"))
-    val rows = fsDf.groupBy("__fs").agg(aggs.head, aggs.tail: _*)
-      .collect() // ≤ one row per new file-set; each cell a serialized sketch
-    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    rows.foreach { row =>
-      val fs = row.getString(0)
-      cols.zipWithIndex.foreach { case (c, i) =>
-        Option(row.getAs[Array[Byte]](1 + i)).foreach(bytes =>
-          Files.write(dataDir.resolve(fs).resolve(s"_fbloom.${enc(c)}"), bytes))
-      }
-    }
-  }
+                                 fpp: Double = DefaultBloomFpp): Unit =
+    writeSkippingSidecars(fileSets, Nil, columns, expectedItems, fpp)
 
   private def readBloomSidecar(fileSet: String, column: String) = {
     val p = dataDir.resolve(fileSet).resolve(
@@ -1062,11 +1087,22 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (fileSets.isEmpty) return spark.emptyDataFrame
     val full = readFileSets(fileSets) // lazy: schema only unless needed
     val dt = full.schema(column).dataType
-    // probe hashes ride the same expression path as the write: xxhash64
-    // over a value CAST to the column's type
-    val hashes = spark.range(1)
-      .select(values.map(v => xxhash64(lit(v).cast(dt))): _*)
-      .head().toSeq.map(_.asInstanceOf[Long])
+    // probe hashes ride the same expression path as the write — xxhash64
+    // over cast(cast(value AS columnType) AS STRING) — evaluated
+    // DRIVER-SIDE on foldable expressions: the point-lookup fast path
+    // must not pay a Spark job just to hash a handful of constants. The
+    // string normalization makes the hash schema-generation-proof (an
+    // int-era and a long-era file-set both hashed "5").
+    val hashes = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+      val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      // seed 42 = the SQL xxhash64 function's default, which built the
+      // sidecars
+      values.map(v => XxHash64(Seq(Cast(Cast(Literal(v), dt, zone),
+        org.apache.spark.sql.types.StringType, zone)), 42L)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long])
+    }
     val kept = fileSets.filter { fs =>
       readBloomSidecar(fs, column) match {
         case Some(bf) => hashes.exists(bf.mightContainLong)
@@ -1171,14 +1207,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           s"append partitionBy $partitionBy != table partition keys " +
             s"${spec.partitionKeys} at $root (merge-bucketed layout)")
         val ids = writeBucketedFileSets(checked, spec)
-        writeStatsSidecars(ids, statsFor)
-        writeBloomSidecars(ids, bloomFor)
+        writeSkippingSidecars(ids, statsFor, bloomFor)
         commitRebase("append", _ ++ ids, txn)
       case None =>
         recordPartitionLayout(partitionBy, allowExisting = true)
         val id = writeFileSet(checked, partitionBy)
-        writeStatsSidecars(Seq(id), statsFor)
-        writeBloomSidecars(Seq(id), bloomFor)
+        writeSkippingSidecars(Seq(id), statsFor, bloomFor)
         commitRebase("append", _ :+ id, txn)
     }
   }
@@ -1313,8 +1347,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
-    writeStatsSidecars(newSets, statsCols)
-    writeBloomSidecars(newSets, bloomColsOf(touched))
+    writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
     // carried file-sets may still have live DV entries: the vectors ride
     // along (rewritten sets' entries just went inert)
     commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
@@ -1337,8 +1370,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
-    writeStatsSidecars(newSets, statsCols)
-    writeBloomSidecars(newSets, bloomColsOf(snap.fileSets))
+    writeSkippingSidecars(newSets, statsCols, bloomColsOf(snap.fileSets))
     commit("delete", newSets, basedOn = rv, cdf = cdf)
   }
 
@@ -1418,8 +1450,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
       case None       => Seq(writeFileSetPreservingLayout(remaining))
     }
-    writeStatsSidecars(newSets, statsCols)
-    writeBloomSidecars(newSets, bloomColsOf(touched))
+    writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
     commit("purge_dv", snap.fileSets.diff(touched) ++ newSets, rv)
   }
 
@@ -1460,6 +1491,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
+    if (snap.fileSets.isEmpty) // empty-overwrite snapshot: no-op commit
+      return commit("update", snap.fileSets, basedOn = rv, dvs = snap.dvs,
+        cdf = noChanges(spark.emptyDataFrame))
     val updated = applyAssignments(read, set, cond)
     val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
     // pre/postimage over cond-TRUE rows only; the postimage pre-filters
@@ -1472,8 +1506,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case Some(spec) => writeBucketedFileSets(updated, spec)
       case None       => Seq(writeFileSetPreservingLayout(updated))
     }
-    writeStatsSidecars(newSets, statsCols)
-    writeBloomSidecars(newSets, bloomColsOf(snap.fileSets))
+    writeSkippingSidecars(newSets, statsCols, bloomColsOf(snap.fileSets))
     commit("update", newSets, basedOn = rv, cdf = cdf)
   }
 
@@ -1522,8 +1555,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case Some(spec) => writeBucketedFileSets(updated, spec)
       case None       => Seq(writeFileSetPreservingLayout(updated))
     }
-    writeStatsSidecars(newSets, statsCols)
-    writeBloomSidecars(newSets, bloomColsOf(touched))
+    writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
     commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
       cdf = cdf)
   }
@@ -1669,11 +1701,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             touchedSets.flatMap(fs => readStatsSidecar(fs).keys)
           else carried.take(64).iterator.map(readStatsSidecar)
             .find(_.nonEmpty).map(_.keys.toSeq).getOrElse(Nil)
-        writeStatsSidecars(newSets, (statsFor ++ inherited).distinct)
-        // bloom coverage regenerates on the same rule (touched cells, or
-        // a bounded probe of carried cells on the insert-only fast path)
-        writeBloomSidecars(newSets, bloomColsOf(
-          if (touchedSets.nonEmpty) touchedSets else carried.take(64)))
+        // bloom coverage regenerates on the same rule (touched cells,
+        // or a bounded probe of carried cells on the insert-only path)
+        writeSkippingSidecars(newSets, (statsFor ++ inherited).distinct,
+          bloomColsOf(
+            if (touchedSets.nonEmpty) touchedSets else carried.take(64)))
         newSets
       }
       if (touchedSets.isEmpty && touched.nonEmpty) {
@@ -1814,8 +1846,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // OPTIMIZE must not strip data skipping: regenerate the sidecar
     // coverage the compacted file-sets carried (same guard as
     // deleteRange/compactPartitions/merge)
-    writeStatsSidecars(newSets, statsCols)
-    writeBloomSidecars(newSets, bloomColsOf(snap.fileSets))
+    writeSkippingSidecars(newSets, statsCols, bloomColsOf(snap.fileSets))
     commit("compact", newSets, basedOn = rv)
   }
 
@@ -1860,9 +1891,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // regenerate the data-skipping coverage the rewritten cells carried
       // (same guard as deleteRange and merge — a maintenance op must not
       // silently strip pruning)
-      writeStatsSidecars(newSets,
-        touched.flatMap(fs => readStatsSidecar(fs).keys).distinct)
-      writeBloomSidecars(newSets, bloomColsOf(touched))
+      writeSkippingSidecars(newSets,
+        touched.flatMap(fs => readStatsSidecar(fs).keys).distinct,
+        bloomColsOf(touched))
       commit("compact", carried ++ newSets, basedOn = rv, dvs = prevDvs)
     }
   }

@@ -476,6 +476,23 @@ class VersionedTableSpec extends SparkSpec {
       Seq(1601L)) // survived the rewrite
   }
 
+  test("bloom probes survive schema-generation type drift (int era vs long era)") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-bloomdrift-"))
+    // an int-typed producer era followed by a long-typed one: the union
+    // schema widens to bigint, but each file-set's sketch was built from
+    // its NATIVE type — the string-normalized hash keeps probes finding
+    // rows in BOTH eras (raw xxhash64 of int 5 != long 5 would silently
+    // skip the int-era file-set)
+    t.append(Seq(5, 6).toDF("id"), bloomFor = Seq("id"))              // int era
+    t.append(Seq(7L, 8L).toDF("id"), bloomFor = Seq("id"))            // long era
+    assert(t.readEquals("id", Seq(5)).count() === 1)
+    assert(t.readEquals("id", Seq(5L)).count() === 1)  // probe type-agnostic
+    assert(t.readEquals("id", Seq(8)).count() === 1)
+    assert(t.readEquals("id", Seq(5, 8L)).as[Long].collect().toSet ===
+      Set(5L, 8L))
+  }
+
   test("change feed: merge/update/delete emit row changes; appends synthesize") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-cdf-"))

@@ -482,6 +482,31 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard4"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // Dedup 6: paragraph-level exact dedup (C4/RefinedWeb boilerplate
+    // removal): first global occurrence of each paragraph survives,
+    // documents reassemble from surviving paragraphs, fully-duplicated
+    // documents vanish. Oracle: the identical split → winner-window →
+    // reassemble state machine in DuckDB (list_zip ordinality).
+    "q_dd6_paragraph_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 500)
+      // super-docs of 4 paragraphs each (original docs, in doc order)…
+      val supers = d
+        .withColumn("grp", floor(col("doc_id") / 4).cast("long"))
+        .groupBy("grp")
+        .agg(concat_ws("\n\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+        .select(col("grp").as("doc_id"), col("text"))
+      // …plus planted single-paragraph copies: every 7th doc reappears
+      // as a later document and must dedup away entirely
+      val planted = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.paragraphDedup(supers.unionByName(planted))
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup 5: SemDeDup — semantic (embedding-space) duplicate removal
     // via clustered cosine cliques, the meaning-level dedup exact/MinHash
     // passes cannot see (rows-only: KMeans cells are engine-specific;
@@ -2136,6 +2161,35 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price2
         |FROM orders WHERE o_custkey IN (7, 11, 13)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dd6_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |supers AS (
+        |  SELECT grp AS doc_id,
+        |         string_agg(text, chr(10) || chr(10) ORDER BY odoc) AS text
+        |  FROM (SELECT CAST(doc_id // 4 AS BIGINT) AS grp,
+        |               doc_id AS odoc, text FROM d)
+        |  GROUP BY grp),
+        |planted AS (SELECT CAST(doc_id + 100000 AS BIGINT) AS doc_id, text
+        |            FROM d WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT * FROM supers UNION ALL SELECT * FROM planted),
+        |paras AS (
+        |  SELECT doc_id, z[2] AS pos, z[1] AS para
+        |  FROM (SELECT doc_id,
+        |               unnest(list_zip(parts, range(len(parts)))) AS z
+        |        FROM (SELECT doc_id,
+        |                     string_split(text, chr(10) || chr(10)) AS parts
+        |              FROM corpus))),
+        |kept AS (
+        |  SELECT doc_id, pos, para FROM paras
+        |  QUALIFY row_number() OVER (PARTITION BY para
+        |                             ORDER BY doc_id, pos) = 1),
+        |resembled AS (
+        |  SELECT doc_id,
+        |         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT doc_id, md5(text) AS fp FROM resembled
+        |ORDER BY doc_id""".stripMargin,
 
     "q_mv3_cdf_incremental" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,

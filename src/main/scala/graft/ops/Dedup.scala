@@ -350,4 +350,37 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------------- paragraph-level dedup
+
+  /** C4/RefinedWeb-style exact PARAGRAPH dedup: split every document on
+    * `sep`, keep only the globally FIRST occurrence of each distinct
+    * paragraph (ordered by (doc id, position) — deterministic), and
+    * reassemble documents from their surviving paragraphs in original
+    * order. Documents that lose every paragraph drop out entirely — the
+    * boilerplate-heavy page whose content all appeared earlier.
+    *
+    * Scale shape: one shuffle keyed on the paragraph text for the
+    * winner-per-paragraph window (planned as WindowGroupLimit — rank 1
+    * only, no full sort materialization), one shuffle back on the doc id
+    * to reassemble. Paragraph text crosses the wire once per occurrence,
+    * the same movement an exact-dedup groupBy performs; no all-pairs
+    * anything. This is the boilerplate-removal pass LLM curation runs
+    * between document-level exact dedup ([[exactDedup]]) and near-dedup
+    * (MinHash/SimHash) — duplicated boilerplate hides INSIDE otherwise
+    * unique pages, invisible at document granularity. */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n",
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+    val w = Window.partitionBy("para").orderBy(col(idCol), col("pos"))
+    paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(idCol)
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("pos"), col("para")))),
+        x => x.getField("para"))).as(textCol))
+  }
 }

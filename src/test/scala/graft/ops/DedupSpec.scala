@@ -21,6 +21,26 @@ class DedupSpec extends SparkSpec {
     (base ++ near ++ exact).toDF("doc_id", "text")
   }
 
+  test("paragraphDedup keeps first global occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "alpha\n\nbeta\n\ngamma"),
+      (2L, "beta\n\ndelta"),        // beta already seen in doc 1
+      (3L, "alpha\n\nbeta"),        // nothing new: must vanish entirely
+      (4L, "epsilon\n\nalpha\n\nzeta") // middle paragraph deduped away
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs)
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      1L -> "alpha\n\nbeta\n\ngamma",
+      2L -> "delta",
+      4L -> "epsilon\n\nzeta"))
+    // within-document duplicate paragraphs dedup too (first position wins)
+    val self = Dedup.paragraphDedup(
+      Seq((1L, "x\n\ny\n\nx")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(self === Map(1L -> "x\n\ny"))
+  }
+
   test("exact keeps smallest id per identical content") {
     val out = Dedup.exact(corpus)
     assert(out.count() === corpus.count() - 2) // 2000/2001 fold into doc 1

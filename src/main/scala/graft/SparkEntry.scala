@@ -895,6 +895,23 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // M14: generated columns (Delta GENERATED ALWAYS AS): the declared
+    // derivation (month from order timestamp — the canonical partition-
+    // column generator) is computed INSIDE the write job for batches
+    // that lack it and enforced per row for batches that supply it.
+    // Enforcement/validation/merge behavior pinned by
+    // VersionedTableSpec; here: the computed column's correctness.
+    "q_m14_generated" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-gen-").toString
+      val tbl = VersionedTable(s, root)
+      tbl.addGeneratedColumn("o_month", "date_format(o_orderdate, 'yyyy-MM')")
+      tbl.append(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice"))
+      tbl.read.groupBy("o_month")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_month")
+    }),
+
     // M13: bloom-filter file skipping (Delta bloom index analog): point
     // lookups on an UNSORTED high-cardinality column (o_custkey,
     // scattered across every orderkey-split file-set, so min/max stats
@@ -2161,6 +2178,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price2
         |FROM orders WHERE o_custkey IN (7, 11, 13)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_m14_generated" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dd6_paragraph_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -399,12 +399,69 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * evaluating it to NULL — SQL CHECK semantics, unknown passes) stream
     * through untouched; the first violating row throws from inside the
     * write job with the check name and the row's JSON. Cost is one
-    * codegen'd predicate per row per check, zero extra passes. */
+    * codegen'd predicate per row per check, zero extra passes.
+    * Generated columns apply FIRST (a check may reference one). */
   private def withCheckEnforcement(df: DataFrame): DataFrame =
-    checks.foldLeft(df) { case (d, (n, e)) =>
+    checks.foldLeft(withGeneratedColumns(df)) { case (d, (n, e)) =>
       d.filter(when(coalesce(expr(e), lit(true)), lit(true))
         .otherwise(raise_error(concat(
           lit(s"CHECK constraint $n ($e) violated by row "),
+          to_json(struct(d.columns.map(col): _*))))))
+    }
+
+  // -------------------------------------------------------- generated columns
+
+  private def generatedPath: Path = Paths.get(root, "_generated.json")
+
+  /** Declared generated columns as (name, SQL expression) pairs. */
+  def generatedColumns: Seq[(String, String)] =
+    if (!Files.exists(generatedPath)) Nil
+    else CheckJson.findAllMatchIn(Files.readString(generatedPath))
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** Delta `GENERATED ALWAYS AS (expr)` analog: on every write, a batch
+    * MISSING the column gets it computed inside the write job (one
+    * codegen'd projection — e.g. `event_month` derived from a timestamp,
+    * the canonical partition-column generator); a batch SUPPLYING the
+    * column is enforced to match the expression per row, raise_error
+    * style, so the declared derivation can never silently diverge.
+    * Declared on an empty table, or on one whose current rows already
+    * carry a consistent value (one violation-counting scan, like
+    * [[addCheck]]); refused if existing data LACKS the column — that
+    * would need a retroactive rewrite, same restriction as Delta. */
+  def addGeneratedColumn(name: String, sqlExpr: String): Unit = {
+    require(!name.contains("\"") && !sqlExpr.contains("\"") &&
+      !name.contains("\n") && !sqlExpr.contains("\n"),
+      "generated column name/expr must not contain double quotes or newlines")
+    require(!generatedColumns.exists(_._1 == name),
+      s"generated column $name already exists at $root")
+    if (exists && history.last.fileSets.nonEmpty) {
+      val cur = read
+      require(cur.columns.contains(name),
+        s"cannot add generated column $name at $root: existing rows lack " +
+          "it (a retroactive backfill rewrite is required)")
+      val bad = cur.filter(!(col(name) <=> expr(sqlExpr))).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"cannot add generated column $name ($sqlExpr) at $root: " +
+          s"$bad existing row(s) disagree with the expression")
+    }
+    val body = (generatedColumns :+ (name, sqlExpr))
+      .map { case (n, e) => s"""{"name":"$n","expr":"$e"}""" }
+      .mkString("""{"generated":[""", ",", "]}")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s".tmp-gen-${UUID.randomUUID()}")
+    Files.writeString(tmp, body)
+    Files.move(tmp, generatedPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Compute-when-absent, enforce-when-present (null-safe equality:
+    * Delta's generated-column invariant). */
+  private def withGeneratedColumns(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (d, (n, e)) =>
+      if (!d.columns.contains(n)) d.withColumn(n, expr(e))
+      else d.filter(when(col(n) <=> expr(e), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"generated column $n must equal $e; violated by row "),
           to_json(struct(d.columns.map(col): _*))))))
     }
 
@@ -1261,7 +1318,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val t = new VersionedTable(spark, targetRoot)
     require(!t.exists, s"clone target $targetRoot already has versions")
     Files.createDirectories(t.dataDir)
-    Seq(specPath, layoutPath, checksPath, cdfMarker).foreach { p =>
+    Seq(specPath, layoutPath, checksPath, cdfMarker, generatedPath).foreach { p =>
       if (Files.exists(p))
         Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
@@ -1848,6 +1905,33 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // deleteRange/compactPartitions/merge)
     writeSkippingSidecars(newSets, statsCols, bloomColsOf(snap.fileSets))
     commit("compact", newSets, basedOn = rv)
+  }
+
+  /** OPTIMIZE's bin-packing semantics (Delta compacts only files below
+    * its small-file threshold): fold ONLY the file-sets smaller than
+    * `maxBytes` on disk into one file-set, carrying every larger one
+    * verbatim — O(small files), where full-table [[compact]] is
+    * O(table) and impossible as routine maintenance at 100 TB. The
+    * hive layout is preserved, deletion vectors of folded file-sets are
+    * applied (and their entries retired), and stats + bloom coverage
+    * regenerate. Bucketed tables use [[compactPartitions]] — their cell
+    * layout is the unit of maintenance. */
+  def compactSmall(maxBytes: Long): LogEntry = {
+    require(bucketSpec.isEmpty,
+      s"bucketed table at $root: use compactPartitions for scoped OPTIMIZE")
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    def dirSize(p: Path): Long =
+      listDir(p).map(c => if (Files.isDirectory(c)) dirSize(c) else Files.size(c)).sum
+    val (small, large) = snap.fileSets
+      .partition(fs => dirSize(dataDir.resolve(fs)) < maxBytes)
+    if (small.length <= 1) // nothing to fold
+      return commit("compact", snap.fileSets, basedOn = rv, dvs = snap.dvs)
+    val folded = readSets(small, snap.dvs)
+    val statsCols = small.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val newSet = writeFileSetPreservingLayout(folded)
+    writeSkippingSidecars(Seq(newSet), statsCols, bloomColsOf(small))
+    commit("compact", large ++ Seq(newSet), basedOn = rv, dvs = snap.dvs)
   }
 
   /** `OPTIMIZE … WHERE` analog: compact ONLY the named partitions' cells

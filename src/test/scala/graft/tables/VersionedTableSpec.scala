@@ -443,6 +443,51 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.count() === n)
   }
 
+  test("generated columns compute when absent, enforce when present") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-gen-"))
+    t.addGeneratedColumn("doubled", "v * 2")
+    t.append(Seq(1, 2).toDF("v"))                       // absent: computed
+    assert(t.read.orderBy("v").as[(Int, Int)].collect().toSeq ===
+      Seq((1, 2), (2, 4)))
+    t.append(Seq((3, 6)).toDF("v", "doubled"))          // consistent: ok
+    intercept[Exception] {                              // divergent: refused
+      t.append(Seq((4, 9)).toDF("v", "doubled"))
+    }
+    assert(t.read.count() === 3)
+    // merge inserts generate too; a generated partition column prunes
+    val t2 = VersionedTable(spark, tmpDir("vt-genm-"))
+    t2.addGeneratedColumn("bucket3", "CAST(k % 3 AS INT)")
+    t2.merge(Seq((1L, "a"), (5L, "b")).toDF("k", "x"), keys = Seq("k"))
+    assert(t2.read.filter($"bucket3" === ($"k" % 3).cast("int")).count() === 2)
+    // declaring on a populated table validates; missing column refuses
+    val t3 = VersionedTable(spark, tmpDir("vt-genv-"))
+    t3.append(Seq((1, 2)).toDF("v", "doubled"))
+    t3.addGeneratedColumn("doubled", "v * 2")           // consistent: ok
+    intercept[IllegalArgumentException] {
+      t3.addGeneratedColumn("tripled", "v * 3")         // column absent
+    }
+  }
+
+  test("compactSmall folds only sub-threshold file-sets") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-csmall-"))
+    t.append(spark.range(0, 100000).toDF("id"))   // large
+    (0 until 4).foreach(i => t.append(Seq(i.toLong + 200000L).toDF("id")))
+    val before = t.history.last.fileSets
+    val large = before.head
+    t.compactSmall(maxBytes = 64 * 1024)
+    val after = t.history.last.fileSets
+    assert(after.contains(large), "the large file-set must carry verbatim")
+    assert(after.length === 2, s"4 small file-sets fold into one: $after")
+    assert(t.read.count() === 100004)
+    // DV entries on folded file-sets materialize through the fold
+    t.deleteVectors($"id" === 200001L)
+    t.compactSmall(maxBytes = 64 * 1024)
+    assert(t.read.count() === 100003)
+    assert(t.read.filter($"id" === 200001L).count() === 0)
+  }
+
   test("bloom sidecars prune point lookups where min/max stats cannot") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-bloom-"))

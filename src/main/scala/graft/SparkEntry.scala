@@ -482,6 +482,22 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard4"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // Multimodal 2: perceptual-hash near-dup over media payloads —
+    // decode(stub) → 64-bit aHash → banded Hamming pair join; binary
+    // payloads never shuffle. Rows-only (the synthesized media table
+    // lives Spark-side); pair semantics + planted recall pinned by
+    // MultimodalSpec.
+    "q_mm2_phash_neardup" -> ((s, dir) => {
+      val corpus = graft.multimodal.Multimodal.synthesize(s, 1500)
+      val planted = corpus.filter(col("media_id") % 13 === 0)
+        .withColumn("media_id", col("media_id") + 1000000)
+      graft.multimodal.Multimodal.nearDupMediaPairs(s,
+          corpus.unionByName(planted), maxHammingDistance = 0)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("media_id_b") === col("media_id_a") + 1000000, 1L)
+            .otherwise(0L)).as("n_planted_found"))
+    }),
+
     // Dedup 6: paragraph-level exact dedup (C4/RefinedWeb boilerplate
     // removal): first global occurrence of each paragraph survives,
     // documents reassemble from surviving paragraphs, fully-duplicated

@@ -113,6 +113,42 @@ object Multimodal {
       }
   }
 
+  /** Perceptual hash (aHash shape) over the decoded feature vector: bit
+    * i set iff bin i exceeds the mean bin weight — stable under
+    * payload-preserving re-encodes and padding (the normalized
+    * distribution is what's hashed), which byte-level content hashes are
+    * not. With the stub decoder this hashes the byte histogram; a real
+    * decoder swaps in pixel/spectrogram features, same 64-bit shape. */
+  private[multimodal] def perceptualHash(feature: Array[Float]): Long = {
+    if (feature == null || feature.isEmpty) return 0L
+    val mean = feature.sum / feature.length
+    var acc = 0L
+    var i = 0
+    while (i < feature.length && i < 64) {
+      if (feature(i) > mean) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Near-duplicate media detection: decode (stub) → 64-bit perceptual
+    * hash, both map-only, then the pigeonhole-banded Hamming pair join
+    * shared with text SimHash ([[graft.ops.Dedup.hammingPairs]]) — the
+    * image-dedup pass an LLM multimodal pipeline runs before training.
+    * Binary payloads never shuffle: only (media_id, 8-byte hash) enters
+    * the join. Exact copies always pair (identical bytes ⇒ identical
+    * hash); near-dup recall follows the banding guarantee. */
+  def nearDupMediaPairs(spark: SparkSession, media: DataFrame,
+                        maxHammingDistance: Int = 2,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    val sigs = extractFeatures(spark, media)
+      .map(f => (f.media_id, perceptualHash(f.feature)))
+      .toDF("media_id", "phash")
+    graft.ops.Dedup.hammingPairs(sigs, "media_id", "phash",
+      maxHammingDistance, maxBucketSize)
+  }
+
   /** Metadata-only stats: never touches `bytes` — verify with explain()
     * that ReadSchema excludes the binary column. */
   def mediaStats(media: DataFrame): DataFrame =

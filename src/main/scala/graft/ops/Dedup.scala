@@ -276,19 +276,36 @@ object Dedup {
     require(maxHammingDistance >= 0 && maxHammingDistance <= 31,
       "maxHammingDistance must be in [0, 31]")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigd = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
+      call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
+    hammingPairs(sigd, "doc_id", "sig", maxHammingDistance, maxBucketSize)
+  }
+
+  /** Pairs of ids whose 64-bit signatures lie within `maxHammingDistance`
+    * — the pigeonhole-banded core shared by every 64-bit locality hash
+    * (text SimHash above, image perceptual hash in
+    * [[graft.multimodal.Multimodal.nearDupMediaPairs]]): split the
+    * signature into d+1 chunks, any pair within distance d must agree on
+    * at least one chunk (exact recall within budget), so candidates come
+    * from chunk-value buckets, never an all-pairs join. Output columns:
+    * `<idCol>_a`, `<idCol>_b`, `hamming`. */
+  def hammingPairs(sigs: DataFrame, idCol: String = "doc_id",
+                   sigCol: String = "sig", maxHammingDistance: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxHammingDistance >= 0 && maxHammingDistance <= 31,
+      "maxHammingDistance must be in [0, 31]")
     val numChunks = maxHammingDistance + 1
     // chunk i covers [offsets(i), offsets(i) + widths(i)); widths differ
     // by at most 1 so the 64 bits are spread evenly
     val widths = Array.tabulate(numChunks)(i =>
       64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigd = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
-      call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
+    val sigd = sigs.select(col(idCol).as("__id"), col(sigCol).as("sig"))
     val chunkExprs = (0 until numChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask))
     }
-    val blocked = sigd.select(col("doc_id"), col("sig"),
+    val blocked = sigd.select(col("__id"), col("sig"),
       posexplode(array(chunkExprs: _*)).as(Seq("q_idx", "q_val")))
     // Optional skew guard: drop oversized buckets (correlated bits in
     // templated corpora make small chunks collide heavily). The default
@@ -307,15 +324,15 @@ object Dedup {
     // — streamed through a codegen'd bit_count filter vs materialized as
     // one giant array row.
     val a = guarded.select(col("q_idx"), col("q_val"),
-      col("doc_id").as("doc_id_a"), col("sig").as("sig_a"))
+      col("__id").as(s"${idCol}_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("q_idx"), col("q_val"),
-      col("doc_id").as("doc_id_b"), col("sig").as("sig_b"))
+      col("__id").as(s"${idCol}_b"), col("sig").as("sig_b"))
     a.join(b, Seq("q_idx", "q_val"))
-      .filter(col("doc_id_a") < col("doc_id_b"))
-      .select(col("doc_id_a"), col("doc_id_b"),
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHammingDistance)
-      .dropDuplicates("doc_id_a", "doc_id_b")
+      .dropDuplicates(s"${idCol}_a", s"${idCol}_b")
   }
 
   // ----------------------------------------------------- n-gram Jaccard

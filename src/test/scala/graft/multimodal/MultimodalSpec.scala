@@ -5,6 +5,33 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("perceptual-hash near-dup finds payload copies, skips distinct media") {
+    import org.apache.spark.sql.functions._
+    // controlled payloads: ids 1/2 share bytes (exact dup), 3 is a
+    // padded re-encode of the same content (histogram-identical after
+    // normalization → same phash), 4 concentrates mass elsewhere
+    val a = Array.tabulate[Byte](64)(i => (i % 8).toByte)
+    val b = Array.tabulate[Byte](192)(i => (i % 8).toByte) // a, repeated
+    val c = Array.fill[Byte](64)(200.toByte)
+    val media = Seq(
+      (1L, "image", a), (2L, "image", a), (3L, "image", b),
+      (4L, "image", c))
+      .toDF("media_id", "kind", "bytes")
+    val pairs = Multimodal.nearDupMediaPairs(spark, media,
+      maxHammingDistance = 0)
+      .select("media_id_a", "media_id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the planted-copy contract at scale: synthesized corpus + copies
+    val corpus = Multimodal.synthesize(spark, 200)
+    val planted = corpus.filter($"media_id" % 13 === 0)
+      .withColumn("media_id", $"media_id" + 100000)
+    val found = Multimodal.nearDupMediaPairs(spark,
+      corpus.unionByName(planted), maxHammingDistance = 0)
+      .filter($"media_id_b" === $"media_id_a" + 100000).count()
+    assert(found === corpus.filter($"media_id" % 13 === 0).count())
+  }
+
   test("synthesize produces the media schema with binary payloads") {
     val media = Multimodal.synthesize(spark, 30)
     // names + types must match the declared contract (nullability is

@@ -482,6 +482,28 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard4"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // Similarity: PQ ANN serving — vectors compressed to m codes
+    // (product quantization), query served by asymmetric distance over
+    // broadcast lookup tables: m table probes per row instead of a
+    // d-dim dot product, the billion-vector memory/computation shape
+    // (rows-only: codebooks are engine-specific; lossless-case equality
+    // with brute force pinned by SimilaritySpec).
+    "q_sim_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val nrm = Similarity.l2Norm(col("embedding").cast("array<double>"))
+      val normed = e.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x / nrm)
+          .as("embedding"))
+      val q0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val qn = math.sqrt(q0.map(x => x.toDouble * x).sum)
+      val q = q0.map(x => (x / qn).toFloat)
+      val cb = Similarity.pqTrain(normed, m = 8)
+      Similarity.pqTopK(
+        Similarity.pqEncode(normed.filter(col("vec_id") =!= 0), cb),
+        cb, q, 10)
+    }),
+
     // Multimodal 2: perceptual-hash near-dup over media payloads —
     // decode(stub) → 64-bit aHash → banded Hamming pair join; binary
     // payloads never shuffle. Rows-only (the synthesized media table

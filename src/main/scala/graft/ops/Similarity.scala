@@ -160,6 +160,124 @@ object Similarity {
       query, k, idCol, vecCol)
   }
 
+  // ----------------------------------------------------- product quantization
+
+  /** Trained PQ codebook: `m` subspaces × `k` centroids × `subDim`
+    * floats. ~m·k·subDim·4 bytes — broadcast-literal sized by
+    * construction (default 8×16×(d/8)). */
+  final case class PqCodebook(m: Int, k: Int, subDim: Int,
+                              centroids: Array[Array[Array[Float]]])
+
+  /** Product quantization (Jégou et al. 2011, the FAISS `PQ` stage):
+    * compress each vector to `m` small codes — one nearest-centroid id
+    * per subspace — so a billion-vector corpus serves from m bytes/row
+    * instead of 4·d. Training is a driver-side seeded Lloyd's run per
+    * subspace over a BOUNDED sample (like [[ivfIndex]]'s sampled fit;
+    * deterministic); encoding and serving are map-only Spark expressions
+    * against broadcast-literal codebooks — no UDFs, no shuffles.
+    *
+    * For cosine ranking, L2-NORMALIZE vectors before training/encoding
+    * and the query before [[pqTopK]] — inner product then equals cosine
+    * and the ADC tables stay exact-in-expectation. */
+  def pqTrain(embeddings: DataFrame, m: Int, k: Int = 16,
+              vecCol: String = "embedding", seed: Long = 42L,
+              sampleSize: Int = 10000, iters: Int = 10): PqCodebook = {
+    val sample = embeddings.select(col(vecCol).cast("array<float>"))
+      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide by m=$m")
+    val sub = dim / m
+    val centroids = Array.tabulate(m) { j =>
+      kmeansLocal(sample.map(_.slice(j * sub, (j + 1) * sub)),
+        k, iters, new scala.util.Random(seed + j))
+    }
+    PqCodebook(m, k, sub, centroids)
+  }
+
+  /** Seeded driver-local Lloyd's over a bounded sample: deterministic,
+    * zero Spark jobs (the sample already sits on the driver). Empty
+    * clusters keep their previous centroid. Initialization draws from
+    * DISTINCT sample points — when a subspace has ≤ k distinct patterns
+    * the codebook covers every one exactly and quantization is lossless
+    * (pinned by spec). */
+  private def kmeansLocal(points: Array[Array[Float]], k: Int, iters: Int,
+                          rnd: scala.util.Random): Array[Array[Float]] = {
+    val distinct = points.map(_.toSeq).distinct.map(_.toArray)
+    val kk = math.min(k, distinct.length)
+    var cents = rnd.shuffle(distinct.indices.toVector).take(kk)
+      .map(i => distinct(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](points.head.length))
+      val counts = new Array[Int](kk)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < p.length) {
+            val diff = p(i) - cents(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(s => (s / counts(c)).toFloat))
+    }
+    cents
+  }
+
+  /** Encode vectors to PQ codes: per subspace, the index of the nearest
+    * codebook centroid — all built-in expressions (slice + transform +
+    * aggregate + array_position), codegen'd, map-only; ties take the
+    * first centroid deterministically. Returns (idCol, codes). */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val vecD = col(vecCol).cast("array<double>")
+    val codeExprs = (0 until cb.m).map { j =>
+      val centLit = array(cb.centroids(j).map(c =>
+        array(c.map(x => lit(x.toDouble)): _*)): _*)
+      val subVec = slice(vecD, j * cb.subDim + 1, cb.subDim)
+      val dists = transform(centLit, c =>
+        aggregate(zip_with(subVec, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, v) => acc + v))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    embeddings.select(col(idCol), array(codeExprs: _*).as("codes"))
+  }
+
+  /** PQ top-k via asymmetric distance computation: the driver builds the
+    * m×k inner-product tables query-subvector × centroid once, and each
+    * row's approximate score is m table lookups summed — a codegen'd
+    * map-only pass over m-byte codes followed by TakeOrderedAndProject.
+    * Scores round to 4 decimals BEFORE the cut with an id tiebreak
+    * (stable top-k, as the other ANN paths). */
+  def pqTopK(codes: DataFrame, cb: PqCodebook, query: Seq[Float], k: Int,
+             idCol: String = "vec_id"): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val tables = Array.tabulate(cb.m) { j =>
+      cb.centroids(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < cb.subDim) { s += q(j * cb.subDim + i) * c(i); i += 1 }
+        s
+      }
+    }
+    val tableLit = array(tables.map(t =>
+      array(t.map(lit): _*)): _*)
+    val score = (0 until cb.m).map(j =>
+      element_at(element_at(tableLit, j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    codes.select(col(idCol), round(score, 4).as("pq_score4"))
+      .orderBy(col("pq_score4").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- SemDeDup
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

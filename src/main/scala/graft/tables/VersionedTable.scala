@@ -1362,6 +1362,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     commit("restore", e.fileSets, basedOn = rv, dvs = e.dvs)
   }
 
+  /** Delta `RESTORE TABLE … TO TIMESTAMP AS OF` analog: roll back to the
+    * newest version committed at or before `tsMillis` (the same version
+    * selection as [[asOf]] reads). */
+  def restoreAsOf(tsMillis: Long): LogEntry = {
+    val e = history.filter(_.tsMillis <= tsMillis).lastOption
+      .getOrElse(sys.error(s"no version as of $tsMillis at $root"))
+    restore(e.version)
+  }
+
   /** DELETE WHERE with data skipping: deletes rows with `column` in
     * [lower, upper] (optionally AND `extraCond`) by rewriting ONLY the
     * file-sets whose min/max stats overlap the range — every other

@@ -182,6 +182,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.select("vec_id").as[Long].collect().headOption === Some(5L))
   }
 
+  test("PQ quantizes losslessly when subspace patterns fit the codebook") {
+    import org.apache.spark.sql.functions._
+    // 2 subspaces × 4 distinct unit patterns each, scaled so every full
+    // vector is unit-norm → a k=4 codebook covers each subspace exactly
+    // and ADC scores EQUAL true inner products (= cosine)
+    val s2 = (1.0 / math.sqrt(2.0)).toFloat
+    val dirs = Seq(
+      Seq(s2, 0f, 0f, 0f), Seq(0f, s2, 0f, 0f),
+      Seq(0f, 0f, s2, 0f), Seq(0f, 0f, 0f, s2))
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, dirs(i % 4) ++ dirs((i / 4) % 4)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 2, k = 4)
+    val codes = Similarity.pqEncode(vecs, cb)
+    val q = vecs.filter($"vec_id" === 5).select("embedding")
+      .head().getSeq[Float](0)
+    val top = Similarity.pqTopK(codes, cb, q, 5)
+      .as[(Long, Double)].collect().toSeq
+    // ids 5 and 21 are identical vectors (pattern period 16): both score
+    // exactly 1.0, id tiebreak orders them
+    assert(top.take(2) === Seq((5L, 1.0), (21L, 1.0)))
+    // lossless quantization ⇒ the PQ ranking equals brute-force cosine
+    val exact = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.map(_._1) === exact)
+  }
+
   test("semDedup drops within-cluster semantic dups, keeping the centroid-farthest") {
     // two well-separated groups; group 1 = exact dup pair {1,2} + near
     // dup 3 (cos ≈ 0.995 to them), group 2 = exact dup pair {10,11}.

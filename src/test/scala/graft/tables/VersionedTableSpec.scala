@@ -309,6 +309,11 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.history.last.action === "restore")
     assert(t.readVersion(2).as[Int].collect().toSet === Set(9),
       "the rolled-back version must stay in history")
+    // TIMESTAMP AS OF form selects the same version an asOf read would
+    // (the newest entry's own timestamp — immune to same-millisecond
+    // neighbors — restores the restore, i.e. v1's content again)
+    t.restoreAsOf(t.history.last.tsMillis)
+    assert(t.read.as[Int].collect().toSet === Set(1, 2))
     // restoring past a vacuum must REFUSE, not commit a broken HEAD
     t.overwrite(Seq(7).toDF("id"))
     t.vacuum(retainVersions = 1)

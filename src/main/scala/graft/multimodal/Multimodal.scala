@@ -142,7 +142,11 @@ object Multimodal {
                         maxHammingDistance: Int = 2,
                         maxBucketSize: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    // payload-less media (null/empty bytes) all hash to the same empty
+    // histogram: content comparison is meaningless there, and without
+    // the guard every such pair would report as an exact duplicate
     val sigs = extractFeatures(spark, media)
+      .filter(_.n_bytes > 0)
       .map(f => (f.media_id, perceptualHash(f.feature)))
       .toDF("media_id", "phash")
     graft.ops.Dedup.hammingPairs(sigs, "media_id", "phash",

@@ -273,8 +273,6 @@ object Dedup {
                           idCol: String = "doc_id",
                           maxHammingDistance: Int = 3,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(maxHammingDistance >= 0 && maxHammingDistance <= 31,
-      "maxHammingDistance must be in [0, 31]")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigd = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))

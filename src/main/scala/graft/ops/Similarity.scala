@@ -182,8 +182,15 @@ object Similarity {
   def pqTrain(embeddings: DataFrame, m: Int, k: Int = 16,
               vecCol: String = "embedding", seed: Long = 42L,
               sampleSize: Int = 10000, iters: Int = 10): PqCodebook = {
-    val sample = embeddings.select(col(vecCol).cast("array<float>"))
-      .limit(sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    // seeded uniform sample (ivfIndex's scheme) — a limit() would train
+    // on whatever prefix the first partitions yield: biased to early
+    // sources and order-unstable across plans
+    val projected = embeddings.select(col(vecCol).cast("array<float>"))
+    val n = projected.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(n, 1L))
+    val sample = (if (frac >= 1.0) projected
+                  else projected.sample(frac, seed))
+      .collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide by m=$m")

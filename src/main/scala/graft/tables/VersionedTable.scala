@@ -370,9 +370,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * rewrites (compact/zorder/delete) skip re-enforcement: their rows
     * already passed at write time or at DDL time. */
   def addCheck(name: String, sqlExpr: String): Unit = {
-    require(!name.contains("\"") && !sqlExpr.contains("\"") &&
-      !name.contains("\n") && !sqlExpr.contains("\n"),
-      "check name/expr must not contain double quotes or newlines")
+    requireCleanNamedExpr(name, sqlExpr, "check")
     require(!checks.exists(_._1 == name), s"check $name already exists at $root")
     if (exists) {
       val bad = read.filter(!coalesce(expr(sqlExpr), lit(true))).count()
@@ -380,19 +378,29 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         s"cannot add CHECK $name ($sqlExpr) at $root: " +
           s"$bad existing row(s) violate it")
     }
-    writeChecks(checks :+ (name, sqlExpr))
+    writeNamedExprs(checksPath, "checks", checks :+ (name, sqlExpr))
   }
 
   def dropCheck(name: String): Unit =
-    writeChecks(checks.filterNot(_._1 == name))
+    writeNamedExprs(checksPath, "checks", checks.filterNot(_._1 == name))
 
-  private def writeChecks(cs: Seq[(String, String)]): Unit = {
+  /** Shared persistence for the (name, SQL expr) registries — CHECK
+    * constraints and generated columns use the identical hand-rolled
+    * JSON + atomic-replace scheme. */
+  private def requireCleanNamedExpr(name: String, sqlExpr: String,
+                                    what: String): Unit =
+    require(!name.contains("\"") && !sqlExpr.contains("\"") &&
+      !name.contains("\n") && !sqlExpr.contains("\n"),
+      s"$what name/expr must not contain double quotes or newlines")
+
+  private def writeNamedExprs(path: Path, key: String,
+                              entries: Seq[(String, String)]): Unit = {
     Files.createDirectories(Paths.get(root))
-    val body = cs.map { case (n, e) => s"""{"name":"$n","expr":"$e"}""" }
-      .mkString("""{"checks":[""", ",", "]}")
-    val tmp = Paths.get(root, s".tmp-checks-${UUID.randomUUID()}")
+    val body = entries.map { case (n, e) => s"""{"name":"$n","expr":"$e"}""" }
+      .mkString(s"""{"$key":[""", ",", "]}")
+    val tmp = Paths.get(root, s".tmp-$key-${UUID.randomUUID()}")
     Files.writeString(tmp, body)
-    Files.move(tmp, checksPath, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Per-row enforcement projection: rows passing every check (or
@@ -402,7 +410,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * codegen'd predicate per row per check, zero extra passes.
     * Generated columns apply FIRST (a check may reference one). */
   private def withCheckEnforcement(df: DataFrame): DataFrame =
-    checks.foldLeft(withGeneratedColumns(df)) { case (d, (n, e)) =>
+    checksOnly(withGeneratedColumns(df))
+
+  /** Write-path enforcement for frames whose generated-column SOURCE
+    * values may have just changed (UPDATE assignments, merge
+    * updateExprs post-images): generated columns RECOMPUTE — Delta's
+    * UPDATE/MERGE semantics for GENERATED ALWAYS AS — where plain
+    * ingest ([[withCheckEnforcement]]) enforces a supplied value. */
+  private def withCheckEnforcementRecomputing(df: DataFrame): DataFrame =
+    checksOnly(generatedColumns.foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d.withColumn(n, expr(e)) else d
+    })
+
+  private def checksOnly(df: DataFrame): DataFrame =
+    checks.foldLeft(df) { case (d, (n, e)) =>
       d.filter(when(coalesce(expr(e), lit(true)), lit(true))
         .otherwise(raise_error(concat(
           lit(s"CHECK constraint $n ($e) violated by row "),
@@ -430,9 +451,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * [[addCheck]]); refused if existing data LACKS the column — that
     * would need a retroactive rewrite, same restriction as Delta. */
   def addGeneratedColumn(name: String, sqlExpr: String): Unit = {
-    require(!name.contains("\"") && !sqlExpr.contains("\"") &&
-      !name.contains("\n") && !sqlExpr.contains("\n"),
-      "generated column name/expr must not contain double quotes or newlines")
+    requireCleanNamedExpr(name, sqlExpr, "generated column")
     require(!generatedColumns.exists(_._1 == name),
       s"generated column $name already exists at $root")
     if (exists && history.last.fileSets.nonEmpty) {
@@ -445,13 +464,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         s"cannot add generated column $name ($sqlExpr) at $root: " +
           s"$bad existing row(s) disagree with the expression")
     }
-    val body = (generatedColumns :+ (name, sqlExpr))
-      .map { case (n, e) => s"""{"name":"$n","expr":"$e"}""" }
-      .mkString("""{"generated":[""", ",", "]}")
-    Files.createDirectories(Paths.get(root))
-    val tmp = Paths.get(root, s".tmp-gen-${UUID.randomUUID()}")
-    Files.writeString(tmp, body)
-    Files.move(tmp, generatedPath, StandardCopyOption.ATOMIC_MOVE)
+    writeNamedExprs(generatedPath, "generated",
+      generatedColumns :+ (name, sqlExpr))
   }
 
   /** Compute-when-absent, enforce-when-present (null-safe equality:
@@ -1359,6 +1373,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     require(missing.isEmpty,
       s"cannot restore to version $v at $root: file-sets vacuumed: " +
         missing.mkString(", "))
+    // generated columns declared AFTER version v was written: a schema
+    // missing the column would silently serve null/absent values next to
+    // newly computed ones — refuse (values already present were
+    // validated when written or declared; only absence is dangerous).
+    // Footer-bounded: one schema resolution, no data read.
+    if (generatedColumns.nonEmpty && e.fileSets.nonEmpty) {
+      val cols = readFileSets(e.fileSets).columns.toSet
+      val absent = generatedColumns.map(_._1).filterNot(cols.contains)
+      require(absent.isEmpty, s"cannot restore to version $v at $root: " +
+        s"its rows lack generated column(s) ${absent.mkString(",")}")
+    }
     commit("restore", e.fileSets, basedOn = rv, dvs = e.dvs)
   }
 
@@ -1542,7 +1567,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         case None => col(f.name)
       }
     }: _*)
-    withCheckEnforcement(projected)
+    // assignments may change a generated column's SOURCE: recompute the
+    // derivation on the post-image instead of enforcing the stale value
+    withCheckEnforcementRecomputing(projected)
   }
 
   /** UPDATE … SET WHERE, copy-on-write (Delta `UPDATE`): rewrites the
@@ -1730,7 +1757,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // updateExprs computes NEW post-image values (t+u …) that neither
       // side was checked for — enforce on the merged frame; the plain
       // upsert needs nothing (both sides passed when written/staged)
-      if (updateExprs.isEmpty) r else withCheckEnforcement(r)
+      if (updateExprs.isEmpty) r else withCheckEnforcementRecomputing(r)
     }
     try {
       if (bucketSpec.isEmpty) {
@@ -1934,8 +1961,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       listDir(p).map(c => if (Files.isDirectory(c)) dirSize(c) else Files.size(c)).sum
     val (small, large) = snap.fileSets
       .partition(fs => dirSize(dataDir.resolve(fs)) < maxBytes)
-    if (small.length <= 1) // nothing to fold
-      return commit("compact", snap.fileSets, basedOn = rv, dvs = snap.dvs)
+    // nothing to fold: NO new version (a nightly no-op run must not push
+    // real restore targets out of the vacuum retention window)
+    if (small.length <= 1) return snap
     val folded = readSets(small, snap.dvs)
     val statsCols = small.flatMap(fs => readStatsSidecar(fs).keys).distinct
     val newSet = writeFileSetPreservingLayout(folded)

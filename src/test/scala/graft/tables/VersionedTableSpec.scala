@@ -472,6 +472,17 @@ class VersionedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t3.addGeneratedColumn("tripled", "v * 3")         // column absent
     }
+    // UPDATE of a source column RECOMPUTES the derivation (Delta UPDATE
+    // semantics) instead of rejecting the now-stale generated value
+    t3.update(Map("v" -> lit(10)), $"v" === 1)
+    assert(t3.read.as[(Int, Int)].collect().toSeq === Seq((10, 20)))
+    // restore cannot resurrect a version predating the declaration
+    val t4 = VersionedTable(spark, tmpDir("vt-genr-"))
+    t4.append(Seq(1).toDF("v"))                         // v0: no gen col
+    t4.overwrite(Seq((2, 4)).toDF("v", "doubled"))      // v1: carries it
+    t4.addGeneratedColumn("doubled", "v * 2")
+    intercept[IllegalArgumentException] { t4.restore(0) }
+    assert(t4.read.as[(Int, Int)].collect().toSeq === Seq((2, 4)))
   }
 
   test("compactSmall folds only sub-threshold file-sets") {
@@ -486,11 +497,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(after.contains(large), "the large file-set must carry verbatim")
     assert(after.length === 2, s"4 small file-sets fold into one: $after")
     assert(t.read.count() === 100004)
-    // DV entries on folded file-sets materialize through the fold
-    t.deleteVectors($"id" === 200001L)
+    // DV entries on folded file-sets materialize through the fold: add
+    // a fresh small file-set so there are TWO to fold (a single small
+    // file-set is the no-op early return — which must also not commit)
+    val vNoop = t.latestVersion
     t.compactSmall(maxBytes = 64 * 1024)
-    assert(t.read.count() === 100003)
+    assert(t.latestVersion === vNoop, "no-op compactSmall must not commit")
+    t.deleteVectors($"id" === 200001L)
+    t.append(Seq(300000L).toDF("id"))
+    t.compactSmall(maxBytes = 64 * 1024)
+    assert(t.history.last.fileSets.length === 2)
+    assert(t.read.count() === 100004)
     assert(t.read.filter($"id" === 200001L).count() === 0)
+    // the deleted row is gone from the DATA too, not just masked: a raw
+    // read of the folded file-sets without the vector finds nothing
+    val raw = t.history.last.fileSets
+      .map(fs => spark.read.parquet(
+        java.nio.file.Paths.get(t.root, "data", fs).toString))
+      .reduce(_.unionByName(_))
+    assert(raw.filter($"id" === 200001L).count() === 0)
   }
 
   test("bloom sidecars prune point lookups where min/max stats cannot") {

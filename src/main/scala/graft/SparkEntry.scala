@@ -482,6 +482,26 @@ object SparkEntry {
           round(col("jaccard"), 4).as("jaccard4"))
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // DQ: expectations with quarantine (Delta Live Tables expect_or_drop
+    // + quarantine pattern): one projection computes every rule verdict,
+    // failing rows leave the pipeline tagged with the rules they broke
+    // — never silently dropped — and passing rows flow on untouched.
+    "q_dq_expectations" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_discount", "l_tax")
+      val (passed, quarantined) = graft.fpl.DQ.expectations(l, Seq(
+        "qty_small" -> "l_quantity <= 30",
+        "disc_low" -> "l_discount <= 0.05",
+        "tax_low" -> "l_tax <= 0.04"))
+      quarantined
+        .select(explode(col("_failed_expectations")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n_failed"))
+        .unionByName(passed.agg(lit("__passed").as("rule"),
+          count(lit(1)).as("n_failed")))
+        .filter(col("n_failed") > 0)
+        .orderBy("rule")
+    }),
+
     // Similarity: PQ ANN serving — vectors compressed to m codes
     // (product quantization), query served by asymmetric distance over
     // broadcast lookup tables: m table probes per row instead of a
@@ -2216,6 +2236,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price2
         |FROM orders WHERE o_custkey IN (7, 11, 13)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_dq_expectations" ->
+      """WITH f AS (
+        |  SELECT 'qty_small' AS rule, CAST(count(*) AS BIGINT) AS n_failed
+        |  FROM lineitem WHERE NOT coalesce(l_quantity <= 30, TRUE)
+        |  UNION ALL
+        |  SELECT 'disc_low', count(*)
+        |  FROM lineitem WHERE NOT coalesce(l_discount <= 0.05, TRUE)
+        |  UNION ALL
+        |  SELECT 'tax_low', count(*)
+        |  FROM lineitem WHERE NOT coalesce(l_tax <= 0.04, TRUE)
+        |  UNION ALL
+        |  SELECT '__passed', count(*)
+        |  FROM lineitem WHERE coalesce(l_quantity <= 30, TRUE)
+        |    AND coalesce(l_discount <= 0.05, TRUE)
+        |    AND coalesce(l_tax <= 0.04, TRUE))
+        |SELECT rule, n_failed FROM f WHERE n_failed > 0
+        |ORDER BY rule""".stripMargin,
 
     "q_m14_generated" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,

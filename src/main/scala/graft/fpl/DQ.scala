@@ -51,6 +51,31 @@ object DQ {
     if (df.limit(1).count() == 0)
       throw new DQException(s"DQ fail: $name is empty")
 
+  /** Delta-Live-Tables-style EXPECTATIONS with quarantine routing: each
+    * rule is (name, SQL predicate); a row PASSES when every predicate is
+    * true-or-NULL (CHECK semantics). Returns (passed, quarantined) —
+    * quarantined rows carry `_failed_expectations`, the array of rule
+    * names they broke, so a quarantine table is debuggable row-by-row.
+    * The DLT middle ground between `expect` (log and keep) and
+    * `expect_or_fail` (the assert* gates above): bad rows leave the
+    * pipeline without killing it, and nothing is silently dropped.
+    *
+    * One codegen'd projection computes all verdicts; both returned
+    * frames filter the SAME lineage, so a caller writing passed+
+    * quarantine reads the source twice (or persists it — their call);
+    * no shuffle, no driver collect. */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, String)]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    val failed = array_compact(array(rules.map { case (n, e) =>
+      when(!coalesce(expr(e), lit(true)), lit(n))
+    }: _*))
+    val tagged = df.withColumn("_failed_expectations", failed)
+    (tagged.filter(size(col("_failed_expectations")) === 0)
+       .drop("_failed_expectations"),
+      tagged.filter(size(col("_failed_expectations")) > 0))
+  }
+
   /** Non-throwing variant: one pass over the data computing all key checks,
     * for reporting pipelines (reference's validation unions,
     * 31_build_silver_dims.py:346-358). */

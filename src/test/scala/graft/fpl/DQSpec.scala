@@ -7,6 +7,27 @@ class DQSpec extends SparkSpec {
 
   private def clean = Seq((1, "a"), (2, "b")).toDF("id", "v")
 
+  test("expectations split pass/quarantine and tag the broken rules") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1, Some(5)),   // passes both
+      (2, Some(-1)),  // breaks v_pos
+      (3, None),      // NULL predicate: passes (CHECK semantics)
+      (4, Some(99)),  // breaks v_pos AND v_small
+    ).toDF("id", "v")
+    val (passed, quarantined) = DQ.expectations(df, Seq(
+      "v_pos" -> "v > 0 AND v < 90",
+      "v_small" -> "coalesce(v, 0) < 50"))
+    assert(passed.select("id").as[Int].collect().sorted.toSeq === Seq(1, 3))
+    assert(!passed.columns.contains("_failed_expectations"))
+    val q = quarantined
+      .select($"id", $"_failed_expectations")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(q === Map(2 -> Seq("v_pos"), 4 -> Seq("v_pos", "v_small")))
+    // nothing dropped: the two sides partition the input
+    assert(passed.count() + quarantined.count() === df.count())
+  }
+
   test("gates pass on clean data") {
     DQ.assertPk(clean, "id", "t")
     DQ.assertNonEmpty(clean, "t")

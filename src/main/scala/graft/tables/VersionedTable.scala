@@ -208,10 +208,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // bucketed tables report the SPEC's partition keys only — the hive
       // layout record applies solely to non-bucketed tables
       spec.map(_.partitionKeys.mkString(","))
-        .getOrElse(partitionLayout.mkString(","))))
+        .getOrElse(partitionLayout.mkString(",")),
+      e.dvs.length, changeFeedEnabled, checks.length,
+      generatedColumns.length))
       .toDF("location", "version", "last_modified", "num_file_sets",
         "num_files", "size_bytes", "num_buckets", "bucket_keys",
-        "partition_columns")
+        "partition_columns", "num_deletion_vectors", "change_feed_enabled",
+        "num_checks", "num_generated_columns")
   }
 
   /** Read-modify-write commit: `fileSets` was derived by READING snapshot
@@ -2023,26 +2026,29 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * versions (older versions stop being time-travelable, as with Delta
     * VACUUM). */
   def vacuum(retainVersions: Int = 1): Unit = {
-    val h = history
-    val keep = h.takeRight(retainVersions).flatMap(_.fileSets).toSet
-    listDir(dataDir)
-      .filterNot(p => keep.contains(p.getFileName.toString))
-      .foreach(deleteRecursively)
-    // deletion vectors unreferenced by any retained version (purged,
-    // superseded, or orphaned by a crashed deleteVectors)
-    val keepDvs = h.takeRight(retainVersions).flatMap(_.dvs).toSet
-    listDir(dvDir)
-      .filterNot(p => keepDvs.contains(p.getFileName.toString))
-      .foreach(deleteRecursively)
-    // change-feed sets follow the same retention as data file-sets
-    // (Delta VACUUM reclaims CDC files past retention identically);
-    // feed reads past the cliff error explicitly, never misreport
-    val keepCdf = h.takeRight(retainVersions).flatMap(_.cdf).toSet
-    listDir(changesDir)
-      .filterNot(p => keepCdf.contains(p.getFileName.toString))
-      .foreach(deleteRecursively)
+    vacuumDryRun(retainVersions)
+      .foreach(rel => deleteRecursively(Paths.get(root).resolve(rel)))
     // orphaned staging from crashed writers (never referenced by the log)
     listDir(stagingDir).foreach(deleteRecursively)
+  }
+
+  /** What [[vacuum]] would reclaim — root-relative paths of data
+    * file-sets, deletion vectors (purged, superseded, or orphaned by a
+    * crashed writer) and change-feed sets unreachable from the retained
+    * versions (CDC follows data retention, as Delta VACUUM does; feed
+    * reads past the cliff error explicitly, never misreport). Delta's
+    * `VACUUM … DRY RUN`: inspect the blast radius before deleting. */
+  def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
+    val h = history
+    val retained = h.takeRight(retainVersions)
+    val keep = retained.flatMap(_.fileSets).toSet
+    val keepDvs = retained.flatMap(_.dvs).toSet
+    val keepCdf = retained.flatMap(_.cdf).toSet
+    def under(dir: Path, name: String, keepNames: Set[String]) =
+      listDir(dir).filterNot(p => keepNames.contains(p.getFileName.toString))
+        .map(p => s"$name/${p.getFileName}")
+    (under(dataDir, "data", keep) ++ under(dvDir, "_dv", keepDvs) ++
+      under(changesDir, "_changes", keepCdf)).sorted
   }
 
   private def deleteRecursively(p: Path): Unit = {

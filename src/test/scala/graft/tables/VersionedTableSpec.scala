@@ -1148,6 +1148,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(d._4 === "id")
     assert(d._5 === "snapshot_date")
     assert(t.detailDf.select("size_bytes").as[Long].head() > 0L)
+    // table-feature columns reflect declared state
+    t.enableChangeFeed()
+    t.addCheck("id_pos", "id >= 0")
+    import org.apache.spark.sql.functions.col
+    t.deleteVectors(col("id") === 3L)
+    assert(t.detailDf.select("num_deletion_vectors", "change_feed_enabled",
+      "num_checks", "num_generated_columns")
+      .as[(Int, Boolean, Int, Int)].head() === ((1, true, 1, 0)))
+  }
+
+  test("vacuumDryRun previews exactly what vacuum reclaims") {
+    val t = VersionedTable(spark, tmpDir("vt-vacdry-"))
+    t.append(Seq(1).toDF("id"))
+    t.overwrite(Seq(2).toDF("id"))
+    val preview = t.vacuumDryRun(retainVersions = 1)
+    assert(preview.nonEmpty && preview.forall(_.startsWith("data/")))
+    preview.foreach(rel => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t.root).resolve(rel)), s"$rel must exist pre-vacuum"))
+    t.vacuum(retainVersions = 1)
+    preview.foreach(rel => assert(java.nio.file.Files.notExists(
+      java.nio.file.Paths.get(t.root).resolve(rel)), s"$rel must be reclaimed"))
+    assert(t.read.as[Int].collect().toSeq === Seq(2))
+    assert(t.vacuumDryRun(retainVersions = 1).isEmpty)
   }
 
   test("historyDf exposes DESCRIBE HISTORY as a relation") {

@@ -489,15 +489,18 @@ object SparkEntry {
     "q_dq_expectations" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity", "l_discount", "l_tax")
-      val (passed, quarantined) = graft.fpl.DQ.expectations(l, Seq(
-        "qty_small" -> "l_quantity <= 30",
-        "disc_low" -> "l_discount <= 0.05",
-        "tax_low" -> "l_tax <= 0.04"))
-      quarantined
-        .select(explode(col("_failed_expectations")).as("rule"))
+      // ONE scan: the tagged frame reports passed rows as '__passed' and
+      // failing rows once per broken rule (the two-frame split would
+      // re-read the source per side)
+      graft.fpl.DQ.expectationsTagged(l, Seq(
+          "qty_small" -> "l_quantity <= 30",
+          "disc_low" -> "l_discount <= 0.05",
+          "tax_low" -> "l_tax <= 0.04"))
+        .select(explode(
+          when(size(col("_failed_expectations")) === 0,
+            array(lit("__passed")))
+            .otherwise(col("_failed_expectations"))).as("rule"))
         .groupBy("rule").agg(count(lit(1)).as("n_failed"))
-        .unionByName(passed.agg(lit("__passed").as("rule"),
-          count(lit(1)).as("n_failed")))
         .filter(col("n_failed") > 0)
         .orderBy("rule")
     }),

@@ -66,14 +66,26 @@ object DQ {
     * no shuffle, no driver collect. */
   def expectations(df: DataFrame,
                    rules: Seq[(String, String)]): (DataFrame, DataFrame) = {
-    require(rules.nonEmpty, "expectations needs at least one rule")
-    val failed = array_compact(array(rules.map { case (n, e) =>
-      when(!coalesce(expr(e), lit(true)), lit(n))
-    }: _*))
-    val tagged = df.withColumn("_failed_expectations", failed)
+    val tagged = expectationsTagged(df, rules)
     (tagged.filter(size(col("_failed_expectations")) === 0)
        .drop("_failed_expectations"),
       tagged.filter(size(col("_failed_expectations")) > 0))
+  }
+
+  /** The tagged intermediate of [[expectations]]: every input row with
+    * its `_failed_expectations` array (empty = passed). For single-pass
+    * consumers — a pass/quarantine split of the two filtered frames
+    * otherwise re-reads the source once per side. */
+  def expectationsTagged(df: DataFrame,
+                         rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(!df.columns.contains("_failed_expectations"),
+      "input already carries _failed_expectations — re-validating a " +
+        "quarantine frame would silently clobber its original verdicts")
+    val failed = array_compact(array(rules.map { case (n, e) =>
+      when(!coalesce(expr(e), lit(true)), lit(n))
+    }: _*))
+    df.withColumn("_failed_expectations", failed)
   }
 
   /** Non-throwing variant: one pass over the data computing all key checks,

@@ -2025,19 +2025,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** VACUUM: delete file-sets unreachable from the last `retainVersions`
     * versions (older versions stop being time-travelable, as with Delta
     * VACUUM). */
-  def vacuum(retainVersions: Int = 1): Unit = {
+  def vacuum(retainVersions: Int = 1): Unit =
     vacuumDryRun(retainVersions)
       .foreach(rel => deleteRecursively(Paths.get(root).resolve(rel)))
-    // orphaned staging from crashed writers (never referenced by the log)
-    listDir(stagingDir).foreach(deleteRecursively)
-  }
 
   /** What [[vacuum]] would reclaim — root-relative paths of data
     * file-sets, deletion vectors (purged, superseded, or orphaned by a
-    * crashed writer) and change-feed sets unreachable from the retained
+    * crashed writer), change-feed sets unreachable from the retained
     * versions (CDC follows data retention, as Delta VACUUM does; feed
-    * reads past the cliff error explicitly, never misreport). Delta's
-    * `VACUUM … DRY RUN`: inspect the blast radius before deleting. */
+    * reads past the cliff error explicitly, never misreport), and
+    * orphaned staging from crashed writers. Delta's `VACUUM … DRY RUN`:
+    * inspect the blast radius before deleting — vacuum deletes EXACTLY
+    * this list, so the preview can never under-report. */
   def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
     val h = history
     val retained = h.takeRight(retainVersions)
@@ -2048,7 +2047,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       listDir(dir).filterNot(p => keepNames.contains(p.getFileName.toString))
         .map(p => s"$name/${p.getFileName}")
     (under(dataDir, "data", keep) ++ under(dvDir, "_dv", keepDvs) ++
-      under(changesDir, "_changes", keepCdf)).sorted
+      under(changesDir, "_changes", keepCdf) ++
+      under(stagingDir, "_staging", Set.empty)).sorted
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -26,6 +26,10 @@ class DQSpec extends SparkSpec {
     assert(q === Map(2 -> Seq("v_pos"), 4 -> Seq("v_pos", "v_small")))
     // nothing dropped: the two sides partition the input
     assert(passed.count() + quarantined.count() === df.count())
+    // re-validating a quarantine frame must refuse, not clobber verdicts
+    intercept[IllegalArgumentException] {
+      DQ.expectations(quarantined, Seq("again" -> "true"))
+    }
   }
 
   test("gates pass on clean data") {

@@ -1151,7 +1151,6 @@ class VersionedTableSpec extends SparkSpec {
     // table-feature columns reflect declared state
     t.enableChangeFeed()
     t.addCheck("id_pos", "id >= 0")
-    import org.apache.spark.sql.functions.col
     t.deleteVectors(col("id") === 3L)
     assert(t.detailDf.select("num_deletion_vectors", "change_feed_enabled",
       "num_checks", "num_generated_columns")

@@ -263,6 +263,52 @@ case class LshBucketId(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** array<double> vector × literal centroids → index (int) of the nearest
+  * centroid by squared L2; ties keep the lowest index. One tight loop per
+  * row, replacing the transform+array_position HOF pair (interpreted per
+  * element — nCells × dim lambda dispatches per row). Degenerate inputs
+  * (NULL vector, NULL element, dimension mismatch vs every centroid)
+  * assign cell 0, mirroring the HOF formulation where a NULL distance
+  * never wins `array_min`. */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0
+    val vec = v.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return 0; i += 1 }
+    val arr = new Array[Double](n)
+    i = 0
+    while (i < n) { arr(i) = vec.getDouble(i); i += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var d = 0.0d
+        var j = 0
+        while (j < n && d < bestD) {
+          val diff = arr(j) - cent(j); d += diff * diff; j += 1
+        }
+        if (j == n && d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
 /** Session registration for the custom expressions, so plans can call them
   * via `call_function("graft_minhash", shingles, lit(k))`. Idempotent. */
 object GraftFunctions {
@@ -317,6 +363,19 @@ object GraftFunctions {
           LshBucketId(vec, planes)
         case _ => throw new IllegalArgumentException(
           "usage: graft_lsh_bucket(array<double>, <array<array<double>> literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(vec, cl @ Literal(_, ArrayType(ArrayType(DoubleType, _), _))) =>
+          val cents = cl.value.asInstanceOf[ArrayData]
+            .toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray())
+          NearestCell(vec, cents)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_nearest_cell(array<double>, <array<array<double>> literal>)")
       })
 
     registry.registerFunction(

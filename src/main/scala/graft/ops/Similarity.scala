@@ -129,25 +129,46 @@ object Similarity {
       }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
   }
 
-  /** Build an IVF index over an embedding table (map-only assignment after
-    * a sampled KMeans fit). */
+  /** Build an IVF index over an embedding table: a seeded DRIVER-LOCAL
+    * Lloyd's fit over a bounded sample (zero Spark jobs beyond the count
+    * and the sample collect — a distributed KMeans here launches dozens of
+    * tiny jobs whose scheduler round-trips dominate on a contended
+    * cluster), then a single map-side assignment pass via the
+    * `graft_nearest_cell` expression against the broadcast-literal
+    * centroids. The sample is driver-sized by construction
+    * (`trainSampleSize`), exactly like [[pqTrain]]'s codebook fit.
+    *
+    * `knownCount` skips the count job when the caller already has it. */
   def ivfIndex(embeddings: DataFrame, nCells: Int, idCol: String = "vec_id",
                vecCol: String = "embedding", seed: Long = 42L,
-               trainSampleSize: Int = 100000): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    val asVec = embeddings.select(col(idCol), col(vecCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
-    val n = embeddings.count()
-    val trainFrac = math.min(1.0, trainSampleSize.toDouble / math.max(n, 1L))
-    val train = if (trainFrac >= 1.0) asVec else asVec.sample(trainFrac, seed)
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__features").setPredictionCol("ivf_cell")
-      .fit(train)
-    val assigned = model.transform(asVec)
-      .select(col(idCol), col(vecCol), col("ivf_cell"))
-    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+               trainSampleSize: Int = 100000, knownCount: Long = -1L): IvfIndex = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val projected = embeddings.select(col(vecCol).cast("array<float>"))
+    val n = if (knownCount >= 0L) knownCount else projected.count()
+    val frac = math.min(1.0, trainSampleSize.toDouble / math.max(n, 1L))
+    val sample = (if (frac >= 1.0) projected else projected.sample(frac, seed))
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "ivfIndex needs a non-empty corpus")
+    val cents = kmeansLocal(sample, nCells, iters = 10,
+      new scala.util.Random(seed)).map(_.map(_.toDouble))
+    val centLit = typedlit(cents.map(_.toSeq).toSeq)
+    val assigned = embeddings.select(col(idCol), col(vecCol),
+      call_function("graft_nearest_cell",
+        col(vecCol).cast("array<double>"), centLit).as("ivf_cell"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** The built-in higher-order formulation of the `graft_nearest_cell`
+    * assignment (the semantic reference the custom expression is pinned
+    * against in SimilaritySpec — same distance, same lowest-index
+    * tiebreak via array_position-of-min). */
+  private[ops] def nearestCellHof(vec: Column,
+                                  centroids: Array[Array[Double]]): Column = {
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(centLit, c =>
+      aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** IVF ANN top-k: scan only the `nProbe` nearest cells, exact re-rank.
@@ -308,13 +329,25 @@ object Similarity {
     * the paper's own approximation. At larger scale, persist the
     * assignment cell-partitioned ([[writeIvfTable]]) and dedup per cell.
     *
+    * `nClusters` is a FLOOR, not the cell count: the effective k is
+    * `max(nClusters, ceil(n / targetCellSize))` ([[effectiveClusters]]),
+    * so cells stay ~`targetCellSize` vectors as the corpus grows and the
+    * within-cell self-join is O(n · targetCellSize) — linear in n — not
+    * O((n/k)² · k), which at a fixed k grows quadratically with a 100×
+    * corpus. (The paper's k ∝ corpus size; k≈√N yields √N-sized cells —
+    * a fixed target cell size is the same bound with an explicit memory
+    * knob.)
+    *
     * Returns the KEPT rows of `embeddings`, all original columns. */
   def semDedup(embeddings: DataFrame, nClusters: Int, tau: Double,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               seed: Long = 42L, trainSampleSize: Int = 100000): DataFrame = {
-    val idx = ivfIndex(embeddings, nClusters, idCol, vecCol, seed,
-      trainSampleSize)
-    val centLit = array(idx.centroids.map(c => array(c.map(lit): _*)): _*)
+               seed: Long = 42L, trainSampleSize: Int = 100000,
+               targetCellSize: Int = 4096): DataFrame = {
+    val n = embeddings.count()
+    val k = effectiveClusters(n, nClusters, targetCellSize)
+    val idx = ivfIndex(embeddings, k, idCol, vecCol, seed,
+      trainSampleSize, knownCount = n)
+    val centLit = typedlit(idx.centroids.map(_.toSeq).toSeq)
     val vecD = col(vecCol).cast("array<double>")
     val pts = idx.assigned.withColumn("__cent_sim",
       cosine(vecD, element_at(centLit, col("ivf_cell") + 1)))
@@ -330,6 +363,18 @@ object Similarity {
       .filter(cosine(col("vec_a"), col("vec_b")) >= tau)
       .select(col("id_a").as(idCol)).distinct()
     embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** [[semDedup]]'s cell-count rule: the caller's `floorClusters` is a
+    * minimum; above `floorClusters * targetCellSize` vectors the cell
+    * count grows linearly with n so the expected cell size — and with it
+    * the per-cell pair count — stays constant. Doubling the corpus
+    * doubles cells (and pairs), never quadruples pairs. */
+  def effectiveClusters(n: Long, floorClusters: Int, targetCellSize: Int): Int = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    val scaled = math.ceil(n.toDouble / targetCellSize)
+      .min(Int.MaxValue.toDouble).toInt
+    math.max(floorClusters, scaled)
   }
 
   // ------------------------------------------------- persisted serving path

@@ -209,6 +209,62 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._1) === exact)
   }
 
+  test("graft_nearest_cell expression == higher-order formulation on well-formed input") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 400).map(i =>
+      (i.toLong, Seq.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Array.fill(6)(Array.fill(12)(rnd.nextGaussian()))
+    val centLit = typedlit(cents.map(_.toSeq).toSeq)
+    val mismatches = df.select(
+        call_function("graft_nearest_cell",
+          col("embedding").cast("array<double>"), centLit).as("fast"),
+        Similarity.nearestCellHof(
+          col("embedding").cast("array<double>"), cents).as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
+  test("ivfIndex fit is driver-local: bounded Spark job count") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 500).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val sc = spark.sparkContext
+    sc.setJobGroup("ivf-fit-pin", "ivfIndex job-count pin")
+    try {
+      val idx = Similarity.ivfIndex(df, nCells = 8)
+      idx.assigned.count() // one assignment pass
+    } finally sc.clearJobGroup()
+    // status updates are listener-fed: poll briefly for a stable count
+    val deadline = System.nanoTime() + 10_000_000_000L
+    var jobs = sc.statusTracker.getJobIdsForGroup("ivf-fit-pin").length
+    while (jobs == 0 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      jobs = sc.statusTracker.getJobIdsForGroup("ivf-fit-pin").length
+    }
+    // count + sample-collect + assignment ≈ 3; a distributed Lloyd's fit
+    // would be dozens (its per-iteration jobs are the latency fragility
+    // this pin exists to keep out)
+    assert(jobs >= 1 && jobs <= 5,
+      s"ivfIndex ran $jobs jobs — distributed fit crept back in?")
+  }
+
+  test("semDedup cell count scales with corpus size (bounded per-cell pairs)") {
+    // floor respected on small corpora
+    assert(Similarity.effectiveClusters(100, 32, 4096) === 32)
+    assert(Similarity.effectiveClusters(0, 2, 4096) === 2)
+    val k1 = Similarity.effectiveClusters(1L << 20, 32, 4096)
+    val k2 = Similarity.effectiveClusters(1L << 21, 32, 4096)
+    assert(k1 === 256 && k2 === 512) // doubling n doubles cells…
+    // …so total expected within-cell pairs ~ n²/k grow linearly with n,
+    // never quadratically (the fixed-k failure mode)
+    val pairs1 = (1L << 20).toDouble * (1L << 20) / k1
+    val pairs2 = (1L << 21).toDouble * (1L << 21) / k2
+    assert(pairs2 / pairs1 === 2.0)
+  }
+
   test("semDedup drops within-cluster semantic dups, keeping the centroid-farthest") {
     // two well-separated groups; group 1 = exact dup pair {1,2} + near
     // dup 3 (cos ≈ 0.995 to them), group 2 = exact dup pair {10,11}.

@@ -833,6 +833,60 @@ object SparkEntry {
       Similarity.ivfProbeTopK(s, path, q, k = 10, nProbe = 4)
     }),
 
+    // IVF exactness witness: probing ALL cells degenerates to brute-force
+    // cosine top-k (FAISS IVF-Flat's nProbe=nlist contract) — the one ANN
+    // configuration a SQL oracle CAN replay exactly, so the full serving
+    // path (sidecar centroids, hive partition layout, probe-read, the
+    // round-before-cut tie discipline) is hash-checked end-to-end, not
+    // just spec-pinned. Shares q_sim_ivf_topk's cached serving table.
+    "q_sim_ivf_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val path = cachedServingTable("ivf",
+        s"$dir-c16-${sourceFingerprint(s"$dir/embeddings.parquet")}") { staging =>
+        Similarity.writeIvfTable(e.filter(col("vec_id") =!= 0), staging,
+          nCells = 16)
+      }
+      Similarity.ivfProbeTopK(s, path, q, k = 10, nProbe = 16)
+    }),
+
+    // PQ lossless-case witness: a block-structured corpus derived from the
+    // embeddings ids — two 4-dim subspaces, each a one-hot pattern at
+    // (vec_id%4) resp. (floor(vec_id/4)%4) scaled by 0.25*((vec_id%3)+1).
+    // 12 distinct patterns per subspace ≤ k=16, so the codebook covers
+    // every pattern exactly (kmeansLocal inits from distinct points) and
+    // ADC scores EQUAL true inner products; every value is a multiple of
+    // 2^-4·3 so any summation order is bit-exact and the DuckDB oracle
+    // replays the scores — the PQ serving math is hash-checked, with the
+    // general-corpus behavior pinned by SimilaritySpec.
+    "q_sim_pq_lossless" -> ((s, dir) => {
+      val amp = ((col("vec_id") % 3 + 1)).cast("double") * lit(0.25d)
+      val p1 = (col("vec_id") % 4).cast("int")
+      val p2 = (floor(col("vec_id") / 4).cast("long") % 4).cast("int")
+      val vecExpr = array((0 until 8).map { i =>
+        val hit = if (i < 4) p1 === i else p2 === (i - 4)
+        when(hit, amp).otherwise(lit(0.0d))
+      }: _*).cast("array<float>")
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 96)
+        .select(col("vec_id"), vecExpr.as("embedding"))
+      // query = the derived vector of vec_id 5 (amp 0.75, one-hot 1/1)
+      val q = Seq(0f, 0.75f, 0f, 0f, 0f, 0.75f, 0f, 0f)
+      val cb = Similarity.pqTrain(base, m = 2, k = 16)
+      Similarity.pqTopK(
+        Similarity.pqEncode(base.filter(col("vec_id") =!= 5), cb), cb, q, 10)
+    }),
+
+    // Exact distinct cardinalities — the ground truth q_cnt_approx_distinct
+    // sketches against, as its own oracle-checked query (single shuffle of
+    // pre-deduped partial state per column; at 100 TB this is the expensive
+    // exact path the HLL sketch exists to approximate).
+    "q_cnt_distinct_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))),
+
     // LSH ANN serving table: bucket-partitioned write + multiprobe
     // partition-pruned probe-read (rows-only: buckets engine-specific;
     // recall and pruning pinned by SimilaritySpec).
@@ -2170,6 +2224,36 @@ object SparkEntry {
         |                              CAST(qv AS DOUBLE[])), 4) AS sim4
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // full-probe IVF == brute force: same oracle as q_sim_topk
+    "q_sim_ivf_exact" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                              CAST(qv AS DOUBLE[])), 4) AS sim4
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // lossless PQ: ADC scores equal true inner products of the derived
+    // block-structured vectors, so the oracle computes them directly
+    "q_sim_pq_lossless" ->
+      """WITH base AS (
+        | SELECT vec_id,
+        |   0.25 * CAST((vec_id % 3) + 1 AS DOUBLE) AS amp,
+        |   vec_id % 4 AS p1,
+        |   CAST(floor(vec_id / 4) AS BIGINT) % 4 AS p2
+        | FROM embeddings WHERE vec_id < 96 AND vec_id <> 5)
+        |SELECT vec_id,
+        | round(CASE WHEN p1 = 1 THEN amp * 0.75 ELSE 0.0 END
+        |     + CASE WHEN p2 = 1 THEN amp * 0.75 ELSE 0.0 END, 4)
+        |   AS pq_score4
+        |FROM base ORDER BY pq_score4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_cnt_distinct_exact" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+        |FROM lineitem""".stripMargin,
 
     "q_st3_fixture_state" ->
       """SELECT fixture_id, epoch_ms(ts) AS state_ts_ms,

@@ -128,7 +128,23 @@ object Multimodal {
       if (feature(i) > mean) acc |= (1L << i)
       i += 1
     }
-    acc
+    // Degenerate (zero-variance) feature: no bin strictly exceeds the mean
+    // (e.g. an exactly-uniform histogram), so the threshold hash carries no
+    // signal and every such vector would collide at 0 — unrelated media
+    // reported as exact duplicates. Fall back to a content hash of the
+    // feature bits: identical degenerate features still pair as exact
+    // copies, distinct ones no longer collide (mirrors the n_bytes == 0
+    // guard in [[nearDupMediaPairs]]).
+    if (acc == 0L) {
+      var h = 0xcbf29ce484222325L // FNV-1a offset basis, 64-bit fold
+      i = 0
+      while (i < feature.length) {
+        h = (h ^ java.lang.Float.floatToIntBits(feature(i)).toLong) *
+          0x100000001b3L
+        i += 1
+      }
+      h
+    } else acc
   }
 
   /** Near-duplicate media detection: decode (stub) → 64-bit perceptual
@@ -140,7 +156,8 @@ object Multimodal {
     * hash); near-dup recall follows the banding guarantee. */
   def nearDupMediaPairs(spark: SparkSession, media: DataFrame,
                         maxHammingDistance: Int = 2,
-                        maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                        maxBucketSize: Int =
+                          graft.ops.Dedup.DefaultHammingBucketCap): DataFrame = {
     import spark.implicits._
     // payload-less media (null/empty bytes) all hash to the same empty
     // histogram: content comparison is meaningless there, and without

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default chunk-bucket cap for the 64-bit Hamming family (SimHash /
+    * perceptual hash): large enough that drops only ever fire on
+    * degenerate corpora (templated content whose correlated bits make one
+    * chunk value collide corpus-wide — at this cap a single retained
+    * bucket already streams ~5e9 bit_count comparisons), finite so the
+    * in-bucket self-join can never go quadratic unobserved. Dropped
+    * buckets are accumulator-counted (`Diagnostics.lastDrops
+    * ("hamming_chunk")`) and WARN-logged; pass `Int.MaxValue` to restore
+    * the strict exact-recall contract. */
+  val DefaultHammingBucketCap: Int = 100000
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: keep the row with the smallest `idCol` per distinct
@@ -272,7 +283,7 @@ object Dedup {
   def simhashNearDupPairs(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id",
                           maxHammingDistance: Int = 3,
-                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                          maxBucketSize: Int = DefaultHammingBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigd = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
       call_function("graft_simhash", TextAnalysis.tokens(col(textCol))).as("sig"))
@@ -289,7 +300,7 @@ object Dedup {
     * `<idCol>_a`, `<idCol>_b`, `hamming`. */
   def hammingPairs(sigs: DataFrame, idCol: String = "doc_id",
                    sigCol: String = "sig", maxHammingDistance: Int = 3,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = DefaultHammingBucketCap): DataFrame = {
     require(maxHammingDistance >= 0 && maxHammingDistance <= 31,
       "maxHammingDistance must be in [0, 31]")
     val numChunks = maxHammingDistance + 1
@@ -305,14 +316,19 @@ object Dedup {
     }
     val blocked = sigd.select(col("__id"), col("sig"),
       posexplode(array(chunkExprs: _*)).as(Seq("q_idx", "q_val")))
-    // Optional skew guard: drop oversized buckets (correlated bits in
-    // templated corpora make small chunks collide heavily). The default
-    // keeps the operator's exact-recall-within-budget contract.
+    // Skew guard: drop oversized buckets — correlated bits in templated
+    // corpora make one chunk value collide corpus-wide and the in-bucket
+    // self-join goes quadratic. The cap is finite BY DEFAULT and every
+    // dropped bucket is accumulator-counted + WARN-logged
+    // (Diagnostics.lastDrops("hamming_chunk")), so the recall loss is
+    // observable, never silent; pass Int.MaxValue to restore the strict
+    // exact-recall-within-budget contract on trusted corpora.
     val guarded =
       if (maxBucketSize == Int.MaxValue) blocked
       else blocked.join(
-        broadcast(blocked.groupBy("q_idx", "q_val").count()
-          .filter(col("count") > maxBucketSize)
+        broadcast(Diagnostics.oversizeFilter(
+          blocked.groupBy("q_idx", "q_val").count(),
+          col("count"), maxBucketSize, "hamming_chunk")
           .select("q_idx", "q_val")),
         Seq("q_idx", "q_val"), "left_anti")
     // Self-join carrying only (id, 8-byte sig); the Hamming test runs

@@ -91,6 +91,33 @@ object Diagnostics {
       onEvict = stats.remove(_))
     df.filter(call_function(name, sizeCol))
   }
+
+  /** Complement of [[sizeCapFilter]] for the anti-join pruning shape
+    * ([[Dedup.hammingPairs]]): returns the rows whose size EXCEEDS `cap` —
+    * the (tiny by construction) set of degenerate groups the caller
+    * broadcasts and anti-joins away — with the same drop accounting: each
+    * oversized group counts as dropped, `largest` tracks every group seen,
+    * and the first drop per partition WARN-logs. */
+  def oversizeFilter(df: DataFrame, sizeCol: Column, cap: Int,
+                     tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val name = s"graft_drops_${tag}_${names.incrementAndGet()}"
+    val d = new LongAccumulator
+    val l = new MaxAccumulator
+    sc.register(d, s"$name.dropped_groups")
+    sc.register(l, s"$name.largest_group")
+    stats.put(name, DropStats(d, l))
+    graft.functions.TransientFunctions.register(spark, "graft_drops", name,
+      classOf[SizeCapProbe],
+      (exprs: Seq[Expression]) =>
+        SizeCapProbe(exprs.head, 0, cap, name, d, l),
+      onEvict = stats.remove(_))
+    // with minSize = 0 the probe is exactly `size <= cap`, so its negation
+    // keeps precisely the oversized groups while the probe's side effects
+    // still count them as drops
+    df.filter(!call_function(name, sizeCol))
+  }
 }
 
 /** The probe predicate: `minSize <= size <= cap`, accumulating drop stats

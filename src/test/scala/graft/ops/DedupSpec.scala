@@ -110,6 +110,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((2000L, 2001L)))
   }
 
+  test("hammingPairs bucket cap drops degenerate buckets OBSERVABLY") {
+    Diagnostics.resetDrops("graft_drops_hamming_chunk")
+    // 60 identical signatures: every chunk bucket holds all 60 ids, far
+    // over the planted cap of 16 — all buckets drop, zero pairs come out,
+    // and the drop accumulator must fire (the silent-loss tripwire)
+    val degenerate = (0 until 60).map(i => (i.toLong, 0xDEADBEEFL))
+      .toDF("doc_id", "sig")
+    val pairs = Dedup.hammingPairs(degenerate, maxHammingDistance = 3,
+      maxBucketSize = 16)
+    assert(pairs.count() === 0)
+    val (dropped, largest) = Diagnostics.lastDrops("graft_drops_hamming_chunk")
+      .getOrElse(fail("no hamming_chunk drop stats recorded"))
+    assert(dropped >= 1L, "cap drop was not counted")
+    assert(largest === 60L, s"largest bucket should be 60, got $largest")
+    // under-cap corpus on the DEFAULT cap: nothing drops, pairs intact
+    Diagnostics.resetDrops("graft_drops_hamming_chunk")
+    val ok = Dedup.hammingPairs(degenerate.limit(5))
+    assert(ok.count() === 10) // C(5,2) — all pairs at hamming 0
+    val after = Diagnostics.lastDrops("graft_drops_hamming_chunk")
+    assert(after.forall(_._1 == 0L), s"unexpected drops: $after")
+  }
+
   test("ngram jaccard matches hand-computed similarity") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"),

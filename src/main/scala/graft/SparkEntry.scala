@@ -745,6 +745,28 @@ object SparkEntry {
           round(col("rmse"), 2).as("rmse2"), round(col("r2"), 2).as("r2_2"))
     }),
 
+    // ML2b: MLflow-style run tracking — two real (tiny) GBT fits logged to
+    // a versioned ml_runs table, one of them re-logged (replay must be a
+    // txn-ledger no-op, not a third row). The projected ledger columns are
+    // fully deterministic: run_id is md5 of the canonical param string
+    // (recomputed by the oracle), num_trees == max_iter for GBT. Metrics
+    // (rmse/r2/splits) stay IN the table but out of the oracle projection
+    // — model training isn't SQL-expressible (same reason q_ml2 is
+    // rows-only).
+    "q_ml2_runs" -> ((s, dir) => {
+      val feats = mlFeatures(s, dir).filter(col("player_id") % 7 === 0)
+      val root = Files.createTempDirectory("graft-mlruns-").toString
+      val runs = VersionedTable(s, s"$root/ml_runs")
+      val t1 = graft.ml.Points.trainGBT(feats, seed = 42L, maxIter = 2)
+      val t2 = graft.ml.Points.trainGBT(feats, seed = 7L, maxIter = 3)
+      graft.ml.Points.logRun(runs, t1, seed = 42L, maxIter = 2)
+      graft.ml.Points.logRun(runs, t2, seed = 7L, maxIter = 3)
+      graft.ml.Points.logRun(runs, t1, seed = 42L, maxIter = 2) // replay
+      runs.read
+        .select("run_id", "seed", "max_iter", "depth", "num_trees")
+        .orderBy("max_iter")
+    }),
+
     // ML3 (domain form): the transfer recommender end-to-end on synthetic
     // FPL data (rows-only; constraint semantics pinned by GoldSpec).
     "q_fpl_recommend" -> ((s, dir) => {
@@ -2254,6 +2276,20 @@ object SparkEntry {
         | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
         | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
         |FROM lineitem""".stripMargin,
+
+    // the run-ledger structural columns are fully deterministic: run_id is
+    // md5 of the canonical param string, num_trees == max_iter (GBT trains
+    // exactly maxIter trees), and the replayed third logRun must NOT add a
+    // row — so the oracle is the expected ledger itself
+    "q_ml2_runs" ->
+      """SELECT md5('gbt_points|seed=' || seed || '|max_iter=' || max_iter
+        |           || '|max_depth=4') AS run_id,
+        | CAST(seed AS BIGINT) AS seed,
+        | CAST(max_iter AS BIGINT) AS max_iter,
+        | CAST(4 AS BIGINT) AS depth,
+        | CAST(max_iter AS BIGINT) AS num_trees
+        |FROM (VALUES (42, 2), (7, 3)) AS runs(seed, max_iter)
+        |ORDER BY max_iter""".stripMargin,
 
     "q_st3_fixture_state" ->
       """SELECT fixture_id, epoch_ms(ts) AS state_ts_ms,

@@ -113,4 +113,35 @@ object Points {
       t.model.getNumTrees.toLong, t.model.getMaxDepth.toLong))
       .toDF("rmse", "r2", "n_train", "n_test", "num_trees", "depth")
   }
+
+  /** Content-derived run id: md5 of the canonical param string. The same
+    * params always yield the same run_id, which is what makes re-logging a
+    * run a REPLAY (idempotent no-op) rather than a duplicate row — and the
+    * derivation is plain md5-of-string so an external auditor (or the
+    * DuckDB oracle) can recompute it. */
+  def runId(seed: Long, maxIter: Int, maxDepth: Int): String = {
+    val canonical = s"gbt_points|seed=$seed|max_iter=$maxIter|max_depth=$maxDepth"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** MLflow-style run tracking against a versioned table
+    * (docs/backlog.md:90-93 "Track params + metrics with MLflow" — the
+    * offline constraint excuses MLflow itself, not the tracking
+    * semantics): appends ONE (run_id, params, metrics) row per
+    * [[trainGBT]] call, rerun-idempotent via the table's txn ledger keyed
+    * by the content-derived [[runId]] — replaying the same run (same
+    * params) is a no-op, a new param set is a new table version, and time
+    * travel over the table is the run history. */
+  def logRun(table: graft.tables.VersionedTable, t: Trained,
+             seed: Long, maxIter: Int): graft.tables.VersionedTable.LogEntry = {
+    val spark = table.spark
+    import spark.implicits._
+    val id = runId(seed, maxIter, t.model.getMaxDepth)
+    val row = Seq((id, seed, maxIter.toLong, t.model.getMaxDepth.toLong,
+        t.model.getNumTrees.toLong, t.rmse, t.r2, t.nTrain, t.nTest))
+      .toDF("run_id", "seed", "max_iter", "depth", "num_trees",
+        "rmse", "r2", "n_train", "n_test")
+    table.append(row, txn = Some((s"gbt_points/$id", 0L)))
+  }
 }

@@ -68,4 +68,33 @@ class PointsSpec extends SparkSpec {
     // the target is mostly 3*form -> the model must beat the mean baseline
     assert(t1.r2 > 0.5, s"r2 was ${t1.r2}")
   }
+
+  test("logRun: two runs -> two versions, replay -> no-op, history is time-travelable") {
+    val synth = (0 until 200).map { i =>
+      val form = (i % 7).toDouble
+      (i % 30, i % 5, i / 30 + 1, 90, i % 7,
+        form, 0.1, 50, 3.0, (form * 3 + (i % 3)).toLong)
+    }.toDF("player_id", "team_id", "gameweek_id", "minutes", "points",
+      "form_score", "minutes_risk", "now_cost_tenths_million",
+      "fixture_difficulty", "target_points_next_3_gws")
+    val runs = graft.tables.VersionedTable(spark, tmpDir("ml-runs-") + "/runs")
+    val t1 = Points.trainGBT(synth, seed = 42L, maxIter = 2)
+    val t2 = Points.trainGBT(synth, seed = 7L, maxIter = 3)
+    val v1 = Points.logRun(runs, t1, seed = 42L, maxIter = 2)
+    val v2 = Points.logRun(runs, t2, seed = 7L, maxIter = 3)
+    assert(v2.version === v1.version + 1)
+    // replaying run 1 must be a ledger no-op: same version, same rows
+    val v3 = Points.logRun(runs, t1, seed = 42L, maxIter = 2)
+    assert(v3.version === v2.version)
+    assert(runs.read.count() === 2)
+    val byIter = runs.read
+      .select("run_id", "max_iter", "num_trees", "rmse")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._2)
+    assert(byIter.map(_._2).toSeq === Seq(2L, 3L))
+    assert(byIter.map(_._3).toSeq === Seq(2L, 3L)) // num_trees == maxIter
+    assert(byIter(0)._1 === Points.runId(42L, 2, 4))
+    assert(byIter(0)._4 === t1.rmse)
+    // the run history is versioned: v1 sees only the first run
+    assert(runs.readVersion(v1.version).count() === 1)
+  }
 }

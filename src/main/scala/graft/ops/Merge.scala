@@ -49,7 +49,22 @@ object Merge {
     * incremental aggregate maintenance). Unlisted columns take the update
     * row's value; inserts always take the update row. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
-             updateExprs: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
+             updateExprs: Map[String, (Column, Column) => Column] = Map.empty): DataFrame =
+    upsertWithLineage(target, updates, keys, updateExprs)
+      .select(target.columns.toSeq.map(col): _*)
+
+  /** [[upsert]]'s full-outer merge frame WITH its lineage kept: the merged
+    * values (identical projection to `upsert`) plus, per row, the
+    * target-side pre-image values as `__pre_<c>` and the two match flags
+    * `__t_present`/`__u_present` (never NULL). ONE join thus yields both
+    * the new snapshot AND the change-feed classification —
+    * matched rows are `__t_present && __u_present` (pre-image from the
+    * `__pre_` columns, post-image from the merged columns), inserts are
+    * `__u_present && !__t_present` — which is how VersionedTable.merge
+    * folds its CDF pre-image pass into the COW join instead of re-joining
+    * target and updates per change type. */
+  def upsertWithLineage(target: DataFrame, updates: DataFrame, keys: Seq[String],
+                        updateExprs: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cols = target.columns.toSeq
     require(updates.columns.toSeq == cols,
@@ -78,6 +93,8 @@ object Merge {
               f(col(s"__t_$c"), col(s"__u_$c"))).otherwise(base).as(c)
           case None => base.as(c)
         }
-      }: _*)
+      } ++ cols.map(c => col(s"__t_$c").as(s"__pre_$c")) ++ Seq(
+        coalesce(col("__t_present"), lit(false)).as("__t_present"),
+        coalesce(col("__u_present"), lit(false)).as("__u_present")): _*)
   }
 }

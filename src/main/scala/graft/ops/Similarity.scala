@@ -347,22 +347,57 @@ object Similarity {
     val k = effectiveClusters(n, nClusters, targetCellSize)
     val idx = ivfIndex(embeddings, k, idCol, vecCol, seed,
       trainSampleSize, knownCount = n)
-    val centLit = typedlit(idx.centroids.map(_.toSeq).toSeq)
+    embeddings.join(
+      semDedupDropped(idx.assigned, idx.centroids, tau, idCol, vecCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** The ids SemDeDup drops, given an assigned (id, vec, ivf_cell) frame
+    * and its centroids — the within-cell pair rule shared by the
+    * in-memory path ([[semDedup]]) and the serving-table path
+    * ([[semDedupTable]]). A row drops iff SOME ≥tau neighbor in its cell
+    * ranks lower on (centroid_sim, id) — exactly one survivor per
+    * mutually-duplicate group, the paper's keep-low-centroid-similarity
+    * rule with an id tiebreak. */
+  private def semDedupDropped(assigned: DataFrame,
+                              centroids: Array[Array[Double]], tau: Double,
+                              idCol: String, vecCol: String): DataFrame = {
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
     val vecD = col(vecCol).cast("array<double>")
-    val pts = idx.assigned.withColumn("__cent_sim",
+    val pts = assigned.withColumn("__cent_sim",
       cosine(vecD, element_at(centLit, col("ivf_cell") + 1)))
     def side(sfx: String) = pts.select(col("ivf_cell"),
       col(idCol).as(s"id$sfx"), vecD.as(s"vec$sfx"),
       col("__cent_sim").as(s"cs$sfx"))
-    val dropped = side("_a").join(side("_b"), Seq("ivf_cell"))
+    side("_a").join(side("_b"), Seq("ivf_cell"))
       .filter(col("id_a") =!= col("id_b"))
-      // a drops iff SOME ≥tau neighbor ranks lower on (centroid_sim, id)
-      // — exactly one survivor per mutually-duplicate group
       .filter(col("cs_b") < col("cs_a") ||
         (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
       .filter(cosine(col("vec_a"), col("vec_b")) >= tau)
       .select(col("id_a").as(idCol)).distinct()
-    embeddings.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** SemDeDup over a persisted [[writeIvfTable]] serving table — the
+    * at-scale path the in-memory [[semDedup]] docs promise: assignments
+    * and centroids come FROM the table (the quantizer never re-runs), and
+    * because the survivor rule needs nothing outside a row's own cell,
+    * each `ivf_cell=` partition dedups independently — `cells` restricts
+    * the pass to a subset of cells (partition-pruned scan), which is what
+    * makes a 100 TB semantic-dedup RESTARTABLE: process cells in batches,
+    * checkpoint survivors per batch, re-run only unfinished cells.
+    * Returns the KEPT rows (idCol, vecCol, ivf_cell); identical survivors
+    * to the in-memory path for the same index parameters (spec-pinned). */
+  def semDedupTable(spark: org.apache.spark.sql.SparkSession, path: String,
+                    tau: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    cells: Option[Seq[Int]] = None): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val full = spark.read.parquet(path)
+    val assigned = cells.fold(full)(cs =>
+      full.filter(col("ivf_cell").isin(cs: _*)))
+    assigned.join(
+      semDedupDropped(assigned, cents, tau, idCol, vecCol),
+      Seq(idCol), "left_anti")
   }
 
   /** [[semDedup]]'s cell-count rule: the caller's `floorClusters` is a

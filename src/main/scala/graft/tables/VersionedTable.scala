@@ -601,6 +601,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stagingDir.resolve(id).toString)
     Files.move(stagingDir.resolve(id), dataDir.resolve(id))
+    // the writer KNOWS the schema — seed the immutable-file-set schema
+    // cache so even the FIRST read skips footer inference (hive-layout
+    // writes excluded: their reads discover partition columns)
+    if (partitionBy.isEmpty)
+      schemaCacheLookup(dataDir.resolve(id).toAbsolutePath.toString,
+        asNullable(df.schema))
     id
   }
 
@@ -689,13 +695,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                                  tag: String,
                                  nameFor: (String, String, String) => String,
                                  emptyName: String => String): Seq[String] = {
-    val ids = adoptSplitDirs(staging, id, tag, nameFor)
+    val ids = adoptSplitDirs(staging, id, tag, nameFor, Some(df.schema))
     deleteRecursively(staging) // leftover _SUCCESS marker
     if (ids.nonEmpty) ids.sorted
     else {
       val fid = writeFileSet(df)
       val renamed = emptyName(fid)
-      if (renamed != fid) Files.move(dataDir.resolve(fid), dataDir.resolve(renamed))
+      if (renamed != fid) {
+        Files.move(dataDir.resolve(fid), dataDir.resolve(renamed))
+        // the schema seed follows the rename
+        schemaCacheLookup(dataDir.resolve(renamed).toAbsolutePath.toString,
+          asNullable(df.schema))
+      }
       Seq(renamed)
     }
   }
@@ -703,13 +714,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** Rename every `_gbucket=<v>` dir under `staging` into `data/` as its
     * own file-set named `nameFor(writeId, schemaTag, v)`. */
   private def adoptSplitDirs(staging: Path, id: String, tag: String,
-                             nameFor: (String, String, String) => String): Seq[String] =
+                             nameFor: (String, String, String) => String,
+                             dataSchema: Option[org.apache.spark.sql.types.StructType] = None): Seq[String] =
     listDir(staging)
       .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
       .map { p =>
         val v = p.getFileName.toString.stripPrefix(s"$BucketCol=")
         val fsId = nameFor(id, tag, v)
         Files.move(p, dataDir.resolve(fsId))
+        // cell data files carry the source frame's schema (the split
+        // value lives only in the dir name) — seed the schema cache
+        dataSchema.foreach(s => schemaCacheLookup(
+          dataDir.resolve(fsId).toAbsolutePath.toString, asNullable(s)))
         fsId
       }
 
@@ -858,10 +874,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (!changeFeedEnabled) return None
     val id = s"c-${UUID.randomUUID()}"
     val tmp = stagingDir.resolve(id)
-    frames.reduce(_.unionByName(_, allowMissingColumns = true))
-      .write.parquet(tmp.toString)
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    unioned.write.parquet(tmp.toString)
     Files.createDirectories(changesDir)
     Files.move(tmp, changesDir.resolve(id), StandardCopyOption.ATOMIC_MOVE)
+    // seed the immutable change-set schema so feed reads skip inference
+    schemaCacheLookup(changesDir.resolve(id).toAbsolutePath.toString,
+      asNullable(unioned.schema))
     Some(id)
   }
 
@@ -894,7 +913,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           val p = changesDir.resolve(id)
           require(Files.exists(p),
             s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
-          Some(spark.read.parquet(p.toString))
+          // change sets are immutable after their atomic move — memoized
+          // schema skips the per-version footer-inference job (a feed read
+          // over k versions otherwise pays k tiny jobs before any data)
+          Some(spark.read.schema(schemaCacheLookup(
+              p.toAbsolutePath.toString,
+              spark.read.parquet(p.toString).schema))
+            .parquet(p.toString))
         case None => e.action match {
           case "append" =>
             val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
@@ -913,7 +938,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             if (added.isEmpty) None
             else Some(tagged(readFileSets(added), "insert"))
           // data-identical rewrites: no logical change to report
-          case "compact" | "zorder" | "purge_dv" | "clone" => None
+          case "compact" | "zorder" | "purge_dv" => None
+          // a clone BASE commit is the cloned snapshot itself: synthesize
+          // its rows as inserts (the clone's own DVs applied — rows
+          // deleted before the clone never existed here) so a CDC
+          // consumer bootstrapping from a populated clone starts from its
+          // contents, not from a silently empty feed
+          case "clone" =>
+            val gone = e.fileSets.filterNot(fs =>
+              Files.exists(dataDir.resolve(fs)))
+            require(gone.isEmpty,
+              s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
+            if (e.fileSets.isEmpty) None
+            else Some(tagged(readSets(e.fileSets, e.dvs), "insert"))
           case other => sys.error(s"change feed cannot reconstruct " +
             s"'$other' at v${e.version} of $root; re-read the snapshot")
         }
@@ -983,8 +1020,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val (partitioned, flat) = paths.partition(hasHivePartitionDirs)
     val quotedData =
       java.util.regex.Pattern.quote(dataDir.toAbsolutePath.toString)
-    def scan(ps: Seq[String]): DataFrame = {
-      val d = spark.read.parquet(ps: _*)
+    // file-set dirs are write-once (staged, atomically renamed in, never
+    // modified), so a flat set's data schema is immutable — memoize it
+    // process-wide and hand it to the reader, skipping the 1-task
+    // footer-inference job a DML chain otherwise pays on EVERY table read
+    // of every commit (hive-partitioned sets keep inference: their
+    // partition columns come from directory discovery)
+    def cachedSchema(p: Path): org.apache.spark.sql.types.StructType =
+      schemaCacheLookup(p.toAbsolutePath.toString,
+        spark.read.parquet(p.toString).schema)
+    def scan(ps: Seq[String],
+             known: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      val d = known.fold(spark.read)(spark.read.schema).parquet(ps: _*)
       if (!withPos) d
       else d.select(col("*"),
         regexp_extract(col("_metadata.file_path"), quotedData + "/(.*)$", 1)
@@ -995,12 +1042,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .groupBy { p =>
         p.getFileName.toString match {
           case SchemaTagged(tag) => tag
-          case _ => spark.read.parquet(p.toString).schema.json // legacy
+          case _ => cachedSchema(p).json // legacy
         }
       }
       .toSeq.sortBy(_._2.head.getFileName.toString) // deterministic plan
-      .map { case (_, ps) => scan(ps.map(_.toString)) }
-    val scans = flatScans ++ partitioned.map(p => scan(Seq(p.toString)))
+      .map { case (_, ps) =>
+        scan(ps.map(_.toString), Some(cachedSchema(ps.head))) }
+    val scans = flatScans ++ partitioned.map(p => scan(Seq(p.toString), None))
     scans.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -1063,9 +1111,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // hash the STRING form: a probe can then normalize through the
       // same cast regardless of which schema generation wrote a file-set
       // (xxhash64 of int 5 != long 5, but "5" == "5" — type drift across
-      // appends must not turn into false bloom skips / missing rows)
+      // appends must not turn into false bloom skips / missing rows).
+      // TIMESTAMP columns hash their unix_micros instead: cast-to-string
+      // renders in the writer session's timezone, so a reader session in
+      // a different zone would probe different strings and silently
+      // bloom-skip file-sets that DO contain matching rows
       bloomFor.map(c =>
-        call_function(fname, xxhash64(col(c).cast("string"))).as(s"bf_$c"))
+        call_function(fname, xxhash64(bloomKeyCol(fsDf, c))).as(s"bf_$c"))
     }
     val aggs = statsAggs ++ bloomAggs
     val rows = fsDf.groupBy("__fs").agg(aggs.head, aggs.tail: _*)
@@ -1097,6 +1149,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def writeStatsSidecars(fileSets: Seq[String],
                                  statsRequested: Seq[String]): Unit =
     writeSkippingSidecars(fileSets, statsRequested, Nil)
+
+  /** The timezone-stable bloom hash basis for a column: unix_micros for
+    * TIMESTAMP (instant — its string form is session-zone-dependent),
+    * plain cast-to-string for everything else (dates, NTZ timestamps and
+    * numerics render zone-independently). Probe and write MUST agree —
+    * [[readEquals]] mirrors this in its driver-side literal path. */
+  private def bloomKeyCol(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(c)).cast("string")
+      case _ => col(c).cast("string")
+    }
 
   /** (min, max, isNumeric) per column for a file-set, if stats exist. */
   private def readStatsSidecar(fileSet: String): Map[String, (String, String, Boolean)] = {
@@ -1168,14 +1232,22 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // string normalization makes the hash schema-generation-proof (an
     // int-era and a long-era file-set both hashed "5").
     val hashes = {
-      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, UnixMicros, XxHash64}
       val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
       // seed 42 = the SQL xxhash64 function's default, which built the
-      // sidecars
-      values.map(v => XxHash64(Seq(Cast(Cast(Literal(v), dt, zone),
-        org.apache.spark.sql.types.StringType, zone)), 42L)
-        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        .asInstanceOf[Long])
+      // sidecars; TIMESTAMP probes hash unix_micros (zone-stable),
+      // mirroring bloomKeyCol's write path
+      values.map { v =>
+        val typed = Cast(Literal(v), dt, zone)
+        val basis = dt match {
+          case org.apache.spark.sql.types.TimestampType => UnixMicros(typed)
+          case _ => typed
+        }
+        XxHash64(Seq(Cast(basis,
+          org.apache.spark.sql.types.StringType, zone)), 42L)
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Long]
+      }
     }
     val kept = fileSets.filter { fs =>
       readBloomSidecar(fs, column) match {
@@ -1754,14 +1826,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     def readStaged(): DataFrame =
       if (touched.isEmpty) deduped
       else spark.read.parquet(staging.toString).drop(BucketCol)
-    def upsertInto(target: DataFrame): DataFrame = {
-      val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
-      val r = graft.ops.Merge.upsert(t2, u2, keys, updateExprs)
-      // updateExprs computes NEW post-image values (t+u …) that neither
-      // side was checked for — enforce on the merged frame; the plain
-      // upsert needs nothing (both sides passed when written/staged)
-      if (updateExprs.isEmpty) r else withCheckEnforcementRecomputing(r)
-    }
     try {
       if (bucketSpec.isEmpty) {
         writeSpec(spec)
@@ -1809,7 +1873,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // the staged files ARE the new file-sets; rename them in, zero
         // further jobs (the common shape of an MV's first build and of
         // append-heavy streaming merges)
-        val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName))
+        val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
+          Some(deduped.schema)))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
         commit("merge", carried ++ adopted,
           basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
@@ -1824,24 +1889,42 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // DV-deleted row must not resurrect through an upsert) and ride
         // along for the carried cells
         val target = readSets(touchedSets, prevDvs)
-        val merged = upsertInto(target)
-        // change classification (feed on only): matched keys split the
-        // merged frame into update_postimage vs pass-through, the staged
-        // side into updates vs inserts; NULL-keyed updates never match,
-        // so they land as inserts — SQL MERGE ON semantics
-        val cdf = if (!changeFeedEnabled) None else {
-          val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
-          val tK = t2.select(keys.map(col): _*)
-          val matched = u2.select(keys.map(col): _*)
-            .join(tK, keys, "left_semi")
-          writeChangeSet(Seq(
-            tagged(t2.join(matched, keys, "left_semi"), "update_preimage"),
-            tagged(merged.join(matched, keys, "left_semi"), "update_postimage"),
-            tagged(u2.join(tK, keys, "left_anti"), "insert")))
-        }
-        commit("merge", carried ++ withStats(
-          writeBucketedFileSets(merged, spec)),
-          basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
+        val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
+        // ONE full-outer join yields the new snapshot AND (feed on) the
+        // change classification: pre-image values and match flags ride
+        // the join, so the CDF pass re-joins nothing — it is three
+        // filters over the same frame, persisted only while its two
+        // writes (changes + cells) consume it. NULL-keyed updates never
+        // match, so they classify as inserts — SQL MERGE ON semantics.
+        val lineageRaw =
+          graft.ops.Merge.upsertWithLineage(t2, u2, keys, updateExprs)
+        // updateExprs computes NEW post-image values (t+u …) that neither
+        // side was checked for — enforce on the merged frame; the plain
+        // upsert needs nothing (both sides passed when written/staged).
+        // Recompute preserves the lineage columns (withColumn/filter).
+        val lineage =
+          if (updateExprs.isEmpty) lineageRaw
+          else withCheckEnforcementRecomputing(lineageRaw)
+        val dataCols = t2.columns.toSeq.map(col)
+        val merged = lineage.select(dataCols: _*)
+        if (changeFeedEnabled)
+          lineage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cdf = if (!changeFeedEnabled) None else {
+            val both = col("__t_present") && col("__u_present")
+            writeChangeSet(Seq(
+              tagged(lineage.filter(both).select(
+                t2.columns.toSeq.map(c => col(s"__pre_$c").as(c)): _*),
+                "update_preimage"),
+              tagged(lineage.filter(both).select(dataCols: _*),
+                "update_postimage"),
+              tagged(lineage.filter(col("__u_present") && !col("__t_present"))
+                .select(dataCols: _*), "insert")))
+          }
+          commit("merge", carried ++ withStats(
+            writeBucketedFileSets(merged, spec)),
+            basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
+        } finally if (changeFeedEnabled) { lineage.unpersist(); () }
       }
     } finally deleteRecursively(staging)
   }
@@ -1960,8 +2043,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       s"bucketed table at $root: use compactPartitions for scoped OPTIMIZE")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
+    // DATA bytes only: skipping sidecars don't count against the
+    // threshold — a bloom sidecar is ~0.9 MB per (file-set, column), so
+    // counting it would classify tiny bloom-covered file-sets as 'large'
+    // and silently defeat bin-packing on exactly the tables using bloomFor
     def dirSize(p: Path): Long =
-      listDir(p).map(c => if (Files.isDirectory(c)) dirSize(c) else Files.size(c)).sum
+      listDir(p).map { c =>
+        val n = c.getFileName.toString
+        if (Files.isDirectory(c)) dirSize(c)
+        else if (n == "_fstats.tsv" || n.startsWith("_fbloom.")) 0L
+        else Files.size(c)
+      }.sum
     val (small, large) = snap.fileSets
       .partition(fs => dirSize(dataDir.resolve(fs)) < maxBytes)
     // nothing to fold: NO new version (a nightly no-op run must not push
@@ -2036,7 +2128,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * reads past the cliff error explicitly, never misreport), and
     * orphaned staging from crashed writers. Delta's `VACUUM … DRY RUN`:
     * inspect the blast radius before deleting — vacuum deletes EXACTLY
-    * this list, so the preview can never under-report. */
+    * this list, so the preview can never under-report.
+    *
+    * Staging reclamation is AGE-GATED ([[VersionedTable.StagingGraceMillis]],
+    * mtime-based): an in-flight writer's live staging dir is younger than
+    * the grace window and is left alone, so vacuum can run concurrently
+    * with writes in the same process without failing them — only staging
+    * old enough to be a crashed writer's orphan is listed (Delta gates
+    * uncommitted-file cleanup on the same modification-time rule). */
   def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
     val h = history
     val retained = h.takeRight(retainVersions)
@@ -2046,9 +2145,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     def under(dir: Path, name: String, keepNames: Set[String]) =
       listDir(dir).filterNot(p => keepNames.contains(p.getFileName.toString))
         .map(p => s"$name/${p.getFileName}")
+    val cutoff = System.currentTimeMillis() - StagingGraceMillis
+    val staleStaging = listDir(stagingDir)
+      .filter(p =>
+        try Files.getLastModifiedTime(p).toMillis < cutoff
+        catch { case _: java.io.IOException => false }) // races with rename-out
+      .map(p => s"_staging/${p.getFileName}")
     (under(dataDir, "data", keep) ++ under(dvDir, "_dv", keepDvs) ++
-      under(changesDir, "_changes", keepCdf) ++
-      under(stagingDir, "_staging", Set.empty)).sorted
+      under(changesDir, "_changes", keepCdf) ++ staleStaging).sorted
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -2074,8 +2178,48 @@ object VersionedTable {
     logCache.computeIfAbsent(path, p => parse(p))
   }
 
+  /** Writer-side schemas normalize to all-nullable before seeding the
+    * schema cache: parquet footer inference reports every field nullable,
+    * and a seeded NON-null field would make cached-first reads stricter
+    * than inferred ones. */
+  private[tables] def asNullable(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType =
+    asNullableType(dt).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def asNullableType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = asNullableType(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = asNullableType(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** Data schemas of immutable flat file-set dirs (see readFileSets) —
+    * same crude bound-and-clear policy as the log cache; stale entries for
+    * compacted/vacuumed sets are inert (their keys are never looked up
+    * again: file-set names are UUIDs). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private[tables] def schemaCacheLookup(
+      key: String,
+      infer: => org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    if (schemaCache.size > 100000) schemaCache.clear()
+    schemaCache.computeIfAbsent(key, _ => infer)
+  }
+
   /** Commits between automatic log checkpoints ([[VersionedTable.checkpointLog]]). */
   val CheckpointInterval = 32L
+
+  /** Minimum age (mtime) before vacuum treats a staging dir as a crashed
+    * writer's orphan — any live writer finishes (or at least touches) its
+    * staging well within this window. */
+  val StagingGraceMillis: Long = 60L * 60 * 1000
 
   /** Bloom sidecar sizing: capacity and false-positive rate. ~0.9 MB of
     * bits per (file-set, column) at these defaults — rewrites regenerate

@@ -32,6 +32,23 @@ class MultimodalSpec extends SparkSpec {
     assert(found === corpus.filter($"media_id" % 13 === 0).count())
   }
 
+  test("degenerate (zero-variance) features don't all collide at hash 0") {
+    // exactly-uniform histograms: no bin strictly above the mean — the
+    // threshold hash carries no signal, so distinct degenerate features
+    // must fall back to content hashes instead of all colliding at 0
+    val u1 = Array.fill(64)(0.5f)
+    val u2 = Array.fill(64)(0.25f)
+    val h1 = Multimodal.perceptualHash(u1)
+    val h2 = Multimodal.perceptualHash(u2)
+    assert(h1 !== 0L)
+    assert(h1 !== h2, "distinct degenerate features must not collide")
+    // identical degenerate features still pair as exact copies
+    assert(Multimodal.perceptualHash(u1.clone) === h1)
+    // non-degenerate path unchanged: some bin above the mean sets bits
+    val spiky = Array.tabulate(64)(i => if (i == 3) 1f else 0f)
+    assert(Multimodal.perceptualHash(spiky) === (1L << 3))
+  }
+
   test("synthesize produces the media schema with binary payloads") {
     val media = Multimodal.synthesize(spark, 30)
     // names + types must match the declared contract (nullability is

@@ -310,6 +310,33 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.count() === vecs.dropDuplicates("embedding").count())
   }
 
+  test("semDedupTable over the serving table == in-memory semDedup, restartable per cell") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val planted = base.filter(_._1 % 9 == 0)
+      .map { case (id, v) => (id + 1000, v) } // exact copies
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val inMemory = Similarity.semDedup(df, nClusters = 6, tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    // same index parameters → same assignment → identical survivors
+    val path = tmpDir("semdedup-table-") + "/ivf"
+    Similarity.writeIvfTable(df, path, nCells = 6)
+    val fromTable = Similarity.semDedupTable(spark, path, tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fromTable === inMemory)
+    // restartability: per-cell batches union to exactly the full result
+    // (the survivor rule never crosses cells)
+    val cells = spark.read.parquet(path).select("ivf_cell")
+      .distinct().as[Int].collect().toSeq.sorted
+    val (batch1, batch2) = cells.splitAt(cells.length / 2)
+    val unioned = Seq(batch1, batch2).filter(_.nonEmpty).map(b =>
+      Similarity.semDedupTable(spark, path, tau = 0.99, cells = Some(b))
+        .select("vec_id").as[Long].collect().toSet)
+      .reduce(_ ++ _)
+    assert(unioned === fromTable)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL++ contract)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(100000).select((col("id") % 7777).as("k"))

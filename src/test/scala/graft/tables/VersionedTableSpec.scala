@@ -247,10 +247,15 @@ class VersionedTableSpec extends SparkSpec {
     val root = tmpDir("vt-crash-")
     val t = VersionedTable(spark, root)
     t.append(Seq(1, 2, 3).toDF("id"))
-    // simulate a crash mid-write: partial output left in _staging
+    // simulate a crash mid-write: partial output left in _staging, aged
+    // past the grace window (fresh staging could be a LIVE writer's — the
+    // age gate protects it from a concurrent vacuum)
     val orphan = Paths.get(root, "_staging", "deadbeef")
     JFiles.createDirectories(orphan)
     JFiles.writeString(orphan.resolve("junk.txt"), "not parquet")
+    JFiles.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.StagingGraceMillis - 60000))
     // snapshot reads go through the log and never see it
     assert(t.read.as[Int].collect().toSet === Set(1, 2, 3))
     // the streaming glob covers data/* only — staging is outside it, so
@@ -1170,6 +1175,70 @@ class VersionedTableSpec extends SparkSpec {
       java.nio.file.Paths.get(t.root).resolve(rel)), s"$rel must be reclaimed"))
     assert(t.read.as[Int].collect().toSeq === Seq(2))
     assert(t.vacuumDryRun(retainVersions = 1).isEmpty)
+  }
+
+  test("change feed bootstraps from a populated clone (inserts, DVs applied)") {
+    val src = VersionedTable(spark, tmpDir("vt-clonecdf-src-"))
+    src.enableChangeFeed()
+    src.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    src.deleteVectors(org.apache.spark.sql.functions.col("id") === 3) // deleted BEFORE the clone
+    val c = src.shallowCloneTo(tmpDir("vt-clonecdf-dst-"))
+    // the clone base commit must synthesize its contents as inserts (DV
+    // applied: id 3 never existed here), not a silently empty feed
+    val feed = c.readChangeFeed(-1)
+      .select($"_change_type", $"id", $"v")
+      .as[(String, Int, String)].collect().toSet
+    assert(feed === Set(("insert", 1, "a"), ("insert", 2, "b")))
+    // later DML on the clone stacks on top of the bootstrap
+    c.append(Seq((4, "d")).toDF("id", "v"))
+    assert(c.readChangeFeed(-1).count() === 3)
+  }
+
+  test("vacuum age-gates staging: live writers' dirs survive, orphans go") {
+    val t = VersionedTable(spark, tmpDir("vt-vacstage-"))
+    t.append(Seq(1).toDF("id"))
+    val staging = java.nio.file.Paths.get(t.root, "_staging")
+    java.nio.file.Files.createDirectories(staging.resolve("live-writer"))
+    java.nio.file.Files.createDirectories(staging.resolve("crashed-orphan"))
+    java.nio.file.Files.setLastModifiedTime(staging.resolve("crashed-orphan"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - VersionedTable.StagingGraceMillis - 60000))
+    val preview = t.vacuumDryRun()
+    assert(preview.contains("_staging/crashed-orphan"))
+    assert(!preview.contains("_staging/live-writer"),
+      "a fresh (in-flight) staging dir must not be reclaimable")
+    t.vacuum()
+    assert(java.nio.file.Files.exists(staging.resolve("live-writer")))
+    assert(java.nio.file.Files.notExists(staging.resolve("crashed-orphan")))
+  }
+
+  test("compactSmall measures data bytes only, not skipping sidecars") {
+    val t = VersionedTable(spark, tmpDir("vt-compactbloom-"))
+    // two tiny file-sets, each carrying a ~0.9 MB bloom sidecar: with
+    // sidecars counted they would read as 'large' and never fold
+    t.append(Seq((1L, "a")).toDF("id", "v"), bloomFor = Seq("id"))
+    t.append(Seq((2L, "b")).toDF("id", "v"), bloomFor = Seq("id"))
+    val folded = t.compactSmall(maxBytes = 256 * 1024)
+    assert(folded.action === "compact")
+    assert(folded.fileSets.length === 1,
+      s"expected one folded file-set, got ${folded.fileSets.length}")
+    assert(t.read.count() === 2)
+  }
+
+  test("bloom point lookups survive a session timezone change (timestamps)") {
+    val t = VersionedTable(spark, tmpDir("vt-bloomtz-"))
+    val ts = java.sql.Timestamp.valueOf("2025-08-12 06:15:00")
+    t.append(Seq((1L, ts)).toDF("id", "ts")
+      .unionByName(Seq((2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("id", "ts")), bloomFor = Seq("ts"))
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Australia/Sydney")
+      // a zone-dependent hash basis would bloom-skip the file-set here
+      // (false negative = silently missing rows)
+      assert(t.readEquals("ts", Seq(ts)).count() === 1)
+    } finally spark.conf.set(tzKey, prev)
   }
 
   test("historyDf exposes DESCRIBE HISTORY as a relation") {

@@ -754,7 +754,9 @@ object SparkEntry {
     // — model training isn't SQL-expressible (same reason q_ml2 is
     // rows-only).
     "q_ml2_runs" -> ((s, dir) => {
+      // persist: the window/join feature pipeline feeds BOTH tiny fits
       val feats = mlFeatures(s, dir).filter(col("player_id") % 7 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val root = Files.createTempDirectory("graft-mlruns-").toString
       val runs = VersionedTable(s, s"$root/ml_runs")
       val t1 = graft.ml.Points.trainGBT(feats, seed = 42L, maxIter = 2)
@@ -925,6 +927,23 @@ object SparkEntry {
           numPlanes = 5, dim = q.size)
       }
       Similarity.lshProbeTopK(s, path, q, k = 10, probeHamming = 1)
+    }),
+
+    // LSH exactness witness (q_sim_ivf_exact's sibling): probing the FULL
+    // Hamming radius enumerates every bucket, so the multiprobe serving
+    // path degenerates to brute-force cosine top-k and the whole
+    // bucket-table machinery (sidecar plane spec, partition layout,
+    // multiprobe enumeration, rounding discipline) is hash-checked.
+    "q_sim_lsh_exact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val path = cachedServingTable("lsh",
+        s"$dir-p5-${sourceFingerprint(s"$dir/embeddings.parquet")}") { staging =>
+        Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), staging,
+          numPlanes = 5, dim = q.size)
+      }
+      Similarity.lshProbeTopK(s, path, q, k = 10, probeHamming = 5)
     }),
 
     // ANN serving compression: per-vector int8 scalar quantization —
@@ -2240,6 +2259,15 @@ object SparkEntry {
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                              CAST(qv AS DOUBLE[])), 4) AS sim4
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // full-radius LSH multiprobe == brute force: same oracle as q_sim_topk
+    "q_sim_lsh_exact" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
         | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

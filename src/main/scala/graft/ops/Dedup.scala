@@ -309,7 +309,13 @@ object Dedup {
     val widths = Array.tabulate(numChunks)(i =>
       64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // persist the (id, sig) relation — tiny (16 bytes/row), consumed by
+    // the bucket-count guard and BOTH sides of the self-join, so without
+    // it the caller's signature lineage (tokenize+simhash, or a media
+    // DECODE pass) re-runs up to three times (same contract as the
+    // MinHash path: callers clearCache between calls)
     val sigd = sigs.select(col(idCol).as("__id"), col(sigCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkExprs = (0 until numChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask))

@@ -760,9 +760,9 @@ object SparkEntry {
       val root = Files.createTempDirectory("graft-mlruns-").toString
       val runs = VersionedTable(s, s"$root/ml_runs")
       val t1 = graft.ml.Points.trainGBT(feats, seed = 42L, maxIter = 2)
-      val t2 = graft.ml.Points.trainGBT(feats, seed = 7L, maxIter = 3)
+      val t2 = graft.ml.Points.trainGBT(feats, seed = 7L, maxIter = 1)
       graft.ml.Points.logRun(runs, t1, seed = 42L, maxIter = 2)
-      graft.ml.Points.logRun(runs, t2, seed = 7L, maxIter = 3)
+      graft.ml.Points.logRun(runs, t2, seed = 7L, maxIter = 1)
       graft.ml.Points.logRun(runs, t1, seed = 42L, maxIter = 2) // replay
       runs.read
         .select("run_id", "seed", "max_iter", "depth", "num_trees")
@@ -2316,7 +2316,7 @@ object SparkEntry {
         | CAST(max_iter AS BIGINT) AS max_iter,
         | CAST(4 AS BIGINT) AS depth,
         | CAST(max_iter AS BIGINT) AS num_trees
-        |FROM (VALUES (42, 2), (7, 3)) AS runs(seed, max_iter)
+        |FROM (VALUES (42, 2), (7, 1)) AS runs(seed, max_iter)
         |ORDER BY max_iter""".stripMargin,
 
     "q_st3_fixture_state" ->

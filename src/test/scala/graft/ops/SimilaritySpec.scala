@@ -335,6 +335,24 @@ class SimilaritySpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet)
       .reduce(_ ++ _)
     assert(unioned === fromTable)
+    // plan pin: a cell-restricted pass scans ONLY those cells' partitions
+    // (the property that makes per-cell batching O(batch), not O(table))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val restricted = Similarity.semDedupTable(spark, path, tau = 0.99,
+      cells = Some(batch1))
+    // sparkPlan, not executedPlan: AQE's adaptive root hides the scan
+    // nodes from a pre-execution collect
+    val scans = restricted.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { scan =>
+      assert(scan.metadata("PartitionFilters").contains("ivf_cell"),
+        s"unpruned scan: ${scan.metadata("PartitionFilters")}")
+      assert(scan.selectedPartitions.partitionCount === batch1.length,
+        s"expected ${batch1.length} partitions, " +
+          s"got ${scan.selectedPartitions.partitionCount}")
+    }
   }
 
   test("approx_count_distinct stays within 5% of exact (HLL++ contract)") {

@@ -1654,6 +1654,28 @@ object SparkEntry {
                FROM sql_table_history ORDER BY version""")
     }),
 
+    // SQL entry surface for CDC: the change feed as a queryable relation
+    // (Delta's `table_changes('t', v)` flow) — a DML chain's row changes
+    // grouped per (version, change type) in one SQL statement. The feed
+    // content is fully deterministic from the base table, so the oracle
+    // replays it.
+    "q_sql_table_changes" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-sqlcdc-").toString
+      val tbl = VersionedTable(s, root)
+      tbl.enableChangeFeed()
+      val n = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      tbl.append(n)                                                 // v0
+      tbl.update(Map("n_name" -> upper(col("n_name"))),
+        col("n_regionkey") === 2)                                   // v1
+      tbl.deleteRange("n_nationkey", "20", "24")                    // v2
+      tbl.readChangeFeed(-1).createOrReplaceTempView("sql_changes")
+      s.sql("""SELECT _commit_version AS v, _change_type AS ct,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+               FROM sql_changes GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
     // SQL entry surface: VERSION AS OF and TIMESTAMP AS OF as queryable
     // relations — an old version (by number AND by commit timestamp) and
     // the current snapshot registered side by side and compared in one
@@ -1985,6 +2007,24 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_table_changes" ->
+      """WITH base AS (SELECT n_nationkey, n_regionkey FROM nation),
+        |feed AS (
+        |  SELECT 0 AS v, 'insert' AS ct, n_nationkey FROM base
+        |  UNION ALL
+        |  SELECT 1, 'update_preimage', n_nationkey FROM base
+        |  WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', n_nationkey FROM base
+        |  WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT 2, 'delete', n_nationkey FROM base
+        |  WHERE n_nationkey BETWEEN 20 AND 24)
+        |SELECT CAST(v AS BIGINT) AS v, ct,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sql_history" ->
       """SELECT * FROM (VALUES

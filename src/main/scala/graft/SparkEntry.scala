@@ -598,6 +598,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline (the composed LLM-data flow the
+    // individual operators exist for): language filter → quality-score
+    // threshold → exact dedup → corpus stats, all in one lineage. Every
+    // stage is deterministic and SQL-expressible, so the WHOLE chain is
+    // oracle-checked — integer-summed quality (round-then-sum) keeps the
+    // aggregate order-independent across engines.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val txt = col("text")
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), txt,
+        TextAnalysis.langId(txt).as("lang"),
+        round(TextAnalysis.qualityScore(txt), 4).as("q4"),
+        TextAnalysis.tokenCount(txt).as("toks"))
+      val filtered = scored.filter(col("lang") === "en" && col("q4") >= 0.5)
+      Dedup.exact(filtered).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks").cast("long")).as("total_tokens"),
+        sum(round(col("q4") * 10000, 0).cast("long")).as("sum_q4"))
+    }),
+
     // Similarity 1: brute-force cosine top-k against a query vector.
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2265,6 +2285,44 @@ object SparkEntry {
         |      (len(a.shingles) + len(b.shingles)
         |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM documents),
+        |scored AS (
+        | SELECT doc_id, text,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INT) AS toks_n,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |    / len(toks) AS sw_ratio,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS p_ratio,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für','von','den','im'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','un','una','de','en','por','que','no','con','para'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','des','dans','pour','que','qui','au','pas'))) AS BIGINT) AS s_fr
+        | FROM base),
+        |typed AS (
+        | SELECT doc_id, text, toks_n,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) AS q4
+        | FROM scored),
+        |filtered AS (
+        | SELECT * FROM typed WHERE lang_pred = 'en' AND q4 >= 0.5),
+        |deduped AS (
+        | SELECT min(doc_id) AS doc_id, min(q4) AS q4, min(toks_n) AS toks_n
+        | FROM filtered GROUP BY text)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(toks_n) AS BIGINT) AS total_tokens,
+        | CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_q4
+        |FROM deduped""".stripMargin,
 
     "q_txt_stats" ->
       """WITH base AS (

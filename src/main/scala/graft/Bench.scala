@@ -61,6 +61,13 @@ object Bench {
       // release operator-internal persisted relations so one query's
       // scratch cache can't GC-pressure the next
       spark.catalog.clearCache()
+      // unload streaming state-store providers + their maintenance
+      // thread: a finished availableNow query otherwise leaves a
+      // background maintenance task contending with every LATER query's
+      // timing (the streaming numbers inherited whichever neighbors ran
+      // first)
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => }
       (dt, ok)
     }
     // Host-load calibration: a fixed CPU-bound microtask (sum of 1e7-row

@@ -643,6 +643,28 @@ class VersionedTableSpec extends SparkSpec {
     intercept[RuntimeException] { t.readChangeFeed(0).count() }
   }
 
+  test("change feed classification survives additive schema evolution") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdfevo-"))
+    t.enableChangeFeed()
+    t.merge(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))          // v0
+    // the update batch gained a column: matched row updates, new key
+    // inserts; pre-images predate the evolution so their w is NULL
+    t.merge(Seq((2, "b2", 20L), (3, "c", 30L)).toDF("k", "v", "w"),
+      Seq("k"))                                                        // v1
+    val feed = t.readChangeFeed(0)
+      .select("_change_type", "k", "v", "w")
+      .as[(String, Int, String, Option[Long])].collect().toSet
+    assert(feed === Set(
+      ("update_preimage", 2, "b", None),
+      ("update_postimage", 2, "b2", Some(20L)),
+      ("insert", 3, "c", Some(30L))))
+    // the snapshot itself evolved additively
+    assert(t.read.columns.toSet === Set("k", "v", "w"))
+    assert(t.read.filter($"k" === 1).select("w").as[Option[Long]]
+      .collect().toSeq === Seq(None))
+  }
+
   test("deleteVectors: merge-on-read delete writes NO data files; reads apply it") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-dv-"))

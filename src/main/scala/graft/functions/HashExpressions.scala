@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the signature-heavy dedup operators.
   *
@@ -16,7 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * one tight JVM loop per row (measured ~20× on the documents corpus).
   * They are pure scalar expressions: map-only, partition-parallel, no
   * state — safe at any scale.
-  */
+  *
+  * Each expression implements REAL `doGenCode` — a single static call into
+  * [[HashKernels]] — so the hot dedup projections stay inside whole-stage
+  * codegen instead of paying the CodegenFallback row materialization;
+  * interpreted `eval` delegates to the identical kernel, and
+  * HashExpressionsSpec pins both against the built-in higher-order
+  * formulations bit-for-bit. */
 
 /** array<string> shingles → array<long> k-permutation MinHash signature.
   *
@@ -28,33 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * families equal makes the expression a drop-in swap verified by
   * HashExpressionsSpec. */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
-        val h1 = XXH64.hashLong(h0, 42L)
-        var k = 0
-        while (k < numHashes) {
-          val h = XXH64.hashInt(k, h1)
-          if (h < sig(k)) sig(k) = h
-          k += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashFromStrings(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashFromStrings($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -67,34 +57,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * (no per-lambda interpretation). Shorter-than-n docs yield the whole
   * text as one shingle. */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val toks = new Array[UTF8String](m)
-    var i = 0
-    while (i < m) {
-      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
-      i += 1
-    }
-    val sep = UTF8String.fromString(" ")
-    val count = if (m <= n) 1 else m - n + 1
-    val width = math.min(n, m)
-    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
-    i = 0
-    while (i < count) {
-      val parts = new Array[UTF8String](width)
-      var j = 0
-      while (j < width) { parts(j) = toks(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
-      i += 1
-    }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.wordShingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -109,39 +82,17 @@ case class WordShingles(child: Expression, n: Int)
   * Shorter-than-n docs yield one whole-doc shingle hash (mirrors
   * Dedup.wordShingles' fallback). */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val tokHashes = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      tokHashes(i) =
-        if (arr.isNullAt(i)) 0L
-        else {
-          val s = arr.getUTF8String(i)
-          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        }
-      i += 1
-    }
-    val count = if (m <= n) 1 else m - n + 1
-    val width = math.min(n, m)
-    val seen = new java.util.HashSet[java.lang.Long](count * 2)
-    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
-    i = 0
-    while (i < count) {
-      var h = 42L
-      var j = 0
-      while (j < width) { h = XXH64.hashLong(tokHashes(i + j), h); j += 1 }
-      if (seen.add(h)) out += h
-      i += 1
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -152,30 +103,17 @@ case class ShingleHashes(child: Expression, n: Int)
   * the string hash (inputs are already hashed): per element,
   * h1 = hashLong(x, 42), then permutation k = hashInt(k, h1). */
 case class MinHashFromHashes(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_hashes"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val h1 = XXH64.hashLong(arr.getLong(i), 42L)
-        var k = 0
-        while (k < numHashes) {
-          val h = XXH64.hashInt(k, h1)
-          if (h < sig(k)) sig(k) = h
-          k += 1
-        }
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashFromHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashFromHashes($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
     copy(child = newChild)
@@ -185,37 +123,16 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
   * higher-order-function formulation (per-token xxhash64 seed 42, ±1 vote
   * per bit, sign → bit), just evaluated in one loop. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val votes = new Array[Int](64)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
-        var j = 0
-        while (j < 64) {
-          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -227,7 +144,7 @@ case class SimHash64(child: Expression)
   * Similarity.lshBucketHof) in one loop per row: numPlanes interpreted
   * HOF dots collapse into a single scalar pass over the vector. */
 case class LshBucketId(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -239,24 +156,17 @@ case class LshBucketId(child: Expression, planes: Array[Array[Double]])
     * takes the otherwise(0) branch — so the bucket is 0L, never NULL. */
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return 0L
-    val vec = v.asInstanceOf[ArrayData]
-    val n = vec.numElements()
-    var i = 0
-    while (i < n) { if (vec.isNullAt(i)) return 0L; i += 1 }
-    var bucket = 0L
-    var p = 0
-    while (p < planes.length) {
-      val pl = planes(p)
-      if (pl.length == n) { // mismatch → dot is NULL in the HOF → bit 0
-        var d = 0.0d
-        i = 0
-        while (i < n) { d += vec.getDouble(i) * pl(i); i += 1 }
-        if (d >= 0) bucket |= (1L << p)
-      }
-      p += 1
-    }
-    bucket
+    if (v == null) 0L
+    else HashKernels.lshBucket(v.asInstanceOf[ArrayData], planes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    ev.copy(code = c.code + code"""
+      final long ${ev.value} = ${c.isNull} ? 0L :
+        graft.functions.HashKernels.lshBucket(${c.value}, $ref);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketId =
@@ -271,7 +181,7 @@ case class LshBucketId(child: Expression, planes: Array[Array[Double]])
   * assign cell 0, mirroring the HOF formulation where a NULL distance
   * never wins `array_min`. */
 case class NearestCell(child: Expression, centroids: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
@@ -279,30 +189,17 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return 0
-    val vec = v.asInstanceOf[ArrayData]
-    val n = vec.numElements()
-    var i = 0
-    while (i < n) { if (vec.isNullAt(i)) return 0; i += 1 }
-    val arr = new Array[Double](n)
-    i = 0
-    while (i < n) { arr(i) = vec.getDouble(i); i += 1 }
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < centroids.length) {
-      val cent = centroids(c)
-      if (cent.length == n) {
-        var d = 0.0d
-        var j = 0
-        while (j < n && d < bestD) {
-          val diff = arr(j) - cent(j); d += diff * diff; j += 1
-        }
-        if (j == n && d < bestD) { bestD = d; best = c }
-      }
-      c += 1
-    }
-    best
+    if (v == null) 0
+    else HashKernels.nearestCell(v.asInstanceOf[ArrayData], centroids)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    ev.copy(code = c.code + code"""
+      final int ${ev.value} = ${c.isNull} ? 0 :
+        graft.functions.HashKernels.nearestCell(${c.value}, $ref);""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCell =

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The scalar loop bodies of the custom expressions, as a top-level object
+  * so whole-stage codegen can call them through the class's static
+  * forwarders (`graft.functions.HashKernels.simhash(...)` from generated
+  * Java). One definition serves both execution modes: interpreted `eval`
+  * delegates here, and `doGenCode` emits a single static call — the
+  * expressions stay INSIDE whole-stage codegen instead of forcing the
+  * CodegenFallback row materialization on every row of the hot dedup
+  * paths. */
+object HashKernels {
+
+  /** array<string> shingles → k-permutation MinHash signature. */
+  def minhashFromStrings(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        val h1 = XXH64.hashLong(h0, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashInt(k, h1)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** array<string> tokens → distinct n-token shingle strings,
+    * first-occurrence order; shorter-than-n docs → the whole text. */
+  def wordShingles(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val count = if (m <= n) 1 else m - n + 1
+    val width = math.min(n, m)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](width)
+      var j = 0
+      while (j < width) { parts(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** array<string> tokens → distinct hashes of n-token shingles (each
+    * token hashed once, shingle hash = chained hashLong combine). */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val tokHashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      tokHashes(i) =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      i += 1
+    }
+    val count = if (m <= n) 1 else m - n + 1
+    val width = math.min(n, m)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](count)
+    i = 0
+    while (i < count) {
+      var h = 42L
+      var j = 0
+      while (j < width) { h = XXH64.hashLong(tokHashes(i + j), h); j += 1 }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** array<long> shingle hashes → k-permutation MinHash signature. */
+  def minhashFromHashes(arr: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h1 = XXH64.hashLong(arr.getLong(i), 42L)
+        var k = 0
+        while (k < numHashes) {
+          val h = XXH64.hashInt(k, h1)
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** array<string> tokens → 64-bit SimHash (±1 vote per bit). */
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** array<double> × hyperplanes → sign-bit bucket; NULL elements or a
+    * dimension mismatch follow the HOF reference (bit 0 / bucket 0). */
+  def lshBucket(vec: ArrayData, planes: Array[Array[Double]]): Long = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return 0L; i += 1 }
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      if (pl.length == n) { // mismatch → dot is NULL in the HOF → bit 0
+        var d = 0.0d
+        i = 0
+        while (i < n) { d += vec.getDouble(i) * pl(i); i += 1 }
+        if (d >= 0) bucket |= (1L << p)
+      }
+      p += 1
+    }
+    bucket
+  }
+
+  /** array<double> × centroids → nearest-centroid index (squared L2,
+    * lowest-index tiebreak); degenerate inputs → cell 0. */
+  def nearestCell(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return 0; i += 1 }
+    val arr = new Array[Double](n)
+    i = 0
+    while (i < n) { arr(i) = vec.getDouble(i); i += 1 }
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var d = 0.0d
+        var j = 0
+        while (j < n && d < bestD) {
+          val diff = arr(j) - cent(j); d += diff * diff; j += 1
+        }
+        if (j == n && d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+}

@@ -71,6 +71,46 @@ class HashExpressionsSpec extends SparkSpec {
     out.foreach { case (jh, js) => assert(math.abs(jh - js) < 1e-12) }
   }
 
+  test("all custom expressions COMPILE under codegen (no silent fallback)") {
+    GraftFunctions.register(spark)
+    // spark.sql.codegen.fallback=false makes a janino compile failure in
+    // any doGenCode THROW instead of silently degrading to interpreted
+    // eval — without this pin a broken generated-code path would pass
+    // every equality spec via the fallback
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val planes = typedlit(Seq(Seq(1.0, -1.0), Seq(0.5, 0.5)))
+      // spark.range input (NOT a local Seq): the optimizer constant-folds
+      // a projection over a LocalRelation at plan time, which would skip
+      // codegen entirely and void this pin
+      val out = spark.range(2)
+        .select($"id",
+          array(lit("a"), concat(lit("b"), $"id".cast("string")),
+            lit("c"), lit("d")).as("toks"),
+          array($"id".cast("double") * 0.3 - 1.0,
+            $"id".cast("double") * 0.5 + 0.1).as("vec"))
+        .select(
+          call_function("graft_minhash", $"toks", lit(8)).as("mh"),
+          call_function("graft_word_shingles", $"toks", lit(2)).as("ws"),
+          call_function("graft_shingle_hashes", $"toks", lit(2)).as("sh"),
+          call_function("graft_minhash_hashes",
+            call_function("graft_shingle_hashes", $"toks", lit(2)),
+            lit(8)).as("mhh"),
+          call_function("graft_simhash", $"toks").as("sim"),
+          call_function("graft_lsh_bucket", $"vec", planes).as("lsh"),
+          call_function("graft_nearest_cell", $"vec", planes).as("cell"))
+      assert(out.collect().length === 2)
+      // and the generated source really calls the kernels (the fallback
+      // path embeds an eval() call on an expression reference instead)
+      val code = org.apache.spark.sql.execution.debug.codegenString(
+        out.queryExecution.executedPlan)
+      assert(code.contains("HashKernels"),
+        "generated code does not call HashKernels — fallback crept back in")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("minhash signature is stable across rows with identical shingles") {
     GraftFunctions.register(spark)
     val sig = Seq(("a b c d"), ("a b c d")).toDF("text")

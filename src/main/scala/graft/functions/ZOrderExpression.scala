@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Z-order (Morton) key for multi-column clustering.
@@ -16,12 +17,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * ~n^((d-1)/d) of the file-sets — the standard multi-dimensional data-
   * skipping layout (Delta's OPTIMIZE ZORDER BY).
   *
-  * One tight loop per row (CodegenFallback like the other graft
-  * expressions); NULLs sort to bucket 0, matching NULLS FIRST.
+  * Real codegen like the other graft expressions: per child, a static
+  * bucket+interleave call against a referenced boundary array; NULLs sort
+  * to bucket 0, matching NULLS FIRST.
   */
 case class ZOrderKey(children: Seq[Expression],
                      boundaries: Array[Array[Double]], bitsPerCol: Int)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   require(children.size == boundaries.length,
     "one boundary array per z-ordered column")
@@ -32,16 +34,6 @@ case class ZOrderKey(children: Seq[Expression],
   override def nullable: Boolean = false
   override def prettyName: String = "graft_zorder_key"
 
-  private def bucketOf(v: Double, cuts: Array[Double]): Int = {
-    // count of cuts <= v, via binary search == equi-depth bucket index
-    var lo = 0; var hi = cuts.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (cuts(mid) <= v) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
-
   override def eval(input: InternalRow): Any = {
     val d = children.size
     var key = 0L
@@ -50,19 +42,57 @@ case class ZOrderKey(children: Seq[Expression],
       val raw = children(c).eval(input)
       val bucket =
         if (raw == null) 0
-        else bucketOf(raw.asInstanceOf[Number].doubleValue(), boundaries(c))
-      // interleave: bit b of column c lands at position b*d + c
-      var b = 0
-      while (b < bitsPerCol) {
-        if (((bucket >> b) & 1) == 1) key |= 1L << (b * d + c)
-        b += 1
-      }
+        else ZOrderKey.bucketIndex(
+          raw.asInstanceOf[Number].doubleValue(), boundaries(c))
+      key |= ZOrderKey.interleave(bucket, bitsPerCol, d, c)
       c += 1
     }
     key
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = children.size
+    val gens = children.map(_.genCode(ctx))
+    val perChild = gens.zipWithIndex.map { case (g, c) =>
+      val ref = ctx.addReferenceObj(s"zb$c", boundaries(c), "double[]")
+      code"""
+        ${g.code}
+        if (!${g.isNull}) {
+          ${ev.value} |= graft.functions.ZOrderKey.interleave(
+            graft.functions.ZOrderKey.bucketIndex((double)(${g.value}), $ref),
+            $bitsPerCol, $d, $c);
+        }"""
+    }.reduce(_ + _)
+    ev.copy(code = code"""
+      long ${ev.value} = 0L;""" + perChild,
+      isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): ZOrderKey =
     copy(children = newChildren)
+}
+
+object ZOrderKey {
+
+  /** Count of cuts <= v via binary search == equi-depth bucket index. */
+  def bucketIndex(v: Double, cuts: Array[Double]): Int = {
+    var lo = 0; var hi = cuts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Interleave: bit b of column c lands at position b*d + c. */
+  def interleave(bucket: Int, bitsPerCol: Int, d: Int, c: Int): Long = {
+    var key = 0L
+    var b = 0
+    while (b < bitsPerCol) {
+      if (((bucket >> b) & 1) == 1) key |= 1L << (b * d + c)
+      b += 1
+    }
+    key
+  }
 }

@@ -5,7 +5,8 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
@@ -55,9 +56,13 @@ object BloomJoin {
 
 /** `bloom.mightContainLong(child)` as a deterministic scalar predicate;
   * NULL keys never match (semi-join semantics). The filter rides the
-  * closure into each task once (it is broadcast-sized by construction). */
+  * closure into each task once (it is broadcast-sized by construction).
+  * Real codegen (the sketch becomes a referenced object, the probe a
+  * direct method call): this predicate runs on EVERY probe-side row
+  * pre-shuffle — exactly where a CodegenFallback row materialization
+  * would cost the most. */
 case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -66,6 +71,16 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) false else bloom.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[BloomFilter].getName)
+    ev.copy(code = c.code + code"""
+      final boolean ${ev.value} = !${c.isNull} &&
+        $ref.mightContainLong(${c.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =

@@ -27,6 +27,25 @@ class BloomJoinSpec extends SparkSpec {
     assert(out.select("k").as[Option[Long]].collect().toSeq === Seq(Some(2L)))
   }
 
+  test("bloom probe and zorder key COMPILE under codegen (no silent fallback)") {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      // bloom probe over a codegen'd range source
+      val probe = spark.range(5000).select(col("id"), (col("id") % 97).as("k"))
+      val build = spark.range(50).select((col("id") * 2).as("bk"))
+      assert(BloomJoin.semiJoin(probe, build, "k", "bk",
+        expectedItems = 50).count() > 0)
+      // zorder key through the public compact path
+      val t = graft.tables.VersionedTable(spark, tmpDir("vt-zcg-") + "/t")
+      t.append(spark.range(1000).select(col("id"),
+        (col("id") * 37 % 1000).as("x")), statsFor = Seq("id", "x"))
+      t.compactZOrder(Seq("id", "x"), numFileSets = 4)
+      assert(t.read.count() === 1000)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("bloom predicate sits BELOW the join on the probe side (plan pin)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val probe = spark.range(100000).toDF("k")

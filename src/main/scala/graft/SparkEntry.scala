@@ -1674,6 +1674,29 @@ object SparkEntry {
                FROM sql_table_history ORDER BY version""")
     }),
 
+    // SQL entry surface: DESCRIBE DETAIL as a queryable relation — the
+    // LAYOUT metadata (bucket spec, partition keys, table features) is
+    // fully deterministic from the DDL that built the table, so the
+    // oracle replays it as the expected row (size/version/location
+    // columns stay out of the projection: they are run-specific).
+    "q_sql_detail" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-sqldetail-").toString
+      val tbl = VersionedTable(s, root)
+      tbl.enableChangeFeed()
+      val e = events(s, dir).select(
+        col("event_id").cast("long").as("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM").as("snapshot_month"))
+        .filter(col("event_id") < 2000)
+      tbl.merge(e, Seq("event_id"), numBuckets = 4,
+        partitionBy = Seq("snapshot_month"))
+      tbl.addCheck("eid_pos", "event_id >= 0")
+      tbl.detailDf.createOrReplaceTempView("sql_table_detail")
+      s.sql("""SELECT num_buckets, bucket_keys, partition_columns,
+               change_feed_enabled, num_checks, num_generated_columns,
+               num_deletion_vectors
+               FROM sql_table_detail""")
+    }),
+
     // SQL entry surface for CDC: the change feed as a queryable relation
     // (Delta's `table_changes('t', v)` flow) — a DML chain's row changes
     // grouped per (version, change type) in one SQL statement. The feed
@@ -2027,6 +2050,15 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(event_id) AS BIGINT) AS sum_id
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_detail" ->
+      """SELECT CAST(4 AS INT) AS num_buckets,
+        | 'event_id' AS bucket_keys,
+        | 'snapshot_month' AS partition_columns,
+        | CAST(TRUE AS BOOLEAN) AS change_feed_enabled,
+        | CAST(1 AS INT) AS num_checks,
+        | CAST(0 AS INT) AS num_generated_columns,
+        | CAST(0 AS INT) AS num_deletion_vectors""".stripMargin,
 
     "q_sql_table_changes" ->
       """WITH base AS (SELECT n_nationkey, n_regionkey FROM nation),

@@ -79,7 +79,7 @@ object Similarity {
 
   /** The built-in higher-order formulation of [[lshBucket]] (kept as the
     * semantic reference the custom expression is pinned against). */
-  private[ops] def lshBucketHof(vec: Column, planes: Seq[Seq[Float]]): Column =
+  private[graft] def lshBucketHof(vec: Column, planes: Seq[Seq[Float]]): Column =
     (0 until planes.size).map { i =>
       when(dot(vec.cast("array<double>"), vecLit(planes(i))) >= 0,
         shiftleft(lit(1L), i)).otherwise(lit(0L))

@@ -57,6 +57,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: codegen'd hash kernels == HOF formulations on random corpora") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, Similarity, TextAnalysis}
+    graft.functions.GraftFunctions.register(spark)
+    val word: Gen[String] = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val doc: Gen[String] = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val docsGen = Gen.listOfN(60, doc)
+    for (seed <- 1 to 3) {
+      val texts = docsGen(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen failed"))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      // shingle strings: kernel vs the wordShingles HOF reference
+      val shMismatch = df.select(
+          call_function("graft_word_shingles", $"toks", lit(3)).as("fast"),
+          Dedup.wordShingles(concat_ws(" ", $"toks"), 3).as("slow"))
+        .filter(not($"fast" <=> $"slow")).count()
+      assert(shMismatch === 0)
+      // minhash over shingle strings: kernel vs the HOF hash chain
+      val mhMismatch = df.select(
+          call_function("graft_minhash",
+            Dedup.wordShingles(concat_ws(" ", $"toks"), 3), lit(32)).as("fast"),
+          Dedup.minhashSignatureFromHashes(
+            transform(Dedup.wordShingles(concat_ws(" ", $"toks"), 3),
+              s => xxhash64(s)), 32).as("slow"))
+        .filter(not($"fast" <=> $"slow")).count()
+      assert(mhMismatch === 0)
+      // lsh bucket: kernel vs HOF, random vectors
+      val rnd = new scala.util.Random(seed)
+      val planes = Similarity.hyperplanes(6, 8, seed.toLong)
+      val vecs = (0 until 50).map(i =>
+        (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val lshMismatch = vecs.select(
+          Similarity.lshBucket($"embedding", planes).as("fast"),
+          Similarity.lshBucketHof($"embedding", planes).as("slow"))
+        .filter(not($"fast" <=> $"slow")).count()
+      assert(lshMismatch === 0)
+    }
+  }
+
   test("property: latestPerKey returns input rows, one per key") {
     for (rs <- samples(5)) {
       val df = rs.toDF("id", "ver", "v")

@@ -907,19 +907,29 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val hi = endVersion.getOrElse(Long.MaxValue)
     val entries = h.filter(e => e.version > sinceVersion && e.version <= hi)
     val byVersion = h.map(e => e.version -> e).toMap
-    val frames = entries.flatMap { e =>
-      val base: Option[DataFrame] = e.cdf match {
+
+    // Union-arm folding, the same discipline as readFileSets: a CDC
+    // BOOTSTRAP (sinceVersion = -1) over a long-lived table spans
+    // thousands of versions, and one scan arm per version would build an
+    // unbounded plan. Same-schema change sets (and same-schema flat
+    // appended file-sets) collapse into ONE multi-path scan; the commit
+    // version/timestamp are recovered per row from the file path via a
+    // broadcast join against the tiny (dir → version, ts) meta relation.
+    // Per-version arms remain only for hive-partitioned appends (multi
+    // root partitioned scans conflict — readFileSets' own constraint)
+    // and the at-most-one clone base commit.
+    val explicitSets = scala.collection.mutable.ArrayBuffer.empty[(LogEntry, Path)]
+    val appendFlat = scala.collection.mutable.ArrayBuffer.empty[(LogEntry, Path)]
+    val loneFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def vacuumedGuard(v: Long, missing: Seq[String]): Unit =
+      require(missing.isEmpty,
+        s"changes of v$v at $root were vacuumed; re-read the snapshot")
+    entries.foreach { e =>
+      e.cdf match {
         case Some(id) =>
           val p = changesDir.resolve(id)
-          require(Files.exists(p),
-            s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
-          // change sets are immutable after their atomic move — memoized
-          // schema skips the per-version footer-inference job (a feed read
-          // over k versions otherwise pays k tiny jobs before any data)
-          Some(spark.read.schema(schemaCacheLookup(
-              p.toAbsolutePath.toString,
-              spark.read.parquet(p.toString).schema))
-            .parquet(p.toString))
+          vacuumedGuard(e.version, if (Files.exists(p)) Nil else Seq(id))
+          explicitSets += ((e, p))
         case None => e.action match {
           case "append" =>
             val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
@@ -927,48 +937,101 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             val added = e.fileSets.filterNot(prev)
             // synthesized inserts read the appended file-sets directly —
             // if a later rewrite + vacuum reclaimed them, fail with the
-            // same curated message as the explicit-change-set path, not
-            // a raw parquet path error
-            val gone = added.filterNot(fs => Files.exists(dataDir.resolve(fs)))
-            require(gone.isEmpty,
-              s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
-            // raw read, deliberately WITHOUT later deletion vectors: the
-            // feed reports rows as of THIS commit; later deletes appear
-            // as their own delete changes
-            if (added.isEmpty) None
-            else Some(tagged(readFileSets(added), "insert"))
+            // same curated message as the explicit-change-set path. Raw
+            // read, deliberately WITHOUT later deletion vectors: the feed
+            // reports rows as of THIS commit; later deletes appear as
+            // their own delete changes.
+            vacuumedGuard(e.version,
+              added.filterNot(fs => Files.exists(dataDir.resolve(fs))))
+            added.foreach { fs =>
+              val p = dataDir.resolve(fs)
+              if (hasHivePartitionDirs(p))
+                loneFrames += stampMeta(tagged(readFileSets(Seq(fs)), "insert"),
+                  e.version, e.tsMillis)
+              else appendFlat += ((e, p))
+            }
           // data-identical rewrites: no logical change to report
-          case "compact" | "zorder" | "purge_dv" => None
+          case "compact" | "zorder" | "purge_dv" => ()
           // a clone BASE commit is the cloned snapshot itself: synthesize
           // its rows as inserts (the clone's own DVs applied — rows
           // deleted before the clone never existed here) so a CDC
           // consumer bootstrapping from a populated clone starts from its
           // contents, not from a silently empty feed
           case "clone" =>
-            val gone = e.fileSets.filterNot(fs =>
-              Files.exists(dataDir.resolve(fs)))
-            require(gone.isEmpty,
-              s"changes of v${e.version} at $root were vacuumed; re-read the snapshot")
-            if (e.fileSets.isEmpty) None
-            else Some(tagged(readSets(e.fileSets, e.dvs), "insert"))
+            vacuumedGuard(e.version,
+              e.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs))))
+            if (e.fileSets.nonEmpty)
+              loneFrames += stampMeta(
+                tagged(readSets(e.fileSets, e.dvs), "insert"),
+                e.version, e.tsMillis)
           case other => sys.error(s"change feed cannot reconstruct " +
             s"'$other' at v${e.version} of $root; re-read the snapshot")
         }
       }
-      base.map(_.withColumn("_commit_version", lit(e.version))
-        .withColumn("_commit_timestamp",
-          lit(new java.sql.Timestamp(e.tsMillis))))
     }
+    // change sets are immutable after their atomic move — memoized
+    // schemas group them (and skip the per-version footer-inference job
+    // a k-version feed read otherwise pays before any data)
+    def cached(p: Path) = schemaCacheLookup(p.toAbsolutePath.toString,
+      spark.read.parquet(p.toString).schema)
+    val explicitFrames = explicitSets.toSeq.groupBy { case (_, p) => cached(p).json }
+      .toSeq.sortBy(_._2.head._1.version).map { case (_, items) =>
+        foldedScan(items.map(_._2), cached(items.head._2), changesDir,
+          items.map { case (e, p) =>
+            (p.getFileName.toString, e.version, e.tsMillis) })
+      }
+    val appendFrames = appendFlat.toSeq.groupBy { case (_, p) =>
+        p.getFileName.toString match {
+          case SchemaTagged(tag) => tag
+          case _ => cached(p).json // legacy untagged
+        }
+      }
+      .toSeq.sortBy(_._2.head._1.version).map { case (_, items) =>
+        tagged(foldedScan(items.map(_._2), cached(items.head._2), dataDir,
+          items.map { case (e, p) =>
+            (p.getFileName.toString, e.version, e.tsMillis) }), "insert")
+      }
+    val frames = explicitFrames ++ appendFrames ++ loneFrames
     if (frames.isEmpty)
       // schema-bearing empty feed; a freshly-enabled EMPTY table (no
       // commits yet) yields a zero-column frame plus the meta columns
       // rather than erroring on a consumer polling before first data
-      tagged(h.lastOption.map(readEntry).getOrElse(spark.emptyDataFrame)
-        .limit(0), "insert")
-        .withColumn("_commit_version", lit(0L))
-        .withColumn("_commit_timestamp", current_timestamp())
-        .limit(0)
+      stampMeta(tagged(h.lastOption.map(readEntry)
+        .getOrElse(spark.emptyDataFrame).limit(0), "insert"), 0L,
+        System.currentTimeMillis()).limit(0)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Attach the per-commit feed meta columns as literals (single-version
+    * arms: clone base, hive-partitioned appends, empty feed). */
+  private def stampMeta(df: DataFrame, version: Long, tsMillis: Long): DataFrame =
+    df.withColumn("_commit_version", lit(version))
+      .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMillis)))
+
+  /** ONE multi-path scan over same-schema dirs under `parent`, with the
+    * commit version/timestamp of each row recovered from its file path by
+    * a broadcast join against the (dir name → version, ts) meta relation
+    * — the folded form of per-version feed arms. */
+  private def foldedScan(paths: Seq[Path],
+                         schema: org.apache.spark.sql.types.StructType,
+                         parent: Path,
+                         meta: Seq[(String, Long, Long)]): DataFrame = {
+    val anchor = java.util.regex.Pattern.quote(
+      parent.toAbsolutePath.toString) + "/([^/]+)/"
+    val scan = spark.read.schema(schema)
+      .parquet(paths.map(_.toString): _*)
+      .withColumn("__cdir",
+        regexp_extract(col("_metadata.file_path"), anchor, 1))
+    val metaDf = spark.createDataFrame(meta.map { case (d, v, ts) =>
+        org.apache.spark.sql.Row(d, v, new java.sql.Timestamp(ts)) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cdir",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType, nullable = false))))
+    scan.join(broadcast(metaDf), Seq("__cdir")).drop("__cdir")
   }
 
   private def readEntry(e: LogEntry): DataFrame =

@@ -643,6 +643,35 @@ class VersionedTableSpec extends SparkSpec {
     intercept[RuntimeException] { t.readChangeFeed(0).count() }
   }
 
+  test("change feed folds same-schema versions into bounded scan arms") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdffold-"))
+    t.enableChangeFeed()
+    t.merge(Seq((1, 0L)).toDF("k", "n"), Seq("k"))      // v0 explicit set
+    (1 to 6).foreach { i =>                             // v1..v6 explicit sets
+      t.merge(Seq((i % 3, i.toLong)).toDF("k", "n"), Seq("k"))
+    }
+    (1 to 6).foreach { i =>                             // v7..v12 appends
+      t.append(Seq((100 + i, i.toLong)).toDF("k", "n"))
+    }
+    val feed = t.readChangeFeed(-1)
+    // 13 versions must NOT mean 13 scan arms: one folded scan for the
+    // same-schema change sets + one for the appended file-sets
+    val scans = feed.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.length <= 3,
+      s"feed built ${scans.length} scan arms for 13 versions — folding lost")
+    // and the folded read still stamps every row with ITS commit version
+    val versions = feed.select("_commit_version").distinct()
+      .as[Long].collect().toSet
+    assert(versions === (0L to 12L).toSet)
+    val v9 = feed.filter(col("_commit_version") === 9)
+      .select("_change_type", "k").as[(String, Int)].collect().toSeq
+    assert(v9 === Seq(("insert", 103)))
+  }
+
   test("change feed classification survives additive schema evolution") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-cdfevo-"))

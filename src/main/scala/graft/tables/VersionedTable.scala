@@ -1565,22 +1565,30 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val cond = col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt) &&
       extraCond.getOrElse(lit(true))
+    // touched rows are BOUNDED by stats pruning and consumed twice (the
+    // change set and the COW rewrite) — persist while both writes run so
+    // the touched file-sets (and the DV anti-join) scan once, not twice;
+    // full-snapshot delete() deliberately does NOT persist (unbounded)
     val touchedRows = readSets(touched, snap.dvs)
-    val remaining = touchedRows
-      .filter(!coalesce(cond, lit(false))) // NULL predicate keeps the row
-    val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys)
-      .distinct
-    val cdf = writeChangeSet(Seq(
-      tagged(touchedRows.filter(coalesce(cond, lit(false))), "delete")))
-    val newSets = bucketSpec match {
-      case Some(spec) => writeBucketedFileSets(remaining, spec)
-      case None       => Seq(writeFileSetPreservingLayout(remaining))
-    }
-    writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
-    // carried file-sets may still have live DV entries: the vectors ride
-    // along (rewritten sets' entries just went inert)
-    commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
-      cdf = cdf)
+    if (changeFeedEnabled)
+      touchedRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val remaining = touchedRows
+        .filter(!coalesce(cond, lit(false))) // NULL predicate keeps the row
+      val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys)
+        .distinct
+      val cdf = writeChangeSet(Seq(
+        tagged(touchedRows.filter(coalesce(cond, lit(false))), "delete")))
+      val newSets = bucketSpec match {
+        case Some(spec) => writeBucketedFileSets(remaining, spec)
+        case None       => Seq(writeFileSetPreservingLayout(remaining))
+      }
+      writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
+      // carried file-sets may still have live DV entries: the vectors ride
+      // along (rewritten sets' entries just went inert)
+      commit("delete", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
+        cdf = cdf)
+    } finally if (changeFeedEnabled) { touchedRows.unpersist(); () }
   }
 
   /** General DELETE WHERE (no skipping): rewrites the full snapshot minus
@@ -1775,20 +1783,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val cond = col(column) >= lit(lower).cast(dt) &&
       col(column) <= lit(upper).cast(dt) &&
       extraCond.getOrElse(lit(true))
+    // bounded by stats pruning and consumed by the change set AND the COW
+    // rewrite — persist so the touched sets scan once (see deleteRange)
     val touchedRows = readSets(touched, snap.dvs)
-    val updated = applyAssignments(touchedRows, set, cond)
-    val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
-    val pre = touchedRows.filter(coalesce(cond, lit(false)))
-    val cdf = writeChangeSet(Seq(
-      tagged(pre, "update_preimage"),
-      tagged(applyAssignments(pre, set, lit(true)), "update_postimage")))
-    val newSets = bucketSpec match {
-      case Some(spec) => writeBucketedFileSets(updated, spec)
-      case None       => Seq(writeFileSetPreservingLayout(updated))
-    }
-    writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
-    commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
-      cdf = cdf)
+    if (changeFeedEnabled)
+      touchedRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updated = applyAssignments(touchedRows, set, cond)
+      val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
+      val pre = touchedRows.filter(coalesce(cond, lit(false)))
+      val cdf = writeChangeSet(Seq(
+        tagged(pre, "update_preimage"),
+        tagged(applyAssignments(pre, set, lit(true)), "update_postimage")))
+      val newSets = bucketSpec match {
+        case Some(spec) => writeBucketedFileSets(updated, spec)
+        case None       => Seq(writeFileSetPreservingLayout(updated))
+      }
+      writeSkippingSidecars(newSets, statsCols, bloomColsOf(touched))
+      commit("update", carried ++ newSets, basedOn = rv, dvs = snap.dvs,
+        cdf = cdf)
+    } finally if (changeFeedEnabled) { touchedRows.unpersist(); () }
   }
 
   /** MERGE upsert: update matched target rows with the update row, insert

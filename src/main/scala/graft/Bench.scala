@@ -40,16 +40,46 @@ object Bench {
         .partitionBy("o_custkey").orderBy("o_orderkey"))).count()
     } catch { case _: Throwable => }
 
+    // Scheduler-independent evidence: a SparkListener accumulates the sum
+    // of task runtimes (executorRunTime) and on-CPU time (executorCpuTime)
+    // so every query carries wall time AND task time. On a quiet host the
+    // two track each other (wall ≈ task/parallelism + driver overhead); on
+    // a contended host wall balloons while task time doesn't — a 10×
+    // wall/task divergence is machine-readable proof the artifact is a
+    // contention outlier, not a plan regression (the round-4/5 driver runs
+    // read 80-100× on queries whose task time was unchanged).
+    val taskMsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNsAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            taskMsAcc.addAndGet(m.executorRunTime)
+            cpuNsAcc.addAndGet(m.executorCpuTime)
+          }
+        }
+      })
+    // listener events post asynchronously; a short drain keeps per-query
+    // attribution honest (ms-level skew is irrelevant at the 10× diagnostic
+    // threshold the task-time channel exists for)
+    def snapshotTask(): (Long, Long) = {
+      Thread.sleep(100); (taskMsAcc.get, cpuNsAcc.get)
+    }
+
     // Pinned alphabetical order + best-of-2: HashMap iteration order made
     // per-query timings inherit different neighbor effects (page cache, GC,
     // streaming state-store maintenance) whenever the query set changed, so
     // round-over-round deltas were noise. Sorted order keeps neighbors stable
     // across rounds; min-of-2 suppresses one-off GC/compilation hiccups.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    // returns (seconds, succeeded): a throwing pass must never publish its
-    // elapsed-to-failure as a timing — with min-of-passes a fast crash
-    // would otherwise masquerade as a speedup
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // returns (wall seconds, task-runtime seconds, cpu seconds, succeeded):
+    // a throwing pass must never publish its elapsed-to-failure as a timing
+    // — with min-of-passes a fast crash would otherwise masquerade as a
+    // speedup
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double, Boolean) = {
+      val (task0, cpu0) = snapshotTask()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -68,7 +98,8 @@ object Bench {
       // first)
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => }
-      (dt, ok)
+      val (task1, cpu1) = snapshotTask()
+      (dt, (task1 - task0) / 1e3, (cpu1 - cpu0) / 1e9, ok)
     }
     // Host-load calibration: a fixed CPU-bound microtask (sum of 1e7-row
     // range, one job, no IO) timed immediately before the query loop. On a
@@ -77,11 +108,17 @@ object Bench {
     // do — so a bench artifact carries its own evidence of whether its
     // numbers are trustworthy (the round-4 driver run read 561s where two
     // quiet runs of identical code read 64-88s).
-    val calibration = {
+    def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(10000000L).agg(sum("id")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    val calibration = calibrate()
+    // contention arrives MID-run, not just before it (the round-5 driver
+    // run calibrated near-quiet at 0.528 then produced 80-100× per-query
+    // outliers) — so the microtask re-runs every ~10 queries and the MAX
+    // sample is published alongside the pre-loop one
+    val calibrationSamples = scala.collection.mutable.ArrayBuffer(calibration)
 
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the set
     // (unset = full suite, the driver's mode)
@@ -89,25 +126,34 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = ordered.map { case (name, fn) =>
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 10 == 0) calibrationSamples += calibrate()
       val runs = (1 to passes).map(_ => timeOnce(name, fn))
-      val good = runs.collect { case (dt, true) => dt }
-      // min over SUCCESSFUL passes; all-failed → -1 sentinel (never a
-      // plausible timing, and it drags the total down visibly)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      val good = runs.collect { case (dt, task, cpu, true) => (dt, task, cpu) }
+      // min-wall over SUCCESSFUL passes (with that pass's task/cpu time —
+      // pairing keeps wall vs task comparable); all-failed → -1 sentinel
+      // (never a plausible timing, and it drags the total down visibly)
+      name -> (if (good.nonEmpty) good.minBy(_._1) else (-1.0, -1.0, -1.0))
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    calibrationSamples += calibrate()
+    val failed = results.collect { case (k, (v, _, _)) if v < 0 => k }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val taskQs = results.map { case (k, (_, t, _)) => s"\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    val cpuQs = results.map { case (k, (_, _, c)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // a failed query contributes a 999s penalty to the TOTAL (per-query
     // value stays the -1 error marker): excluding it would make a round
     // that broke a query read as a round-over-round speedup, and the
     // penalty is the tripwire that makes breakage unmissable in the
-    // headline number
-    val total = results.map(_._2).filter(_ >= 0).sum + failed.length * 999.0
+    // headline number — n_failed is published next to it so a dashboard
+    // can't misread the penalty as a timing regression
+    val total = results.map(_._2._1).filter(_ >= 0).sum + failed.length * 999.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calArr = calibrationSamples.map(c => f"$c%.4f").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration_sec":$calibration,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"sf":"$sfDir"}"""
     println(line)
     // The committed BENCH_LATEST.json is a published artifact: only a run
     // that explicitly opts in (SPARK_GRAFT_PUBLISH=1) may overwrite it —

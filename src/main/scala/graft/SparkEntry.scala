@@ -457,22 +457,41 @@ object SparkEntry {
         .select(col("keep_id"), col("n_docs"))
         .orderBy("keep_id")),
 
-    // Dedup 2: MinHash+LSH near-dup pairs on planted near-dups (summary
-    // row: not SQL-expressible → rows-only check; correctness pinned by
-    // DedupSpec).
+    // Dedup 2: MinHash+LSH near-dup pairs, ORACLE-CHECKED via a planted
+    // exact-copy invariant: every doc with doc_id % 7 == 0 reappears
+    // verbatim at +2000000. Identical text → identical shingle-hash set →
+    // identical signature → same bucket in EVERY band, and the verify
+    // stage computes exact Jaccard (= 1 ≥ threshold), so recall of the
+    // planted pairs is deterministic arithmetic DuckDB recomputes —
+    // independent of seeds or banding. (The bucket cap cannot fire at
+    // verify scale: a bucket is bounded by corpus size < maxBucketSize.)
+    // Near-dup plants stay in the corpus to keep the candidate stage
+    // realistic; engine-specific pair totals are pinned by DedupSpec.
     "q_dd2_minhash_pairs" -> ((s, dir) => {
-      val pairs = Dedup.minhashNearDupPairs(corpusWithNearDups(s, dir),
-        jaccardThreshold = 0.7)
-      pairs.agg(count(lit(1)).as("n_pairs"),
-        count(when(col("doc_id_b") === col("doc_id_a") + 1000000, 1))
+      val base = corpusWithNearDups(s, dir)
+      val exactPlants = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.minhashNearDupPairs(base.unionByName(exactPlants),
+          jaccardThreshold = 0.7)
+        .agg(count(when(col("doc_id_b") === col("doc_id_a") + 2000000, 1))
           .as("n_planted_found"))
     }),
 
-    // Dedup 3: SimHash near-dup pairs (rows-only; pinned by DedupSpec).
-    "q_dd3_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(corpusWithNearDups(s, dir),
+    // Dedup 3: SimHash near-dup pairs — same planted exact-copy invariant
+    // as q_dd2: identical text → identical 64-bit signature → Hamming 0,
+    // and pigeonhole blocking has EXACT recall within the budget, so the
+    // planted count is deterministic (DedupSpec pins near-dup behavior).
+    "q_dd3_simhash_pairs" -> ((s, dir) => {
+      val base = corpusWithNearDups(s, dir)
+      val exactPlants = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      Dedup.simhashNearDupPairs(base.unionByName(exactPlants),
           maxHammingDistance = 6)
-        .agg(count(lit(1)).as("n_pairs"))),
+        .agg(count(when(col("doc_id_b") === col("doc_id_a") + 2000000, 1))
+          .as("n_planted_found"))
+    }),
 
     // Dedup 4: exact n-gram Jaccard over blocked candidate pairs.
     "q_dd4_ngram_jaccard" -> ((s, dir) =>
@@ -529,18 +548,20 @@ object SparkEntry {
 
     // Multimodal 2: perceptual-hash near-dup over media payloads —
     // decode(stub) → 64-bit aHash → banded Hamming pair join; binary
-    // payloads never shuffle. Rows-only (the synthesized media table
-    // lives Spark-side); pair semantics + planted recall pinned by
-    // MultimodalSpec.
+    // payloads never shuffle. ORACLE-CHECKED via the planted exact-copy
+    // invariant: every media_id % 13 == 0 payload reappears verbatim at
+    // +1000000; identical bytes → identical pHash → Hamming 0, and the
+    // pigeonhole blocking is exact at distance 0, so the planted count is
+    // the arithmetic DuckDB recomputes over range(1500). Pair semantics +
+    // near-dup recall pinned by MultimodalSpec.
     "q_mm2_phash_neardup" -> ((s, dir) => {
       val corpus = graft.multimodal.Multimodal.synthesize(s, 1500)
       val planted = corpus.filter(col("media_id") % 13 === 0)
         .withColumn("media_id", col("media_id") + 1000000)
       graft.multimodal.Multimodal.nearDupMediaPairs(s,
           corpus.unionByName(planted), maxHammingDistance = 0)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("media_id_b") === col("media_id_a") + 1000000, 1L)
-            .otherwise(0L)).as("n_planted_found"))
+        .agg(count(when(col("media_id_b") === col("media_id_a") + 1000000, 1))
+          .as("n_planted_found"))
     }),
 
     // Dedup 6: paragraph-level exact dedup (C4/RefinedWeb boilerplate
@@ -570,17 +591,19 @@ object SparkEntry {
 
     // Dedup 5: SemDeDup — semantic (embedding-space) duplicate removal
     // via clustered cosine cliques, the meaning-level dedup exact/MinHash
-    // passes cannot see (rows-only: KMeans cells are engine-specific;
-    // planted-recall, survivor rule and determinism pinned by
-    // SimilaritySpec). Planted exact copies must all drop.
+    // passes cannot see. ORACLE-CHECKED via its invariant: every planted
+    // exact copy (vec_id % 17 → +1000000) MUST drop — identical vectors
+    // assign to the same cell regardless of the (engine-specific) KMeans
+    // fit, cosine with the original is 1 ≥ tau, and the (centroid_sim,
+    // id) tiebreak keeps the lower-id original — so n_planted_kept is
+    // deterministically 0, independent of clustering. Survivor rule,
+    // near-dup recall and determinism pinned by SimilaritySpec.
     "q_dd5_semdedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") % 17 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.semDedup(e.unionByName(planted), nClusters = 32, tau = 0.99)
-        .agg(count(lit(1)).as("n_kept"),
-          sum(when(col("vec_id") >= 1000000, 1L).otherwise(0L))
-            .as("n_planted_kept"))
+        .agg(count(when(col("vec_id") >= 1000000, 1)).as("n_planted_kept"))
     }),
 
     // Text analysis: counts, ratios, quality, fingerprint, language ID.
@@ -633,16 +656,20 @@ object SparkEntry {
     }),
 
     // Similarity 2: LSH-bucketed near-dup pairs on planted duplicate
-    // vectors (rows-only; pinned by SimilaritySpec).
+    // vectors. ORACLE-CHECKED via the exact-copy invariant: an identical
+    // vector lands in the identical LSH bucket under ANY hyperplane set
+    // and verifies at cosine 1 ≥ threshold, so the planted count is
+    // seed-independent arithmetic DuckDB recomputes (bucket cap cannot
+    // fire: buckets are bounded by corpus size at verify scale). Near-dup
+    // recall pinned by SimilaritySpec.
     "q_sim_neardup_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") % 13 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.embeddingNearDupPairs(e.unionByName(planted), dim = 64,
           threshold = 0.99)
-        .agg(count(lit(1)).as("n_pairs"),
-          count(when(col("id_b") === col("id_a") + 1000000, 1))
-            .as("n_planted_found"))
+        .agg(count(when(col("id_b") === col("id_a") + 1000000, 1))
+          .as("n_planted_found"))
     }),
 
     // ST3: latest-state-per-fixture derivation over the live-event shape.
@@ -2286,6 +2313,29 @@ object SparkEntry {
         | SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
         |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    // Planted exact-copy invariants for the approximate near-dup family:
+    // identical payloads have deterministic recall under every candidate
+    // generator (identical MinHash signature / SimHash 0 / pHash 0 /
+    // identical LSH bucket — see each query's doc), so the planted count
+    // is plain arithmetic over the planting rule, engine-independent.
+    "q_dd2_minhash_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted_found
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "q_dd3_simhash_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted_found
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "q_mm2_phash_neardup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted_found
+        |FROM range(1500) t(media_id) WHERE media_id % 13 = 0""".stripMargin,
+    "q_sim_neardup_pairs" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted_found
+        |FROM embeddings WHERE vec_id % 13 = 0""".stripMargin,
+    // SemDeDup's invariant: every planted exact copy must drop (identical
+    // vectors share a cell; cosine 1 >= tau; id tiebreak keeps the
+    // original) — deterministically zero regardless of the KMeans fit.
+    "q_dd5_semdedup" ->
+      "SELECT CAST(0 AS BIGINT) AS n_planted_kept",
 
     "q_dd4_ngram_jaccard" ->
       """WITH corpus AS (

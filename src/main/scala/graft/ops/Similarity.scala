@@ -363,17 +363,25 @@ object Similarity {
                               centroids: Array[Array[Double]], tau: Double,
                               idCol: String, vecCol: String): DataFrame = {
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    // centroid similarity is computed map-side (pre-shuffle) in double,
+    // but the self-join carries the SOURCE vector type: embeddings are
+    // float in every serving path, so casting to array<double> before the
+    // join would double the pair frame's shuffle width (at production
+    // dims, the dominant bytes). The cast moves inside the post-join
+    // cosine — identical values (cast-then-compute either way), half the
+    // wire format.
     val vecD = col(vecCol).cast("array<double>")
     val pts = assigned.withColumn("__cent_sim",
       cosine(vecD, element_at(centLit, col("ivf_cell") + 1)))
     def side(sfx: String) = pts.select(col("ivf_cell"),
-      col(idCol).as(s"id$sfx"), vecD.as(s"vec$sfx"),
+      col(idCol).as(s"id$sfx"), col(vecCol).as(s"vec$sfx"),
       col("__cent_sim").as(s"cs$sfx"))
     side("_a").join(side("_b"), Seq("ivf_cell"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("cs_b") < col("cs_a") ||
         (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
-      .filter(cosine(col("vec_a"), col("vec_b")) >= tau)
+      .filter(cosine(col("vec_a").cast("array<double>"),
+        col("vec_b").cast("array<double>")) >= tau)
       .select(col("id_a").as(idCol)).distinct()
   }
 

@@ -1204,7 +1204,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       bloomFor.zipWithIndex.foreach { case (c, i) =>
         Option(row.getAs[Array[Byte]](1 + 2 * statsFor.length + i))
           .foreach(bytes => Files.write(
-            dataDir.resolve(fs).resolve(s"_fbloom.${enc(c)}"), bytes))
+            dataDir.resolve(fs).resolve(s"_fbloom2.${enc(c)}"), bytes))
       }
     }
   }
@@ -1217,7 +1217,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * TIMESTAMP (instant — its string form is session-zone-dependent),
     * plain cast-to-string for everything else (dates, NTZ timestamps and
     * numerics render zone-independently). Probe and write MUST agree —
-    * [[readEquals]] mirrors this in its driver-side literal path. */
+    * [[readEquals]] mirrors this in its driver-side literal path.
+    *
+    * The basis is versioned into the sidecar FILENAME: `_fbloom2.<col>`
+    * marks this (unix_micros) basis. A legacy `_fbloom.<col>` sidecar
+    * hashed TIMESTAMP values through cast-to-string — probing it with
+    * the v2 basis would miss every value and silently skip file-sets
+    * that DO contain matching rows — so [[readBloomSidecar]] consults a
+    * legacy sidecar only for non-TIMESTAMP columns (identical basis
+    * there) and treats legacy TIMESTAMP sidecars as absent: scan, never
+    * skip. Maintenance rewrites regenerate v2 coverage ([[bloomColsOf]]
+    * lists both generations), so legacy sidecars age out. */
   private def bloomKeyCol(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType =>
@@ -1256,20 +1266,28 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                                  fpp: Double = DefaultBloomFpp): Unit =
     writeSkippingSidecars(fileSets, Nil, columns, expectedItems, fpp)
 
-  private def readBloomSidecar(fileSet: String, column: String) = {
-    val p = dataDir.resolve(fileSet).resolve(
-      s"_fbloom.${java.net.URLEncoder.encode(column, "UTF-8")}")
-    if (!Files.exists(p)) None
-    else Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(Files.readAllBytes(p))))
+  private def readBloomSidecar(fileSet: String, column: String,
+                               legacyOk: Boolean) = {
+    val enc = java.net.URLEncoder.encode(column, "UTF-8")
+    val v2 = dataDir.resolve(fileSet).resolve(s"_fbloom2.$enc")
+    val legacy = dataDir.resolve(fileSet).resolve(s"_fbloom.$enc")
+    val p = if (Files.exists(v2)) Some(v2)
+            else if (legacyOk && Files.exists(legacy)) Some(legacy)
+            else None // legacy TIMESTAMP basis diverges: treat as absent
+    p.map(f => org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(f))))
   }
 
   /** Columns with a bloom sidecar in ANY of `fileSets` — what a rewrite
     * must regenerate so maintenance never silently strips pruning. */
   private def bloomColsOf(fileSets: Seq[String]): Seq[String] =
     fileSets.flatMap(fs => listDir(dataDir.resolve(fs))
-      .map(_.getFileName.toString).filter(_.startsWith("_fbloom."))
-      .map(n => java.net.URLDecoder.decode(n.stripPrefix("_fbloom."), "UTF-8")))
+      .map(_.getFileName.toString)
+      .collect { // both generations: rewrites upgrade legacy → v2 coverage
+        case n if n.startsWith("_fbloom2.") => n.stripPrefix("_fbloom2.")
+        case n if n.startsWith("_fbloom.")  => n.stripPrefix("_fbloom.")
+      }
+      .map(java.net.URLDecoder.decode(_, "UTF-8")))
       .distinct
 
   /** Point-lookup read with bloom skipping: scans ONLY the file-sets
@@ -1312,8 +1330,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           .asInstanceOf[Long]
       }
     }
+    // legacy (pre-v2) sidecars hashed TIMESTAMP via cast-to-string — a
+    // different basis than today's probes — so they are only trusted for
+    // non-TIMESTAMP columns (where the basis never changed)
+    val legacyOk = dt != org.apache.spark.sql.types.TimestampType
     val kept = fileSets.filter { fs =>
-      readBloomSidecar(fs, column) match {
+      readBloomSidecar(fs, column, legacyOk) match {
         case Some(bf) => hashes.exists(bf.mightContainLong)
         case None     => true // no sketch: never skip
       }
@@ -2128,7 +2150,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       listDir(p).map { c =>
         val n = c.getFileName.toString
         if (Files.isDirectory(c)) dirSize(c)
-        else if (n == "_fstats.tsv" || n.startsWith("_fbloom.")) 0L
+        else if (n == "_fstats.tsv" || n.startsWith("_fbloom")) 0L
         else Files.size(c)
       }.sum
     val (small, large) = snap.fileSets
@@ -2207,26 +2229,40 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * inspect the blast radius before deleting — vacuum deletes EXACTLY
     * this list, so the preview can never under-report.
     *
-    * Staging reclamation is AGE-GATED ([[VersionedTable.StagingGraceMillis]],
-    * mtime-based): an in-flight writer's live staging dir is younger than
-    * the grace window and is left alone, so vacuum can run concurrently
-    * with writes in the same process without failing them — only staging
-    * old enough to be a crashed writer's orphan is listed (Delta gates
-    * uncommitted-file cleanup on the same modification-time rule). */
+    * Reclamation of UNTRACKED names is AGE-GATED
+    * ([[VersionedTable.StagingGraceMillis]], mtime-based) — and not just
+    * under `_staging/`: every writer renames its finished file-set (and
+    * writes DV / change-feed files) into place BEFORE appending the log
+    * entry, so a concurrent vacuum can observe a finished-but-not-yet-
+    * committed name that appears in NO history entry. Deleting it would
+    * fail the in-flight commit (or worse, leave a committed version
+    * pointing at vanished data). A name in no version that is younger
+    * than the grace window is therefore a LIVE writer's and is left
+    * alone; only names old enough to be a crashed writer's orphan are
+    * listed (Delta gates uncommitted-file cleanup on the same
+    * modification-time rule). Names tracked in EXPIRED history versions
+    * are reclaimed regardless of age — that is the time-travel retention
+    * cliff working as designed. */
   def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
     val h = history
     val retained = h.takeRight(retainVersions)
     val keep = retained.flatMap(_.fileSets).toSet
     val keepDvs = retained.flatMap(_.dvs).toSet
     val keepCdf = retained.flatMap(_.cdf).toSet
+    // names referenced by ANY committed version: expired ones reclaim
+    // immediately; an unreferenced name younger than the grace window is
+    // an in-flight writer's rename-in (commit pending) — never touch it
+    val tracked = (h.flatMap(_.fileSets) ++ h.flatMap(_.dvs) ++
+      h.flatMap(_.cdf)).toSet
+    val cutoff = System.currentTimeMillis() - StagingGraceMillis
+    def oldEnough(p: Path) =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false } // races with rename-out
     def under(dir: Path, name: String, keepNames: Set[String]) =
       listDir(dir).filterNot(p => keepNames.contains(p.getFileName.toString))
+        .filter(p => tracked.contains(p.getFileName.toString) || oldEnough(p))
         .map(p => s"$name/${p.getFileName}")
-    val cutoff = System.currentTimeMillis() - StagingGraceMillis
-    val staleStaging = listDir(stagingDir)
-      .filter(p =>
-        try Files.getLastModifiedTime(p).toMillis < cutoff
-        catch { case _: java.io.IOException => false }) // races with rename-out
+    val staleStaging = listDir(stagingDir).filter(oldEnough)
       .map(p => s"_staging/${p.getFileName}")
     (under(dataDir, "data", keep) ++ under(dvDir, "_dv", keepDvs) ++
       under(changesDir, "_changes", keepCdf) ++ staleStaging).sorted

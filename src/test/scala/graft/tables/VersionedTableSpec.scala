@@ -1263,6 +1263,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(java.nio.file.Files.notExists(staging.resolve("crashed-orphan")))
   }
 
+  test("vacuum racing in-flight DML never reclaims a live write") {
+    // Maintenance alongside DML is the first thing a production user
+    // does. Every writer renames its finished file-set into data/
+    // BEFORE appending the log entry, so a concurrent vacuum observes
+    // untracked names mid-commit — the StagingGraceMillis age gate must
+    // keep them alive (an untracked name younger than the grace window
+    // is a live writer's, not a crashed writer's orphan).
+    val t = VersionedTable(spark, tmpDir("vt-occ-vacuum-"))
+    t.append(Seq((0, "seed")).toDF("id", "v"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val vac = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        var n = 0
+        while (!stop.get()) { t.vacuum(retainVersions = 1); n += 1 }
+        n
+      }
+    })
+    try {
+      // merges + an append + a delete: every DML flavor that renames
+      // data in before committing, racing a tight vacuum loop
+      (1 to 5).foreach(i =>
+        t.merge(Seq((i, s"m$i"), (0, s"seed$i")).toDF("id", "v"), Seq("id")))
+      t.append(Seq((9, "a9")).toDF("id", "v"))
+      t.delete($"id" === 5)
+    } finally {
+      stop.set(true)
+      assert(vac.get() > 0, "vacuum must actually have raced the DML")
+      pool.shutdown()
+    }
+    // no committed version points at vanished data; every write survived
+    assert(t.read.as[(Int, String)].collect().toMap ===
+      Map(0 -> "seed5", 1 -> "m1", 2 -> "m2", 3 -> "m3", 4 -> "m4",
+        9 -> "a9"))
+    // and nothing live is left reclaimable (fresh untracked names are
+    // age-gated, tracked-but-expired ones were already taken)
+    assert(t.vacuumDryRun(retainVersions = 1).isEmpty)
+  }
+
   test("compactSmall measures data bytes only, not skipping sidecars") {
     val t = VersionedTable(spark, tmpDir("vt-compactbloom-"))
     // two tiny file-sets, each carrying a ~0.9 MB bloom sidecar: with
@@ -1290,6 +1329,61 @@ class VersionedTableSpec extends SparkSpec {
       // (false negative = silently missing rows)
       assert(t.readEquals("ts", Seq(ts)).count() === 1)
     } finally spark.conf.set(tzKey, prev)
+  }
+
+  test("bloom sidecar versioning: legacy timestamp sidecars never skip rows") {
+    import java.nio.file.{Files, Paths}
+    val t = VersionedTable(spark, tmpDir("vt-bloomv2-"))
+    val ts1 = java.sql.Timestamp.valueOf("2025-08-12 06:15:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    t.append(Seq((1L, ts1)).toDF("id", "ts"), bloomFor = Seq("id", "ts"))
+    t.append(Seq((2L, ts2)).toDF("id", "ts"), bloomFor = Seq("id", "ts"))
+    val fsDirs = Files.list(Paths.get(t.root, "data")).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+    assert(fsDirs.nonEmpty)
+    // new writes carry the VERSIONED sidecar name
+    fsDirs.foreach { d =>
+      assert(Files.exists(d.resolve("_fbloom2.id")), s"$d missing _fbloom2.id")
+      assert(Files.exists(d.resolve("_fbloom2.ts")), s"$d missing _fbloom2.ts")
+    }
+    // Simulate a pre-upgrade build: legacy-NAMED `_fbloom.<col>` sidecars
+    // whose TIMESTAMP basis was cast-to-string. An EMPTY sketch is the
+    // adversarial stand-in — every probe misses, so IF the reader
+    // consulted it, file-sets that DO hold matching rows would be
+    // silently skipped (the exact bug the version marker prevents).
+    val emptyBf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    val emptyBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      emptyBf.writeTo(bos); bos.toByteArray
+    }
+    fsDirs.foreach { d =>
+      Files.write(d.resolve("_fbloom.ts"), emptyBytes)
+      Files.delete(d.resolve("_fbloom2.ts")) // ts: ONLY legacy remains
+    }
+    // legacy TIMESTAMP sidecar treated as absent: scan, never skip
+    assert(t.readEquals("ts", Seq(ts1)).as[(Long, java.sql.Timestamp)]
+      .collect().map(_._1).toSeq === Seq(1L))
+    assert(t.readEquals("ts", Seq(ts2)).count() === 1)
+    // non-TIMESTAMP columns share the basis across generations: a
+    // legacy-named sidecar (here the real v2 bytes renamed) still finds
+    // rows AND still prunes
+    fsDirs.foreach(d => Files.move(d.resolve("_fbloom2.id"),
+      d.resolve("_fbloom.id")))
+    val probe = t.readEquals("id", Seq(1L))
+    assert(probe.as[(Long, java.sql.Timestamp)].collect().map(_._1).toSeq
+      === Seq(1L))
+    assert(probe.inputFiles.length < t.read.inputFiles.length,
+      "legacy non-timestamp sidecar must still prune (same hash basis)")
+    // maintenance upgrades coverage: a rewrite regenerates v2 sidecars
+    // for columns that only had legacy ones
+    t.compactSmall(maxBytes = 256 * 1024)
+    val folded = Files.list(Paths.get(t.root, "data")).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+      .filter(d => Files.exists(d.resolve("_fbloom2.id")))
+    assert(folded.nonEmpty, "rewrite must regenerate v2 bloom coverage")
+    assert(folded.forall(d => Files.exists(d.resolve("_fbloom2.ts"))))
+    assert(t.readEquals("ts", Seq(ts1)).count() === 1)
+    assert(t.readEquals("id", Seq(2L)).count() === 1)
   }
 
   test("historyDf exposes DESCRIBE HISTORY as a relation") {

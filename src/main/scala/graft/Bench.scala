@@ -61,11 +61,24 @@ object Bench {
           }
         }
       })
-    // listener events post asynchronously; a short drain keeps per-query
-    // attribution honest (ms-level skew is irrelevant at the 10× diagnostic
-    // threshold the task-time channel exists for)
+    // listener events post asynchronously; drain the bus DETERMINISTICALLY
+    // before reading the accumulators (LiveListenerBus.waitUntilEmpty via
+    // reflection — it's private[spark], i.e. public in bytecode) so one
+    // query's task time can't bleed into the next under exactly the
+    // contention this channel exists to diagnose. Fallback: a fixed sleep
+    // (ms-level skew is irrelevant at the 10× diagnostic threshold).
     def snapshotTask(): (Long, Long) = {
-      Thread.sleep(100); (taskMsAcc.get, cpuNsAcc.get)
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" &&
+            m.getParameterCount == 1 &&
+            m.getParameterTypes()(0) == java.lang.Long.TYPE)
+          .fold(Thread.sleep(100))(m =>
+            { m.invoke(bus, java.lang.Long.valueOf(5000L)); () })
+      } catch { case _: Throwable => Thread.sleep(100) }
+      (taskMsAcc.get, cpuNsAcc.get)
     }
 
     // Pinned alphabetical order + best-of-2: HashMap iteration order made
@@ -151,7 +164,11 @@ object Bench {
     // can't misread the penalty as a timing regression
     val total = results.map(_._2._1).filter(_ >= 0).sum + failed.length * 999.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calArr = calibrationSamples.map(c => f"$c%.4f").mkString("[", ",", "]")
+    // Locale.ROOT: the f interpolator is locale-sensitive — a comma
+    // decimal separator would make the emitted line invalid JSON
+    val calArr = calibrationSamples
+      .map(c => String.format(java.util.Locale.ROOT, "%.4f", Double.box(c)))
+      .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"sf":"$sfDir"}"""
     println(line)

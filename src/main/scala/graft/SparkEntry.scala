@@ -463,17 +463,19 @@ object SparkEntry {
     // identical signature → same bucket in EVERY band, and the verify
     // stage computes exact Jaccard (= 1 ≥ threshold), so recall of the
     // planted pairs is deterministic arithmetic DuckDB recomputes —
-    // independent of seeds or banding. (The bucket cap cannot fire at
-    // verify scale: a bucket is bounded by corpus size < maxBucketSize.)
-    // Near-dup plants stay in the corpus to keep the candidate stage
-    // realistic; engine-specific pair totals are pinned by DedupSpec.
+    // independent of seeds or banding. (The bucket cap is DISABLED here
+    // so the invariant holds at every SF — a degenerate band-hash bucket
+    // larger than the default cap would otherwise silently reduce
+    // n_planted_found at bench scale.) Near-dup plants stay in the
+    // corpus to keep the candidate stage realistic; engine-specific pair
+    // totals are pinned by DedupSpec.
     "q_dd2_minhash_pairs" -> ((s, dir) => {
       val base = corpusWithNearDups(s, dir)
       val exactPlants = t(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
       Dedup.minhashNearDupPairs(base.unionByName(exactPlants),
-          jaccardThreshold = 0.7)
+          jaccardThreshold = 0.7, maxBucketSize = Int.MaxValue)
         .agg(count(when(col("doc_id_b") === col("doc_id_a") + 2000000, 1))
           .as("n_planted_found"))
     }),
@@ -488,7 +490,7 @@ object SparkEntry {
         .filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
       Dedup.simhashNearDupPairs(base.unionByName(exactPlants),
-          maxHammingDistance = 6)
+          maxHammingDistance = 6, maxBucketSize = Int.MaxValue)
         .agg(count(when(col("doc_id_b") === col("doc_id_a") + 2000000, 1))
           .as("n_planted_found"))
     }),
@@ -559,7 +561,8 @@ object SparkEntry {
       val planted = corpus.filter(col("media_id") % 13 === 0)
         .withColumn("media_id", col("media_id") + 1000000)
       graft.multimodal.Multimodal.nearDupMediaPairs(s,
-          corpus.unionByName(planted), maxHammingDistance = 0)
+          corpus.unionByName(planted), maxHammingDistance = 0,
+          maxBucketSize = Int.MaxValue)
         .agg(count(when(col("media_id_b") === col("media_id_a") + 1000000, 1))
           .as("n_planted_found"))
     }),
@@ -641,6 +644,74 @@ object SparkEntry {
         sum(round(col("q4") * 10000, 0).cast("long")).as("sum_q4"))
     }),
 
+    // Full curation chain (the north-star lineage composed end-to-end):
+    // langid → quality gate → exact dedup → MinHash near-dup → SemDeDup,
+    // with a per-stage ledger row. The WHOLE chain is oracle-checked, not
+    // just planted counters, by configuring each approximate stage at its
+    // deterministic operating point: MinHash at jaccardThreshold=1.0
+    // removes exactly the shingle-SET-equality classes (identical sets →
+    // identical signatures → same bucket in EVERY band, so recall is
+    // exact; cap disabled), and SemDeDup at tau=0.99 removes exactly the
+    // identical-embedding classes (planted copies; the corpus' max
+    // non-identical cosine is ~0.51, measured at every SF). Plants:
+    // +2e6 exact copies (die at exact dedup), +3e6 UPPERCASED copies
+    // (distinct sha2 → survive exact; identical lowercased token shingles
+    // → die at MinHash), +4e6 text variants sharing the original's
+    // embedding (distinct text and shingles → survive both; identical
+    // vector → same cell, cosine 1, id tiebreak → die at SemDeDup). Docs
+    // without an embedding bypass the semantic stage (can't sem-dedup
+    // what has no vector).
+    "q_curation_pipeline_full" -> ((s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val txt = col("text")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), txt)
+      val corpus = d
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), txt))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            upper(txt).as("text")))
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            concat(txt, lit(" semantic clone variant")).as("text")))
+      val filtered = corpus.select(col("doc_id"), txt,
+          TextAnalysis.langId(txt).as("lang"),
+          round(TextAnalysis.qualityScore(txt), 4).as("q4"),
+          TextAnalysis.tokenCount(txt).as("toks"))
+        .filter(col("lang") === "en" && col("q4") >= 0.5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val afterExact = Dedup.exact(filtered)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val minhashLosers = Dedup.minhashNearDupPairs(afterExact,
+          jaccardThreshold = 1.0, maxBucketSize = Int.MaxValue)
+        .select(col("doc_id_b").as("doc_id")).distinct()
+      val afterMinhash = afterExact.join(minhashLosers, Seq("doc_id"),
+          "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("doc_id"), col("embedding"))
+      val embAll = emb.unionByName(emb.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("embedding")))
+      val withEmb = afterMinhash.join(embAll, Seq("doc_id"))
+      val withoutEmb = afterMinhash.join(embAll.select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      val afterSem = Similarity.semDedup(withEmb, nClusters = 32,
+          tau = 0.99, idCol = "doc_id")
+        .drop("embedding").unionByName(withoutEmb)
+      def ledger(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast("long")).as("total_tokens"),
+          sum(round(col("q4") * 10000, 0).cast("long")).as("sum_q4"))
+          .withColumn("stage", lit(stage))
+      ledger("1_filtered", filtered)
+        .unionByName(ledger("2_exact_dedup", afterExact))
+        .unionByName(ledger("3_minhash_dedup", afterMinhash))
+        .unionByName(ledger("4_semantic_dedup", afterSem))
+        .select("stage", "n_docs", "total_tokens", "sum_q4")
+        .orderBy("stage")
+    }),
+
     // Similarity 1: brute-force cosine top-k against a query vector.
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -659,15 +730,15 @@ object SparkEntry {
     // vectors. ORACLE-CHECKED via the exact-copy invariant: an identical
     // vector lands in the identical LSH bucket under ANY hyperplane set
     // and verifies at cosine 1 ≥ threshold, so the planted count is
-    // seed-independent arithmetic DuckDB recomputes (bucket cap cannot
-    // fire: buckets are bounded by corpus size at verify scale). Near-dup
-    // recall pinned by SimilaritySpec.
+    // seed-independent arithmetic DuckDB recomputes (bucket cap disabled
+    // so the invariant holds at every SF). Near-dup recall pinned by
+    // SimilaritySpec.
     "q_sim_neardup_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") % 13 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.embeddingNearDupPairs(e.unionByName(planted), dim = 64,
-          threshold = 0.99)
+          threshold = 0.99, maxBucketSize = Int.MaxValue)
         .agg(count(when(col("id_b") === col("id_a") + 1000000, 1))
           .as("n_planted_found"))
     }),
@@ -2405,6 +2476,95 @@ object SparkEntry {
         | CAST(sum(toks_n) AS BIGINT) AS total_tokens,
         | CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_q4
         |FROM deduped""".stripMargin,
+
+    // The full chain replayed stage-for-stage in SQL: every approximate
+    // stage runs at its deterministic operating point (see the query
+    // doc), so exact dedup = group-by-text, MinHash@1.0 = group-by-
+    // shingle-SET, SemDeDup@0.99 = group-by-embedding (docs without a
+    // vector bypass), each keeping the min doc_id.
+    "q_curation_pipeline_full" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        | UNION ALL
+        | SELECT doc_id + 3000000, upper(text) FROM documents WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 4000000, text || ' semantic clone variant'
+        | FROM documents WHERE doc_id % 9 = 0),
+        |base AS (
+        | SELECT doc_id, text,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM corpus),
+        |scored AS (
+        | SELECT doc_id, text, toks,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INT) AS toks_n,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |    / len(toks) AS sw_ratio,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS p_ratio,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für','von','den','im'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','un','una','de','en','por','que','no','con','para'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','des','dans','pour','que','qui','au','pas'))) AS BIGINT) AS s_fr
+        | FROM base),
+        |filtered AS (
+        | SELECT doc_id, text, toks, toks_n,
+        |  round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) AS q4
+        | FROM scored
+        | WHERE CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |            ELSE 'de' END = 'en'
+        |   AND round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |              + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) >= 0.5),
+        |exact AS (
+        | SELECT * FROM filtered
+        | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |sh AS (
+        | SELECT *, list_sort(list_distinct(
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingles
+        | FROM exact),
+        |minh AS (
+        | SELECT * FROM sh
+        | QUALIFY row_number() OVER (PARTITION BY to_json(shingles) ORDER BY doc_id) = 1),
+        |emb AS (
+        | SELECT vec_id AS doc_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 4000000, embedding FROM embeddings WHERE vec_id % 9 = 0),
+        |withemb AS (SELECT m.doc_id, m.toks_n, m.q4, e.embedding
+        |            FROM minh m JOIN emb e USING (doc_id)),
+        |semkept AS (
+        | SELECT * FROM withemb
+        | QUALIFY row_number() OVER (PARTITION BY to_json(embedding) ORDER BY doc_id) = 1),
+        |final AS (
+        | SELECT doc_id, toks_n, q4 FROM semkept
+        | UNION ALL
+        | SELECT doc_id, toks_n, q4 FROM minh
+        | WHERE doc_id NOT IN (SELECT doc_id FROM emb))
+        |SELECT stage, n_docs, total_tokens, sum_q4 FROM (
+        | SELECT '1_filtered' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks_n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_q4
+        | FROM filtered
+        | UNION ALL
+        | SELECT '2_exact_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks_n) AS BIGINT),
+        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) FROM exact
+        | UNION ALL
+        | SELECT '3_minhash_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks_n) AS BIGINT),
+        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) FROM minh
+        | UNION ALL
+        | SELECT '4_semantic_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks_n) AS BIGINT),
+        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) FROM final)
+        |ORDER BY stage""".stripMargin,
 
     "q_txt_stats" ->
       """WITH base AS (

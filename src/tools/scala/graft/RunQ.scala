@@ -11,6 +11,12 @@ object RunQ {
       case Nil => Seq("q_a1_pricing_summary")
       case qs  => qs
     }
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"valid names:\n  ${SparkEntry.queries.keys.toSeq.sorted.mkString("\n  ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

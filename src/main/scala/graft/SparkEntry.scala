@@ -71,6 +71,31 @@ object SparkEntry {
         removeTree(staging)
       }
     }
+    // Best-effort GC: keys are fingerprint-suffixed, so every testdata
+    // regeneration at the same path strands the previous fingerprint's
+    // tree forever. With THIS key's table ready, siblings sharing the
+    // same (kind, dir, params) stem but a different 12-hex fingerprint
+    // are stale — reclaim them, plus any crashed builder's orphaned
+    // `.tmp-` staging older than an hour (a live concurrent builder's
+    // staging is younger and survives). Failures are swallowed: GC must
+    // never fail a query.
+    try {
+      val stemM = "^(.*)-[0-9a-f]{12}$".r
+      stemM.findFirstMatchIn(root.getFileName.toString).foreach { m =>
+        val stem = m.group(1)
+        val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        val ls = JF.list(root.getParent)
+        try ls.forEach { p =>
+          val n = p.getFileName.toString
+          val staleSibling = n != root.getFileName.toString &&
+            n.matches(java.util.regex.Pattern.quote(stem) + "-[0-9a-f]{12}")
+          val orphanStaging = n.contains(".tmp-") &&
+            (try JF.getLastModifiedTime(p).toMillis < cutoff
+             catch { case _: java.io.IOException => false })
+          if (staleSibling || orphanStaging) removeTree(p)
+        } finally ls.close()
+      }
+    } catch { case _: Throwable => () }
     root.toString
   }
 

@@ -564,30 +564,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // first 8 hex of SHA-256: String.hashCode collides trivially
     // ("Aa" vs "BB"), and a tag collision would silently fold two schema
     // generations into one scan that drops the evolved columns. The
-    // schema is canonicalized all-nullable first: nullability drifts
-    // between write generations (a lit() batch vs a when() batch), Spark
-    // treats parquet-read fields as nullable regardless, and without the
-    // canonicalization each drift would open a new fold group — a
-    // 10k-merge table would plan a many-arm union for one logical schema
+    // schema is CANONICALIZED first ([[VersionedTable.asNullable]]):
+    // nullability drifts between write generations (a lit() batch vs a
+    // when() batch), field METADATA drifts between a writer's df.schema
+    // and footer inference (comments, char/varchar markers — invisible
+    // to parquet), and Spark treats parquet-read fields as nullable,
+    // metadata-free strings regardless — without the canonicalization
+    // each drift would open a new fold group and a 10k-merge table
+    // would plan a many-arm union for one logical schema
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(allNullable(df.schema).json.getBytes("UTF-8"))
       .take(4).map(b => f"$b%02x").mkString
 
-  private def allNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        f.copy(dataType = allNullable(f.dataType), nullable = true)))
-      case a: ArrayType => a.copy(elementType = allNullable(a.elementType),
-        containsNull = true)
-      case m: MapType => m.copy(valueType = allNullable(m.valueType),
-        valueContainsNull = true)
-      case other => other
-    }
-  }
   private def allNullable(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
-    allNullable(s: org.apache.spark.sql.types.DataType)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    VersionedTable.asNullable(s)
 
   /** All writes stage under `_staging/` and rename into `data/` when
     * complete (atomic dir move on one filesystem): a crashed writer can
@@ -1008,20 +998,30 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     df.withColumn("_commit_version", lit(version))
       .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMillis)))
 
-  /** ONE multi-path scan over same-schema dirs under `parent`, with the
-    * commit version/timestamp of each row recovered from its file path by
-    * a broadcast join against the (dir name → version, ts) meta relation
-    * — the folded form of per-version feed arms. */
+  /** ONE multi-path scan over same-schema dirs, with the commit
+    * version/timestamp of each row recovered from its file path by a
+    * broadcast join against the (dir name → version, ts) meta relation —
+    * the folded form of per-version feed arms.
+    *
+    * The dir name comes from the path SUFFIX (`…/<dir>/<file>`), never a
+    * table-root prefix anchor: `_metadata.file_path` may render a
+    * symlinked or otherwise re-rooted table under a different prefix
+    * than the caller's `root`, and a prefix mismatch would extract ""
+    * and silently drop every feed row in the meta join. The scanned dirs
+    * are always FLAT (hive-partitioned sets take their own per-version
+    * arm), so the penultimate segment IS the dir name. Belt and braces:
+    * the join is LEFT with a raise_error guard — if a row somehow fails
+    * to match its commit meta, the feed errors loudly instead of
+    * returning a silently incomplete changeset. */
   private def foldedScan(paths: Seq[Path],
                          schema: org.apache.spark.sql.types.StructType,
                          parent: Path,
                          meta: Seq[(String, Long, Long)]): DataFrame = {
-    val anchor = java.util.regex.Pattern.quote(
-      parent.toAbsolutePath.toString) + "/([^/]+)/"
     val scan = spark.read.schema(schema)
       .parquet(paths.map(_.toString): _*)
+      .withColumn("__fpath", col("_metadata.file_path"))
       .withColumn("__cdir",
-        regexp_extract(col("_metadata.file_path"), anchor, 1))
+        regexp_extract(col("_metadata.file_path"), "/([^/]+)/[^/]+$", 1))
     val metaDf = spark.createDataFrame(meta.map { case (d, v, ts) =>
         org.apache.spark.sql.Row(d, v, new java.sql.Timestamp(ts)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -1031,7 +1031,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("_commit_timestamp",
           org.apache.spark.sql.types.TimestampType, nullable = false))))
-    scan.join(broadcast(metaDf), Seq("__cdir")).drop("__cdir")
+    scan.join(broadcast(metaDf), Seq("__cdir"), "left")
+      .withColumn("_commit_version",
+        when(col("_commit_version").isNull, raise_error(concat(
+          lit("graft change feed: file outside any commit dir: "),
+          col("__fpath"))))
+          .otherwise(col("_commit_version")))
+      .drop("__cdir", "__fpath")
   }
 
   private def readEntry(e: LogEntry): DataFrame =
@@ -2291,10 +2297,16 @@ object VersionedTable {
     logCache.computeIfAbsent(path, p => parse(p))
   }
 
-  /** Writer-side schemas normalize to all-nullable before seeding the
-    * schema cache: parquet footer inference reports every field nullable,
-    * and a seeded NON-null field would make cached-first reads stricter
-    * than inferred ones. */
+  /** The ONE schema canonicalizer for fold grouping and cache seeding
+    * (schema tags, writer-side cache seeds): all-nullable, field
+    * metadata stripped, char/varchar normalized to string. Parquet
+    * footer inference reports every field nullable and metadata-free
+    * with plain strings, so a SEEDED entry (from a writer's df.schema,
+    * which can carry comments / char-varchar markers / non-null fields)
+    * must normalize through the same rules — otherwise the seeded and
+    * footer-inferred forms of one physical schema disagree, reads group
+    * them into separate fold arms, and cached-first reads become
+    * stricter than inferred ones. */
   private[tables] def asNullable(
       dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.StructType =
     asNullableType(dt).asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -2304,11 +2316,13 @@ object VersionedTable {
     import org.apache.spark.sql.types._
     dt match {
       case s: StructType => StructType(s.fields.map(f =>
-        f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+        f.copy(dataType = asNullableType(f.dataType), nullable = true,
+          metadata = Metadata.empty)))
       case a: ArrayType =>
         a.copy(elementType = asNullableType(a.elementType), containsNull = true)
       case m: MapType =>
         m.copy(valueType = asNullableType(m.valueType), valueContainsNull = true)
+      case _: CharType | _: VarcharType => StringType // parquet has no char
       case other => other
     }
   }

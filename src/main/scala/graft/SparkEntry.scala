@@ -1864,6 +1864,41 @@ object SparkEntry {
                  (SELECT CAST(count(*) AS BIGINT) FROM tt_current) AS n_current""")
     }),
 
+    // SQL entry surface: the parsed maintenance statements
+    // (docs/backlog.md:103-106, the reference's empty
+    // 61_optimize_and_maintenance.sql) — OPTIMIZE bin-packs three
+    // small appends into one file-set, VACUUM DRY RUN previews exactly
+    // the three superseded sets, VACUUM reclaims them, DESCRIBE HISTORY
+    // confirms the four-version log, and the data reads back identical
+    // (the oracle replays the aggregate from the raw parquet). Every
+    // structural count is deterministic from the DDL, so the whole
+    // lifecycle is hash-checked, not just rows-counted.
+    "q_sql_optimize" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sqlopt-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val n = t(s, dir, "nation")
+      val tbl = cat.table("silver", "nation")
+      tbl.append(n.filter(col("n_regionkey") <= 1))
+      tbl.append(n.filter(col("n_regionkey").isin(2, 3)))
+      tbl.append(n.filter(col("n_regionkey") >= 4))
+      val gsql = graft.tables.GraftSql(s, cat)
+      val opt = gsql.sql("OPTIMIZE silver.nation").head()
+      val nPreviewed =
+        gsql.sql("VACUUM silver.nation RETAIN 1 VERSIONS DRY RUN").count()
+      val nReclaimed =
+        gsql.sql("VACUUM silver.nation RETAIN 1 VERSIONS").head().getLong(0)
+      val nVersions = gsql.sql("DESCRIBE HISTORY silver.nation").count()
+      cat.registerViews()
+      s.sql(s"""SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM silver_nation) AS n_rows,
+        (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM silver_nation) AS sum_key,
+        CAST(${opt.getLong(4)} AS BIGINT) AS file_sets_after,
+        CAST($nPreviewed AS BIGINT) AS n_previewed,
+        CAST($nReclaimed AS BIGINT) AS n_reclaimed,
+        CAST($nVersions AS BIGINT) AS n_versions""")
+    }),
+
     // SQL entry surface 4 (rows-only: FPL-domain synthetic warehouse):
     // the reference's player-horizon view DDL + consumption phrased in
     // SQL over the registered gold tables.
@@ -2129,6 +2164,18 @@ object SparkEntry {
         | (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_asof,
         | (SELECT CAST(count(*) AS BIGINT) FROM nation
         |  WHERE n_regionkey = 0) AS n_current""".stripMargin,
+
+    // The maintenance lifecycle's structural counts are all determined
+    // by the DDL (3 appends -> OPTIMIZE folds to 1 file-set -> VACUUM
+    // reclaims exactly the 3 superseded sets -> 4 log versions), and the
+    // data survives untouched — replayed from the raw parquet.
+    "q_sql_optimize" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows,
+        | (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key,
+        | CAST(1 AS BIGINT) AS file_sets_after,
+        | CAST(3 AS BIGINT) AS n_previewed,
+        | CAST(3 AS BIGINT) AS n_reclaimed,
+        | CAST(4 AS BIGINT) AS n_versions""".stripMargin,
 
     // Deterministic over the SampleData fixtures (3 players × 4 teams,
     // fixed FDRs), so the oracle is the expected relation as literals;

@@ -21,6 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
+  *   CREATE TABLE <table> SHALLOW CLONE <table>
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
   *
@@ -54,9 +55,19 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RestoreVersionStmt(ident, v) => restore(resolve(ident), _.restore(v.toLong))
     case RestoreTimestampStmt(ident, ts) =>
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
+    case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
     case other => spark.sql(other)
+  }
+
+  private def clone(src: VersionedTable, target: String): DataFrame = {
+    import spark.implicits._
+    val t = src.shallowCloneTo(target)
+    val e = t.history.last
+    Seq((e.action, src.latestVersion.getOrElse(-1L),
+        e.fileSets.length.toLong))
+      .toDF("operation", "source_version", "n_file_sets")
   }
 
   private def optimize(tbl: VersionedTable, zcols: Option[String]): DataFrame = {
@@ -144,6 +155,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     }
   }
 
+  /** A clone TARGET resolves to a root path without an existence check
+    * (the clone creates it; [[VersionedTable.shallowCloneTo]] itself
+    * refuses an already-versioned target). */
+  private def targetRoot(ident: String): String = ident match {
+    case PathIdent(path) => path
+    case other =>
+      val cat = catalog.getOrElse(sys.error(
+        s"no catalog bound: use graft.`<path>` to address $other"))
+      other.split("[._]", 2) match {
+        case Array(layer, name) if cat.Layers.contains(layer.toLowerCase) =>
+          cat.table(layer.toLowerCase, name).root
+        case _ => sys.error(s"cannot resolve table identifier: $other " +
+          s"(expected <layer>.<table>, <layer>_<table>, or graft.`<path>`)")
+      }
+  }
+
   /** `layer.table` / `layer_table` via the catalog; ``graft.`path` ``
     * opens the path directly (Delta's ``delta.`path` `` form). */
   private def resolve(ident: String): VersionedTable = ident match {
@@ -184,6 +211,9 @@ object GraftSql {
   private val RestoreTimestampStmt =
     ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
+  private val CloneStmt =
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
+      """\s+SHALLOW\s+CLONE\s+""" + Ident + """\s*;?\s*""").r
   private val VacuumStmt =
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""").r

@@ -153,6 +153,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("partition keys"))
   }
 
+  test("CREATE TABLE … SHALLOW CLONE forks a zero-copy independent table") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "src")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    val m = sql.sql("CREATE TABLE gold.fork SHALLOW CLONE silver.src")
+      .as[(String, Long, Long)].head()
+    assert(m === (("clone", 1L, 2L)))
+    val fork = cat.table("gold", "fork")
+    assert(fork.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // clone evolves independently of the source
+    fork.append(Seq((4, "d")).toDF("k", "v"))
+    assert(fork.read.count() === 4)
+    assert(t.read.count() === 3)
+    // cloning onto an existing table refuses loudly
+    val e = intercept[Exception](
+      sql.sql("CREATE TABLE gold.fork SHALLOW CLONE silver.src"))
+    assert(e.getMessage.contains("already has versions"))
+  }
+
   test("bucketed tables OPTIMIZE per merge cell, preserving COW routing") {
     val (cat, sql) = warehouse()
     val t = cat.table("gold", "bk")

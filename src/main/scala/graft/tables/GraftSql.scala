@@ -22,6 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
   *   CREATE TABLE <table> SHALLOW CLONE <table>
+  *   CONVERT TO GRAFT parquet.`/path` AS <table>   -- zero-copy adoption
+  *   ANALYZE TABLE <table> COMPUTE STATISTICS FOR COLUMNS c1, c2, ...
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
   *
@@ -56,9 +58,26 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RestoreTimestampStmt(ident, ts) =>
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
+    case ConvertStmt(srcDir, target) => convert(srcDir, targetRoot(target))
+    case AnalyzeStmt(ident, cols) => analyze(resolve(ident), cols)
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
     case other => spark.sql(other)
+  }
+
+  private def convert(srcDir: String, target: String): DataFrame = {
+    import spark.implicits._
+    val t = new VersionedTable(spark, target)
+    val e = t.convertFrom(srcDir)
+    Seq((e.action, e.version, e.fileSets.length.toLong))
+      .toDF("operation", "version", "n_file_sets")
+  }
+
+  private def analyze(tbl: VersionedTable, cols: String): DataFrame = {
+    import spark.implicits._
+    val names = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq
+    Seq(tbl.computeStats(names).toLong).toDF("n_file_sets_analyzed")
   }
 
   private def clone(src: VersionedTable, target: String): DataFrame = {
@@ -214,6 +233,12 @@ object GraftSql {
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident + """\s*;?\s*""").r
+  private val ConvertStmt =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s+AS\s+""" +
+      Ident + """\s*;?\s*""").r
+  private val AnalyzeStmt =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+""" + Ident +
+      """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""").r
   private val VacuumStmt =
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""").r

@@ -1196,6 +1196,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .toMap
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    // Sidecars land via temp-name + atomic rename: most writes happen
+    // before the commit that makes a file-set visible, but ANALYZE
+    // ([[computeStats]]) backfills onto file-sets readers are already
+    // scanning, and a torn _fstats.tsv read there would yield wrong
+    // min/max — silent wrong skipping, not a crash.
+    def put(target: Path, write: Path => Unit): Unit = {
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.tmp-${UUID.randomUUID()}")
+      write(tmp)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     rows.foreach { row =>
       val fs = row.getString(0)
       if (statsFor.nonEmpty) {
@@ -1204,13 +1216,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           if (mn == null || mx == null) None // all-null column: no skipping
           else Some(s"${enc(c)}\t${enc(mn)}\t${enc(mx)}\t${numeric(c)}")
         }
-        Files.writeString(dataDir.resolve(fs).resolve("_fstats.tsv"),
-          lines.mkString("\n"))
+        put(dataDir.resolve(fs).resolve("_fstats.tsv"),
+          Files.writeString(_, lines.mkString("\n")))
       }
       bloomFor.zipWithIndex.foreach { case (c, i) =>
         Option(row.getAs[Array[Byte]](1 + 2 * statsFor.length + i))
-          .foreach(bytes => Files.write(
-            dataDir.resolve(fs).resolve(s"_fbloom2.${enc(c)}"), bytes))
+          .foreach(bytes => put(
+            dataDir.resolve(fs).resolve(s"_fbloom2.${enc(c)}"),
+            Files.write(_, bytes)))
       }
     }
   }
@@ -1511,6 +1524,75 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     src.dvs.foreach(d => linkTree(dvDir.resolve(d), t.dvDir.resolve(d)))
     t.commit("clone", src.fileSets, basedOn = None, dvs = src.dvs)
     t
+  }
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` analog: backfill min/max stats
+    * (and optionally bloom) sidecars onto the CURRENT snapshot's
+    * file-sets, enabling [[readRange]]/[[readEquals]] skipping on tables
+    * whose writes predate the skipping declaration (adopted via
+    * [[convertFrom]], written before `statsFor`, or cloned from such).
+    * Metadata-only from the log's perspective — sidecars are advisory
+    * (absence means scan), so no new version commits. One distributed
+    * job over only the file-sets that LACK coverage (`onlyMissing`,
+    * default) — re-analyzing a fully covered 100 TB table reads nothing.
+    * Subsequent maintenance (compact/merge/delete) inherits the
+    * coverage: rewrites carry stats columns forward from the sidecars
+    * they fold. Returns the number of file-sets analyzed. */
+  def computeStats(statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+                   onlyMissing: Boolean = true): Int = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "computeStats needs at least one column")
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val targets =
+      if (!onlyMissing) snap.fileSets
+      else snap.fileSets.filter { fs =>
+        val have = readStatsSidecar(fs).keySet
+        val haveBloom = bloomColsOf(Seq(fs)).toSet
+        statsCols.exists(!have.contains(_)) ||
+          bloomCols.exists(!haveBloom.contains(_))
+      }
+    writeSkippingSidecars(targets, statsCols, bloomCols)
+    targets.length
+  }
+
+  /** Delta `CONVERT TO DELTA` analog: ADOPT an existing flat parquet
+    * directory as this table's version 0 without rewriting a byte —
+    * every data file is hardlinked (copy fallback across filesystems)
+    * into one file-set, so converting a 100 TB directory is O(files)
+    * metadata operations, not a data pass. The source stays readable in
+    * place. Schema comes from one footer resolution and seeds the schema
+    * cache, so even the first read skips inference. Hive-partitioned
+    * trees are refused loudly (their dir-encoded columns would silently
+    * vanish from a flat scan); `_`/`.` markers (_SUCCESS, .crc) stay
+    * behind. Follow with [[computeStats]] to light up data skipping. */
+  def convertFrom(sourceDir: String): LogEntry = {
+    require(!exists, s"convert target $root already has versions")
+    val src = Paths.get(sourceDir)
+    require(Files.isDirectory(src), s"convert source not a dir: $sourceDir")
+    val entries = listDir(src)
+    val (subdirs, files) = entries.partition(Files.isDirectory(_))
+    require(subdirs.isEmpty,
+      s"convertFrom adopts FLAT parquet dirs only; $sourceDir has " +
+        s"subdirectories (${subdirs.take(3).map(_.getFileName).mkString(", ")}…) " +
+        "— a hive-partitioned tree's dir-encoded columns would be lost")
+    val data = files.filter { f =>
+      val n = f.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(data.nonEmpty, s"no data files to convert in $sourceDir")
+    val df = spark.read.parquet(sourceDir)
+    val id = s"${UUID.randomUUID().toString}.s${schemaTag(df)}"
+    val target = dataDir.resolve(id)
+    Files.createDirectories(target)
+    data.foreach { f =>
+      val to = target.resolve(f.getFileName.toString)
+      try Files.createLink(to, f)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(f, to) // cross-device or no-hardlink filesystem
+      }
+    }
+    schemaCacheLookup(target.toAbsolutePath.toString, asNullable(df.schema))
+    commit("convert", Seq(id), basedOn = None)
   }
 
   private def linkTree(from: Path, to: Path): Unit = {

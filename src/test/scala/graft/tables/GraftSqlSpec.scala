@@ -174,6 +174,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("already has versions"))
   }
 
+  test("CONVERT TO GRAFT adopts a parquet dir; ANALYZE backfills statistics") {
+    val (cat, sql) = warehouse()
+    val plain = tmpDir("graft-sql-conv-") + "/plain"
+    spark.range(0, 500).toDF("id").coalesce(2).write.parquet(plain)
+    val m = sql.sql(s"CONVERT TO GRAFT parquet.`$plain` AS bronze.adopted")
+      .as[(String, Long, Long)].head()
+    assert(m === (("convert", 0L, 1L)))
+    val t = cat.table("bronze", "adopted")
+    assert(t.read.count() === 500)
+    t.append(spark.range(500, 600).toDF("id"))
+    val n = sql.sql(
+      "ANALYZE TABLE bronze.adopted COMPUTE STATISTICS FOR COLUMNS id")
+      .as[Long].head()
+    assert(n === 2L)       // both file-sets lacked coverage
+    assert(sql.sql(
+      "ANALYZE TABLE bronze.adopted COMPUTE STATISTICS FOR COLUMNS id")
+      .as[Long].head() === 0L) // idempotent
+    val out = t.readRange("id", "50", "60")
+    assert(out.count() === 11)
+    assert(out.inputFiles.length < t.read.inputFiles.length)
+  }
+
   test("bucketed tables OPTIMIZE per merge cell, preserving COW routing") {
     val (cat, sql) = warehouse()
     val t = cat.table("gold", "bk")

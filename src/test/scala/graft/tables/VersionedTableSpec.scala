@@ -227,6 +227,53 @@ class VersionedTableSpec extends SparkSpec {
     assert(out2.count() === 20) // 10 from stats'd set + 10 from statless
   }
 
+  test("convertFrom adopts a flat parquet dir zero-copy; ANALYZE lights up skipping") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val srcDir = tmpDir("vt-convert-src-") + "/plain"
+    spark.range(0, 100).toDF("id").coalesce(2).write.parquet(srcDir)
+    val t = VersionedTable(spark, tmpDir("vt-convert-"))
+    val e = t.convertFrom(srcDir)
+    assert(e.action === "convert" && e.version === 0)
+    assert(t.read.as[Long].collect().toSet === (0L until 100L).toSet)
+    // zero-copy: adopted files are HARDLINKS of the source files (same
+    // inode), and the source dir stays readable in place
+    val srcFile = JF.list(JP.get(srcDir)).filter(p =>
+      p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+    val ino = JF.getAttribute(srcFile, "unix:ino")
+    val adopted = t.read.inputFiles.map(f =>
+      JF.getAttribute(JP.get(new java.net.URI(f)), "unix:ino")).toSet
+    assert(adopted.contains(ino), "adopted files are copies, not links")
+    assert(spark.read.parquet(srcDir).count() === 100)
+    // the adopted table is a full citizen: DML + ANALYZE backfill
+    t.append(spark.range(100, 200).toDF("id"))
+    assert(t.computeStats(Seq("id")) === 2)   // both file-sets lacked stats
+    assert(t.computeStats(Seq("id")) === 0)   // idempotent: coverage complete
+    val out = t.readRange("id", "10", "20")
+    assert(out.as[Long].collect().toSet === (10L to 20L).toSet)
+    assert(out.inputFiles.length < t.read.inputFiles.length,
+      "backfilled stats did not skip")
+    // hive trees and occupied targets refuse loudly
+    val hiveDir = tmpDir("vt-convert-hive-") + "/h"
+    spark.range(10).toDF("id").withColumn("p", $"id" % 2)
+      .write.partitionBy("p").parquet(hiveDir)
+    val eh = intercept[Exception](
+      VersionedTable(spark, tmpDir("vt-convert2-")).convertFrom(hiveDir))
+    assert(eh.getMessage.contains("FLAT"))
+    val eo = intercept[Exception](t.convertFrom(srcDir))
+    assert(eo.getMessage.contains("already has versions"))
+  }
+
+  test("computeStats backfills bloom sidecars for point-lookup skipping") {
+    val t = VersionedTable(spark, tmpDir("vt-analyze-bloom-"))
+    t.append(spark.range(0, 1000).toDF("id"))      // no bloomFor at write
+    t.append(spark.range(1000, 2000).toDF("id"))
+    assert(t.computeStats(Seq("id"), bloomCols = Seq("id")) === 2)
+    val hit = t.readEquals("id", Seq(1500L))
+    assert(hit.as[Long].collect().toList === List(1500L))
+    assert(hit.inputFiles.length < t.read.inputFiles.length,
+      "backfilled bloom did not skip the non-matching file-set")
+  }
+
   test("stats sidecars round-trip hostile string values (tabs, newlines, unicode)") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-stats-str-"))

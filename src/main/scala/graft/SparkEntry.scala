@@ -737,6 +737,38 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    // SQL entry surface: the adoption lifecycle — CONVERT hardlinks an
+    // existing plain parquet dir into a version-0 table (zero-copy),
+    // ANALYZE backfills stats sidecars onto the uncovered file-set,
+    // a range read then prunes through them, and SHALLOW CLONE forks
+    // the adopted table. Structural counts are DDL-determined; the data
+    // aggregates replay from the raw parquet in DuckDB.
+    "q_sql_convert" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sqlconv-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val plain = s"$wh/plain_nation"
+      t(s, dir, "nation").coalesce(2).write.parquet(plain)
+      val gsql = graft.tables.GraftSql(s, cat)
+      val conv = gsql.sql(
+        s"CONVERT TO GRAFT parquet.`$plain` AS bronze.nation").head()
+      val analyzed = gsql.sql(
+        "ANALYZE TABLE bronze.nation COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+        .head().getLong(0)
+      gsql.sql("CREATE TABLE silver.nation_fork SHALLOW CLONE bronze.nation")
+      val nRanged = cat.table("bronze", "nation")
+        .readRange("n_nationkey", "5", "9").count()
+      cat.registerViews()
+      s.sql(s"""SELECT
+        CAST(${conv.getLong(2)} AS BIGINT) AS n_file_sets,
+        CAST($analyzed AS BIGINT) AS n_analyzed,
+        CAST($nRanged AS BIGINT) AS n_ranged,
+        (SELECT CAST(count(*) AS BIGINT) FROM silver_nation_fork)
+          AS n_fork_rows,
+        (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM silver_nation_fork)
+          AS sum_fork_key""")
+    }),
+
     // Similarity 1: brute-force cosine top-k against a query vector.
     "q_sim_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1446,6 +1478,51 @@ object SparkEntry {
       mv.delete(col("cnt") === 0)
       mv.read.select(col("o_orderstatus"), col("cnt"),
         round(col("total"), 2).as("total2")).orderBy("o_orderstatus")
+    }),
+
+    // CDC consumer: the packaged pull-model change-feed loop
+    // (ChangeFeedConsumer) maintaining a rollup MV exactly-once. The
+    // chain exercises bootstrap, a simulated crash AFTER the downstream
+    // merge but BEFORE the position commit (the replayed batch must be
+    // recognized from the txn ledger — doubling would corrupt every
+    // integer in the result), then inserts, a group-moving update, and a
+    // delete, drained in one catch-up batch. Integer aggregates only, so
+    // the oracle is a bit-exact replay of the final state from raw
+    // parquet.
+    "q_cdc_consumer" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-cdcq-").toString
+      val src = VersionedTable(s, s"$root/src")
+      src.enableChangeFeed()
+      val mv = VersionedTable(s, s"$root/mv")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"))
+      def maintain(df: DataFrame, from: Long, to: Long): Unit = {
+        val signed = df.withColumn("sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .when(col("_change_type").isin("delete", "update_preimage"), -1L))
+        val delta = signed.groupBy("o_orderstatus").agg(
+          sum(col("sgn")).as("cnt"),
+          sum(col("sgn") * col("o_orderkey")).as("sum_key"))
+        mv.merge(delta, Seq("o_orderstatus"),
+          updateExprs = Map("cnt" -> ((t, u) => t + u),
+            "sum_key" -> ((t, u) => t + u)),
+          txn = Some(("cdc-mv", to)))
+        mv.delete(col("cnt") === 0) // emptied groups drop, as a recompute would
+      }
+      val cp = s"$root/cp"
+      src.append(o.filter(col("o_orderkey") % 2 === 0))
+      graft.tables.ChangeFeedConsumer.consumeAvailable(src, cp)(maintain)
+      // crash between effect and position: replay must be a ledger no-op
+      Files.delete(java.nio.file.Paths.get(cp, "position"))
+      graft.tables.ChangeFeedConsumer.consumeAvailable(src, cp)(maintain)
+      src.append(o.filter(col("o_orderkey") % 2 === 1))
+      src.update(Map("o_orderstatus" -> lit("X")),
+        col("o_orderkey") % 10 === 3)
+      src.delete(col("o_orderkey") <= 499)
+      graft.tables.ChangeFeedConsumer.drain(src, cp)(maintain)
+      mv.read.select("o_orderstatus", "cnt", "sum_key")
+        .orderBy("o_orderstatus")
     }),
 
     // M10: incremental rollup over a PARTITIONED MERGE source — the
@@ -2177,6 +2254,17 @@ object SparkEntry {
         | CAST(3 AS BIGINT) AS n_reclaimed,
         | CAST(4 AS BIGINT) AS n_versions""".stripMargin,
 
+    // Adoption lifecycle: one converted file-set, one analyzed, keys
+    // 5..9 in range, and the clone serves the full 25-nation relation.
+    "q_sql_convert" ->
+      """SELECT CAST(1 AS BIGINT) AS n_file_sets,
+        | CAST(1 AS BIGINT) AS n_analyzed,
+        | (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |  WHERE n_nationkey BETWEEN 5 AND 9) AS n_ranged,
+        | (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_fork_rows,
+        | (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation)
+        |   AS sum_fork_key""".stripMargin,
+
     // Deterministic over the SampleData fixtures (3 players × 4 teams,
     // fixed FDRs), so the oracle is the expected relation as literals;
     // h3_avg_fdr values are written as DOUBLE divisions so both engines
@@ -2207,6 +2295,18 @@ object SparkEntry {
         |  'budget_ok,position_match,team_limit_ok')
         |) AS t(out_player_id, in_player_id, expected_points_delta,
         |       cost_delta_tenths_million, constraint_flags)""".stripMargin,
+
+    // Incrementally-maintained MV ≡ full recompute of the source's final
+    // state (updates move %10=3 keys to group X, keys <= 499 deleted).
+    "q_cdc_consumer" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'X'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         o_orderkey
+        |  FROM orders WHERE o_orderkey > 499)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mv2_partition_incremental" ->
       """SELECT strftime(ts, '%Y-%m') AS snapshot_month,

@@ -196,6 +196,43 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.inputFiles.length < t.read.inputFiles.length)
   }
 
+  test("OPTIMIZE racing concurrent appends never loses a row") {
+    // Maintenance alongside ingest: OPTIMIZE is a read-modify-write, so
+    // a concurrent append can win its version slot first — OPTIMIZE must
+    // then REFUSE (ConcurrentModificationException, OCC working as
+    // designed), never commit a snapshot that drops the racer's rows.
+    val (cat, sql) = warehouse()
+    val t = cat.table("bronze", "race")
+    t.append(Seq((0, "seed")).toDF("k", "v"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val opt = pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
+      def call(): (Int, Int) = {
+        var ok = 0; var refused = 0
+        while (!stop.get()) {
+          try { sql.sql("OPTIMIZE bronze.race"); ok += 1 }
+          catch { case _: java.util.ConcurrentModificationException =>
+            refused += 1 }
+        }
+        (ok, refused)
+      }
+    })
+    try (1 to 8).foreach(i => t.append(Seq((i, s"a$i")).toDF("k", "v")))
+    finally {
+      stop.set(true)
+      val (ok, refused) = opt.get()
+      assert(ok + refused > 0, "OPTIMIZE must actually have raced")
+      pool.shutdown()
+    }
+    // every appended row survived whatever interleaving happened
+    assert(t.read.as[(Int, String)].collect().toMap ===
+      (Map(0 -> "seed") ++ (1 to 8).map(i => i -> s"a$i")))
+    // quiescent OPTIMIZE converges the layout
+    sql.sql("OPTIMIZE bronze.race")
+    assert(t.history.last.fileSets.length === 1)
+    assert(t.read.count() === 9)
+  }
+
   test("bucketed tables OPTIMIZE per merge cell, preserving COW routing") {
     val (cat, sql) = warehouse()
     val t = cat.table("gold", "bk")

@@ -76,23 +76,28 @@ object SparkEntry {
     // tree forever. With THIS key's table ready, siblings sharing the
     // same (kind, dir, params) stem but a different 12-hex fingerprint
     // are stale — reclaim them, plus any crashed builder's orphaned
-    // `.tmp-` staging older than an hour (a live concurrent builder's
-    // staging is younger and survives). Failures are swallowed: GC must
-    // never fail a query.
+    // `.tmp-` staging. BOTH are age-gated an hour: a sibling built
+    // moments ago may still be mid-scan in a concurrent process whose
+    // testdata predates the regeneration — deleting it out from under
+    // that lazy Spark scan fails its query with FileNotFound, while an
+    // hour-old stranded tree is safe to reap (same grace rule the table
+    // vacuum applies to untracked names). Failures are swallowed: GC
+    // must never fail a query.
     try {
       val stemM = "^(.*)-[0-9a-f]{12}$".r
       stemM.findFirstMatchIn(root.getFileName.toString).foreach { m =>
         val stem = m.group(1)
         val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+        def oldEnough(p: java.nio.file.Path) =
+          try JF.getLastModifiedTime(p).toMillis < cutoff
+          catch { case _: java.io.IOException => false }
         val ls = JF.list(root.getParent)
         try ls.forEach { p =>
           val n = p.getFileName.toString
           val staleSibling = n != root.getFileName.toString &&
             n.matches(java.util.regex.Pattern.quote(stem) + "-[0-9a-f]{12}")
-          val orphanStaging = n.contains(".tmp-") &&
-            (try JF.getLastModifiedTime(p).toMillis < cutoff
-             catch { case _: java.io.IOException => false })
-          if (staleSibling || orphanStaging) removeTree(p)
+          val orphanStaging = n.contains(".tmp-")
+          if ((staleSibling || orphanStaging) && oldEnough(p)) removeTree(p)
         } finally ls.close()
       }
     } catch { case _: Throwable => () }

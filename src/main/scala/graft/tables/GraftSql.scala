@@ -59,7 +59,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
     case ConvertStmt(srcDir, target) => convert(srcDir, targetRoot(target))
-    case AnalyzeStmt(ident, cols) => analyze(resolve(ident), cols)
+    // ANALYZE is the one owned statement that is ALSO valid vanilla
+    // Spark SQL — an identifier that isn't a graft table (unknown layer,
+    // no catalog bound, not found) delegates instead of erroring, so the
+    // funnel keeps its parse-what-you-own contract for catalog tables
+    // and temp views
+    case AnalyzeStmt(ident, cols) =>
+      scala.util.Try(resolve(ident)).toOption
+        .fold(spark.sql(stmt))(analyze(_, cols))
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
     case other => spark.sql(other)
@@ -166,17 +173,23 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
                      dryRun: Boolean): DataFrame = {
     import spark.implicits._
     require(retain >= 1, s"VACUUM: RETAIN $retain VERSIONS (must be >= 1)")
-    val preview = tbl.vacuumDryRun(retainVersions = retain)
-    if (dryRun) preview.toDF("path").orderBy("path")
+    if (dryRun)
+      tbl.vacuumDryRun(retainVersions = retain).toDF("path").orderBy("path")
     else {
-      tbl.vacuum(retainVersions = retain)
-      Seq(preview.length.toLong).toDF("n_reclaimed")
+      // one listing: vacuum() reports what it actually deleted, so
+      // n_reclaimed can't drift from the deletes under concurrency
+      // (and the directory walk + history parse happen once, not twice)
+      val deleted = tbl.vacuum(retainVersions = retain)
+      Seq(deleted.length.toLong).toDF("n_reclaimed")
     }
   }
 
-  /** A clone TARGET resolves to a root path without an existence check
-    * (the clone creates it; [[VersionedTable.shallowCloneTo]] itself
-    * refuses an already-versioned target). */
+  /** The ONE identifier grammar: `layer.table` / `layer_table` via the
+    * catalog, or ``graft.`path` `` opening the path directly (Delta's
+    * ``delta.`path` `` form). Returns the table's root path without an
+    * existence check — a clone/convert TARGET doesn't exist yet (and
+    * [[VersionedTable.shallowCloneTo]]/[[VersionedTable.convertFrom]]
+    * themselves refuse an already-versioned target). */
   private def targetRoot(ident: String): String = ident match {
     case PathIdent(path) => path
     case other =>
@@ -190,21 +203,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       }
   }
 
-  /** `layer.table` / `layer_table` via the catalog; ``graft.`path` ``
-    * opens the path directly (Delta's ``delta.`path` `` form). */
+  /** [[targetRoot]] plus the existence check every non-creating
+    * statement wants (explicit-path idents skip it, matching the
+    * relation read surfaces — an empty path errors in the statement's
+    * own empty-table guard with a better message). */
   private def resolve(ident: String): VersionedTable = ident match {
     case PathIdent(path) => VersionedTable(spark, path)
     case other =>
-      val cat = catalog.getOrElse(sys.error(
-        s"no catalog bound: use graft.`<path>` to address $other"))
-      other.split("[._]", 2) match {
-        case Array(layer, name) if cat.Layers.contains(layer.toLowerCase) =>
-          val tbl = cat.table(layer.toLowerCase, name)
-          if (!tbl.exists) sys.error(s"table not found: $other")
-          tbl
-        case _ => sys.error(s"cannot resolve table identifier: $other " +
-          s"(expected <layer>.<table>, <layer>_<table>, or graft.`<path>`)")
-      }
+      val tbl = VersionedTable(spark, targetRoot(other))
+      if (!tbl.exists) sys.error(s"table not found: $other")
+      tbl
   }
 }
 

@@ -966,7 +966,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       spark.read.parquet(p.toString).schema)
     val explicitFrames = explicitSets.toSeq.groupBy { case (_, p) => cached(p).json }
       .toSeq.sortBy(_._2.head._1.version).map { case (_, items) =>
-        foldedScan(items.map(_._2), cached(items.head._2), changesDir,
+        foldedScan(items.map(_._2), cached(items.head._2),
           items.map { case (e, p) =>
             (p.getFileName.toString, e.version, e.tsMillis) })
       }
@@ -977,7 +977,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         }
       }
       .toSeq.sortBy(_._2.head._1.version).map { case (_, items) =>
-        tagged(foldedScan(items.map(_._2), cached(items.head._2), dataDir,
+        tagged(foldedScan(items.map(_._2), cached(items.head._2),
           items.map { case (e, p) =>
             (p.getFileName.toString, e.version, e.tsMillis) }), "insert")
       }
@@ -1015,13 +1015,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * returning a silently incomplete changeset. */
   private def foldedScan(paths: Seq[Path],
                          schema: org.apache.spark.sql.types.StructType,
-                         parent: Path,
                          meta: Seq[(String, Long, Long)]): DataFrame = {
     val scan = spark.read.schema(schema)
       .parquet(paths.map(_.toString): _*)
       .withColumn("__fpath", col("_metadata.file_path"))
-      .withColumn("__cdir",
-        regexp_extract(col("_metadata.file_path"), "/([^/]+)/[^/]+$", 1))
+      .withColumn("__cdir", substring_index(
+        substring_index(col("_metadata.file_path"), "/", -2), "/", 1))
     val metaDf = spark.createDataFrame(meta.map { case (d, v, ts) =>
         org.apache.spark.sql.Row(d, v, new java.sql.Timestamp(ts)) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
@@ -1087,8 +1086,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                            withPos: Boolean = false): DataFrame = {
     val paths = fileSets.map(f => dataDir.resolve(f))
     val (partitioned, flat) = paths.partition(hasHivePartitionDirs)
-    val quotedData =
-      java.util.regex.Pattern.quote(dataDir.toAbsolutePath.toString)
     // file-set dirs are write-once (staged, atomically renamed in, never
     // modified), so a flat set's data schema is immutable — memoize it
     // process-wide and hand it to the reader, skipping the 1-task
@@ -1103,7 +1100,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       val d = known.fold(spark.read)(spark.read.schema).parquet(ps: _*)
       if (!withPos) d
       else d.select(col("*"),
-        regexp_extract(col("_metadata.file_path"), quotedData + "/(.*)$", 1)
+        // data-dir-relative path = everything after the LAST `/data/`
+        // marker ([[DataDirMarker]]) — NOT a dataDir-prefix anchor: the
+        // reader may render a symlinked or re-rooted table under a
+        // different prefix, and a prefix mismatch would extract "" for
+        // every row — the DV anti-join would match nothing and deleted
+        // rows would silently reappear. substring_index is a plain
+        // codegen'd string scan (a per-row suffix REGEX here cost ~2×
+        // on every DV-bearing read). Same value as a dataDir-prefix
+        // strip, so previously-written DV keys stay valid.
+        substring_index(col("_metadata.file_path"), DataDirMarker, -1)
           .as(DvFileCol),
         col("_metadata.row_index").as(DvPosCol))
     }
@@ -1146,15 +1152,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if ((statsRequested.isEmpty && bloomRequested.isEmpty) ||
       fileSets.isEmpty) return
     val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
-    // file-set id = the path segment right after THIS table's data dir —
-    // anchored to the absolute dataDir path, not the first "/data/"
-    // segment anywhere in the path (a table rooted under e.g.
-    // /mnt/data/wh/tbl would otherwise capture "wh" and every sidecar
-    // write would miss its file-set)
-    val anchor = java.util.regex.Pattern.quote(
-      dataDir.toAbsolutePath.toString) + "/([^/]+)/"
+    // file-set id = first segment after the LAST `/data/` marker
+    // ([[DataDirMarker]]), not a dataDir-prefix anchor: under a
+    // symlinked/re-rooted open the rendered path's prefix need not match
+    // `dataDir`, and a prefix mismatch would extract "" for every row —
+    // all sidecars would then collapse into one bogus group and no
+    // file-set would get coverage (the `expected` guard below catches
+    // any residual extraction break loudly)
     val fsDf = spark.read.parquet(paths: _*)
-      .withColumn("__fs", regexp_extract(input_file_name(), anchor, 1))
+      .withColumn("__fs", substring_index(
+        substring_index(input_file_name(), DataDirMarker, -1), "/", 1))
     // only columns the written files actually HAVE: inherited stats
     // columns can name fields an evolved (narrower) update batch lacks,
     // and aggregating a missing column would abort the whole write
@@ -1208,8 +1215,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
+    val expected = fileSets.toSet
     rows.foreach { row =>
       val fs = row.getString(0)
+      // a group outside the target set means the path extraction broke —
+      // fail loudly rather than scatter sidecars to bogus locations
+      require(expected.contains(fs),
+        s"sidecar write: extracted file-set '$fs' not in targets at $root")
       if (statsFor.nonEmpty) {
         val lines = statsFor.zipWithIndex.flatMap { case (c, i) =>
           val mn = row.getString(1 + 2 * i); val mx = row.getString(2 + 2 * i)
@@ -1543,13 +1555,38 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     require(statsCols.nonEmpty || bloomCols.nonEmpty,
       "computeStats needs at least one column")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    // validate against the snapshot's (union) schema up front: a typo'd
+    // column would otherwise "succeed" forever — writeSkippingSidecars
+    // filters to columns the files actually have, so the bogus name
+    // never gains coverage, every file-set stays a target, and each
+    // ANALYZE re-runs the full job while reporting N analyzed
+    val schema = readFileSets(snap.fileSets).schema
+    val unknown = (statsCols ++ bloomCols).distinct
+      .filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"computeStats: no such column(s) ${unknown.mkString(", ")} at $root " +
+        s"(table has ${schema.fieldNames.mkString(", ")})")
+    // bloom coverage must mirror the READER's rules ([[readBloomSidecar]]):
+    // a legacy `_fbloom.<col>` on a TIMESTAMP column is never consulted
+    // (pre-v2 string basis), so counting it as coverage would make this
+    // the one maintenance path that can never upgrade it — ANALYZE would
+    // be a silent no-op while point lookups scan the full table forever
+    val tsCols = schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
+        f.name
+    }.toSet
+    def bloomCovered(fs: String, c: String): Boolean = {
+      val enc = java.net.URLEncoder.encode(c, "UTF-8")
+      Files.exists(dataDir.resolve(fs).resolve(s"_fbloom2.$enc")) ||
+        (!tsCols.contains(c) &&
+          Files.exists(dataDir.resolve(fs).resolve(s"_fbloom.$enc")))
+    }
     val targets =
       if (!onlyMissing) snap.fileSets
       else snap.fileSets.filter { fs =>
         val have = readStatsSidecar(fs).keySet
-        val haveBloom = bloomColsOf(Seq(fs)).toSet
         statsCols.exists(!have.contains(_)) ||
-          bloomCols.exists(!haveBloom.contains(_))
+          bloomCols.exists(!bloomCovered(fs, _))
       }
     writeSkippingSidecars(targets, statsCols, bloomCols)
     targets.length
@@ -2303,10 +2340,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** VACUUM: delete file-sets unreachable from the last `retainVersions`
     * versions (older versions stop being time-travelable, as with Delta
-    * VACUUM). */
-  def vacuum(retainVersions: Int = 1): Unit =
-    vacuumDryRun(retainVersions)
-      .foreach(rel => deleteRecursively(Paths.get(root).resolve(rel)))
+    * VACUUM). Returns the root-relative names actually deleted — ONE
+    * [[vacuumDryRun]] snapshot drives both the deletes and the report,
+    * so the returned list is exactly what was reclaimed even if a
+    * concurrent commit or an aging-past-grace orphan would change a
+    * second listing taken moments later. */
+  def vacuum(retainVersions: Int = 1): Seq[String] = {
+    val doomed = vacuumDryRun(retainVersions)
+    doomed.foreach(rel => deleteRecursively(Paths.get(root).resolve(rel)))
+    doomed
+  }
 
   /** What [[vacuum]] would reclaim — root-relative paths of data
     * file-sets, deletion vectors (purged, superseded, or orphaned by a
@@ -2365,6 +2408,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 object VersionedTable {
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
+
+  /** Suffix anchor for extracting a data file's place in its table,
+    * immune to prefix drift from symlinked/re-rooted opens (the reader
+    * renders `_metadata.file_path`/`input_file_name` under whatever
+    * prefix it listed, which need not equal the caller's `dataDir`).
+    * The segment after the LAST `/data/` marker is always the file-set:
+    * every scanned file lives under `<root>/data/<fs>[/k=v…]/<file>`
+    * (CONVERT hardlinks adopted files in too), and no relative-path
+    * segment can itself be `data` — file-set dirs are
+    * `<uuid>[.s<tag>]`, hive partition dirs contain `=`, and data files
+    * are `part-*`. `substring_index` on the marker is a codegen'd
+    * string scan; a per-row suffix regex here measurably taxed every
+    * DV-bearing read. */
+  private[tables] val DataDirMarker = "/data/"
 
   /** Parsed-log cache (see [[VersionedTable.history]]): entry files are
     * write-once and checkpoint files are keyed by (inode, mtime), so

@@ -247,4 +247,31 @@ class GraftSqlSpec extends SparkSpec {
     t.merge(Seq((6, "v6b")).toDF("k", "v"), Seq("k"))
     assert(t.read.filter($"k" === 6).as[(Int, String)].head() === ((6, "v6b")))
   }
+
+  test("ANALYZE on a non-graft identifier delegates to vanilla Spark") {
+    // ANALYZE is the one owned statement that is ALSO valid Spark SQL:
+    // an identifier that doesn't resolve to a graft table (here, a
+    // Spark catalog table, no graft catalog bound) must fall through to
+    // spark.sql instead of erroring — one funnel for the whole session
+    spark.sql("DROP TABLE IF EXISTS an_delegate")
+    spark.sql("CREATE TABLE an_delegate (id INT) USING PARQUET")
+    try {
+      spark.sql("INSERT INTO an_delegate VALUES (1), (2), (3)")
+      GraftSql(spark)
+        .sql("ANALYZE TABLE an_delegate COMPUTE STATISTICS FOR COLUMNS id")
+      val stats = spark.sql("DESCRIBE EXTENDED an_delegate id")
+        .as[(String, String)].collect().toMap
+      assert(stats.get("distinct_count").exists(_.toLong >= 2L),
+        s"vanilla ANALYZE must have run (got $stats)")
+    } finally spark.sql("DROP TABLE IF EXISTS an_delegate")
+    // and with a catalog bound, a GRAFT table still takes the owned path
+    val (cat, gsql) = warehouse()
+    val t = cat.table("silver", "anz")
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val n = gsql.sql(
+      "ANALYZE TABLE silver.anz COMPUTE STATISTICS FOR COLUMNS id")
+      .as[Long].head()
+    assert(n === 1L)
+    assert(t.readEquals("id", Seq(2L)).count() === 1)
+  }
 }

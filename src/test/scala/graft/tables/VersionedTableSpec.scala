@@ -1483,6 +1483,109 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.readEquals("id", Seq(2L)).count() === 1)
   }
 
+  test("deletion vectors survive a symlinked table root") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val real = tmpDir("vt-dvsym-")
+    val t0 = VersionedTable(spark, real)
+    t0.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    t0.deleteVectors($"id" === 2)
+    // open THROUGH a symlink: the reader renders file paths under a
+    // prefix that differs from the writer's dataDir — a prefix-anchored
+    // DV key extraction would yield "" for every row, the anti-join
+    // would match nothing, and row id=2 would silently reappear
+    val link = JP.get(tmpDir("vt-dvsymlink-")).resolve("root")
+    JF.createSymbolicLink(link, JP.get(real))
+    val t = VersionedTable(spark, link.toString)
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (3, "c")))
+    // a DV WRITTEN through the symlinked open must key the same rows
+    // the original-root open keys (suffix shape is prefix-invariant)
+    t.deleteVectors($"id" === 3)
+    assert(VersionedTable(spark, real).read.as[(Int, String)]
+      .collect().toSet === Set((1, "a")))
+  }
+
+  test("skipping sidecars written through a symlinked open hit file-sets") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val real = tmpDir("vt-sidesym-")
+    VersionedTable(spark, real).append(Seq((1L, "a")).toDF("id", "v"))
+    val link = JP.get(tmpDir("vt-sidesymlink-")).resolve("root")
+    JF.createSymbolicLink(link, JP.get(real))
+    val t = VersionedTable(spark, link.toString)
+    // write path: file-set ids are extracted from rendered file paths;
+    // through a symlink a prefix anchor would extract "" and the
+    // guarded writer would abort (pre-guard: scatter sidecars to a
+    // bogus shared group)
+    t.append(Seq((2L, "b")).toDF("id", "v"),
+      statsFor = Seq("id"), bloomFor = Seq("id"))
+    // backfill path (ANALYZE) through the same symlinked open
+    assert(t.computeStats(Seq("id"), Seq("id")) >= 1)
+    val fsDirs = JF.list(JP.get(real, "data")).iterator().asScala
+      .filter(JF.isDirectory(_)).toSeq
+    assert(fsDirs.nonEmpty)
+    fsDirs.foreach { d =>
+      assert(JF.exists(d.resolve("_fstats.tsv")), s"$d missing stats")
+      assert(JF.exists(d.resolve("_fbloom2.id")), s"$d missing bloom")
+    }
+    assert(t.readEquals("id", Seq(2L)).count() === 1)
+  }
+
+  test("computeStats rejects unknown columns loudly") {
+    val t = VersionedTable(spark, tmpDir("vt-statscol-"))
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    // a typo'd column would otherwise 'succeed' forever: the sidecar
+    // writer filters to real columns, so the bogus name never gains
+    // coverage and every ANALYZE re-runs the full job claiming progress
+    val e = intercept[IllegalArgumentException](t.computeStats(Seq("idd")))
+    assert(e.getMessage.contains("no such column"))
+    assert(e.getMessage.contains("idd"))
+  }
+
+  test("ANALYZE onlyMissing upgrades legacy timestamp bloom coverage") {
+    import java.nio.file.{Files, Paths}
+    val t = VersionedTable(spark, tmpDir("vt-bloomup-"))
+    val ts1 = java.sql.Timestamp.valueOf("2025-08-12 06:15:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    t.append(Seq((1L, ts1)).toDF("id", "ts"), bloomFor = Seq("id", "ts"))
+    t.append(Seq((2L, ts2)).toDF("id", "ts"), bloomFor = Seq("id", "ts"))
+    val fsDirs = Files.list(Paths.get(t.root, "data")).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq
+    // simulate a pre-upgrade build: only legacy-NAMED ts sidecars remain.
+    // The reader never consults a legacy TIMESTAMP sidecar (pre-v2
+    // string basis), so ANALYZE must treat it as MISSING coverage —
+    // counting it as covered would make backfill a silent no-op while
+    // point lookups scan the full table forever
+    fsDirs.foreach { d =>
+      Files.move(d.resolve("_fbloom2.ts"), d.resolve("_fbloom.ts"))
+    }
+    assert(t.computeStats(Nil, Seq("ts")) === fsDirs.length)
+    fsDirs.foreach(d => assert(Files.exists(d.resolve("_fbloom2.ts"))))
+    assert(t.computeStats(Nil, Seq("ts")) === 0, "backfill must converge")
+    // a legacy NON-timestamp sidecar shares the hash basis across
+    // generations: still valid coverage, not an ANALYZE target
+    fsDirs.foreach { d =>
+      Files.move(d.resolve("_fbloom2.id"), d.resolve("_fbloom.id"))
+    }
+    assert(t.computeStats(Nil, Seq("id")) === 0)
+    assert(t.readEquals("ts", Seq(ts1)).count() === 1)
+    assert(t.readEquals("id", Seq(2L)).count() === 1)
+  }
+
+  test("vacuum returns exactly the paths it reclaimed") {
+    import java.nio.file.{Files, Paths}
+    val t = VersionedTable(spark, tmpDir("vt-vacret-"))
+    t.append(Seq(1, 2).toDF("id").repartition(2))
+    t.overwrite(Seq(9).toDF("id"))
+    val preview = t.vacuumDryRun(retainVersions = 1)
+    val deleted = t.vacuum(retainVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(deleted.toSet === preview.toSet)
+    deleted.foreach(rel =>
+      assert(Files.notExists(Paths.get(t.root).resolve(rel)), rel))
+    assert(t.vacuum(retainVersions = 1).isEmpty)
+    assert(t.read.as[Int].collect().toSet === Set(9))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -104,13 +104,20 @@ object SparkEntry {
     root.toString
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long (legacy flag) and convert to a microsecond
-    * timestamp (the testdata is µs-precision, so this is lossless). */
+  /** events.parquet's `ts` encoding has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * — read nanos as long via the legacy flag, convert to µs losslessly)
+    * vs TIMESTAMP(MICROS) with isAdjustedToUTC=false (which Spark reads
+    * as TIMESTAMP_NTZ). Normalize both to a session-TZ timestamp (UTC is
+    * pinned session-wide), so every downstream query sees one type. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Flagship: the reference's end-to-end slice_v1 DAG on synthetic FPL
@@ -1981,6 +1988,38 @@ object SparkEntry {
         CAST($nVersions AS BIGINT) AS n_versions""")
     }),
 
+    // SQL DML lifecycle (reference smoke flow
+    // 01_environment_smoke_test.py:74-93 + backlog MERGE pattern
+    // docs/backlog.md:49-51): CTAS → INSERT VALUES → UPDATE → DELETE →
+    // MERGE upsert, all as parsed statements against the versioned
+    // warehouse; the oracle replays the chain as pure SQL set algebra.
+    "q_sql_dml" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sqldml-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      t(s, dir, "nation").createOrReplaceTempView("nation_src")
+      gsql.sql("""CREATE TABLE silver.nation_dml AS
+        SELECT n_nationkey, n_name, n_regionkey FROM nation_src""")
+      gsql.sql("INSERT INTO silver.nation_dml VALUES (100, 'ATLANTIS', 0)")
+      gsql.sql("""UPDATE silver.nation_dml
+        SET n_name = concat(n_name, '_EU'), n_regionkey = n_regionkey + 10
+        WHERE n_regionkey = 3""")
+      gsql.sql("DELETE FROM silver.nation_dml WHERE n_regionkey = 2")
+      gsql.sql("""MERGE INTO silver.nation_dml AS t
+        USING (SELECT n_nationkey AS k, upper(n_name) AS n_name,
+                      n_regionkey FROM nation_src WHERE n_nationkey < 3) AS s
+        ON t.n_nationkey = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      val nVersions = gsql.sql("DESCRIBE HISTORY silver.nation_dml").count()
+      cat.table("silver", "nation_dml").read
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"),
+          lit(nVersions).as("n_versions"))
+        .orderBy("n_nationkey")
+    }),
+
     // SQL entry surface 4 (rows-only: FPL-domain synthetic warehouse):
     // the reference's player-horizon view DDL + consumption phrased in
     // SQL over the registered gold tables.
@@ -2258,6 +2297,35 @@ object SparkEntry {
         | CAST(3 AS BIGINT) AS n_previewed,
         | CAST(3 AS BIGINT) AS n_reclaimed,
         | CAST(4 AS BIGINT) AS n_versions""".stripMargin,
+
+    // The DML chain replayed as pure set algebra: CTAS+INSERT = base,
+    // UPDATE = CASE projection, DELETE = filter, MERGE upsert = source
+    // UNION target-minus-source-keys. 5 versions: CTAS, INSERT, UPDATE,
+    // DELETE, MERGE.
+    "q_sql_dml" ->
+      """WITH base AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL SELECT 100, 'ATLANTIS', 0),
+        |upd AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 3 THEN n_name || '_EU'
+        |         ELSE n_name END AS n_name,
+        |    CASE WHEN n_regionkey = 3 THEN n_regionkey + 10
+        |         ELSE n_regionkey END AS n_regionkey
+        |  FROM base),
+        |del AS (SELECT * FROM upd WHERE n_regionkey <> 2),
+        |src AS (
+        |  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+        |  FROM nation WHERE n_nationkey < 3),
+        |merged AS (
+        |  SELECT * FROM src
+        |  UNION ALL
+        |  SELECT * FROM del
+        |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM src))
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(5 AS BIGINT) AS n_versions
+        |FROM merged ORDER BY n_nationkey""".stripMargin,
 
     // Adoption lifecycle: one converted file-set, one analyzed, keys
     // 5..9 in range, and the clone serves the full 25-nation relation.

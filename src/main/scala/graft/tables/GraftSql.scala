@@ -1,6 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.types.StructType
 
 /** The SQL maintenance surface (docs/backlog.md:103-106, the reference's
   * empty notebooks/05_ops/61_optimize_and_maintenance.sql): parsed
@@ -26,6 +28,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   ANALYZE TABLE <table> COMPUTE STATISTICS FOR COLUMNS c1, c2, ...
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
+  *
+  * DML (the reference smoke flow, 01_environment_smoke_test.py:74-93,
+  * and the backlog's MERGE pattern, docs/backlog.md:49-51):
+  *
+  *   CREATE [OR REPLACE] TABLE <table> (col TYPE, ...) [USING x]
+  *   CREATE [OR REPLACE] TABLE <table> [PARTITIONED BY (...)] AS <query>
+  *   INSERT INTO <table> <query>            -- positional, cast to schema
+  *   INSERT OVERWRITE [TABLE] <table> <query>
+  *   UPDATE <table> SET c = expr [, ...] [WHERE cond]
+  *   DELETE FROM <table> [WHERE cond]
+  *   MERGE INTO <table> [AS] t USING <src> [AS] s ON t.k = s.k [AND ...]
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *     | WHEN NOT MATCHED THEN INSERT *     -- insert-if-absent
+  *   DROP TABLE [IF EXISTS] <table>
+  *
+  * A DML identifier that is NOT a graft table (unknown layer, no catalog
+  * bound) delegates to vanilla `spark.sql`, so Spark catalog tables and
+  * temp views keep working through the same funnel. MERGE's source needs
+  * an alias and is a graft table, a temp view, or a parenthesized
+  * subquery (one that itself contains ` ON ` — e.g. an inner join —
+  * must be registered as a temp view instead; the statement regex cannot
+  * see paren nesting and the funnel refuses the mis-parse loudly).
+  * DML results are the committed `(version, action)` — affected-row
+  * counts would cost an extra full scan per statement at 100 TB; the
+  * commit metadata lives in DESCRIBE HISTORY.
   *
   * Retention is VERSION-based, not hour-based: the engine's time travel
   * is a version log, so `RETAIN 3 VERSIONS` is the honest analog of
@@ -58,6 +85,30 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RestoreTimestampStmt(ident, ts) =>
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
+    // DML statements delegate like ANALYZE below: an identifier that is
+    // not a graft table (unknown layer, no catalog bound) falls through
+    // to vanilla spark.sql — one funnel for the whole session
+    case CreateSchemaStmt(orReplace, ident, colDefs) =>
+      ownedRoot(ident).fold(spark.sql(stmt))(
+        createEmpty(_, orReplace != null, colDefs))
+    case CtasStmt(orReplace, ident, parts, query) =>
+      ownedRoot(ident).fold(spark.sql(stmt))(ctas(_, orReplace != null,
+        Option(parts).toSeq.flatMap(splitTop(_, ',')).map(stripTicks), query))
+    case DropTableStmt(ifExists, ident) =>
+      dropOwned(ident, ifExists != null).getOrElse(spark.sql(stmt))
+    case MergeStmt(tgt, tAlias, src, sAlias, on, clauses) =>
+      owned(tgt).fold(spark.sql(stmt))(
+        mergeInto(_, tAlias, src, sAlias, on, clauses))
+    case DeleteStmt(ident, cond) =>
+      owned(ident).fold(spark.sql(stmt))(t => versionDf(
+        t.delete(Option(cond).map(expr).getOrElse(lit(true)))))
+    case UpdateStmt(ident, sets, cond) =>
+      owned(ident).fold(spark.sql(stmt))(t => versionDf(
+        t.update(parseAssignments(sets),
+          Option(cond).map(expr).getOrElse(lit(true)))))
+    case InsertStmt(kind, ident, query) =>
+      owned(ident).fold(spark.sql(stmt))(
+        insert(_, kind.equalsIgnoreCase("OVERWRITE"), query))
     case ConvertStmt(srcDir, target) => convert(srcDir, targetRoot(target))
     // ANALYZE is the one owned statement that is ALSO valid vanilla
     // Spark SQL — an identifier that isn't a graft table (unknown layer,
@@ -184,6 +235,150 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     }
   }
 
+  // ------------------------------------------------------------- SQL DML
+
+  /** One-row result every DML statement returns: the committed version
+    * and action. Affected-row metrics deliberately are NOT computed here
+    * — that would cost an extra full scan per statement at 100 TB; the
+    * commit metadata lives in DESCRIBE HISTORY. */
+  private def versionDf(e: VersionedTable.LogEntry): DataFrame = {
+    import spark.implicits._
+    Seq((e.version, e.action)).toDF("version", "action")
+  }
+
+  /** CREATE [OR REPLACE] TABLE t (id INT, ...) — the reference smoke
+    * test's schema-first DDL (01_environment_smoke_test.py:74-80): an
+    * empty overwrite snapshot carrying the declared schema, so a
+    * following INSERT aligns positionally against it. */
+  private def createEmpty(root: String, orReplace: Boolean,
+                          colDefs: String): DataFrame = {
+    val t = VersionedTable(spark, root)
+    require(orReplace || !t.exists,
+      s"table already exists: $root (use CREATE OR REPLACE TABLE)")
+    versionDf(t.overwrite(spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), StructType.fromDDL(colDefs))))
+  }
+
+  /** CREATE [OR REPLACE] TABLE t [PARTITIONED BY (...)] AS query. */
+  private def ctas(root: String, orReplace: Boolean, parts: Seq[String],
+                   query: String): DataFrame = {
+    val t = VersionedTable(spark, root)
+    require(orReplace || !t.exists,
+      s"table already exists: $root (use CREATE OR REPLACE TABLE)")
+    versionDf(t.overwrite(spark.sql(query), partitionBy = parts))
+  }
+
+  /** A graft table for a DML statement's identifier, or None when the
+    * statement isn't ours and must delegate (the ANALYZE pattern). */
+  private def owned(ident: String): Option[VersionedTable] =
+    scala.util.Try(resolve(ident)).toOption
+
+  private def ownedRoot(ident: String): Option[String] =
+    scala.util.Try(targetRoot(ident)).toOption
+
+  /** DROP TABLE [IF EXISTS] for catalog identifiers (reference smoke
+    * flow, 01_environment_smoke_test.py:93); path idents and non-graft
+    * names are not ours — None delegates (dropping an explicit-path
+    * table is `rm -r`, not a statement's job). */
+  private def dropOwned(ident: String, ifExists: Boolean): Option[DataFrame] = {
+    import spark.implicits._
+    ident match {
+      case PathIdent(_) => None
+      case other => catalog.flatMap { cat =>
+        other.split("[._]", 2) match {
+          case Array(layer, name) if cat.Layers.contains(layer.toLowerCase) =>
+            val t = cat.table(layer.toLowerCase, name)
+            if (!t.exists && !ifExists) sys.error(s"table not found: $other")
+            cat.dropTable(layer.toLowerCase, name)
+            Some(Seq(other).toDF("dropped"))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** INSERT INTO appends (bucket-split on merge-bucketed tables so later
+    * MERGEs stay copy-on-write; hive layout preserved so pruning
+    * survives); INSERT OVERWRITE replaces the snapshot. Standard SQL
+    * positional semantics: the query's columns map to the table's by
+    * position and cast to its declared types. */
+  private def insert(tbl: VersionedTable, overwrite: Boolean,
+                     query: String): DataFrame = {
+    val df = spark.sql(query)
+    val schema = tbl.read.schema
+    require(df.columns.length == schema.length,
+      s"INSERT: query has ${df.columns.length} columns, " +
+        s"table ${tbl.root} has ${schema.length}")
+    val aligned = df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        col(s"`${f.name}`").cast(f.dataType)).toIndexedSeq: _*)
+    val parts = tbl.bucketSpec.map(_.partitionKeys).getOrElse(tbl.partitionLayout)
+    versionDf(if (overwrite) tbl.overwrite(aligned, partitionBy = parts)
+              else tbl.append(aligned, partitionBy = parts))
+  }
+
+  /** MERGE INTO t USING src ON t.k = s.k [AND ...] — the backlog's
+    * "MERGE pattern (idempotent upsert)" (docs/backlog.md:49-51,77) as a
+    * statement. Two clause shapes, each mapping to a single engine
+    * primitive so the plan is exactly the hand-written one:
+    *   UPDATE SET * + INSERT *  →  [[VersionedTable.merge]] (bucket-COW
+    *     upsert: only touched (partition, bucket) cells rewrite);
+    *   INSERT * alone           →  insert-if-absent: one left-anti join
+    *     against the target keys, then an O(new data) append.
+    * Row-level SET expressions belong to UPDATE (they'd force a
+    * whole-row join plan merge doesn't need); refused explicitly. */
+  private def mergeInto(tbl: VersionedTable, tAlias: String, src: String,
+                        sAlias: String, on: String,
+                        clauses: String): DataFrame = {
+    val EqPat = """(?s)\s*(\w+)\.(`[^`]+`|\w+)\s*=\s*(\w+)\.(`[^`]+`|\w+)\s*""".r
+    val keyPairs = on.split("(?i)\\s+AND\\s+").toSeq.map {
+      case EqPat(a1, c1, a2, c2) =>
+        if (a1 == tAlias && a2 == sAlias) (stripTicks(c1), stripTicks(c2))
+        else if (a1 == sAlias && a2 == tAlias) (stripTicks(c2), stripTicks(c1))
+        else sys.error(s"MERGE ON: aliases must be $tAlias/$sAlias: $on")
+      case other =>
+        sys.error(s"MERGE ON supports conjunctions of t.k = s.k, got: $other")
+    }
+    val srcDf = sourceDf(src)
+    val renamed = keyPairs.foldLeft(srcDf) { case (d, (tk, sk)) =>
+      if (tk == sk) d else d.withColumnRenamed(sk, tk)
+    }
+    val keys = keyPairs.map(_._1)
+    clauses match {
+      case UpsertClauses() => versionDf(tbl.merge(renamed, keys))
+      case InsertOnlyClauses() =>
+        val fresh = graft.ops.Keyed.notIn(renamed, tbl.read, keys)
+        val parts = tbl.bucketSpec.map(_.partitionKeys)
+          .getOrElse(tbl.partitionLayout)
+        versionDf(tbl.append(fresh, partitionBy = parts))
+      case other => sys.error(
+        "MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+          s"THEN INSERT *, or WHEN NOT MATCHED THEN INSERT * alone; got: $other")
+    }
+  }
+
+  /** MERGE source: a parenthesized subquery, a graft table, or any
+    * relation `spark.sql` can see (temp views included). */
+  private def sourceDf(src: String): DataFrame = {
+    val s = src.trim
+    if (s.startsWith("(")) {
+      require(s.endsWith(")") && balanced(s), s"MERGE USING subquery " +
+        s"mis-parsed (an ON inside it? alias it as a temp view): $s")
+      spark.sql(s.substring(1, s.length - 1))
+    } else s match {
+      case PathIdent(path) => VersionedTable(spark, path).read
+      case name =>
+        scala.util.Try(resolve(name).read).getOrElse(spark.table(name))
+    }
+  }
+
+  private def parseAssignments(sets: String): Map[String, Column] =
+    splitTop(sets, ',').map { a =>
+      val i = topLevelIndexOf(a, '=')
+      require(i > 0, s"UPDATE SET: not an assignment: $a")
+      stripTicks(a.substring(0, i).trim) -> expr(a.substring(i + 1).trim)
+    }.toMap
+
   /** The ONE identifier grammar: `layer.table` / `layer_table` via the
     * catalog, or ``graft.`path` `` opening the path directly (Delta's
     * ``delta.`path` `` form). Returns the table's root path without an
@@ -255,4 +450,95 @@ object GraftSql {
   private val DescDetailStmt =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Ident + """\s*;?\s*""").r
   private val PathIdent = """graft\.`([^`]+)`""".r
+
+  // ----------------------------------------------------- DML statement forms
+  private val CreateSchemaStmt =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
+      """\s*\((.+)\)\s*(?:USING\s+\w+)?\s*;?\s*""").r
+  private val CtasStmt =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+AS\s+((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  private val DropTableStmt =
+    ("""(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?""" + Ident + """\s*;?\s*""").r
+  private val DeleteStmt =
+    ("""(?is)\s*DELETE\s+FROM\s+""" + Ident +
+      """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val UpdateStmt =
+    ("""(?is)\s*UPDATE\s+""" + Ident +
+      """\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+  private val InsertStmt =
+    ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Ident +
+      """\s+((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  private val MergeStmt =
+    ("""(?is)\s*MERGE\s+INTO\s+""" + Ident + """(?:\s+AS)?\s+(\w+)""" +
+      """\s+USING\s+(.+?)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s+(?:.|\n)+?)\s*;?\s*""").r
+  private val UpsertClauses =
+    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+  private val InsertOnlyClauses =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+
+  // --------------------------------------------- tiny top-level SQL scanners
+  // (regexes can't honor quote/paren nesting; these three scanners are the
+  // entire "parser" the owned grammar needs beyond the statement regexes)
+
+  private def stripTicks(s: String): String =
+    s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Split on `sep` at nesting depth 0, respecting '...' and `...`. */
+  private[tables] def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var inTick = false
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else if (inTick) { cur += c; if (c == '`') inTick = false }
+      else c match {
+        case '\''               => inStr = true; cur += c
+        case '`'                => inTick = true; cur += c
+        case '('                => depth += 1; cur += c
+        case ')'                => depth -= 1; cur += c
+        case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
+        case x                  => cur += x
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first top-level occurrence of `target`, or -1. */
+  private def topLevelIndexOf(s: String, target: Char): Int = {
+    var depth = 0; var inStr = false; var inTick = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`'  => inTick = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case x if x == target && depth == 0 => return i
+        case _    =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0; var inStr = false; var inTick = false
+    s.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (inTick) { if (c == '`') inTick = false }
+      else c match {
+        case '\'' => inStr = true
+        case '`'  => inTick = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1; if (depth < 0) return false
+        case _    =>
+      }
+    }
+    depth == 0
+  }
 }

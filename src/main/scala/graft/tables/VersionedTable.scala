@@ -794,6 +794,29 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
   }
 
+  /** [[readAddedSince]] bounded to a version range: exactly the rows
+    * versions (`fromV`, `toV`] added — the deterministic micro-batch a
+    * streaming read replays from its checkpoint (later commits, of any
+    * action, cannot change the result). `fromV = -1` returns version
+    * `toV`'s full snapshot — the stream's initial batch, Delta-style
+    * (current data first, then appends). O(new data) per batch. */
+  def readAddedBetween(fromV: Long, toV: Long): DataFrame = {
+    if (fromV == -1L) return readVersion(toV)
+    val h = history
+    val base = h.find(_.version == fromV)
+      .getOrElse(sys.error(s"no version $fromV at $root"))
+    val to = h.find(_.version == toV)
+      .getOrElse(sys.error(s"no version $toV at $root"))
+    val range = h.filter(e => e.version > fromV && e.version <= toV)
+    require(range.forall(_.action == "append"),
+      s"readAddedBetween needs append-only commits in ($fromV, $toV] at " +
+        s"$root; saw ${range.map(_.action).distinct.mkString(",")} — " +
+        "stream the change feed instead")
+    val baseSets = base.fileSets.toSet
+    val newSets = to.fileSets.filterNot(baseSets.contains)
+    if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
+  }
+
   /** Affected-partition change feed for partitioned COW merge tables: the
     * distinct partition values of file-sets ADDED OR REMOVED after
     * version `v` — every (partition, bucket) cell a merge/delete/append/

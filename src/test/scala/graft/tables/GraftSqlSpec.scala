@@ -274,4 +274,137 @@ class GraftSqlSpec extends SparkSpec {
     assert(n === 1L)
     assert(t.readEquals("id", Seq(2L)).count() === 1)
   }
+
+  // ------------------------------------------------------------- SQL DML
+
+  test("reference smoke flow: CREATE OR REPLACE TABLE, INSERT VALUES, DROP") {
+    // 01_environment_smoke_test.py:74-93, re-expressed over the graft
+    // warehouse: schema-first DDL, positional VALUES insert, drop
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE OR REPLACE TABLE silver.test_smoke (id INT, ts TIMESTAMP) USING GRAFT")
+    sql.sql("INSERT INTO silver.test_smoke VALUES (1, current_timestamp()), (2, current_timestamp())")
+    val t = cat.table("silver", "test_smoke")
+    assert(t.read.count() === 2)
+    assert(t.read.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("id", "integer"), ("ts", "timestamp")))
+    // plain CREATE refuses an existing table; OR REPLACE resets it
+    assertThrows[RuntimeException](
+      sql.sql("CREATE TABLE silver.test_smoke (id INT)"))
+    sql.sql("CREATE OR REPLACE TABLE silver.test_smoke (id INT)")
+    assert(cat.table("silver", "test_smoke").read.count() === 0)
+    sql.sql("DROP TABLE silver.test_smoke")
+    assert(!cat.table("silver", "test_smoke").exists)
+    // IF EXISTS on a missing table is a no-op; bare DROP errors
+    sql.sql("DROP TABLE IF EXISTS silver.test_smoke")
+    assertThrows[RuntimeException](sql.sql("DROP TABLE silver.test_smoke"))
+  }
+
+  test("INSERT INTO aligns positionally and casts; OVERWRITE replaces") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.ins (id BIGINT, v STRING)")
+    // query columns arrive misnamed and mistyped: INT id, int v — both
+    // must land positionally cast to the declared BIGINT/STRING
+    sql.sql("INSERT INTO silver.ins SELECT 1 AS a, 10 AS b")
+    sql.sql("INSERT INTO silver.ins VALUES (2, 'x')")
+    val t = cat.table("silver", "ins")
+    assert(t.read.as[(Long, String)].collect().toSet ===
+      Set((1L, "10"), (2L, "x")))
+    assert(t.history.length === 3) // create + 2 appends
+    val v = sql.sql("INSERT OVERWRITE silver.ins VALUES (9, 'only')")
+      .select("version").as[Long].head()
+    assert(v === 3L)
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq((9L, "only")))
+    // old snapshot still readable — DML rides the version log
+    assert(t.readVersion(2).count() === 2)
+    // arity mismatch is refused, not silently null-padded
+    assertThrows[IllegalArgumentException](
+      sql.sql("INSERT INTO silver.ins SELECT 1"))
+  }
+
+  test("UPDATE SET ... WHERE and DELETE FROM ... WHERE as statements") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "upd")
+    t.append(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "v", "n"))
+    // two assignments, one with a top-level comma inside a function call
+    sql.sql("UPDATE silver.upd SET v = concat(v, '!'), n = n + 100 WHERE k >= 2")
+    assert(t.read.as[(Int, String, Int)].collect().toSet ===
+      Set((1, "a", 10), (2, "b!", 120), (3, "c!", 130)))
+    sql.sql("DELETE FROM silver.upd WHERE k = 2")
+    assert(t.read.select("k").as[Int].collect().toSet === Set(1, 3))
+    // unfiltered DELETE empties the table but keeps history
+    sql.sql("DELETE FROM silver.upd")
+    assert(t.read.count() === 0)
+    assert(t.readVersion(1).count() === 3)
+  }
+
+  test("MERGE INTO upsert routes through bucket-COW merge") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("gold", "mrg")
+    t.merge((0 until 100).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    Seq((5, "v5-new"), (200, "fresh")).toDF("kk", "v")
+      .createOrReplaceTempView("mrg_src")
+    val res = sql.sql("""MERGE INTO gold.mrg AS t USING mrg_src AS s
+      ON t.k = s.kk
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(res.select("action").as[String].head() === "merge")
+    assert(t.read.count() === 101)
+    assert(t.read.filter($"k" === 5).select("v").as[String].head() === "v5-new")
+    assert(t.read.filter($"k" === 200).select("v").as[String].head() === "fresh")
+    // idempotent-upsert shape (docs/backlog.md:49-51): replaying the
+    // same MERGE leaves the data unchanged
+    sql.sql("""MERGE INTO gold.mrg AS t USING mrg_src AS s ON t.k = s.kk
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.count() === 101)
+    // subquery source works too (no bare ON inside)
+    sql.sql("""MERGE INTO gold.mrg AS t
+      USING (SELECT 300 AS k, 'sub' AS v) AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.filter($"k" === 300).count() === 1)
+  }
+
+  test("MERGE INTO insert-only leaves matched rows untouched") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "mio")
+    t.append(Seq((1, "keep"), (2, "keep2")).toDF("k", "v"))
+    Seq((2, "CLOBBER"), (3, "new")).toDF("k", "v")
+      .createOrReplaceTempView("mio_src")
+    sql.sql("""MERGE INTO silver.mio AS t USING mio_src AS s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "keep"), (2, "keep2"), (3, "new")))
+    // unsupported clause shapes are refused loudly, not half-applied
+    assertThrows[RuntimeException](sql.sql(
+      """MERGE INTO silver.mio AS t USING mio_src AS s ON t.k = s.k
+        WHEN MATCHED THEN DELETE"""))
+  }
+
+  test("CTAS records PARTITIONED BY layout; INSERT INTO preserves it") {
+    val (cat, sql) = warehouse()
+    spark.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+      .createOrReplaceTempView("ctas_src")
+    sql.sql("""CREATE TABLE gold.part PARTITIONED BY (p) AS
+      SELECT id, p FROM ctas_src""")
+    val t = cat.table("gold", "part")
+    assert(t.partitionLayout === Seq("p"))
+    assert(t.read.count() === 6)
+    sql.sql("INSERT INTO gold.part SELECT 100, '1'")
+    assert(t.read.count() === 7)
+    // the appended file-set landed hive-partitioned, not flat
+    val detail = t.detailDf.select("partition_columns").as[String].head()
+    assert(detail === "p")
+  }
+
+  test("DML on a non-graft identifier delegates to vanilla Spark") {
+    val (_, sql) = warehouse()
+    spark.sql("DROP TABLE IF EXISTS dml_delegate")
+    try {
+      sql.sql("CREATE TABLE dml_delegate (id INT) USING PARQUET")
+      sql.sql("INSERT INTO dml_delegate VALUES (7)")
+      assert(spark.table("dml_delegate").as[Int].collect().toSeq === Seq(7))
+      sql.sql("DROP TABLE dml_delegate")
+      assert(!spark.catalog.tableExists("dml_delegate"))
+    } finally spark.sql("DROP TABLE IF EXISTS dml_delegate")
+  }
 }

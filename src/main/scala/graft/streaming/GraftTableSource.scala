@@ -1,0 +1,159 @@
+package graft.streaming
+
+import graft.tables.VersionedTable
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graft.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+
+/** Structured Streaming source over a [[VersionedTable]] — the Delta
+  * streaming-source analog the reference's Auto Loader flows imply
+  * (docs/backlog.md:68-71: "Structured Streaming ... into bronze"
+  * consumed downstream): the version log IS the offset log, so a table
+  * doubles as a replayable stream.
+  *
+  *   spark.readStream.format("graft-table").load(root)            // rows
+  *   spark.readStream.format("graft-table")
+  *     .option("readChangeFeed", "true").load(root)               // CDF
+  *
+  * Offsets are committed versions (`LongOffset(version)`); micro-batch
+  * (start, end] is [[VersionedTable.readAddedBetween]] — exactly the
+  * file-sets those versions appended, O(new data) per batch regardless
+  * of table size — or [[VersionedTable.readChangeFeed]] in CDF mode,
+  * which additionally streams row-level updates and deletes from
+  * merge/update/delete commits. Batches are version-bounded, so a
+  * checkpoint replay returns bit-identical frames (exactly-once with an
+  * idempotent sink, the same contract as Delta's source). The initial
+  * batch is the table's current snapshot (`startingVersion` = -1,
+  * Delta's default); `startingVersion=latest` starts past existing data;
+  * a numeric `startingVersion` starts at that commit (its own changes
+  * included). Non-append commits inside a batch range fail the
+  * append-mode stream loudly — stream the change feed for DML tables.
+  *
+  * V1 `Source` (the API Delta shipped on for years) rather than a DSv2
+  * `MicroBatchStream` deliberately: `getBatch` returns a DataFrame, so
+  * the parquet scan keeps its pushdown/codegen path with zero custom
+  * reader code — at 100 TB the scan IS the cost, and it's Spark's own. */
+final class GraftTableSource(table: VersionedTable, cdf: Boolean,
+                             startingVersion: Option[String]) extends Source {
+
+  /** Version whose data precedes the stream: -1 streams the snapshot
+    * first; `latest` pins to the log head at source creation. */
+  private val baseVersion: Long = startingVersion match {
+    case Some("latest") => table.latestVersion.getOrElse(-1L)
+    case Some(v)        => v.toLong - 1
+    case None           => -1L
+  }
+
+  override val schema: StructType = GraftTableSource.schemaFor(table, cdf)
+
+  /** The current log head (never below the starting pin). Returning the
+    * pin itself when no data follows it matters: the resulting empty
+    * first batch writes the offset into the checkpoint, so a
+    * `startingVersion=latest` pin survives restarts instead of silently
+    * re-pinning to a newer head (None would record nothing). */
+  override def getOffset: Option[V1Offset] =
+    table.latestVersion.map(v => LongOffset(math.max(v, baseVersion)))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val lo = start.map(_.json.toLong).getOrElse(baseVersion)
+    val hi = end.json.toLong
+    val df =
+      if (cdf) table.readChangeFeed(lo, Some(hi))
+      else table.readAddedBetween(lo, hi)
+    // project to the declared schema: field order out of the feed is not
+    // part of its contract, the source's schema is
+    StreamShim.asStreaming(
+      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftTableSource[${table.root}${if (cdf) ", cdf" else ""}]"
+}
+
+object GraftTableSource {
+  def schemaFor(table: VersionedTable, cdf: Boolean): StructType = {
+    val data = table.read.schema
+    if (!cdf) data
+    else StructType(data.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = true),
+      StructField("_commit_version", LongType, nullable = true),
+      StructField("_commit_timestamp", TimestampType, nullable = true)))
+  }
+}
+
+/** Streaming sink half: `writeStream.format("graft-table").start(root)`
+  * — every micro-batch lands through the table's transactional write
+  * path with an idempotent-txn marker `(appId, batchId)`, so a replayed
+  * batch after a crash is a metadata no-op: end-to-end exactly-once
+  * when paired with any replayable source, with no foreachBatch
+  * boilerplate (Delta's sink contract). Append mode appends; Complete
+  * mode overwrites the snapshot per batch. The txn app id is the
+  * query's checkpoint location (stable across restarts) unless a
+  * `txnAppId` option pins it explicitly. */
+final class GraftTableSink(root: String, appId: String,
+                           partitionBy: Seq[String], complete: Boolean)
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val table = VersionedTable(data.sparkSession, root)
+    val batch = StreamShim.asBatch(data)
+    if (complete) table.overwrite(batch, partitionBy, txn = Some((appId, batchId)))
+    else table.append(batch, partitionBy, txn = Some((appId, batchId)))
+  }
+  override def toString: String = s"GraftTableSink[$root]"
+}
+
+/** `format("graft-table")` registration (META-INF service file). */
+final class GraftTableSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def tableFor(sqlContext: SQLContext,
+                       parameters: Map[String, String]): VersionedTable = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft-table source: .load(<table root>) is required"))
+    val t = VersionedTable(sqlContext.sparkSession, path)
+    require(t.exists, s"graft-table source: no table at $path " +
+      "(the source needs an existing table for its schema, like Delta)")
+    t
+  }
+
+  private def cdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(),
+      GraftTableSource.schemaFor(tableFor(sqlContext, parameters), cdf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftTableSource(tableFor(sqlContext, parameters), cdf(parameters),
+      parameters.get("startingVersion"))
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft-table sink: .start(<table root>) is required"))
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(sys.error("graft-table sink needs a checkpointLocation " +
+        "(or explicit txnAppId) to make batch replays idempotent"))
+    require(outputMode != OutputMode.Update(),
+      "graft-table sink supports Append and Complete modes (Update " +
+        "needs merge keys — use foreachBatch + merge)")
+    new GraftTableSink(path, appId, partitionColumns,
+      complete = outputMode == OutputMode.Complete())
+  }
+}

@@ -908,6 +908,37 @@ object SparkEntry {
         .orderBy("user_id", "purchase_key", "view_key")
     }),
 
+    // ST8: a versioned table consumed AS a stream (GraftTableSource —
+    // the Delta streaming-source analog): snapshot first batch, then
+    // version-bounded incremental batches through one checkpoint, landed
+    // exactly-once (foreachBatch txn markers) in a sink table. The
+    // oracle is the full relation — every row must arrive exactly once.
+    "q_st8_table_stream" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st8-").toString
+      val src = VersionedTable(s, s"$tmp/src")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      src.append(n.filter(col("n_regionkey") <= 1))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table").load(s"$tmp/src")
+          .writeStream.option("checkpointLocation", s"$tmp/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            VersionedTable(s, s"$tmp/sink").append(b, txn = Some(("st8", id)))
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      drain() // snapshot batch
+      src.append(n.filter(col("n_regionkey") === 2))
+      src.append(n.filter(col("n_regionkey") >= 3))
+      drain() // incremental batches: only the two new file-sets
+      VersionedTable(s, s"$tmp/sink").read
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // ML1: feature materialization — windows over the player×gameweek
     // grain + broadcast dim joins (docs/backlog.md:84-89), phrased over a
     // deterministic events→history mapping so DuckDB can oracle it.
@@ -2020,6 +2051,34 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // COPY INTO — idempotent batch file ingest (the Auto Loader flow's
+    // batch sibling, docs/architecture.md:61,121): first run loads the
+    // landing file, rerun loads nothing, a late-arriving file loads
+    // incrementally; the final relation must hold every row exactly once.
+    "q_sql_copy_into" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sqlcpy-").toString
+      val landing = s"$wh/landing"
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val n = t(s, dir, "nation")
+      val copy = s"COPY INTO silver.nation_cpy FROM '$landing' FILEFORMAT = PARQUET"
+      n.filter(col("n_regionkey") <= 2).coalesce(1)
+        .write.parquet(s"$landing/batch1")
+      val n1 = gsql.sql(copy).head().getLong(0)
+      val n2 = gsql.sql(copy).head().getLong(0) // rerun: nothing new
+      n.filter(col("n_regionkey") > 2).coalesce(1)
+        .write.parquet(s"$landing/batch2")
+      val n3 = gsql.sql(copy).head().getLong(0)
+      cat.table("silver", "nation_cpy").read
+        .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("bigint").as("n_regionkey"),
+          lit(n1).as("n_loaded_1"), lit(n2).as("n_loaded_2"),
+          lit(n3).as("n_loaded_3"))
+        .orderBy("n_nationkey")
+    }),
+
     // SQL entry surface 4 (rows-only: FPL-domain synthetic warehouse):
     // the reference's player-horizon view DDL + consumption phrased in
     // SQL over the registered gold tables.
@@ -2297,6 +2356,23 @@ object SparkEntry {
         | CAST(3 AS BIGINT) AS n_previewed,
         | CAST(3 AS BIGINT) AS n_reclaimed,
         | CAST(4 AS BIGINT) AS n_versions""".stripMargin,
+
+    // Exactly-once table-stream delivery: the sink must hold precisely
+    // the source relation — a dropped batch loses rows, a replayed
+    // batch duplicates them; either breaks the hash.
+    "q_st8_table_stream" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Exactly-once file ingest: the table is the full relation, loaded
+    // as 1 file, then 0 (idempotent rerun), then 1 late arrival.
+    "q_sql_copy_into" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(1 AS BIGINT) AS n_loaded_1, CAST(0 AS BIGINT) AS n_loaded_2,
+        |  CAST(1 AS BIGINT) AS n_loaded_3
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // The DML chain replayed as pure set algebra: CTAS+INSERT = base,
     // UPDATE = CASE projection, DELETE = filter, MERGE upsert = source

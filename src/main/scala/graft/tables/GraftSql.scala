@@ -28,6 +28,8 @@ import org.apache.spark.sql.types.StructType
   *   ANALYZE TABLE <table> COMPUTE STATISTICS FOR COLUMNS c1, c2, ...
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
+  *   SELECT ... FROM <table> VERSION AS OF n ...        -- inline rewrite
+  *   SELECT ... FROM <table> TIMESTAMP AS OF 'ts' ...   -- inline rewrite
   *
   * DML (the reference smoke flow, 01_environment_smoke_test.py:74-93,
   * and the backlog's MERGE pattern, docs/backlog.md:49-51):
@@ -41,6 +43,9 @@ import org.apache.spark.sql.types.StructType
   *   MERGE INTO <table> [AS] t USING <src> [AS] s ON t.k = s.k [AND ...]
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *     | WHEN NOT MATCHED THEN INSERT *     -- insert-if-absent
+  *   COPY INTO <table> FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
+  *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   DROP TABLE [IF EXISTS] <table>
   *
   * A DML identifier that is NOT a graft table (unknown layer, no catalog
@@ -109,6 +114,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case InsertStmt(kind, ident, query) =>
       owned(ident).fold(spark.sql(stmt))(
         insert(_, kind.equalsIgnoreCase("OVERWRITE"), query))
+    case CopyIntoStmt(ident, dir, fmt) =>
+      ownedRoot(ident).fold(spark.sql(stmt))(r =>
+        copyInto(VersionedTable(spark, r), dir, fmt))
+    case AddConstraintStmt(ident, name, checkExpr) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.addCheck(name, checkExpr)
+        import spark.implicits._
+        Seq((name, checkExpr)).toDF("constraint", "check_expr")
+      }
+    case DropConstraintStmt(ident, name) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.dropCheck(name)
+        import spark.implicits._
+        Seq(name).toDF("dropped_constraint")
+      }
     case ConvertStmt(srcDir, target) => convert(srcDir, targetRoot(target))
     // ANALYZE is the one owned statement that is ALSO valid vanilla
     // Spark SQL — an identifier that isn't a graft table (unknown layer,
@@ -120,7 +140,35 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         .fold(spark.sql(stmt))(analyze(_, cols))
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
-    case other => spark.sql(other)
+    case other => spark.sql(rewriteTimeTravel(other))
+  }
+
+  /** Inline time travel inside arbitrary SELECTs (Delta's
+    * `FROM t VERSION AS OF n` / `TIMESTAMP AS OF 'ts'`): each graft
+    * table reference followed by an AS OF clause is materialized as the
+    * pinned-version relation under a session temp view and the
+    * statement rewritten to read it — so old-vs-new comparisons join
+    * freely in one statement. Non-graft identifiers are left verbatim
+    * (Spark raises its own error). View registration is metadata-only;
+    * no data is read until the rewritten statement executes. */
+  private def rewriteTimeTravel(stmt: String): String = {
+    if (!TimeTravelProbe.pattern.matcher(stmt).find()) return stmt
+    var k = 0
+    def bind(ident: String, df: Option[DataFrame], matched: String): String =
+      df match {
+        case Some(d) =>
+          k += 1
+          val view = s"__graft_asof_${k}_${math.abs(ident.hashCode)}"
+          d.createOrReplaceTempView(view)
+          view
+        case None => java.util.regex.Matcher.quoteReplacement(matched)
+      }
+    val pass1 = TimeTravelVersion.replaceAllIn(stmt, m =>
+      bind(m.group(1),
+        owned(m.group(1)).map(_.readVersion(m.group(2).toLong)), m.matched))
+    TimeTravelTimestamp.replaceAllIn(pass1, m =>
+      bind(m.group(1),
+        owned(m.group(1)).map(_.asOf(parseTsUtc(m.group(2)))), m.matched))
   }
 
   private def convert(srcDir: String, target: String): DataFrame = {
@@ -317,6 +365,78 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
               else tbl.append(aligned, partitionBy = parts))
   }
 
+  /** COPY INTO — idempotent batch file ingest (the batch sibling of the
+    * reference's Auto Loader landing-folder flow, docs/architecture.md:
+    * 61,121, docs/backlog.md:70-71, and Databricks' COPY INTO): each
+    * source file loads exactly once, reruns pick up only new files.
+    * Loaded-file state lives in a nested ledger table
+    * (`<root>/_copy_ledger` — outside vacuum's walk, reset by CLONE like
+    * the txn ledger), and the load is exactly-once by an intent-first
+    * two-phase protocol:
+    *   1. RECOVER: a ledger intent whose data batch never landed (crash
+    *      between the two appends) replays from the ledger's own record
+    *      — the pending file list is `readAddedBetween` on the ledger,
+    *      the data append idempotent via txn (appId, ledgerVersion);
+    *   2. INTENT: the fresh file list appends to the ledger first;
+    *   3. DATA: the files load in one append carrying the same txn.
+    * A replayed step at any crash point is a metadata no-op. File
+    * listing is driver-side, like Spark's own FileIndex — O(files)
+    * metadata, not data. Single COPY INTO writer per table at a time
+    * (concurrent racers could double-record an intent; same contract as
+    * a streaming query owning its checkpoint). */
+  private def copyInto(tbl: VersionedTable, srcDir: String,
+                       fmt: String): DataFrame = {
+    import spark.implicits._
+    val ledger = VersionedTable(spark, tbl.root + "/_copy_ledger")
+    val appId = s"graft-copy-into:${tbl.root}"
+    val parts = tbl.bucketSpec.map(_.partitionKeys).getOrElse(tbl.partitionLayout)
+
+    def aligned(df: DataFrame): DataFrame =
+      if (!tbl.exists) df
+      else {
+        val schema = tbl.read.schema
+        val missing = schema.fieldNames.filterNot(df.columns.contains)
+        require(missing.isEmpty,
+          s"COPY INTO: source files lack column(s) ${missing.mkString(",")}")
+        df.select(schema.fields.map(f =>
+          col(s"`${f.name}`").cast(f.dataType)).toIndexedSeq: _*)
+      }
+    def load(paths: Seq[String], txnV: Long): Unit =
+      tbl.append(aligned(readFiles(paths, fmt)), partitionBy = parts,
+        txn = Some((appId, txnV)))
+
+    // 1. recover a half-applied batch
+    ledger.latestVersion.foreach { ledgerV =>
+      val dataV = tbl.lastTxnVersion(appId).getOrElse(-1L)
+      if (dataV < ledgerV) {
+        val pending = ledger.readAddedBetween(dataV, ledgerV)
+          .select("source_path").as[String].collect().toSeq.sorted
+        load(pending, ledgerV)
+      }
+    }
+    // 2+3. fresh files: intent, then data
+    val loaded: Set[String] =
+      if (ledger.exists)
+        ledger.read.select("source_path").as[String].collect().toSet
+      else Set.empty
+    val fresh = listFiles(srcDir).filterNot(loaded)
+    if (fresh.nonEmpty) {
+      val intent = ledger.append(fresh.toDF("source_path"))
+      load(fresh, intent.version)
+    }
+    Seq(fresh.size.toLong).toDF("n_files_loaded")
+  }
+
+  private def readFiles(paths: Seq[String], fmt: String): DataFrame =
+    fmt.toLowerCase match {
+      case "parquet" => spark.read.parquet(paths: _*)
+      case "json"    => spark.read.json(paths: _*)
+      case "csv"     => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(paths: _*)
+      case other => sys.error(s"COPY INTO: FILEFORMAT $other not supported " +
+        "(PARQUET, JSON, CSV)")
+    }
+
   /** MERGE INTO t USING src ON t.k = s.k [AND ...] — the backlog's
     * "MERGE pattern (idempotent upsert)" (docs/backlog.md:49-51,77) as a
     * statement. Two clause shapes, each mapping to a single engine
@@ -469,6 +589,20 @@ object GraftSql {
   private val InsertStmt =
     ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Ident +
       """\s+((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  private val CopyIntoStmt =
+    ("""(?is)\s*COPY\s+INTO\s+""" + Ident +
+      """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*;?\s*""").r
+  private val TimeTravelProbe = """(?is)\bAS\s+OF\b""".r
+  private val TimeTravelVersion =
+    ("""(?i)""" + Ident + """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
+  private val TimeTravelTimestamp =
+    ("""(?i)""" + Ident + """\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
+  private val AddConstraintStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  private val DropConstraintStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
   private val MergeStmt =
     ("""(?is)\s*MERGE\s+INTO\s+""" + Ident + """(?:\s+AS)?\s+(\w+)""" +
       """\s+USING\s+(.+?)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s+(?:.|\n)+?)\s*;?\s*""").r
@@ -483,6 +617,26 @@ object GraftSql {
 
   private def stripTicks(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Source files under `dir`, recursively, skipping hidden/metadata
+    * names — the same convention as Spark's file index. */
+  private[tables] def listFiles(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.isDirectory(root),
+      s"COPY INTO: no such directory $dir")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: java.nio.file.Path): Unit = {
+      val ls = java.nio.file.Files.list(p)
+      try ls.forEach { c =>
+        val n = c.getFileName.toString
+        if (!n.startsWith(".") && !n.startsWith("_")) {
+          if (java.nio.file.Files.isDirectory(c)) walk(c) else out += c.toString
+        }
+      } finally ls.close()
+    }
+    walk(root)
+    out.toSeq.sorted
+  }
 
   /** Split on `sep` at nesting depth 0, respecting '...' and `...`. */
   private[tables] def splitTop(s: String, sep: Char): Seq[String] = {

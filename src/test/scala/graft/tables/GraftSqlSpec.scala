@@ -396,6 +396,108 @@ class GraftSqlSpec extends SparkSpec {
     assert(detail === "p")
   }
 
+  test("COPY INTO loads each file exactly once across reruns") {
+    val (cat, sql) = warehouse()
+    val landing = tmpDir("graft-copy-") + "/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    def drop(name: String, rows: Seq[(Int, String)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.parquet(s"$landing/$name")
+    drop("f1", Seq((1, "a")))
+    drop("f2", Seq((2, "b")))
+    val n1 = sql.sql("COPY INTO silver.cpy FROM '" + landing +
+      "' FILEFORMAT = PARQUET").as[Long].head()
+    assert(n1 === 2L) // two parquet part-files, one per dropped dir
+    val t = cat.table("silver", "cpy")
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    // rerun: nothing new, nothing re-loaded
+    assert(sql.sql("COPY INTO silver.cpy FROM '" + landing +
+      "' FILEFORMAT = PARQUET").as[Long].head() === 0L)
+    assert(t.read.count() === 2)
+    // a late-arriving file loads incrementally
+    drop("f3", Seq((3, "c")))
+    assert(sql.sql("COPY INTO silver.cpy FROM '" + landing +
+      "' FILEFORMAT = PARQUET").as[Long].head() === 1L)
+    assert(t.read.count() === 3)
+  }
+
+  test("COPY INTO recovers a crash between intent and data exactly-once") {
+    val (cat, sql) = warehouse()
+    val landing = tmpDir("graft-copyrec-") + "/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    Seq((1, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$landing/f1")
+    sql.sql("COPY INTO silver.rec FROM '" + landing +
+      "' FILEFORMAT = PARQUET")
+    val t = cat.table("silver", "rec")
+    assert(t.read.count() === 1)
+    // simulate the crash window: the intent landed in the ledger, the
+    // data append never ran
+    Seq((2, "b")).toDF("k", "v").coalesce(1).write.parquet(s"$landing/f2")
+    val orphanIntent = GraftSql.listFiles(landing)
+      .filter(_.contains("/f2/"))
+    val ledger = VersionedTable(spark, t.root + "/_copy_ledger")
+    ledger.append(orphanIntent.toDF("source_path"))
+    // next COPY INTO must first replay the pending intent (f2 loads),
+    // and must not double-load anything
+    assert(sql.sql("COPY INTO silver.rec FROM '" + landing +
+      "' FILEFORMAT = PARQUET").as[Long].head() === 0L)
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    // and replaying again is a no-op
+    sql.sql("COPY INTO silver.rec FROM '" + landing + "' FILEFORMAT = PARQUET")
+    assert(t.read.count() === 2)
+  }
+
+  test("COPY INTO casts by name to an existing table's schema (CSV)") {
+    val (cat, sql) = warehouse()
+    val landing = tmpDir("graft-copycsv-") + "/landing"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "a.csv"), "k,v\n7,seven\n")
+    sql.sql("CREATE TABLE silver.csvt (k BIGINT, v STRING)")
+    sql.sql("COPY INTO silver.csvt FROM '" + landing + "' FILEFORMAT = CSV")
+    assert(cat.table("silver", "csvt").read.as[(Long, String)]
+      .collect().toSeq === Seq((7L, "seven")))
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT CHECK enforces through DML") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.chk (k INT, v INT)")
+    sql.sql("INSERT INTO silver.chk VALUES (1, 10)")
+    sql.sql("ALTER TABLE silver.chk ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // in-job rejection: the violating INSERT must not commit
+    intercept[Throwable](sql.sql("INSERT INTO silver.chk VALUES (2, -5)"))
+    assert(cat.table("silver", "chk").read.count() === 1)
+    // DDL refusal when existing rows violate
+    intercept[Throwable](
+      sql.sql("ALTER TABLE silver.chk ADD CONSTRAINT v_big CHECK (v > 100)"))
+    sql.sql("ALTER TABLE silver.chk DROP CONSTRAINT v_pos")
+    sql.sql("INSERT INTO silver.chk VALUES (2, -5)")
+    assert(cat.table("silver", "chk").read.count() === 2)
+  }
+
+  test("SELECT ... VERSION AS OF rewrites inline (old vs new in one stmt)") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "tt")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0
+    t.overwrite(Seq((1, "a2"), (3, "c")).toDF("k", "v")) // v1
+    cat.registerViews()
+    // both versions of the SAME table in one statement: anti-join new
+    // against old to find arrivals
+    val arrived = sql.sql(
+      """SELECT n.k, n.v FROM silver_tt n
+         LEFT ANTI JOIN silver.tt VERSION AS OF 0 o ON n.k = o.k""")
+      .as[(Int, String)].collect().toSet
+    assert(arrived === Set((3, "c")))
+    // TIMESTAMP AS OF far future = current snapshot
+    assert(sql.sql(
+      "SELECT count(*) AS n FROM silver.tt TIMESTAMP AS OF '2099-12-31'")
+      .as[Long].head() === 2L)
+    // a non-graft identifier with AS OF is left for Spark to reject
+    intercept[Throwable](
+      sql.sql("SELECT * FROM no_such_tbl VERSION AS OF 0"))
+  }
+
   test("DML on a non-graft identifier delegates to vanilla Spark") {
     val (_, sql) = warehouse()
     spark.sql("DROP TABLE IF EXISTS dml_delegate")

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.tables.VersionedTable
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => ConnOffset}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graft.StreamShim
@@ -39,7 +40,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * the parquet scan keeps its pushdown/codegen path with zero custom
   * reader code — at 100 TB the scan IS the cost, and it's Spark's own. */
 final class GraftTableSource(table: VersionedTable, cdf: Boolean,
-                             startingVersion: Option[String]) extends Source {
+                             startingVersion: Option[String],
+                             maxVersionsPerTrigger: Option[Long],
+                             metadataPath: String) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Version whose data precedes the stream: -1 streams the snapshot
     * first; `latest` pins to the log head at source creation. */
@@ -49,19 +53,80 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     case None           => -1L
   }
 
+  /** Highest version already handed to a batch — the admission floor
+    * for rate limiting. Persisted under the source's own checkpoint
+    * metadata dir (FileStreamSource's pattern) so the clamp cannot
+    * regress below a committed offset after a restart: the file is
+    * written in getBatch, i.e. strictly after the engine logged that
+    * batch's end offset, and an uncommitted tail batch is replayed by
+    * the engine (re-advancing this) before any new getOffset. */
+  private val servedPath = java.nio.file.Paths.get(metadataPath, "graft-served")
+  @volatile private var served: Long = {
+    try java.nio.file.Files.readString(servedPath).trim.toLong
+    catch { case _: Throwable => baseVersion }
+  }
+  private def persistServed(): Unit = {
+    java.nio.file.Files.createDirectories(servedPath.getParent)
+    val tmp = servedPath.resolveSibling(s".graft-served-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, served.toString)
+    java.nio.file.Files.move(tmp, servedPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   override val schema: StructType = GraftTableSource.schemaFor(table, cdf)
 
-  /** The current log head (never below the starting pin). Returning the
-    * pin itself when no data follows it matters: the resulting empty
-    * first batch writes the offset into the checkpoint, so a
+  /** The current log head, clamped two ways: never below the starting
+    * pin, and — with `maxVersionsPerTrigger` — never more than N
+    * versions past what previous batches served, so a backlogged stream
+    * drains in bounded micro-batches instead of one giant catch-up
+    * batch (Delta's maxFilesPerTrigger motivation). Returning the pin
+    * itself when no data follows it matters: the resulting empty first
+    * batch writes the offset into the checkpoint, so a
     * `startingVersion=latest` pin survives restarts instead of silently
     * re-pinning to a newer head (None would record nothing). */
   override def getOffset: Option[V1Offset] =
-    table.latestVersion.map(v => LongOffset(math.max(v, baseVersion)))
+    table.latestVersion.map { v =>
+      val head = math.max(v, baseVersion)
+      val capped = maxVersionsPerTrigger
+        .map(n => math.min(head, math.max(served, baseVersion) + n))
+        .getOrElse(head)
+      LongOffset(capped)
+    }
+
+  // --- admission control (the FileStreamSource shape: a V1 Source that
+  // also implements the DSv2 limit interfaces, so Trigger.AvailableNow
+  // drains a backlog to a pinned target in MULTIPLE rate-limited batches
+  // instead of the generic wrapper's single snapshot-and-stop)
+
+  /** Log head pinned at AvailableNow query start: the run ends when the
+    * stream reaches it, however many capped batches that takes. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = table.latestVersion.map(v => math.max(v, baseVersion))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    // the engine hands us the committed start — fold it into the
+    // admission floor so a restarted query resumes its clamp exactly
+    Option(start).map(_.json.toLong).foreach(s => served = math.max(served, s))
+    getOffset match {
+      case Some(LongOffset(capped)) =>
+        val end = availableNowTarget.map(math.min(capped, _)).getOrElse(capped)
+        LongOffset(end)
+      case _ => null
+    }
+  }
+
+  override def reportLatestOffset(): ConnOffset =
+    table.latestVersion.map(v => LongOffset(math.max(v, baseVersion))).orNull
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val lo = start.map(_.json.toLong).getOrElse(baseVersion)
     val hi = end.json.toLong
+    if (hi > served) { served = hi; persistServed() }
     val df =
       if (cdf) table.readChangeFeed(lo, Some(hi))
       else table.readAddedBetween(lo, hi)
@@ -98,13 +163,27 @@ object GraftTableSource {
   * query's checkpoint location (stable across restarts) unless a
   * `txnAppId` option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
-                           partitionBy: Seq[String], complete: Boolean)
+                           partitionBy: Seq[String], complete: Boolean,
+                           autoCompactEvery: Option[Long])
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
     if (complete) table.overwrite(batch, partitionBy, txn = Some((appId, batchId)))
     else table.append(batch, partitionBy, txn = Some((appId, batchId)))
+    // THE streaming-sink pathology at scale is small files: one
+    // file-set per micro-batch, thousands per day. autoCompact folds
+    // the sub-threshold tail every Nth batch — compactSmall is O(small
+    // files) and commits nothing when there is nothing to fold, and the
+    // single-writer stream owns the table, so the read-modify-write
+    // cannot race another committer. Replayed batches skip it (their
+    // append was a no-op; recompacting would be wasted work, not harm).
+    autoCompactEvery.foreach { n =>
+      if (!complete && batchId % n == n - 1)
+        table.compactSmall(data.sparkSession.conf
+          .getOption(graft.tables.GraftSql.SmallFileBytesConf)
+          .map(_.toLong).getOrElse(graft.tables.GraftSql.DefaultSmallFileBytes))
+    }
   }
   override def toString: String = s"GraftTableSink[$root]"
 }
@@ -138,7 +217,9 @@ final class GraftTableSourceProvider extends StreamSourceProvider
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftTableSource(tableFor(sqlContext, parameters), cdf(parameters),
-      parameters.get("startingVersion"))
+      parameters.get("startingVersion"),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).filter(_ > 0),
+      metadataPath)
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -154,6 +235,8 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       "graft-table sink supports Append and Complete modes (Update " +
         "needs merge keys — use foreachBatch + merge)")
     new GraftTableSink(path, appId, partitionColumns,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      autoCompactEvery = parameters.get("autoCompactEvery")
+        .map(_.toLong).filter(_ > 0))
   }
 }

@@ -134,6 +134,58 @@ class TableStreamSpec extends SparkSpec {
       .collect().toSet === Set((1, 2L), (2, 1L)))
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded micro-batches") {
+    val src = tmpDir("ts-rate-src-")
+    val cp = tmpDir("ts-rate-cp-")
+    val t = VersionedTable(spark, src)
+    (0 until 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("maxVersionsPerTrigger", "2").load(src)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          sizes.synchronized { sizes += b.count() }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    // first batch = snapshot through the cap (versions -1..1 = 2 rows),
+    // then 2-version batches: 2, 1 — never one giant catch-up batch
+    assert(sizes.toList === List(2L, 2L, 1L))
+    assert(sizes.sum === 5L)
+    // restart with more commits: the clamp resumes from the checkpoint
+    (5 until 8).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    sizes.clear()
+    drain()
+    assert(sizes.toList === List(2L, 1L))
+    assert(sizes.sum === 3L)
+  }
+
+  test("sink autoCompactEvery folds the small-file tail as batches land") {
+    val src = tmpDir("ts-ac-src-")
+    val dst = tmpDir("ts-ac-dst-")
+    val cp = tmpDir("ts-ac-cp-")
+    val t = VersionedTable(spark, src)
+    (0 until 6).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(src) // 1 file-set per batch
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", cp)
+      .option("autoCompactEvery", "3")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    val out = VersionedTable(spark, dst)
+    assert(out.read.count() === 6)
+    // without compaction there would be 6 file-sets (one per batch);
+    // the every-3rd-batch folds keep the tail bounded
+    assert(out.history.last.fileSets.length < 6)
+    assert(out.history.exists(_.action === "compact"))
+  }
+
   test("readChangeFeed mode streams row-level updates and deletes") {
     val root = tmpDir("ts-cdf-")
     val cp = tmpDir("ts-cdf-cp-")

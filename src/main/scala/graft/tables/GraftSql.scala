@@ -44,6 +44,7 @@ import org.apache.spark.sql.types.StructType
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *     | WHEN NOT MATCHED THEN INSERT *     -- insert-if-absent
   *   COPY INTO <table> FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
+  *   ALTER TABLE <table> ADD COLUMNS (c TYPE, ...)   -- metadata-only
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   DROP TABLE [IF EXISTS] <table>
@@ -117,6 +118,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case CopyIntoStmt(ident, dir, fmt) =>
       ownedRoot(ident).fold(spark.sql(stmt))(r =>
         copyInto(VersionedTable(spark, r), dir, fmt))
+    case AddColumnsStmt(ident, colDefs) =>
+      owned(ident).fold(spark.sql(stmt))(t => versionDf(t.addColumns(colDefs)))
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.addCheck(name, checkExpr)
@@ -597,6 +600,9 @@ object GraftSql {
     ("""(?i)""" + Ident + """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
   private val TimeTravelTimestamp =
     ("""(?i)""" + Ident + """\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
+  private val AddColumnsStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r

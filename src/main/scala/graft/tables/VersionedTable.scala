@@ -794,6 +794,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
   }
 
+  /** ALTER TABLE ADD COLUMNS — Delta's additive schema evolution as
+    * DDL, metadata-priced: commits an EMPTY file-set carrying the
+    * extended schema (one footer, zero data rewritten — at 100 TB an
+    * ADD COLUMN that rewrote data would be a compaction, not a DDL).
+    * Reads surface the new columns as NULL through the union-arm schema
+    * merge (M4); later writes populate them; time travel to versions
+    * before the DDL still shows the old shape. `colDefs` is DDL text
+    * ("c1 INT, c2 STRING"). */
+  def addColumns(colDefs: String): LogEntry = {
+    val add = org.apache.spark.sql.types.StructType.fromDDL(colDefs)
+    require(history.nonEmpty, s"empty table at $root")
+    val cur = read.schema
+    val dup = add.fieldNames.filter(cur.fieldNames.contains)
+    require(dup.isEmpty,
+      s"ADD COLUMNS: column(s) already exist at $root: ${dup.mkString(",")}")
+    val extended = org.apache.spark.sql.types.StructType(cur.fields ++ add.fields)
+    append(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), extended))
+  }
+
   /** [[readAddedSince]] bounded to a version range: exactly the rows
     * versions (`fromV`, `toV`] added — the deterministic micro-batch a
     * streaming read replays from its checkpoint (later commits, of any

@@ -460,6 +460,36 @@ class GraftSqlSpec extends SparkSpec {
       .collect().toSeq === Seq((7L, "seven")))
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only schema evolution") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "addc")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    val filesBefore = GraftSql.listFiles(s"${t.root}/data")
+    sql.sql("ALTER TABLE silver.addc ADD COLUMNS (score DOUBLE, tag STRING)")
+    // old rows surface the new columns as NULL; nothing was rewritten
+    assert(t.read.columns.toSeq === Seq("k", "v", "score", "tag"))
+    assert(t.read.select("k", "score").as[(Int, Option[Double])]
+      .collect().toSeq === Seq((1, None)))
+    assert(GraftSql.listFiles(s"${t.root}/data").count(filesBefore.contains)
+      === filesBefore.size, "pre-DDL data files must be untouched")
+    // new writes populate the extended shape; old versions keep the old one
+    sql.sql("INSERT INTO silver.addc VALUES (2, 'b', 0.5, 'x')")
+    assert(t.read.count() === 2)
+    assert(t.readVersion(0).columns.toSeq === Seq("k", "v"))
+    // duplicate column refused
+    intercept[Throwable](
+      sql.sql("ALTER TABLE silver.addc ADD COLUMNS (k INT)"))
+    // bucketed tables evolve too: the empty file-set bucket-splits
+    // harmlessly and later merges may populate the new column
+    val b = cat.table("gold", "addb")
+    b.merge(Seq((1, "x")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    sql.sql("ALTER TABLE gold.addb ADD COLUMNS (n INT)")
+    assert(b.read.columns.toSeq === Seq("k", "v", "n"))
+    b.merge(Seq((2, "y", 5)).toDF("k", "v", "n"), Seq("k"))
+    assert(b.read.count() === 2)
+    assert(b.read.filter($"k" === 2).select("n").as[Int].head() === 5)
+  }
+
   test("ALTER TABLE ADD/DROP CONSTRAINT CHECK enforces through DML") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.chk (k INT, v INT)")

@@ -59,19 +59,36 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     * regress below a committed offset after a restart: the file is
     * written in getBatch, i.e. strictly after the engine logged that
     * batch's end offset, and an uncommitted tail batch is replayed by
-    * the engine (re-advancing this) before any new getOffset. */
-  private val servedPath = java.nio.file.Paths.get(metadataPath, "graft-served")
+    * the engine (re-advancing this) before any new getOffset.
+    *
+    * `metadataPath` arrives as a Hadoop URI string (`file:/...`,
+    * `hdfs://...`, `s3a://...`), so it MUST be resolved through the
+    * Hadoop FileSystem API — java.nio would treat the scheme-qualified
+    * form as a relative path and scatter state under the driver's CWD,
+    * and couldn't reach a remote checkpoint at all. */
+  private val servedPath =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-served")
+  private def servedFs(): org.apache.hadoop.fs.FileSystem =
+    servedPath.getFileSystem(table.spark.sessionState.newHadoopConf())
   @volatile private var served: Long = {
-    try java.nio.file.Files.readString(servedPath).trim.toLong
-    catch { case _: Throwable => baseVersion }
+    try {
+      val fs = servedFs()
+      val in = fs.open(servedPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } catch { case _: Throwable => baseVersion }
   }
   private def persistServed(): Unit = {
-    java.nio.file.Files.createDirectories(servedPath.getParent)
-    val tmp = servedPath.resolveSibling(s".graft-served-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.writeString(tmp, served.toString)
-    java.nio.file.Files.move(tmp, servedPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val fs = servedFs()
+    val tmp = new org.apache.hadoop.fs.Path(servedPath.getParent,
+      s".graft-served-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(served.toString.getBytes("UTF-8")) finally out.close()
+    // overwriting rename: atomic on HDFS/local; on stores without atomic
+    // rename the worst case is a stale floor, which only weakens rate
+    // limiting (correctness never depends on this file)
+    fs.delete(servedPath, false)
+    if (!fs.rename(tmp, servedPath)) fs.delete(tmp, false)
   }
 
   override val schema: StructType = GraftTableSource.schemaFor(table, cdf)
@@ -86,12 +103,18 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     * `startingVersion=latest` pin survives restarts instead of silently
     * re-pinning to a newer head (None would record nothing). */
   override def getOffset: Option[V1Offset] =
-    table.latestVersion.map { v =>
-      val head = math.max(v, baseVersion)
-      val capped = maxVersionsPerTrigger
-        .map(n => math.min(head, math.max(served, baseVersion) + n))
-        .getOrElse(head)
-      LongOffset(capped)
+    table.latestVersion.flatMap { v =>
+      // a numeric startingVersion past the current head means "wait for
+      // that commit to appear" (Delta's start-from-a-future-version
+      // pattern) — no batch yet, rather than a getBatch crash on a
+      // version that doesn't exist
+      if (v < baseVersion) None
+      else {
+        val capped = maxVersionsPerTrigger
+          .map(n => math.min(v, math.max(served, baseVersion) + n))
+          .getOrElse(v)
+        Some(LongOffset(math.max(capped, baseVersion)))
+      }
     }
 
   // --- admission control (the FileStreamSource shape: a V1 Source that
@@ -164,12 +187,22 @@ object GraftTableSource {
   * `txnAppId` option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
+                           mergeKeys: Seq[String],
                            autoCompactEvery: Option[Long])
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
-    if (complete) table.overwrite(batch, partitionBy, txn = Some((appId, batchId)))
+    if (mergeKeys.nonEmpty)
+      // Update-mode micro-batches carry the CHANGED rows of a streaming
+      // aggregation; merging them by key keeps the table at
+      // one-row-per-key (Delta's foreachBatch-merge idiom as a sink
+      // option). Bucket-COW merge rewrites only touched cells — O(batch
+      // × bucket), not O(table) — and the txn marker keeps a replayed
+      // batch a no-op, so exactly-once holds on the merge path too.
+      table.merge(batch, mergeKeys, partitionBy = partitionBy,
+        txn = Some((appId, batchId)))
+    else if (complete) table.overwrite(batch, partitionBy, txn = Some((appId, batchId)))
     else table.append(batch, partitionBy, txn = Some((appId, batchId)))
     // THE streaming-sink pathology at scale is small files: one
     // file-set per micro-batch, thousands per day. autoCompact folds
@@ -231,11 +264,18 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       .orElse(parameters.get("checkpointLocation"))
       .getOrElse(sys.error("graft-table sink needs a checkpointLocation " +
         "(or explicit txnAppId) to make batch replays idempotent"))
-    require(outputMode != OutputMode.Update(),
-      "graft-table sink supports Append and Complete modes (Update " +
-        "needs merge keys — use foreachBatch + merge)")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
+      "graft-table sink in Update mode needs option(\"mergeKeys\", " +
+        "\"k1,k2\") — each micro-batch upserts by those keys")
+    require(!(outputMode == OutputMode.Complete() && mergeKeys.nonEmpty),
+      "graft-table sink: mergeKeys is meaningless in Complete mode " +
+        "(every batch already replaces the snapshot)")
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
+      mergeKeys = mergeKeys,
       autoCompactEvery = parameters.get("autoCompactEvery")
         .map(_.toLong).filter(_ > 0))
   }

@@ -814,6 +814,74 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), extended))
   }
 
+  // ------------------------------------- column rename (mapping, metadata-only)
+
+  private def colmapPath: Path = Paths.get(root, "_colmap.json")
+
+  /** Rename ledger: (committed-at version, from, to), version-ascending.
+    * The mapping is LOGICAL — no file is rewritten; reads project it. */
+  def columnRenames: Seq[(Long, String, String)] =
+    if (!Files.exists(colmapPath)) Nil
+    else RenameJson.findAllMatchIn(Files.readString(colmapPath))
+      .map(m => (m.group(1).toLong, m.group(2), m.group(3))).toSeq
+
+  /** Renames in effect when reading version `v`: only entries committed
+    * at or before `v`, in commit order (so chains a→b→c compose). Time
+    * travel to a pre-rename version therefore shows the old name. */
+  private def activeRenames(v: Long): Seq[(String, String)] =
+    columnRenames.filter(_._1 <= v).map { case (_, f, t) => (f, t) }
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to` — Delta's column-mapping
+    * analog, priced like [[addColumns]]: a metadata-only commit (action
+    * `rename_column`, file-sets carried verbatim) plus one ledger line;
+    * zero data rewritten — at 100 TB a rename that rewrote files would
+    * be a migration, not a DDL. Files written BEFORE the rename keep the
+    * old physical name and are projected to the new one per scan arm
+    * (before the union fold, so mixed-generation tables still read as
+    * ONE column); files written after carry the new name physically.
+    *
+    * Refused when the old name is load-bearing in other metadata — a
+    * bucket/partition key, CHECK constraint, generated column, or stats
+    * column mention — or on CDF-enabled tables (staged change files
+    * would need the same projection; enable after renames settle).
+    * Crash between the commit and the ledger write leaves a no-op
+    * `rename_column` commit and no mapping — data intact, rerun the
+    * rename. Old-file-set min/max/bloom sidecars stay keyed by the old
+    * name: skipping on the new name simply stops pruning those sets
+    * (reads stay correct; OPTIMIZE regenerates sidecars as it rewrites). */
+  def renameColumn(from: String, to: String): LogEntry = {
+    require(!from.contains("\"") && !to.contains("\"") &&
+      to.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
+      s"RENAME COLUMN: bad identifier `$to`")
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val cur = read.columns
+    require(cur.contains(from), s"RENAME COLUMN: no column `$from` at $root")
+    require(!cur.contains(to), s"RENAME COLUMN: `$to` already exists at $root")
+    bucketSpec.foreach { sp =>
+      require(!sp.keys.contains(from) && !sp.partitionKeys.contains(from),
+        s"RENAME COLUMN: `$from` is a bucket/partition key at $root")
+    }
+    require(!partitionLayout.contains(from),
+      s"RENAME COLUMN: `$from` is a partition column at $root")
+    (checks ++ generatedColumns).foreach { case (name, expr) =>
+      require(!expr.matches(s".*\\b$from\\b.*"),
+        s"RENAME COLUMN: `$from` is referenced by `$name` ($expr) at $root")
+    }
+    require(!Files.exists(cdfMarker),
+      s"RENAME COLUMN: not supported on CDF-enabled table at $root")
+    val entry = commit("rename_column", snap.fileSets,
+      basedOn = Some(snap.version), dvs = snap.dvs)
+    val line = s"""{"v":${entry.version},"from":"$from","to":"$to"}"""
+    val prev = if (Files.exists(colmapPath)) Files.readString(colmapPath).trim
+               else ""
+    val all = (if (prev.isEmpty) "" else prev + "\n") + line + "\n"
+    val tmp = colmapPath.resolveSibling(s".colmap-${UUID.randomUUID()}")
+    Files.writeString(tmp, all)
+    Files.move(tmp, colmapPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    entry
+  }
+
   /** [[readAddedSince]] bounded to a version range: exactly the rows
     * versions (`fromV`, `toV`] added — the deterministic micro-batch a
     * streaming read replays from its checkpoint (later commits, of any
@@ -822,18 +890,36 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * (current data first, then appends). O(new data) per batch. */
   def readAddedBetween(fromV: Long, toV: Long): DataFrame = {
     if (fromV == -1L) return readVersion(toV)
+    if (fromV == toV) return read.limit(0) // empty range: no batch, valid
     val h = history
-    val base = h.find(_.version == fromV)
+    h.find(_.version == fromV)
       .getOrElse(sys.error(s"no version $fromV at $root"))
-    val to = h.find(_.version == toV)
+    h.find(_.version == toV)
       .getOrElse(sys.error(s"no version $toV at $root"))
     val range = h.filter(e => e.version > fromV && e.version <= toV)
-    require(range.forall(_.action == "append"),
-      s"readAddedBetween needs append-only commits in ($fromV, $toV] at " +
-        s"$root; saw ${range.map(_.action).distinct.mkString(",")} — " +
+    // Per-commit walk rather than an end-to-end file-set diff: appends
+    // contribute exactly the file-sets they introduced over their
+    // predecessor; maintenance rewrites (compact/zorder/purge_dv) are
+    // data-identical and are SKIPPED — without this, a source table's
+    // own sink auto-compaction would permanently fail every append-mode
+    // stream reading it. Only genuinely row-changing commits
+    // (delete/update/merge/overwrite/restore...) error out. The appended
+    // sets are read by their original ids even if a later in-range
+    // compaction folded them — version-pinned, so a checkpoint replay is
+    // bit-identical (age-gated vacuum keeps the physical files live).
+    val dataIdentical = Set("compact", "zorder", "purge_dv")
+    val rowChanging = range.filterNot(e =>
+      e.action == "append" || dataIdentical.contains(e.action))
+    require(rowChanging.isEmpty,
+      s"readAddedBetween needs append-or-maintenance commits in ($fromV, " +
+        s"$toV] at $root; saw ${rowChanging.map(_.action).distinct.mkString(",")} — " +
         "stream the change feed instead")
-    val baseSets = base.fileSets.toSet
-    val newSets = to.fileSets.filterNot(baseSets.contains)
+    val byVersion = h.map(e => e.version -> e).toMap
+    val newSets = range.filter(_.action == "append").flatMap { e =>
+      val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
+        .getOrElse(Set.empty[String])
+      e.fileSets.filterNot(prev.contains)
+    }
     if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
   }
 
@@ -1084,7 +1170,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
-    else readSets(e.fileSets, e.dvs)
+    else readSets(e.fileSets, e.dvs, renamesAt = e.version)
 
   /** Read `fileSets` with the snapshot's deletion vectors applied —
     * merge-on-read (Delta deletion vectors): the scan projects each row's
@@ -1095,10 +1181,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * scans/pruning/pushdown are unchanged underneath. DV entries whose
     * file was since rewritten match nothing (the path no longer exists in
     * the snapshot) — inert, reclaimed by [[purgeDeleteVectors]]/vacuum. */
-  private def readSets(fileSets: Seq[String], dvs: Seq[String]): DataFrame =
-    if (dvs.isEmpty || fileSets.isEmpty) readFileSets(fileSets)
+  private def readSets(fileSets: Seq[String], dvs: Seq[String],
+                       renamesAt: Long = Long.MaxValue): DataFrame =
+    if (dvs.isEmpty || fileSets.isEmpty) readFileSets(fileSets, renamesAt = renamesAt)
     else {
-      val withPos = readFileSets(fileSets, withPos = true)
+      val withPos = readFileSets(fileSets, withPos = true, renamesAt = renamesAt)
       val dv = spark.read.parquet(dvs.map(d => dvDir.resolve(d).toString): _*)
       val keep = withPos.columns
         .filterNot(c => c == DvFileCol || c == DvPosCol)
@@ -1126,7 +1213,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * reader itself, so they are stable across column pruning, predicate
     * pushdown, and split planning. */
   private def readFileSets(fileSets: Seq[String],
-                           withPos: Boolean = false): DataFrame = {
+                           withPos: Boolean = false,
+                           renamesAt: Long = Long.MaxValue): DataFrame = {
+    // column-mapping projection (see [[renameColumn]]): applied PER SCAN
+    // ARM, before the union fold — pre-rename arms carry the old
+    // physical name, post-rename arms the new one; renaming first makes
+    // them the same logical column instead of two null-padded ones
+    val renames = activeRenames(renamesAt)
     val paths = fileSets.map(f => dataDir.resolve(f))
     val (partitioned, flat) = paths.partition(hasHivePartitionDirs)
     // file-set dirs are write-once (staged, atomically renamed in, never
@@ -1140,7 +1233,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         spark.read.parquet(p.toString).schema)
     def scan(ps: Seq[String],
              known: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-      val d = known.fold(spark.read)(spark.read.schema).parquet(ps: _*)
+      val raw = known.fold(spark.read)(spark.read.schema).parquet(ps: _*)
+      val d = renames.foldLeft(raw) { case (acc, (f, t)) =>
+        if (acc.columns.contains(f) && !acc.columns.contains(t))
+          acc.withColumnRenamed(f, t)
+        else acc
+      }
       if (!withPos) d
       else d.select(col("*"),
         // data-dir-relative path = everything after the LAST `/data/`
@@ -2574,6 +2672,7 @@ object VersionedTable {
 
   private val PartitionLayoutJson = """\{"partitionBy":\[([^\]]*)\]\}""".r
   private val CheckJson = """\{"name":"([^"]*)","expr":"([^"]*)"\}""".r
+  private val RenameJson = """\{"v":(\d+),"from":"([^"]*)","to":"([^"]*)"\}""".r
 
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
     * only) to avoid pulling a JSON dependency. `txn` is the Delta

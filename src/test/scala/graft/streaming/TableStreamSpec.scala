@@ -71,7 +71,7 @@ class TableStreamSpec extends SparkSpec {
       .collect().toSet === Set((2, "new")))
   }
 
-  test("a non-append commit inside a batch range fails the stream loudly") {
+  test("a row-changing commit inside a batch range fails the stream loudly") {
     val root = tmpDir("ts-dml-")
     val sink = tmpDir("ts-dml-sink-")
     val cp = tmpDir("ts-dml-cp-")
@@ -82,8 +82,68 @@ class TableStreamSpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       runOnce(root, cp, sink)
     }
-    assert(e.getMessage.contains("append-only") ||
-      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+    assert(e.getMessage.contains("change feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("change feed")))
+  }
+
+  test("maintenance commits (compact/zorder) do not break an append stream") {
+    val root = tmpDir("ts-mnt-")
+    val sink = tmpDir("ts-mnt-sink-")
+    val cp = tmpDir("ts-mnt-cp-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    runOnce(root, cp, sink)
+    // a compaction between appends is data-identical: the stream must
+    // skip it and deliver exactly the appended rows — this is the shape
+    // a table-to-table pipeline's OWN sink autoCompactEvery produces
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    t.compact()
+    t.append(Seq((4, "d")).toDF("k", "v"))
+    runOnce(root, cp, sink)
+    assert(VersionedTable(spark, sink).read.as[(Int, String)]
+      .collect().toSet === Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // and a maintenance-only tail delivers nothing new
+    t.compact()
+    runOnce(root, cp, sink)
+    assert(VersionedTable(spark, sink).read.count() === 4)
+  }
+
+  test("rate-limit floor lives in the checkpoint, never under the CWD") {
+    val src = tmpDir("ts-floor-src-")
+    val cp = tmpDir("ts-floor-cp-")
+    val t = VersionedTable(spark, src)
+    (0 until 3).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    q.awaitTermination()
+    // Spark hands createSource a URI form of <cp>/sources/0; the floor
+    // file must resolve THERE (Hadoop path semantics), not to a literal
+    // "file:..." directory under the driver's working directory
+    assert(new java.io.File(s"$cp/sources/0/graft-served").isFile)
+    val cwd = new java.io.File(".").getCanonicalFile
+    assert(!cwd.listFiles().exists(_.getName.startsWith("file:")),
+      "stream run scattered 'file:*' state under the CWD")
+  }
+
+  test("a startingVersion past the head waits instead of crashing") {
+    val src = tmpDir("ts-fut-src-")
+    val sink = tmpDir("ts-fut-sink-")
+    val cp = tmpDir("ts-fut-cp-")
+    val t = VersionedTable(spark, src)
+    t.append(Seq((1, "a")).toDF("k", "v")) // v0
+    // pin two commits into the future: nothing exists to serve, so no
+    // batch fires at all (the sink table is never even created)
+    runOnce(src, cp, sink, Map("startingVersion" -> "2"))
+    assert(!VersionedTable(spark, sink).exists)
+    t.append(Seq((2, "b")).toDF("k", "v")) // v1 — still before the pin
+    t.append(Seq((3, "c")).toDF("k", "v")) // v2 — the pinned version
+    runOnce(src, cp, sink, Map("startingVersion" -> "2"))
+    assert(VersionedTable(spark, sink).read.as[(Int, String)]
+      .collect().toSet === Set((3, "c")))
   }
 
   test("sink: table-to-table streaming pipeline is exactly-once across restarts") {
@@ -132,6 +192,61 @@ class TableStreamSpec extends SparkSpec {
     q.awaitTermination()
     assert(VersionedTable(spark, dst).read.as[(Int, Long)]
       .collect().toSet === Set((1, 2L), (2, 1L)))
+  }
+
+  test("sink: Update mode with mergeKeys upserts changed groups per batch") {
+    val dst = tmpDir("ts-upd-dst-")
+    val cp = tmpDir("ts-upd-cp-")
+    val landing = tmpDir("ts-upd-in-") + "/landing"
+    Seq((1, 10L), (2, 20L)).toDF("k", "amt").coalesce(1).write.json(landing)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k INT, amt BIGINT").json(landing)
+        .groupBy($"k").agg(
+          org.apache.spark.sql.functions.sum($"amt").as("total"),
+          org.apache.spark.sql.functions.count($"amt").as("n"))
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    drain()
+    assert(VersionedTable(spark, dst).read.as[(Int, Long, Long)]
+      .collect().toSet === Set((1, 10L, 1L), (2, 20L, 1L)))
+    // key 1 revisited: its cumulative row must UPDATE, key 3 INSERTs,
+    // key 2 (unchanged, not re-emitted in Update mode) must survive
+    Seq((1, 5L), (3, 30L)).toDF("k", "amt")
+      .coalesce(1).write.mode("append").json(landing)
+    drain()
+    assert(VersionedTable(spark, dst).read.as[(Int, Long, Long)]
+      .collect().toSet === Set((1, 15L, 2L), (2, 20L, 1L), (3, 30L, 1L)))
+    // replaying with no new data changes nothing (txn idempotence on
+    // the merge path)
+    drain()
+    assert(VersionedTable(spark, dst).read.count() === 3)
+  }
+
+  test("sink: Update mode without mergeKeys is refused loudly") {
+    val dst = tmpDir("ts-updx-dst-")
+    val cp = tmpDir("ts-updx-cp-")
+    val landing = tmpDir("ts-updx-in-") + "/landing"
+    Seq((1, 10L)).toDF("k", "amt").coalesce(1).write.json(landing)
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema("k INT, amt BIGINT").json(landing)
+        .groupBy($"k").count()
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    def anyMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("mergeKeys")) ||
+        anyMsg(t.getCause))
+    assert(anyMsg(e))
   }
 
   test("maxVersionsPerTrigger drains a backlog in bounded micro-batches") {

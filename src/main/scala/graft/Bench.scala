@@ -22,15 +22,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table (FS cache + parquet reader + schema), then
-    // one mini plan through shuffle/join/window/codegen paths.
+    // one mini plan through shuffle/join/window/codegen paths. The row
+    // counts are kept and published as "table_rows": testdata regenerates
+    // between rounds with drifting sizes, so a cross-round wall-time
+    // comparison is only interpretable against the corpus it measured.
+    val tableRows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      try tableRows(t) = spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet").count()
+      tableRows("events") = spark.read.parquet(s"$sfDir/events.parquet").count()
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       val c = spark.read.parquet(s"$sfDir/customer.parquet")
       o.join(c, o("o_custkey") === c("c_custkey"))
@@ -169,8 +173,10 @@ object Bench {
     val calArr = calibrationSamples
       .map(c => String.format(java.util.Locale.ROOT, "%.4f", Double.box(c)))
       .mkString("[", ",", "]")
+    val rowsMap = tableRows
+      .map { case (t, n) => s"\"" + t + "\":" + n }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"table_rows":$rowsMap,"sf":"$sfDir"}"""
     println(line)
     // The committed BENCH_LATEST.json is a published artifact: only a run
     // that explicitly opts in (SPARK_GRAFT_PUBLISH=1) may overwrite it —

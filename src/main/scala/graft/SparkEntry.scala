@@ -939,6 +939,68 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ST9: Update-mode streaming aggregation landed through the
+    // graft-table SINK with mergeKeys (Delta's foreachBatch-merge idiom
+    // as a sink option): each micro-batch carries the CHANGED groups'
+    // cumulative aggregates, merged by key into the table — so the final
+    // table is one row per key equal to the batch GROUP BY over all the
+    // data, however the rows were split across batches. Region 1
+    // straddles both landing files, so the second drain genuinely
+    // UPDATES its row (not just inserts new keys).
+    "q_st9_update_sink" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st9-").toString
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+      n.filter(col("n_regionkey") <= 1 && col("n_nationkey") % 2 === 0)
+        .coalesce(1).write.json(s"$tmp/landing")
+      def drain(): Unit = {
+        val q = s.readStream.schema("n_nationkey BIGINT, n_regionkey BIGINT")
+          .json(s"$tmp/landing")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"), sum("n_nationkey").as("key_sum"))
+          .writeStream.format("graft-table")
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/cp")
+          .option("mergeKeys", "n_regionkey")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$tmp/agg")
+        q.awaitTermination()
+      }
+      drain()
+      n.filter(col("n_regionkey") > 1 || col("n_nationkey") % 2 === 1)
+        .coalesce(1).write.mode("append").json(s"$tmp/landing")
+      drain()
+      VersionedTable(s, s"$tmp/agg").read
+        .select(col("n_regionkey"), col("n_nations"), col("key_sum"))
+        .orderBy("n_regionkey")
+    }),
+
+    // SQL RENAME COLUMN: metadata-only column mapping (Delta
+    // column-mapping analog). Data straddles the rename — pre-rename
+    // file-sets carry the old physical name, post-rename sets the new
+    // one — and the read must fold them into ONE column. The two
+    // boolean witnesses pin time travel: version 0 still shows the old
+    // name, not the new one.
+    "q_sql_rename_col" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-rnc-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      tbl.append(nat.filter(col("n_regionkey") <= 2))                // v0
+      graft.tables.GraftSql(s).sql(
+        s"ALTER TABLE graft.`$tmp/t` RENAME COLUMN n_name TO nation_name")
+      tbl.append(nat.filter(col("n_regionkey") > 2)                  // v2
+        .withColumnRenamed("n_name", "nation_name"))
+      val v0 = tbl.readVersion(0).columns
+      tbl.read
+        .select(col("n_nationkey"), col("nation_name"), col("n_regionkey"))
+        .withColumn("v0_has_old_name", lit(v0.contains("n_name")))
+        .withColumn("v0_has_new_name", lit(v0.contains("nation_name")))
+        .orderBy("n_nationkey")
+    }),
+
     // ML1: feature materialization — windows over the player×gameweek
     // grain + broadcast dim joins (docs/backlog.md:84-89), phrased over a
     // deterministic events→history mapping so DuckDB can oracle it.
@@ -2363,6 +2425,25 @@ object SparkEntry {
     "q_st8_table_stream" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // Update-mode sink parity: cumulative per-key aggregates merged
+    // across micro-batches must equal the batch GROUP BY — a dropped
+    // update leaves a stale cumulative row, a mis-keyed merge leaves
+    // two rows for one key; either breaks the hash.
+    "q_st9_update_sink" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // RENAME COLUMN mapping: the full relation must surface under the
+    // NEW name regardless of which side of the rename each row's file
+    // landed on, and version 0 must still carry the old name.
+    "q_sql_rename_col" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name AS nation_name, CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  true AS v0_has_old_name, false AS v0_has_new_name
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // Exactly-once file ingest: the table is the full relation, loaded

@@ -120,6 +120,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         copyInto(VersionedTable(spark, r), dir, fmt))
     case AddColumnsStmt(ident, colDefs) =>
       owned(ident).fold(spark.sql(stmt))(t => versionDf(t.addColumns(colDefs)))
+    case RenameColumnStmt(ident, from, to) =>
+      owned(ident).fold(spark.sql(stmt))(t =>
+        versionDf(t.renameColumn(stripTicks(from), stripTicks(to))))
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.addCheck(name, checkExpr)
@@ -143,7 +146,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         .fold(spark.sql(stmt))(analyze(_, cols))
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
-    case other => spark.sql(rewriteTimeTravel(other))
+    case other =>
+      val (rewritten, views) = rewriteTimeTravel(other)
+      // analysis inlines a temp view's plan into the DataFrame, so the
+      // views can drop as soon as spark.sql returns — nothing
+      // accumulates in the session and no later statement can observe
+      // (or race against) a stale pin
+      try spark.sql(rewritten)
+      finally views.foreach(spark.catalog.dropTempView)
   }
 
   /** Inline time travel inside arbitrary SELECTs (Delta's
@@ -154,24 +164,29 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * freely in one statement. Non-graft identifiers are left verbatim
     * (Spark raises its own error). View registration is metadata-only;
     * no data is read until the rewritten statement executes. */
-  private def rewriteTimeTravel(stmt: String): String = {
-    if (!TimeTravelProbe.pattern.matcher(stmt).find()) return stmt
-    var k = 0
+  private def rewriteTimeTravel(stmt: String): (String, Seq[String]) = {
+    if (!TimeTravelProbe.pattern.matcher(stmt).find()) return (stmt, Nil)
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
     def bind(ident: String, df: Option[DataFrame], matched: String): String =
       df match {
         case Some(d) =>
-          k += 1
-          val view = s"__graft_asof_${k}_${math.abs(ident.hashCode)}"
+          // session-unique id: two statements pinning the same table at
+          // different versions must never collide on a view name, even
+          // when issued concurrently on one session
+          val view = s"__graft_asof_${GraftSql.asofViewId.incrementAndGet()}_" +
+            math.abs(ident.hashCode)
           d.createOrReplaceTempView(view)
+          views += view
           view
         case None => java.util.regex.Matcher.quoteReplacement(matched)
       }
     val pass1 = TimeTravelVersion.replaceAllIn(stmt, m =>
       bind(m.group(1),
         owned(m.group(1)).map(_.readVersion(m.group(2).toLong)), m.matched))
-    TimeTravelTimestamp.replaceAllIn(pass1, m =>
+    val pass2 = TimeTravelTimestamp.replaceAllIn(pass1, m =>
       bind(m.group(1),
         owned(m.group(1)).map(_.asOf(parseTsUtc(m.group(2)))), m.matched))
+    (pass2, views.toSeq)
   }
 
   private def convert(srcDir: String, target: String): DataFrame = {
@@ -417,12 +432,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         load(pending, ledgerV)
       }
     }
-    // 2+3. fresh files: intent, then data
-    val loaded: Set[String] =
+    // 2+3. fresh files: intent, then data. The already-loaded set is
+    // NOT materialized on the driver — the ledger grows with every file
+    // ever loaded (millions for a long-lived landing zone), so the
+    // dedup is a left-anti join of this listing against the ledger
+    // relation (Delta's COPY INTO does the same against its metadata);
+    // only the per-batch FRESH tail, bounded by arrival rate, comes
+    // back to the driver to drive the actual file read.
+    val listed = listFiles(srcDir)
+    val fresh: Seq[String] =
       if (ledger.exists)
-        ledger.read.select("source_path").as[String].collect().toSet
-      else Set.empty
-    val fresh = listFiles(srcDir).filterNot(loaded)
+        listed.toDF("source_path")
+          .join(ledger.read.select("source_path"), Seq("source_path"), "left_anti")
+          .as[String].collect().toSeq.sorted
+      else listed
     if (fresh.nonEmpty) {
       val intent = ledger.append(fresh.toDF("source_path"))
       load(fresh, intent.version)
@@ -538,6 +561,10 @@ object GraftSql {
   val SmallFileBytesConf = "spark.graft.optimize.smallFileBytes"
   val DefaultSmallFileBytes: Long = 128L * 1024 * 1024
 
+  /** Session-wide counter behind AS OF temp-view names (see
+    * [[GraftSql.rewriteTimeTravel]]) — per-statement counters collide. */
+  private[tables] val asofViewId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def apply(spark: SparkSession, catalog: Catalog): GraftSql =
     new GraftSql(spark, Some(catalog))
   def apply(spark: SparkSession): GraftSql = new GraftSql(spark, None)
@@ -603,6 +630,9 @@ object GraftSql {
   private val AddColumnsStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r
+  private val RenameColumnStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r

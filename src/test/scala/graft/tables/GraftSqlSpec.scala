@@ -528,6 +528,103 @@ class GraftSqlSpec extends SparkSpec {
       sql.sql("SELECT * FROM no_such_tbl VERSION AS OF 0"))
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only column mapping") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "rn")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0: old-name files
+    val res = sql.sql("ALTER TABLE silver.rn RENAME COLUMN v TO val")
+    assert(res.select("action").as[String].head() === "rename_column")
+    // metadata-only: same file-sets carried, nothing rewritten
+    assert(t.history.last.fileSets === t.history.head.fileSets)
+    assert(t.read.columns.toSeq === Seq("k", "val"))
+    // post-rename append writes the new name physically; mixed
+    // generations still fold into ONE logical column
+    t.append(Seq((3, "c")).toDF("k", "val"))
+    assert(t.read.columns.toSeq === Seq("k", "val"))
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // time travel to the pre-rename version shows the OLD name
+    assert(t.readVersion(0).columns.toSeq === Seq("k", "v"))
+    // chains compose: val -> value
+    sql.sql("ALTER TABLE silver.rn RENAME COLUMN val TO value")
+    assert(t.read.columns.toSeq === Seq("k", "value"))
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // refusals: unknown source, existing target, load-bearing columns
+    assertThrows[Exception](t.renameColumn("nope", "x"))
+    assertThrows[Exception](t.renameColumn("k", "value"))
+  }
+
+  test("MERGE survives hostile string literals (WHEN/commas/parens in data)") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "adv")
+    t.append(Seq((1, "old")).toDF("k", "v"))
+    // the source VALUE contains a full MERGE clause, commas and an
+    // unbalanced paren — all inside a quoted literal the tokenizer must
+    // treat as opaque data, not syntax
+    sql.sql("""MERGE INTO silver.adv AS t
+      USING (SELECT 1 AS k, 'WHEN MATCHED THEN DELETE, (boom' AS v) AS s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "WHEN MATCHED THEN DELETE, (boom")))
+  }
+
+  test("MERGE with ' ON ' inside a source literal fails loudly, never silently") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "advon")
+    t.append(Seq((1, "old")).toDF("k", "v"))
+    // a ' word ON ' sequence inside the subquery literal defeats the
+    // statement regex's USING/ON split (the lazy USING group ends at the
+    // in-string ON); the funnel must refuse loudly — either the ON-clause
+    // parser or the subquery-balance check — rather than half-apply
+    val e = intercept[Exception](sql.sql(
+      """MERGE INTO silver.advon AS t
+        USING (SELECT 1 AS k, 'please stop ON it' AS v) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""))
+    assert(e.getMessage.contains("MERGE ON") ||
+      e.getMessage.contains("temp view"))
+    assert(t.read.as[(Int, String)].collect().toSet === Set((1, "old")))
+  }
+
+  test("CTAS with PARTITIONED BY inside a string literal is data, not DDL") {
+    val (cat, sql) = warehouse()
+    sql.sql("""CREATE TABLE gold.advctas AS
+      SELECT 1 AS id, 'PARTITIONED BY (p)' AS note""")
+    val t = cat.table("gold", "advctas")
+    assert(t.partitionLayout.isEmpty)
+    assert(t.read.as[(Int, String)].collect().toSeq ===
+      Seq((1, "PARTITIONED BY (p)")))
+  }
+
+  test("INSERT VALUES with quotes, commas and parens in strings lands verbatim") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.advins (k INT, v STRING)")
+    sql.sql("""INSERT INTO silver.advins VALUES
+      (1, 'a,b),(c'), (2, 'it''s fine')""")
+    assert(cat.table("silver", "advins").read.as[(Int, String)]
+      .collect().toSet === Set((1, "a,b),(c"), (2, "it's fine")))
+  }
+
+  test("AS OF rewrite leaves no temp views behind and never collides") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "ttv")
+    t.append(Seq((1, "a")).toDF("k", "v"))   // v0
+    t.overwrite(Seq((1, "b")).toDF("k", "v")) // v1
+    cat.registerViews()
+    // two statements pinning the SAME table at different versions: with
+    // per-statement counters both would bind one view name; the session
+    // counter + drop-after-execute makes each read its own pin
+    assert(sql.sql("SELECT v FROM silver.ttv VERSION AS OF 0")
+      .as[String].head() === "a")
+    assert(sql.sql("SELECT v FROM silver.ttv VERSION AS OF 1")
+      .as[String].head() === "b")
+    val leftover = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("__graft_asof"))
+    assert(leftover.isEmpty, s"stale AS OF views: ${leftover.mkString(",")}")
+  }
+
   test("DML on a non-graft identifier delegates to vanilla Spark") {
     val (_, sql) = warehouse()
     spark.sql("DROP TABLE IF EXISTS dml_delegate")

@@ -1001,6 +1001,30 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // SQL DROP COLUMN: the mapping's other half — a scratch column is
+    // dropped metadata-only; pre-drop file-sets still physically carry
+    // it but every read projects it away, while time travel to version
+    // 0 still shows it. Witnesses pin both directions.
+    "q_sql_drop_col" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-dpc-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      tbl.append(nat.filter(col("n_regionkey") <= 2)
+        .withColumn("scratch", col("n_nationkey") * 7))              // v0
+      graft.tables.GraftSql(s).sql(
+        s"ALTER TABLE graft.`$tmp/t` DROP COLUMN scratch")
+      tbl.append(nat.filter(col("n_regionkey") > 2))                 // v2
+      val v0 = tbl.readVersion(0).columns
+      tbl.read
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .withColumn("v0_had_scratch", lit(v0.contains("scratch")))
+        .withColumn("now_has_scratch",
+          lit(tbl.read.columns.contains("scratch")))
+        .orderBy("n_nationkey")
+    }),
+
     // ML1: feature materialization — windows over the player×gameweek
     // grain + broadcast dim joins (docs/backlog.md:84-89), phrased over a
     // deterministic events→history mapping so DuckDB can oracle it.
@@ -2444,6 +2468,15 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
         |  n_name AS nation_name, CAST(n_regionkey AS BIGINT) AS n_regionkey,
         |  true AS v0_has_old_name, false AS v0_has_new_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    // DROP COLUMN mapping: the full relation without the dropped
+    // column, regardless of which generation each row's file belongs
+    // to; version 0 must still carry it.
+    "q_sql_drop_col" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |  true AS v0_had_scratch, false AS now_has_scratch
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // Exactly-once file ingest: the table is the full relation, loaded

@@ -123,6 +123,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RenameColumnStmt(ident, from, to) =>
       owned(ident).fold(spark.sql(stmt))(t =>
         versionDf(t.renameColumn(stripTicks(from), stripTicks(to))))
+    case DropColumnStmt(ident, c) =>
+      owned(ident).fold(spark.sql(stmt))(t =>
+        versionDf(t.dropColumn(stripTicks(c))))
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.addCheck(name, checkExpr)
@@ -633,6 +636,9 @@ object GraftSql {
   private val RenameColumnStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*;?\s*""").r
+  private val DropColumnStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+COLUMNS?\s+(`[^`]+`|\w+)\s*;?\s*""").r
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r

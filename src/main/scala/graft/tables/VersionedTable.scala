@@ -809,6 +809,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val dup = add.fieldNames.filter(cur.fieldNames.contains)
     require(dup.isEmpty,
       s"ADD COLUMNS: column(s) already exist at $root: ${dup.mkString(",")}")
+    val ghosts = add.fieldNames.filter(ghostNames.contains)
+    require(ghosts.isEmpty,
+      s"ADD COLUMNS: ${ghosts.mkString(",")} previously dropped/renamed at " +
+        s"$root; old files still carry the name — choose a fresh one")
     val extended = org.apache.spark.sql.types.StructType(cur.fields ++ add.fields)
     append(spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), extended))
@@ -818,18 +822,67 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def colmapPath: Path = Paths.get(root, "_colmap.json")
 
-  /** Rename ledger: (committed-at version, from, to), version-ascending.
-    * The mapping is LOGICAL — no file is rewritten; reads project it. */
-  def columnRenames: Seq[(Long, String, String)] =
+  /** Column-mapping ledger ops, version-ascending: renames carry
+    * `Some(to)`, drops `None`. The mapping is LOGICAL — no file is
+    * rewritten; reads project it. */
+  private def colmapOps: Seq[(Long, String, Option[String])] =
     if (!Files.exists(colmapPath)) Nil
-    else RenameJson.findAllMatchIn(Files.readString(colmapPath))
-      .map(m => (m.group(1).toLong, m.group(2), m.group(3))).toSeq
+    else {
+      val txt = Files.readString(colmapPath)
+      val renames = RenameJson.findAllMatchIn(txt)
+        .map(m => (m.group(1).toLong, m.group(2), Option(m.group(3)))).toSeq
+      val drops = DropJson.findAllMatchIn(txt)
+        .map(m => (m.group(1).toLong, m.group(2), None: Option[String])).toSeq
+      (renames ++ drops).sortBy(_._1)
+    }
 
-  /** Renames in effect when reading version `v`: only entries committed
-    * at or before `v`, in commit order (so chains a→b→c compose). Time
-    * travel to a pre-rename version therefore shows the old name. */
-  private def activeRenames(v: Long): Seq[(String, String)] =
-    columnRenames.filter(_._1 <= v).map { case (_, f, t) => (f, t) }
+  def columnRenames: Seq[(Long, String, String)] =
+    colmapOps.collect { case (v, f, Some(t)) => (v, f, t) }
+  def columnDrops: Seq[(Long, String)] =
+    colmapOps.collect { case (v, f, None) => (v, f) }
+
+  /** Mapping ops in effect when reading version `v`: only entries
+    * committed at or before `v`, in commit order (so rename chains
+    * a→b→c and rename-then-drop compose). Time travel to an earlier
+    * version therefore shows the pre-DDL shape. */
+  private def activeRenames(v: Long): Seq[(String, Option[String])] =
+    colmapOps.filter(_._1 <= v).map { case (_, f, t) => (f, t) }
+
+  private def appendColmapLine(line: String): Unit = {
+    val prev = if (Files.exists(colmapPath)) Files.readString(colmapPath).trim
+               else ""
+    val all = (if (prev.isEmpty) "" else prev + "\n") + line + "\n"
+    val tmp = colmapPath.resolveSibling(s".colmap-${UUID.randomUUID()}")
+    Files.writeString(tmp, all)
+    Files.move(tmp, colmapPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Shared refusals for mapping DDL: the column must not be
+    * load-bearing elsewhere in the table's metadata, and CDF staged
+    * change files don't get the projection (enable CDF after the
+    * mapping settles). */
+  private def requireUnencumbered(c: String, what: String): Unit = {
+    bucketSpec.foreach { sp =>
+      require(!sp.keys.contains(c) && !sp.partitionKeys.contains(c),
+        s"$what: `$c` is a bucket/partition key at $root")
+    }
+    require(!partitionLayout.contains(c),
+      s"$what: `$c` is a partition column at $root")
+    (checks ++ generatedColumns).foreach { case (name, ex) =>
+      require(!ex.matches(s".*\\b$c\\b.*"),
+        s"$what: `$c` is referenced by `$name` ($ex) at $root")
+    }
+    require(!Files.exists(cdfMarker),
+      s"$what: not supported on CDF-enabled table at $root")
+  }
+
+  /** Names old file-sets may still physically carry even though the
+    * current schema lacks them: every rename's FROM side and every
+    * dropped column. Binding a new logical column to one of these would
+    * resurrect stale values out of pre-DDL files. */
+  private def ghostNames: Set[String] =
+    (columnRenames.map(_._2) ++ columnDrops.map(_._2)).toSet
 
   /** `ALTER TABLE … RENAME COLUMN from TO to` — Delta's column-mapping
     * analog, priced like [[addColumns]]: a metadata-only commit (action
@@ -857,28 +910,36 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val cur = read.columns
     require(cur.contains(from), s"RENAME COLUMN: no column `$from` at $root")
     require(!cur.contains(to), s"RENAME COLUMN: `$to` already exists at $root")
-    bucketSpec.foreach { sp =>
-      require(!sp.keys.contains(from) && !sp.partitionKeys.contains(from),
-        s"RENAME COLUMN: `$from` is a bucket/partition key at $root")
-    }
-    require(!partitionLayout.contains(from),
-      s"RENAME COLUMN: `$from` is a partition column at $root")
-    (checks ++ generatedColumns).foreach { case (name, expr) =>
-      require(!expr.matches(s".*\\b$from\\b.*"),
-        s"RENAME COLUMN: `$from` is referenced by `$name` ($expr) at $root")
-    }
-    require(!Files.exists(cdfMarker),
-      s"RENAME COLUMN: not supported on CDF-enabled table at $root")
+    require(!ghostNames.contains(to),
+      s"RENAME COLUMN: `$to` was previously dropped or renamed away at " +
+        s"$root; old files still carry it — choose a fresh name")
+    requireUnencumbered(from, "RENAME COLUMN")
     val entry = commit("rename_column", snap.fileSets,
       basedOn = Some(snap.version), dvs = snap.dvs)
-    val line = s"""{"v":${entry.version},"from":"$from","to":"$to"}"""
-    val prev = if (Files.exists(colmapPath)) Files.readString(colmapPath).trim
-               else ""
-    val all = (if (prev.isEmpty) "" else prev + "\n") + line + "\n"
-    val tmp = colmapPath.resolveSibling(s".colmap-${UUID.randomUUID()}")
-    Files.writeString(tmp, all)
-    Files.move(tmp, colmapPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    appendColmapLine(s"""{"v":${entry.version},"from":"$from","to":"$to"}""")
+    entry
+  }
+
+  /** `ALTER TABLE … DROP COLUMN c` — the mapping's other half, same
+    * pricing: a metadata-only commit (action `drop_column`, file-sets
+    * carried verbatim) plus one ledger line; reads project the column
+    * away per scan arm. Time travel to pre-drop versions still shows
+    * it. The name stays reserved forever ([[ghostNames]]): re-adding it
+    * would resurrect stale values out of pre-drop files — Delta without
+    * full physical-id mapping has the same restriction. Storage for the
+    * dropped values is reclaimed progressively as OPTIMIZE/merge
+    * rewrite file-sets (they write through `read`, which lacks the
+    * column), never as a synchronous table rewrite. */
+  def dropColumn(c: String): LogEntry = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    require(!c.contains("\""), s"DROP COLUMN: bad identifier `$c`")
+    val cur = read.columns
+    require(cur.contains(c), s"DROP COLUMN: no column `$c` at $root")
+    require(cur.length > 1, s"DROP COLUMN: `$c` is the only column at $root")
+    requireUnencumbered(c, "DROP COLUMN")
+    val entry = commit("drop_column", snap.fileSets,
+      basedOn = Some(snap.version), dvs = snap.dvs)
+    appendColmapLine(s"""{"v":${entry.version},"drop":"$c"}""")
     entry
   }
 
@@ -1234,10 +1295,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     def scan(ps: Seq[String],
              known: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
       val raw = known.fold(spark.read)(spark.read.schema).parquet(ps: _*)
-      val d = renames.foldLeft(raw) { case (acc, (f, t)) =>
-        if (acc.columns.contains(f) && !acc.columns.contains(t))
-          acc.withColumnRenamed(f, t)
-        else acc
+      val d = renames.foldLeft(raw) {
+        case (acc, (f, Some(t))) =>
+          if (acc.columns.contains(f) && !acc.columns.contains(t))
+            acc.withColumnRenamed(f, t)
+          else acc
+        case (acc, (f, None)) =>
+          if (acc.columns.contains(f)) acc.drop(f) else acc
       }
       if (!withPos) d
       else d.select(col("*"),
@@ -2673,6 +2737,7 @@ object VersionedTable {
   private val PartitionLayoutJson = """\{"partitionBy":\[([^\]]*)\]\}""".r
   private val CheckJson = """\{"name":"([^"]*)","expr":"([^"]*)"\}""".r
   private val RenameJson = """\{"v":(\d+),"from":"([^"]*)","to":"([^"]*)"\}""".r
+  private val DropJson = """\{"v":(\d+),"drop":"([^"]*)"\}""".r
 
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
     * only) to avoid pulling a JSON dependency. `txn` is the Delta

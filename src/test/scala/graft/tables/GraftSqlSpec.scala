@@ -555,6 +555,28 @@ class GraftSqlSpec extends SparkSpec {
     assertThrows[Exception](t.renameColumn("k", "value"))
   }
 
+  test("ALTER TABLE DROP COLUMN is metadata-only; the name stays reserved") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "dc")
+    t.append(Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "junk")) // v0
+    val res = sql.sql("ALTER TABLE silver.dc DROP COLUMN junk")
+    assert(res.select("action").as[String].head() === "drop_column")
+    // metadata-only: same file-sets; the column is projected away
+    assert(t.history.last.fileSets === t.history.head.fileSets)
+    assert(t.read.columns.toSeq === Seq("k", "v"))
+    // post-drop appends lack it physically; generations fold cleanly
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // time travel to the pre-drop version still shows it
+    assert(t.readVersion(0).columns.toSeq === Seq("k", "v", "junk"))
+    // the name is reserved: re-adding would resurrect stale values
+    assertThrows[Exception](t.addColumns("junk INT"))
+    assertThrows[Exception](t.renameColumn("v", "junk"))
+    // refusals: unknown column, last remaining column
+    assertThrows[Exception](t.dropColumn("nope"))
+  }
+
   test("MERGE survives hostile string literals (WHEN/commas/parens in data)") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "adv")

@@ -976,6 +976,46 @@ object SparkEntry {
         .orderBy("n_regionkey")
     }),
 
+    // ST10: APPLY CHANGES INTO (DLT) — a CDF stream applied to a
+    // replica table through the graft-table sink's applyChanges mode:
+    // per micro-batch, each key's latest change wins, deletes become
+    // merge tombstones, and one bucket-COW merge lands everything
+    // exactly-once. Two sync rounds split the DML lifecycle so the
+    // second proves incremental convergence, not a fresh rebuild; the
+    // oracle is the equivalent set algebra over nation.
+    "q_st10_apply_changes" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st10-").toString
+      val src = VersionedTable(s, s"$tmp/src")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      src.enableChangeFeed()
+      src.append(nat)                                                  // v0
+      src.merge(nat.filter(col("n_regionkey") === 1)                   // v1
+        .withColumn("n_name", upper(col("n_name"))), Seq("n_nationkey"))
+      src.delete(col("n_regionkey") === 2)                             // v2
+      def sync(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("readChangeFeed", "true").load(s"$tmp/src")
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$tmp/cp")
+          .option("mergeKeys", "n_nationkey")
+          .option("applyChanges", "true")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$tmp/replica")
+        q.awaitTermination()
+      }
+      sync()
+      src.merge(nat.filter(col("n_regionkey") === 3)                   // v3
+        .withColumn("n_name", upper(col("n_name"))), Seq("n_nationkey"))
+      src.delete(col("n_regionkey") === 4)                             // v4
+      sync()
+      VersionedTable(s, s"$tmp/replica").read
+        .select(col("n_nationkey"), col("n_name").as("n_name_final"),
+          col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // SQL RENAME COLUMN: metadata-only column mapping (Delta
     // column-mapping analog). Data straddles the rename — pre-rename
     // file-sets carry the old physical name, post-rename sets the new
@@ -2460,6 +2500,18 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_nations,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // APPLY CHANGES convergence: the replica must equal the source's
+    // final state — upper-cased names where the updates hit, deleted
+    // regions absent, everything else verbatim. A missed delete, a
+    // stale update, or a replayed batch all break the hash.
+    "q_st10_apply_changes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey IN (1,3) THEN upper(n_name) ELSE n_name END
+        |    AS n_name_final,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey NOT IN (2,4)
+        |ORDER BY n_nationkey""".stripMargin,
 
     // RENAME COLUMN mapping: the full relation must surface under the
     // NEW name regardless of which side of the rename each row's file

@@ -22,20 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Marker column for merge-with-delete (`WHEN MATCHED AND <marker> THEN
+    * DELETE`, the clause DLT's APPLY CHANGES INTO is built on): an update
+    * batch may carry this extra boolean column; a `true` row removes its
+    * matched target row and contributes nothing itself (an unmatched
+    * delete is a no-op). The column never reaches stored data. */
+  val DeleteCol = "__graft_delete"
+
   /** Pad each side with typed NULL columns for fields only the other side
     * has (Delta `mergeSchema`/autoMerge-style ADDITIVE evolution), so a
     * feed that gained a column — e.g. `_rescued_data` appearing after a
     * producer schema change — merges into a pre-evolution target instead
-    * of crashing, and vice versa. Column ORDER follows target-then-new. */
+    * of crashing, and vice versa. Column ORDER follows target-then-new.
+    * [[DeleteCol]] on the update side is carried through, never padded
+    * onto the target. */
   def alignForEvolution(target: DataFrame, updates: DataFrame): (DataFrame, DataFrame) = {
     val tFields = target.schema.fields
-    val uFields = updates.schema.fields
+    val uFields = updates.schema.fields.filterNot(_.name == DeleteCol)
     val tNames = tFields.map(_.name).toSet
     val uNames = uFields.map(_.name).toSet
     val t2 = uFields.filterNot(f => tNames.contains(f.name))
       .foldLeft(target)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
-    val order = t2.columns.toSeq
+    val order = t2.columns.toSeq ++
+      (if (updates.columns.contains(DeleteCol)) Seq(DeleteCol) else Nil)
     val u2 = tFields.filterNot(f => uNames.contains(f.name))
       .foldLeft(updates)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
@@ -51,6 +61,7 @@ object Merge {
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String],
              updateExprs: Map[String, (Column, Column) => Column] = Map.empty): DataFrame =
     upsertWithLineage(target, updates, keys, updateExprs)
+      .filter(!col("__delete_req"))
       .select(target.columns.toSeq.map(col): _*)
 
   /** [[upsert]]'s full-outer merge frame WITH its lineage kept: the merged
@@ -67,9 +78,12 @@ object Merge {
                         updateExprs: Map[String, (Column, Column) => Column] = Map.empty): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val cols = target.columns.toSeq
-    require(updates.columns.toSeq == cols,
+    val withDeletes = updates.columns.contains(DeleteCol)
+    require(updates.columns.toSeq == cols ++ (if (withDeletes) Seq(DeleteCol) else Nil),
       s"merge schema mismatch: target=${cols.mkString(",")} updates=${updates.columns.mkString(",")}; " +
         "use alignForEvolution for additive schema changes")
+    require(!cols.contains(DeleteCol),
+      s"target must not contain the $DeleteCol marker column")
     require(updateExprs.keySet.subsetOf(cols.toSet),
       s"updateExprs reference unknown columns: ${updateExprs.keySet -- cols}")
     require(updateExprs.keySet.intersect(keys.toSet).isEmpty,
@@ -95,6 +109,11 @@ object Merge {
         }
       } ++ cols.map(c => col(s"__t_$c").as(s"__pre_$c")) ++ Seq(
         coalesce(col("__t_present"), lit(false)).as("__t_present"),
-        coalesce(col("__u_present"), lit(false)).as("__u_present")): _*)
+        coalesce(col("__u_present"), lit(false)).as("__u_present"),
+        // delete request: an update row marked for deletion (target-only
+        // rows coalesce to false). The caller filters these (and their
+        // matched targets — same row after the join) from the snapshot.
+        (if (withDeletes) coalesce(col(DeleteCol), lit(false))
+         else lit(false)).as("__delete_req")): _*)
   }
 }

@@ -187,13 +187,30 @@ object GraftTableSource {
   * `txnAppId` option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
-                           mergeKeys: Seq[String],
+                           mergeKeys: Seq[String], applyChanges: Boolean,
                            autoCompactEvery: Option[Long])
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
-    if (mergeKeys.nonEmpty)
+    if (applyChanges) {
+      // APPLY CHANGES INTO (DLT) over a CDF stream: the micro-batch
+      // carries _change_type/_commit_version rows from a change-feed
+      // source; keep each key's LATEST change (commit order), turn
+      // deletes into merge tombstones, and land everything through ONE
+      // bucket-COW merge — inserts/updates upsert, deletes remove, all
+      // under the same idempotent txn marker. The replica therefore
+      // converges to the source table however the changes were batched.
+      import org.apache.spark.sql.functions.col
+      val changes = batch.filter(col("_change_type") =!= "update_preimage")
+      val latest = graft.ops.Keyed.latestPerKey(changes, mergeKeys,
+        "_commit_version")
+      val payload = latest
+        .withColumn(graft.ops.Merge.DeleteCol, col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version", "_commit_timestamp")
+      table.merge(payload, mergeKeys, partitionBy = partitionBy,
+        txn = Some((appId, batchId)))
+    } else if (mergeKeys.nonEmpty)
       // Update-mode micro-batches carry the CHANGED rows of a streaming
       // aggregation; merging them by key keeps the table at
       // one-row-per-key (Delta's foreachBatch-merge idiom as a sink
@@ -267,15 +284,20 @@ final class GraftTableSourceProvider extends StreamSourceProvider
     val mergeKeys = parameters.get("mergeKeys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+    val applyChanges = parameters.get("applyChanges")
+      .exists(_.trim.equalsIgnoreCase("true"))
     require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
       "graft-table sink in Update mode needs option(\"mergeKeys\", " +
         "\"k1,k2\") — each micro-batch upserts by those keys")
     require(!(outputMode == OutputMode.Complete() && mergeKeys.nonEmpty),
       "graft-table sink: mergeKeys is meaningless in Complete mode " +
         "(every batch already replaces the snapshot)")
+    require(!applyChanges || mergeKeys.nonEmpty,
+      "graft-table sink: applyChanges needs option(\"mergeKeys\",\"k1,k2\") " +
+        "— changes apply by key")
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
-      mergeKeys = mergeKeys,
+      mergeKeys = mergeKeys, applyChanges = applyChanges,
       autoCompactEvery = parameters.get("autoCompactEvery")
         .map(_.toLong).filter(_ > 0))
   }

@@ -500,9 +500,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         val parts = tbl.bucketSpec.map(_.partitionKeys)
           .getOrElse(tbl.partitionLayout)
         versionDf(tbl.append(fresh, partitionBy = parts))
+      case DeleteClauses() =>
+        // WHEN MATCHED THEN DELETE alone (Delta's delete-by-source
+        // shape): every source key becomes a merge tombstone — matched
+        // target rows are removed through the same bucket-COW path an
+        // upsert takes (only touched cells rewrite); unmatched source
+        // keys are no-ops. Only the keys matter; other source columns
+        // are never read.
+        versionDf(tbl.merge(
+          renamed.select(keys.map(col): _*)
+            .withColumn(graft.ops.Merge.DeleteCol, lit(true)),
+          keys))
       case other => sys.error(
         "MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-          s"THEN INSERT *, or WHEN NOT MATCHED THEN INSERT * alone; got: $other")
+          "THEN INSERT *, WHEN NOT MATCHED THEN INSERT * alone, or WHEN " +
+          s"MATCHED THEN DELETE alone; got: $other")
     }
   }
 
@@ -652,6 +664,8 @@ object GraftSql {
     """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
   private val InsertOnlyClauses =
     """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+  private val DeleteClauses =
+    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+DELETE\s*""".r
 
   // --------------------------------------------- tiny top-level SQL scanners
   // (regexes can't honor quote/paren nesting; these three scanners are the

@@ -950,7 +950,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * `toV`'s full snapshot — the stream's initial batch, Delta-style
     * (current data first, then appends). O(new data) per batch. */
   def readAddedBetween(fromV: Long, toV: Long): DataFrame = {
-    if (fromV == -1L) return readVersion(toV)
+    if (fromV == -1L) {
+      // snapshot batch — read under the CURRENT column mapping, not the
+      // version-scoped one (readVersion's contract): a stream's declared
+      // schema is the current `read` schema, and a restart REPLAYS this
+      // batch (getBatch(None, v)) after later renames may have landed —
+      // a historically-named frame would fail the source's projection
+      val e = history.find(_.version == toV)
+        .getOrElse(sys.error(s"no version $toV at $root"))
+      return if (e.fileSets.isEmpty) spark.emptyDataFrame
+             else readSets(e.fileSets, e.dvs)
+    }
     if (fromV == toV) return read.limit(0) // empty range: no batch, valid
     val h = history
     h.find(_.version == fromV)
@@ -2232,12 +2242,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         }
       }
     }
+    // merge-with-delete (WHEN MATCHED AND <marker> THEN DELETE — the
+    // clause APPLY CHANGES INTO rides on): the update batch may carry
+    // [[graft.ops.Merge.DeleteCol]]; marked rows remove their matched
+    // target row and land nothing (unmatched deletes are no-ops). The
+    // marker participates in dedup (latest change per key wins) and
+    // staging, and is stripped before anything is written.
+    val hasDeletes = typedUpdates.columns.contains(graft.ops.Merge.DeleteCol)
     // CHECK enforcement on the update batch rides in the staging job
-    // (insert rows land verbatim from here)
-    val deduped = withCheckEnforcement(preferUpdateBy match {
+    // (insert rows land verbatim from here). Delete tombstones are
+    // exempt: they only need keys + marker, and never land.
+    val rawDeduped = preferUpdateBy match {
       case Some(ord) => graft.ops.Keyed.latestPerKey(typedUpdates, keys, ord)
       case None      => typedUpdates.dropDuplicates(keys)
-    })
+    }
+    val deduped =
+      if (!hasDeletes) withCheckEnforcement(rawDeduped)
+      else withCheckEnforcement(
+          rawDeduped.filter(!col(graft.ops.Merge.DeleteCol)))
+        .unionByName(rawDeduped.filter(col(graft.ops.Merge.DeleteCol)),
+          allowMissingColumns = true)
     // ONE job stages the deduped updates split by (partition, bucket)
     // cell. This replaces the previous persist + distinct().collect()
     // probe: the staged parquet IS the materialization the persist
@@ -2297,27 +2321,36 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             if (touchedSets.nonEmpty) touchedSets else carried.take(64)))
         newSets
       }
-      if (touchedSets.isEmpty && touched.nonEmpty) {
+      if (touchedSets.isEmpty && touched.nonEmpty && !hasDeletes) {
         // insert-only fast path: no existing rows in any touched cell —
         // the staged files ARE the new file-sets; rename them in, zero
         // further jobs (the common shape of an MV's first build and of
-        // append-heavy streaming merges)
+        // append-heavy streaming merges). Delete-bearing batches take
+        // the join path: their staged files carry the marker column and
+        // tombstone rows, neither of which may land as data.
         val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
           Some(deduped.schema)))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
         commit("merge", carried ++ adopted,
           basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
-      } else if (touchedSets.isEmpty) // empty update batch, nothing touched
+      } else if (touched.isEmpty) { // empty update batch, nothing touched
+        val dedupedData =
+          if (hasDeletes) deduped.drop(graft.ops.Merge.DeleteCol) else deduped
         commit("merge",
           if (prev.nonEmpty) prev
-          else writeBucketedFileSets(deduped, spec), // schema-bearing empty
+          else writeBucketedFileSets(dedupedData, spec), // schema-bearing empty
           basedOn = rv, txn = txn, dvs = prevDvs,
-          cdf = noChanges(deduped))
-      else {
+          cdf = noChanges(dedupedData))
+      } else {
         // deletion vectors apply to the rewritten cells' rows (a
         // DV-deleted row must not resurrect through an upsert) and ride
-        // along for the carried cells
-        val target = readSets(touchedSets, prevDvs)
+        // along for the carried cells. With deletes, every touched cell
+        // may be absent (pure-tombstone batch into untouched cells): the
+        // target is then the empty data-shaped relation.
+        val target =
+          if (touchedSets.isEmpty)
+            readStaged().drop(graft.ops.Merge.DeleteCol).limit(0)
+          else readSets(touchedSets, prevDvs)
         val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
         // ONE full-outer join yields the new snapshot AND (feed on) the
         // change classification: pre-image values and match flags ride
@@ -2335,20 +2368,31 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           if (updateExprs.isEmpty) lineageRaw
           else withCheckEnforcementRecomputing(lineageRaw)
         val dataCols = t2.columns.toSeq.map(col)
-        val merged = lineage.select(dataCols: _*)
+        // rows requested deleted — and their matched target, which is the
+        // SAME output row after the full-outer join — drop here; an
+        // unmatched tombstone contributes nothing either way
+        val merged = lineage.filter(!col("__delete_req")).select(dataCols: _*)
         if (changeFeedEnabled)
           lineage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val cdf = if (!changeFeedEnabled) None else {
+            val del = col("__delete_req")
             val both = col("__t_present") && col("__u_present")
-            writeChangeSet(Seq(
-              tagged(lineage.filter(both).select(
-                t2.columns.toSeq.map(c => col(s"__pre_$c").as(c)): _*),
+            val pre = t2.columns.toSeq.map(c => col(s"__pre_$c").as(c))
+            val frames = Seq(
+              tagged(lineage.filter(both && !del).select(pre: _*),
                 "update_preimage"),
-              tagged(lineage.filter(both).select(dataCols: _*),
+              tagged(lineage.filter(both && !del).select(dataCols: _*),
                 "update_postimage"),
-              tagged(lineage.filter(col("__u_present") && !col("__t_present"))
-                .select(dataCols: _*), "insert")))
+              tagged(lineage.filter(col("__u_present") && !col("__t_present") && !del)
+                .select(dataCols: _*), "insert")) ++
+              // matched tombstones are row deletions; unmatched ones
+              // never existed and emit nothing
+              (if (hasDeletes)
+                Seq(tagged(lineage.filter(both && del).select(pre: _*),
+                  "delete"))
+               else Nil)
+            writeChangeSet(frames)
           }
           commit("merge", carried ++ withStats(
             writeBucketedFileSets(merged, spec)),

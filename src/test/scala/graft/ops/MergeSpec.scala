@@ -17,6 +17,22 @@ class MergeSpec extends SparkSpec {
       (4, "d", 40.0)))
   }
 
+  test("delete-marked rows remove matched targets; unmatched tombstones no-op") {
+    val updates = Seq(
+      (2, "B", 200.0, false),  // plain upsert
+      (3, "x", 0.0, true),     // delete the matched target
+      (9, "x", 0.0, true),     // tombstone with no match: no-op
+      (4, "d", 40.0, false),   // plain insert
+    ).toDF("id", "tag", "v", Merge.DeleteCol)
+    val out = Merge.upsert(target, updates, Seq("id"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(out === Set((1, "a", 10.0), (2, "B", 200.0), (4, "d", 40.0)))
+    // without the marker column nothing changes (regression guard)
+    val plain = Merge.upsert(target,
+      Seq((2, "B", 200.0)).toDF("id", "tag", "v"), Seq("id"))
+    assert(plain.count() === 3)
+  }
+
   test("an update that nulls a non-key column wins (presence-flag semantics)") {
     val updates = Seq((1, null.asInstanceOf[String], 11.0)).toDF("id", "tag", "v")
     val out = Merge.upsert(target, updates, Seq("id"))

@@ -146,6 +146,24 @@ class TableStreamSpec extends SparkSpec {
       .collect().toSet === Set((3, "c")))
   }
 
+  test("a rename commit mid-stream fails the append stream loudly") {
+    val root = tmpDir("ts-rn-")
+    val sink = tmpDir("ts-rn-sink-")
+    val cp = tmpDir("ts-rn-cp-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    runOnce(root, cp, sink)
+    // schema-changing DDL inside a batch range: the stream must stop
+    // with guidance, not deliver rows under a half-applied mapping
+    t.renameColumn("v", "val")
+    t.append(Seq((2, "b")).toDF("k", "val"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce(root, cp, sink)
+    }
+    assert(e.getMessage.contains("change feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("change feed")))
+  }
+
   test("sink: table-to-table streaming pipeline is exactly-once across restarts") {
     val src = tmpDir("ts-pipe-src-")
     val dst = tmpDir("ts-pipe-dst-")
@@ -299,6 +317,42 @@ class TableStreamSpec extends SparkSpec {
     // the every-3rd-batch folds keep the tail bounded
     assert(out.history.last.fileSets.length < 6)
     assert(out.history.exists(_.action === "compact"))
+  }
+
+  test("sink: applyChanges replicates a DML'd table through its change feed") {
+    val src = tmpDir("ts-ac2-src-")
+    val replica = tmpDir("ts-ac2-rep-")
+    val cp = tmpDir("ts-ac2-cp-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))            // v0
+    t.merge(Seq((2, "b2"), (3, "c")).toDF("k", "v"), Seq("k"))  // v1
+    t.delete($"k" === 1)                                        // v2
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .option("applyChanges", "true")
+        .trigger(Trigger.AvailableNow())
+        .start(replica)
+      q.awaitTermination()
+    }
+    sync()
+    val out = VersionedTable(spark, replica)
+    assert(out.read.as[(Int, String)].collect().toSet ===
+      Set((2, "b2"), (3, "c")))
+    // more DML, incremental resync: only the change feed tail applies
+    t.merge(Seq((3, "c3"), (4, "d")).toDF("k", "v"), Seq("k"))  // v3
+    t.delete($"k" === 2)                                        // v4
+    sync()
+    assert(out.read.as[(Int, String)].collect().toSet ===
+      Set((3, "c3"), (4, "d")))
+    // replay with nothing new: the replica is untouched (idempotent)
+    sync()
+    assert(out.read.as[(Int, String)].collect().toSet ===
+      Set((3, "c3"), (4, "d")))
   }
 
   test("readChangeFeed mode streams row-level updates and deletes") {

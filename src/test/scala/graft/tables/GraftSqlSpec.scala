@@ -377,7 +377,25 @@ class GraftSqlSpec extends SparkSpec {
     // unsupported clause shapes are refused loudly, not half-applied
     assertThrows[RuntimeException](sql.sql(
       """MERGE INTO silver.mio AS t USING mio_src AS s ON t.k = s.k
-        WHEN MATCHED THEN DELETE"""))
+        WHEN MATCHED THEN UPDATE SET v = 'clobbered'"""))
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE removes matched keys via tombstones") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "mdel")
+    t.merge((0 until 10).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    Seq(2, 5, 99).toDF("k").createOrReplaceTempView("mdel_src")
+    val res = sql.sql("""MERGE INTO silver.mdel AS t USING mdel_src AS s
+      ON t.k = s.k WHEN MATCHED THEN DELETE""")
+    assert(res.select("action").as[String].head() === "merge")
+    // 2 and 5 removed; 99 never existed (no-op); everything else intact
+    assert(t.read.select("k").as[Int].collect().toSet ===
+      (0 until 10).toSet -- Set(2, 5))
+    // rerun: idempotent (tombstones match nothing now)
+    sql.sql("""MERGE INTO silver.mdel AS t USING mdel_src AS s
+      ON t.k = s.k WHEN MATCHED THEN DELETE""")
+    assert(t.read.count() === 8)
   }
 
   test("CTAS records PARTITIONED BY layout; INSERT INTO preserves it") {
@@ -553,6 +571,25 @@ class GraftSqlSpec extends SparkSpec {
     // refusals: unknown source, existing target, load-bearing columns
     assertThrows[Exception](t.renameColumn("nope", "x"))
     assertThrows[Exception](t.renameColumn("k", "value"))
+  }
+
+  test("OPTIMIZE after RENAME migrates physical names; time travel still maps") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "rnopt")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))          // two old-name sets
+    sql.sql("ALTER TABLE silver.rnopt RENAME COLUMN v TO val")
+    // compaction rewrites through `read`, so the folded file-set
+    // carries the NEW name physically — the mapping self-heals as
+    // maintenance touches data
+    t.compact()
+    assert(t.read.columns.toSeq === Seq("k", "val"))
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    // and the pre-rename versions still time-travel to the old shape
+    assert(t.readVersion(0).columns.toSeq === Seq("k", "v"))
+    assert(t.readVersion(1).as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
   }
 
   test("ALTER TABLE DROP COLUMN is metadata-only; the name stays reserved") {

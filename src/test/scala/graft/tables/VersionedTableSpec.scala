@@ -674,6 +674,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.readChangeFeed(t.latestVersion.get).count() === 0) // past it: fine
   }
 
+  test("change feed: merge tombstones emit delete rows with pre-images") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdf-tomb-"))
+    t.enableChangeFeed()
+    t.merge(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k")) // v0
+    // one batch carrying an upsert, a matched tombstone, and an
+    // unmatched tombstone: the feed must show exactly one update pair
+    // and one delete (the unmatched tombstone emits nothing)
+    t.merge(Seq(
+        (2, "b2", false), (3, "x", true), (9, "x", true))
+      .toDF("k", "v", graft.ops.Merge.DeleteCol), Seq("k"))             // v1
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b2")))
+    val feed = t.readChangeFeed(0)
+      .select("_commit_version", "_change_type", "k", "v")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed === Set(
+      (1L, "update_preimage", 2, "b"), (1L, "update_postimage", 2, "b2"),
+      (1L, "delete", 3, "c")))
+  }
+
   test("change feed: DV deletes and no-op DMLs report exactly their rows") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-cdfdv-"))

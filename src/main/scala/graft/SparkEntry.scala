@@ -1016,6 +1016,31 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // SQL MERGE ... WHEN MATCHED THEN DELETE: delete-by-source through
+    // the tombstone merge path — matched keys (region 2, by key list)
+    // vanish, unmatched source keys are no-ops, and a replay deletes
+    // nothing further (idempotence is part of the oracle: the query
+    // runs the statement twice).
+    "q_sql_merge_delete" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-mdl-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      tbl.merge(nat, Seq("n_nationkey"), numBuckets = 4)
+      nat.filter(col("n_regionkey") === 2).select("n_nationkey")
+        .union(s.range(9000, 9003).select(col("id").as("n_nationkey")))
+        .createOrReplaceTempView("mdl_src")
+      val sql = graft.tables.GraftSql(s)
+      val stmt = s"""MERGE INTO graft.`$tmp/t` AS t USING mdl_src AS s
+        ON t.n_nationkey = s.n_nationkey WHEN MATCHED THEN DELETE"""
+      sql.sql(stmt)
+      sql.sql(stmt) // replay: tombstones match nothing now
+      tbl.read
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // SQL RENAME COLUMN: metadata-only column mapping (Delta
     // column-mapping analog). Data straddles the rename — pre-rename
     // file-sets carry the old physical name, post-rename sets the new
@@ -2512,6 +2537,13 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    // Delete-by-source MERGE: everything except region 2 survives,
+    // exactly once, after a deliberate statement replay.
+    "q_sql_merge_delete" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
 
     // RENAME COLUMN mapping: the full relation must surface under the
     // NEW name regardless of which side of the rename each row's file

@@ -246,6 +246,51 @@ class TableStreamSpec extends SparkSpec {
     assert(VersionedTable(spark, dst).read.count() === 3)
   }
 
+  test("sink: windowed streaming aggregation in Update mode merges by window") {
+    val dst = tmpDir("ts-win-dst-")
+    val cp = tmpDir("ts-win-cp-")
+    val landing = tmpDir("ts-win-in-") + "/landing"
+    // the canonical Update-mode user: a time-windowed count. The window
+    // struct itself is a merge key — hash() handles struct keys, so the
+    // bucket-COW routing works unchanged.
+    Seq(("2026-01-01 00:01:00", "u1"), ("2026-01-01 00:02:00", "u1"),
+        ("2026-01-01 00:11:00", "u2"))
+      .toDF("ts", "user").coalesce(1).write.json(landing)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("ts STRING, user STRING").json(landing)
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .withWatermark("ts", "1 hour") // generous: the late row must UPDATE, not drop
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "10 minutes"),
+          $"user")
+        .count()
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "window,user")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    drain()
+    val read1 = VersionedTable(spark, dst).read
+      .selectExpr("CAST(window.start AS STRING) AS ws", "user", "count")
+      .as[(String, String, Long)].collect().toSet
+    assert(read1 === Set(
+      ("2026-01-01 00:00:00", "u1", 2L),
+      ("2026-01-01 00:10:00", "u2", 1L)))
+    // a late-but-in-watermark row lands in an EXISTING window: its
+    // cumulative count must update in place, not duplicate the window
+    Seq(("2026-01-01 00:03:00", "u1")).toDF("ts", "user")
+      .coalesce(1).write.mode("append").json(landing)
+    drain()
+    val read2 = VersionedTable(spark, dst).read
+      .selectExpr("CAST(window.start AS STRING) AS ws", "user", "count")
+      .as[(String, String, Long)].collect().toSet
+    assert(read2 === Set(
+      ("2026-01-01 00:00:00", "u1", 3L),
+      ("2026-01-01 00:10:00", "u2", 1L)))
+  }
+
   test("sink: Update mode without mergeKeys is refused loudly") {
     val dst = tmpDir("ts-updx-dst-")
     val cp = tmpDir("ts-updx-cp-")

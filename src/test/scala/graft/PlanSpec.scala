@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
   }
 
+  test("filters on a renamed column still push down to the parquet scan") {
+    import spark.implicits._
+    val t = graft.tables.VersionedTable(spark, tmpDir("plan-rn-"))
+    t.append((0 until 1000).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.renameColumn("v", "val")
+    // the mapping is an alias projection; Catalyst must push a filter on
+    // the NEW name through it onto the OLD physical column in the scan —
+    // at 100 TB a rename that silenced pushdown would be a full-scan tax
+    val p = t.read.filter($"val" === "v7").filter($"k" > 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(v), EqualTo(v,v7), IsNotNull(k), GreaterThan(k,5)]") ||
+      (p.contains("EqualTo(v,v7)") && p.contains("GreaterThan(k,5)")),
+      s"filter not pushed through the rename projection:\n$p")
+    assert(t.read.filter($"val" === "v7").count() === 1L)
+  }
+
   test("text stats: map-only — no shuffle in the whole plan") {
     val p = graft.ops.TextAnalysis.documentStats(
       spark.read.parquet(s"$dir/documents.parquet"))

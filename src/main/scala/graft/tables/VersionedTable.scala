@@ -1743,6 +1743,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
     }
+    // the column-mapping ledger carries over with every op's version
+    // clamped to 0: the clone's history restarts at its clone commit, so
+    // the source's rename/drop versions would otherwise sit in the
+    // future and silently deactivate the mapping (old physical names
+    // would resurface in every clone read)
+    if (Files.exists(colmapPath)) {
+      val clamped = colmapOps.map {
+        case (_, f, Some(to)) => s"""{"v":0,"from":"$f","to":"$to"}"""
+        case (_, f, None)     => s"""{"v":0,"drop":"$f"}"""
+      }.mkString("", "\n", "\n")
+      Files.writeString(
+        Paths.get(targetRoot).resolve(colmapPath.getFileName.toString), clamped)
+    }
     src.fileSets.foreach(fs =>
       linkTree(dataDir.resolve(fs), t.dataDir.resolve(fs)))
     // deletion vectors are part of the snapshot: link them too (DV paths

@@ -1124,6 +1124,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(t2.read.select("price").as[Long].head() === 2L)
   }
 
+  test("shallowCloneTo carries the column mapping (versions re-based)") {
+    import org.apache.spark.sql.functions.col
+    val t = VersionedTable(spark, tmpDir("vt-clone-cm-"))
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.renameColumn("v", "val") // source rename at v1; clone history restarts
+    val c = t.shallowCloneTo(tmpDir("vt-clone-cm-dst-"))
+    // without re-basing, the mapping (recorded at source v1) would sit in
+    // the clone's future and old physical names would silently resurface
+    assert(c.read.columns.toSeq === Seq("k", "val"))
+    assert(c.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    // post-clone appends + further renames work on the clone alone
+    c.append(Seq((3, "c")).toDF("k", "val"))
+    c.renameColumn("val", "value")
+    assert(c.read.columns.toSeq === Seq("k", "value"))
+    assert(c.read.count() === 3)
+    assert(t.read.columns.toSeq === Seq("k", "val")) // source untouched
+    assert(t.read.filter(col("val") === "c").count() === 0)
+  }
+
   test("shallowCloneTo: zero-copy clone diverges independently of the source") {
     val t = VersionedTable(spark, tmpDir("vt-clone-src-"))
     t.merge(Seq((1, "a"), (2, "b")).toDF("id", "v"), Seq("id"), numBuckets = 2)

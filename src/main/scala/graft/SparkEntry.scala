@@ -1016,6 +1016,31 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // CDF across a column rename: one feed read spans the old-name era
+    // (v0 inserts, physical n_name), the metadata-only rename (v1, no
+    // change rows), and the new-name era (v2 updates, v3 deletes) — all
+    // surfaced under the CURRENT name. Delta's CDF refuses reads across
+    // this boundary; the per-arm mapping projection makes it exact.
+    "q_cdf_rename_feed" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-cdfr-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      tbl.enableChangeFeed()
+      tbl.merge(nat, Seq("n_nationkey"))                               // v0
+      tbl.renameColumn("n_name", "nation_name")                       // v1
+      tbl.merge(nat.filter(col("n_regionkey") === 1)                   // v2
+        .withColumn("n_name", concat(col("n_name"), lit("!")))
+        .withColumnRenamed("n_name", "nation_name"), Seq("n_nationkey"))
+      tbl.delete(col("n_regionkey") === 2)                             // v3
+      tbl.readChangeFeed(-1)
+        .select(col("_commit_version").as("cv"),
+          col("_change_type").as("ct"),
+          col("n_nationkey"), col("nation_name"), col("n_regionkey"))
+        .orderBy("cv", "ct", "n_nationkey")
+    }),
+
     // SQL MERGE ... WHEN MATCHED THEN DELETE: delete-by-source through
     // the tombstone merge path — matched keys (region 2, by key list)
     // vanish, unmatched source keys are no-ops, and a replay deletes
@@ -2537,6 +2562,23 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    // CDF-across-rename feed: every era's rows under the current name.
+    "q_cdf_rename_feed" ->
+      """SELECT CAST(0 AS BIGINT) AS cv, 'insert' AS ct,
+        |  CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  n_name AS nation_name, CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'update_preimage',
+        |  CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey = 1
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'update_postimage',
+        |  CAST(n_nationkey AS BIGINT), n_name || '!', CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey = 1
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
+        |  CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey = 2
+        |ORDER BY cv, ct, n_nationkey""".stripMargin,
 
     // Delete-by-source MERGE: everything except region 2 survives,
     // exactly once, after a deliberate statement replay.

@@ -505,10 +505,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // shape): every source key becomes a merge tombstone — matched
         // target rows are removed through the same bucket-COW path an
         // upsert takes (only touched cells rewrite); unmatched source
-        // keys are no-ops. Only the keys matter; other source columns
-        // are never read.
+        // keys are no-ops. Keys route the tombstone; on a PARTITIONED
+        // merge table the partition columns must ride too (they pick
+        // the cell) — carried when the source has them, and their
+        // absence fails the staging write loudly, exactly as it would
+        // for an upsert without them.
+        val parts = tbl.bucketSpec.map(_.partitionKeys).getOrElse(Nil)
+        val keep = (keys ++ parts.filter(renamed.columns.contains)).distinct
         versionDf(tbl.merge(
-          renamed.select(keys.map(col): _*)
+          renamed.select(keep.map(col): _*)
             .withColumn(graft.ops.Merge.DeleteCol, lit(true)),
           keys))
       case other => sys.error(

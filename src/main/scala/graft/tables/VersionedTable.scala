@@ -859,9 +859,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   }
 
   /** Shared refusals for mapping DDL: the column must not be
-    * load-bearing elsewhere in the table's metadata, and CDF staged
-    * change files don't get the projection (enable CDF after the
-    * mapping settles). */
+    * load-bearing elsewhere in the table's metadata. (CDF tables are
+    * fine: the change feed applies the mapping to every arm, so reads
+    * stay consistent across the DDL — see [[readChangeFeed]].) */
   private def requireUnencumbered(c: String, what: String): Unit = {
     bucketSpec.foreach { sp =>
       require(!sp.keys.contains(c) && !sp.partitionKeys.contains(c),
@@ -873,8 +873,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       require(!ex.matches(s".*\\b$c\\b.*"),
         s"$what: `$c` is referenced by `$name` ($ex) at $root")
     }
-    require(!Files.exists(cdfMarker),
-      s"$what: not supported on CDF-enabled table at $root")
   }
 
   /** Names old file-sets may still physically carry even though the
@@ -894,10 +892,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * ONE column); files written after carry the new name physically.
     *
     * Refused when the old name is load-bearing in other metadata — a
-    * bucket/partition key, CHECK constraint, generated column, or stats
-    * column mention — or on CDF-enabled tables (staged change files
-    * would need the same projection; enable after renames settle).
-    * Crash between the commit and the ledger write leaves a no-op
+    * bucket/partition key, CHECK constraint, or generated column. CDF
+    * tables are supported: the feed projects the mapping onto every
+    * arm, so change reads stay consistent ACROSS the rename (a boundary
+    * Delta's CDF refuses). Crash between the commit and the ledger
+    * write leaves a no-op
     * `rename_column` commit and no mapping — data intact, rerun the
     * rename. Old-file-set min/max/bloom sidecars stay keyed by the old
     * name: skipping on the new name simply stops pruning those sets
@@ -1140,8 +1139,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                   e.version, e.tsMillis)
               else appendFlat += ((e, p))
             }
-          // data-identical rewrites: no logical change to report
-          case "compact" | "zorder" | "purge_dv" => ()
+          // data-identical rewrites: no logical change to report. Column
+          // mapping DDL is metadata-only too — the mapping itself is
+          // applied to every feed arm (old-era change files project to
+          // current names), so the feed stays readable ACROSS renames,
+          // a boundary Delta's CDF refuses
+          case "compact" | "zorder" | "purge_dv"
+             | "rename_column" | "drop_column" => ()
           // a clone BASE commit is the cloned snapshot itself: synthesize
           // its rows as inserts (the clone's own DVs applied — rows
           // deleted before the clone never existed here) so a CDC
@@ -1216,8 +1220,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def foldedScan(paths: Seq[Path],
                          schema: org.apache.spark.sql.types.StructType,
                          meta: Seq[(String, Long, Long)]): DataFrame = {
-    val scan = spark.read.schema(schema)
-      .parquet(paths.map(_.toString): _*)
+    // current column mapping per arm (same fold as readFileSets): change
+    // files written before a RENAME/DROP COLUMN carry the old physical
+    // names; projecting them here means every feed row — whatever era
+    // its commit belongs to — surfaces under the table's CURRENT schema
+    val raw = spark.read.schema(schema).parquet(paths.map(_.toString): _*)
+    val scan = activeRenames(Long.MaxValue).foldLeft(raw) {
+        case (acc, (f, Some(t))) =>
+          if (acc.columns.contains(f) && !acc.columns.contains(t))
+            acc.withColumnRenamed(f, t)
+          else acc
+        case (acc, (f, None)) =>
+          if (acc.columns.contains(f)) acc.drop(f) else acc
+      }
       .withColumn("__fpath", col("_metadata.file_path"))
       .withColumn("__cdir", substring_index(
         substring_index(col("_metadata.file_path"), "/", -2), "/", 1))

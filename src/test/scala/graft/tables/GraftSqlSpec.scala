@@ -614,6 +614,25 @@ class GraftSqlSpec extends SparkSpec {
     assertThrows[Exception](t.dropColumn("nope"))
   }
 
+  test("MERGE DELETE on a partitioned merge table routes by (partition, bucket)") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("gold", "pmdel")
+    t.merge((0 until 20).map(i => (i, s"p${i % 2}", s"v$i")).toDF("k", "p", "v"),
+      Seq("k"), numBuckets = 2, partitionBy = Seq("p"))
+    val before = t.history.last.fileSets.toSet
+    // tombstone source carries the partition column: only the hit
+    // (partition, bucket) cells rewrite, the rest carry verbatim
+    Seq((4, "p0"), (7, "p1")).toDF("k", "p")
+      .createOrReplaceTempView("pmdel_src")
+    sql.sql("""MERGE INTO gold.pmdel AS t USING pmdel_src AS s
+      ON t.k = s.k WHEN MATCHED THEN DELETE""")
+    assert(t.read.select("k").as[Int].collect().toSet ===
+      (0 until 20).toSet -- Set(4, 7))
+    val after = t.history.last.fileSets.toSet
+    assert((before intersect after).nonEmpty,
+      "a partitioned tombstone merge must carry untouched cells, not rewrite all")
+  }
+
   test("MERGE survives hostile string literals (WHEN/commas/parens in data)") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "adv")

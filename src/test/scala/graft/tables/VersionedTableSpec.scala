@@ -695,6 +695,28 @@ class VersionedTableSpec extends SparkSpec {
       (1L, "delete", 3, "c")))
   }
 
+  test("change feed reads ACROSS a column rename under the current names") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-cdf-rn-"))
+    t.enableChangeFeed()
+    t.merge(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))  // v0 (old era)
+    t.renameColumn("v", "val")                                 // v1 (no changes)
+    t.merge(Seq((2, "b2")).toDF("k", "val"), Seq("k"))         // v2 (new era)
+    // one read spanning both eras: old-era change files carry physical
+    // `v`, new-era ones `val` — the feed projects BOTH to the current
+    // name, where Delta's CDF would refuse the schema-change boundary
+    val feed = t.readChangeFeed(-1)
+      .select("_commit_version", "_change_type", "k", "val")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed === Set(
+      (0L, "insert", 1, "a"), (0L, "insert", 2, "b"),
+      (2L, "update_preimage", 2, "b"), (2L, "update_postimage", 2, "b2")))
+    // and a DROP projects the column out of every era
+    t.dropColumn("val")
+    assert(!t.readChangeFeed(-1).columns.contains("val"))
+    assert(t.readChangeFeed(-1).columns.contains("k"))
+  }
+
   test("change feed: DV deletes and no-op DMLs report exactly their rows") {
     import org.apache.spark.sql.functions._
     val t = VersionedTable(spark, tmpDir("vt-cdfdv-"))

@@ -154,9 +154,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       // analysis inlines a temp view's plan into the DataFrame, so the
       // views can drop as soon as spark.sql returns — nothing
       // accumulates in the session and no later statement can observe
-      // (or race against) a stale pin
+      // (or race against) a stale pin. EXCEPT view-creating statements:
+      // since Spark 3.1 a SQL-created view stores the PARSED plan and
+      // re-resolves on every reference, so `CREATE TEMP VIEW x AS
+      // SELECT … VERSION AS OF n` must keep its asof pins registered or
+      // x fails with "table not found" on first use — those leak for
+      // the session, the price of deferred resolution
+      val createsView = """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?""" +
+        """(GLOBAL\s+)?(TEMP(ORARY)?\s+)?VIEW\b.*"""
       try spark.sql(rewritten)
-      finally views.foreach(spark.catalog.dropTempView)
+      finally if (!other.matches(createsView))
+        views.foreach(spark.catalog.dropTempView)
   }
 
   /** Inline time travel inside arbitrary SELECTs (Delta's

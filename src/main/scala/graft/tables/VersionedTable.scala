@@ -869,8 +869,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     }
     require(!partitionLayout.contains(c),
       s"$what: `$c` is a partition column at $root")
+    // DOTALL + quoted name: a multi-line CHECK expression (or a column
+    // whose name carries regex metacharacters) must still block the DDL —
+    // a rename that slips past leaves every later write failing check
+    // enforcement against a column the schema no longer has
+    val refPat = java.util.regex.Pattern.compile(
+      "(?s).*\\b" + java.util.regex.Pattern.quote(c) + "\\b.*")
     (checks ++ generatedColumns).foreach { case (name, ex) =>
-      require(!ex.matches(s".*\\b$c\\b.*"),
+      require(!refPat.matcher(ex).matches(),
         s"$what: `$c` is referenced by `$name` ($ex) at $root")
     }
   }
@@ -881,6 +887,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * resurrect stale values out of pre-DDL files. */
   private def ghostNames: Set[String] =
     (columnRenames.map(_._2) ++ columnDrops.map(_._2)).toSet
+
+  /** Write-path half of the ghost guard (DDL paths refuse in
+    * addColumns/renameColumn): a batch still carrying a pre-DDL physical
+    * name must not land. If it did, the read-time mapping fold would
+    * silently rebind it — renamed: the stale name re-maps onto the NEW
+    * logical column (fresh data under the wrong name wins a rename it
+    * never asked for); dropped: the values silently project away; and a
+    * file-set carrying BOTH old and new names skips the rename fold
+    * entirely, surfacing a spurious extra column. Delta's column mapping
+    * rejects stale-name writes the same way — the producer must migrate. */
+  private def requireNoGhostColumns(df: DataFrame, what: String): Unit = {
+    val ghosts = ghostNames
+    if (ghosts.nonEmpty) {
+      val stale = df.columns.filter(ghosts.contains)
+      require(stale.isEmpty,
+        s"$what at $root: column(s) ${stale.mkString(",")} were renamed or " +
+          "dropped by DDL; old files still carry the name — rename/drop " +
+          "them in the incoming batch (writes must use the current schema)")
+    }
+  }
 
   /** `ALTER TABLE … RENAME COLUMN from TO to` — Delta's column-mapping
     * analog, priced like [[addColumns]]: a metadata-only commit (action
@@ -1692,6 +1718,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // replayed txn: skip before writing any data files (the authoritative
     // re-check under the commit race lives in commitRebase)
     if (txnAlreadyApplied(txn)) return history.last
+    requireNoGhostColumns(df, "append")
     val checked = withCheckEnforcement(df)
     bucketSpec match {
       case Some(spec) =>
@@ -1719,6 +1746,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
                 txn: Option[(String, Long)] = None): LogEntry = {
     if (txnAlreadyApplied(txn)) return history.last
+    requireNoGhostColumns(df, "overwrite")
     val checked = withCheckEnforcement(df)
     bucketSpec match {
       case Some(spec) =>
@@ -2244,6 +2272,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // any intervening commit (including a racer applying this same txn)
     // fails our commit, and the caller's rerun lands back here and skips.
     if (txnAlreadyApplied(txn)) return history.last
+    requireNoGhostColumns(updates, "merge")
     val spec = bucketSpec match {
       case Some(sp) =>
         require(sp.keys == keys,
@@ -2280,9 +2309,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // CHECK enforcement on the update batch rides in the staging job
     // (insert rows land verbatim from here). Delete tombstones are
     // exempt: they only need keys + marker, and never land.
+    // The marker normalizes NULL→false FIRST: a nullable marker column
+    // (e.g. built via unionByName(allowMissingColumns)) would otherwise
+    // have its NULL rows excluded by BOTH filters of the split below and
+    // silently vanish before staging.
+    val markedUpdates =
+      if (!hasDeletes) typedUpdates
+      else typedUpdates.withColumn(graft.ops.Merge.DeleteCol,
+        coalesce(col(graft.ops.Merge.DeleteCol), lit(false)))
     val rawDeduped = preferUpdateBy match {
-      case Some(ord) => graft.ops.Keyed.latestPerKey(typedUpdates, keys, ord)
-      case None      => typedUpdates.dropDuplicates(keys)
+      case Some(ord) => graft.ops.Keyed.latestPerKey(markedUpdates, keys, ord)
+      case None      => markedUpdates.dropDuplicates(keys)
     }
     val deduped =
       if (!hasDeletes) withCheckEnforcement(rawDeduped)

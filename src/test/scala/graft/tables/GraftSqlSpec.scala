@@ -546,6 +546,22 @@ class GraftSqlSpec extends SparkSpec {
       sql.sql("SELECT * FROM no_such_tbl VERSION AS OF 0"))
   }
 
+  test("CREATE TEMP VIEW over VERSION AS OF stays resolvable (deferred plans)") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "ttv2")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v")) // v0
+    t.overwrite(Seq((1, "a2")).toDF("k", "v"))       // v1
+    // a SQL-created view stores the PARSED plan and re-resolves per
+    // reference — the asof pin it references must survive the statement
+    sql.sql("CREATE OR REPLACE TEMP VIEW ttv2_v0 AS " +
+      "SELECT k, v FROM silver.ttv2 VERSION AS OF 0")
+    assert(spark.table("ttv2_v0").as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")))
+    // and again — every reference re-resolves
+    assert(sql.sql("SELECT count(*) AS n FROM ttv2_v0").as[Long].head() === 2L)
+    spark.catalog.dropTempView("ttv2_v0")
+  }
+
   test("ALTER TABLE RENAME COLUMN is metadata-only column mapping") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "rn")

@@ -1649,6 +1649,57 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.as[Int].collect().toSet === Set(9))
   }
 
+  test("writes under a ghost column name are rejected after RENAME/DROP DDL") {
+    val t = VersionedTable(spark, tmpDir("vt-ghostw-"))
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.renameColumn("v", "val")
+    // a producer still emitting the pre-rename name must fail loudly on
+    // every write path — landing it would rebind the stale name through
+    // the read-time mapping fold
+    assertThrows[IllegalArgumentException](
+      t.append(Seq((2, "b")).toDF("id", "v")))
+    assertThrows[IllegalArgumentException](
+      t.overwrite(Seq((2, "b")).toDF("id", "v")))
+    assertThrows[IllegalArgumentException](
+      t.merge(Seq((2, "b")).toDF("id", "v"), Seq("id")))
+    t.append(Seq((2, "b")).toDF("id", "val")) // current name lands fine
+    assert(t.read.orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "a"), (2, "b")))
+    t.dropColumn("val")
+    assertThrows[IllegalArgumentException](
+      t.append(Seq((3, "c")).toDF("id", "val"))) // dropped name: same refusal
+    t.append(Seq(3).toDF("id"))
+    assert(t.read.as[Int].collect().toSet === Set(1, 2, 3))
+  }
+
+  test("rename/drop refuse columns referenced by multi-line CHECK expressions") {
+    val t = VersionedTable(spark, tmpDir("vt-mlcheck-"))
+    t.append(Seq((1, 5)).toDF("id", "price"))
+    // \r survives addCheck's newline guard but Java regex `.` skips line
+    // terminators without DOTALL — pre-fix, this rename slipped through,
+    // leaving every later write failing the orphaned check
+    t.addCheck("price_pos", "price >\r 0")
+    assertThrows[IllegalArgumentException](t.renameColumn("price", "p"))
+    assertThrows[IllegalArgumentException](t.dropColumn("price"))
+    t.dropCheck("price_pos")
+    t.renameColumn("price", "p") // unencumbered now
+    assert(t.read.columns.toSeq === Seq("id", "p"))
+  }
+
+  test("merge: NULL delete markers are updates, not silently dropped") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-nullmark-"))
+    t.merge(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), Seq("id"))
+    // the nullable-marker shape a unionByName(allowMissingColumns) feed
+    // produces: updates carry NULL in __graft_delete, deletes carry true
+    val upd = Seq((2, "b2")).toDF("id", "v")
+    val del = Seq((3, "c")).toDF("id", "v")
+      .withColumn(graft.ops.Merge.DeleteCol, lit(true))
+    t.merge(upd.unionByName(del, allowMissingColumns = true), Seq("id"))
+    assert(t.read.orderBy("id").as[(Int, String)].collect().toSeq ===
+      Seq((1, "a"), (2, "b2")))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

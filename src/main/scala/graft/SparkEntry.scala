@@ -1066,6 +1066,66 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // SQL MERGE with conditional / column-level clauses (Delta's full
+    // grammar): first-match per row — region-2 matches delete, the
+    // remaining matches take a column-level update (only n_name
+    // rewrites, and only for region 1 via its guard), and of the
+    // shifted unmatched source rows only region 0 passes the insert
+    // guard (with a computed value and a NULL-filled unlisted column
+    // exercised via n_regionkey being listed).
+    "q_sql_merge_conditional" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-mcd-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      tbl.merge(nat, Seq("n_nationkey"), numBuckets = 4)
+      nat.select(col("n_nationkey").as("src_key"), col("n_name").as("src_name"),
+          col("n_regionkey").as("src_region"))
+        .union(nat.filter(col("n_regionkey") <= 1)
+          .select((col("n_nationkey") + 100).as("src_key"),
+            col("n_name").as("src_name"),
+            col("n_regionkey").as("src_region")))
+        .createOrReplaceTempView("mcd_src")
+      graft.tables.GraftSql(s).sql(
+        s"""MERGE INTO graft.`$tmp/t` AS t USING mcd_src AS s
+            ON t.n_nationkey = s.src_key
+            WHEN MATCHED AND s.src_region = 2 THEN DELETE
+            WHEN MATCHED AND t.n_regionkey = 1 THEN
+              UPDATE SET n_name = upper(s.src_name)
+            WHEN NOT MATCHED AND s.src_region = 0 THEN
+              INSERT (n_nationkey, n_name, n_regionkey)
+              VALUES (s.src_key, s.src_name || '_new', s.src_region)""")
+      tbl.read
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // SQL MERGE ... WHEN NOT MATCHED BY SOURCE (Delta 2.3's clause):
+    // target rows with no source match take their own guarded
+    // update/delete chain — the merge becomes a full-table pass, the
+    // same cost Delta pays for this clause.
+    "q_sql_merge_by_source" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-mbs-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+      tbl.merge(nat, Seq("n_nationkey"), numBuckets = 4)
+      nat.filter(col("n_regionkey") <= 1)
+        .select(col("n_nationkey").as("src_key"), col("n_name").as("src_name"))
+        .createOrReplaceTempView("mbs_src")
+      graft.tables.GraftSql(s).sql(
+        s"""MERGE INTO graft.`$tmp/t` AS t USING mbs_src AS s
+            ON t.n_nationkey = s.src_key
+            WHEN MATCHED THEN UPDATE SET n_name = lower(s.src_name)
+            WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 4 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n_name = 'stale'""")
+      tbl.read
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // SQL RENAME COLUMN: metadata-only column mapping (Delta
     // column-mapping analog). Data straddles the rename — pre-rename
     // file-sets carry the old physical name, post-rename sets the new
@@ -2586,6 +2646,33 @@ object SparkEntry {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey <> 2 ORDER BY n_nationkey""".stripMargin,
+
+    // Conditional MERGE end state: region 2 deleted, region 1 names
+    // uppercased (other matched columns untouched), shifted region-0
+    // keys inserted with a computed name; region-1 shifted keys fail
+    // the insert guard and land nowhere.
+    "q_sql_merge_conditional" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN upper(n_name) ELSE n_name END
+        |    AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <> 2
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT), n_name || '_new',
+        |  CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_regionkey = 0
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // NOT MATCHED BY SOURCE end state: matched rows (regions 0-1)
+    // lowercased, unmatched region 4 deleted, remaining unmatched rows
+    // (regions 2-3) renamed 'stale' by the second by-source clause.
+    "q_sql_merge_by_source" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_regionkey <= 1 THEN lower(n_name)
+        |       ELSE 'stale' END AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey <> 4
+        |ORDER BY n_nationkey""".stripMargin,
 
     // RENAME COLUMN mapping: the full relation must surface under the
     // NEW name regardless of which side of the rename each row's file

@@ -524,11 +524,101 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           renamed.select(keep.map(col): _*)
             .withColumn(graft.ops.Merge.DeleteCol, lit(true)),
           keys))
-      case other => sys.error(
-        "MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-          "THEN INSERT *, WHEN NOT MATCHED THEN INSERT * alone, or WHEN " +
-          s"MATCHED THEN DELETE alone; got: $other")
+      case other =>
+        // the general grammar: conditional / column-level clauses, any
+        // number, first-match per row — parsed here, evaluated by
+        // Merge.applyClausesWithLineage through the same bucket-COW path
+        val cl = parseMergeClauses(other, tAlias, sAlias, keyPairs)
+        versionDf(tbl.merge(renamed, keys, clauses = Some(cl)))
     }
+  }
+
+  /** Delta's full MERGE clause surface (beyond the three fast-path
+    * shapes above):
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET (* | c = expr, …) | DELETE
+    *   WHEN NOT MATCHED [BY TARGET] [AND cond] THEN
+    *     INSERT (* | (cols) VALUES (exprs))
+    *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    *     UPDATE SET c = expr, … | DELETE
+    * Conditions/values are SQL referencing `tAlias.c` / `sAlias.c`
+    * (unqualified references fail analysis — loud, not ambiguous).
+    * Source key references are rewritten to the target key names the
+    * source frame was renamed to (`ON t.k = s.sk` makes `s.sk` mean the
+    * renamed column). */
+  private def parseMergeClauses(text: String, tAlias: String, sAlias: String,
+      keyPairs: Seq[(String, String)]): graft.ops.Merge.Clauses = {
+    import graft.ops.Merge._
+    def fixKeys(t0: String): String =
+      keyPairs.filter(p => p._1 != p._2).foldLeft(t0) { case (acc, (tk, sk)) =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(sAlias) +
+          "\\s*\\.\\s*(`" + java.util.regex.Pattern.quote(sk) + "`|" +
+          java.util.regex.Pattern.quote(sk) + "\\b)").r
+          .replaceAllIn(acc,
+            java.util.regex.Matcher.quoteReplacement(s"$sAlias.`$tk`"))
+      }
+    def parseSetTexts(sets: String): Seq[(String, String)] =
+      GraftSql.splitTop(sets, ',').map { a =>
+        val i = GraftSql.topLevelIndexOf(a, '=')
+        require(i > 0, s"MERGE UPDATE SET: not an assignment: $a")
+        val lhsRaw = a.substring(0, i).trim
+        val lhs = stripTicks(
+          if (lhsRaw.toLowerCase.startsWith(tAlias.toLowerCase + "."))
+            lhsRaw.substring(tAlias.length + 1).trim
+          else lhsRaw)
+        lhs -> fixKeys(a.substring(i + 1).trim)
+      }
+    val MatchedHead = """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s*""".r
+    val BySourceHead =
+      """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s*""".r
+    val NotMatchedHead =
+      """(?is)\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s*""".r
+    val UpdateAllAct = """(?is)\s*UPDATE\s+SET\s+\*\s*""".r
+    val UpdateSetAct = """(?is)\s*UPDATE\s+SET\s+(.+?)\s*""".r
+    val DeleteAct = """(?is)\s*DELETE\s*""".r
+    val InsertAllAct = """(?is)\s*INSERT\s+\*\s*""".r
+    val InsertValsAct =
+      """(?is)\s*INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*""".r
+    def updateOrDelete(act: String, what: String): MergeAction = act match {
+      case UpdateAllAct()     => UpdateAll
+      case DeleteAct()        => DeleteRow
+      case UpdateSetAct(sets) => UpdateSet(parseSetTexts(sets))
+      case other => sys.error(s"$what expects UPDATE SET …|DELETE: $other")
+    }
+    val idxs = GraftSql.topKeywordIndices(text, "WHEN")
+    require(idxs.nonEmpty && text.substring(0, idxs.head).trim.isEmpty,
+      s"MERGE clauses must be WHEN …: $text")
+    val bounds = idxs :+ text.length
+    val matched = scala.collection.mutable.ArrayBuffer.empty[MatchedClause]
+    val notMatched = scala.collection.mutable.ArrayBuffer.empty[NotMatchedClause]
+    val bySource = scala.collection.mutable.ArrayBuffer.empty[BySourceClause]
+    idxs.indices.foreach { i =>
+      val chunk = text.substring(idxs(i) + "WHEN".length, bounds(i + 1))
+      val thenAt = GraftSql.topKeywordIndices(chunk, "THEN")
+      require(thenAt.nonEmpty, s"MERGE clause lacks THEN: WHEN $chunk")
+      val head = chunk.substring(0, thenAt.head)
+      val act = chunk.substring(thenAt.head + "THEN".length)
+      head match {
+        case BySourceHead(cond) =>
+          bySource += BySourceClause(Option(cond).map(fixKeys),
+            updateOrDelete(act, "WHEN NOT MATCHED BY SOURCE"))
+        case MatchedHead(cond) =>
+          matched += MatchedClause(Option(cond).map(fixKeys),
+            updateOrDelete(act, "WHEN MATCHED"))
+        case NotMatchedHead(cond) =>
+          val action = act match {
+            case InsertAllAct() => InsertAll
+            case InsertValsAct(cols, vals) =>
+              val cs = GraftSql.splitTop(cols, ',').map(stripTicks)
+              val vs = GraftSql.splitTop(vals, ',').map(fixKeys)
+              InsertValues(cs, vs)
+            case other =>
+              sys.error(s"WHEN NOT MATCHED expects INSERT …: $other")
+          }
+          notMatched += NotMatchedClause(Option(cond).map(fixKeys), action)
+        case other => sys.error(s"unparseable MERGE clause: WHEN $other")
+      }
+    }
+    Clauses(tAlias, sAlias, matched.toSeq, notMatched.toSeq, bySource.toSeq)
   }
 
   /** MERGE source: a parenthesized subquery, a graft table, or any
@@ -726,6 +816,40 @@ object GraftSql {
     }
     out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Top-level indices of keyword `kw` (case-insensitive, word-bounded):
+    * quote/backtick-aware, paren-depth 0, and outside CASE…END — the one
+    * SQL construct where WHEN/THEN nest without parentheses, so a merge
+    * clause condition may itself contain a CASE expression. */
+  private[tables] def topKeywordIndices(s: String, kw: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val U = s.toUpperCase(java.util.Locale.ROOT)
+    val K = kw.toUpperCase(java.util.Locale.ROOT)
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(j: Int, w: String): Boolean =
+      U.startsWith(w, j) && (j == 0 || !isWordChar(s.charAt(j - 1))) &&
+        (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
+    var depth = 0; var caseDepth = 0; var inStr = false; var inTick = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '`'  => inTick = true; i += 1
+        case '('  => depth += 1; i += 1
+        case ')'  => depth -= 1; i += 1
+        case _ =>
+          if (wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (caseDepth > 0 && wordAt(i, "END")) { caseDepth -= 1; i += 3 }
+          else if (depth == 0 && caseDepth == 0 && wordAt(i, K)) {
+            out += i; i += K.length
+          } else i += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Index of the first top-level occurrence of `target`, or -1. */

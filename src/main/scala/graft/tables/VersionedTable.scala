@@ -420,14 +420,21 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * updateExprs post-images): generated columns RECOMPUTE — Delta's
     * UPDATE/MERGE semantics for GENERATED ALWAYS AS — where plain
     * ingest ([[withCheckEnforcement]]) enforces a supplied value. */
-  private def withCheckEnforcementRecomputing(df: DataFrame): DataFrame =
+  private def withCheckEnforcementRecomputing(df: DataFrame,
+      exempt: Option[Column] = None): DataFrame =
     checksOnly(generatedColumns.foldLeft(df) { case (d, (n, e)) =>
       if (d.columns.contains(n)) d.withColumn(n, expr(e)) else d
-    })
+    }, exempt)
 
-  private def checksOnly(df: DataFrame): DataFrame =
+  /** `exempt`: rows the caller is about to FILTER OUT anyway (merge
+    * delete requests, unclaimed source-only rows) — their data columns
+    * are pre-images or NULL padding, never written, so a NOT NULL-style
+    * check must not fail the job over them. */
+  private def checksOnly(df: DataFrame,
+                         exempt: Option[Column] = None): DataFrame =
     checks.foldLeft(df) { case (d, (n, e)) =>
-      d.filter(when(coalesce(expr(e), lit(true)), lit(true))
+      val pass = coalesce(expr(e), lit(true))
+      d.filter(when(exempt.map(_ || pass).getOrElse(pass), lit(true))
         .otherwise(raise_error(concat(
           lit(s"CHECK constraint $n ($e) violated by row "),
           to_json(struct(d.columns.map(col): _*))))))
@@ -2265,7 +2272,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             updateExprs: Map[String, (Column, Column) => Column] = Map.empty,
             partitionBy: Seq[String] = Nil,
             statsFor: Seq[String] = Nil,
-            txn: Option[(String, Long)] = None): LogEntry = {
+            txn: Option[(String, Long)] = None,
+            clauses: Option[graft.ops.Merge.Clauses] = None): LogEntry = {
     require(keys.nonEmpty, "merge requires at least one key column")
     // replayed txn: skip before staging any data. The window between this
     // check and the commit is covered by `basedOn` conflict detection —
@@ -2273,6 +2281,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // fails our commit, and the caller's rerun lands back here and skips.
     if (txnAlreadyApplied(txn)) return history.last
     requireNoGhostColumns(updates, "merge")
+    // general-clause merges (conditional / column-level SQL MERGE): the
+    // clause set defines per-row outcomes against an EXISTING target
+    // relation — the source schema is arbitrary, so there is nothing to
+    // create a table from, and the insert-only shortcut below cannot
+    // apply (staged rows are clause INPUT, not landable data)
+    require(clauses.isEmpty || exists,
+      s"MERGE with conditional clauses requires an existing target at $root")
+    require(clauses.isEmpty || updateExprs.isEmpty,
+      "clauses and updateExprs are alternative merge surfaces — pass one")
+    // WHEN NOT MATCHED BY SOURCE must see every target row to know it is
+    // unmatched: the touched-cell optimization is off, the merge is a
+    // full-table pass (exactly Delta's cost for the same clause)
+    val bySourceAll = clauses.exists(_.bySource.nonEmpty)
     val spec = bucketSpec match {
       case Some(sp) =>
         require(sp.keys == keys,
@@ -2306,6 +2327,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // marker participates in dedup (latest change per key wins) and
     // staging, and is stripped before anything is written.
     val hasDeletes = typedUpdates.columns.contains(graft.ops.Merge.DeleteCol)
+    require(clauses.isEmpty || !hasDeletes,
+      s"merge with clauses must not also carry ${graft.ops.Merge.DeleteCol} " +
+        "markers — express deletes as WHEN MATCHED … THEN DELETE")
     // CHECK enforcement on the update batch rides in the staging job
     // (insert rows land verbatim from here). Delete tombstones are
     // exempt: they only need keys + marker, and never land.
@@ -2322,7 +2346,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case None      => markedUpdates.dropDuplicates(keys)
     }
     val deduped =
-      if (!hasDeletes) withCheckEnforcement(rawDeduped)
+      if (clauses.isDefined) rawDeduped // clause INPUT, checked post-merge
+      else if (!hasDeletes) withCheckEnforcement(rawDeduped)
       else withCheckEnforcement(
           rawDeduped.filter(!col(graft.ops.Merge.DeleteCol)))
         .unionByName(rawDeduped.filter(col(graft.ops.Merge.DeleteCol)),
@@ -2360,9 +2385,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // carried = file-sets whose parseable split suffix is NOT a touched
       // cell. Everything else — touched cells, pre-spec appends, empty
       // fallbacks (no parseable suffix) — is read and rewritten:
-      // conservative and self-migrating, never wrongly carried.
-      val (carried, touchedSets) = prev.partition(fs =>
-        splitSuffixOf(fs).exists(sfx => !touched.contains(sfx)))
+      // conservative and self-migrating, never wrongly carried. A
+      // NOT-MATCHED-BY-SOURCE merge carries nothing: every target row
+      // must meet the join to learn it is unmatched.
+      val (carried, touchedSets) =
+        if (bySourceAll) (Seq.empty[String], prev)
+        else prev.partition(fs =>
+          splitSuffixOf(fs).exists(sfx => !touched.contains(sfx)))
       // `statsFor` + the columns the REWRITTEN cells' sidecars already
       // covered (like deleteRange's regeneration): per-file-set min/max on
       // the NEW cells only (O(merged cells)) — without the union, every
@@ -2386,21 +2415,28 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             if (touchedSets.nonEmpty) touchedSets else carried.take(64)))
         newSets
       }
-      if (touchedSets.isEmpty && touched.nonEmpty && !hasDeletes) {
+      if (touchedSets.isEmpty && touched.nonEmpty && !hasDeletes &&
+          clauses.isEmpty) {
         // insert-only fast path: no existing rows in any touched cell —
         // the staged files ARE the new file-sets; rename them in, zero
         // further jobs (the common shape of an MV's first build and of
         // append-heavy streaming merges). Delete-bearing batches take
         // the join path: their staged files carry the marker column and
-        // tombstone rows, neither of which may land as data.
+        // tombstone rows, neither of which may land as data; clause
+        // batches likewise — staged rows are clause input, and insert
+        // clauses may filter or reshape them.
         val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
           Some(deduped.schema)))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
         commit("merge", carried ++ adopted,
           basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
-      } else if (touched.isEmpty) { // empty update batch, nothing touched
+      } else if (touched.isEmpty && !bySourceAll) {
+        // empty update batch, nothing touched (BY SOURCE clauses still
+        // take the join path: an empty source deletes/updates rows)
         val dedupedData =
-          if (hasDeletes) deduped.drop(graft.ops.Merge.DeleteCol) else deduped
+          if (hasDeletes) deduped.drop(graft.ops.Merge.DeleteCol)
+          else if (clauses.isDefined) read.limit(0) // table-shaped, not source
+          else deduped
         commit("merge",
           if (prev.nonEmpty) prev
           else writeBucketedFileSets(dedupedData, spec), // schema-bearing empty
@@ -2413,25 +2449,34 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // may be absent (pure-tombstone batch into untouched cells): the
         // target is then the empty data-shaped relation.
         val target =
-          if (touchedSets.isEmpty)
-            readStaged().drop(graft.ops.Merge.DeleteCol).limit(0)
-          else readSets(touchedSets, prevDvs)
-        val (t2, u2) = graft.ops.Merge.alignForEvolution(target, readStaged())
+          if (touchedSets.nonEmpty) readSets(touchedSets, prevDvs)
+          else if (clauses.isDefined) read.limit(0) // table shape, not source
+          else readStaged().drop(graft.ops.Merge.DeleteCol).limit(0)
         // ONE full-outer join yields the new snapshot AND (feed on) the
         // change classification: pre-image values and match flags ride
         // the join, so the CDF pass re-joins nothing — it is three
         // filters over the same frame, persisted only while its two
         // writes (changes + cells) consume it. NULL-keyed updates never
         // match, so they classify as inserts — SQL MERGE ON semantics.
-        val lineageRaw =
-          graft.ops.Merge.upsertWithLineage(t2, u2, keys, updateExprs)
-        // updateExprs computes NEW post-image values (t+u …) that neither
-        // side was checked for — enforce on the merged frame; the plain
-        // upsert needs nothing (both sides passed when written/staged).
-        // Recompute preserves the lineage columns (withColumn/filter).
+        val (t2, lineageRaw) = clauses match {
+          case Some(cl) =>
+            // general clauses: arbitrary source schema, no evolution pad
+            // — output shape IS the target's
+            (target,
+              graft.ops.Merge.applyClausesWithLineage(
+                target, readStaged(), keys, cl))
+          case None =>
+            val (a, b) = graft.ops.Merge.alignForEvolution(target, readStaged())
+            (a, graft.ops.Merge.upsertWithLineage(a, b, keys, updateExprs))
+        }
+        // updateExprs / clause expressions compute NEW post-image values
+        // that neither side was checked for — enforce on the merged
+        // frame; the plain upsert needs nothing (both sides passed when
+        // written/staged). Recompute preserves the lineage columns.
         val lineage =
-          if (updateExprs.isEmpty) lineageRaw
-          else withCheckEnforcementRecomputing(lineageRaw)
+          if (updateExprs.isEmpty && clauses.isEmpty) lineageRaw
+          else withCheckEnforcementRecomputing(lineageRaw,
+            exempt = Some(col("__delete_req")))
         val dataCols = t2.columns.toSeq.map(col)
         // rows requested deleted — and their matched target, which is the
         // SAME output row after the full-outer join — drop here; an
@@ -2442,19 +2487,26 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         try {
           val cdf = if (!changeFeedEnabled) None else {
             val del = col("__delete_req")
-            val both = col("__t_present") && col("__u_present")
+            val tp = col("__t_present")
+            val upPresent = col("__u_present")
+            val fired = col("__touched")
             val pre = t2.columns.toSeq.map(c => col(s"__pre_$c").as(c))
+            // one filter set for BOTH merge surfaces: an update is any
+            // surviving TARGET row a clause touched (matched update, or
+            // a BY SOURCE update — no source row present); an insert is
+            // a claimed source-only row; a delete is a delete-flagged
+            // row that EXISTED (unmatched tombstones / unclaimed source
+            // rows never did and emit nothing). In the classic upsert
+            // __touched == __u_present, reducing to the old filters.
             val frames = Seq(
-              tagged(lineage.filter(both && !del).select(pre: _*),
+              tagged(lineage.filter(tp && fired && !del).select(pre: _*),
                 "update_preimage"),
-              tagged(lineage.filter(both && !del).select(dataCols: _*),
+              tagged(lineage.filter(tp && fired && !del).select(dataCols: _*),
                 "update_postimage"),
-              tagged(lineage.filter(col("__u_present") && !col("__t_present") && !del)
+              tagged(lineage.filter(upPresent && !tp && fired && !del)
                 .select(dataCols: _*), "insert")) ++
-              // matched tombstones are row deletions; unmatched ones
-              // never existed and emit nothing
-              (if (hasDeletes)
-                Seq(tagged(lineage.filter(both && del).select(pre: _*),
+              (if (hasDeletes || clauses.exists(_.mayDelete))
+                Seq(tagged(lineage.filter(tp && del).select(pre: _*),
                   "delete"))
                else Nil)
             writeChangeSet(frames)

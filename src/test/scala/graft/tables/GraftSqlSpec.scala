@@ -374,10 +374,67 @@ class GraftSqlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT *""")
     assert(t.read.as[(Int, String)].collect().toSet ===
       Set((1, "keep"), (2, "keep2"), (3, "new")))
-    // unsupported clause shapes are refused loudly, not half-applied
+    // column-level UPDATE (general clause grammar): only v rewrites
+    sql.sql("""MERGE INTO silver.mio AS t USING mio_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = 'clobbered'""")
+    assert(t.read.filter($"k" === 2).select("v").as[String].head() ===
+      "clobbered")
+    // garbage clause shapes are still refused loudly, not half-applied
     assertThrows[RuntimeException](sql.sql(
       """MERGE INTO silver.mio AS t USING mio_src AS s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET v = 'clobbered'"""))
+        WHEN MATCHED THEN FROBNICATE"""))
+  }
+
+  test("MERGE conditional clauses: guarded update/delete/insert via SQL") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "mcond")
+    t.merge(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("k", "v", "amt"), Seq("k"), numBuckets = 4)
+    Seq((1, "a2", 100), (2, "b2", 5), (4, "d", 40), (5, "e", -1))
+      .toDF("k", "sv", "samt").createOrReplaceTempView("mcond_src")
+    sql.sql("""MERGE INTO silver.mcond AS t USING mcond_src AS s ON t.k = s.k
+      WHEN MATCHED AND s.samt < 10 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = upper(s.sv), amt = t.amt + s.samt
+      WHEN NOT MATCHED AND s.samt > 0 THEN
+        INSERT (k, v) VALUES (s.k, s.sv || '_new')""")
+    // k1: update (second clause); k2: delete; k3: untouched; k4: guarded
+    // insert, amt NULL; k5: fails the guard, lands nowhere
+    assert(t.read.orderBy("k").as[(Int, String, Option[Int])]
+      .collect().toSeq === Seq((1, "A2", Some(110)), (3, "c", Some(30)),
+        (4, "d_new", None)))
+    // a CASE expression inside a condition must not confuse the
+    // WHEN/THEN clause scanner
+    sql.sql("""MERGE INTO silver.mcond AS t USING mcond_src AS s ON t.k = s.k
+      WHEN MATCHED AND (CASE WHEN s.samt >= 100 THEN true ELSE false END)
+        THEN UPDATE SET v = 'big'""")
+    assert(t.read.filter($"k" === 1).select("v").as[String].head() === "big")
+  }
+
+  test("MERGE conditional clauses follow renamed ON keys (t.k = s.kk)") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "mkk")
+    t.merge(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    Seq((2, "B"), (7, "new")).toDF("kk", "sv")
+      .createOrReplaceTempView("mkk_src")
+    sql.sql("""MERGE INTO silver.mkk AS t USING mkk_src AS s ON t.k = s.kk
+      WHEN MATCHED AND s.kk = 2 THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.kk, s.sv)""")
+    assert(t.read.orderBy("k").as[(Int, String)].collect().toSeq ===
+      Seq((1, "a"), (2, "B"), (7, "new")))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE updates/deletes unmatched target rows") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "mbs")
+    t.merge(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40))
+      .toDF("k", "v", "amt"), Seq("k"), numBuckets = 4)
+    Seq((1, "a9")).toDF("k", "sv").createOrReplaceTempView("mbs_src")
+    sql.sql("""MERGE INTO silver.mbs AS t USING mbs_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED BY SOURCE AND t.amt >= 40 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.amt >= 30 THEN UPDATE SET v = 'stale'""")
+    assert(t.read.orderBy("k").as[(Int, String, Int)].collect().toSeq ===
+      Seq((1, "a9", 10), (2, "b", 20), (3, "stale", 30)))
   }
 
   test("MERGE WHEN MATCHED THEN DELETE removes matched keys via tombstones") {

@@ -1700,6 +1700,72 @@ class VersionedTableSpec extends SparkSpec {
       Seq((1, "a"), (2, "b2")))
   }
 
+  test("merge with conditional clauses: guarded update/delete/insert, CDF exact") {
+    import graft.ops.Merge._
+    val t = VersionedTable(spark, tmpDir("vt-clauses-"))
+    t.enableChangeFeed()
+    t.merge(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30))
+      .toDF("id", "v", "amt"), Seq("id"))                             // v0
+    // arbitrary source schema: different column names, extra rows
+    val src = Seq((1, "a2", 100), (2, "b2", 5), (4, "d", 40), (5, "e", -1))
+      .toDF("id", "sv", "samt")
+    val cl = Clauses("t", "s",
+      matched = Seq(
+        MatchedClause(Some("s.samt < 10"), DeleteRow),
+        MatchedClause(Some("s.samt >= 100"),
+          UpdateSet(Seq("v" -> "upper(s.sv)", "amt" -> "t.amt + s.samt")))),
+      notMatched = Seq(
+        NotMatchedClause(Some("s.samt > 0"),
+          InsertValues(Seq("id", "v"), Seq("s.id", "s.sv")))))
+    t.merge(src, Seq("id"), clauses = Some(cl))                       // v1
+    // id1: second clause fires (update v→A2, amt 10+100); id2: delete;
+    // id3: no source row, untouched; id4: guarded insert (amt NULL);
+    // id5: fails the insert guard, lands nowhere
+    assert(t.read.orderBy("id").as[(Int, String, Option[Int])]
+      .collect().toSeq === Seq((1, "A2", Some(110)), (3, "c", Some(30)),
+        (4, "d", None)))
+    // CDF: exactly the touched rows, classified; id3/id5 emit nothing
+    val feed = t.readChangeFeed(0) // exclusive-from: the v1 clause merge
+      .select($"_change_type", $"id", $"v")
+      .as[(String, Int, String)].collect().toSet
+    assert(feed === Set(
+      ("update_preimage", 1, "a"), ("update_postimage", 1, "A2"),
+      ("delete", 2, "b"), ("insert", 4, "d")))
+    // clause order is first-match: a catch-all BEFORE a specific clause
+    // shadows it
+    val cl2 = Clauses("t", "s",
+      matched = Seq(
+        MatchedClause(None, UpdateSet(Seq("v" -> "'first'"))),
+        MatchedClause(Some("s.samt > 0"), UpdateSet(Seq("v" -> "'second'")))),
+      notMatched = Nil)
+    t.merge(src.filter($"id" === 1), Seq("id"), clauses = Some(cl2))  // v2
+    assert(t.read.filter($"id" === 1).select("v").as[String].head() === "first")
+  }
+
+  test("merge WHEN NOT MATCHED BY SOURCE updates/deletes unmatched target rows") {
+    import graft.ops.Merge._
+    val t = VersionedTable(spark, tmpDir("vt-bysrc-"))
+    t.merge(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "dd", 40))
+      .toDF("id", "v", "amt"), Seq("id"))
+    val src = Seq((1, "a9")).toDF("id", "sv")
+    val cl = Clauses("t", "s",
+      matched = Seq(MatchedClause(None, UpdateSet(Seq("v" -> "s.sv")))),
+      notMatched = Nil,
+      bySource = Seq(
+        BySourceClause(Some("t.amt >= 40"), DeleteRow),
+        BySourceClause(Some("t.amt >= 30"), UpdateSet(Seq("v" -> "'stale'")))))
+    t.merge(src, Seq("id"), clauses = Some(cl))
+    // id1 matched-updated; id2 unmatched, no by-source clause fires
+    // (amt=20), untouched; id3 by-source update; id4 by-source delete
+    assert(t.read.orderBy("id").as[(Int, String, Int)].collect().toSeq ===
+      Seq((1, "a9", 10), (2, "b", 20), (3, "stale", 30)))
+    // by-source expressions must not reference the source alias
+    val bad = Clauses("t", "s", Nil, Nil,
+      bySource = Seq(BySourceClause(Some("s.sv = 'x'"), DeleteRow)))
+    assertThrows[IllegalArgumentException](
+      t.merge(src, Seq("id"), clauses = Some(bad)))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -2169,11 +2169,41 @@ object SparkEntry {
       tbl.merge(e, Seq("event_id"), numBuckets = 4,
         partitionBy = Seq("snapshot_month"))
       tbl.addCheck("eid_pos", "event_id >= 0")
+      // the column-mapping ledger is part of the surface: a rename must
+      // show up in DESCRIBE DETAIL (operators should not need to read
+      // _colmap.json to learn the table's DDL history)
+      tbl.renameColumn("event_type", "ev_type")
       tbl.detailDf.createOrReplaceTempView("sql_table_detail")
       s.sql("""SELECT num_buckets, bucket_keys, partition_columns,
                change_feed_enabled, num_checks, num_generated_columns,
-               num_deletion_vectors
+               num_deletion_vectors, num_renamed_columns,
+               num_dropped_columns, column_mapping, num_identity_columns
                FROM sql_table_detail""")
+    }),
+
+    // GENERATED ALWAYS AS IDENTITY (Delta's identity columns): ids are
+    // assigned by the engine — dense and contiguous within each write
+    // (range reservation + partition-offset stamping, no shuffle), and
+    // strictly non-overlapping across writes. The probe checks the
+    // per-batch (count, min, max, distinct) envelope rather than the
+    // row→id mapping, which is partition-order-dependent by design
+    // (Delta guarantees uniqueness/monotonicity, not row assignment).
+    "q_sql_identity" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-idn-").toString
+      val sql = graft.tables.GraftSql(s)
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, name STRING, batch INT)")
+      t(s, dir, "nation").createOrReplaceTempView("idn_nation")
+      t(s, dir, "region").createOrReplaceTempView("idn_region")
+      sql.sql(s"INSERT INTO graft.`$tmp/t` " +
+        "SELECT n_name, 1 FROM idn_nation")
+      sql.sql(s"INSERT INTO graft.`$tmp/t` " +
+        "SELECT r_name, 2 FROM idn_region")
+      VersionedTable(s, s"$tmp/t").read
+        .groupBy("batch")
+        .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
+          max("id").as("max_id"), countDistinct("id").as("n_distinct"))
+        .orderBy("batch")
     }),
 
     // SQL entry surface for CDC: the change feed as a queryable relation
@@ -2804,7 +2834,28 @@ object SparkEntry {
         | CAST(TRUE AS BOOLEAN) AS change_feed_enabled,
         | CAST(1 AS INT) AS num_checks,
         | CAST(0 AS INT) AS num_generated_columns,
-        | CAST(0 AS INT) AS num_deletion_vectors""".stripMargin,
+        | CAST(0 AS INT) AS num_deletion_vectors,
+        | CAST(1 AS INT) AS num_renamed_columns,
+        | CAST(0 AS INT) AS num_dropped_columns,
+        | 'event_type->ev_type' AS column_mapping,
+        | CAST(0 AS INT) AS num_identity_columns""".stripMargin,
+
+    // Identity envelope: batch 1 (nation) gets ids 1..25, batch 2
+    // (region) continues contiguously at 26..30 — dense within a write,
+    // disjoint across writes.
+    "q_sql_identity" ->
+      """SELECT 1 AS batch, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS min_id,
+        |  CAST(count(*) AS BIGINT) AS max_id,
+        |  CAST(count(*) AS BIGINT) AS n_distinct
+        |FROM nation
+        |UNION ALL
+        |SELECT 2, CAST((SELECT count(*) FROM region) AS BIGINT),
+        |  CAST((SELECT count(*) FROM nation) + 1 AS BIGINT),
+        |  CAST((SELECT count(*) FROM nation) +
+        |       (SELECT count(*) FROM region) AS BIGINT),
+        |  CAST((SELECT count(*) FROM region) AS BIGINT)
+        |ORDER BY batch""".stripMargin,
 
     "q_sql_table_changes" ->
       """WITH base AS (SELECT n_nationkey, n_regionkey FROM nation),

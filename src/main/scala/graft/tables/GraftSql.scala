@@ -332,8 +332,29 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val t = VersionedTable(spark, root)
     require(orReplace || !t.exists,
       s"table already exists: $root (use CREATE OR REPLACE TABLE)")
-    versionDf(t.overwrite(spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), StructType.fromDDL(colDefs))))
+    // `id BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n INCREMENT
+    // BY s)]` — Delta's identity columns: strip the clause from the DDL
+    // (Spark's parser doesn't know it), create, then declare. REPLACE
+    // resets any previous declarations AND the high-water mark — a
+    // replaced table is a fresh table.
+    val IdentityDef = ("""(?is)\s*(`[^`]+`|\w+)\s+BIGINT\s+GENERATED\s+""" +
+      """ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+""" +
+      """INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*""").r
+    val defs = GraftSql.splitTop(colDefs, ',')
+    val idents = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val plain = defs.map {
+      case IdentityDef(name, start, step) =>
+        val n = stripTicks(name)
+        idents += ((n, Option(start).map(_.toLong).getOrElse(1L),
+          Option(step).map(_.toLong).getOrElse(1L)))
+        s"$name BIGINT"
+      case other => other
+    }.mkString(", ")
+    t.clearIdentity()
+    val res = versionDf(t.overwrite(spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), StructType.fromDDL(plain))))
+    idents.foreach { case (n, st, sp) => t.declareIdentity(n, st, sp) }
+    res
   }
 
   /** CREATE [OR REPLACE] TABLE t [PARTITIONED BY (...)] AS query. */
@@ -382,12 +403,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   private def insert(tbl: VersionedTable, overwrite: Boolean,
                      query: String): DataFrame = {
     val df = spark.sql(query)
-    val schema = tbl.read.schema
-    require(df.columns.length == schema.length,
+    // GENERATED ALWAYS AS IDENTITY columns are never supplied: the
+    // positional alignment targets the schema WITHOUT them, and the
+    // write path stamps the values
+    val idCols = tbl.identityColumns.map(_._1).toSet
+    val fields = tbl.read.schema.fields.filterNot(f => idCols.contains(f.name))
+    require(df.columns.length == fields.length,
       s"INSERT: query has ${df.columns.length} columns, " +
-        s"table ${tbl.root} has ${schema.length}")
-    val aligned = df.toDF(schema.fieldNames.toIndexedSeq: _*)
-      .select(schema.fields.map(f =>
+        s"table ${tbl.root} expects ${fields.length}" +
+        (if (idCols.isEmpty) ""
+         else s" (identity ${idCols.mkString(",")} auto-assigns)"))
+    val aligned = df.toDF(fields.map(_.name).toIndexedSeq: _*)
+      .select(fields.map(f =>
         col(s"`${f.name}`").cast(f.dataType)).toIndexedSeq: _*)
     val parts = tbl.bucketSpec.map(_.partitionKeys).getOrElse(tbl.partitionLayout)
     versionDf(if (overwrite) tbl.overwrite(aligned, partitionBy = parts)

@@ -210,11 +210,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       spec.map(_.partitionKeys.mkString(","))
         .getOrElse(partitionLayout.mkString(",")),
       e.dvs.length, changeFeedEnabled, checks.length,
-      generatedColumns.length))
+      generatedColumns.length,
+      // the column-mapping ledger, surfaced (an operator must be able
+      // to see renames/drops without reading _colmap.json): one compact
+      // ordered string — "old->new" per rename, "name->(dropped)" per
+      // drop — plus counts for cheap predicates
+      columnRenames.length, columnDrops.length,
+      (columnRenames.map { case (_, f, to) => s"$f->$to" } ++
+        columnDrops.map { case (_, f) => s"$f->(dropped)" }).mkString(";"),
+      identityColumns.length))
       .toDF("location", "version", "last_modified", "num_file_sets",
         "num_files", "size_bytes", "num_buckets", "bucket_keys",
         "partition_columns", "num_deletion_vectors", "change_feed_enabled",
-        "num_checks", "num_generated_columns")
+        "num_checks", "num_generated_columns", "num_renamed_columns",
+        "num_dropped_columns", "column_mapping", "num_identity_columns")
   }
 
   /** Read-modify-write commit: `fileSets` was derived by READING snapshot
@@ -439,6 +448,123 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           lit(s"CHECK constraint $n ($e) violated by row "),
           to_json(struct(d.columns.map(col): _*))))))
     }
+
+  // --------------------------------------------------------- identity columns
+
+  private def identityPath: Path = Paths.get(root, "_identity.json")
+  private def identityHwmPath: Path = Paths.get(root, "_identity_hwm")
+  private val IdentityMidCol = "__graft_idmid"
+
+  /** Declared identity columns as (name, start, step) — Delta's
+    * `GENERATED ALWAYS AS IDENTITY` surface. */
+  def identityColumns: Seq[(String, Long, Long)] =
+    if (!Files.exists(identityPath)) Nil
+    else IdentityJson.findAllMatchIn(Files.readString(identityPath))
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong)).toSeq
+
+  /** Declare `name` (an existing BIGINT column) GENERATED ALWAYS AS
+    * IDENTITY: appends/overwrites must NOT supply it — each write
+    * reserves a range and stamps unique increasing values. */
+  def declareIdentity(name: String, start: Long = 1L, step: Long = 1L): Unit = {
+    require(step != 0L, s"identity $name: INCREMENT BY 0")
+    require(!name.contains("\""), s"identity: bad identifier `$name`")
+    require(!identityColumns.exists(_._1 == name),
+      s"identity column $name already declared at $root")
+    val all = identityColumns :+ ((name, start, step))
+    val body = all.map { case (n, st, sp) =>
+      s"""{"name":"$n","start":$st,"step":$sp}"""
+    }.mkString("""{"identity":[""", ",", "]}")
+    val tmp = Paths.get(root, s".tmp-identity-${UUID.randomUUID()}")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(tmp, body)
+    Files.move(tmp, identityPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[tables] def clearIdentity(): Unit = {
+    Files.deleteIfExists(identityPath)
+    Files.deleteIfExists(identityHwmPath)
+    ()
+  }
+
+  /** Reserve `n` consecutive slots for identity column `name`; returns
+    * the first value. The high-water mark advances under an OS file
+    * lock — the local-FS compare-and-swap; an object-store port swaps
+    * this for a conditional put, the same primitive the log's
+    * put-if-absent commit already needs. Concurrent writers therefore
+    * get disjoint ranges even though their commits rebase. */
+  private def reserveIdentity(name: String, start: Long, step: Long,
+                              n: Long): Long = {
+    Files.createDirectories(Paths.get(root))
+    val ch = java.nio.channels.FileChannel.open(identityHwmPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.READ,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
+        ch.read(buf, 0L)
+        val txt = new String(buf.array(), java.nio.charset.StandardCharsets.UTF_8)
+        val hwm = HwmJson.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+        val next = hwm.getOrElse(name, start)
+        val out = (hwm + (name -> (next + step * n))).map { case (k, v) =>
+          s"""{"name":"$k","next":$v}"""
+        }.mkString("\n")
+        val bytes = out.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ch.truncate(0L)
+        ch.write(java.nio.ByteBuffer.wrap(bytes), 0L)
+        ch.force(false)
+        next
+      } finally lock.release()
+    } finally ch.close()
+  }
+
+  /** GENERATED ALWAYS AS IDENTITY assignment (Delta's identity columns)
+    * on the ingest paths: the incoming frame must NOT carry the column;
+    * each write reserves a contiguous range and stamps values WITHOUT a
+    * shuffle or window — `monotonically_increasing_id()` packs
+    * (partitionId << 33 | dense intra-partition index), so one small
+    * aggregate yields per-partition row counts, and value =
+    * base + step * (partitionOffset + intraIndex) is dense per write
+    * and globally unique across writes. The frame persists between the
+    * count job and the write job to pin the row→partition mapping
+    * (a recompute could re-partition and collide ids). Merge tables are
+    * bring-your-own-keys: identity applies to append/overwrite. */
+  private def withIdentityAssignment(df: DataFrame): (DataFrame, () => Unit) = {
+    val ids = identityColumns
+    if (ids.isEmpty) return (df, () => ())
+    val explicit = ids.map(_._1).filter(df.columns.contains)
+    require(explicit.isEmpty,
+      s"identity column(s) ${explicit.mkString(",")} at $root are GENERATED " +
+        "ALWAYS — values cannot be supplied (write without them)")
+    val Mask = (1L << 33) - 1
+    val stamped = df.withColumn(IdentityMidCol, monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = stamped
+      .groupBy(shiftright(col(IdentityMidCol), 33).as("__pid"))
+      .agg(max(col(IdentityMidCol).bitwiseAND(lit(Mask))).as("__mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) + 1L)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets: Map[Long, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val assigned = ids.foldLeft(stamped) { case (d, (name, start, step)) =>
+      val base = reserveIdentity(name, start, step, total)
+      val off =
+        if (offsets.isEmpty) lit(0L)
+        else element_at(typedLit(offsets), shiftright(col(IdentityMidCol), 33))
+      d.withColumn(name, (lit(base) + lit(step) *
+        (off + col(IdentityMidCol).bitwiseAND(lit(Mask)))).cast("long"))
+    }.drop(IdentityMidCol)
+    // stamped columns land at the end; files should match the declared
+    // schema order so mixed-generation scans stay positionally sane
+    val ordered =
+      if (exists && read.columns.toSet == assigned.columns.toSet)
+        assigned.select(read.columns.toIndexedSeq.map(col): _*)
+      else assigned
+    (ordered, () => { stamped.unpersist(); () })
+  }
 
   // -------------------------------------------------------- generated columns
 
@@ -932,8 +1058,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * write leaves a no-op
     * `rename_column` commit and no mapping — data intact, rerun the
     * rename. Old-file-set min/max/bloom sidecars stay keyed by the old
-    * name: skipping on the new name simply stops pruning those sets
-    * (reads stay correct; OPTIMIZE regenerates sidecars as it rewrites). */
+    * PHYSICAL name on disk, but skipping keeps pruning them: probes walk
+    * the rename chain ([[statAliases]]), and rewrites regenerate
+    * coverage under the current name ([[statsColsOf]]/[[bloomColsOf]]),
+    * so old keys age out without any synchronous re-key. */
   def renameColumn(from: String, to: String): LogEntry = {
     require(!from.contains("\"") && !to.contains("\"") &&
       to.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
@@ -1529,6 +1657,40 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case _ => col(c).cast("string")
     }
 
+  /** Historical physical aliases of current logical column `c`, newest
+    * first: the rename chain walked backwards (a→b→c gives
+    * Seq(c, b, a)). Pre-rename file-sets keep sidecars keyed by the
+    * physical name they were written under; skipping consults them
+    * through this chain, so a metadata-only RENAME keeps pruning
+    * pre-rename file-sets without any rewrite. */
+  private def statAliases(c: String): Seq[String] = {
+    val chain = scala.collection.mutable.ArrayBuffer(c)
+    columnRenames.reverseIterator.foreach { case (_, from, to) =>
+      if (to == chain.last) chain += from
+    }
+    chain.toSeq
+  }
+
+  /** Forward image of a (possibly historical) column name under the
+    * mapping ledger: the CURRENT logical name, or None if the column
+    * was dropped. The inverse direction of [[statAliases]] — used when
+    * a rewrite inherits sidecar coverage from pre-DDL file-sets (the
+    * regenerated sidecar must key by the name the data now carries). */
+  private def currentNameOf(k: String): Option[String] = {
+    var cur = k
+    colmapOps.foreach {
+      case (_, f, Some(to)) if f == cur => cur = to
+      case (_, f, None) if f == cur     => return None
+      case _                            => ()
+    }
+    Some(cur)
+  }
+
+  /** Stats-sidecar coverage of `fileSets` in CURRENT logical names. */
+  private def statsColsOf(fileSets: Seq[String]): Seq[String] =
+    fileSets.flatMap(fs => readStatsSidecar(fs).keys)
+      .distinct.flatMap(currentNameOf(_))
+
   /** (min, max, isNumeric) per column for a file-set, if stats exist. */
   private def readStatsSidecar(fileSet: String): Map[String, (String, String, Boolean)] = {
     val p = dataDir.resolve(fileSet).resolve("_fstats.tsv")
@@ -1562,12 +1724,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def readBloomSidecar(fileSet: String, column: String,
                                legacyOk: Boolean) = {
-    val enc = java.net.URLEncoder.encode(column, "UTF-8")
-    val v2 = dataDir.resolve(fileSet).resolve(s"_fbloom2.$enc")
-    val legacy = dataDir.resolve(fileSet).resolve(s"_fbloom.$enc")
-    val p = if (Files.exists(v2)) Some(v2)
-            else if (legacyOk && Files.exists(legacy)) Some(legacy)
-            else None // legacy TIMESTAMP basis diverges: treat as absent
+    // pre-rename file-sets keep sketches under their old physical name:
+    // probe the alias chain, newest name first
+    val p = statAliases(column).iterator.flatMap { alias =>
+      val enc = java.net.URLEncoder.encode(alias, "UTF-8")
+      val v2 = dataDir.resolve(fileSet).resolve(s"_fbloom2.$enc")
+      val legacy = dataDir.resolve(fileSet).resolve(s"_fbloom.$enc")
+      if (Files.exists(v2)) Some(v2)
+      else if (legacyOk && Files.exists(legacy)) Some(legacy)
+      else None // legacy TIMESTAMP basis diverges: treat as absent
+    }.nextOption()
     p.map(f => org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(Files.readAllBytes(f))))
   }
@@ -1583,6 +1749,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       }
       .map(java.net.URLDecoder.decode(_, "UTF-8")))
       .distinct
+      // rewrites regenerate under the CURRENT logical name (the data
+      // they read is already mapping-projected); dropped columns age out
+      .flatMap(currentNameOf(_))
 
   /** Point-lookup read with bloom skipping: scans ONLY the file-sets
     * whose Bloom sketch for `column` might contain at least one of
@@ -1697,11 +1866,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       else !(utf8Lt(mx, lo) || utf8Lt(hi, mn))
     val pIdx = bucketSpec.map(_.partitionKeys.indexOf(column)).getOrElse(-1)
     val nPartKeys = bucketSpec.map(_.partitionKeys.length).getOrElse(0)
+    val aliases = statAliases(column) // pre-rename sidecars: old keys
     fileSets.filter { fs =>
       val partOk = pIdx < 0 ||
         partitionValuesOf(fs, nPartKeys).flatMap(_(pIdx))
           .forall(v => overlaps(v, v, isNum)) // min == max == the value
-      partOk && (readStatsSidecar(fs).get(column) match {
+      val stats = readStatsSidecar(fs)
+      partOk && (aliases.iterator.flatMap(stats.get).nextOption() match {
         case Some((mn, mx, numeric)) => overlaps(mn, mx, numeric)
         case None                    => true
       })
@@ -1726,21 +1897,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // re-check under the commit race lives in commitRebase)
     if (txnAlreadyApplied(txn)) return history.last
     requireNoGhostColumns(df, "append")
-    val checked = withCheckEnforcement(df)
-    bucketSpec match {
-      case Some(spec) =>
-        require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
-          s"append partitionBy $partitionBy != table partition keys " +
-            s"${spec.partitionKeys} at $root (merge-bucketed layout)")
-        val ids = writeBucketedFileSets(checked, spec)
-        writeSkippingSidecars(ids, statsFor, bloomFor)
-        commitRebase("append", _ ++ ids, txn)
-      case None =>
-        recordPartitionLayout(partitionBy, allowExisting = true)
-        val id = writeFileSet(checked, partitionBy)
-        writeSkippingSidecars(Seq(id), statsFor, bloomFor)
-        commitRebase("append", _ :+ id, txn)
-    }
+    val (withIds, cleanupIds) = withIdentityAssignment(df)
+    try {
+      val checked = withCheckEnforcement(withIds)
+      bucketSpec match {
+        case Some(spec) =>
+          require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
+            s"append partitionBy $partitionBy != table partition keys " +
+              s"${spec.partitionKeys} at $root (merge-bucketed layout)")
+          val ids = writeBucketedFileSets(checked, spec)
+          writeSkippingSidecars(ids, statsFor, bloomFor)
+          commitRebase("append", _ ++ ids, txn)
+        case None =>
+          recordPartitionLayout(partitionBy, allowExisting = true)
+          val id = writeFileSet(checked, partitionBy)
+          writeSkippingSidecars(Seq(id), statsFor, bloomFor)
+          commitRebase("append", _ :+ id, txn)
+      }
+    } finally cleanupIds()
   }
 
   /** True iff `txn`'s (appId, version) is at or behind the table's
@@ -1754,21 +1928,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                 txn: Option[(String, Long)] = None): LogEntry = {
     if (txnAlreadyApplied(txn)) return history.last
     requireNoGhostColumns(df, "overwrite")
-    val checked = withCheckEnforcement(df)
-    bucketSpec match {
-      case Some(spec) =>
-        require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
-          s"overwrite partitionBy $partitionBy != table partition keys " +
-            s"${spec.partitionKeys} at $root (merge-bucketed layout)")
-        val sets = writeBucketedFileSets(checked, spec)
-        commitRebase("overwrite", _ => sets, txn, deriveDvs = _ => Nil)
-      case None =>
-        // an overwrite REDEFINES the layout: record the new partitioning
-        // (or clear it) so later compact/delete rewrites preserve it
-        recordPartitionLayout(partitionBy, allowExisting = false)
-        val sets = Seq(writeFileSet(checked, partitionBy))
-        commitRebase("overwrite", _ => sets, txn, deriveDvs = _ => Nil)
-    }
+    val (withIds, cleanupIds) = withIdentityAssignment(df)
+    try {
+      val checked = withCheckEnforcement(withIds)
+      bucketSpec match {
+        case Some(spec) =>
+          require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
+            s"overwrite partitionBy $partitionBy != table partition keys " +
+              s"${spec.partitionKeys} at $root (merge-bucketed layout)")
+          val sets = writeBucketedFileSets(checked, spec)
+          commitRebase("overwrite", _ => sets, txn, deriveDvs = _ => Nil)
+        case None =>
+          // an overwrite REDEFINES the layout: record the new partitioning
+          // (or clear it) so later compact/delete rewrites preserve it
+          recordPartitionLayout(partitionBy, allowExisting = false)
+          val sets = Seq(writeFileSet(checked, partitionBy))
+          commitRebase("overwrite", _ => sets, txn, deriveDvs = _ => Nil)
+      }
+    } finally cleanupIds()
   }
 
   /** Delta SHALLOW CLONE analog: a zero-copy table at `targetRoot` whose
@@ -1788,7 +1965,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val t = new VersionedTable(spark, targetRoot)
     require(!t.exists, s"clone target $targetRoot already has versions")
     Files.createDirectories(t.dataDir)
-    Seq(specPath, layoutPath, checksPath, cdfMarker, generatedPath).foreach { p =>
+    // identity declarations AND the high-water mark carry over, so the
+    // clone's own writes allocate above its inherited data (its ranges
+    // may coincide with the source's future writes — fine, the tables
+    // are independent after the clone)
+    Seq(specPath, layoutPath, checksPath, cdfMarker, generatedPath,
+        identityPath, identityHwmPath).foreach { p =>
       if (Files.exists(p))
         Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
@@ -1853,16 +2035,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
         f.name
     }.toSet
-    def bloomCovered(fs: String, c: String): Boolean = {
-      val enc = java.net.URLEncoder.encode(c, "UTF-8")
-      Files.exists(dataDir.resolve(fs).resolve(s"_fbloom2.$enc")) ||
-        (!tsCols.contains(c) &&
-          Files.exists(dataDir.resolve(fs).resolve(s"_fbloom.$enc")))
-    }
+    def bloomCovered(fs: String, c: String): Boolean =
+      statAliases(c).exists { alias => // old-name sidecars still count
+        val enc = java.net.URLEncoder.encode(alias, "UTF-8")
+        Files.exists(dataDir.resolve(fs).resolve(s"_fbloom2.$enc")) ||
+          (!tsCols.contains(c) &&
+            Files.exists(dataDir.resolve(fs).resolve(s"_fbloom.$enc")))
+      }
     val targets =
       if (!onlyMissing) snap.fileSets
       else snap.fileSets.filter { fs =>
-        val have = readStatsSidecar(fs).keySet
+        val have = readStatsSidecar(fs).keySet.flatMap(currentNameOf(_))
         statsCols.exists(!have.contains(_)) ||
           bloomCols.exists(!bloomCovered(fs, _))
       }
@@ -2000,8 +2183,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     try {
       val remaining = touchedRows
         .filter(!coalesce(cond, lit(false))) // NULL predicate keeps the row
-      val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys)
-        .distinct
+      val statsCols = statsColsOf(touched)
       val cdf = writeChangeSet(Seq(
         tagged(touchedRows.filter(coalesce(cond, lit(false))), "delete")))
       val newSets = bucketSpec match {
@@ -2025,7 +2207,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
     val remaining = read.filter(!coalesce(cond, lit(false)))
-    val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val statsCols = statsColsOf(snap.fileSets)
     val cdf = writeChangeSet(Seq(
       tagged(read.filter(coalesce(cond, lit(false))), "delete")))
     val newSets = bucketSpec match {
@@ -2107,7 +2289,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val touched = snap.fileSets.filter(named.contains)
     if (touched.isEmpty) return commit("purge_dv", snap.fileSets, rv)
     val remaining = readSets(touched, snap.dvs)
-    val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val statsCols = statsColsOf(touched)
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(remaining, spec)
       case None       => Seq(writeFileSetPreservingLayout(remaining))
@@ -2159,7 +2341,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       return commit("update", snap.fileSets, basedOn = rv, dvs = snap.dvs,
         cdf = noChanges(spark.emptyDataFrame))
     val updated = applyAssignments(read, set, cond)
-    val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val statsCols = statsColsOf(snap.fileSets)
     // pre/postimage over cond-TRUE rows only; the postimage pre-filters
     // on the OLD row (an assignment may falsify its own predicate)
     val pre = read.filter(coalesce(cond, lit(false)))
@@ -2215,7 +2397,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       touchedRows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val updated = applyAssignments(touchedRows, set, cond)
-      val statsCols = touched.flatMap(fs => readStatsSidecar(fs).keys).distinct
+      val statsCols = statsColsOf(touched)
       val pre = touchedRows.filter(coalesce(cond, lit(false)))
       val cdf = writeChangeSet(Seq(
         tagged(pre, "update_preimage"),
@@ -2405,9 +2587,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // happens to be a pre-stats file-set
         val inherited =
           if (touchedSets.nonEmpty)
-            touchedSets.flatMap(fs => readStatsSidecar(fs).keys)
+            statsColsOf(touchedSets)
           else carried.take(64).iterator.map(readStatsSidecar)
-            .find(_.nonEmpty).map(_.keys.toSeq).getOrElse(Nil)
+            .find(_.nonEmpty)
+            .map(_.keys.toSeq.flatMap(currentNameOf(_))).getOrElse(Nil)
         // bloom coverage regenerates on the same rule (touched cells,
         // or a bounded probe of carried cells on the insert-only path)
         writeSkippingSidecars(newSets, (statsFor ++ inherited).distinct,
@@ -2605,7 +2788,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def compact(numFiles: Int = 1): LogEntry = {
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
-    val statsCols = snap.fileSets.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val statsCols = statsColsOf(snap.fileSets)
     val newSets = bucketSpec match {
       case Some(spec) => writeBucketedFileSets(read, spec)
       case None if partitionLayout.nonEmpty =>
@@ -2650,7 +2833,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // real restore targets out of the vacuum retention window)
     if (small.length <= 1) return snap
     val folded = readSets(small, snap.dvs)
-    val statsCols = small.flatMap(fs => readStatsSidecar(fs).keys).distinct
+    val statsCols = statsColsOf(small)
     val newSet = writeFileSetPreservingLayout(folded)
     writeSkippingSidecars(Seq(newSet), statsCols, bloomColsOf(small))
     commit("compact", large ++ Seq(newSet), basedOn = rv, dvs = snap.dvs)
@@ -2698,7 +2881,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // (same guard as deleteRange and merge — a maintenance op must not
       // silently strip pruning)
       writeSkippingSidecars(newSets,
-        touched.flatMap(fs => readStatsSidecar(fs).keys).distinct,
+        statsColsOf(touched),
         bloomColsOf(touched))
       commit("compact", carried ++ newSets, basedOn = rv, dvs = prevDvs)
     }
@@ -2899,6 +3082,9 @@ object VersionedTable {
   private val CheckJson = """\{"name":"([^"]*)","expr":"([^"]*)"\}""".r
   private val RenameJson = """\{"v":(\d+),"from":"([^"]*)","to":"([^"]*)"\}""".r
   private val DropJson = """\{"v":(\d+),"drop":"([^"]*)"\}""".r
+  private val IdentityJson =
+    """\{"name":"([^"]*)","start":(-?\d+),"step":(-?\d+)\}""".r
+  private val HwmJson = """\{"name":"([^"]*)","next":(-?\d+)\}""".r
 
   /** One version-log record. Minimal hand-rolled JSON (flat strings/longs
     * only) to avoid pulling a JSON dependency. `txn` is the Delta

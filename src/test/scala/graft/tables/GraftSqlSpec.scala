@@ -603,6 +603,27 @@ class GraftSqlSpec extends SparkSpec {
       sql.sql("SELECT * FROM no_such_tbl VERSION AS OF 0"))
   }
 
+  test("CREATE TABLE ... GENERATED ALWAYS AS IDENTITY auto-assigns on INSERT") {
+    val (cat, sql) = warehouse()
+    val root = cat.table("silver", "idn").root
+    sql.sql(s"CREATE TABLE graft.`$root` (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 100 INCREMENT BY 2), name STRING)")
+    sql.sql(s"INSERT INTO graft.`$root` VALUES ('a'), ('b')")
+    sql.sql(s"INSERT INTO graft.`$root` VALUES ('c')")
+    val t = VersionedTable(spark, root)
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ===
+      Seq((100L, "a"), (102L, "b"), (104L, "c")))
+    // supplying the identity column is refused (GENERATED ALWAYS)
+    assertThrows[Exception](
+      sql.sql(s"INSERT INTO graft.`$root` VALUES (999, 'x')"))
+    // REPLACE resets declarations and watermark — a fresh table
+    sql.sql(s"CREATE OR REPLACE TABLE graft.`$root` " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, name STRING)")
+    sql.sql(s"INSERT INTO graft.`$root` VALUES ('z')")
+    assert(VersionedTable(spark, root).read.as[(Long, String)].head() ===
+      ((1L, "z")))
+  }
+
   test("CREATE TEMP VIEW over VERSION AS OF stays resolvable (deferred plans)") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "ttv2")
@@ -617,6 +638,12 @@ class GraftSqlSpec extends SparkSpec {
     // and again — every reference re-resolves
     assert(sql.sql("SELECT count(*) AS n FROM ttv2_v0").as[Long].head() === 2L)
     spark.catalog.dropTempView("ttv2_v0")
+    // the pin deliberately outlived its statement (the view needed it);
+    // drop it here so the session-wide no-leak invariant holds for the
+    // other specs sharing this session
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("__graft_asof"))
+      .foreach(spark.catalog.dropTempView)
   }
 
   test("ALTER TABLE RENAME COLUMN is metadata-only column mapping") {

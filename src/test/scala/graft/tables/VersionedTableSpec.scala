@@ -227,6 +227,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(out2.count() === 20) // 10 from stats'd set + 10 from statless
   }
 
+  test("data skipping survives RENAME COLUMN (pre-rename sidecars prune)") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-rnskip-"))
+    t.append(spark.range(0, 100).toDF("id"), statsFor = Seq("id"),
+      bloomFor = Seq("id"))
+    t.append(spark.range(100, 200).toDF("id"), statsFor = Seq("id"),
+      bloomFor = Seq("id"))
+    t.renameColumn("id", "uid") // metadata-only: sidecars keep the old key
+    val out = t.readRange("uid", "120", "180")
+    assert(out.as[Long].collect().toSet === (120L to 180L).toSet)
+    assert(out.inputFiles.length < t.read.inputFiles.length,
+      "pre-rename stats sidecars stopped pruning after the rename")
+    val hit = t.readEquals("uid", Seq(150L))
+    assert(hit.as[Long].collect().toList === List(150L))
+    assert(hit.inputFiles.length < t.read.inputFiles.length,
+      "pre-rename bloom sidecars stopped pruning after the rename")
+    // post-rename writes record under the new name; both eras prune
+    t.append(spark.range(200, 300).toDF("uid"), statsFor = Seq("uid"))
+    val out2 = t.readRange("uid", "250", "260")
+    assert(out2.count() === 11)
+    assert(out2.inputFiles.length < t.read.inputFiles.length)
+  }
+
   test("convertFrom adopts a flat parquet dir zero-copy; ANALYZE lights up skipping") {
     import java.nio.file.{Files => JF, Paths => JP}
     val srcDir = tmpDir("vt-convert-src-") + "/plain"
@@ -1764,6 +1787,37 @@ class VersionedTableSpec extends SparkSpec {
       bySource = Seq(BySourceClause(Some("s.sv = 'x'"), DeleteRow)))
     assertThrows[IllegalArgumentException](
       t.merge(src, Seq("id"), clauses = Some(bad)))
+  }
+
+  test("identity columns: dense per write, disjoint across writes, ALWAYS-only") {
+    val t = VersionedTable(spark, tmpDir("vt-idn-"))
+    t.declareIdentity("id", start = 10L, step = 5L)
+    t.append(Seq("a", "b", "c").toDF("v").repartition(2))
+    val first = t.read.select("id").as[Long].collect().toSet
+    assert(first === Set(10L, 15L, 20L)) // dense from START WITH, stepped
+    t.append(Seq("d").toDF("v"))
+    assert(t.read.select("id").as[Long].collect().toSet ===
+      Set(10L, 15L, 20L, 25L)) // next write continues past the watermark
+    // GENERATED ALWAYS: explicit values are refused on the ingest paths
+    assertThrows[IllegalArgumentException](
+      t.append(Seq((99L, "x")).toDF("id", "v")))
+    // a shallow clone inherits the watermark: its next write stays
+    // above everything it inherited
+    val c = t.shallowCloneTo(tmpDir("vt-idnc-"))
+    c.append(Seq("e").toDF("v"))
+    assert(c.read.select("id").as[Long].collect().toSet ===
+      Set(10L, 15L, 20L, 25L, 30L))
+  }
+
+  test("detailDf surfaces the column-mapping ledger and identity count") {
+    val t = VersionedTable(spark, tmpDir("vt-dmap-"))
+    t.append(Seq((1, "a", "x")).toDF("id", "v", "scratch"))
+    t.renameColumn("v", "val")
+    t.dropColumn("scratch")
+    val d = t.detailDf.select("num_renamed_columns", "num_dropped_columns",
+      "column_mapping", "num_identity_columns")
+      .as[(Int, Int, String, Int)].head()
+    assert(d === ((1, 1, "v->val;scratch->(dropped)", 0)))
   }
 
   test("historyDf exposes DESCRIBE HISTORY as a relation") {

@@ -71,6 +71,15 @@ object Bench {
     // query's task time can't bleed into the next under exactly the
     // contention this channel exists to diagnose. Fallback: a fixed sleep
     // (ms-level skew is irrelevant at the 10× diagnostic threshold).
+    // loud, once: a Spark upgrade changing the reflective signature
+    // would otherwise silently degrade this channel to sleep-and-hope
+    var drainWarned = false
+    def warnDrain(why: String): Unit = if (!drainWarned) {
+      drainWarned = true
+      System.err.println(
+        s"[bench] listener drain fallback ($why); using a 100ms sleep — " +
+          "task_time_sec may bleed across queries")
+    }
     def snapshotTask(): (Long, Long) = {
       try {
         val bus = spark.sparkContext.getClass.getMethod("listenerBus")
@@ -79,9 +88,14 @@ object Bench {
           .find(m => m.getName == "waitUntilEmpty" &&
             m.getParameterCount == 1 &&
             m.getParameterTypes()(0) == java.lang.Long.TYPE)
-          .fold(Thread.sleep(100))(m =>
-            { m.invoke(bus, java.lang.Long.valueOf(5000L)); () })
-      } catch { case _: Throwable => Thread.sleep(100) }
+          .fold {
+            warnDrain("waitUntilEmpty(long) not found")
+            Thread.sleep(100)
+          }(m => { m.invoke(bus, java.lang.Long.valueOf(5000L)); () })
+      } catch { case e: Throwable =>
+        warnDrain(e.getClass.getSimpleName)
+        Thread.sleep(100)
+      }
       (taskMsAcc.get, cpuNsAcc.get)
     }
 

@@ -32,8 +32,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * batch is the table's current snapshot (`startingVersion` = -1,
   * Delta's default); `startingVersion=latest` starts past existing data;
   * a numeric `startingVersion` starts at that commit (its own changes
-  * included). Non-append commits inside a batch range fail the
+  * included). Row-changing commits inside a batch range fail the
   * append-mode stream loudly — stream the change feed for DML tables.
+  * Column-mapping DDL (RENAME/DROP COLUMN) is metadata-only: a restarted
+  * query streams straight across it under the new names; a query whose
+  * declared schema predates the DDL stops with restart guidance.
   *
   * V1 `Source` (the API Delta shipped on for years) rather than a DSv2
   * `MicroBatchStream` deliberately: `getBatch` returns a DataFrame, so
@@ -153,6 +156,18 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     val df =
       if (cdf) table.readChangeFeed(lo, Some(hi))
       else table.readAddedBetween(lo, hi)
+    // column-mapping DDL landing AFTER this query declared its schema:
+    // the batch (current names) can no longer bind the declared (old)
+    // names — stop with guidance instead of an unresolved-column error.
+    // A RESTARTED query re-declares from the current mapping and streams
+    // straight across the DDL (a boundary Delta's source refuses without
+    // schema tracking).
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    if (missing.nonEmpty) sys.error(
+      s"schema of ${table.root} changed under this query (column-mapping " +
+        s"DDL; now missing: ${missing.mkString(",")}). Restart the query " +
+        "to adopt the new schema — or stream the change feed, which also " +
+        "projects across the DDL.")
     // project to the declared schema: field order out of the feed is not
     // part of its contract, the source's schema is
     StreamShim.asStreaming(

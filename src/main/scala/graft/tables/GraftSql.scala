@@ -340,20 +340,31 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val IdentityDef = ("""(?is)\s*(`[^`]+`|\w+)\s+BIGINT\s+GENERATED\s+""" +
       """ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+""" +
       """INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*""").r
+    // `c TYPE GENERATED ALWAYS AS (expr)` — Delta's generated columns in
+    // DDL; the write-path contract (compute-if-absent, verify-if-present)
+    // lives in VersionedTable.withGeneratedColumns
+    val GeneratedDef = ("""(?is)\s*(`[^`]+`|\w+)\s+([A-Za-z0-9_<>,()\s]+?)""" +
+      """\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*""").r
     val defs = GraftSql.splitTop(colDefs, ',')
     val idents = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val gens = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val plain = defs.map {
       case IdentityDef(name, start, step) =>
         val n = stripTicks(name)
         idents += ((n, Option(start).map(_.toLong).getOrElse(1L),
           Option(step).map(_.toLong).getOrElse(1L)))
         s"$name BIGINT"
+      case GeneratedDef(name, dtype, genExpr) =>
+        gens += ((stripTicks(name), genExpr.trim))
+        s"$name $dtype"
       case other => other
     }.mkString(", ")
     t.clearIdentity()
+    t.clearGeneratedColumns()
     val res = versionDf(t.overwrite(spark.createDataFrame(
       java.util.Collections.emptyList[Row](), StructType.fromDDL(plain))))
     idents.foreach { case (n, st, sp) => t.declareIdentity(n, st, sp) }
+    gens.foreach { case (n, e) => t.addGeneratedColumn(n, e) }
     res
   }
 
@@ -405,12 +416,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val df = spark.sql(query)
     // GENERATED ALWAYS AS IDENTITY columns are never supplied: the
     // positional alignment targets the schema WITHOUT them, and the
-    // write path stamps the values
+    // write path stamps the values. Generated columns MAY be omitted
+    // (compute-if-absent) or supplied (verified) — the alignment picks
+    // whichever schema the query's column count matches.
     val idCols = tbl.identityColumns.map(_._1).toSet
-    val fields = tbl.read.schema.fields.filterNot(f => idCols.contains(f.name))
+    val genCols = tbl.generatedColumns.map(_._1).toSet
+    val full = tbl.read.schema.fields.filterNot(f => idCols.contains(f.name))
+    val reduced = full.filterNot(f => genCols.contains(f.name))
+    val fields =
+      if (df.columns.length == full.length || genCols.isEmpty) full
+      else reduced
     require(df.columns.length == fields.length,
       s"INSERT: query has ${df.columns.length} columns, " +
-        s"table ${tbl.root} expects ${fields.length}" +
+        s"table ${tbl.root} expects ${full.length}" +
+        (if (genCols.nonEmpty) s" (or ${reduced.length} letting generated " +
+          s"${genCols.mkString(",")} compute)" else "") +
         (if (idCols.isEmpty) ""
          else s" (identity ${idCols.mkString(",")} auto-assigns)"))
     val aligned = df.toDF(fields.map(_.name).toIndexedSeq: _*)

@@ -487,6 +487,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** REPLACE TABLE semantics: generated-column declarations belong to
+    * the definition being replaced. */
+  private[tables] def clearGeneratedColumns(): Unit = {
+    Files.deleteIfExists(generatedPath)
+    ()
+  }
+
   /** Reserve `n` consecutive slots for identity column `name`; returns
     * the first value. The high-water mark advances under an OS file
     * lock — the local-FS compare-and-swap; an object-store port swaps
@@ -1139,8 +1146,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // compaction folded them — version-pinned, so a checkpoint replay is
     // bit-identical (age-gated vacuum keeps the physical files live).
     val dataIdentical = Set("compact", "zorder", "purge_dv")
+    // column-mapping DDL is metadata-only: file-sets carried verbatim,
+    // zero rows added. The batch reads under the CURRENT mapping (this
+    // method's contract); whether the CONSUMER's declared schema
+    // predates the DDL is the streaming source's guard, not ours.
+    val metadataOnly = Set("rename_column", "drop_column")
     val rowChanging = range.filterNot(e =>
-      e.action == "append" || dataIdentical.contains(e.action))
+      e.action == "append" || dataIdentical.contains(e.action) ||
+        metadataOnly.contains(e.action))
     require(rowChanging.isEmpty,
       s"readAddedBetween needs append-or-maintenance commits in ($fromV, " +
         s"$toV] at $root; saw ${rowChanging.map(_.action).distinct.mkString(",")} — " +

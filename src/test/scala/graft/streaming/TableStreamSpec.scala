@@ -56,6 +56,34 @@ class TableStreamSpec extends SparkSpec {
     assert(out.read.count() === 5)
   }
 
+  test("stream restart across RENAME COLUMN delivers new batches under the new name") {
+    val root = tmpDir("ts-rn-")
+    val sinkA = tmpDir("ts-rn-sinkA-")
+    val sinkB = tmpDir("ts-rn-sinkB-")
+    val cp = tmpDir("ts-rn-cp-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    runOnce(root, cp, sinkA) // pre-rename era drains under the old name
+    assert(VersionedTable(spark, sinkA).read.columns.toSeq === Seq("k", "v"))
+
+    // metadata-only DDL between runs, then data under the new name; the
+    // RESTARTED stream re-declares its schema from the current mapping,
+    // so the incremental batch surfaces `val` (a boundary Delta's
+    // streaming source refuses with a schema-change error)
+    t.renameColumn("v", "val")
+    t.append(Seq((3, "c")).toDF("k", "val"))
+    runOnce(root, cp, sinkB)
+    val b = VersionedTable(spark, sinkB)
+    assert(b.read.columns.toSeq === Seq("k", "val"))
+    assert(b.read.as[(Int, String)].collect().toSet === Set((3, "c")))
+
+    // a rename with NO new appends: the restart must deliver nothing
+    // (the DDL commit itself carries no rows)
+    t.renameColumn("val", "value")
+    runOnce(root, cp, tmpDir("ts-rn-sinkC-"))
+    assert(b.read.count() === 1)
+  }
+
   test("startingVersion=latest skips existing data") {
     val root = tmpDir("ts-late-")
     val sink = tmpDir("ts-late-sink-")
@@ -146,22 +174,25 @@ class TableStreamSpec extends SparkSpec {
       .collect().toSet === Set((3, "c")))
   }
 
-  test("a rename commit mid-stream fails the append stream loudly") {
-    val root = tmpDir("ts-rn-")
-    val sink = tmpDir("ts-rn-sink-")
-    val cp = tmpDir("ts-rn-cp-")
+  test("a rename landing mid-run fails the OLD query's next batch loudly") {
+    val root = tmpDir("ts-rnmid-")
     val t = VersionedTable(spark, root)
     t.append(Seq((1, "a")).toDF("k", "v"))
-    runOnce(root, cp, sink)
-    // schema-changing DDL inside a batch range: the stream must stop
-    // with guidance, not deliver rows under a half-applied mapping
+    // a long-lived query: its schema was declared BEFORE the DDL. The
+    // next batch (current names) can no longer bind `v` — it must stop
+    // with restart guidance, not an unresolved-column error.
+    val src = new GraftTableSource(VersionedTable(spark, root), cdf = false,
+      startingVersion = None, maxVersionsPerTrigger = None,
+      metadataPath = "file:" + tmpDir("ts-rnmid-cp-") + "/sources/0")
     t.renameColumn("v", "val")
     t.append(Seq((2, "b")).toDF("k", "val"))
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      runOnce(root, cp, sink)
+    val e = intercept[RuntimeException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(
+          t.latestVersion.get))
     }
-    assert(e.getMessage.contains("change feed") ||
-      Option(e.getCause).exists(_.getMessage.contains("change feed")))
+    assert(e.getMessage.contains("Restart the query") &&
+      e.getMessage.contains("change feed"))
   }
 
   test("sink: table-to-table streaming pipeline is exactly-once across restarts") {

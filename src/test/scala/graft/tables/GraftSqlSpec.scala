@@ -423,6 +423,22 @@ class GraftSqlSpec extends SparkSpec {
       Seq((1, "a"), (2, "B"), (7, "new")))
   }
 
+  test("MERGE clause parser survives WHEN/THEN/CASE inside string literals and SET values") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "mhl")
+    t.merge(Seq((1, "WHEN THEN CASE"), (2, "x")).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    Seq((1, "WHEN THEN CASE"), (2, "y")).toDF("k", "sv")
+      .createOrReplaceTempView("mhl_src")
+    // literals carrying the clause keywords must not confuse the
+    // scanner; a CASE expression in a SET value must not either
+    sql.sql("""MERGE INTO silver.mhl AS t USING mhl_src AS s ON t.k = s.k
+      WHEN MATCHED AND s.sv = 'WHEN THEN CASE' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET
+        v = CASE WHEN s.sv = 'y' THEN 'matched-y' ELSE 'other' END""")
+    assert(t.read.as[(Int, String)].collect().toSet === Set((2, "matched-y")))
+  }
+
   test("MERGE NOT MATCHED BY SOURCE updates/deletes unmatched target rows") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "mbs")
@@ -622,6 +638,24 @@ class GraftSqlSpec extends SparkSpec {
     sql.sql(s"INSERT INTO graft.`$root` VALUES ('z')")
     assert(VersionedTable(spark, root).read.as[(Long, String)].head() ===
       ((1L, "z")))
+  }
+
+  test("CREATE TABLE ... GENERATED ALWAYS AS (expr) computes or verifies on INSERT") {
+    val (cat, sql) = warehouse()
+    val root = cat.table("silver", "gend").root
+    sql.sql(s"CREATE TABLE graft.`$root` (o_date STRING, " +
+      "o_month STRING GENERATED ALWAYS AS (substring(o_date, 1, 7)))")
+    // omitted: computes
+    sql.sql(s"INSERT INTO graft.`$root` VALUES ('2024-03-15')")
+    // supplied and consistent: verifies
+    sql.sql(s"INSERT INTO graft.`$root` VALUES ('2024-04-02', '2024-04')")
+    assert(VersionedTable(spark, root).read.orderBy("o_date")
+      .as[(String, String)].collect().toSeq ===
+      Seq(("2024-03-15", "2024-03"), ("2024-04-02", "2024-04")))
+    // supplied and WRONG: the write fails loudly
+    assertThrows[Exception](
+      sql.sql(s"INSERT INTO graft.`$root` VALUES ('2024-05-09', '1999-01')"))
+    assert(VersionedTable(spark, root).read.count() === 2)
   }
 
   test("CREATE TEMP VIEW over VERSION AS OF stays resolvable (deferred plans)") {

@@ -503,6 +503,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def reserveIdentity(name: String, start: Long, step: Long,
                               n: Long): Long = {
     Files.createDirectories(Paths.get(root))
+    // two layers, both required: the JVM monitor serializes same-process
+    // writers (OS file locks are per-process — a second in-JVM locker
+    // throws OverlappingFileLockException instead of waiting), the OS
+    // lock serializes across processes
+    val monitor = VersionedTable.identityLocks.computeIfAbsent(
+      identityHwmPath.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
     val ch = java.nio.channels.FileChannel.open(identityHwmPath,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.READ,
@@ -526,6 +533,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         next
       } finally lock.release()
     } finally ch.close()
+    }
   }
 
   /** GENERATED ALWAYS AS IDENTITY assignment (Delta's identity columns)
@@ -3092,6 +3100,11 @@ object VersionedTable {
   private val MaxCommitRetries = 20
 
   private val PartitionLayoutJson = """\{"partitionBy":\[([^\]]*)\]\}""".r
+  /** Per-hwm-file JVM monitors for identity range reservation — see
+    * reserveIdentity (OS file locks do not serialize same-JVM threads). */
+  private val identityLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private val CheckJson = """\{"name":"([^"]*)","expr":"([^"]*)"\}""".r
   private val RenameJson = """\{"v":(\d+),"from":"([^"]*)","to":"([^"]*)"\}""".r
   private val DropJson = """\{"v":(\d+),"drop":"([^"]*)"\}""".r

@@ -1809,6 +1809,24 @@ class VersionedTableSpec extends SparkSpec {
       Set(10L, 15L, 20L, 25L, 30L))
   }
 
+  test("identity ranges stay disjoint under concurrent appends") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = VersionedTable(spark, tmpDir("vt-idnconc-"))
+    t.declareIdentity("id")
+    // four writers race: the hwm file-lock reservation must hand out
+    // disjoint ranges even though append commits rebase (never conflict)
+    val fs = (0 until 4).map { w =>
+      Future(t.append(Seq.tabulate(50)(i => s"w$w-$i").toDF("v")))
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val ids = t.read.select("id").as[Long].collect()
+    assert(ids.length === 200)
+    assert(ids.distinct.length === 200, "identity collision across writers")
+    assert(ids.min === 1L && ids.max === 200L) // dense: 4 × 50 reserved slots
+  }
+
   test("detailDf surfaces the column-mapping ledger and identity count") {
     val t = VersionedTable(spark, tmpDir("vt-dmap-"))
     t.append(Seq((1, "a", "x")).toDF("id", "v", "scratch"))

@@ -37,7 +37,10 @@ import org.apache.spark.sql.types.StructType
   *   CREATE [OR REPLACE] TABLE <table> (col TYPE, ...) [USING x]
   *   CREATE [OR REPLACE] TABLE <table> [PARTITIONED BY (...)] AS <query>
   *   INSERT INTO <table> <query>            -- positional, cast to schema
+  *   INSERT INTO <table> (c1, c2, ...) <query>  -- named; unlisted → NULL
   *   INSERT OVERWRITE [TABLE] <table> <query>
+  *   TRUNCATE TABLE <table>                 -- schema-preserving empty
+  *   DESCRIBE [TABLE] <table>               -- columns + engine contracts
   *   UPDATE <table> SET c = expr [, ...] [WHERE cond]
   *   DELETE FROM <table> [WHERE cond]
   *   MERGE INTO <table> [AS] t USING <src> [AS] s ON t.k = s.k [AND ...]
@@ -112,9 +115,25 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       owned(ident).fold(spark.sql(stmt))(t => versionDf(
         t.update(parseAssignments(sets),
           Option(cond).map(expr).getOrElse(lit(true)))))
+    case InsertColsStmt(kind, ident, cols, query) =>
+      owned(ident).fold(spark.sql(stmt))(
+        insert(_, kind.equalsIgnoreCase("OVERWRITE"), query,
+          Some(splitTop(cols, ',').map(stripTicks))))
     case InsertStmt(kind, ident, query) =>
       owned(ident).fold(spark.sql(stmt))(
         insert(_, kind.equalsIgnoreCase("OVERWRITE"), query))
+    case TruncateStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        // schema-preserving empty overwrite: old versions stay readable
+        // (time travel), partition layout carries through the rewrite.
+        // Identity columns leave the frame (the write path stamps them
+        // and refuses supplied values — zero rows either way).
+        val empty = t.identityColumns.map(_._1)
+          .foldLeft(t.read.limit(0))(_.drop(_))
+        versionDf(t.overwrite(empty,
+          partitionBy =
+            t.bucketSpec.map(_.partitionKeys).getOrElse(t.partitionLayout)))
+      }
     case CopyIntoStmt(ident, dir, fmt) =>
       ownedRoot(ident).fold(spark.sql(stmt))(r =>
         copyInto(VersionedTable(spark, r), dir, fmt))
@@ -149,6 +168,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         .fold(spark.sql(stmt))(analyze(_, cols))
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
+    // plain DESCRIBE <table>: the Spark-shaped (col_name, data_type,
+    // comment) relation, with identity/generated contracts surfaced in
+    // the comment column. Non-graft identifiers delegate. Tried after
+    // HISTORY/DETAIL so those keywords never parse as table names.
+    case DescTableStmt(ident) =>
+      scala.util.Try(resolve(ident)).toOption
+        .fold(spark.sql(stmt))(describeTable)
     case other =>
       val (rewritten, views) = rewriteTimeTravel(other)
       // analysis inlines a temp view's plan into the DataFrame, so the
@@ -206,6 +232,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val e = t.convertFrom(srcDir)
     Seq((e.action, e.version, e.fileSets.length.toLong))
       .toDF("operation", "version", "n_file_sets")
+  }
+
+  /** DESCRIBE <table> — Spark's (col_name, data_type, comment) shape;
+    * the comment column carries the engine-enforced column contracts
+    * (identity, generated expression) so the DDL surface is
+    * discoverable without reading metadata files. */
+  private def describeTable(tbl: VersionedTable): DataFrame = {
+    import spark.implicits._
+    val idents = tbl.identityColumns.map(c => c._1 ->
+      s"GENERATED ALWAYS AS IDENTITY (START WITH ${c._2} INCREMENT BY ${c._3})").toMap
+    val gens = tbl.generatedColumns.map(c => c._1 ->
+      s"GENERATED ALWAYS AS (${c._2})").toMap
+    tbl.read.schema.fields.toSeq.map(f =>
+      (f.name, f.dataType.catalogString,
+        idents.getOrElse(f.name, gens.getOrElse(f.name, ""))))
+      .toDF("col_name", "data_type", "comment")
   }
 
   private def analyze(tbl: VersionedTable, cols: String): DataFrame = {
@@ -412,8 +454,45 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * positional semantics: the query's columns map to the table's by
     * position and cast to its declared types. */
   private def insert(tbl: VersionedTable, overwrite: Boolean,
-                     query: String): DataFrame = {
+                     query: String,
+                     colList: Option[Seq[String]] = None): DataFrame = {
     val df = spark.sql(query)
+    if (colList.isDefined) {
+      // named-column form: the query's columns bind POSITIONALLY to the
+      // listed names; unlisted columns land as typed NULLs — except
+      // identity (stamped by the write path; naming one is refused) and
+      // generated columns (compute-if-absent), which stay ABSENT here
+      val names = colList.get
+      val schemaByName = tbl.read.schema.fields.map(f => f.name -> f).toMap
+      val idCols = tbl.identityColumns.map(_._1).toSet
+      val genCols = tbl.generatedColumns.map(_._1).toSet
+      val unknown = names.filterNot(schemaByName.contains)
+      require(unknown.isEmpty,
+        s"INSERT: unknown column(s) ${unknown.mkString(",")} at ${tbl.root}")
+      require(names.distinct.length == names.length,
+        s"INSERT: duplicate column in list: ${names.mkString(",")}")
+      val namedIdent = names.filter(idCols.contains)
+      require(namedIdent.isEmpty,
+        s"INSERT: identity column(s) ${namedIdent.mkString(",")} are " +
+          "GENERATED ALWAYS — omit them")
+      require(df.columns.length == names.length,
+        s"INSERT: query has ${df.columns.length} columns, list names " +
+          s"${names.length}")
+      val listed = names.toSet
+      val projected = tbl.read.schema.fields.toSeq
+        .filterNot(f => idCols.contains(f.name))
+        .filterNot(f => genCols.contains(f.name) && !listed.contains(f.name))
+        .map { f =>
+          if (listed.contains(f.name)) col(s"`${f.name}`").cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+      val aligned = df.toDF(names.toIndexedSeq: _*).select(projected: _*)
+      val parts = tbl.bucketSpec.map(_.partitionKeys)
+        .getOrElse(tbl.partitionLayout)
+      return versionDf(
+        if (overwrite) tbl.overwrite(aligned, partitionBy = parts)
+        else tbl.append(aligned, partitionBy = parts))
+    }
     // GENERATED ALWAYS AS IDENTITY columns are never supplied: the
     // positional alignment targets the schema WITHOUT them, and the
     // write path stamps the values. Generated columns MAY be omitted
@@ -784,6 +863,18 @@ object GraftSql {
   private val InsertStmt =
     ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Ident +
       """\s+((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  // named-column form: INSERT INTO t (a, b) VALUES/SELECT … — unlisted
+  // columns land NULL (generated ones compute, identity ones stamp).
+  // Must be tried BEFORE InsertStmt: the plain regex would swallow the
+  // column list as a parenthesized query and hand it to spark.sql.
+  private val InsertColsStmt =
+    ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Ident +
+      """\s*\(\s*((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)\s*""" +
+      """((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  private val TruncateStmt =
+    ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
+  private val DescTableStmt =
+    ("""(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?""" + Ident + """\s*;?\s*""").r
   private val CopyIntoStmt =
     ("""(?is)\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*;?\s*""").r

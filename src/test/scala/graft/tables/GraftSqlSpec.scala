@@ -658,6 +658,56 @@ class GraftSqlSpec extends SparkSpec {
     assert(VersionedTable(spark, root).read.count() === 2)
   }
 
+  test("INSERT with a column list: positional bind, NULL/generated/identity fill") {
+    val (cat, sql) = warehouse()
+    val root = cat.table("silver", "insl").root
+    sql.sql(s"CREATE TABLE graft.`$root` (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY, name STRING, note STRING, " +
+      "tag STRING GENERATED ALWAYS AS (upper(name)))")
+    sql.sql(s"INSERT INTO graft.`$root` (name) VALUES ('a')")
+    sql.sql(s"INSERT INTO graft.`$root` (note, name) VALUES ('n2', 'b')")
+    val t = VersionedTable(spark, root)
+    assert(t.read.orderBy("id")
+      .select("id", "name", "note", "tag")
+      .as[(Long, String, Option[String], String)].collect().toSeq ===
+      Seq((1L, "a", None, "A"), (2L, "b", Some("n2"), "B")))
+    // naming an identity column is refused; unknown names too
+    assertThrows[Exception](
+      sql.sql(s"INSERT INTO graft.`$root` (id, name) VALUES (9, 'x')"))
+    assertThrows[Exception](
+      sql.sql(s"INSERT INTO graft.`$root` (nope) VALUES ('x')"))
+  }
+
+  test("TRUNCATE TABLE empties the snapshot, keeps schema and history") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "trnc")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val r = sql.sql("TRUNCATE TABLE silver.trnc")
+      .as[(Long, String)].head()
+    assert(r === ((1L, "overwrite")))
+    assert(t.read.count() === 0)
+    assert(t.read.columns.toSeq === Seq("k", "v")) // schema survives
+    assert(t.readVersion(0).count() === 2)         // time travel intact
+    sql.sql("INSERT INTO silver.trnc VALUES (3, 'c')") // still writable
+    assert(t.read.as[(Int, String)].collect().toSet === Set((3, "c")))
+  }
+
+  test("DESCRIBE TABLE lists columns with engine contracts in the comment") {
+    val (cat, sql) = warehouse()
+    val root = cat.table("silver", "dsc").root
+    sql.sql(s"CREATE TABLE graft.`$root` (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 5 INCREMENT BY 2), name STRING, " +
+      "up STRING GENERATED ALWAYS AS (upper(name)))")
+    val rows = sql.sql(s"DESCRIBE graft.`$root`")
+      .as[(String, String, String)].collect().toSeq
+    assert(rows === Seq(
+      ("id", "bigint", "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 2)"),
+      ("name", "string", ""),
+      ("up", "string", "GENERATED ALWAYS AS (upper(name))")))
+    // non-graft identifiers delegate to vanilla Spark (loudly absent)
+    assertThrows[Exception](sql.sql("DESCRIBE no_such_table_xyz"))
+  }
+
   test("CREATE TEMP VIEW over VERSION AS OF stays resolvable (deferred plans)") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "ttv2")

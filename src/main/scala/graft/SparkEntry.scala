@@ -2173,11 +2173,14 @@ object SparkEntry {
       // show up in DESCRIBE DETAIL (operators should not need to read
       // _colmap.json to learn the table's DDL history)
       tbl.renameColumn("event_type", "ev_type")
+      // TBLPROPERTIES surface in the same relation (sorted k=v pairs)
+      tbl.setProperties(Map("owner" -> "graft", "quality" -> "silver"))
       tbl.detailDf.createOrReplaceTempView("sql_table_detail")
       s.sql("""SELECT num_buckets, bucket_keys, partition_columns,
                change_feed_enabled, num_checks, num_generated_columns,
                num_deletion_vectors, num_renamed_columns,
-               num_dropped_columns, column_mapping, num_identity_columns
+               num_dropped_columns, column_mapping, num_identity_columns,
+               properties
                FROM sql_table_detail""")
     }),
 
@@ -2204,6 +2207,89 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), min("id").as("min_id"),
           max("id").as("max_id"), countDistinct("id").as("n_distinct"))
         .orderBy("batch")
+    }),
+
+    // TBLPROPERTIES lifecycle (Delta's table-properties surface): CREATE
+    // carries them, SET upserts, UNSET removes — and `graft.appendOnly`
+    // is a LIVE property (Delta's delta.appendOnly): while set, every
+    // row-mutating statement refuses; after UNSET the same DELETE lands.
+    // Output: the final property rows plus planted behavior witnesses.
+    "q_sql_tblproperties" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-props-").toString
+      val sql = graft.tables.GraftSql(s)
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` (k INT, v STRING) " +
+        "TBLPROPERTIES ('owner' = 'graft', 'graft.appendOnly' = 'true')")
+      sql.sql(s"INSERT INTO graft.`$tmp/t` VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      val blocked =
+        try { sql.sql(s"DELETE FROM graft.`$tmp/t` WHERE k = 1"); "no" }
+        catch { case e: Exception
+          if e.getMessage != null && e.getMessage.contains("append-only") =>
+            "yes" }
+      sql.sql(s"ALTER TABLE graft.`$tmp/t` " +
+        "UNSET TBLPROPERTIES ('graft.appendOnly')")
+      sql.sql(s"ALTER TABLE graft.`$tmp/t` SET TBLPROPERTIES " +
+        "('quality' = 'gold')")
+      sql.sql(s"DELETE FROM graft.`$tmp/t` WHERE k = 1")
+      val nAfter = VersionedTable(s, s"$tmp/t").read.count()
+      import s.implicits._
+      sql.sql(s"SHOW TBLPROPERTIES graft.`$tmp/t`")
+        .union(Seq(
+          ("delete_blocked_while_append_only", blocked),
+          ("rows_after_unset_delete", nAfter.toString)).toDF("key", "value"))
+        .orderBy("key")
+    }),
+
+    // SHOW CREATE TABLE: the reconstructed DDL — identity/generated
+    // columns inline, CHECK constraints and properties folded into
+    // TBLPROPERTIES (Delta's delta.constraints.* shape) — with the
+    // run-specific root normalized out. Byte-exact against the oracle.
+    "q_sql_show_create" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-showc-").toString
+      val sql = graft.tables.GraftSql(s)
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, name STRING, nlen INT GENERATED ALWAYS AS " +
+        "(length(name))) TBLPROPERTIES ('owner' = 'graft')")
+      sql.sql(s"ALTER TABLE graft.`$tmp/t` ADD CONSTRAINT npos " +
+        "CHECK (length(name) >= 0)")
+      sql.sql(s"SHOW CREATE TABLE graft.`$tmp/t`")
+        .select(regexp_replace(col("createtab_stmt"),
+          java.util.regex.Pattern.quote(s"$tmp/t"), "<root>")
+          .as("createtab_stmt"))
+    }),
+
+    // SHOW PARTITIONS: the partition values of a CTAS-partitioned table
+    // — metadata-shaped output (one row per partition), content-checked
+    // against a DISTINCT over the source.
+    "q_sql_show_partitions" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-showp-").toString
+      val sql = graft.tables.GraftSql(s)
+      events(s, dir).select("event_id", "event_type")
+        .createOrReplaceTempView("showp_events")
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` PARTITIONED BY (event_type) " +
+        "AS SELECT event_type, event_id FROM showp_events")
+      sql.sql(s"SHOW PARTITIONS graft.`$tmp/t`")
+    }),
+
+    // REORG TABLE … APPLY (PURGE): deletion vectors materialize into
+    // rewritten file-sets — the read is unchanged (planted: same rows
+    // before/after), the DV count drops to zero. Delta's REORG PURGE.
+    "q_sql_reorg" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-reorg-").toString
+      val sql = graft.tables.GraftSql(s)
+      t(s, dir, "nation").select("n_nationkey", "n_name")
+        .createOrReplaceTempView("reorg_nation")
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` AS " +
+        "SELECT n_nationkey, n_name FROM reorg_nation")
+      val tbl = VersionedTable(s, s"$tmp/t")
+      tbl.deleteVectors(col("n_nationkey") < 5)
+      val dvBefore = tbl.history.last.dvs.nonEmpty
+      sql.sql(s"REORG TABLE graft.`$tmp/t` APPLY (PURGE)")
+      val dvAfter = tbl.history.last.dvs.nonEmpty
+      tbl.read.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum("n_nationkey").cast("long").as("sum_key"))
+        .withColumn("dv_before", lit(dvBefore))
+        .withColumn("dv_after", lit(dvAfter))
     }),
 
     // SQL entry surface for CDC: the change feed as a queryable relation
@@ -2838,7 +2924,8 @@ object SparkEntry {
         | CAST(1 AS INT) AS num_renamed_columns,
         | CAST(0 AS INT) AS num_dropped_columns,
         | 'event_type->ev_type' AS column_mapping,
-        | CAST(0 AS INT) AS num_identity_columns""".stripMargin,
+        | CAST(0 AS INT) AS num_identity_columns,
+        | 'owner=graft;quality=silver' AS properties""".stripMargin,
 
     // Identity envelope: batch 1 (nation) gets ids 1..25, batch 2
     // (region) continues contiguously at 26..30 — dense within a write,
@@ -2856,6 +2943,41 @@ object SparkEntry {
         |       (SELECT count(*) FROM region) AS BIGINT),
         |  CAST((SELECT count(*) FROM region) AS BIGINT)
         |ORDER BY batch""".stripMargin,
+
+    // Planted: the DELETE under graft.appendOnly must refuse ('yes'),
+    // the post-UNSET DELETE must land (3 inserts - 1 = 2), and the final
+    // property set is exactly {owner, quality}.
+    "q_sql_tblproperties" ->
+      """SELECT * FROM (VALUES
+        | ('delete_blocked_while_append_only', 'yes'),
+        | ('owner', 'graft'),
+        | ('quality', 'gold'),
+        | ('rows_after_unset_delete', '2')
+        |) AS t("key", "value") ORDER BY "key"""".stripMargin,
+
+    "q_sql_show_create" ->
+      ("SELECT 'CREATE TABLE graft.`<root>` (\n" +
+        "  id BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 1 INCREMENT BY 1),\n" +
+        "  name STRING,\n" +
+        "  nlen INT GENERATED ALWAYS AS (length(name)))\n" +
+        "USING graft\n" +
+        "TBLPROPERTIES (\n" +
+        "  ''graft.constraints.npos'' = ''length(name) >= 0'',\n" +
+        "  ''owner'' = ''graft'')' AS createtab_stmt"),
+
+    "q_sql_show_partitions" ->
+      """SELECT DISTINCT event_type FROM events
+        |ORDER BY event_type""".stripMargin,
+
+    // Planted: DVs exist after the point delete (dv_before), REORG purges
+    // them all (dv_after = false), and the relation is unchanged by the
+    // rewrite (count + keysum over the surviving rows).
+    "q_sql_reorg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        | TRUE AS dv_before, FALSE AS dv_after
+        |FROM nation WHERE n_nationkey >= 5""".stripMargin,
 
     "q_sql_table_changes" ->
       """WITH base AS (SELECT n_nationkey, n_regionkey FROM nation),

@@ -97,6 +97,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // DML statements delegate like ANALYZE below: an identifier that is
     // not a graft table (unknown layer, no catalog bound) falls through
     // to vanilla spark.sql — one funnel for the whole session
+    // TBLPROPERTIES forms first: the plain CREATE regex's greedy column
+    // capture would otherwise swallow the property list as column DDL
+    case CreateSchemaPropsStmt(orReplace, ident, colDefs, props) =>
+      ownedRoot(ident).fold(spark.sql(stmt)) { r =>
+        val df = createEmpty(r, orReplace != null, colDefs)
+        VersionedTable(spark, r).setProperties(parseProps(props).toMap)
+        df
+      }
+    case CtasPropsStmt(orReplace, ident, parts, props, query) =>
+      ownedRoot(ident).fold(spark.sql(stmt)) { r =>
+        val df = ctas(r, orReplace != null,
+          Option(parts).toSeq.flatMap(splitTop(_, ',')).map(stripTicks), query)
+        VersionedTable(spark, r).setProperties(parseProps(props).toMap)
+        df
+      }
     case CreateSchemaStmt(orReplace, ident, colDefs) =>
       ownedRoot(ident).fold(spark.sql(stmt))(
         createEmpty(_, orReplace != null, colDefs))
@@ -166,6 +181,35 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case AnalyzeStmt(ident, cols) =>
       scala.util.Try(resolve(ident)).toOption
         .fold(spark.sql(stmt))(analyze(_, cols))
+    case SetPropsStmt(ident, props) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.setProperties(parseProps(props).toMap)
+        showProps(t)
+      }
+    case UnsetPropsStmt(ident, ifExists, keys) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val ks = splitTop(keys, ',').map(k => unquote(k))
+        if (ifExists == null) {
+          val missing = ks.filterNot(t.properties.contains)
+          require(missing.isEmpty, "UNSET TBLPROPERTIES: unknown key(s) " +
+            s"${missing.mkString(", ")} (use IF EXISTS)")
+        }
+        t.unsetProperties(ks)
+        showProps(t)
+      }
+    case ShowPropsStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt))(showProps)
+    case ShowPartitionsStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt))(showPartitions)
+    case ShowCreateStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt))(showCreate)
+    case ShowTablesStmt() =>
+      catalog.fold(spark.sql(stmt)) { c =>
+        import spark.implicits._
+        c.tables.toDF("namespace", "tableName")
+      }
+    case ReorgStmt(ident) =>
+      versionDf(resolve(ident).purgeDeleteVectors())
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
     // plain DESCRIBE <table>: the Spark-shaped (col_name, data_type,
@@ -363,6 +407,67 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   private def versionDf(e: VersionedTable.LogEntry): DataFrame = {
     import spark.implicits._
     Seq((e.version, e.action)).toDF("version", "action")
+  }
+
+  /** SHOW TBLPROPERTIES — Spark's (key, value) relation, key-sorted for
+    * determinism. Metadata-only. */
+  private def showProps(t: VersionedTable): DataFrame = {
+    import spark.implicits._
+    t.properties.toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
+  /** SHOW PARTITIONS — the distinct partition-column values of the
+    * current snapshot, one row each, ordered. The scan prunes to the
+    * partition columns (parquet column pruning) and the distinct is a
+    * partial-aggregated shuffle over only those low-cardinality values —
+    * at 100 TB this moves per-partition counts, not data. */
+  private def showPartitions(t: VersionedTable): DataFrame = {
+    val parts = t.bucketSpec.map(_.partitionKeys).getOrElse(t.partitionLayout)
+    require(parts.nonEmpty,
+      s"SHOW PARTITIONS: table at ${t.root} is not partitioned")
+    t.read.select(parts.map(col): _*).distinct().orderBy(parts.map(col): _*)
+  }
+
+  /** SHOW CREATE TABLE — one `createtab_stmt` row reconstructing the
+    * current logical schema and layout as runnable DDL. Delta's shape:
+    * identity/generated columns inline, CHECK constraints and the bucket
+    * spec folded into TBLPROPERTIES (`graft.constraints.<name>`,
+    * `graft.bucket.*` — Delta likewise surfaces constraints as
+    * `delta.constraints.*` properties), properties key-sorted. */
+  private def showCreate(t: VersionedTable): DataFrame = {
+    import spark.implicits._
+    val idCols = t.identityColumns
+      .map { case (n, s, st) =>
+        n -> (s"BIGINT GENERATED ALWAYS AS IDENTITY " +
+          s"(START WITH $s INCREMENT BY $st)") }.toMap
+    val genCols = t.generatedColumns.toMap
+    val cols = t.read.schema.fields.map { f =>
+      idCols.get(f.name).map(d => s"  ${f.name} $d")
+        .orElse(genCols.get(f.name).map(e =>
+          s"  ${f.name} ${f.dataType.sql} GENERATED ALWAYS AS ($e)"))
+        .getOrElse(s"  ${f.name} ${f.dataType.sql}")
+    }
+    val parts = t.bucketSpec.map(_.partitionKeys).getOrElse(t.partitionLayout)
+    val props =
+      t.properties.toSeq ++
+        t.checks.map { case (n, e) => (s"graft.constraints.$n", e) } ++
+        t.bucketSpec.toSeq.flatMap(sp => Seq(
+          "graft.bucket.keys" -> sp.keys.mkString(","),
+          "graft.bucket.num" -> sp.numBuckets.toString)) ++
+        (if (t.changeFeedEnabled &&
+          !t.properties.contains(VersionedTable.CdfProp))
+          Seq(VersionedTable.CdfProp -> "true")
+         else Nil)
+    val stmtText =
+      s"CREATE TABLE graft.`${t.root}` (\n" + cols.mkString(",\n") +
+        ")\nUSING graft" +
+        (if (parts.nonEmpty) s"\nPARTITIONED BY (${parts.mkString(", ")})"
+         else "") +
+        (if (props.nonEmpty)
+          "\nTBLPROPERTIES (\n" + props.sortBy(_._1)
+            .map { case (k, v) => s"  '$k' = '$v'" }.mkString(",\n") + ")"
+         else "")
+    Seq(stmtText).toDF("createtab_stmt")
   }
 
   /** CREATE [OR REPLACE] TABLE t (id INT, ...) — the reference smoke
@@ -883,6 +988,51 @@ object GraftSql {
     ("""(?i)""" + Ident + """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
   private val TimeTravelTimestamp =
     ("""(?i)""" + Ident + """\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
+  // TBLPROPERTIES surface. The schema-form regex relies on backtracking:
+  // the greedy column capture gives ground until the REQUIRED
+  // TBLPROPERTIES keyword matches, so the split lands at the last
+  // `) [USING x] TBLPROPERTIES (` boundary.
+  private val CreateSchemaPropsStmt =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
+      """\s*\((.+)\)\s*(?:USING\s+\w+\s*)?TBLPROPERTIES\s*\((.+)\)\s*;?\s*""").r
+  private val CtasPropsStmt =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+TBLPROPERTIES\s*\((.+?)\)""" +
+      """\s+AS\s+((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  private val SetPropsStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*;?\s*""").r
+  private val UnsetPropsStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+UNSET\s+TBLPROPERTIES\s+(IF\s+EXISTS\s+)?\(([^)]*)\)\s*;?\s*""").r
+  private val ShowPropsStmt =
+    ("""(?is)\s*SHOW\s+TBLPROPERTIES\s+""" + Ident + """\s*;?\s*""").r
+  private val ShowPartitionsStmt =
+    ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + Ident + """\s*;?\s*""").r
+  private val ShowCreateStmt =
+    ("""(?is)\s*SHOW\s+CREATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
+  private val ShowTablesStmt = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+  private val ReorgStmt =
+    ("""(?is)\s*REORG\s+TABLE\s+""" + Ident +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""").r
+
+  /** `'k' = 'v', "k2" = v2, …` → pairs. Values may contain `=`; keys may
+    * not (split at the first top-level `=`). */
+  private def parseProps(s: String): Seq[(String, String)] =
+    splitTop(s, ',').map(_.trim).filter(_.nonEmpty).map { e =>
+      val i = e.indexOf('=')
+      require(i > 0, s"TBLPROPERTIES: expected 'key' = 'value', got: $e")
+      (unquote(e.substring(0, i)), unquote(e.substring(i + 1)))
+    }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 &&
+      ((t.head == '\'' && t.last == '\'') ||
+        (t.head == '"' && t.last == '"'))) t.substring(1, t.length - 1)
+    else t
+  }
+
   private val AddColumnsStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*""").r

@@ -218,12 +218,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       columnRenames.length, columnDrops.length,
       (columnRenames.map { case (_, f, to) => s"$f->$to" } ++
         columnDrops.map { case (_, f) => s"$f->(dropped)" }).mkString(";"),
-      identityColumns.length))
+      identityColumns.length,
+      // TBLPROPERTIES, sorted "k=v" pairs — one compact string, same
+      // shape as column_mapping (cheap predicates without _props.json)
+      properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(";")))
       .toDF("location", "version", "last_modified", "num_file_sets",
         "num_files", "size_bytes", "num_buckets", "bucket_keys",
         "partition_columns", "num_deletion_vectors", "change_feed_enabled",
         "num_checks", "num_generated_columns", "num_renamed_columns",
-        "num_dropped_columns", "column_mapping", "num_identity_columns")
+        "num_dropped_columns", "column_mapping", "num_identity_columns",
+        "properties")
   }
 
   /** Read-modify-write commit: `fileSets` was derived by READING snapshot
@@ -395,6 +400,58 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   def dropCheck(name: String): Unit =
     writeNamedExprs(checksPath, "checks", checks.filterNot(_._1 == name))
+
+  // ------------------------------------------------------- table properties
+
+  private def propsPath: Path = Paths.get(root, "_props.json")
+
+  /** Declared table properties — Delta's `TBLPROPERTIES` surface. Free-form
+    * (key, value) metadata, except the keys the engine itself interprets:
+    * `graft.appendOnly=true` refuses every row-mutating operation
+    * (delete/update/merge/overwrite/restore — Delta's `delta.appendOnly`),
+    * leaving appends and data-identical maintenance (compact/zorder/
+    * vacuum) allowed. Persisted like checks/generated columns: one small
+    * JSON file, atomic replace, carried by [[shallowCloneTo]]. */
+  def properties: Map[String, String] =
+    if (!Files.exists(propsPath)) Map.empty
+    else CheckJson.findAllMatchIn(Files.readString(propsPath))
+      .map(m => (m.group(1), m.group(2))).toList.toMap
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — upsert semantics, idempotent.
+    * `graft.enableChangeFeed` is live like Delta's
+    * `delta.enableChangeDataFeed`: setting it true/false flips the CDF
+    * marker, so CDF is controllable purely through properties DDL (and a
+    * SHOW CREATE TABLE round-trip carries it). */
+  def setProperties(kvs: Map[String, String]): Unit = {
+    kvs.foreach { case (k, v) => requireCleanNamedExpr(k, v, "property") }
+    val merged = properties ++ kvs
+    writeNamedExprs(propsPath, "properties",
+      merged.toSeq.sortBy(_._1))
+    kvs.get(CdfProp).foreach { v =>
+      if (v.equalsIgnoreCase("true")) enableChangeFeed()
+      else disableChangeFeed()
+    }
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — unknown keys are a no-op
+    * (Delta's IF EXISTS behavior; strictness lives in the SQL funnel).
+    * Unsetting `graft.enableChangeFeed` disables CDF going forward. */
+  def unsetProperties(keys: Seq[String]): Unit = {
+    writeNamedExprs(propsPath, "properties",
+      properties.removedAll(keys).toSeq.sortBy(_._1))
+    if (keys.contains(CdfProp)) disableChangeFeed()
+  }
+
+  /** True iff `graft.appendOnly=true` is declared. */
+  def appendOnly: Boolean =
+    properties.get("graft.appendOnly").exists(_.equalsIgnoreCase("true"))
+
+  /** Gate for row-mutating operations on append-only tables. Appends and
+    * data-identical maintenance never call this. */
+  private def requireMutable(what: String): Unit =
+    require(!appendOnly,
+      s"$what: table at $root is append-only (graft.appendOnly=true); " +
+        "UNSET the property to mutate existing rows")
 
   /** Shared persistence for the (name, SQL expr) registries — CHECK
     * constraints and generated columns use the identical hand-rolled
@@ -1947,6 +2004,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * publish). Old versions stay readable — time travel for free. */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
                 txn: Option[(String, Long)] = None): LogEntry = {
+    if (exists) requireMutable("OVERWRITE")
     if (txnAlreadyApplied(txn)) return history.last
     requireNoGhostColumns(df, "overwrite")
     val (withIds, cleanupIds) = withIdentityAssignment(df)
@@ -1991,7 +2049,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // may coincide with the source's future writes — fine, the tables
     // are independent after the clone)
     Seq(specPath, layoutPath, checksPath, cdfMarker, generatedPath,
-        identityPath, identityHwmPath).foreach { p =>
+        identityPath, identityHwmPath, propsPath).foreach { p =>
       if (Files.exists(p))
         Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
@@ -2129,6 +2187,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * stays in history, exactly Delta's `RESTORE TABLE ... TO VERSION AS
     * OF` semantics (declared: docs/backlog.md:55-58 time-travel family). */
   def restore(v: Long): LogEntry = {
+    requireMutable("RESTORE")
     val rv = latestVersion
     val e = history.find(_.version == v)
       .getOrElse(sys.error(s"no version $v at $root"))
@@ -2178,6 +2237,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * stay COW; hive-partitioned tables re-apply their recorded layout. */
   def deleteRange(column: String, lower: String, upper: String,
                   extraCond: Option[Column] = None): LogEntry = {
+    requireMutable("DELETE")
     val snap = history.lastOption
       .getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
@@ -2225,6 +2285,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * silently strip pruning). Prefer [[deleteRange]] when the predicate
     * is range-shaped over a stats column. */
   def delete(cond: Column): LogEntry = {
+    requireMutable("DELETE")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
     val remaining = read.filter(!coalesce(cond, lit(false)))
@@ -2254,6 +2315,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * Time travel to a pre-delete version ignores the DV, as with Delta.
     * NULL-predicate rows are KEPT (SQL DELETE semantics). */
   def deleteVectors(cond: Column): LogEntry = {
+    requireMutable("DELETE")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
     if (snap.fileSets.isEmpty)
@@ -2355,6 +2417,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * Prefer [[updateRange]] when the predicate is range-shaped over a
     * stats column — it rewrites only the overlapping file-sets. */
   def update(set: Map[String, Column], cond: Column): LogEntry = {
+    requireMutable("UPDATE")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
@@ -2390,6 +2453,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def updateRange(column: String, lower: String, upper: String,
                   set: Map[String, Column],
                   extraCond: Option[Column] = None): LogEntry = {
+    requireMutable("UPDATE")
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
@@ -2477,6 +2541,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             statsFor: Seq[String] = Nil,
             txn: Option[(String, Long)] = None,
             clauses: Option[graft.ops.Merge.Clauses] = None): LogEntry = {
+    // appendOnly blocks MERGE wholesale (it may rewrite matched rows) —
+    // Delta's delta.appendOnly draws the same line; insert-if-absent
+    // flows route through the anti-join append path instead
+    requireMutable("MERGE")
     require(keys.nonEmpty, "merge requires at least one key column")
     // replayed txn: skip before staging any data. The window between this
     // check and the commit is covered by `basedOn` conflict detection —
@@ -3051,6 +3119,9 @@ object VersionedTable {
 
   /** Commits between automatic log checkpoints ([[VersionedTable.checkpointLog]]). */
   val CheckpointInterval = 32L
+
+  /** Live property key: CDF on/off (Delta's delta.enableChangeDataFeed). */
+  val CdfProp = "graft.enableChangeFeed"
 
   /** Minimum age (mtime) before vacuum treats a staging dir as a crashed
     * writer's orphan — any live writer finishes (or at least touches) its

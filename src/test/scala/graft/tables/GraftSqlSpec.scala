@@ -1,6 +1,7 @@
 package graft.tables
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit}
 
 /** The SQL maintenance surface ([[GraftSql]]): parsed OPTIMIZE / VACUUM
   * statements complete the lifecycle next to the DESCRIBE relation flows
@@ -897,5 +898,154 @@ class GraftSqlSpec extends SparkSpec {
       sql.sql("DROP TABLE dml_delegate")
       assert(!spark.catalog.tableExists("dml_delegate"))
     } finally spark.sql("DROP TABLE IF EXISTS dml_delegate")
+  }
+
+  test("TBLPROPERTIES: CREATE carries them; SET upserts; UNSET is strict") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.props (k INT, v STRING) " +
+      "TBLPROPERTIES ('owner' = 'graft', 'note' = 'a = b, (c)')")
+    val t = cat.table("silver", "props")
+    // hostile values: '=' and parens/commas inside a quoted value parse
+    assert(t.properties === Map("owner" -> "graft", "note" -> "a = b, (c)"))
+    sql.sql("ALTER TABLE silver.props SET TBLPROPERTIES " +
+      "('owner' = 'ops', 'quality' = 'silver')")
+    assert(t.properties ===
+      Map("owner" -> "ops", "note" -> "a = b, (c)", "quality" -> "silver"))
+    assert(sql.sql("SHOW TBLPROPERTIES silver.props")
+      .as[(String, String)].collect().toSeq ===
+      Seq(("note", "a = b, (c)"), ("owner", "ops"), ("quality", "silver")))
+    sql.sql("ALTER TABLE silver.props UNSET TBLPROPERTIES ('note')")
+    // strict without IF EXISTS (Delta/Spark behavior)…
+    val ex = intercept[Exception](
+      sql.sql("ALTER TABLE silver.props UNSET TBLPROPERTIES ('nope')"))
+    assert(ex.getMessage.contains("unknown key"))
+    // …and a silent no-op with it
+    sql.sql("ALTER TABLE silver.props UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    assert(t.properties.keySet === Set("owner", "quality"))
+  }
+
+  test("TBLPROPERTIES on a CTAS; SHOW on a non-graft identifier delegates") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.pc PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('kind' = 'ctas') " +
+      "AS SELECT id % 2 AS p, id FROM RANGE(10)")
+    val t = cat.table("gold", "pc")
+    assert(t.properties === Map("kind" -> "ctas"))
+    assert(t.partitionLayout === Seq("p"))
+    assert(t.read.count() === 10)
+    spark.sql("DROP TABLE IF EXISTS show_delegate")
+    try {
+      sql.sql("CREATE TABLE show_delegate (id INT) USING PARQUET " +
+        "TBLPROPERTIES ('x' = '1')")
+      val vals = sql.sql("SHOW TBLPROPERTIES show_delegate")
+        .as[(String, String)].collect().toMap
+      assert(vals.get("x") === Some("1"))
+    } finally spark.sql("DROP TABLE IF EXISTS show_delegate")
+  }
+
+  test("graft.appendOnly=true refuses every row mutation, appends still land") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.ao (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.appendOnly' = 'true')")
+    sql.sql("INSERT INTO silver.ao VALUES (1, 'a'), (2, 'b')")
+    sql.sql("INSERT INTO silver.ao VALUES (3, 'c')") // appends fine
+    val t = cat.table("silver", "ao")
+    assert(t.read.count() === 3)
+    def refused(stmt: String): Unit = {
+      val ex = intercept[Exception](sql.sql(stmt))
+      assert(ex.getMessage.contains("append-only"), s"$stmt: $ex")
+    }
+    refused("DELETE FROM silver.ao WHERE k = 1")
+    refused("UPDATE silver.ao SET v = 'x' WHERE k = 2")
+    refused("INSERT OVERWRITE silver.ao VALUES (9, 'z')")
+    refused("TRUNCATE TABLE silver.ao")
+    refused("RESTORE TABLE silver.ao TO VERSION AS OF 0")
+    Seq((1, "upd")).toDF("k", "v").createOrReplaceTempView("ao_src")
+    refused("MERGE INTO silver.ao AS t USING ao_src AS s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // library-side guards hold too (the SQL funnel is not the only door)
+    assertThrows[Exception](t.deleteVectors(col("k") === 1))
+    assertThrows[Exception](t.updateRange("k", "1", "2",
+      Map("v" -> lit("x"))))
+    assert(t.read.count() === 3)
+    // UNSET re-enables mutation
+    sql.sql("ALTER TABLE silver.ao UNSET TBLPROPERTIES ('graft.appendOnly')")
+    sql.sql("DELETE FROM silver.ao WHERE k = 1")
+    assert(t.read.count() === 2)
+  }
+
+  test("graft.enableChangeFeed property flips CDF like delta.enableChangeDataFeed") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.cdfp (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.enableChangeFeed' = 'true')")
+    val t = cat.table("silver", "cdfp")
+    assert(t.changeFeedEnabled)
+    sql.sql("INSERT INTO silver.cdfp VALUES (1, 'a')")
+    sql.sql("UPDATE silver.cdfp SET v = 'b' WHERE k = 1")
+    // feed from v0 (the CREATE's empty overwrite) onward: the INSERT and
+    // the UPDATE are both captured
+    assert(t.readChangeFeed(0).where(col("_change_type") === "update_postimage")
+      .count() === 1)
+    // the SHOW CREATE round-trip carries CDF exactly once (marker and
+    // property never emit a duplicate key)
+    val ddl = sql.sql("SHOW CREATE TABLE silver.cdfp").as[String].head()
+    assert("graft\\.enableChangeFeed".r.findAllIn(ddl).length === 1)
+    sql.sql("ALTER TABLE silver.cdfp SET TBLPROPERTIES " +
+      "('graft.enableChangeFeed' = 'false')")
+    assert(!t.changeFeedEnabled)
+    sql.sql("ALTER TABLE silver.cdfp SET TBLPROPERTIES " +
+      "('graft.enableChangeFeed' = 'true')")
+    sql.sql("ALTER TABLE silver.cdfp UNSET TBLPROPERTIES " +
+      "('graft.enableChangeFeed')")
+    assert(!t.changeFeedEnabled)
+  }
+
+  test("SHOW PARTITIONS lists distinct partition values; unpartitioned refuses") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.sp PARTITIONED BY (p) AS " +
+      "SELECT CONCAT('p', id % 3) AS p, id FROM RANGE(30)")
+    assert(sql.sql("SHOW PARTITIONS gold.sp").as[String].collect().toSeq ===
+      Seq("p0", "p1", "p2"))
+    cat.table("silver", "flat").append(Seq((1, "a")).toDF("k", "v"))
+    val ex = intercept[Exception](sql.sql("SHOW PARTITIONS silver.flat"))
+    assert(ex.getMessage.contains("not partitioned"))
+  }
+
+  test("SHOW CREATE TABLE emits runnable DDL that round-trips the schema") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.sc (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "k INT, v STRING, k2 INT GENERATED ALWAYS AS (k + 1)) " +
+      "TBLPROPERTIES ('owner' = 'graft')")
+    sql.sql("ALTER TABLE silver.sc ADD CONSTRAINT kpos CHECK (k >= 0)")
+    val ddl = sql.sql("SHOW CREATE TABLE silver.sc").as[String].head()
+    assert(ddl.contains("GENERATED ALWAYS AS IDENTITY"))
+    assert(ddl.contains("GENERATED ALWAYS AS (k + 1)"))
+    assert(ddl.contains("'graft.constraints.kpos' = 'k >= 0'"))
+    assert(ddl.contains("'owner' = 'graft'"))
+    // the emitted statement is runnable against a fresh root: swap the
+    // path, re-execute, and compare schemas (constraint properties are
+    // carried as properties — informational, as with Delta's
+    // delta.constraints.* surface)
+    val t = cat.table("silver", "sc")
+    val fresh = tmpDir("graft-sc2-")
+    sql.sql(ddl.replace(s"graft.`${t.root}`", s"graft.`$fresh/t`"))
+    assert(VersionedTable(spark, s"$fresh/t").read.schema ===
+      t.read.schema)
+  }
+
+  test("SHOW TABLES lists the warehouse; REORG APPLY PURGE drops DVs") {
+    val (cat, sql) = warehouse()
+    cat.table("silver", "t1").append(Seq((1, "a")).toDF("k", "v"))
+    cat.table("gold", "t2").append(Seq((2, "b")).toDF("k", "v"))
+    assert(sql.sql("SHOW TABLES").as[(String, String)].collect().toSet ===
+      Set(("silver", "t1"), ("gold", "t2")))
+    val t = cat.table("silver", "t1")
+    t.append((2 to 50).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.deleteVectors(col("k") <= 10)
+    assert(t.history.last.dvs.nonEmpty)
+    assert(sql.sql("REORG TABLE silver.t1 APPLY (PURGE)")
+      .select("action").as[String].head() === "purge_dv")
+    assert(t.history.last.dvs.isEmpty)
+    assert(t.read.count() === 40)
   }
 }

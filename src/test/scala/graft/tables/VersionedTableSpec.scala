@@ -1838,6 +1838,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(d === ((1, 1, "v->val;scratch->(dropped)", 0)))
   }
 
+  test("table properties persist, clone over, and surface in detailDf") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-props-"))
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.setProperties(Map("owner" -> "graft", "tier" -> "silver"))
+    t.setProperties(Map("tier" -> "gold")) // upsert
+    assert(t.properties === Map("owner" -> "graft", "tier" -> "gold"))
+    assert(t.detailDf.select("properties").as[String].head() ===
+      "owner=graft;tier=gold")
+    val c = t.shallowCloneTo(tmpDir("vt-props-dst-"))
+    assert(c.properties === t.properties)
+    // the clone's properties are its own: unsetting one side leaves the
+    // other untouched (independent metadata files)
+    c.unsetProperties(Seq("tier"))
+    assert(c.properties === Map("owner" -> "graft"))
+    assert(t.properties("tier") === "gold")
+    // appendOnly carried by a clone gates the clone too
+    t.setProperties(Map("graft.appendOnly" -> "true"))
+    val d = t.shallowCloneTo(tmpDir("vt-props-ao-"))
+    assertThrows[IllegalArgumentException](d.delete(col("id") === 1))
+    assertThrows[IllegalArgumentException](t.restore(0))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

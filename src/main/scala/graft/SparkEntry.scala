@@ -2292,6 +2292,29 @@ object SparkEntry {
         .withColumn("dv_after", lit(dvAfter))
     }),
 
+    // Delta's replaceWhere (INSERT INTO … REPLACE WHERE): the
+    // partition-backfill idiom — atomically swap one partition's rows
+    // for a recomputed batch in a single commit; every other partition
+    // is untouched (and, with stats, carried without a rewrite).
+    "q_sql_replace_where" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-rw-").toString
+      val sql = graft.tables.GraftSql(s)
+      events(s, dir).select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("event_type"))
+        .createOrReplaceTempView("rw_events")
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` PARTITIONED BY (event_type) " +
+        "AS SELECT event_id, user_id, event_type FROM rw_events")
+      // recompute the 'click' partition (schema reads partition col LAST)
+      sql.sql(s"INSERT INTO graft.`$tmp/t` REPLACE WHERE " +
+        "event_type = 'click' SELECT event_id * 2 AS event_id, user_id, " +
+        "'click' AS event_type FROM rw_events WHERE event_type = 'click'")
+      VersionedTable(s, s"$tmp/t").read
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("event_id").cast("long").as("sum_id"))
+        .orderBy("event_type")
+    }),
+
     // SQL entry surface for CDC: the change feed as a queryable relation
     // (Delta's `table_changes('t', v)` flow) — a DML chain's row changes
     // grouped per (version, change type) in one SQL statement. The feed
@@ -2978,6 +3001,17 @@ object SparkEntry {
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
         | TRUE AS dv_before, FALSE AS dv_after
         |FROM nation WHERE n_nationkey >= 5""".stripMargin,
+
+    "q_sql_replace_where" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM (
+        |  SELECT event_id, event_type FROM events
+        |  WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_id * 2, event_type FROM events
+        |  WHERE event_type = 'click')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_table_changes" ->
       """WITH base AS (SELECT n_nationkey, n_regionkey FROM nation),

@@ -39,6 +39,7 @@ import org.apache.spark.sql.types.StructType
   *   INSERT INTO <table> <query>            -- positional, cast to schema
   *   INSERT INTO <table> (c1, c2, ...) <query>  -- named; unlisted → NULL
   *   INSERT OVERWRITE [TABLE] <table> <query>
+  *   INSERT INTO <table> REPLACE WHERE <cond> <query>  -- Delta replaceWhere
   *   TRUNCATE TABLE <table>                 -- schema-preserving empty
   *   DESCRIBE [TABLE] <table>               -- columns + engine contracts
   *   UPDATE <table> SET c = expr [, ...] [WHERE cond]
@@ -130,6 +131,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       owned(ident).fold(spark.sql(stmt))(t => versionDf(
         t.update(parseAssignments(sets),
           Option(cond).map(expr).getOrElse(lit(true)))))
+    case InsertReplaceStmt(ident, cond, query) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        versionDf(routeReplace(t, cond.trim,
+          alignPositional(t, spark.sql(query))))
+      }
     case InsertColsStmt(kind, ident, cols, query) =>
       owned(ident).fold(spark.sql(stmt))(
         insert(_, kind.equalsIgnoreCase("OVERWRITE"), query,
@@ -598,11 +604,38 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         if (overwrite) tbl.overwrite(aligned, partitionBy = parts)
         else tbl.append(aligned, partitionBy = parts))
     }
-    // GENERATED ALWAYS AS IDENTITY columns are never supplied: the
-    // positional alignment targets the schema WITHOUT them, and the
-    // write path stamps the values. Generated columns MAY be omitted
-    // (compute-if-absent) or supplied (verified) — the alignment picks
-    // whichever schema the query's column count matches.
+    val aligned = alignPositional(tbl, df)
+    val parts = tbl.bucketSpec.map(_.partitionKeys).getOrElse(tbl.partitionLayout)
+    versionDf(if (overwrite) tbl.overwrite(aligned, partitionBy = parts)
+              else tbl.append(aligned, partitionBy = parts))
+  }
+
+  /** `INSERT INTO t REPLACE WHERE cond <query>` routing (Databricks'
+    * replaceWhere surface): a range- or equality-shaped predicate over
+    * one column takes the file-pruned [[VersionedTable.replaceRange]]
+    * path — untouched file-sets are carried verbatim, the 100 TB
+    * partition-backfill shape — anything else is a full COW
+    * [[VersionedTable.replaceWhere]]. */
+  private def routeReplace(t: VersionedTable, cond: String,
+                           df: DataFrame): VersionedTable.LogEntry =
+    cond match {
+      case EqPred(c, q, bare) =>
+        val v = if (q != null) q else bare
+        t.replaceRange(stripTicks(c), v, v, df)
+      case BetweenPred(c, q1, b1, q2, b2) =>
+        t.replaceRange(stripTicks(c),
+          if (q1 != null) q1 else b1, if (q2 != null) q2 else b2, df)
+      case other => t.replaceWhere(expr(other), df)
+    }
+
+  /** Positional bind + cast of a query result to `tbl`'s schema.
+    * GENERATED ALWAYS AS IDENTITY columns are never supplied: the
+    * alignment targets the schema WITHOUT them, and the write path
+    * stamps the values. Generated columns MAY be omitted
+    * (compute-if-absent) or supplied (verified) — the alignment picks
+    * whichever schema the query's column count matches. */
+  private def alignPositional(tbl: VersionedTable,
+                              df: DataFrame): DataFrame = {
     val idCols = tbl.identityColumns.map(_._1).toSet
     val genCols = tbl.generatedColumns.map(_._1).toSet
     val full = tbl.read.schema.fields.filterNot(f => idCols.contains(f.name))
@@ -617,12 +650,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           s"${genCols.mkString(",")} compute)" else "") +
         (if (idCols.isEmpty) ""
          else s" (identity ${idCols.mkString(",")} auto-assigns)"))
-    val aligned = df.toDF(fields.map(_.name).toIndexedSeq: _*)
+    df.toDF(fields.map(_.name).toIndexedSeq: _*)
       .select(fields.map(f =>
         col(s"`${f.name}`").cast(f.dataType)).toIndexedSeq: _*)
-    val parts = tbl.bucketSpec.map(_.partitionKeys).getOrElse(tbl.partitionLayout)
-    versionDf(if (overwrite) tbl.overwrite(aligned, partitionBy = parts)
-              else tbl.append(aligned, partitionBy = parts))
   }
 
   /** COPY INTO — idempotent batch file ingest (the batch sibling of the
@@ -976,6 +1006,20 @@ object GraftSql {
     ("""(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?""" + Ident +
       """\s*\(\s*((?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)\s*\)\s*""" +
       """((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
+  // replaceWhere: the predicate capture is lazy, fenced by the query's
+  // leading keyword — a quoted literal containing SELECT/VALUES cannot
+  // start the query group (it would not follow the \s+ boundary as a
+  // bare keyword), and a genuinely ambiguous statement fails loudly in
+  // expr()/spark.sql downstream, never silently
+  private val InsertReplaceStmt =
+    ("""(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?""" + Ident +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+""" +
+      """((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*)\s*;?\s*""").r
+  private val EqPred =
+    """(?is)\s*(`[^`]+`|\w+)\s*=\s*(?:'([^']*)'|([-\w.:]+))\s*""".r
+  private val BetweenPred =
+    ("""(?is)\s*(`[^`]+`|\w+)\s+BETWEEN\s+(?:'([^']*)'|([-\w.:]+))""" +
+      """\s+AND\s+(?:'([^']*)'|([-\w.:]+))\s*""").r
   private val TruncateStmt =
     ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
   private val DescTableStmt =

@@ -2497,6 +2497,95 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     } finally if (changeFeedEnabled) { touchedRows.unpersist(); () }
   }
 
+  /** Delta's `replaceWhere`: atomically replace the rows matching `cond`
+    * with `df` — delete-matching + insert-batch in ONE commit
+    * (`replace_where`), so readers never see the deleted-but-not-yet-
+    * reloaded intermediate state a DELETE+INSERT pair would expose. The
+    * incoming batch must itself satisfy `cond` (Delta enforces the same
+    * invariant — a "reload October" batch carrying November rows would
+    * silently widen the replacement); violations fail the write job
+    * row-by-row via raise_error, before any commit. General form: full
+    * COW rewrite. Prefer [[replaceRange]] when the predicate is
+    * range/partition-shaped over a stats column — the idiomatic backfill
+    * at 100 TB rewrites one day's file-sets, not the table. */
+  def replaceWhere(cond: Column, df: DataFrame): LogEntry =
+    replaceImpl(cond, df, prune = None)
+
+  /** [[replaceWhere]] with data skipping: replaces rows with `column` in
+    * [lower, upper]; ONLY file-sets whose min/max stats overlap the
+    * range are rewritten, every other file-set is carried verbatim —
+    * the partition-scoped `INSERT INTO … REPLACE WHERE` backfill path. */
+  def replaceRange(column: String, lower: String, upper: String,
+                   df: DataFrame): LogEntry = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val dt =
+      if (snap.fileSets.isEmpty) df.schema(column).dataType
+      else readFileSets(snap.fileSets).schema(column).dataType
+    val cond = col(column) >= lit(lower).cast(dt) &&
+      col(column) <= lit(upper).cast(dt)
+    replaceImpl(cond, df, prune = Some((column, lower, upper)))
+  }
+
+  private def replaceImpl(cond: Column, df: DataFrame,
+                          prune: Option[(String, String, String)]): LogEntry = {
+    requireMutable("REPLACE WHERE")
+    requireNoGhostColumns(df, "replaceWhere")
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val rv = Some(snap.version)
+    val (touched, carried) = prune match {
+      case Some((c, lo, hi)) if snap.fileSets.nonEmpty =>
+        val dt = readFileSets(snap.fileSets).schema(c).dataType
+        val t = overlappingFileSets(snap.fileSets, c, lo, hi, dt)
+        (t, snap.fileSets.diff(t))
+      case _ => (snap.fileSets, Seq.empty[String])
+    }
+    val (withIds, cleanupIds) = withIdentityAssignment(df)
+    try {
+      // write-path invariants apply to the new batch exactly as append's
+      // (generated compute/verify, CHECK constraints), PLUS the
+      // replaceWhere containment invariant
+      val checked = withCheckEnforcement(withIds)
+      val incoming = checked.filter(
+        when(coalesce(cond, lit(false)), lit(true)).otherwise(raise_error(
+          concat(lit("REPLACE WHERE: incoming row does not satisfy the " +
+            "replacement predicate; offending row "),
+            to_json(struct(checked.columns.map(col): _*))))))
+        .select(read.columns.map(c => col(s"`$c`")): _*)
+      // consumed by the change set AND the data write — persist so the
+      // batch computes once (identity values stay consistent across both)
+      if (changeFeedEnabled)
+        incoming.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val touchedRows =
+        if (touched.isEmpty) None else Some(readSets(touched, snap.dvs))
+      touchedRows.foreach { t =>
+        if (changeFeedEnabled)
+          t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      try {
+        val remaining =
+          touchedRows.map(_.filter(!coalesce(cond, lit(false))))
+        val statsCols = statsColsOf(snap.fileSets)
+        val cdf = writeChangeSet(
+          touchedRows.map(t =>
+            tagged(t.filter(coalesce(cond, lit(false))), "delete")).toSeq :+
+            tagged(incoming, "insert"))
+        val combined =
+          remaining.map(_.unionByName(incoming)).getOrElse(incoming)
+        val newSets = bucketSpec match {
+          case Some(spec) => writeBucketedFileSets(combined, spec)
+          case None       => Seq(writeFileSetPreservingLayout(combined))
+        }
+        writeSkippingSidecars(newSets, statsCols, bloomColsOf(snap.fileSets))
+        commit("replace_where", carried ++ newSets, basedOn = rv,
+          dvs = snap.dvs, cdf = cdf)
+      } finally if (changeFeedEnabled) {
+        incoming.unpersist()
+        touchedRows.foreach(_.unpersist())
+        ()
+      }
+    } finally cleanupIds()
+  }
+
   /** MERGE upsert: update matched target rows with the update row, insert
     * unmatched updates, keep unmatched target rows. Rerun-idempotent
     * (merge twice ≡ merge once) for non-NULL keys, as the reference

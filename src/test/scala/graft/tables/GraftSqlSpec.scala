@@ -900,6 +900,45 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS dml_delegate")
   }
 
+  test("INSERT INTO … REPLACE WHERE swaps a partition atomically") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.rw PARTITIONED BY (m) AS " +
+      "SELECT CASE WHEN id < 5 THEN 'jan' ELSE 'feb' END AS m, id " +
+      "FROM RANGE(10)")
+    // hive layout reads the partition column LAST: schema is (id, m)
+    sql.sql("INSERT INTO silver.rw REPLACE WHERE m = 'jan' " +
+      "SELECT id + 100 AS id, 'jan' AS m FROM RANGE(3)")
+    val t = cat.table("silver", "rw")
+    assert(t.history.last.action === "replace_where")
+    assert(t.read.where(col("m") === "jan").select("id")
+      .as[Long].collect().toSet === Set(100L, 101L, 102L))
+    assert(t.read.where(col("m") === "feb").count() === 5)
+    // a batch that does NOT satisfy the predicate fails, nothing commits
+    val v = t.history.last.version
+    assertThrows[Exception](sql.sql(
+      "INSERT INTO silver.rw REPLACE WHERE m = 'feb' " +
+        "SELECT id AS id, 'jan' AS m FROM RANGE(2)"))
+    assert(t.history.last.version === v)
+  }
+
+  test("REPLACE WHERE BETWEEN prunes to stats-overlapping file-sets") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.rr (k INT, v STRING)")
+    sql.sql("INSERT INTO gold.rr VALUES (1, 'a'), (2, 'b')")
+    sql.sql("INSERT INTO gold.rr VALUES (100, 'x'), (101, 'y')")
+    sql.sql("ANALYZE TABLE gold.rr COMPUTE STATISTICS FOR COLUMNS k")
+    val t = cat.table("gold", "rr")
+    // fileSets: [create's empty set, low batch, high batch]
+    val before = t.history.last.fileSets
+    sql.sql("INSERT INTO gold.rr REPLACE WHERE k BETWEEN 100 AND 200 " +
+      "VALUES (150, 'z')")
+    val after = t.history.last.fileSets
+    assert(after.contains(before(1))) // low set carried verbatim
+    assert(!after.contains(before(2))) // high set rewritten
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (150, "z")))
+  }
+
   test("TBLPROPERTIES: CREATE carries them; SET upserts; UNSET is strict") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.props (k INT, v STRING) " +

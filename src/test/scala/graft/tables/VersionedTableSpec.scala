@@ -1861,6 +1861,44 @@ class VersionedTableSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](t.restore(0))
   }
 
+  test("replaceWhere atomically swaps predicate rows; batch must satisfy it") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-rw-"))
+    t.enableChangeFeed()
+    t.append(Seq((1, "jan", 10), (2, "jan", 20), (3, "feb", 30))
+      .toDF("id", "m", "v"))
+    t.replaceWhere(col("m") === "jan",
+      Seq((7, "jan", 70)).toDF("id", "m", "v"))
+    assert(t.read.as[(Int, String, Int)].collect().toSet ===
+      Set((7, "jan", 70), (3, "feb", 30)))
+    // ONE commit (no deleted-but-not-reloaded intermediate state)
+    assert(t.history.map(e => (e.version, e.action)) ===
+      Seq((0L, "append"), (1L, "replace_where")))
+    val feed = t.readChangeFeed(0)
+    assert(feed.where(col("_change_type") === "delete").count() === 2)
+    assert(feed.where(col("_change_type") === "insert").count() === 1)
+    assert(t.readVersion(0).count() === 3) // time travel pre-replace
+    // a batch row OUTSIDE the predicate fails the write, nothing commits
+    assertThrows[Exception](t.replaceWhere(col("m") === "jan",
+      Seq((8, "mar", 80)).toDF("id", "m", "v")))
+    assert(t.read.count() === 2)
+    assert(t.history.length === 2)
+  }
+
+  test("replaceRange carries file-sets whose stats cannot overlap") {
+    val t = VersionedTable(spark, tmpDir("vt-rr-"))
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), statsFor = Seq("k"))
+    t.append(Seq((100, "x"), (101, "y")).toDF("k", "v"), statsFor = Seq("k"))
+    val before = t.history.last.fileSets
+    t.replaceRange("k", "100", "200", Seq((150, "z")).toDF("k", "v"))
+    val after = t.history.last.fileSets
+    // the low file-set is carried VERBATIM (same id), the high one is not
+    assert(after.contains(before.head))
+    assert(!after.contains(before(1)))
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (150, "z")))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -2292,6 +2292,28 @@ object SparkEntry {
         .withColumn("dv_after", lit(dvAfter))
     }),
 
+    // Column DEFAULTs (the Spark/Delta DEFAULT clause): named-column
+    // INSERTs fill omitted columns with the declared default instead of
+    // NULL; ALTER COLUMN SET DEFAULT changes it for FUTURE inserts only
+    // (already-written rows keep their values — metadata-only DDL).
+    "q_sql_default" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-dflt-").toString
+      val sql = graft.tables.GraftSql(s)
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` (k INT, v STRING DEFAULT " +
+        "'none', n INT DEFAULT 7)")
+      t(s, dir, "nation").createOrReplaceTempView("dflt_nation")
+      t(s, dir, "region").createOrReplaceTempView("dflt_region")
+      sql.sql(s"INSERT INTO graft.`$tmp/t` (k) " +
+        "SELECT n_nationkey FROM dflt_nation")
+      sql.sql(s"ALTER TABLE graft.`$tmp/t` ALTER COLUMN n SET DEFAULT 100")
+      sql.sql(s"INSERT INTO graft.`$tmp/t` (k, v) " +
+        "SELECT r_regionkey + 100, r_name FROM dflt_region")
+      VersionedTable(s, s"$tmp/t").read
+        .groupBy("v", "n")
+        .agg(count(lit(1)).as("cnt"), sum("k").cast("long").as("sum_k"))
+        .orderBy("v", "n")
+    }),
+
     // Delta's replaceWhere (INSERT INTO … REPLACE WHERE): the
     // partition-backfill idiom — atomically swap one partition's rows
     // for a recomputed batch in a single commit; every other partition
@@ -3001,6 +3023,19 @@ object SparkEntry {
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
         | TRUE AS dv_before, FALSE AS dv_after
         |FROM nation WHERE n_nationkey >= 5""".stripMargin,
+
+    // nation rows took the CREATE-time defaults (v='none', n=7); region
+    // rows came after SET DEFAULT 100 and name v explicitly.
+    "q_sql_default" ->
+      """SELECT v, n, cnt, sum_k FROM (
+        |  SELECT 'none' AS v, CAST(7 AS INT) AS n,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(n_nationkey) AS BIGINT) AS sum_k FROM nation
+        |  UNION ALL
+        |  SELECT r_name, CAST(100 AS INT), CAST(count(*) AS BIGINT),
+        |    CAST(sum(r_regionkey + 100) AS BIGINT)
+        |  FROM region GROUP BY r_name)
+        |ORDER BY v, n""".stripMargin,
 
     "q_sql_replace_where" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

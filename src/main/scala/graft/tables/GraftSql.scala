@@ -49,6 +49,7 @@ import org.apache.spark.sql.types.StructType
   *     | WHEN NOT MATCHED THEN INSERT *     -- insert-if-absent
   *   COPY INTO <table> FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
   *   ALTER TABLE <table> ADD COLUMNS (c TYPE, ...)   -- metadata-only
+  *   ALTER TABLE <table> ALTER COLUMN <c> SET DEFAULT <expr> | DROP DEFAULT
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   DROP TABLE [IF EXISTS] <table>
@@ -166,6 +167,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case DropColumnStmt(ident, c) =>
       owned(ident).fold(spark.sql(stmt))(t =>
         versionDf(t.dropColumn(stripTicks(c))))
+    case SetDefaultStmt(ident, c, dexpr) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val name = stripTicks(c)
+        require(t.read.columns.contains(name),
+          s"SET DEFAULT: no column `$name` in ${t.root}")
+        t.setDefault(name, dexpr.trim)
+        import spark.implicits._
+        Seq((name, dexpr.trim)).toDF("column", "default_expr")
+      }
+    case DropDefaultStmt(ident, c) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.dropDefault(stripTicks(c))
+        import spark.implicits._
+        Seq(stripTicks(c)).toDF("dropped_default")
+      }
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.addCheck(name, checkExpr)
@@ -294,9 +310,12 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       s"GENERATED ALWAYS AS IDENTITY (START WITH ${c._2} INCREMENT BY ${c._3})").toMap
     val gens = tbl.generatedColumns.map(c => c._1 ->
       s"GENERATED ALWAYS AS (${c._2})").toMap
+    val dflts = tbl.defaultColumns.map(c => c._1 ->
+      s"DEFAULT ${c._2}").toMap
     tbl.read.schema.fields.toSeq.map(f =>
       (f.name, f.dataType.catalogString,
-        idents.getOrElse(f.name, gens.getOrElse(f.name, ""))))
+        idents.getOrElse(f.name,
+          gens.getOrElse(f.name, dflts.getOrElse(f.name, "")))))
       .toDF("col_name", "data_type", "comment")
   }
 
@@ -447,10 +466,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         n -> (s"BIGINT GENERATED ALWAYS AS IDENTITY " +
           s"(START WITH $s INCREMENT BY $st)") }.toMap
     val genCols = t.generatedColumns.toMap
+    val dflts = t.defaultColumns.toMap
     val cols = t.read.schema.fields.map { f =>
       idCols.get(f.name).map(d => s"  ${f.name} $d")
         .orElse(genCols.get(f.name).map(e =>
           s"  ${f.name} ${f.dataType.sql} GENERATED ALWAYS AS ($e)"))
+        .orElse(dflts.get(f.name).map(e =>
+          s"  ${f.name} ${f.dataType.sql} DEFAULT $e"))
         .getOrElse(s"  ${f.name} ${f.dataType.sql}")
     }
     val parts = t.bucketSpec.map(_.partitionKeys).getOrElse(t.partitionLayout)
@@ -498,9 +520,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // lives in VersionedTable.withGeneratedColumns
     val GeneratedDef = ("""(?is)\s*(`[^`]+`|\w+)\s+([A-Za-z0-9_<>,()\s]+?)""" +
       """\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*""").r
+    // `c TYPE DEFAULT <expr>` — the Spark/Delta DEFAULT clause; stripped
+    // from the DDL and declared after create (named INSERTs fill it)
+    val DefaultDef = ("""(?is)\s*(`[^`]+`|\w+)\s+([A-Za-z0-9_<>,()\s]+?)""" +
+      """\s+DEFAULT\s+(.+?)\s*""").r
     val defs = GraftSql.splitTop(colDefs, ',')
     val idents = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val gens = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val dflts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val plain = defs.map {
       case IdentityDef(name, start, step) =>
         val n = stripTicks(name)
@@ -510,14 +537,19 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       case GeneratedDef(name, dtype, genExpr) =>
         gens += ((stripTicks(name), genExpr.trim))
         s"$name $dtype"
+      case DefaultDef(name, dtype, dexpr) =>
+        dflts += ((stripTicks(name), dexpr.trim))
+        s"$name $dtype"
       case other => other
     }.mkString(", ")
     t.clearIdentity()
     t.clearGeneratedColumns()
+    t.clearDefaults()
     val res = versionDf(t.overwrite(spark.createDataFrame(
       java.util.Collections.emptyList[Row](), StructType.fromDDL(plain))))
     idents.foreach { case (n, st, sp) => t.declareIdentity(n, st, sp) }
     gens.foreach { case (n, e) => t.addGeneratedColumn(n, e) }
+    dflts.foreach { case (n, e) => t.setDefault(n, e) }
     res
   }
 
@@ -590,12 +622,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         s"INSERT: query has ${df.columns.length} columns, list names " +
           s"${names.length}")
       val listed = names.toSet
+      val dflts = tbl.defaultColumns.toMap
       val projected = tbl.read.schema.fields.toSeq
         .filterNot(f => idCols.contains(f.name))
         .filterNot(f => genCols.contains(f.name) && !listed.contains(f.name))
         .map { f =>
           if (listed.contains(f.name)) col(s"`${f.name}`").cast(f.dataType)
-          else lit(null).cast(f.dataType).as(f.name)
+          // unlisted + DEFAULT declared → the default (constant-folded);
+          // unlisted otherwise → typed NULL
+          else dflts.get(f.name)
+            .map(e => expr(e).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
         }
       val aligned = df.toDF(names.toIndexedSeq: _*).select(projected: _*)
       val parts = tbl.bucketSpec.map(_.partitionKeys)
@@ -1086,6 +1123,12 @@ object GraftSql {
   private val DropColumnStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+COLUMNS?\s+(`[^`]+`|\w+)\s*;?\s*""").r
+  private val SetDefaultStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*""").r
+  private val DropDefaultStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*;?\s*""").r
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r

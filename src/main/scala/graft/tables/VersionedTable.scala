@@ -687,6 +687,45 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           to_json(struct(d.columns.map(col): _*))))))
     }
 
+  // -------------------------------------------------------- column defaults
+
+  private def defaultsPath: Path = Paths.get(root, "_defaults.json")
+
+  /** Declared column DEFAULTs as (name, SQL expression) — the Spark/Delta
+    * `DEFAULT` clause. Applied when a NAMED-COLUMN INSERT omits the
+    * column (CURRENT_DEFAULT semantics); rows written before the default
+    * existed read back as written — the registry is metadata the read
+    * path never touches, so there is no exists-default rewrite at any
+    * scale. Expressions must be constant-foldable (no column references)
+    * — validated at DDL time with a row-free evaluation. */
+  def defaultColumns: Seq[(String, String)] =
+    if (!Files.exists(defaultsPath)) Nil
+    else CheckJson.findAllMatchIn(Files.readString(defaultsPath))
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** `ALTER TABLE … ALTER COLUMN c SET DEFAULT expr` (upsert). */
+  def setDefault(name: String, sqlExpr: String): Unit = {
+    requireCleanNamedExpr(name, sqlExpr, "default")
+    require(!generatedColumns.exists(_._1 == name),
+      s"DEFAULT on $name: column is GENERATED ALWAYS AS at $root")
+    require(!identityColumns.exists(_._1 == name),
+      s"DEFAULT on $name: column is an identity column at $root")
+    // constant-foldability: a default referencing a column would evaluate
+    // here against no rows and fail loudly (Spark's DEFAULT contract)
+    spark.sql(s"SELECT ($sqlExpr)").collect()
+    writeNamedExprs(defaultsPath, "defaults",
+      defaultColumns.filterNot(_._1 == name) :+ (name, sqlExpr))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN c DROP DEFAULT` — unknown is a no-op. */
+  def dropDefault(name: String): Unit =
+    writeNamedExprs(defaultsPath, "defaults",
+      defaultColumns.filterNot(_._1 == name))
+
+  private[tables] def clearDefaults(): Unit = {
+    Files.deleteIfExists(defaultsPath); ()
+  }
+
   // ------------------------------------------------------------ bucket spec
 
   /** Key-hash bucketing spec, if this table is merge-bucketed. Established
@@ -1149,6 +1188,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val entry = commit("rename_column", snap.fileSets,
       basedOn = Some(snap.version), dvs = snap.dvs)
     appendColmapLine(s"""{"v":${entry.version},"from":"$from","to":"$to"}""")
+    // a DEFAULT rides the rename (metadata re-key, like Delta under
+    // column mapping)
+    if (defaultColumns.exists(_._1 == from))
+      writeNamedExprs(defaultsPath, "defaults",
+        defaultColumns.map { case (n, e) => (if (n == from) to else n, e) })
     entry
   }
 
@@ -1172,6 +1216,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val entry = commit("drop_column", snap.fileSets,
       basedOn = Some(snap.version), dvs = snap.dvs)
     appendColmapLine(s"""{"v":${entry.version},"drop":"$c"}""")
+    dropDefault(c) // a dropped column's DEFAULT goes with it
     entry
   }
 
@@ -2049,7 +2094,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // may coincide with the source's future writes — fine, the tables
     // are independent after the clone)
     Seq(specPath, layoutPath, checksPath, cdfMarker, generatedPath,
-        identityPath, identityHwmPath, propsPath).foreach { p =>
+        identityPath, identityHwmPath, propsPath, defaultsPath)
+      .foreach { p =>
       if (Files.exists(p))
         Files.copy(p, Paths.get(targetRoot).resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)

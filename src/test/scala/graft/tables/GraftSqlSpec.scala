@@ -939,6 +939,34 @@ class GraftSqlSpec extends SparkSpec {
       Set((1, "a"), (2, "b"), (150, "z")))
   }
 
+  test("column DEFAULTs fill omitted named-INSERT columns; SET/DROP DEFAULT") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.dft (k INT, v STRING DEFAULT 'none', " +
+      "n INT DEFAULT 7)")
+    sql.sql("INSERT INTO silver.dft (k) VALUES (1)")
+    sql.sql("INSERT INTO silver.dft (k, v) VALUES (2, 'x')")
+    val t = cat.table("silver", "dft")
+    assert(t.read.as[(Int, String, Int)].collect().toSet ===
+      Set((1, "none", 7), (2, "x", 7)))
+    sql.sql("ALTER TABLE silver.dft ALTER COLUMN n SET DEFAULT 100")
+    sql.sql("ALTER TABLE silver.dft ALTER COLUMN v DROP DEFAULT")
+    sql.sql("INSERT INTO silver.dft (k) VALUES (3)")
+    assert(t.read.where(col("k") === 3).select("v", "n")
+      .as[(Option[String], Int)].head() === ((None, 100)))
+    // a default referencing a column is not constant — refused at DDL
+    assertThrows[Exception](sql.sql(
+      "ALTER TABLE silver.dft ALTER COLUMN n SET DEFAULT k + 1"))
+    // the DEFAULT rides a rename; DESCRIBE and SHOW CREATE surface it
+    sql.sql("ALTER TABLE silver.dft RENAME COLUMN n TO num")
+    sql.sql("INSERT INTO silver.dft (k) VALUES (4)")
+    assert(t.read.where(col("k") === 4).select("num").as[Int].head() === 100)
+    val ddl = sql.sql("SHOW CREATE TABLE silver.dft").as[String].head()
+    assert(ddl.contains("num INT DEFAULT 100"))
+    assert(sql.sql("DESCRIBE silver.dft")
+      .where(col("col_name") === "num").select("comment")
+      .as[String].head() === "DEFAULT 100")
+  }
+
   test("TBLPROPERTIES: CREATE carries them; SET upserts; UNSET is strict") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.props (k INT, v STRING) " +

@@ -168,6 +168,25 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   def latestVersion: Option[Long] = history.lastOption.map(_.version)
 
+  /** Bytes of the file-sets ADDED at exactly version `v` — directory
+    * listing only, no data read (0 for metadata-only / carry commits).
+    * Streaming byte-based admission control (`maxBytesPerTrigger`)
+    * consults this per version; contents are immutable, so callers can
+    * memoize freely. */
+  def addedBytesAt(v: Long): Long = {
+    val h = history
+    h.find(_.version == v).fold(0L) { e =>
+      val prev = h.find(_.version == v - 1).map(_.fileSets).getOrElse(Nil)
+      def filesUnder(p: Path): Seq[Path] =
+        listDir(p).flatMap(c =>
+          if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
+      e.fileSets.diff(prev).map(fs =>
+        filesUnder(dataDir.resolve(fs))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum).sum
+    }
+  }
+
   /** Latest committed transaction version for `appId` — the Delta
     * `txnAppId`/`txnVersion` idempotent-writes ledger, read straight from
     * the version log (the markers ride in the commit entries, so this
@@ -292,6 +311,68 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       }
     }
     attempt(MaxCommitRetries)
+  }
+
+  /** Read-modify-write commit with CELL-GRANULAR conflict resolution —
+    * the Delta concurrency matrix's "concurrent blind append vs MERGE"
+    * cell. A merge consumed the file-sets of its touched (partition,
+    * bucket) cells and produced replacements (plus new cells for
+    * inserted keys). If a concurrent writer took the version slot, the
+    * merge may REBASE instead of failing iff every intervening commit
+    *   - is a blind `append` (adds file-sets, removes nothing, carries
+    *     the deletion-vector list unchanged), and
+    *   - added only file-sets whose cell suffix is DISJOINT from the
+    *     merge's consumed ∪ produced cells — same hash, same spec, so a
+    *     disjoint cell CANNOT hold a key the merge read or wrote.
+    * Then the rebased entry is (winner's sets − consumed) ∪ produced:
+    * the winner's rows all survive, the merge's rows all land, and no
+    * key is duplicated. Anything else (overlapping cell, unparseable
+    * set name, non-append action, DV change) refuses with the standard
+    * ConcurrentModificationException — at 1000 executors this is the
+    * difference between "ingest appends serialize with the continuous
+    * MERGE conformer" and "every merge retries from scratch". */
+  private[tables] def commitCellRebase(action: String,
+      consumed: Seq[String], produced: Seq[String], basedOn: Option[Long],
+      txn: Option[(String, Long)] = None, dvs: Seq[String] = Nil,
+      cdf: Option[String] = None): LogEntry = {
+    def cellsOf(sets: Seq[String]): Option[Set[String]] = {
+      val parsed = sets.map {
+        case SplitSuffixName(sfx) => Option(sfx)
+        case _                    => None
+      }
+      if (parsed.forall(_.isDefined)) Some(parsed.flatten.toSet) else None
+    }
+    val ours = cellsOf(consumed ++ produced)
+    @annotation.tailrec
+    def attempt(based: Option[Long], retries: Int): LogEntry = {
+      val h = history
+      val latest = h.lastOption.map(_.version)
+      val replayed = txn.exists { case (app, v) =>
+        h.exists(_.txn.exists(t => t._1 == app && t._2 >= v)) }
+      if (replayed) h.last
+      else if (latest == based) {
+        val entry = LogEntry(latest.map(_ + 1).getOrElse(0L),
+          System.currentTimeMillis(), action,
+          h.lastOption.map(_.fileSets).getOrElse(Nil).diff(consumed) ++
+            produced, txn, dvs, cdf)
+        if (tryWriteEntry(entry)) { maybeCheckpoint(entry); entry }
+        else if (retries > 0) attempt(based, retries) // slot raced: re-judge
+        else throw conflict(action, based, latestVersion)
+      } else {
+        val baseSets = based.flatMap(v => h.find(_.version == v))
+          .map(_.fileSets).getOrElse(Nil)
+        val intervening = h.filter(_.version > based.getOrElse(-1L))
+        val rebasable = intervening.nonEmpty &&
+          intervening.forall(_.action == "append") &&
+          h.last.dvs == dvs && ours.isDefined &&
+          cellsOf(h.last.fileSets.diff(baseSets))
+            .exists(_.intersect(ours.get).isEmpty)
+        if (!rebasable || retries <= 0)
+          throw conflict(action, based, latest)
+        attempt(latest, retries - 1)
+      }
+    }
+    attempt(basedOn, MaxCommitRetries)
   }
 
   private def conflict(action: String, basedOn: Option[Long],
@@ -2835,7 +2916,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
           Some(deduped.schema)))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
-        commit("merge", carried ++ adopted,
+        commitCellRebase("merge", consumed = Nil, produced = adopted,
           basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
       } else if (touched.isEmpty && !bySourceAll) {
         // empty update batch, nothing touched (BY SOURCE clauses still
@@ -2918,8 +2999,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                else Nil)
             writeChangeSet(frames)
           }
-          commit("merge", carried ++ withStats(
-            writeBucketedFileSets(merged, spec)),
+          commitCellRebase("merge", consumed = touchedSets,
+            produced = withStats(writeBucketedFileSets(merged, spec)),
             basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
         } finally if (changeFeedEnabled) { lineage.unpersist(); () }
       }

@@ -1899,6 +1899,82 @@ class VersionedTableSpec extends SparkSpec {
       Set((1, "a"), (2, "b"), (150, "z")))
   }
 
+  test("merge rebases over cell-disjoint concurrent appends (no lost rows)") {
+    import org.apache.spark.sql.functions._
+    // partition-bucketed table: merges touch p='A' cells only, the racing
+    // appends land p='B' rows only — every appended file-set's cell
+    // suffix is disjoint from the merge's, so the merge REBASES instead
+    // of throwing (Delta's append-vs-merge concurrency cell)
+    val t = VersionedTable(spark, tmpDir("vt-rebase-"))
+    t.merge(Seq((1, "A", "a1"), (2, "A", "a2")).toDF("k", "p", "v"),
+      keys = Seq("k"), numBuckets = 4, partitionBy = Seq("p"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val merges = pool.submit(new java.util.concurrent.Callable[(Int, Int)] {
+      def call(): (Int, Int) = {
+        var ok = 0; var refused = 0; var i = 0
+        while (!stop.get()) {
+          i += 1
+          try {
+            t.merge(Seq((1, "A", s"m$i")).toDF("k", "p", "v"),
+              keys = Seq("k"), numBuckets = 4, partitionBy = Seq("p"))
+            ok += 1
+          } catch {
+            case _: java.util.ConcurrentModificationException => refused += 1
+          }
+        }
+        (ok, refused)
+      }
+    })
+    try (1 to 6).foreach(i =>
+      t.append(Seq((100 + i, "B", s"b$i")).toDF("k", "p", "v"),
+        partitionBy = Seq("p")))
+    finally {
+      stop.set(true)
+      val (ok, refused) = merges.get()
+      assert(ok > 0, "merges must actually have run")
+      // cell-disjoint appends never refuse a merge
+      assert(refused === 0, s"merge refused $refused times against " +
+        "partition-disjoint appends")
+      pool.shutdown()
+    }
+    // every appended row AND the merged key survived the interleaving
+    val rows = t.read.as[(Int, String, String)].collect()
+    assert(rows.count(_._2 == "B") === 6)
+    assert(rows.filter(_._2 == "A").map(_._1).sorted.toSeq === Seq(1, 2))
+    // a NON-append intervening commit still refuses: stale-based merges
+    // must not rebase across a delete (covered by conflict OCC specs)
+  }
+
+  test("commitCellRebase: foreign-cell append rebases, same-cell append refuses") {
+    val t = VersionedTable(spark, tmpDir("vt-ccr-"))
+    t.merge(Seq((1, "A", "a"), (2, "B", "b")).toDF("k", "p", "v"),
+      keys = Seq("k"), numBuckets = 2, partitionBy = Seq("p"))
+    val v0 = t.history.last
+    // a second merge touching ONLY key 1 identifies the (p=A, bucket-of-1)
+    // cell: consumed = sets it replaced, produced = its replacements
+    t.merge(Seq((1, "A", "a2")).toDF("k", "p", "v"),
+      keys = Seq("k"), numBuckets = 2, partitionBy = Seq("p"))
+    val v1 = t.history.last
+    val aCell = v1.fileSets.diff(v0.fileSets)
+    assert(aCell.nonEmpty)
+    // DISJOINT intervening append (p=B): a stale-based merge-shaped
+    // commit (consumed == produced == the A cell) REBASES — the winner's
+    // B rows and the merge's A rows both survive
+    t.append(Seq((101, "B", "b101")).toDF("k", "p", "v"),
+      partitionBy = Seq("p"))
+    val rebased = t.commitCellRebase("merge", consumed = aCell,
+      produced = aCell, basedOn = Some(v1.version))
+    assert(rebased.version === t.history.last.version)
+    assert(t.read.count() === 3) // keys 1, 2 (merged) + 101 (appended)
+    // OVERLAPPING intervening append (key 1 → the SAME cell): refuse
+    t.append(Seq((1, "A", "dup")).toDF("k", "p", "v"),
+      partitionBy = Seq("p"))
+    assertThrows[java.util.ConcurrentModificationException](
+      t.commitCellRebase("merge", consumed = aCell, produced = aCell,
+        basedOn = Some(rebased.version)))
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -45,7 +45,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 final class GraftTableSource(table: VersionedTable, cdf: Boolean,
                              startingVersion: Option[String],
                              maxVersionsPerTrigger: Option[Long],
-                             metadataPath: String) extends Source
+                             metadataPath: String,
+                             maxBytesPerTrigger: Option[Long] = None)
+    extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Version whose data precedes the stream: -1 streams the snapshot
@@ -113,12 +115,33 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
       // version that doesn't exist
       if (v < baseVersion) None
       else {
-        val capped = maxVersionsPerTrigger
-          .map(n => math.min(v, math.max(served, baseVersion) + n))
-          .getOrElse(v)
+        val floor = math.max(served, baseVersion)
+        val byVersions = maxVersionsPerTrigger
+          .map(n => math.min(v, floor + n)).getOrElse(v)
+        // byte-based admission (Delta's maxBytesPerTrigger): admit
+        // versions while their ADDED bytes fit the cap, always at least
+        // one — a giant single commit still drains (soft cap, as Delta)
+        val capped = maxBytesPerTrigger.filter(_ => byVersions > floor)
+          .map { maxB =>
+            var end = floor; var acc = 0L; var go = true
+            while (go && end < byVersions) {
+              val b = addedBytes(end + 1)
+              if (end == floor || acc + b <= maxB) { acc += b; end += 1 }
+              else go = false
+            }
+            end
+          }.getOrElse(byVersions)
         Some(LongOffset(math.max(capped, baseVersion)))
       }
     }
+
+  /** Added-bytes per version, memoized — version contents are immutable,
+    * so each version's listing happens once per source instance. */
+  private val addedBytesCache =
+    scala.collection.mutable.HashMap.empty[Long, Long]
+  private def addedBytes(v: Long): Long = addedBytesCache.synchronized {
+    addedBytesCache.getOrElseUpdate(v, table.addedBytesAt(v))
+  }
 
   // --- admission control (the FileStreamSource shape: a V1 Source that
   // also implements the DSv2 limit interfaces, so Trigger.AvailableNow
@@ -284,7 +307,8 @@ final class GraftTableSourceProvider extends StreamSourceProvider
     new GraftTableSource(tableFor(sqlContext, parameters), cdf(parameters),
       parameters.get("startingVersion"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong).filter(_ > 0),
-      metadataPath)
+      metadataPath,
+      parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

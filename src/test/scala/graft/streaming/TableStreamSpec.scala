@@ -157,6 +157,32 @@ class TableStreamSpec extends SparkSpec {
       "stream run scattered 'file:*' state under the CWD")
   }
 
+  test("maxBytesPerTrigger drains a backlog in byte-bounded batches") {
+    val src = tmpDir("ts-mbt-src-")
+    val cp = tmpDir("ts-mbt-cp-")
+    val t = VersionedTable(spark, src)
+    (0 until 3).foreach(i => t.append(
+      (0 until 100).map(j => (i * 100 + j, s"v$j")).toDF("k", "v")))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    // a 1-byte cap is below any version's size: the at-least-one rule
+    // admits exactly ONE version per micro-batch (Delta's soft cap)
+    val q = spark.readStream.format("graft-table")
+      .option("maxBytesPerTrigger", "1").load(src)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(rows.get() === 300)
+    assert(batches.get() === 3,
+      s"1-byte cap must admit one version per batch, got ${batches.get()}")
+  }
+
   test("a startingVersion past the head waits instead of crashing") {
     val src = tmpDir("ts-fut-src-")
     val sink = tmpDir("ts-fut-sink-")

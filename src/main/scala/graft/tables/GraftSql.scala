@@ -126,8 +126,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       owned(tgt).fold(spark.sql(stmt))(
         mergeInto(_, tAlias, src, sAlias, on, clauses))
     case DeleteStmt(ident, cond) =>
-      owned(ident).fold(spark.sql(stmt))(t => versionDf(
-        t.delete(Option(cond).map(expr).getOrElse(lit(true)))))
+      // graft.enableDeletionVectors=true routes DELETE to the
+      // merge-on-read DV path (Delta's delta.enableDeletionVectors):
+      // a point delete writes kilobytes of (file, position) sidecar
+      // instead of rewriting every touched file-set
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val c = Option(cond).map(expr).getOrElse(lit(true))
+        versionDf(
+          if (t.boolProp("graft.enableDeletionVectors")) t.deleteVectors(c)
+          else t.delete(c))
+      }
     case UpdateStmt(ident, sets, cond) =>
       owned(ident).fold(spark.sql(stmt))(t => versionDf(
         t.update(parseAssignments(sets),

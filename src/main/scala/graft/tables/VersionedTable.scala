@@ -487,12 +487,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def propsPath: Path = Paths.get(root, "_props.json")
 
   /** Declared table properties — Delta's `TBLPROPERTIES` surface. Free-form
-    * (key, value) metadata, except the keys the engine itself interprets:
-    * `graft.appendOnly=true` refuses every row-mutating operation
-    * (delete/update/merge/overwrite/restore — Delta's `delta.appendOnly`),
-    * leaving appends and data-identical maintenance (compact/zorder/
-    * vacuum) allowed. Persisted like checks/generated columns: one small
-    * JSON file, atomic replace, carried by [[shallowCloneTo]]. */
+    * (key, value) metadata, except the four LIVE keys the engine
+    * interprets (each mirroring its Delta sibling):
+    *   - `graft.appendOnly` (delta.appendOnly): refuses every
+    *     row-mutating operation, leaving appends and data-identical
+    *     maintenance allowed;
+    *   - `graft.enableChangeFeed` (delta.enableChangeDataFeed): flips
+    *     the CDF marker on set/unset;
+    *   - `graft.enableDeletionVectors` (delta.enableDeletionVectors):
+    *     SQL DELETE routes to the merge-on-read DV path;
+    *   - `graft.autoCompact` (delta.autoOptimize.autoCompact): appends
+    *     fold the small-file tail past a minFiles trigger.
+    * Persisted like checks/generated columns: one small JSON file,
+    * atomic replace, carried by [[shallowCloneTo]]. */
   def properties: Map[String, String] =
     if (!Files.exists(propsPath)) Map.empty
     else CheckJson.findAllMatchIn(Files.readString(propsPath))
@@ -523,9 +530,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (keys.contains(CdfProp)) disableChangeFeed()
   }
 
+  /** True iff property `key` is declared `true` (case-insensitive). */
+  def boolProp(key: String): Boolean =
+    properties.get(key).exists(_.equalsIgnoreCase("true"))
+
   /** True iff `graft.appendOnly=true` is declared. */
-  def appendOnly: Boolean =
-    properties.get("graft.appendOnly").exists(_.equalsIgnoreCase("true"))
+  def appendOnly: Boolean = boolProp("graft.appendOnly")
 
   /** Gate for row-mutating operations on append-only tables. Appends and
     * data-identical maintenance never call this. */
@@ -2104,7 +2114,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val (withIds, cleanupIds) = withIdentityAssignment(df)
     try {
       val checked = withCheckEnforcement(withIds)
-      bucketSpec match {
+      val entry = bucketSpec match {
         case Some(spec) =>
           require(partitionBy.isEmpty || partitionBy == spec.partitionKeys,
             s"append partitionBy $partitionBy != table partition keys " +
@@ -2118,7 +2128,30 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           writeSkippingSidecars(Seq(id), statsFor, bloomFor)
           commitRebase("append", _ :+ id, txn)
       }
+      maybeAutoCompact(entry)
     } finally cleanupIds()
+  }
+
+  /** `graft.autoCompact=true` (Delta's `delta.autoOptimize.autoCompact`,
+    * which the reference declares on every bronze/silver table —
+    * 00_create_uc_objects.py:57-61): after an append commits, fold the
+    * small-file tail once it reaches `spark.graft.autoCompact.minFiles`
+    * (default 8) file-sets under the OPTIMIZE small-file threshold —
+    * best-effort (a lost commit race never fails the append; the data is
+    * already durable) and returns the APPEND's entry either way, so txn
+    * callers see their own commit. Non-bucketed tables only: bucketed
+    * merge flows compact per cell (streaming sinks via
+    * `autoCompactEvery`). */
+  private def maybeAutoCompact(entry: LogEntry): LogEntry = {
+    if (bucketSpec.isEmpty && boolProp("graft.autoCompact")) {
+      val maxB = spark.conf.getOption("spark.graft.optimize.smallFileBytes")
+        .map(_.toLong).getOrElse(128L * 1024 * 1024)
+      val minSets = spark.conf.getOption("spark.graft.autoCompact.minFiles")
+        .map(_.toInt).getOrElse(8)
+      try { compactSmall(maxB, minSets); () }
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    entry
   }
 
   /** True iff `txn`'s (appId, version) is at or behind the table's
@@ -3116,7 +3149,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * applied (and their entries retired), and stats + bloom coverage
     * regenerate. Bucketed tables use [[compactPartitions]] — their cell
     * layout is the unit of maintenance. */
-  def compactSmall(maxBytes: Long): LogEntry = {
+  def compactSmall(maxBytes: Long, minSets: Int = 2): LogEntry = {
     require(bucketSpec.isEmpty,
       s"bucketed table at $root: use compactPartitions for scoped OPTIMIZE")
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
@@ -3135,8 +3168,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val (small, large) = snap.fileSets
       .partition(fs => dirSize(dataDir.resolve(fs)) < maxBytes)
     // nothing to fold: NO new version (a nightly no-op run must not push
-    // real restore targets out of the vacuum retention window)
-    if (small.length <= 1) return snap
+    // real restore targets out of the vacuum retention window).
+    // `minSets` raises the trigger for auto-compact callers: folding
+    // after EVERY append would re-read the small tail per commit.
+    if (small.length < math.max(minSets, 2)) return snap
     val folded = readSets(small, snap.dvs)
     val statsCols = statsColsOf(small)
     val newSet = writeFileSetPreservingLayout(folded)

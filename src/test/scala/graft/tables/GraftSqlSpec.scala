@@ -1041,6 +1041,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.count() === 2)
   }
 
+  test("graft.enableDeletionVectors routes SQL DELETE to the DV path") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.dvt (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+    sql.sql("INSERT INTO silver.dvt SELECT id, CONCAT('v', id) FROM RANGE(50)")
+    sql.sql("DELETE FROM silver.dvt WHERE k < 10")
+    val t = cat.table("silver", "dvt")
+    assert(t.history.last.action === "delete_dv")
+    assert(t.history.last.dvs.nonEmpty)
+    assert(t.read.count() === 40)
+    // without the property the same statement is copy-on-write
+    sql.sql("ALTER TABLE silver.dvt UNSET TBLPROPERTIES " +
+      "('graft.enableDeletionVectors')")
+    sql.sql("DELETE FROM silver.dvt WHERE k < 20")
+    assert(t.history.last.action === "delete")
+    assert(t.read.count() === 30)
+  }
+
+  test("graft.autoCompact folds the small-file tail after appends") {
+    val (cat, sql) = warehouse()
+    spark.conf.set("spark.graft.autoCompact.minFiles", "3")
+    try {
+      sql.sql("CREATE TABLE bronze.ac (k INT, v STRING) " +
+        "TBLPROPERTIES ('graft.autoCompact' = 'true')")
+      val t = cat.table("bronze", "ac")
+      sql.sql("INSERT INTO bronze.ac VALUES (1, 'a')")
+      sql.sql("INSERT INTO bronze.ac VALUES (2, 'b')")
+      // the create's empty set + two appends = 3 small sets → the
+      // second INSERT trips the fold; the compact commit follows it
+      assert(t.history.last.action === "compact")
+      assert(t.history.last.fileSets.length === 1)
+      assert(t.read.as[(Int, String)].collect().toSet ===
+        Set((1, "a"), (2, "b")))
+      // below the trigger nothing folds (no version churn)
+      sql.sql("INSERT INTO bronze.ac VALUES (3, 'c')")
+      assert(t.history.last.action === "append")
+      assert(t.read.count() === 3)
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+  }
+
   test("graft.enableChangeFeed property flips CDF like delta.enableChangeDataFeed") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.cdfp (k INT, v STRING) " +

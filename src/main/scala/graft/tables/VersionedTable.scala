@@ -497,7 +497,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     *   - `graft.enableDeletionVectors` (delta.enableDeletionVectors):
     *     SQL DELETE routes to the merge-on-read DV path;
     *   - `graft.autoCompact` (delta.autoOptimize.autoCompact): appends
-    *     fold the small-file tail past a minFiles trigger.
+    *     fold the small-file tail past a minFiles trigger;
+    *   - `graft.optimizeWrite` (delta.autoOptimize.optimizeWrite):
+    *     flat/hive writes REBALANCE before writing so AQE bin-packs the
+    *     output files to the advisory size.
     * Persisted like checks/generated columns: one small JSON file,
     * atomic replace, carried by [[shallowCloneTo]]. */
   def properties: Map[String, String] =
@@ -919,7 +922,25 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * never leave a partial file-set where `dataGlob` streaming readers or
     * glob expansion would see it — `data/` only ever contains finished
     * file-sets. */
-  private def writeFileSet(df: DataFrame, partitionBy: Seq[String] = Nil): String = {
+  /** `graft.optimizeWrite=true` (Delta's `delta.autoOptimize
+    * .optimizeWrite`, declared by the reference on every bronze/silver
+    * table): bin-pack the batch BEFORE writing — a round-robin (flat) or
+    * partition-hash (hive layout) shuffle whose outputs AQE coalesces to
+    * `spark.sql.adaptive.advisoryPartitionSizeInBytes`, so a 200-task
+    * batch lands as few right-sized files instead of 200 shards. Costs
+    * one shuffle per write (the documented tradeoff); writers that
+    * pre-size their batches leave it off. */
+  private def withOptimizedWrite(df: DataFrame,
+                                 partitionBy: Seq[String]): DataFrame =
+    if (!boolProp("graft.optimizeWrite")) df
+    // REBALANCE (not repartition): AQE both coalesces undersized outputs
+    // to the advisory size and SPLITS skewed ones — repartition(n) would
+    // pin n and disable exactly that
+    else if (partitionBy.isEmpty) df.hint("rebalance")
+    else df.hint("rebalance", partitionBy: _*)
+
+  private def writeFileSet(df0: DataFrame, partitionBy: Seq[String] = Nil): String = {
+    val df = withOptimizedWrite(df0, partitionBy)
     val id = s"${UUID.randomUUID().toString}.s${schemaTag(df)}"
     Files.createDirectories(dataDir)
     val w = df.write.mode(SaveMode.ErrorIfExists)

@@ -1975,6 +1975,28 @@ class VersionedTableSpec extends SparkSpec {
         basedOn = Some(rebased.version)))
   }
 
+  test("graft.optimizeWrite bin-packs a sharded batch into few files") {
+    val batch = (0 until 1000).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(16)
+    // without the property: one output file per shuffle partition
+    val plain = VersionedTable(spark, tmpDir("vt-ow0-"))
+    plain.append(batch)
+    assert(plain.detailDf.select("num_files").as[Long].head() === 16)
+    // with it: REBALANCE + AQE coalesce to the advisory size → 1 file
+    val t = VersionedTable(spark, tmpDir("vt-ow-"))
+    t.setProperties(Map("graft.optimizeWrite" -> "true"))
+    t.append(batch)
+    assert(t.detailDf.select("num_files").as[Long].head() <= 2)
+    assert(t.read.count() === 1000)
+    // hive-partitioned writes rebalance BY the partition columns
+    val p = VersionedTable(spark, tmpDir("vt-owp-"))
+    p.setProperties(Map("graft.optimizeWrite" -> "true"))
+    p.append((0 until 1000).map(i => (i % 3, i)).toDF("p", "k")
+      .repartition(16), partitionBy = Seq("p"))
+    assert(p.detailDf.select("num_files").as[Long].head() <= 3)
+    assert(p.read.count() === 1000)
+  }
+
   test("historyDf exposes DESCRIBE HISTORY as a relation") {
     val t = VersionedTable(spark, tmpDir("vt-hist-"))
     t.append(Seq(1).toDF("id"))

@@ -2314,6 +2314,44 @@ object SparkEntry {
         .orderBy("v", "n")
     }),
 
+    // Auto-maintenance properties working together (the reference
+    // declares delta.autoOptimize.optimizeWrite/autoCompact on every
+    // bronze/silver table — 00_create_uc_objects.py:57-61): ingest under
+    // optimizeWrite+autoCompact keeps the file count bounded with zero
+    // manual OPTIMIZE, and enableDeletionVectors makes the DELETE
+    // merge-on-read. Planted: the compact fold happened (n_file_sets
+    // collapses to 1 despite 4 appends), the delete was a DV commit, and
+    // the relation equals the oracle's replay.
+    "q_sql_auto_maintenance" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-autm-").toString
+      val sql = graft.tables.GraftSql(s)
+      val prev = s.conf.getOption("spark.graft.autoCompact.minFiles")
+      s.conf.set("spark.graft.autoCompact.minFiles", "3")
+      try {
+        sql.sql(s"CREATE TABLE graft.`$tmp/t` (k INT, name STRING) " +
+          "TBLPROPERTIES ('graft.optimizeWrite' = 'true', " +
+          "'graft.autoCompact' = 'true', " +
+          "'graft.enableDeletionVectors' = 'true')")
+        t(s, dir, "nation").createOrReplaceTempView("autm_nation")
+        // four slice appends: every one past the third lands on an
+        // auto-compacted tail, so the set count never grows unbounded
+        (0 until 4).foreach(i =>
+          sql.sql(s"INSERT INTO graft.`$tmp/t` SELECT n_nationkey, " +
+            s"n_name FROM autm_nation WHERE n_nationkey % 4 = $i"))
+        sql.sql(s"DELETE FROM graft.`$tmp/t` WHERE k < 5")
+        val tbl = VersionedTable(s, s"$tmp/t")
+        val acts = tbl.history.map(_.action)
+        tbl.read.agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum("k").cast("long").as("sum_k"))
+          .withColumn("n_file_sets",
+            lit(tbl.history.last.fileSets.length))
+          .withColumn("compacted", lit(acts.contains("compact")))
+          .withColumn("dv_delete", lit(acts.last == "delete_dv"))
+      } finally prev.fold(s.conf.unset("spark.graft.autoCompact.minFiles"))(
+        s.conf.set("spark.graft.autoCompact.minFiles", _))
+    }),
+
     // Delta's replaceWhere (INSERT INTO … REPLACE WHERE): the
     // partition-backfill idiom — atomically swap one partition's rows
     // for a recomputed batch in a single commit; every other partition
@@ -3026,6 +3064,15 @@ object SparkEntry {
 
     // nation rows took the CREATE-time defaults (v='none', n=7); region
     // rows came after SET DEFAULT 100 and name v explicitly.
+    // 25 nations minus the 5 DV-deleted low keys; the auto-compact fold
+    // leaves exactly ONE file-set and the DELETE is a delete_dv commit.
+    "q_sql_auto_maintenance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
+        | CAST(1 AS INT) AS n_file_sets,
+        | TRUE AS compacted, TRUE AS dv_delete
+        |FROM nation WHERE n_nationkey >= 5""".stripMargin,
+
     "q_sql_default" ->
       """SELECT v, n, cnt, sum_k FROM (
         |  SELECT 'none' AS v, CAST(7 AS INT) AS n,

@@ -1885,6 +1885,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.history.length === 2)
   }
 
+  test("replaceWhere on a bucketed merge table keeps COW routing alive") {
+    import org.apache.spark.sql.functions._
+    val t = VersionedTable(spark, tmpDir("vt-rwb-"))
+    t.merge(Seq((1, "jan", "a"), (2, "feb", "b"), (3, "jan", "c"))
+      .toDF("k", "m", "v"), keys = Seq("k"), numBuckets = 4)
+    t.replaceWhere(col("m") === "jan",
+      Seq((9, "jan", "z")).toDF("k", "m", "v"))
+    assert(t.read.as[(Int, String, String)].collect().toSet ===
+      Set((9, "jan", "z"), (2, "feb", "b")))
+    // the rewrite went through the bucketed writer: a follow-up merge
+    // still routes copy-on-write by cell (upsert finds the row)
+    t.merge(Seq((9, "jan", "z2")).toDF("k", "m", "v"),
+      keys = Seq("k"), numBuckets = 4)
+    assert(t.read.where(col("k") === 9).select("v").as[String].head() === "z2")
+    assert(t.read.count() === 2)
+  }
+
   test("replaceRange carries file-sets whose stats cannot overlap") {
     val t = VersionedTable(spark, tmpDir("vt-rr-"))
     t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), statsFor = Seq("k"))

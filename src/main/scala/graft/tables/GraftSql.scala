@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.StructType
   * and the backlog's MERGE pattern, docs/backlog.md:49-51):
   *
   *   CREATE [OR REPLACE] TABLE <table> (col TYPE, ...) [USING x]
+  *     [PARTITIONED BY (...)] [TBLPROPERTIES (...)]
   *   CREATE [OR REPLACE] TABLE <table> [PARTITIONED BY (...)] AS <query>
   *   INSERT INTO <table> <query>            -- positional, cast to schema
   *   INSERT INTO <table> (c1, c2, ...) <query>  -- named; unlisted → NULL
@@ -99,8 +100,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // DML statements delegate like ANALYZE below: an identifier that is
     // not a graft table (unknown layer, no catalog bound) falls through
     // to vanilla spark.sql — one funnel for the whole session
-    // TBLPROPERTIES forms first: the plain CREATE regex's greedy column
-    // capture would otherwise swallow the property list as column DDL
+    // PARTITIONED BY / TBLPROPERTIES forms first: the plain CREATE
+    // regex's greedy column capture would otherwise swallow the trailing
+    // clauses as column DDL
+    case CreateSchemaPartsStmt(orReplace, ident, colDefs, parts, props) =>
+      ownedRoot(ident).fold(spark.sql(stmt)) { r =>
+        val df = createEmpty(r, orReplace != null, colDefs,
+          splitTop(parts, ',').map(stripTicks))
+        if (props != null)
+          VersionedTable(spark, r).setProperties(parseProps(props).toMap)
+        df
+      }
     case CreateSchemaPropsStmt(orReplace, ident, colDefs, props) =>
       ownedRoot(ident).fold(spark.sql(stmt)) { r =>
         val df = createEmpty(r, orReplace != null, colDefs)
@@ -511,7 +521,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * empty overwrite snapshot carrying the declared schema, so a
     * following INSERT aligns positionally against it. */
   private def createEmpty(root: String, orReplace: Boolean,
-                          colDefs: String): DataFrame = {
+                          colDefs: String,
+                          parts: Seq[String] = Nil): DataFrame = {
     val t = VersionedTable(spark, root)
     require(orReplace || !t.exists,
       s"table already exists: $root (use CREATE OR REPLACE TABLE)")
@@ -553,8 +564,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     t.clearIdentity()
     t.clearGeneratedColumns()
     t.clearDefaults()
+    val schema = StructType.fromDDL(plain)
+    val unknown = parts.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"PARTITIONED BY names unknown column(s): ${unknown.mkString(",")}")
     val res = versionDf(t.overwrite(spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), StructType.fromDDL(plain))))
+      java.util.Collections.emptyList[Row](), schema)))
+    // layout declared BEFORE data exists (the empty snapshot stays flat
+    // so the partition columns remain in the readable schema); every
+    // later INSERT appends hive-layout file-sets against this record
+    if (parts.nonEmpty) t.declarePartitionLayout(parts)
     idents.foreach { case (n, st, sp) => t.declareIdentity(n, st, sp) }
     gens.foreach { case (n, e) => t.addGeneratedColumn(n, e) }
     dflts.foreach { case (n, e) => t.setDefault(n, e) }
@@ -1084,6 +1103,13 @@ object GraftSql {
   private val CreateSchemaPropsStmt =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
       """\s*\((.+)\)\s*(?:USING\s+\w+\s*)?TBLPROPERTIES\s*\((.+)\)\s*;?\s*""").r
+  // schema-form CREATE with a partition spec (Delta's
+  // `CREATE TABLE t (...) USING delta PARTITIONED BY (p)`), optionally
+  // followed by TBLPROPERTIES
+  private val CreateSchemaPartsStmt =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
+      """\s*\((.+)\)\s*(?:USING\s+\w+\s*)?PARTITIONED\s+BY\s*""" +
+      """\(([^)]*)\)(?:\s*TBLPROPERTIES\s*\((.+)\))?\s*;?\s*""").r
   private val CtasPropsStmt =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+""" + Ident +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+TBLPROPERTIES\s*\((.+?)\)""" +

@@ -420,6 +420,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** `allowExisting=true` (append): an existing recorded layout must
     * match; `false` (overwrite): the new layout replaces the record. */
+  /** Schema-form `CREATE TABLE … PARTITIONED BY (p)`: the layout is
+    * declared before any data exists. The empty snapshot itself is
+    * written FLAT (a hive-partitioned empty write would lose the
+    * partition columns from the readable schema); the first INSERT
+    * appends hive-layout file-sets against this record, and the
+    * multi-path scan unions the flat empty arm with the hive arms. */
+  private[tables] def declarePartitionLayout(cols: Seq[String]): Unit =
+    recordPartitionLayout(cols, allowExisting = false)
+
   private def recordPartitionLayout(cols: Seq[String], allowExisting: Boolean): Unit = {
     val cur = partitionLayout
     if (allowExisting && cols.isEmpty) return // flat append onto any layout

@@ -939,6 +939,26 @@ class GraftSqlSpec extends SparkSpec {
       Set((1, "a"), (2, "b"), (150, "z")))
   }
 
+  test("CREATE TABLE (schema) PARTITIONED BY declares layout before data") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.pt (id INT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('owner' = 'graft')")
+    val t = cat.table("silver", "pt")
+    assert(t.partitionLayout === Seq("p"))
+    assert(t.properties === Map("owner" -> "graft"))
+    sql.sql("INSERT INTO silver.pt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "a")))
+    assert(sql.sql("SHOW PARTITIONS silver.pt").as[String].collect().toSeq
+      === Seq("a", "b"))
+    val ddl = sql.sql("SHOW CREATE TABLE silver.pt").as[String].head()
+    assert(ddl.contains("PARTITIONED BY (p)"))
+    // unknown partition column refuses at CREATE
+    val ex = intercept[Exception](sql.sql(
+      "CREATE TABLE silver.pt2 (id INT) PARTITIONED BY (nope)"))
+    assert(ex.getMessage.contains("unknown column"))
+  }
+
   test("column DEFAULTs fill omitted named-INSERT columns; SET/DROP DEFAULT") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.dft (k INT, v STRING DEFAULT 'none', " +

@@ -669,16 +669,24 @@ object SparkEntry {
     // aggregate order-independent across engines.
     "q_curation_pipeline" -> ((s, dir) => {
       val txt = col("text")
+      // integer quality via floor(x*1e4 + 0.5) — pure IEEE arithmetic,
+      // bit-identical across engines. round(x, 4) is NOT: at a half
+      // boundary Spark rounds the SHORTEST decimal repr (BigDecimal
+      // .valueOf: 0.72625 → 0.7263) while DuckDB rounds the exact
+      // binary value (0.724999… → 0.7262) — a real sf0.1 document hit
+      // exactly this.
+      val q4i = floor(TextAnalysis.qualityScore(txt) * 10000 + lit(0.5))
+        .cast("long")
       val scored = t(s, dir, "documents").select(
         col("doc_id"), txt,
         TextAnalysis.langId(txt).as("lang"),
-        round(TextAnalysis.qualityScore(txt), 4).as("q4"),
+        q4i.as("q4i"),
         TextAnalysis.tokenCount(txt).as("toks"))
-      val filtered = scored.filter(col("lang") === "en" && col("q4") >= 0.5)
+      val filtered = scored.filter(col("lang") === "en" && col("q4i") >= 5000)
       Dedup.exact(filtered).agg(
         count(lit(1)).as("n_docs"),
         sum(col("toks").cast("long")).as("total_tokens"),
-        sum(round(col("q4") * 10000, 0).cast("long")).as("sum_q4"))
+        sum(col("q4i")).as("sum_q4"))
     }),
 
     // Full curation chain (the north-star lineage composed end-to-end):
@@ -714,9 +722,14 @@ object SparkEntry {
             concat(txt, lit(" semantic clone variant")).as("text")))
       val filtered = corpus.select(col("doc_id"), txt,
           TextAnalysis.langId(txt).as("lang"),
-          round(TextAnalysis.qualityScore(txt), 4).as("q4"),
+          // floor(x*1e4 + 0.5), not round(x, 4): engine-exact integer
+          // quality (see q_curation_pipeline — a real sf0.1 clone doc
+          // sits on the 0.72625 half boundary where Spark and DuckDB
+          // round() disagree)
+          floor(TextAnalysis.qualityScore(txt) * 10000 + lit(0.5))
+            .cast("long").as("q4i"),
           TextAnalysis.tokenCount(txt).as("toks"))
-        .filter(col("lang") === "en" && col("q4") >= 0.5)
+        .filter(col("lang") === "en" && col("q4i") >= 5000)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val afterExact = Dedup.exact(filtered)
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -739,7 +752,7 @@ object SparkEntry {
       def ledger(stage: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs"),
           sum(col("toks").cast("long")).as("total_tokens"),
-          sum(round(col("q4") * 10000, 0).cast("long")).as("sum_q4"))
+          sum(col("q4i")).as("sum_q4"))
           .withColumn("stage", lit(stage))
       ledger("1_filtered", filtered)
         .unionByName(ledger("2_exact_dedup", afterExact))
@@ -3401,17 +3414,17 @@ object SparkEntry {
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
         |       ELSE 'de' END AS lang_pred,
-        |  round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
-        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) AS q4
+        |  CAST(floor((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0 * 10000 + 0.5) AS BIGINT) AS q4i
         | FROM scored),
         |filtered AS (
-        | SELECT * FROM typed WHERE lang_pred = 'en' AND q4 >= 0.5),
+        | SELECT * FROM typed WHERE lang_pred = 'en' AND q4i >= 5000),
         |deduped AS (
-        | SELECT min(doc_id) AS doc_id, min(q4) AS q4, min(toks_n) AS toks_n
+        | SELECT min(doc_id) AS doc_id, min(q4i) AS q4i, min(toks_n) AS toks_n
         | FROM filtered GROUP BY text)
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(toks_n) AS BIGINT) AS total_tokens,
-        | CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_q4
+        | CAST(sum(q4i) AS BIGINT) AS sum_q4
         |FROM deduped""".stripMargin,
 
     // The full chain replayed stage-for-stage in SQL: every approximate
@@ -3448,16 +3461,16 @@ object SparkEntry {
         | FROM base),
         |filtered AS (
         | SELECT doc_id, text, toks, toks_n,
-        |  round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
-        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) AS q4
+        |  CAST(floor((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0 * 10000 + 0.5) AS BIGINT) AS q4i
         | FROM scored
         | WHERE CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
         |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
         |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
         |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
         |            ELSE 'de' END = 'en'
-        |   AND round((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
-        |              + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0, 4) >= 0.5),
+        |   AND floor((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |              + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0 * 10000 + 0.5) >= 5000),
         |exact AS (
         | SELECT * FROM filtered
         | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
@@ -3474,33 +3487,33 @@ object SparkEntry {
         | SELECT vec_id AS doc_id, embedding FROM embeddings
         | UNION ALL
         | SELECT vec_id + 4000000, embedding FROM embeddings WHERE vec_id % 9 = 0),
-        |withemb AS (SELECT m.doc_id, m.toks_n, m.q4, e.embedding
+        |withemb AS (SELECT m.doc_id, m.toks_n, m.q4i, e.embedding
         |            FROM minh m JOIN emb e USING (doc_id)),
         |semkept AS (
         | SELECT * FROM withemb
         | QUALIFY row_number() OVER (PARTITION BY to_json(embedding) ORDER BY doc_id) = 1),
         |final AS (
-        | SELECT doc_id, toks_n, q4 FROM semkept
+        | SELECT doc_id, toks_n, q4i FROM semkept
         | UNION ALL
-        | SELECT doc_id, toks_n, q4 FROM minh
+        | SELECT doc_id, toks_n, q4i FROM minh
         | WHERE doc_id NOT IN (SELECT doc_id FROM emb))
         |SELECT stage, n_docs, total_tokens, sum_q4 FROM (
         | SELECT '1_filtered' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(toks_n) AS BIGINT) AS total_tokens,
-        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_q4
+        |  CAST(sum(q4i) AS BIGINT) AS sum_q4
         | FROM filtered
         | UNION ALL
         | SELECT '2_exact_dedup', CAST(count(*) AS BIGINT),
         |  CAST(sum(toks_n) AS BIGINT),
-        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) FROM exact
+        |  CAST(sum(q4i) AS BIGINT) FROM exact
         | UNION ALL
         | SELECT '3_minhash_dedup', CAST(count(*) AS BIGINT),
         |  CAST(sum(toks_n) AS BIGINT),
-        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) FROM minh
+        |  CAST(sum(q4i) AS BIGINT) FROM minh
         | UNION ALL
         | SELECT '4_semantic_dedup', CAST(count(*) AS BIGINT),
         |  CAST(sum(toks_n) AS BIGINT),
-        |  CAST(sum(CAST(round(q4 * 10000, 0) AS BIGINT)) AS BIGINT) FROM final)
+        |  CAST(sum(q4i) AS BIGINT) FROM final)
         |ORDER BY stage""".stripMargin,
 
     "q_txt_stats" ->

@@ -260,7 +260,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       scala.util.Try(resolve(ident)).toOption
         .fold(spark.sql(stmt))(describeTable)
     case other =>
-      val (rewritten, views) = rewriteTimeTravel(other)
+      val (tt, ttViews) = rewriteTimeTravel(other)
+      val (rewritten, tcViews) = rewriteTableChanges(tt)
+      val views = ttViews ++ tcViews
       // analysis inlines a temp view's plan into the DataFrame, so the
       // views can drop as soon as spark.sql returns — nothing
       // accumulates in the session and no later statement can observe
@@ -275,6 +277,34 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       try spark.sql(rewritten)
       finally if (!other.matches(createsView))
         views.foreach(spark.catalog.dropTempView)
+  }
+
+  /** Delta's `table_changes('t', start [, end])` table-valued function:
+    * each call is materialized as the change-feed relation of versions
+    * [start, end] (end defaults to the head) under a session temp view
+    * and the statement rewritten to read it — the SQL face of
+    * [[VersionedTable.readChangeFeed]], same per-row `_change_type` /
+    * `_commit_version` columns. Non-graft names are left verbatim. */
+  private def rewriteTableChanges(stmt: String): (String, Seq[String]) = {
+    if (!TableChangesProbe.pattern.matcher(stmt).find()) return (stmt, Nil)
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = TableChangesCall.replaceAllIn(stmt, m => {
+      val ident = m.group(1)
+      owned(ident) match {
+        case Some(t) =>
+          val start = m.group(2).toLong
+          val end = Option(m.group(3)).map(_.toLong)
+          val view = s"__graft_tc_${GraftSql.asofViewId.incrementAndGet()}_" +
+            math.abs(ident.hashCode)
+          // readChangeFeed's lower bound is exclusive; table_changes'
+          // start is inclusive
+          t.readChangeFeed(start - 1, end).createOrReplaceTempView(view)
+          views += view
+          view
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
+    })
+    (out, views.toSeq)
   }
 
   /** Inline time travel inside arbitrary SELECTs (Delta's
@@ -1092,6 +1122,9 @@ object GraftSql {
     ("""(?is)\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*;?\s*""").r
   private val TimeTravelProbe = """(?is)\bAS\s+OF\b""".r
+  private val TableChangesProbe = """(?i)\btable_changes\s*\(""".r
+  private val TableChangesCall =
+    """(?is)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   private val TimeTravelVersion =
     ("""(?i)""" + Ident + """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
   private val TimeTravelTimestamp =

@@ -939,6 +939,27 @@ class GraftSqlSpec extends SparkSpec {
       Set((1, "a"), (2, "b"), (150, "z")))
   }
 
+  test("table_changes('t', start[, end]) reads the change feed in SQL") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "tc")
+    t.enableChangeFeed()
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))            // v0
+    t.update(Map("v" -> lit("B")), col("k") === 2)              // v1
+    t.delete(col("k") === 1)                                    // v2
+    val byType = sql.sql(
+      "SELECT _change_type, count(*) AS n FROM table_changes('silver.tc', 0) " +
+        "GROUP BY 1 ORDER BY 1").as[(String, Long)].collect().toSeq
+    assert(byType === Seq(("delete", 1L), ("insert", 2L),
+      ("update_postimage", 1L), ("update_preimage", 1L)))
+    // bounded end version: only v0..v1 changes
+    assert(sql.sql(
+      "SELECT count(*) AS n FROM table_changes('silver.tc', 0, 1)")
+      .as[Long].head() === 4L)
+    // no stray temp views accumulate
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_tc")))
+  }
+
   test("CREATE TABLE (schema) PARTITIONED BY declares layout before data") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.pt (id INT, p STRING) PARTITIONED BY (p) " +

@@ -218,6 +218,19 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // no catalog bound, not found) delegates instead of erroring, so the
     // funnel keeps its parse-what-you-own contract for catalog tables
     // and temp views
+    case AnalyzeAllStmt(ident) =>
+      scala.util.Try(resolve(ident)).toOption.fold(spark.sql(stmt)) { t =>
+        // every atomic column — arrays/maps/structs/binary have no
+        // useful min/max order for skipping sidecars
+        import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType,
+          StructType => SType}
+        val cols = t.read.schema.fields
+          .filterNot(f => f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[SType] || f.dataType == BinaryType)
+          .map(_.name)
+        analyze(t, cols.mkString(","))
+      }
     case AnalyzeStmt(ident, cols) =>
       scala.util.Try(resolve(ident)).toOption
         .fold(spark.sql(stmt))(analyze(_, cols))
@@ -1065,6 +1078,9 @@ object GraftSql {
   private val AnalyzeStmt =
     ("""(?is)\s*ANALYZE\s+TABLE\s+""" + Ident +
       """\s+COMPUTE\s+STATISTICS\s+FOR\s+COLUMNS\s+([\w`,\s]+?)\s*;?\s*""").r
+  private val AnalyzeAllStmt =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+""" + Ident +
+      """\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
   private val VacuumStmt =
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""").r

@@ -939,6 +939,38 @@ class GraftSqlSpec extends SparkSpec {
       Set((1, "a"), (2, "b"), (150, "z")))
   }
 
+  test("ANALYZE ... FOR ALL COLUMNS covers every atomic column") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "aa")
+    t.append(Seq((1, "a", Seq(0.1, 0.2)), (9, "z", Seq(0.3)))
+      .toDF("k", "v", "emb"))
+    val n = sql.sql(
+      "ANALYZE TABLE silver.aa COMPUTE STATISTICS FOR ALL COLUMNS")
+      .as[Long].head()
+    assert(n === 1L) // one uncovered file-set backfilled
+    // both atomic columns now prune; the array column was skipped
+    assert(t.readRange("k", "5", "10").count() === 1)
+    assert(t.readRange("v", "a", "b").count() === 1)
+  }
+
+  test("REPLACE WHERE with a hostile literal fails loudly, never silently") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "hw")
+    t.append(Seq((1, "x")).toDF("k", "v"))
+    // a predicate literal containing ' SELECT ' splits the statement at
+    // the wrong keyword — the mis-split must die in the SQL parser (an
+    // unbalanced quote), never commit a partial replace
+    val v = t.latestVersion.get
+    assertThrows[Exception](sql.sql(
+      "INSERT INTO silver.hw REPLACE WHERE v = 'a SELECT b' " +
+        "SELECT 1 AS k, 'a SELECT b' AS v"))
+    assert(t.latestVersion.get === v)
+    // sane predicates with quoted spaces are fine
+    sql.sql("INSERT INTO silver.hw REPLACE WHERE v = 'x' " +
+      "VALUES (7, 'x')")
+    assert(t.read.as[(Int, String)].collect().toSet === Set((7, "x")))
+  }
+
   test("table_changes('t', start[, end]) reads the change feed in SQL") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "tc")

@@ -139,17 +139,47 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       // graft.enableDeletionVectors=true routes DELETE to the
       // merge-on-read DV path (Delta's delta.enableDeletionVectors):
       // a point delete writes kilobytes of (file, position) sidecar
-      // instead of rewriting every touched file-set
+      // instead of rewriting every touched file-set. Otherwise a
+      // range/equality-shaped predicate takes the stats-pruned
+      // deleteRange (only overlapping file-sets rewrite — Delta prunes
+      // DELETE by file stats the same way); anything else is full COW.
       owned(ident).fold(spark.sql(stmt)) { t =>
-        val c = Option(cond).map(expr).getOrElse(lit(true))
         versionDf(
-          if (t.boolProp("graft.enableDeletionVectors")) t.deleteVectors(c)
-          else t.delete(c))
+          if (t.boolProp("graft.enableDeletionVectors"))
+            t.deleteVectors(Option(cond).map(expr).getOrElse(lit(true)))
+          else Option(cond).map(_.trim) match {
+            case Some(EqPred(c, q, b)) =>
+              val v = if (q != null) q else b
+              t.deleteRange(stripTicks(c), v, v)
+            case Some(BetweenPred(c, q1, b1, q2, b2)) =>
+              t.deleteRange(stripTicks(c),
+                if (q1 != null) q1 else b1, if (q2 != null) q2 else b2)
+            case Some(other) => t.delete(expr(other))
+            case None        => t.delete(lit(true))
+          })
       }
     case UpdateStmt(ident, sets, cond) =>
-      owned(ident).fold(spark.sql(stmt))(t => versionDf(
-        t.update(parseAssignments(sets),
-          Option(cond).map(expr).getOrElse(lit(true)))))
+      // same stats-pruned routing for UPDATE (Delta's file-pruned
+      // UPDATE): range/equality predicates rewrite only overlapping
+      // file-sets — unless the assignment moves bucket/partition keys,
+      // which a touched-sets-only rewrite cannot relocate
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val assigns = parseAssignments(sets)
+        val keyCols = t.bucketSpec.map(sp => sp.keys ++ sp.partitionKeys)
+          .getOrElse(t.partitionLayout).toSet
+        val movesKeys = assigns.keySet.exists(keyCols.contains)
+        versionDf(Option(cond).map(_.trim) match {
+          case Some(EqPred(c, q, b)) if !movesKeys =>
+            val v = if (q != null) q else b
+            t.updateRange(stripTicks(c), v, v, assigns)
+          case Some(BetweenPred(c, q1, b1, q2, b2)) if !movesKeys =>
+            t.updateRange(stripTicks(c),
+              if (q1 != null) q1 else b1, if (q2 != null) q2 else b2,
+              assigns)
+          case Some(other) => t.update(assigns, expr(other))
+          case None        => t.update(assigns, lit(true))
+        })
+      }
     case InsertReplaceStmt(ident, cond, query) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         versionDf(routeReplace(t, cond.trim,
@@ -1125,11 +1155,15 @@ object GraftSql {
     ("""(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?""" + Ident +
       """\s+REPLACE\s+WHERE\s+(.+?)\s+""" +
       """((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*)\s*;?\s*""").r
+  // range-routing predicate shapes: the unquoted alternative matches
+  // ONLY numeric literals — a bare identifier (`WHERE a = b`, a column
+  // comparison) must fall through to the general expression path, never
+  // be silently treated as a string literal
   private val EqPred =
-    """(?is)\s*(`[^`]+`|\w+)\s*=\s*(?:'([^']*)'|([-\w.:]+))\s*""".r
+    """(?is)\s*(`[^`]+`|\w+)\s*=\s*(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*""".r
   private val BetweenPred =
-    ("""(?is)\s*(`[^`]+`|\w+)\s+BETWEEN\s+(?:'([^']*)'|([-\w.:]+))""" +
-      """\s+AND\s+(?:'([^']*)'|([-\w.:]+))\s*""").r
+    ("""(?is)\s*(`[^`]+`|\w+)\s+BETWEEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""" +
+      """\s+AND\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*""").r
   private val TruncateStmt =
     ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
   private val DescTableStmt =

@@ -971,6 +971,39 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.as[(Int, String)].collect().toSet === Set((7, "x")))
   }
 
+  test("UPDATE / DELETE with range predicates rewrite only overlapping sets") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.ud (k INT, v STRING)")
+    sql.sql("INSERT INTO gold.ud VALUES (1, 'a'), (2, 'b')")
+    sql.sql("INSERT INTO gold.ud VALUES (100, 'x'), (101, 'y')")
+    sql.sql("ANALYZE TABLE gold.ud COMPUTE STATISTICS FOR ALL COLUMNS")
+    val t = cat.table("gold", "ud")
+    val before = t.history.last.fileSets // [create-empty, low, high]
+    sql.sql("UPDATE gold.ud SET v = 'up' WHERE k BETWEEN 100 AND 200")
+    val afterU = t.history.last.fileSets
+    assert(afterU.contains(before(1)), "low set must carry verbatim")
+    assert(!afterU.contains(before(2)), "high set must rewrite")
+    assert(t.read.where(col("k") >= 100).select("v")
+      .as[String].collect().toSet === Set("up"))
+    // the equality DELETE prunes to the low set; the fresh high rewrite
+    // (with regenerated stats) carries
+    sql.sql("DELETE FROM gold.ud WHERE k = 1")
+    val afterD = t.history.last.fileSets
+    assert(afterU.diff(before).forall(afterD.contains))
+    assert(t.read.count() === 3)
+  }
+
+  test("a column-comparison equality never routes as a literal range") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.cc (a INT, b INT)")
+    sql.sql("INSERT INTO gold.cc VALUES (1, 1), (2, 3)")
+    // `a = b` compares COLUMNS — must take the general expression path
+    // (a literal-range mis-route would delete nothing, silently)
+    sql.sql("DELETE FROM gold.cc WHERE a = b")
+    assert(cat.table("gold", "cc").read.as[(Int, Int)].collect().toSeq ===
+      Seq((2, 3)))
+  }
+
   test("table_changes('t', start[, end]) reads the change feed in SQL") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "tc")

@@ -84,6 +84,35 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
 
   import GraftSql._
 
+  /** Multi-statement script: split on TOP-LEVEL semicolons (quote- and
+    * paren-aware — a `;` inside a string literal or subquery is data),
+    * run each statement through [[sql]] in order, return the LAST
+    * result (the notebook-cell contract). Empty statements and
+    * `--`-to-end-of-line comments are dropped. */
+  def sqlScript(script: String): DataFrame = {
+    val stmts = GraftSql.splitTop(stripLineComments(script), ';')
+    require(stmts.nonEmpty, "sqlScript: no statements")
+    stmts.map(sql).last
+  }
+
+  /** Remove `-- …` line comments OUTSIDE string literals/backticks. */
+  private def stripLineComments(s: String): String = {
+    val out = new StringBuilder
+    var inStr = false; var inTick = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else {
+        if (c == '\'') inStr = true else if (c == '`') inTick = true
+        out += c; i += 1
+      }
+    }
+    out.toString
+  }
+
   /** One funnel: graft maintenance statements execute against the
     * resolved [[VersionedTable]]; everything else is `spark.sql`. */
   def sql(stmt: String): DataFrame = stmt match {

@@ -1004,6 +1004,21 @@ class GraftSqlSpec extends SparkSpec {
       Seq((2, 3)))
   }
 
+  test("sqlScript runs semicolon-separated statements, returns the last") {
+    val (cat, sql) = warehouse()
+    val last = sql.sqlScript("""
+      -- create and load in one cell
+      CREATE TABLE silver.scr (k INT, v STRING);
+      INSERT INTO silver.scr VALUES (1, 'a; not a split'), (2, 'b');
+      UPDATE silver.scr SET v = 'c -- not a comment' WHERE k = 2;
+      SELECT 42 AS n -- trailing comment
+    """)
+    assert(last.as[Int].head() === 42)
+    val t = cat.table("silver", "scr")
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a; not a split"), (2, "c -- not a comment")))
+  }
+
   test("table_changes('t', start[, end]) reads the change feed in SQL") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "tc")

@@ -2162,7 +2162,8 @@ object SparkEntry {
       tbl.compact()
       tbl.overwrite(nation.filter(col("n_regionkey") === 1))
       tbl.historyDf.createOrReplaceTempView("sql_table_history")
-      s.sql("""SELECT version, action, n_file_sets
+      s.sql("""SELECT version, action, n_file_sets,
+               n_added_sets, n_removed_sets
                FROM sql_table_history ORDER BY version""")
     }),
 
@@ -3126,13 +3127,20 @@ object SparkEntry {
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // operation metrics from consecutive log diffs: appends add one set,
+    // compact folds both into one (+1/-2), overwrite replaces it (+1/-1)
     "q_sql_history" ->
       """SELECT * FROM (VALUES
-        | (CAST(0 AS BIGINT), 'append',    CAST(1 AS BIGINT)),
-        | (CAST(1 AS BIGINT), 'append',    CAST(2 AS BIGINT)),
-        | (CAST(2 AS BIGINT), 'compact',   CAST(1 AS BIGINT)),
-        | (CAST(3 AS BIGINT), 'overwrite', CAST(1 AS BIGINT))
-        |) AS t(version, action, n_file_sets) ORDER BY version""".stripMargin,
+        | (CAST(0 AS BIGINT), 'append',    CAST(1 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        | (CAST(1 AS BIGINT), 'append',    CAST(2 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 'compact',   CAST(1 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        | (CAST(3 AS BIGINT), 'overwrite', CAST(1 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+        |) AS t(version, action, n_file_sets, n_added_sets, n_removed_sets)
+        |ORDER BY version""".stripMargin,
 
     "q_a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -645,7 +645,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // from the DDL and declared after create (named INSERTs fill it)
     val DefaultDef = ("""(?is)\s*(`[^`]+`|\w+)\s+([A-Za-z0-9_<>,()\s]+?)""" +
       """\s+DEFAULT\s+(.+?)\s*""").r
-    val defs = GraftSql.splitTop(colDefs, ',')
+    // `c TYPE NOT NULL` — Delta's NOT NULL column constraint: stripped
+    // from the DDL and registered as a write-time CHECK (`c IS NOT
+    // NULL` evaluates FALSE, not unknown, for a NULL c — so the
+    // unknown-passes CHECK semantics still block it)
+    // the pre-NOT NULL segment may not contain quotes: a literal NOT
+    // NULL inside a DEFAULT/GENERATED string stays data, not DDL
+    val NotNullDef =
+      """(?is)\s*(`[^`]+`|\w+)\s+([^']*?)\s*\bNOT\s+NULL\b(.*)""".r
+    val notNulls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val defs = GraftSql.splitTop(colDefs, ',').map {
+      case NotNullDef(name, pre, post) =>
+        notNulls += stripTicks(name)
+        s"$name $pre$post"
+      case d => d
+    }
     val idents = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val gens = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val dflts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -663,9 +677,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         s"$name $dtype"
       case other => other
     }.mkString(", ")
+    // refuse BEFORE clearing: an append-only table's overwrite would
+    // throw below, and the declarations must survive the refusal
+    require(!(t.exists && t.appendOnly),
+      s"CREATE OR REPLACE: table at $root is append-only " +
+        "(graft.appendOnly=true)")
     t.clearIdentity()
     t.clearGeneratedColumns()
     t.clearDefaults()
+    t.clearChecks()
     val schema = StructType.fromDDL(plain)
     val unknown = parts.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
@@ -679,6 +699,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     idents.foreach { case (n, st, sp) => t.declareIdentity(n, st, sp) }
     gens.foreach { case (n, e) => t.addGeneratedColumn(n, e) }
     dflts.foreach { case (n, e) => t.setDefault(n, e) }
+    notNulls.foreach(c => t.addCheck(s"${c}_not_null", s"$c IS NOT NULL"))
     res
   }
 
@@ -688,6 +709,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val t = VersionedTable(spark, root)
     require(orReplace || !t.exists,
       s"table already exists: $root (use CREATE OR REPLACE TABLE)")
+    // refuse BEFORE clearing: an append-only table's overwrite would
+    // throw below, and the declarations must survive the refusal
+    require(!(t.exists && t.appendOnly),
+      s"CREATE OR REPLACE: table at $root is append-only " +
+        "(graft.appendOnly=true)")
+    // a REPLACEd table is a fresh table: previous identity/generated/
+    // default/check declarations do not survive into the new definition
+    t.clearIdentity()
+    t.clearGeneratedColumns()
+    t.clearDefaults()
+    t.clearChecks()
     versionDf(t.overwrite(spark.sql(query), partitionBy = parts))
   }
 

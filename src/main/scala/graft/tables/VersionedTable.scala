@@ -198,13 +198,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .maxOption
 
   /** DESCRIBE HISTORY as a relation (docs/backlog.md:55-58): one row per
-    * committed version, queryable/joinable like any DataFrame. */
+    * committed version, queryable/joinable like any DataFrame. The
+    * operation metrics (Delta's operationMetrics analog) come free from
+    * consecutive log diffs — metadata-only, no data read: `n_added_sets`
+    * / `n_removed_sets` say whether a commit appended, rewrote, or
+    * carried (a metadata-only DDL commit shows 0/0). */
   def historyDf: DataFrame = {
     import spark.implicits._
-    history
-      .map(e => (e.version, new java.sql.Timestamp(e.tsMillis), e.action,
-        e.fileSets.length.toLong))
-      .toDF("version", "commit_ts", "action", "n_file_sets")
+    val h = history
+    h.zip(None +: h.map(Option(_)))
+      .map { case (e, prev) =>
+        val p = prev.map(_.fileSets).getOrElse(Nil)
+        (e.version, new java.sql.Timestamp(e.tsMillis), e.action,
+          e.fileSets.length.toLong,
+          e.fileSets.diff(p).length.toLong,
+          p.diff(e.fileSets).length.toLong)
+      }
+      .toDF("version", "commit_ts", "action", "n_file_sets",
+        "n_added_sets", "n_removed_sets")
   }
 
   /** DESCRIBE DETAIL as a relation (Delta's `DESCRIBE DETAIL` surface):
@@ -490,6 +501,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   def dropCheck(name: String): Unit =
     writeNamedExprs(checksPath, "checks", checks.filterNot(_._1 == name))
+
+  /** CREATE OR REPLACE reset: a replaced table is a fresh table (Delta
+    * semantics) — its constraint set starts empty. */
+  private[tables] def clearChecks(): Unit = {
+    Files.deleteIfExists(checksPath); ()
+  }
 
   // ------------------------------------------------------- table properties
 

@@ -1060,6 +1060,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(ex.getMessage.contains("unknown column"))
   }
 
+  test("NOT NULL columns block NULLs; CREATE OR REPLACE resets constraints") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.nn (k INT NOT NULL, v STRING)")
+    sql.sql("INSERT INTO silver.nn VALUES (1, 'a')")
+    val ex = intercept[Exception](
+      sql.sql("INSERT INTO silver.nn VALUES (CAST(NULL AS INT), 'b')"))
+    assert(ex.getMessage.contains("k_not_null") ||
+      Option(ex.getCause).exists(_.getMessage.contains("k_not_null")))
+    assert(cat.table("silver", "nn").read.count() === 1)
+    // a literal 'NOT NULL' inside a generated expression is data
+    sql.sql("CREATE TABLE silver.nn2 (v STRING, tag STRING GENERATED " +
+      "ALWAYS AS (coalesce(v, 'NOT NULL')))")
+    sql.sql("INSERT INTO silver.nn2 (v) VALUES (CAST(NULL AS STRING))")
+    assert(cat.table("silver", "nn2").read.select("tag")
+      .as[String].head() === "NOT NULL")
+    // REPLACE resets the constraint set: the new definition accepts NULL
+    sql.sql("CREATE OR REPLACE TABLE silver.nn (k INT, v STRING)")
+    sql.sql("INSERT INTO silver.nn VALUES (CAST(NULL AS INT), 'ok')")
+    assert(cat.table("silver", "nn").read.count() === 1)
+  }
+
   test("column DEFAULTs fill omitted named-INSERT columns; SET/DROP DEFAULT") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.dft (k INT, v STRING DEFAULT 'none', " +

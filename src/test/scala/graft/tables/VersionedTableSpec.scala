@@ -2024,5 +2024,11 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSeq
     assert(h === Seq((0L, "append", 1L), (1L, "append", 2L),
       (2L, "overwrite", 1L)))
+    // operation metrics from consecutive log diffs (metadata-only):
+    // appends add 1/remove 0, the overwrite adds 1/removes 2
+    val m = t.historyDf.orderBy("version")
+      .select("n_added_sets", "n_removed_sets")
+      .as[(Long, Long)].collect().toSeq
+    assert(m === Seq((1L, 0L), (1L, 0L), (1L, 2L)))
   }
 }

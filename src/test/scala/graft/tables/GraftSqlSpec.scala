@@ -993,6 +993,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.count() === 3)
   }
 
+  test("partition-equality DELETE on a bucketed table prunes by cell name") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "pd")
+    t.merge(Seq((1, "jan", "a"), (2, "feb", "b"), (3, "feb", "c"))
+      .toDF("k", "m", "v"), keys = Seq("k"), numBuckets = 4,
+      partitionBy = Seq("m"))
+    val before = t.history.last.fileSets
+    // no stats sidecars exist — the prune comes from the cell NAMES'
+    // partition tags (p<enc>.bNNNNN), through the SQL equality routing
+    sql.sql("DELETE FROM silver.pd WHERE m = 'jan'")
+    val after = t.history.last.fileSets
+    val febCells = before.filter(after.contains)
+    assert(febCells.nonEmpty, "feb cells must carry verbatim by name")
+    assert(t.read.as[(Int, String, String)].collect().toSet ===
+      Set((2, "feb", "b"), (3, "feb", "c")))
+    // the carried sets really are the feb ones: a feb read touches only
+    // carried cells
+    assert(t.read.where(col("m") === "feb").count() === 2)
+  }
+
   test("a column-comparison equality never routes as a literal range") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE gold.cc (a INT, b INT)")

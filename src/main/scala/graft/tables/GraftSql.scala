@@ -95,18 +95,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     stmts.map(sql).last
   }
 
-  /** Remove `-- …` line comments OUTSIDE string literals/backticks. */
+  /** Remove `-- …` line comments OUTSIDE string literals (single or
+    * double quoted) and backticks. */
   private def stripLineComments(s: String): String = {
     val out = new StringBuilder
-    var inStr = false; var inTick = false; var i = 0
+    var inStr = false; var inTick = false; var inDq = false; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
       else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
+      else if (inDq) { out += c; if (c == '"') inDq = false; i += 1 }
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
       } else {
-        if (c == '\'') inStr = true else if (c == '`') inTick = true
+        if (c == '\'') inStr = true
+        else if (c == '`') inTick = true
+        else if (c == '"') inDq = true
         out += c; i += 1
       }
     }
@@ -177,14 +181,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           if (t.boolProp("graft.enableDeletionVectors"))
             t.deleteVectors(Option(cond).map(expr).getOrElse(lit(true)))
           else Option(cond).map(_.trim) match {
-            case Some(EqPred(c, q, b)) =>
-              val v = if (q != null) q else b
-              t.deleteRange(stripTicks(c), v, v)
-            case Some(BetweenPred(c, q1, b1, q2, b2)) =>
-              t.deleteRange(stripTicks(c),
-                if (q1 != null) q1 else b1, if (q2 != null) q2 else b2)
-            case Some(other) => t.delete(expr(other))
-            case None        => t.delete(lit(true))
+            case Some(c) => parseRangePred(c) match {
+              case Some((rc, lo, hi)) => t.deleteRange(rc, lo, hi)
+              case None               => t.delete(expr(c))
+            }
+            case None => t.delete(lit(true))
           })
       }
     case UpdateStmt(ident, sets, cond) =>
@@ -198,15 +199,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           .getOrElse(t.partitionLayout).toSet
         val movesKeys = assigns.keySet.exists(keyCols.contains)
         versionDf(Option(cond).map(_.trim) match {
-          case Some(EqPred(c, q, b)) if !movesKeys =>
-            val v = if (q != null) q else b
-            t.updateRange(stripTicks(c), v, v, assigns)
-          case Some(BetweenPred(c, q1, b1, q2, b2)) if !movesKeys =>
-            t.updateRange(stripTicks(c),
-              if (q1 != null) q1 else b1, if (q2 != null) q2 else b2,
-              assigns)
-          case Some(other) => t.update(assigns, expr(other))
-          case None        => t.update(assigns, lit(true))
+          case Some(c) => parseRangePred(c).filter(_ => !movesKeys) match {
+            case Some((rc, lo, hi)) => t.updateRange(rc, lo, hi, assigns)
+            case None               => t.update(assigns, expr(c))
+          }
+          case None => t.update(assigns, lit(true))
         })
       }
     case InsertReplaceStmt(ident, cond, query) =>
@@ -648,13 +645,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // `c TYPE NOT NULL` — Delta's NOT NULL column constraint: stripped
     // from the DDL and registered as a write-time CHECK (`c IS NOT
     // NULL` evaluates FALSE, not unknown, for a NULL c — so the
-    // unknown-passes CHECK semantics still block it)
-    // the pre-NOT NULL segment may not contain quotes: a literal NOT
-    // NULL inside a DEFAULT/GENERATED string stays data, not DDL
+    // unknown-passes CHECK semantics still block it). Guards: the
+    // pre-segment may not contain quotes, and a def carrying GENERATED/
+    // DEFAULT is left whole — an `IS NOT NULL` inside such an
+    // expression is expression text, not a column constraint
     val NotNullDef =
       """(?is)\s*(`[^`]+`|\w+)\s+([^']*?)\s*\bNOT\s+NULL\b(.*)""".r
+    val GenOrDefault = """(?is)\b(GENERATED|DEFAULT)\b""".r
     val notNulls = scala.collection.mutable.ArrayBuffer.empty[String]
     val defs = GraftSql.splitTop(colDefs, ',').map {
+      case d if GenOrDefault.findFirstIn(d).isDefined => d
       case NotNullDef(name, pre, post) =>
         notNulls += stripTicks(name)
         s"$name $pre$post"
@@ -677,19 +677,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         s"$name $dtype"
       case other => other
     }.mkString(", ")
-    // refuse BEFORE clearing: an append-only table's overwrite would
-    // throw below, and the declarations must survive the refusal
+    // validate EVERYTHING that can refuse BEFORE clearing the surviving
+    // table's declarations: a failed CREATE OR REPLACE (bad type, bad
+    // partition column, append-only target) must leave the old table's
+    // checks/identity/generated/default metadata intact
     require(!(t.exists && t.appendOnly),
       s"CREATE OR REPLACE: table at $root is append-only " +
         "(graft.appendOnly=true)")
-    t.clearIdentity()
-    t.clearGeneratedColumns()
-    t.clearDefaults()
-    t.clearChecks()
     val schema = StructType.fromDDL(plain)
     val unknown = parts.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
       s"PARTITIONED BY names unknown column(s): ${unknown.mkString(",")}")
+    t.clearIdentity()
+    t.clearGeneratedColumns()
+    t.clearDefaults()
+    t.clearChecks()
+    t.clearProperties()
     val res = versionDf(t.overwrite(spark.createDataFrame(
       java.util.Collections.emptyList[Row](), schema)))
     // layout declared BEFORE data exists (the empty snapshot stays flat
@@ -709,18 +712,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val t = VersionedTable(spark, root)
     require(orReplace || !t.exists,
       s"table already exists: $root (use CREATE OR REPLACE TABLE)")
-    // refuse BEFORE clearing: an append-only table's overwrite would
-    // throw below, and the declarations must survive the refusal
+    // refuse/analyze BEFORE clearing: an append-only target or a query
+    // that fails analysis must leave the surviving table's declarations
+    // intact (a failed REPLACE may not strip constraints)
     require(!(t.exists && t.appendOnly),
       s"CREATE OR REPLACE: table at $root is append-only " +
         "(graft.appendOnly=true)")
+    val df = spark.sql(query) // analysis errors throw here
     // a REPLACEd table is a fresh table: previous identity/generated/
-    // default/check declarations do not survive into the new definition
+    // default/check/property declarations do not survive
     t.clearIdentity()
     t.clearGeneratedColumns()
     t.clearDefaults()
     t.clearChecks()
-    versionDf(t.overwrite(spark.sql(query), partitionBy = parts))
+    t.clearProperties()
+    versionDf(t.overwrite(df, partitionBy = parts))
   }
 
   /** A graft table for a DML statement's identifier, or None when the
@@ -816,14 +822,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * [[VersionedTable.replaceWhere]]. */
   private def routeReplace(t: VersionedTable, cond: String,
                            df: DataFrame): VersionedTable.LogEntry =
-    cond match {
-      case EqPred(c, q, bare) =>
-        val v = if (q != null) q else bare
-        t.replaceRange(stripTicks(c), v, v, df)
-      case BetweenPred(c, q1, b1, q2, b2) =>
-        t.replaceRange(stripTicks(c),
-          if (q1 != null) q1 else b1, if (q2 != null) q2 else b2, df)
-      case other => t.replaceWhere(expr(other), df)
+    parseRangePred(cond) match {
+      case Some((rc, lo, hi)) => t.replaceRange(rc, lo, hi, df)
+      case None               => t.replaceWhere(expr(cond), df)
     }
 
   /** Positional bind + cast of a query result to `tbl`'s schema.
@@ -1225,6 +1226,20 @@ object GraftSql {
   private val BetweenPred =
     ("""(?is)\s*(`[^`]+`|\w+)\s+BETWEEN\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))""" +
       """\s+AND\s+(?:'([^']*)'|(-?\d+(?:\.\d+)?))\s*""").r
+
+  /** The ONE parser for range-routable predicates (DELETE/UPDATE/REPLACE
+    * WHERE share it): `col = lit` → (col, lit, lit), `col BETWEEN a AND
+    * b` → (col, a, b), anything else → None (general expression path). */
+  private[tables] def parseRangePred(
+      cond: String): Option[(String, String, String)] = cond match {
+    case EqPred(c, q, b) =>
+      val v = if (q != null) q else b
+      Some((stripTicks(c), v, v))
+    case BetweenPred(c, q1, b1, q2, b2) =>
+      Some((stripTicks(c), if (q1 != null) q1 else b1,
+        if (q2 != null) q2 else b2))
+    case _ => None
+  }
   private val TruncateStmt =
     ("""(?is)\s*TRUNCATE\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
   private val DescTableStmt =
@@ -1354,13 +1369,17 @@ object GraftSql {
   private[tables] def splitTop(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false; var inTick = false
+    // double quotes tracked too: with Spark's default settings "…" is a
+    // string literal, and a separator inside one is data
+    var depth = 0; var inStr = false; var inTick = false; var inDq = false
     s.foreach { c =>
       if (inStr) { cur += c; if (c == '\'') inStr = false }
       else if (inTick) { cur += c; if (c == '`') inTick = false }
+      else if (inDq) { cur += c; if (c == '"') inDq = false }
       else c match {
         case '\''               => inStr = true; cur += c
         case '`'                => inTick = true; cur += c
+        case '"'                => inDq = true; cur += c
         case '('                => depth += 1; cur += c
         case ')'                => depth -= 1; cur += c
         case x if x == sep && depth == 0 => out += cur.toString; cur.clear()
@@ -1384,14 +1403,17 @@ object GraftSql {
       U.startsWith(w, j) && (j == 0 || !isWordChar(s.charAt(j - 1))) &&
         (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
     var depth = 0; var caseDepth = 0; var inStr = false; var inTick = false
+    var inDq = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false; i += 1 }
       else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (inDq) { if (c == '"') inDq = false; i += 1 }
       else c match {
         case '\'' => inStr = true; i += 1
         case '`'  => inTick = true; i += 1
+        case '"'  => inDq = true; i += 1
         case '('  => depth += 1; i += 1
         case ')'  => depth -= 1; i += 1
         case _ =>

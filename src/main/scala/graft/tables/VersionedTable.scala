@@ -552,11 +552,23 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** `ALTER TABLE … UNSET TBLPROPERTIES` — unknown keys are a no-op
     * (Delta's IF EXISTS behavior; strictness lives in the SQL funnel).
-    * Unsetting `graft.enableChangeFeed` disables CDF going forward. */
+    * Unsetting a PRESENT `graft.enableChangeFeed` disables CDF going
+    * forward; naming the absent key stays a true no-op (an API-enabled
+    * marker must not be flipped off by an unrelated IF EXISTS sweep). */
   def unsetProperties(keys: Seq[String]): Unit = {
+    val hadCdfProp = properties.contains(CdfProp)
     writeNamedExprs(propsPath, "properties",
       properties.removedAll(keys).toSeq.sortBy(_._1))
-    if (keys.contains(CdfProp)) disableChangeFeed()
+    if (keys.contains(CdfProp) && hadCdfProp) disableChangeFeed()
+  }
+
+  /** CREATE OR REPLACE reset: a replaced table starts with no declared
+    * properties (Delta semantics). The CDF marker is left as-is — it is
+    * an independent API surface; a marker that was property-driven goes
+    * down with its property via [[setProperties]]/[[unsetProperties]],
+    * an API-enabled one survives the replace. */
+  private[tables] def clearProperties(): Unit = {
+    Files.deleteIfExists(propsPath); ()
   }
 
   /** True iff property `key` is declared `true` (case-insensitive). */
@@ -2190,14 +2202,23 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * merge flows compact per cell (streaming sinks via
     * `autoCompactEvery`). */
   private def maybeAutoCompact(entry: LogEntry): LogEntry = {
-    if (bucketSpec.isEmpty && boolProp("graft.autoCompact")) {
-      val maxB = spark.conf.getOption("spark.graft.optimize.smallFileBytes")
-        .map(_.toLong).getOrElse(128L * 1024 * 1024)
-      val minSets = spark.conf.getOption("spark.graft.autoCompact.minFiles")
-        .map(_.toInt).getOrElse(8)
-      try { compactSmall(maxB, minSets); () }
-      catch { case _: java.util.ConcurrentModificationException => () }
-    }
+    if (bucketSpec.isEmpty && boolProp("graft.autoCompact"))
+      // truly best-effort: the append already committed durably, so NO
+      // compact failure may surface as an append failure (a caller
+      // retrying the "failed" append would double-write). Lost commit
+      // races are routine; anything else is logged and dropped.
+      try {
+        val maxB = spark.conf.getOption("spark.graft.optimize.smallFileBytes")
+          .map(_.toLong).getOrElse(128L * 1024 * 1024)
+        val minSets = spark.conf.getOption("spark.graft.autoCompact.minFiles")
+          .map(_.toInt).getOrElse(8)
+        compactSmall(maxB, minSets); ()
+      } catch {
+        case _: java.util.ConcurrentModificationException => ()
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] auto-compact after append " +
+            s"v${entry.version} at $root failed (append is committed): $e")
+      }
     entry
   }
 

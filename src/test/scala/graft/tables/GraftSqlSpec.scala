@@ -1101,6 +1101,56 @@ class GraftSqlSpec extends SparkSpec {
     assert(cat.table("silver", "nn").read.count() === 1)
   }
 
+  test("a FAILED CREATE OR REPLACE leaves the old table's declarations intact") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.fr (k INT NOT NULL, v STRING DEFAULT 'd') " +
+      "TBLPROPERTIES ('owner' = 'graft')")
+    val t = cat.table("silver", "fr")
+    // bad type and bad partition column both refuse BEFORE clearing
+    assertThrows[Exception](sql.sql(
+      "CREATE OR REPLACE TABLE silver.fr (k NOPE_TYPE)"))
+    assertThrows[Exception](sql.sql(
+      "CREATE OR REPLACE TABLE silver.fr (k INT) PARTITIONED BY (ghost)"))
+    assert(t.checks.map(_._1) === Seq("k_not_null"))
+    assert(t.defaultColumns === Seq(("v", "'d'")))
+    assert(t.properties === Map("owner" -> "graft"))
+    // a SUCCESSFUL replace is a fresh table: everything resets
+    sql.sql("CREATE OR REPLACE TABLE silver.fr (a INT)")
+    assert(t.checks.isEmpty && t.defaultColumns.isEmpty &&
+      t.properties.isEmpty)
+  }
+
+  test("IS NOT NULL inside a generated expression is not a column constraint") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.gnn (v STRING, has_v INT GENERATED " +
+      "ALWAYS AS (CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END))")
+    val t = cat.table("silver", "gnn")
+    assert(t.checks.isEmpty) // no bogus has_v_not_null check
+    sql.sql("INSERT INTO silver.gnn (v) VALUES (CAST(NULL AS STRING))")
+    assert(t.read.select("has_v").as[Int].head() === 0)
+  }
+
+  test("UNSET IF EXISTS of an absent CDF property keeps an API-enabled feed") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "cdfk")
+    t.enableChangeFeed() // marker only, no property
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    sql.sql("ALTER TABLE silver.cdfk UNSET TBLPROPERTIES IF EXISTS " +
+      "('graft.enableChangeFeed')")
+    assert(t.changeFeedEnabled, "absent key must stay a true no-op")
+  }
+
+  test("sqlScript: double-quoted literals guard '--' and ';' too") {
+    val (cat, sql) = warehouse()
+    val last = sql.sqlScript(
+      "CREATE TABLE silver.dq (k INT, v STRING);\n" +
+        "INSERT INTO silver.dq SELECT 1, \"a -- b; c\";\n" +
+        "SELECT 7 AS n")
+    assert(last.as[Int].head() === 7)
+    assert(cat.table("silver", "dq").read.as[(Int, String)].head() ===
+      ((1, "a -- b; c")))
+  }
+
   test("column DEFAULTs fill omitted named-INSERT columns; SET/DROP DEFAULT") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.dft (k INT, v STRING DEFAULT 'none', " +

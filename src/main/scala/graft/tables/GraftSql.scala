@@ -319,6 +319,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       }
     case ReorgStmt(ident) =>
       versionDf(resolve(ident).purgeDeleteVectors())
+    case GenerateManifestStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        Seq(t.generateSymlinkManifest()).toDF("n_manifest_files")
+      }
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
     // plain DESCRIBE <table>: the Spark-shaped (col_name, data_type,
@@ -385,7 +390,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * (Spark raises its own error). View registration is metadata-only;
     * no data is read until the rewritten statement executes. */
   private def rewriteTimeTravel(stmt: String): (String, Seq[String]) = {
-    if (!TimeTravelProbe.pattern.matcher(stmt).find()) return (stmt, Nil)
+    if (!TimeTravelProbe.pattern.matcher(stmt).find() &&
+      !AtVersionProbe.pattern.matcher(stmt).find()) return (stmt, Nil)
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
     def bind(ident: String, df: Option[DataFrame], matched: String): String =
       df match {
@@ -406,7 +412,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val pass2 = TimeTravelTimestamp.replaceAllIn(pass1, m =>
       bind(m.group(1),
         owned(m.group(1)).map(_.asOf(parseTsUtc(m.group(2)))), m.matched))
-    (pass2, views.toSeq)
+    // `t@v3` shorthand (Delta's @ syntax): non-graft identifiers (an
+    // email-ish literal, a column) are left verbatim — only a resolvable
+    // table name directly before @vN pins
+    val pass3 = AtVersion.replaceAllIn(pass2, m =>
+      bind(m.group(1),
+        owned(m.group(1)).map(_.readVersion(m.group(2).toLong)), m.matched))
+    (pass3, views.toSeq)
   }
 
   private def convert(srcDir: String, target: String): DataFrame = {
@@ -1248,6 +1260,8 @@ object GraftSql {
     ("""(?is)\s*COPY\s+INTO\s+""" + Ident +
       """\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)\s*;?\s*""").r
   private val TimeTravelProbe = """(?is)\bAS\s+OF\b""".r
+  private val AtVersionProbe = """(?i)@v\d+""".r
+  private val AtVersion = ("""(?i)""" + Ident + """@v(\d+)""").r
   private val TableChangesProbe = """(?i)\btable_changes\s*\(""".r
   private val TableChangesCall =
     """(?is)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
@@ -1289,6 +1303,9 @@ object GraftSql {
   private val ReorgStmt =
     ("""(?is)\s*REORG\s+TABLE\s+""" + Ident +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""").r
+  private val GenerateManifestStmt =
+    ("""(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      Ident + """\s*;?\s*""").r
 
   /** `'k' = 'v', "k2" = v2, …` → pairs. Values may contain `=`; keys may
     * not (split at the first top-level `=`). */

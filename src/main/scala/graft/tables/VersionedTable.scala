@@ -261,6 +261,37 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         "properties")
   }
 
+  /** Delta `GENERATE symlink_format_manifest` analog: write
+    * `_symlink_format_manifest/manifest` — one absolute parquet path per
+    * line for the CURRENT snapshot (atomic replace) — so external
+    * engines (Presto/Trino/Athena-style) can read the table as plain
+    * files without understanding the version log. Refuses while
+    * deletion vectors are live (a path manifest cannot express
+    * row-level deletes — Delta draws the same line): REORG APPLY
+    * (PURGE) first. Regenerate after each commit you want visible;
+    * readers of the manifest see the snapshot it was generated from. */
+  def generateSymlinkManifest(): Long = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    require(snap.dvs.isEmpty,
+      s"GENERATE manifest at $root: deletion vectors present — run " +
+        "REORG TABLE … APPLY (PURGE) first (a path manifest cannot " +
+        "express row-level deletes)")
+    def filesUnder(p: Path): Seq[Path] =
+      listDir(p).flatMap(c =>
+        if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
+    val files = snap.fileSets
+      .flatMap(fs => filesUnder(dataDir.resolve(fs)))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).sorted
+    val dir = Paths.get(root, "_symlink_format_manifest")
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, files.mkString("", "\n", "\n"))
+    Files.move(tmp, dir.resolve("manifest"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    files.length.toLong
+  }
+
   /** Read-modify-write commit: `fileSets` was derived by READING snapshot
     * `basedOn` (None = the empty table) — merge/delete/compact/restore
     * carry forward the file-sets they did not rewrite. If the table moved

@@ -1039,6 +1039,42 @@ class GraftSqlSpec extends SparkSpec {
       Set((1, "a; not a split"), (2, "c -- not a comment")))
   }
 
+  test("GENERATE symlink_format_manifest lists the current snapshot's files") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "man")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    t.append(Seq((2, "b")).toDF("k", "v"))
+    val n = sql.sql(
+      "GENERATE symlink_format_manifest FOR TABLE silver.man")
+      .as[Long].head()
+    val manifest = java.nio.file.Paths.get(t.root,
+      "_symlink_format_manifest", "manifest")
+    val lines = java.nio.file.Files.readAllLines(manifest)
+    assert(n === lines.size().toLong && n >= 2)
+    // every listed path is a readable parquet of the CURRENT snapshot:
+    // reading them as plain files reproduces the table exactly
+    import scala.jdk.CollectionConverters._
+    val plain = spark.read.parquet(lines.asScala.toSeq: _*)
+    assert(plain.as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    // live deletion vectors refuse (a path manifest can't express them)
+    t.deleteVectors(col("k") === 1)
+    val ex = intercept[Exception](sql.sql(
+      "GENERATE symlink_format_manifest FOR TABLE silver.man"))
+    assert(ex.getMessage.contains("PURGE"))
+  }
+
+  test("t@vN shorthand pins a version inline; non-tables stay verbatim") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "atv")
+    t.append(Seq((1, "a")).toDF("k", "v")) // v0
+    t.append(Seq((2, "b")).toDF("k", "v")) // v1
+    cat.registerViews()
+    assert(sql.sql("SELECT count(*) AS n FROM silver.atv@v0")
+      .as[Long].head() === 1L)
+    // an @v inside a string literal that is not a table name is data
+    assert(sql.sql("SELECT 'mail@v2' AS s").as[String].head() === "mail@v2")
+  }
+
   test("table_changes('t', start[, end]) reads the change feed in SQL") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "tc")

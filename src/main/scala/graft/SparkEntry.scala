@@ -2328,6 +2328,44 @@ object SparkEntry {
         .orderBy("v", "n")
     }),
 
+    // S9 — the micro-batch poller (docs/backlog.md:63-69): a registered
+    // fetcher simulates the endpoint (deterministic pages over nation),
+    // each poll lands as an idempotently-named WAL batch BEFORE its
+    // offset, payloads parse via from_json and land in a bronze table
+    // through the transactional sink — exactly-once end to end, and the
+    // final relation replays from the raw dimension in DuckDB.
+    "q_st11_poll_source" -> ((s, dir) => {
+      val wal = Files.createTempDirectory("graft-pollwal-").toString
+      val cp = Files.createTempDirectory("graft-pollcp-").toString
+      val dst = Files.createTempDirectory("graft-polldst-").toString + "/t"
+      val pages = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy("n_nationkey").collect()  // the "endpoint": 25 rows
+        .map(r => s"""{"k":${r.getLong(0)},"name":"${r.getString(1)}",""" +
+          s""""r":${r.getLong(2)}}""")
+        .grouped(9).toSeq
+      graft.streaming.PollSource.registerFetcher("oracle_poll",
+        seq => if (seq < pages.length) Some(pages(seq.toInt).toSeq) else None)
+      def pipe(): Unit = {
+        val q = s.readStream.format("graft-poll")
+          .option("fetcher", "oracle_poll").load(wal)
+          .selectExpr("from_json(payload, 'k LONG, name STRING, r LONG') AS j")
+          .select(col("j.k").as("k"), col("j.name").as("name"),
+            col("j.r").as("r"))
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      (0 to pages.length).foreach(_ => pipe())
+      VersionedTable(s, dst).read
+        .groupBy("r").agg(count(lit(1)).as("n"),
+          sum("k").cast("long").as("sum_k"))
+        .orderBy("r")
+    }),
+
     // Auto-maintenance properties working together (the reference
     // declares delta.autoOptimize.optimizeWrite/autoCompact on every
     // bronze/silver table — 00_create_uc_objects.py:57-61): ingest under
@@ -3078,6 +3116,12 @@ object SparkEntry {
 
     // nation rows took the CREATE-time defaults (v='none', n=7); region
     // rows came after SET DEFAULT 100 and name v explicitly.
+    "q_st11_poll_source" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS r,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_k
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // 25 nations minus the 5 DV-deleted low keys; the auto-compact fold
     // leaves exactly ONE file-set and the DELETE is a delete_dv commit.
     "q_sql_auto_maintenance" ->

@@ -49,7 +49,10 @@ final class PollSource(spark: SparkSession, fetcherName: String,
                        walDir: String) extends Source {
 
   private val root = Paths.get(walDir)
-  private val BatchName = """batch-(\d{6})""".r
+  // 6+ digits: %06d grows past sequence 999999 — an anchored {6} would
+  // stall the source forever at 1e6 (offset never advances, every
+  // trigger re-fetches and discards the same page)
+  private val BatchName = """batch-(\d{6,})""".r
 
   private def landedSeqs: Seq[Long] = {
     if (!Files.isDirectory(root)) return Nil

@@ -320,10 +320,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case ReorgStmt(ident) =>
       versionDf(resolve(ident).purgeDeleteVectors())
     case GenerateManifestStmt(ident) =>
-      owned(ident).fold(spark.sql(stmt)) { t =>
-        import spark.implicits._
-        Seq(t.generateSymlinkManifest()).toDF("n_manifest_files")
-      }
+      // resolve, not delegate: vanilla Spark has no GENERATE statement,
+      // so an unknown identifier must fail with OUR message
+      import spark.implicits._
+      Seq(resolve(ident).generateSymlinkManifest())
+        .toDF("n_manifest_files")
     case DescHistoryStmt(ident) => resolve(ident).historyDf
     case DescDetailStmt(ident)  => resolve(ident).detailDf
     // plain DESCRIBE <table>: the Spark-shaped (col_name, data_type,
@@ -412,12 +413,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val pass2 = TimeTravelTimestamp.replaceAllIn(pass1, m =>
       bind(m.group(1),
         owned(m.group(1)).map(_.asOf(parseTsUtc(m.group(2)))), m.matched))
-    // `t@v3` shorthand (Delta's @ syntax): non-graft identifiers (an
-    // email-ish literal, a column) are left verbatim — only a resolvable
-    // table name directly before @vN pins
-    val pass3 = AtVersion.replaceAllIn(pass2, m =>
-      bind(m.group(1),
-        owned(m.group(1)).map(_.readVersion(m.group(2).toLong)), m.matched))
+    // `t@v3` shorthand (Delta's @ syntax): rewritten ONLY outside string
+    // literals — '@v<digits>' is plausible in real data (emails,
+    // handles), so a literal containing a table-name-shaped prefix must
+    // stay verbatim; outside literals, only a RESOLVABLE table name
+    // directly before @vN pins
+    val pass3 = GraftSql.mapOutsideLiterals(pass2)(seg =>
+      AtVersion.replaceAllIn(seg, m =>
+        bind(m.group(1),
+          owned(m.group(1)).map(_.readVersion(m.group(2).toLong)),
+          m.matched)))
     (pass3, views.toSeq)
   }
 
@@ -657,20 +662,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // `c TYPE NOT NULL` — Delta's NOT NULL column constraint: stripped
     // from the DDL and registered as a write-time CHECK (`c IS NOT
     // NULL` evaluates FALSE, not unknown, for a NULL c — so the
-    // unknown-passes CHECK semantics still block it). Guards: the
-    // pre-segment may not contain quotes, and a def carrying GENERATED/
-    // DEFAULT is left whole — an `IS NOT NULL` inside such an
-    // expression is expression text, not a column constraint
-    val NotNullDef =
-      """(?is)\s*(`[^`]+`|\w+)\s+([^']*?)\s*\bNOT\s+NULL\b(.*)""".r
-    val GenOrDefault = """(?is)\b(GENERATED|DEFAULT)\b""".r
+    // unknown-passes CHECK semantics still block it). The strip is
+    // scanner-based: only a TOP-LEVEL occurrence (outside quotes AND
+    // parentheses) is a column constraint — `DECIMAL(10,2) NOT NULL`
+    // and `NOT NULL DEFAULT 5` strip, while an `IS NOT NULL` inside a
+    // GENERATED/DEFAULT parenthesized expression (or a quoted literal)
+    // is expression text and stays
+    val ColName = """(?s)\s*(`[^`]+`|\w+).*""".r
     val notNulls = scala.collection.mutable.ArrayBuffer.empty[String]
-    val defs = GraftSql.splitTop(colDefs, ',').map {
-      case d if GenOrDefault.findFirstIn(d).isDefined => d
-      case NotNullDef(name, pre, post) =>
-        notNulls += stripTicks(name)
-        s"$name $pre$post"
-      case d => d
+    val defs = GraftSql.splitTop(colDefs, ',').map { d =>
+      stripTopLevelNotNull(d) match {
+        case Some(stripped) =>
+          d match { case ColName(n) => notNulls += stripTicks(n) }
+          stripped
+        case None => d
+      }
     }
     val idents = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val gens = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -1315,6 +1321,58 @@ object GraftSql {
       require(i > 0, s"TBLPROPERTIES: expected 'key' = 'value', got: $e")
       (unquote(e.substring(0, i)), unquote(e.substring(i + 1)))
     }
+
+  /** Apply `f` to the segments of `s` OUTSIDE single-/double-quoted and
+    * backticked spans (the spans pass through verbatim). Rewriters that
+    * pattern-match raw SQL text use this to keep literals as data. */
+  private[tables] def mapOutsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var state = ' ' // ' ' = outside, else the active quote char
+    def flush(): Unit = { out ++= f(seg.toString); seg.clear() }
+    s.foreach { c =>
+      if (state != ' ') { out += c; if (c == state) state = ' ' }
+      else if (c == '\'' || c == '`' || c == '"') {
+        flush(); state = c; out += c
+      } else seg += c
+    }
+    flush()
+    out.toString
+  }
+
+  /** Remove the first TOP-LEVEL `NOT NULL` (outside quotes, backticks,
+    * and parentheses) from a column def; None when there is none. */
+  private[tables] def stripTopLevelNotNull(d: String): Option[String] = {
+    var depth = 0; var inStr = false; var inTick = false; var inDq = false
+    var i = 0
+    val U = d.toUpperCase(java.util.Locale.ROOT)
+    def wordAt(j: Int, w: String): Boolean =
+      U.startsWith(w, j) &&
+        (j == 0 || !Character.isLetterOrDigit(d.charAt(j - 1))) &&
+        (j + w.length >= d.length ||
+          !Character.isLetterOrDigit(d.charAt(j + w.length)))
+    while (i < d.length) {
+      val c = d.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inTick) { if (c == '`') inTick = false; i += 1 }
+      else if (inDq) { if (c == '"') inDq = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '`'  => inTick = true; i += 1
+        case '"'  => inDq = true; i += 1
+        case '('  => depth += 1; i += 1
+        case ')'  => depth -= 1; i += 1
+        case _ if depth == 0 && wordAt(i, "NOT") =>
+          var j = i + 3
+          while (j < d.length && Character.isWhitespace(d.charAt(j))) j += 1
+          if (wordAt(j, "NULL"))
+            return Some((d.substring(0, i) + d.substring(j + 4)).trim)
+          i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
 
   private def unquote(s: String): String = {
     val t = s.trim

@@ -276,6 +276,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       s"GENERATE manifest at $root: deletion vectors present — run " +
         "REORG TABLE … APPLY (PURGE) first (a path manifest cannot " +
         "express row-level deletes)")
+    // column mapping refuses for the same reason: pre-DDL files carry
+    // the OLD physical names (read-time projection fixes them up; a
+    // raw-path reader would see the stale/dropped columns). Delta
+    // likewise blocks manifests on column-mapping tables. OPTIMIZE
+    // migrates physical names, after which the ledger is inert history —
+    // but the refusal keys on the ledger conservatively.
+    require(columnRenames.isEmpty && columnDrops.isEmpty,
+      s"GENERATE manifest at $root: column-mapping DDL (RENAME/DROP " +
+        "COLUMN) present — raw parquet paths would expose stale " +
+        "physical column names to external readers")
     def filesUnder(p: Path): Seq[Path] =
       listDir(p).flatMap(c =>
         if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
@@ -594,12 +604,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   }
 
   /** CREATE OR REPLACE reset: a replaced table starts with no declared
-    * properties (Delta semantics). The CDF marker is left as-is — it is
-    * an independent API surface; a marker that was property-driven goes
-    * down with its property via [[setProperties]]/[[unsetProperties]],
-    * an API-enabled one survives the replace. */
+    * properties (Delta semantics). A PROPERTY-DRIVEN change feed goes
+    * down with its property — fresh-table semantics — while a marker
+    * enabled purely through the API (no property on record) survives,
+    * it is an independent surface. */
   private[tables] def clearProperties(): Unit = {
-    Files.deleteIfExists(propsPath); ()
+    val hadCdfProp = properties.contains(CdfProp)
+    Files.deleteIfExists(propsPath)
+    if (hadCdfProp) disableChangeFeed()
   }
 
   /** True iff property `key` is declared `true` (case-insensitive). */

@@ -1061,6 +1061,18 @@ class GraftSqlSpec extends SparkSpec {
     val ex = intercept[Exception](sql.sql(
       "GENERATE symlink_format_manifest FOR TABLE silver.man"))
     assert(ex.getMessage.contains("PURGE"))
+    // column-mapping DDL refuses too: raw paths would expose stale
+    // physical names to external readers
+    val t2 = cat.table("silver", "man2")
+    t2.append(Seq((1, "a")).toDF("k", "v"))
+    t2.renameColumn("v", "val")
+    val ex2 = intercept[Exception](sql.sql(
+      "GENERATE symlink_format_manifest FOR TABLE silver.man2"))
+    assert(ex2.getMessage.contains("column-mapping"))
+    // unknown identifiers fail with OUR message, not a Spark parse error
+    val ex3 = intercept[Exception](sql.sql(
+      "GENERATE symlink_format_manifest FOR TABLE silver.nope"))
+    assert(ex3.getMessage.contains("table not found"))
   }
 
   test("t@vN shorthand pins a version inline; non-tables stay verbatim") {
@@ -1071,8 +1083,25 @@ class GraftSqlSpec extends SparkSpec {
     cat.registerViews()
     assert(sql.sql("SELECT count(*) AS n FROM silver.atv@v0")
       .as[Long].head() === 1L)
-    // an @v inside a string literal that is not a table name is data
+    // an @v inside a string literal is DATA — even when the prefix is a
+    // real table name (the rewrite never looks inside literals)
     assert(sql.sql("SELECT 'mail@v2' AS s").as[String].head() === "mail@v2")
+    assert(sql.sql("SELECT 'silver.atv@v0 pinned' AS s")
+      .as[String].head() === "silver.atv@v0 pinned")
+  }
+
+  test("CREATE OR REPLACE drops a property-driven CDF, keeps an API one") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.cdfr (k INT) TBLPROPERTIES " +
+      "('graft.enableChangeFeed' = 'true')")
+    val t = cat.table("silver", "cdfr")
+    assert(t.changeFeedEnabled)
+    sql.sql("CREATE OR REPLACE TABLE silver.cdfr (k INT)")
+    assert(!t.changeFeedEnabled, "property-driven CDF must reset")
+    // API-enabled marker (no property on record) survives a replace
+    t.enableChangeFeed()
+    sql.sql("CREATE OR REPLACE TABLE silver.cdfr (k INT, v STRING)")
+    assert(t.changeFeedEnabled, "API-enabled CDF survives the replace")
   }
 
   test("table_changes('t', start[, end]) reads the change feed in SQL") {
@@ -1154,6 +1183,22 @@ class GraftSqlSpec extends SparkSpec {
     sql.sql("CREATE OR REPLACE TABLE silver.fr (a INT)")
     assert(t.checks.isEmpty && t.defaultColumns.isEmpty &&
       t.properties.isEmpty)
+  }
+
+  test("NOT NULL composes with DEFAULT and parenthesized types") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.nnc (a INT NOT NULL DEFAULT 5, " +
+      "b STRING DEFAULT 'x' NOT NULL, c DECIMAL(10,2) NOT NULL)")
+    val t = cat.table("silver", "nnc")
+    assert(t.checks.map(_._1).sorted ===
+      Seq("a_not_null", "b_not_null", "c_not_null"))
+    assert(t.defaultColumns.toMap === Map("a" -> "5", "b" -> "'x'"))
+    sql.sql("INSERT INTO silver.nnc (c) VALUES (CAST(1.50 AS DECIMAL(10,2)))")
+    assert(t.read.as[(Int, String, java.math.BigDecimal)].head()._1 === 5)
+    // the defaults filled; an explicit NULL still blocks
+    assertThrows[Exception](sql.sql(
+      "INSERT INTO silver.nnc VALUES (CAST(NULL AS INT), 'v', " +
+        "CAST(2 AS DECIMAL(10,2)))"))
   }
 
   test("IS NOT NULL inside a generated expression is not a column constraint") {

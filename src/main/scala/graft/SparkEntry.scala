@@ -1687,6 +1687,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Training-data: per-document sliding-window chunking with overlap
+    // (RAG / context-window prep) — map-only (sequence + posexplode in
+    // one projection, no shuffle); the oracle replays window starts and
+    // slices in DuckDB and hashes every chunk's text.
+    "q_txt_chunk_overlap" -> ((s, dir) => {
+      graft.ops.Packing.chunkWithOverlap(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_ix"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          md5(col("chunk_text")).as("h"))
+        .orderBy("doc_id", "chunk_ix")
+    }),
+
     // Training-data: deterministic domain-mixture sampling ("web at 0.25,
     // books at 0.5, curated at 1.0") — md5-prefix selection, portable
     // across engines, replayed exactly by the oracle.
@@ -3124,6 +3138,24 @@ object SparkEntry {
 
     // 25 nations minus the 5 DV-deleted low keys; the auto-compact fold
     // leaves exactly ONE file-set and the DELETE is a delete_dv commit.
+    // chunk=64, overlap=16 → starts every 48; a start past n-16 is a
+    // pure suffix of the previous window and emits nothing.
+    "q_txt_chunk_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, len(toks), 48)) AS s
+        |  FROM base),
+        |filt AS (
+        |  SELECT doc_id, toks, n, s, CAST(s // 48 AS INT) AS chunk_ix
+        |  FROM st WHERE s = 0 OR s < n - 16)
+        |SELECT doc_id, chunk_ix,
+        |  CAST(len(toks[s+1 : least(s+64, n)]) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(toks[s+1 : least(s+64, n)], ' ')) AS h
+        |FROM filt ORDER BY doc_id, chunk_ix""".stripMargin,
+
     "q_sql_auto_maintenance" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_k,

@@ -72,4 +72,34 @@ object Packing {
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1)
       .drop("__end")
   }
+
+  /** Per-document sliding-window chunking with overlap — the RAG /
+    * context-window preparation shape (vs [[packChunks]], which packs
+    * ACROSS documents): each document's whitespace tokens split into
+    * windows of `chunkTokens` starting every `chunkTokens - overlap`
+    * tokens. A start position past `n - overlap` emits nothing (its
+    * window would be a pure suffix of the previous one — the standard
+    * sliding-window stop rule). MAP-ONLY: sequence + filter + posexplode
+    * inside one projection, no shuffle, no state — the plan scales as a
+    * pure scan. Output: (original columns…, chunk_ix, chunk_text,
+    * chunk_tokens). Whitespace-only documents emit nothing. */
+  def chunkWithOverlap(docs: DataFrame, textCol: String,
+                       chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || s < n - overlap)
+    docs.filter(length(trim(col(textCol))) > 0)
+      .withColumn("__toks", toks)
+      .select(col("*"), posexplode(starts).as(Seq("chunk_ix", "__s")))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("__s") + 1, lit(chunkTokens)))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("chunk_tokens", size(col("__chunk")))
+      .drop("__toks", "__s", "__chunk")
+  }
 }

@@ -6,6 +6,33 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkWithOverlap: window math, stop rule, and a shuffle-free plan") {
+    import graft.ops.Packing
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than chunk
+      (3L, "   "),                                    // whitespace-only
+      (4L, (1 to 13).map(i => s"w$i").mkString(" "))  // 13 tokens
+    ).toDF("doc_id", "text")
+    // chunk=8, overlap=4 → step=4; starts: 0 always, then s < n-4
+    val out = Packing.chunkWithOverlap(docs, "text", 8, 4)
+      .select("doc_id", "chunk_ix", "chunk_text", "chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq === Seq(
+      (1L, 0, 8), (1L, 1, 6),             // n=10: starts 0,4 (8 >= 6 stops)
+      (2L, 0, 2),                          // single short chunk
+      (4L, 0, 8), (4L, 1, 8), (4L, 2, 5))) // n=13: starts 0,4,8 (8 < 9)
+    assert(out.head._3 === (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(out(1)._3 === (5 to 10).map(i => s"t$i").mkString(" "))
+    // overlap: chunk 1 starts at token 5 — the last 4 of chunk 0 repeat
+    // map-only: the whole chunking plan carries no Exchange
+    val p = Packing.chunkWithOverlap(docs, "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+    assertThrows[IllegalArgumentException](
+      Packing.chunkWithOverlap(docs, "text", 8, 8))
+  }
+
   test("withRunningTotal == single-partition window cumsum, exactly") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 5000).map(i => (i.toLong, rnd.nextInt(100).toLong))

@@ -2237,6 +2237,27 @@ object SparkEntry {
         .orderBy("batch")
     }),
 
+    // Liquid-clustering-style declaration: CLUSTER BY persists the
+    // cluster columns, bare OPTIMIZE z-orders by them, and range reads
+    // on the SECOND clustered column prune through the multi-column
+    // stats while staying exact (the oracle replays the range count).
+    "q_sql_cluster_by" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-cb-").toString
+      val sql = graft.tables.GraftSql(s)
+      sql.sql(s"CREATE TABLE graft.`$tmp/t` (a INT, b INT, v STRING)")
+      events(s, dir).createOrReplaceTempView("cb_events")
+      sql.sql(s"INSERT INTO graft.`$tmp/t` SELECT event_id, " +
+        "event_id % 97, event_type FROM cb_events")
+      sql.sql(s"ALTER TABLE graft.`$tmp/t` CLUSTER BY (a, b)")
+      val op = sql.sql(s"OPTIMIZE graft.`$tmp/t`")
+        .select("operation").head().getString(0)
+      val tbl = VersionedTable(s, s"$tmp/t")
+      tbl.readRange("b", "10", "12")
+        .agg(count(lit(1)).cast("long").as("n_ranged"),
+          sum("a").cast("long").as("sum_a"))
+        .withColumn("op", lit(op))
+    }),
+
     // TBLPROPERTIES lifecycle (Delta's table-properties surface): CREATE
     // carries them, SET upserts, UNSET removes — and `graft.appendOnly`
     // is a LIVE property (Delta's delta.appendOnly): while set, every
@@ -3092,6 +3113,12 @@ object SparkEntry {
         |       (SELECT count(*) FROM region) AS BIGINT),
         |  CAST((SELECT count(*) FROM region) AS BIGINT)
         |ORDER BY batch""".stripMargin,
+
+    "q_sql_cluster_by" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_ranged,
+        | CAST(sum(event_id) AS BIGINT) AS sum_a,
+        | 'zorder' AS op
+        |FROM events WHERE (event_id % 97) BETWEEN 10 AND 12""".stripMargin,
 
     // Planted: the DELETE under graft.appendOnly must refuse ('yes'),
     // the post-UNSET DELETE must land (3 inserts - 1 = 2), and the final

@@ -256,6 +256,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         import spark.implicits._
         Seq(stripTicks(c)).toDF("dropped_default")
       }
+    case ClusterByStmt(ident, cols, none) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        if (none != null) {
+          t.unsetProperties(Seq("graft.clusterBy"))
+          Seq("NONE").toDF("cluster_by")
+        } else {
+          val cs = splitTop(cols, ',').map(stripTicks)
+          require(cs.nonEmpty, "CLUSTER BY needs at least one column")
+          val missing = cs.filterNot(t.read.columns.contains)
+          require(missing.isEmpty,
+            s"CLUSTER BY unknown column(s): ${missing.mkString(",")}")
+          t.setProperties(Map("graft.clusterBy" -> cs.mkString(",")))
+          Seq(cs.mkString(",")).toDF("cluster_by")
+        }
+      }
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.addCheck(name, checkExpr)
@@ -473,10 +489,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     import spark.implicits._
     val before = tbl.history.lastOption.getOrElse(
       sys.error(s"OPTIMIZE: empty table at ${tbl.root}"))
+    // bare OPTIMIZE on a clustered table z-orders by the DECLARED
+    // cluster columns (the liquid-clustering contract: declare once,
+    // every OPTIMIZE clusters) — explicit ZORDER BY still overrides
+    val declared = tbl.properties.get("graft.clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val entry = zcols match {
       case Some(cs) =>
         tbl.compactZOrder(cs.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq)
+      case None if declared.isDefined => tbl.compactZOrder(declared.get)
       case None if tbl.bucketSpec.isDefined => tbl.compact()
       case None => tbl.compactSmall(spark.conf
         .getOption(SmallFileBytesConf).map(_.toLong)
@@ -1397,6 +1420,11 @@ object GraftSql {
   private val DropDefaultStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*;?\s*""").r
+  // liquid-clustering-style declaration: cluster columns persist as the
+  // `graft.clusterBy` property; every bare OPTIMIZE z-orders by them
+  private val ClusterByStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CLUSTER\s+BY\s+(?:\(([^)]*)\)|(NONE))\s*;?\s*""").r
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r

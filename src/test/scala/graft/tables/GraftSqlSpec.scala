@@ -1260,6 +1260,31 @@ class GraftSqlSpec extends SparkSpec {
       .as[String].head() === "DEFAULT 100")
   }
 
+  test("CLUSTER BY declares columns; bare OPTIMIZE z-orders by them") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.cb (a INT, b INT, v STRING)")
+    sql.sql("INSERT INTO gold.cb SELECT id, id % 97, CONCAT('v', id) " +
+      "FROM RANGE(1000)")
+    sql.sql("INSERT INTO gold.cb SELECT id + 1000, id % 97, 'w' " +
+      "FROM RANGE(1000)")
+    sql.sql("ALTER TABLE gold.cb CLUSTER BY (a, b)")
+    val t = cat.table("gold", "cb")
+    assert(t.properties("graft.clusterBy") === "a,b")
+    assert(sql.sql("OPTIMIZE gold.cb").select("operation")
+      .as[String].head() === "zorder")
+    // multi-column stats landed: range reads on the SECOND column prune
+    // and stay exact
+    assert(t.readRange("b", "10", "12").count() ===
+      2 * (0 until 1000).count(i => (10 to 12).contains(i % 97)))
+    // unknown columns refuse; NONE reverts to plain compaction
+    assertThrows[Exception](
+      sql.sql("ALTER TABLE gold.cb CLUSTER BY (ghost)"))
+    sql.sql("ALTER TABLE gold.cb CLUSTER BY NONE")
+    assert(!t.properties.contains("graft.clusterBy"))
+    assert(sql.sql("OPTIMIZE gold.cb").select("operation")
+      .as[String].head() === "compact")
+  }
+
   test("TBLPROPERTIES: CREATE carries them; SET upserts; UNSET is strict") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.props (k INT, v STRING) " +

@@ -3169,12 +3169,14 @@ object SparkEntry {
     // pure suffix of the previous window and emits nothing.
     "q_txt_chunk_overlap" ->
       """WITH base AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS toks
+        |  FROM documents),
+        |ne AS (SELECT * FROM base WHERE len(toks) > 0),
         |st AS (
         |  SELECT doc_id, toks, len(toks) AS n,
         |    unnest(range(0, len(toks), 48)) AS s
-        |  FROM base),
+        |  FROM ne),
         |filt AS (
         |  SELECT doc_id, toks, n, s, CAST(s // 48 AS INT) AS chunk_ix
         |  FROM st WHERE s = 0 OR s < n - 16)

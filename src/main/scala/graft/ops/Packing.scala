@@ -88,14 +88,17 @@ object Packing {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got ($chunkTokens, $overlap)")
     val step = chunkTokens - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
-    val n = size(toks)
-    val starts = filter(
-      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
-      s => s === 0 || s < n - overlap)
-    docs.filter(length(trim(col(textCol))) > 0)
-      .withColumn("__toks", toks)
-      .select(col("*"), posexplode(starts).as(Seq("chunk_ix", "__s")))
+    // boundary empties filtered: split on "\s+" keeps an empty token at
+    // each non-space-trimmed edge (trailing "\n" is ubiquitous in real
+    // corpora), which would inflate counts and shift every window
+    docs
+      .withColumn("__toks",
+        filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+      .filter(size(col("__toks")) > 0) // whitespace-only docs emit nothing
+      .select(col("*"), posexplode(filter(
+        sequence(lit(0), size(col("__toks")) - 1, lit(step)),
+        s => s === 0 || s < size(col("__toks")) - overlap))
+        .as(Seq("chunk_ix", "__s")))
       .withColumn("__chunk",
         slice(col("__toks"), col("__s") + 1, lit(chunkTokens)))
       .withColumn("chunk_text", array_join(col("__chunk"), " "))

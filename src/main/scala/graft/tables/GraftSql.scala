@@ -263,12 +263,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           t.unsetProperties(Seq("graft.clusterBy"))
           Seq("NONE").toDF("cluster_by")
         } else {
+          // merge-bucketed tables refuse at DECLARATION time: their
+          // OPTIMIZE unit is the (partition, bucket) cell and z-ordering
+          // would break copy-on-write merge routing — the same line
+          // compactZOrder draws, moved to where the user can see it
+          require(t.bucketSpec.isEmpty,
+            s"CLUSTER BY: ${t.root} is merge-bucketed; its layout IS " +
+              "its clustering (OPTIMIZE compacts per cell)")
           val cs = splitTop(cols, ',').map(stripTicks)
           require(cs.nonEmpty, "CLUSTER BY needs at least one column")
           val missing = cs.filterNot(t.read.columns.contains)
           require(missing.isEmpty,
             s"CLUSTER BY unknown column(s): ${missing.mkString(",")}")
-          t.setProperties(Map("graft.clusterBy" -> cs.mkString(",")))
+          t.setProperties(Map(VersionedTable.ClusterByProp ->
+            cs.mkString(",")))
           Seq(cs.mkString(",")).toDF("cluster_by")
         }
       }
@@ -492,14 +500,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // bare OPTIMIZE on a clustered table z-orders by the DECLARED
     // cluster columns (the liquid-clustering contract: declare once,
     // every OPTIMIZE clusters) — explicit ZORDER BY still overrides
-    val declared = tbl.properties.get("graft.clusterBy")
+    val declared = tbl.properties.get(VersionedTable.ClusterByProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
     val entry = zcols match {
       case Some(cs) =>
         tbl.compactZOrder(cs.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).filter(_.nonEmpty).toSeq)
-      case None if declared.isDefined => tbl.compactZOrder(declared.get)
+      // bucketed guard belongs to the DDL (CLUSTER BY refuses there); a
+      // property smuggled onto a bucketed table must not break OPTIMIZE
+      case None if declared.isDefined && tbl.bucketSpec.isEmpty =>
+        tbl.compactZOrder(declared.get)
       case None if tbl.bucketSpec.isDefined => tbl.compact()
       case None => tbl.compactSmall(spark.conf
         .getOption(SmallFileBytesConf).map(_.toLong)

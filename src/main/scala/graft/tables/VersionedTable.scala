@@ -1386,6 +1386,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (defaultColumns.exists(_._1 == from))
       writeNamedExprs(defaultsPath, "defaults",
         defaultColumns.map { case (n, e) => (if (n == from) to else n, e) })
+    // declared cluster columns re-key too — a stale name would fail
+    // every later bare OPTIMIZE
+    properties.get(ClusterByProp).foreach { cs =>
+      val cols = cs.split(",").toSeq
+      if (cols.contains(from))
+        setProperties(Map(ClusterByProp ->
+          cols.map(c => if (c == from) to else c).mkString(",")))
+    }
     entry
   }
 
@@ -1410,6 +1418,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       basedOn = Some(snap.version), dvs = snap.dvs)
     appendColmapLine(s"""{"v":${entry.version},"drop":"$c"}""")
     dropDefault(c) // a dropped column's DEFAULT goes with it
+    // …and it leaves the cluster declaration (empty list → unset)
+    properties.get(ClusterByProp).foreach { cs =>
+      val rest = cs.split(",").toSeq.filterNot(_ == c)
+      if (rest.isEmpty) unsetProperties(Seq(ClusterByProp))
+      else if (rest.length != cs.split(",").length)
+        setProperties(Map(ClusterByProp -> rest.mkString(",")))
+    }
     entry
   }
 
@@ -3484,6 +3499,10 @@ object VersionedTable {
 
   /** Live property key: CDF on/off (Delta's delta.enableChangeDataFeed). */
   val CdfProp = "graft.enableChangeFeed"
+
+  /** Live property key: declared cluster columns (bare OPTIMIZE z-orders
+    * by them — the liquid-clustering declaration). */
+  val ClusterByProp = "graft.clusterBy"
 
   /** Minimum age (mtime) before vacuum treats a staging dir as a crashed
     * writer's orphan — any live writer finishes (or at least touches) its

@@ -1283,6 +1283,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(!t.properties.contains("graft.clusterBy"))
     assert(sql.sql("OPTIMIZE gold.cb").select("operation")
       .as[String].head() === "compact")
+    // the declaration follows column-mapping DDL: rename re-keys it,
+    // dropping a clustered column removes it from the list
+    sql.sql("ALTER TABLE gold.cb CLUSTER BY (a, b)")
+    sql.sql("ALTER TABLE gold.cb RENAME COLUMN a TO aa")
+    assert(t.properties("graft.clusterBy") === "aa,b")
+    sql.sql("ALTER TABLE gold.cb DROP COLUMN aa")
+    assert(t.properties("graft.clusterBy") === "b")
+    assert(sql.sql("OPTIMIZE gold.cb").select("operation")
+      .as[String].head() === "zorder")
+    // merge-bucketed tables refuse the declaration (their layout IS the
+    // clustering) and a smuggled property never breaks bare OPTIMIZE
+    val m = cat.table("gold", "cbm")
+    m.merge(Seq((1, "x")).toDF("k", "v"), keys = Seq("k"), numBuckets = 2)
+    assertThrows[Exception](sql.sql("ALTER TABLE gold.cbm CLUSTER BY (k)"))
+    m.setProperties(Map("graft.clusterBy" -> "k"))
+    assert(sql.sql("OPTIMIZE gold.cbm").select("operation")
+      .as[String].head() === "compact")
   }
 
   test("TBLPROPERTIES: CREATE carries them; SET upserts; UNSET is strict") {

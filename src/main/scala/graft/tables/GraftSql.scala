@@ -51,8 +51,11 @@ import org.apache.spark.sql.types.StructType
   *   COPY INTO <table> FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
   *   ALTER TABLE <table> ADD COLUMNS (c TYPE, ...)   -- metadata-only
   *   ALTER TABLE <table> ALTER COLUMN <c> SET DEFAULT <expr> | DROP DEFAULT
+  *   ALTER TABLE <table> ALTER COLUMN <c> SET NOT NULL | DROP NOT NULL
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
+  *   ALTER TABLE <table> RENAME TO <table>   -- one directory move
+  *   SHOW COLUMNS IN <table>
   *   DROP TABLE [IF EXISTS] <table>
   *
   * A DML identifier that is NOT a graft table (unknown layer, no catalog
@@ -255,6 +258,35 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         t.dropDefault(stripTicks(c))
         import spark.implicits._
         Seq(stripTicks(c)).toDF("dropped_default")
+      }
+    case RenameTableStmt(src, dst) =>
+      (ownedRoot(src), ownedRoot(dst)) match {
+        case (Some(s), Some(d)) => renameTable(src, s, dst, d)
+        case _                  => spark.sql(stmt)
+      }
+    case SetNotNullStmt(ident, c) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val name = stripTicks(c)
+        require(t.read.columns.contains(name),
+          s"SET NOT NULL: no column `$name` in ${t.root}")
+        // same constraint shape the CREATE TABLE `c TYPE NOT NULL` form
+        // records, so DESCRIBE shows one vocabulary and DROP NOT NULL
+        // finds it; addCheck scans current rows and refuses on NULLs
+        // (Delta's SET NOT NULL validation)
+        t.addCheck(s"${name}_not_null", s"$name IS NOT NULL")
+        import spark.implicits._
+        Seq((name, s"$name IS NOT NULL")).toDF("column", "constraint_expr")
+      }
+    case DropNotNullStmt(ident, c) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.dropCheck(s"${stripTicks(c)}_not_null")
+        import spark.implicits._
+        Seq(stripTicks(c)).toDF("dropped_not_null")
+      }
+    case ShowColumnsStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        t.read.columns.toSeq.toDF("col_name")
       }
     case ClusterByStmt(ident, cols, none) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
@@ -788,6 +820,58 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
 
   private def ownedRoot(ident: String): Option[String] =
     scala.util.Try(targetRoot(ident)).toOption
+
+  /** ALTER TABLE … RENAME TO … : ONE directory rename moves the whole
+    * table — log, data, sidecars, constraint/property/identity ledgers
+    * all live under the root, so nothing is rewritten and old versions
+    * stay readable at the new path. On a local/HDFS filesystem this is a
+    * metadata-only atomic move; on an object store a directory "rename"
+    * degrades to O(files) copies — there the metastore-level re-point
+    * (name → same path) is the right tool, as in Delta. Catalog-bound
+    * idents also re-point the `<layer>_<table>` temp views. */
+  private def renameTable(srcIdent: String, srcRoot: String,
+                          dstIdent: String, dstRoot: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(VersionedTable(spark, srcRoot).exists,
+      s"table not found: $srcIdent")
+    require(!VersionedTable(spark, dstRoot).exists,
+      s"RENAME TO target already exists: $dstIdent")
+    val from = Paths.get(srcRoot)
+    val to = Paths.get(dstRoot)
+    require(!Files.exists(to),
+      s"RENAME TO target path is occupied: $dstRoot")
+    Option(to.getParent).foreach(Files.createDirectories(_))
+    try Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      // cross-device move (different mount): not atomic, still correct —
+      // the log's committed entries only become visible once complete
+      Files.move(from, to)
+    }
+    // temp views registered for the old name now dangle — drop them and
+    // re-register the warehouse (idempotent; picks up the new name)
+    catalog.foreach { cat =>
+      splitLayerName(cat, srcIdent).foreach { case (l, n) =>
+        spark.catalog.dropTempView(s"${l}_$n")
+        spark.catalog.dropTempView(s"${l}_${n}_history")
+      }
+      cat.registerViews()
+    }
+    Seq((srcIdent, dstIdent)).toDF("renamed_from", "renamed_to")
+  }
+
+  /** `layer.name` / `layer_name` split against the bound catalog's
+    * layers; None for explicit-path idents and foreign names. */
+  private def splitLayerName(cat: Catalog,
+                             ident: String): Option[(String, String)] =
+    ident match {
+      case PathIdent(_) => None
+      case other => other.split("[._]", 2) match {
+        case Array(l, n) if cat.Layers.contains(l.toLowerCase) =>
+          Some((l.toLowerCase, n))
+        case _ => None
+      }
+    }
 
   /** DROP TABLE [IF EXISTS] for catalog identifiers (reference smoke
     * flow, 01_environment_smoke_test.py:93); path idents and non-graft
@@ -1431,6 +1515,18 @@ object GraftSql {
   private val DropDefaultStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+DEFAULT\s*;?\s*""").r
+  private val RenameTableStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+RENAME\s+TO\s+""" + Ident + """\s*;?\s*""").r
+  private val SetNotNullStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""").r
+  private val DropNotNullStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+NOT\s+NULL\s*;?\s*""").r
+  private val ShowColumnsStmt =
+    ("""(?is)\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+""" + Ident +
+      """\s*;?\s*""").r
   // liquid-clustering-style declaration: cluster columns persist as the
   // `graft.clusterBy` property; every bare OPTIMIZE z-orders by them
   private val ClusterByStmt =

@@ -1490,4 +1490,68 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.history.last.dvs.isEmpty)
     assert(t.read.count() === 40)
   }
+
+  test("ALTER TABLE RENAME TO moves the table atomically, history intact") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "old_name")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    t.addCheck("kpos", "k > 0")
+    cat.registerViews()
+    assert(spark.catalog.tableExists("silver_old_name"))
+    val r = sql.sql("ALTER TABLE silver.old_name RENAME TO silver.new_name")
+      .as[(String, String)].head()
+    assert(r === (("silver.old_name", "silver.new_name")))
+    val nt = cat.table("silver", "new_name")
+    // every ledger travelled: data, versions, constraints
+    assert(nt.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    assert(nt.latestVersion === Some(1L))
+    assert(nt.readVersion(0).count() === 2)
+    assert(nt.checks === Seq(("kpos", "k > 0")))
+    assert(!cat.table("silver", "old_name").exists)
+    // views re-pointed: old name gone, new name queryable
+    assert(!spark.catalog.tableExists("silver_old_name"))
+    assert(spark.sql("SELECT count(*) FROM silver_new_name")
+      .as[Long].head() === 3L)
+    // renaming onto an existing table refuses; missing source refuses
+    val t3 = cat.table("silver", "third")
+    t3.append(Seq((9, "z")).toDF("k", "v"))
+    assertThrows[IllegalArgumentException](
+      sql.sql("ALTER TABLE silver.new_name RENAME TO silver.third"))
+    assertThrows[IllegalArgumentException](
+      sql.sql("ALTER TABLE silver.ghost RENAME TO silver.somewhere"))
+  }
+
+  test("ALTER COLUMN SET NOT NULL validates, enforces, and DROPs cleanly") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.nn (k INT, v STRING)")
+    sql.sql("INSERT INTO silver.nn VALUES (1, 'a'), (2, NULL)")
+    // existing NULL blocks the DDL (Delta's SET NOT NULL validation)
+    val ex = intercept[IllegalStateException](
+      sql.sql("ALTER TABLE silver.nn ALTER COLUMN v SET NOT NULL"))
+    assert(ex.getMessage.contains("violate"))
+    sql.sql("DELETE FROM silver.nn WHERE v IS NULL")
+    sql.sql("ALTER TABLE silver.nn ALTER COLUMN v SET NOT NULL")
+    // write-time enforcement through the same CHECK machinery
+    assertThrows[Exception](
+      sql.sql("INSERT INTO silver.nn VALUES (3, NULL)"))
+    sql.sql("INSERT INTO silver.nn VALUES (3, 'c')")
+    sql.sql("ALTER TABLE silver.nn ALTER COLUMN v DROP NOT NULL")
+    sql.sql("INSERT INTO silver.nn VALUES (4, NULL)")
+    assert(cat.table("silver", "nn").read.count() === 3)
+    // unknown column refuses loudly
+    assertThrows[IllegalArgumentException](
+      sql.sql("ALTER TABLE silver.nn ALTER COLUMN ghost SET NOT NULL"))
+  }
+
+  test("SHOW COLUMNS lists the current snapshot's schema in order") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE gold.sc (a INT, b STRING, c DOUBLE)")
+    assert(sql.sql("SHOW COLUMNS IN gold.sc").as[String].collect().toSeq ===
+      Seq("a", "b", "c"))
+    sql.sql("ALTER TABLE gold.sc RENAME COLUMN b TO bb")
+    assert(sql.sql("SHOW COLUMNS FROM gold.sc").as[String].collect().toSeq ===
+      Seq("a", "bb", "c"))
+  }
 }

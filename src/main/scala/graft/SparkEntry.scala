@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Keyed, Merge, Similarity, TextAnalysis, WindowOps}
+import graft.ops.{Dedup, IvfServing, Keyed, Merge, Similarity, TextAnalysis, WindowOps}
 import graft.tables.VersionedTable
 import java.nio.file.Files
 
@@ -1340,6 +1340,36 @@ object SparkEntry {
           nCells = 16)
       }
       Similarity.ivfProbeTopK(s, path, q, k = 10, nProbe = 16)
+    }),
+
+    // Incrementally-maintained IVF serving table (IvfServing): bootstrap
+    // from the embeddings snapshot, then deletes / re-embeddings / fresh
+    // inserts flow through the change feed as O(changed) cell merges —
+    // never an index rebuild. Probing every cell (nProbe = nCells) is
+    // exact, so the DuckDB oracle reconstructs the mutated corpus in SQL
+    // and replays the same top-k: the incremental maintenance is
+    // hash-checked end-to-end (pruning + crash replay pinned by
+    // IvfServingSpec).
+    "q_sim_ivf_sync" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-ivfsync-").toString
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val src = VersionedTable(s, s"$root/src")
+      src.enableChangeFeed()
+      src.append(e)
+      IvfServing.build(src, s"$root/serve", nCells = 8, numBuckets = 4,
+        seed = 7L)
+      // the incremental tail: drop every 17th id, flip every 23rd-mod-1
+      // embedding (a deterministic re-embed that moves cells), add 50
+      // fresh ids copying the first 50 vectors
+      src.delete(col("vec_id") % 17 === 0)
+      src.update(Map("embedding" ->
+        transform(col("embedding"), x => -x)), col("vec_id") % 23 === 1)
+      src.append(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      IvfServing.sync(src, s"$root/serve", numBuckets = 4)
+      val q = e.filter(col("vec_id") === 2)
+        .select("embedding").head().getSeq[Float](0)
+      IvfServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 8)
     }),
 
     // PQ lossless-case witness: a block-structured corpus derived from the
@@ -3685,6 +3715,25 @@ object SparkEntry {
         | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |                              CAST(qv AS DOUBLE[])), 4) AS sim4
         |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // the incrementally-synced serving table equals the mutated corpus:
+    // the oracle rebuilds (survivors ∪ negated re-embeds ∪ 50 copies)
+    // directly in SQL and replays the exact all-cells probe
+    "q_sim_ivf_sync" ->
+      """WITH mutated AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        | WHERE vec_id % 17 <> 0 AND vec_id % 23 <> 1
+        | UNION ALL
+        | SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        | FROM embeddings WHERE vec_id % 17 <> 0 AND vec_id % 23 = 1
+        | UNION ALL
+        | SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        | FROM embeddings WHERE vec_id < 50
+        |), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |         FROM embeddings WHERE vec_id = 2)
+        |SELECT vec_id, round(list_cosine_similarity(emb, qv), 4) AS sim4
+        |FROM mutated, q
         |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     // lossless PQ: ADC scores equal true inner products of the derived

@@ -1372,6 +1372,31 @@ object SparkEntry {
       IvfServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 8)
     }),
 
+    // LSH flavor of the incrementally-synced serving table (shared
+    // AnnSync core): same mutation tail, full-Hamming-radius probe
+    // enumerates every bucket — exact, so the oracle replays it from
+    // the reconstructed corpus.
+    "q_sim_lsh_sync" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-lshsync-").toString
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val src = VersionedTable(s, s"$root/src")
+      src.enableChangeFeed()
+      src.append(e)
+      graft.ops.LshServing.build(src, s"$root/serve", numPlanes = 4,
+        dim = dim, numBuckets = 4)
+      src.delete(col("vec_id") % 17 === 0)
+      src.update(Map("embedding" ->
+        transform(col("embedding"), x => -x)), col("vec_id") % 23 === 1)
+      src.append(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      graft.ops.LshServing.sync(src, s"$root/serve", numBuckets = 4)
+      val q = e.filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0)
+      graft.ops.LshServing.probeTopK(s, s"$root/serve", q, k = 10,
+        probeHamming = 4)
+    }),
+
     // PQ lossless-case witness: a block-structured corpus derived from the
     // embeddings ids — two 4-dim subspaces, each a one-hot pattern at
     // (vec_id%4) resp. (floor(vec_id/4)%4) scaled by 0.25*((vec_id%3)+1).
@@ -3732,6 +3757,24 @@ object SparkEntry {
         | FROM embeddings WHERE vec_id < 50
         |), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |         FROM embeddings WHERE vec_id = 2)
+        |SELECT vec_id, round(list_cosine_similarity(emb, qv), 4) AS sim4
+        |FROM mutated, q
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // LSH sync sibling: identical corpus reconstruction, query vec_id=3,
+    // full-radius multiprobe == brute force
+    "q_sim_lsh_sync" ->
+      """WITH mutated AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        | WHERE vec_id % 17 <> 0 AND vec_id % 23 <> 1
+        | UNION ALL
+        | SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        | FROM embeddings WHERE vec_id % 17 <> 0 AND vec_id % 23 = 1
+        | UNION ALL
+        | SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        | FROM embeddings WHERE vec_id < 50
+        |), q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |         FROM embeddings WHERE vec_id = 3)
         |SELECT vec_id, round(list_cosine_similarity(emb, qv), 4) AS sim4
         |FROM mutated, q
         |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,

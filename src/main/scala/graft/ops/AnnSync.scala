@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.tables.{ChangeFeedConsumer, VersionedTable}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The shared incremental-maintenance core behind [[IvfServing]] and
+  * [[LshServing]]: any ANN family whose cell assignment is a FROZEN,
+  * deterministic function of the vector (IVF centroid argmin, LSH
+  * sign-bit bucket, …) can keep its cell-partitioned serving table in
+  * step with a mutating source by consuming the source's change feed —
+  * the cell of every changed vector (and of its pre-image) is
+  * recomputable map-side, so no serving-table lookup is ever needed to
+  * route a change.
+  *
+  * Per consumed range, at most TWO bucket-COW merges:
+  *  1. tombstones into the OLD cells of keys that were deleted or whose
+  *     new vector maps to a different cell (old cell = cellOf(earliest
+  *     in-range pre-image), which IS the serving posting's cell because
+  *     the quantizer is frozen);
+  *  2. upserts of every surviving key's latest state into its NEW cell.
+  * A key that changed without changing cell takes only merge 2 — its
+  * cell is rewritten once, not twice.
+  *
+  * Exactly-once: the caller's position commits after the merges
+  * (at-least-once replay), and each merge phase carries an idempotent
+  * txn marker keyed on the range's upper version under the caller's
+  * app id — replays are metadata no-ops; a crash BETWEEN the phases
+  * replays into "skip 1, apply 2". App ids must be scoped by the
+  * quantizer epoch so an explicit rebuild is not swallowed as a replay.
+  */
+private[ops] object AnnSync {
+
+  private val EpochSidecar = "_quantizer_epoch"
+
+  /** Quantizer epoch (0 until the first rebuild). Txn app ids embed it
+    * so a rebuild's re-bootstrap is not swallowed as a replay. */
+  def epochOf(spark: org.apache.spark.sql.SparkSession,
+              root: String): Long =
+    scala.util.Try(Sidecar.read(spark, root, EpochSidecar).toLong)
+      .getOrElse(0L)
+
+  def bumpEpoch(spark: org.apache.spark.sql.SparkSession,
+                root: String): Unit =
+    Sidecar.write(spark, root, EpochSidecar,
+      (epochOf(spark, root) + 1L).toString)
+
+  /** Rebuild reset: truncate the serving table (postings keyed by the
+    * old quantizer are garbage) and wind the sync position back, BEFORE
+    * the new quantizer lands — a crash in between leaves an empty table
+    * + old quantizer + reset position, which the next sync re-bootstraps
+    * consistently (just un-refitted). */
+  def resetServing(spark: org.apache.spark.sql.SparkSession, root: String,
+                   checkpointDir: String, cellCol: String): Unit = {
+    val t = VersionedTable(spark, root)
+    if (t.exists) t.overwrite(t.read.limit(0), partitionBy = Seq(cellCol))
+    val pos = java.nio.file.Paths.get(checkpointDir, "position")
+    java.nio.file.Files.deleteIfExists(pos)
+    ()
+  }
+
+  /** Consume every unconsumed commit of `src` into the serving table at
+    * `root`, assigning cells with `cellOf`. Returns the version range
+    * applied, or None when caught up. */
+  def syncInto(src: VersionedTable, root: String, checkpointDir: String,
+               idCol: String, vecCol: String, cellCol: String,
+               cellOf: Column => Column, appId: String,
+               numBuckets: Int): Option[(Long, Long)] = {
+    val serving = VersionedTable(src.spark, root)
+    ChangeFeedConsumer.consumeAvailable(src, checkpointDir) { (changes, _, hi) =>
+      // the classified feed is read by both phases — materialize once
+      // (O(changed); the bootstrap batch is the full snapshot, which an
+      // index build reads once by necessity, spilling if large)
+      val classified = changes.select(col(idCol),
+          col(vecCol).cast("array<float>").as(vecCol),
+          col("_change_type").as("__ct"),
+          col("_commit_version").as("__cv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // pre-state per key = the EARLIEST in-range row describing a row
+        // that existed when the range began (an update's pre-image or a
+        // delete's payload); its cell is where the serving posting lives
+        val pre = Keyed.firstPerKey(
+            classified.filter(col("__ct").isin("update_preimage", "delete")),
+            Seq(idCol), "__cv")
+          .select(col(idCol), col(vecCol),
+            cellOf(col(vecCol)).as("__old_cell"))
+        // final state per key = the LATEST non-pre-image change
+        val fin = Keyed.latestPerKey(
+          classified.filter(col("__ct") =!= "update_preimage"),
+          Seq(idCol), "__cv")
+        val finCelled = fin.select(col(idCol), col(vecCol), col("__ct"),
+          cellOf(col(vecCol)).as(cellCol))
+        // phase 1 — tombstones into OLD cells, only where the posting
+        // must actually leave that cell
+        val tombstones = pre.as("p")
+          .join(finCelled.as("f"), Seq(idCol))
+          .filter(col("f.__ct") === "delete" ||
+            col("__old_cell") =!= col(cellCol))
+          .select(col(idCol), col(s"p.$vecCol").as(vecCol),
+            col("__old_cell").as(cellCol),
+            lit(true).as(Merge.DeleteCol))
+        // phase 2 — latest state of every surviving key into its cell
+        val upserts = finCelled.filter(col("__ct") =!= "delete")
+          .select(col(idCol), col(vecCol), col(cellCol))
+        if (!tombstones.isEmpty)
+          serving.merge(tombstones, Seq(idCol), numBuckets = numBuckets,
+            partitionBy = Seq(cellCol),
+            txn = Some((appId + ":del", hi)))
+        if (!upserts.isEmpty)
+          serving.merge(upserts, Seq(idCol), numBuckets = numBuckets,
+            partitionBy = Seq(cellCol),
+            txn = Some((appId + ":ups", hi)))
+        ()
+      } finally { classified.unpersist(); () }
+    }
+  }
+
+  /** Union of one partition-pruned arm per probed cell (file-set-name
+    * pruning — no footer reads, shared memoized log metadata), exact
+    * cosine re-rank, tie-stable top-k: ties cut on the 4-decimal
+    * rounded similarity with id tiebreak (stable across engines). */
+  def probeRank(serving: VersionedTable, cellCol: String,
+                cells: Seq[String], query: Seq[Float], k: Int,
+                idCol: String, vecCol: String): DataFrame = {
+    val pruned = cells.map(c => serving.readRange(cellCol, c, c))
+      .reduce(_ union _)
+    Similarity.bruteForceCosine(pruned, query, idCol, vecCol)
+      .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))
+      .orderBy(col("sim4").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -60,7 +60,6 @@ object IvfServing {
 
   val CellCol = "ivf_cell"
   private val CentroidsSidecar = "_centroids.csv"
-  private val EpochSidecar = "_quantizer_epoch"
   private def syncDir(root: String) = root + "/_sync"
 
   /** Idempotent-txn app id, scoped by the quantizer EPOCH: a rebuild
@@ -70,11 +69,7 @@ object IvfServing {
     * the rebuilt table empty. Each refit bumps the epoch so its merges
     * are fresh transactions. */
   private def txnAppId(spark: SparkSession, root: String): String =
-    s"ivf-sync:$root:e${epochOf(spark, root)}"
-
-  private def epochOf(spark: SparkSession, root: String): Long =
-    scala.util.Try(Sidecar.read(spark, root, EpochSidecar).toLong)
-      .getOrElse(0L)
+    s"ivf-sync:$root:e${AnnSync.epochOf(spark, root)}"
 
   /** Freeze the coarse quantizer from `src`'s CURRENT snapshot and run
     * the first [[sync]]. Refuses to re-fit an existing quantizer unless
@@ -93,23 +88,12 @@ object IvfServing {
     require(!hasCentroids || overwriteCentroids,
       s"IvfServing.build: quantizer already frozen at $root " +
         "(pass overwriteCentroids=true to refit and rebuild)")
-    if (hasCentroids) {
-      // refit: postings keyed by the OLD cells are garbage — restart
-      // the serving table and the sync position BEFORE the new fit
-      // lands (a crash in between leaves an empty table + old
-      // quantizer + reset position: the next sync re-bootstraps
-      // consistently, just un-refitted)
-      val t = VersionedTable(spark, root)
-      if (t.exists) t.overwrite(t.read.limit(0), partitionBy = Seq(CellCol))
-      val pos = java.nio.file.Paths.get(syncDir(root), "position")
-      java.nio.file.Files.deleteIfExists(pos)
-    }
+    if (hasCentroids)
+      AnnSync.resetServing(spark, root, syncDir(root), CellCol)
     val idx = Similarity.ivfIndex(src.read, nCells, idCol, vecCol, seed)
     Sidecar.write(spark, root, CentroidsSidecar,
       idx.centroids.map(_.mkString(",")).mkString("\n"))
-    if (hasCentroids)
-      Sidecar.write(spark, root, EpochSidecar,
-        (epochOf(spark, root) + 1L).toString)
+    if (hasCentroids) AnnSync.bumpEpoch(spark, root)
     sync(src, root, idCol, vecCol, numBuckets)
   }
 
@@ -120,83 +104,23 @@ object IvfServing {
   def sync(src: VersionedTable, root: String,
            idCol: String = "vec_id", vecCol: String = "embedding",
            numBuckets: Int = 8): Option[(Long, Long)] = {
-    val spark = src.spark
-    val centroids = readCentroids(spark, root)
-    def cellOf(vec: Column): Column =
-      Similarity.nearestCellHof(vec.cast("array<double>"), centroids)
-    val serving = VersionedTable(spark, root)
-    val appId = txnAppId(spark, root)
-    ChangeFeedConsumer.consumeAvailable(src, syncDir(root)) { (changes, _, hi) =>
-      // the classified feed is read by both phases — materialize once
-      // (O(changed); the bootstrap batch is the full snapshot, which an
-      // index build reads once by necessity, spilling if large)
-      val classified = changes.select(col(idCol),
-          col(vecCol).cast("array<float>").as(vecCol),
-          col("_change_type").as("__ct"),
-          col("_commit_version").as("__cv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // pre-state per key = the EARLIEST in-range row describing a row
-        // that existed when the range began (an update's pre-image or a
-        // delete's payload); its cell is where the serving posting lives
-        val pre = Keyed.firstPerKey(
-            classified.filter(col("__ct").isin("update_preimage", "delete")),
-            Seq(idCol), "__cv")
-          .select(col(idCol), col(vecCol), cellOf(col(vecCol)).as("__old_cell"))
-        // final state per key = the LATEST non-pre-image change
-        val fin = Keyed.latestPerKey(
-          classified.filter(col("__ct") =!= "update_preimage"),
-          Seq(idCol), "__cv")
-        val finCelled = fin.select(col(idCol), col(vecCol), col("__ct"),
-          cellOf(col(vecCol)).as(CellCol))
-        // phase 1 — tombstones into OLD cells, only where the posting
-        // must actually leave that cell: the key was deleted, or its new
-        // cell differs (a same-cell update is replaced by phase 2's
-        // rewrite of that cell — tombstoning it too would rewrite the
-        // cell twice for nothing)
-        val tombstones = pre.as("p")
-          .join(finCelled.as("f"), Seq(idCol))
-          .filter(col("f.__ct") === "delete" ||
-            col("__old_cell") =!= col(CellCol))
-          .select(col(idCol), col(s"p.$vecCol").as(vecCol),
-            col("__old_cell").as(CellCol),
-            lit(true).as(Merge.DeleteCol))
-        // phase 2 — latest state of every surviving key into its cell
-        val upserts = finCelled.filter(col("__ct") =!= "delete")
-          .select(col(idCol), col(vecCol), col(CellCol))
-        if (!tombstones.isEmpty)
-          serving.merge(tombstones, Seq(idCol), numBuckets = numBuckets,
-            partitionBy = Seq(CellCol),
-            txn = Some((appId + ":del", hi)))
-        if (!upserts.isEmpty)
-          serving.merge(upserts, Seq(idCol), numBuckets = numBuckets,
-            partitionBy = Seq(CellCol),
-            txn = Some((appId + ":ups", hi)))
-        ()
-      } finally { classified.unpersist(); () }
-    }
+    val centroids = readCentroids(src.spark, root)
+    AnnSync.syncInto(src, root, syncDir(root), idCol, vecCol, CellCol,
+      vec => Similarity.nearestCellHof(vec.cast("array<double>"), centroids),
+      txnAppId(src.spark, root), numBuckets)
   }
 
   /** Top-k cosine over the serving table: rank the frozen centroids
     * driver-side, scan ONLY the nProbe nearest cells' file-sets (pruned
     * by the partition value in the file-set name — no footer reads),
-    * exact re-rank. Ties cut on the 4-decimal rounded similarity with
-    * id tiebreak (stable across engines, as the other probe paths). */
+    * exact re-rank with tie-stable output ([[AnnSync.probeRank]]). */
   def probeTopK(spark: SparkSession, root: String, query: Seq[Float],
                 k: Int, nProbe: Int, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val centroids = readCentroids(spark, root)
     val cells = Similarity.IvfIndex(centroids, null).probeCells(query, nProbe)
-    val serving = VersionedTable(spark, root)
-    // one partition-pruned arm per probed cell — nProbe tiny scans over
-    // shared memoized log metadata
-    val pruned = cells.map(c =>
-        serving.readRange(CellCol, c.toString, c.toString))
-      .reduce(_ union _)
-    Similarity.bruteForceCosine(pruned, query, idCol, vecCol)
-      .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))
-      .orderBy(col("sim4").desc, col(idCol).asc)
-      .limit(k)
+    AnnSync.probeRank(VersionedTable(spark, root), CellCol,
+      cells.map(_.toString), query, k, idCol, vecCol)
   }
 
   private def readCentroids(spark: SparkSession,

@@ -484,6 +484,22 @@ object Similarity {
       s"$numPlanes,$dim,$seed")
   }
 
+  /** Sign-bit bucket of a driver-side query vector under `planes` —
+    * the same bit order as [[lshBucket]]'s column form. */
+  def queryBucket(planes: Seq[Seq[Float]], query: Seq[Float]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+
+  /** Multiprobe bucket enumeration: every bucket id within `radius` bit
+    * flips of `bucket` (each fold step widens the frontier by one). */
+  def multiprobeBuckets(bucket: Long, numPlanes: Int,
+                        radius: Int): Seq[Long] =
+    (1 to radius).foldLeft(Set(bucket)) { (acc, _) =>
+      acc ++ acc.flatMap(b => (0 until numPlanes).map(i => b ^ (1L << i)))
+    }.toSeq.sorted
+
   /** Probe-read top-k over a [[writeLshTable]] table: enumerate buckets
     * within `probeHamming` bits of the query's bucket (multiprobe) as a
     * literal IN-list → partition pruning on `lsh_bucket`, then exact
@@ -498,15 +514,8 @@ object Similarity {
     require(dim == query.size,
       s"query dim ${query.size} != indexed dim $dim at $path")
     val planes = hyperplanes(numPlanes, query.size, seed)
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
-      if (d >= 0) 1L << i else 0L
-    }.sum
-    // multiprobe bucket enumeration: all bucket ids within the Hamming
-    // radius (each fold step widens the frontier by one bit flip)
-    val buckets = (1 to probeHamming).foldLeft(Set(qBucket)) { (acc, _) =>
-      acc ++ acc.flatMap(b => (0 until numPlanes).map(i => b ^ (1L << i)))
-    }.toSeq.sorted
+    val buckets = multiprobeBuckets(
+      queryBucket(planes, query), numPlanes, probeHamming)
     val pruned = spark.read.parquet(path)
       .filter(col("lsh_bucket").isin(buckets: _*))
     // cut on the ROUNDED similarity with id tiebreak (same as

@@ -1356,7 +1356,7 @@ object SparkEntry {
       val src = VersionedTable(s, s"$root/src")
       src.enableChangeFeed()
       src.append(e)
-      IvfServing.build(src, s"$root/serve", nCells = 8, numBuckets = 4,
+      IvfServing.build(src, s"$root/serve", nCells = 4, numBuckets = 2,
         seed = 7L)
       // the incremental tail: drop every 17th id, flip every 23rd-mod-1
       // embedding (a deterministic re-embed that moves cells), add 50
@@ -1366,10 +1366,10 @@ object SparkEntry {
         transform(col("embedding"), x => -x)), col("vec_id") % 23 === 1)
       src.append(e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-      IvfServing.sync(src, s"$root/serve", numBuckets = 4)
+      IvfServing.sync(src, s"$root/serve", numBuckets = 2)
       val q = e.filter(col("vec_id") === 2)
         .select("embedding").head().getSeq[Float](0)
-      IvfServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 8)
+      IvfServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 4)
     }),
 
     // LSH flavor of the incrementally-synced serving table (shared
@@ -1383,18 +1383,18 @@ object SparkEntry {
       val src = VersionedTable(s, s"$root/src")
       src.enableChangeFeed()
       src.append(e)
-      graft.ops.LshServing.build(src, s"$root/serve", numPlanes = 4,
-        dim = dim, numBuckets = 4)
+      graft.ops.LshServing.build(src, s"$root/serve", numPlanes = 3,
+        dim = dim, numBuckets = 2)
       src.delete(col("vec_id") % 17 === 0)
       src.update(Map("embedding" ->
         transform(col("embedding"), x => -x)), col("vec_id") % 23 === 1)
       src.append(e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-      graft.ops.LshServing.sync(src, s"$root/serve", numBuckets = 4)
+      graft.ops.LshServing.sync(src, s"$root/serve", numBuckets = 2)
       val q = e.filter(col("vec_id") === 3)
         .select("embedding").head().getSeq[Float](0)
       graft.ops.LshServing.probeTopK(s, s"$root/serve", q, k = 10,
-        probeHamming = 4)
+        probeHamming = 3)
     }),
 
     // PQ lossless-case witness: a block-structured corpus derived from the

@@ -91,39 +91,67 @@ private[ops] object AnnSync {
           Seq(idCol), "__cv")
         val finCelled = fin.select(col(idCol), col(vecCol), col("__ct"),
           cellOf(col(vecCol)).as(cellCol))
+        // ONE tiny job decides which phases run (the alternative —
+        // DataFrame.isEmpty per phase — re-materializes each phase's
+        // window+join lineage just to peek at it): a bootstrap or
+        // append-only batch has no pre-states and skips phase 1 with no
+        // further look; a delete/update batch may still yield an empty
+        // tombstone set (nothing moved cells), which then merges as an
+        // empty batch — a cheap metadata-only commit, the rare case
+        val ctCounts = classified.groupBy("__ct").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val hasPre = ctCounts.getOrElse("update_preimage", 0L) +
+          ctCounts.getOrElse("delete", 0L) > 0
+        val hasSurvivors =
+          ctCounts.filterNot(_._1 == "update_preimage")
+            .filterNot(_._1 == "delete").values.sum > 0
         // phase 1 — tombstones into OLD cells, only where the posting
         // must actually leave that cell
-        val tombstones = pre.as("p")
-          .join(finCelled.as("f"), Seq(idCol))
-          .filter(col("f.__ct") === "delete" ||
-            col("__old_cell") =!= col(cellCol))
-          .select(col(idCol), col(s"p.$vecCol").as(vecCol),
-            col("__old_cell").as(cellCol),
-            lit(true).as(Merge.DeleteCol))
-        // phase 2 — latest state of every surviving key into its cell
-        val upserts = finCelled.filter(col("__ct") =!= "delete")
-          .select(col(idCol), col(vecCol), col(cellCol))
-        if (!tombstones.isEmpty)
+        if (hasPre) {
+          val tombstones = pre.as("p")
+            .join(finCelled.as("f"), Seq(idCol))
+            .filter(col("f.__ct") === "delete" ||
+              col("__old_cell") =!= col(cellCol))
+            .select(col(idCol), col(s"p.$vecCol").as(vecCol),
+              col("__old_cell").as(cellCol),
+              lit(true).as(Merge.DeleteCol))
           serving.merge(tombstones, Seq(idCol), numBuckets = numBuckets,
             partitionBy = Seq(cellCol),
             txn = Some((appId + ":del", hi)))
-        if (!upserts.isEmpty)
+          ()
+        }
+        // phase 2 — latest state of every surviving key into its cell
+        if (hasSurvivors) {
+          val upserts = finCelled.filter(col("__ct") =!= "delete")
+            .select(col(idCol), col(vecCol), col(cellCol))
           serving.merge(upserts, Seq(idCol), numBuckets = numBuckets,
             partitionBy = Seq(cellCol),
             txn = Some((appId + ":ups", hi)))
-        ()
+          ()
+        }
       } finally { classified.unpersist(); () }
     }
   }
 
-  /** Union of one partition-pruned arm per probed cell (file-set-name
-    * pruning — no footer reads, shared memoized log metadata), exact
-    * cosine re-rank, tie-stable top-k: ties cut on the 4-decimal
+  /** Partition-pruned probe read + exact cosine re-rank. The probed
+    * cell ids are grouped into CONTIGUOUS RUNS and each run becomes one
+    * [[VersionedTable.readRange]] arm — a full-probe (every cell) or
+    * full-radius multiprobe collapses to ONE scan instead of nCells
+    * plan arms, while a sparse probe set stays per-cell-pruned. Numeric
+    * range bounds are exact cell boundaries, and each arm's residual
+    * filter keeps results exact either way. Ties cut on the 4-decimal
     * rounded similarity with id tiebreak (stable across engines). */
   def probeRank(serving: VersionedTable, cellCol: String,
-                cells: Seq[String], query: Seq[Float], k: Int,
+                cells: Seq[Long], query: Seq[Float], k: Int,
                 idCol: String, vecCol: String): DataFrame = {
-    val pruned = cells.map(c => serving.readRange(cellCol, c, c))
+    val runs = cells.distinct.sorted
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
+        case (acc, c)                             => (c, c) :: acc
+      }.reverse
+    val pruned = runs
+      .map { case (lo, hi) =>
+        serving.readRange(cellCol, lo.toString, hi.toString) }
       .reduce(_ union _)
     Similarity.bruteForceCosine(pruned, query, idCol, vecCol)
       .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))

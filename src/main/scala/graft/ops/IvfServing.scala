@@ -120,7 +120,7 @@ object IvfServing {
     val centroids = readCentroids(spark, root)
     val cells = Similarity.IvfIndex(centroids, null).probeCells(query, nProbe)
     AnnSync.probeRank(VersionedTable(spark, root), CellCol,
-      cells.map(_.toString), query, k, idCol, vecCol)
+      cells.map(_.toLong), query, k, idCol, vecCol)
   }
 
   private def readCentroids(spark: SparkSession,

@@ -83,6 +83,6 @@ object LshServing {
     val buckets = Similarity.multiprobeBuckets(
       Similarity.queryBucket(planes, query), numPlanes, probeHamming)
     AnnSync.probeRank(VersionedTable(spark, root), BucketCol,
-      buckets.map(_.toString), query, k, idCol, vecCol)
+      buckets, query, k, idCol, vecCol)
   }
 }

@@ -65,9 +65,10 @@ private[ops] object AnnSync {
   def syncInto(src: VersionedTable, root: String, checkpointDir: String,
                idCol: String, vecCol: String, cellCol: String,
                cellOf: Column => Column, appId: String,
-               numBuckets: Int): Option[(Long, Long)] = {
+               numBuckets: Int,
+               autoCompactCellsOver: Option[Int] = None): Option[(Long, Long)] = {
     val serving = VersionedTable(src.spark, root)
-    ChangeFeedConsumer.consumeAvailable(src, checkpointDir) { (changes, _, hi) =>
+    val range = ChangeFeedConsumer.consumeAvailable(src, checkpointDir) { (changes, _, hi) =>
       // the classified feed is read by both phases — materialize once
       // (O(changed); the bootstrap batch is the full snapshot, which an
       // index build reads once by necessity, spilling if large)
@@ -131,6 +132,21 @@ private[ops] object AnnSync {
         }
       } finally { classified.unpersist(); () }
     }
+    // per-cell small-file hygiene: insert-only syncs append one
+    // file-set per touched cell without folding — after many syncs a
+    // cell serves from many segments. Best-effort (the sync's data is
+    // already durable and position-committed; a lost race or failure
+    // must not fail the sync), metadata-only trigger, O(offending
+    // partitions) when it fires.
+    for (threshold <- autoCompactCellsOver; _ <- range)
+      try { serving.compactCellsOver(threshold); () }
+      catch {
+        case _: java.util.ConcurrentModificationException => ()
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] ann auto-compact at $root failed " +
+            s"(sync is committed): $e")
+      }
+    range
   }
 
   /** Partition-pruned probe read + exact cosine re-rank. The probed

@@ -103,11 +103,12 @@ object IvfServing {
     * ingest batch — each call costs O(changed vectors). */
   def sync(src: VersionedTable, root: String,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           numBuckets: Int = 8): Option[(Long, Long)] = {
+           numBuckets: Int = 8,
+           autoCompactCellsOver: Option[Int] = Some(8)): Option[(Long, Long)] = {
     val centroids = readCentroids(src.spark, root)
     AnnSync.syncInto(src, root, syncDir(root), idCol, vecCol, CellCol,
       vec => Similarity.nearestCellHof(vec.cast("array<double>"), centroids),
-      txnAppId(src.spark, root), numBuckets)
+      txnAppId(src.spark, root), numBuckets, autoCompactCellsOver)
   }
 
   /** Top-k cosine over the serving table: rank the frozen centroids

@@ -59,14 +59,15 @@ object LshServing {
     * O(changed vectors) per call, see [[AnnSync.syncInto]]. */
   def sync(src: VersionedTable, root: String,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           numBuckets: Int = 8): Option[(Long, Long)] = {
+           numBuckets: Int = 8,
+           autoCompactCellsOver: Option[Int] = Some(8)): Option[(Long, Long)] = {
     val spark = src.spark
     graft.functions.GraftFunctions.register(spark)
     val (numPlanes, dim, seed) = readSpec(spark, root)
     val planes = Similarity.hyperplanes(numPlanes, dim, seed)
     AnnSync.syncInto(src, root, syncDir(root), idCol, vecCol, BucketCol,
       vec => Similarity.lshBucket(vec, planes),
-      txnAppId(spark, root), numBuckets)
+      txnAppId(spark, root), numBuckets, autoCompactCellsOver)
   }
 
   /** Multiprobe top-k: enumerate buckets within `probeHamming` bits of

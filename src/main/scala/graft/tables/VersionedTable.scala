@@ -3317,6 +3317,53 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * this API just can't name). Rewritten cells keep their data-skipping
     * sidecars. `partitionValues`: one Seq per partition tuple, in
     * `bucketSpec.partitionKeys` order. */
+  /** File-set count per decodable (partition values, bucket) cell of
+    * the current snapshot — METADATA-ONLY (decoded from file-set
+    * names, zero data or footer reads): the maintenance trigger
+    * surface for [[compactCellsOver]]. Cells with an undecodable or
+    * NULL-valued tag are omitted (compactPartitions cannot name them;
+    * any partition-scoped compact rewrites undecodable sets anyway,
+    * self-healing them into proper cells). */
+  def cellFileSetCounts: Seq[(Seq[String], Int, Int)] = {
+    val spec = bucketSpec.getOrElse(
+      sys.error(s"cellFileSetCounts needs a bucketed table at $root"))
+    require(spec.partitionKeys.nonEmpty,
+      s"cellFileSetCounts needs a partitioned bucket spec at $root")
+    val snap = history.lastOption.getOrElse(
+      sys.error(s"empty table at $root"))
+    snap.fileSets.flatMap { fs =>
+      (partitionValuesOf(fs, spec.partitionKeys.length), bucketOf(fs)) match {
+        case (Some(vals), Some(b)) if vals.forall(_.isDefined) =>
+          Some((vals.map(_.get), b))
+        case _ => None
+      }
+    }.groupBy(identity).toSeq
+      .map { case ((vals, b), hits) => (vals, b, hits.length) }
+      .sortBy { case (vals, b, _) => (vals.mkString(" "), b) }
+  }
+
+  /** Targeted small-file maintenance for partitioned merge tables: an
+    * append-heavy flow (streaming sinks' insert-only merges, ANN
+    * serving syncs) adds one file-set per touched cell per batch
+    * WITHOUT folding the cell's existing sets — after many batches a
+    * cell serves from many segments. Compact ONLY the partitions
+    * holding a cell with more than `maxSetsPerCell` file-sets
+    * (O(offending partitions), via [[compactPartitions]]); None when
+    * every cell is within bounds — no version churn on a healthy
+    * table. The trigger scan is metadata-only ([[cellFileSetCounts]]).
+    * Single-writer assumption as with any read-modify-write commit:
+    * concurrent committers surface as ConcurrentModificationException
+    * for the caller to retry or drop (best-effort callers swallow it —
+    * the data is already durable either way). */
+  def compactCellsOver(maxSetsPerCell: Int): Option[LogEntry] = {
+    require(maxSetsPerCell >= 1, "maxSetsPerCell must be >= 1")
+    val offenders = cellFileSetCounts
+      .filter { case (_, _, n) => n > maxSetsPerCell }
+      .map { case (vals, _, _) => vals }.distinct
+    if (offenders.isEmpty) None
+    else Some(compactPartitions(offenders))
+  }
+
   def compactPartitions(partitionValues: Seq[Seq[String]]): LogEntry = {
     require(partitionValues.nonEmpty, "compactPartitions needs partitions")
     val spec = bucketSpec.getOrElse(

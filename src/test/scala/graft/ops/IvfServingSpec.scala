@@ -129,6 +129,34 @@ class IvfServingSpec extends SparkSpec {
     assert(top === 21L)
   }
 
+  test("auto-compaction folds cells accreted by insert-only syncs") {
+    val src = freshSource(mkVectors(40, 8, seed = 31))
+    val root = tmpDir("ivf-serve-") + "/t"
+    IvfServing.build(src, root, nCells = 2, numBuckets = 2, seed = 1L)
+    val serving = VersionedTable(spark, root)
+    // ten insert-only syncs: each takes the merge fast path and adds one
+    // file-set per touched cell WITHOUT folding — unbounded accretion if
+    // nothing compacts. The per-sync auto-compact (threshold 2) folds
+    // any (cell, bucket) over 2 sets back to 1, so the final state is
+    // bounded no matter how many syncs ran.
+    (0 until 10).foreach { i =>
+      src.append(mkVectors(5, 8, seed = 100 + i).map { case (j, v) =>
+        (10000L + i * 10 + j, v) }.toDF("vec_id", "embedding"))
+      assert(IvfServing.sync(src, root, numBuckets = 2,
+        autoCompactCellsOver = Some(2)).isDefined)
+    }
+    val counts = serving.cellFileSetCounts
+    assert(counts.nonEmpty)
+    assert(counts.forall { case (_, _, n) => n <= 2 },
+      s"cell accretion unbounded: $counts")
+    // nothing lost through the folds: content still equals the source
+    assert(serving.read.select("vec_id").as[Long].collect().toSet ===
+      src.read.select("vec_id").as[Long].collect().toSet)
+    val q = mkVectors(5, 8, seed = 109)(2)._2 // from the last batch
+    assert(IvfServing.probeTopK(spark, root, q, k = 1, nProbe = 2)
+      .select("vec_id").as[Long].head() === 10092L)
+  }
+
   test("probe reads open only the probed cells' file-sets") {
     val base = mkVectors(200, 8, seed = 17)
     val src = freshSource(base)

@@ -2260,22 +2260,37 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * merge flows compact per cell (streaming sinks via
     * `autoCompactEvery`). */
   private def maybeAutoCompact(entry: LogEntry): LogEntry = {
-    if (bucketSpec.isEmpty && boolProp("graft.autoCompact"))
-      // truly best-effort: the append already committed durably, so NO
-      // compact failure may surface as an append failure (a caller
-      // retrying the "failed" append would double-write). Lost commit
+    if (boolProp("graft.autoCompact"))
+      // truly best-effort: the write already committed durably, so NO
+      // compact failure may surface as a write failure (a caller
+      // retrying the "failed" write would double-write). Lost commit
       // races are routine; anything else is logged and dropped.
       try {
-        val maxB = spark.conf.getOption("spark.graft.optimize.smallFileBytes")
-          .map(_.toLong).getOrElse(128L * 1024 * 1024)
-        val minSets = spark.conf.getOption("spark.graft.autoCompact.minFiles")
-          .map(_.toInt).getOrElse(8)
-        compactSmall(maxB, minSets); ()
+        bucketSpec match {
+          case None =>
+            val maxB =
+              spark.conf.getOption("spark.graft.optimize.smallFileBytes")
+                .map(_.toLong).getOrElse(128L * 1024 * 1024)
+            val minSets =
+              spark.conf.getOption("spark.graft.autoCompact.minFiles")
+                .map(_.toInt).getOrElse(8)
+            compactSmall(maxB, minSets); ()
+          case Some(spec) if spec.partitionKeys.nonEmpty =>
+            // partitioned merge tables accrete per cell on the
+            // insert-only fast path; fold only cells past the bound
+            // (metadata-only trigger, O(offending partitions))
+            val maxSets =
+              spark.conf.getOption("spark.graft.autoCompact.maxSetsPerCell")
+                .map(_.toInt).getOrElse(8)
+            compactCellsOver(maxSets); ()
+          case Some(_) => () // bucket-only layout: cells are buckets,
+            // a fold is O(table) — that's a deliberate OPTIMIZE
+        }
       } catch {
         case _: java.util.ConcurrentModificationException => ()
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] auto-compact after append " +
-            s"v${entry.version} at $root failed (append is committed): $e")
+          System.err.println(s"[graft] auto-compact after write " +
+            s"v${entry.version} at $root failed (write is committed): $e")
       }
     entry
   }
@@ -3075,8 +3090,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
           Some(deduped.schema)))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
-        commitCellRebase("merge", consumed = Nil, produced = adopted,
-          basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
+        // the insert-only fast path is the ONE merge shape that accretes
+        // (it folds nothing) — property-driven per-cell hygiene applies
+        // here, exactly where Delta's auto-compact runs after writes
+        maybeAutoCompact(commitCellRebase("merge", consumed = Nil,
+          produced = adopted, basedOn = rv, txn = txn, dvs = prevDvs,
+          cdf = cdf))
       } else if (touched.isEmpty && !bySourceAll) {
         // empty update batch, nothing touched (BY SOURCE clauses still
         // take the join path: an empty source deletes/updates rows)
@@ -3339,7 +3358,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       }
     }.groupBy(identity).toSeq
       .map { case ((vals, b), hits) => (vals, b, hits.length) }
-      .sortBy { case (vals, b, _) => (vals.mkString(" "), b) }
+      .sortBy { case (vals, b, _) => (vals.mkString("/"), b) }
   }
 
   /** Targeted small-file maintenance for partitioned merge tables: an

@@ -1416,6 +1416,33 @@ class GraftSqlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
   }
 
+  test("graft.autoCompact bounds per-cell accretion on partitioned merges") {
+    val (cat, sql) = warehouse()
+    spark.conf.set("spark.graft.autoCompact.maxSetsPerCell", "2")
+    try {
+      val t = cat.table("silver", "acm")
+      t.setProperties(Map("graft.autoCompact" -> "true"))
+      // six insert-only merges into ONE partition: each takes the
+      // fast path (new file-set per touched cell, nothing folds) —
+      // the property fires compactCellsOver once a cell passes 2 sets
+      (0 until 6).foreach { i =>
+        t.merge(Seq((i, "p1", s"v$i")).toDF("k", "part", "v"),
+          Seq("k"), numBuckets = 2, partitionBy = Seq("part"))
+      }
+      val counts = t.cellFileSetCounts
+      assert(counts.forall { case (_, _, n) => n <= 2 },
+        s"cell accretion unbounded under graft.autoCompact: $counts")
+      assert(t.read.count() === 6)
+      // updates (non-fast-path merges) rewrite their cells and never
+      // trigger: no compact commit should follow an update merge
+      t.merge(Seq((0, "p1", "V0")).toDF("k", "part", "v"),
+        Seq("k"), numBuckets = 2, partitionBy = Seq("part"))
+      assert(t.history.last.action === "merge")
+      assert(t.read.filter(col("k") === 0).select("v").as[String]
+        .head() === "V0")
+    } finally spark.conf.unset("spark.graft.autoCompact.maxSetsPerCell")
+  }
+
   test("graft.enableChangeFeed property flips CDF like delta.enableChangeDataFeed") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.cdfp (k INT, v STRING) " +

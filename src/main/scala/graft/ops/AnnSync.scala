@@ -46,10 +46,12 @@ private[ops] object AnnSync {
       (epochOf(spark, root) + 1L).toString)
 
   /** Rebuild reset: truncate the serving table (postings keyed by the
-    * old quantizer are garbage) and wind the sync position back, BEFORE
-    * the new quantizer lands — a crash in between leaves an empty table
-    * + old quantizer + reset position, which the next sync re-bootstraps
-    * consistently (just un-refitted). */
+    * old quantizer are garbage) and wind the sync position back. Call
+    * AFTER [[bumpEpoch]] (stale txn markers from the old epoch must
+    * never match the re-bootstrap's replayed versions) and BEFORE the
+    * new quantizer lands — a crash in between leaves an empty table +
+    * old quantizer + reset position under a fresh app id, which the
+    * next sync re-bootstraps consistently (just un-refitted). */
   def resetServing(spark: org.apache.spark.sql.SparkSession, root: String,
                    checkpointDir: String, cellCol: String): Unit = {
     val t = VersionedTable(spark, root)

@@ -88,12 +88,20 @@ object IvfServing {
     require(!hasCentroids || overwriteCentroids,
       s"IvfServing.build: quantizer already frozen at $root " +
         "(pass overwriteCentroids=true to refit and rebuild)")
-    if (hasCentroids)
+    if (hasCentroids) {
+      // epoch FIRST, then reset: a crash after the truncate but before
+      // the bump would leave the OLD epoch's txn markers matching the
+      // re-bootstrap's replayed versions — both merges would skip as
+      // "already applied" and the table would stay silently empty.
+      // Bumped-then-crashed instead leaves old postings + old quantizer
+      // + intact position under a fresh app id: still consistent, and
+      // the next build attempt just bumps again.
+      AnnSync.bumpEpoch(spark, root)
       AnnSync.resetServing(spark, root, syncDir(root), CellCol)
+    }
     val idx = Similarity.ivfIndex(src.read, nCells, idCol, vecCol, seed)
     Sidecar.write(spark, root, CentroidsSidecar,
       idx.centroids.map(_.mkString(",")).mkString("\n"))
-    if (hasCentroids) AnnSync.bumpEpoch(spark, root)
     sync(src, root, idCol, vecCol, numBuckets)
   }
 

@@ -49,9 +49,13 @@ object LshServing {
     require(!hasSpec || overwritePlanes,
       s"LshServing.build: plane spec already frozen at $root " +
         "(pass overwritePlanes=true to replace and rebuild)")
-    if (hasSpec) AnnSync.resetServing(spark, root, syncDir(root), BucketCol)
+    if (hasSpec) {
+      // epoch BEFORE reset — see IvfServing.build: a truncate under the
+      // old epoch would let stale txn markers swallow the re-bootstrap
+      AnnSync.bumpEpoch(spark, root)
+      AnnSync.resetServing(spark, root, syncDir(root), BucketCol)
+    }
     Sidecar.write(spark, root, SpecSidecar, s"$numPlanes,$dim,$seed")
-    if (hasSpec) AnnSync.bumpEpoch(spark, root)
     sync(src, root, idCol, vecCol, numBuckets)
   }
 

@@ -141,15 +141,22 @@ object Merge {
     def tCol(c: String) = col(s"__t_$c")
     def uCol(c: String) = col(s"__u_$c")
     // bind SQL text against the joined frame: alias-qualified references
-    // rewrite to the internal prefixed names (naive-but-scanned text
-    // substitution, same convention as the time-travel rewriter);
-    // anything left unqualified fails analysis — loud, not ambiguous
+    // rewrite to the internal prefixed names (scanned text substitution,
+    // same convention as the time-travel rewriter). A match starting
+    // inside a '…'/"…" string literal is DATA — 'mail a@s.com' must not
+    // have its `s.com` rewritten — so the string-literal mask gates
+    // every replacement. Anything left unqualified fails analysis —
+    // loud, not ambiguous.
     def bind(text: String): Column = {
-      def sub(t0: String, alias: String, pfx: String): String =
+      def sub(t0: String, alias: String, pfx: String): String = {
+        val mask = graft.tables.GraftSql.stringLiteralMask(t0)
         ("(?i)\\b" + java.util.regex.Pattern.quote(alias) +
           "\\s*\\.\\s*(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)").r
-          .replaceAllIn(t0, m => java.util.regex.Matcher.quoteReplacement(
-            "`" + pfx + m.group(1).stripPrefix("`").stripSuffix("`") + "`"))
+          .replaceAllIn(t0, m =>
+            if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+            else java.util.regex.Matcher.quoteReplacement(
+              "`" + pfx + m.group(1).stripPrefix("`").stripSuffix("`") + "`"))
+      }
       expr(sub(sub(text, cl.tAlias, "__t_"), cl.sAlias, "__u_"))
     }
     def condOf(o: Option[String]): Column = o.map(bind).getOrElse(lit(true))

@@ -102,12 +102,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * double quoted) and backticks. */
   private def stripLineComments(s: String): String = {
     val out = new StringBuilder
-    var inStr = false; var inTick = false; var inDq = false; var i = 0
+    var inStr = false; var inTick = false; var inDq = false; var esc = false
+    var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { out += c; if (c == '\'') inStr = false; i += 1 }
+      if (inStr) { out += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+        i += 1 }
       else if (inTick) { out += c; if (c == '`') inTick = false; i += 1 }
-      else if (inDq) { out += c; if (c == '"') inDq = false; i += 1 }
+      else if (inDq) { out += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inDq = false
+        i += 1 }
       else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
       } else {
@@ -419,7 +428,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   private def rewriteTableChanges(stmt: String): (String, Seq[String]) = {
     if (!TableChangesProbe.pattern.matcher(stmt).find()) return (stmt, Nil)
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a table_changes(...) that STARTS inside a string literal is data
+    // (the call's own quoted ident doesn't trip this: its match starts
+    // at the function name, outside any literal)
+    val mask = GraftSql.stringLiteralMask(stmt)
     val out = TableChangesCall.replaceAllIn(stmt, m => {
+      if (mask(m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
       val ident = m.group(1)
       owned(ident) match {
         case Some(t) =>
@@ -433,6 +449,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           views += view
           view
         case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      }
       }
     })
     (out, views.toSeq)
@@ -844,9 +861,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     Option(to.getParent).foreach(Files.createDirectories(_))
     try Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      // cross-device move (different mount): not atomic, still correct —
-      // the log's committed entries only become visible once complete
-      Files.move(from, to)
+      // cross-device: a directory tree cannot be moved atomically (and
+      // java.nio's plain move refuses non-empty directories outright) —
+      // refuse with guidance rather than fail half-moved
+      sys.error(s"RENAME TO: $srcRoot and $dstRoot are on different " +
+        "filesystems — a table directory cannot move atomically across " +
+        "mounts. Use CREATE TABLE … SHALLOW CLONE to the new location " +
+        "(zero-copy on the same mount) or copy the directory externally.")
     }
     // temp views registered for the old name now dangle — drop them and
     // re-register the warehouse (idempotent; picks up the new name)
@@ -1146,11 +1167,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     import graft.ops.Merge._
     def fixKeys(t0: String): String =
       keyPairs.filter(p => p._1 != p._2).foldLeft(t0) { case (acc, (tk, sk)) =>
+        // literal-gated like Merge.bind: `s.src_id` inside a quoted
+        // string is data and must survive verbatim (mask recomputed per
+        // fold step — earlier steps may have changed offsets)
+        val mask = GraftSql.stringLiteralMask(acc)
         ("(?i)\\b" + java.util.regex.Pattern.quote(sAlias) +
           "\\s*\\.\\s*(`" + java.util.regex.Pattern.quote(sk) + "`|" +
           java.util.regex.Pattern.quote(sk) + "\\b)").r
-          .replaceAllIn(acc,
-            java.util.regex.Matcher.quoteReplacement(s"$sAlias.`$tk`"))
+          .replaceAllIn(acc, m =>
+            if (mask(m.start))
+              java.util.regex.Matcher.quoteReplacement(m.matched)
+            else java.util.regex.Matcher.quoteReplacement(s"$sAlias.`$tk`"))
       }
     def parseSetTexts(sets: String): Seq[(String, String)] =
       GraftSql.splitTop(sets, ',').map { a =>
@@ -1447,15 +1474,50 @@ object GraftSql {
     val out = new StringBuilder
     val seg = new StringBuilder
     var state = ' ' // ' ' = outside, else the active quote char
+    var esc = false
     def flush(): Unit = { out ++= f(seg.toString); seg.clear() }
     s.foreach { c =>
-      if (state != ' ') { out += c; if (c == state) state = ' ' }
-      else if (c == '\'' || c == '`' || c == '"') {
+      if (state != ' ') {
+        out += c
+        if (esc) esc = false
+        else if (c == '\\' && state != '`') esc = true
+        else if (c == state) state = ' '
+      } else if (c == '\'' || c == '`' || c == '"') {
         flush(); state = c; out += c
       } else seg += c
     }
     flush()
     out.toString
+  }
+
+  /** true at every index that lies inside a `'…'` or `"…"` STRING
+    * literal (quotes included, `\`-escapes honored — Spark's default
+    * parser accepts `'don\'t'`). Backticked identifiers are NOT
+    * literals (false), but quote chars inside them never open one.
+    * The guard the textual rewriters use so a regex substitution can
+    * skip matches that are data, not syntax. */
+  private[graft] def stringLiteralMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var state = ' ' // ' ' outside, '\''/'"' in string, '`' in identifier
+    var esc = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      state match {
+        case '\'' | '"' =>
+          mask(i) = true
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == state) state = ' '
+        case '`' =>
+          if (c == '`') state = ' '
+        case _ =>
+          if (c == '\'' || c == '"') { mask(i) = true; state = c }
+          else if (c == '`') state = '`'
+      }
+      i += 1
+    }
+    mask
   }
 
   /** Remove the first TOP-LEVEL `NOT NULL` (outside quotes, backticks,
@@ -1582,10 +1644,17 @@ object GraftSql {
     // double quotes tracked too: with Spark's default settings "…" is a
     // string literal, and a separator inside one is data
     var depth = 0; var inStr = false; var inTick = false; var inDq = false
+    var esc = false
     s.foreach { c =>
-      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      if (inStr) { cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false }
       else if (inTick) { cur += c; if (c == '`') inTick = false }
-      else if (inDq) { cur += c; if (c == '"') inDq = false }
+      else if (inDq) { cur += c
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inDq = false }
       else c match {
         case '\''               => inStr = true; cur += c
         case '`'                => inTick = true; cur += c

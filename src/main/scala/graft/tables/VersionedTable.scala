@@ -91,6 +91,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * the parse it replaces; reading history() concurrently with a DROP of
     * the same table can throw here (NoSuchFile between list and stat) —
     * inherent to drop-during-read and outside the single-writer model. */
+  /** Every regular file under `p`, recursively (shared by the byte
+    * accounting, DESCRIBE DETAIL and the manifest generator — one
+    * definition so traversal fixes can't silently diverge). */
+  private def filesUnder(p: Path): Seq[Path] =
+    listDir(p).flatMap(c =>
+      if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
+
   def history: Seq[LogEntry] = {
     // one retry: pruneEntries can legitimately delete a listed entry file
     // between our list and read — the re-list sees the checkpoint that
@@ -177,9 +184,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val h = history
     h.find(_.version == v).fold(0L) { e =>
       val prev = h.find(_.version == v - 1).map(_.fileSets).getOrElse(Nil)
-      def filesUnder(p: Path): Seq[Path] =
-        listDir(p).flatMap(c =>
-          if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
       e.fileSets.diff(prev).map(fs =>
         filesUnder(dataDir.resolve(fs))
           .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -225,8 +229,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   def detailDf: DataFrame = {
     import spark.implicits._
     val e = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
-    def filesUnder(p: Path): Seq[Path] =
-      listDir(p).flatMap(c => if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
     val files = e.fileSets.flatMap(fs => filesUnder(dataDir.resolve(fs)))
       .filter(_.getFileName.toString.endsWith(".parquet"))
     val spec = bucketSpec
@@ -286,9 +288,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       s"GENERATE manifest at $root: column-mapping DDL (RENAME/DROP " +
         "COLUMN) present — raw parquet paths would expose stale " +
         "physical column names to external readers")
-    def filesUnder(p: Path): Seq[Path] =
-      listDir(p).flatMap(c =>
-        if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
     val files = snap.fileSets
       .flatMap(fs => filesUnder(dataDir.resolve(fs)))
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -3004,7 +3003,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         coalesce(col(graft.ops.Merge.DeleteCol), lit(false)))
     val rawDeduped = preferUpdateBy match {
       case Some(ord) => graft.ops.Keyed.latestPerKey(markedUpdates, keys, ord)
-      case None      => markedUpdates.dropDuplicates(keys)
+      case None if clauses.isDefined =>
+        // clause merges must NOT silently dropDuplicates: which source
+        // row survives decides which WHEN clause fires — Delta raises
+        // on multiple source rows per key here, and so do we (inline
+        // window count + raise_error inside the staging job, no extra
+        // pass; preferUpdateBy remains the explicit opt-in resolution)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+        markedUpdates
+          .withColumn("__graft_nsrc", count(lit(1)).over(w))
+          .filter(when(col("__graft_nsrc") <= 1, lit(true))
+            .otherwise(raise_error(concat(
+              lit("MERGE with clauses: multiple source rows share key "),
+              to_json(struct(keys.map(col): _*)),
+              lit(" — nondeterministic clause choice; dedup the source " +
+                "or pass preferUpdateBy")))))
+          .drop("__graft_nsrc")
+      case None => markedUpdates.dropDuplicates(keys)
     }
     val deduped =
       if (clauses.isDefined) rawDeduped // clause INPUT, checked post-merge

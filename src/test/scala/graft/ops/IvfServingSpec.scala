@@ -129,6 +129,23 @@ class IvfServingSpec extends SparkSpec {
     assert(top === 21L)
   }
 
+  test("a rebuild crashed after reset still re-bootstraps (epoch-first)") {
+    val src = freshSource(mkVectors(50, 8, seed = 37))
+    val root = tmpDir("ivf-serve-") + "/t"
+    IvfServing.build(src, root, nCells = 2, seed = 1L)
+    assert(VersionedTable(spark, root).read.count() === 50)
+    // simulate build(overwriteCentroids=true) crashing right after its
+    // epoch bump + reset, before the new quantizer lands: the epoch is
+    // fresh, the table is truncated, the position is gone
+    AnnSync.bumpEpoch(spark, root)
+    AnnSync.resetServing(spark, root, root + "/_sync", IvfServing.CellCol)
+    assert(VersionedTable(spark, root).read.count() === 0)
+    // the next scheduled sync re-bootstraps under the NEW app id — the
+    // old epoch's txn markers must not swallow the replayed versions
+    assert(IvfServing.sync(src, root).isDefined)
+    assert(VersionedTable(spark, root).read.count() === 50)
+  }
+
   test("auto-compaction folds cells accreted by insert-only syncs") {
     val src = freshSource(mkVectors(40, 8, seed = 31))
     val root = tmpDir("ivf-serve-") + "/t"

@@ -1518,6 +1518,75 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.count() === 40)
   }
 
+  test("alias-qualified text inside clause string literals is data") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.cl (k INT, v STRING)")
+    sql.sql("INSERT INTO silver.cl VALUES (1, 'old')")
+    // 's.x and t.y' inside the literal must NOT be alias-rewritten;
+    // same for a literal inside a clause condition ('mail a@s.com')
+    sql.sql("MERGE INTO silver.cl AS t USING (SELECT 1 AS k) AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND t.v <> 'use s.x here' THEN UPDATE SET " +
+      "v = concat('got s.x and t.y: ', t.v)")
+    assert(cat.table("silver", "cl").read.select("v").as[String].head() ===
+      "got s.x and t.y: old")
+  }
+
+  test("renamed source keys inside string literals survive fixKeys") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.fk (k INT, note STRING)")
+    sql.sql("INSERT INTO silver.fk VALUES (1, 'x')")
+    spark.sql("SELECT 1 AS sid, 'ignored' AS note")
+      .createOrReplaceTempView("fk_src")
+    // ON t.k = s.sid renames — the literal 'see s.sid here' must not
+    sql.sql("MERGE INTO silver.fk AS t USING fk_src AS s ON t.k = s.sid " +
+      "WHEN MATCHED THEN UPDATE SET note = 'see s.sid here' " +
+      "WHEN NOT MATCHED THEN INSERT (k, note) VALUES (s.sid, 's.sid txt')")
+    assert(cat.table("silver", "fk").read.select("note").as[String]
+      .head() === "see s.sid here")
+  }
+
+  test("sqlScript: backslash-escaped quotes guard '--' and ';' too") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.esc (k INT, v STRING)")
+    sql.sqlScript(
+      "INSERT INTO silver.esc VALUES (1, 'don\\'t -- keep; this');\n" +
+        "INSERT INTO silver.esc VALUES (2, 'b')")
+    assert(cat.table("silver", "esc").read.as[(Int, String)]
+      .collect().toSet === Set((1, "don't -- keep; this"), (2, "b")))
+  }
+
+  test("table_changes inside a string literal is data, not a rewrite") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "tcq")
+    t.enableChangeFeed()
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    // single-quoted nesting would be ambiguous SQL; the double-quote
+    // literal form is where the unguarded rewrite used to fire
+    val out2 = sql.sql(
+      "SELECT \"run table_changes('silver.tcq', 0) later\" AS hint")
+    assert(out2.as[String].head() === "run table_changes('silver.tcq', 0) later")
+  }
+
+  test("MERGE with clauses refuses multiple source rows per key") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.mm (k INT, v STRING)")
+    sql.sql("INSERT INTO silver.mm VALUES (1, 'old')")
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b') AS t(k, v)")
+      .createOrReplaceTempView("mm_src")
+    val ex = intercept[Exception](
+      sql.sql("MERGE INTO silver.mm AS t USING mm_src AS s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v = 'b' THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v"))
+    def messages(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("multiple source rows")))
+    // untouched on refusal
+    assert(cat.table("silver", "mm").read.select("v").as[String]
+      .head() === "old")
+  }
+
   test("ALTER TABLE RENAME TO moves the table atomically, history intact") {
     val (cat, sql) = warehouse()
     val t = cat.table("silver", "old_name")

@@ -629,6 +629,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup 7: exact-substring duplicate SPANS (Lee et al. 2021's
+    // ExactSubstr, winnowing-based — Dedup.duplicateSpans). The corpus
+    // is rebuilt identically in DuckDB: per-doc unique md5 blocks (no
+    // accidental cross-doc repetition ≥ minLen is possible from
+    // distinct hex digests) plus one long boilerplate literal planted
+    // into every 97th doc. The detector must recover EXACTLY the
+    // planted pairs — a single false candidate surviving verification,
+    // or one missed plant, breaks the hash compare. Span exactness and
+    // anchor-precision bounds are pinned in DedupSpec.
+    "q_dd7_substring_spans" -> ((s, dir) => {
+      val planted = "GRAFT PLANTED BOILERPLATE SPAN: this exact sentence " +
+        "is repeated verbatim across a small set of synthetic documents " +
+        "so the exact-substring span detector must recover every planted " +
+        "pair without admitting a single accidental one; winnowed " +
+        "fingerprints anchor it, substring equality verifies it, and " +
+        "chained anchors reassemble it into one contiguous span."
+      val corpus = t(s, dir, "documents").select(col("doc_id"))
+        .select(col("doc_id"), concat(
+          concat_ws("", (1 to 8).map(j =>
+            md5(concat(col("doc_id"), lit(s":$j")))): _*),
+          when(col("doc_id") % 97 === 3, lit(planted)).otherwise(lit("")))
+          .as("text"))
+      Dedup.duplicateSpans(corpus, minLen = 64, k = 16)
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Dedup 5: SemDeDup — semantic (embedding-space) duplicate removal
     // via clustered cosine cliques, the meaning-level dedup exact/MinHash
     // passes cannot see. ORACLE-CHECKED via its invariant: every planted
@@ -3906,6 +3933,16 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n,
         | round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // planted-pair recall + zero false positives: the mutated corpus is
+    // deterministic, so the exact pair set is enumerable in SQL without
+    // re-running any substring search
+    "q_dd7_substring_spans" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM documents a, documents b
+        |WHERE a.doc_id % 97 = 3 AND b.doc_id % 97 = 3
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dd6_paragraph_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the signature-heavy dedup operators.
   *
@@ -206,6 +207,28 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** string text → array<long> winnowed fingerprints, each packing
+  * `(hash32 << 32) | codepointPos` ([[HashKernels.winnow]]): the
+  * candidate generator for exact-substring duplicate-span detection
+  * (Dedup.duplicateSpans). One loop per row with real codegen — the
+  * rolling hash + sliding-min never leaves the stage. */
+case class WinnowedFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.winnow(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.winnow($c, $k, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
+    copy(child = newChild)
+}
+
 /** Session registration for the custom expressions, so plans can call them
   * via `call_function("graft_minhash", shingles, lit(k))`. Idempotent. */
 object GraftFunctions {
@@ -247,6 +270,17 @@ object GraftFunctions {
         case Seq(child, Literal(k: Int, IntegerType)) => MinHashFromHashes(child, k)
         case _ => throw new IllegalArgumentException(
           "usage: graft_minhash_hashes(array<long>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowedFingerprints].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child, Literal(k: Int, IntegerType),
+                 Literal(w: Int, IntegerType)) =>
+          WinnowedFingerprints(child, k, w)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_winnow(string, <k literal>, <window literal>)")
       })
 
     registry.registerFunction(

@@ -186,4 +186,58 @@ object HashKernels {
     }
     best
   }
+
+  /** Winnowed fingerprints (Schleimer et al. 2003 — the MOSS local
+    * fingerprinting scheme): Karp-Rabin rolling hashes of every
+    * k-codepoint gram, one selection (rightmost minimum) per sliding
+    * window of `w` grams, consecutive re-selections deduped. Any two
+    * texts sharing a substring of ≥ w + k - 1 codepoints share at least
+    * one selected fingerprint — the selection inside a full window is a
+    * pure function of that window's hashes, so identical content makes
+    * identical (relative) selections. Output packs
+    * `(hash32 << 32) | codepointPos` into one long per fingerprint
+    * (positions are CODEPOINT indices, aligning with SQL `substring`
+    * semantics so callers can verify candidates exactly). Texts shorter
+    * than w + k - 1 grams clamp the window (≥ one fingerprint for any
+    * text of ≥ k codepoints) — they cannot contain a qualifying span,
+    * but still participate as candidate sources. 32-bit hash collisions
+    * only create false CANDIDATES; callers verify by substring. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints.toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val m = n - k + 1
+    val B = 1000003L
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    // rolling 64-bit polynomial per gram, finalizer-mixed to 32 bits
+    val h32 = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + cps(i); i += 1 }
+    h32(0) = ((h * 0x9E3779B97F4A7C15L) >>> 32) & 0xFFFFFFFFL
+    i = 1
+    while (i < m) {
+      h = (h - cps(i - 1) * bk) * B + cps(i + k - 1)
+      h32(i) = ((h * 0x9E3779B97F4A7C15L) >>> 32) & 0xFFFFFFFFL
+      i += 1
+    }
+    val win = math.min(w, m)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](m / math.max(win / 2, 1) + 1)
+    val dq = new java.util.ArrayDeque[Int]()
+    var last = -1
+    i = 0
+    while (i < m) {
+      while (!dq.isEmpty && h32(dq.peekLast()) >= h32(i)) dq.removeLast()
+      dq.addLast(i)
+      if (dq.peekFirst() <= i - win) dq.removeFirst()
+      if (i >= win - 1) {
+        val sel = dq.peekFirst()
+        if (sel != last) { out += (h32(sel) << 32) | sel.toLong; last = sel }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -420,4 +420,100 @@ object Dedup {
         array_sort(collect_list(struct(col("pos"), col("para")))),
         x => x.getField("para"))).as(textCol))
   }
+
+  // ------------------------------------------------- exact substring spans
+
+  /** Exact-substring duplicate-SPAN detection — the ExactSubstr dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed Spark-first: where their suffix array needs
+    * the whole corpus materialized and sorted on one machine (or a
+    * bespoke distributed sort), winnowed fingerprints
+    * ([[graft.functions.HashKernels.winnow]], Schleimer et al. 2003)
+    * reduce the problem to the family's standard
+    * signature → bucket shuffle → in-bucket verify shape.
+    *
+    * Returns cross-document duplicated spans of ≥ `minLen` codepoints:
+    * `(doc_a, doc_b, start_a, start_b, span_len)`, 0-based codepoint
+    * starts, `doc_a < doc_b`. Every reported span is EXACT (verified by
+    * substring equality end-to-end, including every chain gap — hash
+    * collisions cannot reach the output); recall is anchor-precise:
+    * a true duplicated span of length L ≥ minLen is reported with
+    * span_len ≥ L - 2·(w-1) where w = minLen - k + 1 (winnowing
+    * guarantees a shared fingerprint every w grams inside the span, but
+    * the first/last anchors may sit up to w-1 grams inside the ends).
+    * Callers wanting full-span reporting at the boundaries re-extend in
+    * a local pass over the reported pairs.
+    *
+    * Scale shape: fingerprints are O(chars/w) per doc (exploded id+pos
+    * only — text never rides the fingerprint shuffle); candidate pairs
+    * come from one groupBy on the 32-bit hash with the family's
+    * accumulator-counted bucket cap (a corpus-wide boilerplate string
+    * caps out instead of going quadratic); texts are re-joined ONLY for
+    * candidate rows; chaining is one window per (pair, alignment). */
+  def duplicateSpans(docs: DataFrame, minLen: Int, k: Int = 16,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 2 && minLen > k,
+      s"need minLen > k >= 2 (got minLen=$minLen k=$k)")
+    val w = minLen - k + 1
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // stage 1 (map-only): winnowed fingerprints, id + position only
+    val fps = base.select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"),
+          lit(k), lit(w))).as("packed"))
+      .select(col("doc_id"), shiftright(col("packed"), 32).as("h"),
+        (col("packed").bitwiseAND(lit(0xFFFFFFFFL))).cast("int").as("pos"))
+    // stage 2: candidate (id, pos) pairs within hash buckets — one
+    // shuffle on the 32-bit fingerprint, capped like the whole family
+    val grouped = Diagnostics.sizeCapFilter(
+      fps.groupBy("h")
+        .agg(collect_list(struct(col("doc_id"), col("pos"))).as("rows")),
+      size(col("rows")).cast("long"), 2, maxBucketSize, "winnow")
+    val pairs = grouped
+      .select(explode(flatten(transform(col("rows"), (x, i) =>
+        transform(slice(col("rows"), i + lit(2), size(col("rows"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("ida"), col("p.a.pos").as("posa"),
+        col("p.b.doc_id").as("idb"), col("p.b.pos").as("posb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(
+        when(col("ida") < col("idb"), col("ida")).otherwise(col("idb")).as("doc_a"),
+        when(col("ida") < col("idb"), col("posa")).otherwise(col("posb")).as("pos_a"),
+        when(col("ida") < col("idb"), col("idb")).otherwise(col("ida")).as("doc_b"),
+        when(col("ida") < col("idb"), col("posb")).otherwise(col("posa")).as("pos_b"))
+      .dropDuplicates("doc_a", "doc_b", "pos_a", "pos_b")
+    // stage 3: join texts back for candidate rows only; verify the
+    // anchor k-gram exactly (kills 32-bit collisions)
+    val withTexts = pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .filter(col("ta").substr(col("pos_a") + 1, lit(k)) ===
+        col("tb").substr(col("pos_b") + 1, lit(k)))
+    // stage 4: chain anchors that share (pair, alignment) into spans.
+    // Each chain GAP is verified by one direct substring equality over
+    // [prev, cur + k) — so a whole chain's span is exact by overlapping
+    // verified intervals, and an unverifiable gap starts a new chain.
+    import org.apache.spark.sql.expressions.Window
+    val ww = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
+    val chained = withTexts
+      .withColumn("d", col("pos_a") - col("pos_b"))
+      .withColumn("prev", lag(col("pos_a"), 1).over(ww))
+      .withColumn("gap_ok",
+        col("prev").isNotNull && col("pos_a") - col("prev") <= w &&
+          col("ta").substr(col("prev") + 1,
+            col("pos_a") - col("prev") + lit(k)) ===
+          col("tb").substr(col("prev") - col("d") + 1,
+            col("pos_a") - col("prev") + lit(k)))
+      .withColumn("chain",
+        sum(when(col("gap_ok"), lit(0)).otherwise(lit(1))).over(
+          ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    chained.groupBy("doc_a", "doc_b", "d", "chain")
+      .agg(min(col("pos_a")).as("start_a"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("d")).as("start_b"), col("span_len"))
+  }
 }

@@ -21,6 +21,95 @@ class DedupSpec extends SparkSpec {
     (base ++ near ++ exact).toDF("doc_id", "text")
   }
 
+  test("duplicateSpans finds planted cross-doc spans with exact content") {
+    val rnd = new scala.util.Random(41)
+    def uniqueText(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = "The quick brown fox jumps over the lazy dog while " +
+      "seventeen synthetic documents watch in carefully deduplicated " +
+      "silence, token by token, span by span, byte for byte."
+    assert(planted.length >= 150)
+    // docs 1/2/3 carry the planted span at different offsets inside
+    // otherwise-unique noise; docs 4/5 are pure noise
+    val docs = Seq(
+      (1L, uniqueText(200) + planted + uniqueText(100)),
+      (2L, uniqueText(50) + planted + uniqueText(250)),
+      (3L, planted + uniqueText(300)),
+      (4L, uniqueText(400)),
+      (5L, uniqueText(380))
+    ).toDF("doc_id", "text")
+    val minLen = 64
+    val k = 16
+    val w = minLen - k + 1
+    val out = Dedup.duplicateSpans(docs, minLen = minLen, k = k)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    // exactly the three planted pairs, nothing from the noise docs
+    assert(out.map(r => (r._1, r._2)).toSet ===
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    out.foreach { case (a, b, sa, sb, len) =>
+      // anchor-precision bound: within w-1 of the true span ends
+      assert(len >= planted.length - 2 * (w - 1), s"span too short: $len")
+      assert(len <= planted.length, s"span too long: $len")
+      // reported content is EXACTLY equal across the pair (the core
+      // exactness contract) and lies inside the planted region
+      val ta = docs.filter(col("doc_id") === a).select("text").as[String].head()
+      val tb = docs.filter(col("doc_id") === b).select("text").as[String].head()
+      assert(ta.substring(sa, sa + len) === tb.substring(sb, sb + len))
+      assert(planted.contains(ta.substring(sa, sa + len)))
+    }
+  }
+
+  test("duplicateSpans reports two separated spans as two chains") {
+    val rnd = new scala.util.Random(43)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // non-periodic fragments: a repeated motif ("ab ab ab…") would match
+    // itself at MANY alignments, each a genuine distinct duplicated span
+    val p1 = "first shared fragment: " + noise(160)
+    val p2 = "second shared fragment: " + noise(140)
+    val docs = Seq(
+      (1L, p1 + noise(150) + p2),
+      (2L, noise(80) + p1 + noise(200) + p2 + noise(40))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, minLen = 64, k = 16)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    // the two fragments sit at DIFFERENT alignments -> two chains
+    assert(out.length === 2)
+    assert(out.forall { case (a, b, _, _, len) =>
+      a == 1L && b == 2L && len >= 64 })
+  }
+
+  test("winnow guarantee: shared >= w+k-1 substring shares a fingerprint") {
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(47)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 20
+    (0 until 20).foreach { trial =>
+      val shared = noise(w + k - 1) // exactly the guarantee threshold
+      val d1 = noise(rnd.nextInt(100)) + shared + noise(rnd.nextInt(100))
+      val d2 = noise(rnd.nextInt(100)) + shared + noise(rnd.nextInt(100))
+      def hashes(s: String): Set[Long] = {
+        val arr = HashKernels.winnow(UTF8String.fromString(s), k, w)
+        (0 until arr.numElements()).map(i => arr.getLong(i) >>> 32).toSet
+      }
+      assert(hashes(d1).intersect(hashes(d2)).nonEmpty,
+        s"trial $trial: no shared fingerprint")
+    }
+    // codegen path (DataFrame) == interpreted kernel
+    graft.functions.GraftFunctions.register(spark)
+    val txt = noise(300)
+    val viaDf = Seq(txt).toDF("t")
+      .select(call_function("graft_winnow", col("t"), lit(8), lit(20)))
+      .as[Seq[Long]].head()
+    val direct = {
+      val arr = HashKernels.winnow(UTF8String.fromString(txt), 8, 20)
+      (0 until arr.numElements()).map(arr.getLong)
+    }
+    assert(viaDf === direct)
+  }
+
   test("paragraphDedup keeps first global occurrence, reassembles in order") {
     val docs = Seq(
       (1L, "alpha\n\nbeta\n\ngamma"),

@@ -21,6 +21,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The boilerplate literal the exact-substring span queries plant —
+    * long enough (≥ minLen + 2·(w−1) = 160 codepoints at minLen=64,
+    * k=16) that anchor-precision trimming can never push a detected
+    * span below the reporting threshold. */
+  private val PlantedSpan: String =
+    "GRAFT PLANTED BOILERPLATE SPAN: this exact sentence is repeated " +
+      "verbatim across a small set of synthetic documents so the " +
+      "exact-substring span detector must recover every planted pair " +
+      "without admitting a single accidental one; winnowed fingerprints " +
+      "anchor it, substring equality verifies it, and chained anchors " +
+      "reassemble it into one contiguous span."
+
+  /** Deterministic synthetic corpus for the span queries, rebuilt
+    * identically by the DuckDB oracles: per-doc unique md5 blocks (no
+    * accidental cross-doc repetition ≥ 64 chars is possible from
+    * distinct hex digests) + [[PlantedSpan]] appended to every 97th
+    * document. */
+  private def spanCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+      .select(col("doc_id"), concat(
+        concat_ws("", (1 to 8).map(j =>
+          md5(concat(col("doc_id"), lit(s":$j")))): _*),
+        when(col("doc_id") % 97 === 3, lit(PlantedSpan)).otherwise(lit("")))
+        .as("text"))
+
   /** Build-once/serve-many cache for ANN serving tables: `build` writes
     * the table into a staging dir which is atomically renamed to the
     * deterministic per-(input, params) location — first call pays the
@@ -639,21 +664,24 @@ object SparkEntry {
     // or one missed plant, breaks the hash compare. Span exactness and
     // anchor-precision bounds are pinned in DedupSpec.
     "q_dd7_substring_spans" -> ((s, dir) => {
-      val planted = "GRAFT PLANTED BOILERPLATE SPAN: this exact sentence " +
-        "is repeated verbatim across a small set of synthetic documents " +
-        "so the exact-substring span detector must recover every planted " +
-        "pair without admitting a single accidental one; winnowed " +
-        "fingerprints anchor it, substring equality verifies it, and " +
-        "chained anchors reassemble it into one contiguous span."
-      val corpus = t(s, dir, "documents").select(col("doc_id"))
-        .select(col("doc_id"), concat(
-          concat_ws("", (1 to 8).map(j =>
-            md5(concat(col("doc_id"), lit(s":$j")))): _*),
-          when(col("doc_id") % 97 === 3, lit(planted)).otherwise(lit("")))
-          .as("text"))
-      Dedup.duplicateSpans(corpus, minLen = 64, k = 16)
+      Dedup.duplicateSpans(spanCorpus(s, dir), minLen = 64, k = 16)
         .select("doc_a", "doc_b").distinct()
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup 8: span REMOVAL (the cut half of ExactSubstr dedup): excise
+    // every detected span from its higher-id document — the lowest-id
+    // occurrence survives verbatim, every later copy loses it. The
+    // oracle checks the observable invariant: after cutting, the full
+    // planted literal survives ONLY in the first planted doc (cut docs
+    // may keep ≤ w-1 edge chars — never the whole span).
+    "q_dd8_span_removal" -> ((s, dir) => {
+      val corpus = spanCorpus(s, dir)
+      val spans = Dedup.duplicateSpans(corpus, minLen = 64, k = 16)
+      Dedup.cutSpans(corpus, spans)
+        .select(col("doc_id"),
+          (instr(col("text"), PlantedSpan) > 0).cast("int").as("has_plant"))
+        .orderBy("doc_id")
     }),
 
     // Dedup 5: SemDeDup — semantic (embedding-space) duplicate removal
@@ -3943,6 +3971,15 @@ object SparkEntry {
         |WHERE a.doc_id % 97 = 3 AND b.doc_id % 97 = 3
         |  AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // keep-first invariant: after cutting, only the lowest planted id
+    // still contains the full literal
+    "q_dd8_span_removal" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 97 = 3 AND doc_id =
+        |    (SELECT min(doc_id) FROM documents WHERE doc_id % 97 = 3)
+        |    AS INT) AS has_plant
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dd6_paragraph_dedup" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -229,6 +229,28 @@ case class WinnowedFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
+/** (text, array<struct<start int, len int>>) → text with the codepoint
+  * ranges excised ([[HashKernels.excise]]): the removal half of
+  * exact-substring span dedup (Dedup.cutSpans). */
+case class ExciseSpans(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_excise"
+
+  override protected def nullSafeEval(text: Any, cuts: Any): Any =
+    HashKernels.excise(text.asInstanceOf[UTF8String],
+      cuts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, c) => s"graft.functions.HashKernels.excise($t, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExciseSpans =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for the custom expressions, so plans can call them
   * via `call_function("graft_minhash", shingles, lit(k))`. Idempotent. */
 object GraftFunctions {
@@ -270,6 +292,15 @@ object GraftFunctions {
         case Seq(child, Literal(k: Int, IntegerType)) => MinHashFromHashes(child, k)
         case _ => throw new IllegalArgumentException(
           "usage: graft_minhash_hashes(array<long>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_excise"),
+      new ExpressionInfo(classOf[ExciseSpans].getName, "graft_excise"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, cuts) => ExciseSpans(text, cuts)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_excise(string, array<struct<start:int,len:int>>)")
       })
 
     registry.registerFunction(

@@ -187,6 +187,44 @@ object HashKernels {
     best
   }
 
+  /** Excise codepoint ranges from `text`: `cuts` is an array of
+    * (start, len) structs in CODEPOINT coordinates (matching
+    * [[winnow]]'s positions and SQL substring semantics). Ranges are
+    * clamped to the text, sorted and merged (overlapping spans from
+    * multiple pairs cut once), and the survivors concatenate in order.
+    * One loop per row; used by Dedup.cutSpans. */
+  def excise(text: UTF8String, cuts: ArrayData): UTF8String = {
+    val m = cuts.numElements()
+    if (m == 0) return text
+    val cps = text.toString.codePoints.toArray
+    val n = cps.length
+    val iv = new Array[(Int, Int)](m)
+    var i = 0
+    while (i < m) {
+      val row = cuts.getStruct(i, 2)
+      val s0 = math.max(0, row.getInt(0))
+      val e0 = math.min(n, row.getInt(0) + math.max(0, row.getInt(1)))
+      iv(i) = (math.min(s0, n), math.max(e0, math.min(s0, n)))
+      i += 1
+    }
+    val sorted = iv.sortBy(_._1)
+    val sb = new java.lang.StringBuilder(n)
+    var cursor = 0
+    i = 0
+    while (i < m) {
+      val (s0, e0) = sorted(i)
+      if (s0 > cursor) {
+        var j = cursor
+        while (j < s0) { sb.appendCodePoint(cps(j)); j += 1 }
+      }
+      cursor = math.max(cursor, e0)
+      i += 1
+    }
+    var j = cursor
+    while (j < n) { sb.appendCodePoint(cps(j)); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Winnowed fingerprints (Schleimer et al. 2003 — the MOSS local
     * fingerprinting scheme): Karp-Rabin rolling hashes of every
     * k-codepoint gram, one selection (rightmost minimum) per sliding

@@ -516,4 +516,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("start_a"),
         (col("start_a") - col("d")).as("start_b"), col("span_len"))
   }
+
+  /** The removal half of exact-substring span dedup (Lee et al. 2021
+    * cut duplicated spans from all but the first occurrence): excise
+    * every [[duplicateSpans]] span from its doc_b side — doc_a < doc_b,
+    * so the LOWEST-id occurrence of any duplicated span survives
+    * verbatim and every later document loses it. Overlapping cuts from
+    * multiple pairs merge inside the codegen'd `graft_excise` kernel
+    * (codepoint coordinates, matching duplicateSpans positions).
+    *
+    * Scale: one groupBy of the span list per cut document (spans are
+    * tiny — ids + offsets), one left join against the corpus, map-only
+    * excision. Documents with no spans pass through untouched. */
+  def cutSpans(docs: DataFrame, spans: DataFrame,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val perDoc = spans
+      .select(col("doc_b").as(idCol),
+        struct(col("start_b").cast("int").as("start"),
+          col("span_len").cast("int").as("len")).as("cut"))
+      .groupBy(idCol)
+      .agg(collect_list(col("cut")).as("__cuts"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__cuts").isNull, col(textCol))
+          .otherwise(call_function("graft_excise", col(textCol),
+            col("__cuts"))))
+      .drop("__cuts")
+  }
 }

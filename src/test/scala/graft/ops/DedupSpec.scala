@@ -79,6 +79,53 @@ class DedupSpec extends SparkSpec {
       a == 1L && b == 2L && len >= 64 })
   }
 
+  test("cutSpans keeps the first occurrence, excises later ones (merged)") {
+    val rnd = new scala.util.Random(53)
+    def noise(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = "shared boilerplate that must survive only in its " +
+      "first (lowest-id) document and be cut from every later copy: " +
+      noise(160)
+    val d1 = noise(120) + planted + noise(60)
+    val d2 = noise(40) + planted + noise(90)
+    val d3 = planted + noise(200)
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, minLen = 64, k = 16)
+    val cut = Dedup.cutSpans(docs, spans)
+      .as[(Long, String)].collect().toMap
+    // doc 1 untouched (always doc_a); docs 2 and 3 lose the plant —
+    // anchor-precision may leave <= w-1 edge chars, never the middle
+    assert(cut(1L) === d1)
+    assert(cut(1L).contains(planted))
+    assert(!cut(2L).contains(planted))
+    assert(!cut(3L).contains(planted))
+    // doc 2 is doc_b of TWO pairs (vs 1 and... no: vs 1 only; doc 3 is
+    // doc_b of pairs (1,3) and (2,3) — overlapping cuts must merge:
+    // the remaining text is noise plus at most 2(w-1) edge residue
+    val w = 64 - 16 + 1
+    assert(cut(3L).length <= 200 + 2 * (w - 1))
+    assert(cut(3L).length >= 200)
+    // the unique noise always survives
+    assert(cut(3L).endsWith(d3.substring(d3.length - 200)))
+  }
+
+  test("graft_excise merges overlapping and clamps out-of-range cuts") {
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def cut(s: String, cuts: (Int, Int)*): String =
+      HashKernels.excise(UTF8String.fromString(s),
+        new GenericArrayData(cuts.map { case (a, b) =>
+          InternalRow(a, b) }.toArray[Any])).toString
+    assert(cut("abcdefghij", (2, 3)) === "abfghij")
+    assert(cut("abcdefghij", (2, 3), (4, 4)) === "abij")   // overlap merges
+    assert(cut("abcdefghij", (0, 100)) === "")             // clamp end
+    assert(cut("abcdefghij", (-5, 7)) === "cdefghij")      // clamp start
+    assert(cut("abcdefghij", (8, 5), (0, 1)) === "bcdefgh")
+    assert(cut("abcdefghij") === "abcdefghij")
+  }
+
   test("winnow guarantee: shared >= w+k-1 substring shares a fingerprint") {
     import graft.functions.HashKernels
     import org.apache.spark.unsafe.types.UTF8String

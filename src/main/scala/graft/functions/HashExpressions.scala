@@ -229,6 +229,30 @@ case class WinnowedFingerprints(child: Expression, k: Int, window: Int)
     copy(child = newChild)
 }
 
+/** struct(textA, textB, d int, positions array<int>) → array<long> of
+  * packed `(startA << 32) | spanLen` exact duplicated spans
+  * ([[HashKernels.chainSpans]]): the verify+chain stage of
+  * Dedup.duplicateSpans as ONE loop per pair-alignment row — texts
+  * cross the shuffle once per pair, not once per anchor. */
+case class ChainSpans(child: Expression, k: Int, window: Int, minLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chain_spans"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.chainSpans(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      k, window, minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.chainSpans($c, $k, $window, $minLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChainSpans =
+    copy(child = newChild)
+}
+
 /** (text, array<struct<start int, len int>>) → text with the codepoint
   * ranges excised ([[HashKernels.excise]]): the removal half of
   * exact-substring span dedup (Dedup.cutSpans). */
@@ -292,6 +316,17 @@ object GraftFunctions {
         case Seq(child, Literal(k: Int, IntegerType)) => MinHashFromHashes(child, k)
         case _ => throw new IllegalArgumentException(
           "usage: graft_minhash_hashes(array<long>, <int literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_chain_spans"),
+      new ExpressionInfo(classOf[ChainSpans].getName, "graft_chain_spans"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(st, Literal(k: Int, IntegerType),
+                 Literal(w: Int, IntegerType),
+                 Literal(ml: Int, IntegerType)) => ChainSpans(st, k, w, ml)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_chain_spans(struct(ta,tb,d,positions), k, w, minLen)")
       })
 
     registry.registerFunction(

@@ -187,6 +187,64 @@ object HashKernels {
     best
   }
 
+  /** Chain candidate anchors into EXACT duplicated spans — the verify
+    * stage of Dedup.duplicateSpans, one loop per (docA, docB,
+    * alignment) row. Input struct: (textA, textB, d, anchorPositions)
+    * where d = posA − posB is the fixed alignment and positions are
+    * candidate posA values (unsorted, possibly duplicated, possibly
+    * 32-bit-collision garbage). Each anchor's k-gram is compared
+    * codepoint-for-codepoint (collisions die here); consecutive good
+    * anchors within `w` grams extend a chain iff the whole gap content
+    * matches exactly; chains shorter than `minLen` drop. Output packs
+    * `(startA << 32) | spanLen` per surviving chain. */
+  def chainSpans(row: org.apache.spark.sql.catalyst.InternalRow,
+                 k: Int, w: Int, minLen: Int): ArrayData = {
+    val a = row.getUTF8String(0).toString.codePoints.toArray
+    val b = row.getUTF8String(1).toString.codePoints.toArray
+    val d = row.getInt(2)
+    val posArr = row.getArray(3)
+    val m = posArr.numElements()
+    val ps = new Array[Int](m)
+    var i = 0
+    while (i < m) { ps(i) = posArr.getInt(i); i += 1 }
+    java.util.Arrays.sort(ps)
+    // codepoint equality of a[pa, pa+len) vs b[pa-d, pa-d+len)
+    def eqAt(pa: Int, len: Int): Boolean = {
+      val pb = pa - d
+      if (pa < 0 || pb < 0 || pa + len > a.length || pb + len > b.length)
+        return false
+      var j = 0
+      while (j < len) {
+        if (a(pa + j) != b(pb + j)) return false
+        j += 1
+      }
+      true
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var start = -1
+    var prev = -1
+    def close(): Unit = {
+      if (start >= 0 && prev - start + k >= minLen)
+        out += (start.toLong << 32) | (prev - start + k).toLong
+      start = -1; prev = -1
+    }
+    i = 0
+    while (i < m) {
+      val p = ps(i)
+      if (p != prev) { // dedup repeated candidate positions
+        if (start >= 0 && p - prev <= w && eqAt(prev, p - prev + k))
+          prev = p // gap verified: [prev, p+k) equal on both sides
+        else {
+          close()
+          if (eqAt(p, k)) { start = p; prev = p }
+        }
+      }
+      i += 1
+    }
+    close()
+    new GenericArrayData(out.toArray)
+  }
+
   /** Excise codepoint ranges from `text`: `cuts` is an array of
     * (start, len) structs in CODEPOINT coordinates (matching
     * [[winnow]]'s positions and SQL substring semantics). Ranges are

@@ -484,37 +484,32 @@ object Dedup {
         when(col("ida") < col("idb"), col("idb")).otherwise(col("ida")).as("doc_b"),
         when(col("ida") < col("idb"), col("posb")).otherwise(col("posa")).as("pos_b"))
       .dropDuplicates("doc_a", "doc_b", "pos_a", "pos_b")
-    // stage 3: join texts back for candidate rows only; verify the
-    // anchor k-gram exactly (kills 32-bit collisions)
-    val withTexts = pairs
+    // stage 3: collapse candidates to ONE row per (pair, alignment)
+    // carrying only the anchor position list — tiny rows — and join
+    // each text ONCE per such row (texts never ride the per-anchor
+    // shuffle; a span of length L has ~2L/w anchors, so shipping the
+    // documents per anchor would multiply text bytes by that factor)
+    val perAlignment = pairs
+      .withColumn("d", col("pos_a") - col("pos_b"))
+      .groupBy("doc_a", "doc_b", "d")
+      .agg(collect_list(col("pos_a")).as("anchors"))
       .join(base.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
-      .filter(col("ta").substr(col("pos_a") + 1, lit(k)) ===
-        col("tb").substr(col("pos_b") + 1, lit(k)))
-    // stage 4: chain anchors that share (pair, alignment) into spans.
-    // Each chain GAP is verified by one direct substring equality over
-    // [prev, cur + k) — so a whole chain's span is exact by overlapping
-    // verified intervals, and an unverifiable gap starts a new chain.
-    import org.apache.spark.sql.expressions.Window
-    val ww = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pos_a")
-    val chained = withTexts
-      .withColumn("d", col("pos_a") - col("pos_b"))
-      .withColumn("prev", lag(col("pos_a"), 1).over(ww))
-      .withColumn("gap_ok",
-        col("prev").isNotNull && col("pos_a") - col("prev") <= w &&
-          col("ta").substr(col("prev") + 1,
-            col("pos_a") - col("prev") + lit(k)) ===
-          col("tb").substr(col("prev") - col("d") + 1,
-            col("pos_a") - col("prev") + lit(k)))
-      .withColumn("chain",
-        sum(when(col("gap_ok"), lit(0)).otherwise(lit(1))).over(
-          ww.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    chained.groupBy("doc_a", "doc_b", "d", "chain")
-      .agg(min(col("pos_a")).as("start_a"),
-        (max(col("pos_a")) - min(col("pos_a")) + k).as("span_len"))
-      .filter(col("span_len") >= minLen)
-      .select(col("doc_a"), col("doc_b"), col("start_a"),
-        (col("start_a") - col("d")).as("start_b"), col("span_len"))
+    // stage 4: one codegen'd loop per row verifies every anchor k-gram
+    // codepoint-for-codepoint (32-bit collisions die here), chains
+    // consecutive anchors within w grams iff the WHOLE gap content
+    // matches, and drops chains under minLen — reported spans are exact
+    // end-to-end by construction
+    perAlignment
+      .select(col("doc_a"), col("doc_b"), col("d"),
+        explode(call_function("graft_chain_spans",
+          struct(col("ta"), col("tb"), col("d").cast("int"),
+            col("anchors")),
+          lit(k), lit(w), lit(minLen))).as("packed"))
+      .select(col("doc_a"), col("doc_b"),
+        shiftright(col("packed"), 32).cast("int").as("start_a"),
+        (shiftright(col("packed"), 32).cast("int") - col("d")).as("start_b"),
+        (col("packed").bitwiseAND(lit(0xFFFFFFFFL))).cast("int").as("span_len"))
   }
 
   /** The removal half of exact-substring span dedup (Lee et al. 2021

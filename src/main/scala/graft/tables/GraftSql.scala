@@ -1490,12 +1490,14 @@ object GraftSql {
     out.toString
   }
 
-  /** true at every index that lies inside a `'…'` or `"…"` STRING
-    * literal (quotes included, `\`-escapes honored — Spark's default
-    * parser accepts `'don\'t'`). Backticked identifiers are NOT
-    * literals (false), but quote chars inside them never open one.
-    * The guard the textual rewriters use so a regex substitution can
-    * skip matches that are data, not syntax. */
+  /** true at every index where a textual rewrite must NOT begin: inside
+    * a `'…'` or `"…"` STRING literal (quotes included, `\`-escapes
+    * honored — Spark's default parser accepts `'don\'t'`) and inside a
+    * backtick-quoted identifier's BODY (a match starting there is part
+    * of a quoted name — e.g. a column literally named `` `s.x` `` —
+    * and rewriting it would nest backticks into malformed SQL). The
+    * opening backtick itself stays false so rewriters whose match
+    * begins OUTSIDE and legitimately spans `alias.`col`` still fire. */
   private[graft] def stringLiteralMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var state = ' ' // ' ' outside, '\''/'"' in string, '`' in identifier
@@ -1510,6 +1512,7 @@ object GraftSql {
           else if (c == '\\') esc = true
           else if (c == state) state = ' '
         case '`' =>
+          mask(i) = true
           if (c == '`') state = ' '
         case _ =>
           if (c == '\'' || c == '"') { mask(i) = true; state = c }
@@ -1524,6 +1527,7 @@ object GraftSql {
     * and parentheses) from a column def; None when there is none. */
   private[tables] def stripTopLevelNotNull(d: String): Option[String] = {
     var depth = 0; var inStr = false; var inTick = false; var inDq = false
+    var esc = false
     var i = 0
     val U = d.toUpperCase(java.util.Locale.ROOT)
     def wordAt(j: Int, w: String): Boolean =
@@ -1533,9 +1537,17 @@ object GraftSql {
           !Character.isLetterOrDigit(d.charAt(j + w.length)))
     while (i < d.length) {
       val c = d.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+        i += 1 }
       else if (inTick) { if (c == '`') inTick = false; i += 1 }
-      else if (inDq) { if (c == '"') inDq = false; i += 1 }
+      else if (inDq) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inDq = false
+        i += 1 }
       else c match {
         case '\'' => inStr = true; i += 1
         case '`'  => inTick = true; i += 1
@@ -1682,13 +1694,21 @@ object GraftSql {
       U.startsWith(w, j) && (j == 0 || !isWordChar(s.charAt(j - 1))) &&
         (j + w.length >= s.length || !isWordChar(s.charAt(j + w.length)))
     var depth = 0; var caseDepth = 0; var inStr = false; var inTick = false
-    var inDq = false
+    var inDq = false; var esc = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+        i += 1 }
       else if (inTick) { if (c == '`') inTick = false; i += 1 }
-      else if (inDq) { if (c == '"') inDq = false; i += 1 }
+      else if (inDq) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inDq = false
+        i += 1 }
       else c match {
         case '\'' => inStr = true; i += 1
         case '`'  => inTick = true; i += 1
@@ -1708,15 +1728,26 @@ object GraftSql {
 
   /** Index of the first top-level occurrence of `target`, or -1. */
   private def topLevelIndexOf(s: String, target: Char): Int = {
-    var depth = 0; var inStr = false; var inTick = false
+    var depth = 0; var inStr = false; var inTick = false; var inDq = false
+    var esc = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+      }
       else if (inTick) { if (c == '`') inTick = false }
+      else if (inDq) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inDq = false
+      }
       else c match {
         case '\'' => inStr = true
         case '`'  => inTick = true
+        case '"'  => inDq = true
         case '('  => depth += 1
         case ')'  => depth -= 1
         case x if x == target && depth == 0 => return i
@@ -1728,13 +1759,24 @@ object GraftSql {
   }
 
   private def balanced(s: String): Boolean = {
-    var depth = 0; var inStr = false; var inTick = false
+    var depth = 0; var inStr = false; var inTick = false; var inDq = false
+    var esc = false
     s.foreach { c =>
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '\'') inStr = false
+      }
       else if (inTick) { if (c == '`') inTick = false }
+      else if (inDq) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inDq = false
+      }
       else c match {
         case '\'' => inStr = true
         case '`'  => inTick = true
+        case '"'  => inDq = true
         case '('  => depth += 1
         case ')'  => depth -= 1; if (depth < 0) return false
         case _    =>

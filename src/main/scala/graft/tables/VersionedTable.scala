@@ -75,6 +75,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     try s.iterator().asScala.toList finally s.close()
   }
 
+  /** Every regular file under `p`, recursively (shared by the byte
+    * accounting, DESCRIBE DETAIL and the manifest generator — one
+    * definition so traversal fixes can't silently diverge). */
+  private def filesUnder(p: Path): Seq[Path] =
+    listDir(p).flatMap(c =>
+      if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
+
   // ---------------------------------------------------------------- log I/O
 
   /** All committed log entries, ascending by version. Log files are
@@ -91,13 +98,6 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * the parse it replaces; reading history() concurrently with a DROP of
     * the same table can throw here (NoSuchFile between list and stat) —
     * inherent to drop-during-read and outside the single-writer model. */
-  /** Every regular file under `p`, recursively (shared by the byte
-    * accounting, DESCRIBE DETAIL and the manifest generator — one
-    * definition so traversal fixes can't silently diverge). */
-  private def filesUnder(p: Path): Seq[Path] =
-    listDir(p).flatMap(c =>
-      if (Files.isDirectory(c)) filesUnder(c) else Seq(c))
-
   def history: Seq[LogEntry] = {
     // one retry: pruneEntries can legitimately delete a listed entry file
     // between our list and read — the re-list sees the checkpoint that

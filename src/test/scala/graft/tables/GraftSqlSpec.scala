@@ -1518,6 +1518,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.read.count() === 40)
   }
 
+  test("MERGE clause literals with escaped quotes and keywords stay data") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.esc2 (k INT, v STRING)")
+    sql.sql("INSERT INTO silver.esc2 VALUES (1, 'old')")
+    // the literal contains \' AND the words WHEN/THEN after it — an
+    // escape-blind clause splitter closes the string at \' and splits
+    // on the literal's ' WHEN '
+    sql.sql("MERGE INTO silver.esc2 AS t USING (SELECT 1 AS k) AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = 'isn\\'t WHEN it THEN rains'")
+    assert(cat.table("silver", "esc2").read.select("v").as[String]
+      .head() === "isn't WHEN it THEN rains")
+    // escaped quote inside a column DEFAULT with a trailing NOT NULL
+    // lookalike: the default survives verbatim, the column stays
+    // nullable (stripTopLevelNotNull must not fire inside the literal)
+    sql.sql("CREATE TABLE silver.esc3 (k INT, " +
+      "v STRING DEFAULT 'it\\'s NOT NULL here')")
+    sql.sql("INSERT INTO silver.esc3 (k) VALUES (7)")
+    val t3 = cat.table("silver", "esc3")
+    assert(t3.read.select("v").as[String].head() === "it's NOT NULL here")
+    assert(t3.checks.isEmpty) // no phantom NOT NULL constraint
+    sql.sql("INSERT INTO silver.esc3 VALUES (8, NULL)") // nullable indeed
+    assert(t3.read.count() === 2)
+  }
+
   test("alias-qualified text inside clause string literals is data") {
     val (cat, sql) = warehouse()
     sql.sql("CREATE TABLE silver.cl (k INT, v STRING)")

@@ -157,6 +157,45 @@ class DedupSpec extends SparkSpec {
     assert(viaDf === direct)
   }
 
+  test("property: duplicateSpans finds random planted spans, cut removes them") {
+    // raw ScalaCheck-style determinism: seeded randoms per trial (the
+    // scalatest bridge is off the offline classpath, as PropertiesSpec)
+    (1 to 6).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      def noise(n: Int) =
+        (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val minLen = 48 + rnd.nextInt(40)    // 48..87
+      val k = 8 + rnd.nextInt(8)           // 8..15
+      val w = minLen - k + 1
+      val planted = noise(minLen + 2 * w + rnd.nextInt(100))
+      val nDocs = 2 + rnd.nextInt(3)
+      val docs = (1 to nDocs).map(i =>
+        (i.toLong, noise(rnd.nextInt(150)) + planted + noise(rnd.nextInt(150))))
+        .toDF("doc_id", "text")
+      val spans = Dedup.duplicateSpans(docs, minLen = minLen, k = k)
+      val got = spans.select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- 1 to nDocs; b <- (a + 1) to nDocs
+      } yield (a.toLong, b.toLong)).toSet
+      assert(got === want, s"trial $trial (minLen=$minLen k=$k)")
+      // every reported span's content is identical across its pair
+      val texts = docs.as[(Long, String)].collect().toMap
+      spans.as[(Long, Long, Int, Int, Int)].collect().foreach {
+        case (a, b, sa, sb, len) =>
+          assert(texts(a).substring(sa, sa + len) ===
+            texts(b).substring(sb, sb + len), s"trial $trial content")
+          assert(len >= minLen)
+      }
+      // cutting leaves the plant only in doc 1 (keep-first), never a
+      // full copy elsewhere
+      val cut = Dedup.cutSpans(docs, spans).as[(Long, String)].collect().toMap
+      assert(cut(1L).contains(planted), s"trial $trial keep-first")
+      (2 to nDocs).foreach(i =>
+        assert(!cut(i.toLong).contains(planted), s"trial $trial cut $i"))
+    }
+  }
+
   test("paragraphDedup keeps first global occurrence, reassembles in order") {
     val docs = Seq(
       (1L, "alpha\n\nbeta\n\ngamma"),

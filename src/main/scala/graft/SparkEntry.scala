@@ -1769,6 +1769,18 @@ object SparkEntry {
         .orderBy("doc_id", "rk")
     }),
 
+    // CCNet-style LM quality scoring: Laplace-smoothed bigram model fit
+    // on the even-id half of the corpus, cross-entropy (bits/bigram) for
+    // the odd-id half — the perplexity-filter stage of web-scale
+    // curation, join-based (no broadcast vocabulary, no driver model).
+    "q_txt_perplexity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      TextAnalysis.bigramCrossEntropy(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
+
     // J: bloom-prefiltered semi join — explicit runtime-filter pushdown;
     // identical to a plain semi join (no false negatives), but the probe
     // side is pruned map-side BEFORE the shuffle.
@@ -4081,6 +4093,37 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same tokens, same Laplace bigram math, replayed relationally
+    "q_txt_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |refbi AS (
+        |  SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z
+        |        FROM tok WHERE doc_id % 2 = 0)
+        |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+        |refuni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM
+        |    (SELECT unnest(toks) AS w1 FROM tok WHERE doc_id % 2 = 0)
+        |  GROUP BY 1),
+        |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM refuni),
+        |cand AS (
+        |  SELECT doc_id, z[1] AS w1, z[2] AS w2
+        |  FROM (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z
+        |        FROM tok WHERE doc_id % 2 = 1)
+        |  WHERE z[2] IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-avg(log2((coalesce(c12, 0) + 1.0) /
+        |                  (coalesce(c1, 0) + v))), 4) AS xent4
+        |FROM cand
+        |LEFT JOIN refbi USING (w1, w2)
+        |LEFT JOIN refuni USING (w1)
+        |CROSS JOIN vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_txt_tfidf" ->
       """WITH terms AS (

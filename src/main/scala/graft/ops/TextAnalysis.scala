@@ -206,6 +206,71 @@ object TextAnalysis {
     concat(host, noSlash)
   }
 
+  /** Non-empty whitespace tokens as an array column. */
+  private def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
+  /** Adjacent token pairs of a document — empty for < 2 tokens. Built
+    * from native `slice` + `arrays_zip` (single codegen'd expressions;
+    * a `transform(sequence…, element_at…)` formulation pays one
+    * interpreted lambda dispatch PER TOKEN — the same overhead the
+    * custom hash kernels exist to avoid). The cast names the zip's
+    * positional fields. */
+  private def bigramsOf(text: Column): Column = {
+    val toks = cleanTokens(text)
+    when(size(toks) >= 2,
+      arrays_zip(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))
+        .cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** CCNet-style language-model quality scoring (Wenzek et al. 2020:
+    * score web text by perplexity under a reference LM; keep the
+    * reference-like tail): fit a Laplace-smoothed token-BIGRAM model on
+    * `reference`, score every `docs` row by per-bigram cross-entropy in
+    * bits — low ≈ reference-like prose, high ≈ noise, boilerplate,
+    * wrong-language. Returns (idCol, n_bigrams, xent4); documents with
+    * fewer than two tokens have no bigrams and drop out (unscorable).
+    *
+    * Scale shape: the model is two RELATIONS (bigram and unigram
+    * counts) joined by token keys — never a broadcast vocabulary or a
+    * driver-side model, so a trillion-token reference shuffles instead
+    * of OOMing the driver; the one scalar (vocabulary size, Laplace
+    * denominator) rides a broadcast crossJoin like the other corpus
+    * scalars. Scoring is explode → two shuffled joins → one grouped
+    * average: the plain map-reduce shape. */
+  def bigramCrossEntropy(reference: DataFrame, docs: DataFrame,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val refBi = reference
+      .select(explode(bigramsOf(col(textCol))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // persisted: BOTH the scoring join and the vocabulary scalar read
+    // the unigram model — without the cache the reference corpus is
+    // tokenized and aggregated twice (same caller contract as the
+    // near-dup signature caches: long-lived sessions clearCache between
+    // calls; at cluster scale checkpoint the model relations instead)
+    val refUni = reference
+      .select(explode(cleanTokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = refUni.agg(count(lit(1)).as("v"))
+    docs.select(col(idCol), explode(bigramsOf(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log2((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v").cast("double")))
+          .as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")), 4).as("xent4"))
+  }
+
   /** Full per-document stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -127,4 +127,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((3L, "date"))._3 === StrictMath.log(3.0))
     assert(out.size === 6)
   }
+
+  test("bigramCrossEntropy: hand-computed Laplace math; ranks noise above prose") {
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    // reference model: unigrams the->2 cat->2 sat->1 ran->1 (V=4);
+    // bigrams (the,cat)->2 (cat,sat)->1 (cat,ran)->1
+    val docs = Seq(
+      (10L, "the cat sat"),   // all bigrams seen
+      (11L, "zig zag"),       // nothing seen
+      (12L, "x")              // < 2 tokens: unscorable, drops out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(ref, docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val lp1 = StrictMath.log((2 + 1.0) / (2 + 4.0)) / StrictMath.log(2.0)
+    val lp2 = StrictMath.log((1 + 1.0) / (2 + 4.0)) / StrictMath.log(2.0)
+    val expect10 = BigDecimal(-(lp1 + lp2) / 2.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L)._1 === 2L)
+    assert(math.abs(out(10L)._2 - expect10) < 1e-9)
+    // fully-unseen bigram: p = 1/V = 1/4 -> 2 bits exactly
+    assert(out(11L) === ((1L, 2.0)))
+    assert(!out.contains(12L))
+    assert(out(11L)._2 > out(10L)._2) // noise scores worse than prose
+  }
 }

@@ -31,6 +31,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * idempotent sink, the same contract as Delta's source). The initial
   * batch is the table's current snapshot (`startingVersion` = -1,
   * Delta's default); `startingVersion=latest` starts past existing data;
+  * `startingTimestamp` starts at the first commit at-or-after the UTC
+  * timestamp (mutually exclusive with `startingVersion`);
   * a numeric `startingVersion` starts at that commit (its own changes
   * included). Row-changing commits inside a batch range fail the
   * append-mode stream loudly — stream the change feed for DML tables.
@@ -46,16 +48,29 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
                              startingVersion: Option[String],
                              maxVersionsPerTrigger: Option[Long],
                              metadataPath: String,
-                             maxBytesPerTrigger: Option[Long] = None)
+                             maxBytesPerTrigger: Option[Long] = None,
+                             startingTimestamp: Option[String] = None)
     extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "graft-table source: startingVersion and startingTimestamp are " +
+      "mutually exclusive")
+
   /** Version whose data precedes the stream: -1 streams the snapshot
-    * first; `latest` pins to the log head at source creation. */
-  private val baseVersion: Long = startingVersion match {
-    case Some("latest") => table.latestVersion.getOrElse(-1L)
-    case Some(v)        => v.toLong - 1
-    case None           => -1L
+    * first; `latest` pins to the log head at source creation;
+    * `startingTimestamp` resolves to the first commit AT OR AFTER the
+    * timestamp, its own changes included (Delta's semantics) — a
+    * timestamp past the head means "only future commits". */
+  private val baseVersion: Long = (startingVersion, startingTimestamp) match {
+    case (Some("latest"), _) => table.latestVersion.getOrElse(-1L)
+    case (Some(v), _)        => v.toLong - 1
+    case (None, Some(ts)) =>
+      val millis = graft.tables.GraftSql.parseTsUtc(ts)
+      table.history.find(_.tsMillis >= millis)
+        .map(_.version - 1)
+        .getOrElse(table.latestVersion.getOrElse(-1L))
+    case (None, None) => -1L
   }
 
   /** Highest version already handed to a batch — the admission floor
@@ -308,7 +323,8 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       parameters.get("startingVersion"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong).filter(_ > 0),
       metadataPath,
-      parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0))
+      parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0),
+      parameters.get("startingTimestamp"))
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

@@ -616,14 +616,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * `spark.sql.session.timeZone=UTC`), so RESTORE's timestamp literal
     * parses in UTC too — `Timestamp.valueOf` would silently shift by the
     * JVM default zone. */
-  private def parseTsUtc(ts: String): Long = {
-    val t = ts.trim
-    val ldt =
-      if (t.contains(" ") || t.contains("T"))
-        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-      else java.time.LocalDate.parse(t).atStartOfDay // date-only literal
-    ldt.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-  }
+  private def parseTsUtc(ts: String): Long = GraftSql.parseTsUtc(ts)
 
   private def vacuum(tbl: VersionedTable, retain: Int,
                      dryRun: Boolean): DataFrame = {
@@ -1301,6 +1294,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
 object GraftSql {
   val SmallFileBytesConf = "spark.graft.optimize.smallFileBytes"
   val DefaultSmallFileBytes: Long = 128L * 1024 * 1024
+
+  /** UTC timestamp literal → epoch millis (`yyyy-MM-dd[ HH:mm:ss]`,
+    * `T` separator accepted) — shared by SQL AS OF forms and the
+    * streaming source's `startingTimestamp` option. */
+  private[graft] def parseTsUtc(ts: String): Long = {
+    val t = ts.trim
+    val ldt =
+      if (t.contains(" ") || t.contains("T"))
+        java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      else java.time.LocalDate.parse(t).atStartOfDay // date-only literal
+    ldt.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+  }
 
   /** Session-wide counter behind AS OF temp-view names (see
     * [[GraftSql.rewriteTimeTravel]]) — per-statement counters collide. */

@@ -56,6 +56,38 @@ class TableStreamSpec extends SparkSpec {
     assert(out.read.count() === 5)
   }
 
+  test("startingTimestamp starts at the first commit at-or-after the time") {
+    val root = tmpDir("ts-st-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "old")).toDF("k", "v"))        // v0
+    Thread.sleep(1100) // distinct wall-clock seconds for the boundary
+    t.append(Seq((2, "new")).toDF("k", "v"))        // v1
+    val v1s = java.time.Instant.ofEpochMilli(t.history.last.tsMillis)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    // at-or-after v1's second: v1's own rows included, v0's excluded
+    val sink = tmpDir("ts-st-sink-")
+    runOnce(root, tmpDir("ts-st-cp-"), sink,
+      Map("startingTimestamp" -> v1s))
+    assert(VersionedTable(spark, sink).read.as[(Int, String)]
+      .collect().toSet === Set((2, "new")))
+    // far future: nothing until a post-start commit lands
+    val sink2 = tmpDir("ts-st-sink2-")
+    val cp2 = tmpDir("ts-st-cp2-")
+    runOnce(root, cp2, sink2, Map("startingTimestamp" -> "2999-01-01"))
+    val s2 = VersionedTable(spark, sink2)
+    assert(!s2.exists || s2.read.count() === 0) // an empty batch-0 is fine
+    t.append(Seq((3, "future")).toDF("k", "v"))
+    runOnce(root, cp2, sink2, Map("startingTimestamp" -> "2999-01-01"))
+    assert(VersionedTable(spark, sink2).read.as[(Int, String)]
+      .collect().toSet === Set((3, "future")))
+    // both options together refuse loudly
+    assertThrows[Exception](
+      runOnce(root, tmpDir("ts-st-cp3-"), tmpDir("ts-st-sink3-"),
+        Map("startingTimestamp" -> v1s, "startingVersion" -> "0")))
+  }
+
   test("stream restart across RENAME COLUMN delivers new batches under the new name") {
     val root = tmpDir("ts-rn-")
     val sinkA = tmpDir("ts-rn-sinkA-")

@@ -199,14 +199,24 @@ object HashKernels {
     * `(startA << 32) | spanLen` per surviving chain. */
   def chainSpans(row: org.apache.spark.sql.catalyst.InternalRow,
                  k: Int, w: Int, minLen: Int): ArrayData = {
+    // a struct child bypasses UnaryExpression's null-safety for its
+    // FIELDS (the struct itself is non-null) — ad-hoc SQL callers can
+    // hand us null texts/positions; no spans is the only sane answer
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) ||
+        row.isNullAt(3))
+      return new GenericArrayData(Array.empty[Long])
     val a = row.getUTF8String(0).toString.codePoints.toArray
     val b = row.getUTF8String(1).toString.codePoints.toArray
     val d = row.getInt(2)
     val posArr = row.getArray(3)
-    val m = posArr.numElements()
-    val ps = new Array[Int](m)
-    var i = 0
-    while (i < m) { ps(i) = posArr.getInt(i); i += 1 }
+    val ps0 = new scala.collection.mutable.ArrayBuffer[Int](posArr.numElements())
+    var j0 = 0
+    while (j0 < posArr.numElements()) {
+      if (!posArr.isNullAt(j0)) ps0 += posArr.getInt(j0)
+      j0 += 1
+    }
+    val ps = ps0.toArray
+    val m = ps.length
     java.util.Arrays.sort(ps)
     // codepoint equality of a[pa, pa+len) vs b[pa-d, pa-d+len)
     def eqAt(pa: Int, len: Int): Boolean = {
@@ -228,7 +238,7 @@ object HashKernels {
         out += (start.toLong << 32) | (prev - start + k).toLong
       start = -1; prev = -1
     }
-    i = 0
+    var i = 0
     while (i < m) {
       val p = ps(i)
       if (p != prev) { // dedup repeated candidate positions

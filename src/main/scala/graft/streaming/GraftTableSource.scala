@@ -61,7 +61,14 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     * first; `latest` pins to the log head at source creation;
     * `startingTimestamp` resolves to the first commit AT OR AFTER the
     * timestamp, its own changes included (Delta's semantics) — a
-    * timestamp past the head means "only future commits". */
+    * timestamp past the head means "only future commits". A start
+    * resolving to version 0 — numeric `startingVersion=0` or a
+    * timestamp at/before the first commit — is the default bootstrap:
+    * the initial batch is the CURRENT snapshot, not a commit-by-commit
+    * replay, so pre-head history (e.g. rows an overwrite replaced)
+    * never re-surfaces and non-append commits before the head don't
+    * fail the stream; from version 1 up the range is a true replay and
+    * row-changing commits in it fail append-mode loudly. */
   private val baseVersion: Long = (startingVersion, startingTimestamp) match {
     case (Some("latest"), _) => table.latestVersion.getOrElse(-1L)
     case (Some(v), _)        => v.toLong - 1

@@ -1869,6 +1869,71 @@ object SparkEntry {
       mv.read.orderBy("event_type")
     }),
 
+    // MV4: transparent MV routing — the Catalyst optimizer rule
+    // (plans/MvRewrite, injected via extraOptimizations /
+    // GraftSparkExtensions) rewrites a matching aggregate over the
+    // source's registered snapshot to a scan of the MV. The result row
+    // ENCODES the plan behavior: `mv_served` is computed from the
+    // optimized plan's leaf paths (TRUE only if the final aggregate was
+    // served from the MV, never the source), and `stale_fell_back` pins
+    // the freshness contract (after an un-refreshed source append the
+    // rule must NOT fire and the fallback must see the new rows). The
+    // DuckDB oracle recomputes the aggregate from raw parquet and
+    // expects both flags literally TRUE — plan shape, freshness and
+    // values hash-checked together.
+    "q_mv4_rewrite" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val root = Files.createTempDirectory("graft-mvrw-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      def leafPaths(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.relation match {
+            case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+      def agg(d: DataFrame): DataFrame = d.groupBy("flag").agg(
+        sum("qty").as("sum_qty"), count(lit(1)).as("n_rows"),
+        min("qty").as("min_qty"), max("qty").as("max_qty"),
+        avg("qty").as("avg_qty"))
+      def refresh(): Unit = {
+        mv.overwrite(src.read.groupBy("flag").agg(
+          sum("qty").as("s_q"), count(lit(1)).as("c_all"),
+          min("qty").as("mn_q"), max("qty").as("mx_q"),
+          count("qty").as("c_q")))
+        MvRewrite.register(src, mv, Seq("flag"), Seq(
+          MvRewrite.AggSpec("sum", "qty", "s_q"),
+          MvRewrite.AggSpec("count", "*", "c_all"),
+          MvRewrite.AggSpec("min", "qty", "mn_q"),
+          MvRewrite.AggSpec("max", "qty", "mx_q"),
+          MvRewrite.AggSpec("count", "qty", "c_q")))
+      }
+      MvRewrite.install(s)
+      try {
+        src.append(li.filter(col("qty") % 3 =!= 0))
+        refresh()
+        // staleness plant: commit moves the source; the rule must go
+        // quiet (scan under /src/) and the fallback must count ALL rows
+        src.append(li.filter(col("qty") % 3 === 0))
+        val staleQ = agg(src.read)
+        val fellBack = leafPaths(staleQ).forall(_.contains("/src/")) &&
+          staleQ.agg(sum("n_rows")).first.getLong(0) == li.count()
+        refresh() // re-arm on the full corpus
+        val served = agg(src.read)
+        val ps = leafPaths(served)
+        val fromMv = ps.nonEmpty && ps.forall(_.contains("/mv/"))
+        served
+          .withColumn("mv_served", lit(fromMv))
+          .withColumn("stale_fell_back", lit(fellBack))
+          .orderBy("flag")
+      } finally MvRewrite.deregister(mv)
+    }),
+
     // MV3: CDC-driven incremental aggregate — the change feed consumed
     // end-to-end. readAddedSince handles append-only feeds and mv2's
     // partition feed recomputes whole partitions; row-level CDF is what
@@ -4211,6 +4276,16 @@ object SparkEntry {
     "q_mv_incremental" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mv4_rewrite" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+        |  avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
+        |  TRUE AS mv_served, TRUE AS stale_fell_back
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_w5_window_suite" ->
       """SELECT o_custkey, o_orderkey,

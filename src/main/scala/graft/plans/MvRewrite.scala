@@ -1,0 +1,217 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
+
+import graft.tables.VersionedTable
+
+/** Transparent materialized-view routing — a Catalyst optimizer rule.
+  *
+  * A registered MV declares "table `mv` holds `SELECT groupCols, aggs
+  * FROM source GROUP BY groupCols` as of source snapshot S". The rule
+  * rewrites any matching logical [[Aggregate]] over that exact snapshot
+  * to a scan of the MV instead — the 100 TB aggregation the user wrote
+  * becomes a read of a few thousand pre-computed rows, with zero query
+  * changes (the BI-dashboard query pattern MV maintenance exists for).
+  *
+  * **Freshness is structural, not advisory.** Registration snapshots the
+  * source scan's file-set root paths; the rule fires only when the
+  * query's own scan resolves to the identical path set. Any commit to
+  * the source (append/merge/compact/DDL) changes its snapshot's file-set
+  * list, so a stale MV silently stops matching and the query falls back
+  * to the source — wrong-answer-by-staleness is impossible by
+  * construction. After an incremental refresh (see `q_mv_incremental`'s
+  * `readAddedSince` / CDF patterns), re-[[register]] to re-arm.
+  *
+  * Match surface (v1, deliberately conservative — anything else is left
+  * untouched): a single [[Aggregate]] directly over the source scan
+  * (attribute-only Projects in between are stripped; any Filter, join or
+  * expression bails), grouping exactly on the registered group columns,
+  * with aggregates drawn from `sum(col)`, `count(*)`, `count(col)`,
+  * `min(col)`, `max(col)` that the MV materialized, plus `avg(col)`
+  * derived as `sum(col)/count(col)` when both are registered. Distinct
+  * aggregates and FILTER clauses bail. The rewrite aliases MV columns to
+  * the original output attribute ids, so the parent plan is untouched.
+  *
+  * Wire-up: [[MvRewrite.install]] arms an existing session via
+  * `spark.experimental.extraOptimizations`; [[GraftSparkExtensions]] is
+  * the `spark.sql.extensions`-config form for session build time. The
+  * rule is a no-op while the registry is empty and idempotent once
+  * rewritten (the MV scan's paths match no registration's source).
+  *
+  * Reference behavior ground: the reference maintains gold rollups as
+  * scheduled full recomputes (transform/gold_*.sql); Spark-first, the
+  * rollup is an incrementally-merged table plus this routing rule.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** One materialized aggregate: `fn(col) AS mvCol` with `fn` in
+    * sum|count|min|max and `col == "*"` for `count(*)`. */
+  final case class AggSpec(fn: String, col: String, mvCol: String)
+
+  private final case class Entry(sourcePaths: Set[String],
+                                 groupCols: Seq[String],
+                                 aggs: Map[(String, String), String],
+                                 mvRead: () => DataFrame)
+
+  // keyed by MV root — registry is process-wide (table roots are
+  // globally unique paths); values are tiny metadata
+  private val entries = new ConcurrentHashMap[String, Entry]()
+
+  /** Arm `mv` as the materialization of `SELECT groupCols, aggs FROM
+    * source GROUP BY groupCols` at the source's CURRENT snapshot.
+    * Refused unless the snapshot reads as one plain scan (no deletion
+    * vectors, schema generations or column mapping — shapes whose read
+    * plans the conservative matcher would never fire on anyway). */
+  def register(source: VersionedTable, mv: VersionedTable,
+               groupCols: Seq[String], aggs: Seq[AggSpec]): Unit = {
+    require(aggs.forall(a => Set("sum", "count", "min", "max")(a.fn)),
+      s"MV rewrite: unsupported agg fn in ${aggs.map(_.fn).mkString(",")}")
+    val paths = plainScanPaths(source.read.queryExecution.analyzed)
+      .getOrElse(sys.error("MV rewrite: source snapshot is not a plain " +
+        s"single-relation scan at ${source.root} — registration refused"))
+    val mvCols = mv.read.columns.toSet
+    val missing = (groupCols ++ aggs.map(_.mvCol)).filterNot(mvCols)
+    require(missing.isEmpty,
+      s"MV rewrite: MV at ${mv.root} lacks columns ${missing.mkString(",")}")
+    entries.put(mv.root,
+      Entry(paths, groupCols,
+        aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read))
+  }
+
+  def deregister(mv: VersionedTable): Unit = entries.remove(mv.root)
+
+  /** Arm an already-built session (Verify/Bench/tests). Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (entries.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** The scan's file-set roots, when the plan is exactly one parquet
+    * relation under attribute-only Projects — the snapshot identity the
+    * freshness check compares. */
+  private def plainScanPaths(p: LogicalPlan): Option[Set[String]] = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      plainScanPaths(c)
+    case l: LogicalRelation => l.relation match {
+      case r: HadoopFsRelation =>
+        Some(r.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
+    paths <- plainScanPaths(agg.child)
+    entry <- entries.values.asScala.find(_.sourcePaths == paths)
+    groupAttrs <- Some(agg.groupingExpressions).collect {
+      case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
+        gs.map(_.asInstanceOf[AttributeReference])
+    }
+    if groupAttrs.map(_.name).toSet == entry.groupCols.toSet
+    plans <- buildProjection(agg, entry)
+  } yield plans
+
+  /** Map every output expression of `agg` onto MV columns; None (no
+    * rewrite) the moment anything falls outside the registered surface. */
+  private def buildProjection(agg: Aggregate, entry: Entry): Option[LogicalPlan] = {
+    // resolve the MV scan only after the cheap metadata match succeeded
+    val mvPlan = entry.mvRead().queryExecution.analyzed
+    val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+    val groupNames = entry.groupCols.toSet
+
+    def aggCol(fn: String, c: String): Option[Expression] =
+      entry.aggs.get((fn, c)).map(mvAttr)
+
+    def rewriteOne(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference if groupNames(a.name) => mvAttr.get(a.name)
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(Literal(_, _))             => aggCol("count", "*")
+            case Seq(a: AttributeReference)     => aggCol("count", a.name)
+            case _                              => None
+          }
+          case s: Sum => s.child match {
+            case a: AttributeReference => aggCol("sum", a.name)
+            case _                     => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference => aggCol("min", a.name)
+            case _                     => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference => aggCol("max", a.name)
+            case _                     => None
+          }
+          // avg derives from materialized sum+count of the SAME column
+          // (count(col) — null-skipping — not count(*)); double-typed
+          // originals only, so the division reproduces Spark's result
+          // bit-for-bit and an all-null group stays NULL (x/0 → NULL)
+          case av: Average if av.dataType == DoubleType => av.child match {
+            case a: AttributeReference => for {
+              s <- aggCol("sum", a.name)
+              c <- aggCol("count", a.name)
+            } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType))
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+
+    val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(child, name) =>
+        rewriteOne(child).flatMap(retype(_, al.dataType, al.nullable)).map {
+          ex => Alias(ex, name)(exprId = al.exprId, qualifier = al.qualifier)
+        }
+      case ar: AttributeReference =>
+        rewriteOne(ar).flatMap(retype(_, ar.dataType, ar.nullable)).map {
+          ex => Alias(ex, ar.name)(exprId = ar.exprId, qualifier = ar.qualifier)
+        }
+      case _ => None
+    }
+    if (rewritten.forall(_.isDefined)) Some(Project(rewritten.flatten, mvPlan))
+    else None
+  }
+
+  /** Match the original output slot's type exactly; restore declared
+    * non-nullability (count(*) is non-null) where a literal default
+    * exists. An un-castable type mismatch returns None — the whole
+    * rewrite bails rather than planting an unresolvable Cast. */
+  private def retype(e: Expression, dt: org.apache.spark.sql.types.DataType,
+                     nullable: Boolean): Option[Expression] = {
+    val typed =
+      if (e.dataType == dt) Some(e)
+      else if (Cast.canCast(e.dataType, dt))
+        Some(Cast(e, dt, Some(conf.sessionLocalTimeZone)))
+      else None
+    typed.map { t =>
+      if (!nullable && t.nullable) Coalesce(Seq(t, Literal.default(dt)))
+      else t
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftSparkExtensions` — build-time
+  * registration of the graft optimizer rules. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => MvRewrite)
+}

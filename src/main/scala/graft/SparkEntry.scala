@@ -2702,6 +2702,53 @@ object SparkEntry {
     // (the oracle replays the aggregate from the raw parquet). Every
     // structural count is deterministic from the DDL, so the whole
     // lifecycle is hash-checked, not just rows-counted.
+    // SQL materialized-view lifecycle: CREATE MATERIALIZED VIEW →
+    // append-only increment → REFRESH (must take the incremental path:
+    // delta aggregate + combining merge) → a retraction (DELETE) →
+    // REFRESH (must fall back to full recompute) → final aggregate over
+    // the source served transparently by the MV (MvRewrite routing,
+    // plan-verified into `mv_served`). The oracle replays the surviving
+    // rows' aggregate in DuckDB and expects the mode strings literally.
+    "q_sql_mv" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val wh = Files.createTempDirectory("graft-sqlmv-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val src = cat.table("silver", "orders")
+      src.append(o.filter(col("o_orderkey") % 3 =!= 0))
+      val gsql = graft.tables.GraftSql(s, cat)
+      MvRewrite.install(s)
+      try {
+        gsql.sql("CREATE MATERIALIZED VIEW gold.mv_orders AS SELECT " +
+          "o_orderstatus, sum(o_orderkey) AS sum_key, count(*) AS cnt, " +
+          "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key " +
+          "FROM silver.orders GROUP BY o_orderstatus")
+        src.append(o.filter(col("o_orderkey") % 3 === 0))
+        val mode1 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_orders")
+          .select("mode").head().getString(0)
+        gsql.sql("DELETE FROM silver.orders WHERE o_orderkey <= 1000")
+        val mode2 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_orders")
+          .select("mode").head().getString(0)
+        val served = src.read.groupBy("o_orderstatus").agg(
+          sum("o_orderkey").as("sum_key"), count(lit(1)).as("cnt"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        val ps = served.queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.relation match {
+            case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+        served
+          .withColumn("mode1", lit(mode1))
+          .withColumn("mode2", lit(mode2))
+          .withColumn("mv_served",
+            lit(ps.nonEmpty && ps.forall(_.contains("/mv_orders"))))
+          .orderBy("o_orderstatus")
+      } finally MvRewrite.deregister(cat.table("gold", "mv_orders"))
+    }),
+
     "q_sql_optimize" -> ((s, dir) => {
       val wh = Files.createTempDirectory("graft-sqlopt-").toString
       val cat = new graft.tables.Catalog(s, wh)
@@ -3058,6 +3105,16 @@ object SparkEntry {
     // by the DDL (3 appends -> OPTIMIZE folds to 1 file-set -> VACUUM
     // reclaims exactly the 3 superseded sets -> 4 log versions), and the
     // data survives untouched — replayed from the raw parquet.
+    "q_sql_mv" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  'incremental' AS mode1, 'full' AS mode2, TRUE AS mv_served
+        |FROM orders WHERE o_orderkey > 1000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_sql_optimize" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows,
         | (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_key,

@@ -88,7 +88,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read))
   }
 
-  def deregister(mv: VersionedTable): Unit = entries.remove(mv.root)
+  def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
+
+  /** Root-keyed form — DROP TABLE must un-arm a registered MV before the
+    * files go away, or the rule would route queries to a dead path. */
+  def deregisterRoot(root: String): Unit = entries.remove(root)
 
   /** Arm an already-built session (Verify/Bench/tests). Idempotent. */
   def install(spark: SparkSession): Unit = {

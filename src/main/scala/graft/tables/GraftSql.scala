@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.StructType
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
   *   CREATE TABLE <table> SHALLOW CLONE <table>
+  *   CREATE [OR REPLACE] MATERIALIZED VIEW <table> AS
+  *     SELECT g1, ..., sum|count|min|max(c) AS name, ... FROM <table>
+  *     GROUP BY g1, ...                       -- materialized + auto-routed
+  *   REFRESH MATERIALIZED VIEW <table>        -- incremental when possible
   *   CONVERT TO GRAFT parquet.`/path` AS <table>   -- zero-copy adoption
   *   ANALYZE TABLE <table> COMPUTE STATISTICS FOR COLUMNS c1, c2, ...
   *   DESCRIBE HISTORY <table>
@@ -142,6 +146,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RestoreTimestampStmt(ident, ts) =>
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
+    case CreateMvStmt(orReplace, mvIdent, selectList, srcIdent, groupBy) =>
+      createMaterializedView(mvIdent, orReplace != null, selectList,
+        srcIdent, groupBy)
+    case RefreshMvStmt(ident) => refreshMaterializedView(ident)
     // DML statements delegate like ANALYZE below: an identifier that is
     // not a graft table (unknown layer, no catalog bound) falls through
     // to vanilla spark.sql — one funnel for the whole session
@@ -542,6 +550,104 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       .toDF("operation", "source_version", "n_file_sets")
   }
 
+  // --------------------------------------------------- materialized views
+
+  /** CREATE [OR REPLACE] MATERIALIZED VIEW mv AS
+    *   SELECT g1, ..., sum(c) AS s, count(*) AS n, ... FROM src GROUP BY g1, ...
+    *
+    * Materializes the aggregate as a versioned table, records the
+    * definition + covered source version in table properties (durable —
+    * REFRESH re-reads it in any later process), and arms
+    * [[graft.plans.MvRewrite]] so matching aggregates over the covered
+    * snapshot route to the MV transparently. `avg` is deliberately not
+    * materializable: write `sum(c) AS s_c, count(c) AS n_c` and the
+    * rewrite rule derives `avg(c)` from the pair — an incrementally
+    * maintained average column would be wrong under merge combining. */
+  private def createMaterializedView(mvIdent: String, orReplace: Boolean,
+                                     selectList: String, srcIdent: String,
+                                     groupBy: String): DataFrame = {
+    import spark.implicits._
+    val src = resolve(srcIdent)
+    val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)
+    val srcCols = src.read.columns.toSet
+    val missing = (groupCols ++ aggs.map(_._2).filterNot(_ == "*"))
+      .filterNot(srcCols)
+    require(missing.isEmpty,
+      s"materialized view: source $srcIdent lacks columns ${missing.mkString(",")}")
+    val mv = VersionedTable(spark, targetRoot(mvIdent))
+    require(orReplace || !mv.exists,
+      s"materialized view target exists: $mvIdent (use CREATE OR REPLACE)")
+    val srcV = src.latestVersion.getOrElse(
+      sys.error(s"materialized view over empty table $srcIdent"))
+    mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
+      .agg(GraftSql.mvAggColumns(aggs).head,
+        GraftSql.mvAggColumns(aggs).tail: _*))
+    mv.setProperties(Map(
+      GraftSql.MvSourceProp -> src.root,
+      GraftSql.MvGroupProp -> groupCols.mkString(","),
+      GraftSql.MvAggsProp ->
+        aggs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
+      GraftSql.MvVersionProp -> srcV.toString))
+    armMvRewrite(src, mv, groupCols, aggs)
+    Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
+  }
+
+  /** REFRESH MATERIALIZED VIEW mv — incremental when every source commit
+    * since the covered version is an append (delta aggregate over
+    * `readAddedSince` + combining bucket-COW merge: O(new data)); full
+    * recompute otherwise (updates/deletes can retract, which sum/count
+    * deltas over appended file-sets cannot express without CDF). Either
+    * way the covered version advances and the rewrite rule re-arms —
+    * REFRESH is also the re-arm point after a process restart (the
+    * rewrite registry is in-memory; the definition is not). */
+  private def refreshMaterializedView(mvIdent: String): DataFrame = {
+    import spark.implicits._
+    val mv = resolve(mvIdent)
+    val props = mv.properties
+    val srcRoot = props.getOrElse(GraftSql.MvSourceProp,
+      sys.error(s"$mvIdent is not a materialized view (no " +
+        s"${GraftSql.MvSourceProp} property)"))
+    val src = VersionedTable(spark, srcRoot)
+    val groupCols = props(GraftSql.MvGroupProp).split(",").toSeq
+    val aggs = props(GraftSql.MvAggsProp).split(";").toSeq.map { s =>
+      val Array(f, c, o) = s.split(":", 3); (f, c, o)
+    }
+    val v0 = props(GraftSql.MvVersionProp).toLong
+    val srcV = src.latestVersion.getOrElse(v0)
+    val later = src.history.filter(_.version > v0)
+    val mode =
+      if (later.isEmpty) "noop"
+      else if (later.forall(_.action == "append")) {
+        val delta = src.readAddedSince(v0).groupBy(groupCols.map(col): _*)
+          .agg(GraftSql.mvAggColumns(aggs).head,
+            GraftSql.mvAggColumns(aggs).tail: _*)
+        mv.merge(delta, groupCols, updateExprs = aggs.map {
+          case (f, _, o) => o -> GraftSql.mvCombine(f)
+        }.toMap)
+        "incremental"
+      } else {
+        mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
+          .agg(GraftSql.mvAggColumns(aggs).head,
+            GraftSql.mvAggColumns(aggs).tail: _*))
+        "full"
+      }
+    if (mode != "noop")
+      mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
+    armMvRewrite(src, mv, groupCols, aggs)
+    Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
+  }
+
+  /** Best-effort: registration refuses source snapshots whose read is
+    * not a plain scan (DVs, schema generations, column mapping) — shapes
+    * the conservative matcher could never serve anyway. The MV itself
+    * stays correct and maintained either way. */
+  private def armMvRewrite(src: VersionedTable, mv: VersionedTable,
+                           groupCols: Seq[String],
+                           aggs: Seq[(String, String, String)]): Unit =
+    try graft.plans.MvRewrite.register(src, mv, groupCols,
+      aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) })
+    catch { case _: RuntimeException => () }
+
   private def optimize(tbl: VersionedTable, zcols: Option[String]): DataFrame = {
     import spark.implicits._
     val before = tbl.history.lastOption.getOrElse(
@@ -900,6 +1006,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           case Array(layer, name) if cat.Layers.contains(layer.toLowerCase) =>
             val t = cat.table(layer.toLowerCase, name)
             if (!t.exists && !ifExists) sys.error(s"table not found: $other")
+            // an armed materialized view must un-arm before its files go
+            graft.plans.MvRewrite.deregisterRoot(t.root)
             cat.dropTable(layer.toLowerCase, name)
             Some(Seq(other).toDF("dropped"))
           case _ => None
@@ -1295,6 +1403,74 @@ object GraftSql {
   val SmallFileBytesConf = "spark.graft.optimize.smallFileBytes"
   val DefaultSmallFileBytes: Long = 128L * 1024 * 1024
 
+  // materialized-view definition properties (durable in _props.json —
+  // REFRESH and post-restart re-arming read them back)
+  val MvSourceProp = "graft.mv.source"
+  val MvGroupProp = "graft.mv.group"
+  val MvAggsProp = "graft.mv.aggs"
+  val MvVersionProp = "graft.mv.sourceVersion"
+
+  /** Parse the closed MV select grammar → (groupCols, (fn, col, out)*).
+    * Every group column must appear bare in the select list; every other
+    * item must be `fn(col) AS name` with fn ∈ sum|count|min|max (`*`
+    * only under count); output names must be unique and distinct from
+    * group columns. */
+  private[tables] def parseMvSelect(selectList: String,
+      groupBy: String): (Seq[String], Seq[(String, String, String)]) = {
+    val groupCols = splitTop(groupBy, ',').map(stripTicks)
+    require(groupCols.forall(_.matches("""[A-Za-z_][A-Za-z0-9_]*""")),
+      s"materialized view: GROUP BY must list plain columns, got $groupBy")
+    val items = splitTop(selectList, ',')
+    val (bare, aggs) = items.foldLeft(
+      (Vector.empty[String], Vector.empty[(String, String, String)])) {
+      case ((bs, as), MvAggItem(fn, c, out)) =>
+        val cc = if (c == "*") "*" else stripTicks(c)
+        val f = fn.toLowerCase
+        require(cc != "*" || f == "count",
+          s"materialized view: $f(*) is not a materializable aggregate")
+        (bs, as :+ ((f, cc, stripTicks(out))))
+      case ((bs, as), MvColItem(c)) => (bs :+ stripTicks(c), as)
+      case (_, item) => sys.error(
+        "materialized view: select items must be a group column or " +
+          s"sum|count|min|max(col) AS name — got `${item.trim}` " +
+          "(avg is derived by the rewrite rule from sum+count)")
+    }
+    require(bare.toSet == groupCols.toSet,
+      s"materialized view: select list's bare columns ${bare.mkString(",")} " +
+        s"must equal GROUP BY ${groupCols.mkString(",")}")
+    require(aggs.nonEmpty, "materialized view: at least one aggregate")
+    val outs = aggs.map(_._3)
+    require((outs ++ groupCols).distinct.size == outs.size + groupCols.size,
+      s"materialized view: duplicate output names in ${outs.mkString(",")}")
+    (groupCols, aggs)
+  }
+
+  private[tables] def mvAggColumns(
+      aggs: Seq[(String, String, String)]): Seq[Column] =
+    aggs.map { case (fn, c, out) =>
+      (fn match {
+        case "sum"   => org.apache.spark.sql.functions.sum(col(c))
+        case "count" => if (c == "*")
+          org.apache.spark.sql.functions.count(lit(1))
+        else org.apache.spark.sql.functions.count(col(c))
+        case "min"   => org.apache.spark.sql.functions.min(col(c))
+        case "max"   => org.apache.spark.sql.functions.max(col(c))
+      }).as(out)
+    }
+
+  /** Combine a delta aggregate into the MV row under merge. sum uses the
+    * nullable-combine (`coalesce(t+u, t, u)`): a delta group whose
+    * values are all NULL arrives with sum NULL and must not erase the
+    * accumulated value; least/greatest already skip NULL args. */
+  private[tables] def mvCombine(fn: String): (Column, Column) => Column =
+    fn match {
+      case "sum"   => (t, u) =>
+        org.apache.spark.sql.functions.coalesce(t + u, t, u)
+      case "count" => (t, u) => t + u
+      case "min"   => (t, u) => org.apache.spark.sql.functions.least(t, u)
+      case "max"   => (t, u) => org.apache.spark.sql.functions.greatest(t, u)
+    }
+
   /** UTC timestamp literal → epoch millis (`yyyy-MM-dd[ HH:mm:ss]`,
     * `T` separator accepted) — shared by SQL AS OF forms and the
     * streaming source's `startingTimestamp` option. */
@@ -1332,6 +1508,21 @@ object GraftSql {
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident + """\s*;?\s*""").r
+  // materialized views: a deliberately closed grammar (single source
+  // table, plain GROUP BY, sum/count/min/max select list) — exactly the
+  // surface the MvRewrite rule can serve and the incremental refresher
+  // can maintain; anything richer is refused loudly at CREATE time, not
+  // silently mis-maintained later
+  private val CreateMvStmt =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+""" +
+      Ident + """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + Ident +
+      """\s+GROUP\s+BY\s+([\w`,\s]+?)\s*;?\s*""").r
+  private val RefreshMvStmt =
+    ("""(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
+      """\s*;?\s*""").r
+  private val MvAggItem =
+    """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
+  private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s+AS\s+""" +
       Ident + """\s*;?\s*""").r

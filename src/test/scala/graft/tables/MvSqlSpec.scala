@@ -1,0 +1,154 @@
+package graft.tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+
+import graft.SparkSpec
+import graft.plans.MvRewrite
+
+/** CREATE / REFRESH MATERIALIZED VIEW: the SQL face of the MvRewrite
+  * routing rule plus the incremental maintainer. */
+class MvSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def warehouse(): (Catalog, GraftSql) = {
+    val cat = new Catalog(spark, tmpDir("graft-mvsql-"))
+    cat.bootstrap()
+    (cat, GraftSql(spark, cat))
+  }
+
+  private def scansMv(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val ps = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    ps.nonEmpty && ps.forall(_.contains("/mv"))
+  }
+
+  test("CREATE MATERIALIZED VIEW materializes, arms routing, REFRESH " +
+    "maintains incrementally on append-only history") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "sales")
+    src.append(Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v"))
+    val created = sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_sales AS SELECT k, " +
+        "sum(v) AS sum_v, count(*) AS cnt, min(v) AS min_v, " +
+        "max(v) AS max_v FROM silver.sales GROUP BY k")
+      .as[(String, String, Long)].head()
+    assert(created === (("gold.mv_sales", "create", 0L)))
+    val mv = cat.table("gold", "mv_sales")
+    try {
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long, Long)]
+        .collect().toSeq === Seq(("a", 30L, 2L, 10L, 20L), ("b", 5L, 1L, 5L, 5L)))
+      // armed: the aggregate routes to the MV
+      val q = src.read.groupBy("k").agg(fsum("v").as("sv"))
+      assert(scansMv(q), "expected the aggregate to be served by the MV")
+
+      // append-only increment → REFRESH takes the incremental path
+      src.append(Seq(("b", 100L), ("c", 7L)).toDF("k", "v"))
+      assert(!scansMv(src.read.groupBy("k").agg(fsum("v"))),
+        "stale MV must not serve")
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_sales")
+        .as[(String, String, Long)].head()
+      assert(r === (("gold.mv_sales", "incremental", 1L)))
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long, Long)]
+        .collect().toSeq === Seq(("a", 30L, 2L, 10L, 20L),
+          ("b", 105L, 2L, 5L, 100L), ("c", 7L, 1L, 7L, 7L)))
+      val q2 = src.read.groupBy("k").agg(fsum("v").as("sv"))
+      assert(scansMv(q2), "refresh must re-arm routing")
+      assert(q2.orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 30L), ("b", 105L), ("c", 7L)))
+
+      // a second REFRESH with no source movement is a no-op
+      val r2 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_sales")
+        .as[(String, String, Long)].head()
+      assert(r2._2 === "noop")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("REFRESH falls back to full recompute after non-append DML") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "facts")
+    src.append(Seq(("a", 10L), ("a", 2L), ("b", 5L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_facts AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.facts GROUP BY k")
+    val mv = cat.table("gold", "mv_facts")
+    try {
+      src.delete(col("v") === 2L) // retraction — deltas can't express it
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_facts")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "full")
+      assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq ===
+        Seq(("a", 10L, 1L), ("b", 5L, 1L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("incremental refresh keeps NULL-combine semantics for sum") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "nulls")
+    src.append(Seq(("a", Some(3L)), ("b", None): (String, Option[Long]))
+      .toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_nulls AS SELECT k, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v FROM silver.nulls GROUP BY k")
+    val mv = cat.table("gold", "mv_nulls")
+    try {
+      // delta for `a` is all-NULL (sum NULL) and must not erase 3;
+      // delta for `b` lands the first non-NULL value over a NULL base
+      src.append(Seq(("a", None), ("b", Some(4L)): (String, Option[Long]))
+        .toDF("k", "v"))
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_nulls")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "incremental")
+      assert(mv.read.orderBy("k").as[(String, Option[Long], Long)]
+        .collect().toSeq === Seq(("a", Some(3L), 1L), ("b", Some(4L), 1L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("closed grammar: bad select items and avg are refused loudly") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "g")
+    src.append(Seq(("a", 1L)).toDF("k", "v"))
+    val e1 = intercept[RuntimeException](sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_g AS SELECT k, avg(v) AS a " +
+        "FROM silver.g GROUP BY k"))
+    assert(e1.getMessage.contains("avg is derived"))
+    val e2 = intercept[IllegalArgumentException](sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_g AS SELECT k, sum(*) AS s " +
+        "FROM silver.g GROUP BY k"))
+    assert(e2.getMessage.contains("not a materializable"))
+    val e3 = intercept[IllegalArgumentException](sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_g AS SELECT sum(v) AS s " +
+        "FROM silver.g GROUP BY k"))
+    assert(e3.getMessage.contains("must equal GROUP BY"))
+    // plain CREATE refuses an existing target; OR REPLACE replaces
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_g AS SELECT k, " +
+      "sum(v) AS s FROM silver.g GROUP BY k")
+    val e4 = intercept[IllegalArgumentException](sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_g AS SELECT k, sum(v) AS s " +
+        "FROM silver.g GROUP BY k"))
+    assert(e4.getMessage.contains("OR REPLACE"))
+    sql.sql("CREATE OR REPLACE MATERIALIZED VIEW gold.mv_g AS SELECT k, " +
+      "sum(v) AS s FROM silver.g GROUP BY k")
+    MvRewrite.deregister(cat.table("gold", "mv_g"))
+  }
+
+  test("DROP TABLE un-arms a routed MV before deleting it") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "dr")
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_dr AS SELECT k, " +
+      "sum(v) AS s FROM silver.dr GROUP BY k")
+    assert(scansMv(src.read.groupBy("k").agg(fsum("v"))))
+    sql.sql("DROP TABLE gold.mv_dr")
+    // the routed path is gone — the query must fall back AND still run
+    val q = src.read.groupBy("k").agg(fsum("v").as("s"))
+    assert(!scansMv(q))
+    assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 1L), ("b", 2L)))
+  }
+}

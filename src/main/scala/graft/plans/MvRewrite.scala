@@ -123,14 +123,17 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     paths <- plainScanPaths(agg.child)
-    entry <- entries.values.asScala.find(_.sourcePaths == paths)
     groupAttrs <- Some(agg.groupingExpressions).collect {
       case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
         gs.map(_.asInstanceOf[AttributeReference])
     }
-    if groupAttrs.map(_.name).toSet == entry.groupCols.toSet
-    plans <- buildProjection(agg, entry)
-  } yield plans
+    // several MVs can cover the same snapshot (different agg sets) —
+    // serve from the first whose registered surface covers this query
+    plan <- entries.values.asScala
+      .filter(e => e.sourcePaths == paths &&
+        groupAttrs.map(_.name).toSet == e.groupCols.toSet)
+      .view.flatMap(buildProjection(agg, _)).headOption
+  } yield plan
 
   /** Map every output expression of `agg` onto MV columns; None (no
     * rewrite) the moment anything falls outside the registered surface. */

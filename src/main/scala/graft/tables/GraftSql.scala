@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 import org.apache.spark.sql.types.StructType
 
 /** The SQL maintenance surface (docs/backlog.md:103-106, the reference's
@@ -592,14 +592,24 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
   }
 
-  /** REFRESH MATERIALIZED VIEW mv — incremental when every source commit
-    * since the covered version is an append (delta aggregate over
-    * `readAddedSince` + combining bucket-COW merge: O(new data)); full
-    * recompute otherwise (updates/deletes can retract, which sum/count
-    * deltas over appended file-sets cannot express without CDF). Either
-    * way the covered version advances and the rewrite rule re-arms —
-    * REFRESH is also the re-arm point after a process restart (the
-    * rewrite registry is in-memory; the definition is not). */
+  /** REFRESH MATERIALIZED VIEW mv — cheapest maintenance the source's
+    * history shape allows, O(changed data) whenever expressible:
+    *
+    *   - append-only tail → delta aggregate over `readAddedSince` +
+    *     combining bucket-COW merge ("incremental");
+    *   - retractions (UPDATE/DELETE/merge) with the source's change feed
+    *     on → signed-delta refresh from the row-level CDF
+    *     (+postimage/insert, −preimage/delete), provided every aggregate
+    *     is sum/count, count(*) is materialized (emptied groups must
+    *     drop, as a recompute would) and every sum(c) has a count(c)
+    *     companion (a group whose surviving c-values are all NULL must
+    *     show sum NULL, not an arithmetic 0 — the classic incremental-MV
+    *     retraction bug); min/max cannot absorb retractions ("cdf");
+    *   - anything else → full recompute ("full").
+    *
+    * Either way the covered version advances and the rewrite rule
+    * re-arms — REFRESH is also the re-arm point after a process restart
+    * (the rewrite registry is in-memory; the definition is not). */
   private def refreshMaterializedView(mvIdent: String): DataFrame = {
     import spark.implicits._
     val mv = resolve(mvIdent)
@@ -615,6 +625,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val v0 = props(GraftSql.MvVersionProp).toLong
     val srcV = src.latestVersion.getOrElse(v0)
     val later = src.history.filter(_.version > v0)
+    val countStar = aggs.collectFirst { case ("count", "*", o) => o }
+    val cdfCapable = src.changeFeedEnabled && countStar.nonEmpty &&
+      aggs.forall { case (f, c, _) =>
+        f == "count" || (f == "sum" && aggs.exists(a =>
+          a._1 == "count" && a._2 == c))
+      }
+    def recompute(): Unit =
+      mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
+        .agg(GraftSql.mvAggColumns(aggs).head,
+          GraftSql.mvAggColumns(aggs).tail: _*))
     val mode =
       if (later.isEmpty) "noop"
       else if (later.forall(_.action == "append")) {
@@ -625,10 +645,47 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           case (f, _, o) => o -> GraftSql.mvCombine(f)
         }.toMap)
         "incremental"
+      } else if (cdfCapable) {
+        val sgn = when(col("_change_type")
+          .isin("insert", "update_postimage"), 1L)
+          .when(col("_change_type")
+            .isin("delete", "update_preimage"), -1L)
+        val signedAggs = aggs.map {
+          case ("count", "*", o) =>
+            org.apache.spark.sql.functions.sum(col("__sgn")).as(o)
+          case ("count", c, o) => org.apache.spark.sql.functions.sum(
+            when(col(c).isNotNull, col("__sgn")).otherwise(0L)).as(o)
+          case ("sum", c, o) =>
+            org.apache.spark.sql.functions.sum(col(c) * col("__sgn")).as(o)
+          case (f, c, _) => sys.error(s"unreachable: $f($c) on the cdf path")
+        }
+        val delta = src.readChangeFeed(v0).withColumn("__sgn", sgn)
+          .groupBy(groupCols.map(col): _*)
+          .agg(signedAggs.head, signedAggs.tail: _*)
+        mv.merge(delta, groupCols, updateExprs = aggs.map {
+          case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
+          case (_, _, o)       => o -> GraftSql.mvCombine("sum")
+        }.toMap)
+        // emptied groups drop, as a recompute would
+        mv.delete(col(countStar.get) === 0L)
+        // retraction NULL-fix: a surviving group whose c-values are now
+        // all NULL must show sum NULL — signed arithmetic left a number
+        aggs.foreach {
+          case ("sum", c, o) =>
+            val cnt = aggs.collectFirst {
+              case ("count", `c`, oc) => oc }.get
+            val stale = mv.read
+              .filter(col(cnt) === 0L && col(o).isNotNull).limit(1)
+            if (!stale.isEmpty) {
+              mv.update(Map(o -> lit(null).cast(mv.read.schema(o).dataType)),
+                col(cnt) === 0L && col(o).isNotNull)
+              ()
+            }
+          case _ => ()
+        }
+        "cdf"
       } else {
-        mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
-          .agg(GraftSql.mvAggColumns(aggs).head,
-            GraftSql.mvAggColumns(aggs).tail: _*))
+        recompute()
         "full"
       }
     if (mode != "noop")

@@ -108,6 +108,72 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("CDF-enabled source: REFRESH absorbs updates and deletes as " +
+    "signed deltas instead of recomputing") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "cdf_src")
+    src.enableChangeFeed()
+    src.append(Seq(("a", Some(10L)), ("a", Some(2L)), ("b", Some(5L)),
+      ("c", Some(1L))).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_cdf AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt, count(v) AS cnt_v " +
+      "FROM silver.cdf_src GROUP BY k")
+    val mv = cat.table("gold", "mv_cdf")
+    try {
+      // retraction mix: reprice one row, delete a whole group, delete
+      // one row of a surviving group
+      src.update(Map("v" -> (col("v") * 10L)), col("v") === 2L)
+      src.delete(col("k") === "c")
+      src.delete(col("v") === 5L) // empties b
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdf")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "cdf", "change-feed source must take the CDF path")
+      // == full recompute: a (10 + 20), b and c gone
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long)]
+        .collect().toSeq === Seq(("a", 30L, 2L, 2L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("CDF retraction leaving only NULL values yields sum NULL, not 0") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "cdf_nul")
+    src.enableChangeFeed()
+    src.append(Seq(("a", Some(7L)), ("a", None): (String, Option[Long]))
+      .toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_cdfn AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt, count(v) AS cnt_v " +
+      "FROM silver.cdf_nul GROUP BY k")
+    val mv = cat.table("gold", "mv_cdfn")
+    try {
+      src.delete(col("v") === 7L) // a survives with one all-NULL row
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdfn")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "cdf")
+      assert(mv.read.as[(String, Option[Long], Long, Long)]
+        .collect().toSeq === Seq(("a", None, 1L, 0L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("CDF path requires count(*) and sum/count-only aggregates; " +
+    "min/max fall back to full recompute") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "cdf_mm")
+    src.enableChangeFeed()
+    src.append(Seq(("a", 1L), ("a", 9L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_cdfmm AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt, count(v) AS cnt_v, " +
+      "min(v) AS min_v FROM silver.cdf_mm GROUP BY k")
+    val mv = cat.table("gold", "mv_cdfmm")
+    try {
+      src.delete(col("v") === 1L) // retracts the current min
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdfmm")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "full", "min/max cannot absorb retractions")
+      assert(mv.read.as[(String, Long, Long, Long, Long)]
+        .collect().toSeq === Seq(("a", 9L, 1L, 1L, 9L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("closed grammar: bad select items and avg are refused loudly") {
     val (cat, sql) = warehouse()
     val src = cat.table("silver", "g")

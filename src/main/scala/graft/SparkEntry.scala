@@ -2749,6 +2749,34 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_orders"))
     }),
 
+    // Type widening DDL: ALTER COLUMN TYPE int->bigint is one empty
+    // schema-arm commit (zero data rewritten); post-DDL rows exceed the
+    // int range, pre-DDL arms coerce through the union fold, and time
+    // travel still sees the narrow generation. The oracle replays both
+    // generations' rows and expects the widened type name literally.
+    "q_sql_widen" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-sqlwd-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("k"),
+          col("n_name").as("name"))
+      val tbl = cat.table("silver", "wnation")
+      tbl.append(n)
+      val preV = tbl.latestVersion.get
+      val gsql = graft.tables.GraftSql(s, cat)
+      gsql.sql("ALTER TABLE silver.wnation ALTER COLUMN k TYPE BIGINT")
+      tbl.append(n.select(
+        (col("k").cast("bigint") + lit(10000000000L)).as("k"),
+        col("name")))
+      tbl.read.agg(count(lit(1)).as("n_rows"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .withColumn("k_type", lit(tbl.read.schema("k").dataType.simpleString))
+        .withColumn("pre_ddl_rows", lit(tbl.readVersion(preV).count()))
+        .withColumn("pre_ddl_type",
+          lit(tbl.readVersion(preV).schema("k").dataType.simpleString))
+    }),
+
     "q_sql_optimize" -> ((s, dir) => {
       val wh = Files.createTempDirectory("graft-sqlopt-").toString
       val cat = new graft.tables.Catalog(s, wh)
@@ -3114,6 +3142,20 @@ object SparkEntry {
         |  'incremental' AS mode1, 'full' AS mode2, TRUE AS mv_served
         |FROM orders WHERE o_orderkey > 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_widen" ->
+      """WITH w AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 10000000000 AS k FROM nation)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  'bigint' AS k_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation) AS pre_ddl_rows,
+        |  'int' AS pre_ddl_type
+        |FROM w""".stripMargin,
 
     "q_sql_optimize" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_rows,

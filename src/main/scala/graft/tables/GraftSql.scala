@@ -56,6 +56,7 @@ import org.apache.spark.sql.types.StructType
   *   ALTER TABLE <table> ADD COLUMNS (c TYPE, ...)   -- metadata-only
   *   ALTER TABLE <table> ALTER COLUMN <c> SET DEFAULT <expr> | DROP DEFAULT
   *   ALTER TABLE <table> ALTER COLUMN <c> SET NOT NULL | DROP NOT NULL
+  *   ALTER TABLE <table> ALTER COLUMN <c> TYPE <t>   -- lossless widening
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   ALTER TABLE <table> RENAME TO <table>   -- one directory move
@@ -280,6 +281,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       (ownedRoot(src), ownedRoot(dst)) match {
         case (Some(s), Some(d)) => renameTable(src, s, dst, d)
         case _                  => spark.sql(stmt)
+      }
+    case AlterColTypeStmt(ident, c, typeDdl) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val name = stripTicks(c)
+        val dt = org.apache.spark.sql.types.StructType
+          .fromDDL(s"__x $typeDdl").fields(0).dataType
+        t.widenColumnType(name, dt)
+        import spark.implicits._
+        Seq((name, dt.simpleString)).toDF("column", "new_type")
       }
     case SetNotNullStmt(ident, c) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
@@ -1845,6 +1855,9 @@ object GraftSql {
   private val RenameTableStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+RENAME\s+TO\s+""" + Ident + """\s*;?\s*""").r
+  private val AlterColTypeStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+([\w]+)\s*;?\s*""").r
   private val SetNotNullStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""").r

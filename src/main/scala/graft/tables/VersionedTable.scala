@@ -1254,6 +1254,42 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), extended))
   }
 
+  /** ALTER TABLE … ALTER COLUMN c TYPE t — type widening (Delta 3.x's
+    * type-widening table feature), metadata-priced like [[addColumns]]:
+    * commits an EMPTY file-set whose schema carries the widened type.
+    * No file rewrites — the union-arm fold already coerces mixed-width
+    * arms to their common wider type (Spark's set-operation widening),
+    * so old int arms and new bigint arms read as ONE bigint column,
+    * while time travel to pre-DDL versions still shows the narrow type.
+    * Bloom sidecars hash the STRING form by design (type-drift-safe)
+    * and min/max stats compare numerically, so data skipping on the
+    * widened column keeps pruning old file-sets.
+    *
+    * Only lossless numeric widenings are allowed (narrowing would make
+    * existing arms unreadable as declared). Refused on bucket/partition
+    * keys — `hash(5: INT) != hash(5L: BIGINT)`, so widening a merge key
+    * would silently re-route rows away from their existing cells — and
+    * on columns referenced by CHECKs/generated columns or declared
+    * IDENTITY. */
+  def widenColumnType(name: String, newType: org.apache.spark.sql.types.DataType): LogEntry = {
+    require(history.nonEmpty, s"empty table at $root")
+    val cur = read.schema
+    val f = cur.fields.find(_.name == name).getOrElse(
+      sys.error(s"ALTER COLUMN TYPE: no column `$name` at $root"))
+    require(VersionedTable.LosslessWidenings.contains((f.dataType, newType)),
+      s"ALTER COLUMN TYPE: ${f.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a supported lossless widening " +
+        "(byte/short/int -> a wider integral type, float -> double)")
+    requireUnencumbered(name, "ALTER COLUMN TYPE")
+    require(!identityColumns.exists(_._1 == name),
+      s"ALTER COLUMN TYPE: `$name` is an IDENTITY column at $root")
+    val widened = org.apache.spark.sql.types.StructType(
+      cur.fields.map(fl => if (fl.name == name) fl.copy(dataType = newType)
+        else fl))
+    append(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), widened))
+  }
+
   // ------------------------------------- column rename (mapping, metadata-only)
 
   private def colmapPath: Path = Paths.get(root, "_colmap.json")
@@ -3503,6 +3539,16 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 }
 
 object VersionedTable {
+  /** Widenings where every value of the narrow type is exactly
+    * representable in the wide one (so pre-DDL arms stay faithful). */
+  private val LosslessWidenings: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    Set[(DataType, DataType)](
+      (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+      (ShortType, IntegerType), (ShortType, LongType),
+      (IntegerType, LongType), (FloatType, DoubleType))
+  }
   def apply(spark: SparkSession, root: String): VersionedTable =
     new VersionedTable(spark, root)
 

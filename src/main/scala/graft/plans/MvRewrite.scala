@@ -32,15 +32,21 @@ import graft.tables.VersionedTable
   * construction. After an incremental refresh (see `q_mv_incremental`'s
   * `readAddedSince` / CDF patterns), re-[[register]] to re-arm.
   *
-  * Match surface (v1, deliberately conservative — anything else is left
-  * untouched): a single [[Aggregate]] directly over the source scan
-  * (attribute-only Projects in between are stripped; any Filter, join or
-  * expression bails), grouping exactly on the registered group columns,
-  * with aggregates drawn from `sum(col)`, `count(*)`, `count(col)`,
-  * `min(col)`, `max(col)` that the MV materialized, plus `avg(col)`
-  * derived as `sum(col)/count(col)` when both are registered. Distinct
-  * aggregates and FILTER clauses bail. The rewrite aliases MV columns to
-  * the original output attribute ids, so the parent plan is untouched.
+  * Match surface (deliberately conservative — anything else is left
+  * untouched): a single [[Aggregate]] over the source scan
+  * (attribute-only Projects are stripped; joins or expression inputs
+  * bail), with aggregates drawn from `sum(col)`, `count(*)`,
+  * `count(col)`, `min(col)`, `max(col)` that the MV materialized, plus
+  * `avg(col)` derived as `sum(col)/count(col)` when both are
+  * registered. Distinct aggregates and FILTER clauses bail. Grouping
+  * may be the registered group columns exactly (served as a Project of
+  * the MV) or any strict subset of them, including none — the rollup
+  * rewrite: the MV re-aggregates (`count` re-sums, min/max re-combine,
+  * avg re-derives), exact because MV rows partition source rows by the
+  * full group set. A deterministic Filter between aggregate and scan
+  * rewrites onto the MV when it references group columns only. The
+  * rewrite aliases MV columns to the original output attribute ids, so
+  * the parent plan is untouched.
   *
   * Wire-up: [[MvRewrite.install]] arms an existing session via
   * `spark.experimental.extraOptimizations`; [[GraftSparkExtensions]] is
@@ -76,7 +82,8 @@ object MvRewrite extends Rule[LogicalPlan] {
                groupCols: Seq[String], aggs: Seq[AggSpec]): Unit = {
     require(aggs.forall(a => Set("sum", "count", "min", "max")(a.fn)),
       s"MV rewrite: unsupported agg fn in ${aggs.map(_.fn).mkString(",")}")
-    val paths = plainScanPaths(source.read.queryExecution.analyzed)
+    val paths = scanWithFilters(source.read.queryExecution.analyzed)
+      .collect { case (ps, Nil) => ps }
       .getOrElse(sys.error("MV rewrite: source snapshot is not a plain " +
         s"single-relation scan at ${source.root} — registration refused"))
     val mvCols = mv.read.columns.toSet
@@ -107,22 +114,31 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The scan's file-set roots, when the plan is exactly one parquet
-    * relation under attribute-only Projects — the snapshot identity the
-    * freshness check compares. */
-  private def plainScanPaths(p: LogicalPlan): Option[Set[String]] = p match {
+  /** The scan's file-set roots plus any deterministic Filter conditions
+    * collected on the way down, when the plan is exactly one parquet
+    * relation under attribute-only Projects and Filters — the snapshot
+    * identity the freshness check compares. Subquery-bearing or
+    * non-deterministic predicates bail. */
+  private def scanWithFilters(
+      p: LogicalPlan): Option[(Set[String], Seq[Expression])] = p match {
     case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      plainScanPaths(c)
+      scanWithFilters(c)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.deterministic &&
+          f.condition.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      scanWithFilters(f.child).map { case (paths, fs) =>
+        (paths, f.condition +: fs)
+      }
     case l: LogicalRelation => l.relation match {
       case r: HadoopFsRelation =>
-        Some(r.location.rootPaths.map(_.toString).toSet)
+        Some((r.location.rootPaths.map(_.toString).toSet, Nil))
       case _ => None
     }
     case _ => None
   }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    paths <- plainScanPaths(agg.child)
+    pf <- scanWithFilters(agg.child)
     groupAttrs <- Some(agg.groupingExpressions).collect {
       case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
         gs.map(_.asInstanceOf[AttributeReference])
@@ -130,17 +146,45 @@ object MvRewrite extends Rule[LogicalPlan] {
     // several MVs can cover the same snapshot (different agg sets) —
     // serve from the first whose registered surface covers this query
     plan <- entries.values.asScala
-      .filter(e => e.sourcePaths == paths &&
-        groupAttrs.map(_.name).toSet == e.groupCols.toSet)
-      .view.flatMap(buildProjection(agg, _)).headOption
+      .filter(_.sourcePaths == pf._1)
+      .view.flatMap(rewriteAgainst(agg, groupAttrs, pf._2, _)).headOption
   } yield plan
 
-  /** Map every output expression of `agg` onto MV columns; None (no
-    * rewrite) the moment anything falls outside the registered surface. */
-  private def buildProjection(agg: Aggregate, entry: Entry): Option[LogicalPlan] = {
+  /** One candidate MV against one aggregate: exact group match serves a
+    * Project of the MV; a strict SUBSET of the MV's group columns
+    * (including none — a global aggregate) re-aggregates the MV — the
+    * classic rollup rewrite, exact because MV rows partition source
+    * rows by the full group set and sum/count/min/max all re-combine.
+    * A Filter between aggregate and scan rewrites onto the MV when it
+    * references group columns only (a row predicate on group columns IS
+    * a group predicate). */
+  private def rewriteAgainst(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+                             filters: Seq[Expression],
+                             entry: Entry): Option[LogicalPlan] = {
+    val qGroups = groupAttrs.map(_.name).toSet
+    val mvGroups = entry.groupCols.toSet
+    if (!qGroups.subsetOf(mvGroups)) return None
+    if (!filters.forall(_.references.forall(a => mvGroups(a.name))))
+      return None
     // resolve the MV scan only after the cheap metadata match succeeded
     val mvPlan = entry.mvRead().queryExecution.analyzed
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
+    val base: LogicalPlan =
+      if (filters.isEmpty) mvPlan
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+        filters.map(_.transform {
+          case a: AttributeReference => mvAttr(a.name)
+        }).reduce(And), mvPlan)
+    if (qGroups == mvGroups) buildProjection(agg, entry, base, mvAttr)
+    else buildRollup(agg, groupAttrs, entry, base, mvAttr)
+  }
+
+  /** Exact-group service: map every output expression of `agg` onto MV
+    * columns; None (no rewrite) the moment anything falls outside the
+    * registered surface. */
+  private def buildProjection(agg: Aggregate, entry: Entry,
+                              base: LogicalPlan,
+                              mvAttr: Map[String, Attribute]): Option[LogicalPlan] = {
     val groupNames = entry.groupCols.toSet
 
     def aggCol(fn: String, c: String): Option[Expression] =
@@ -183,6 +227,66 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    aliasOutputs(agg, rewriteOne).map(Project(_, base))
+  }
+
+  /** Rollup service: the query groups by a strict subset of the MV's
+    * group columns, so every output aggregate re-combines MV cells —
+    * sum/count re-sum, min/max re-min/max, avg re-derives from re-summed
+    * sum+count. */
+  private def buildRollup(agg: Aggregate, groupAttrs: Seq[AttributeReference],
+                          entry: Entry, base: LogicalPlan,
+                          mvAttr: Map[String, Attribute]): Option[LogicalPlan] = {
+    val qGroupNames = groupAttrs.map(_.name).toSet
+
+    def aggCol(fn: String, c: String): Option[Expression] =
+      entry.aggs.get((fn, c)).map(mvAttr)
+    def reSum(c: Option[Expression]): Option[Expression] =
+      c.map(x => Sum(x).toAggregateExpression())
+
+    def rewriteOne(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference if qGroupNames(a.name) => mvAttr.get(a.name)
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(Literal(_, _))         => reSum(aggCol("count", "*"))
+            case Seq(a: AttributeReference) => reSum(aggCol("count", a.name))
+            case _                          => None
+          }
+          case s: Sum => s.child match {
+            case a: AttributeReference => reSum(aggCol("sum", a.name))
+            case _                     => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference =>
+              aggCol("min", a.name).map(x => Min(x).toAggregateExpression())
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference =>
+              aggCol("max", a.name).map(x => Max(x).toAggregateExpression())
+            case _ => None
+          }
+          case av: Average if av.dataType == DoubleType => av.child match {
+            case a: AttributeReference => for {
+              s <- reSum(aggCol("sum", a.name))
+              c <- reSum(aggCol("count", a.name))
+            } yield Divide(Cast(s, DoubleType), Cast(c, DoubleType))
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+
+    aliasOutputs(agg, rewriteOne).map(
+      Aggregate(groupAttrs.map(a => mvAttr(a.name)), _, base))
+  }
+
+  /** Rewrite each output slot via `rewriteOne`, preserving the original
+    * names, exprIds, types and declared non-nullability. */
+  private def aliasOutputs(agg: Aggregate,
+      rewriteOne: Expression => Option[Expression]): Option[Seq[NamedExpression]] = {
     val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case al @ Alias(child, name) =>
         rewriteOne(child).flatMap(retype(_, al.dataType, al.nullable)).map {
@@ -194,8 +298,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    if (rewritten.forall(_.isDefined)) Some(Project(rewritten.flatten, mvPlan))
-    else None
+    if (rewritten.forall(_.isDefined)) Some(rewritten.flatten) else None
   }
 
   /** Match the original output slot's type exactly; restore declared

@@ -96,12 +96,13 @@ class MvRewriteSpec extends SparkSpec {
     MvRewrite.install(spark)
     val (src, mv) = fixture()
     try {
-      // a filter between scan and aggregate → no rewrite
+      // a filter on a NON-group column → no rewrite (it changes the
+      // per-group row set, which the MV cannot re-derive)
       val f = src.read.filter($"v" > 6).groupBy("k").agg(sum("v").as("sv"))
       assert(scannedPaths(f).forall(_.contains("/src/")))
       assert(f.orderBy("k").as[(String, Long)].collect().toSeq ===
         Seq(("a", 30L), ("c", 7L)))
-      // different grouping → no rewrite
+      // grouping by a SUPERSET of the MV's group columns → no rewrite
       val g = src.read.groupBy("k", "v").agg(count(lit(1)))
       assert(scannedPaths(g).forall(_.contains("/src/")))
       // distinct aggregate → no rewrite
@@ -113,6 +114,68 @@ class MvRewriteSpec extends SparkSpec {
       // expression-valued agg input → no rewrite
       val e = src.read.groupBy("k").agg(sum($"v" * 2))
       assert(scannedPaths(e).forall(_.contains("/src/")))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("rollup: grouping by a subset of the MV's group columns " +
+    "re-aggregates the MV") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-mvrw-")
+    val src = new VersionedTable(spark, s"$root/src")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    src.append(Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 5L),
+      ("b", "x", 3L)).toDF("k1", "k2", "v"))
+    mv.overwrite(src.read.groupBy("k1", "k2").agg(
+      sum("v").as("sum_v"), count(lit(1)).as("cnt"),
+      min("v").as("min_v"), max("v").as("max_v"), count("v").as("cnt_v")))
+    MvRewrite.register(src, mv, Seq("k1", "k2"), Seq(
+      MvRewrite.AggSpec("sum", "v", "sum_v"),
+      MvRewrite.AggSpec("count", "*", "cnt"),
+      MvRewrite.AggSpec("min", "v", "min_v"),
+      MvRewrite.AggSpec("max", "v", "max_v"),
+      MvRewrite.AggSpec("count", "v", "cnt_v")))
+    try {
+      val q = src.read.groupBy("k1").agg(sum("v").as("sv"),
+        count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"),
+        avg("v").as("ax"))
+      assert(scannedPaths(q).forall(_.contains("/mv/")),
+        "subset grouping must be served by re-aggregating the MV")
+      assert(q.orderBy("k1").collect().map(_.toSeq).toSeq === Seq(
+        Seq("a", 30L, 2L, 10L, 20L, 15.0),
+        Seq("b", 8L, 2L, 3L, 5L, 4.0)))
+      // global aggregate (no grouping) is the extreme rollup
+      val g = src.read.agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      assert(scannedPaths(g).forall(_.contains("/mv/")))
+      assert(g.as[(Long, Long)].head() === ((38L, 4L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("filters on group columns rewrite onto the MV; rollup composes") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-mvrw-")
+    val src = new VersionedTable(spark, s"$root/src")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    src.append(Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 5L),
+      ("c", "y", 2L)).toDF("k1", "k2", "v"))
+    mv.overwrite(src.read.groupBy("k1", "k2").agg(
+      sum("v").as("sum_v"), count(lit(1)).as("cnt")))
+    MvRewrite.register(src, mv, Seq("k1", "k2"), Seq(
+      MvRewrite.AggSpec("sum", "v", "sum_v"),
+      MvRewrite.AggSpec("count", "*", "cnt")))
+    try {
+      // exact grouping + group-col filter
+      val q = src.read.filter($"k1" =!= "c").groupBy("k1", "k2")
+        .agg(sum("v").as("sv"))
+      assert(scannedPaths(q).forall(_.contains("/mv/")))
+      assert(q.orderBy("k1", "k2").as[(String, String, Long)]
+        .collect().toSeq ===
+        Seq(("a", "x", 10L), ("a", "y", 20L), ("b", "x", 5L)))
+      // rollup + filter on a group column the output does not keep
+      val r = src.read.filter($"k2" === "x").groupBy("k1")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      assert(scannedPaths(r).forall(_.contains("/mv/")))
+      assert(r.orderBy("k1").as[(String, Long, Long)].collect().toSeq ===
+        Seq(("a", 10L, 1L), ("b", 5L, 1L)))
     } finally MvRewrite.deregister(mv)
   }
 

@@ -1084,6 +1084,46 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // ST12: continuous MV maintenance — the graft-table sink's
+    // `aggregate` mode consumes a CDF stream and lands each batch as
+    // SIGNED deltas into the aggregate table (streaming form of REFRESH
+    // MATERIALIZED VIEW's cdf path; O(changed rows) per trigger,
+    // exactly-once via the markered merge). The chain mixes appends, a
+    // reprice UPDATE, a group-emptying DELETE across two sync rounds;
+    // the oracle recomputes the final aggregate from surviving rows —
+    // integer-exact, so any double-count or missed retraction breaks
+    // the hash.
+    "q_st12_mv_stream" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st12-").toString
+      val src = VersionedTable(s, s"$tmp/src")
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"))
+      src.enableChangeFeed()
+      src.append(o.filter(col("o_orderkey") % 2 === 0))                // v0
+      def sync(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("readChangeFeed", "true").load(s"$tmp/src")
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$tmp/cp")
+          .option("mergeKeys", "o_orderstatus")
+          .option("aggregate",
+            "sum:o_orderkey:sum_key;count:*:cnt;count:o_orderkey:cnt_key")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$tmp/mv")
+        q.awaitTermination()
+      }
+      sync()
+      src.append(o.filter(col("o_orderkey") % 2 === 1))                // v1
+      src.update(Map("o_orderstatus" -> lit("X")),
+        col("o_orderkey") % 10 === 3)                                  // v2
+      src.delete(col("o_orderkey") <= 999)                             // v3
+      sync()
+      VersionedTable(s, s"$tmp/mv").read
+        .select("o_orderstatus", "sum_key", "cnt", "cnt_key")
+        .orderBy("o_orderstatus")
+    }),
+
     // CDF across a column rename: one feed read spans the old-name era
     // (v0 inserts, physical n_name), the metadata-only rename (v1, no
     // change rows), and the new-name era (v2 updates, v3 deletes) — all
@@ -3194,6 +3234,19 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    // Streaming MV maintenance: final aggregate over surviving rows.
+    "q_st12_mv_stream" ->
+      """WITH survivors AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders WHERE o_orderkey > 999)
+        |SELECT o_orderstatus,
+        |  CAST(sum(k) AS BIGINT) AS sum_key,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(k) AS BIGINT) AS cnt_key
+        |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CDF-across-rename feed: every era's rows under the current name.
     "q_cdf_rename_feed" ->

@@ -248,12 +248,29 @@ object GraftTableSource {
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
                            mergeKeys: Seq[String], applyChanges: Boolean,
+                           aggregate: Option[String],
                            autoCompactEvery: Option[Long])
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
-    if (applyChanges) {
+    if (aggregate.nonEmpty) {
+      // Continuous MV maintenance over a CDF stream: each micro-batch's
+      // change rows land as SIGNED deltas into the aggregate table
+      // (same math as REFRESH MATERIALIZED VIEW's cdf path, shared via
+      // GraftSql.applyCdfDelta) — the streaming form of incremental-MV
+      // maintenance: O(changed rows) per trigger, retractions included,
+      // exactly-once via the markered merge (the follow-up emptied-group
+      // delete / sum NULL-fix commits are idempotent, so crash replays
+      // that no-op the merge still converge).
+      require(batch.columns.contains("_change_type"),
+        "graft-table sink: aggregate mode consumes a change-feed stream " +
+          "(.option(\"readChangeFeed\", \"true\") on the source)")
+      graft.tables.GraftSql.applyCdfDelta(
+        VersionedTable(data.sparkSession, root), batch,
+        mergeKeys, graft.tables.GraftSql.parseAggSpecs(aggregate.get),
+        txn = Some((appId, batchId)))
+    } else if (applyChanges) {
       // APPLY CHANGES INTO (DLT) over a CDF stream: the micro-batch
       // carries _change_type/_commit_version rows from a change-feed
       // source; keep each key's LATEST change (commit order), turn
@@ -357,9 +374,16 @@ final class GraftTableSourceProvider extends StreamSourceProvider
     require(!applyChanges || mergeKeys.nonEmpty,
       "graft-table sink: applyChanges needs option(\"mergeKeys\",\"k1,k2\") " +
         "— changes apply by key")
+    val aggregate = parameters.get("aggregate").map(_.trim).filter(_.nonEmpty)
+    require(aggregate.isEmpty || mergeKeys.nonEmpty,
+      "graft-table sink: aggregate mode needs option(\"mergeKeys\",\"g1,g2\") " +
+        "— the MV's group columns")
+    require(aggregate.isEmpty || !applyChanges,
+      "graft-table sink: aggregate and applyChanges are alternative modes")
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
       mergeKeys = mergeKeys, applyChanges = applyChanges,
+      aggregate = aggregate,
       autoCompactEvery = parameters.get("autoCompactEvery")
         .map(_.toLong).filter(_ > 0))
   }

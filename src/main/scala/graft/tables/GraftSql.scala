@@ -629,18 +629,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         s"${GraftSql.MvSourceProp} property)"))
     val src = VersionedTable(spark, srcRoot)
     val groupCols = props(GraftSql.MvGroupProp).split(",").toSeq
-    val aggs = props(GraftSql.MvAggsProp).split(";").toSeq.map { s =>
-      val Array(f, c, o) = s.split(":", 3); (f, c, o)
-    }
+    val aggs = GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
     val v0 = props(GraftSql.MvVersionProp).toLong
     val srcV = src.latestVersion.getOrElse(v0)
     val later = src.history.filter(_.version > v0)
-    val countStar = aggs.collectFirst { case ("count", "*", o) => o }
-    val cdfCapable = src.changeFeedEnabled && countStar.nonEmpty &&
-      aggs.forall { case (f, c, _) =>
-        f == "count" || (f == "sum" && aggs.exists(a =>
-          a._1 == "count" && a._2 == c))
-      }
+    val cdfCapable = src.changeFeedEnabled && GraftSql.cdfMaintainable(aggs)
     def recompute(): Unit =
       mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
         .agg(GraftSql.mvAggColumns(aggs).head,
@@ -656,43 +649,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         }.toMap)
         "incremental"
       } else if (cdfCapable) {
-        val sgn = when(col("_change_type")
-          .isin("insert", "update_postimage"), 1L)
-          .when(col("_change_type")
-            .isin("delete", "update_preimage"), -1L)
-        val signedAggs = aggs.map {
-          case ("count", "*", o) =>
-            org.apache.spark.sql.functions.sum(col("__sgn")).as(o)
-          case ("count", c, o) => org.apache.spark.sql.functions.sum(
-            when(col(c).isNotNull, col("__sgn")).otherwise(0L)).as(o)
-          case ("sum", c, o) =>
-            org.apache.spark.sql.functions.sum(col(c) * col("__sgn")).as(o)
-          case (f, c, _) => sys.error(s"unreachable: $f($c) on the cdf path")
-        }
-        val delta = src.readChangeFeed(v0).withColumn("__sgn", sgn)
-          .groupBy(groupCols.map(col): _*)
-          .agg(signedAggs.head, signedAggs.tail: _*)
-        mv.merge(delta, groupCols, updateExprs = aggs.map {
-          case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
-          case (_, _, o)       => o -> GraftSql.mvCombine("sum")
-        }.toMap)
-        // emptied groups drop, as a recompute would
-        mv.delete(col(countStar.get) === 0L)
-        // retraction NULL-fix: a surviving group whose c-values are now
-        // all NULL must show sum NULL — signed arithmetic left a number
-        aggs.foreach {
-          case ("sum", c, o) =>
-            val cnt = aggs.collectFirst {
-              case ("count", `c`, oc) => oc }.get
-            val stale = mv.read
-              .filter(col(cnt) === 0L && col(o).isNotNull).limit(1)
-            if (!stale.isEmpty) {
-              mv.update(Map(o -> lit(null).cast(mv.read.schema(o).dataType)),
-                col(cnt) === 0L && col(o).isNotNull)
-              ()
-            }
-          case _ => ()
-        }
+        GraftSql.applyCdfDelta(mv, src.readChangeFeed(v0), groupCols, aggs,
+          txn = None)
         "cdf"
       } else {
         recompute()
@@ -1523,6 +1481,86 @@ object GraftSql {
         case "min"   => org.apache.spark.sql.functions.min(col(c))
         case "max"   => org.apache.spark.sql.functions.max(col(c))
       }).as(out)
+    }
+
+  /** Whether `aggs` can absorb retractions from a row-level change feed:
+    * sum/count only, count(*) materialized (emptied groups must drop),
+    * every sum(c) with a count(c) companion (NULL-fix). */
+  private[graft] def cdfMaintainable(aggs: Seq[(String, String, String)]): Boolean =
+    aggs.exists(a => a._1 == "count" && a._2 == "*") &&
+      aggs.forall { case (f, c, _) =>
+        f == "count" || (f == "sum" && aggs.exists(a =>
+          a._1 == "count" && a._2 == c))
+      }
+
+  /** Apply one slice of a row-level change feed to an MV table as
+    * SIGNED deltas (+postimage/insert, −preimage/delete) — shared by
+    * `REFRESH MATERIALIZED VIEW` (one catch-up slice) and the
+    * `graft-table` sink's `aggregate` mode (one micro-batch per call,
+    * `txn`-markered for exactly-once replay). O(changed rows) + the
+    * touched MV cells; emptied groups drop; a surviving group whose
+    * values went all-NULL gets its sum NULL-fixed via the count(c)
+    * companion. Requires [[cdfMaintainable]] aggs. The post-merge
+    * delete/NULL-fix commits are idempotent, so a crash replay that
+    * no-ops the markered merge still converges. */
+  private[graft] def applyCdfDelta(mv: VersionedTable, feed: DataFrame,
+                                   groupCols: Seq[String],
+                                   aggs: Seq[(String, String, String)],
+                                   txn: Option[(String, Long)]): Unit = {
+    require(cdfMaintainable(aggs),
+      "CDF aggregate maintenance needs count(*) plus sum/count-only " +
+        s"aggregates (with count(c) for every sum(c)); got ${aggs.mkString(",")}")
+    val countStar = aggs.collectFirst { case ("count", "*", o) => o }.get
+    val sgn = when(col("_change_type")
+      .isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type")
+        .isin("delete", "update_preimage"), -1L)
+    val signedAggs = aggs.map {
+      case ("count", "*", o) =>
+        org.apache.spark.sql.functions.sum(col("__sgn")).as(o)
+      case ("count", c, o) => org.apache.spark.sql.functions.sum(
+        when(col(c).isNotNull, col("__sgn")).otherwise(0L)).as(o)
+      case ("sum", c, o) =>
+        org.apache.spark.sql.functions.sum(col(c) * col("__sgn")).as(o)
+      case (f, c, _) => sys.error(s"unreachable: $f($c) on the cdf path")
+    }
+    val delta = feed.withColumn("__sgn", sgn)
+      .groupBy(groupCols.map(col): _*)
+      .agg(signedAggs.head, signedAggs.tail: _*)
+    mv.merge(delta, groupCols, updateExprs = aggs.map {
+      case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
+      case (_, _, o)       => o -> mvCombine("sum")
+    }.toMap, txn = txn)
+    // emptied groups drop, as a recompute would (guarded: per-batch
+    // streaming calls must not commit a no-op delete every trigger)
+    if (!mv.read.filter(col(countStar) === 0L).limit(1).isEmpty) {
+      mv.delete(col(countStar) === 0L)
+      ()
+    }
+    // retraction NULL-fix: a surviving group whose c-values are now
+    // all NULL must show sum NULL — signed arithmetic left a number
+    aggs.foreach {
+      case ("sum", c, o) =>
+        val cnt = aggs.collectFirst { case ("count", `c`, oc) => oc }.get
+        val stale = mv.read
+          .filter(col(cnt) === 0L && col(o).isNotNull).limit(1)
+        if (!stale.isEmpty) {
+          mv.update(Map(o -> lit(null).cast(mv.read.schema(o).dataType)),
+            col(cnt) === 0L && col(o).isNotNull)
+          ()
+        }
+      case _ => ()
+    }
+  }
+
+  /** Parse the `fn:col:out;…` agg-spec string (the [[MvAggsProp]]
+    * format, also the sink's `aggregate` option). */
+  private[graft] def parseAggSpecs(s: String): Seq[(String, String, String)] =
+    s.split(";").toSeq.map { one =>
+      val Array(f, c, o) = one.split(":", 3)
+      require(Set("sum", "count", "min", "max")(f),
+        s"bad aggregate spec `$one` (fn must be sum|count|min|max)")
+      (f, c, o)
     }
 
   /** Combine a delta aggregate into the MV row under merge. sum uses the

@@ -489,6 +489,70 @@ class TableStreamSpec extends SparkSpec {
       Set((3, "c3"), (4, "d")))
   }
 
+  test("sink: aggregate mode maintains an MV from the change feed, " +
+    "retractions included") {
+    val src = tmpDir("ts-agg-src-")
+    val mvRoot = tmpDir("ts-agg-mv-")
+    val cp = tmpDir("ts-agg-cp-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append(Seq(("a", 10L), ("a", 2L), ("b", 5L), ("c", 1L))
+      .toDF("k", "v"))                                          // v0
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .option("aggregate", "sum:v:sum_v;count:*:cnt;count:v:cnt_v")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    sync()
+    val mv = VersionedTable(spark, mvRoot)
+    def state(): Set[(String, Option[Long], Long, Long)] =
+      mv.read.as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(state() === Set(("a", Some(12L), 2L, 2L), ("b", Some(5L), 1L, 1L),
+      ("c", Some(1L), 1L, 1L)))
+    // retraction mix: reprice, empty a group, append a new group
+    t.update(Map("v" -> ($"v" * 10L)), $"v" === 2L)             // v1
+    t.delete($"k" === "c")                                      // v2
+    t.append(Seq(("d", 7L)).toDF("k", "v"))                     // v3
+    sync()
+    assert(state() === Set(("a", Some(30L), 2L, 2L), ("b", Some(5L), 1L, 1L),
+      ("d", Some(7L), 1L, 1L)))
+    // nothing new: idempotent no-op
+    sync()
+    assert(state() === Set(("a", Some(30L), 2L, 2L), ("b", Some(5L), 1L, 1L),
+      ("d", Some(7L), 1L, 1L)))
+    // == full recompute over the final source state
+    val full = t.read.groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sum_v"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.count($"v").as("cnt_v"))
+      .as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(state() === full)
+  }
+
+  test("sink: aggregate mode on a non-CDF stream is refused loudly") {
+    val src = tmpDir("ts-aggx-src-")
+    val t = VersionedTable(spark, src)
+    t.append(Seq(("a", 1L)).toDF("k", "v"))
+    val q = spark.readStream.format("graft-table").load(src)
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", tmpDir("ts-aggx-cp-"))
+      .option("mergeKeys", "k")
+      .option("aggregate", "sum:v:s;count:*:c")
+      .trigger(Trigger.AvailableNow())
+      .start(tmpDir("ts-aggx-mv-"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      q.awaitTermination())
+    assert(e.getMessage.contains("change-feed") ||
+      Option(e.getCause).exists(_.getMessage.contains("change-feed")))
+  }
+
   test("readChangeFeed mode streams row-level updates and deletes") {
     val root = tmpDir("ts-cdf-")
     val cp = tmpDir("ts-cdf-cp-")

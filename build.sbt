@@ -37,4 +37,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 138 queries of whole-stage codegen overflow the default 240m JIT
+  // code cache mid-run; once full, later queries execute INTERPRETED at
+  // 5-10x task CPU (measured: q_topk_terms task time 0.15s -> 1.57s at
+  // query ~120, back to 0.18s with headroom). Benches and the test
+  // suite both run the whole surface in one JVM, so both forks get it.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1124,6 +1124,60 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // MV5: the rollup + filter faces of the routing rule. The MV is
+    // grouped on (returnflag, linestatus); the served queries group on
+    // a SUBSET (returnflag) with a group-column filter, plus a global
+    // aggregate — both must re-aggregate the MV, never scan the source.
+    // Flags encode the optimized plans' leaf paths into the hashed
+    // result; values oracle against a raw-parquet recompute.
+    "q_mv5_rollup" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val root = Files.createTempDirectory("graft-mvru-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      src.append(t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("l_quantity").cast("long").as("qty")))
+      mv.overwrite(src.read.groupBy("rf", "ls").agg(
+        sum("qty").as("s_q"), count(lit(1)).as("c_all"),
+        min("qty").as("mn_q"), max("qty").as("mx_q"),
+        count("qty").as("c_q")))
+      MvRewrite.register(src, mv, Seq("rf", "ls"), Seq(
+        MvRewrite.AggSpec("sum", "qty", "s_q"),
+        MvRewrite.AggSpec("count", "*", "c_all"),
+        MvRewrite.AggSpec("min", "qty", "mn_q"),
+        MvRewrite.AggSpec("max", "qty", "mx_q"),
+        MvRewrite.AggSpec("count", "qty", "c_q")))
+      MvRewrite.install(s)
+      def leafPaths(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.relation match {
+            case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+        }.flatten
+      def fromMv(df: DataFrame): Boolean = {
+        val ps = leafPaths(df)
+        ps.nonEmpty && ps.forall(_.contains("/mv"))
+      }
+      try {
+        val rollup = src.read.filter(col("ls") === "F").groupBy("rf").agg(
+          sum("qty").as("sum_qty"), count(lit(1)).as("n_rows"),
+          min("qty").as("min_qty"), max("qty").as("max_qty"),
+          avg("qty").as("avg_qty"))
+        val global = src.read.agg(sum("qty").as("g_sum"),
+          count(lit(1)).as("g_rows"))
+        val globalRow = global.first()
+        rollup
+          .withColumn("g_sum", lit(globalRow.getLong(0)))
+          .withColumn("g_rows", lit(globalRow.getLong(1)))
+          .withColumn("rollup_from_mv", lit(fromMv(rollup)))
+          .withColumn("global_from_mv", lit(fromMv(global)))
+          .orderBy("rf")
+      } finally MvRewrite.deregister(mv)
+    }),
+
     // CDF across a column rename: one feed read spans the old-name era
     // (v0 inserts, physical n_name), the metadata-only rename (v1, no
     // change rows), and the new-name era (v2 updates, v3 deletes) — all
@@ -3234,6 +3288,20 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_mv5_rollup" ->
+      """SELECT l_returnflag AS rf,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
+        |  avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
+        |  (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |     FROM lineitem) AS g_sum,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS g_rows,
+        |  TRUE AS rollup_from_mv, TRUE AS global_from_mv
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Streaming MV maintenance: final aggregate over surviving rows.
     "q_st12_mv_stream" ->

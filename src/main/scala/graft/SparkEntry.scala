@@ -1124,6 +1124,21 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Deterministic shuffle-shard: the corpus in md5(seed:id) order cut
+    // into contiguous equal shards — the dataloader layout every
+    // pretraining pipeline materializes last. Engine-portable by
+    // construction: the oracle replays the FULL per-document assignment
+    // (key, shard, position) in DuckDB via the same md5 window.
+    "q_shard_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+      graft.ops.Sharding.assignShards(docs, "doc_id", "graft",
+          numShards = 8)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"),
+          col("shard_pos"))
+        .orderBy("doc_id")
+    }),
+
     // MV5: the rollup + filter faces of the routing rule. The MV is
     // grouped on (returnflag, linestatus); the served queries group on
     // a SUBSET (returnflag) with a group-column filter, plus a global
@@ -3288,6 +3303,21 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH ranked AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |    row_number() OVER (
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS r,
+        |    count(*) OVER () AS t
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(floor(r * 8 / t) AS INTEGER) AS shard,
+        |  CAST(r - floor((floor(r * 8 / t) * t + 7) / 8) AS BIGINT)
+        |    AS shard_pos
+        |FROM ranked ORDER BY doc_id""".stripMargin,
 
     "q_mv5_rollup" ->
       """SELECT l_returnflag AS rf,

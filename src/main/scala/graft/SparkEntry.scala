@@ -1124,6 +1124,31 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Temperature-scaled mixture sampling (α=0.5 multilingual recipe):
+    // per-domain keep-rates derived from corpus counts by sqrt scaling,
+    // computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
+    // oracle — sqrt is the one IEEE-correctly-rounded irrational step,
+    // so both engines derive bit-identical thresholds); tail domains
+    // upweight, the head downweights, oversized shares clamp to
+    // keep-all. Oracle replays thresholds AND kept counts.
+    "q_mix_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      val counts = docs.groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      val budget = counts.values.sum / 3
+      val thr = graft.ops.Sampling.sqrtTemperatureThresholds(counts, budget)
+      val kept = graft.ops.Sampling
+        .temperatureMixtureSample(docs, "doc_id", "source", counts, budget)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      counts.toSeq.map { case (d, n) => (d, n, thr(d).toLong) }
+        .toDF("source", "n_total", "threshold")
+        .join(kept, Seq("source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("source")
+    }),
+
     // Deterministic shuffle-shard: the corpus in md5(seed:id) order cut
     // into contiguous equal shards — the dataloader layout every
     // pretraining pipeline materializes last. Engine-portable by
@@ -3303,6 +3328,30 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST(count(*) AS BIGINT) // 3 AS budget FROM documents),
+        |w AS (SELECT source, n,
+        |    CAST(round(sqrt(n) * 1048576) AS HUGEINT) AS w FROM c),
+        |sw AS (SELECT sum(w) AS s FROM w),
+        |t AS (SELECT source, n,
+        |    least(CAST((65536 * budget * w + (s * n) // 2) // (s * n)
+        |      AS BIGINT), 65536) AS thr
+        |  FROM w, sw, b),
+        |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM documents d JOIN t ON d.source = t.source
+        |  WHERE t.thr >= 65536
+        |     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |        < printf('%04x', t.thr)
+        |  GROUP BY 1)
+        |SELECT t.source, t.n AS n_total,
+        |  CAST(t.thr AS BIGINT) AS threshold,
+        |  COALESCE(k.n_kept, 0) AS n_kept
+        |FROM t LEFT JOIN k ON t.source = k.source
+        |ORDER BY t.source""".stripMargin,
 
     "q_shard_assign" ->
       """WITH ranked AS (

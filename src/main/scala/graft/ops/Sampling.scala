@@ -109,4 +109,47 @@ object Sampling {
   def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
                     rates: Map[String, Double]): DataFrame =
     df.filter(mixtureSampleCond(col(keyCol), col(domainCol), rates))
+
+  /** Temperature-scaled mixture thresholds (the multilingual-sampling
+    * recipe of Conneau & Lample 2019: target share of domain d ∝
+    * n_d^α, α = 0.5 — upweights tail domains, downweights the head),
+    * returning per-domain keep-thresholds in 1/65536 units for
+    * [[mixtureSampleCond]]'s md5-prefix predicate.
+    *
+    * ENGINE-EXACT by construction: the only irrational step is sqrt
+    * (IEEE-correctly-rounded in every implementation — general `pow`
+    * is not), scaled to integer weights (`round(sqrt(n)·2^20)`), and
+    * everything after is exact integer arithmetic (BigInt here, HUGEINT
+    * in the DuckDB oracle) — no float summation order, no last-ulp
+    * drift. rate_d = min(1, budget · w_d / (Σw · n_d)), rounded
+    * half-up into 65536ths.
+    *
+    * Domains whose fair share exceeds their size clamp to keep-all
+    * (their shortfall is not redistributed — the standard simple form;
+    * re-run with a higher budget if exact totals matter). */
+  def sqrtTemperatureThresholds(counts: Map[String, Long],
+                                budget: Long): Map[String, Int] = {
+    require(budget >= 0, "budget must be >= 0")
+    require(counts.values.forall(_ > 0), "domain counts must be positive")
+    val w: Map[String, BigInt] = counts.map { case (d, n) =>
+      d -> BigInt(math.round(math.sqrt(n.toDouble) * 1048576L))
+    }
+    val wSum = w.values.sum
+    counts.map { case (d, n) =>
+      val num = BigInt(65536) * budget * w(d)
+      val den = wSum * n
+      val t = (num + den / 2) / den // half-up (all positive)
+      d -> t.min(65536).toInt
+    }
+  }
+
+  /** [[mixtureSample]] with rates derived from corpus counts by
+    * temperature scaling — `counts` is the per-domain row count (one
+    * tiny groupBy, collected driver-side by the caller). */
+  def temperatureMixtureSample(df: DataFrame, keyCol: String,
+                               domainCol: String, counts: Map[String, Long],
+                               budget: Long): DataFrame =
+    mixtureSample(df, keyCol, domainCol,
+      sqrtTemperatureThresholds(counts, budget)
+        .map { case (d, t) => d -> t / 65536.0 })
 }

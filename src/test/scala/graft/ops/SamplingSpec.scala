@@ -71,4 +71,36 @@ class SamplingSpec extends SparkSpec {
       Map("web" -> 0.999999))
     assert(nearOne.count() === 10000L)
   }
+
+  test("sqrtTemperatureThresholds: exact integer math, clamped tails") {
+    // sqrt(10000)=100, sqrt(100)=10 — exact weights, hand-derivable:
+    // share(a)=100/110, rate(a)=2000*(100/110)/10000=2/11 →
+    // round(2/11*65536)=11916; rate(b)=2000*(10/110)/100=20/11 → clamp
+    val t = Sampling.sqrtTemperatureThresholds(
+      Map("a" -> 10000L, "b" -> 100L), budget = 2000L)
+    assert(t === Map("a" -> 11916, "b" -> 65536))
+  }
+
+  test("temperatureMixtureSample matches an independent JVM-md5 replay") {
+    val df = spark.range(12000).select(col("id"),
+      when(col("id") % 100 === 0, "tail").otherwise("head").as("domain"))
+    val counts = Map("head" -> 11880L, "tail" -> 120L)
+    val out = Sampling
+      .temperatureMixtureSample(df, "id", "domain", counts, budget = 3000L)
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    // tail upweights: fair share 3000*(sqrt120/(sqrt11880+sqrt120)) ≈ 274
+    // > 120 → clamped keep-all
+    assert(out("tail") === 120L)
+    // head: replay the kept set independently with java.security md5
+    val thr = Sampling.sqrtTemperatureThresholds(counts, 3000L)("head")
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    val expectHead = (0L until 12000L).count { i =>
+      i % 100 != 0 && {
+        val h = mdt.digest(i.toString.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        h < f"$thr%04x"
+      }
+    }
+    assert(out("head") === expectHead.toLong)
+  }
 }

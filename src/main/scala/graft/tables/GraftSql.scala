@@ -1527,6 +1527,10 @@ object GraftSql {
     val delta = feed.withColumn("__sgn", sgn)
       .groupBy(groupCols.map(col): _*)
       .agg(signedAggs.head, signedAggs.tail: _*)
+    // a DDL-only slice (rename/property commits carry no change rows)
+    // must not stage an empty merge — and in the streaming sink a
+    // pure-DDL version range batches as zero rows
+    if (delta.isEmpty) return
     mv.merge(delta, groupCols, updateExprs = aggs.map {
       case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
       case (_, _, o)       => o -> mvCombine("sum")

@@ -1124,6 +1124,31 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // M16: named snapshot tags (Iceberg tags; Delta has no analog) —
+    // the "corpus release a model trained on" pin. The chain tags the
+    // original snapshot, overwrites twice, vacuums to 1 retained
+    // version — the UNTAGGED intermediate's files reclaim, while the
+    // tagged release must stay byte-readable past the retention cliff.
+    // The oracle replays both snapshots' aggregates from raw parquet;
+    // the reclaimed/survived facts ride as hashed literals.
+    "q_m16_tags" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-tags-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      tbl.append(n.filter(col("k") < 10))                        // v0
+      tbl.createTag("corpus-v1")
+      tbl.overwrite(n.filter(col("k") < 15))                     // v1 untagged
+      tbl.overwrite(n)                                           // v2 head
+      val reclaimed = tbl.vacuum(retainVersions = 1)
+      val tagged = tbl.readTag("corpus-v1")
+        .agg(count(lit(1)).as("n0"), sum("k").as("sum0")).first()
+      tbl.read.agg(count(lit(1)).as("n_now"), sum("k").as("sum_now"))
+        .withColumn("n0", lit(tagged.getLong(0)))
+        .withColumn("sum0", lit(tagged.getLong(1)))
+        .withColumn("reclaimed_untagged", lit(reclaimed.nonEmpty))
+    }),
+
     // Temperature-scaled mixture sampling (α=0.5 multilingual recipe):
     // per-domain keep-rates derived from corpus counts by sqrt scaling,
     // computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
@@ -3328,6 +3353,15 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_m16_tags" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_now,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_now,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |     WHERE n_nationkey < 10) AS n0,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+        |     WHERE n_nationkey < 10) AS sum0,
+        |  TRUE AS reclaimed_untagged""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (

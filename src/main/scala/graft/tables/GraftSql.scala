@@ -151,6 +151,24 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       createMaterializedView(mvIdent, orReplace != null, selectList,
         srcIdent, groupBy)
     case RefreshMvStmt(ident) => refreshMaterializedView(ident)
+    case CreateTagStmt(ident, tag, v) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val name = stripTicks(tag)
+        t.createTag(name, Option(v).map(_.toLong))
+        import spark.implicits._
+        Seq((name, t.tags(name))).toDF("tag", "version")
+      }
+    case DropTagStmt(ident, tag) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.dropTag(stripTicks(tag))
+        import spark.implicits._
+        Seq(stripTicks(tag)).toDF("dropped_tag")
+      }
+    case ShowTagsStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        t.tags.toSeq.sortBy(_._1).toDF("tag", "version")
+      }
     // DML statements delegate like ANALYZE below: an identifier that is
     // not a graft table (unknown layer, no catalog bound) falls through
     // to vanilla spark.sql — one funnel for the whole session
@@ -501,7 +519,12 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val pass1 = TimeTravelVersion.replaceAllIn(stmt, m =>
       bind(m.group(1),
         owned(m.group(1)).map(_.readVersion(m.group(2).toLong)), m.matched))
-    val pass2 = TimeTravelTimestamp.replaceAllIn(pass1, m =>
+    // VERSION AS OF '<tag>' — named snapshot pins (quoted, so it can
+    // never collide with the numeric form)
+    val pass1t = TimeTravelTag.replaceAllIn(pass1, m =>
+      bind(m.group(1),
+        owned(m.group(1)).map(_.readTag(m.group(2))), m.matched))
+    val pass2 = TimeTravelTimestamp.replaceAllIn(pass1t, m =>
       bind(m.group(1),
         owned(m.group(1)).map(_.asOf(parseTsUtc(m.group(2)))), m.matched))
     // `t@v3` shorthand (Delta's @ syntax): rewritten ONLY outside string
@@ -1723,6 +1746,17 @@ object GraftSql {
     """(?is)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   private val TimeTravelVersion =
     ("""(?i)""" + Ident + """\s+VERSION\s+AS\s+OF\s+(\d+)""").r
+  private val TimeTravelTag =
+    ("""(?i)""" + Ident + """\s+VERSION\s+AS\s+OF\s+'([^']+)'""").r
+  private val CreateTagStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+CREATE\s+TAG\s+(`[^`]+`|[\w.\-]+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val DropTagStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+TAG\s+(`[^`]+`|[\w.\-]+)\s*;?\s*""").r
+  private val ShowTagsStmt =
+    ("""(?is)\s*SHOW\s+TAGS\s+""" + Ident + """\s*;?\s*""").r
   private val TimeTravelTimestamp =
     ("""(?i)""" + Ident + """\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
   // TBLPROPERTIES surface. The schema-form regex relies on backtracking:

@@ -3478,6 +3478,57 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * so the returned list is exactly what was reclaimed even if a
     * concurrent commit or an aging-past-grace orphan would change a
     * second listing taken moments later. */
+  // ------------------------------------------------------------------ tags
+
+  private def tagsPath: Path = Paths.get(root, "_tags.json")
+
+  /** Named snapshot pins (Iceberg tags — Delta has no analog): a tag is
+    * a durable name → version mapping, and tagged versions are EXEMPT
+    * from the vacuum retention cliff, so "the exact corpus release this
+    * model trained on" stays reproducible while routine retention keeps
+    * reclaiming everything untagged. Metadata-only at any table size. */
+  def tags: Map[String, Long] =
+    if (!Files.exists(tagsPath)) Map.empty
+    else VersionedTable.TagJson.findAllMatchIn(Files.readString(tagsPath))
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+
+  /** Pin `name` to `version` (default: the current head). Tag names are
+    * immutable once created — re-pointing a release label silently is
+    * exactly the mistake tags exist to prevent; DROP then re-create. */
+  def createTag(name: String, version: Option[Long] = None): Unit = {
+    require(name.matches("""[A-Za-z_][A-Za-z0-9_.\-]*"""),
+      s"CREATE TAG: bad tag name `$name`")
+    val cur = tags
+    require(!cur.contains(name), s"tag `$name` already exists at $root " +
+      s"(pinned to v${cur(name)}); DROP TAG first — tags never re-point")
+    val v = version.orElse(latestVersion).getOrElse(
+      sys.error(s"CREATE TAG on empty table at $root"))
+    require(history.exists(_.version == v),
+      s"CREATE TAG: no version $v at $root")
+    writeTags(cur + (name -> v))
+  }
+
+  def dropTag(name: String): Unit = {
+    val cur = tags
+    require(cur.contains(name), s"DROP TAG: no tag `$name` at $root")
+    writeTags(cur - name)
+  }
+
+  /** `VERSION AS OF '<tag>'`. */
+  def readTag(name: String): DataFrame =
+    readVersion(tags.getOrElse(name,
+      sys.error(s"no tag `$name` at $root")))
+
+  private def writeTags(m: Map[String, Long]): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s".tmp-tags-${UUID.randomUUID()}")
+    Files.writeString(tmp, m.toSeq.sortBy(_._1).map { case (n, v) =>
+      s"""{"name":"$n","v":$v}"""
+    }.mkString("\n"))
+    Files.move(tmp, tagsPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def vacuum(retainVersions: Int = 1): Seq[String] = {
     val doomed = vacuumDryRun(retainVersions)
     doomed.foreach(rel => deleteRecursively(Paths.get(root).resolve(rel)))
@@ -3509,7 +3560,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * cliff working as designed. */
   def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
     val h = history
-    val retained = h.takeRight(retainVersions)
+    // tagged versions are retention-exempt: a tag IS the promise that
+    // its snapshot stays readable (releases pinned for reproducibility)
+    val tagged = tags.values.toSet
+    val retained = h.takeRight(retainVersions) ++
+      h.filter(e => tagged.contains(e.version))
     val keep = retained.flatMap(_.fileSets).toSet
     val keepDvs = retained.flatMap(_.dvs).toSet
     val keepCdf = retained.flatMap(_.cdf).toSet
@@ -3539,6 +3594,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 }
 
 object VersionedTable {
+  private val TagJson = """\{"name":"([^"]+)","v":(\d+)\}""".r
+
   /** Widenings where every value of the narrow type is exactly
     * representable in the wide one (so pre-DDL arms stay faithful). */
   private val LosslessWidenings: Set[(org.apache.spark.sql.types.DataType,

@@ -1124,6 +1124,22 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // DD9: fuzzy dedup by edit distance — min-shingle-blocked candidates
+    // verified with the BANDED levenshtein built-in (O(k·min(|a|,|b|))
+    // per pair, not O(|a||b|)). Plants: a 'Z'-prefixed variant arm at
+    // distance 1. The oracle mirrors the blocking AND DuckDB's own
+    // levenshtein, so candidates and distances are both hash-checked.
+    "q_dd9_edit_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("Z"), col("text")).as("text"))
+      graft.ops.Dedup.editDistancePairs(docs.unionByName(variants),
+          maxDistance = 2)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
     // M16: named snapshot tags (Iceberg tags; Delta has no analog) —
     // the "corpus release a model trained on" pin. The chain tags the
     // original snapshot, overwrites twice, vacuums to 1 retained
@@ -3353,6 +3369,30 @@ object SparkEntry {
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey NOT IN (2,4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "q_dd9_edit_pairs" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000, 'Z' || text
+        | FROM documents WHERE doc_id % 13 = 0),
+        |sh AS (
+        | SELECT doc_id, text,
+        |   list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |     ELSE list_transform(range(1, len(toks) - 1),
+        |            i -> array_to_string(toks[i:i+2], ' ')) END) AS shingles
+        | FROM (SELECT doc_id, text,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |       FROM corpus)),
+        |blocked AS (
+        | SELECT doc_id, text, list_aggregate(shingles, 'min') AS block FROM sh),
+        |big AS (SELECT block FROM blocked GROUP BY block HAVING count(*) > 1000)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+        |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+        |  AND a.block NOT IN (SELECT block FROM big)
+        |WHERE levenshtein(a.text, b.text) <= 2
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "q_m16_tags" ->
       """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation) AS n_now,

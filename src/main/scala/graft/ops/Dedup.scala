@@ -388,6 +388,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fuzzy dedup by EDIT DISTANCE — the near-dup flavor for short texts
+    * (titles, URLs, product names) where token-set similarity is too
+    * coarse: candidate pairs from the same min-shingle blocking as
+    * [[ngramJaccardPairs]] (id-only block shuffle, `maxGroupSize` skew
+    * guard, texts fetched back for candidate rows only), verified with
+    * Spark's BANDED `levenshtein(l, r, threshold)` — the built-in
+    * early-aborts once the running minimum exceeds the band, so a
+    * candidate pair costs O(k·min(|a|,|b|)) instead of O(|a|·|b|)
+    * (compose built-ins before writing a custom Expression). Emits
+    * (doc_id_a, doc_id_b, edit_distance ≤ maxDistance). Recall is
+    * block-scoped, like every blocked near-dup operator here: pairs
+    * sharing no block are not compared — the DuckDB oracle mirrors the
+    * blocking so the contract is two-sided. */
+  def editDistancePairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", maxDistance: Int = 3,
+                        n: Int = 3,
+                        maxGroupSize: Int = 1000): DataFrame = {
+    require(maxDistance >= 0, "maxDistance must be >= 0")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val withSh = Partitioning.spread(docs).select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      call_function("graft_word_shingles",
+        TextAnalysis.tokens(col(textCol)), lit(n)).as("shingles"))
+      .withColumn("block", array_min(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.pairsWithinGroups(withSh.select("block", "doc_id"), Seq("block"),
+        "doc_id", maxGroupSize)
+      .join(withSh.select(col("doc_id").as("id_a"),
+        col("__text").as("__text_a")), Seq("id_a"))
+      .join(withSh.select(col("doc_id").as("id_b"),
+        col("__text").as("__text_b")), Seq("id_b"))
+      // threshold = max+1 tolerates either boundary convention of the
+      // banded built-in; the explicit range filter states the contract
+      .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"),
+        levenshtein(col("__text_a"), col("__text_b"), maxDistance + 1)
+          .as("edit_distance"))
+      .filter(col("edit_distance").between(0, maxDistance))
+  }
+
   // ------------------------------------------------- paragraph-level dedup
 
   /** C4/RefinedWeb-style exact PARAGRAPH dedup: split every document on

@@ -322,6 +322,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("editDistancePairs: banded verify, inclusive boundary, blocked recall") {
+    // edits confined to the FIRST token so the min shingle ("brown fox
+    // jumps") — the blocking key — stays shared across all three docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "thX quick brown fox jumps"),   // distance 1 to doc 1
+      (3L, "tQRSe quick brown fox jumps")  // distance 3 to doc 1
+    ).toDF("doc_id", "text")
+    val p1 = Dedup.editDistancePairs(docs, maxDistance = 1)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(p1 === Map((1L, 2L) -> 1)) // == maxDistance kept; 3 dropped
+    val p4 = Dedup.editDistancePairs(docs, maxDistance = 4)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // banded distances equal the unbanded built-in on every kept pair
+    val truth = docs.as[(Long, String)].collect()
+    for (Seq((ia, ta), (ib, tb)) <- truth.toSeq.combinations(2)) {
+      val d = spark.range(1)
+        .select(levenshtein(lit(ta), lit(tb)).as("d")).as[Int].head()
+      if (d <= 4)
+        assert(p4.get((ia, ib)).contains(d),
+          s"banded distance differs for ($ia,$ib): got ${p4.get((ia, ib))}, want $d")
+    }
+    assert(p4((1L, 3L)) === 3)
+  }
+
   test("wordShingles of short docs fall back to the whole text") {
     val out = spark.range(1).select(
       Dedup.wordShingles(lit("only two"), 3).as("sh"))

@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.StructType
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
   *   CREATE TABLE <table> SHALLOW CLONE <table>
+  *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION n]  -- release pin
+  *   ALTER TABLE <table> DROP TAG <name>    -- (tagged versions vacuum-exempt)
+  *   SHOW TAGS <table>
+  *   SELECT ... FROM <table> VERSION AS OF '<tag>' ...
   *   CREATE [OR REPLACE] MATERIALIZED VIEW <table> AS
   *     SELECT g1, ..., sum|count|min|max(c) AS name, ... FROM <table>
   *     GROUP BY g1, ...                       -- materialized + auto-routed

@@ -1213,7 +1213,6 @@ object SparkEntry {
     // result; values oracle against a raw-parquet recompute.
     "q_mv5_rollup" -> ((s, dir) => {
       import graft.plans.MvRewrite
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
       val root = Files.createTempDirectory("graft-mvru-").toString
       val src = VersionedTable(s, s"$root/src")
       val mv = VersionedTable(s, s"$root/mv")
@@ -1231,15 +1230,8 @@ object SparkEntry {
         MvRewrite.AggSpec("max", "qty", "mx_q"),
         MvRewrite.AggSpec("count", "qty", "c_q")))
       MvRewrite.install(s)
-      def leafPaths(df: DataFrame): Seq[String] =
-        df.queryExecution.optimizedPlan.collect {
-          case l: LogicalRelation => l.relation match {
-            case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
-            case _ => Nil
-          }
-        }.flatten
       def fromMv(df: DataFrame): Boolean = {
-        val ps = leafPaths(df)
+        val ps = MvRewrite.scannedPaths(df)
         ps.nonEmpty && ps.forall(_.contains("/mv"))
       }
       try {
@@ -2058,20 +2050,13 @@ object SparkEntry {
     // values hash-checked together.
     "q_mv4_rewrite" -> ((s, dir) => {
       import graft.plans.MvRewrite
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
       val root = Files.createTempDirectory("graft-mvrw-").toString
       val src = VersionedTable(s, s"$root/src")
       val mv = VersionedTable(s, s"$root/mv")
       val li = t(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"),
         col("l_quantity").cast("long").as("qty"))
-      def leafPaths(df: DataFrame): Seq[String] =
-        df.queryExecution.optimizedPlan.collect {
-          case l: LogicalRelation => l.relation match {
-            case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
-            case _ => Nil
-          }
-        }.flatten
+      def leafPaths(df: DataFrame): Seq[String] = MvRewrite.scannedPaths(df)
       def agg(d: DataFrame): DataFrame = d.groupBy("flag").agg(
         sum("qty").as("sum_qty"), count(lit(1)).as("n_rows"),
         min("qty").as("min_qty"), max("qty").as("max_qty"),
@@ -2886,7 +2871,6 @@ object SparkEntry {
     // rows' aggregate in DuckDB and expects the mode strings literally.
     "q_sql_mv" -> ((s, dir) => {
       import graft.plans.MvRewrite
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
       val wh = Files.createTempDirectory("graft-sqlmv-").toString
       val cat = new graft.tables.Catalog(s, wh)
       cat.bootstrap()
@@ -2909,12 +2893,7 @@ object SparkEntry {
         val served = src.read.groupBy("o_orderstatus").agg(
           sum("o_orderkey").as("sum_key"), count(lit(1)).as("cnt"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
-        val ps = served.queryExecution.optimizedPlan.collect {
-          case l: LogicalRelation => l.relation match {
-            case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
-            case _ => Nil
-          }
-        }.flatten
+        val ps = MvRewrite.scannedPaths(served)
         served
           .withColumn("mode1", lit(mode1))
           .withColumn("mode2", lit(mode2))

@@ -76,8 +76,11 @@ object Sharding {
     }
     val inBucket = row_number()
       .over(Window.partitionBy("__psb").orderBy("shuffle_key", idCol))
-    // 0-based global rank; rank*numShards stays in Long up to ~10^15
-    // documents x 10^4 shards — headroom beyond any real corpus
+    // 0-based global rank. The shard arithmetic below runs in Spark's
+    // `/` (double division), exact while rank*numShards < 2^53 — e.g.
+    // ~10^12 documents at 8192 shards; past that, boundary ranks could
+    // round into the neighboring shard (document-count scales beyond
+    // any real corpus, but the bound is the double mantissa, not Long)
     val rank = element_at(typedlit(offsets), col("__psb")) +
       inBucket.cast("long") - 1L
     val shard = floor(rank * numShards / total).cast("int")

@@ -97,6 +97,25 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
 
+  /** Whether the table's current snapshot reads as one plain relation —
+    * the only shape [[register]] accepts and the matcher can serve.
+    * Callers use this to skip registration quietly instead of catching
+    * the refusal (which would also swallow genuine errors). */
+  def isPlainSnapshot(source: VersionedTable): Boolean =
+    scanWithFilters(source.read.queryExecution.analyzed)
+      .exists(_._2.isEmpty)
+
+  /** Leaf parquet root paths of a DataFrame's OPTIMIZED plan — which
+    * table a query would actually scan after this rule runs. Shared by
+    * the driver queries and specs that pin serve-from-MV behavior. */
+  def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
   /** Root-keyed form — DROP TABLE must un-arm a registered MV before the
     * files go away, or the rule would route queries to a dead path. */
   def deregisterRoot(root: String): Unit = entries.remove(root)
@@ -195,9 +214,11 @@ object MvRewrite extends Rule[LogicalPlan] {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case c: Count => c.children match {
-            case Seq(Literal(_, _))             => aggCol("count", "*")
-            case Seq(a: AttributeReference)     => aggCol("count", a.name)
-            case _                              => None
+            // count(<non-null literal>) == count(*); count(NULL) is 0
+            // per group and must NOT serve from the row count — bail
+            case Seq(Literal(v, _)) if v != null => aggCol("count", "*")
+            case Seq(a: AttributeReference)      => aggCol("count", a.name)
+            case _                               => None
           }
           case s: Sum => s.child match {
             case a: AttributeReference => aggCol("sum", a.name)
@@ -249,7 +270,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case c: Count => c.children match {
-            case Seq(Literal(_, _))         => reSum(aggCol("count", "*"))
+            // same count(NULL) guard as the exact path
+            case Seq(Literal(v, _)) if v != null =>
+              reSum(aggCol("count", "*"))
             case Seq(a: AttributeReference) => reSum(aggCol("count", a.name))
             case _                          => None
           }

@@ -616,7 +616,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       s"materialized view target exists: $mvIdent (use CREATE OR REPLACE)")
     val srcV = src.latestVersion.getOrElse(
       sys.error(s"materialized view over empty table $srcIdent"))
-    mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
+    // materialize from the PINNED snapshot, not the live head: a
+    // concurrent commit between latestVersion and the read would land
+    // rows the recorded covered-version does not cover, and the next
+    // REFRESH would absorb them a second time
+    mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
       .agg(GraftSql.mvAggColumns(aggs).head,
         GraftSql.mvAggColumns(aggs).tail: _*))
     mv.setProperties(Map(
@@ -658,17 +662,25 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val groupCols = props(GraftSql.MvGroupProp).split(",").toSeq
     val aggs = GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
     val v0 = props(GraftSql.MvVersionProp).toLong
-    val srcV = src.latestVersion.getOrElse(v0)
-    val later = src.history.filter(_.version > v0)
+    // ONE history read: srcV (the version this refresh will cover) and
+    // the commit slice it maintains over must agree even while
+    // concurrent writers advance the head
+    val srcHistory = src.history
+    val srcV = srcHistory.lastOption.map(_.version).getOrElse(v0)
+    val later = srcHistory.filter(e => e.version > v0 && e.version <= srcV)
     val cdfCapable = src.changeFeedEnabled && GraftSql.cdfMaintainable(aggs)
+    // every maintenance path reads the PINNED range (v0, srcV] — never
+    // the live head — so concurrent commits stay uncovered until the
+    // NEXT refresh instead of being absorbed now and re-absorbed then
     def recompute(): Unit =
-      mv.overwrite(src.read.groupBy(groupCols.map(col): _*)
+      mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
         .agg(GraftSql.mvAggColumns(aggs).head,
           GraftSql.mvAggColumns(aggs).tail: _*))
     val mode =
       if (later.isEmpty) "noop"
       else if (later.forall(_.action == "append")) {
-        val delta = src.readAddedSince(v0).groupBy(groupCols.map(col): _*)
+        val delta = src.readAddedSince(v0, until = Some(srcV))
+          .groupBy(groupCols.map(col): _*)
           .agg(GraftSql.mvAggColumns(aggs).head,
             GraftSql.mvAggColumns(aggs).tail: _*)
         mv.merge(delta, groupCols, updateExprs = aggs.map {
@@ -676,9 +688,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         }.toMap)
         "incremental"
       } else if (cdfCapable) {
-        GraftSql.applyCdfDelta(mv, src.readChangeFeed(v0), groupCols, aggs,
-          txn = None)
-        "cdf"
+        // the feed can refuse mid-slice shapes it cannot express
+        // (overwrite/restore commit no change set; vacuum may have
+        // reclaimed old sets) — those fall back to the full recompute,
+        // which is always safe: the refusal happens while PLANNING the
+        // feed read, before any merge commits, and even a post-merge
+        // failure is healed by the overwrite
+        try {
+          GraftSql.applyCdfDelta(mv,
+            src.readChangeFeed(v0, Some(srcV)), groupCols, aggs,
+            txn = None)
+          "cdf"
+        } catch {
+          case _: RuntimeException => recompute(); "full"
+        }
       } else {
         recompute()
         "full"
@@ -696,9 +719,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   private def armMvRewrite(src: VersionedTable, mv: VersionedTable,
                            groupCols: Seq[String],
                            aggs: Seq[(String, String, String)]): Unit =
-    try graft.plans.MvRewrite.register(src, mv, groupCols,
-      aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) })
-    catch { case _: RuntimeException => () }
+    // explicit pre-check, no blanket catch: a non-plain snapshot skips
+    // quietly (the conservative matcher could never serve it anyway),
+    // while a genuinely broken registration — MV missing declared
+    // columns, unreadable roots — still surfaces loudly
+    if (graft.plans.MvRewrite.isPlainSnapshot(src))
+      graft.plans.MvRewrite.register(src, mv, groupCols,
+        aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) })
 
   private def optimize(tbl: VersionedTable, zcols: Option[String]): DataFrame = {
     import spark.implicits._
@@ -1010,6 +1037,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     require(!Files.exists(to),
       s"RENAME TO target path is occupied: $dstRoot")
     Option(to.getParent).foreach(Files.createDirectories(_))
+    // an armed materialized view keyed by this root must un-arm before
+    // the directory moves away, or the routing rule would serve queries
+    // from a dead path (same guard DROP TABLE has); REFRESH re-arms
+    // under the new root
+    graft.plans.MvRewrite.deregisterRoot(srcRoot)
     try Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
       // cross-device: a directory tree cannot be moved atomically (and
@@ -1551,17 +1583,23 @@ object GraftSql {
         org.apache.spark.sql.functions.sum(col(c) * col("__sgn")).as(o)
       case (f, c, _) => sys.error(s"unreachable: $f($c) on the cdf path")
     }
+    // persisted: the emptiness probe and the merge must not each pay
+    // the feed scan + aggregation shuffle (this is the streaming sink's
+    // per-trigger hot path); the materialized delta is group-count-sized
     val delta = feed.withColumn("__sgn", sgn)
       .groupBy(groupCols.map(col): _*)
       .agg(signedAggs.head, signedAggs.tail: _*)
-    // a DDL-only slice (rename/property commits carry no change rows)
-    // must not stage an empty merge — and in the streaming sink a
-    // pure-DDL version range batches as zero rows
-    if (delta.isEmpty) return
-    mv.merge(delta, groupCols, updateExprs = aggs.map {
-      case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
-      case (_, _, o)       => o -> mvCombine("sum")
-    }.toMap, txn = txn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // a DDL-only slice (rename/property commits carry no change rows)
+      // must not stage an empty merge — and in the streaming sink a
+      // pure-DDL version range batches as zero rows
+      if (delta.isEmpty) return
+      mv.merge(delta, groupCols, updateExprs = aggs.map {
+        case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
+        case (_, _, o)       => o -> mvCombine("sum")
+      }.toMap, txn = txn)
+    } finally { delta.unpersist(); () }
     // emptied groups drop, as a recompute would (guarded: per-batch
     // streaming calls must not commit a no-op delete every trigger)
     if (!mv.read.filter(col(countStar) === 0L).limit(1).isEmpty) {
@@ -1588,10 +1626,12 @@ object GraftSql {
     * format, also the sink's `aggregate` option). */
   private[graft] def parseAggSpecs(s: String): Seq[(String, String, String)] =
     s.split(";").toSeq.map { one =>
-      val Array(f, c, o) = one.split(":", 3)
-      require(Set("sum", "count", "min", "max")(f),
-        s"bad aggregate spec `$one` (fn must be sum|count|min|max)")
-      (f, c, o)
+      one.split(":", 3) match {
+        case Array(f, c, o) if Set("sum", "count", "min", "max")(f) =>
+          (f, c, o)
+        case _ => sys.error(s"bad aggregate spec `$one` (expected " +
+          "fn:col:out with fn in sum|count|min|max)")
+      }
     }
 
   /** Combine a delta aggregate into the MV row under merge. sum uses the

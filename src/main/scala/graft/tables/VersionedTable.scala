@@ -1216,17 +1216,25 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * action after `v` is an append; compact/overwrite/merge rewrite
     * file-sets, so the diff would misreport — those histories error and
     * the caller falls back to a full re-read. */
-  def readAddedSince(v: Long): DataFrame = {
+  def readAddedSince(v: Long, until: Option[Long] = None): DataFrame = {
     val h = history
     val base = h.find(_.version == v)
       .getOrElse(sys.error(s"no version $v at $root"))
-    val later = h.filter(_.version > v)
+    // `until` pins the END of the consumed range: an incremental
+    // consumer that records "covered through u" must read exactly
+    // (v, u] even if concurrent writers have advanced the head past u —
+    // reading the live head would absorb rows the recorded position
+    // does not cover, and the NEXT increment would double-count them
+    val end = until.fold(h.lastOption.getOrElse(base)) { u =>
+      h.find(_.version == u)
+        .getOrElse(sys.error(s"no version $u at $root"))
+    }
+    val later = h.filter(e => e.version > v && e.version <= end.version)
     require(later.forall(_.action == "append"),
       s"readAddedSince needs append-only history after v$v at $root; " +
         s"saw ${later.map(_.action).distinct.mkString(",")} — re-read the snapshot")
     val baseSets = base.fileSets.toSet
-    val newSets = h.lastOption.map(_.fileSets).getOrElse(Nil)
-      .filterNot(baseSets.contains)
+    val newSets = end.fileSets.filterNot(baseSets.contains)
     if (newSets.isEmpty) read.limit(0) else readFileSets(newSets)
   }
 

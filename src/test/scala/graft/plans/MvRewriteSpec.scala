@@ -14,15 +14,8 @@ class MvRewriteSpec extends SparkSpec {
 
   /** Leaf parquet paths of the OPTIMIZED plan — which table a query
     * would actually scan after the rule runs. */
-  private def scannedPaths(df: DataFrame): Seq[String] = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    df.queryExecution.optimizedPlan.collect {
-      case l: LogicalRelation => l.relation match {
-        case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }
-    }.flatten
-  }
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    MvRewrite.scannedPaths(df)
 
   private def fixture(): (VersionedTable, VersionedTable) = {
     val root = tmpDir("graft-mvrw-")
@@ -114,6 +107,12 @@ class MvRewriteSpec extends SparkSpec {
       // expression-valued agg input → no rewrite
       val e = src.read.groupBy("k").agg(sum($"v" * 2))
       assert(scannedPaths(e).forall(_.contains("/src/")))
+      // count(NULL) is 0 per group, NOT the row count — must not be
+      // served from the MV's count(*) column
+      val cn = src.read.groupBy("k")
+        .agg(count(lit(null).cast("int")).as("n"))
+      assert(scannedPaths(cn).forall(_.contains("/src/")))
+      assert(cn.select("n").as[Long].collect().toSet === Set(0L))
     } finally MvRewrite.deregister(mv)
   }
 

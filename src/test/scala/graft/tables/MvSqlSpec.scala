@@ -18,13 +18,7 @@ class MvSqlSpec extends SparkSpec {
   }
 
   private def scansMv(df: DataFrame): Boolean = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val ps = df.queryExecution.optimizedPlan.collect {
-      case l: LogicalRelation => l.relation match {
-        case r: HadoopFsRelation => r.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }
-    }.flatten
+    val ps = MvRewrite.scannedPaths(df)
     ps.nonEmpty && ps.forall(_.contains("/mv"))
   }
 
@@ -172,6 +166,43 @@ class MvSqlSpec extends SparkSpec {
       assert(mv.read.as[(String, Long, Long, Long, Long)]
         .collect().toSeq === Seq(("a", 9L, 1L, 1L, 9L)))
     } finally MvRewrite.deregister(mv)
+  }
+
+  test("CDF path falls back to full recompute when the slice holds a " +
+    "commit the feed cannot express (overwrite)") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "cdf_ow")
+    src.enableChangeFeed()
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_cdfow AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt, count(v) AS cnt_v " +
+      "FROM silver.cdf_ow GROUP BY k")
+    val mv = cat.table("gold", "mv_cdfow")
+    try {
+      src.overwrite(Seq(("a", 10L), ("c", 3L)).toDF("k", "v"))
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdfow")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "full",
+        "an overwrite in the slice must recompute, not crash the feed read")
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long)]
+        .collect().toSeq === Seq(("a", 10L, 1L, 1L), ("c", 3L, 1L, 1L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("ALTER TABLE RENAME TO un-arms a routed MV before moving it") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "rn")
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_rn AS SELECT k, " +
+      "sum(v) AS s FROM silver.rn GROUP BY k")
+    assert(scansMv(src.read.groupBy("k").agg(fsum("v"))))
+    sql.sql("ALTER TABLE gold.mv_rn RENAME TO gold.mv_rn2")
+    val q = src.read.groupBy("k").agg(fsum("v").as("s"))
+    assert(!scansMv(q), "a moved-away MV must not serve")
+    assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 1L), ("b", 2L)))
+    MvRewrite.deregister(cat.table("gold", "mv_rn2"))
   }
 
   test("closed grammar: bad select items and avg are refused loudly") {

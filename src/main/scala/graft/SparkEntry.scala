@@ -2550,12 +2550,14 @@ object SparkEntry {
       tbl.renameColumn("event_type", "ev_type")
       // TBLPROPERTIES surface in the same relation (sorted k=v pairs)
       tbl.setProperties(Map("owner" -> "graft", "quality" -> "silver"))
+      // named pins surface too ("name=vN", vacuum-exempt versions)
+      tbl.createTag("audit", Some(0L))
       tbl.detailDf.createOrReplaceTempView("sql_table_detail")
       s.sql("""SELECT num_buckets, bucket_keys, partition_columns,
                change_feed_enabled, num_checks, num_generated_columns,
                num_deletion_vectors, num_renamed_columns,
                num_dropped_columns, column_mapping, num_identity_columns,
-               properties
+               properties, num_tags, tags
                FROM sql_table_detail""")
     }),
 
@@ -3634,7 +3636,9 @@ object SparkEntry {
         | CAST(0 AS INT) AS num_dropped_columns,
         | 'event_type->ev_type' AS column_mapping,
         | CAST(0 AS INT) AS num_identity_columns,
-        | 'owner=graft;quality=silver' AS properties""".stripMargin,
+        | 'owner=graft;quality=silver' AS properties,
+        | CAST(1 AS INT) AS num_tags,
+        | 'audit=v0' AS tags""".stripMargin,
 
     // Identity envelope: batch 1 (nation) gets ids 1..25, batch 2
     // (region) continues contiguously at 26..30 — dense within a write,

@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.StructType
   *   VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
+  *   RESTORE TABLE <table> TO TAG '<name>'
   *   CREATE TABLE <table> SHALLOW CLONE <table>
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION n]  -- release pin
   *   ALTER TABLE <table> DROP TAG <name>    -- (tagged versions vacuum-exempt)
@@ -150,6 +151,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RestoreVersionStmt(ident, v) => restore(resolve(ident), _.restore(v.toLong))
     case RestoreTimestampStmt(ident, ts) =>
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
+    case RestoreTagStmt(ident, tag) =>
+      restore(resolve(ident), t => t.restore(t.tags.getOrElse(tag,
+        sys.error(s"RESTORE TO TAG: no tag `$tag` on $ident"))))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
     case CreateMvStmt(orReplace, mvIdent, selectList, srcIdent, groupBy) =>
       createMaterializedView(mvIdent, orReplace != null, selectList,
@@ -1681,6 +1685,9 @@ object GraftSql {
   private val RestoreTimestampStmt =
     ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
+  private val RestoreTagStmt =
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
+      """\s+TO\s+TAG\s+'([^']+)'\s*;?\s*""").r
   private val CloneStmt =
     ("""(?is)\s*CREATE\s+TABLE\s+""" + Ident +
       """\s+SHALLOW\s+CLONE\s+""" + Ident + """\s*;?\s*""").r

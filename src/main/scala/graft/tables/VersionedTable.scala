@@ -254,13 +254,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       // TBLPROPERTIES, sorted "k=v" pairs — one compact string, same
       // shape as column_mapping (cheap predicates without _props.json)
       properties.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"$k=$v" }.mkString(";")))
+        .map { case (k, v) => s"$k=$v" }.mkString(";"),
+      // named snapshot pins, "name=vN" sorted — an operator sees which
+      // versions are vacuum-exempt without reading _tags.json
+      tags.size,
+      tags.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"$n=v$v" }.mkString(";")))
       .toDF("location", "version", "last_modified", "num_file_sets",
         "num_files", "size_bytes", "num_buckets", "bucket_keys",
         "partition_columns", "num_deletion_vectors", "change_feed_enabled",
         "num_checks", "num_generated_columns", "num_renamed_columns",
         "num_dropped_columns", "column_mapping", "num_identity_columns",
-        "properties")
+        "properties", "num_tags", "tags")
   }
 
   /** Delta `GENERATE symlink_format_manifest` analog: write

@@ -66,4 +66,19 @@ class TagsSpec extends SparkSpec {
     sql.sql("ALTER TABLE silver.rel DROP TAG v1.0")
     assert(sql.sql("SHOW TAGS silver.rel").count() === 1L)
   }
+
+  test("RESTORE TABLE ... TO TAG rolls the head back to the pinned version") {
+    val cat = new Catalog(spark, tmpDir("graft-tagrst-"))
+    cat.bootstrap()
+    val sql = GraftSql(spark, cat)
+    val t = cat.table("silver", "rb")
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    sql.sql("ALTER TABLE silver.rb CREATE TAG good")
+    t.overwrite(Seq((9, "bad")).toDF("k", "v"))
+    sql.sql("RESTORE TABLE silver.rb TO TAG 'good'")
+    assert(t.read.as[(Int, String)].collect().toSeq === Seq((1, "a")))
+    val e = intercept[RuntimeException](
+      sql.sql("RESTORE TABLE silver.rb TO TAG 'nope'"))
+    assert(e.getMessage.contains("no tag"))
+  }
 }

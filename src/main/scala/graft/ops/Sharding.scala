@@ -49,19 +49,31 @@ object Sharding {
       // hex), so bucketing on it agrees with the (key, id) total order
       .withColumn("__skn",
         conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long"))
-    val nCuts = math.max(1, numBuckets - 1)
-    val cuts = keyed.stat
-      .approxQuantile("__skn",
-        (1 to nCuts).map(_.toDouble / numBuckets).toArray, 0.001)
-      .distinct.sorted
+    // the two metadata passes (quantile cuts, bucket counts) run over a
+    // persisted KEY-ONLY projection — document payloads are read once in
+    // the final plan, not re-scanned and re-hashed per pass
+    val slim = keyed.select("__skn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cuts, counts) = try {
+      val nCuts = math.max(1, numBuckets - 1)
+      val cs = slim.stat
+        .approxQuantile("__skn",
+          (1 to nCuts).map(_.toDouble / numBuckets).toArray, 0.001)
+        .distinct.sorted
+      def bucketOf(c: Column): Column = cs.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(c > cut, 1).otherwise(0)
+      }
+      // per-bucket counts -> exclusive running offsets: numBuckets longs
+      // to the driver, metadata-sized at any corpus size
+      val cn = slim.groupBy(bucketOf(col("__skn")).as("__psb"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (cs, cn)
+    } finally { slim.unpersist(); () }
     val bucket: Column = cuts.foldLeft(lit(0)) { (acc, c) =>
       acc + when(col("__skn") > c, 1).otherwise(0)
     }
     val bucketed = keyed.withColumn("__psb", bucket)
-    // per-bucket counts -> exclusive running offsets: numBuckets longs
-    // to the driver, metadata-sized at any corpus size
-    val counts = bucketed.groupBy("__psb").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     if (total == 0) {
       return bucketed.drop("__skn", "__psb")

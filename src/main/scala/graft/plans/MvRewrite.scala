@@ -79,10 +79,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     * vectors, schema generations or column mapping — shapes whose read
     * plans the conservative matcher would never fire on anyway). */
   def register(source: VersionedTable, mv: VersionedTable,
-               groupCols: Seq[String], aggs: Seq[AggSpec]): Unit = {
+               groupCols: Seq[String], aggs: Seq[AggSpec],
+               atVersion: Option[Long] = None): Unit = {
     require(aggs.forall(a => Set("sum", "count", "min", "max")(a.fn)),
       s"MV rewrite: unsupported agg fn in ${aggs.map(_.fn).mkString(",")}")
-    val paths = scanWithFilters(source.read.queryExecution.analyzed)
+    // `atVersion` pins the registration to the snapshot the MV was
+    // MATERIALIZED from: registering the live head would cover a
+    // concurrent commit the MV never absorbed — queries over that head
+    // would silently miss its rows
+    val snap = atVersion.fold(source.read)(source.readVersion)
+    val paths = scanWithFilters(snap.queryExecution.analyzed)
       .collect { case (ps, Nil) => ps }
       .getOrElse(sys.error("MV rewrite: source snapshot is not a plain " +
         s"single-relation scan at ${source.root} — registration refused"))
@@ -101,9 +107,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the only shape [[register]] accepts and the matcher can serve.
     * Callers use this to skip registration quietly instead of catching
     * the refusal (which would also swallow genuine errors). */
-  def isPlainSnapshot(source: VersionedTable): Boolean =
-    scanWithFilters(source.read.queryExecution.analyzed)
-      .exists(_._2.isEmpty)
+  def isPlainSnapshot(source: VersionedTable,
+                      atVersion: Option[Long] = None): Boolean =
+    scanWithFilters(atVersion.fold(source.read)(source.readVersion)
+      .queryExecution.analyzed).exists(_._2.isEmpty)
 
   /** Leaf parquet root paths of a DataFrame's OPTIMIZED plan — which
     * table a query would actually scan after this rule runs. Shared by

@@ -266,10 +266,9 @@ final class GraftTableSink(root: String, appId: String,
       require(batch.columns.contains("_change_type"),
         "graft-table sink: aggregate mode consumes a change-feed stream " +
           "(.option(\"readChangeFeed\", \"true\") on the source)")
-      graft.tables.GraftSql.applyCdfDelta(
-        VersionedTable(data.sparkSession, root), batch,
+      graft.tables.GraftSql.applyCdfDelta(table, batch,
         mergeKeys, graft.tables.GraftSql.parseAggSpecs(aggregate.get),
-        txn = Some((appId, batchId)))
+        txn = Some((appId, batchId)), partitionBy = partitionBy)
     } else if (applyChanges) {
       // APPLY CHANGES INTO (DLT) over a CDF stream: the micro-batch
       // carries _change_type/_commit_version rows from a change-feed

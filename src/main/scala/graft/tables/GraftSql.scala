@@ -624,6 +624,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // concurrent commit between latestVersion and the read would land
     // rows the recorded covered-version does not cover, and the next
     // REFRESH would absorb them a second time
+    // OR REPLACE with a DIFFERENT group set: the old definition's
+    // refresh merges bucketed the MV on the old keys — a stale spec
+    // would fail (or mis-bucket) every later incremental refresh
+    if (mv.exists) mv.clearBucketSpec()
     mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
       .agg(GraftSql.mvAggColumns(aggs).head,
         GraftSql.mvAggColumns(aggs).tail: _*))
@@ -633,7 +637,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       GraftSql.MvAggsProp ->
         aggs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
       GraftSql.MvVersionProp -> srcV.toString))
-    armMvRewrite(src, mv, groupCols, aggs)
+    armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
   }
 
@@ -687,10 +691,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           .groupBy(groupCols.map(col): _*)
           .agg(GraftSql.mvAggColumns(aggs).head,
             GraftSql.mvAggColumns(aggs).tail: _*)
-        mv.merge(delta, groupCols, updateExprs = aggs.map {
-          case (f, _, o) => o -> GraftSql.mvCombine(f)
-        }.toMap)
-        "incremental"
+        // NULL group values cannot ride the merge (SQL MERGE: NULL
+        // never matches, so every refresh would INSERT a fresh NULL
+        // row) — a delta touching the NULL group recomputes instead
+        if (GraftSql.hasNullKeys(delta, groupCols)) { recompute(); "full" }
+        else {
+          // txn marker: a crash between this commit and the covered-
+          // version bump replays as a metadata no-op, not a double-count
+          mv.merge(delta, groupCols, updateExprs = aggs.map {
+            case (f, _, o) => o -> GraftSql.mvCombine(f)
+          }.toMap, txn = Some((GraftSql.MvTxnApp + mv.root, srcV)))
+          "incremental"
+        }
       } else if (cdfCapable) {
         // the feed can refuse mid-slice shapes it cannot express
         // (overwrite/restore commit no change set; vacuum may have
@@ -701,7 +713,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         try {
           GraftSql.applyCdfDelta(mv,
             src.readChangeFeed(v0, Some(srcV)), groupCols, aggs,
-            txn = None)
+            txn = Some((GraftSql.MvTxnApp + mv.root, srcV)))
           "cdf"
         } catch {
           case _: RuntimeException => recompute(); "full"
@@ -712,7 +724,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       }
     if (mode != "noop")
       mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
-    armMvRewrite(src, mv, groupCols, aggs)
+    armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
   }
 
@@ -722,14 +734,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * stays correct and maintained either way. */
   private def armMvRewrite(src: VersionedTable, mv: VersionedTable,
                            groupCols: Seq[String],
-                           aggs: Seq[(String, String, String)]): Unit =
+                           aggs: Seq[(String, String, String)],
+                           srcV: Long): Unit =
     // explicit pre-check, no blanket catch: a non-plain snapshot skips
     // quietly (the conservative matcher could never serve it anyway),
     // while a genuinely broken registration — MV missing declared
-    // columns, unreadable roots — still surfaces loudly
-    if (graft.plans.MvRewrite.isPlainSnapshot(src))
+    // columns, unreadable roots — still surfaces loudly. Registration
+    // pins the COVERED version, never the live head (a concurrent
+    // commit between the pin and this call must stay un-served).
+    if (graft.plans.MvRewrite.isPlainSnapshot(src, Some(srcV)))
       graft.plans.MvRewrite.register(src, mv, groupCols,
-        aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) })
+        aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) },
+        atVersion = Some(srcV))
 
   private def optimize(tbl: VersionedTable, zcols: Option[String]): DataFrame = {
     import spark.implicits._
@@ -1546,6 +1562,13 @@ object GraftSql {
       }).as(out)
     }
 
+  /** Txn-app-id prefix for MV maintenance merges (replay idempotence). */
+  private[graft] val MvTxnApp = "graft-mv:"
+
+  /** Any row with a NULL in a group column? (one short-circuit probe) */
+  private[graft] def hasNullKeys(df: DataFrame, cols: Seq[String]): Boolean =
+    !df.filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).isEmpty
+
   /** Whether `aggs` can absorb retractions from a row-level change feed:
     * sum/count only, count(*) materialized (emptied groups must drop),
     * every sum(c) with a count(c) companion (NULL-fix). */
@@ -1569,7 +1592,8 @@ object GraftSql {
   private[graft] def applyCdfDelta(mv: VersionedTable, feed: DataFrame,
                                    groupCols: Seq[String],
                                    aggs: Seq[(String, String, String)],
-                                   txn: Option[(String, Long)]): Unit = {
+                                   txn: Option[(String, Long)],
+                                   partitionBy: Seq[String] = Nil): Unit = {
     require(cdfMaintainable(aggs),
       "CDF aggregate maintenance needs count(*) plus sum/count-only " +
         s"aggregates (with count(c) for every sum(c)); got ${aggs.mkString(",")}")
@@ -1599,10 +1623,18 @@ object GraftSql {
       // must not stage an empty merge — and in the streaming sink a
       // pure-DDL version range batches as zero rows
       if (delta.isEmpty) return
+      // NULL group values cannot ride the merge (NULL never matches a
+      // key — each batch would insert a fresh NULL row): refuse loudly.
+      // REFRESH catches this and recomputes; the streaming sink surfaces
+      // it to the user (coalesce the group column upstream).
+      if (hasNullKeys(delta, groupCols))
+        sys.error("CDF aggregate maintenance: NULL value in group " +
+          s"column(s) ${groupCols.mkString(",")} — NULL keys cannot " +
+          "merge incrementally; coalesce them upstream")
       mv.merge(delta, groupCols, updateExprs = aggs.map {
         case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
         case (_, _, o)       => o -> mvCombine("sum")
-      }.toMap, txn = txn)
+      }.toMap, txn = txn, partitionBy = partitionBy)
     } finally { delta.unpersist(); () }
     // emptied groups drop, as a recompute would (guarded: per-batch
     // streaming calls must not commit a no-op delete every trigger)

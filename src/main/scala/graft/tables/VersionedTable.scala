@@ -717,6 +717,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** REPLACE semantics: drop the bucket layout so the replacement's own
+    * first merge re-buckets on ITS keys (a stale spec keyed on the old
+    * definition's columns would fail every later merge). */
+  private[tables] def clearBucketSpec(): Unit = {
+    Files.deleteIfExists(specPath)
+    ()
+  }
+
   private[tables] def clearIdentity(): Unit = {
     Files.deleteIfExists(identityPath)
     Files.deleteIfExists(identityHwmPath)

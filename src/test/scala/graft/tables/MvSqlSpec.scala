@@ -168,6 +168,80 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("NULL group values route to full recompute, never a NULL-keyed merge") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "nk")
+    src.append(Seq((Some("a"), 1L), (None, 2L): (Option[String], Long))
+      .toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_nk AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.nk GROUP BY k")
+    val mv = cat.table("gold", "mv_nk")
+    try {
+      // the increment touches the NULL group: a merge would INSERT a
+      // second NULL row every refresh (NULL never matches a merge key)
+      src.append(Seq((None, 10L): (Option[String], Long)).toDF("k", "v"))
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_nk")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "full")
+      assert(mv.read.orderBy("k").as[(Option[String], Long, Long)]
+        .collect().toSeq === Seq((None, 12L, 2L), (Some("a"), 1L, 1L)))
+      // NULL-free increments still take the incremental path
+      src.append(Seq((Some("a"), 5L): (Option[String], Long)).toDF("k", "v"))
+      val r2 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_nk")
+        .as[(String, String, Long)].head()
+      assert(r2._2 === "incremental")
+      assert(mv.read.orderBy("k").as[(Option[String], Long, Long)]
+        .collect().toSeq === Seq((None, 12L, 2L), (Some("a"), 6L, 2L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("crash-replay between refresh merge and covered-version bump is " +
+    "a no-op (txn marker), not a double-count") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "cr")
+    src.append(Seq(("a", 1L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_cr AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.cr GROUP BY k")
+    val mv = cat.table("gold", "mv_cr")
+    try {
+      src.append(Seq(("a", 10L)).toDF("k", "v"))
+      sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cr")
+      assert(mv.read.as[(String, Long, Long)].head() === (("a", 11L, 2L)))
+      // simulate the crash window: the merge committed but the covered
+      // version never advanced — the replayed merge must be recognized
+      mv.setProperties(Map(GraftSql.MvVersionProp -> "0"))
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cr")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "incremental")
+      assert(mv.read.as[(String, Long, Long)].head() === (("a", 11L, 2L)),
+        "replayed delta must not double-apply")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("CREATE OR REPLACE with a different GROUP BY survives a " +
+    "previously-bucketed MV") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "rg")
+    src.append(Seq(("a", "x", 1L), ("b", "y", 2L)).toDF("k1", "k2", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_rg AS SELECT k1, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.rg GROUP BY k1")
+    // an incremental refresh buckets the MV on k1
+    src.append(Seq(("a", "x", 3L)).toDF("k1", "k2", "v"))
+    sql.sql("REFRESH MATERIALIZED VIEW gold.mv_rg")
+    // replace with a DIFFERENT group set; later refreshes merge on k2
+    sql.sql("CREATE OR REPLACE MATERIALIZED VIEW gold.mv_rg AS SELECT k2, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.rg GROUP BY k2")
+    val mv = cat.table("gold", "mv_rg")
+    try {
+      src.append(Seq(("c", "y", 5L)).toDF("k1", "k2", "v"))
+      val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_rg")
+        .as[(String, String, Long)].head()
+      assert(r._2 === "incremental")
+      assert(mv.read.orderBy("k2").as[(String, Long, Long)]
+        .collect().toSeq === Seq(("x", 4L, 2L), ("y", 7L, 2L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("CDF path falls back to full recompute when the slice holds a " +
     "commit the feed cannot express (overwrite)") {
     val (cat, sql) = warehouse()

@@ -687,22 +687,27 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val mode =
       if (later.isEmpty) "noop"
       else if (later.forall(_.action == "append")) {
+        // persisted: the NULL-key probe and the merge share one
+        // aggregation pass (the delta is group-count-sized)
         val delta = src.readAddedSince(v0, until = Some(srcV))
           .groupBy(groupCols.map(col): _*)
           .agg(GraftSql.mvAggColumns(aggs).head,
             GraftSql.mvAggColumns(aggs).tail: _*)
-        // NULL group values cannot ride the merge (SQL MERGE: NULL
-        // never matches, so every refresh would INSERT a fresh NULL
-        // row) — a delta touching the NULL group recomputes instead
-        if (GraftSql.hasNullKeys(delta, groupCols)) { recompute(); "full" }
-        else {
-          // txn marker: a crash between this commit and the covered-
-          // version bump replays as a metadata no-op, not a double-count
-          mv.merge(delta, groupCols, updateExprs = aggs.map {
-            case (f, _, o) => o -> GraftSql.mvCombine(f)
-          }.toMap, txn = Some((GraftSql.MvTxnApp + mv.root, srcV)))
-          "incremental"
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // NULL group values cannot ride the merge (SQL MERGE: NULL
+          // never matches, so every refresh would INSERT a fresh NULL
+          // row) — a delta touching the NULL group recomputes instead
+          if (GraftSql.hasNullKeys(delta, groupCols)) { recompute(); "full" }
+          else {
+            // txn marker: a crash between this commit and the covered-
+            // version bump replays as a metadata no-op, not a double-count
+            mv.merge(delta, groupCols, updateExprs = aggs.map {
+              case (f, _, o) => o -> GraftSql.mvCombine(f)
+            }.toMap, txn = Some((GraftSql.MvTxnApp + mv.root, srcV)))
+            "incremental"
+          }
+        } finally { delta.unpersist(); () }
       } else if (cdfCapable) {
         // the feed can refuse mid-slice shapes it cannot express
         // (overwrite/restore commit no change set; vacuum may have

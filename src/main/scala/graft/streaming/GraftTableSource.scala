@@ -242,9 +242,13 @@ object GraftTableSource {
   * batch after a crash is a metadata no-op: end-to-end exactly-once
   * when paired with any replayable source, with no foreachBatch
   * boilerplate (Delta's sink contract). Append mode appends; Complete
-  * mode overwrites the snapshot per batch. The txn app id is the
-  * query's checkpoint location (stable across restarts) unless a
-  * `txnAppId` option pins it explicitly. */
+  * mode overwrites the snapshot per batch; `mergeKeys` upserts
+  * Update-mode batches by key; `applyChanges` replicates a CDF stream
+  * (DLT APPLY CHANGES INTO); `aggregate = "fn:col:out;…"` maintains a
+  * rollup from a CDF stream as signed deltas (streaming materialized
+  * view, O(changed rows) per trigger). The txn app id is the query's
+  * checkpoint location (stable across restarts) unless a `txnAppId`
+  * option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
                            mergeKeys: Seq[String], applyChanges: Boolean,

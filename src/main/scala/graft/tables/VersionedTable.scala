@@ -3515,7 +3515,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** Pin `name` to `version` (default: the current head). Tag names are
     * immutable once created — re-pointing a release label silently is
-    * exactly the mistake tags exist to prevent; DROP then re-create. */
+    * exactly the mistake tags exist to prevent; DROP then re-create.
+    * SHALLOW CLONEs deliberately do NOT inherit tags: a clone's history
+    * re-bases to version 0, so an inherited pin would point at a version
+    * number that means something else (or nothing) in the clone. */
   def createTag(name: String, version: Option[Long] = None): Unit = {
     require(name.matches("""[A-Za-z_][A-Za-z0-9_.\-]*"""),
       s"CREATE TAG: bad tag name `$name`")

@@ -307,6 +307,30 @@ class MvSqlSpec extends SparkSpec {
     MvRewrite.deregister(cat.table("gold", "mv_g"))
   }
 
+  test("a multi-arm source (post-widening) materializes but does not arm " +
+    "routing — queries stay correct from the source") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "wd")
+    src.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    src.widenColumnType("v", org.apache.spark.sql.types.LongType)
+    src.append(Seq(("b", 5_000_000_000L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_wd AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.wd GROUP BY k")
+    val mv = cat.table("gold", "mv_wd")
+    try {
+      // the MV itself is correct
+      assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq
+        === Seq(("a", 1L, 1L), ("b", 5_000_000_002L, 2L)))
+      // but the union-arm read is not a plain scan: routing stays
+      // un-armed (conservative), the query runs against the source
+      val q = src.read.groupBy("k").agg(fsum("v").as("s"))
+      assert(!scansMv(q))
+      assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 1L), ("b", 5_000_000_002L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("DROP TABLE un-arms a routed MV before deleting it") {
     val (cat, sql) = warehouse()
     MvRewrite.install(spark)

@@ -88,21 +88,23 @@ object Sharding {
     }
     val inBucket = row_number()
       .over(Window.partitionBy("__psb").orderBy("shuffle_key", idCol))
-    // 0-based global rank. The shard arithmetic below runs in Spark's
-    // `/` (double division), exact while rank*numShards < 2^53 — e.g.
-    // ~10^12 documents at 8192 shards; past that, boundary ranks could
-    // round into the neighboring shard (document-count scales beyond
-    // any real corpus, but the bound is the double mantissa, not Long)
+    // 0-based global rank. Shard arithmetic runs in INTEGER division
+    // (SQL `div`), exact for every rank a Long can hold — double `/`
+    // would go inexact past rank*numShards = 2^53 and silently round
+    // boundary ranks into the neighboring shard. The remaining bound is
+    // Long overflow of rank*numShards (~10^15 docs at 8192 shards),
+    // orders of magnitude past any real corpus.
     val rank = element_at(typedlit(offsets), col("__psb")) +
       inBucket.cast("long") - 1L
-    val shard = floor(rank * numShards / total).cast("int")
-    // shard start = ceil(shard * total / numShards)
-    val shardStart =
-      floor((shard.cast("long") * total + numShards - 1) / numShards)
     bucketed
-      .withColumn("shard", shard)
-      .withColumn("shard_pos", (rank - shardStart).cast("long"))
-      .drop("__skn", "__psb")
+      .withColumn("__rank", rank)
+      .withColumn("shard",
+        expr(s"(__rank * ${numShards}L) div ${total}L").cast("int"))
+      // shard start = ceil(shard * total / numShards), in integer math
+      .withColumn("shard_pos", (col("__rank") - expr(
+        s"(shard * ${total}L + ${numShards - 1}L) div ${numShards}L"))
+        .cast("long"))
+      .drop("__skn", "__psb", "__rank")
   }
 
   /** Materialize the shuffled, sharded corpus: hive-partitioned by

@@ -241,8 +241,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           }
           // avg derives from materialized sum+count of the SAME column
           // (count(col) — null-skipping — not count(*)); double-typed
-          // originals only, so the division reproduces Spark's result
-          // bit-for-bit and an all-null group stays NULL (x/0 → NULL)
+          // originals only, so the division has Average's exact output
+          // type and an all-null group stays NULL (x/0 → NULL). For an
+          // INTEGRAL source column (sums below 2^53) the served value is
+          // bit-for-bit Spark's; for a double source column the MV's sum
+          // was accumulated in a different partition order than a direct
+          // Average would be, so the served avg can differ at ULP level —
+          // the same non-determinism Spark itself exhibits across runs
+          // (FP sum order is not a guarantee of ANY plan, with or
+          // without the rewrite)
           case av: Average if av.dataType == DoubleType => av.child match {
             case a: AttributeReference => for {
               s <- aggCol("sum", a.name)

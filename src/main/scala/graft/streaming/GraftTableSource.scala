@@ -383,6 +383,18 @@ final class GraftTableSourceProvider extends StreamSourceProvider
         "— the MV's group columns")
     require(aggregate.isEmpty || !applyChanges,
       "graft-table sink: aggregate and applyChanges are alternative modes")
+    // fail FAST on the spec itself: parse it and check maintainability
+    // here, at query start — not inside addBatch when the first
+    // micro-batch arrives minutes later. parseAggSpecs throws on a
+    // malformed string; cdfMaintainable rejects min/max and sums
+    // without count companions (signed deltas cannot retract them).
+    aggregate.foreach { spec =>
+      val aggs = graft.tables.GraftSql.parseAggSpecs(spec)
+      require(graft.tables.GraftSql.cdfMaintainable(aggs),
+        "graft-table sink: aggregate mode needs count(*) plus " +
+          "sum/count-only aggregates (with count(c) for every sum(c)); " +
+          s"got $spec")
+    }
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
       mergeKeys = mergeKeys, applyChanges = applyChanges,

@@ -55,6 +55,11 @@ final class Catalog(spark: SparkSession, root: String) {
   /** DROP TABLE semantics (01_environment_smoke_test.py:93): remove the
     * table directory and its temp view if registered. */
   def dropTable(layer: String, name: String): Unit = {
+    // an armed materialized view keyed by this root must un-arm BEFORE
+    // its files go away, or the routing rule would serve matching
+    // queries from a dead path — the same guard the SQL DROP funnel
+    // applies; direct library callers get it here
+    graft.plans.MvRewrite.deregisterRoot(s"$root/$layer/$name")
     spark.catalog.dropTempView(s"${layer}_$name")
     def rm(p: java.nio.file.Path): Unit = {
       listDir(p).foreach(rm)

@@ -627,6 +627,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // OR REPLACE with a DIFFERENT group set: the old definition's
     // refresh merges bucketed the MV on the old keys — a stale spec
     // would fail (or mis-bucket) every later incremental refresh
+    // epoch bump: a REPLACE starts a fresh txn-ledger namespace, so
+    // merge markers from the previous definition (or from a source
+    // recreated at the same root with a restarted version counter)
+    // cannot masquerade as this era's absorbed slices
+    val epoch = (if (mv.exists)
+      mv.properties.get(GraftSql.MvEpochProp).map(_.toLong).getOrElse(0L)
+    else 0L) + 1L
     if (mv.exists) mv.clearBucketSpec()
     mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
       .agg(GraftSql.mvAggColumns(aggs).head,
@@ -636,7 +643,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       GraftSql.MvGroupProp -> groupCols.mkString(","),
       GraftSql.MvAggsProp ->
         aggs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
-      GraftSql.MvVersionProp -> srcV.toString))
+      GraftSql.MvVersionProp -> srcV.toString,
+      GraftSql.MvEpochProp -> epoch.toString))
     armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
   }
@@ -669,7 +677,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val src = VersionedTable(spark, srcRoot)
     val groupCols = props(GraftSql.MvGroupProp).split(",").toSeq
     val aggs = GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
-    val v0 = props(GraftSql.MvVersionProp).toLong
+    val v0Prop = props(GraftSql.MvVersionProp).toLong
+    // exactly-once across crash+retry: the merge's txn ledger is the
+    // authoritative record of the last slice actually ABSORBED. A crash
+    // between the merge commit and the MvVersionProp bump leaves the
+    // ledger ahead of the property — and if the source takes new commits
+    // before the retry, a property-based resume would recompute a LARGER
+    // slice whose merge passes the replay guard (lastTxn < new srcV) and
+    // double-counts the already-merged prefix. Resuming from
+    // max(property, ledger) makes the retry apply only the uncovered
+    // tail; when they agree this is the property, unchanged behavior.
+    // The app id carries the CREATE epoch so ledger entries from a
+    // replaced definition era can never be consulted.
+    val txnApp = GraftSql.MvTxnApp +
+      props.getOrElse(GraftSql.MvEpochProp, "0") + ":" + mv.root
+    val v0 = math.max(v0Prop, mv.lastTxnVersion(txnApp).getOrElse(v0Prop))
     // ONE history read: srcV (the version this refresh will cover) and
     // the commit slice it maintains over must agree even while
     // concurrent writers advance the head
@@ -704,30 +726,37 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             // version bump replays as a metadata no-op, not a double-count
             mv.merge(delta, groupCols, updateExprs = aggs.map {
               case (f, _, o) => o -> GraftSql.mvCombine(f)
-            }.toMap, txn = Some((GraftSql.MvTxnApp + mv.root, srcV)))
+            }.toMap, txn = Some((txnApp, srcV)))
             "incremental"
           }
         } finally { delta.unpersist(); () }
       } else if (cdfCapable) {
         // the feed can refuse mid-slice shapes it cannot express
         // (overwrite/restore commit no change set; vacuum may have
-        // reclaimed old sets) — those fall back to the full recompute,
-        // which is always safe: the refusal happens while PLANNING the
-        // feed read, before any merge commits, and even a post-merge
-        // failure is healed by the overwrite
+        // reclaimed old sets; NULL group keys cannot merge) — ONLY those
+        // curated refusals fall back to the full recompute, which is
+        // always safe: the refusal happens while PLANNING the feed read,
+        // before any merge commits, and even a post-merge failure is
+        // healed by the overwrite. Every other error (merge-key/bucket
+        // mismatch, missing MV columns, schema drift) propagates —
+        // masking a misconfiguration as a silent recompute would hide
+        // the bug behind a performance blip.
         try {
           GraftSql.applyCdfDelta(mv,
             src.readChangeFeed(v0, Some(srcV)), groupCols, aggs,
-            txn = Some((GraftSql.MvTxnApp + mv.root, srcV)))
+            txn = Some((txnApp, srcV)))
           "cdf"
         } catch {
-          case _: RuntimeException => recompute(); "full"
+          case _: CdfNotExpressible => recompute(); "full"
         }
       } else {
         recompute()
         "full"
       }
-    if (mode != "noop")
+    // bump on PROPERTY lag, not on mode: a ledger-healed retry whose
+    // uncovered tail is empty reads as "noop" but must still repair the
+    // stale covered-version property left by the crash
+    if (srcV > v0Prop)
       mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
     armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
@@ -1518,6 +1547,11 @@ object GraftSql {
   val MvGroupProp = "graft.mv.group"
   val MvAggsProp = "graft.mv.aggs"
   val MvVersionProp = "graft.mv.sourceVersion"
+  /** Bumped on every CREATE [OR REPLACE]: namespaces the refresh txn
+    * ledger so markers from a PREVIOUS definition era (or a dropped-and-
+    * recreated source whose version counter restarted) can never be
+    * mistaken for this era's absorbed slices. */
+  val MvEpochProp = "graft.mv.epoch"
 
   /** Parse the closed MV select grammar → (groupCols, (fn, col, out)*).
     * Every group column must appear bare in the select list; every other
@@ -1633,9 +1667,9 @@ object GraftSql {
       // REFRESH catches this and recomputes; the streaming sink surfaces
       // it to the user (coalesce the group column upstream).
       if (hasNullKeys(delta, groupCols))
-        sys.error("CDF aggregate maintenance: NULL value in group " +
-          s"column(s) ${groupCols.mkString(",")} — NULL keys cannot " +
-          "merge incrementally; coalesce them upstream")
+        throw new CdfNotExpressible("CDF aggregate maintenance: NULL " +
+          s"value in group column(s) ${groupCols.mkString(",")} — NULL " +
+          "keys cannot merge incrementally; coalesce them upstream")
       mv.merge(delta, groupCols, updateExprs = aggs.map {
         case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
         case (_, _, o)       => o -> mvCombine("sum")

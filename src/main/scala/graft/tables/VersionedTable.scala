@@ -7,6 +7,16 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
+/** A change-feed slice that cannot be expressed as row-level changes —
+  * vacuumed change sets, commits with no reconstructible change set
+  * (overwrite/restore on a CDF-disabled era), or NULL group keys on the
+  * incremental-aggregate path. Callers that maintain derived state from
+  * the feed (REFRESH MATERIALIZED VIEW) catch exactly this type and fall
+  * back to a full recompute; every OTHER error (schema drift, missing
+  * columns, misconfiguration) still propagates loudly instead of being
+  * silently absorbed into a recompute. */
+class CdfNotExpressible(msg: String) extends RuntimeException(msg)
+
 /** A snapshot-versioned parquet table: the engine's stand-in for the
   * reference's Delta tables (no Delta jars in this environment).
   *
@@ -1659,7 +1669,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val appendFlat = scala.collection.mutable.ArrayBuffer.empty[(LogEntry, Path)]
     val loneFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def vacuumedGuard(v: Long, missing: Seq[String]): Unit =
-      require(missing.isEmpty,
+      if (missing.nonEmpty) throw new CdfNotExpressible(
         s"changes of v$v at $root were vacuumed; re-read the snapshot")
     entries.foreach { e =>
       e.cdf match {
@@ -1706,8 +1716,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
               loneFrames += stampMeta(
                 tagged(readSets(e.fileSets, e.dvs), "insert"),
                 e.version, e.tsMillis)
-          case other => sys.error(s"change feed cannot reconstruct " +
-            s"'$other' at v${e.version} of $root; re-read the snapshot")
+          case other => throw new CdfNotExpressible(
+            s"change feed cannot reconstruct '$other' at v${e.version} " +
+              s"of $root; re-read the snapshot")
         }
       }
     }

@@ -199,4 +199,33 @@ class MvRewriteSpec extends SparkSpec {
         Seq(("a", Some(3.0)), ("b", Some(6.0)), ("c", None)))
     } finally MvRewrite.deregister(mv)
   }
+
+  test("library-path Catalog.dropTable un-arms routing — no stale entry " +
+       "serves from the deleted MV path") {
+    MvRewrite.install(spark)
+    val wh = tmpDir("graft-mvrw-cat-")
+    val cat = new graft.tables.Catalog(spark, wh)
+    cat.bootstrap()
+    val src = cat.table("silver", "mvsrc")
+    val mv = cat.table("gold", "mvtab")
+    src.append(Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("k", "v"))
+    mv.overwrite(src.read.groupBy("k").agg(
+      sum("v").as("sum_v"), count(lit(1)).as("cnt")))
+    MvRewrite.register(src, mv, Seq("k"), Seq(
+      MvRewrite.AggSpec("sum", "v", "sum_v"),
+      MvRewrite.AggSpec("count", "*", "cnt")))
+    def q(): DataFrame = src.read.groupBy("k").agg(sum("v").as("sv"))
+    assert(scannedPaths(q()).forall(_.contains("/gold/mvtab")),
+      "routing should be armed before the drop")
+    // drop THROUGH THE LIBRARY CATALOG, not the SQL funnel — the guard
+    // must live in Catalog.dropTable itself
+    cat.dropTable("gold", "mvtab")
+    // the same query now falls back to the (live) source instead of
+    // failing at read over the deleted MV directory
+    val after = q()
+    assert(scannedPaths(after).forall(_.contains("/silver/mvsrc")),
+      s"expected source fallback, got ${scannedPaths(after)}")
+    assert(after.orderBy("k").as[(String, Long)].collect().toSeq ===
+      Seq(("a", 4L), ("b", 2L)))
+  }
 }

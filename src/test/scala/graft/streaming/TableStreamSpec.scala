@@ -544,13 +544,34 @@ class TableStreamSpec extends SparkSpec {
       .writeStream.format("graft-table")
       .option("checkpointLocation", tmpDir("ts-aggx-cp-"))
       .option("mergeKeys", "k")
-      .option("aggregate", "sum:v:s;count:*:c")
+      .option("aggregate", "sum:v:s;count:v:cv;count:*:c")
       .trigger(Trigger.AvailableNow())
       .start(tmpDir("ts-aggx-mv-"))
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
       q.awaitTermination())
     assert(e.getMessage.contains("change-feed") ||
       Option(e.getCause).exists(_.getMessage.contains("change-feed")))
+  }
+
+  test("sink: a non-maintainable aggregate spec fails at query START, " +
+       "not at the first micro-batch") {
+    val src = tmpDir("ts-aggspec-src-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append(Seq(("a", 1L)).toDF("k", "v"))
+    // min can't retract under signed deltas — createSink must refuse
+    // before any trigger fires
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", tmpDir("ts-aggspec-cp-"))
+        .option("mergeKeys", "k")
+        .option("aggregate", "min:v:m;count:*:c")
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("ts-aggspec-mv-"))
+    }
+    assert(e.getMessage.contains("sum/count-only"))
   }
 
   test("readChangeFeed mode streams row-level updates and deletes") {

@@ -208,13 +208,30 @@ class MvSqlSpec extends SparkSpec {
       sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cr")
       assert(mv.read.as[(String, Long, Long)].head() === (("a", 11L, 2L)))
       // simulate the crash window: the merge committed but the covered
-      // version never advanced — the replayed merge must be recognized
+      // version never advanced — the retry derives its resume point
+      // from the merge's txn ledger, recognizes the slice as already
+      // absorbed (noop), and repairs the stale property
       mv.setProperties(Map(GraftSql.MvVersionProp -> "0"))
       val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cr")
         .as[(String, String, Long)].head()
-      assert(r._2 === "incremental")
+      assert(r._2 === "noop")
       assert(mv.read.as[(String, Long, Long)].head() === (("a", 11L, 2L)),
         "replayed delta must not double-apply")
+      assert(mv.properties(GraftSql.MvVersionProp) === "1",
+        "retry must repair the stale covered-version property")
+
+      // the harder replay: the SOURCE ADVANCES before the retry. A
+      // property-based resume would rebuild the whole (0, 2] delta —
+      // whose merge passes the txn replay guard (ledger 1 < 2) — and
+      // double-count v1's rows; the ledger-based resume applies only
+      // the uncovered (1, 2] tail.
+      mv.setProperties(Map(GraftSql.MvVersionProp -> "0"))
+      src.append(Seq(("a", 100L)).toDF("k", "v"))
+      val r2 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cr")
+        .as[(String, String, Long)].head()
+      assert(r2._2 === "incremental")
+      assert(mv.read.as[(String, Long, Long)].head() === (("a", 111L, 3L)),
+        "retry after source advance must merge only the uncovered tail")
     } finally MvRewrite.deregister(mv)
   }
 

@@ -2094,6 +2094,63 @@ object SparkEntry {
       } finally MvRewrite.deregister(mv)
     }),
 
+    // MV6: routing over a POST-DDL (multi-arm) snapshot. A table that
+    // took metadata DDL — type widening (empty widened arm) and a
+    // RENAME of a column the MV never touches — reads as a union of
+    // projected arms, not one plain scan; registration decomposes that
+    // shape into a per-arm signature and routing still serves from the
+    // MV. `ddl_armed` is computed from the optimized plan's leaf paths
+    // (TRUE only if the aggregate over the widened+renamed table was
+    // served from the MV); `stale_fell_back` pins that the DDL shapes
+    // did not weaken freshness: one data commit and the rule goes quiet,
+    // with the fallback seeing every row. Oracle recomputes from raw
+    // parquet and expects both flags literally TRUE.
+    "q_mv6_ddl_armed" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      val root = Files.createTempDirectory("graft-mv6-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_shipdate").as("mode_raw"))
+      def agg(d: DataFrame): DataFrame = d.groupBy("flag").agg(
+        sum("qty").as("sum_qty"), count(lit(1)).as("n_rows"))
+      MvRewrite.install(s)
+      try {
+        // arm 1: a narrow INT generation, then metadata-only DDL — the
+        // widen commits an empty BIGINT arm, the rename re-projects an
+        // untouched column per arm; zero data rewritten
+        src.append(li.filter(col("qty") % 3 === 1)
+          .withColumn("qty", col("qty").cast("int")))
+        src.widenColumnType("qty", org.apache.spark.sql.types.LongType)
+        src.append(li.filter(col("qty") % 3 === 2))
+        src.renameColumn("mode_raw", "ship_day")
+        // register on the post-DDL snapshot (the round-9 boundary this
+        // query retires: multi-arm used to refuse to arm)
+        mv.overwrite(src.read.groupBy("flag").agg(
+          sum("qty").as("s_q"), count(lit(1)).as("c_all")))
+        MvRewrite.register(src, mv, Seq("flag"), Seq(
+          MvRewrite.AggSpec("sum", "qty", "s_q"),
+          MvRewrite.AggSpec("count", "*", "c_all")))
+        val served = agg(src.read)
+        val ps = MvRewrite.scannedPaths(served)
+        val ddlArmed = ps.nonEmpty && ps.forall(_.contains("/mv/"))
+        // freshness: one data commit un-arms; the fallback (a real
+        // union-of-arms aggregate) must count EVERY row
+        src.append(li.filter(col("qty") % 3 === 0)
+          .withColumnRenamed("mode_raw", "ship_day"))
+        val stale = agg(src.read)
+        val fellBack =
+          MvRewrite.scannedPaths(stale).forall(_.contains("/src/")) &&
+            stale.agg(sum("n_rows")).first.getLong(0) == li.count()
+        stale
+          .withColumn("ddl_armed", lit(ddlArmed))
+          .withColumn("stale_fell_back", lit(fellBack))
+          .orderBy("flag")
+      } finally MvRewrite.deregister(mv)
+    }),
+
     // MV3: CDC-driven incremental aggregate — the change feed consumed
     // end-to-end. readAddedSince handles append-only feeds and mv2's
     // partition feed recomputes whole partitions; row-level CDF is what
@@ -4641,6 +4698,13 @@ object SparkEntry {
         |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
         |  avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
         |  TRUE AS mv_served, TRUE AS stale_fell_back
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mv6_ddl_armed" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS ddl_armed, TRUE AS stale_fell_back
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_w5_window_suite" ->

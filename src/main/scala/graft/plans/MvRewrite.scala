@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, ResolvedHint, Union, Filter => LFilter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StructType}
 
 import graft.tables.VersionedTable
 
@@ -23,30 +24,41 @@ import graft.tables.VersionedTable
   * becomes a read of a few thousand pre-computed rows, with zero query
   * changes (the BI-dashboard query pattern MV maintenance exists for).
   *
-  * **Freshness is structural, not advisory.** Registration snapshots the
-  * source scan's file-set root paths; the rule fires only when the
-  * query's own scan resolves to the identical path set. Any commit to
-  * the source (append/merge/compact/DDL) changes its snapshot's file-set
-  * list, so a stale MV silently stops matching and the query falls back
-  * to the source — wrong-answer-by-staleness is impossible by
-  * construction. After an incremental refresh (see `q_mv_incremental`'s
-  * `readAddedSince` / CDF patterns), re-[[register]] to re-arm.
+  * **Freshness is structural, not advisory.** Registration decomposes the
+  * source scan into a [[SourceSig]] — the set of every leaf file-set
+  * root path (data arms AND deletion-vector sidecars) plus, per arm, the
+  * exact per-column source expressions the graft read projects (rename
+  * aliases, widening casts, null pads for added columns, DV row-identity
+  * columns). The rule fires only when the query's own scan decomposes to
+  * a signature the registration covers. Any commit to the source
+  * (append/merge/compact/DV delete/ADD COLUMN/widen) changes its
+  * snapshot's file-set or DV list, so a stale MV silently stops matching
+  * and the query falls back to the source — wrong-answer-by-staleness is
+  * impossible by construction. Column-mapping DDL (RENAME/DROP COLUMN)
+  * carries file-sets verbatim, but it changes the arm projections and the
+  * logical column names, so a query touching the re-mapped column stops
+  * matching too, while queries over untouched columns (whose data the
+  * DDL did not change) keep serving. After an incremental refresh (see
+  * `q_mv_incremental`'s `readAddedSince` / CDF patterns), re-[[register]]
+  * to re-arm.
   *
   * Match surface (deliberately conservative — anything else is left
-  * untouched): a single [[Aggregate]] over the source scan
-  * (attribute-only Projects are stripped; joins or expression inputs
-  * bail), with aggregates drawn from `sum(col)`, `count(*)`,
-  * `count(col)`, `min(col)`, `max(col)` that the MV materialized, plus
-  * `avg(col)` derived as `sum(col)/count(col)` when both are
-  * registered. Distinct aggregates and FILTER clauses bail. Grouping
-  * may be the registered group columns exactly (served as a Project of
-  * the MV) or any strict subset of them, including none — the rollup
-  * rewrite: the MV re-aggregates (`count` re-sums, min/max re-combine,
-  * avg re-derives), exact because MV rows partition source rows by the
-  * full group set. A deterministic Filter between aggregate and scan
-  * rewrites onto the MV when it references group columns only. The
-  * rewrite aliases MV columns to the original output attribute ids, so
-  * the parent plan is untouched.
+  * untouched): a single [[Aggregate]] over the source scan — one plain
+  * relation, a union of per-schema-generation arms, or either under the
+  * standard DV anti-join — with aggregates drawn from `sum(col)`,
+  * `count(*)`, `count(col)`, `min(col)`, `max(col)` that the MV
+  * materialized, plus `avg(col)` derived as `sum(col)/count(col)` when
+  * both are registered. Distinct aggregates and FILTER clauses bail.
+  * Grouping may be the registered group columns exactly (served as a
+  * Project of the MV) or any strict subset of them, including none — the
+  * rollup rewrite: the MV re-aggregates (`count` re-sums, min/max
+  * re-combine, avg re-derives), exact because MV rows partition source
+  * rows by the full group set. A deterministic Filter rewrites onto the
+  * MV when it references group columns only — including predicates the
+  * optimizer already pushed below the union into every arm (they hoist
+  * back to logical columns through each arm's projection and must agree
+  * across arms). The rewrite aliases MV columns to the original output
+  * attribute ids, so the parent plan is untouched.
   *
   * Wire-up: [[MvRewrite.install]] arms an existing session via
   * `spark.experimental.extraOptimizations`; [[GraftSparkExtensions]] is
@@ -64,7 +76,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     * sum|count|min|max and `col == "*"` for `count(*)`. */
   final case class AggSpec(fn: String, col: String, mvCol: String)
 
-  private final case class Entry(sourcePaths: Set[String],
+  /** Structural identity of one source snapshot read. `totalPaths` is
+    * every leaf root the read touches (file-set arms plus DV sidecars) —
+    * the freshness key: any data or DV commit changes it. `arms` maps
+    * each scan arm's path set to its per-logical-column source
+    * descriptors (see [[describe]]) — the projection key: column-mapping
+    * DDL changes these without touching paths, and a user query that
+    * re-aliases columns over the same files (e.g. `select(v as k)`)
+    * produces descriptors no registration carries, so neither can serve
+    * stale or swapped results. */
+  private final case class SourceSig(totalPaths: Set[String],
+                                     arms: Map[Set[String], Map[String, String]])
+
+  private final case class Entry(sig: SourceSig,
                                  groupCols: Seq[String],
                                  aggs: Map[(String, String), String],
                                  mvRead: () => DataFrame)
@@ -75,9 +99,10 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** Arm `mv` as the materialization of `SELECT groupCols, aggs FROM
     * source GROUP BY groupCols` at the source's CURRENT snapshot.
-    * Refused unless the snapshot reads as one plain scan (no deletion
-    * vectors, schema generations or column mapping — shapes whose read
-    * plans the conservative matcher would never fire on anyway). */
+    * Multi-arm snapshots — schema generations from ADD COLUMN / type
+    * widening, column-mapping projections from RENAME/DROP COLUMN, and
+    * DV-bearing reads — register like plain scans; refused only when the
+    * read decomposes to no recognizable graft scan shape at all. */
   def register(source: VersionedTable, mv: VersionedTable,
                groupCols: Seq[String], aggs: Seq[AggSpec],
                atVersion: Option[Long] = None): Unit = {
@@ -88,28 +113,29 @@ object MvRewrite extends Rule[LogicalPlan] {
     // concurrent commit the MV never absorbed — queries over that head
     // would silently miss its rows
     val snap = atVersion.fold(source.read)(source.readVersion)
-    val paths = scanWithFilters(snap.queryExecution.analyzed)
-      .collect { case (ps, Nil) => ps }
-      .getOrElse(sys.error("MV rewrite: source snapshot is not a plain " +
-        s"single-relation scan at ${source.root} — registration refused"))
+    val sig = decompose(snap.queryExecution.analyzed)
+      .collect { case (s, Nil) => s }
+      .getOrElse(sys.error("MV rewrite: source snapshot is not a " +
+        s"recognizable graft scan shape at ${source.root} — registration " +
+        "refused"))
     val mvCols = mv.read.columns.toSet
     val missing = (groupCols ++ aggs.map(_.mvCol)).filterNot(mvCols)
     require(missing.isEmpty,
       s"MV rewrite: MV at ${mv.root} lacks columns ${missing.mkString(",")}")
     entries.put(mv.root,
-      Entry(paths, groupCols,
+      Entry(sig, groupCols,
         aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read))
   }
 
   def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
 
-  /** Whether the table's current snapshot reads as one plain relation —
-    * the only shape [[register]] accepts and the matcher can serve.
-    * Callers use this to skip registration quietly instead of catching
-    * the refusal (which would also swallow genuine errors). */
-  def isPlainSnapshot(source: VersionedTable,
-                      atVersion: Option[Long] = None): Boolean =
-    scanWithFilters(atVersion.fold(source.read)(source.readVersion)
+  /** Whether the table's snapshot decomposes to a registrable
+    * [[SourceSig]] — plain, multi-arm, or DV-bearing. Callers use this to
+    * skip registration quietly instead of catching the refusal (which
+    * would also swallow genuine errors). */
+  def isRegistrable(source: VersionedTable,
+                    atVersion: Option[Long] = None): Boolean =
+    decompose(atVersion.fold(source.read)(source.readVersion)
       .queryExecution.analyzed).exists(_._2.isEmpty)
 
   /** Leaf parquet root paths of a DataFrame's OPTIMIZED plan — which
@@ -140,31 +166,209 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The scan's file-set roots plus any deterministic Filter conditions
-    * collected on the way down, when the plan is exactly one parquet
-    * relation under attribute-only Projects and Filters — the snapshot
-    * identity the freshness check compares. Subquery-bearing or
-    * non-deterministic predicates bail. */
-  private def scanWithFilters(
-      p: LogicalPlan): Option[(Set[String], Seq[Expression])] = p match {
-    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      scanWithFilters(c)
-    case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-        if f.condition.deterministic &&
-          f.condition.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
-      scanWithFilters(f.child).map { case (paths, fs) =>
-        (paths, f.condition +: fs)
-      }
-    case l: LogicalRelation => l.relation match {
-      case r: HadoopFsRelation =>
-        Some((r.location.rootPaths.map(_.toString).toSet, Nil))
+  // ------------------------------------------------- source decomposition
+
+  /** Serialize one arm-output expression to a stable descriptor over the
+    * arm's RELATION column names: plain column reads, widening casts,
+    * null pads (columns added after the arm was written), literals, and
+    * the two DV row-identity computations. Anything else — in particular
+    * any arithmetic or function a USER projection would introduce —
+    * returns None and the whole decomposition bails, so a query that
+    * re-derives columns over the same files can never impersonate the
+    * registered table read. */
+  private def describe(e: Expression): Option[String] = e match {
+    case a: AttributeReference =>
+      Some(s"a:${a.name}:${a.dataType.catalogString}")
+    case c: Cast =>
+      describe(c.child).map(s => s"cast($s):${c.dataType.catalogString}")
+    case Literal(null, dt) => Some(s"null:${dt.catalogString}")
+    case l: Literal => Some(s"lit:${l.sql}")
+    case SubstringIndex(g, Literal(m, _), Literal(-1, _))
+        if metaField(g).contains("file_path") &&
+          String.valueOf(m) == VersionedTable.DataDirMarker => Some("dvfile")
+    case g if metaField(g).contains("row_index") => Some("dvpos")
+    case _ => None
+  }
+
+  /** `_metadata.<field>` accessor → the field name. */
+  private def metaField(e: Expression): Option[String] = e match {
+    case gsf: GetStructField => gsf.child match {
+      case a: AttributeReference if a.name == "_metadata" =>
+        a.dataType match {
+          case st: StructType => Some(st(gsf.ordinal).name)
+          case _ => None
+        }
       case _ => None
     }
     case _ => None
   }
 
+  /** Fold one scan arm — Projects and Filters over exactly one parquet
+    * relation — to (leaf root paths, output expressions rewritten over
+    * the relation's own attributes, filter conditions likewise). */
+  private def foldArm(p: LogicalPlan)
+      : Option[(Set[String], Seq[Expression], Seq[Expression])] = p match {
+    case l: LogicalRelation => l.relation match {
+      case r: HadoopFsRelation =>
+        Some((r.location.rootPaths.map(_.toString).toSet, l.output, Nil))
+      case _ => None
+    }
+    case Project(list, child) => foldArm(child).flatMap {
+      case (paths, childExprs, fs) =>
+        val env = AttributeMap(child.output.zip(childExprs))
+        val outs = list.map {
+          case a: AttributeReference => env.get(a)
+          case Alias(e, _) => Some(e.transform {
+            case a: Attribute if env.contains(a) => env(a)
+          })
+          case _ => None
+        }
+        if (outs.forall(_.isDefined)) Some((paths, outs.flatten, fs))
+        else None
+    }
+    case f: LFilter if f.condition.deterministic &&
+        f.condition.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      foldArm(f.child).map { case (paths, childExprs, fs) =>
+        val env = AttributeMap(f.child.output.zip(childExprs))
+        (paths, childExprs, f.condition.transform {
+          case a: Attribute if env.contains(a) => env(a)
+        } +: fs)
+      }
+    case _ => None
+  }
+
+  /** Replace occurrences of per-arm source expressions in `cond` with
+    * the corresponding logical output attribute — the inverse of the
+    * optimizer pushing a logical predicate through an arm's projection.
+    * None when anything remains bound to arm internals. */
+  private def hoist(cond: Expression,
+                    pairs: Seq[(Attribute, Expression)]): Option[Expression] = {
+    val out = cond.transform {
+      case e if pairs.exists(_._2.semanticEquals(e)) =>
+        pairs.find(_._2.semanticEquals(e)).get._1
+    }
+    val logical = AttributeSet(pairs.map(_._1))
+    if (out.references.subsetOf(logical)) Some(out) else None
+  }
+
+  /** Decompose the union-or-single-arm core of a graft read. Pushed-down
+    * per-arm filters must hoist to the SAME logical predicate set in
+    * every arm (they came from one predicate above the union). */
+  private def decomposeCore(core: LogicalPlan)
+      : Option[(SourceSig, Seq[Expression])] = {
+    val armPlans = core match {
+      case u: Union => u.children
+      case other => Seq(other)
+    }
+    val outAttrs = core.output
+    var arms = Map.empty[Set[String], Map[String, String]]
+    var total = Set.empty[String]
+    // hoisted filters: the RAW expressions of the first arm (usable for
+    // name-based rewriting onto the MV) plus their canonical forms for
+    // the must-agree-across-arms comparison
+    var hoistedRaw: Seq[Expression] = Nil
+    var hoistedCanon: Option[Set[Expression]] = None
+    val it = armPlans.iterator
+    while (it.hasNext) {
+      val folded = foldArm(it.next())
+      if (folded.isEmpty) return None
+      val (paths, outExprs, armFs) = folded.get
+      if (outExprs.size != outAttrs.size) return None
+      val descs = outExprs.map(describe)
+      if (descs.exists(_.isEmpty)) return None
+      if (arms.contains(paths)) return None // ambiguous arm identity
+      arms += paths -> outAttrs.map(_.name).zip(descs.flatten).toMap
+      total ++= paths
+      val pairs = outAttrs.zip(outExprs)
+      val hs = armFs.map(hoist(_, pairs))
+      if (hs.exists(_.isEmpty)) return None
+      val hset: Set[Expression] = hs.flatten.map(_.canonicalized).toSet
+      hoistedCanon match {
+        case None => hoistedCanon = Some(hset); hoistedRaw = hs.flatten
+        case Some(prev) => if (prev != hset) return None
+      }
+    }
+    Some((SourceSig(total, arms), hoistedRaw))
+  }
+
+  /** `And`-conjunct split. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The right side of the standard DV anti-join: the DV parquet scan
+    * (possibly under a broadcast hint at analysis time, or an inferred
+    * not-null filter after optimization — both semantics-preserving for
+    * an anti-join's build side). */
+  private def dvSide(p: LogicalPlan): Option[Set[String]] = p match {
+    case h: ResolvedHint => dvSide(h.child)
+    case f: LFilter if conjuncts(f.condition).forall {
+      case IsNotNull(a: AttributeReference) =>
+        a.name == VersionedTable.DvFileCol || a.name == VersionedTable.DvPosCol
+      case _ => false
+    } => dvSide(f.child)
+    case l: LogicalRelation => l.relation match {
+      case r: HadoopFsRelation
+          if l.output.map(_.name).toSet ==
+            Set(VersionedTable.DvFileCol, VersionedTable.DvPosCol) =>
+        Some(r.location.rootPaths.map(_.toString).toSet)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Decompose a plan into the graft-read shape: optional attr-only
+    * Projects and hoistable Filters over [the standard DV anti-join
+    * over] a union of projected arms or a single arm. Returns the
+    * snapshot signature plus deterministic filter conditions expressed
+    * over the read's logical output attributes. */
+  private def decompose(p: LogicalPlan): Option[(SourceSig, Seq[Expression])] = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      decompose(c)
+    case f: LFilter if f.condition.deterministic &&
+        f.condition.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      decompose(f.child).map { case (sig, fs) => (sig, f.condition +: fs) }
+    case h: ResolvedHint => decompose(h.child)
+    case j: Join if j.joinType == LeftAnti && j.condition.isDefined =>
+      for {
+        dvPaths <- dvSide(j.right)
+        (sig, fs) <- decompose(j.left)
+        // the equated left columns must BE the table's DV row-identity
+        // projections in every arm — never user-computed look-alikes
+        if sig.arms.values.forall(m =>
+          m.get(VersionedTable.DvFileCol).contains("dvfile") &&
+            m.get(VersionedTable.DvPosCol).contains("dvpos"))
+        cs = conjuncts(j.condition.get)
+        if cs.size == 2 && Seq(VersionedTable.DvFileCol,
+          VersionedTable.DvPosCol).forall(n => cs.exists {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              a.name == n && b.name == n &&
+                j.left.outputSet.contains(a) && j.right.outputSet.contains(b)
+            case _ => false
+          })
+      } yield (SourceSig(sig.totalPaths ++ dvPaths,
+        sig.arms + (dvPaths -> Map("__dv__" -> "dv"))), fs)
+    case core @ (_: Union | _: Project | _: LogicalRelation | _: LFilter) =>
+      decomposeCore(core)
+    case _ => None
+  }
+
+  /** Does the registered signature cover the query's? Total paths and
+    * arm partition must match exactly (freshness); the query's per-arm
+    * descriptors may be a SUBSET of the registered ones — the optimizer
+    * prunes columns the aggregate does not touch, and a pruned column
+    * cannot affect the result. */
+  private def covers(reg: SourceSig, q: SourceSig): Boolean =
+    reg.totalPaths == q.totalPaths &&
+      reg.arms.keySet == q.arms.keySet &&
+      q.arms.forall { case (k, qm) =>
+        val rm = reg.arms(k)
+        qm.forall { case (n, d) => rm.get(n).contains(d) }
+      }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    pf <- scanWithFilters(agg.child)
+    sf <- decompose(agg.child)
     groupAttrs <- Some(agg.groupingExpressions).collect {
       case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
         gs.map(_.asInstanceOf[AttributeReference])
@@ -172,8 +376,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     // several MVs can cover the same snapshot (different agg sets) —
     // serve from the first whose registered surface covers this query
     plan <- entries.values.asScala
-      .filter(_.sourcePaths == pf._1)
-      .view.flatMap(rewriteAgainst(agg, groupAttrs, pf._2, _)).headOption
+      .filter(e => covers(e.sig, sf._1))
+      .view.flatMap(rewriteAgainst(agg, groupAttrs, sf._2, _)).headOption
   } yield plan
 
   /** One candidate MV against one aggregate: exact group match serves a
@@ -197,7 +401,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     val base: LogicalPlan =
       if (filters.isEmpty) mvPlan
-      else org.apache.spark.sql.catalyst.plans.logical.Filter(
+      else LFilter(
         filters.map(_.transform {
           case a: AttributeReference => mvAttr(a.name)
         }).reduce(And), mvPlan)

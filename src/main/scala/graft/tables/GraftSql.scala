@@ -762,21 +762,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
   }
 
-  /** Best-effort: registration refuses source snapshots whose read is
-    * not a plain scan (DVs, schema generations, column mapping) — shapes
-    * the conservative matcher could never serve anyway. The MV itself
+  /** Best-effort: registration covers plain, multi-arm (post-DDL) and
+    * DV-bearing snapshots; only a read that decomposes to no
+    * recognizable graft scan shape at all skips quietly. The MV itself
     * stays correct and maintained either way. */
   private def armMvRewrite(src: VersionedTable, mv: VersionedTable,
                            groupCols: Seq[String],
                            aggs: Seq[(String, String, String)],
                            srcV: Long): Unit =
-    // explicit pre-check, no blanket catch: a non-plain snapshot skips
-    // quietly (the conservative matcher could never serve it anyway),
-    // while a genuinely broken registration — MV missing declared
-    // columns, unreadable roots — still surfaces loudly. Registration
-    // pins the COVERED version, never the live head (a concurrent
-    // commit between the pin and this call must stay un-served).
-    if (graft.plans.MvRewrite.isPlainSnapshot(src, Some(srcV)))
+    // explicit pre-check, no blanket catch: an unrecognizable snapshot
+    // skips quietly (the conservative matcher could never serve it
+    // anyway), while a genuinely broken registration — MV missing
+    // declared columns, unreadable roots — still surfaces loudly.
+    // Registration pins the COVERED version, never the live head (a
+    // concurrent commit between the pin and this call must stay
+    // un-served).
+    if (graft.plans.MvRewrite.isRegistrable(src, Some(srcV)))
       graft.plans.MvRewrite.register(src, mv, groupCols,
         aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) },
         atVersion = Some(srcV))

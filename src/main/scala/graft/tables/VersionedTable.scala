@@ -3656,7 +3656,7 @@ object VersionedTable {
     * are `part-*`. `substring_index` on the marker is a codegen'd
     * string scan; a per-row suffix regex here measurably taxed every
     * DV-bearing read. */
-  private[tables] val DataDirMarker = "/data/"
+  private[graft] val DataDirMarker = "/data/"
 
   /** Parsed-log cache (see [[VersionedTable.history]]): entry files are
     * write-once and checkpoint files are keyed by (inode, mtime), so
@@ -3742,8 +3742,8 @@ object VersionedTable {
   /** Deletion-vector row identity: file path relative to the table's data
     * dir + `_metadata.row_index` position within that file. Transient —
     * projected during DV-aware reads, never in a data file's schema. */
-  private val DvFileCol = "_dv_file"
-  private val DvPosCol = "_dv_pos"
+  private[graft] val DvFileCol = "_dv_file"
+  private[graft] val DvPosCol = "_dv_pos"
   /** Change-data-feed change kind: insert / update_preimage /
     * update_postimage / delete (Delta CDF's column and vocabulary). */
   private val ChangeTypeCol = "_change_type"

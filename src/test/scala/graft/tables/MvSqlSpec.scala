@@ -324,8 +324,8 @@ class MvSqlSpec extends SparkSpec {
     MvRewrite.deregister(cat.table("gold", "mv_g"))
   }
 
-  test("a multi-arm source (post-widening) materializes but does not arm " +
-    "routing — queries stay correct from the source") {
+  test("a multi-arm source (post-widening) materializes AND arms " +
+    "routing — the union-of-arms read serves from the MV") {
     val (cat, sql) = warehouse()
     MvRewrite.install(spark)
     val src = cat.table("silver", "wd")
@@ -339,12 +339,19 @@ class MvSqlSpec extends SparkSpec {
       // the MV itself is correct
       assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq
         === Seq(("a", 1L, 1L), ("b", 5_000_000_002L, 2L)))
-      // but the union-arm read is not a plain scan: routing stays
-      // un-armed (conservative), the query runs against the source
+      // the union-arm read decomposes to a registrable signature:
+      // routing serves from the MV, byte-identical
       val q = src.read.groupBy("k").agg(fsum("v").as("s"))
-      assert(!scansMv(q))
+      assert(scansMv(q), "post-widening registration must arm routing")
       assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
         Seq(("a", 1L), ("b", 5_000_000_002L)))
+      // a data commit still un-arms (freshness unchanged by arming DDL
+      // shapes)
+      src.append(Seq(("a", 10L)).toDF("k", "v"))
+      val q2 = src.read.groupBy("k").agg(fsum("v").as("s"))
+      assert(!scansMv(q2))
+      assert(q2.orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 11L), ("b", 5_000_000_002L)))
     } finally MvRewrite.deregister(mv)
   }
 

@@ -2962,6 +2962,74 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_orders"))
     }),
 
+    // MV7: min/max maintenance under retractions WITHOUT a full
+    // recompute. Signed deltas cannot retract a min/max, but the change
+    // feed names WHICH groups moved — REFRESH recomputes only those
+    // groups from the pinned snapshot and merges (mode "groups"):
+    // aggregation is O(touched groups' rows), MV writes are O(touched
+    // cells) bucket-COW. The query plants a sentinel max (9e11) per
+    // order status, then (1) deletes every 7th key — all groups touched,
+    // the merge-migration refresh — and (2) deletes ONLY status F's
+    // sentinel: F's max provably lowers back to its natural max while
+    // every other status keeps the sentinel, and `carried` pins that the
+    // untouched statuses' MV cell file-sets rode into the new snapshot
+    // verbatim (the O(changed groups) evidence). `mv_served` hashes the
+    // plan flag: post-refresh, the min/max aggregate routes to the MV.
+    "q_mv7_minmax_refresh" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      val wh = Files.createTempDirectory("graft-mv7-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderstatus"))
+      val src = cat.table("silver", "omm")
+      src.enableChangeFeed()
+      src.append(o)
+      src.append(o.select("o_orderstatus").distinct()
+        .withColumn("o_orderkey", lit(900000000000L))
+        .select("o_orderkey", "o_orderstatus"))
+      val gsql = graft.tables.GraftSql(s, cat)
+      MvRewrite.install(s)
+      try {
+        gsql.sql("CREATE MATERIALIZED VIEW gold.mv_omm AS SELECT " +
+          "o_orderstatus, count(*) AS cnt, min(o_orderkey) AS min_key, " +
+          "max(o_orderkey) AS max_key FROM silver.omm GROUP BY o_orderstatus")
+        val mv = cat.table("gold", "mv_omm")
+        // slice 1: every 7th key retracts (the sentinel's 9e11 % 7 = 3
+        // survives) — touches every group; migrates the MV to bucket-COW
+        src.delete(col("o_orderkey") % 7 === 0)
+        val mode1 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_omm")
+          .select("mode").head().getString(0)
+        // slice 2: ONLY F's sentinel retracts — one touched group
+        val before = mv.history.last.fileSets.toSet
+        src.delete(col("o_orderstatus") === "F" &&
+          col("o_orderkey") === 900000000000L)
+        val mode2 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_omm")
+          .select("mode").head().getString(0)
+        val after = mv.history.last.fileSets.toSet
+        val carried = before.intersect(after).nonEmpty
+        val maxes = mv.read.select("o_orderstatus", "max_key")
+          .as[(String, Long)](org.apache.spark.sql.Encoders.product[(String, Long)])
+          .collect() // one row per status
+        val maxLowered = maxes.exists(r => r._1 == "F" &&
+          r._2 < 900000000000L) &&
+          maxes.filter(_._1 != "F").forall(_._2 == 900000000000L)
+        val served = src.read.groupBy("o_orderstatus").agg(
+          count(lit(1)).as("cnt"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        val ps = MvRewrite.scannedPaths(served)
+        served
+          .withColumn("mode1", lit(mode1))
+          .withColumn("mode2", lit(mode2))
+          .withColumn("carried", lit(carried))
+          .withColumn("max_lowered", lit(maxLowered))
+          .withColumn("mv_served",
+            lit(ps.nonEmpty && ps.forall(_.contains("/mv_omm"))))
+          .orderBy("o_orderstatus")
+      } finally MvRewrite.deregister(cat.table("gold", "mv_omm"))
+    }),
+
     // Type widening DDL: ALTER COLUMN TYPE int->bigint is one empty
     // schema-arm commit (zero data rewritten); post-DDL rows exceed the
     // int range, pre-DDL arms coerce through the union fold, and time
@@ -3355,6 +3423,23 @@ object SparkEntry {
         |  'incremental' AS mode1, 'full' AS mode2, TRUE AS mv_served
         |FROM orders WHERE o_orderkey > 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mv7_minmax_refresh" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus, CAST(o_orderkey AS BIGINT) AS k
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT DISTINCT o_orderstatus, CAST(900000000000 AS BIGINT)
+        |  FROM orders),
+        |kept AS (
+        |  SELECT * FROM base WHERE k % 7 <> 0
+        |    AND NOT (o_orderstatus = 'F' AND k = 900000000000))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(k) AS BIGINT) AS min_key,
+        |  CAST(max(k) AS BIGINT) AS max_key,
+        |  'groups' AS mode1, 'groups' AS mode2, TRUE AS carried,
+        |  TRUE AS max_lowered, TRUE AS mv_served
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_widen" ->
       """WITH w AS (

@@ -661,7 +661,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     *     drop, as a recompute would) and every sum(c) has a count(c)
     *     companion (a group whose surviving c-values are all NULL must
     *     show sum NULL, not an arithmetic 0 — the classic incremental-MV
-    *     retraction bug); min/max cannot absorb retractions ("cdf");
+    *     retraction bug) ("cdf");
+    *   - retractions with CDF on but min/max (or a sum missing its
+    *     count companion) in the agg set → per-touched-group recompute:
+    *     the feed names the groups that moved, only those groups
+    *     re-aggregate from the pinned snapshot and merge (vanished
+    *     groups delete as merge tombstones) — O(changed groups), not
+    *     O(table) ("groups");
     *   - anything else → full recompute ("full").
     *
     * Either way the covered version advances and the rewrite rule
@@ -746,6 +752,56 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             src.readChangeFeed(v0, Some(srcV)), groupCols, aggs,
             txn = Some((txnApp, srcV)))
           "cdf"
+        } catch {
+          case _: CdfNotExpressible => recompute(); "full"
+        }
+      } else if (src.changeFeedEnabled) {
+        // min/max (or a sum without its count companion) cannot absorb
+        // retractions as signed deltas — but the feed still identifies
+        // WHICH groups moved. Recompute ONLY those groups from the
+        // pinned snapshot and merge: the aggregation shuffles only the
+        // touched groups' rows (AQE broadcasts the touched-key set when
+        // small, so the semi join adds no shuffle of the source), and MV
+        // writes are O(touched cells) bucket-COW — untouched MV rows
+        // ride their file-sets unrewritten, never recomputed. Vanished
+        // groups delete through the merge-tombstone path, committed
+        // BEFORE the replace merge: the replace's txn marker drives
+        // crash resume, so it must land last (a crash in between replays
+        // the tombstones as a txn no-op, then completes the replace).
+        try {
+          val touched = src.readChangeFeed(v0, Some(srcV))
+            .select(groupCols.map(col): _*).distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (touched.isEmpty) "groups" // DDL-only slice: nothing moved
+            else if (GraftSql.hasNullKeys(touched, groupCols))
+              throw new CdfNotExpressible("group-recompute refresh: NULL " +
+                s"value in group column(s) ${groupCols.mkString(",")} — " +
+                "NULL keys cannot merge; recomputing")
+            else {
+              val fresh = src.readVersion(srcV)
+                .join(touched, groupCols, "left_semi")
+                .groupBy(groupCols.map(col): _*)
+                .agg(GraftSql.mvAggColumns(aggs).head,
+                  GraftSql.mvAggColumns(aggs).tail: _*)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              try {
+                val gone = touched.join(
+                  fresh.select(groupCols.map(col): _*), groupCols,
+                  "left_anti")
+                if (!gone.isEmpty) {
+                  mv.merge(gone.withColumn(graft.ops.Merge.DeleteCol,
+                    lit(true)), groupCols,
+                    txn = Some((txnApp + ":del", srcV)))
+                  ()
+                }
+                mv.merge(fresh, groupCols, updateExprs = aggs.map {
+                  case (_, _, o) => o -> ((_: Column, u: Column) => u)
+                }.toMap, txn = Some((txnApp, srcV)))
+                "groups"
+              } finally { fresh.unpersist(); () }
+            }
+          } finally { touched.unpersist(); () }
         } catch {
           case _: CdfNotExpressible => recompute(); "full"
         }

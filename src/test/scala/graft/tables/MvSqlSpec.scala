@@ -148,23 +148,49 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
-  test("CDF path requires count(*) and sum/count-only aggregates; " +
-    "min/max fall back to full recompute") {
+  test("min/max under retractions refresh per TOUCHED group — untouched " +
+    "groups' file-sets are carried, vanished groups drop") {
     val (cat, sql) = warehouse()
     val src = cat.table("silver", "cdf_mm")
     src.enableChangeFeed()
-    src.append(Seq(("a", 1L), ("a", 9L)).toDF("k", "v"))
+    src.append(Seq(("a", 1L), ("a", 9L), ("a", 20L), ("b", 5L),
+      ("gone", 3L)).toDF("k", "v"))
     sql.sql("CREATE MATERIALIZED VIEW gold.mv_cdfmm AS SELECT k, " +
       "sum(v) AS sum_v, count(*) AS cnt, count(v) AS cnt_v, " +
       "min(v) AS min_v FROM silver.cdf_mm GROUP BY k")
     val mv = cat.table("gold", "mv_cdfmm")
     try {
-      src.delete(col("v") === 1L) // retracts the current min
+      // retract the current min of `a` AND empty out `gone`; `b` is
+      // untouched by the slice
+      src.delete(col("v") === 1L || col("k") === "gone")
       val r = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdfmm")
         .as[(String, String, Long)].head()
-      assert(r._2 === "full", "min/max cannot absorb retractions")
-      assert(mv.read.as[(String, Long, Long, Long, Long)]
-        .collect().toSeq === Seq(("a", 9L, 1L, 1L, 9L)))
+      assert(r._2 === "groups",
+        "min/max retraction must take the per-touched-group path")
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long, Long)]
+        .collect().toSeq ===
+          Seq(("a", 29L, 2L, 2L, 9L), ("b", 5L, 1L, 1L, 5L)))
+      // O(changed groups) evidence needs a BUCKETED MV (the first merge
+      // migrates the layout — one full rewrite, copy-on-write after):
+      // a second retraction touching only `a` must carry `b`'s cell
+      // file-set into the new snapshot verbatim
+      val before = mv.history.last.fileSets.toSet
+      src.delete(col("v") === 9L) // a's min retracts again
+      val r2 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdfmm")
+        .as[(String, String, Long)].head()
+      assert(r2._2 === "groups")
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long, Long)]
+        .collect().toSeq ===
+          Seq(("a", 20L, 1L, 1L, 20L), ("b", 5L, 1L, 1L, 5L)))
+      val after = mv.history.last.fileSets.toSet
+      assert(before.intersect(after).nonEmpty,
+        "untouched MV cells must be carried, not recomputed " +
+          s"(before=$before after=$after)")
+      // replay safety: a refresh with no movement is a noop
+      val r3 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_cdfmm")
+        .as[(String, String, Long)].head()
+      assert(r3._2 === "noop")
+      assert(mv.read.count() === 2L)
     } finally MvRewrite.deregister(mv)
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, IvfServing, Keyed, Merge, Similarity, TextAnalysis, WindowOps}
+import graft.ops.{Dedup, IvfPqServing, IvfServing, Keyed, Merge, Similarity, TextAnalysis, WindowOps}
 import graft.tables.VersionedTable
 import java.nio.file.Files
 
@@ -1592,6 +1592,63 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 2)
         .select("embedding").head().getSeq[Float](0)
       IvfServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 4)
+    }),
+
+    // IVF-PQ composed serving (FAISS IVFADC): the cell-partitioned
+    // incrementally-synced table stores m-byte PQ CODES instead of raw
+    // vectors — the memory-bounded shape real 100 TB ANN serving uses.
+    // Same mutation tail as q_sim_ivf_sync; rows-only (ADC scores are
+    // approximate by design; the lossless witness below hash-checks the
+    // math exactly).
+    "q_sim_ivfpq_topk" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-ivfpq-").toString
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val src = VersionedTable(s, s"$root/src")
+      src.enableChangeFeed()
+      src.append(e)
+      IvfPqServing.build(src, s"$root/serve", nCells = 4, m = 4,
+        numBuckets = 2, seed = 7L)
+      src.delete(col("vec_id") % 17 === 0)
+      src.update(Map("embedding" ->
+        transform(col("embedding"), x => -x)), col("vec_id") % 23 === 1)
+      src.append(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      IvfPqServing.sync(src, s"$root/serve", numBuckets = 2)
+      val q = e.filter(col("vec_id") === 2)
+        .select("embedding").head().getSeq[Float](0)
+      IvfPqServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 2)
+    }),
+
+    // IVF-PQ lossless witness (q_sim_pq_lossless's serving-table
+    // sibling, mutation tail included): on the block-structured corpus
+    // the codebook covers every distinct subvector pattern, ADC scores
+    // EQUAL true inner products, and a FULL probe reads every cell — so
+    // build + CDF delete + sync + probe is hash-checked end to end by
+    // the same DuckDB oracle that replays the scores arithmetically.
+    "q_sim_ivfpq_lossless" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-ivfpql-").toString
+      val amp = ((col("vec_id") % 3 + 1)).cast("double") * lit(0.25d)
+      val p1 = (col("vec_id") % 4).cast("int")
+      val p2 = (floor(col("vec_id") / 4).cast("long") % 4).cast("int")
+      val vecExpr = array((0 until 8).map { i =>
+        val hit = if (i < 4) p1 === i else p2 === (i - 4)
+        when(hit, amp).otherwise(lit(0.0d))
+      }: _*).cast("array<float>")
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 96)
+        .select(col("vec_id"), vecExpr.as("embedding"))
+      val src = VersionedTable(s, s"$root/src")
+      src.enableChangeFeed()
+      src.append(base)
+      // quantizers freeze over the FULL corpus (as the pq_lossless
+      // codebook does), then vec 5 leaves through the change feed — the
+      // sync tombstones its posting out of its cell
+      IvfPqServing.build(src, s"$root/serve", nCells = 2, m = 2,
+        numBuckets = 2, seed = 42L)
+      src.delete(col("vec_id") === 5)
+      IvfPqServing.sync(src, s"$root/serve", numBuckets = 2)
+      // query = the derived vector of vec_id 5 (amp 0.75, one-hot 1/1)
+      val q = Seq(0f, 0.75f, 0f, 0f, 0f, 0.75f, 0f, 0f)
+      IvfPqServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 2)
     }),
 
     // LSH flavor of the incrementally-synced serving table (shared
@@ -4411,6 +4468,19 @@ object SparkEntry {
 
     // lossless PQ: ADC scores equal true inner products of the derived
     // block-structured vectors, so the oracle computes them directly
+    "q_sim_ivfpq_lossless" ->
+      """WITH base AS (
+        | SELECT vec_id,
+        |   0.25 * CAST((vec_id % 3) + 1 AS DOUBLE) AS amp,
+        |   vec_id % 4 AS p1,
+        |   CAST(floor(vec_id / 4) AS BIGINT) % 4 AS p2
+        | FROM embeddings WHERE vec_id < 96 AND vec_id <> 5)
+        |SELECT vec_id,
+        | round(CASE WHEN p1 = 1 THEN amp * 0.75 ELSE 0.0 END
+        |     + CASE WHEN p2 = 1 THEN amp * 0.75 ELSE 0.0 END, 4)
+        |   AS pq_score4
+        |FROM base ORDER BY pq_score4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     "q_sim_pq_lossless" ->
       """WITH base AS (
         | SELECT vec_id,

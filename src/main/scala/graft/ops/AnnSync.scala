@@ -68,7 +68,15 @@ private[ops] object AnnSync {
                idCol: String, vecCol: String, cellCol: String,
                cellOf: Column => Column, appId: String,
                numBuckets: Int,
-               autoCompactCellsOver: Option[Int] = None): Option[(Long, Long)] = {
+               autoCompactCellsOver: Option[Int] = None,
+               storeExpr: Option[(Column => Column, String)] = None): Option[(Long, Long)] = {
+    // what the serving table STORES per key: the raw vector by default,
+    // or a projection of it (IVF-PQ stores m-byte codes — FAISS IVFADC's
+    // memory shape). Cell ROUTING always computes from the raw vector,
+    // so the projection never affects placement; tombstones carry the
+    // projected pre-image (value unused, schema aligned).
+    val (store, storeName) =
+      storeExpr.getOrElse(((c: Column) => c, vecCol))
     val serving = VersionedTable(src.spark, root)
     val range = ChangeFeedConsumer.consumeAvailable(src, checkpointDir) { (changes, _, hi) =>
       // the classified feed is read by both phases — materialize once
@@ -115,7 +123,7 @@ private[ops] object AnnSync {
             .join(finCelled.as("f"), Seq(idCol))
             .filter(col("f.__ct") === "delete" ||
               col("__old_cell") =!= col(cellCol))
-            .select(col(idCol), col(s"p.$vecCol").as(vecCol),
+            .select(col(idCol), store(col(s"p.$vecCol")).as(storeName),
               col("__old_cell").as(cellCol),
               lit(true).as(Merge.DeleteCol))
           serving.merge(tombstones, Seq(idCol), numBuckets = numBuckets,
@@ -126,7 +134,8 @@ private[ops] object AnnSync {
         // phase 2 — latest state of every surviving key into its cell
         if (hasSurvivors) {
           val upserts = finCelled.filter(col("__ct") =!= "delete")
-            .select(col(idCol), col(vecCol), col(cellCol))
+            .select(col(idCol), store(col(vecCol)).as(storeName),
+              col(cellCol))
           serving.merge(upserts, Seq(idCol), numBuckets = numBuckets,
             partitionBy = Seq(cellCol),
             txn = Some((appId + ":ups", hi)))
@@ -162,18 +171,28 @@ private[ops] object AnnSync {
   def probeRank(serving: VersionedTable, cellCol: String,
                 cells: Seq[Long], query: Seq[Float], k: Int,
                 idCol: String, vecCol: String): DataFrame = {
+    val pruned = prunedCells(serving, cellCol, cells)
+    Similarity.bruteForceCosine(pruned, query, idCol, vecCol)
+      .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))
+      .orderBy(col("sim4").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** The partition-pruned probe read alone (shared by the exact-re-rank
+    * probe above and [[IvfPqServing]]'s ADC probe): probed cell ids
+    * group into CONTIGUOUS RUNS, each one [[VersionedTable.readRange]]
+    * arm — a full probe collapses to ONE scan, a sparse probe set stays
+    * per-cell-pruned; residual filters keep each arm exact. */
+  def prunedCells(serving: VersionedTable, cellCol: String,
+                  cells: Seq[Long]): DataFrame = {
     val runs = cells.distinct.sorted
       .foldLeft(List.empty[(Long, Long)]) {
         case ((lo, hi) :: rest, c) if c == hi + 1 => (lo, c) :: rest
         case (acc, c)                             => (c, c) :: acc
       }.reverse
-    val pruned = runs
+    runs
       .map { case (lo, hi) =>
         serving.readRange(cellCol, lo.toString, hi.toString) }
       .reduce(_ union _)
-    Similarity.bruteForceCosine(pruned, query, idCol, vecCol)
-      .select(col(idCol), round(col("cosine_sim"), 4).as("sim4"))
-      .orderBy(col("sim4").desc, col(idCol).asc)
-      .limit(k)
   }
 }

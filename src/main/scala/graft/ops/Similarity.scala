@@ -260,15 +260,15 @@ object Similarity {
     cents
   }
 
-  /** Encode vectors to PQ codes: per subspace, the index of the nearest
-    * codebook centroid — all built-in expressions (slice + transform +
-    * aggregate + array_position), codegen'd, map-only; ties take the
-    * first centroid deterministically. Returns (idCol, codes). */
-  def pqEncode(embeddings: DataFrame, cb: PqCodebook,
-               idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val vecD = col(vecCol).cast("array<double>")
-    val codeExprs = (0 until cb.m).map { j =>
+  /** Per-row PQ code array for `vec` under a frozen codebook — per
+    * subspace, the index of the nearest codebook centroid, all built-in
+    * expressions (slice + transform + aggregate + array_position),
+    * codegen'd, map-only; ties take the first centroid
+    * deterministically. Exposed for serving tables that store codes
+    * instead of raw vectors ([[IvfPqServing]]). */
+  def pqCodesExpr(vec: Column, cb: PqCodebook): Column = {
+    val vecD = vec.cast("array<double>")
+    array((0 until cb.m).map { j =>
       val centLit = array(cb.centroids(j).map(c =>
         array(c.map(x => lit(x.toDouble)): _*)): _*)
       val subVec = slice(vecD, j * cb.subDim + 1, cb.subDim)
@@ -276,18 +276,21 @@ object Similarity {
         aggregate(zip_with(subVec, c, (x, y) => (x - y) * (x - y)),
           lit(0.0d), (acc, v) => acc + v))
       (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    embeddings.select(col(idCol), array(codeExprs: _*).as("codes"))
+    }: _*)
   }
 
-  /** PQ top-k via asymmetric distance computation: the driver builds the
-    * m×k inner-product tables query-subvector × centroid once, and each
-    * row's approximate score is m table lookups summed — a codegen'd
-    * map-only pass over m-byte codes followed by TakeOrderedAndProject.
-    * Scores round to 4 decimals BEFORE the cut with an id tiebreak
-    * (stable top-k, as the other ANN paths). */
-  def pqTopK(codes: DataFrame, cb: PqCodebook, query: Seq[Float], k: Int,
-             idCol: String = "vec_id"): DataFrame = {
+  /** Encode vectors to PQ codes. Returns (idCol, codes). */
+  def pqEncode(embeddings: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol), pqCodesExpr(col(vecCol), cb).as("codes"))
+
+  /** The asymmetric-distance score expression over a `codes` column:
+    * the driver builds the m×k inner-product tables query-subvector ×
+    * centroid once (broadcast literals), each row's score is m table
+    * lookups summed — codegen'd, map-only. */
+  def pqAdcScoreExpr(codes: Column, cb: PqCodebook,
+                     query: Seq[Float]): Column = {
     val q = query.map(_.toDouble).toArray
     val tables = Array.tabulate(cb.m) { j =>
       cb.centroids(j).map { c =>
@@ -298,13 +301,44 @@ object Similarity {
     }
     val tableLit = array(tables.map(t =>
       array(t.map(lit): _*)): _*)
-    val score = (0 until cb.m).map(j =>
+    (0 until cb.m).map(j =>
       element_at(element_at(tableLit, j + 1),
-        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
-    codes.select(col(idCol), round(score, 4).as("pq_score4"))
+        element_at(codes, j + 1) + 1)).reduce(_ + _)
+  }
+
+  /** Codebook sidecar round-trip: per-subspace centroid counts may be
+    * below the requested k (a subspace with fewer distinct patterns
+    * trains fewer centroids), so each centroid line carries its
+    * subspace index. */
+  def pqCodebookToText(cb: PqCodebook): String =
+    (s"${cb.m},${cb.k},${cb.subDim}" +:
+      cb.centroids.zipWithIndex.flatMap { case (cs, j) =>
+        cs.map(c => s"$j:${c.mkString(",")}")
+      }.toSeq).mkString("\n")
+
+  def pqCodebookFromText(text: String): PqCodebook = {
+    val lines = text.split("\n")
+    val Array(m, k, subDim) = lines.head.split(",").map(_.toInt)
+    val byJ = lines.tail.map { l =>
+      val Array(j, vals) = l.split(":", 2)
+      j.toInt -> vals.split(",").map(_.toFloat)
+    }
+    PqCodebook(m, k, subDim,
+      Array.tabulate(m)(j => byJ.filter(_._1 == j).map(_._2)))
+  }
+
+  /** PQ top-k via asymmetric distance computation: the driver builds the
+    * m×k inner-product tables query-subvector × centroid once, and each
+    * row's approximate score is m table lookups summed — a codegen'd
+    * map-only pass over m-byte codes followed by TakeOrderedAndProject.
+    * Scores round to 4 decimals BEFORE the cut with an id tiebreak
+    * (stable top-k, as the other ANN paths). */
+  def pqTopK(codes: DataFrame, cb: PqCodebook, query: Seq[Float], k: Int,
+             idCol: String = "vec_id"): DataFrame =
+    codes.select(col(idCol),
+        round(pqAdcScoreExpr(col("codes"), cb, query), 4).as("pq_score4"))
       .orderBy(col("pq_score4").desc, col(idCol).asc)
       .limit(k)
-  }
 
   // ---------------------------------------------------------------- SemDeDup
 

@@ -42,7 +42,9 @@ final class Catalog(spark: SparkSession, root: String) {
 
   /** CREATE OR REPLACE VIEW for every table: `<layer>_<table>`, plus a
     * `<layer>_<table>_history` view over its version log (the DESCRIBE
-    * HISTORY SQL surface, docs/backlog.md:55-58). */
+    * HISTORY SQL surface, docs/backlog.md:55-58) — then every DURABLE
+    * view from the warehouse ledger, in creation order (a later view
+    * may reference an earlier one or any table view). */
   def registerViews(): Seq[String] =
     tables.flatMap { case (l, t) =>
       val name = s"${l}_$t"
@@ -50,7 +52,73 @@ final class Catalog(spark: SparkSession, root: String) {
       tbl.read.createOrReplaceTempView(name)
       tbl.historyDf.createOrReplaceTempView(s"${name}_history")
       Seq(name, s"${name}_history")
+    } ++ views.map { case (name, sql) =>
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
+      name
     }
+
+  // ------------------------------------------------------- durable views
+
+  private def viewsPath = Paths.get(root, "_views.ledger")
+
+  /** Durable view definitions, creation-ordered — the stand-in for the
+    * reference's persistent UC views (vw_player_fixture_horizon,
+    * 00_create_uc_objects.py:312-324): a session temp view dies with
+    * the session; these re-register on every catalog open. The ledger
+    * stores `name TAB base64(sql)` per line — SQL text is arbitrary
+    * (quotes, newlines, unicode), and base64 round-trips it without a
+    * hand-rolled escaper to get subtly wrong. */
+  def views: Seq[(String, String)] =
+    if (!Files.exists(viewsPath)) Nil
+    else Files.readString(viewsPath).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(name, b64) = line.split("\t", 2)
+        name -> new String(java.util.Base64.getDecoder.decode(b64),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+
+  /** CREATE OR REPLACE VIEW: persist the definition and register it for
+    * this session. Registration goes through `spark.sql` (deferred
+    * resolution — the referenced tables need only exist at first USE).
+    * A replaced name keeps its original ledger position. */
+  def createView(name: String, sqlText: String): Unit = {
+    require(name.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
+      s"CREATE VIEW: bad view name `$name`")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      sqlText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val cur = views
+    val next =
+      if (cur.exists(_._1 == name))
+        cur.map { case (n, s) => (n, if (n == name) sqlText else s) }
+      else cur :+ (name -> sqlText)
+    writeViews(next.map { case (n, s) =>
+      if (n == name) s"$n\t$b64"
+      else s"$n\t${java.util.Base64.getEncoder.encodeToString(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
+    })
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sqlText")
+    ()
+  }
+
+  /** DROP VIEW: remove from the ledger and the session. */
+  def dropView(name: String): Unit = {
+    writeViews(views.filterNot(_._1 == name).map { case (n, s) =>
+      s"$n\t${java.util.Base64.getEncoder.encodeToString(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
+    })
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
+  private def writeViews(lines: Seq[String]): Unit = {
+    val tmp = viewsPath.resolveSibling(
+      s".views-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, lines.mkString("\n") + (if (lines.isEmpty) "" else "\n"))
+    Files.move(tmp, viewsPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 
   /** DROP TABLE semantics (01_environment_smoke_test.py:93): remove the
     * table directory and its temp view if registered. */

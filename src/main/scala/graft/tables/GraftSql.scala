@@ -159,6 +159,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       createMaterializedView(mvIdent, orReplace != null, selectList,
         srcIdent, groupBy)
     case RefreshMvStmt(ident) => refreshMaterializedView(ident)
+    case CreateViewStmt(orReplace, name, query) if catalog.isDefined =>
+      import spark.implicits._
+      val cat = catalog.get
+      require(orReplace != null || !cat.views.exists(_._1 == name),
+        s"view $name already exists; use CREATE OR REPLACE VIEW")
+      cat.createView(name, query)
+      Seq((name, "create_view")).toDF("view", "op")
+    case DropViewStmt(ifExists, name) if catalog.isDefined =>
+      import spark.implicits._
+      val cat = catalog.get
+      require(ifExists != null || cat.views.exists(_._1 == name),
+        s"DROP VIEW: no durable view $name (use IF EXISTS)")
+      cat.dropView(name)
+      Seq((name, "drop_view")).toDF("view", "op")
     case CreateTagStmt(ident, tag, v) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         val name = stripTicks(tag)
@@ -1831,6 +1845,15 @@ object GraftSql {
   private val RefreshMvStmt =
     ("""(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """\s*;?\s*""").r
+  // durable (non-TEMP) views: CREATE VIEW persists the definition in
+  // the warehouse ledger so a NEW session's catalog re-registers it —
+  // the reference's persistent UC view (vw_player_fixture_horizon,
+  // 00_create_uc_objects.py:312-324). TEMP/GLOBAL TEMP views do not
+  // match (keyword between CREATE and VIEW) and stay Spark-native.
+  private val CreateViewStmt =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropViewStmt =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r

@@ -35,4 +35,73 @@ class CatalogSpec extends SparkSpec {
     val cat = new Catalog(spark, tmpDir("cat-"))
     assertThrows[IllegalArgumentException](cat.table("platinum", "x"))
   }
+
+  test("durable views survive into a NEW catalog over the same root; " +
+       "replace keeps position, drop removes") {
+    val root = tmpDir("cat-vw-")
+    val cat = new Catalog(spark, root)
+    cat.bootstrap()
+    cat.table("silver", "pts").overwrite(
+      Seq((1, 10L), (1, 5L), (2, 7L)).toDF("team", "points"))
+    cat.registerViews()
+    // definitions may chain: the second view reads the first
+    cat.createView("vw_points",
+      "SELECT team, points FROM silver_pts WHERE points > 4")
+    cat.createView("vw_team_totals",
+      "SELECT team, sum(points) AS total FROM vw_points GROUP BY team")
+    assert(spark.sql("SELECT total FROM vw_team_totals WHERE team = 1")
+      .as[Long].head() === 15L)
+
+    // a FRESH catalog instance over the same warehouse re-registers
+    // both views from the ledger (session temp views died with... well,
+    // same session here — drop them to prove re-registration is real)
+    spark.catalog.dropTempView("vw_points")
+    spark.catalog.dropTempView("vw_team_totals")
+    val cat2 = new Catalog(spark, root)
+    val registered = cat2.registerViews()
+    assert(registered.contains("vw_points") &&
+      registered.contains("vw_team_totals"))
+    assert(spark.sql("SELECT total FROM vw_team_totals WHERE team = 2")
+      .as[Long].head() === 7L)
+
+    // OR REPLACE updates in place (position kept so dependents still
+    // resolve); DROP removes from ledger and session
+    cat2.createView("vw_points",
+      "SELECT team, points FROM silver_pts") // no filter now
+    assert(new Catalog(spark, root).views.map(_._1) ===
+      Seq("vw_points", "vw_team_totals"))
+    cat2.registerViews()
+    assert(spark.sql("SELECT total FROM vw_team_totals WHERE team = 1")
+      .as[Long].head() === 15L)
+    assert(spark.sql("SELECT count(*) FROM vw_points").as[Long].head() === 3L)
+    cat2.dropView("vw_team_totals")
+    assert(new Catalog(spark, root).views.map(_._1) === Seq("vw_points"))
+    assert(!spark.catalog.tableExists("vw_team_totals"))
+  }
+
+  test("SQL funnel: CREATE VIEW persists durably, DROP VIEW removes; " +
+       "TEMP views stay session-only") {
+    val root = tmpDir("cat-vwsql-")
+    val cat = new Catalog(spark, root)
+    cat.bootstrap()
+    cat.table("silver", "m").overwrite(Seq((1, "x")).toDF("k", "v"))
+    cat.registerViews()
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE VIEW vw_m AS SELECT k FROM silver_m")
+    assert(new Catalog(spark, root).views.map(_._1) === Seq("vw_m"))
+    // plain CREATE refuses an existing durable view; OR REPLACE works
+    assertThrows[IllegalArgumentException](
+      gsql.sql("CREATE VIEW vw_m AS SELECT v FROM silver_m"))
+    gsql.sql("CREATE OR REPLACE VIEW vw_m AS SELECT v FROM silver_m")
+    assert(spark.sql("SELECT v FROM vw_m").as[String].head() === "x")
+    // TEMP VIEW bypasses the ledger entirely
+    gsql.sql("CREATE TEMP VIEW vw_tmp AS SELECT 1 AS one")
+    assert(new Catalog(spark, root).views.map(_._1) === Seq("vw_m"))
+    gsql.sql("DROP VIEW vw_m")
+    assert(new Catalog(spark, root).views.isEmpty)
+    assertThrows[IllegalArgumentException](gsql.sql("DROP VIEW vw_m"))
+    gsql.sql("DROP VIEW IF EXISTS vw_m") // quiet
+    spark.catalog.dropTempView("vw_tmp")
+    ()
+  }
 }

@@ -91,7 +91,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   private final case class Entry(sig: SourceSig,
                                  groupCols: Seq[String],
                                  aggs: Map[(String, String), String],
-                                 mvRead: () => DataFrame)
+                                 mvRead: () => DataFrame,
+                                 rows: Long)
 
   // keyed by MV root — registry is process-wide (table roots are
   // globally unique paths); values are tiny metadata
@@ -124,7 +125,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       s"MV rewrite: MV at ${mv.root} lacks columns ${missing.mkString(",")}")
     entries.put(mv.root,
       Entry(sig, groupCols,
-        aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read))
+        aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read,
+        // row count snapshot: the cost key when several registered MVs
+        // cover one query (e.g. a fine (a,b) MV and a coarse (a) MV
+        // both serve a GROUP BY a rollup — the coarse one reads fewer
+        // rows). One count job over the MV, which is group-count-sized
+        // by construction; staleness is irrelevant (a stale count only
+        // mis-orders candidates, both of which are exact).
+        mv.read.count()))
   }
 
   def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
@@ -373,10 +381,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
         gs.map(_.asInstanceOf[AttributeReference])
     }
-    // several MVs can cover the same snapshot (different agg sets) —
-    // serve from the first whose registered surface covers this query
-    plan <- entries.values.asScala
-      .filter(e => covers(e.sig, sf._1))
+    // several MVs can cover the same snapshot (different agg sets or
+    // group granularities) — serve from the SMALLEST whose registered
+    // surface covers this query (fewest MV rows scanned; every
+    // candidate is exact, so the cost pick cannot affect results)
+    plan <- entries.values.asScala.toSeq
+      .filter(e => covers(e.sig, sf._1)).sortBy(_.rows)
       .view.flatMap(rewriteAgainst(agg, groupAttrs, sf._2, _)).headOption
   } yield plan
 

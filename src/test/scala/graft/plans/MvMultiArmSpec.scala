@@ -146,6 +146,38 @@ class MvMultiArmSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("two covering MVs: the rollup serves from the COARSER (smaller) " +
+       "one") {
+    MvRewrite.install(spark)
+    val root = tmpDir("mvma-cost-")
+    val src = new VersionedTable(spark, s"$root/src")
+    val fine = new VersionedTable(spark, s"$root/mvfine")
+    val coarse = new VersionedTable(spark, s"$root/mvcoarse")
+    src.append(Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L),
+      ("b", "y", 4L), ("c", "x", 5L)).toDF("g", "sub", "v"))
+    fine.overwrite(src.read.groupBy("g", "sub").agg(
+      sum("v").as("sum_v"), count(lit(1)).as("cnt")))
+    coarse.overwrite(src.read.groupBy("g").agg(
+      sum("v").as("sum_v"), count(lit(1)).as("cnt")))
+    val aggs = Seq(MvRewrite.AggSpec("sum", "v", "sum_v"),
+      MvRewrite.AggSpec("count", "*", "cnt"))
+    // register the FINE one first — order must not decide the pick
+    MvRewrite.register(src, fine, Seq("g", "sub"), aggs)
+    MvRewrite.register(src, coarse, Seq("g"), aggs)
+    try {
+      val q = src.read.groupBy("g").agg(sum("v").as("s"))
+      val paths = MvRewrite.scannedPaths(q)
+      assert(paths.nonEmpty && paths.forall(_.contains("/mvcoarse/")),
+        s"expected the coarser MV (3 rows vs 5), got $paths")
+      assert(q.orderBy("g").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 3L), ("b", 7L), ("c", 5L)))
+      // a (g, sub) query is only coverable by the fine MV
+      val q2 = src.read.groupBy("g", "sub").agg(sum("v").as("s"))
+      assert(MvRewrite.scannedPaths(q2).forall(_.contains("/mvfine/")))
+      assert(q2.count() === 5L)
+    } finally { MvRewrite.deregister(fine); MvRewrite.deregister(coarse) }
+  }
+
   test("a user projection re-aliasing columns over the SAME files never " +
        "impersonates the table read") {
     MvRewrite.install(spark)

@@ -1,6 +1,5 @@
 package graft.ml
 
-import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
 import org.apache.spark.sql.DataFrame
@@ -76,9 +75,10 @@ object Points {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // GBT runs many small jobs per boosting iteration; right-size the
     // partition count to the data (~25k rows/partition) so tiny inputs
-    // aren't task-scheduling-bound across the full parallelism
+    // aren't task-scheduling-bound across the full parallelism — a
+    // sub-25k frame runs every per-iteration job as ONE task
     val n = raw.count()
-    val parts = math.max(2, math.min((n / 25000L).toInt + 1,
+    val parts = math.max(1, math.min((n / 25000L).toInt + 1,
       raw.rdd.getNumPartitions))
     val assembled =
       if (parts < raw.rdd.getNumPartitions) {
@@ -92,15 +92,25 @@ object Points {
         .setLabelCol("label").setFeaturesCol("features")
         .setMaxIter(maxIter).setMaxDepth(4).setSeed(seed)
         .fit(train)
-      val preds = model.transform(test)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def metric(m: String) = new RegressionEvaluator()
-        .setLabelCol("label").setPredictionCol("prediction")
-        .setMetricName(m).evaluate(preds)
-      val out = Trained(model, metric("rmse"), metric("r2"),
-        train.count(), test.count())
-      preds.unpersist()
-      out
+      // ONE aggregation pass for every metric. The evaluator route cost
+      // FOUR jobs per fit (rmse pass, r2 pass, train.count, test.count)
+      // — on a small feature frame the fit's wall time is job-scheduling
+      // overhead, and a lifecycle query that trains twice paid 8 metric
+      // jobs. rmse = sqrt(SSres/n); r2 = 1 − SSres/SStot with
+      // SStot = Σy² − n·ȳ² (RegressionEvaluator's summary formula);
+      // nTrain = n − nTest exactly (randomSplit partitions rows).
+      val m = model.transform(test)
+        .agg(count(lit(1)).as("n"),
+          sum(pow(col("label").cast("double") - col("prediction"), 2))
+            .as("ssres"),
+          sum(col("label").cast("double")).as("sy"),
+          sum(pow(col("label").cast("double"), 2)).as("syy"))
+        .head()
+      val nTest = m.getLong(0)
+      val ssres = m.getDouble(1)
+      val ssTot = m.getDouble(3) - m.getDouble(2) * m.getDouble(2) / nTest
+      Trained(model, math.sqrt(ssres / nTest),
+        1.0 - ssres / ssTot, n - nTest, nTest)
     } finally assembled.unpersist()
   }
 

@@ -173,6 +173,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         s"DROP VIEW: no durable view $name (use IF EXISTS)")
       cat.dropView(name)
       Seq((name, "drop_view")).toDF("view", "op")
+    case ShowViewsStmt() if catalog.isDefined =>
+      import spark.implicits._
+      catalog.get.views.toDF("view", "definition")
     case CreateTagStmt(ident, tag, v) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         val name = stripTicks(tag)
@@ -830,6 +833,34 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
     armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
+  }
+
+  /** Re-arm routing for every materialized view registered in the
+    * warehouse whose covered version still equals its source's head —
+    * the process-restart recovery path (the rewrite registry is
+    * in-memory; the definitions are not), callable right after catalog
+    * open instead of waiting for the first REFRESH. An MV whose source
+    * has moved stays un-armed (it is stale — REFRESH catches it up);
+    * one whose source vanished is skipped. Metadata-priced per table;
+    * only MV-propertied tables build a snapshot. Returns the armed
+    * `layer.table` identifiers. */
+  def armMaterializedViews(): Seq[String] = {
+    val cat = catalog.getOrElse(
+      sys.error("armMaterializedViews needs a catalog-backed GraftSql"))
+    cat.tables.flatMap { case (l, t) =>
+      val mv = cat.table(l, t)
+      val props = mv.properties
+      props.get(GraftSql.MvSourceProp).flatMap { srcRoot =>
+        val src = VersionedTable(spark, srcRoot)
+        val covered = props(GraftSql.MvVersionProp).toLong
+        if (src.exists && src.latestVersion.contains(covered)) {
+          armMvRewrite(src, mv,
+            props(GraftSql.MvGroupProp).split(",").toSeq,
+            GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp)), covered)
+          Some(s"$l.$t")
+        } else None
+      }
+    }
   }
 
   /** Best-effort: registration covers plain, multi-arm (post-DDL) and
@@ -1854,6 +1885,7 @@ object GraftSql {
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DropViewStmt =
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val ShowViewsStmt = """(?is)\s*SHOW\s+VIEWS\s*;?\s*""".r
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r

@@ -178,6 +178,37 @@ class MvMultiArmSpec extends SparkSpec {
     } finally { MvRewrite.deregister(fine); MvRewrite.deregister(coarse) }
   }
 
+  test("hand-built unions over the registered snapshot's files never " +
+       "serve: self-union, version-union, cross-version union") {
+    MvRewrite.install(spark)
+    val root = tmpDir("mvma-union-")
+    val src = new VersionedTable(spark, s"$root/src")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v")) // v0
+    src.append(Seq(("c", 3L)).toDF("k", "v"))            // v1
+    registerSum(src, mv)
+    try {
+      // self-union: same files twice — double-counts; ambiguous-arm
+      // identity bails the decomposition
+      val dbl = src.read.union(src.read).groupBy("k").agg(sum("v").as("s"))
+      assert(!servesMv(dbl), s"self-union must not serve")
+      assert(dbl.count() === 3L)
+      // readVersion(v0) ∪ readAddedSince(v0) — semantically EQUALS the
+      // head, but its arm partition differs from the registered fold;
+      // conservative fallback (correct either way)
+      val stitched = src.readVersion(0L).union(src.readAddedSince(0L))
+        .groupBy("k").agg(sum("v").as("s"))
+      assert(!servesMv(stitched))
+      assert(stitched.orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+      // an OLD snapshot (subset of the head's files) must not serve the
+      // head's MV
+      val old = src.readVersion(0L).groupBy("k").agg(sum("v").as("s"))
+      assert(!servesMv(old))
+      assert(old.count() === 2L)
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("a user projection re-aliasing columns over the SAME files never " +
        "impersonates the table read") {
     MvRewrite.install(spark)

@@ -97,7 +97,11 @@ class CatalogSpec extends SparkSpec {
     // TEMP VIEW bypasses the ledger entirely
     gsql.sql("CREATE TEMP VIEW vw_tmp AS SELECT 1 AS one")
     assert(new Catalog(spark, root).views.map(_._1) === Seq("vw_m"))
+    // SHOW VIEWS lists the ledger
+    assert(gsql.sql("SHOW VIEWS").as[(String, String)].collect().toSeq ===
+      Seq(("vw_m", "SELECT v FROM silver_m")))
     gsql.sql("DROP VIEW vw_m")
+    assert(gsql.sql("SHOW VIEWS").count() === 0L)
     assert(new Catalog(spark, root).views.isEmpty)
     assertThrows[IllegalArgumentException](gsql.sql("DROP VIEW vw_m"))
     gsql.sql("DROP VIEW IF EXISTS vw_m") // quiet

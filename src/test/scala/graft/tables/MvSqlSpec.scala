@@ -381,6 +381,36 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("armMaterializedViews re-arms fresh MVs after a process restart " +
+       "without a REFRESH; stale MVs stay un-armed") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val fresh = cat.table("silver", "armf")
+    val stale = cat.table("silver", "arms")
+    fresh.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    stale.append(Seq(("a", 1L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_armf AS SELECT k, " +
+      "sum(v) AS s FROM silver.armf GROUP BY k")
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_arms AS SELECT k, " +
+      "sum(v) AS s FROM silver.arms GROUP BY k")
+    val mvF = cat.table("gold", "mv_armf")
+    val mvS = cat.table("gold", "mv_arms")
+    try {
+      stale.append(Seq(("a", 10L)).toDF("k", "v")) // mv_arms now stale
+      // simulate the restart: the in-memory registry empties
+      MvRewrite.deregister(mvF); MvRewrite.deregister(mvS)
+      assert(!scansMv(fresh.read.groupBy("k").agg(fsum("v"))))
+      // a new session's catalog-backed GraftSql re-arms from properties
+      val armed = GraftSql(spark, cat).armMaterializedViews()
+      assert(armed === Seq("gold.mv_armf"),
+        s"only the fresh MV may re-arm, got $armed")
+      assert(scansMv(fresh.read.groupBy("k").agg(fsum("v"))))
+      val q = stale.read.groupBy("k").agg(fsum("v").as("s"))
+      assert(!scansMv(q), "a stale MV must never re-arm")
+      assert(q.as[(String, Long)].head()._2 === 11L)
+    } finally { MvRewrite.deregister(mvF); MvRewrite.deregister(mvS) }
+  }
+
   test("DROP TABLE un-arms a routed MV before deleting it") {
     val (cat, sql) = warehouse()
     MvRewrite.install(spark)

@@ -208,7 +208,7 @@ object SparkEntry {
 
   /** Deterministic events→player-history mapping feeding the ML1 feature
     * pipeline, so DuckDB can replicate it. */
-  private def mlFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mlFeatures(s: SparkSession, dir: String): DataFrame = {
     val ts = java.sql.Timestamp.valueOf("2025-08-12 06:15:00")
     val history = events(s, dir).select(
       col("user_id").cast("int").as("player_id"),
@@ -1647,6 +1647,36 @@ object SparkEntry {
       src.delete(col("vec_id") === 5)
       IvfPqServing.sync(src, s"$root/serve", numBuckets = 2)
       // query = the derived vector of vec_id 5 (amp 0.75, one-hot 1/1)
+      val q = Seq(0f, 0.75f, 0f, 0f, 0f, 0.75f, 0f, 0f)
+      IvfPqServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 2)
+    }),
+
+    // Residual-encoded IVF-PQ (FAISS IVFADC proper): the codebook
+    // quantizes vec − centroid[cell] and the probe adds the per-cell
+    // query·centroid constant back (IP linearity keeps the ADC tables
+    // cell-independent). On the block corpus the ≤24 distinct residual
+    // patterns fit a k=32 codebook, so q·c + ADC == q·v up to float
+    // rounding far below the 4-decimal grid — the same arithmetic
+    // oracle hash-checks the residual encode, the per-cell constant,
+    // the CDF delete and the sync end to end.
+    "q_sim_ivfpq_residual" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-ivfpqr-").toString
+      val amp = ((col("vec_id") % 3 + 1)).cast("double") * lit(0.25d)
+      val p1 = (col("vec_id") % 4).cast("int")
+      val p2 = (floor(col("vec_id") / 4).cast("long") % 4).cast("int")
+      val vecExpr = array((0 until 8).map { i =>
+        val hit = if (i < 4) p1 === i else p2 === (i - 4)
+        when(hit, amp).otherwise(lit(0.0d))
+      }: _*).cast("array<float>")
+      val base = t(s, dir, "embeddings").filter(col("vec_id") < 96)
+        .select(col("vec_id"), vecExpr.as("embedding"))
+      val src = VersionedTable(s, s"$root/src")
+      src.enableChangeFeed()
+      src.append(base)
+      IvfPqServing.build(src, s"$root/serve", nCells = 2, m = 2, k = 32,
+        numBuckets = 2, seed = 42L, residual = true)
+      src.delete(col("vec_id") === 5)
+      IvfPqServing.sync(src, s"$root/serve", numBuckets = 2)
       val q = Seq(0f, 0.75f, 0f, 0f, 0f, 0.75f, 0f, 0f)
       IvfPqServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 2)
     }),
@@ -4468,6 +4498,19 @@ object SparkEntry {
 
     // lossless PQ: ADC scores equal true inner products of the derived
     // block-structured vectors, so the oracle computes them directly
+    "q_sim_ivfpq_residual" ->
+      """WITH base AS (
+        | SELECT vec_id,
+        |   0.25 * CAST((vec_id % 3) + 1 AS DOUBLE) AS amp,
+        |   vec_id % 4 AS p1,
+        |   CAST(floor(vec_id / 4) AS BIGINT) % 4 AS p2
+        | FROM embeddings WHERE vec_id < 96 AND vec_id <> 5)
+        |SELECT vec_id,
+        | round(CASE WHEN p1 = 1 THEN amp * 0.75 ELSE 0.0 END
+        |     + CASE WHEN p2 = 1 THEN amp * 0.75 ELSE 0.0 END, 4)
+        |   AS pq_score4
+        |FROM base ORDER BY pq_score4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     "q_sim_ivfpq_lossless" ->
       """WITH base AS (
         | SELECT vec_id,

@@ -33,6 +33,7 @@ object IvfPqServing {
   val CellCol = "ivf_cell"
   private val CentroidsSidecar = "_centroids.csv"
   private val CodebookSidecar = "_pq_codebook.csv"
+  private val ResidualSidecar = "_pq_residual"
   private def syncDir(root: String) = root + "/_sync"
 
   private def txnAppId(spark: SparkSession, root: String): String =
@@ -41,11 +42,18 @@ object IvfPqServing {
   /** Freeze the coarse quantizer AND the PQ codebook from `src`'s
     * CURRENT snapshot, then run the first [[sync]] (CDF bootstrap — one
     * code path with every later delta). For cosine-faithful ADC scores,
-    * L2-normalize the source vectors upstream. */
+    * L2-normalize the source vectors upstream.
+    *
+    * `residual = true` is FAISS IVFADC proper: the codebook trains on
+    * and encodes `vec − centroid[cell]` instead of the raw vector —
+    * residuals are smaller and more isotropic, so the same m-byte code
+    * budget carries more precision — and the probe adds the per-cell
+    * `query·centroid` constant back (for inner-product scoring the ADC
+    * tables stay cell-independent: q·v = q·c + q·r̃). */
   def build(src: VersionedTable, root: String, nCells: Int, m: Int,
             k: Int = 16, idCol: String = "vec_id",
             vecCol: String = "embedding", seed: Long = 42L,
-            numBuckets: Int = 8,
+            numBuckets: Int = 8, residual: Boolean = false,
             overwriteCentroids: Boolean = false): Option[(Long, Long)] = {
     val spark = src.spark
     require(src.changeFeedEnabled,
@@ -64,9 +72,15 @@ object IvfPqServing {
     val idx = Similarity.ivfIndex(src.read, nCells, idCol, vecCol, seed)
     Sidecar.write(spark, root, CentroidsSidecar,
       idx.centroids.map(_.mkString(",")).mkString("\n"))
-    val cb = Similarity.pqTrain(src.read, m, k, vecCol, seed)
+    val trainFrame =
+      if (!residual) src.read
+      else src.read.select(
+        Similarity.residualExpr(org.apache.spark.sql.functions.col(vecCol),
+          idx.centroids).as(vecCol))
+    val cb = Similarity.pqTrain(trainFrame, m, k, vecCol, seed)
     Sidecar.write(spark, root, CodebookSidecar,
       Similarity.pqCodebookToText(cb))
+    Sidecar.write(spark, root, ResidualSidecar, if (residual) "1" else "0")
     sync(src, root, idCol, vecCol, numBuckets)
   }
 
@@ -80,10 +94,14 @@ object IvfPqServing {
     val spark = src.spark
     val centroids = readCentroids(spark, root)
     val cb = readCodebook(spark, root)
+    val resid = isResidual(spark, root)
+    val encode: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => Similarity.pqCodesExpr(
+        if (resid) Similarity.residualExpr(v, centroids) else v, cb)
     AnnSync.syncInto(src, root, syncDir(root), idCol, vecCol, CellCol,
       vec => Similarity.nearestCellHof(vec.cast("array<double>"), centroids),
       txnAppId(spark, root), numBuckets, autoCompactCellsOver,
-      storeExpr = Some((v => Similarity.pqCodesExpr(v, cb), "codes")))
+      storeExpr = Some((encode, "codes")))
   }
 
   /** ADC top-k: rank the frozen centroids driver-side, scan ONLY the
@@ -97,14 +115,30 @@ object IvfPqServing {
     val centroids = readCentroids(spark, root)
     val cb = readCodebook(spark, root)
     val cells = Similarity.IvfIndex(centroids, null).probeCells(query, nProbe)
+    // residual mode: codes quantize r = v − c_cell, so the estimated
+    // inner product is q·c_cell (a per-cell scalar, broadcast literal,
+    // looked up from the row's OWN cell column) plus the ADC sum q·r̃ —
+    // the tables stay cell-independent because the dot product is
+    // linear, FAISS's IP-mode IVFADC decomposition
+    val adc = Similarity.pqAdcScoreExpr(col("codes"), cb, query)
+    val score =
+      if (!isResidual(spark, root)) adc
+      else {
+        val qd = query.map(_.toDouble).toArray
+        val cellDots = centroids.map(c =>
+          c.zip(qd).map { case (a, b) => a * b }.sum).toSeq
+        element_at(typedlit(cellDots), col(CellCol).cast("int") + 1) + adc
+      }
     AnnSync.prunedCells(VersionedTable(spark, root), CellCol,
       cells.map(_.toLong))
-      .select(col(idCol),
-        round(Similarity.pqAdcScoreExpr(col("codes"), cb, query), 4)
-          .as("pq_score4"))
+      .select(col(idCol), round(score, 4).as("pq_score4"))
       .orderBy(col("pq_score4").desc, col(idCol).asc)
       .limit(k)
   }
+
+  private def isResidual(spark: SparkSession, root: String): Boolean =
+    scala.util.Try(Sidecar.read(spark, root, ResidualSidecar))
+      .toOption.contains("1")
 
   private def readCentroids(spark: SparkSession,
                             root: String): Array[Array[Double]] =

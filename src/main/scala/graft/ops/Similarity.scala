@@ -279,6 +279,19 @@ object Similarity {
     }: _*)
   }
 
+  /** Residual of `vec` against its nearest coarse centroid — FAISS
+    * IVFADC's encoding input: `vec − centroids[cell]`, computed map-side
+    * from broadcast centroid literals. Composing this with
+    * [[pqCodesExpr]] quantizes residuals, which are smaller and more
+    * isotropic than raw vectors, so the same code budget carries more
+    * precision (Jégou et al. 2011 §IV). */
+  def residualExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val cents = typedlit(centroids.map(_.toSeq).toSeq)
+    val vecD = vec.cast("array<double>")
+    zip_with(vecD, element_at(cents, nearestCellHof(vecD, centroids) + 1),
+      (x, y) => x - y)
+  }
+
   /** Encode vectors to PQ codes. Returns (idCol, codes). */
   def pqEncode(embeddings: DataFrame, cb: PqCodebook,
                idCol: String = "vec_id",

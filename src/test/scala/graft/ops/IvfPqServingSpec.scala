@@ -117,6 +117,46 @@ class IvfPqServingSpec extends SparkSpec {
     assert(IvfPqServing.sync(src, root, numBuckets = 2).isEmpty)
   }
 
+  test("residual mode (IVFADC proper): lossless corpus full-probe scores " +
+       "equal TRUE inner products; mutation syncs through the residual " +
+       "encode") {
+    val base = blockCorpus(96)
+    val src = freshSource(base)
+    val root = tmpDir("ivfpq-res-") + "/t"
+    // ≤12 distinct patterns per subspace × 2 cells ⇒ ≤24 distinct
+    // RESIDUAL patterns; k = 32 covers every one exactly, so
+    // q·c_cell + ADC == q·v up to float rounding ≪ the 4-decimal grid
+    IvfPqServing.build(src, root, nCells = 2, m = 2, k = 32, seed = 1L,
+      numBuckets = 2, residual = true)
+    val q = base(5)._2
+    def wantTop(n: Int): Seq[(Long, Double)] = {
+      val qLit = typedlit(q.map(_.toDouble).toSeq)
+      src.read.select($"vec_id",
+          round(aggregate(zip_with($"embedding".cast("array<double>"),
+            qLit, (x, y) => x * y), lit(0.0d), (a, v) => a + v), 4)
+            .as("ip"))
+        .orderBy(col("ip").desc, $"vec_id".asc).limit(n)
+        .as[(Long, Double)].collect().toSeq
+    }
+    val got = IvfPqServing.probeTopK(spark, root, q, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === wantTop(10))
+    // mutate: delete the query vector's id, add a clone under a new id
+    src.delete(col("vec_id") === 5L)
+    src.append(Seq((500L, q.toSeq)).toDF("vec_id", "embedding"))
+    assert(IvfPqServing.sync(src, root, numBuckets = 2).isDefined)
+    val got2 = IvfPqServing.probeTopK(spark, root, q, k = 10, nProbe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got2 === wantTop(10))
+    // the pattern is shared (ids ≡ 5 mod 48 carry the identical vector),
+    // so the clone ties with them and the id tiebreak orders it last of
+    // the perfect hits — present at full score, while 5 is gone
+    assert(got2.exists(_._1 == 500L), "the cloned vector must serve")
+    assert(got2.find(_._1 == 500L).map(_._2) === got2.headOption.map(_._2),
+      "the clone scores the full self-hit value")
+    assert(!got2.exists(_._1 == 5L))
+  }
+
   test("codebook sidecar round-trips uneven per-subspace centroid counts") {
     val cb = Similarity.PqCodebook(2, 16, 2, Array(
       Array(Array(0.5f, 1.5f), Array(2.5f, 3.5f), Array(4.5f, 5.5f)),

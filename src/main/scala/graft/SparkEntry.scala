@@ -3033,6 +3033,11 @@ object SparkEntry {
         src.append(o.filter(col("o_orderkey") % 3 === 0))
         val mode1 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_orders")
           .select("mode").head().getString(0)
+        // OPTIMIZE is data-identical: the refresh absorbs nothing
+        // (mode noop) but still re-covers the compacted snapshot
+        gsql.sql("OPTIMIZE silver.orders")
+        val modeOpt = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_orders")
+          .select("mode").head().getString(0)
         gsql.sql("DELETE FROM silver.orders WHERE o_orderkey <= 1000")
         val mode2 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_orders")
           .select("mode").head().getString(0)
@@ -3042,6 +3047,7 @@ object SparkEntry {
         val ps = MvRewrite.scannedPaths(served)
         served
           .withColumn("mode1", lit(mode1))
+          .withColumn("mode_opt", lit(modeOpt))
           .withColumn("mode2", lit(mode2))
           .withColumn("mv_served",
             lit(ps.nonEmpty && ps.forall(_.contains("/mv_orders"))))
@@ -3507,7 +3513,8 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
-        |  'incremental' AS mode1, 'full' AS mode2, TRUE AS mv_served
+        |  'incremental' AS mode1, 'noop' AS mode_opt,
+        |  'full' AS mode2, TRUE AS mv_served
         |FROM orders WHERE o_orderkey > 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

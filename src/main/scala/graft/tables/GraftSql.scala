@@ -729,12 +729,25 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
         .agg(GraftSql.mvAggColumns(aggs).head,
           GraftSql.mvAggColumns(aggs).tail: _*))
+    // compact/zorder/REORG PURGE are data-identical by construction —
+    // a slice of pure maintenance has NOTHING to absorb (the covered
+    // version still bumps and routing re-arms on the compacted
+    // snapshot), and maintenance interleaved with appends keeps the
+    // incremental path: readAddedBetween reads exactly the appended
+    // rows by their original file-set ids (addedSetsLive guards the
+    // rare vacuum-reclaimed-original case into the fallback instead of
+    // a mid-read failure). Without this, the first OPTIMIZE on the
+    // source demoted every later REFRESH to a full recompute.
+    val maintenance = Set("compact", "zorder", "purge_dv")
     val mode =
       if (later.isEmpty) "noop"
-      else if (later.forall(_.action == "append")) {
+      else if (later.forall(e => maintenance(e.action))) "noop"
+      else if (later.forall(e =>
+          e.action == "append" || maintenance(e.action)) &&
+          src.addedSetsLive(v0, srcV)) {
         // persisted: the NULL-key probe and the merge share one
         // aggregation pass (the delta is group-count-sized)
-        val delta = src.readAddedSince(v0, until = Some(srcV))
+        val delta = src.readAddedBetween(v0, srcV)
           .groupBy(groupCols.map(col): _*)
           .agg(GraftSql.mvAggColumns(aggs).head,
             GraftSql.mvAggColumns(aggs).tail: _*)

@@ -1500,6 +1500,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * action, cannot change the result). `fromV = -1` returns version
     * `toV`'s full snapshot — the stream's initial batch, Delta-style
     * (current data first, then appends). O(new data) per batch. */
+  /** Whether every file-set versions (`fromV`, `toV`] appended still
+    * exists on disk. [[readAddedBetween]] reads appended sets by their
+    * ORIGINAL ids even when a later in-range compaction folded them —
+    * valid while age-gated vacuum keeps those originals live, which this
+    * probe verifies cheaply (metadata-only) so an incremental consumer
+    * can fall back to a recompute instead of failing mid-read after an
+    * aggressive vacuum. */
+  def addedSetsLive(fromV: Long, toV: Long): Boolean = {
+    val h = history
+    val byVersion = h.map(e => e.version -> e).toMap
+    h.filter(e => e.version > fromV && e.version <= toV)
+      .filter(_.action == "append").flatMap { e =>
+        val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
+          .getOrElse(Set.empty[String])
+        e.fileSets.filterNot(prev.contains)
+      }.forall(fs => Files.exists(dataDir.resolve(fs)))
+  }
+
   def readAddedBetween(fromV: Long, toV: Long): DataFrame = {
     if (fromV == -1L) {
       // snapshot batch — read under the CURRENT column mapping, not the

@@ -381,6 +381,38 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("maintenance commits: OPTIMIZE-only slice refreshes as a noop and " +
+       "re-arms; appends interleaved with compaction stay incremental") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "mnt") // NOT CDF-enabled on purpose
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_mnt AS SELECT k, " +
+      "sum(v) AS s, count(*) AS c FROM silver.mnt GROUP BY k")
+    val mv = cat.table("gold", "mv_mnt")
+    try {
+      // pure-maintenance slice: nothing to absorb, version still covers
+      src.compact()
+      val r1 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_mnt")
+        .as[(String, String, Long)].head()
+      assert(r1._2 === "noop",
+        "a data-identical maintenance slice must not recompute")
+      assert(scansMv(src.read.groupBy("k").agg(fsum("v"))),
+        "refresh must re-arm on the compacted snapshot")
+      // appends + compaction interleaved: the incremental path holds
+      // (this source has no CDF, so the old behavior was a FULL
+      // recompute after any compaction)
+      src.append(Seq(("a", 10L)).toDF("k", "v"))
+      src.compact()
+      src.append(Seq(("c", 5L)).toDF("k", "v"))
+      val r2 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_mnt")
+        .as[(String, String, Long)].head()
+      assert(r2._2 === "incremental")
+      assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq
+        === Seq(("a", 11L, 2L), ("b", 2L, 1L), ("c", 5L, 1L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("armMaterializedViews re-arms fresh MVs after a process restart " +
        "without a REFRESH; stale MVs stay un-armed") {
     val (cat, sql) = warehouse()

@@ -363,16 +363,20 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   /** Does the registered signature cover the query's? Total paths and
-    * arm partition must match exactly (freshness); the query's per-arm
-    * descriptors may be a SUBSET of the registered ones — the optimizer
-    * prunes columns the aggregate does not touch, and a pruned column
-    * cannot affect the result. */
+    * arm partition must match exactly (freshness); per-arm descriptors
+    * must AGREE on every column name both sides know. A query-side
+    * column the registration has no name for is tolerated — it appears
+    * when the optimizer prunes a rename projection away and the
+    * relation's PHYSICAL column name resurfaces; if the aggregate
+    * actually uses such a column, the rewrite stage bails by name
+    * (groupCols/aggs/filters all resolve against the registered
+    * surface), so tolerance here can never serve a wrong column. */
   private def covers(reg: SourceSig, q: SourceSig): Boolean =
     reg.totalPaths == q.totalPaths &&
       reg.arms.keySet == q.arms.keySet &&
       q.arms.forall { case (k, qm) =>
         val rm = reg.arms(k)
-        qm.forall { case (n, d) => rm.get(n).contains(d) }
+        qm.forall { case (n, d) => rm.get(n).forall(_ == d) }
       }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {

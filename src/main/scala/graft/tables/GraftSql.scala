@@ -300,11 +300,43 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case AddColumnsStmt(ident, colDefs) =>
       owned(ident).fold(spark.sql(stmt))(t => versionDf(t.addColumns(colDefs)))
     case RenameColumnStmt(ident, from, to) =>
-      owned(ident).fold(spark.sql(stmt))(t =>
-        versionDf(t.renameColumn(stripTicks(from), stripTicks(to))))
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val (f, tn) = (stripTicks(from), stripTicks(to))
+        // an MV's GROUP columns are its merge-bucket keys AND its own
+        // table columns — a rename cannot propagate (bucket keys refuse
+        // renames: hash(old)≠hash(new) would re-route cells), so refuse
+        // at the source like DROP does
+        val groupDeps = mvsSourcedFrom(t.root).filter { case (_, props) =>
+          props(GraftSql.MvGroupProp).split(",").contains(f)
+        }
+        require(groupDeps.isEmpty,
+          s"RENAME COLUMN: `$f` is a GROUP column of materialized " +
+            s"view(s) ${groupDeps.map(_._1).mkString(", ")} — drop and " +
+            "recreate them to re-key")
+        val df = versionDf(t.renameColumn(f, tn))
+        // AGG source columns live only in the stored definition — re-key
+        // them so later REFRESHes resolve under the new name (the
+        // metadata sibling of VersionedTable.renameColumn re-keying
+        // DEFAULTs and CLUSTER BY). Routing entries keep the old logical
+        // names and simply stop matching until the next REFRESH re-arms
+        // (safe: old-name queries can no longer resolve at all).
+        rekeyDependentMvAggs(t.root, f, tn)
+        df
+      }
     case DropColumnStmt(ident, c) =>
-      owned(ident).fold(spark.sql(stmt))(t =>
-        versionDf(t.dropColumn(stripTicks(c))))
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val name = stripTicks(c)
+        // a column a registered MV aggregates or groups by must not be
+        // dropped out from under it — every later REFRESH would fail
+        // (same refusal class as bucket keys / CHECK references)
+        val dependents = mvsSourcedFrom(t.root).filter { case (_, props) =>
+          mvReferencedCols(props).contains(name)
+        }
+        require(dependents.isEmpty,
+          s"DROP COLUMN: `$name` is referenced by materialized view(s) " +
+            s"${dependents.map(_._1).mkString(", ")} — drop them first")
+        versionDf(t.dropColumn(name))
+      }
     case SetDefaultStmt(ident, c, dexpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         val name = stripTicks(c)
@@ -729,21 +761,25 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
         .agg(GraftSql.mvAggColumns(aggs).head,
           GraftSql.mvAggColumns(aggs).tail: _*))
-    // compact/zorder/REORG PURGE are data-identical by construction —
-    // a slice of pure maintenance has NOTHING to absorb (the covered
-    // version still bumps and routing re-arms on the compacted
-    // snapshot), and maintenance interleaved with appends keeps the
-    // incremental path: readAddedBetween reads exactly the appended
-    // rows by their original file-set ids (addedSetsLive guards the
-    // rare vacuum-reclaimed-original case into the fallback instead of
-    // a mid-read failure). Without this, the first OPTIMIZE on the
-    // source demoted every later REFRESH to a full recompute.
-    val maintenance = Set("compact", "zorder", "purge_dv")
+    // compact/zorder/REORG PURGE are data-identical by construction,
+    // and rename/drop-column commits are metadata-only (zero rows; the
+    // DDL guards above refuse touching MV-referenced columns and re-key
+    // agg specs on rename) — a slice of pure maintenance/DDL has
+    // NOTHING to absorb (the covered version still bumps and routing
+    // re-arms on the new snapshot), and either kind interleaved with
+    // appends keeps the incremental path: readAddedBetween reads
+    // exactly the appended rows by their original file-set ids under
+    // the CURRENT column mapping (addedSetsLive guards the rare
+    // vacuum-reclaimed-original case into the fallback instead of a
+    // mid-read failure). Without this, the first OPTIMIZE or RENAME on
+    // the source demoted every later REFRESH to a full recompute.
+    val absorbless = Set("compact", "zorder", "purge_dv",
+      "rename_column", "drop_column")
     val mode =
       if (later.isEmpty) "noop"
-      else if (later.forall(e => maintenance(e.action))) "noop"
+      else if (later.forall(e => absorbless(e.action))) "noop"
       else if (later.forall(e =>
-          e.action == "append" || maintenance(e.action)) &&
+          e.action == "append" || absorbless(e.action)) &&
           src.addedSetsLive(v0, srcV)) {
         // persisted: the NULL-key probe and the merge share one
         // aggregation pass (the delta is group-count-sized)
@@ -847,6 +883,40 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
   }
+
+  /** `(layer.table, properties)` of every warehouse MV whose source is
+    * `srcRoot` — the dependency walk DDL guards and re-keying use.
+    * Metadata-priced (one properties read per catalog table). */
+  private def mvsSourcedFrom(srcRoot: String): Seq[(String, Map[String, String])] =
+    catalog.toSeq.flatMap(_.tables.flatMap { case (l, t) =>
+      val props = catalog.get.table(l, t).properties
+      if (props.get(GraftSql.MvSourceProp).contains(srcRoot))
+        Some((s"$l.$t", props))
+      else None
+    })
+
+  /** Source columns an MV definition references (group + agg inputs). */
+  private def mvReferencedCols(props: Map[String, String]): Set[String] =
+    props(GraftSql.MvGroupProp).split(",").toSet ++
+      GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
+        .map(_._2).filterNot(_ == "*").toSet
+
+  /** RENAME COLUMN follow-through: rewrite the `fn:col:out` agg specs of
+    * every dependent MV definition from `from` to `to`. Output column
+    * names and group columns are untouched (group renames are refused
+    * upstream). */
+  private def rekeyDependentMvAggs(srcRoot: String, from: String,
+                                   to: String): Unit =
+    mvsSourcedFrom(srcRoot).foreach { case (identMv, props) =>
+      val aggs = GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
+      if (aggs.exists(_._2 == from)) {
+        resolve(identMv).setProperties(Map(GraftSql.MvAggsProp ->
+          aggs.map { case (f, c, o) =>
+            s"$f:${if (c == from) to else c}:$o"
+          }.mkString(";")))
+        ()
+      }
+    }
 
   /** Re-arm routing for every materialized view registered in the
     * warehouse whose covered version still equals its source's head —

@@ -413,6 +413,49 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("source-column DDL under a registered MV: agg renames re-key the " +
+       "definition, group renames and referenced drops refuse, " +
+       "uninvolved DDL refreshes as a noop") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "ddl")
+    src.append(Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("k", "v", "extra"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_ddl AS SELECT k, " +
+      "sum(v) AS s, count(*) AS c FROM silver.ddl GROUP BY k")
+    val mv = cat.table("gold", "mv_ddl")
+    try {
+      // refusals: group-column rename, referenced-column drop
+      val e1 = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.ddl RENAME COLUMN k TO kk"))
+      assert(e1.getMessage.contains("GROUP column"))
+      val e2 = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.ddl DROP COLUMN v"))
+      assert(e2.getMessage.contains("referenced by materialized view"))
+      // uninvolved rename: metadata-only slice → REFRESH is a noop that
+      // still re-covers and re-arms
+      sql.sql("ALTER TABLE silver.ddl RENAME COLUMN extra TO renamed")
+      val r1 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_ddl")
+        .as[(String, String, Long)].head()
+      assert(r1._2 === "noop")
+      assert(scansMv(src.read.groupBy("k").agg(fsum("v"))))
+      // AGG column rename re-keys the stored definition: later appends
+      // (carrying the NEW name) still refresh incrementally
+      sql.sql("ALTER TABLE silver.ddl RENAME COLUMN v TO val")
+      src.append(Seq(("a", 10L, "z")).toDF("k", "val", "renamed"))
+      val r2 = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_ddl")
+        .as[(String, String, Long)].head()
+      assert(r2._2 === "incremental",
+        "re-keyed agg spec must keep the incremental path")
+      assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq
+        === Seq(("a", 11L, 2L), ("b", 2L, 1L)))
+      // and the routing serves the NEW-name aggregate after the refresh
+      val q = src.read.groupBy("k").agg(fsum("val").as("s"))
+      assert(scansMv(q))
+      assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 11L), ("b", 2L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("armMaterializedViews re-arms fresh MVs after a process restart " +
        "without a REFRESH; stale MVs stay un-armed") {
     val (cat, sql) = warehouse()

@@ -178,6 +178,29 @@ class MvMultiArmSpec extends SparkSpec {
     } finally { MvRewrite.deregister(fine); MvRewrite.deregister(coarse) }
   }
 
+  test("time travel to the COVERED version serves from the MV even after " +
+       "the head moves (the registration pins a snapshot, not the head)") {
+    MvRewrite.install(spark)
+    val root = tmpDir("mvma-tt-")
+    val src = new VersionedTable(spark, s"$root/src")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    val covered = src.latestVersion.get
+    registerSum(src, mv)
+    try {
+      src.append(Seq(("a", 100L)).toDF("k", "v")) // head moves on
+      // the head query falls back (stale MV)...
+      assert(!servesMv(src.read.groupBy("k").agg(sum("v").as("s"))))
+      // ...but the covered snapshot IS what the MV materializes — the
+      // time-travel aggregate serves from it indefinitely (even after
+      // vacuum would reclaim the old source files)
+      val q = src.readVersion(covered).groupBy("k").agg(sum("v").as("s"))
+      assert(servesMv(q), s"expected MV scan, got ${scanned(q)}")
+      assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 1L), ("b", 2L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("hand-built unions over the registered snapshot's files never " +
        "serve: self-union, version-union, cross-version union") {
     MvRewrite.install(spark)

@@ -107,10 +107,17 @@ object Points {
           sum(pow(col("label").cast("double"), 2)).as("syy"))
         .head()
       val nTest = m.getLong(0)
-      val ssres = m.getDouble(1)
-      val ssTot = m.getDouble(3) - m.getDouble(2) * m.getDouble(2) / nTest
-      Trained(model, math.sqrt(ssres / nTest),
-        1.0 - ssres / ssTot, n - nTest, nTest)
+      // degenerate splits keep the evaluator's contract: an empty test
+      // set (sums are NULL) or zero label variance yields NaN metrics,
+      // never an NPE or Infinity
+      if (nTest == 0) Trained(model, Double.NaN, Double.NaN, n, 0L)
+      else {
+        val ssres = m.getDouble(1)
+        val ssTot = m.getDouble(3) - m.getDouble(2) * m.getDouble(2) / nTest
+        Trained(model, math.sqrt(ssres / nTest),
+          if (ssTot == 0.0) Double.NaN else 1.0 - ssres / ssTot,
+          n - nTest, nTest)
+      }
     } finally assembled.unpersist()
   }
 

@@ -70,17 +70,22 @@ object IvfPqServing {
       AnnSync.resetServing(spark, root, syncDir(root), CellCol)
     }
     val idx = Similarity.ivfIndex(src.read, nCells, idCol, vecCol, seed)
-    Sidecar.write(spark, root, CentroidsSidecar,
-      idx.centroids.map(_.mkString(",")).mkString("\n"))
     val trainFrame =
       if (!residual) src.read
       else src.read.select(
         Similarity.residualExpr(org.apache.spark.sql.functions.col(vecCol),
           idx.centroids).as(vecCol))
     val cb = Similarity.pqTrain(trainFrame, m, k, vecCol, seed)
+    // BOTH trainings succeeded before any sidecar lands, and the
+    // centroids sidecar — the `hasQuantizer` probe — lands LAST: a
+    // training failure (dim % m != 0, empty corpus) or a crash between
+    // writes leaves a root a corrective re-run of build() can still
+    // claim without overwriteCentroids, never a poisoned half-quantizer
     Sidecar.write(spark, root, CodebookSidecar,
       Similarity.pqCodebookToText(cb))
     Sidecar.write(spark, root, ResidualSidecar, if (residual) "1" else "0")
+    Sidecar.write(spark, root, CentroidsSidecar,
+      idx.centroids.map(_.mkString(",")).mkString("\n"))
     sync(src, root, idCol, vecCol, numBuckets)
   }
 

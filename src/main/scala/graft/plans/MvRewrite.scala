@@ -92,7 +92,13 @@ object MvRewrite extends Rule[LogicalPlan] {
                                  groupCols: Seq[String],
                                  aggs: Map[(String, String), String],
                                  mvRead: () => DataFrame,
-                                 rows: Long)
+                                 rowsThunk: () => Long) {
+    /** Cost key when several MVs cover one query — computed LAZILY (one
+      * count job over the group-count-sized MV) and only when a tie
+      * actually needs breaking, so registration, REFRESH re-arms and
+      * warehouse-open arming stay metadata-priced. */
+    lazy val rows: Long = rowsThunk()
+  }
 
   // keyed by MV root — registry is process-wide (table roots are
   // globally unique paths); values are tiny metadata
@@ -126,13 +132,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     entries.put(mv.root,
       Entry(sig, groupCols,
         aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read,
-        // row count snapshot: the cost key when several registered MVs
+        // lazy row count: the cost key when several registered MVs
         // cover one query (e.g. a fine (a,b) MV and a coarse (a) MV
         // both serve a GROUP BY a rollup — the coarse one reads fewer
-        // rows). One count job over the MV, which is group-count-sized
-        // by construction; staleness is irrelevant (a stale count only
-        // mis-orders candidates, both of which are exact).
-        mv.read.count()))
+        // rows); a stale count only mis-orders candidates, both of
+        // which are exact
+        () => mv.read.count()))
   }
 
   def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
@@ -388,10 +393,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     // several MVs can cover the same snapshot (different agg sets or
     // group granularities) — serve from the SMALLEST whose registered
     // surface covers this query (fewest MV rows scanned; every
-    // candidate is exact, so the cost pick cannot affect results)
-    plan <- entries.values.asScala.toSeq
-      .filter(e => covers(e.sig, sf._1)).sortBy(_.rows)
-      .view.flatMap(rewriteAgainst(agg, groupAttrs, sf._2, _)).headOption
+    // candidate is exact, so the cost pick cannot affect results).
+    // The row-count job runs only when a tie actually exists.
+    candidates = entries.values.asScala.toSeq.filter(e => covers(e.sig, sf._1))
+    ordered = if (candidates.sizeIs > 1) candidates.sortBy(_.rows)
+              else candidates
+    plan <- ordered.view
+      .flatMap(rewriteAgainst(agg, groupAttrs, sf._2, _)).headOption
   } yield plan
 
   /** One candidate MV against one aggregate: exact group match serves a

@@ -52,10 +52,36 @@ final class Catalog(spark: SparkSession, root: String) {
       tbl.read.createOrReplaceTempView(name)
       tbl.historyDf.createOrReplaceTempView(s"${name}_history")
       Seq(name, s"${name}_history")
-    } ++ views.map { case (name, sql) =>
-      spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
-      name
+    } ++ registerDurableViews()
+
+  /** Register the durable views, order-insensitively: CREATE TEMP VIEW
+    * analyzes its query eagerly, so a definition referencing a view
+    * that appears LATER in the ledger (legal — OR REPLACE keeps the
+    * original position) would fail a single in-order pass. Fixed-point
+    * retry: each pass registers what resolves, and only a view that
+    * NEVER resolves (genuinely broken — its reference is gone) throws,
+    * after everything registrable has registered. */
+  private def registerDurableViews(): Seq[String] = {
+    var pending = views
+    val done = scala.collection.mutable.ArrayBuffer.empty[String]
+    var progressed = true
+    while (pending.nonEmpty && progressed) {
+      progressed = false
+      pending = pending.filter { case (name, sql) =>
+        try {
+          spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
+          done += name
+          progressed = true
+          false
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }
     }
+    pending.headOption.foreach { case (name, sql) =>
+      // surface the real analysis error for the first unresolvable view
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sql")
+    }
+    done.toSeq
+  }
 
   // ------------------------------------------------------- durable views
 
@@ -78,39 +104,36 @@ final class Catalog(spark: SparkSession, root: String) {
       }
 
   /** CREATE OR REPLACE VIEW: persist the definition and register it for
-    * this session. Registration goes through `spark.sql` (deferred
-    * resolution — the referenced tables need only exist at first USE).
-    * A replaced name keeps its original ledger position. */
+    * this session (registration analyzes the query eagerly, so the
+    * views/tables THIS definition references must already be
+    * registered; cross-session replay order is handled by
+    * [[registerDurableViews]]'s fixed-point pass). A replaced name
+    * keeps its original ledger position. */
   def createView(name: String, sqlText: String): Unit = {
     require(name.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
       s"CREATE VIEW: bad view name `$name`")
-    val b64 = java.util.Base64.getEncoder.encodeToString(
-      sqlText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val cur = views
     val next =
       if (cur.exists(_._1 == name))
         cur.map { case (n, s) => (n, if (n == name) sqlText else s) }
       else cur :+ (name -> sqlText)
-    writeViews(next.map { case (n, s) =>
-      if (n == name) s"$n\t$b64"
-      else s"$n\t${java.util.Base64.getEncoder.encodeToString(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
-    })
+    writeViews(next)
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sqlText")
     ()
   }
 
   /** DROP VIEW: remove from the ledger and the session. */
   def dropView(name: String): Unit = {
-    writeViews(views.filterNot(_._1 == name).map { case (n, s) =>
-      s"$n\t${java.util.Base64.getEncoder.encodeToString(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
-    })
+    writeViews(views.filterNot(_._1 == name))
     spark.catalog.dropTempView(name)
     ()
   }
 
-  private def writeViews(lines: Seq[String]): Unit = {
+  private def writeViews(entries: Seq[(String, String)]): Unit = {
+    val lines = entries.map { case (n, s) =>
+      s"$n\t${java.util.Base64.getEncoder.encodeToString(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))}"
+    }
     val tmp = viewsPath.resolveSibling(
       s".views-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, lines.mkString("\n") + (if (lines.isEmpty) "" else "\n"))

@@ -166,12 +166,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         s"view $name already exists; use CREATE OR REPLACE VIEW")
       cat.createView(name, query)
       Seq((name, "create_view")).toDF("view", "op")
-    case DropViewStmt(ifExists, name) if catalog.isDefined =>
+    case CreateViewQualifiedStmt(_, name, _) if catalog.isDefined =>
+      // refuse loudly rather than silently delegating a durable-looking
+      // CREATE VIEW to spark.sql, where it would land as a
+      // session-catalog view that vanishes on the next open
+      sys.error(s"CREATE VIEW: durable views are single-level names " +
+        s"(got `$name`) — drop the qualifier, or use CREATE TEMP VIEW " +
+        "for a session-only view")
+    // a name NOT in the durable ledger falls through to spark.sql
+    // below — ordinary temp/session views keep their pre-existing
+    // DROP VIEW behavior
+    case DropViewStmt(_, name)
+        if catalog.exists(_.views.exists(_._1 == name)) =>
       import spark.implicits._
-      val cat = catalog.get
-      require(ifExists != null || cat.views.exists(_._1 == name),
-        s"DROP VIEW: no durable view $name (use IF EXISTS)")
-      cat.dropView(name)
+      catalog.get.dropView(name)
       Seq((name, "drop_view")).toDF("view", "op")
     case ShowViewsStmt() if catalog.isDefined =>
       import spark.implicits._
@@ -1966,6 +1974,8 @@ object GraftSql {
   // match (keyword between CREATE and VIEW) and stay Spark-native.
   private val CreateViewStmt =
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val CreateViewQualifiedStmt =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.`]+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DropViewStmt =
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val ShowViewsStmt = """(?is)\s*SHOW\s+VIEWS\s*;?\s*""".r

@@ -100,12 +100,40 @@ class CatalogSpec extends SparkSpec {
     // SHOW VIEWS lists the ledger
     assert(gsql.sql("SHOW VIEWS").as[(String, String)].collect().toSeq ===
       Seq(("vw_m", "SELECT v FROM silver_m")))
+    // a qualified name cannot be a durable (temp-registered) view —
+    // refused loudly instead of silently landing session-only
+    val eq = intercept[RuntimeException](
+      gsql.sql("CREATE VIEW gold.vw_q AS SELECT 1 AS one"))
+    assert(eq.getMessage.contains("single-level"))
     gsql.sql("DROP VIEW vw_m")
     assert(gsql.sql("SHOW VIEWS").count() === 0L)
     assert(new Catalog(spark, root).views.isEmpty)
-    assertThrows[IllegalArgumentException](gsql.sql("DROP VIEW vw_m"))
-    gsql.sql("DROP VIEW IF EXISTS vw_m") // quiet
-    spark.catalog.dropTempView("vw_tmp")
+    // names outside the ledger delegate to spark.sql: dropping a plain
+    // temp view still works, a missing one fails with Spark's error
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      gsql.sql("DROP VIEW vw_m"))
+    gsql.sql("DROP VIEW IF EXISTS vw_m") // quiet via spark.sql
+    gsql.sql("DROP VIEW vw_tmp")         // the TEMP view from above
+    assert(!spark.catalog.tableExists("vw_tmp"))
     ()
+  }
+
+  test("OR REPLACE can create forward ledger references; the fixed-point " +
+       "registration pass still resolves them in a fresh session") {
+    val root = tmpDir("cat-vwfwd-")
+    val cat = new Catalog(spark, root)
+    cat.bootstrap()
+    cat.table("silver", "b").overwrite(Seq((1, 2L)).toDF("k", "v"))
+    cat.registerViews()
+    cat.createView("v1", "SELECT k, v FROM silver_b")
+    cat.createView("v2", "SELECT sum(v) AS sv FROM v1")
+    cat.createView("v3", "SELECT k, v * 10 AS v FROM silver_b")
+    // REPLACE v1 (ledger position 0) to read v3 (position 2): the
+    // ledger now holds a forward reference
+    cat.createView("v1", "SELECT k, v FROM v3")
+    Seq("v1", "v2", "v3").foreach(spark.catalog.dropTempView)
+    val registered = new Catalog(spark, root).registerViews()
+    assert(Seq("v1", "v2", "v3").forall(registered.contains))
+    assert(spark.sql("SELECT sv FROM v2").as[Long].head() === 20L)
   }
 }

@@ -761,6 +761,47 @@ object SparkEntry {
     // vector → same cell, cosine 1, id tiebreak → die at SemDeDup). Docs
     // without an embedding bypass the semantic stage (can't sem-dedup
     // what has no vector).
+    // Incrementally-maintained curation (IncrementalCuration): the
+    // langid → quality → exact-dedup → MinHash chain kept in step with
+    // a MUTATING corpus at O(changed docs)/batch. History: all base
+    // docs land (batch 1), then exact copies (+2e6 of %7) and
+    // UPPERCASED copies (+3e6 of %5) arrive (batch 2 — every one
+    // suppressed against STATE, not against a batch-mate), then a
+    // delete purges class-singleton base docs. At jaccard=1.0 every
+    // stage is deterministic, ids ascend across batches (min-id winner
+    // == arrival winner), and deleted docs own no duplicates — so the
+    // final kept TABLE equals the batch chain replayed over the final
+    // corpus, which the oracle does stage-for-stage, per doc.
+    "q_curation_incremental" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-curinc-").toString
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val src = VersionedTable(s, s"$root/docs")
+      src.enableChangeFeed()
+      val cfg = graft.ops.IncrementalCuration.Config(
+        jaccardThreshold = 1.0, maxBucketSize = Int.MaxValue,
+        numHashes = 16, bands = 4, numBuckets = 4)
+      src.append(d)
+      graft.ops.IncrementalCuration.sync(src, s"$root/ws", cfg)
+      // ONE mixed slice: the duplicate deliveries AND the deletes land
+      // before the second sync — purge and admission run in the same
+      // batch (deleted ids own no duplicate classes, so the combined
+      // slice still replays exactly as the batch chain)
+      src.append(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            upper(col("text")).as("text"))))
+      src.delete(col("doc_id") % 11 === 3 &&
+        col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 0)
+      graft.ops.IncrementalCuration.sync(src, s"$root/ws", cfg)
+      graft.ops.IncrementalCuration.keptTable(s, s"$root/ws").read
+        .select(col("doc_id"), col("toks").cast("long").as("toks"),
+          col("q4i"))
+        .orderBy("doc_id")
+    }),
+
     "q_curation_pipeline_full" -> ((s, dir) => {
       import org.apache.spark.storage.StorageLevel
       val txt = col("text")
@@ -4324,6 +4365,58 @@ object SparkEntry {
     // doc), so exact dedup = group-by-text, MinHash@1.0 = group-by-
     // shingle-SET, SemDeDup@0.99 = group-by-embedding (docs without a
     // vector bypass), each keeping the min doc_id.
+    "q_curation_incremental" ->
+      """WITH corpus AS (
+        | SELECT doc_id, text FROM documents
+        | WHERE NOT (doc_id % 11 = 3 AND doc_id % 7 <> 0 AND doc_id % 5 <> 0)
+        | UNION ALL
+        | SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        | UNION ALL
+        | SELECT doc_id + 3000000, upper(text) FROM documents WHERE doc_id % 5 = 0),
+        |base AS (
+        | SELECT doc_id, text,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks
+        | FROM corpus),
+        |scored AS (
+        | SELECT doc_id, text, toks,
+        |  CAST(length(text) AS INT) AS char_count,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS INT) AS toks_n,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS DOUBLE)
+        |    / len(toks) AS sw_ratio,
+        |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS p_ratio,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','auf','für','von','den','im'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','la','los','las','y','es','un','una','de','en','por','que','no','con','para'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','des','dans','pour','que','qui','au','pas'))) AS BIGINT) AS s_fr
+        | FROM base),
+        |filtered AS (
+        | SELECT doc_id, text, toks, toks_n,
+        |  CAST(floor((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |         + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0 * 10000 + 0.5) AS BIGINT) AS q4i
+        | FROM scored
+        | WHERE CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |            ELSE 'de' END = 'en'
+        |   AND floor((least(char_count / 500.0, 1.0) + least(sw_ratio * 5.0, 1.0)
+        |              + greatest(1.0 - p_ratio * 5.0, 0.0)) / 3.0 * 10000 + 0.5) >= 5000),
+        |exact AS (
+        | SELECT * FROM filtered
+        | QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+        |sh AS (
+        | SELECT *, list_sort(list_distinct(
+        |   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |               i -> array_to_string(toks[i:i+2], ' ')) END)) AS shingles
+        | FROM exact),
+        |minh AS (
+        | SELECT * FROM sh
+        | QUALIFY row_number() OVER (PARTITION BY to_json(shingles) ORDER BY doc_id) = 1)
+        |SELECT doc_id, CAST(toks_n AS BIGINT) AS toks, q4i
+        |FROM minh ORDER BY doc_id""".stripMargin,
+
     "q_curation_pipeline_full" ->
       """WITH corpus AS (
         | SELECT doc_id, text FROM documents

@@ -153,7 +153,7 @@ object Dedup {
   /** Stages 2–4 of the MinHash pipeline over a (doc_id, shingles, sig)
     * relation — shared by the in-memory path and the checkpointed-table
     * path ([[writeMinhashSignatureTable]]). */
-  private def pairsFromSignatures(sigd: DataFrame, numHashes: Int, bands: Int,
+  private[ops] def pairsFromSignatures(sigd: DataFrame, numHashes: Int, bands: Int,
                                   jaccardThreshold: Double,
                                   maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")

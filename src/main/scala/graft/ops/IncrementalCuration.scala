@@ -1,0 +1,322 @@
+package graft.ops
+
+import graft.tables.{ChangeFeedConsumer, VersionedTable}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained curation pipeline — the langid → quality →
+  * exact-dedup → MinHash-near-dup chain (`q_curation_pipeline`'s
+  * lineage) kept in step with a MUTATING corpus at O(changed docs) per
+  * batch, the way a production pretraining pipeline actually runs: the
+  * crawl lands continuously, and re-running batch curation over 100 TB
+  * per delivery is O(corpus) where O(delta) is available.
+  *
+  * State — a curation workspace at `root`, all [[VersionedTable]]s:
+  *  - `kept`   (doc_id, text, toks, q4i), merge-bucketed on doc_id —
+  *    the curated corpus itself;
+  *  - `hashes` (content_hash → doc_id), keyed by the sha2 content hash —
+  *    the exact-dedup memory (which winner owns each content class);
+  *  - `bands`  (band_idx, band_hash, doc_id) — the LSH index of every
+  *    kept doc, the near-dup memory.
+  *
+  * Per consumed change-feed batch:
+  *  1. PURGE: every key with a pre-image or delete leaves the state —
+  *     kept row by id, its LSH bands by (band, id), and its hash row
+  *     ONLY when that key owns it (a suppressed duplicate owns nothing;
+  *     a conditional-matched-DELETE merge guards the winner's row).
+  *  2. ADMIT: surviving final states run the chain —
+  *     langid/quality filter (map-only) → within-batch exact dedup
+  *     (min-id winner per hash class) → against-state exact dedup
+  *     (bloom-prefiltered probe of `hashes`: the big table is scanned
+  *     map-side behind a Bloom filter of the BATCH's hashes, never
+  *     shuffled) → within-batch MinHash near-dup (the standard banded
+  *     pipeline on the batch alone) → against-state near-dup (batch
+  *     bands probe the `bands` table behind a Bloom prefilter; exact
+  *     Jaccard verify fetches ONLY the candidate kept docs' texts).
+  *  3. Survivors merge into all three tables (bucket-COW, txn-marked).
+  *
+  * '''Suppressed duplicates never resurrect''': deleting a kept winner
+  * does not re-admit the duplicates it once suppressed (they are gone —
+  * nothing stores them), the same monotone-keep policy industrial dedup
+  * services use. Re-delivering a suppressed doc through the feed
+  * re-runs admission and may now win.
+  *
+  * '''Exactly-once / crash-replay stable''': each merge carries an
+  * idempotent txn marker keyed on the range's upper version; the sync
+  * position commits last. Decisions are REPLAY-STABLE against partially
+  * applied state: the exact-dedup and near-dup probes exclude
+  * self-matches (`state.doc_id != arrival.doc_id`), so a crash between
+  * the hash merge and the kept merge replays into the same admit set
+  * instead of classifying the half-applied batch as duplicates of
+  * itself.
+  */
+object IncrementalCuration {
+
+  /** Operating point. The defaults mirror [[Dedup.minhashNearDupPairs]];
+    * `jaccardThreshold = 1.0` is the deterministic shingle-SET-equality
+    * point the oracle replays exactly. */
+  final case class Config(langs: Set[String] = Set("en"),
+                          minQuality4: Long = 5000L,
+                          numHashes: Int = 128, bands: Int = 16,
+                          shingleSize: Int = 3,
+                          jaccardThreshold: Double = 0.8,
+                          maxBucketSize: Int = 1000,
+                          numBuckets: Int = 8)
+
+  def keptTable(spark: SparkSession, root: String): VersionedTable =
+    VersionedTable(spark, s"$root/kept")
+
+  private def hashTable(spark: SparkSession, root: String) =
+    VersionedTable(spark, s"$root/hashes")
+  private def bandTable(spark: SparkSession, root: String) =
+    VersionedTable(spark, s"$root/bands")
+
+  /** The per-doc banded LSH rows of `df` (doc_id, band_idx, band_hash) —
+    * the same banding arithmetic as [[Dedup]]'s pipeline (xxhash64 over
+    * r-slices of the minhash signature), so batch and state agree. */
+  private def bandsOf(df: DataFrame, textCol: String, cfg: Config): DataFrame = {
+    val r = cfg.numHashes / cfg.bands
+    df.select(col("doc_id"),
+        call_function("graft_minhash_hashes",
+          call_function("graft_shingle_hashes",
+            TextAnalysis.tokens(col(textCol)), lit(cfg.shingleSize)),
+          lit(cfg.numHashes)).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Hashed shingle SET of a text column (Jaccard verification
+    * currency — identical to the batch pipeline's). */
+  private def shinglesOf(text: Column, cfg: Config): Column =
+    call_function("graft_shingle_hashes",
+      TextAnalysis.tokens(text), lit(cfg.shingleSize))
+
+  /** Bloom-prefiltered probe of a big state table against a small batch
+    * key set: scan `state` map-side behind a Bloom of `batchKeys` (a
+    * one-column long frame), never shuffling the table; the caller
+    * re-joins the (batch-sized) survivors exactly, so the Bloom's false
+    * positives only cost a few extra rows, never correctness. */
+  private def bloomProbe(state: DataFrame, stateKey: Column,
+                         batchKeys: DataFrame): DataFrame = {
+    val b = batchKeys
+      .select(col(batchKeys.columns.head).cast("long").as("k")).na.drop()
+    val n = b.count()
+    // an empty probe set (delete-only slice, no candidates) can match
+    // nothing — and stat.bloomFilter over zero rows yields no sketch
+    if (n == 0) return state.limit(0)
+    val bloom = b.stat.bloomFilter("k", n, 0.01)
+    val name = "graft_bloom_cur_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.functions.TransientFunctions.register(state.sparkSession,
+      "graft_bloom", name,
+      classOf[BloomMightContainLong],
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContainLong(exprs.head, bloom))
+    state.filter(call_function(name, stateKey.cast("long")))
+  }
+
+  /** Consume every unconsumed commit of the `docs` source into the
+    * workspace. Returns the applied version range, or None when caught
+    * up. O(changed docs) per call. */
+  def sync(src: VersionedTable, root: String, cfg: Config = Config(),
+           idCol: String = "doc_id", textCol: String = "text"): Option[(Long, Long)] = {
+    val spark = src.spark
+    graft.functions.GraftFunctions.register(spark)
+    val kept = keptTable(spark, root)
+    val hashes = hashTable(spark, root)
+    val bands = bandTable(spark, root)
+    val appId = s"curation-sync:$root"
+    ChangeFeedConsumer.consumeAvailable(src, s"$root/_sync") { (changes, _, hi) =>
+      // repartition BEFORE the text kernels: a change-feed batch reads
+      // as a handful of parquet splits (one append ≈ one file), and the
+      // langid/quality/shingle expressions over it would otherwise run
+      // at the file count's parallelism, not the cluster's — one tiny
+      // batch-sized shuffle buys full-width kernels for every phase
+      val classified = changes.select(
+          col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("text"),
+          col("_change_type").as("__ct"),
+          col("_commit_version").as("__cv"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ONE tiny change-type-count job (column pruning keeps the text
+      // payload out of it) decides which per-key windows the slice
+      // actually needs: an insert-only batch — the bootstrap, and every
+      // plain append — has no pre-states and exactly one row per key,
+      // so both windows (each a full shuffle of the TEXT payload) are
+      // provably no-ops and are skipped
+      val ctCounts = classified.groupBy("__ct").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val insertOnly = ctCounts.keySet.subsetOf(Set("insert"))
+      // phase 1 input: every key that had a pre-state (update pre-image
+      // or delete payload) leaves kept/hashes/bands; an updated key
+      // re-enters through admission below with its new text
+      val pre =
+        (if (insertOnly) classified.limit(0)
+         else Keyed.firstPerKey(
+           classified.filter(col("__ct")
+             .isin("update_preimage", "delete")),
+           Seq("doc_id"), "__cv"))
+        .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // ------------------------------------------------ phase 1: purge
+        val havePre = (
+          ctCounts.getOrElse("update_preimage", 0L) +
+            ctCounts.getOrElse("delete", 0L) > 0 && !pre.isEmpty)
+        if (havePre && kept.exists) {
+          // hash rows are owned by the WINNER id — a purged key deletes
+          // its content class's row only if it owns it (conditional
+          // matched DELETE; a suppressed duplicate matches the class
+          // but not the owner and must leave the winner's row alone)
+          hashes.merge(
+            pre.select(sha2(col("text"), 256).as("content_hash"),
+              col("doc_id")),
+            Seq("content_hash"),
+            clauses = Some(Merge.Clauses("t", "s",
+              Seq(Merge.MatchedClause(Some("t.doc_id = s.doc_id"),
+                Merge.DeleteRow)), Nil)),
+            txn = Some((appId + ":ph", hi)))
+          bands.merge(
+            bandsOf(pre, "text", cfg)
+              .withColumn(Merge.DeleteCol, lit(true)),
+            Seq("band_idx", "band_hash", "doc_id"),
+            txn = Some((appId + ":pb", hi)))
+          kept.merge(
+            pre.select(col("doc_id"))
+              .withColumn(Merge.DeleteCol, lit(true)),
+            Seq("doc_id"), txn = Some((appId + ":pk", hi)))
+          ()
+        }
+        // ------------------------------------------------ phase 2: admit
+        val fin = Keyed.latestPerKey(
+          classified.filter(col("__ct") =!= "update_preimage"),
+          Seq("doc_id"), "__cv")
+        val arrivals = (if (insertOnly) classified
+                        else fin.filter(col("__ct") =!= "delete"))
+          .select(col("doc_id"), col("text"))
+        val scored = arrivals.select(col("doc_id"), col("text"),
+            TextAnalysis.langId(col("text")).as("lang"),
+            floor(TextAnalysis.qualityScore(col("text")) * 10000 + lit(0.5))
+              .cast("long").as("q4i"),
+            TextAnalysis.tokenCount(col("text")).as("toks"))
+          .filter(col("lang").isin(cfg.langs.toSeq: _*) &&
+            col("q4i") >= cfg.minQuality4)
+          .withColumn("content_hash", sha2(col("text"), 256))
+        // within-batch exact (min-id winner per content class)
+        val batchExact = Keyed.firstPerKey(scored,
+            Seq("content_hash"), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+        // a purge-only slice (deletes, or nothing passing the filter)
+        // has no admission work — and must not pay three empty merge
+        // job chains to find that out (plain `if`, not a return: a
+        // non-local return would unwind past the consumer's position
+        // commit and replay the slice forever)
+        if (!batchExact.isEmpty) {
+          // against-state exact: probe `hashes` behind a Bloom of the
+          // batch's hash set; exclude self-matches (replay stability)
+          val exactSurvivors = {
+            if (!hashes.exists) batchExact
+            else {
+              val hit = bloomProbe(hashes.read,
+                xxhash64(col("content_hash")),
+                batchExact.select(xxhash64(col("content_hash")).as("k")))
+              batchExact.as("n").join(hit.as("o"),
+                  col("n.content_hash") === col("o.content_hash") &&
+                    col("n.doc_id") =!= col("o.doc_id"), "left_anti")
+            }
+          }
+          // the batch's (shingles, signature) relation — computed ONCE
+          // and reused by the local banded pipeline, the state probe's
+          // bands, the Jaccard verify, and the final bands merge (the
+          // shingle/minhash kernels are the batch's dominant compute)
+          val sigd = exactSurvivors.select(col("doc_id"),
+              shinglesOf(col("text"), cfg).as("shingles"))
+            .withColumn("sig", call_function("graft_minhash_hashes",
+              col("shingles"), lit(cfg.numHashes)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+          // within-batch near-dup: the batch alone through the standard
+          // banded pipeline; losers are the larger ids of each pair
+          val localLosers = Dedup.pairsFromSignatures(sigd,
+              cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+              cfg.maxBucketSize)
+            .select(col("doc_id_b").as("doc_id")).distinct()
+          val afterLocal = exactSurvivors
+            .join(localLosers, Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val r = cfg.numHashes / cfg.bands
+            val newBands = sigd
+              .join(afterLocal.select("doc_id"), Seq("doc_id"))
+              .select(col("doc_id"),
+                posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
+                  b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
+                  .as(Seq("band_idx", "band_hash")))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+            // against-state near-dup: batch bands probe the `bands`
+            // table behind a Bloom; exact Jaccard verify reads ONLY the
+            // candidate kept docs (bloom-prefiltered by id)
+            val stateLosers = {
+              if (!bands.exists) spark.emptyDataFrame
+                .select(lit(0L).as("doc_id")).limit(0)
+              else {
+                  val hitBands = bloomProbe(bands.read,
+                    xxhash64(col("band_hash"), col("band_idx")),
+                    newBands.select(
+                      xxhash64(col("band_hash"), col("band_idx")).as("k")))
+                  val cand = newBands.as("n").join(hitBands.as("o"),
+                      col("n.band_idx") === col("o.band_idx") &&
+                        col("n.band_hash") === col("o.band_hash") &&
+                        col("n.doc_id") =!= col("o.doc_id"))
+                    .select(col("n.doc_id").as("new_id"),
+                      col("o.doc_id").as("old_id"))
+                    .distinct()
+                  val oldDocs = bloomProbe(kept.read, col("doc_id"),
+                      cand.select(col("old_id").as("k")))
+                    .select(col("doc_id").as("old_id"),
+                      shinglesOf(col("text"), cfg).as("sh_o"))
+                  cand
+                    .join(sigd.select(col("doc_id").as("new_id"),
+                      col("shingles").as("sh_n")), Seq("new_id"))
+                    .join(oldDocs, Seq("old_id"))
+                    .filter(
+                      size(array_intersect(col("sh_n"), col("sh_o")))
+                        .cast("double") /
+                        size(array_union(col("sh_n"), col("sh_o")))
+                        .cast("double") >= cfg.jaccardThreshold)
+                    .select(col("new_id").as("doc_id")).distinct()
+              }
+            }
+            val survivors = afterLocal
+              .join(stateLosers, Seq("doc_id"), "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // ---------------------------------- phase 3: state merges
+              kept.merge(survivors
+                  .select("doc_id", "text", "toks", "q4i"),
+                Seq("doc_id"), numBuckets = cfg.numBuckets,
+                txn = Some((appId + ":k", hi)))
+              hashes.merge(survivors.select("content_hash", "doc_id"),
+                Seq("content_hash"), numBuckets = cfg.numBuckets,
+                txn = Some((appId + ":h", hi)))
+              bands.merge(
+                newBands.join(survivors.select("doc_id"), Seq("doc_id")),
+                Seq("band_idx", "band_hash", "doc_id"),
+                numBuckets = cfg.numBuckets,
+                txn = Some((appId + ":b", hi)))
+              ()
+            } finally { survivors.unpersist(); () }
+            } finally { newBands.unpersist(); () }
+          } finally { afterLocal.unpersist(); () }
+          } finally { sigd.unpersist(); () }
+        }
+        } finally { batchExact.unpersist(); () }
+      } finally { pre.unpersist(); classified.unpersist(); () }
+    }
+  }
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.tables.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained curation chain ([[IncrementalCuration]]):
+  * CDF-driven filter → exact dedup → MinHash near-dup at O(changed
+  * docs), with monotone-keep semantics and crash-replay stability. */
+class IncrementalCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // stopword-rich English prose: quality ≈ 0.71 ≥ 0.5, langId = en;
+  // the uppercase variant lowercases to IDENTICAL token shingles
+  // (j = 1.0 near-dup) while its sha2 differs (survives exact dedup)
+  private def doc(i: Int): String =
+    s"the cat number $i is on the mat and the dog is in the house " +
+      "with the bird"
+
+  private val cfg = IncrementalCuration.Config(
+    jaccardThreshold = 1.0, maxBucketSize = Int.MaxValue,
+    numHashes = 16, bands = 4, numBuckets = 2)
+
+  private def freshSource(): (VersionedTable, String) = {
+    val base = tmpDir("cur-")
+    val t = VersionedTable(spark, s"$base/docs")
+    t.enableChangeFeed()
+    (t, s"$base/ws")
+  }
+
+  private def keptIds(root: String): Set[Long] =
+    IncrementalCuration.keptTable(spark, root).read
+      .select("doc_id").as[Long].collect().toSet
+
+  test("bootstrap == the batch chain: filters, exact and near dups die, " +
+       "min-id winners keep") {
+    val (src, ws) = freshSource()
+    val rows = (0 to 9).map(i => (i.toLong, doc(i))) ++ Seq(
+      (100L, doc(3)),             // exact dup of 3
+      (101L, doc(4).toUpperCase), // shingle-identical near dup of 4
+      (102L, "zzz qqq xxx zzz qqq xxx zzz qqq"),    // not English
+      (103L, "!!! ??? ### $$$ !!! ??? ### $$$"))    // junk quality
+    src.append(rows.toDF("doc_id", "text"))
+    assert(IncrementalCuration.sync(src, ws, cfg).isDefined)
+    assert(keptIds(ws) === (0L to 9L).toSet)
+    // derived columns ride along
+    val row = IncrementalCuration.keptTable(spark, ws).read
+      .filter(col("doc_id") === 3L).select("toks", "q4i")
+      .as[(Long, Long)].head()
+    assert(row._1 > 10L && row._2 >= 5000L)
+  }
+
+  test("incremental admission: state suppresses cross-batch exact and " +
+       "near dups, fresh docs land") {
+    val (src, ws) = freshSource()
+    src.append((0 to 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    src.append(Seq(
+      (200L, doc(0)),             // exact dup of KEPT 0
+      (201L, doc(1).toUpperCase), // near dup of KEPT 1
+      (202L, doc(50))             // fresh
+    ).toDF("doc_id", "text"))
+    assert(IncrementalCuration.sync(src, ws, cfg).isDefined)
+    assert(keptIds(ws) === Set(0L, 1L, 2L, 3L, 4L, 202L))
+  }
+
+  test("delete purges the winner; suppressed dups never resurrect; " +
+       "re-delivery through the feed re-admits the content") {
+    val (src, ws) = freshSource()
+    src.append(Seq((0L, doc(0)), (1L, doc(1)), (100L, doc(0)))
+      .toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L, 1L))
+    src.delete(col("doc_id") === 0L)
+    IncrementalCuration.sync(src, ws, cfg)
+    // 100 was suppressed at admission and is not re-considered
+    assert(keptIds(ws) === Set(1L))
+    // the content class is free again: a NEW delivery admits
+    src.append(Seq((300L, doc(0))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(1L, 300L))
+  }
+
+  test("update re-runs admission: updating a kept doc into a dup of " +
+       "another kept doc evicts it; the ownership guard keeps the other " +
+       "winner's hash row intact") {
+    val (src, ws) = freshSource()
+    src.append(Seq((0L, doc(0)), (1L, doc(1))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    src.update(Map("text" -> lit(doc(0))), col("doc_id") === 1L)
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L), "1 became a dup of 0 and must evict")
+    // doc 0's hash row must have survived 1's purge (pre-image text was
+    // doc(1) — but after the NEXT update 1's pre-image is doc(0), whose
+    // class 0 owns; the conditional delete must not take 0's row)
+    src.update(Map("text" -> lit(doc(7))), col("doc_id") === 1L)
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L, 1L), "1 re-admits with fresh content")
+    // and 0's content class is still owned: a new dup of doc(0) dies
+    src.append(Seq((400L, doc(0))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L, 1L))
+  }
+
+  test("crash-replayed range is a no-op: state counts and content stable") {
+    val (src, ws) = freshSource()
+    src.append((0 to 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    src.append(Seq((200L, doc(0)), (201L, doc(60))).toDF("doc_id", "text"))
+    src.delete(col("doc_id") === 5L)
+    assert(IncrementalCuration.sync(src, ws, cfg).isDefined)
+    val kept = IncrementalCuration.keptTable(spark, ws)
+    val vAfter = kept.latestVersion.get
+    val want = keptIds(ws)
+    assert(want === Set(0L, 1L, 2L, 3L, 4L, 201L))
+    // crash between the merges and the position commit: rewind
+    val pos = java.nio.file.Paths.get(ws, "_sync", "position")
+    java.nio.file.Files.writeString(pos, "0")
+    assert(IncrementalCuration.sync(src, ws, cfg).isDefined)
+    assert(keptIds(ws) === want)
+    assert(kept.latestVersion.get === vAfter,
+      "replayed merges must be metadata no-ops")
+    assert(IncrementalCuration.sync(src, ws, cfg).isEmpty) // caught up
+  }
+
+  test("multi-batch append history converges to the batch chain over " +
+       "the final corpus") {
+    val (src, ws) = freshSource()
+    src.append((0 to 7).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    src.append(Seq(
+      (20L, doc(8)), (21L, doc(2)), (22L, doc(3).toUpperCase),
+      (23L, "zzz qqq xxx zzz qqq xxx")).toDF("doc_id", "text"))
+    src.append(Seq((30L, doc(9)), (31L, doc(8))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    // batch replay over the final corpus (ids ascend across batches, so
+    // min-id winners == arrival-order winners)
+    val txt = col("text")
+    val filtered = src.read.filter(
+      TextAnalysis.langId(txt) === "en" &&
+        floor(TextAnalysis.qualityScore(txt) * 10000 + lit(0.5))
+          .cast("long") >= 5000L)
+    val afterExact = Dedup.exact(filtered)
+    val losers = Dedup.minhashNearDupPairs(afterExact,
+        numHashes = 16, bands = 4, jaccardThreshold = 1.0,
+        maxBucketSize = Int.MaxValue)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+    val batchKept = afterExact.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds(ws) === batchKept)
+    assert(keptIds(ws) === (0L to 7L).toSet ++ Set(20L, 30L))
+  }
+}

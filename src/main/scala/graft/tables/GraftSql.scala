@@ -184,6 +184,23 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case ShowViewsStmt() if catalog.isDefined =>
       import spark.implicits._
       catalog.get.views.toDF("view", "definition")
+    case ShowMvsStmt() if catalog.isDefined =>
+      import spark.implicits._
+      // one ledger read per MV decides freshness: covered == the
+      // source's current head means REFRESH would be a noop and routing
+      // is (re-)armable
+      catalog.get.tables.flatMap { case (l, t) =>
+        val props = catalog.get.table(l, t).properties
+        props.get(GraftSql.MvSourceProp).map { srcRoot =>
+          val covered = props(GraftSql.MvVersionProp).toLong
+          val src = VersionedTable(spark, srcRoot)
+          (s"$l.$t",
+            props(GraftSql.MvGroupProp),
+            props(GraftSql.MvAggsProp),
+            covered,
+            src.exists && src.latestVersion.contains(covered))
+        }
+      }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh")
     case CreateTagStmt(ident, tag, v) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         val name = stripTicks(tag)
@@ -1979,6 +1996,8 @@ object GraftSql {
   private val DropViewStmt =
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
   private val ShowViewsStmt = """(?is)\s*SHOW\s+VIEWS\s*;?\s*""".r
+  private val ShowMvsStmt =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r

@@ -456,6 +456,28 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("SHOW MATERIALIZED VIEWS lists definitions, covered versions and " +
+       "freshness") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "smv")
+    src.append(Seq(("a", 1L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_smv AS SELECT k, " +
+      "sum(v) AS s, count(*) AS c FROM silver.smv GROUP BY k")
+    val mv = cat.table("gold", "mv_smv")
+    try {
+      val r1 = sql.sql("SHOW MATERIALIZED VIEWS")
+        .as[(String, String, String, Long, Boolean)].collect().toSeq
+      assert(r1 === Seq(("gold.mv_smv", "k", "sum:v:s;count:*:c", 0L, true)))
+      src.append(Seq(("b", 2L)).toDF("k", "v"))
+      val r2 = sql.sql("SHOW MATERIALIZED VIEWS")
+        .as[(String, String, String, Long, Boolean)].head()
+      assert(!r2._5, "a moved source reads as stale")
+      sql.sql("REFRESH MATERIALIZED VIEW gold.mv_smv")
+      assert(sql.sql("SHOW MATERIALIZED VIEWS")
+        .as[(String, String, String, Long, Boolean)].head()._5)
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("armMaterializedViews re-arms fresh MVs after a process restart " +
        "without a REFRESH; stale MVs stay un-armed") {
     val (cat, sql) = warehouse()

@@ -1206,6 +1206,34 @@ object SparkEntry {
         .withColumn("reclaimed_untagged", lit(reclaimed.nonEmpty))
     }),
 
+    // Iceberg-style partition evolution (metadata-only SET PARTITIONED
+    // BY): a parity-partitioned table evolves to region-key layout;
+    // the old arm keeps its dirs (reads union mixed layouts), the next
+    // append lays out by the new key, and OPTIMIZE migrates everything
+    // it rewrites — never a synchronous table rewrite. The probe
+    // aggregates before AND after the migration compaction, so a row
+    // lost or doubled by the layout change breaks the hash.
+    "q_m17_partition_evolution" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-pevo-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("rk"))
+        .withColumn("parity", pmod(col("k"), lit(2)))
+      tbl.append(n.filter(col("k") < 10), partitionBy = Seq("parity"))
+      tbl.evolvePartitionLayout(Seq("rk"))
+      tbl.append(n.filter(col("k") >= 10), partitionBy = Seq("rk"))
+      val pre = tbl.read.groupBy("rk")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      tbl.compact() // migrates every surviving file-set to rk layout
+      tbl.read.groupBy("rk")
+        .agg(count(lit(1)).as("n2"), sum("k").as("sum_k2"))
+        .join(pre, Seq("rk"))
+        .withColumn("layout", lit(tbl.partitionLayout.mkString(",")))
+        .orderBy("rk")
+    }),
+
     // Temperature-scaled mixture sampling (α=0.5 multilingual recipe):
     // per-domain keep-rates derived from corpus counts by sqrt scaling,
     // computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
@@ -2746,6 +2774,53 @@ object SparkEntry {
                FROM sql_table_detail""")
     }),
 
+    // Governance (reference resources/uc/grants.sql): GRANT/REVOKE
+    // maintain a durable warehouse ledger; SHOW GRANTS reads it; the
+    // SQL funnel enforces UC-style conjunctive authorization (USE
+    // CATALOG + USE SCHEMA + SELECT/MODIFY) once the session names a
+    // principal. The script below is the reference template's
+    // role-based section run verbatim shapes (engineers read+write the
+    // schema, readers get table-level SELECT); probes then prove a
+    // reader can DESCRIBE but not INSERT, and an engineer can INSERT —
+    // all deterministic, so the oracle replays ledger AND probe flags.
+    "q_sql_grants" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-grants-").toString
+      val cat = new graft.tables.Catalog(s, tmp)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      gsql.sql("CREATE TABLE gold.dim_player (id INT, name STRING)")
+      gsql.sql("INSERT INTO gold.dim_player VALUES (1, 'Saka')")
+      gsql.sqlScript("""
+        GRANT USE CATALOG ON CATALOG football TO `football-engineers`;
+        GRANT USE CATALOG ON CATALOG football TO `football-readers`;
+        GRANT USE SCHEMA ON SCHEMA football.gold TO `football-engineers`;
+        GRANT USE SCHEMA ON SCHEMA football.gold TO `football-readers`;
+        GRANT SELECT, MODIFY ON SCHEMA football.gold TO `football-engineers`;
+        GRANT SELECT ON TABLE football.gold.dim_player TO `football-readers`;
+        GRANT SELECT ON SCHEMA football.silver TO `football-readers`;
+        REVOKE SELECT ON SCHEMA football.silver FROM `football-readers`
+      """)
+      val (readOk, writeDenied, writeOk) =
+        try {
+          s.conf.set(graft.tables.GraftSql.PrincipalConf, "football-readers")
+          val r = scala.util.Try(
+            gsql.sql("DESCRIBE HISTORY gold.dim_player").count() > 0)
+            .getOrElse(false)
+          val wd = scala.util.Try(
+            gsql.sql("INSERT INTO gold.dim_player VALUES (9, 'nope')"))
+            .isFailure
+          s.conf.set(graft.tables.GraftSql.PrincipalConf, "football-engineers")
+          val w = scala.util.Try(
+            gsql.sql("INSERT INTO gold.dim_player VALUES (2, 'Rice')"))
+            .isSuccess
+          (r, wd, w)
+        } finally s.conf.unset(graft.tables.GraftSql.PrincipalConf)
+      gsql.sql("SHOW GRANTS")
+        .withColumn("read_ok", lit(readOk))
+        .withColumn("write_denied", lit(writeDenied))
+        .withColumn("write_ok", lit(writeOk))
+    }),
+
     // GENERATED ALWAYS AS IDENTITY (Delta's identity columns): ids are
     // assigned by the engine — dense and contiguous within each write
     // (range reservation + partition-offset stamping, no shuffle), and
@@ -3661,6 +3736,18 @@ object SparkEntry {
         |     WHERE n_nationkey < 10) AS sum0,
         |  TRUE AS reclaimed_untagged""".stripMargin,
 
+    // Partition evolution is layout-only: the per-region aggregates
+    // before and after the migrating OPTIMIZE must both equal a plain
+    // GROUP BY over nation.
+    "q_m17_partition_evolution" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+        |  CAST(count(*) AS BIGINT) AS n2,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_k2,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
+        |  'rk' AS layout
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_mix_temperature" ->
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n
@@ -3916,6 +4003,22 @@ object SparkEntry {
         | 'owner=graft;quality=silver' AS properties,
         | CAST(1 AS INT) AS num_tags,
         | 'audit=v0' AS tags""".stripMargin,
+
+    // The grants ledger after the script (revoked silver row gone) with
+    // the three enforcement probe flags, all TRUE by construction.
+    "q_sql_grants" ->
+      """SELECT * FROM (VALUES
+        | ('football-engineers', 'MODIFY',      'SCHEMA',  'gold'),
+        | ('football-engineers', 'SELECT',      'SCHEMA',  'gold'),
+        | ('football-engineers', 'USE CATALOG', 'CATALOG', 'football'),
+        | ('football-engineers', 'USE SCHEMA',  'SCHEMA',  'gold'),
+        | ('football-readers',   'SELECT',      'TABLE',   'gold.dim_player'),
+        | ('football-readers',   'USE CATALOG', 'CATALOG', 'football'),
+        | ('football-readers',   'USE SCHEMA',  'SCHEMA',  'gold')
+        |) AS t(principal, privilege, object_type, object),
+        | (SELECT CAST(TRUE AS BOOLEAN) AS read_ok,
+        |         CAST(TRUE AS BOOLEAN) AS write_denied,
+        |         CAST(TRUE AS BOOLEAN) AS write_ok) AS probes""".stripMargin,
 
     // Identity envelope: batch 1 (nation) gets ids 1..25, batch 2
     // (region) continues contiguously at 26..30 — dense within a write,

@@ -143,6 +143,108 @@ final class Catalog(spark: SparkSession, root: String) {
     ()
   }
 
+  // ------------------------------------------------------ grants ledger
+
+  private def grantsPath = Paths.get(root, "_grants.ledger")
+
+  /** Durable privilege grants, grant-ordered — the engine's stand-in for
+    * the reference's Unity Catalog grants template
+    * (resources/uc/grants.sql:26-60: USE CATALOG / USE SCHEMA at the
+    * container levels, SELECT / MODIFY at schema and table level, to
+    * backticked group principals). Each row is
+    * (privilege, objectType, objectName, principal); objectType is
+    * CATALOG (name ignored — the warehouse), SCHEMA (a layer), or TABLE
+    * (`layer.table`). The ledger is plain TSV — every field is
+    * keyword-shaped (validated on grant), so no escaping is needed. */
+  def grants: Seq[(String, String, String, String)] =
+    if (!Files.exists(grantsPath)) Nil
+    else Files.readString(grantsPath).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(priv, otype, oname, principal) = line.split("\t", 4)
+        (priv, otype, oname, principal)
+      }
+
+  private val Privileges =
+    Set("SELECT", "MODIFY", "ALL PRIVILEGES", "USE SCHEMA", "USE CATALOG")
+
+  private def validateGrant(priv: String, objType: String,
+      objName: String): Unit = {
+    require(Privileges.contains(priv),
+      s"unknown privilege $priv (one of ${Privileges.toSeq.sorted.mkString(", ")})")
+    objType match {
+      case "CATALOG" =>
+        require(priv == "USE CATALOG" || priv == "ALL PRIVILEGES",
+          s"$priv cannot be granted on a CATALOG")
+      case "SCHEMA" =>
+        require(Layers.contains(objName),
+          s"unknown schema $objName (layers: ${Layers.mkString(", ")})")
+        require(priv != "USE CATALOG", "USE CATALOG is a catalog-level privilege")
+      case "TABLE" =>
+        require(objName.matches("""\w+\.\w+"""),
+          s"TABLE grants take layer.table names (got $objName)")
+        require(Layers.contains(objName.split("\\.")(0)),
+          s"unknown layer in $objName")
+        require(priv == "SELECT" || priv == "MODIFY" || priv == "ALL PRIVILEGES",
+          s"$priv cannot be granted on a TABLE")
+      case other => sys.error(s"unknown grant object type $other")
+    }
+  }
+
+  /** GRANT: idempotent (set semantics — re-granting is a no-op). */
+  def grant(priv: String, objType: String, objName: String,
+      principal: String): Unit = {
+    validateGrant(priv, objType, objName)
+    require(principal.matches("""[\w@.-]+"""),
+      s"bad principal `$principal`")
+    val row = (priv, objType, objName, principal)
+    val cur = grants
+    if (!cur.contains(row)) writeGrants(cur :+ row)
+  }
+
+  /** REVOKE: removes the exact grant row if present (no-op otherwise —
+    * REVOKE of something never granted is not an error, as in UC). */
+  def revoke(priv: String, objType: String, objName: String,
+      principal: String): Unit =
+    writeGrants(grants.filterNot(_ == (priv, objType, objName, principal)))
+
+  private def writeGrants(entries: Seq[(String, String, String, String)]): Unit = {
+    val lines = entries.map { case (p, t, o, g) => s"$p\t$t\t$o\t$g" }
+    val tmp = grantsPath.resolveSibling(
+      s".grants-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, lines.mkString("\n") + (if (lines.isEmpty) "" else "\n"))
+    Files.move(tmp, grantsPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** UC-style conjunctive authorization: `principal` may perform
+    * `action` (SELECT or MODIFY) on `layer.table` iff it holds
+    * USE CATALOG on the catalog, USE SCHEMA on the layer, and the
+    * action privilege at table or schema level — ALL PRIVILEGES at any
+    * level satisfies that level's requirement (the owner shortcut).
+    * With an EMPTY ledger every principal is authorized (the
+    * reference's "minimal solo default": grants.sql:14-17 ships all
+    * sections commented out, and enforcing deny-by-default over an
+    * empty ledger would brick a fresh warehouse). */
+  def authorized(principal: String, action: String, layer: String,
+      table: String): Boolean = {
+    val g = grants
+    if (g.isEmpty) return true
+    def has(priv: String, otype: String, oname: String): Boolean =
+      g.contains((priv, otype, oname, principal)) ||
+        g.contains(("ALL PRIVILEGES", otype, oname, principal))
+    // the catalog object's name is ignored (there is one warehouse)
+    val useCat = g.exists { case (p, t, _, pr) =>
+      (p == "USE CATALOG" || p == "ALL PRIVILEGES") &&
+        t == "CATALOG" && pr == principal
+    }
+    val useSch = has("USE SCHEMA", "SCHEMA", layer)
+    val priv = has(action, "TABLE", s"$layer.$table") ||
+      has(action, "SCHEMA", layer)
+    useCat && useSch && priv
+  }
+
   /** DROP TABLE semantics (01_environment_smoke_test.py:93): remove the
     * table directory and its temp view if registered. */
   def dropTable(layer: String, name: String): Unit = {

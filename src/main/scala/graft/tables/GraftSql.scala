@@ -33,6 +33,15 @@ import org.apache.spark.sql.types.StructType
   *     SELECT g1, ..., sum|count|min|max(c) AS name, ... FROM <table>
   *     GROUP BY g1, ...                       -- materialized + auto-routed
   *   REFRESH MATERIALIZED VIEW <table>        -- incremental when possible
+  *   SHOW MATERIALIZED VIEWS                  -- defs + coverage + freshness
+  *   CREATE [OR REPLACE] VIEW <name> AS <query>  -- durable (_views ledger,
+  *     re-registered on catalog open; TEMP views stay Spark-native)
+  *   DROP VIEW [IF EXISTS] <name>             -- ledger names; others delegate
+  *   SHOW VIEWS                               -- the durable-view ledger
+  *   GRANT p1[, p2] ON TABLE|SCHEMA|CATALOG <obj> TO `principal`
+  *   REVOKE p1[, p2] ON … FROM `principal`    -- durable _grants ledger
+  *   SHOW GRANTS [ON <obj> | TO `principal`]  -- enforced at this funnel
+  *     when spark.graft.principal is set (UC-style conjunctive check)
   *   CONVERT TO GRAFT parquet.`/path` AS <table>   -- zero-copy adoption
   *   ANALYZE TABLE <table> COMPUTE STATISTICS FOR COLUMNS c1, c2, ...
   *   DESCRIBE HISTORY <table>
@@ -141,7 +150,12 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
 
   /** One funnel: graft maintenance statements execute against the
     * resolved [[VersionedTable]]; everything else is `spark.sql`. */
-  def sql(stmt: String): DataFrame = stmt match {
+  def sql(stmt: String): DataFrame = {
+    checkGrants(stmt)
+    dispatch(stmt)
+  }
+
+  private def dispatch(stmt: String): DataFrame = stmt match {
     case OptimizeWhereStmt(ident, preds) =>
       optimizePartition(resolve(ident), preds)
     case OptimizeStmt(ident, zcols) => optimize(resolve(ident), Option(zcols))
@@ -201,6 +215,37 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             src.exists && src.latestVersion.contains(covered))
         }
       }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh")
+    // governance (resources/uc/grants.sql): GRANT/REVOKE maintain the
+    // warehouse's durable grants ledger; SHOW GRANTS reads it. The
+    // ledger drives [[checkGrants]] enforcement once any grant exists
+    // and the session names a principal.
+    case GrantStmt(privs, otype, oname, principal) if catalog.isDefined =>
+      import spark.implicits._
+      grantAdminOnly("GRANT")
+      val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
+      val rows = splitPrivs(privs).map { p =>
+        catalog.get.grant(p, t, n, stripTicks(principal))
+        ("grant", p, t, n, stripTicks(principal))
+      }
+      rows.toDF("op", "privilege", "object_type", "object", "principal")
+    case RevokeStmt(privs, otype, oname, principal) if catalog.isDefined =>
+      import spark.implicits._
+      grantAdminOnly("REVOKE")
+      val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
+      val rows = splitPrivs(privs).map { p =>
+        catalog.get.revoke(p, t, n, stripTicks(principal))
+        ("revoke", p, t, n, stripTicks(principal))
+      }
+      rows.toDF("op", "privilege", "object_type", "object", "principal")
+    case ShowGrantsOnStmt(otype, oname) if catalog.isDefined =>
+      val t = Option(otype).map(_.toUpperCase).getOrElse("TABLE")
+      val n = normalizeGrantObj(t, oname)
+      grantsDf(catalog.get.grants.filter(g => g._2 == t &&
+        (t == "CATALOG" || g._3 == n)))
+    case ShowGrantsToStmt(principal) if catalog.isDefined =>
+      grantsDf(catalog.get.grants.filter(_._4 == stripTicks(principal)))
+    case ShowGrantsStmt() if catalog.isDefined =>
+      grantsDf(catalog.get.grants)
     case CreateTagStmt(ident, tag, v) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         val name = stripTicks(tag)
@@ -414,6 +459,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       owned(ident).fold(spark.sql(stmt)) { t =>
         import spark.implicits._
         t.read.columns.toSeq.toDF("col_name")
+      }
+    case SetPartitionedByStmt(ident, cols) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val cs = splitTop(cols, ',').map(stripTicks).filter(_.nonEmpty)
+        versionDf(t.evolvePartitionLayout(cs))
       }
     case ClusterByStmt(ident, cols, none) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
@@ -1272,6 +1322,87 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     versionDf(t.overwrite(df, partitionBy = parts))
   }
 
+  // --------------------------------------------------------- governance
+
+  /** Funnel-level UC-style enforcement (resources/uc/grants.sql): active
+    * only when the session sets `spark.graft.principal` AND the bound
+    * warehouse's grants ledger is non-empty — an unset principal is the
+    * owner, and an empty ledger is the reference's "minimal solo
+    * default" (grants.sql:14-17 ships every section commented out).
+    * Classification is by statement head: mutating heads require MODIFY
+    * on the statement's first catalog `layer.table` identifier (its
+    * target) and SELECT on the rest (its sources — the INSERT…SELECT /
+    * MERGE…USING shape); reading heads require SELECT on every one.
+    * Each requirement is conjunctive with USE CATALOG + USE SCHEMA per
+    * [[Catalog.authorized]]. GRANT/REVOKE are owner-only; SHOW GRANTS
+    * is open (a principal may inspect the ledger it is subject to).
+    * Scope: the statements this funnel owns — ad-hoc `spark.sql` over
+    * registered temp views is session-level and not re-checked, the
+    * boundary Spark itself draws absent a cluster authz service; and
+    * backticked path identifiers (``graft.`/path` ``) are
+    * path-addressed, outside the catalog namespace the ledger governs. */
+  private def checkGrants(stmt: String): Unit = (catalog,
+      spark.conf.getOption(GraftSql.PrincipalConf)) match {
+    case (Some(cat), Some(principal)) if cat.grants.nonEmpty =>
+      stmt match {
+        case GraftSql.ShowGrantsHead() => // open to all principals
+        case GraftSql.GrantAdminHead(verb) =>
+          sys.error(s"PERMISSION_DENIED: $verb is owner-only " +
+            s"(session principal `$principal` — unset ${GraftSql.PrincipalConf} " +
+            "to administer grants)")
+        case _ =>
+          val head =
+            if (GraftSql.ModifyHead.pattern.matcher(stmt).matches()) "MODIFY"
+            else if (GraftSql.ReadHead.pattern.matcher(stmt).matches()) "SELECT"
+            else return
+          val named = GraftSql.DottedIdent.findAllMatchIn(stmt)
+            .map(m => (m.group(1), m.group(2)))
+            .filter { case (l, t) =>
+              cat.Layers.contains(l) && cat.table(l, t).exists }
+            .toSeq.distinct
+          named.zipWithIndex.foreach { case ((l, t), i) =>
+            val action = if (head == "MODIFY" && i > 0) "SELECT" else head
+            if (!cat.authorized(principal, action, l, t))
+              sys.error(s"PERMISSION_DENIED: principal `$principal` " +
+                s"lacks $action on $l.$t")
+          }
+      }
+    case _ => // owner session or no ledger: everything is authorized
+  }
+
+  private def grantAdminOnly(verb: String): Unit =
+    spark.conf.getOption(GraftSql.PrincipalConf).foreach { p =>
+      if (catalog.exists(_.grants.nonEmpty))
+        sys.error(s"PERMISSION_DENIED: $verb is owner-only " +
+          s"(session principal `$p`)")
+    }
+
+  /** Normalize a grant object name: the reference qualifies with the
+    * catalog (`football.bronze`, `football.gold.dim_player`) — one
+    * warehouse here, so SCHEMA keeps the last segment and TABLE the
+    * last two; CATALOG's name is recorded as given (informational). */
+  private def normalizeGrantObj(otype: String, oname: String): String = {
+    val parts = stripTicks(oname).split("\\.")
+    otype match {
+      case "SCHEMA" => parts.last
+      case "TABLE" =>
+        require(parts.length >= 2,
+          s"TABLE grants take layer.table names (got $oname)")
+        parts.takeRight(2).mkString(".")
+      case _ => stripTicks(oname)
+    }
+  }
+
+  private def splitPrivs(privs: String): Seq[String] =
+    privs.split(",").toSeq.map(_.trim.toUpperCase
+      .replaceAll("\\s+", " ")).filter(_.nonEmpty)
+
+  private def grantsDf(rows: Seq[(String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (p, t, o, g) => (g, p, t, o) }.sorted
+      .toDF("principal", "privilege", "object_type", "object")
+  }
+
   /** A graft table for a DML statement's identifier, or None when the
     * statement isn't ours and must delegate (the ANALYZE pattern). */
   private def owned(ident: String): Option[VersionedTable] =
@@ -1998,6 +2129,29 @@ object GraftSql {
   private val ShowViewsStmt = """(?is)\s*SHOW\s+VIEWS\s*;?\s*""".r
   private val ShowMvsStmt =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
+  // governance (resources/uc/grants.sql:26-60 — the reference's grant
+  // template): privileges are comma-separated words (possibly
+  // multi-word: USE SCHEMA / ALL PRIVILEGES), principals backticked
+  // group names or bare words
+  val PrincipalConf = "spark.graft.principal"
+  private val GrantStmt =
+    """(?is)\s*GRANT\s+([\w\s,]+?)\s+ON\s+(?i:(TABLE|SCHEMA|CATALOG))\s+([\w.`]+)\s+TO\s+`?([\w@.-]+)`?\s*;?\s*""".r
+  private val RevokeStmt =
+    """(?is)\s*REVOKE\s+([\w\s,]+?)\s+ON\s+(?i:(TABLE|SCHEMA|CATALOG))\s+([\w.`]+)\s+FROM\s+`?([\w@.-]+)`?\s*;?\s*""".r
+  private val ShowGrantsOnStmt =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:(?i:(TABLE|SCHEMA|CATALOG))\s+)?([\w.`]+)\s*;?\s*""".r
+  private val ShowGrantsToStmt =
+    """(?is)\s*SHOW\s+GRANTS\s+TO\s+`?([\w@.-]+)`?\s*;?\s*""".r
+  private val ShowGrantsStmt = """(?is)\s*SHOW\s+GRANTS\s*;?\s*""".r
+  // enforcement heads ([[GraftSql.checkGrants]])
+  private[tables] val GrantAdminHead = """(?is)^\s*(GRANT|REVOKE)\b.*""".r
+  private[tables] val ShowGrantsHead = """(?is)^\s*SHOW\s+GRANTS\b.*""".r
+  private[tables] val ModifyHead =
+    ("""(?is)^\s*(?:OPTIMIZE|VACUUM|RESTORE|INSERT|UPDATE|DELETE|MERGE|COPY""" +
+      """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE)\b.*""").r
+  private[tables] val ReadHead =
+    """(?is)^\s*(?:SELECT|WITH|DESCRIBE|DESC|SHOW)\b.*""".r
+  private[tables] val DottedIdent = """\b([a-z]\w*)\.(\w+)\b""".r
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r
@@ -2289,6 +2443,11 @@ object GraftSql {
   private val ShowColumnsStmt =
     ("""(?is)\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+""" + Ident +
       """\s*;?\s*""").r
+  // Iceberg-style partition evolution: metadata-only re-declaration of
+  // the hive layout; () evolves to flat
+  private val SetPartitionedByStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""").r
   // liquid-clustering-style declaration: cluster columns persist as the
   // `graft.clusterBy` property; every bare OPTIMIZE z-orders by them
   private val ClusterByStmt =

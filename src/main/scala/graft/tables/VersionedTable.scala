@@ -512,6 +512,43 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     Files.move(tmp, layoutPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Iceberg-style partition evolution (Iceberg spec §Partition
+    * Evolution; Delta has no analog — it requires a full rewrite):
+    * re-declare the table's hive layout METADATA-ONLY. Existing
+    * file-sets keep the directory structure they were written with —
+    * the multi-arm scan reads each partitioned arm under its own root,
+    * so partition discovery and pruning are per-arm and mixed layouts
+    * union correctly (old arms simply don't dir-prune on the new keys;
+    * their sidecar stats still skip). Every FUTURE append/overwrite
+    * lays out by the new columns, and any snapshot rewrite (OPTIMIZE,
+    * copy-on-write DELETE/UPDATE) migrates what it touches via
+    * [[writeFileSetPreservingLayout]] — the table converges to the new
+    * layout incrementally, never via a synchronous 100 TB rewrite.
+    * Time travel is unaffected: old versions read their own arms.
+    * Bucketed (merge) tables are refused — their partition×bucket cell
+    * naming is load-bearing for merge routing and concurrency rebase.
+    * `cols == Nil` evolves to a flat layout. */
+  def evolvePartitionLayout(cols: Seq[String]): LogEntry = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    require(bucketSpec.isEmpty,
+      s"partition evolution is for non-bucketed tables; $root has a " +
+        "bucket spec (merge-table cells cannot change layout in place)")
+    val cur = read.columns.toSet
+    val missing = cols.filterNot(cur.contains)
+    require(missing.isEmpty,
+      s"SET PARTITIONED BY names unknown column(s): ${missing.mkString(",")}")
+    require(cols != partitionLayout,
+      s"table already partitioned by (${cols.mkString(",")})")
+    // the commit is the audit record (DESCRIBE HISTORY shows the DDL);
+    // the layout file is the write-path source of truth, re-declared
+    // after — a crash between leaves behavior unchanged (old layout
+    // still recorded) with a harmless informational history row
+    val entry = commit("set_partition_layout", snap.fileSets,
+      basedOn = Some(snap.version), dvs = snap.dvs)
+    recordPartitionLayout(cols, allowExisting = false)
+    entry
+  }
+
   /** Rewrite helper preserving the recorded hive layout (one file per
     * partition value: the repartition keys the dynamic write so each
     * value's rows land in one task — without it, every task would emit a

@@ -1,0 +1,120 @@
+package graft.tables
+
+import graft.SparkSpec
+
+/** Governance ledger + funnel enforcement — the engine's stand-in for
+  * the reference's Unity Catalog grants template
+  * (resources/uc/grants.sql:26-60). */
+class GrantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(prefix: String): (String, Catalog) = {
+    val root = tmpDir(prefix)
+    val cat = new Catalog(spark, root)
+    cat.bootstrap()
+    (root, cat)
+  }
+
+  test("grants ledger: idempotent grant, exact revoke, survives a new " +
+       "Catalog over the same root") {
+    val (root, cat) = freshCat("grants-")
+    cat.grant("SELECT", "TABLE", "gold.facts", "readers")
+    cat.grant("SELECT", "TABLE", "gold.facts", "readers") // idempotent
+    cat.grant("MODIFY", "SCHEMA", "silver", "engineers")
+    cat.grant("USE CATALOG", "CATALOG", "football", "readers")
+    assert(cat.grants.size === 3)
+    cat.revoke("MODIFY", "SCHEMA", "silver", "engineers")
+    cat.revoke("MODIFY", "SCHEMA", "silver", "engineers") // no-op, no error
+    assert(cat.grants.map(_._1).sorted === Seq("SELECT", "USE CATALOG"))
+    // durable: a fresh catalog instance reads the same ledger
+    assert(new Catalog(spark, root).grants === cat.grants)
+  }
+
+  test("grant validation refuses unknown privileges, layers, and shapes") {
+    val (_, cat) = freshCat("grants-val-")
+    assertThrows[IllegalArgumentException](
+      cat.grant("EXECUTE", "TABLE", "gold.t", "p"))
+    assertThrows[IllegalArgumentException](
+      cat.grant("SELECT", "SCHEMA", "platinum", "p"))
+    assertThrows[IllegalArgumentException](
+      cat.grant("SELECT", "TABLE", "bare_name", "p"))
+    assertThrows[IllegalArgumentException](
+      cat.grant("SELECT", "CATALOG", "football", "p")) // not a catalog priv
+  }
+
+  test("SQL surface: GRANT/REVOKE/SHOW GRANTS; reference-style qualified " +
+       "names normalize to the single-warehouse namespace") {
+    val (_, cat) = freshCat("grants-sql-")
+    val gsql = GraftSql(spark, cat)
+    // the reference's exact shapes (grants.sql:28,33,42,59)
+    gsql.sql("GRANT USE CATALOG ON CATALOG football TO `football-readers`")
+    gsql.sql("GRANT USE SCHEMA ON SCHEMA football.gold TO `football-readers`")
+    gsql.sql("GRANT SELECT, MODIFY ON SCHEMA football.bronze TO `football-engineers`")
+    gsql.sql("GRANT SELECT ON TABLE football.gold.dim_player TO `football-readers`")
+    val all = gsql.sql("SHOW GRANTS")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(all.contains(("football-readers", "USE SCHEMA", "SCHEMA", "gold")))
+    assert(all.contains(("football-engineers", "MODIFY", "SCHEMA", "bronze")))
+    assert(all.contains(("football-readers", "SELECT", "TABLE", "gold.dim_player")))
+    // filters
+    assert(gsql.sql("SHOW GRANTS TO `football-engineers`").count() === 2)
+    assert(gsql.sql("SHOW GRANTS ON SCHEMA bronze").count() === 2)
+    assert(gsql.sql("SHOW GRANTS ON TABLE gold.dim_player").count() === 1)
+    gsql.sql("REVOKE MODIFY ON SCHEMA football.bronze FROM `football-engineers`")
+    assert(gsql.sql("SHOW GRANTS TO `football-engineers`").count() === 1)
+  }
+
+  test("enforcement: UC-conjunctive check on the funnel's statements; " +
+       "owner sessions and empty ledgers are unrestricted") {
+    val (_, cat) = freshCat("grants-enf-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE silver.pts (team INT, points BIGINT)")
+    gsql.sql("INSERT INTO silver.pts VALUES (1, 10)") // owner: no principal set
+    try {
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      // empty ledger → solo default, still unrestricted
+      gsql.sql("INSERT INTO silver.pts VALUES (1, 11)")
+      // first grant (to someone else) activates enforcement
+      gsql.sql("GRANT USE CATALOG ON CATALOG wh TO `other`")
+      val denied = intercept[RuntimeException](
+        gsql.sql("DESCRIBE HISTORY silver.pts"))
+      assert(denied.getMessage.contains("lacks SELECT on silver.pts"))
+      val deniedW = intercept[RuntimeException](
+        gsql.sql("INSERT INTO silver.pts VALUES (2, 1)"))
+      assert(deniedW.getMessage.contains("lacks MODIFY on silver.pts"))
+      // grants administration is owner-only once enforcement is live
+      val deniedG = intercept[RuntimeException](
+        gsql.sql("GRANT SELECT ON TABLE silver.pts TO `analyst`"))
+      assert(deniedG.getMessage.contains("owner-only"))
+      // ...but SHOW GRANTS stays open
+      assert(gsql.sql("SHOW GRANTS").count() === 1)
+
+      // build the conjunctive chain as the owner
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("GRANT USE CATALOG ON CATALOG wh TO `analyst`")
+      gsql.sql("GRANT USE SCHEMA ON SCHEMA silver TO `analyst`")
+      gsql.sql("GRANT SELECT ON TABLE silver.pts TO `analyst`")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      assert(gsql.sql("DESCRIBE HISTORY silver.pts").count() === 3) // create + 2 inserts
+      // SELECT does not imply MODIFY
+      assertThrows[RuntimeException](
+        gsql.sql("DELETE FROM silver.pts WHERE team = 1"))
+      // schema-level MODIFY covers the table; conjunction now complete
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("GRANT MODIFY ON SCHEMA silver TO `analyst`")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      gsql.sql("DELETE FROM silver.pts WHERE team = 1")
+      assert(gsql.sql("DESCRIBE HISTORY silver.pts").count() === 4) // + delete
+      // a mutating statement's SOURCE table needs only SELECT: INSERT
+      // from the granted table into an ungranted one is denied on the
+      // TARGET, proving per-position classification
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("CREATE TABLE gold.pts_rollup (team INT, total BIGINT)")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      val deniedT = intercept[RuntimeException](gsql.sql(
+        "INSERT INTO gold.pts_rollup SELECT team, sum(points) " +
+          "FROM silver.pts GROUP BY team"))
+      assert(deniedT.getMessage.contains("lacks MODIFY on gold.pts_rollup"))
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style partition evolution: metadata-only layout re-declaration;
+  * old arms keep their dirs, new writes use the new layout, OPTIMIZE
+  * migrates incrementally. */
+class PartitionEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Int, String, String)*) =
+    rows.toDF("id", "month", "region")
+
+  private def dataDirs(root: String): Seq[String] = {
+    val d = Paths.get(root, "data")
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try s.iterator().asScala.toList.map(_.getFileName.toString).sorted
+    finally s.close()
+  }
+
+  private def hiveKeysOf(root: String, fileSet: String): Seq[String] = {
+    val s = Files.list(Paths.get(root, "data", fileSet))
+    try s.iterator().asScala.toList
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .map(_.getFileName.toString.split("=")(0)).distinct.sorted
+    finally s.close()
+  }
+
+  test("evolve month->region: old arms keep dirs, new writes use new " +
+       "layout, reads union exactly, time travel unaffected") {
+    val root = tmpDir("pevo-")
+    val t = VersionedTable(spark, root)
+    t.append(df((1, "2024-01", "eu"), (2, "2024-02", "us")),
+      partitionBy = Seq("month"))                                   // v0
+    val e = t.evolvePartitionLayout(Seq("region"))                  // v1
+    assert(e.action === "set_partition_layout")
+    assert(t.partitionLayout === Seq("region"))
+    // the evolution commit carries the snapshot verbatim
+    assert(t.read.count() === 2)
+    // a new append lays out by region; the old file-set still has month dirs
+    t.append(df((3, "2024-03", "eu")), partitionBy = Seq("region")) // v2
+    val perSet = dataDirs(root).map(fs => hiveKeysOf(root, fs))
+    assert(perSet.contains(Seq("month")) && perSet.contains(Seq("region")))
+    // the union reads every row with full logical schema
+    assert(t.read.select("id", "month", "region").as[(Int, String, String)]
+      .collect().toSet ===
+      Set((1, "2024-01", "eu"), (2, "2024-02", "us"), (3, "2024-03", "eu")))
+    // appends declaring the RETIRED layout are refused
+    assertThrows[IllegalArgumentException](
+      t.append(df((4, "2024-04", "ap")), partitionBy = Seq("month")))
+    // time travel: the pre-evolution snapshot is untouched
+    assert(t.readVersion(0).count() === 2)
+  }
+
+  test("OPTIMIZE migrates every file-set to the evolved layout") {
+    val root = tmpDir("pevo-opt-")
+    val t = VersionedTable(spark, root)
+    t.append(df((1, "2024-01", "eu"), (2, "2024-02", "us")),
+      partitionBy = Seq("month"))
+    t.evolvePartitionLayout(Seq("region"))
+    t.append(df((3, "2024-03", "eu")), partitionBy = Seq("region"))
+    val before = t.read.select("id", "month", "region")
+      .as[(Int, String, String)].collect().toSet
+    t.compact()
+    // every file-set the compacted snapshot references is region-laid-out
+    val liveSets = t.history.last.fileSets
+    assert(liveSets.nonEmpty &&
+      liveSets.forall(fs => hiveKeysOf(root, fs) === Seq("region")))
+    assert(t.read.select("id", "month", "region")
+      .as[(Int, String, String)].collect().toSet === before)
+  }
+
+  test("refusals: bucketed tables, unknown columns, no-op layout; " +
+       "evolve-to-flat allowed") {
+    val root = tmpDir("pevo-ref-")
+    val t = VersionedTable(spark, root)
+    t.append(df((1, "2024-01", "eu")), partitionBy = Seq("month"))
+    assertThrows[IllegalArgumentException](
+      t.evolvePartitionLayout(Seq("nope")))
+    assertThrows[IllegalArgumentException](
+      t.evolvePartitionLayout(Seq("month")))
+    t.evolvePartitionLayout(Nil) // to flat
+    assert(t.partitionLayout.isEmpty)
+    t.append(df((2, "2024-02", "us"))) // flat append now fine
+    assert(t.read.count() === 2)
+
+    val broot = tmpDir("pevo-b-")
+    val b = VersionedTable(spark, broot)
+    b.merge(df((1, "2024-01", "eu")), Seq("id"), numBuckets = 2)
+    assertThrows[IllegalArgumentException](
+      b.evolvePartitionLayout(Seq("region")))
+  }
+
+  test("SQL: ALTER TABLE ... SET PARTITIONED BY evolves; () flattens") {
+    val root = tmpDir("pevo-sql-")
+    val gsql = GraftSql(spark)
+    val t = VersionedTable(spark, root)
+    t.append(df((1, "2024-01", "eu")), partitionBy = Seq("month"))
+    gsql.sql(s"ALTER TABLE graft.`$root` SET PARTITIONED BY (region)")
+    assert(t.partitionLayout === Seq("region"))
+    gsql.sql(s"ALTER TABLE graft.`$root` SET PARTITIONED BY ()")
+    assert(t.partitionLayout.isEmpty)
+    // history carries both DDL rows
+    assert(t.history.count(_.action == "set_partition_layout") === 2)
+  }
+}

@@ -2774,6 +2774,35 @@ object SparkEntry {
                FROM sql_table_detail""")
     }),
 
+    // FSCK REPAIR TABLE (Delta parity): an out-of-band deletion leaves
+    // the head unreadable; DRY RUN previews exactly the lost file-set,
+    // REPAIR commits a snapshot carrying only live files, and the
+    // surviving rows are exactly the second append — all deterministic.
+    "q_sql_fsck" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-fsck-").toString
+      val tbl = VersionedTable(s, s"$tmp/t")
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("k"), col("n_name"))
+      tbl.append(n.filter(col("k") < 10))
+      tbl.append(n.filter(col("k") >= 10))
+      val lost = tbl.history.head.fileSets.head
+      import scala.jdk.CollectionConverters._
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try st.iterator().asScala.toList.foreach(rm) finally st.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(java.nio.file.Paths.get(tmp, "t", "data", lost))
+      val gsql = graft.tables.GraftSql(s)
+      val preview = gsql.sql(s"FSCK REPAIR TABLE graft.`$tmp/t` DRY RUN").count()
+      val fixed = gsql.sql(s"FSCK REPAIR TABLE graft.`$tmp/t`").count()
+      tbl.read.agg(count(lit(1)).as("n_rows"), sum("k").as("sum_k"))
+        .withColumn("n_missing_preview", lit(preview))
+        .withColumn("n_removed", lit(fixed))
+    }),
+
     // Governance (reference resources/uc/grants.sql): GRANT/REVOKE
     // maintain a durable warehouse ledger; SHOW GRANTS reads it; the
     // SQL funnel enforces UC-style conjunctive authorization (USE
@@ -4003,6 +4032,16 @@ object SparkEntry {
         | 'owner=graft;quality=silver' AS properties,
         | CAST(1 AS INT) AS num_tags,
         | 'audit=v0' AS tags""".stripMargin,
+
+    // After losing the k<10 file-set and repairing, the head holds
+    // exactly the k>=10 rows; one file-set was previewed and removed.
+    "q_sql_fsck" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |          WHERE n_nationkey >= 10) AS n_rows,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+        |          WHERE n_nationkey >= 10) AS sum_k,
+        |  CAST(1 AS BIGINT) AS n_missing_preview,
+        |  CAST(1 AS BIGINT) AS n_removed""".stripMargin,
 
     // The grants ledger after the script (revoked silver row gone) with
     // the three enforcement probe flags, all TRUE by construction.

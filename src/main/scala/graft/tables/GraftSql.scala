@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.StructType
   *   OPTIMIZE <table> ZORDER BY (c1, c2, ...)  -- multi-column clustering
   *   OPTIMIZE <table> WHERE k = 'v' [AND ...]  -- one partition's cells only
   *   VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]
+  *   FSCK REPAIR TABLE <table> [DRY RUN]      -- drop refs to lost files
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
   *   RESTORE TABLE <table> TO TAG '<name>'
@@ -162,6 +163,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case VacuumStmt(ident, retain, dry) =>
       vacuum(resolve(ident), Option(retain).map(_.toInt).getOrElse(1),
         dryRun = dry != null)
+    case FsckStmt(ident, dry) =>
+      import spark.implicits._
+      val (missing, entry) = resolve(ident).fsckRepair(dryRun = dry != null)
+      missing.map(f => (f, entry.isDefined))
+        .toDF("file", "removed_from_snapshot")
     case RestoreVersionStmt(ident, v) => restore(resolve(ident), _.restore(v.toLong))
     case RestoreTimestampStmt(ident, ts) =>
       restore(resolve(ident), _.restoreAsOf(parseTsUtc(ts)))
@@ -849,7 +855,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // mid-read failure). Without this, the first OPTIMIZE or RENAME on
     // the source demoted every later REFRESH to a full recompute.
     val absorbless = Set("compact", "zorder", "purge_dv",
-      "rename_column", "drop_column")
+      "rename_column", "drop_column", "set_partition_layout")
     val mode =
       if (later.isEmpty) "noop"
       else if (later.forall(e => absorbless(e.action))) "noop"
@@ -2091,6 +2097,9 @@ object GraftSql {
   private val OptimizeStmt =
     ("""(?is)\s*OPTIMIZE\s+""" + Ident +
       """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""").r
+  private val FsckStmt =
+    ("""(?is)\s*FSCK\s+REPAIR\s+TABLE\s+""" + Ident +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val RestoreVersionStmt =
     ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ident +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -2148,7 +2157,7 @@ object GraftSql {
   private[tables] val ShowGrantsHead = """(?is)^\s*SHOW\s+GRANTS\b.*""".r
   private[tables] val ModifyHead =
     ("""(?is)^\s*(?:OPTIMIZE|VACUUM|RESTORE|INSERT|UPDATE|DELETE|MERGE|COPY""" +
-      """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE)\b.*""").r
+      """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE|FSCK)\b.*""").r
   private[tables] val ReadHead =
     """(?is)^\s*(?:SELECT|WITH|DESCRIBE|DESC|SHOW)\b.*""".r
   private[tables] val DottedIdent = """\b([a-z]\w*)\.(\w+)\b""".r

@@ -1290,7 +1290,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         .getOrElse(sys.error(s"no version $u at $root"))
     }
     val later = h.filter(e => e.version > v && e.version <= end.version)
-    require(later.forall(_.action == "append"),
+    // set_partition_layout carries the file-set list AND schema verbatim,
+    // so the added-set diff below is unaffected — evolution must not
+    // demote every downstream incremental consumer to a full re-read
+    require(later.forall(e =>
+        e.action == "append" || e.action == "set_partition_layout"),
       s"readAddedSince needs append-only history after v$v at $root; " +
         s"saw ${later.map(_.action).distinct.mkString(",")} — re-read the snapshot")
     val baseSets = base.fileSets.toSet
@@ -1589,7 +1593,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // zero rows added. The batch reads under the CURRENT mapping (this
     // method's contract); whether the CONSUMER's declared schema
     // predates the DDL is the streaming source's guard, not ours.
-    val metadataOnly = Set("rename_column", "drop_column")
+    val metadataOnly = Set("rename_column", "drop_column",
+      "set_partition_layout")
     val rowChanging = range.filterNot(e =>
       e.action == "append" || dataIdentical.contains(e.action) ||
         metadataOnly.contains(e.action))
@@ -1758,7 +1763,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           // current names), so the feed stays readable ACROSS renames,
           // a boundary Delta's CDF refuses
           case "compact" | "zorder" | "purge_dv"
-             | "rename_column" | "drop_column" => ()
+             | "rename_column" | "drop_column"
+             | "set_partition_layout" => ()
           // a clone BASE commit is the cloned snapshot itself: synthesize
           // its rows as inserts (the clone's own DVs applied — rows
           // deleted before the clone never existed here) so a CDC
@@ -2782,6 +2788,34 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * Untouched file-sets are carried verbatim. The maintenance
     * counterpart of [[deleteVectors]]: run it when accumulated vectors
     * make the read-side anti-join noticeable. */
+  /** Delta's `FSCK REPAIR TABLE`: drop snapshot references to files
+    * that no longer exist on disk (out-of-band deletion, a partial
+    * restore from backup). Metadata-priced — directory existence checks
+    * over the CURRENT snapshot's file-set and DV lists, no data reads.
+    * `dryRun` returns the missing names without committing; otherwise a
+    * `fsck` commit carries only the live entries. A clean table is a
+    * no-op (no commit — idempotent, like Delta). Repair fixes the HEAD
+    * forward; time travel to versions referencing the lost files still
+    * fails on them, as it must (the bytes are gone). The `fsck` action
+    * is row-changing by nature, so incremental consumers (CDF,
+    * readAddedBetween) refuse across it — a stream cannot reconstruct
+    * rows whose files vanished; restart from the repaired snapshot. */
+  def fsckRepair(dryRun: Boolean = false): (Seq[String], Option[LogEntry]) = {
+    val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
+    val missingSets =
+      snap.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs)))
+    val missingDvs =
+      snap.dvs.filterNot(d => Files.exists(dvDir.resolve(d)))
+    val missing = missingSets ++ missingDvs
+    if (dryRun || missing.isEmpty) (missing, None)
+    else {
+      val e = commit("fsck", snap.fileSets.filterNot(missingSets.contains),
+        basedOn = Some(snap.version),
+        dvs = snap.dvs.filterNot(missingDvs.contains))
+      (missing, Some(e))
+    }
+  }
+
   def purgeDeleteVectors(): LogEntry = {
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)

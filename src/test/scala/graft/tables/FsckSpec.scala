@@ -1,0 +1,65 @@
+package graft.tables
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** FSCK REPAIR TABLE: forward-fix a snapshot whose files were deleted
+  * out-of-band (Delta parity). */
+class FsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList.foreach(rmTree) finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  test("DRY RUN lists lost file-sets without committing; REPAIR drops " +
+       "them; clean table is a no-op") {
+    val root = tmpDir("fsck-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq(1, 2).toDF("x")) // v0
+    t.append(Seq(3, 4).toDF("x")) // v1
+    // clean: nothing missing, no commit
+    assert(t.fsckRepair() === ((Nil, None)))
+    assert(t.history.map(_.action) === Seq("append", "append"))
+
+    // lose v0's file-set out-of-band
+    val lost = t.history.head.fileSets.head
+    rmTree(Paths.get(root, "data", lost))
+    // the head read now fails on the missing files
+    assertThrows[Exception](t.read.count())
+
+    val (preview, none) = t.fsckRepair(dryRun = true)
+    assert(preview === Seq(lost) && none.isEmpty)
+    assert(t.history.size === 2) // dry run never commits
+
+    val (missing, entry) = t.fsckRepair()
+    assert(missing === Seq(lost))
+    assert(entry.exists(_.action === "fsck"))
+    assert(t.read.as[Int].collect().toSet === Set(3, 4))
+    // idempotent: a second repair finds nothing
+    assert(t.fsckRepair() === ((Nil, None)))
+  }
+
+  test("SQL: FSCK REPAIR TABLE funnel route with and without DRY RUN") {
+    val root = tmpDir("fsck-sql-")
+    val gsql = GraftSql(spark)
+    val t = VersionedTable(spark, root)
+    t.append(Seq(1).toDF("x"))
+    t.append(Seq(2).toDF("x"))
+    val lost = t.history.head.fileSets.head
+    rmTree(Paths.get(root, "data", lost))
+    val dry = gsql.sql(s"FSCK REPAIR TABLE graft.`$root` DRY RUN")
+      .as[(String, Boolean)].collect().toSeq
+    assert(dry === Seq((lost, false)))
+    val fixed = gsql.sql(s"FSCK REPAIR TABLE graft.`$root`")
+      .as[(String, Boolean)].collect().toSeq
+    assert(fixed === Seq((lost, true)))
+    assert(t.read.as[Int].collect().toSet === Set(2))
+  }
+}

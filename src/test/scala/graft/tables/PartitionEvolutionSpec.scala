@@ -95,6 +95,48 @@ class PartitionEvolutionSpec extends SparkSpec {
       b.evolvePartitionLayout(Seq("region")))
   }
 
+  test("evolution is transparent to incremental consumers: " +
+       "readAddedSince and the change feed skip the layout commit") {
+    val root = tmpDir("pevo-incr-")
+    val t = VersionedTable(spark, root)
+    t.enableChangeFeed()
+    t.append(df((1, "2024-01", "eu")), partitionBy = Seq("month"))  // v0
+    t.evolvePartitionLayout(Seq("region"))                          // v1
+    t.append(df((2, "2024-02", "us")), partitionBy = Seq("region")) // v2
+    // the incremental read crosses the evolution commit: exactly v2's rows
+    assert(t.readAddedSince(0).select("id").as[Int].collect().toSeq === Seq(2))
+    // the change feed reports both appends as inserts and NOTHING for
+    // the metadata-only layout commit
+    val feed = t.readChangeFeed(-1)
+    assert(feed.where("_change_type = 'insert'").count() === 2)
+    assert(feed.where("_commit_version = 1").count() === 0)
+  }
+
+  test("a registered MV stays armed across the evolution commit " +
+       "(file-set path set unchanged); a data commit still un-arms") {
+    graft.plans.MvRewrite.install(spark)
+    val root = tmpDir("pevo-mv-")
+    val t = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    t.append(df((1, "2024-01", "eu"), (2, "2024-01", "us")),
+      partitionBy = Seq("month"))
+    mv.overwrite(t.read.groupBy("region").agg(count(lit(1)).as("n")))
+    graft.plans.MvRewrite.register(t, mv, Seq("region"),
+      Seq(graft.plans.MvRewrite.AggSpec("count", "*", "n")))
+    try {
+      def servedFromMv(): Boolean = {
+        val q = t.read.groupBy("region").agg(count(lit(1)).as("n"))
+        val paths = graft.plans.MvRewrite.scannedPaths(q)
+        paths.nonEmpty && paths.forall(_.contains("/mv"))
+      }
+      assert(servedFromMv(), "MV should serve before the DDL")
+      t.evolvePartitionLayout(Seq("region")) // metadata-only, data unchanged
+      assert(servedFromMv(), "metadata-only evolution must not un-arm the MV")
+      t.append(df((3, "2024-02", "eu")), partitionBy = Seq("region"))
+      assert(!servedFromMv(), "a data commit still un-arms")
+    } finally graft.plans.MvRewrite.deregisterRoot(s"$root/mv")
+  }
+
   test("SQL: ALTER TABLE ... SET PARTITIONED BY evolves; () flattens") {
     val root = tmpDir("pevo-sql-")
     val gsql = GraftSql(spark)

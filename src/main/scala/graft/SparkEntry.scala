@@ -3268,6 +3268,40 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_omm"))
     }),
 
+    // Filtered materialized view (CREATE MV ... WHERE pred GROUP BY):
+    // the predicate applies to the materialization AND every
+    // maintenance slice — the straddling append absorbs only matching
+    // rows ("incremental"), and the UPDATE that moves rows between
+    // groups inside the slice maintains as signed CDF deltas ("cdf").
+    // The oracle replays the final predicate slice with the update
+    // applied, plus both mode strings.
+    "q_mv8_filtered" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-mv8-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val e = events(s, dir).select(
+        col("event_id").cast("long").as("event_id"), col("event_type"))
+      val src = cat.table("silver", "fev")
+      src.enableChangeFeed()
+      src.append(e.filter(col("event_id") < 2000))
+      val gsql = graft.tables.GraftSql(s, cat)
+      gsql.sql("CREATE MATERIALIZED VIEW gold.mv_fev AS SELECT " +
+        "event_type, sum(event_id) AS sum_id, count(event_id) AS cnt_id, " +
+        "count(*) AS cnt FROM silver.fev " +
+        "WHERE event_id % 10 < 5 GROUP BY event_type")
+      src.append(e.filter(col("event_id") >= 2000 && col("event_id") < 4000))
+      val mode1 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_fev")
+        .select("mode").head().getString(0)
+      src.update(Map("event_type" -> lit("upd")),
+        col("event_id") % 100 === 0)
+      val mode2 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_fev")
+        .select("mode").head().getString(0)
+      cat.table("gold", "mv_fev").read
+        .withColumn("mode1", lit(mode1))
+        .withColumn("mode2", lit(mode2))
+        .orderBy("event_type")
+    }),
+
     // Type widening DDL: ALTER COLUMN TYPE int->bigint is one empty
     // schema-arm commit (zero data rewritten); post-DDL rows exceed the
     // int range, pre-DDL arms coerce through the union fold, and time
@@ -3679,6 +3713,20 @@ object SparkEntry {
         |  'groups' AS mode1, 'groups' AS mode2, TRUE AS carried,
         |  TRUE AS max_lowered, TRUE AS mv_served
         |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mv8_filtered" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS BIGINT) AS event_id,
+        |    CASE WHEN event_id % 100 = 0 THEN 'upd' ELSE event_type END
+        |      AS event_type
+        |  FROM events WHERE event_id < 4000)
+        |SELECT event_type,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(count(event_id) AS BIGINT) AS cnt_id,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  'incremental' AS mode1, 'cdf' AS mode2
+        |FROM src WHERE event_id % 10 < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_widen" ->
       """WITH w AS (

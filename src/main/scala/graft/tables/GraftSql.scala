@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.StructType
   *   SELECT ... FROM <table> VERSION AS OF '<tag>' ...
   *   CREATE [OR REPLACE] MATERIALIZED VIEW <table> AS
   *     SELECT g1, ..., sum|count|min|max(c) AS name, ... FROM <table>
-  *     GROUP BY g1, ...                       -- materialized + auto-routed
+  *     [WHERE <pred>] GROUP BY g1, ...        -- materialized + auto-routed
+  *     -- (filtered MVs maintain incrementally too but are queried by
+  *     --  name, never auto-routed)
   *   REFRESH MATERIALIZED VIEW <table>        -- incremental when possible
   *   SHOW MATERIALIZED VIEWS                  -- defs + coverage + freshness
   *   CREATE [OR REPLACE] VIEW <name> AS <query>  -- durable (_views ledger,
@@ -175,9 +177,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       restore(resolve(ident), t => t.restore(t.tags.getOrElse(tag,
         sys.error(s"RESTORE TO TAG: no tag `$tag` on $ident"))))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
-    case CreateMvStmt(orReplace, mvIdent, selectList, srcIdent, groupBy) =>
-      createMaterializedView(mvIdent, orReplace != null, selectList,
-        srcIdent, groupBy)
+    case GraftSql.CreateMvProbe() =>
+      val (orReplace, mvIdent, selectList, srcIdent, where, groupBy) =
+        GraftSql.parseCreateMv(stmt).getOrElse(sys.error(
+          "CREATE MATERIALIZED VIEW: unrecognized shape — expected " +
+            "SELECT g1,…, sum|count|min|max(c) AS name,… FROM <table> " +
+            "[WHERE <pred>] GROUP BY g1,…"))
+      createMaterializedView(mvIdent, orReplace, selectList,
+        srcIdent, where, groupBy)
     case RefreshMvStmt(ident) => refreshMaterializedView(ident)
     case CreateViewStmt(orReplace, name, query) if catalog.isDefined =>
       import spark.implicits._
@@ -218,9 +225,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             props(GraftSql.MvGroupProp),
             props(GraftSql.MvAggsProp),
             covered,
-            src.exists && src.latestVersion.contains(covered))
+            src.exists && src.latestVersion.contains(covered),
+            props.getOrElse(GraftSql.MvWhereProp, ""))
         }
-      }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh")
+      }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh", "where")
     // governance (resources/uc/grants.sql): GRANT/REVOKE maintain the
     // warehouse's durable grants ledger; SHOW GRANTS reads it. The
     // ledger drives [[checkGrants]] enforcement once any grant exists
@@ -736,6 +744,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * maintained average column would be wrong under merge combining. */
   private def createMaterializedView(mvIdent: String, orReplace: Boolean,
                                      selectList: String, srcIdent: String,
+                                     where: Option[String],
                                      groupBy: String): DataFrame = {
     import spark.implicits._
     val src = resolve(srcIdent)
@@ -765,17 +774,37 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       mv.properties.get(GraftSql.MvEpochProp).map(_.toLong).getOrElse(0L)
     else 0L) + 1L
     if (mv.exists) mv.clearBucketSpec()
-    mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
+    val base0 = src.readVersion(srcV)
+    val base = where.fold(base0) { p =>
+      val f = base0.filter(expr(p))
+      // resolution runs now (bad columns fail the CREATE loudly); a
+      // nondeterministic predicate (rand()) would make every
+      // maintenance slice disagree with the materialization — refuse
+      val cond = f.queryExecution.analyzed.collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition
+      }
+      require(cond.exists(_.deterministic),
+        s"materialized view WHERE must be deterministic: $p")
+      f
+    }
+    mv.overwrite(base.groupBy(groupCols.map(col): _*)
       .agg(GraftSql.mvAggColumns(aggs).head,
         GraftSql.mvAggColumns(aggs).tail: _*))
+    // a REPLACE that drops the predicate must also drop the property
+    if (where.isEmpty) mv.unsetProperties(Seq(GraftSql.MvWhereProp))
     mv.setProperties(Map(
       GraftSql.MvSourceProp -> src.root,
       GraftSql.MvGroupProp -> groupCols.mkString(","),
       GraftSql.MvAggsProp ->
         aggs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
       GraftSql.MvVersionProp -> srcV.toString,
-      GraftSql.MvEpochProp -> epoch.toString))
-    armMvRewrite(src, mv, groupCols, aggs, srcV)
+      GraftSql.MvEpochProp -> epoch.toString) ++
+      where.map(GraftSql.MvWhereProp -> _))
+    // filtered definitions never arm transparent routing: the rewrite
+    // rule serves only shapes it can prove equivalent, and a query
+    // without the predicate must keep scanning the source
+    if (where.isEmpty) armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
   }
 
@@ -835,11 +864,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val srcV = srcHistory.lastOption.map(_.version).getOrElse(v0)
     val later = srcHistory.filter(e => e.version > v0 && e.version <= srcV)
     val cdfCapable = src.changeFeedEnabled && GraftSql.cdfMaintainable(aggs)
+    // a FILTERED definition applies its predicate to every slice — the
+    // materialization, each incremental delta, the change feed (an
+    // update moving a row across the predicate boundary keeps exactly
+    // the matching image: in = +post, out = −pre, the correct signed
+    // delta), the touched-group set, and the per-group recompute
+    val where = props.get(GraftSql.MvWhereProp)
+    def filt(df: DataFrame): DataFrame = where.fold(df)(p => df.filter(expr(p)))
     // every maintenance path reads the PINNED range (v0, srcV] — never
     // the live head — so concurrent commits stay uncovered until the
     // NEXT refresh instead of being absorbed now and re-absorbed then
     def recompute(): Unit =
-      mv.overwrite(src.readVersion(srcV).groupBy(groupCols.map(col): _*)
+      mv.overwrite(filt(src.readVersion(srcV)).groupBy(groupCols.map(col): _*)
         .agg(GraftSql.mvAggColumns(aggs).head,
           GraftSql.mvAggColumns(aggs).tail: _*))
     // compact/zorder/REORG PURGE are data-identical by construction,
@@ -864,7 +900,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           src.addedSetsLive(v0, srcV)) {
         // persisted: the NULL-key probe and the merge share one
         // aggregation pass (the delta is group-count-sized)
-        val delta = src.readAddedBetween(v0, srcV)
+        val delta = filt(src.readAddedBetween(v0, srcV))
           .groupBy(groupCols.map(col): _*)
           .agg(GraftSql.mvAggColumns(aggs).head,
             GraftSql.mvAggColumns(aggs).tail: _*)
@@ -896,7 +932,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // the bug behind a performance blip.
         try {
           GraftSql.applyCdfDelta(mv,
-            src.readChangeFeed(v0, Some(srcV)), groupCols, aggs,
+            filt(src.readChangeFeed(v0, Some(srcV))), groupCols, aggs,
             txn = Some((txnApp, srcV)))
           "cdf"
         } catch {
@@ -916,7 +952,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // crash resume, so it must land last (a crash in between replays
         // the tombstones as a txn no-op, then completes the replace).
         try {
-          val touched = src.readChangeFeed(v0, Some(srcV))
+          val touched = filt(src.readChangeFeed(v0, Some(srcV)))
             .select(groupCols.map(col): _*).distinct()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
@@ -926,7 +962,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
                 s"value in group column(s) ${groupCols.mkString(",")} — " +
                 "NULL keys cannot merge; recomputing")
             else {
-              val fresh = src.readVersion(srcV)
+              val fresh = filt(src.readVersion(srcV))
                 .join(touched, groupCols, "left_semi")
                 .groupBy(groupCols.map(col): _*)
                 .agg(GraftSql.mvAggColumns(aggs).head,
@@ -961,7 +997,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // stale covered-version property left by the crash
     if (srcV > v0Prop)
       mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
-    armMvRewrite(src, mv, groupCols, aggs, srcV)
+    if (where.isEmpty) armMvRewrite(src, mv, groupCols, aggs, srcV)
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
   }
 
@@ -1017,7 +1053,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       props.get(GraftSql.MvSourceProp).flatMap { srcRoot =>
         val src = VersionedTable(spark, srcRoot)
         val covered = props(GraftSql.MvVersionProp).toLong
-        if (src.exists && src.latestVersion.contains(covered)) {
+        if (src.exists && src.latestVersion.contains(covered) &&
+            !props.contains(GraftSql.MvWhereProp)) {
           armMvRewrite(src, mv,
             props(GraftSql.MvGroupProp).split(",").toSeq,
             GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp)), covered)
@@ -1899,6 +1936,13 @@ object GraftSql {
     * recreated source whose version counter restarted) can never be
     * mistaken for this era's absorbed slices. */
   val MvEpochProp = "graft.mv.epoch"
+  /** Optional row predicate of a FILTERED materialized view (`CREATE
+    * MATERIALIZED VIEW … AS SELECT … FROM t WHERE pred GROUP BY …`).
+    * Maintenance applies it to every slice; filtered MVs are queried BY
+    * NAME (Databricks MV usage) and never arm transparent routing — the
+    * rewrite rule serves only unfiltered definitions it can prove
+    * equivalent. */
+  val MvWhereProp = "graft.mv.where"
 
   /** Parse the closed MV select grammar → (groupCols, (fn, col, out)*).
     * Every group column must appear bare in the select list; every other
@@ -2117,10 +2161,35 @@ object GraftSql {
   // surface the MvRewrite rule can serve and the incremental refresher
   // can maintain; anything richer is refused loudly at CREATE time, not
   // silently mis-maintained later
-  private val CreateMvStmt =
+  private val CreateMvProbe =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\b.*""".r
+  private val CreateMvRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+""" +
       Ident + """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + Ident +
-      """\s+GROUP\s+BY\s+([\w`,\s]+?)\s*;?\s*""").r
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+([\w`,\s]+?)\s*;?\s*""").r
+  /** CREATE MV split with literal masking: the keyword scan runs over a
+    * copy whose string-literal CONTENTS are blanked (delimiters kept, so
+    * backticked path identifiers still match), then every group slices
+    * the ORIGINAL text by offset — keyword-shaped data inside a WHERE
+    * literal (`WHERE src = 'a GROUP BY b'`) cannot shift the split. */
+  private[tables] def parseCreateMv(stmt: String)
+      : Option[(Boolean, String, String, String, Option[String], String)] = {
+    val mask = stringLiteralMask(stmt)
+    val chars = stmt.toCharArray
+    var i = 0
+    while (i < chars.length) {
+      val c = chars(i)
+      if (mask(i) && c != '\'' && c != '"' && c != '`') chars(i) = 'x'
+      i += 1
+    }
+    val m = CreateMvRe.pattern.matcher(new String(chars))
+    if (!m.matches()) return None
+    def g(idx: Int): Option[String] =
+      if (m.group(idx) == null) None
+      else Some(stmt.substring(m.start(idx), m.end(idx)))
+    Some((m.group(1) != null, g(2).get, g(3).get, g(4).get,
+      g(5).map(_.trim), g(6).get))
+  }
   private val RefreshMvStmt =
     ("""(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """\s*;?\s*""").r

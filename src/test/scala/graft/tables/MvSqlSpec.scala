@@ -466,15 +466,15 @@ class MvSqlSpec extends SparkSpec {
     val mv = cat.table("gold", "mv_smv")
     try {
       val r1 = sql.sql("SHOW MATERIALIZED VIEWS")
-        .as[(String, String, String, Long, Boolean)].collect().toSeq
-      assert(r1 === Seq(("gold.mv_smv", "k", "sum:v:s;count:*:c", 0L, true)))
+        .as[(String, String, String, Long, Boolean, String)].collect().toSeq
+      assert(r1 === Seq(("gold.mv_smv", "k", "sum:v:s;count:*:c", 0L, true, "")))
       src.append(Seq(("b", 2L)).toDF("k", "v"))
       val r2 = sql.sql("SHOW MATERIALIZED VIEWS")
-        .as[(String, String, String, Long, Boolean)].head()
+        .as[(String, String, String, Long, Boolean, String)].head()
       assert(!r2._5, "a moved source reads as stale")
       sql.sql("REFRESH MATERIALIZED VIEW gold.mv_smv")
       assert(sql.sql("SHOW MATERIALIZED VIEWS")
-        .as[(String, String, String, Long, Boolean)].head()._5)
+        .as[(String, String, String, Long, Boolean, String)].head()._5)
     } finally MvRewrite.deregister(mv)
   }
 
@@ -522,5 +522,95 @@ class MvSqlSpec extends SparkSpec {
     assert(!scansMv(q))
     assert(q.orderBy("k").as[(String, Long)].collect().toSeq ===
       Seq(("a", 1L), ("b", 2L)))
+  }
+
+  test("filtered MV: WHERE materializes the predicate slice; " +
+       "append-refresh stays incremental and filtered") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "fsales")
+    src.append(Seq(("a", 10L, "eu"), ("a", 20L, "us"), ("b", 5L, "eu"))
+      .toDF("k", "v", "r"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_fsales AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.fsales " +
+      "WHERE r = 'eu' GROUP BY k")
+    val mv = cat.table("gold", "mv_fsales")
+    assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq ===
+      Seq(("a", 10L, 1L), ("b", 5L, 1L)))
+    // append straddling the predicate: only the eu rows absorb
+    src.append(Seq(("a", 100L, "eu"), ("b", 7L, "us")).toDF("k", "v", "r"))
+    val mode = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_fsales")
+      .as[(String, String, Long)].head()._2
+    assert(mode === "incremental")
+    assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq ===
+      Seq(("a", 110L, 2L), ("b", 5L, 1L)))
+    // filtered definitions are queried by name, never auto-routed
+    val q = src.read.filter(col("r") === "eu").groupBy("k")
+      .agg(fsum("v").as("sum_v"))
+    assert(!scansMv(q))
+    // the predicate is visible in SHOW MATERIALIZED VIEWS
+    assert(sql.sql("SHOW MATERIALIZED VIEWS")
+      .where("mv = 'gold.mv_fsales'")
+      .select("where").as[String].head() === "r = 'eu'")
+  }
+
+  test("filtered MV: signed-delta CDF refresh handles rows crossing " +
+       "the predicate boundary in both directions") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "fcdf")
+    src.enableChangeFeed()
+    src.append(Seq((1L, "a", 10L, "eu"), (2L, "a", 20L, "us"),
+      (3L, "b", 5L, "eu")).toDF("id", "k", "v", "r"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_fcdf AS SELECT k, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS cnt " +
+      "FROM silver.fcdf WHERE r = 'eu' GROUP BY k")
+    val mv = cat.table("gold", "mv_fcdf")
+    // id=1 leaves the slice (eu->us), id=2 enters it (us->eu)
+    src.update(Map("r" -> lit("us")), col("id") === 1L)
+    src.update(Map("r" -> lit("eu")), col("id") === 2L)
+    val mode = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_fcdf")
+      .as[(String, String, Long)].head()._2
+    assert(mode === "cdf")
+    assert(mv.read.orderBy("k").as[(String, Long, Long, Long)]
+      .collect().toSeq ===
+      Seq(("a", 20L, 1L, 1L), ("b", 5L, 1L, 1L)))
+  }
+
+  test("filtered MV: min/max under retractions recomputes only touched " +
+       "groups, within the predicate slice") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "fmm")
+    src.enableChangeFeed()
+    src.append(Seq((1L, "a", 10L, "eu"), (2L, "a", 9L, "eu"),
+      (3L, "b", 5L, "eu"), (4L, "a", 99L, "us")).toDF("id", "k", "v", "r"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_fmm AS SELECT k, " +
+      "max(v) AS max_v, count(*) AS cnt FROM silver.fmm " +
+      "WHERE r = 'eu' GROUP BY k")
+    val mv = cat.table("gold", "mv_fmm")
+    assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq ===
+      Seq(("a", 10L, 2L), ("b", 5L, 1L)))
+    // delete the eu max of group a; the us row must never leak in
+    src.delete(col("id") === 1L)
+    val mode = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_fmm")
+      .as[(String, String, Long)].head()._2
+    assert(mode === "groups")
+    assert(mv.read.orderBy("k").as[(String, Long, Long)].collect().toSeq ===
+      Seq(("a", 9L, 1L), ("b", 5L, 1L)))
+  }
+
+  test("filtered MV: keyword-shaped literals in the predicate parse " +
+       "correctly; nondeterministic predicates refuse") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "fparse")
+    src.append(Seq(("a", 1L, "x GROUP BY y"), ("a", 2L, "plain"))
+      .toDF("k", "v", "note"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_fparse AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.fparse " +
+      "WHERE note = 'x GROUP BY y' GROUP BY k")
+    assert(cat.table("gold", "mv_fparse").read
+      .as[(String, Long, Long)].head() === (("a", 1L, 1L)))
+    val e = intercept[IllegalArgumentException](sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_frand AS SELECT k, " +
+        "count(*) AS cnt FROM silver.fparse WHERE rand() > 0.5 GROUP BY k"))
+    assert(e.getMessage.contains("deterministic"))
   }
 }

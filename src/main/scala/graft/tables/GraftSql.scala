@@ -1383,7 +1383,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * registered temp views is session-level and not re-checked, the
     * boundary Spark itself draws absent a cluster authz service; and
     * backticked path identifiers (``graft.`/path` ``) are
-    * path-addressed, outside the catalog namespace the ledger governs. */
+    * path-addressed, outside the catalog namespace the ledger governs.
+    * Creation of NEW objects is ungoverned (the model has no CREATE
+    * privilege, mirroring the reference template's grant set) — only
+    * EXISTING tables are protected. */
   private def checkGrants(stmt: String): Unit = (catalog,
       spark.conf.getOption(GraftSql.PrincipalConf)) match {
     case (Some(cat), Some(principal)) if cat.grants.nonEmpty =>
@@ -1398,14 +1401,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             if (GraftSql.ModifyHead.pattern.matcher(stmt).matches()) "MODIFY"
             else if (GraftSql.ReadHead.pattern.matcher(stmt).matches()) "SELECT"
             else return
+          // position decides the action BEFORE existence filtering: in
+          // `CREATE MV gold.mv AS SELECT … FROM silver.src` the
+          // not-yet-existing target still occupies the target slot, so
+          // the source is charged SELECT, not MODIFY
           val named = GraftSql.DottedIdent.findAllMatchIn(stmt)
             .map(m => (m.group(1), m.group(2)))
-            .filter { case (l, t) =>
-              cat.Layers.contains(l) && cat.table(l, t).exists }
+            .filter { case (l, _) => cat.Layers.contains(l) }
             .toSeq.distinct
           named.zipWithIndex.foreach { case ((l, t), i) =>
             val action = if (head == "MODIFY" && i > 0) "SELECT" else head
-            if (!cat.authorized(principal, action, l, t))
+            if (cat.table(l, t).exists &&
+                !cat.authorized(principal, action, l, t))
               sys.error(s"PERMISSION_DENIED: principal `$principal` " +
                 s"lacks $action on $l.$t")
           }

@@ -66,7 +66,7 @@ class GrantsSpec extends SparkSpec {
 
   test("enforcement: UC-conjunctive check on the funnel's statements; " +
        "owner sessions and empty ledgers are unrestricted") {
-    val (_, cat) = freshCat("grants-enf-")
+    val (root, cat) = freshCat("grants-enf-")
     val gsql = GraftSql(spark, cat)
     gsql.sql("CREATE TABLE silver.pts (team INT, points BIGINT)")
     gsql.sql("INSERT INTO silver.pts VALUES (1, 10)") // owner: no principal set
@@ -96,6 +96,11 @@ class GrantsSpec extends SparkSpec {
       gsql.sql("GRANT SELECT ON TABLE silver.pts TO `analyst`")
       spark.conf.set(GraftSql.PrincipalConf, "analyst")
       assert(gsql.sql("DESCRIBE HISTORY silver.pts").count() === 3) // create + 2 inserts
+      // a mutating statement charges its SOURCE only SELECT: creating a
+      // new MV from the readable table works without MODIFY anywhere
+      // (the not-yet-existing target occupies the target slot)
+      gsql.sql("CREATE MATERIALIZED VIEW gold.pts_mv AS SELECT team, " +
+        "sum(points) AS s, count(*) AS c FROM silver.pts GROUP BY team")
       // SELECT does not imply MODIFY
       assertThrows[RuntimeException](
         gsql.sql("DELETE FROM silver.pts WHERE team = 1"))
@@ -115,6 +120,9 @@ class GrantsSpec extends SparkSpec {
         "INSERT INTO gold.pts_rollup SELECT team, sum(points) " +
           "FROM silver.pts GROUP BY team"))
       assert(deniedT.getMessage.contains("lacks MODIFY on gold.pts_rollup"))
-    } finally spark.conf.unset(GraftSql.PrincipalConf)
+    } finally {
+      spark.conf.unset(GraftSql.PrincipalConf)
+      graft.plans.MvRewrite.deregisterRoot(s"$root/gold/pts_mv")
+    }
   }
 }

@@ -228,8 +228,13 @@ final class Catalog(spark: SparkSession, root: String) {
     * sections commented out, and enforcing deny-by-default over an
     * empty ledger would brick a fresh warehouse). */
   def authorized(principal: String, action: String, layer: String,
-      table: String): Boolean = {
-    val g = grants
+      table: String): Boolean =
+    authorized(principal, action, layer, table, grants)
+
+  /** Overload taking a pre-read ledger, so a statement naming several
+    * tables reads `_grants.ledger` once, not once per table. */
+  def authorized(principal: String, action: String, layer: String,
+      table: String, g: Seq[(String, String, String, String)]): Boolean = {
     if (g.isEmpty) return true
     def has(priv: String, otype: String, oname: String): Boolean =
       g.contains((priv, otype, oname, principal)) ||

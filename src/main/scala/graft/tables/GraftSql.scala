@@ -235,7 +235,6 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // and the session names a principal.
     case GrantStmt(privs, otype, oname, principal) if catalog.isDefined =>
       import spark.implicits._
-      grantAdminOnly("GRANT")
       val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
       val rows = splitPrivs(privs).map { p =>
         catalog.get.grant(p, t, n, stripTicks(principal))
@@ -244,7 +243,6 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       rows.toDF("op", "privilege", "object_type", "object", "principal")
     case RevokeStmt(privs, otype, oname, principal) if catalog.isDefined =>
       import spark.implicits._
-      grantAdminOnly("REVOKE")
       val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
       val rows = splitPrivs(privs).map { p =>
         catalog.get.revoke(p, t, n, stripTicks(principal))
@@ -391,12 +389,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // renames: hash(old)≠hash(new) would re-route cells), so refuse
         // at the source like DROP does
         val groupDeps = mvsSourcedFrom(t.root).filter { case (_, props) =>
-          props(GraftSql.MvGroupProp).split(",").contains(f)
+          props(GraftSql.MvGroupProp).split(",").contains(f) ||
+            mvWhereCols(props).contains(f)
         }
         require(groupDeps.isEmpty,
-          s"RENAME COLUMN: `$f` is a GROUP column of materialized " +
-            s"view(s) ${groupDeps.map(_._1).mkString(", ")} — drop and " +
-            "recreate them to re-key")
+          s"RENAME COLUMN: `$f` is a GROUP or WHERE column of " +
+            s"materialized view(s) ${groupDeps.map(_._1).mkString(", ")} — " +
+            "drop and recreate them to re-key")
         val df = versionDf(t.renameColumn(f, tn))
         // AGG source columns live only in the stored definition — re-key
         // them so later REFRESHes resolve under the new name (the
@@ -803,8 +802,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       where.map(GraftSql.MvWhereProp -> _))
     // filtered definitions never arm transparent routing: the rewrite
     // rule serves only shapes it can prove equivalent, and a query
-    // without the predicate must keep scanning the source
+    // without the predicate must keep scanning the source. A REPLACE
+    // that turns an armed unfiltered MV into a filtered one must also
+    // DROP the old registration — the source snapshot is unchanged, so
+    // the stale entry would keep serving full-table aggregates from the
+    // now-filtered materialization (silent wrong results)
     if (where.isEmpty) armMvRewrite(src, mv, groupCols, aggs, srcV)
+    else graft.plans.MvRewrite.deregisterRoot(mv.root)
     Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
   }
 
@@ -998,6 +1002,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     if (srcV > v0Prop)
       mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
     if (where.isEmpty) armMvRewrite(src, mv, groupCols, aggs, srcV)
+    else graft.plans.MvRewrite.deregisterRoot(mv.root) // defensive: never serve a filtered MV
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
   }
 
@@ -1016,7 +1021,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   private def mvReferencedCols(props: Map[String, String]): Set[String] =
     props(GraftSql.MvGroupProp).split(",").toSet ++
       GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
-        .map(_._2).filterNot(_ == "*").toSet
+        .map(_._2).filterNot(_ == "*").toSet ++
+      mvWhereCols(props)
+
+  /** Columns a filtered MV's stored predicate references — they must be
+    * protected from RENAME/DROP like group columns (the predicate text
+    * cannot be re-keyed safely, and an unresolvable predicate would
+    * brick every later REFRESH). */
+  private def mvWhereCols(props: Map[String, String]): Set[String] =
+    props.get(GraftSql.MvWhereProp).map { p =>
+      spark.sessionState.sqlParser.parseExpression(p).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }.toSet
+    }.getOrElse(Set.empty)
 
   /** RENAME COLUMN follow-through: rewrite the `fn:col:out` agg specs of
     * every dependent MV definition from `from` to `to`. Output column
@@ -1387,9 +1405,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * Creation of NEW objects is ungoverned (the model has no CREATE
     * privilege, mirroring the reference template's grant set) — only
     * EXISTING tables are protected. */
-  private def checkGrants(stmt: String): Unit = (catalog,
+  private def checkGrants(stmt0: String): Unit = (catalog,
       spark.conf.getOption(GraftSql.PrincipalConf)) match {
-    case (Some(cat), Some(principal)) if cat.grants.nonEmpty =>
+    case (Some(cat), Some(principal)) =>
+      val ledger = cat.grants // ONE ledger read per governed statement
+      if (ledger.isEmpty) return
+      // head anchors must see the real first keyword, not a `--` comment
+      val stmt = stripLineComments(stmt0)
       stmt match {
         case GraftSql.ShowGrantsHead() => // open to all principals
         case GraftSql.GrantAdminHead(verb) =>
@@ -1397,35 +1419,41 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             s"(session principal `$principal` — unset ${GraftSql.PrincipalConf} " +
             "to administer grants)")
         case _ =>
+          // CREATE VIEW / CREATE MV read their sources; the view object
+          // itself is a NEW object (creation is ungoverned) — without
+          // this, the first named source would be charged MODIFY, and a
+          // MODIFY-only principal could launder reads through a view
           val head =
-            if (GraftSql.ModifyHead.pattern.matcher(stmt).matches()) "MODIFY"
-            else if (GraftSql.ReadHead.pattern.matcher(stmt).matches()) "SELECT"
+            if (GraftSql.CreateViewHead.pattern.matcher(stmt).matches())
+              "SELECT"
+            else if (GraftSql.ModifyHead.pattern.matcher(stmt).matches())
+              "MODIFY"
+            else if (GraftSql.ReadHead.pattern.matcher(stmt).matches())
+              "SELECT"
             else return
-          // position decides the action BEFORE existence filtering: in
-          // `CREATE MV gold.mv AS SELECT … FROM silver.src` the
+          // the scan accepts what the RESOLVER accepts: dotted or
+          // underscore layer separators, any layer case (targetRoot
+          // lowercases); literal-masked so data naming a table is not a
+          // reference. Position decides the action BEFORE existence
+          // filtering: in `CREATE MV gold.mv AS … FROM silver.src` the
           // not-yet-existing target still occupies the target slot, so
-          // the source is charged SELECT, not MODIFY
+          // the source is charged SELECT, not MODIFY.
+          val mask = GraftSql.stringLiteralMask(stmt)
           val named = GraftSql.DottedIdent.findAllMatchIn(stmt)
-            .map(m => (m.group(1), m.group(2)))
+            .filter(m => !mask(m.start))
+            .map(m => (m.group(1).toLowerCase, m.group(2)))
             .filter { case (l, _) => cat.Layers.contains(l) }
             .toSeq.distinct
           named.zipWithIndex.foreach { case ((l, t), i) =>
             val action = if (head == "MODIFY" && i > 0) "SELECT" else head
             if (cat.table(l, t).exists &&
-                !cat.authorized(principal, action, l, t))
+                !cat.authorized(principal, action, l, t, ledger))
               sys.error(s"PERMISSION_DENIED: principal `$principal` " +
                 s"lacks $action on $l.$t")
           }
       }
-    case _ => // owner session or no ledger: everything is authorized
+    case _ => // owner session or no catalog: everything is authorized
   }
-
-  private def grantAdminOnly(verb: String): Unit =
-    spark.conf.getOption(GraftSql.PrincipalConf).foreach { p =>
-      if (catalog.exists(_.grants.nonEmpty))
-        sys.error(s"PERMISSION_DENIED: $verb is owner-only " +
-          s"(session principal `$p`)")
-    }
 
   /** Normalize a grant object name: the reference qualifies with the
     * catalog (`football.bronze`, `football.gold.dim_player`) — one
@@ -2236,7 +2264,18 @@ object GraftSql {
       """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE|FSCK)\b.*""").r
   private[tables] val ReadHead =
     """(?is)^\s*(?:SELECT|WITH|DESCRIBE|DESC|SHOW)\b.*""".r
-  private[tables] val DottedIdent = """\b([a-z]\w*)\.(\w+)\b""".r
+  // plain (non-materialized) views only: their target is an undotted NEW
+  // object, so the first named table is a SOURCE and must be charged
+  // SELECT. CREATE MATERIALIZED VIEW keeps the MODIFY head — its dotted
+  // target occupies the target slot (MODIFY if it already exists), and
+  // position charges its sources SELECT.
+  private[tables] val CreateViewHead =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?""" +
+      """(?:TEMP(?:ORARY)?\s+)?VIEW\b.*""").r
+  // dotted OR underscore separator, any case: exactly the spellings the
+  // funnel's resolver (targetRoot/splitLayerName, which lowercase the
+  // layer and split on [._]) accepts for catalog tables
+  private[tables] val DottedIdent = """\b([A-Za-z]\w*)[._](\w+)\b""".r
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r

@@ -125,4 +125,34 @@ class GrantsSpec extends SparkSpec {
       graft.plans.MvRewrite.deregisterRoot(s"$root/gold/pts_mv")
     }
   }
+
+  test("enforcement closes resolver-equivalent spellings and ignores " +
+       "table names inside string literals") {
+    val (_, cat) = freshCat("grants-sp-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE silver.gov (x INT, note STRING)")
+    gsql.sql("CREATE TABLE gold.notes (id INT, body STRING)")
+    try {
+      // enforcement live; analyst gets the full chain on gold.notes ONLY
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("GRANT USE CATALOG ON CATALOG wh TO `analyst`")
+      gsql.sql("GRANT USE SCHEMA ON SCHEMA gold TO `analyst`")
+      gsql.sql("GRANT SELECT, MODIFY ON TABLE gold.notes TO `analyst`")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      // every spelling the resolver accepts is checked: underscore,
+      // mixed-case layer, and a leading line comment
+      assertThrows[RuntimeException](
+        gsql.sql("INSERT INTO silver_gov VALUES (1, 'x')"))
+      assertThrows[RuntimeException](
+        gsql.sql("DELETE FROM Silver.gov WHERE x = 1"))
+      assertThrows[RuntimeException](
+        gsql.sql("-- note\nDESCRIBE HISTORY silver.gov"))
+      // ...but DATA naming a governed table is not a reference
+      gsql.sql("INSERT INTO gold.notes VALUES (1, 'see silver.gov today')")
+      // a SELECT-only source suffices for CREATE VIEW; a principal
+      // WITHOUT SELECT on the source is denied (no read-laundering)
+      assertThrows[RuntimeException](
+        gsql.sql("CREATE VIEW v_gov AS SELECT * FROM silver.gov"))
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+  }
 }

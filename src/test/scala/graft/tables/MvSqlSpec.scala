@@ -427,7 +427,7 @@ class MvSqlSpec extends SparkSpec {
       // refusals: group-column rename, referenced-column drop
       val e1 = intercept[IllegalArgumentException](sql.sql(
         "ALTER TABLE silver.ddl RENAME COLUMN k TO kk"))
-      assert(e1.getMessage.contains("GROUP column"))
+      assert(e1.getMessage.contains("GROUP or WHERE column"))
       val e2 = intercept[IllegalArgumentException](sql.sql(
         "ALTER TABLE silver.ddl DROP COLUMN v"))
       assert(e2.getMessage.contains("referenced by materialized view"))
@@ -612,5 +612,47 @@ class MvSqlSpec extends SparkSpec {
       "CREATE MATERIALIZED VIEW gold.mv_frand AS SELECT k, " +
         "count(*) AS cnt FROM silver.fparse WHERE rand() > 0.5 GROUP BY k"))
     assert(e.getMessage.contains("deterministic"))
+  }
+
+  test("REPLACE of an armed unfiltered MV by a filtered definition " +
+       "deregisters routing - queries fall back to the source") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "frep")
+    src.append(Seq(("a", 10L, "eu"), ("a", 20L, "us"), ("b", 5L, "eu"))
+      .toDF("k", "v", "r"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_frep AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.frep GROUP BY k")
+    val mv = cat.table("gold", "mv_frep")
+    try {
+      val q = () => src.read.groupBy("k").agg(fsum("v").as("sum_v"))
+      assert(scansMv(q()), "unfiltered definition serves")
+      sql.sql("CREATE OR REPLACE MATERIALIZED VIEW gold.mv_frep AS " +
+        "SELECT k, sum(v) AS sum_v, count(*) AS cnt FROM silver.frep " +
+        "WHERE r = 'eu' GROUP BY k")
+      // the source snapshot is UNCHANGED - only an explicit deregister
+      // can stop the old entry from serving the filtered materialization
+      assert(!scansMv(q()), "stale registration must not serve")
+      assert(q().orderBy("k").as[(String, Long)].collect().toSeq ===
+        Seq(("a", 30L), ("b", 5L)), "full-table aggregate stays correct")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("WHERE-predicate columns are protected from RENAME and DROP " +
+       "like group columns") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "fprot")
+    src.append(Seq(("a", 1L, "eu")).toDF("k", "v", "r"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_fprot AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.fprot " +
+      "WHERE r = 'eu' GROUP BY k")
+    val eRen = intercept[IllegalArgumentException](sql.sql(
+      "ALTER TABLE silver.fprot RENAME COLUMN r TO region"))
+    assert(eRen.getMessage.contains("WHERE column"))
+    val eDrop = intercept[IllegalArgumentException](sql.sql(
+      "ALTER TABLE silver.fprot DROP COLUMN r"))
+    assert(eDrop.getMessage.contains("materialized view"))
+    // an uninvolved column still renames freely
+    sql.sql("ALTER TABLE silver.fprot RENAME COLUMN v TO val")
   }
 }

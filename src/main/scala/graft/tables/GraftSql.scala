@@ -249,6 +249,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         ("revoke", p, t, n, stripTicks(principal))
       }
       rows.toDF("op", "privilege", "object_type", "object", "principal")
+    case ShowGrantsOnCatalogStmt() if catalog.isDefined =>
+      grantsDf(catalog.get.grants.filter(_._2 == "CATALOG"))
     case ShowGrantsOnStmt(otype, oname) if catalog.isDefined =>
       val t = Option(otype).map(_.toUpperCase).getOrElse("TABLE")
       val n = normalizeGrantObj(t, oname)
@@ -2251,6 +2253,8 @@ object GraftSql {
     """(?is)\s*GRANT\s+([\w\s,]+?)\s+ON\s+(?i:(TABLE|SCHEMA|CATALOG))\s+([\w.`]+)\s+TO\s+`?([\w@.-]+)`?\s*;?\s*""".r
   private val RevokeStmt =
     """(?is)\s*REVOKE\s+([\w\s,]+?)\s+ON\s+(?i:(TABLE|SCHEMA|CATALOG))\s+([\w.`]+)\s+FROM\s+`?([\w@.-]+)`?\s*;?\s*""".r
+  private val ShowGrantsOnCatalogStmt =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+CATALOG\s*;?\s*""".r
   private val ShowGrantsOnStmt =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:(?i:(TABLE|SCHEMA|CATALOG))\s+)?([\w.`]+)\s*;?\s*""".r
   private val ShowGrantsToStmt =

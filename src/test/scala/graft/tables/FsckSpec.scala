@@ -62,4 +62,22 @@ class FsckSpec extends SparkSpec {
     assert(fixed === Seq((lost, true)))
     assert(t.read.as[Int].collect().toSet === Set(2))
   }
+
+  test("repair interacts cleanly with partition evolution: an evolved " +
+       "table loses one old-layout arm and repairs forward") {
+    val root = tmpDir("fsck-evo-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "2024-01", "eu"), (2, "2024-02", "us"))
+      .toDF("id", "month", "region"), partitionBy = Seq("month"))
+    t.evolvePartitionLayout(Seq("region"))
+    t.append(Seq((3, "2024-03", "eu")).toDF("id", "month", "region"),
+      partitionBy = Seq("region"))
+    val lost = t.history.head.fileSets.head // the month-layout arm
+    rmTree(Paths.get(root, "data", lost))
+    val (missing, entry) = t.fsckRepair()
+    assert(missing === Seq(lost) && entry.exists(_.action === "fsck"))
+    // only the new-layout arm survives; layout record untouched
+    assert(t.read.select("id").as[Int].collect().toSeq === Seq(3))
+    assert(t.partitionLayout === Seq("region"))
+  }
 }

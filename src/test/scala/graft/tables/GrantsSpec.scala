@@ -60,6 +60,7 @@ class GrantsSpec extends SparkSpec {
     assert(gsql.sql("SHOW GRANTS TO `football-engineers`").count() === 2)
     assert(gsql.sql("SHOW GRANTS ON SCHEMA bronze").count() === 2)
     assert(gsql.sql("SHOW GRANTS ON TABLE gold.dim_player").count() === 1)
+    assert(gsql.sql("SHOW GRANTS ON CATALOG").count() === 1)
     gsql.sql("REVOKE MODIFY ON SCHEMA football.bronze FROM `football-engineers`")
     assert(gsql.sql("SHOW GRANTS TO `football-engineers`").count() === 1)
   }

@@ -246,13 +246,17 @@ object GraftTableSource {
   * Update-mode batches by key; `applyChanges` replicates a CDF stream
   * (DLT APPLY CHANGES INTO); `aggregate = "fn:col:out;…"` maintains a
   * rollup from a CDF stream as signed deltas (streaming materialized
-  * view, O(changed rows) per trigger). The txn app id is the query's
+  * view, O(changed rows) per trigger), optionally sliced by
+  * `aggregateFilter = "<pred>"` (the streaming face of a filtered MV —
+  * per-image filtering makes boundary-crossing updates absorb as the
+  * correct signed delta). The txn app id is the query's
   * checkpoint location (stable across restarts) unless a `txnAppId`
   * option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
                            mergeKeys: Seq[String], applyChanges: Boolean,
                            aggregate: Option[String],
+                           aggFilter: Option[String],
                            autoCompactEvery: Option[Long])
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -270,7 +274,9 @@ final class GraftTableSink(root: String, appId: String,
       require(batch.columns.contains("_change_type"),
         "graft-table sink: aggregate mode consumes a change-feed stream " +
           "(.option(\"readChangeFeed\", \"true\") on the source)")
-      graft.tables.GraftSql.applyCdfDelta(table, batch,
+      val sliced = aggFilter.fold(batch)(p =>
+        batch.filter(org.apache.spark.sql.functions.expr(p)))
+      graft.tables.GraftSql.applyCdfDelta(table, sliced,
         mergeKeys, graft.tables.GraftSql.parseAggSpecs(aggregate.get),
         txn = Some((appId, batchId)), partitionBy = partitionBy)
     } else if (applyChanges) {
@@ -395,10 +401,20 @@ final class GraftTableSourceProvider extends StreamSourceProvider
           "sum/count-only aggregates (with count(c) for every sum(c)); " +
           s"got $spec")
     }
+    // optional row predicate — the streaming face of a FILTERED MV: the
+    // change feed is filtered per image, so rows crossing the predicate
+    // boundary absorb as the correct signed delta. Parsed here so a
+    // syntactically-broken predicate fails at query start.
+    val aggFilter = parameters.get("aggregateFilter").map(_.trim)
+      .filter(_.nonEmpty)
+    require(aggFilter.isEmpty || aggregate.nonEmpty,
+      "graft-table sink: aggregateFilter needs aggregate mode")
+    aggFilter.foreach(
+      sqlContext.sparkSession.sessionState.sqlParser.parseExpression)
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
       mergeKeys = mergeKeys, applyChanges = applyChanges,
-      aggregate = aggregate,
+      aggregate = aggregate, aggFilter = aggFilter,
       autoCompactEvery = parameters.get("autoCompactEvery")
         .map(_.toLong).filter(_ > 0))
   }

@@ -536,6 +536,62 @@ class TableStreamSpec extends SparkSpec {
     assert(state() === full)
   }
 
+  test("sink: aggregateFilter maintains a FILTERED streaming MV - rows " +
+    "crossing the predicate boundary absorb as signed deltas") {
+    val src = tmpDir("ts-fagg-src-")
+    val mvRoot = tmpDir("ts-fagg-mv-")
+    val cp = tmpDir("ts-fagg-cp-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append(Seq((1L, "a", 10L, "eu"), (2L, "a", 20L, "us"),
+      (3L, "b", 5L, "eu")).toDF("id", "k", "v", "r"))           // v0
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .option("aggregate", "sum:v:sum_v;count:*:cnt;count:v:cnt_v")
+        .option("aggregateFilter", "r = 'eu'")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    sync()
+    val mv = VersionedTable(spark, mvRoot)
+    def state(): Set[(String, Option[Long], Long, Long)] =
+      mv.read.as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(state() === Set(("a", Some(10L), 1L, 1L), ("b", Some(5L), 1L, 1L)))
+    // id=1 leaves the slice, id=2 enters it, d appends inside it
+    t.update(Map("r" -> org.apache.spark.sql.functions.lit("us")), $"id" === 1L)               // v1
+    t.update(Map("r" -> org.apache.spark.sql.functions.lit("eu")), $"id" === 2L)               // v2
+    t.append(Seq((4L, "d", 7L, "eu")).toDF("id", "k", "v", "r")) // v3
+    sync()
+    assert(state() === Set(("a", Some(20L), 1L, 1L), ("b", Some(5L), 1L, 1L),
+      ("d", Some(7L), 1L, 1L)))
+    // == full recompute of the predicate slice
+    val full = t.read.filter($"r" === "eu").groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sum_v"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.count($"v").as("cnt_v"))
+      .as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(state() === full)
+    // a broken predicate fails at query START
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", tmpDir("ts-fagg-bad-"))
+        .option("mergeKeys", "k")
+        .option("aggregate", "count:*:c")
+        .option("aggregateFilter", "r = = 'eu'")
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("ts-fagg-bad-mv-"))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("sink: aggregate mode on a non-CDF stream is refused loudly") {
     val src = tmpDir("ts-aggx-src-")
     val t = VersionedTable(spark, src)

@@ -2786,15 +2786,8 @@ object SparkEntry {
       tbl.append(n.filter(col("k") < 10))
       tbl.append(n.filter(col("k") >= 10))
       val lost = tbl.history.head.fileSets.head
-      import scala.jdk.CollectionConverters._
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p)) {
-          val st = Files.list(p)
-          try st.iterator().asScala.toList.foreach(rm) finally st.close()
-        }
-        Files.deleteIfExists(p); ()
-      }
-      rm(java.nio.file.Paths.get(tmp, "t", "data", lost))
+      graft.tables.VersionedTable.deleteRecursively(
+        java.nio.file.Paths.get(tmp, "t", "data", lost))
       val gsql = graft.tables.GraftSql(s)
       val preview = gsql.sql(s"FSCK REPAIR TABLE graft.`$tmp/t` DRY RUN").count()
       val fixed = gsql.sql(s"FSCK REPAIR TABLE graft.`$tmp/t`").count()

@@ -108,14 +108,8 @@ final class PollSource(spark: SparkSession, fetcherName: String,
     StreamShim.asStreaming(landedBetween(
       start.map(_.json.toLong).getOrElse(-1L), end.json.toLong))
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList.foreach(deleteRecursively)
-      finally s.close()
-    }
-    Files.deleteIfExists(p); ()
-  }
+  private def deleteRecursively(p: Path): Unit =
+    graft.tables.VersionedTable.deleteRecursively(p)
 
   override def stop(): Unit = ()
 }

@@ -192,13 +192,23 @@ final class Catalog(spark: SparkSession, root: String) {
 
   /** GRANT: idempotent (set semantics — re-granting is a no-op). */
   def grant(priv: String, objType: String, objName: String,
+      principal: String): Unit =
+    grantAll(Seq(priv), objType, objName, principal)
+
+  /** Multi-privilege GRANT, atomically: EVERY privilege validates before
+    * ANY is persisted, and the ledger is written once — a statement like
+    * `GRANT SELECT, EXECUTE …` must not durably apply SELECT (possibly
+    * flipping enforcement on for the whole warehouse) and then error on
+    * EXECUTE. */
+  def grantAll(privs: Seq[String], objType: String, objName: String,
       principal: String): Unit = {
-    validateGrant(priv, objType, objName)
+    privs.foreach(validateGrant(_, objType, objName))
     require(principal.matches("""[\w@.-]+"""),
       s"bad principal `$principal`")
-    val row = (priv, objType, objName, principal)
     val cur = grants
-    if (!cur.contains(row)) writeGrants(cur :+ row)
+    val add = privs.map((_, objType, objName, principal))
+      .filterNot(cur.contains).distinct
+    if (add.nonEmpty) writeGrants(cur ++ add)
   }
 
   /** REVOKE: removes the exact grant row if present (no-op otherwise —
@@ -259,10 +269,6 @@ final class Catalog(spark: SparkSession, root: String) {
     // applies; direct library callers get it here
     graft.plans.MvRewrite.deregisterRoot(s"$root/$layer/$name")
     spark.catalog.dropTempView(s"${layer}_$name")
-    def rm(p: java.nio.file.Path): Unit = {
-      listDir(p).foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(Paths.get(root, layer, name))
+    VersionedTable.deleteRecursively(Paths.get(root, layer, name))
   }
 }

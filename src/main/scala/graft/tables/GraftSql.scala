@@ -236,11 +236,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case GrantStmt(privs, otype, oname, principal) if catalog.isDefined =>
       import spark.implicits._
       val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
-      val rows = splitPrivs(privs).map { p =>
-        catalog.get.grant(p, t, n, stripTicks(principal))
-        ("grant", p, t, n, stripTicks(principal))
-      }
-      rows.toDF("op", "privilege", "object_type", "object", "principal")
+      val ps = splitPrivs(privs)
+      catalog.get.grantAll(ps, t, n, stripTicks(principal)) // all-or-nothing
+      ps.map(p => ("grant", p, t, n, stripTicks(principal)))
+        .toDF("op", "privilege", "object_type", "object", "principal")
     case RevokeStmt(privs, otype, oname, principal) if catalog.isDefined =>
       import spark.implicits._
       val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
@@ -1441,10 +1440,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           // not-yet-existing target still occupies the target slot, so
           // the source is charged SELECT, not MODIFY.
           val mask = GraftSql.stringLiteralMask(stmt)
-          val named = GraftSql.DottedIdent.findAllMatchIn(stmt)
+          val named = GraftSql.IdentToken.findAllMatchIn(stmt)
             .filter(m => !mask(m.start))
-            .map(m => (m.group(1).toLowerCase, m.group(2)))
-            .filter { case (l, _) => cat.Layers.contains(l) }
+            // split each WHOLE token exactly as the resolver does
+            // (splitLayerName: first [._], layer lowercased) — an
+            // independent regex split would disagree on names like
+            // gold_dim_player (resolver: gold/dim_player; a greedy
+            // last-separator split: gold_dim/player → unchecked)
+            .flatMap(m => m.matched.split("[._]", 2) match {
+              case Array(l, t) if cat.Layers.contains(l.toLowerCase) =>
+                Some((l.toLowerCase, t))
+              case _ => None
+            })
             .toSeq.distinct
           named.zipWithIndex.foreach { case ((l, t), i) =>
             val action = if (head == "MODIFY" && i > 0) "SELECT" else head
@@ -2276,10 +2283,10 @@ object GraftSql {
   private[tables] val CreateViewHead =
     ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?""" +
       """(?:TEMP(?:ORARY)?\s+)?VIEW\b.*""").r
-  // dotted OR underscore separator, any case: exactly the spellings the
-  // funnel's resolver (targetRoot/splitLayerName, which lowercase the
-  // layer and split on [._]) accepts for catalog tables
-  private[tables] val DottedIdent = """\b([A-Za-z]\w*)[._](\w+)\b""".r
+  // one MAXIMAL word-and-dot token per candidate identifier — the token
+  // is then split by the same `split("[._]", 2)` the resolver uses, so
+  // enforcement and execution can never disagree on where a name splits
+  private[tables] val IdentToken = """\b[A-Za-z]\w*(?:\.\w+)*\b""".r
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r

@@ -1086,6 +1086,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stagingDir.resolve(id).toString)
+    // per-file-set manifest: the staged data files' relative paths,
+    // recorded INSIDE the dir before its atomic move — fsckRepair's deep
+    // check compares the listing against it, so losing an individual
+    // parquet file out-of-band is detected instead of the scan silently
+    // reading the survivors. One tiny extra file per file-set.
+    writeManifest(stagingDir.resolve(id))
     Files.move(stagingDir.resolve(id), dataDir.resolve(id))
     // the writer KNOWS the schema — seed the immutable-file-set schema
     // cache so even the FIRST read skips footer inference (hive-layout
@@ -1094,6 +1100,36 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       schemaCacheLookup(dataDir.resolve(id).toAbsolutePath.toString,
         asNullable(df.schema))
     id
+  }
+
+  /** Relative paths of a file-set dir's parquet data files. */
+  private def dataFilesUnder(dir: Path): Seq[String] = {
+    def walk(p: Path, prefix: String): Seq[String] =
+      listDir(p).flatMap { c =>
+        val n = c.getFileName.toString
+        if (Files.isDirectory(c)) walk(c, s"$prefix$n/")
+        else if (n.endsWith(".parquet")) Seq(s"$prefix$n")
+        else Nil
+      }
+    walk(dir, "")
+  }
+
+  private val ManifestName = "_graft_manifest"
+
+  private def writeManifest(stagedDir: Path): Unit = {
+    val files = dataFilesUnder(stagedDir)
+    Files.writeString(stagedDir.resolve(ManifestName),
+      files.sorted.mkString("\n"))
+    ()
+  }
+
+  /** Data files the manifest says this file-set should contain; None for
+    * pre-manifest (or bucketed-cell) sets, which get dir-level checks
+    * only. */
+  private def manifestOf(fileSet: String): Option[Seq[String]] = {
+    val m = dataDir.resolve(fileSet).resolve(ManifestName)
+    if (!Files.exists(m)) None
+    else Some(Files.readString(m).split("\n").toSeq.filter(_.nonEmpty))
   }
 
   /** Write `df` as one file-set PER (partition, key-hash bucket) cell it
@@ -1207,6 +1243,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .map { p =>
         val v = p.getFileName.toString.stripPrefix(s"$BucketCol=")
         val fsId = nameFor(id, tag, v)
+        writeManifest(p) // deep-check coverage for bucketed/range cells too
         Files.move(p, dataDir.resolve(fsId))
         // cell data files carry the source frame's schema (the split
         // value lives only in the dir name) — seed the schema cache
@@ -2788,32 +2825,55 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * Untouched file-sets are carried verbatim. The maintenance
     * counterpart of [[deleteVectors]]: run it when accumulated vectors
     * make the read-side anti-join noticeable. */
-  /** Delta's `FSCK REPAIR TABLE`: drop snapshot references to files
+  /** Delta's `FSCK REPAIR TABLE`: drop snapshot references to file-sets
     * that no longer exist on disk (out-of-band deletion, a partial
-    * restore from backup). Metadata-priced — directory existence checks
-    * over the CURRENT snapshot's file-set and DV lists, no data reads.
-    * `dryRun` returns the missing names without committing; otherwise a
-    * `fsck` commit carries only the live entries. A clean table is a
-    * no-op (no commit — idempotent, like Delta). Repair fixes the HEAD
-    * forward; time travel to versions referencing the lost files still
-    * fails on them, as it must (the bytes are gone). The `fsck` action
-    * is row-changing by nature, so incremental consumers (CDF,
-    * readAddedBetween) refuse across it — a stream cannot reconstruct
-    * rows whose files vanished; restart from the repaired snapshot. */
+    * restore from backup). Metadata-priced — existence checks over the
+    * CURRENT snapshot's file-set and DV lists plus a per-file-set
+    * manifest compare (file-sets record their data files' names at
+    * write time), no data reads. `dryRun` returns every finding without
+    * committing; otherwise a `fsck` commit carries only the live
+    * entries. A clean table is a no-op (no commit — idempotent, like
+    * Delta). Two loss classes REFUSE repair instead of silently making
+    * it worse:
+    *   - a missing DELETION VECTOR: its suppressed row identities are
+    *     unrecoverable, and dropping the reference would resurrect
+    *     previously DELETED rows as live data (a GDPR delete silently
+    *     undone) — RESTORE to a pre-delete version or recover `_dv/`;
+    *   - a PARTIALLY lost file-set (manifest names files the dir no
+    *     longer has): the scan would silently read the survivors, and
+    *     neither dropping the whole set (loses surviving rows) nor
+    *     keeping it (hides the loss) is a repair — RESTORE or re-ingest.
+    * Repair fixes the HEAD forward; time travel to versions referencing
+    * the lost files still fails on them, as it must (the bytes are
+    * gone). The `fsck` action is row-changing by nature, so incremental
+    * consumers (CDF, readAddedBetween) refuse across it — a stream
+    * cannot reconstruct rows whose files vanished; restart from the
+    * repaired snapshot. */
   def fsckRepair(dryRun: Boolean = false): (Seq[String], Option[LogEntry]) = {
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val missingSets =
       snap.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs)))
+    val damagedSets = snap.fileSets.filterNot(missingSets.contains)
+      .filter { fs =>
+        manifestOf(fs).exists(_.exists(f =>
+          !Files.exists(dataDir.resolve(fs).resolve(f))))
+      }
     val missingDvs =
       snap.dvs.filterNot(d => Files.exists(dvDir.resolve(d)))
-    val missing = missingSets ++ missingDvs
-    if (dryRun || missing.isEmpty) (missing, None)
-    else {
-      val e = commit("fsck", snap.fileSets.filterNot(missingSets.contains),
-        basedOn = Some(snap.version),
-        dvs = snap.dvs.filterNot(missingDvs.contains))
-      (missing, Some(e))
-    }
+    val missing = missingSets ++ damagedSets.map(_ + " (partial)") ++
+      missingDvs.map(_ + " (deletion vector)")
+    if (dryRun || missing.isEmpty) return (missing, None)
+    require(missingDvs.isEmpty,
+      s"FSCK: deletion vector(s) ${missingDvs.mkString(", ")} missing at " +
+        s"$root — dropping them would resurrect deleted rows; RESTORE to " +
+        "a version before the deletes or recover the _dv files")
+    require(damagedSets.isEmpty,
+      s"FSCK: file-set(s) ${damagedSets.mkString(", ")} at $root lost " +
+        "individual data files (manifest mismatch) — not repairable " +
+        "without losing surviving rows; RESTORE or re-ingest")
+    val e = commit("fsck", snap.fileSets.filterNot(missingSets.contains),
+      basedOn = Some(snap.version), dvs = snap.dvs)
+    (missing, Some(e))
   }
 
   def purgeDeleteVectors(): LogEntry = {
@@ -3711,13 +3771,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       under(changesDir, "_changes", keepCdf) ++ staleStaging).sorted
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit =
+    VersionedTable.deleteRecursively(p)
 }
 
 object VersionedTable {
+
+  /** ONE recursive-delete helper for the whole engine (vacuum, catalog
+    * drops, poll-source WAL cleanup, specs and driver queries) — the
+    * former five private copies each re-derived it. */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
   private val TagJson = """\{"name":"([^"]+)","v":(\d+)\}""".r
 
   /** Widenings where every value of the narrow type is exactly

@@ -9,14 +9,8 @@ import scala.jdk.CollectionConverters._
 class FsckSpec extends SparkSpec {
   import spark.implicits._
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList.foreach(rmTree) finally s.close()
-    }
-    Files.deleteIfExists(p)
-    ()
-  }
+  private def rmTree(p: java.nio.file.Path): Unit =
+    VersionedTable.deleteRecursively(p)
 
   test("DRY RUN lists lost file-sets without committing; REPAIR drops " +
        "them; clean table is a no-op") {
@@ -79,5 +73,35 @@ class FsckSpec extends SparkSpec {
     // only the new-layout arm survives; layout record untouched
     assert(t.read.select("id").as[Int].collect().toSeq === Seq(3))
     assert(t.partitionLayout === Seq("region"))
+  }
+
+  test("partial file loss is detected via the manifest and REFUSES " +
+       "repair; a missing deletion vector refuses too") {
+    import scala.jdk.CollectionConverters._
+    val root = tmpDir("fsck-deep-")
+    val t = VersionedTable(spark, root)
+    t.append(spark.range(0, 100).selectExpr("id").repartition(4))
+    // lose ONE parquet file inside the (only) file-set
+    val fsDir = Paths.get(root, "data", t.history.head.fileSets.head)
+    val one = Files.list(fsDir).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    Files.delete(one)
+    val (preview, none) = t.fsckRepair(dryRun = true)
+    assert(preview.exists(_.endsWith("(partial)")) && none.isEmpty)
+    val e = intercept[IllegalArgumentException](t.fsckRepair())
+    assert(e.getMessage.contains("lost individual data files"))
+
+    // a lost deletion vector must never be "repaired" away: that would
+    // resurrect the deleted rows
+    val droot = tmpDir("fsck-dv-")
+    val d = VersionedTable(spark, droot)
+    d.append(Seq(1, 2, 3, 4).toDF("x"))
+    d.deleteVectors(org.apache.spark.sql.functions.col("x") === 2)
+    val dv = d.history.last.dvs.head
+    rmTree(Paths.get(droot, "_dv", dv))
+    val (pv, _) = d.fsckRepair(dryRun = true)
+    assert(pv.exists(_.contains("(deletion vector)")))
+    val e2 = intercept[IllegalArgumentException](d.fsckRepair())
+    assert(e2.getMessage.contains("resurrect"))
   }
 }

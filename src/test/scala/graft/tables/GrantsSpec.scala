@@ -156,4 +156,26 @@ class GrantsSpec extends SparkSpec {
         gsql.sql("CREATE VIEW v_gov AS SELECT * FROM silver.gov"))
     } finally spark.conf.unset(GraftSql.PrincipalConf)
   }
+
+  test("multi-underscore table names split like the resolver; a bad " +
+       "privilege in a multi-grant persists nothing") {
+    val (_, cat) = freshCat("grants-mu-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE gold.dim_player (id INT)")
+    try {
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("GRANT USE CATALOG ON CATALOG wh TO `other`")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      // resolver splits gold_dim_player -> (gold, dim_player); the
+      // enforcement scan must agree, not split at the LAST separator
+      val denied = intercept[RuntimeException](
+        gsql.sql("INSERT INTO gold_dim_player VALUES (1)"))
+      assert(denied.getMessage.contains("lacks MODIFY on gold.dim_player"))
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+    // atomic multi-grant: the invalid privilege voids the whole statement
+    val before = cat.grants
+    assertThrows[IllegalArgumentException](gsql.sql(
+      "GRANT SELECT, EXECUTE ON TABLE gold.dim_player TO `bob`"))
+    assert(cat.grants === before, "no partial grant may persist")
+  }
 }

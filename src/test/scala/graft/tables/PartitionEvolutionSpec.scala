@@ -149,4 +149,26 @@ class PartitionEvolutionSpec extends SparkSpec {
     // history carries both DDL rows
     assert(t.history.count(_.action == "set_partition_layout") === 2)
   }
+
+  test("interplay: REPLACE WHERE and SHOW PARTITIONS work across " +
+       "mixed-layout arms") {
+    val root = tmpDir("pevo-rw-")
+    val gsql = GraftSql(spark)
+    val t = VersionedTable(spark, root)
+    t.append(df((1, "2024-01", "eu"), (2, "2024-01", "us")),
+      partitionBy = Seq("month"))
+    t.evolvePartitionLayout(Seq("region"))
+    t.append(df((3, "2024-02", "eu")), partitionBy = Seq("region"))
+    // REPLACE WHERE on the NEW partition key: the predicate condition
+    // applies by VALUE, so rows in the old-layout arm replace too
+    t.replaceWhere(col("region") === "eu",
+      df((10, "2024-03", "eu"), (11, "2024-03", "eu")))
+    assert(t.read.select("id", "region").as[(Int, String)]
+      .collect().toSet === Set((2, "us"), (10, "eu"), (11, "eu")))
+    // SHOW PARTITIONS is value-based: current distinct values of the
+    // CURRENT layout key, regardless of which arm holds them
+    val parts = gsql.sql(s"SHOW PARTITIONS graft.`$root`")
+      .as[String].collect().toSeq.sorted
+    assert(parts === Seq("eu", "us"))
+  }
 }

@@ -205,17 +205,25 @@ final class Catalog(spark: SparkSession, root: String) {
     privs.foreach(validateGrant(_, objType, objName))
     require(principal.matches("""[\w@.-]+"""),
       s"bad principal `$principal`")
-    val cur = grants
-    val add = privs.map((_, objType, objName, principal))
-      .filterNot(cur.contains).distinct
-    if (add.nonEmpty) writeGrants(cur ++ add)
+    // the ledger update is read-modify-write: serialize within the JVM
+    // so two concurrent owner sessions cannot silently drop each
+    // other's rows (cross-process writers remain last-writer-wins —
+    // grants are low-frequency owner administration, not a data path)
+    Catalog.grantsLock.synchronized {
+      val cur = grants
+      val add = privs.map((_, objType, objName, principal))
+        .filterNot(cur.contains).distinct
+      if (add.nonEmpty) writeGrants(cur ++ add)
+    }
   }
 
   /** REVOKE: removes the exact grant row if present (no-op otherwise —
     * REVOKE of something never granted is not an error, as in UC). */
   def revoke(priv: String, objType: String, objName: String,
       principal: String): Unit =
-    writeGrants(grants.filterNot(_ == (priv, objType, objName, principal)))
+    Catalog.grantsLock.synchronized {
+      writeGrants(grants.filterNot(_ == (priv, objType, objName, principal)))
+    }
 
   private def writeGrants(entries: Seq[(String, String, String, String)]): Unit = {
     val lines = entries.map { case (p, t, o, g) => s"$p\t$t\t$o\t$g" }
@@ -271,4 +279,9 @@ final class Catalog(spark: SparkSession, root: String) {
     spark.catalog.dropTempView(s"${layer}_$name")
     VersionedTable.deleteRecursively(Paths.get(root, layer, name))
   }
+}
+
+object Catalog {
+  /** Serializes grants-ledger read-modify-writes within the JVM. */
+  private[tables] val grantsLock = new Object
 }

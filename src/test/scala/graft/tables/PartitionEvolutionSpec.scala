@@ -171,4 +171,27 @@ class PartitionEvolutionSpec extends SparkSpec {
       .as[String].collect().toSeq.sorted
     assert(parts === Seq("eu", "us"))
   }
+
+  test("plan: a filter on the NEW key prunes optimally per arm - dir " +
+       "pruning on the new-layout arm, parquet pushdown on the old") {
+    val root = tmpDir("pevo-plan-")
+    val t = VersionedTable(spark, root)
+    t.append(df((1, "2024-01", "eu"), (2, "2024-02", "us")),
+      partitionBy = Seq("month"))
+    t.evolvePartitionLayout(Seq("region"))
+    t.append(df((3, "2024-03", "eu"), (4, "2024-03", "us")),
+      partitionBy = Seq("region"))
+    val plan = t.read.filter(col("region") === "eu").select("id")
+      .queryExecution.executedPlan.toString
+    // new arm: region is a hive dir -> PartitionFilters (zero data read
+    // for non-matching dirs); old arm: region is a data column -> the
+    // predicate reaches the parquet reader as a pushed filter
+    assert(plan.contains("PartitionFilters: [isnotnull(region") &&
+      plan.contains("(region") && plan.contains("= eu)"),
+      s"no partition pruning on the new arm:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(region), EqualTo(region,eu)]"),
+      s"filter not pushed into the old arm's scan:\n$plan")
+    assert(t.read.filter(col("region") === "eu").select("id")
+      .as[Int].collect().toSeq.sorted === Seq(1, 3))
+  }
 }

@@ -221,8 +221,15 @@ final class Catalog(spark: SparkSession, root: String) {
     * REVOKE of something never granted is not an error, as in UC). */
   def revoke(priv: String, objType: String, objName: String,
       principal: String): Unit =
+    revokeAll(Seq(priv), objType, objName, principal)
+
+  /** Multi-privilege REVOKE, mirroring [[grantAll]]: one locked ledger
+    * read and one write per statement — never a half-applied revoke. */
+  def revokeAll(privs: Seq[String], objType: String, objName: String,
+      principal: String): Unit =
     Catalog.grantsLock.synchronized {
-      writeGrants(grants.filterNot(_ == (priv, objType, objName, principal)))
+      val drop = privs.map((_, objType, objName, principal)).toSet
+      writeGrants(grants.filterNot(drop.contains))
     }
 
   private def writeGrants(entries: Seq[(String, String, String, String)]): Unit = {

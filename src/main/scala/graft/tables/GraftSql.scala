@@ -243,11 +243,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case RevokeStmt(privs, otype, oname, principal) if catalog.isDefined =>
       import spark.implicits._
       val t = otype.toUpperCase; val n = normalizeGrantObj(t, oname)
-      val rows = splitPrivs(privs).map { p =>
-        catalog.get.revoke(p, t, n, stripTicks(principal))
-        ("revoke", p, t, n, stripTicks(principal))
-      }
-      rows.toDF("op", "privilege", "object_type", "object", "principal")
+      val ps = splitPrivs(privs)
+      catalog.get.revokeAll(ps, t, n, stripTicks(principal)) // one write
+      ps.map(p => ("revoke", p, t, n, stripTicks(principal)))
+        .toDF("op", "privilege", "object_type", "object", "principal")
     case ShowGrantsOnCatalogStmt() if catalog.isDefined =>
       grantsDf(catalog.get.grants.filter(_._2 == "CATALOG"))
     case ShowGrantsOnStmt(otype, oname) if catalog.isDefined =>

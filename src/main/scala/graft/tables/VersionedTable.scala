@@ -1102,17 +1102,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     id
   }
 
-  /** Relative paths of a file-set dir's parquet data files. */
-  private def dataFilesUnder(dir: Path): Seq[String] = {
-    def walk(p: Path, prefix: String): Seq[String] =
-      listDir(p).flatMap { c =>
-        val n = c.getFileName.toString
-        if (Files.isDirectory(c)) walk(c, s"$prefix$n/")
-        else if (n.endsWith(".parquet")) Seq(s"$prefix$n")
-        else Nil
-      }
-    walk(dir, "")
-  }
+  /** Relative paths of a dir's parquet data files (the shared
+    * [[filesUnder]] traversal, parquet-filtered and relativized). */
+  private def dataFilesUnder(dir: Path): Seq[String] =
+    filesUnder(dir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString)
 
   private val ManifestName = "_graft_manifest"
 
@@ -1123,11 +1118,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     ()
   }
 
-  /** Data files the manifest says this file-set should contain; None for
-    * pre-manifest (or bucketed-cell) sets, which get dir-level checks
+  /** Data files the manifest at `dir` says it should contain; None for
+    * pre-manifest dirs (file-sets and DVs written before manifests
+    * shipped, or adopted via CONVERT), which get existence-level checks
     * only. */
-  private def manifestOf(fileSet: String): Option[Seq[String]] = {
-    val m = dataDir.resolve(fileSet).resolve(ManifestName)
+  private def manifestAt(dir: Path): Option[Seq[String]] = {
+    val m = dir.resolve(ManifestName)
     if (!Files.exists(m)) None
     else Some(Files.readString(m).split("\n").toSeq.filter(_.nonEmpty))
   }
@@ -2814,8 +2810,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (n == 0) { // nothing matched: don't accrete empty vectors
       deleteRecursively(out)
       commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs, cdf = cdf)
-    } else
+    } else {
+      // DV dirs get manifests too: FSCK must detect a HOLLOWED vector
+      // dir (part file lost, dir intact), not just a vanished one —
+      // either way dropping it would resurrect deleted rows
+      writeManifest(out)
       commit("delete_dv", snap.fileSets, rv, dvs = snap.dvs :+ id, cdf = cdf)
+    }
   }
 
   /** Materialize all deletion vectors (Delta `REORG TABLE … APPLY
@@ -2855,11 +2856,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       snap.fileSets.filterNot(fs => Files.exists(dataDir.resolve(fs)))
     val damagedSets = snap.fileSets.filterNot(missingSets.contains)
       .filter { fs =>
-        manifestOf(fs).exists(_.exists(f =>
+        manifestAt(dataDir.resolve(fs)).exists(_.exists(f =>
           !Files.exists(dataDir.resolve(fs).resolve(f))))
       }
-    val missingDvs =
-      snap.dvs.filterNot(d => Files.exists(dvDir.resolve(d)))
+    // a deletion vector counts as missing when its dir vanished, its
+    // manifest names a lost part file, or (pre-manifest dirs) it is
+    // HOLLOW — the dir survives but holds no parquet, so the anti-join
+    // would silently drop its suppressions either way
+    val missingDvs = snap.dvs.filter { d =>
+      val p = dvDir.resolve(d)
+      !Files.exists(p) ||
+        manifestAt(p).map(_.exists(f => !Files.exists(p.resolve(f))))
+          .getOrElse(dataFilesUnder(p).isEmpty)
+    }
     val missing = missingSets ++ damagedSets.map(_ + " (partial)") ++
       missingDvs.map(_ + " (deletion vector)")
     if (dryRun || missing.isEmpty) return (missing, None)

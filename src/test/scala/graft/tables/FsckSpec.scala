@@ -98,7 +98,16 @@ class FsckSpec extends SparkSpec {
     d.append(Seq(1, 2, 3, 4).toDF("x"))
     d.deleteVectors(org.apache.spark.sql.functions.col("x") === 2)
     val dv = d.history.last.dvs.head
-    rmTree(Paths.get(droot, "_dv", dv))
+    // HOLLOWED vector first: the dir (and its manifest) survive but the
+    // parquet part is gone — must be flagged exactly like a vanished dir
+    val dvDir = Paths.get(droot, "_dv", dv)
+    val part = Files.list(dvDir).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".parquet")).head
+    Files.delete(part)
+    val (pvHollow, _) = d.fsckRepair(dryRun = true)
+    assert(pvHollow.exists(_.contains("(deletion vector)")),
+      "hollowed DV dir must be reported")
+    rmTree(dvDir) // now fully gone
     val (pv, _) = d.fsckRepair(dryRun = true)
     assert(pv.exists(_.contains("(deletion vector)")))
     val e2 = intercept[IllegalArgumentException](d.fsckRepair())

@@ -108,9 +108,11 @@ object Points {
         .head()
       val nTest = m.getLong(0)
       // degenerate splits keep the evaluator's contract: an empty test
-      // set (sums are NULL) or zero label variance yields NaN metrics,
-      // never an NPE or Infinity
-      if (nTest == 0) Trained(model, Double.NaN, Double.NaN, n, 0L)
+      // set, a non-empty one whose labels/predictions are all NULL
+      // (the sums stay NULL while n > 0), or zero label variance
+      // yields NaN metrics, never an NPE or Infinity
+      if (nTest == 0 || (1 to 3).exists(m.isNullAt))
+        Trained(model, Double.NaN, Double.NaN, n - nTest, nTest)
       else {
         val ssres = m.getDouble(1)
         val ssTot = m.getDouble(3) - m.getDouble(2) * m.getDouble(2) / nTest

@@ -66,7 +66,7 @@ object IncrementalCuration {
   def keptTable(spark: SparkSession, root: String): VersionedTable =
     VersionedTable(spark, s"$root/kept")
 
-  private def hashTable(spark: SparkSession, root: String) =
+  private[ops] def hashTable(spark: SparkSession, root: String) =
     VersionedTable(spark, s"$root/hashes")
   private def bandTable(spark: SparkSession, root: String) =
     VersionedTable(spark, s"$root/bands")
@@ -168,16 +168,24 @@ object IncrementalCuration {
             ctCounts.getOrElse("delete", 0L) > 0 && !pre.isEmpty)
         if (havePre && kept.exists) {
           // hash rows are owned by the WINNER id — a purged key deletes
-          // its content class's row only if it owns it (conditional
-          // matched DELETE; a suppressed duplicate matches the class
-          // but not the owner and must leave the winner's row alone)
+          // its content class's row only if it owns it. The purge slice
+          // can carry SEVERAL doc_ids of one content class (a winner
+          // purged together with its suppressed duplicates), and a
+          // clause merge keyed on content_hash would pair the one
+          // target row with every same-hash source row — each
+          // non-owner pairing fires no clause and RE-EMITS the row, so
+          // the winner's row would survive its own purge (and
+          // duplicate). Keep only owner rows up front (semi-join on
+          // (content_hash, doc_id) — `hashes` has one owner per hash,
+          // so at most one source row per key survives), then the
+          // delete is unconditional and 1:1.
           hashes.merge(
             pre.select(sha2(col("text"), 256).as("content_hash"),
-              col("doc_id")),
+                col("doc_id"))
+              .join(hashes.read.select("content_hash", "doc_id"),
+                Seq("content_hash", "doc_id"), "left_semi")
+              .withColumn(Merge.DeleteCol, lit(true)),
             Seq("content_hash"),
-            clauses = Some(Merge.Clauses("t", "s",
-              Seq(Merge.MatchedClause(Some("t.doc_id = s.doc_id"),
-                Merge.DeleteRow)), Nil)),
             txn = Some((appId + ":ph", hi)))
           bands.merge(
             bandsOf(pre, "text", cfg)

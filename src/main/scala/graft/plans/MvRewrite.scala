@@ -92,12 +92,14 @@ object MvRewrite extends Rule[LogicalPlan] {
                                  groupCols: Seq[String],
                                  aggs: Map[(String, String), String],
                                  mvRead: () => DataFrame,
-                                 rowsThunk: () => Long) {
-    /** Cost key when several MVs cover one query — computed LAZILY (one
-      * count job over the group-count-sized MV) and only when a tie
-      * actually needs breaking, so registration, REFRESH re-arms and
-      * warehouse-open arming stay metadata-priced. */
-    lazy val rows: Long = rowsThunk()
+                                 costThunk: () => Long) {
+    /** Cost key when several MVs cover one query — the MV snapshot's
+      * data BYTES from a directory listing, computed lazily and only
+      * when a tie actually needs breaking. Strictly metadata: a
+      * Catalyst rule must never launch a Spark job (a count would
+      * execute a query during planning, and would re-run after every
+      * REFRESH re-registration). */
+    lazy val cost: Long = costThunk()
   }
 
   // keyed by MV root — registry is process-wide (table roots are
@@ -132,12 +134,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     entries.put(mv.root,
       Entry(sig, groupCols,
         aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read,
-        // lazy row count: the cost key when several registered MVs
+        // lazy byte size: the cost key when several registered MVs
         // cover one query (e.g. a fine (a,b) MV and a coarse (a) MV
         // both serve a GROUP BY a rollup — the coarse one reads fewer
-        // rows); a stale count only mis-orders candidates, both of
-        // which are exact
-        () => mv.read.count()))
+        // bytes); metadata-only, and a stale size only mis-orders
+        // candidates, both of which are exact
+        () => mv.snapshotBytes))
   }
 
   def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
@@ -392,11 +394,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     // several MVs can cover the same snapshot (different agg sets or
     // group granularities) — serve from the SMALLEST whose registered
-    // surface covers this query (fewest MV rows scanned; every
+    // surface covers this query (fewest MV bytes scanned; every
     // candidate is exact, so the cost pick cannot affect results).
-    // The row-count job runs only when a tie actually exists.
+    // The cost key is a lazy directory-listing byte sum — metadata
+    // only, never a Spark job from inside the optimizer.
     candidates = entries.values.asScala.toSeq.filter(e => covers(e.sig, sf._1))
-    ordered = if (candidates.sizeIs > 1) candidates.sortBy(_.rows)
+    ordered = if (candidates.sizeIs > 1) candidates.sortBy(_.cost)
               else candidates
     plan <- ordered.view
       .flatMap(rewriteAgainst(agg, groupAttrs, sf._2, _)).headOption

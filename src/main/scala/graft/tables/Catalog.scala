@@ -112,19 +112,26 @@ final class Catalog(spark: SparkSession, root: String) {
   def createView(name: String, sqlText: String): Unit = {
     require(name.matches("""[A-Za-z_][A-Za-z0-9_]*"""),
       s"CREATE VIEW: bad view name `$name`")
-    val cur = views
-    val next =
-      if (cur.exists(_._1 == name))
-        cur.map { case (n, s) => (n, if (n == name) sqlText else s) }
-      else cur :+ (name -> sqlText)
-    writeViews(next)
+    // the ledger rewrite is a read-modify-write of the whole file:
+    // serialize it like the grants ledger's, or two concurrent sessions
+    // silently drop each other's definitions via last-writer-wins
+    Catalog.viewsLock.synchronized {
+      val cur = views
+      val next =
+        if (cur.exists(_._1 == name))
+          cur.map { case (n, s) => (n, if (n == name) sqlText else s) }
+        else cur :+ (name -> sqlText)
+      writeViews(next)
+    }
     spark.sql(s"CREATE OR REPLACE TEMP VIEW $name AS $sqlText")
     ()
   }
 
   /** DROP VIEW: remove from the ledger and the session. */
   def dropView(name: String): Unit = {
-    writeViews(views.filterNot(_._1 == name))
+    Catalog.viewsLock.synchronized {
+      writeViews(views.filterNot(_._1 == name))
+    }
     spark.catalog.dropTempView(name)
     ()
   }
@@ -291,4 +298,6 @@ final class Catalog(spark: SparkSession, root: String) {
 object Catalog {
   /** Serializes grants-ledger read-modify-writes within the JVM. */
   private[tables] val grantsLock = new Object
+  /** Serializes views-ledger read-modify-writes within the JVM. */
+  private[tables] val viewsLock = new Object
 }

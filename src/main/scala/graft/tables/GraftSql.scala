@@ -1399,9 +1399,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * is open (a principal may inspect the ledger it is subject to).
     * Scope: the statements this funnel owns — ad-hoc `spark.sql` over
     * registered temp views is session-level and not re-checked, the
-    * boundary Spark itself draws absent a cluster authz service; and
-    * backticked path identifiers (``graft.`/path` ``) are
-    * path-addressed, outside the catalog namespace the ledger governs.
+    * boundary Spark itself draws absent a cluster authz service.
+    * Backtick-quoted catalog names (``SELECT * FROM `silver_orders` ``)
+    * resolve identically to bare ones and ARE charged; only the
+    * path-addressed ``graft.`/path` `` form stays outside the catalog
+    * namespace the ledger governs.
     * Creation of NEW objects is ungoverned (the model has no CREATE
     * privilege, mirroring the reference template's grant set) — only
     * EXISTING tables are protected. */
@@ -1423,14 +1425,19 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           // itself is a NEW object (creation is ungoverned) — without
           // this, the first named source would be charged MODIFY, and a
           // MODIFY-only principal could launder reads through a view
-          val head =
-            if (GraftSql.CreateViewHead.pattern.matcher(stmt).matches())
+          val head = {
+            // anchor the head PAST leading parens: `(SELECT …) UNION …`
+            // and `((SELECT …))` read tables exactly like their bare
+            // forms and must classify, not slip every head regex
+            val anchored = stmt.dropWhile(c => c.isWhitespace || c == '(')
+            if (GraftSql.CreateViewHead.pattern.matcher(anchored).matches())
               "SELECT"
-            else if (GraftSql.ModifyHead.pattern.matcher(stmt).matches())
+            else if (GraftSql.ModifyHead.pattern.matcher(anchored).matches())
               "MODIFY"
-            else if (GraftSql.ReadHead.pattern.matcher(stmt).matches())
+            else if (GraftSql.ReadHead.pattern.matcher(anchored).matches())
               "SELECT"
             else return
+          }
           // the scan accepts what the RESOLVER accepts: dotted or
           // underscore layer separators, any layer case (targetRoot
           // lowercases); literal-masked so data naming a table is not a
@@ -1438,8 +1445,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           // filtering: in `CREATE MV gold.mv AS … FROM silver.src` the
           // not-yet-existing target still occupies the target slot, so
           // the source is charged SELECT, not MODIFY.
-          val mask = GraftSql.stringLiteralMask(stmt)
-          val named = GraftSql.IdentToken.findAllMatchIn(stmt)
+          // Spark resolves backtick-quoted word-shaped names identically
+          // to bare ones (`silver_orders`, `Silver`.`gov`): strip those
+          // ticks FIRST so the one scan below sees every spelling. Path
+          // bodies (``graft.`/p` ``) aren't word-shaped, keep their
+          // ticks, and stay masked; a word-shaped body after `graft.`
+          // untickes into a graft.x token whose maximal munch fails the
+          // layer split (graft is not a layer) — still out of scope.
+          val scanStmt = GraftSql.untickWordNames(stmt)
+          val mask = GraftSql.stringLiteralMask(scanStmt)
+          val named = GraftSql.IdentToken.findAllMatchIn(scanStmt)
             .filter(m => !mask(m.start))
             // split each WHOLE token exactly as the resolver does
             // (splitLayerName: first [._], layer lowercased) — an
@@ -2273,7 +2288,8 @@ object GraftSql {
     ("""(?is)^\s*(?:OPTIMIZE|VACUUM|RESTORE|INSERT|UPDATE|DELETE|MERGE|COPY""" +
       """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE|FSCK)\b.*""").r
   private[tables] val ReadHead =
-    """(?is)^\s*(?:SELECT|WITH|DESCRIBE|DESC|SHOW)\b.*""".r
+    ("""(?is)^\s*(?:SELECT|WITH|DESCRIBE|DESC|SHOW|VALUES|TABLE""" +
+      """|FROM)\b.*""").r
   // plain (non-materialized) views only: their target is an undotted NEW
   // object, so the first named table is a SOURCE and must be charged
   // SELECT. CREATE MATERIALIZED VIEW keeps the MODIFY head — its dotted
@@ -2286,6 +2302,19 @@ object GraftSql {
   // is then split by the same `split("[._]", 2)` the resolver uses, so
   // enforcement and execution can never disagree on where a name splits
   private[tables] val IdentToken = """\b[A-Za-z]\w*(?:\.\w+)*\b""".r
+  // a backtick-quoted WORD-SHAPED name — Spark resolves it exactly like
+  // the bare token, so grant enforcement must see it too (path bodies
+  // contain '/' and never match)
+  private[tables] val TickedIdent = """`([A-Za-z]\w*(?:[._]\w+)*)`""".r
+
+  /** Strip backticks around word-shaped quoted names so the grant scan
+    * sees `` `silver_orders` ``, `` `Silver`.`gov` ``, ``silver.`gov` ``
+    * exactly as their bare spellings. Non-word bodies (paths) keep
+    * their ticks; ticks inside string literals may drop but the
+    * content stays quote-masked either way. */
+  private[tables] def untickWordNames(s: String): String =
+    TickedIdent.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r

@@ -232,6 +232,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         "n_added_sets", "n_removed_sets")
   }
 
+  /** Total data bytes of the CURRENT snapshot — directory-listing
+    * metadata only, never a Spark job (the cost key optimizer-time
+    * consumers like [[graft.plans.MvRewrite]]'s candidate pick need:
+    * launching a count job from inside a Catalyst rule would execute
+    * queries during planning). Empty table → 0. */
+  def snapshotBytes: Long =
+    history.lastOption.fold(0L) { e =>
+      e.fileSets.flatMap(fs => filesUnder(dataDir.resolve(fs)))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    }
+
   /** DESCRIBE DETAIL as a relation (Delta's `DESCRIBE DETAIL` surface):
     * one row of current-snapshot metadata — version, file-set/file/byte
     * counts, bucket and partition layout. Metadata-only (file sizes come

@@ -102,6 +102,52 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(keptIds(ws) === Set(0L, 1L))
   }
 
+  test("one batch deletes the winner AND a suppressed duplicate: the " +
+       "hash row dies exactly once and the content class frees up") {
+    val (src, ws) = freshSource()
+    src.append(Seq((0L, doc(0)), (1L, doc(1)), (100L, doc(0)))
+      .toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L, 1L))
+    // ONE commit purges the content class's owner (0) together with its
+    // suppressed duplicate (100): the purge slice carries TWO rows of
+    // one content_hash; a merge keyed on the hash alone would pair the
+    // target row with both and the non-owner pairing would re-emit it
+    src.delete(col("doc_id").isin(0L, 100L))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(1L))
+    val hashes = IncrementalCuration.hashTable(spark, ws).read
+    assert(hashes.groupBy("content_hash").count()
+      .filter(col("count") > 1).isEmpty, "hash rows must stay unique")
+    assert(hashes.filter(col("doc_id") === 0L).isEmpty,
+      "the purged winner's hash row must not survive its own purge")
+    // the class is free again: a NEW delivery admits
+    src.append(Seq((300L, doc(0))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(1L, 300L))
+  }
+
+  test("deleting only suppressed duplicates leaves the winner's hash row " +
+       "intact and unduplicated") {
+    val (src, ws) = freshSource()
+    src.append(Seq((0L, doc(0)), (100L, doc(0)), (101L, doc(0)))
+      .toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L))
+    // two non-owner rows of one content class purge in one commit:
+    // neither owns the hash row, so the row must survive exactly once
+    src.delete(col("doc_id").isin(100L, 101L))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L))
+    val hashes = IncrementalCuration.hashTable(spark, ws).read
+    assert(hashes.filter(col("doc_id") === 0L).count() === 1L,
+      "the winner's hash row must survive non-owner purges, once")
+    // ownership still enforced: a new dup of doc(0) dies
+    src.append(Seq((400L, doc(0))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L))
+  }
+
   test("crash-replayed range is a no-op: state counts and content stable") {
     val (src, ws) = freshSource()
     src.append((0 to 5).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))

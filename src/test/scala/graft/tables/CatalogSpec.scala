@@ -136,4 +136,27 @@ class CatalogSpec extends SparkSpec {
     assert(Seq("v1", "v2", "v3").forall(registered.contains))
     assert(spark.sql("SELECT sv FROM v2").as[Long].head() === 20L)
   }
+
+  test("concurrent createView calls never lose a definition: the ledger " +
+       "rewrite is serialized like the grants ledger's") {
+    val root = tmpDir("cat-vwconc-")
+    val cat = new Catalog(spark, root)
+    cat.bootstrap()
+    cat.table("silver", "b").overwrite(Seq((1, 2L)).toDF("k", "v"))
+    cat.registerViews()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            cat.createView(s"cv_$i", s"SELECT k, v + $i AS v FROM silver_b")
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val names = cat.views.map(_._1).toSet
+    assert((0 until 16).forall(i => names.contains(s"cv_$i")),
+      s"last-writer-wins dropped definitions: $names")
+    (0 until 16).foreach(i => spark.catalog.dropTempView(s"cv_$i"))
+  }
 }

@@ -154,6 +154,25 @@ class GrantsSpec extends SparkSpec {
       // WITHOUT SELECT on the source is denied (no read-laundering)
       assertThrows[RuntimeException](
         gsql.sql("CREATE VIEW v_gov AS SELECT * FROM silver.gov"))
+      // Spark resolves a BACKTICKED name identically to the bare one:
+      // quoting must not dodge the charge
+      val deniedTick = intercept[RuntimeException](
+        gsql.sql("DESCRIBE HISTORY `silver_gov`"))
+      assert(deniedTick.getMessage.contains("lacks SELECT on silver.gov"))
+      assertThrows[RuntimeException](
+        gsql.sql("INSERT INTO `silver_gov` VALUES (1, 'x')"))
+      assertThrows[RuntimeException](
+        gsql.sql("SELECT * FROM `Silver`.`gov`"))
+      // leading parens / VALUES heads read tables like their bare
+      // forms and must classify, not bypass every head regex
+      assertThrows[RuntimeException](
+        gsql.sql("(SELECT * FROM silver_gov)"))
+      assertThrows[RuntimeException](
+        gsql.sql("VALUES ((SELECT max(x) FROM silver_gov))"))
+      // the granted table stays usable through every spelling
+      cat.registerViews()
+      assert(gsql.sql("SELECT count(*) AS c FROM `gold_notes`")
+        .head().getLong(0) === 1L)
     } finally spark.conf.unset(GraftSql.PrincipalConf)
   }
 

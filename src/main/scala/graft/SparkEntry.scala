@@ -2146,6 +2146,30 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_ix")
     }),
 
+    // Training-data: distributed BPE tokenizer TRAINING (Sennrich et al.
+    // 2016) — 8 merge rounds learned over the corpus's word histogram;
+    // deterministic argmax (count DESC, pair ASC) makes the merge table
+    // a pure function of the corpus, and the oracle replays the ENTIRE
+    // training loop relationally in DuckDB.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.mergesDf(s, graft.ops.Bpe.learn(
+        graft.ops.Bpe.wordHistogram(t(s, dir, "documents"), "text"), 8))),
+
+    // Training-data: BPE ENCODING with the learned merges — per-doc
+    // subword tokens via the distinct-word dictionary (the greedy
+    // per-word loop runs O(vocab) times, the corpus only joins). The
+    // oracle re-learns the merges AND re-encodes every document.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.learn(
+        graft.ops.Bpe.wordHistogram(docs, "text"), 8)
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+          md5(concat_ws(" ", col("bpe_tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Training-data: deterministic domain-mixture sampling ("web at 0.25,
     // books at 0.5, curated at 1.0") — md5-prefix selection, portable
     // across engines, replayed exactly by the oracle.
@@ -3452,6 +3476,49 @@ object SparkEntry {
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — same column names, same ordering, same rounding.
   // ------------------------------------------------------------------
+
+  /** The BPE training loop's oracle prologue: word histogram +
+    * initial character symbols (space-joined string form — symbols
+    * never contain spaces, so the join is unambiguous). MATERIALIZED
+    * keeps DuckDB from re-inlining the chain per reference (the
+    * naive CTE chain re-evaluates exponentially). */
+  private def bpeOracleHead(carryWord: Boolean): String = {
+    val sel = if (carryWord) "word, " else ""
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (
+       |  SELECT ${sel}array_to_string(string_split(word, ''), ' ')
+       |    || ' </w>' AS s, freq FROM wf),
+       |""".stripMargin
+  }
+
+  /** K BPE rounds as chained CTEs: pair counts → deterministic argmax
+    * (count DESC, pair ASC — Spark's binary string order) → greedy
+    * left-to-right merge via the double-space replace trick
+    * (`' a  b '` patterns on a double-spaced copy match exactly the
+    * non-overlapping left-to-right occurrences BPE merges). */
+  private def bpeOracleIters(k: Int, carryWord: Boolean): String = {
+    val sel = if (carryWord) "w.word, " else ""
+    (0 until k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, sum(freq) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(li)), x ->
+         |      struct_pack(l := li[x], r := li[x+1]))) AS p, freq
+         |    FROM (SELECT string_split(s, ' ') AS li, freq FROM w$i))
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w${i + 1} AS MATERIALIZED (
+         |  SELECT ${sel}trim(replace(replace(
+         |    ' ' || replace(w.s, ' ', '  ') || ' ',
+         |    ' ' || b.l || '  ' || b.r || ' ',
+         |    ' ' || b.l || b.r || ' '), '  ', ' ')) AS s, w.freq
+         |  FROM w$i w CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_range_join" ->
@@ -5137,6 +5204,30 @@ object SparkEntry {
         |    ELSE floor((e - tokens) / 4096.0) END AS BIGINT)
         |    - CAST(floor((e - tokens) / 4096.0) AS BIGINT) + 1 AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> (bpeOracleHead(carryWord = false) +
+      bpeOracleIters(8, carryWord = false) + "\n" +
+      (0 until 8).map(i =>
+        s"SELECT $i AS rank, l AS lft, r AS rgt, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM b$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rank")),
+
+    "q_bpe_encode" -> (bpeOracleHead(carryWord = true) +
+      bpeOracleIters(8, carryWord = true) + """,
+        |docw AS (
+        |  SELECT doc_id, unnest(li) AS word,
+        |         unnest(range(1, len(li) + 1)) AS pos
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(text)), '\s+') AS li
+        |        FROM documents)),
+        |j AS (
+        |  SELECT d.doc_id, d.pos, w.s
+        |  FROM (SELECT * FROM docw WHERE length(word) > 0) d
+        |  JOIN w8 w USING (word))
+        |SELECT doc_id,
+        |  CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_bpe_tokens,
+        |  md5(string_agg(s, ' ' ORDER BY pos)) AS tokens_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "q_mix_sample" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -2331,6 +2331,98 @@ object SparkEntry {
       } finally MvRewrite.deregister(mv)
     }),
 
+    // MV10: JOIN-shaped MV routing — the gold fact⋈dim rollup served
+    // transparently from its materialization. The user-shaped query
+    // (orders ⋈ customer, grouped by market segment) rewrites to an
+    // MV scan; a fact commit un-arms it (freshness is structural on
+    // BOTH sides), and JoinMv.refresh absorbs the commit as signed CDF
+    // deltas and re-arms. `mv_served`/`stale_fell_back` are computed
+    // from the optimized plan's leaf paths; `mode` is the maintenance
+    // path actually taken. The oracle recomputes the rollup from raw
+    // parquet and expects the flags literally.
+    "q_mv10_join_rewrite" -> ((s, dir) => {
+      import graft.plans.{JoinMv, MvRewrite}
+      val root = Files.createTempDirectory("graft-mvj-").toString
+      val fact = VersionedTable(s, s"$root/fact")
+      val dim = VersionedTable(s, s"$root/dim")
+      val mv = VersionedTable(s, s"$root/mv")
+      val ords = t(s, dir, "orders").select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        floor(col("o_totalprice")).cast("long").as("p"))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      fact.enableChangeFeed()
+      fact.append(ords.filter(col("ok") % 3 =!= 0))
+      dim.append(cust)
+      MvRewrite.install(s)
+      try {
+        JoinMv.create(fact, dim, Seq(("ck", "ck")), Seq("seg"), Seq(
+          MvRewrite.AggSpec("sum", "p", "sum_p"),
+          MvRewrite.AggSpec("count", "p", "cnt_p"),
+          MvRewrite.AggSpec("count", "*", "cnt")), mv)
+        def q(): DataFrame = {
+          val f = fact.read; val d = dim.read
+          f.join(d, f("ck") === d("ck")).groupBy(d("seg"))
+            .agg(sum("p").as("sum_p"), count(lit(1)).as("n"))
+        }
+        val armed = MvRewrite.scannedPaths(q()).forall(_.contains("/mv/"))
+        // staleness plant: a fact commit must silence the rewrite
+        fact.append(ords.filter(col("ok") % 3 === 0))
+        val staleQ = q()
+        val fellBack = !MvRewrite.scannedPaths(staleQ)
+          .exists(_.contains("/mv/")) &&
+          staleQ.agg(sum("n")).first.getLong(0) == ords.count()
+        // incremental catch-up re-arms on the new fact snapshot
+        val mode = JoinMv.refresh(s, mv)
+        val served = q()
+        val ps = MvRewrite.scannedPaths(served)
+        served
+          .withColumn("mv_served_before", lit(armed))
+          .withColumn("stale_fell_back", lit(fellBack))
+          .withColumn("mv_served_after",
+            lit(ps.nonEmpty && ps.forall(_.contains("/mv/"))))
+          .withColumn("mode", lit(mode))
+          .orderBy("seg")
+      } finally MvRewrite.deregister(mv)
+    }),
+
+    // MV11: JOIN-shaped MV incremental maintenance under RETRACTIONS —
+    // append + UPDATE + DELETE on the fact absorb as signed deltas from
+    // the change feed joined to the pinned dim (the fixed-dim identity
+    // (F+ΔF)⋈D = F⋈D + ΔF⋈D), never a recompute: `overwrites` pins
+    // exactly one data overwrite in the MV's whole history (the
+    // CREATE's materialization). The oracle replays the DML sequence
+    // relationally and recomputes the final rollup.
+    "q_mv11_join_sync" -> ((s, dir) => {
+      import graft.plans.{JoinMv, MvRewrite}
+      val root = Files.createTempDirectory("graft-mvjs-").toString
+      val fact = VersionedTable(s, s"$root/fact")
+      val dim = VersionedTable(s, s"$root/dim")
+      val mv = VersionedTable(s, s"$root/mv")
+      val ords = t(s, dir, "orders").select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        floor(col("o_totalprice")).cast("long").as("p"))
+      fact.enableChangeFeed()
+      fact.append(ords.filter(col("ok") % 4 =!= 0))
+      dim.append(t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg")))
+      JoinMv.create(fact, dim, Seq(("ck", "ck")), Seq("seg"), Seq(
+        MvRewrite.AggSpec("sum", "p", "sum_p"),
+        MvRewrite.AggSpec("count", "p", "cnt_p"),
+        MvRewrite.AggSpec("count", "*", "cnt")), mv)
+      try {
+        fact.append(ords.filter(col("ok") % 4 === 0))
+        fact.update(Map("p" -> (col("p") + 1000L)), col("ok") % 7 === 0)
+        fact.delete(col("ok") % 5 === 0)
+        val mode = JoinMv.refresh(s, mv)
+        mv.read.select(col("seg"), col("sum_p"), col("cnt"))
+          .withColumn("mode", lit(mode))
+          .withColumn("overwrites",
+            lit(mv.history.count(_.action == "overwrite")))
+          .orderBy("seg")
+      } finally MvRewrite.deregister(mv)
+    }),
+
     // MV3: CDC-driven incremental aggregate — the change feed consumed
     // end-to-end. readAddedSince handles append-only feeds and mv2's
     // partition feed recomputes whole partitions; row-level CDF is what
@@ -3924,6 +4016,27 @@ object SparkEntry {
         |    AS shard_pos
         |FROM ranked ORDER BY doc_id""".stripMargin,
 
+    "q_mv10_join_rewrite" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |             CAST(floor(o_totalprice) AS BIGINT) AS p FROM orders),
+        |c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer)
+        |SELECT seg, CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS mv_served_before, TRUE AS stale_fell_back,
+        |  TRUE AS mv_served_after, 'cdf' AS mode
+        |FROM f JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q_mv11_join_sync" ->
+      """WITH base AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |                CAST(floor(o_totalprice) AS BIGINT) AS p
+        |              FROM orders),
+        |fin AS (SELECT ck, CASE WHEN ok % 7 = 0 THEN p + 1000 ELSE p END AS p
+        |        FROM base WHERE ok % 5 <> 0),
+        |c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer)
+        |SELECT seg, CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  'cdf' AS mode, 1 AS overwrites
+        |FROM fin JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
     "q_mv5_rollup" ->
       """SELECT l_returnflag AS rf,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

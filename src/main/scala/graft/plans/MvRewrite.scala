@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, ResolvedHint, Union, Filter => LFilter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -45,7 +45,11 @@ import graft.tables.VersionedTable
   * Match surface (deliberately conservative — anything else is left
   * untouched): a single [[Aggregate]] over the source scan — one plain
   * relation, a union of per-schema-generation arms, or either under the
-  * standard DV anti-join — with aggregates drawn from `sum(col)`,
+  * standard DV anti-join — or over an INNER equi-join of two such scans
+  * ([[registerJoin]]: the gold fact⋈dim rollup; freshness is structural
+  * on both sides, inferred join-key IsNotNull pushdowns are recognized
+  * and discarded, and either side order matches) — with aggregates
+  * drawn from `sum(col)`,
   * `count(*)`, `count(col)`, `min(col)`, `max(col)` that the MV
   * materialized, plus `avg(col)` derived as `sum(col)/count(col)` when
   * both are registered. Distinct aggregates and FILTER clauses bail.
@@ -88,7 +92,19 @@ object MvRewrite extends Rule[LogicalPlan] {
   private final case class SourceSig(totalPaths: Set[String],
                                      arms: Map[Set[String], Map[String, String]])
 
-  private final case class Entry(sig: SourceSig,
+  /** What a registration covers: one table's snapshot read, or an
+    * INNER equi-join of two snapshot reads on named key pairs. */
+  private sealed trait RegSig
+  private final case class ScanSig(sig: SourceSig) extends RegSig
+  /** `keys` are (left column name, right column name) pairs of the
+    * registered join condition. Registration guarantees every name the
+    * group/agg surface references is unambiguous across the two sides
+    * (or is a same-named key pair, whose sides are value-equal under
+    * the inner join), so the rewrite stage can stay name-based. */
+  private final case class JoinSig(left: SourceSig, right: SourceSig,
+                                   keys: Seq[(String, String)]) extends RegSig
+
+  private final case class Entry(sig: RegSig,
                                  groupCols: Seq[String],
                                  aggs: Map[(String, String), String],
                                  mvRead: () => DataFrame,
@@ -132,13 +148,61 @@ object MvRewrite extends Rule[LogicalPlan] {
     require(missing.isEmpty,
       s"MV rewrite: MV at ${mv.root} lacks columns ${missing.mkString(",")}")
     entries.put(mv.root,
-      Entry(sig, groupCols,
+      Entry(ScanSig(sig), groupCols,
         aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read,
         // lazy byte size: the cost key when several registered MVs
         // cover one query (e.g. a fine (a,b) MV and a coarse (a) MV
         // both serve a GROUP BY a rollup — the coarse one reads fewer
         // bytes); metadata-only, and a stale size only mis-orders
         // candidates, both of which are exact
+        () => mv.snapshotBytes))
+  }
+
+  /** Arm `mv` as the materialization of `SELECT groupCols, aggs FROM
+    * left JOIN right ON <keys> GROUP BY groupCols` (INNER equi-join) at
+    * the two sources' CURRENT (or pinned) snapshots — the gold-layer
+    * fact⋈dim rollup shape. Freshness is structural on BOTH sides: a
+    * commit to either table changes its snapshot signature and the MV
+    * silently stops serving. Every column name the group/agg surface
+    * references must be unambiguous across the two reads (present on
+    * one side only, or a same-named key pair — value-equal under the
+    * join), so the rewrite's name-based matching can never pick the
+    * wrong side's column. */
+  def registerJoin(left: VersionedTable, right: VersionedTable,
+                   joinKeys: Seq[(String, String)], mv: VersionedTable,
+                   groupCols: Seq[String], aggs: Seq[AggSpec],
+                   leftVersion: Option[Long] = None,
+                   rightVersion: Option[Long] = None): Unit = {
+    require(joinKeys.nonEmpty, "MV rewrite: join registration needs keys")
+    require(aggs.forall(a => Set("sum", "count", "min", "max")(a.fn)),
+      s"MV rewrite: unsupported agg fn in ${aggs.map(_.fn).mkString(",")}")
+    def sigOf(t: VersionedTable, v: Option[Long], side: String): SourceSig =
+      decompose(v.fold(t.read)(t.readVersion).queryExecution.analyzed)
+        .collect { case (s, Nil) => s }
+        .getOrElse(sys.error(s"MV rewrite: $side snapshot is not a " +
+          s"recognizable graft scan shape at ${t.root} — registration " +
+          "refused"))
+    val lSig = sigOf(left, leftVersion, "left")
+    val rSig = sigOf(right, rightVersion, "right")
+    val lCols = left.read.columns.toSet
+    val rCols = right.read.columns.toSet
+    joinKeys.foreach { case (lk, rk) =>
+      require(lCols(lk) && rCols(rk),
+        s"MV rewrite: join key ($lk, $rk) missing from a side")
+    }
+    val sameNamedKeys = joinKeys.collect { case (l, r) if l == r => l }.toSet
+    (groupCols ++ aggs.map(_.col).filter(_ != "*")).foreach { n =>
+      require(!(lCols(n) && rCols(n)) || sameNamedKeys(n),
+        s"MV rewrite: column `$n` exists on both join sides — ambiguous " +
+          "(only same-named key pairs may repeat; alias one side)")
+    }
+    val mvCols = mv.read.columns.toSet
+    val missing = (groupCols ++ aggs.map(_.mvCol)).filterNot(mvCols)
+    require(missing.isEmpty,
+      s"MV rewrite: MV at ${mv.root} lacks columns ${missing.mkString(",")}")
+    entries.put(mv.root,
+      Entry(JoinSig(lSig, rSig, joinKeys), groupCols,
+        aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read,
         () => mv.snapshotBytes))
   }
 
@@ -386,8 +450,74 @@ object MvRewrite extends Rule[LogicalPlan] {
         qm.forall { case (n, d) => rm.get(n).forall(_ == d) }
       }
 
+  /** Signature coverage lifted to the registration shapes. A join query
+    * matches a join registration in either side order (inner joins
+    * commute) with the key pairs flipped accordingly. */
+  private def coversReg(reg: RegSig, q: RegSig): Boolean = (reg, q) match {
+    case (ScanSig(r), ScanSig(s)) => covers(r, s)
+    case (JoinSig(rl, rr, rk), JoinSig(ql, qr, qk)) =>
+      (covers(rl, ql) && covers(rr, qr) && rk.toSet == qk.toSet) ||
+        (covers(rl, qr) && covers(rr, ql) &&
+          rk.map(_.swap).toSet == qk.toSet)
+    case _ => false
+  }
+
+  /** The query-side shape: a snapshot read or an inner equi-join of two
+    * snapshot reads, plus the hoisted deterministic filters. */
+  private final case class QShape(sig: RegSig, filters: Seq[Expression])
+
+  private def decomposeAny(p: LogicalPlan): Option[QShape] =
+    decompose(p).map { case (s, fs) => QShape(ScanSig(s), fs) }
+      .orElse(decomposeJoin(p))
+
+  /** Decompose `Aggregate`'s child as an INNER equi-join of two graft
+    * reads. Join-key `IsNotNull` filters the optimizer infers and
+    * pushes into the sides are DISCARDED — an inner equi-join never
+    * matches null keys, so they cannot change its result and the
+    * registered (filterless) join is identical. Every other side
+    * filter is kept and must later rewrite onto MV group columns. */
+  private def decomposeJoin(p: LogicalPlan): Option[QShape] = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      decomposeJoin(c)
+    case h: ResolvedHint => decomposeJoin(h.child)
+    case f: LFilter if f.condition.deterministic &&
+        f.condition.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      decomposeJoin(f.child).map(q =>
+        q.copy(filters = f.condition +: q.filters))
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      for {
+        (lsig, lfs) <- decompose(j.left)
+        (rsig, rfs) <- decompose(j.right)
+        cs = conjuncts(j.condition.get)
+        keyOpts = cs.map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if j.left.outputSet.contains(a) &&
+                j.right.outputSet.contains(b) => Some((a.name, b.name))
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if j.right.outputSet.contains(a) &&
+                j.left.outputSet.contains(b) => Some((b.name, a.name))
+          case _ => None
+        }
+        if keyOpts.forall(_.isDefined)
+        keys = keyOpts.flatten
+        lKeys = keys.map(_._1).toSet
+        rKeys = keys.map(_._2).toSet
+        // conjunct-split BEFORE the key-IsNotNull drop: a pushed filter
+        // arrives as one composite And (user predicate AND inferred
+        // isnotnulls) and the key conjunct must not poison the rest
+        kept = lfs.flatMap(conjuncts).filterNot {
+          case IsNotNull(a: AttributeReference) => lKeys(a.name)
+          case _ => false
+        } ++ rfs.flatMap(conjuncts).filterNot {
+          case IsNotNull(a: AttributeReference) => rKeys(a.name)
+          case _ => false
+        }
+      } yield QShape(JoinSig(lsig, rsig, keys), kept)
+    case _ => None
+  }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    sf <- decompose(agg.child)
+    q <- decomposeAny(agg.child)
     groupAttrs <- Some(agg.groupingExpressions).collect {
       case gs if gs.forall(_.isInstanceOf[AttributeReference]) =>
         gs.map(_.asInstanceOf[AttributeReference])
@@ -398,11 +528,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     // candidate is exact, so the cost pick cannot affect results).
     // The cost key is a lazy directory-listing byte sum — metadata
     // only, never a Spark job from inside the optimizer.
-    candidates = entries.values.asScala.toSeq.filter(e => covers(e.sig, sf._1))
+    candidates = entries.values.asScala.toSeq.filter(e =>
+      coversReg(e.sig, q.sig))
     ordered = if (candidates.sizeIs > 1) candidates.sortBy(_.cost)
               else candidates
     plan <- ordered.view
-      .flatMap(rewriteAgainst(agg, groupAttrs, sf._2, _)).headOption
+      .flatMap(rewriteAgainst(agg, groupAttrs, q.filters, _)).headOption
   } yield plan
 
   /** One candidate MV against one aggregate: exact group match serves a

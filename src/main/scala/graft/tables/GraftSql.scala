@@ -2037,7 +2037,7 @@ object GraftSql {
     (groupCols, aggs)
   }
 
-  private[tables] def mvAggColumns(
+  private[graft] def mvAggColumns(
       aggs: Seq[(String, String, String)]): Seq[Column] =
     aggs.map { case (fn, c, out) =>
       (fn match {
@@ -2162,7 +2162,7 @@ object GraftSql {
     * nullable-combine (`coalesce(t+u, t, u)`): a delta group whose
     * values are all NULL arrives with sum NULL and must not erase the
     * accumulated value; least/greatest already skip NULL args. */
-  private[tables] def mvCombine(fn: String): (Column, Column) => Column =
+  private[graft] def mvCombine(fn: String): (Column, Column) => Column =
     fn match {
       case "sum"   => (t, u) =>
         org.apache.spark.sql.functions.coalesce(t + u, t, u)

@@ -228,4 +228,150 @@ class MvRewriteSpec extends SparkSpec {
     assert(after.orderBy("k").as[(String, Long)].collect().toSeq ===
       Seq(("a", 4L), ("b", 2L)))
   }
+
+  // ------------------------------------------------------- join-shaped MVs
+
+  /** Fact ⋈ dim rollup fixture: fact rows with an unmatched team (t=9,
+    * dropped by the inner join) and a NULL key (never matches). */
+  private def joinFixture(): (VersionedTable, VersionedTable, VersionedTable) = {
+    val root = tmpDir("graft-mvjoin-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.append(Seq(
+      (java.lang.Integer.valueOf(1), "p1", 10L),
+      (java.lang.Integer.valueOf(1), "p2", 20L),
+      (java.lang.Integer.valueOf(2), "p3", 5L),
+      (java.lang.Integer.valueOf(9), "p4", 7L),
+      (null.asInstanceOf[java.lang.Integer], "p5", 100L))
+      .toDF("t", "player", "v"))
+    dim.append(Seq((1, "red"), (2, "blue"), (3, "green"))
+      .toDF("t", "color"))
+    refreshJoin(fact, dim, mv)
+    (fact, dim, mv)
+  }
+
+  private def refreshJoin(fact: VersionedTable, dim: VersionedTable,
+                          mv: VersionedTable): Unit = {
+    val f = fact.read; val d = dim.read
+    mv.overwrite(f.join(d, f("t") === d("t"))
+      .groupBy(d("color"))
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt")))
+    MvRewrite.registerJoin(fact, dim, Seq(("t", "t")), mv,
+      Seq("color"), Seq(
+        MvRewrite.AggSpec("sum", "v", "sum_v"),
+        MvRewrite.AggSpec("count", "*", "cnt")))
+  }
+
+  private def joinQuery(fact: VersionedTable, dim: VersionedTable): DataFrame = {
+    val f = fact.read; val d = dim.read
+    f.join(d, f("t") === d("t")).groupBy(d("color"))
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+  }
+
+  test("join MV: the fact-join-dim rollup routes to the MV, values " +
+       "identical incl. unmatched and NULL-key fact rows") {
+    MvRewrite.install(spark)
+    val (fact, dim, mv) = joinFixture()
+    try {
+      val q = joinQuery(fact, dim)
+      val paths = scannedPaths(q)
+      assert(paths.nonEmpty && paths.forall(_.contains("/mv/")),
+        s"expected MV-only scan, got $paths")
+      assert(q.orderBy("color").as[(String, Long, Long)].collect().toSeq ===
+        Seq(("blue", 5L, 1L), ("red", 30L, 2L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join MV: swapped side order still serves (inner joins commute)") {
+    MvRewrite.install(spark)
+    val (fact, dim, mv) = joinFixture()
+    try {
+      val f = fact.read; val d = dim.read
+      val q = d.join(f, d("t") === f("t")).groupBy(d("color"))
+        .agg(sum("v").as("sv"))
+      assert(scannedPaths(q).forall(_.contains("/mv/")),
+        s"swapped sides must still route, got ${scannedPaths(q)}")
+      assert(q.orderBy("color").as[(String, Long)].collect().toSeq ===
+        Seq(("blue", 5L), ("red", 30L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join MV: a commit to EITHER side un-arms until re-registration") {
+    MvRewrite.install(spark)
+    val (fact, dim, mv) = joinFixture()
+    try {
+      fact.append(Seq((java.lang.Integer.valueOf(2), "p6", 50L))
+        .toDF("t", "player", "v"))
+      val q1 = joinQuery(fact, dim)
+      assert(!scannedPaths(q1).exists(_.contains("/mv/")),
+        "stale-on-fact MV must not serve")
+      assert(q1.filter($"color" === "blue").select("sv").as[Long].head()
+        === 55L)
+      refreshJoin(fact, dim, mv) // re-materialize + re-arm
+      assert(scannedPaths(joinQuery(fact, dim)).forall(_.contains("/mv/")))
+      dim.append(Seq((4, "cyan")).toDF("t", "color"))
+      val q2 = joinQuery(fact, dim)
+      assert(!scannedPaths(q2).exists(_.contains("/mv/")),
+        "stale-on-dim MV must not serve")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join MV: global rollup and group-column filters rewrite; a " +
+       "non-group filter falls back") {
+    MvRewrite.install(spark)
+    val (fact, dim, mv) = joinFixture()
+    try {
+      val f = fact.read; val d = dim.read
+      // global aggregate re-aggregates the MV (strict subset of groups)
+      val g = f.join(d, f("t") === d("t")).agg(sum("v").as("sv"))
+      assert(scannedPaths(g).forall(_.contains("/mv/")))
+      assert(g.as[Long].head() === 35L)
+      // filter on the group column rewrites onto the MV
+      val fq = f.join(d, f("t") === d("t"))
+        .filter(d("color") === "red")
+        .groupBy(d("color")).agg(sum("v").as("sv"))
+      assert(scannedPaths(fq).forall(_.contains("/mv/")),
+        s"group-filter must route, got ${scannedPaths(fq)}")
+      assert(fq.as[(String, Long)].head() === (("red", 30L)))
+      // filter on a non-group fact column cannot serve from the MV
+      val nf = f.join(d, f("t") === d("t"))
+        .filter(f("player") =!= "p1")
+        .groupBy(d("color")).agg(sum("v").as("sv"))
+      assert(!scannedPaths(nf).exists(_.contains("/mv/")),
+        "non-group filter must fall back to the sources")
+      assert(nf.orderBy("color").as[(String, Long)].collect().toSeq ===
+        Seq(("blue", 5L), ("red", 20L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join MV: outer joins and extra join conjuncts never route") {
+    MvRewrite.install(spark)
+    val (fact, dim, mv) = joinFixture()
+    try {
+      val f = fact.read; val d = dim.read
+      val lj = f.join(d, f("t") === d("t"), "left")
+        .groupBy(d("color")).agg(sum("v").as("sv"))
+      assert(!scannedPaths(lj).exists(_.contains("/mv/")),
+        "left join must not serve from an inner-join MV")
+      val rangeJ = f.join(d, f("t") === d("t") && f("v") > d("t"))
+        .groupBy(d("color")).agg(sum("v").as("sv"))
+      assert(!scannedPaths(rangeJ).exists(_.contains("/mv/")),
+        "non-equi conjunct must not serve")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join MV: registration refuses ambiguous column names") {
+    val root = tmpDir("graft-mvjoin-amb-")
+    val l = new VersionedTable(spark, s"$root/l")
+    val r = new VersionedTable(spark, s"$root/r")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    l.append(Seq((1, 10L)).toDF("t", "v"))
+    r.append(Seq((1, 20L)).toDF("t", "v")) // v on BOTH sides
+    mv.overwrite(Seq((1, 10L)).toDF("t", "sum_v"))
+    val e = intercept[IllegalArgumentException](
+      MvRewrite.registerJoin(l, r, Seq(("t", "t")), mv, Seq("t"),
+        Seq(MvRewrite.AggSpec("sum", "v", "sum_v"))))
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }

@@ -3309,6 +3309,50 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_orders"))
     }),
 
+    // SQL join-MV lifecycle end-to-end: CREATE MATERIALIZED VIEW over
+    // a fact JOIN dim (USING grammar), SQL DELETE on the fact, REFRESH
+    // absorbing it as signed CDF deltas (mode "cdf"), SHOW freshness,
+    // and the plan flag proving the user-shaped join rollup serves from
+    // the MV. The oracle replays the DML and recomputes.
+    "q_sql_mv_join" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      val wh = Files.createTempDirectory("graft-sqlmvj-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val ords = t(s, dir, "orders").select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        floor(col("o_totalprice")).cast("long").as("p"))
+      val fact = cat.table("silver", "fct")
+      fact.enableChangeFeed()
+      fact.append(ords.filter(col("ok") % 2 === 1))
+      val dim = cat.table("silver", "cust")
+      dim.append(t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg")))
+      val gsql = graft.tables.GraftSql(s, cat)
+      MvRewrite.install(s)
+      try {
+        gsql.sql("CREATE MATERIALIZED VIEW gold.mv_seg AS SELECT seg, " +
+          "sum(p) AS sum_p, count(p) AS cnt_p, count(*) AS cnt " +
+          "FROM silver.fct JOIN silver.cust USING (ck) GROUP BY seg")
+        fact.append(ords.filter(col("ok") % 2 === 0))
+        gsql.sql("DELETE FROM silver.fct WHERE ok % 9 = 0")
+        val mode = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_seg")
+          .select("mode").head().getString(0)
+        val fresh = gsql.sql("SHOW MATERIALIZED VIEWS")
+          .filter(col("mv") === "gold.mv_seg")
+          .select("fresh").head().getBoolean(0)
+        val f = fact.read; val d = dim.read
+        val q = f.join(d, f("ck") === d("ck")).groupBy(d("seg"))
+          .agg(sum("p").as("sum_p"), count(lit(1)).as("n"))
+        val ps = MvRewrite.scannedPaths(q)
+        q.withColumn("mode", lit(mode))
+          .withColumn("fresh", lit(fresh))
+          .withColumn("mv_served",
+            lit(ps.nonEmpty && ps.forall(_.contains("/mv_seg"))))
+          .orderBy("seg")
+      } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
+    }),
+
     // MV7: min/max maintenance under retractions WITHOUT a full
     // recompute. Signed deltas cannot retract a min/max, but the change
     // feed names WHICH groups moved — REFRESH recomputes only those
@@ -4015,6 +4059,17 @@ object SparkEntry {
         |  CAST(r - floor((floor(r * 8 / t) * t + 7) / 8) AS BIGINT)
         |    AS shard_pos
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "q_sql_mv_join" ->
+      """WITH base AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |                CAST(floor(o_totalprice) AS BIGINT) AS p
+        |              FROM orders),
+        |fin AS (SELECT ck, p FROM base WHERE ok % 9 <> 0),
+        |c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer)
+        |SELECT seg, CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  'cdf' AS mode, TRUE AS fresh, TRUE AS mv_served
+        |FROM fin JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_mv10_join_rewrite" ->
       """WITH f AS (SELECT o_custkey AS ck,

@@ -85,6 +85,14 @@ object JoinMv {
     val dimV = dim.latestVersion.getOrElse(
       sys.error(s"join MV: empty dim table at ${dim.root}"))
     val specs = aggs.map(a => (a.fn, a.col, a.mvCol))
+    // a REPLACE with a different group set must not inherit the old
+    // definition's merge bucketing; and a replaced SINGLE-TABLE MV's
+    // properties must go, or REFRESH would see two definitions
+    if (mv.exists) {
+      mv.clearBucketSpec()
+      mv.unsetProperties(Seq(GraftSql.MvSourceProp, GraftSql.MvGroupProp,
+        GraftSql.MvAggsProp, GraftSql.MvVersionProp, GraftSql.MvWhereProp))
+    }
     mv.overwrite(rollup(fact, dim, keys, groupCols, specs, factV, dimV))
     val epoch = mv.properties.get(EpochProp)
       .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1

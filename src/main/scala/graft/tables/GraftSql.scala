@@ -35,6 +35,10 @@ import org.apache.spark.sql.types.StructType
   *     [WHERE <pred>] GROUP BY g1, ...        -- materialized + auto-routed
   *     -- (filtered MVs maintain incrementally too but are queried by
   *     --  name, never auto-routed)
+  *   CREATE [OR REPLACE] MATERIALIZED VIEW <table> AS
+  *     SELECT g1, ..., fn(c) AS name, ... FROM <fact> JOIN <dim>
+  *     USING (k, ...) | ON <fact>.k = <dim>.k [AND ...] GROUP BY g1, ...
+  *     -- join form: routed + maintained from the fact's change feed
   *   REFRESH MATERIALIZED VIEW <table>        -- incremental when possible
   *   SHOW MATERIALIZED VIEWS                  -- defs + coverage + freshness
   *   CREATE [OR REPLACE] VIEW <name> AS <query>  -- durable (_views ledger,
@@ -178,14 +182,35 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         sys.error(s"RESTORE TO TAG: no tag `$tag` on $ident"))))
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
     case GraftSql.CreateMvProbe() =>
-      val (orReplace, mvIdent, selectList, srcIdent, where, groupBy) =
-        GraftSql.parseCreateMv(stmt).getOrElse(sys.error(
-          "CREATE MATERIALIZED VIEW: unrecognized shape — expected " +
-            "SELECT g1,…, sum|count|min|max(c) AS name,… FROM <table> " +
-            "[WHERE <pred>] GROUP BY g1,…"))
-      createMaterializedView(mvIdent, orReplace, selectList,
-        srcIdent, where, groupBy)
-    case RefreshMvStmt(ident) => refreshMaterializedView(ident)
+      GraftSql.parseCreateMvJoin(stmt) match {
+        case Some((orReplace, mvIdent, selectList, factIdent, dimIdent,
+            usingCols, onCond, groupBy)) =>
+          createJoinMaterializedView(mvIdent, orReplace, selectList,
+            factIdent, dimIdent,
+            GraftSql.parseJoinKeys(usingCols, onCond, factIdent, dimIdent),
+            groupBy)
+        case None =>
+          val (orReplace, mvIdent, selectList, srcIdent, where, groupBy) =
+            GraftSql.parseCreateMv(stmt).getOrElse(sys.error(
+              "CREATE MATERIALIZED VIEW: unrecognized shape — expected " +
+                "SELECT g1,…, sum|count|min|max(c) AS name,… FROM <table> " +
+                "[WHERE <pred>] GROUP BY g1,… — or the join form FROM " +
+                "<fact> JOIN <dim> USING (k,…) | ON f.k = d.k GROUP BY g1,…"))
+          createMaterializedView(mvIdent, orReplace, selectList,
+            srcIdent, where, groupBy)
+      }
+    case RefreshMvStmt(ident) =>
+      // join-shaped definitions carry graft.mv.join.* properties and
+      // maintain through [[graft.plans.JoinMv]]; everything else is the
+      // single-table path
+      val tbl = owned(ident)
+      if (tbl.exists(_.properties.contains(graft.plans.JoinMv.FactProp))) {
+        import spark.implicits._
+        val mode = graft.plans.JoinMv.refresh(spark, tbl.get)
+        Seq((ident, mode,
+          tbl.get.properties(graft.plans.JoinMv.FactVersionProp).toLong))
+          .toDF("mv", "mode", "source_version")
+      } else refreshMaterializedView(ident)
     case CreateViewStmt(orReplace, name, query) if catalog.isDefined =>
       import spark.implicits._
       val cat = catalog.get
@@ -227,7 +252,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             covered,
             src.exists && src.latestVersion.contains(covered),
             props.getOrElse(GraftSql.MvWhereProp, ""))
-        }
+        }.orElse(props.get(graft.plans.JoinMv.FactProp).map { factRoot =>
+          // join-shaped definition: fresh only when BOTH covered
+          // snapshots are still the sources' heads
+          val fact = VersionedTable(spark, factRoot)
+          val dimT = VersionedTable(spark,
+            props(graft.plans.JoinMv.DimProp))
+          val fV = props(graft.plans.JoinMv.FactVersionProp).toLong
+          val dV = props(graft.plans.JoinMv.DimVersionProp).toLong
+          (s"$l.$t",
+            props(graft.plans.JoinMv.GroupProp),
+            props(graft.plans.JoinMv.AggsProp),
+            fV,
+            fact.exists && fact.latestVersion.contains(fV) &&
+              dimT.exists && dimT.latestVersion.contains(dV),
+            s"join:${props(graft.plans.JoinMv.KeysProp)}")
+        })
       }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh", "where")
     // governance (resources/uc/grants.sql): GRANT/REVOKE maintain the
     // warehouse's durable grants ledger; SHOW GRANTS reads it. The
@@ -772,7 +812,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val epoch = (if (mv.exists)
       mv.properties.get(GraftSql.MvEpochProp).map(_.toLong).getOrElse(0L)
     else 0L) + 1L
-    if (mv.exists) mv.clearBucketSpec()
+    if (mv.exists) {
+      mv.clearBucketSpec()
+      // a replaced JOIN definition's properties must go, or the
+      // REFRESH dispatch would see two definitions
+      mv.unsetProperties(Seq(graft.plans.JoinMv.FactProp,
+        graft.plans.JoinMv.DimProp, graft.plans.JoinMv.KeysProp,
+        graft.plans.JoinMv.GroupProp, graft.plans.JoinMv.AggsProp,
+        graft.plans.JoinMv.FactVersionProp,
+        graft.plans.JoinMv.DimVersionProp))
+    }
     val base0 = src.readVersion(srcV)
     val base = where.fold(base0) { p =>
       val f = base0.filter(expr(p))
@@ -810,6 +859,46 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     if (where.isEmpty) armMvRewrite(src, mv, groupCols, aggs, srcV)
     else graft.plans.MvRewrite.deregisterRoot(mv.root)
     Seq((mvIdent, "create", srcV)).toDF("mv", "mode", "source_version")
+  }
+
+  /** CREATE [OR REPLACE] MATERIALIZED VIEW mv AS
+    *   SELECT g…, fn(c) AS out… FROM fact JOIN dim USING (k,…)|ON … GROUP BY g…
+    *
+    * The join form: materialization, durable definition and routing via
+    * [[graft.plans.JoinMv]] (fact-CDF incremental maintenance under the
+    * fixed-dim identity). Cross-side column ambiguity is refused by
+    * registration; WHERE is not part of the join grammar. */
+  private def createJoinMaterializedView(mvIdent: String, orReplace: Boolean,
+      selectList: String, factIdent: String, dimIdent: String,
+      keys: Seq[(String, String)], groupBy: String): DataFrame = {
+    import spark.implicits._
+    val fact = resolve(factIdent)
+    val dim = resolve(dimIdent)
+    val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)
+    val fCols = fact.read.columns.toSet
+    val dCols = dim.read.columns.toSet
+    val missing = (groupCols ++ aggs.map(_._2).filterNot(_ == "*"))
+      .filterNot(c => fCols(c) || dCols(c))
+    require(missing.isEmpty, s"materialized view: neither $factIdent " +
+      s"nor $dimIdent has columns ${missing.mkString(",")}")
+    // refuse cross-side ambiguity BEFORE materializing (registerJoin
+    // re-checks; this just fails with the clear message, not a mid-
+    // materialization analysis error)
+    val sameNamedKeys = keys.collect { case (l, r) if l == r => l }.toSet
+    (groupCols ++ aggs.map(_._2).filterNot(_ == "*")).foreach { n =>
+      require(!(fCols(n) && dCols(n)) || sameNamedKeys(n),
+        s"materialized view: column `$n` exists on both join sides — " +
+          "ambiguous (only same-named key pairs may repeat)")
+    }
+    val mv = VersionedTable(spark, targetRoot(mvIdent))
+    require(orReplace || !mv.exists,
+      s"materialized view target exists: $mvIdent (use CREATE OR REPLACE)")
+    graft.plans.JoinMv.create(fact, dim, keys, groupCols,
+      aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) },
+      mv)
+    Seq((mvIdent, "create",
+      mv.properties(graft.plans.JoinMv.FactVersionProp).toLong))
+      .toDF("mv", "mode", "source_version")
   }
 
   /** REFRESH MATERIALIZED VIEW mv — cheapest maintenance the source's
@@ -1078,7 +1167,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp)), covered)
           Some(s"$l.$t")
         } else None
-      }
+      }.orElse(props.get(graft.plans.JoinMv.FactProp).flatMap { factRoot =>
+        val fact = VersionedTable(spark, factRoot)
+        val dimT = VersionedTable(spark, props(graft.plans.JoinMv.DimProp))
+        val fV = props(graft.plans.JoinMv.FactVersionProp).toLong
+        val dV = props(graft.plans.JoinMv.DimVersionProp).toLong
+        if (fact.exists && dimT.exists &&
+            fact.latestVersion.contains(fV) &&
+            dimT.latestVersion.contains(dV) &&
+            graft.plans.MvRewrite.isRegistrable(fact, Some(fV)) &&
+            graft.plans.MvRewrite.isRegistrable(dimT, Some(dV))) {
+          graft.plans.JoinMv.arm(spark, mv)
+          Some(s"$l.$t")
+        } else None
+      })
     }
   }
 
@@ -2251,6 +2353,74 @@ object GraftSql {
   private val RefreshMvStmt =
     ("""(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """\s*;?\s*""").r
+  // the JOIN form of CREATE MV — INNER equi-join of two tables with
+  // USING (same-named keys) or ON f.k = d.k [AND …] (qualifiers are the
+  // joined tables' names); maintained by [[graft.plans.JoinMv]]
+  private val CreateMvJoinRe =
+    ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+""" +
+      Ident + """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + Ident +
+      """\s+JOIN\s+""" + Ident +
+      """\s+(?:USING\s*\(([\w`,\s]+?)\)|ON\s+(.+?))""" +
+      """\s+GROUP\s+BY\s+([\w`,\s]+?)\s*;?\s*""").r
+
+  /** Join-form CREATE MV split, literal-masked like [[parseCreateMv]].
+    * Returns (orReplace, mv, selectList, fact, dim, usingCols?, on?,
+    * groupBy); None when the statement has no JOIN (the single-table
+    * parser owns it). */
+  private[tables] def parseCreateMvJoin(stmt: String)
+      : Option[(Boolean, String, String, String, String,
+        Option[String], Option[String], String)] = {
+    val mask = stringLiteralMask(stmt)
+    val chars = stmt.toCharArray
+    var i = 0
+    while (i < chars.length) {
+      val c = chars(i)
+      if (mask(i) && c != '\'' && c != '"' && c != '`') chars(i) = 'x'
+      i += 1
+    }
+    val m = CreateMvJoinRe.pattern.matcher(new String(chars))
+    if (!m.matches()) return None
+    def g(idx: Int): Option[String] =
+      if (m.group(idx) == null) None
+      else Some(stmt.substring(m.start(idx), m.end(idx)))
+    Some((m.group(1) != null, g(2).get, g(3).get, g(4).get, g(5).get,
+      g(6), g(7), g(8).get))
+  }
+
+  /** Key pairs of the join form: USING lists same-named pairs; ON takes
+    * AND-ed `qual.col = qual.col` equalities where each qualifier is a
+    * joined table's name (full ident or its name part). */
+  private[tables] def parseJoinKeys(usingCols: Option[String],
+      onCond: Option[String], factIdent: String,
+      dimIdent: String): Seq[(String, String)] = usingCols match {
+    case Some(cs) =>
+      cs.split(",").toSeq.map(c => stripTicks(c.trim)).filter(_.nonEmpty)
+        .map(c => (c, c))
+    case None =>
+      val JoinEq =
+        """(?is)\s*`?([\w.]+)`?\.`?(\w+)`?\s*=\s*`?([\w.]+)`?\.`?(\w+)`?\s*""".r
+      def forms(id: String): Set[String] = {
+        val idn = stripTicks(id).toLowerCase
+        Set(idn, idn.split("[._]", 2).last)
+      }
+      def side(q: String): Char = {
+        val qn = stripTicks(q).toLowerCase
+        if (forms(factIdent)(qn)) 'f'
+        else if (forms(dimIdent)(qn)) 'd'
+        else sys.error("materialized view join: unknown qualifier " +
+          s"`$q` — qualify key columns with the joined table names")
+      }
+      onCond.get.split("(?i)\\s+AND\\s+").toSeq.map {
+        case JoinEq(q1, c1, q2, c2) => (side(q1), side(q2)) match {
+          case ('f', 'd') => (c1, c2)
+          case ('d', 'f') => (c2, c1)
+          case _ => sys.error("materialized view join: each ON " +
+            "conjunct must equate a fact column with a dim column")
+        }
+        case other => sys.error("materialized view join: unsupported " +
+          s"ON conjunct `${other.trim}` (only qual.k = qual.k equalities)")
+      }
+  }
   // durable (non-TEMP) views: CREATE VIEW persists the definition in
   // the warehouse ledger so a NEW session's catalog re-registers it —
   // the reference's persistent UC view (vw_player_fixture_horizon,

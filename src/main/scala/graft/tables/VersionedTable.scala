@@ -779,7 +779,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** REPLACE semantics: drop the bucket layout so the replacement's own
     * first merge re-buckets on ITS keys (a stale spec keyed on the old
     * definition's columns would fail every later merge). */
-  private[tables] def clearBucketSpec(): Unit = {
+  private[graft] def clearBucketSpec(): Unit = {
     Files.deleteIfExists(specPath)
     ()
   }

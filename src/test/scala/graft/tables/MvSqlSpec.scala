@@ -655,4 +655,123 @@ class MvSqlSpec extends SparkSpec {
     // an uninvolved column still renames freely
     sql.sql("ALTER TABLE silver.fprot RENAME COLUMN v TO val")
   }
+
+  // ----------------------------------------------------- join-form MVs
+
+  private def joinWarehouse(): (Catalog, GraftSql) = {
+    val (cat, sql) = warehouse()
+    val fact = cat.table("silver", "jfact")
+    val dim = cat.table("silver", "jdim")
+    fact.enableChangeFeed()
+    fact.append(Seq((1, 10L), (1, 20L), (2, 5L), (9, 99L))
+      .toDF("team", "pts"))
+    dim.append(Seq((1, "red"), (2, "blue")).toDF("team", "color"))
+    (cat, sql)
+  }
+
+  private def joinQ(cat: Catalog): DataFrame = {
+    val f = cat.table("silver", "jfact").read
+    val d = cat.table("silver", "jdim").read
+    f.join(d, f("team") === d("team")).groupBy(d("color"))
+      .agg(fsum("pts").as("sv"))
+  }
+
+  test("join-form CREATE MATERIALIZED VIEW (USING) materializes, arms " +
+       "routing, and REFRESH absorbs fact DML as CDF deltas") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    val created = sql.sql(
+      "CREATE MATERIALIZED VIEW gold.mv_jrollup AS SELECT color, " +
+        "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+        "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+      .as[(String, String, Long)].head()
+    assert(created === (("gold.mv_jrollup", "create", 0L)))
+    val mv = cat.table("gold", "mv_jrollup")
+    try {
+      assert(mv.read.orderBy("color")
+        .as[(String, Long, Long, Long)].collect().toSeq ===
+        Seq(("blue", 5L, 1L, 1L), ("red", 30L, 2L, 2L)))
+      assert(scansMv(joinQ(cat)), "join query must route to the MV")
+      // retraction + append absorb incrementally
+      val fact = cat.table("silver", "jfact")
+      fact.append(Seq((2, 50L)).toDF("team", "pts"))
+      fact.delete(col("pts") === 10L)
+      assert(!scansMv(joinQ(cat)), "stale MV must not serve")
+      val refreshed = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jrollup")
+        .as[(String, String, Long)].head()
+      assert(refreshed._2 === "cdf",
+        s"expected incremental maintenance, got ${refreshed._2}")
+      assert(mv.read.orderBy("color")
+        .as[(String, Long, Long, Long)].collect().toSeq ===
+        Seq(("blue", 55L, 2L, 2L), ("red", 20L, 1L, 1L)))
+      assert(scansMv(joinQ(cat)), "REFRESH must re-arm routing")
+      assert(mv.history.count(_.action == "overwrite") === 1,
+        "CDF refresh must not rewrite the MV")
+      // SHOW lists the join definition with both-sides freshness
+      val row = sql.sql("SHOW MATERIALIZED VIEWS")
+        .filter(col("mv") === "gold.mv_jrollup")
+        .select("group_cols", "fresh", "where")
+        .as[(String, Boolean, String)].head()
+      assert(row === (("color", true, "join:team=team")))
+      // a dim commit reads as stale in SHOW and refreshes full
+      cat.table("silver", "jdim").append(Seq((9, "green"))
+        .toDF("team", "color"))
+      assert(!sql.sql("SHOW MATERIALIZED VIEWS")
+        .filter(col("mv") === "gold.mv_jrollup")
+        .select("fresh").as[Boolean].head())
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jrollup")
+        .select("mode").as[String].head() === "full")
+      assert(mv.read.filter(col("color") === "green")
+        .select("sum_pts").as[Long].head() === 99L)
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join-form ON grammar resolves qualifiers by table name; bad " +
+       "qualifiers and cross-side ambiguity are refused loudly") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    val mv = cat.table("gold", "mv_jon")
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jon AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(*) AS cnt FROM silver.jfact " +
+      "JOIN silver.jdim ON jfact.team = jdim.team GROUP BY color")
+    try {
+      assert(scansMv(joinQ(cat)))
+      val badQual = intercept[RuntimeException](sql.sql(
+        "CREATE MATERIALIZED VIEW gold.mv_jbad AS SELECT color, " +
+          "count(*) AS cnt FROM silver.jfact JOIN silver.jdim " +
+          "ON nosuch.team = jdim.team GROUP BY color"))
+      assert(badQual.getMessage.contains("unknown qualifier"))
+      // `team` exists on both sides and IS the key pair — allowed as a
+      // group column; a both-sides NON-key column is refused
+      val fact = cat.table("silver", "jfact")
+      fact.addColumns("color STRING") // now ambiguous with dim.color
+      val amb = intercept[IllegalArgumentException](sql.sql(
+        "CREATE OR REPLACE MATERIALIZED VIEW gold.mv_jon AS " +
+          "SELECT color, count(*) AS cnt FROM silver.jfact " +
+          "JOIN silver.jdim USING (team) GROUP BY color"))
+      assert(amb.getMessage.contains("ambiguous"))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("armMaterializedViews re-arms a fresh join MV after a registry " +
+       "wipe; a moved side stays un-armed") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jarm AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_jarm")
+    try {
+      MvRewrite.deregister(mv) // simulate process restart
+      assert(!scansMv(joinQ(cat)))
+      assert(sql.armMaterializedViews().contains("gold.mv_jarm"))
+      assert(scansMv(joinQ(cat)))
+      // a dim commit makes it stale: arming must skip it
+      MvRewrite.deregister(mv)
+      cat.table("silver", "jdim").append(Seq((3, "teal"))
+        .toDF("team", "color"))
+      assert(!sql.armMaterializedViews().contains("gold.mv_jarm"))
+      assert(!scansMv(joinQ(cat)))
+    } finally MvRewrite.deregister(mv)
+  }
 }

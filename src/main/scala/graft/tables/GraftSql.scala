@@ -436,6 +436,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           s"RENAME COLUMN: `$f` is a GROUP or WHERE column of " +
             s"materialized view(s) ${groupDeps.map(_._1).mkString(", ")} — " +
             "drop and recreate them to re-key")
+        // join MVs: group columns and this side's JOIN KEYS refuse (the
+        // MV's merge-bucket keys / the registered join condition cannot
+        // re-key); agg-only columns re-key below like the single-table
+        // path
+        val joinHard = joinMvsSourcedFrom(t.root).filter {
+          case (_, props, isFact) =>
+            props(graft.plans.JoinMv.GroupProp).split(",").contains(f) ||
+              props(graft.plans.JoinMv.KeysProp).split(",")
+                .map(_.split("=", 2))
+                .exists(kv => if (isFact) kv(0) == f else kv(1) == f)
+        }
+        require(joinHard.isEmpty,
+          s"RENAME COLUMN: `$f` is a GROUP or JOIN-KEY column of join " +
+            s"materialized view(s) ${joinHard.map(_._1).mkString(", ")} — " +
+            "drop and recreate them to re-key")
         val df = versionDf(t.renameColumn(f, tn))
         // AGG source columns live only in the stored definition — re-key
         // them so later REFRESHes resolve under the new name (the
@@ -444,6 +459,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // names and simply stop matching until the next REFRESH re-arms
         // (safe: old-name queries can no longer resolve at all).
         rekeyDependentMvAggs(t.root, f, tn)
+        rekeyDependentJoinMvAggs(t.root, f, tn)
         df
       }
     case DropColumnStmt(ident, c) =>
@@ -458,6 +474,19 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         require(dependents.isEmpty,
           s"DROP COLUMN: `$name` is referenced by materialized view(s) " +
             s"${dependents.map(_._1).mkString(", ")} — drop them first")
+        val joinDeps = joinMvsSourcedFrom(t.root).filter {
+          case (_, props, isFact) =>
+            props(graft.plans.JoinMv.GroupProp).split(",")
+              .contains(name) ||
+              GraftSql.parseAggSpecs(props(graft.plans.JoinMv.AggsProp))
+                .exists(_._2 == name) ||
+              props(graft.plans.JoinMv.KeysProp).split(",")
+                .map(_.split("=", 2))
+                .exists(kv => if (isFact) kv(0) == name else kv(1) == name)
+        }
+        require(joinDeps.isEmpty,
+          s"DROP COLUMN: `$name` is referenced by join materialized " +
+            s"view(s) ${joinDeps.map(_._1).mkString(", ")} — drop them first")
         versionDf(t.dropColumn(name))
       }
     case SetDefaultStmt(ident, c, dexpr) =>
@@ -1105,6 +1134,37 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         Some((s"$l.$t", props))
       else None
     })
+
+  /** Join MVs whose fact or dim root is `srcRoot`; the Boolean flags
+    * which side (true = fact) — key-column guards are side-specific. */
+  private def joinMvsSourcedFrom(srcRoot: String)
+      : Seq[(String, Map[String, String], Boolean)] =
+    catalog.toSeq.flatMap(_.tables.flatMap { case (l, t) =>
+      val props = catalog.get.table(l, t).properties
+      if (props.get(graft.plans.JoinMv.FactProp).contains(srcRoot))
+        Some((s"$l.$t", props, true))
+      else if (props.get(graft.plans.JoinMv.DimProp).contains(srcRoot))
+        Some((s"$l.$t", props, false))
+      else None
+    })
+
+  /** RENAME COLUMN follow-through for JOIN definitions: agg source
+    * columns re-key like [[rekeyDependentMvAggs]]. Same-named columns
+    * on the other side were refused at CREATE (ambiguity) unless they
+    * are key pairs (refused above), so a name match is a real
+    * dependency. */
+  private def rekeyDependentJoinMvAggs(srcRoot: String, from: String,
+                                       to: String): Unit =
+    joinMvsSourcedFrom(srcRoot).foreach { case (identMv, props, _) =>
+      val aggs = GraftSql.parseAggSpecs(props(graft.plans.JoinMv.AggsProp))
+      if (aggs.exists(_._2 == from)) {
+        resolve(identMv).setProperties(Map(graft.plans.JoinMv.AggsProp ->
+          aggs.map { case (f, c, o) =>
+            s"$f:${if (c == from) to else c}:$o"
+          }.mkString(";")))
+        ()
+      }
+    }
 
   /** Source columns an MV definition references (group + agg inputs). */
   private def mvReferencedCols(props: Map[String, String]): Set[String] =

@@ -753,6 +753,40 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("join MV DDL guards: group/key columns refuse RENAME and DROP; " +
+       "an agg-only column re-keys the stored definition") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jddl AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_jddl")
+    try {
+      // the fact-side KEY refuses
+      val eKey = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.jfact RENAME COLUMN team TO t2"))
+      assert(eKey.getMessage.contains("JOIN-KEY"))
+      // the dim-side GROUP column refuses (rename AND drop)
+      val eGrp = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.jdim RENAME COLUMN color TO colour"))
+      assert(eGrp.getMessage.contains("GROUP"))
+      val eDrop = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.jdim DROP COLUMN color"))
+      assert(eDrop.getMessage.contains("join materialized"))
+      // an AGG source column renames freely and re-keys the definition:
+      // the next REFRESH resolves under the new name
+      sql.sql("ALTER TABLE silver.jfact RENAME COLUMN pts TO points")
+      assert(mv.properties(graft.plans.JoinMv.AggsProp)
+        .contains("sum:points:sum_pts"))
+      cat.table("silver", "jfact")
+        .append(Seq((1, 7L)).toDF("team", "points"))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jddl")
+        .select("mode").as[String].head() === "cdf")
+      assert(mv.read.filter(col("color") === "red")
+        .select("sum_pts").as[Long].head() === 37L)
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("armMaterializedViews re-arms a fresh join MV after a registry " +
        "wipe; a moved side stays un-armed") {
     val (cat, sql) = joinWarehouse()

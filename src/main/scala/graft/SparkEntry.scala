@@ -3353,6 +3353,37 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
     }),
 
+    // Mergeable distinct-count sketch rollup: COUNT(DISTINCT x) per
+    // group kept fresh INCREMENTALLY via HLL sketch union — the one
+    // aggregate exact MVs cannot maintain. `mode`/`overwrites` pin that
+    // the second half of the corpus was absorbed as a partial-sketch
+    // merge, never a rebuild; `estimate_ok` pins the estimate within 5%
+    // of the exact count (the exact count doubles as the oracle-checked
+    // witness; the sketch bytes themselves are engine-specific and stay
+    // out of the hashed result).
+    "q_sketch_rollup" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-sk-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
+      src.append(li.filter(col("okey") % 2 === 0))
+      graft.ops.Sketches.create(src, mv, Seq("flag"), "okey")
+      src.append(li.filter(col("okey") % 2 =!= 0))
+      val mode = graft.ops.Sketches.refresh(s, mv)
+      val exact = src.read.groupBy("flag")
+        .agg(countDistinct("okey").as("exact_distinct"))
+      graft.ops.Sketches.withEstimate(mv.read)
+        .join(exact, Seq("flag"))
+        .select(col("flag"), col("n_rows"), col("exact_distinct"),
+          (abs(col("approx_distinct") / col("exact_distinct") - 1.0)
+            <= 0.05).as("estimate_ok"))
+        .withColumn("mode", lit(mode))
+        .withColumn("overwrites",
+          lit(mv.history.count(_.action == "overwrite")))
+        .orderBy("flag")
+    }),
+
     // MV7: min/max maintenance under retractions WITHOUT a full
     // recompute. Signed deltas cannot retract a min/max, but the change
     // feed names WHICH groups moved — REFRESH recomputes only those
@@ -4059,6 +4090,12 @@ object SparkEntry {
         |  CAST(r - floor((floor(r * 8 / t) * t + 7) / 8) AS BIGINT)
         |    AS shard_pos
         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "q_sketch_rollup" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_mv_join" ->
       """WITH base AS (SELECT o_custkey AS ck, o_orderkey AS ok,

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.VersionedTable
+
+/** Mergeable distinct-count sketch rollups — the incremental answer to
+  * `COUNT(DISTINCT x)`, the one aggregate no exact MV can maintain
+  * (a distinct count is not a sum of per-slice distinct counts).
+  *
+  * The rollup table stores, per group, an exact row count and a
+  * Datasketches HLL sketch (Spark's `hll_sketch_agg`, a BINARY column,
+  * ~2^lgK registers ≈ KB-scale). Sketches form a monoid under
+  * `hll_union`: register-wise max, associative and commutative — so
+  * an append-only slice aggregates to PARTIAL sketches map-side and
+  * merges into the stored rollup without touching history, and a
+  * union of partial sketches holds exactly the same registers as one
+  * sketch built over all the data (identical estimates, not merely
+  * close). That is what makes this the 100 TB shape: per refresh the
+  * engine reads O(appended rows), shuffles group-count×KB of sketch
+  * bytes, and bucket-COW-merges the touched groups.
+  *
+  * Deletes cannot retract an HLL register, so a slice with retractions
+  * falls back to a full rebuild — same policy and the same loud
+  * visibility as the exact-MV machinery's `"full"` mode.
+  *
+  * Estimates are approximate (±~1.6%/√2^lgK); the EXACT `n_rows`
+  * companion rides along both as a freshness witness and because a
+  * per-group exact row count is free in the same pass.
+  */
+object Sketches {
+
+  val SourceProp = "graft.sketch.source"
+  val GroupProp = "graft.sketch.group"
+  val DistinctProp = "graft.sketch.distinct"
+  val LgkProp = "graft.sketch.lgk"
+  val VersionProp = "graft.sketch.sourceVersion"
+  private val TxnApp = "graft-sketch:"
+
+  /** One-shot rollup: per group, exact row count + HLL sketch of
+    * `distinctCol`. */
+  def rollup(df: DataFrame, groupCols: Seq[String], distinctCol: String,
+             lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("hll_sketch_agg", col(distinctCol), lit(lgK))
+          .as("distinct_sketch"))
+
+  /** The rollup with estimates resolved — what a reader consumes. */
+  def withEstimate(rollup: DataFrame): DataFrame =
+    rollup.withColumn("approx_distinct",
+      call_function("hll_sketch_estimate", col("distinct_sketch")))
+
+  /** Materialize the rollup of `src` into `mv` at the current snapshot
+    * and persist the definition for [[refresh]]. */
+  def create(src: VersionedTable, mv: VersionedTable,
+             groupCols: Seq[String], distinctCol: String,
+             lgK: Int = 12): Unit = {
+    val v = src.latestVersion.getOrElse(
+      sys.error(s"sketch rollup: empty table at ${src.root}"))
+    mv.overwrite(rollup(src.readVersion(v), groupCols, distinctCol, lgK))
+    mv.setProperties(Map(
+      SourceProp -> src.root, GroupProp -> groupCols.mkString(","),
+      DistinctProp -> distinctCol, LgkProp -> lgK.toString,
+      VersionProp -> v.toString))
+  }
+
+  /** Catch the rollup up with its source. Append-only tails absorb as
+    * partial-sketch merges (`"incremental"` — O(appended rows));
+    * retractions rebuild (`"full"`); nothing new is `"noop"`. Crash
+    * replays are txn-ledger no-ops like every other maintenance merge. */
+  def refresh(spark: SparkSession, mv: VersionedTable): String = {
+    val props = mv.properties
+    val src = VersionedTable(spark, props.getOrElse(SourceProp,
+      sys.error(s"${mv.root} is not a sketch rollup (no $SourceProp)")))
+    val groupCols = props(GroupProp).split(",").toSeq
+    val distinctCol = props(DistinctProp)
+    val lgK = props(LgkProp).toInt
+    val txnApp = TxnApp + mv.root
+    val v0Prop = props(VersionProp).toLong
+    val v0 = math.max(v0Prop, mv.lastTxnVersion(txnApp).getOrElse(v0Prop))
+    val hist = src.history
+    val head = hist.lastOption.map(_.version).getOrElse(v0)
+    val later = hist.filter(e => e.version > v0 && e.version <= head)
+    val absorbless = Set("compact", "zorder", "purge_dv",
+      "set_partition_layout")
+    def finish(mode: String): String = {
+      if (head > v0Prop)
+        mv.setProperties(Map(VersionProp -> head.toString))
+      mode
+    }
+    if (later.isEmpty || later.forall(e => absorbless(e.action)))
+      finish("noop")
+    else if (later.forall(e =>
+        e.action == "append" || absorbless(e.action)) &&
+        src.addedSetsLive(v0, head)) {
+      val delta = rollup(src.readAddedBetween(v0, head), groupCols,
+        distinctCol, lgK)
+      mv.merge(delta, groupCols, updateExprs = Map(
+        "n_rows" -> ((t: Column, u: Column) => t + u),
+        // register-wise max: the union sketch is EXACTLY the sketch a
+        // full rebuild would produce
+        "distinct_sketch" -> ((t: Column, u: Column) =>
+          call_function("hll_union", t, u))),
+        txn = Some((txnApp, head)))
+      finish("incremental")
+    } else {
+      mv.overwrite(rollup(src.readVersion(head), groupCols,
+        distinctCol, lgK))
+      finish("full")
+    }
+  }
+}

@@ -3353,6 +3353,48 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
     }),
 
+    // approx_count_distinct through the SQL MV surface: the stored
+    // column is a mergeable HLL sketch (BINARY), REFRESH absorbs
+    // appends as register-wise unions (mode "incremental", never a
+    // rescan), and the registered warehouse view presents the BIGINT
+    // estimate under the declared name. `estimate_ok` pins the
+    // estimate within 5% of the exact count; `sketch_stored` pins the
+    // storage representation; transparent routing deliberately never
+    // arms (a sketch estimate must not replace Spark's own estimator).
+    "q_sql_mv_hll" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-mvhll-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val src = cat.table("silver", "li")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
+      src.append(li.filter(col("okey") % 2 === 0))
+      gsql.sql("CREATE MATERIALIZED VIEW gold.mv_flag_users AS " +
+        "SELECT flag, count(*) AS n_rows, " +
+        "approx_count_distinct(okey) AS approx_ok " +
+        "FROM silver.li GROUP BY flag")
+      src.append(li.filter(col("okey") % 2 =!= 0))
+      val mode = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_flag_users")
+        .select("mode").as[String].head()
+      cat.registerViews()
+      val presented = s.sql(
+        "SELECT flag, n_rows, approx_ok FROM gold_mv_flag_users")
+      val exact = src.read.groupBy("flag")
+        .agg(countDistinct("okey").as("exact_distinct"))
+      val sketchStored = cat.table("gold", "mv_flag_users")
+        .read.schema("approx_ok").dataType ==
+        org.apache.spark.sql.types.BinaryType
+      presented.join(exact, Seq("flag"))
+        .select(col("flag"), col("n_rows"), col("exact_distinct"),
+          (abs(col("approx_ok") / col("exact_distinct") - 1.0)
+            <= 0.05).as("estimate_ok"))
+        .withColumn("mode", lit(mode))
+        .withColumn("sketch_stored", lit(sketchStored))
+        .orderBy("flag")
+    }),
+
     // Mergeable distinct-count sketch rollup: COUNT(DISTINCT x) per
     // group kept fresh INCREMENTALLY via HLL sketch union — the one
     // aggregate exact MVs cannot maintain. `mode`/`overwrites` pin that
@@ -4095,6 +4137,13 @@ object SparkEntry {
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_mv_hll" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS estimate_ok, 'incremental' AS mode,
+        |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_mv_join" ->

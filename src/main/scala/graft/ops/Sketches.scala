@@ -36,6 +36,13 @@ object Sketches {
   val DistinctProp = "graft.sketch.distinct"
   val LgkProp = "graft.sketch.lgk"
   val VersionProp = "graft.sketch.sourceVersion"
+  /** Bumped on every [[create]] — namespaces the txn ledger so markers
+    * from a replaced definition era (possibly covering a DIFFERENT
+    * source at a higher version) are never consulted. Without it, a
+    * re-created rollup resumed from the old era's marker and could
+    * read as permanently fresh against a source that never reaches
+    * that version. */
+  val EpochProp = "graft.sketch.epoch"
   private val TxnApp = "graft-sketch:"
 
   /** One-shot rollup: per group, exact row count + HLL sketch of
@@ -59,11 +66,29 @@ object Sketches {
              lgK: Int = 12): Unit = {
     val v = src.latestVersion.getOrElse(
       sys.error(s"sketch rollup: empty table at ${src.root}"))
+    // a REPLACE with a different group set must not inherit the old
+    // definition's merge bucketing (the overwrite would try to bucket
+    // by a column the new rollup lacks), and a replaced MV/join-MV
+    // definition's properties must go, or two refreshers would claim
+    // the table — the same discipline as JoinMv.create
+    if (mv.exists) {
+      mv.clearBucketSpec()
+      mv.unsetProperties(Seq(
+        graft.tables.GraftSql.MvSourceProp, graft.tables.GraftSql.MvGroupProp,
+        graft.tables.GraftSql.MvAggsProp, graft.tables.GraftSql.MvVersionProp,
+        graft.tables.GraftSql.MvWhereProp,
+        graft.plans.JoinMv.FactProp, graft.plans.JoinMv.DimProp,
+        graft.plans.JoinMv.KeysProp, graft.plans.JoinMv.GroupProp,
+        graft.plans.JoinMv.AggsProp, graft.plans.JoinMv.FactVersionProp,
+        graft.plans.JoinMv.DimVersionProp))
+    }
     mv.overwrite(rollup(src.readVersion(v), groupCols, distinctCol, lgK))
+    val epoch = mv.properties.get(EpochProp)
+      .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1
     mv.setProperties(Map(
       SourceProp -> src.root, GroupProp -> groupCols.mkString(","),
       DistinctProp -> distinctCol, LgkProp -> lgK.toString,
-      VersionProp -> v.toString))
+      VersionProp -> v.toString, EpochProp -> epoch.toString))
   }
 
   /** Catch the rollup up with its source. Append-only tails absorb as
@@ -77,35 +102,48 @@ object Sketches {
     val groupCols = props(GroupProp).split(",").toSeq
     val distinctCol = props(DistinctProp)
     val lgK = props(LgkProp).toInt
-    val txnApp = TxnApp + mv.root
+    val txnApp = TxnApp + props.getOrElse(EpochProp, "0") + ":" + mv.root
     val v0Prop = props(VersionProp).toLong
     val v0 = math.max(v0Prop, mv.lastTxnVersion(txnApp).getOrElse(v0Prop))
     val hist = src.history
     val head = hist.lastOption.map(_.version).getOrElse(v0)
     val later = hist.filter(e => e.version > v0 && e.version <= head)
-    val absorbless = Set("compact", "zorder", "purge_dv",
-      "set_partition_layout")
+    val absorbless = graft.tables.GraftSql.AbsorblessActions
     def finish(mode: String): String = {
       if (head > v0Prop)
         mv.setProperties(Map(VersionProp -> head.toString))
       mode
     }
+    def incremental(): Option[String] = {
+      // persisted: the NULL-key probe and the merge share the one
+      // aggregation pass (the delta is group-count-sized)
+      val delta = rollup(src.readAddedBetween(v0, head), groupCols,
+        distinctCol, lgK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // NULL group values cannot ride the merge (SQL MERGE: NULL
+        // never matches — every refresh would INSERT a fresh NULL row,
+        // splitting the group's count and sketch across duplicates)
+        if (graft.tables.GraftSql.hasNullKeys(delta, groupCols)) None
+        else {
+          mv.merge(delta, groupCols, updateExprs = Map(
+            "n_rows" -> ((t: Column, u: Column) => t + u),
+            // register-wise max: the union sketch is EXACTLY the sketch
+            // a full rebuild would produce
+            "distinct_sketch" -> ((t: Column, u: Column) =>
+              call_function("hll_union", t, u))),
+            txn = Some((txnApp, head)))
+          Some(finish("incremental"))
+        }
+      } finally { delta.unpersist(); () }
+    }
     if (later.isEmpty || later.forall(e => absorbless(e.action)))
       finish("noop")
     else if (later.forall(e =>
         e.action == "append" || absorbless(e.action)) &&
-        src.addedSetsLive(v0, head)) {
-      val delta = rollup(src.readAddedBetween(v0, head), groupCols,
-        distinctCol, lgK)
-      mv.merge(delta, groupCols, updateExprs = Map(
-        "n_rows" -> ((t: Column, u: Column) => t + u),
-        // register-wise max: the union sketch is EXACTLY the sketch a
-        // full rebuild would produce
-        "distinct_sketch" -> ((t: Column, u: Column) =>
-          call_function("hll_union", t, u))),
-        txn = Some((txnApp, head)))
-      finish("incremental")
-    } else {
+        src.addedSetsLive(v0, head) && incremental().isDefined)
+      "incremental"
+    else {
       mv.overwrite(rollup(src.readVersion(head), groupCols,
         distinctCol, lgK))
       finish("full")

@@ -103,16 +103,28 @@ object JoinMv {
       AggsProp -> specs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
       FactVersionProp -> factV.toString, DimVersionProp -> dimV.toString,
       EpochProp -> epoch.toString))
-    MvRewrite.registerJoin(fact, dim, keys, mv, groupCols, aggs,
-      leftVersion = Some(factV), rightVersion = Some(dimV))
+    armRouting(fact, dim, keys, mv, groupCols, aggs, factV, dimV)
   }
+
+  /** Routing registration, skipped for sketch-bearing definitions:
+    * an hll ESTIMATE must never transparently replace a query's own
+    * aggregate (different estimator, silently different numbers). A
+    * REPLACE that turned an armed exact MV into a sketch-bearing one
+    * drops the stale registration instead. */
+  private def armRouting(fact: VersionedTable, dim: VersionedTable,
+      keys: Seq[(String, String)], mv: VersionedTable,
+      groupCols: Seq[String], aggs: Seq[MvRewrite.AggSpec],
+      factV: Long, dimV: Long): Unit =
+    if (aggs.exists(_.fn == "hll")) MvRewrite.deregisterRoot(mv.root)
+    else MvRewrite.registerJoin(fact, dim, keys, mv, groupCols, aggs,
+      leftVersion = Some(factV), rightVersion = Some(dimV))
 
   /** Re-arm routing from the durable definition (post-restart). */
   def arm(spark: SparkSession, mv: VersionedTable): Unit = {
     val d = definition(spark, mv)
-    MvRewrite.registerJoin(d.fact, d.dim, d.keys, mv, d.groupCols,
+    armRouting(d.fact, d.dim, d.keys, mv, d.groupCols,
       d.aggs.map { case (f, c, o) => MvRewrite.AggSpec(f, c, o) },
-      leftVersion = Some(d.factV), rightVersion = Some(d.dimV))
+      d.factV, d.dimV)
   }
 
   private final case class Def(fact: VersionedTable, dim: VersionedTable,
@@ -165,15 +177,18 @@ object JoinMv {
     val factHead = factHistory.lastOption.map(_.version).getOrElse(v0)
     val dimHead = d.dim.latestVersion.getOrElse(d.dimV)
     val later = factHistory.filter(e => e.version > v0 && e.version <= factHead)
-    val absorbless = Set("compact", "zorder", "purge_dv",
-      "set_partition_layout")
+    // the shared set INCLUDES rename/drop-column: the DDL guards refuse
+    // touching group/key columns and re-key agg specs, so those commits
+    // are metadata-only on either side — a dim rename must not trigger
+    // an O(fact) re-materialization
+    val absorbless = GraftSql.AbsorblessActions
     def finish(mode: String, fv: Long, dv: Long): String = {
       if (fv > d.factV || dv > d.dimV)
         mv.setProperties(Map(FactVersionProp -> fv.toString,
           DimVersionProp -> dv.toString))
-      MvRewrite.registerJoin(d.fact, d.dim, d.keys, mv, d.groupCols,
+      armRouting(d.fact, d.dim, d.keys, mv, d.groupCols,
         d.aggs.map { case (f, c, o) => MvRewrite.AggSpec(f, c, o) },
-        leftVersion = Some(fv), rightVersion = Some(dv))
+        fv, dv)
       mode
     }
     def recompute(): String = {
@@ -203,46 +218,18 @@ object JoinMv {
       }
     } else {
       // min/max: per-touched-group recompute — the CDF (joined to the
-      // pinned dim) names which groups moved; only those re-aggregate
+      // pinned dim) names which groups moved; only those re-aggregate.
+      // The recompute+tombstone+replace core is GraftSql's shared
+      // helper — only the source relation (fact⋈dim) differs here.
       try {
         val feed = d.fact.readChangeFeed(v0, Some(factHead))
         val dimSnap = d.dim.readVersion(d.dimV)
-        val touched = joinOn(feed, dimSnap, d.keys)
-          .select(d.groupCols.map(col): _*).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          if (touched.isEmpty) finish("groups", factHead, dimHead)
-          else if (GraftSql.hasNullKeys(touched, d.groupCols))
-            throw new graft.tables.CdfNotExpressible(
-              "join MV group recompute: NULL group key — recomputing")
-          else {
-            // semi-join the JOINED ROWS before aggregating — the whole
-            // point is to shuffle only the touched groups' rows, never
-            // aggregate the full fact and discard
-            val fresh = joinOn(d.fact.readVersion(factHead), dimSnap,
-                d.keys)
-              .join(touched, d.groupCols, "left_semi")
-              .groupBy(d.groupCols.map(col): _*)
-              .agg(GraftSql.mvAggColumns(d.aggs).head,
-                GraftSql.mvAggColumns(d.aggs).tail: _*)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              val gone = touched.join(
-                fresh.select(d.groupCols.map(col): _*), d.groupCols,
-                "left_anti")
-              if (!gone.isEmpty) {
-                mv.merge(gone.withColumn(graft.ops.Merge.DeleteCol,
-                  lit(true)), d.groupCols,
-                  txn = Some((txnApp + ":del", factHead)))
-                ()
-              }
-              mv.merge(fresh, d.groupCols, updateExprs = d.aggs.map {
-                case (_, _, o) => o -> ((_: Column, u: Column) => u)
-              }.toMap, txn = Some((txnApp, factHead)))
-              finish("groups", factHead, dimHead)
-            } finally { fresh.unpersist(); () }
-          }
-        } finally { touched.unpersist(); () }
+        GraftSql.mergeTouchedGroups(mv,
+          joinOn(feed, dimSnap, d.keys)
+            .select(d.groupCols.map(col): _*).distinct(),
+          joinOn(d.fact.readVersion(factHead), dimSnap, d.keys),
+          d.groupCols, d.aggs, txnApp, factHead)
+        finish("groups", factHead, dimHead)
       } catch {
         case _: graft.tables.CdfNotExpressible => recompute()
       }

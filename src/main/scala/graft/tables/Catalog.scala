@@ -49,7 +49,9 @@ final class Catalog(spark: SparkSession, root: String) {
     tables.flatMap { case (l, t) =>
       val name = s"${l}_$t"
       val tbl = table(l, t)
-      tbl.read.createOrReplaceTempView(name)
+      // MV tables with sketch-backed (approx_count_distinct) columns
+      // present the BIGINT estimates, not the raw register bytes
+      GraftSql.presentMvRead(tbl).createOrReplaceTempView(name)
       tbl.historyDf.createOrReplaceTempView(s"${name}_history")
       Seq(name, s"${name}_history")
     } ++ registerDurableViews()

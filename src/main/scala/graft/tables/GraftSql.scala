@@ -193,9 +193,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           val (orReplace, mvIdent, selectList, srcIdent, where, groupBy) =
             GraftSql.parseCreateMv(stmt).getOrElse(sys.error(
               "CREATE MATERIALIZED VIEW: unrecognized shape — expected " +
-                "SELECT g1,…, sum|count|min|max(c) AS name,… FROM <table> " +
-                "[WHERE <pred>] GROUP BY g1,… — or the join form FROM " +
-                "<fact> JOIN <dim> USING (k,…) | ON f.k = d.k GROUP BY g1,…"))
+                "SELECT g1,…, sum|count|min|max|approx_count_distinct(c) " +
+                "AS name,… FROM <table> [WHERE <pred>] GROUP BY g1,… — " +
+                "or the join form FROM <fact> JOIN <dim> USING (k,…) | " +
+                "ON f.k = d.k GROUP BY g1,…"))
           createMaterializedView(mvIdent, orReplace, selectList,
             srcIdent, where, groupBy)
       }
@@ -451,6 +452,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           s"RENAME COLUMN: `$f` is a GROUP or JOIN-KEY column of join " +
             s"materialized view(s) ${joinHard.map(_._1).mkString(", ")} — " +
             "drop and recreate them to re-key")
+        // sketch rollups: group columns are the rollup's merge-bucket
+        // keys AND its own columns — refuse like MV groups; the
+        // distinct column lives only in the definition — re-key below
+        val sketchHard = sketchesSourcedFrom(t.root).filter {
+          case (_, props) =>
+            props(graft.ops.Sketches.GroupProp).split(",").contains(f)
+        }
+        require(sketchHard.isEmpty,
+          s"RENAME COLUMN: `$f` is a GROUP column of sketch rollup(s) " +
+            s"${sketchHard.map(_._1).mkString(", ")} — drop and " +
+            "recreate them to re-key")
+        // validated BEFORE the rename commits: a refusal below must not
+        // leave the table renamed with a stale, un-re-keyed definition
+        requireJoinMvRekeyUnambiguous(t.root, f)
         val df = versionDf(t.renameColumn(f, tn))
         // AGG source columns live only in the stored definition — re-key
         // them so later REFRESHes resolve under the new name (the
@@ -460,6 +475,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // (safe: old-name queries can no longer resolve at all).
         rekeyDependentMvAggs(t.root, f, tn)
         rekeyDependentJoinMvAggs(t.root, f, tn)
+        rekeyDependentSketchDistinct(t.root, f, tn)
         df
       }
     case DropColumnStmt(ident, c) =>
@@ -487,6 +503,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         require(joinDeps.isEmpty,
           s"DROP COLUMN: `$name` is referenced by join materialized " +
             s"view(s) ${joinDeps.map(_._1).mkString(", ")} — drop them first")
+        val sketchDeps = sketchesSourcedFrom(t.root).filter {
+          case (_, props) =>
+            props(graft.ops.Sketches.GroupProp).split(",")
+              .contains(name) ||
+              props(graft.ops.Sketches.DistinctProp) == name
+        }
+        require(sketchDeps.isEmpty,
+          s"DROP COLUMN: `$name` is referenced by sketch rollup(s) " +
+            s"${sketchDeps.map(_._1).mkString(", ")} — drop them first")
         versionDf(t.dropColumn(name))
       }
     case SetDefaultStmt(ident, c, dexpr) =>
@@ -1012,8 +1037,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // vacuum-reclaimed-original case into the fallback instead of a
     // mid-read failure). Without this, the first OPTIMIZE or RENAME on
     // the source demoted every later REFRESH to a full recompute.
-    val absorbless = Set("compact", "zorder", "purge_dv",
-      "rename_column", "drop_column", "set_partition_layout")
+    val absorbless = GraftSql.AbsorblessActions
     val mode =
       if (later.isEmpty) "noop"
       else if (later.forall(e => absorbless(e.action))) "noop"
@@ -1074,39 +1098,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // crash resume, so it must land last (a crash in between replays
         // the tombstones as a txn no-op, then completes the replace).
         try {
-          val touched = filt(src.readChangeFeed(v0, Some(srcV)))
-            .select(groupCols.map(col): _*).distinct()
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (touched.isEmpty) "groups" // DDL-only slice: nothing moved
-            else if (GraftSql.hasNullKeys(touched, groupCols))
-              throw new CdfNotExpressible("group-recompute refresh: NULL " +
-                s"value in group column(s) ${groupCols.mkString(",")} — " +
-                "NULL keys cannot merge; recomputing")
-            else {
-              val fresh = filt(src.readVersion(srcV))
-                .join(touched, groupCols, "left_semi")
-                .groupBy(groupCols.map(col): _*)
-                .agg(GraftSql.mvAggColumns(aggs).head,
-                  GraftSql.mvAggColumns(aggs).tail: _*)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              try {
-                val gone = touched.join(
-                  fresh.select(groupCols.map(col): _*), groupCols,
-                  "left_anti")
-                if (!gone.isEmpty) {
-                  mv.merge(gone.withColumn(graft.ops.Merge.DeleteCol,
-                    lit(true)), groupCols,
-                    txn = Some((txnApp + ":del", srcV)))
-                  ()
-                }
-                mv.merge(fresh, groupCols, updateExprs = aggs.map {
-                  case (_, _, o) => o -> ((_: Column, u: Column) => u)
-                }.toMap, txn = Some((txnApp, srcV)))
-                "groups"
-              } finally { fresh.unpersist(); () }
-            }
-          } finally { touched.unpersist(); () }
+          GraftSql.mergeTouchedGroups(mv,
+            filt(src.readChangeFeed(v0, Some(srcV)))
+              .select(groupCols.map(col): _*).distinct(),
+            filt(src.readVersion(srcV)), groupCols, aggs, txnApp, srcV)
+          "groups"
         } catch {
           case _: CdfNotExpressible => recompute(); "full"
         }
@@ -1149,10 +1145,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     })
 
   /** RENAME COLUMN follow-through for JOIN definitions: agg source
-    * columns re-key like [[rekeyDependentMvAggs]]. Same-named columns
-    * on the other side were refused at CREATE (ambiguity) unless they
-    * are key pairs (refused above), so a name match is a real
-    * dependency. */
+    * columns re-key like [[rekeyDependentMvAggs]]. A name match proved
+    * the dependency at CREATE time (ambiguity was refused), but a
+    * later ADD COLUMN on the OTHER side can recreate the collision —
+    * then the agg may actually read the other side's column and a
+    * blind re-key would silently re-point it. Refuse that rename: the
+    * join output is already ambiguous for the agg, so there is no
+    * correct re-key, only a loud one. */
   private def rekeyDependentJoinMvAggs(srcRoot: String, from: String,
                                        to: String): Unit =
     joinMvsSourcedFrom(srcRoot).foreach { case (identMv, props, _) =>
@@ -1162,6 +1161,51 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           aggs.map { case (f, c, o) =>
             s"$f:${if (c == from) to else c}:$o"
           }.mkString(";")))
+        ()
+      }
+    }
+
+  /** Pre-commit validation for the above: refuses while the table is
+    * still un-renamed, so a refusal never strands a renamed table with
+    * a stale definition. */
+  private def requireJoinMvRekeyUnambiguous(srcRoot: String,
+                                            from: String): Unit =
+    joinMvsSourcedFrom(srcRoot).foreach { case (identMv, props, isFact) =>
+      val aggs = GraftSql.parseAggSpecs(props(graft.plans.JoinMv.AggsProp))
+      if (aggs.exists(_._2 == from)) {
+        val otherRoot = props(
+          if (isFact) graft.plans.JoinMv.DimProp
+          else graft.plans.JoinMv.FactProp)
+        val otherHas = scala.util.Try(
+          VersionedTable(spark, otherRoot).read.columns.contains(from))
+          .getOrElse(false)
+        require(!otherHas,
+          s"RENAME COLUMN: `$from` is an agg column of join MV " +
+            s"$identMv and BOTH join sides now carry it — the agg's " +
+            "source side is ambiguous; drop and recreate the MV")
+      }
+    }
+
+  /** Sketch rollups (library-created but catalog-resident) whose
+    * source is `srcRoot` — the dependency walk for DDL guards. */
+  private def sketchesSourcedFrom(srcRoot: String)
+      : Seq[(String, Map[String, String])] =
+    catalog.toSeq.flatMap(_.tables.flatMap { case (l, t) =>
+      val props = catalog.get.table(l, t).properties
+      if (props.get(graft.ops.Sketches.SourceProp).contains(srcRoot))
+        Some((s"$l.$t", props))
+      else None
+    })
+
+  /** RENAME COLUMN follow-through for sketch rollups: the distinct
+    * column lives only in the stored definition — re-key it so later
+    * refreshes resolve under the new name. */
+  private def rekeyDependentSketchDistinct(srcRoot: String, from: String,
+                                           to: String): Unit =
+    sketchesSourcedFrom(srcRoot).foreach { case (identMv, props) =>
+      if (props(graft.ops.Sketches.DistinctProp) == from) {
+        resolve(identMv).setProperties(
+          Map(graft.ops.Sketches.DistinctProp -> to))
         ()
       }
     }
@@ -1220,11 +1264,12 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       props.get(GraftSql.MvSourceProp).flatMap { srcRoot =>
         val src = VersionedTable(spark, srcRoot)
         val covered = props(GraftSql.MvVersionProp).toLong
+        val aggSpecs = GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
         if (src.exists && src.latestVersion.contains(covered) &&
-            !props.contains(GraftSql.MvWhereProp)) {
+            !props.contains(GraftSql.MvWhereProp) &&
+            !aggSpecs.exists(_._1 == "hll")) {
           armMvRewrite(src, mv,
-            props(GraftSql.MvGroupProp).split(",").toSeq,
-            GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp)), covered)
+            props(GraftSql.MvGroupProp).split(",").toSeq, aggSpecs, covered)
           Some(s"$l.$t")
         } else None
       }.orElse(props.get(graft.plans.JoinMv.FactProp).flatMap { factRoot =>
@@ -1259,7 +1304,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // Registration pins the COVERED version, never the live head (a
     // concurrent commit between the pin and this call must stay
     // un-served).
-    if (graft.plans.MvRewrite.isRegistrable(src, Some(srcV)))
+    if (aggs.exists(_._1 == "hll"))
+      // sketch estimates must NEVER transparently replace a query's own
+      // aggregate (Spark's approx_count_distinct is a different
+      // estimator — results would silently change); and a REPLACE that
+      // turned an armed exact MV into a sketch-bearing one must drop
+      // the stale registration, not leave it serving
+      graft.plans.MvRewrite.deregisterRoot(mv.root)
+    else if (graft.plans.MvRewrite.isRegistrable(src, Some(srcV)))
       graft.plans.MvRewrite.register(src, mv, groupCols,
         aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) },
         atVersion = Some(srcV))
@@ -2179,15 +2231,21 @@ object GraftSql {
       (Vector.empty[String], Vector.empty[(String, String, String)])) {
       case ((bs, as), MvAggItem(fn, c, out)) =>
         val cc = if (c == "*") "*" else stripTicks(c)
-        val f = fn.toLowerCase
+        // approx_count_distinct materializes as a MERGEABLE HLL sketch
+        // ("hll" in the stored spec): refresh unions partial sketches
+        // instead of rescanning history — the one distinct-count shape
+        // an incremental MV can maintain
+        val f = if (fn.equalsIgnoreCase("approx_count_distinct")) "hll"
+          else fn.toLowerCase
         require(cc != "*" || f == "count",
           s"materialized view: $f(*) is not a materializable aggregate")
         (bs, as :+ ((f, cc, stripTicks(out))))
       case ((bs, as), MvColItem(c)) => (bs :+ stripTicks(c), as)
       case (_, item) => sys.error(
         "materialized view: select items must be a group column or " +
-          s"sum|count|min|max(col) AS name — got `${item.trim}` " +
-          "(avg is derived by the rewrite rule from sum+count)")
+          s"sum|count|min|max|approx_count_distinct(col) AS name — got " +
+          s"`${item.trim}` (avg is derived by the rewrite rule from " +
+          "sum+count)")
     }
     require(bare.toSet == groupCols.toSet,
       s"materialized view: select list's bare columns ${bare.mkString(",")} " +
@@ -2199,6 +2257,10 @@ object GraftSql {
     (groupCols, aggs)
   }
 
+  /** Register precision for materialized `approx_count_distinct`
+    * columns: ±~1.6%/√2^lgK ≈ 2.5% at 12, KB-scale per group. */
+  private[graft] val MvHllLgK = 12
+
   private[graft] def mvAggColumns(
       aggs: Seq[(String, String, String)]): Seq[Column] =
     aggs.map { case (fn, c, out) =>
@@ -2209,11 +2271,101 @@ object GraftSql {
         else org.apache.spark.sql.functions.count(col(c))
         case "min"   => org.apache.spark.sql.functions.min(col(c))
         case "max"   => org.apache.spark.sql.functions.max(col(c))
+        // the STORED column is the sketch (BINARY, mergeable);
+        // presentation projects hll_sketch_estimate — see presentMvRead
+        case "hll"   => org.apache.spark.sql.functions.call_function(
+          "hll_sketch_agg", col(c), lit(MvHllLgK))
       }).as(out)
     }
 
+  /** The reader-facing relation of an MV table: sketch-typed columns
+    * (the `hll` specs' BINARY storage) present as their BIGINT
+    * estimates under the SAME name, everything else verbatim — so
+    * `SELECT approx_users FROM gold_mv` reads a number, while REFRESH
+    * keeps merging the underlying registers. Non-MV tables (or
+    * sketch-free MVs) pass through untouched. */
+  private[graft] def presentMvRead(tbl: VersionedTable): DataFrame = {
+    val df = tbl.read
+    val props = tbl.properties
+    val hllOuts = (props.get(MvAggsProp).toSeq ++
+      props.get(graft.plans.JoinMv.AggsProp).toSeq)
+      .flatMap(parseAggSpecs).collect { case ("hll", _, o) => o }.toSet
+    if (hllOuts.isEmpty) df
+    else df.select(df.columns.toSeq.map { c =>
+      if (hllOuts(c))
+        org.apache.spark.sql.functions.call_function(
+          "hll_sketch_estimate", col(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
   /** Txn-app-id prefix for MV maintenance merges (replay idempotence). */
   private[graft] val MvTxnApp = "graft-mv:"
+
+  /** History actions that change NO data an incremental maintainer can
+    * observe: compaction/z-order/REORG rewrite identical rows;
+    * rename/drop-column commits are metadata-only (zero rows — the DDL
+    * guards refuse touching maintained columns and re-key agg/distinct
+    * specs on rename); partition-layout evolution re-tags future
+    * writes. A slice of only these is a covered-version bump, and any
+    * of them interleaved with data commits must NOT demote the
+    * incremental path. ONE definition — the single-table MV, join MV,
+    * and sketch-rollup refreshers all consult it, and they must agree. */
+  private[graft] val AbsorblessActions: Set[String] = Set(
+    "compact", "zorder", "purge_dv",
+    "rename_column", "drop_column", "set_partition_layout")
+
+  /** Shared per-touched-group recompute+merge — the maintenance core
+    * for agg sets that cannot absorb retractions as signed deltas
+    * (min/max, companion-less sums). `touched` names the groups the
+    * change slice moved; ONLY those groups re-aggregate from
+    * `freshRows` (the caller's pinned-snapshot relation — filtered
+    * single-table scan or fact⋈dim join) and replace-merge into the
+    * MV; vanished groups tombstone FIRST (the replace's txn marker
+    * drives crash resume, so it must land last — a crash in between
+    * replays the tombstones as a txn no-op, then completes the
+    * replace). Throws [[CdfNotExpressible]] on NULL group keys (NULL
+    * never matches in a SQL MERGE — the caller recomputes). Kept in
+    * ONE place because two copies of this crash-resume-sensitive
+    * ordering drifted once already. */
+  private[graft] def mergeTouchedGroups(mv: VersionedTable,
+      touchedKeys: DataFrame, freshRows: => DataFrame,
+      groupCols: Seq[String], aggs: Seq[(String, String, String)],
+      txnApp: String, version: Long): Unit = {
+    val touched = touchedKeys
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (touched.isEmpty) () // DDL-only slice: nothing moved
+      else if (hasNullKeys(touched, groupCols))
+        throw new CdfNotExpressible("group-recompute refresh: NULL " +
+          s"value in group column(s) ${groupCols.mkString(",")} — " +
+          "NULL keys cannot merge; recomputing")
+      else {
+        // semi-join the SOURCE ROWS before aggregating — the whole
+        // point is to shuffle only the touched groups' rows, never
+        // aggregate the full source and discard (AQE broadcasts the
+        // touched-key set when small, so the semi join adds no shuffle)
+        val fresh = freshRows
+          .join(touched, groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(mvAggColumns(aggs).head, mvAggColumns(aggs).tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val gone = touched.join(
+            fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
+          if (!gone.isEmpty) {
+            mv.merge(gone.withColumn(graft.ops.Merge.DeleteCol, lit(true)),
+              groupCols, txn = Some((txnApp + ":del", version)))
+            ()
+          }
+          mv.merge(fresh, groupCols, updateExprs = aggs.map {
+            case (_, _, o) => o -> ((_: Column, u: Column) => u)
+          }.toMap, txn = Some((txnApp, version)))
+          ()
+        } finally { fresh.unpersist(); () }
+      }
+    } finally { touched.unpersist(); () }
+  }
 
   /** Any row with a NULL in a group column? (one short-circuit probe) */
   private[graft] def hasNullKeys(df: DataFrame, cols: Seq[String]): Boolean =
@@ -2313,10 +2465,10 @@ object GraftSql {
   private[graft] def parseAggSpecs(s: String): Seq[(String, String, String)] =
     s.split(";").toSeq.map { one =>
       one.split(":", 3) match {
-        case Array(f, c, o) if Set("sum", "count", "min", "max")(f) =>
+        case Array(f, c, o) if Set("sum", "count", "min", "max", "hll")(f) =>
           (f, c, o)
         case _ => sys.error(s"bad aggregate spec `$one` (expected " +
-          "fn:col:out with fn in sum|count|min|max)")
+          "fn:col:out with fn in sum|count|min|max|hll)")
       }
     }
 
@@ -2331,6 +2483,12 @@ object GraftSql {
       case "count" => (t, u) => t + u
       case "min"   => (t, u) => org.apache.spark.sql.functions.least(t, u)
       case "max"   => (t, u) => org.apache.spark.sql.functions.greatest(t, u)
+      // register-wise max — the union EXACTLY equals a full rebuild's
+      // sketch. coalesce: a delta group whose values were all NULL
+      // aggregates to a NULL sketch and must not erase the registers
+      case "hll"   => (t, u) => org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.call_function("hll_union", t, u),
+        t, u)
     }
 
   /** UTC timestamp literal → epoch millis (`yyyy-MM-dd[ HH:mm:ss]`,
@@ -2546,7 +2704,7 @@ object GraftSql {
     TickedIdent.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
   private val MvAggItem =
-    """(?is)\s*(sum|count|min|max)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
+    """(?is)\s*(sum|count|min|max|approx_count_distinct)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s+AS\s+""" +

@@ -66,6 +66,55 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("NULL group keys fall back to a full rebuild — the NULL group " +
+       "never splits across duplicate MV rows") {
+    val root = tmpDir("sk4-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.append(Seq((null: String, 1L), (null, 2L), ("g0", 3L))
+      .toDF("g", "k"))
+    Sketches.create(src, mv, Seq("g"), "k")
+    src.append(Seq((null: String, 4L), ("g0", 5L)).toDF("g", "k"))
+    assert(Sketches.refresh(spark, mv) === "full",
+      "a delta touching the NULL group cannot merge (NULL never matches)")
+    val nulls = mv.read.filter(col("g").isNull)
+      .select("n_rows").as[Long].collect().toSeq
+    assert(nulls === Seq(3L), s"expected ONE NULL-group row, got $nulls")
+    src.append(Seq(("g0", 6L)).toDF("g", "k"))
+    assert(Sketches.refresh(spark, mv) === "incremental",
+      "a NULL-free delta keeps the incremental path even though the " +
+        "TABLE holds a NULL group")
+  }
+
+  test("re-create over an existing rollup: fresh epoch ignores the old " +
+       "era's txn markers and the old bucket spec") {
+    val root = tmpDir("sk5-")
+    val srcA = VersionedTable(spark, s"$root/srcA")
+    val srcB = VersionedTable(spark, s"$root/srcB")
+    val mv = VersionedTable(spark, s"$root/mv")
+    srcA.append(rows(500, 100).toDF("g", "k"))
+    Sketches.create(srcA, mv, Seq("g"), "k")
+    // drive srcA's version (and the txn marker) well past srcB's head
+    (1 to 4).foreach { i =>
+      srcA.append(rows(100, 50).map { case (g, k) => (g, k + i * 1000) }
+        .toDF("g", "k"))
+      Sketches.refresh(spark, mv)
+      ()
+    }
+    assert(mv.lastTxnVersion("graft-sketch:0:" + mv.root).exists(_ >= 4))
+    // re-point at a younger source with a DIFFERENT group column: the
+    // overwrite must not bucket by the vanished column, and refresh
+    // must not resume from the old era's high-water marker
+    srcB.append(Seq(("x", 1L), ("y", 2L)).toDF("h", "k"))
+    Sketches.create(srcB, mv, Seq("h"), "k")
+    srcB.append(Seq(("x", 3L)).toDF("h", "k"))
+    assert(Sketches.refresh(spark, mv) === "incremental",
+      "the replaced era's txn marker must never make the new rollup " +
+        "read as already-fresh")
+    assert(Sketches.withEstimate(mv.read)
+      .filter(col("h") === "x").select("n_rows").as[Long].head() === 2L)
+  }
+
   test("crash replay: a stale covered-version property replays the " +
        "merge as a txn no-op") {
     val root = tmpDir("sk3-")

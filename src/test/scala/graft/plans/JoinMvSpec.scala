@@ -160,4 +160,24 @@ class JoinMvSpec extends SparkSpec {
         .forall(_.contains("/mv/")))
     } finally MvRewrite.deregister(mv)
   }
+
+  test("metadata-only DDL commits are absorbless: a dim rename of an " +
+       "unreferenced column must not trigger an O(fact) rebuild") {
+    MvRewrite.install(spark)
+    val (fact, dim, mv) = fixture(sumAggs)
+    try {
+      dim.addColumns("note STRING")
+      assert(JoinMv.refresh(spark, mv) === "full") // add = (empty) append
+      dim.renameColumn("note", "comment")
+      assert(JoinMv.refresh(spark, mv) === "noop",
+        "a dim RENAME COLUMN is metadata-only — rebuilding the whole " +
+          "fact join for it is the bug this pins")
+      // and interleaved with fact data commits, the CDF path survives
+      fact.append(Seq((2, "p5", 11L)).toDF("t", "player", "v"))
+      fact.renameColumn("player", "athlete")
+      assert(JoinMv.refresh(spark, mv) === "cdf")
+      assert(mvRows(mv).find(_._1 == "blue").map(_._2) ===
+        Some(Some(16L)))
+    } finally MvRewrite.deregister(mv)
+  }
 }

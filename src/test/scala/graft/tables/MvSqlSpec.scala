@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, sum => fsum}
+import org.apache.spark.sql.functions.{call_function, col, count, lit, sum => fsum}
 
 import graft.SparkSpec
 import graft.plans.MvRewrite
@@ -807,5 +807,119 @@ class MvSqlSpec extends SparkSpec {
       assert(!sql.armMaterializedViews().contains("gold.mv_jarm"))
       assert(!scansMv(joinQ(cat)))
     } finally MvRewrite.deregister(mv)
+  }
+
+  test("join-MV agg re-key refuses when a later ADD COLUMN put the " +
+       "same name on BOTH sides (no silent side flip)") {
+    val (cat, sql) = joinWarehouse()
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jflip AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_jflip")
+    try {
+      // dim later gains `pts` — legal (ambiguity is checked at CREATE)
+      cat.table("silver", "jdim").addColumns("pts BIGINT")
+      val e = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.jfact RENAME COLUMN pts TO points"))
+      assert(e.getMessage.contains("BOTH join sides"),
+        s"expected the ambiguous re-key refusal, got: ${e.getMessage}")
+      // the stored definition is untouched
+      assert(mv.properties(graft.plans.JoinMv.AggsProp)
+        .contains("sum:pts:sum_pts"))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("approx_count_distinct MV: sketch-backed storage, incremental " +
+       "union refresh equals a one-shot rebuild, estimates present " +
+       "through the registered view, routing never arms") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "hits")
+    def batch(lo: Int, hi: Int) =
+      (lo until hi).map(i => (s"g${i % 2}", (i % 700).toLong)).toDF("g", "u")
+    src.append(batch(0, 3000))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_hll AS SELECT g, " +
+      "count(*) AS n, approx_count_distinct(u) AS du " +
+      "FROM silver.hits GROUP BY g")
+    val mv = cat.table("gold", "mv_hll")
+    try {
+      // storage is the mergeable sketch; presentation is the estimate
+      assert(mv.read.schema("du").dataType ===
+        org.apache.spark.sql.types.BinaryType)
+      cat.registerViews()
+      assert(spark.table("gold_mv_hll").schema("du").dataType ===
+        org.apache.spark.sql.types.LongType)
+      // transparent routing must never serve a sketch estimate as the
+      // query's own (differently-estimated) approx_count_distinct
+      import org.apache.spark.sql.functions.approx_count_distinct
+      assert(!scansMv(src.read.groupBy("g")
+        .agg(approx_count_distinct("u").as("d"))))
+      // incremental refresh: union of partials == one-shot rebuild,
+      // register for register
+      src.append(batch(2500, 6000))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_hll")
+        .select("mode").as[String].head() === "incremental")
+      cat.registerViews()
+      def estimates = spark.sql(
+        "SELECT g, n, du FROM gold_mv_hll ORDER BY g")
+        .as[(String, Long, Long)].collect().toSeq
+      val oneShot = src.read.groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          call_function("hll_sketch_estimate",
+            call_function("hll_sketch_agg", col("u"),
+              lit(GraftSql.MvHllLgK))).as("du"))
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(estimates === oneShot,
+        "merged sketches must EQUAL the from-scratch sketch, not " +
+          "merely approximate it")
+      // retraction: no change feed → full rebuild, still exact vs
+      // one-shot afterwards
+      src.delete(col("u") < 10L)
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_hll")
+        .select("mode").as[String].head() === "full")
+    } finally MvRewrite.deregisterRoot(mv.root)
+  }
+
+  test("CREATE OR REPLACE turning an armed exact MV into a " +
+       "sketch-bearing one drops the stale routing registration") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "ev")
+    src.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_swap AS SELECT k, " +
+      "count(*) AS cnt FROM silver.ev GROUP BY k")
+    val mv = cat.table("gold", "mv_swap")
+    try {
+      assert(scansMv(src.read.groupBy("k").agg(count(lit(1)).as("c"))))
+      sql.sql("CREATE OR REPLACE MATERIALIZED VIEW gold.mv_swap AS " +
+        "SELECT k, count(*) AS cnt, approx_count_distinct(v) AS dv " +
+        "FROM silver.ev GROUP BY k")
+      assert(!scansMv(src.read.groupBy("k").agg(count(lit(1)).as("c"))),
+        "the exact registration must not survive the sketch REPLACE")
+    } finally MvRewrite.deregisterRoot(mv.root)
+  }
+
+  test("sketch-rollup DDL guards: group column refuses RENAME/DROP, " +
+       "distinct column re-keys and the incremental path survives") {
+    val (cat, sql) = warehouse()
+    val src = cat.table("silver", "skevents")
+    src.append(Seq(("g0", 1L), ("g0", 2L), ("g1", 3L)).toDF("g", "k"))
+    val mv = cat.table("gold", "sk_rollup")
+    graft.ops.Sketches.create(src, mv, Seq("g"), "k")
+    val eGrp = intercept[IllegalArgumentException](sql.sql(
+      "ALTER TABLE silver.skevents RENAME COLUMN g TO grp"))
+    assert(eGrp.getMessage.contains("sketch rollup"))
+    val eDrop = intercept[IllegalArgumentException](sql.sql(
+      "ALTER TABLE silver.skevents DROP COLUMN k"))
+    assert(eDrop.getMessage.contains("sketch rollup"))
+    // the distinct column lives only in the definition — rename re-keys
+    sql.sql("ALTER TABLE silver.skevents RENAME COLUMN k TO key")
+    assert(mv.properties(graft.ops.Sketches.DistinctProp) === "key")
+    src.append(Seq(("g1", 4L)).toDF("g", "key"))
+    assert(graft.ops.Sketches.refresh(spark, mv) === "incremental",
+      "a rename commit is metadata-only and must not demote the " +
+        "append-only incremental path")
+    assert(graft.ops.Sketches.withEstimate(mv.read)
+      .filter(col("g") === "g1").select("n_rows").as[Long].head() === 2L)
   }
 }

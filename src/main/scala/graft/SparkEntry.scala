@@ -3353,6 +3353,32 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
     }),
 
+    // Incremental heavy hitters: a count-min sketch per group (counter-
+    // wise mergeable — the custom graft_cms_merge expression closes the
+    // gap Spark leaves after its count_min_sketch aggregate) plus an
+    // exact per-slice top-M candidate union. Items are log2 buckets of
+    // the order key, so ranks are separated by ~2× each — the oracle
+    // recomputes the EXACT counts and the estimates must equal them
+    // (the sketch can only overcount, and at 4000 cells vs 11 distinct
+    // items a collision is essentially impossible).
+    "q_cms_heavyhitters" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-cms-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        concat(lit("b"), floor(log2(col("l_orderkey") % 1024 + 1))
+          .cast("int").cast("string")).as("item"),
+        col("l_orderkey").as("okey"))
+      src.append(li.filter(col("okey") % 2 === 0).drop("okey"))
+      graft.ops.Sketches.createFreq(src, mv, Seq("flag"), "item")
+      src.append(li.filter(col("okey") % 2 =!= 0).drop("okey"))
+      val mode = graft.ops.Sketches.refreshFreq(s, mv)
+      graft.ops.Sketches.topFreqItems(mv.read, Seq("flag"), 5)
+        .withColumn("mode", lit(mode))
+        .orderBy("flag", "rank")
+    }),
+
     // approx_count_distinct through the SQL MV surface: the stored
     // column is a mergeable HLL sketch (BINARY), REFRESH absorbs
     // appends as register-wise unions (mode "incremental", never a
@@ -4138,6 +4164,18 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cms_heavyhitters" ->
+      """WITH it AS (SELECT l_returnflag AS flag,
+        |  'b' || CAST(CAST(floor(log2(l_orderkey % 1024 + 1)) AS INT)
+        |             AS VARCHAR) AS item FROM lineitem),
+        |c AS (SELECT flag, item, count(*) AS cnt FROM it GROUP BY 1, 2),
+        |r AS (SELECT flag, item, cnt, row_number() OVER (
+        |        PARTITION BY flag ORDER BY cnt DESC, item) AS rank
+        |      FROM c)
+        |SELECT flag, item, CAST(cnt AS BIGINT) AS est_count,
+        |  CAST(rank AS INT) AS rank, 'incremental' AS mode
+        |FROM r WHERE rank <= 5 ORDER BY flag, rank""".stripMargin,
 
     "q_sql_mv_hll" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,

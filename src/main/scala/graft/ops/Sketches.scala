@@ -149,4 +149,185 @@ object Sketches {
       finish("full")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Frequency rollups: count-min sketches + candidate heavy hitters
+  // ---------------------------------------------------------------------
+
+  val FreqSourceProp = "graft.cms.source"
+  val FreqGroupProp = "graft.cms.group"
+  val FreqItemProp = "graft.cms.item"
+  val FreqParamsProp = "graft.cms.params" // "eps,confidence,seed,topM"
+  val FreqVersionProp = "graft.cms.sourceVersion"
+  val FreqEpochProp = "graft.cms.epoch"
+  private val FreqTxnApp = "graft-cms:"
+
+  /** How many candidate items a rollup may carry per group before the
+    * refresh prunes them back to the estimate-ranked top `topM`. */
+  private def candidateCap(topM: Int): Int = 4 * topM
+
+  /** One-shot frequency rollup: per group, an exact row count, a
+    * count-min sketch of `itemCol` (mergeable: counter-wise sums), and
+    * the slice's EXACT top-`topM` items as the candidate set. A CMS
+    * answers "how often did X occur" but cannot enumerate X — the
+    * candidate set is the enumeration half of the heavy-hitter pair:
+    * every item that was top-`topM` in at least one absorbed slice
+    * stays queryable, and the sketch (an over-estimate, never under)
+    * ranks the union. */
+  def freqRollup(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                 eps: Double = 0.0005, confidence: Double = 0.99,
+                 seed: Int = 42, topM: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SketchFunctions.register(df.sparkSession)
+    val gc = groupCols.map(col)
+    val sketch = df.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("count_min_sketch", col(itemCol), lit(eps),
+          lit(confidence), lit(seed)).as("freq_sketch"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("cnt").desc, col("item"))
+    val cands = df.groupBy((gc :+ col(itemCol).as("item")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topM)
+      // struct-sorted so the array order is deterministic (count desc,
+      // item asc) — merge unions re-rank by estimate anyway
+      .groupBy(gc: _*)
+      .agg(expr("transform(array_sort(collect_list(struct(-cnt AS nc, " +
+        "item))), s -> s.item)").as("top_candidates"))
+    sketch.join(cands, groupCols)
+  }
+
+  /** The heavy-hitter readout: per group, the candidate items ranked by
+    * their sketch-estimated counts, top `k`. Estimates are CMS upper
+    * bounds (≥ the true count; equal with high probability at the
+    * default width). */
+  def topFreqItems(rollup: DataFrame, groupCols: Seq[String],
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SketchFunctions.register(rollup.sparkSession)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("est_count").desc, col("item"))
+    rollup
+      .select(groupCols.map(col) :+ col("freq_sketch") :+
+        explode(col("top_candidates")).as("item"): _*)
+      .withColumn("est_count",
+        call_function("graft_cms_estimate", col("freq_sketch"),
+          col("item")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(groupCols.map(col) :+ col("item") :+ col("est_count") :+
+        col("rank"): _*)
+  }
+
+  /** Materialize the frequency rollup of `src` into `mv` and persist
+    * the definition for [[refreshFreq]]. */
+  def createFreq(src: VersionedTable, mv: VersionedTable,
+                 groupCols: Seq[String], itemCol: String,
+                 eps: Double = 0.0005, confidence: Double = 0.99,
+                 seed: Int = 42, topM: Int = 20): Unit = {
+    val v = src.latestVersion.getOrElse(
+      sys.error(s"frequency rollup: empty table at ${src.root}"))
+    if (mv.exists) mv.clearBucketSpec()
+    mv.overwrite(freqRollup(src.readVersion(v), groupCols, itemCol,
+      eps, confidence, seed, topM))
+    val epoch = mv.properties.get(FreqEpochProp)
+      .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1
+    mv.setProperties(Map(
+      FreqSourceProp -> src.root, FreqGroupProp -> groupCols.mkString(","),
+      FreqItemProp -> itemCol,
+      FreqParamsProp -> s"$eps,$confidence,$seed,$topM",
+      FreqVersionProp -> v.toString, FreqEpochProp -> epoch.toString))
+  }
+
+  /** Catch the frequency rollup up with its source. Append-only tails
+    * absorb as counter-wise sketch sums plus a candidate-set union
+    * (`"incremental"` — O(appended rows)); CMS counters cannot
+    * retract, so slices with deletes rebuild (`"full"`). When a
+    * group's candidate union outgrows 4×topM, it is pruned back to the
+    * estimate-ranked topM in the same refresh — candidate state stays
+    * O(groups × topM) forever. */
+  def refreshFreq(spark: SparkSession, mv: VersionedTable): String = {
+    graft.functions.SketchFunctions.register(spark)
+    val props = mv.properties
+    val src = VersionedTable(spark, props.getOrElse(FreqSourceProp,
+      sys.error(s"${mv.root} is not a frequency rollup (no $FreqSourceProp)")))
+    val groupCols = props(FreqGroupProp).split(",").toSeq
+    val itemCol = props(FreqItemProp)
+    val Array(eps, conf, seed, topM) = props(FreqParamsProp).split(",")
+    val txnApp = FreqTxnApp + props.getOrElse(FreqEpochProp, "0") +
+      ":" + mv.root
+    val v0Prop = props(FreqVersionProp).toLong
+    val v0 = math.max(v0Prop, mv.lastTxnVersion(txnApp).getOrElse(v0Prop))
+    val hist = src.history
+    val head = hist.lastOption.map(_.version).getOrElse(v0)
+    val later = hist.filter(e => e.version > v0 && e.version <= head)
+    val absorbless = graft.tables.GraftSql.AbsorblessActions
+    def finish(mode: String): String = {
+      if (head > v0Prop)
+        mv.setProperties(Map(FreqVersionProp -> head.toString))
+      mode
+    }
+    def incremental(): Option[String] = {
+      val delta = freqRollup(src.readAddedBetween(v0, head), groupCols,
+        itemCol, eps.toDouble, conf.toDouble, seed.toInt, topM.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (graft.tables.GraftSql.hasNullKeys(delta, groupCols)) None
+        else {
+          mv.merge(delta, groupCols, updateExprs = Map(
+            "n_rows" -> ((t: Column, u: Column) => t + u),
+            // counter-wise sum — merged counters EXACTLY equal a
+            // rebuild's (CMS is a monoid under cell addition)
+            "freq_sketch" -> ((t: Column, u: Column) => coalesce(
+              call_function("graft_cms_merge", t, u), t, u)),
+            // both sides are non-null by construction (freqRollup's
+            // inner join yields candidates for every emitted group)
+            "top_candidates" -> ((t: Column, u: Column) =>
+              array_distinct(concat(t, u)))),
+            txn = Some((txnApp, head)))
+          pruneCandidates(mv, groupCols, topM.toInt, txnApp, head)
+          Some(finish("incremental"))
+        }
+      } finally { delta.unpersist(); () }
+    }
+    if (later.isEmpty || later.forall(e => absorbless(e.action)))
+      finish("noop")
+    else if (later.forall(e =>
+        e.action == "append" || absorbless(e.action)) &&
+        src.addedSetsLive(v0, head) && incremental().isDefined)
+      "incremental"
+    else {
+      mv.overwrite(freqRollup(src.readVersion(head), groupCols, itemCol,
+        eps.toDouble, conf.toDouble, seed.toInt, topM.toInt))
+      finish("full")
+    }
+  }
+
+  /** Bounded candidate state: any group whose union exceeded the cap
+    * re-ranks its candidates by sketch estimate and keeps topM. Rollup
+    * tables are group-count-sized, so this probe is metadata-cheap;
+    * the rewrite touches only oversized groups (bucket-COW). */
+  private def pruneCandidates(mv: VersionedTable, groupCols: Seq[String],
+                              topM: Int, txnApp: String,
+                              head: Long): Unit = {
+    val oversized = mv.read
+      .filter(size(col("top_candidates")) > candidateCap(topM))
+    if (!oversized.isEmpty) {
+      val prunedArrays = topFreqItems(oversized, groupCols, topM)
+        .groupBy(groupCols.map(col): _*)
+        .agg(expr("transform(array_sort(collect_list(struct(rank, " +
+          "item))), s -> s.item)").as("top_candidates"))
+      // full-schema update rows: only top_candidates changes, the
+      // sketch and count ride through untouched
+      val pruned = oversized.drop("top_candidates")
+        .join(prunedArrays, groupCols)
+      mv.merge(pruned, groupCols, updateExprs = Map(
+        "n_rows" -> ((t: Column, _: Column) => t),
+        "freq_sketch" -> ((t: Column, _: Column) => t),
+        "top_candidates" -> ((_: Column, u: Column) => u)),
+        txn = Some((txnApp + ":prune", head)))
+      ()
+    }
+  }
 }

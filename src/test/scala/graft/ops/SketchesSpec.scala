@@ -115,6 +115,68 @@ class SketchesSpec extends SparkSpec {
       .filter(col("h") === "x").select("n_rows").as[Long].head() === 2L)
   }
 
+  test("frequency rollup: merged count-min sketches EXACTLY equal a " +
+       "one-shot build; heavy hitters surface through the candidate " +
+       "union; estimates never undercount") {
+    val root = tmpDir("cms-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    // planted skew: item "hot" dominates group g0; "warm" is second
+    def slice(tag: String, hotN: Int, warmN: Int, noise: Range) =
+      (Seq.fill(hotN)(("g0", "hot")) ++ Seq.fill(warmN)(("g0", "warm")) ++
+        noise.map(i => ("g0", s"$tag-n$i"))).toDF("g", "item")
+    src.append(slice("a", 500, 200, 0 until 300))
+    Sketches.createFreq(src, mv, Seq("g"), "item", topM = 5)
+    src.append(slice("b", 400, 300, 0 until 300))
+    assert(Sketches.refreshFreq(spark, mv) === "incremental")
+    // merged sketch ≡ one-shot rebuild, byte for byte
+    val oneShot = Sketches.freqRollup(src.read, Seq("g"), "item", topM = 5)
+      .select("freq_sketch").as[Array[Byte]].head()
+    val merged = mv.read.select("freq_sketch").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(merged, oneShot),
+      "counter-wise CMS merge must equal the from-scratch sketch")
+    // readout: hot and warm rank 1/2 with their EXACT planted counts
+    val top = Sketches.topFreqItems(mv.read, Seq("g"), 2)
+      .select("item", "est_count", "rank")
+      .as[(String, Long, Int)].collect().toSeq.sortBy(_._3)
+    assert(top.map(_._1) === Seq("hot", "warm"))
+    assert(top.head._2 >= 900L, "CMS estimates never undercount")
+    // exactness at this width (4000 cells vs ~600 distinct): collisions
+    // would only INFLATE — equality pins the planted truth
+    assert(top === Seq(("hot", 900L, 1), ("warm", 500L, 2)))
+    // retraction → rebuild
+    src.delete(col("item") === "warm")
+    assert(Sketches.refreshFreq(spark, mv) === "full")
+    assert(Sketches.topFreqItems(mv.read, Seq("g"), 1)
+      .select("item").as[String].head() === "hot")
+  }
+
+  test("frequency rollup: candidate unions stay bounded — an oversized " +
+       "group prunes back to the estimate-ranked topM") {
+    val root = tmpDir("cms2-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    // topM=2, cap=8: each slice contributes 2 fresh candidate names,
+    // plus the persistent heavy pair
+    def slice(tag: String) =
+      (Seq.fill(50)(("g0", "hot")) ++ Seq.fill(30)(("g0", "warm")) ++
+        Seq.fill(5)(("g0", s"$tag-x")) ++ Seq.fill(4)(("g0", s"$tag-y")))
+        .toDF("g", "item")
+    src.append(slice("s0"))
+    Sketches.createFreq(src, mv, Seq("g"), "item", topM = 2)
+    (1 to 6).foreach { i =>
+      src.append(slice(s"s$i"))
+      assert(Sketches.refreshFreq(spark, mv) === "incremental")
+    }
+    val cands = mv.read.select(size(col("top_candidates")))
+      .as[Int].head()
+    assert(cands <= 8,
+      s"candidate state must stay O(topM), got $cands items")
+    // the persistent heavy pair survives every prune
+    assert(Sketches.topFreqItems(mv.read, Seq("g"), 2)
+      .select("item").as[String].collect().toSet === Set("hot", "warm"))
+  }
+
   test("crash replay: a stale covered-version property replays the " +
        "merge as a txn no-op") {
     val root = tmpDir("sk3-")

@@ -1165,6 +1165,49 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // ST13: the sink's INSERT-ONLY aggregate path — min/max and an hll
+    // sketch column maintained per trigger from an append-only change
+    // stream (the combine path: least/greatest + register union; no
+    // signed deltas, no rescans). Two drains pin the cross-batch
+    // merge; the estimate is checked against the exact distinct count
+    // (±5%), min/max/cnt are exact oracle columns.
+    "q_st13_sketch_sink" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st13-").toString
+      val src = VersionedTable(s, s"$tmp/src")
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        col("l_orderkey").cast("long").as("okey"),
+        floor(col("l_extendedprice")).cast("long").as("price"))
+      src.enableChangeFeed()
+      src.append(li.filter(col("okey") % 2 === 0))
+      def sync(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("readChangeFeed", "true").load(s"$tmp/src")
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$tmp/cp")
+          .option("mergeKeys", "flag")
+          .option("aggregate",
+            "min:price:min_p;max:price:max_p;count:*:cnt;hll:okey:du")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$tmp/mv")
+        q.awaitTermination()
+      }
+      sync()
+      src.append(li.filter(col("okey") % 2 =!= 0))
+      sync()
+      val exact = src.read.groupBy("flag")
+        .agg(countDistinct("okey").as("exact_distinct"))
+      VersionedTable(s, s"$tmp/mv").read
+        .selectExpr("flag", "min_p", "max_p", "cnt",
+          "hll_sketch_estimate(du) AS est")
+        .join(exact, Seq("flag"))
+        .select(col("flag"), col("min_p"), col("max_p"), col("cnt"),
+          col("exact_distinct"),
+          (abs(col("est") / col("exact_distinct") - 1.0) <= 0.05)
+            .as("estimate_ok"))
+        .orderBy("flag")
+    }),
+
     // DD9: fuzzy dedup by edit distance — min-shingle-blocked candidates
     // verified with the BANDED levenshtein built-in (O(k·min(|a|,|b|))
     // per pair, not O(|a||b|)). Plants: a 'Z'-prefixed variant arm at
@@ -4231,6 +4274,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Streaming MV maintenance: final aggregate over surviving rows.
+    "q_st13_sketch_sink" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(min(floor(l_extendedprice)) AS BIGINT) AS min_p,
+        |  CAST(max(floor(l_extendedprice)) AS BIGINT) AS max_p,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+        |  TRUE AS estimate_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_st12_mv_stream" ->
       """WITH survivors AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k,

@@ -249,7 +249,11 @@ object GraftTableSource {
   * view, O(changed rows) per trigger), optionally sliced by
   * `aggregateFilter = "<pred>"` (the streaming face of a filtered MV —
   * per-image filtering makes boundary-crossing updates absorb as the
-  * correct signed delta). The txn app id is the query's
+  * correct signed delta). Specs that cannot retract — min/max, hll
+  * (approx-distinct sketches), companion-less sums — run an
+  * INSERT-ONLY combine path instead (least/greatest, register union),
+  * valid over append-only sources; a retraction fails the query
+  * loudly. The txn app id is the query's
   * checkpoint location (stable across restarts) unless a `txnAppId`
   * option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
@@ -276,9 +280,45 @@ final class GraftTableSink(root: String, appId: String,
           "(.option(\"readChangeFeed\", \"true\") on the source)")
       val sliced = aggFilter.fold(batch)(p =>
         batch.filter(org.apache.spark.sql.functions.expr(p)))
-      graft.tables.GraftSql.applyCdfDelta(table, sliced,
-        mergeKeys, graft.tables.GraftSql.parseAggSpecs(aggregate.get),
-        txn = Some((appId, batchId)), partitionBy = partitionBy)
+      val aggs = graft.tables.GraftSql.parseAggSpecs(aggregate.get)
+      if (graft.tables.GraftSql.cdfMaintainable(aggs))
+        graft.tables.GraftSql.applyCdfDelta(table, sliced,
+          mergeKeys, aggs,
+          txn = Some((appId, batchId)), partitionBy = partitionBy)
+      else {
+        // min/max/hll specs cannot absorb retractions as signed deltas,
+        // but an INSERT-ONLY stream (a CDF over an append-only table —
+        // the shape every bronze landing produces) absorbs every agg
+        // through its combine: least/greatest for min/max, register
+        // union for hll sketches, addition for sum/count. The batch is
+        // aggregated ONCE, with a per-group retraction flag riding the
+        // same pass; a retraction anywhere fails the query loudly —
+        // there is no source table here to recompute from, and a wrong
+        // rollup must never land quietly.
+        import org.apache.spark.sql.functions.{col, max, when}
+        val delta = sliced.groupBy(mergeKeys.map(col): _*)
+          .agg(graft.tables.GraftSql.mvAggColumns(aggs).head,
+            graft.tables.GraftSql.mvAggColumns(aggs).tail :+
+              max(when(col("_change_type") =!= "insert", 1).otherwise(0))
+                .as("__retract"): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          require(delta.filter(col("__retract") === 1).limit(1).isEmpty,
+            "graft-table sink: this aggregate spec has min/max or " +
+              "approx_count_distinct — those cannot retract, so the " +
+              "stream must be insert-only (append-only source); got " +
+              "update/delete change rows")
+          require(!graft.tables.GraftSql.hasNullKeys(delta, mergeKeys),
+            "graft-table sink: NULL group key in the aggregate batch — " +
+              "NULL keys cannot merge (SQL MERGE: NULL never matches)")
+          table.merge(delta.drop("__retract"), mergeKeys,
+            updateExprs = aggs.map { case (f, _, o) =>
+              o -> graft.tables.GraftSql.mvCombine(f)
+            }.toMap,
+            txn = Some((appId, batchId)), partitionBy = partitionBy)
+          ()
+        } finally { delta.unpersist(); () }
+      }
     } else if (applyChanges) {
       // APPLY CHANGES INTO (DLT) over a CDF stream: the micro-batch
       // carries _change_type/_commit_version rows from a change-feed
@@ -389,17 +429,16 @@ final class GraftTableSourceProvider extends StreamSourceProvider
         "— the MV's group columns")
     require(aggregate.isEmpty || !applyChanges,
       "graft-table sink: aggregate and applyChanges are alternative modes")
-    // fail FAST on the spec itself: parse it and check maintainability
-    // here, at query start — not inside addBatch when the first
-    // micro-batch arrives minutes later. parseAggSpecs throws on a
-    // malformed string; cdfMaintainable rejects min/max and sums
-    // without count companions (signed deltas cannot retract them).
+    // fail FAST on the spec itself: parse it here, at query start — not
+    // inside addBatch when the first micro-batch arrives minutes later.
+    // parseAggSpecs throws on a malformed string. Maintainability picks
+    // the runtime path: cdfMaintainable specs absorb retractions as
+    // signed deltas; anything else (min/max, hll, companion-less sums)
+    // runs the insert-only combine path, which fails loudly at the
+    // first batch carrying a retraction.
     aggregate.foreach { spec =>
-      val aggs = graft.tables.GraftSql.parseAggSpecs(spec)
-      require(graft.tables.GraftSql.cdfMaintainable(aggs),
-        "graft-table sink: aggregate mode needs count(*) plus " +
-          "sum/count-only aggregates (with count(c) for every sum(c)); " +
-          s"got $spec")
+      graft.tables.GraftSql.parseAggSpecs(spec)
+      ()
     }
     // optional row predicate — the streaming face of a FILTERED MV: the
     // change feed is filtered per image, so rows crossing the predicate

@@ -609,25 +609,70 @@ class TableStreamSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("change-feed")))
   }
 
-  test("sink: a non-maintainable aggregate spec fails at query START, " +
+  test("sink: a malformed aggregate spec fails at query START, " +
        "not at the first micro-batch") {
     val src = tmpDir("ts-aggspec-src-")
     val t = VersionedTable(spark, src)
     t.enableChangeFeed()
     t.append(Seq(("a", 1L)).toDF("k", "v"))
-    // min can't retract under signed deltas — createSink must refuse
-    // before any trigger fires
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[RuntimeException] {
       spark.readStream.format("graft-table")
         .option("readChangeFeed", "true").load(src)
         .writeStream.format("graft-table")
         .option("checkpointLocation", tmpDir("ts-aggspec-cp-"))
         .option("mergeKeys", "k")
-        .option("aggregate", "min:v:m;count:*:c")
+        .option("aggregate", "avg:v:m;count:*:c")
         .trigger(Trigger.AvailableNow())
         .start(tmpDir("ts-aggspec-mv-"))
     }
-    assert(e.getMessage.contains("sum/count-only"))
+    assert(e.getMessage.contains("bad aggregate spec"))
+  }
+
+  test("sink: insert-only aggregate path maintains min/max and hll " +
+       "sketch columns from an append-only stream; a retraction fails " +
+       "the query loudly") {
+    val src = tmpDir("ts-ins-src-")
+    val mvRoot = tmpDir("ts-ins-mv-")
+    val cp = tmpDir("ts-ins-cp-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append(Seq(("a", 10L), ("a", 2L), ("b", 5L)).toDF("k", "v"))
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .option("aggregate", "min:v:min_v;max:v:max_v;count:*:cnt;hll:v:du")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    sync()
+    val mv = VersionedTable(spark, mvRoot)
+    def state(): Set[(String, Long, Long, Long, Long)] =
+      mv.read.selectExpr("k", "min_v", "max_v", "cnt",
+        "hll_sketch_estimate(du)")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(state() === Set(("a", 2L, 10L, 2L, 2L), ("b", 5L, 5L, 1L, 1L)))
+    // a second append: mins/maxes combine, sketches union, all per key
+    t.append(Seq(("a", 7L), ("c", 3L)).toDF("k", "v"))
+    sync()
+    assert(state() === Set(("a", 2L, 10L, 3L, 3L), ("b", 5L, 5L, 1L, 1L),
+      ("c", 3L, 3L, 1L, 1L)))
+    // replay with nothing new: idempotent
+    sync()
+    assert(state() === Set(("a", 2L, 10L, 3L, 3L), ("b", 5L, 5L, 1L, 1L),
+      ("c", 3L, 3L, 1L, 1L)))
+    // a delete reaches the insert-only path → the query fails loudly
+    t.delete($"k" === "b")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      sync()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e0 =>
+        Option(e0.getMessage).toSeq ++ messages(e0.getCause))
+    assert(messages(e).exists(_.contains("insert-only")))
   }
 
   test("readChangeFeed mode streams row-level updates and deletes") {

@@ -3396,6 +3396,39 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
     }),
 
+    // Read governance: ALTER TABLE SET ROW FILTER + column masks,
+    // enforced on the registered warehouse views per session principal
+    // (current_principal() binds at registration). Two sessions read
+    // the same table: the segment analyst sees only their rows with a
+    // masked phone; admin sees everything unmasked. The oracle replays
+    // both policies relationally.
+    "q_sql_governance" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-gov-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      cat.table("silver", "cust").append(
+        t(s, dir, "customer").select(
+          col("c_custkey").cast("long").as("ck"),
+          col("c_mktsegment").as("seg"), col("c_name").as("name"),
+          floor(col("c_acctbal")).cast("long").as("bal")))
+      gsql.sql("ALTER TABLE silver.cust SET ROW FILTER " +
+        "(seg = current_principal() OR current_principal() = 'admin')")
+      gsql.sql("ALTER TABLE silver.cust ALTER COLUMN name SET MASK " +
+        "(CASE WHEN current_principal() = 'admin' THEN name " +
+        "ELSE concat('***', right(name, 4)) END)")
+      def readAs(p: String) = {
+        s.conf.set("spark.graft.principal", p)
+        cat.registerViews()
+        s.sql("SELECT count(*) AS n_visible, sum(bal) AS sum_bal, " +
+          "min(name) AS min_name FROM silver_cust")
+          .withColumn("who", lit(p))
+      }
+      try readAs("BUILDING").unionByName(readAs("admin")).orderBy("who")
+      finally s.conf.unset("spark.graft.principal")
+    }),
+
     // Incremental heavy hitters: a count-min sketch per group (counter-
     // wise mergeable — the custom graft_cms_merge expression closes the
     // gap Spark leaves after its count_min_sketch aggregate) plus an
@@ -4207,6 +4240,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_governance" ->
+      """SELECT 'BUILDING' AS who, CAST(count(*) AS BIGINT) AS n_visible,
+        |  CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_bal,
+        |  min('***' || right(c_name, 4)) AS min_name
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT 'admin' AS who, CAST(count(*) AS BIGINT) AS n_visible,
+        |  CAST(sum(CAST(floor(c_acctbal) AS BIGINT)) AS BIGINT) AS sum_bal,
+        |  min(c_name) AS min_name
+        |FROM customer ORDER BY who""".stripMargin,
 
     "q_cms_heavyhitters" ->
       """WITH it AS (SELECT l_returnflag AS flag,

@@ -49,9 +49,10 @@ final class Catalog(spark: SparkSession, root: String) {
     tables.flatMap { case (l, t) =>
       val name = s"${l}_$t"
       val tbl = table(l, t)
-      // MV tables with sketch-backed (approx_count_distinct) columns
-      // present the BIGINT estimates, not the raw register bytes
-      GraftSql.presentMvRead(tbl).createOrReplaceTempView(name)
+      // governed read: sketch columns present as estimates, row
+      // filters trim, column masks rewrite — per the SESSION's
+      // principal (re-register after changing spark.graft.principal)
+      GraftSql.governedRead(tbl).createOrReplaceTempView(name)
       tbl.historyDf.createOrReplaceTempView(s"${name}_history")
       Seq(name, s"${name}_history")
     } ++ registerDurableViews()

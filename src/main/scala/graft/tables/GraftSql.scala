@@ -45,6 +45,11 @@ import org.apache.spark.sql.types.StructType
   *     re-registered on catalog open; TEMP views stay Spark-native)
   *   DROP VIEW [IF EXISTS] <name>             -- ledger names; others delegate
   *   SHOW VIEWS                               -- the durable-view ledger
+  *   ALTER TABLE <t> SET ROW FILTER (<pred>)   -- read governance: rows
+  *     trimmed per session (current_principal() binds at registration)
+  *   ALTER TABLE <t> DROP ROW FILTER
+  *   ALTER TABLE <t> ALTER COLUMN c SET MASK (<expr>)  -- masked reads
+  *   ALTER TABLE <t> ALTER COLUMN c DROP MASK
   *   GRANT p1[, p2] ON TABLE|SCHEMA|CATALOG <obj> TO `principal`
   *   REVOKE p1[, p2] ON … FROM `principal`    -- durable _grants ledger
   *   SHOW GRANTS [ON <obj> | TO `principal`]  -- enforced at this funnel
@@ -466,6 +471,12 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // validated BEFORE the rename commits: a refusal below must not
         // leave the table renamed with a stale, un-re-keyed definition
         requireJoinMvRekeyUnambiguous(t.root, f)
+        // a row filter / column mask referencing the column would stop
+        // resolving (policy text cannot be re-keyed safely) — and a
+        // governance policy that silently stops applying is a leak
+        require(!governanceCols(t).contains(f),
+          s"RENAME COLUMN: `$f` is referenced by a row filter or " +
+            "column mask — drop the policy first")
         val df = versionDf(t.renameColumn(f, tn))
         // AGG source columns live only in the stored definition — re-key
         // them so later REFRESHes resolve under the new name (the
@@ -512,6 +523,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         require(sketchDeps.isEmpty,
           s"DROP COLUMN: `$name` is referenced by sketch rollup(s) " +
             s"${sketchDeps.map(_._1).mkString(", ")} — drop them first")
+        require(!governanceCols(t).contains(name),
+          s"DROP COLUMN: `$name` is referenced by a row filter or " +
+            "column mask — drop the policy first")
         versionDf(t.dropColumn(name))
       }
     case SetDefaultStmt(ident, c, dexpr) =>
@@ -542,6 +556,49 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         t.widenColumnType(name, dt)
         import spark.implicits._
         Seq((name, dt.simpleString)).toDF("column", "new_type")
+      }
+    // Row filters and column masks (Databricks/UC read governance):
+    // durable in table properties, enforced on every registered-view
+    // read (Catalog.registerViews binds governedRead). Validated HERE —
+    // a predicate/mask that cannot resolve must fail the DDL, not every
+    // later SELECT. current_principal() is substituted per session.
+    case SetRowFilterStmt(ident, pred) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        val p = pred.trim
+        // validate with a dummy principal: the filter must resolve for
+        // EVERY session, including ones with no principal bound
+        t.read.filter(expr(GraftSql.substPrincipal(p, Some("__probe__"))))
+          .queryExecution.analyzed
+        t.setProperties(Map(GraftSql.RowFilterProp -> p))
+        Seq((ident, p)).toDF("table", "row_filter")
+      }
+    case DropRowFilterStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        t.unsetProperties(Seq(GraftSql.RowFilterProp))
+        Seq(ident).toDF("dropped_row_filter")
+      }
+    case SetMaskStmt(ident, c, m) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        val name = stripTicks(c)
+        val schema = t.read.schema
+        require(schema.fieldNames.contains(name),
+          s"SET MASK: no column `$name` in ${t.root}")
+        val mexpr = m.trim
+        // the mask may reference the row's other columns; it must cast
+        // back to the column's own type (schema-stable governance)
+        t.read.select(expr(GraftSql.substPrincipal(mexpr, Some("__probe__")))
+          .cast(schema(name).dataType)).queryExecution.analyzed
+        t.setProperties(Map(GraftSql.ColumnMaskPrefix + name -> mexpr))
+        Seq((name, mexpr)).toDF("column", "mask_expr")
+      }
+    case DropMaskStmt(ident, c) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        t.unsetProperties(Seq(GraftSql.ColumnMaskPrefix + stripTicks(c)))
+        Seq(stripTicks(c)).toDF("dropped_mask")
       }
     case SetNotNullStmt(ident, c) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
@@ -1216,6 +1273,26 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
         .map(_._2).filterNot(_ == "*").toSet ++
       mvWhereCols(props)
+
+  /** Columns the table's OWN governance policies reference: masked
+    * column names, plus every attribute the row-filter predicate and
+    * mask expressions mention — protected from RENAME/DROP like MV
+    * predicate columns (policy text cannot be re-keyed safely, and a
+    * policy that silently stops applying is a leak). */
+  private def governanceCols(t: VersionedTable): Set[String] = {
+    val props = t.properties
+    def refs(s: String): Set[String] =
+      spark.sessionState.sqlParser
+        .parseExpression(GraftSql.substPrincipal(s, Some("x"))).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.toSet
+    val masked = props.collect {
+      case (k, v) if k.startsWith(GraftSql.ColumnMaskPrefix) =>
+        Set(k.stripPrefix(GraftSql.ColumnMaskPrefix)) ++ refs(v)
+    }.flatten.toSet
+    masked ++ props.get(GraftSql.RowFilterProp).map(refs).getOrElse(Set.empty)
+  }
 
   /** Columns a filtered MV's stored predicate references — they must be
     * protected from RENAME/DROP like group columns (the predicate text
@@ -2278,6 +2355,53 @@ object GraftSql {
       }).as(out)
     }
 
+  /** Row-filter predicate applied to every governed read of the table
+    * (`ALTER TABLE … SET ROW FILTER (pred)`). May reference
+    * `current_principal()`, substituted from `spark.graft.principal`
+    * at read-registration time (NULL when unset — a filter comparing
+    * against it then matches nothing, deny-by-default). */
+  val RowFilterProp = "graft.rowFilter"
+  /** Per-column mask expressions (`ALTER TABLE … ALTER COLUMN c SET
+    * MASK (expr)`): property key `graft.columnMask.<col>`. */
+  val ColumnMaskPrefix = "graft.columnMask."
+
+  /** `current_principal()` → the session principal as a string literal
+    * (the predicate/mask text stays principal-free and durable; each
+    * session binds its own identity at registration). */
+  private[graft] def substPrincipal(sql: String,
+                                    principal: Option[String]): String =
+    """(?i)current_principal\s*\(\s*\)""".r.replaceAllIn(sql,
+      java.util.regex.Matcher.quoteReplacement(
+        principal.map(p => "'" + p.replace("'", "''") + "'")
+          .getOrElse("CAST(NULL AS STRING)")))
+
+  /** The fully-governed reader-facing relation: MV sketch presentation
+    * ([[presentMvRead]]), then the row filter (on UNMASKED values —
+    * the filter is policy, it must see the truth), then column masks
+    * (cast back to the column's type, so the governed schema equals
+    * the physical one). This is what [[Catalog.registerViews]] binds —
+    * SQL readers see policy-trimmed rows and masked values; the
+    * physical table is reached only by owner-level library code, the
+    * same trust line the grants ledger draws. */
+  private[graft] def governedRead(tbl: VersionedTable): DataFrame = {
+    val base = presentMvRead(tbl)
+    val props = tbl.properties
+    val principal = base.sparkSession.conf.getOption(PrincipalConf)
+      .filter(_.nonEmpty)
+    def subst(s: String): String = substPrincipal(s, principal)
+    val filtered = props.get(RowFilterProp)
+      .fold(base)(p => base.filter(expr(subst(p))))
+    val masks = props.collect {
+      case (k, v) if k.startsWith(ColumnMaskPrefix) =>
+        k.stripPrefix(ColumnMaskPrefix) -> v
+    }
+    if (masks.isEmpty) filtered
+    else filtered.select(base.schema.fields.toSeq.map { f =>
+      masks.get(f.name).fold(col(f.name))(m =>
+        expr(subst(m)).cast(f.dataType).as(f.name))
+    }: _*)
+  }
+
   /** The reader-facing relation of an MV table: sketch-typed columns
     * (the `hll` specs' BINARY storage) present as their BIGINT
     * estimates under the SAME name, everything else verbatim — so
@@ -2985,6 +3109,18 @@ object GraftSql {
   private val AlterColTypeStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+TYPE\s+([\w]+)\s*;?\s*""").r
+  private val SetRowFilterStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+SET\s+ROW\s+FILTER\s*\((.+)\)\s*;?\s*""").r
+  private val DropRowFilterStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+ROW\s+FILTER\s*;?\s*""").r
+  private val SetMaskStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+MASK\s*\((.+)\)\s*;?\s*""").r
+  private val DropMaskStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+DROP\s+MASK\s*;?\s*""").r
   private val SetNotNullStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|\w+)\s+SET\s+NOT\s+NULL\s*;?\s*""").r

@@ -197,4 +197,76 @@ class GrantsSpec extends SparkSpec {
       "GRANT SELECT, EXECUTE ON TABLE gold.dim_player TO `bob`"))
     assert(cat.grants === before, "no partial grant may persist")
   }
+
+  test("row filter trims registered-view reads per session principal; " +
+       "no principal bound means deny-by-default for principal-keyed " +
+       "filters") {
+    val (_, cat) = freshCat("rls-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE silver.sales (region STRING, amount BIGINT)")
+    gsql.sql("INSERT INTO silver.sales VALUES ('eu', 10), ('eu', 20), " +
+      "('us', 7)")
+    gsql.sql(
+      "ALTER TABLE silver.sales SET ROW FILTER " +
+        "(region = current_principal() OR current_principal() = 'admin')")
+    try {
+      spark.conf.set(GraftSql.PrincipalConf, "eu")
+      cat.registerViews()
+      assert(spark.table("silver_sales").count() === 2)
+      spark.conf.set(GraftSql.PrincipalConf, "admin")
+      cat.registerViews()
+      assert(spark.table("silver_sales").count() === 3)
+      // unbound principal → current_principal() is NULL → no row matches
+      spark.conf.unset(GraftSql.PrincipalConf)
+      cat.registerViews()
+      assert(spark.table("silver_sales").count() === 0)
+      // drop restores full visibility
+      gsql.sql("ALTER TABLE silver.sales DROP ROW FILTER")
+      cat.registerViews()
+      assert(spark.table("silver_sales").count() === 3)
+      // a filter that cannot resolve fails the DDL, not later SELECTs
+      assertThrows[Exception](gsql.sql(
+        "ALTER TABLE silver.sales SET ROW FILTER (no_such_col > 1)"))
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+  }
+
+  test("column masks rewrite governed reads schema-stably; the row " +
+       "filter sees UNMASKED values; policy columns refuse RENAME/DROP") {
+    val (_, cat) = freshCat("mask-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE silver.users (uid BIGINT, email STRING, " +
+      "region STRING)")
+    gsql.sql("INSERT INTO silver.users VALUES (1, 'a@x.io', 'eu'), " +
+      "(2, 'b@y.io', 'us')")
+    gsql.sql("ALTER TABLE silver.users ALTER COLUMN email SET MASK " +
+      "(CASE WHEN current_principal() = 'admin' THEN email " +
+      "ELSE '***' END)")
+    gsql.sql("ALTER TABLE silver.users SET ROW FILTER (email LIKE '%@%')")
+    try {
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      cat.registerViews()
+      val rows = spark.table("silver_users")
+        .select("uid", "email").as[(Long, String)].collect().toSet
+      // filter matched the TRUE emails; the output shows the mask
+      assert(rows === Set((1L, "***"), (2L, "***")))
+      assert(spark.table("silver_users").schema("email").dataType ===
+        org.apache.spark.sql.types.StringType)
+      spark.conf.set(GraftSql.PrincipalConf, "admin")
+      cat.registerViews()
+      assert(spark.table("silver_users").select("email").as[String]
+        .collect().toSet === Set("a@x.io", "b@y.io"))
+      // governance references pin the schema
+      val eRen = intercept[IllegalArgumentException](gsql.sql(
+        "ALTER TABLE silver.users RENAME COLUMN email TO mail"))
+      assert(eRen.getMessage.contains("row filter or column mask"))
+      val eDrop = intercept[IllegalArgumentException](gsql.sql(
+        "ALTER TABLE silver.users DROP COLUMN email"))
+      assert(eDrop.getMessage.contains("row filter or column mask"))
+      // drop the policies → DDL frees up
+      gsql.sql("ALTER TABLE silver.users ALTER COLUMN email DROP MASK")
+      gsql.sql("ALTER TABLE silver.users DROP ROW FILTER")
+      gsql.sql("ALTER TABLE silver.users RENAME COLUMN email TO mail")
+      ()
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+  }
 }

@@ -3396,6 +3396,45 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
     }),
 
+    // MV12: star-schema join MV — lineitem fact joined through TWO
+    // pinned dims (orders → customer segment), maintained from the
+    // fact's change feed: (F+ΔF)⋈D1⋈D2 = F⋈D* + ΔF⋈D*, so appends AND
+    // the delete absorb as one signed-delta slice (mode "cdf", never a
+    // refetch of the fact). `fresh` pins SHOW MV's multi-dim coverage.
+    "q_mv12_star" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-mv12-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("qty"))
+      val fact = cat.table("silver", "fct")
+      fact.enableChangeFeed()
+      fact.append(li.filter(col("okey") % 2 === 1))
+      cat.table("silver", "ords").append(t(s, dir, "orders").select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("ck")))
+      cat.table("silver", "cust").append(t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg")))
+      gsql.sql("CREATE MATERIALIZED VIEW gold.mv_star AS SELECT seg, " +
+        "sum(qty) AS sum_qty, count(qty) AS cnt_qty, count(*) AS cnt " +
+        "FROM silver.fct JOIN silver.ords USING (okey) " +
+        "JOIN silver.cust USING (ck) GROUP BY seg")
+      fact.append(li.filter(col("okey") % 2 === 0))
+      gsql.sql("DELETE FROM silver.fct WHERE okey % 9 = 0")
+      val mode = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_star")
+        .select("mode").as[String].head()
+      val fresh = gsql.sql("SHOW MATERIALIZED VIEWS")
+        .filter(col("mv") === "gold.mv_star")
+        .select("fresh").head().getBoolean(0)
+      cat.table("gold", "mv_star").read
+        .select("seg", "sum_qty", "cnt")
+        .withColumn("mode", lit(mode))
+        .withColumn("fresh", lit(fresh))
+        .orderBy("seg")
+    }),
+
     // Read governance: ALTER TABLE SET ROW FILTER + column masks,
     // enforced on the registered warehouse views per session principal
     // (current_principal() binds at registration). Two sessions read
@@ -4240,6 +4279,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mv12_star" ->
+      """WITH f AS (SELECT l_orderkey AS okey,
+        |             CAST(l_quantity AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey % 9 <> 0),
+        |o AS (SELECT o_orderkey AS okey, o_custkey AS ck FROM orders),
+        |c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer)
+        |SELECT seg, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt, 'cdf' AS mode, TRUE AS fresh
+        |FROM f JOIN o USING (okey) JOIN c USING (ck)
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_sql_governance" ->
       """SELECT 'BUILDING' AS who, CAST(count(*) AS BIGINT) AS n_visible,

@@ -1,69 +1,84 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.tables.{GraftSql, VersionedTable}
 
-/** Join-shaped materialized views: `SELECT g…, aggs… FROM fact JOIN dim
-  * ON keys GROUP BY g…` materialized as a table, transparently routed
-  * by [[MvRewrite.registerJoin]], and MAINTAINED incrementally from the
-  * FACT table's change feed — the reference's gold fact⋈dim rollups
+/** Join-shaped materialized views: `SELECT g…, aggs… FROM fact JOIN dim₁
+  * ON keys₁ [JOIN dim₂ ON keys₂ …] GROUP BY g…` materialized as a
+  * table, transparently routed by [[MvRewrite.registerJoinChain]], and
+  * MAINTAINED incrementally from the FACT table's
+  * change feed — the reference's gold fact⋈dims rollups
   * (notebooks/04_gold, scheduled full recomputes) as an incrementally
-  * kept table.
+  * kept table, including the star-schema shape (one churning fact, any
+  * number of slow dims).
   *
-  * '''Maintenance math.''' With the dim side FIXED at its covered
+  * '''Maintenance math.''' With EVERY dim side FIXED at its covered
   * snapshot, the inner join distributes over the fact's row-set delta:
-  * `(F + ΔF) ⋈ D = (F ⋈ D) + (ΔF ⋈ D)`. So one slice of the fact's
-  * row-level change feed, joined to the PINNED dim snapshot, is itself
-  * a valid signed change slice for the flat group-by — and the whole
-  * single-table signed-delta machinery ([[GraftSql.applyCdfDelta]]:
-  * +postimage/insert, −preimage/delete, emptied groups drop, all-NULL
-  * sums NULL-fix) applies verbatim. A duplicate-keyed dim multiplies
-  * delta rows exactly as it multiplies a full recompute's, so the
-  * identity needs no uniqueness assumption. Cost per refresh:
-  * O(changed fact rows) + the touched MV cells — never O(fact).
+  * `(F + ΔF) ⋈ D₁ ⋈ … ⋈ Dₙ = (F ⋈ D*) + (ΔF ⋈ D*)`. So one slice of
+  * the fact's row-level change feed, joined to the PINNED dim
+  * snapshots, is itself a valid signed change slice for the flat
+  * group-by — and the whole single-table signed-delta machinery
+  * ([[GraftSql.applyCdfDelta]]: +postimage/insert, −preimage/delete,
+  * emptied groups drop, all-NULL sums NULL-fix) applies verbatim.
+  * Duplicate-keyed dims multiply delta rows exactly as they multiply a
+  * full recompute's, so the identity needs no uniqueness assumption.
+  * Cost per refresh: O(changed fact rows) + the touched MV cells —
+  * never O(fact).
   *
-  * '''Dim changes''' break the fixed-dim identity and trigger a full
+  * '''Dim changes''' break the fixed-dims identity and trigger a full
   * re-materialization (the Databricks MV position for non-SCD dims);
   * dims are small and slow-moving by construction, so this is the
   * right trade at 100 TB — the fact table is what churns.
   *
-  * State is durable in the MV table's properties (`graft.mv.join.*`),
-  * so [[refresh]] works in a fresh process and re-arms routing, the
-  * same restart discipline as the SQL MV surface. Exactly-once across
-  * crash/retry: the maintenance merge carries a txn marker keyed on
-  * the covered fact version, and refresh resumes from
-  * max(property, txn ledger) — a replayed slice is a metadata no-op.
-  */
+  * State is durable in the MV table's properties (`graft.mv.join.*`;
+  * multi-dim definitions `;`-join roots/versions and `|`-join per-dim
+  * key lists — the single-dim format is the degenerate case, so
+  * pre-existing definitions parse unchanged), so [[refresh]] works in
+  * a fresh process and re-arms routing, the same restart discipline as
+  * the SQL MV surface. Exactly-once across crash/retry: the
+  * maintenance merge carries a txn marker keyed on the covered fact
+  * version, and refresh resumes from max(property, txn ledger) — a
+  * replayed slice is a metadata no-op. */
 object JoinMv {
 
   val FactProp = "graft.mv.join.fact"
+  /** `;`-joined dim roots (one entry → the original single-dim form). */
   val DimProp = "graft.mv.join.dim"
-  val KeysProp = "graft.mv.join.keys" // "lk=rk,…"
+  /** Per-dim `lk=rk,…` lists, `|`-joined across dims. */
+  val KeysProp = "graft.mv.join.keys"
   val GroupProp = "graft.mv.join.group"
   val AggsProp = "graft.mv.join.aggs" // "fn:col:out;…"
   val FactVersionProp = "graft.mv.join.factVersion"
+  /** `;`-joined covered dim versions, positionally matching [[DimProp]]. */
   val DimVersionProp = "graft.mv.join.dimVersion"
   /** Bumped on every [[create]] — namespaces the txn ledger so markers
     * from a replaced definition era are never consulted. */
   val EpochProp = "graft.mv.join.epoch"
   private val TxnApp = "graft-mvjoin:"
 
-  /** The registered join, aggregated: both sides PINNED at explicit
-    * versions (maintenance must never read a live head another writer
+  /** One dim side of a definition: table + this join's key pairs. */
+  final case class DimSide(table: VersionedTable,
+                           keys: Seq[(String, String)])
+
+  /** The registered join, aggregated: every side PINNED at an explicit
+    * version (maintenance must never read a live head another writer
     * is advancing). */
-  private def rollup(fact: VersionedTable, dim: VersionedTable,
-                     keys: Seq[(String, String)], groupCols: Seq[String],
+  private def rollup(fact: VersionedTable, dims: Seq[DimSide],
+                     groupCols: Seq[String],
                      aggs: Seq[(String, String, String)],
-                     factV: Long, dimV: Long): DataFrame = {
-    val f = fact.readVersion(factV)
-    val d = dim.readVersion(dimV)
-    joinOn(f, d, keys)
-      .groupBy(groupCols.map(col): _*)
+                     factV: Long, dimVs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val joined = joinAll(fact.readVersion(factV),
+      dims.zip(dimVs).map { case (d, v) => (d.table.readVersion(v), d.keys) })
+    joined.groupBy(groupCols.map(col): _*)
       .agg(GraftSql.mvAggColumns(aggs).head,
         GraftSql.mvAggColumns(aggs).tail: _*)
   }
+
+  private def joinAll(f: DataFrame,
+                      dims: Seq[(DataFrame, Seq[(String, String)])]): DataFrame =
+    dims.foldLeft(f) { case (acc, (d, keys)) => joinOn(acc, d, keys) }
 
   private def joinOn(f: DataFrame, d: DataFrame,
                      keys: Seq[(String, String)]): DataFrame = {
@@ -76,14 +91,22 @@ object JoinMv {
   }
 
   /** Materialize the join rollup into `mv` at the sources' CURRENT
-    * versions, persist the definition, and arm transparent routing. */
+    * versions, persist the definition, and (single-dim, exact aggs)
+    * arm transparent routing. */
   def create(fact: VersionedTable, dim: VersionedTable,
              keys: Seq[(String, String)], groupCols: Seq[String],
-             aggs: Seq[MvRewrite.AggSpec], mv: VersionedTable): Unit = {
+             aggs: Seq[MvRewrite.AggSpec], mv: VersionedTable): Unit =
+    create(fact, Seq(DimSide(dim, keys)), groupCols, aggs, mv)
+
+  /** Star-schema form: one fact, any number of pinned dims. */
+  def create(fact: VersionedTable, dims: Seq[DimSide],
+             groupCols: Seq[String], aggs: Seq[MvRewrite.AggSpec],
+             mv: VersionedTable): Unit = {
+    require(dims.nonEmpty, "join MV: at least one dim side")
     val factV = fact.latestVersion.getOrElse(
       sys.error(s"join MV: empty fact table at ${fact.root}"))
-    val dimV = dim.latestVersion.getOrElse(
-      sys.error(s"join MV: empty dim table at ${dim.root}"))
+    val dimVs = dims.map(d => d.table.latestVersion.getOrElse(
+      sys.error(s"join MV: empty dim table at ${d.table.root}")))
     val specs = aggs.map(a => (a.fn, a.col, a.mvCol))
     // a REPLACE with a different group set must not inherit the old
     // definition's merge bucketing; and a replaced SINGLE-TABLE MV's
@@ -93,59 +116,75 @@ object JoinMv {
       mv.unsetProperties(Seq(GraftSql.MvSourceProp, GraftSql.MvGroupProp,
         GraftSql.MvAggsProp, GraftSql.MvVersionProp, GraftSql.MvWhereProp))
     }
-    mv.overwrite(rollup(fact, dim, keys, groupCols, specs, factV, dimV))
+    mv.overwrite(rollup(fact, dims, groupCols, specs, factV, dimVs))
     val epoch = mv.properties.get(EpochProp)
       .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1
     mv.setProperties(Map(
-      FactProp -> fact.root, DimProp -> dim.root,
-      KeysProp -> keys.map { case (l, r) => s"$l=$r" }.mkString(","),
+      FactProp -> fact.root,
+      DimProp -> dims.map(_.table.root).mkString(";"),
+      KeysProp -> dims.map(_.keys.map { case (l, r) => s"$l=$r" }
+        .mkString(",")).mkString("|"),
       GroupProp -> groupCols.mkString(","),
       AggsProp -> specs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
-      FactVersionProp -> factV.toString, DimVersionProp -> dimV.toString,
+      FactVersionProp -> factV.toString,
+      DimVersionProp -> dimVs.mkString(";"),
       EpochProp -> epoch.toString))
-    armRouting(fact, dim, keys, mv, groupCols, aggs, factV, dimV)
+    armRouting(fact, dims, mv, groupCols, aggs, factV, dimVs)
   }
 
-  /** Routing registration, skipped for sketch-bearing definitions:
-    * an hll ESTIMATE must never transparently replace a query's own
-    * aggregate (different estimator, silently different numbers). A
-    * REPLACE that turned an armed exact MV into a sketch-bearing one
-    * drops the stale registration instead. */
-  private def armRouting(fact: VersionedTable, dim: VersionedTable,
-      keys: Seq[(String, String)], mv: VersionedTable,
-      groupCols: Seq[String], aggs: Seq[MvRewrite.AggSpec],
-      factV: Long, dimV: Long): Unit =
+  /** Routing registration — exact-agg definitions of any dim count
+    * ([[MvRewrite.registerJoinChain]] matches the whole star/snowflake
+    * join graph order-free). An hll ESTIMATE must never transparently
+    * replace a query's own aggregate (different estimator, silently
+    * different numbers), so sketch-bearing definitions drop any stale
+    * registration instead (a REPLACE must not leave the old entry
+    * serving). */
+  private def armRouting(fact: VersionedTable, dims: Seq[DimSide],
+      mv: VersionedTable, groupCols: Seq[String],
+      aggs: Seq[MvRewrite.AggSpec], factV: Long,
+      dimVs: Seq[Long]): Unit =
     if (aggs.exists(_.fn == "hll")) MvRewrite.deregisterRoot(mv.root)
-    else MvRewrite.registerJoin(fact, dim, keys, mv, groupCols, aggs,
-      leftVersion = Some(factV), rightVersion = Some(dimV))
+    else MvRewrite.registerJoinChain(fact, Some(factV),
+      dims.zip(dimVs).map { case (d, v) =>
+        MvRewrite.JoinDim(d.table, d.keys, Some(v))
+      }, mv, groupCols, aggs)
 
   /** Re-arm routing from the durable definition (post-restart). */
   def arm(spark: SparkSession, mv: VersionedTable): Unit = {
     val d = definition(spark, mv)
-    armRouting(d.fact, d.dim, d.keys, mv, d.groupCols,
+    armRouting(d.fact, d.dims, mv, d.groupCols,
       d.aggs.map { case (f, c, o) => MvRewrite.AggSpec(f, c, o) },
-      d.factV, d.dimV)
+      d.factV, d.dimVs)
   }
 
-  private final case class Def(fact: VersionedTable, dim: VersionedTable,
-                               keys: Seq[(String, String)],
+  private final case class Def(fact: VersionedTable, dims: Seq[DimSide],
                                groupCols: Seq[String],
                                aggs: Seq[(String, String, String)],
-                               factV: Long, dimV: Long, epoch: String)
+                               factV: Long, dimVs: Seq[Long], epoch: String)
+
+  /** Split the per-dim key segments of a [[KeysProp]] value. */
+  private[graft] def parseKeySegments(keys: String): Seq[Seq[(String, String)]] =
+    keys.split("\\|").toSeq.map(_.split(",").toSeq.map { kv =>
+      val Array(l, r) = kv.split("=", 2); (l, r)
+    })
 
   private def definition(spark: SparkSession, mv: VersionedTable): Def = {
     val p = mv.properties
     def need(k: String): String = p.getOrElse(k,
       sys.error(s"${mv.root} is not a join MV (missing $k)"))
+    val roots = need(DimProp).split(";").toSeq
+    val keySegs = parseKeySegments(need(KeysProp))
+    require(roots.length == keySegs.length,
+      s"${mv.root}: ${roots.length} dims but ${keySegs.length} key lists")
     Def(
       VersionedTable(spark, need(FactProp)),
-      VersionedTable(spark, need(DimProp)),
-      need(KeysProp).split(",").toSeq.map { kv =>
-        val Array(l, r) = kv.split("=", 2); (l, r)
+      roots.zip(keySegs).map { case (r, ks) =>
+        DimSide(VersionedTable(spark, r), ks)
       },
       need(GroupProp).split(",").toSeq,
       GraftSql.parseAggSpecs(need(AggsProp)),
-      need(FactVersionProp).toLong, need(DimVersionProp).toLong,
+      need(FactVersionProp).toLong,
+      need(DimVersionProp).split(";").toSeq.map(_.toLong),
       p.getOrElse(EpochProp, "0"))
   }
 
@@ -153,19 +192,19 @@ object JoinMv {
     * maintenance mode used:
     *
     *   - `"noop"`: nothing new (or only data-identical maintenance
-    *     commits — compaction etc.) on either side; version pins
-    *     advance and routing re-arms on the new snapshots.
-    *   - `"cdf"`: dim unchanged, fact changes absorbed as signed
-    *     deltas from the change feed joined to the pinned dim —
+    *     commits — compaction etc.) on any side; version pins advance
+    *     and routing re-arms on the new snapshots.
+    *   - `"cdf"`: dims unchanged, fact changes absorbed as signed
+    *     deltas from the change feed joined to the pinned dims —
     *     O(changed fact rows). Needs sum/count-only aggs with the
     *     count companions ([[GraftSql.cdfMaintainable]]).
-    *   - `"groups"`: dim unchanged, fact CDF on, but min/max (or a
+    *   - `"groups"`: dims unchanged, fact CDF on, but min/max (or a
     *     companion-less sum) in the agg set — the feed names the
-    *     touched groups (through the dim join), ONLY those groups
+    *     touched groups (through the dim joins), ONLY those groups
     *     recompute from the pinned snapshots and merge; vanished
     *     groups delete. O(changed groups × group size).
-    *   - `"full"`: dim moved, CDF unavailable, or a NULL group key in
-    *     the delta — re-materialize both sides at their heads.
+    *   - `"full"`: a dim moved, CDF unavailable, or a NULL group key
+    *     in the delta — re-materialize every side at its head.
     */
   def refresh(spark: SparkSession, mv: VersionedTable): String = {
     val d = definition(spark, mv)
@@ -175,61 +214,65 @@ object JoinMv {
     val v0 = math.max(d.factV, mv.lastTxnVersion(txnApp).getOrElse(d.factV))
     val factHistory = d.fact.history
     val factHead = factHistory.lastOption.map(_.version).getOrElse(v0)
-    val dimHead = d.dim.latestVersion.getOrElse(d.dimV)
+    val dimHeads = d.dims.zip(d.dimVs).map { case (dim, dv) =>
+      dim.table.latestVersion.getOrElse(dv)
+    }
     val later = factHistory.filter(e => e.version > v0 && e.version <= factHead)
     // the shared set INCLUDES rename/drop-column: the DDL guards refuse
     // touching group/key columns and re-key agg specs, so those commits
-    // are metadata-only on either side — a dim rename must not trigger
+    // are metadata-only on any side — a dim rename must not trigger
     // an O(fact) re-materialization
     val absorbless = GraftSql.AbsorblessActions
-    def finish(mode: String, fv: Long, dv: Long): String = {
-      if (fv > d.factV || dv > d.dimV)
+    def finish(mode: String, fv: Long, dvs: Seq[Long]): String = {
+      if (fv > d.factV || dvs != d.dimVs)
         mv.setProperties(Map(FactVersionProp -> fv.toString,
-          DimVersionProp -> dv.toString))
-      armRouting(d.fact, d.dim, d.keys, mv, d.groupCols,
+          DimVersionProp -> dvs.mkString(";")))
+      armRouting(d.fact, d.dims, mv, d.groupCols,
         d.aggs.map { case (f, c, o) => MvRewrite.AggSpec(f, c, o) },
-        fv, dv)
+        fv, dvs)
       mode
     }
     def recompute(): String = {
-      mv.overwrite(rollup(d.fact, d.dim, d.keys, d.groupCols, d.aggs,
-        factHead, dimHead))
-      finish("full", factHead, dimHead)
+      mv.overwrite(rollup(d.fact, d.dims, d.groupCols, d.aggs,
+        factHead, dimHeads))
+      finish("full", factHead, dimHeads)
     }
-    val dimMoved = {
-      val dl = d.dim.history
-        .filter(e => e.version > d.dimV && e.version <= dimHead)
-      dl.exists(e => !absorbless(e.action))
+    val dimMoved = d.dims.zip(d.dimVs).zip(dimHeads).exists {
+      case ((dim, dv), head) =>
+        dim.table.history
+          .filter(e => e.version > dv && e.version <= head)
+          .exists(e => !absorbless(e.action))
     }
+    lazy val pinnedDims = d.dims.zip(d.dimVs)
+      .map { case (dim, dv) => (dim.table.readVersion(dv), dim.keys) }
     if (dimMoved) recompute()
     else if (later.isEmpty || later.forall(e => absorbless(e.action)))
-      finish("noop", factHead, dimHead)
+      finish("noop", factHead, dimHeads)
     else if (!d.fact.changeFeedEnabled) recompute()
     else if (GraftSql.cdfMaintainable(d.aggs)) {
-      // the fixed-dim identity: ΔF ⋈ D is the group-by's change slice
+      // the fixed-dims identity: ΔF ⋈ D* is the group-by's change slice
       val feed = d.fact.readChangeFeed(v0, Some(factHead))
-      val dimSnap = d.dim.readVersion(d.dimV)
       try {
-        GraftSql.applyCdfDelta(mv, joinOn(feed, dimSnap, d.keys),
+        GraftSql.applyCdfDelta(mv, joinAll(feed, pinnedDims),
           d.groupCols, d.aggs, txn = Some((txnApp, factHead)))
-        finish("cdf", factHead, dimHead)
+        finish("cdf", factHead, dimHeads)
       } catch {
         case _: graft.tables.CdfNotExpressible => recompute()
       }
     } else {
       // min/max: per-touched-group recompute — the CDF (joined to the
-      // pinned dim) names which groups moved; only those re-aggregate.
+      // pinned dims) names which groups moved; only those re-aggregate.
       // The recompute+tombstone+replace core is GraftSql's shared
-      // helper — only the source relation (fact⋈dim) differs here.
+      // helper — only the source relation (fact⋈dims) differs here.
+      import org.apache.spark.sql.functions.col
       try {
         val feed = d.fact.readChangeFeed(v0, Some(factHead))
-        val dimSnap = d.dim.readVersion(d.dimV)
         GraftSql.mergeTouchedGroups(mv,
-          joinOn(feed, dimSnap, d.keys)
+          joinAll(feed, pinnedDims)
             .select(d.groupCols.map(col): _*).distinct(),
-          joinOn(d.fact.readVersion(factHead), dimSnap, d.keys),
+          joinAll(d.fact.readVersion(factHead), pinnedDims),
           d.groupCols, d.aggs, txnApp, factHead)
-        finish("groups", factHead, dimHead)
+        finish("groups", factHead, dimHeads)
       } catch {
         case _: graft.tables.CdfNotExpressible => recompute()
       }

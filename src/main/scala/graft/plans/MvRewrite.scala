@@ -96,13 +96,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     * INNER equi-join of two snapshot reads on named key pairs. */
   private sealed trait RegSig
   private final case class ScanSig(sig: SourceSig) extends RegSig
-  /** `keys` are (left column name, right column name) pairs of the
-    * registered join condition. Registration guarantees every name the
-    * group/agg surface references is unambiguous across the two sides
-    * (or is a same-named key pair, whose sides are value-equal under
-    * the inner join), so the rewrite stage can stay name-based. */
-  private final case class JoinSig(left: SourceSig, right: SourceSig,
-                                   keys: Seq[(String, String)]) extends RegSig
+  /** An INNER equi-join of N snapshot reads (N ≥ 2 — the fact⋈dim
+    * rollup and its star/snowflake extension). `edges` are unordered
+    * pairs of (side index, column name) equated by the join condition.
+    * Matching compares the transitive equality PARTITION of those
+    * nodes, not the raw edge set, so a query spelling `fact.k = d2.k`
+    * where the registration spelled `d1.k = d2.k` (equivalent under
+    * the other equality) still serves. Registration guarantees every
+    * name the group/agg surface references lives on exactly one side
+    * (or only on key-connected, value-equal sides), so the rewrite
+    * stage can stay name-based. */
+  private final case class JoinSig(sides: Seq[SourceSig],
+                                   edges: Set[Set[(Int, String)]]) extends RegSig
 
   private final case class Entry(sig: RegSig,
                                  groupCols: Seq[String],
@@ -172,39 +177,91 @@ object MvRewrite extends Rule[LogicalPlan] {
                    joinKeys: Seq[(String, String)], mv: VersionedTable,
                    groupCols: Seq[String], aggs: Seq[AggSpec],
                    leftVersion: Option[Long] = None,
-                   rightVersion: Option[Long] = None): Unit = {
-    require(joinKeys.nonEmpty, "MV rewrite: join registration needs keys")
+                   rightVersion: Option[Long] = None): Unit =
+    registerJoinChain(left, leftVersion,
+      Seq(JoinDim(right, joinKeys, rightVersion)), mv, groupCols, aggs)
+
+  /** One dim side of a chain registration: `keys` are (column on an
+    * EARLIER side — the fact or a previously joined dim — , column on
+    * this dim) pairs, the `JoinMv` star/snowflake build order. */
+  final case class JoinDim(table: VersionedTable,
+                           keys: Seq[(String, String)],
+                           version: Option[Long] = None)
+
+  /** [[registerJoin]] generalized to the star/snowflake chain: `fact
+    * JOIN dim₁ ON keys₁ JOIN dim₂ ON keys₂ …` where each `lk` resolves
+    * against the sides joined so far ([[graft.tables.JoinMv]]'s build
+    * order). The stored signature is order-free (a side permutation +
+    * key-equality partition), so any equivalent spelling of the same
+    * join graph serves. */
+  def registerJoinChain(fact: VersionedTable, factVersion: Option[Long],
+                        dims: Seq[JoinDim], mv: VersionedTable,
+                        groupCols: Seq[String], aggs: Seq[AggSpec]): Unit = {
+    require(dims.nonEmpty && dims.forall(_.keys.nonEmpty),
+      "MV rewrite: join registration needs keys on every dim")
     require(aggs.forall(a => Set("sum", "count", "min", "max")(a.fn)),
       s"MV rewrite: unsupported agg fn in ${aggs.map(_.fn).mkString(",")}")
-    def sigOf(t: VersionedTable, v: Option[Long], side: String): SourceSig =
+    def sigOf(t: VersionedTable, v: Option[Long]): SourceSig =
       decompose(v.fold(t.read)(t.readVersion).queryExecution.analyzed)
         .collect { case (s, Nil) => s }
-        .getOrElse(sys.error(s"MV rewrite: $side snapshot is not a " +
+        .getOrElse(sys.error(s"MV rewrite: snapshot is not a " +
           s"recognizable graft scan shape at ${t.root} — registration " +
           "refused"))
-    val lSig = sigOf(left, leftVersion, "left")
-    val rSig = sigOf(right, rightVersion, "right")
-    val lCols = left.read.columns.toSet
-    val rCols = right.read.columns.toSet
-    joinKeys.foreach { case (lk, rk) =>
-      require(lCols(lk) && rCols(rk),
-        s"MV rewrite: join key ($lk, $rk) missing from a side")
+    val sides = (fact, factVersion) +: dims.map(d => (d.table, d.version))
+    val sideSigs = sides.map { case (t, v) => sigOf(t, v) }
+    val sideCols: Seq[Set[String]] = sides.map(_._1.read.columns.toSet)
+    // resolve each lk to the EARLIER side that carries it, building the
+    // key-equality edge set. Several earlier carriers are fine only when
+    // they are already key-connected (value-equal under the join) —
+    // exactly the columns `JoinMv.joinOn` keeps one copy of.
+    var edges = Set.empty[Set[(Int, String)]]
+    def connected(a: (Int, String), b: (Int, String)): Boolean = {
+      val classes = eqClasses(edges)
+      classes.exists(c => c(a) && c(b))
     }
-    val sameNamedKeys = joinKeys.collect { case (l, r) if l == r => l }.toSet
+    dims.zipWithIndex.foreach { case (d, i) =>
+      val s = i + 1
+      d.keys.foreach { case (lk, rk) =>
+        require(sideCols(s)(rk),
+          s"MV rewrite: join key $rk missing from ${d.table.root}")
+        val carriers = (0 until s).filter(j => sideCols(j)(lk))
+        require(carriers.nonEmpty,
+          s"MV rewrite: join key $lk missing from every earlier side")
+        require(carriers.tail.forall(c =>
+            connected((carriers.head, lk), (c, lk))),
+          s"MV rewrite: join key `$lk` is carried by several earlier " +
+            "sides that the join does not equate — ambiguous")
+        edges += Set((carriers.head, lk), (s, rk))
+      }
+    }
+    // a group/agg name on several sides is ambiguous unless every
+    // carrier is key-connected (value-equal, either column serves)
+    val keyClasses = eqClasses(edges)
     (groupCols ++ aggs.map(_.col).filter(_ != "*")).foreach { n =>
-      require(!(lCols(n) && rCols(n)) || sameNamedKeys(n),
-        s"MV rewrite: column `$n` exists on both join sides — ambiguous " +
-          "(only same-named key pairs may repeat; alias one side)")
+      val carriers = sideSigs.indices.filter(i => sideCols(i)(n))
+      require(carriers.lengthCompare(1) <= 0 ||
+          keyClasses.exists(c => carriers.forall(i => c((i, n)))),
+        s"MV rewrite: column `$n` exists on several join sides — " +
+          "ambiguous (only key-equated columns may repeat; alias one)")
     }
     val mvCols = mv.read.columns.toSet
     val missing = (groupCols ++ aggs.map(_.mvCol)).filterNot(mvCols)
     require(missing.isEmpty,
       s"MV rewrite: MV at ${mv.root} lacks columns ${missing.mkString(",")}")
     entries.put(mv.root,
-      Entry(JoinSig(lSig, rSig, joinKeys), groupCols,
+      Entry(JoinSig(sideSigs, edges), groupCols,
         aggs.map(a => (a.fn, a.col) -> a.mvCol).toMap, () => mv.read,
         () => mv.snapshotBytes))
   }
+
+  /** Transitive closure of the key-equality edges: the partition of
+    * (side, column) nodes the join condition equates. */
+  private def eqClasses(edges: Set[Set[(Int, String)]])
+      : Set[Set[(Int, String)]] =
+    edges.foldLeft(Set.empty[Set[(Int, String)]]) { (acc, e) =>
+      val (touch, rest) = acc.partition(_.exists(e))
+      rest + (touch.flatten ++ e)
+    }
 
   def deregister(mv: VersionedTable): Unit = deregisterRoot(mv.root)
 
@@ -451,14 +508,26 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
 
   /** Signature coverage lifted to the registration shapes. A join query
-    * matches a join registration in either side order (inner joins
-    * commute) with the key pairs flipped accordingly. */
+    * matches a join registration under ANY side permutation (inner
+    * joins commute and associate) whose pairwise snapshots match and
+    * whose key-equality partitions coincide after re-indexing — so
+    * both side order and an equivalent-but-differently-spelled join
+    * condition still serve. Side counts stay tiny (a star has a
+    * handful of dims), so the permutation search is free. */
   private def coversReg(reg: RegSig, q: RegSig): Boolean = (reg, q) match {
     case (ScanSig(r), ScanSig(s)) => covers(r, s)
-    case (JoinSig(rl, rr, rk), JoinSig(ql, qr, qk)) =>
-      (covers(rl, ql) && covers(rr, qr) && rk.toSet == qk.toSet) ||
-        (covers(rl, qr) && covers(rr, ql) &&
-          rk.map(_.swap).toSet == qk.toSet)
+    case (JoinSig(rs, re), JoinSig(qs, qe)) =>
+      rs.length == qs.length && rs.length <= 7 && {
+        val regClasses = eqClasses(re)
+        qs.indices.permutations.exists { perm =>
+          rs.indices.forall(i => covers(rs(i), qs(perm(i)))) && {
+            val remapped = qe.map(_.map {
+              case (qi, n) => (perm.indexOf(qi), n)
+            })
+            eqClasses(remapped) == regClasses
+          }
+        }
+      }
     case _ => false
   }
 
@@ -470,12 +539,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     decompose(p).map { case (s, fs) => QShape(ScanSig(s), fs) }
       .orElse(decomposeJoin(p))
 
-  /** Decompose `Aggregate`'s child as an INNER equi-join of two graft
-    * reads. Join-key `IsNotNull` filters the optimizer infers and
-    * pushes into the sides are DISCARDED — an inner equi-join never
-    * matches null keys, so they cannot change its result and the
-    * registered (filterless) join is identical. Every other side
-    * filter is kept and must later rewrite onto MV group columns. */
+  /** Decompose `Aggregate`'s child as an INNER equi-join TREE of graft
+    * reads (two sides or a star/snowflake chain — any association
+    * order the planner left it in). Join-key `IsNotNull` filters the
+    * optimizer infers and pushes into the sides are DISCARDED — an
+    * inner equi-join never matches null keys, so they cannot change
+    * its result and the registered (filterless) join is identical.
+    * Every other filter is kept and must later rewrite onto MV group
+    * columns. */
   private def decomposeJoin(p: LogicalPlan): Option[QShape] = p match {
     case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       decomposeJoin(c)
@@ -486,35 +557,64 @@ object MvRewrite extends Rule[LogicalPlan] {
         q.copy(filters = f.condition +: q.filters))
     case j: Join if j.joinType == Inner && j.condition.isDefined =>
       for {
-        (lsig, lfs) <- decompose(j.left)
-        (rsig, rfs) <- decompose(j.right)
-        cs = conjuncts(j.condition.get)
-        keyOpts = cs.map {
+        (sides, conds, sideFs) <- flattenJoin(j)
+        sideOf = (a: Attribute) => sides.indexWhere(_._2.contains(a))
+        // every join conjunct must equate columns of two DIFFERENT
+        // leaf reads — anything else (non-equi, same-side, computed)
+        // is not the registered shape
+        edgeOpts = conds.map {
           case EqualTo(a: AttributeReference, b: AttributeReference)
-              if j.left.outputSet.contains(a) &&
-                j.right.outputSet.contains(b) => Some((a.name, b.name))
-          case EqualTo(a: AttributeReference, b: AttributeReference)
-              if j.right.outputSet.contains(a) &&
-                j.left.outputSet.contains(b) => Some((b.name, a.name))
+              if sideOf(a) >= 0 && sideOf(b) >= 0 &&
+                sideOf(a) != sideOf(b) =>
+            Some(Set((sideOf(a), a.name), (sideOf(b), b.name)))
           case _ => None
         }
-        if keyOpts.forall(_.isDefined)
-        keys = keyOpts.flatten
-        lKeys = keys.map(_._1).toSet
-        rKeys = keys.map(_._2).toSet
+        if edgeOpts.forall(_.isDefined)
+        edges = edgeOpts.flatten.toSet
+        keyNodes = edges.flatten
         // conjunct-split BEFORE the key-IsNotNull drop: a pushed filter
         // arrives as one composite And (user predicate AND inferred
         // isnotnulls) and the key conjunct must not poison the rest
-        kept = lfs.flatMap(conjuncts).filterNot {
-          case IsNotNull(a: AttributeReference) => lKeys(a.name)
-          case _ => false
-        } ++ rfs.flatMap(conjuncts).filterNot {
-          case IsNotNull(a: AttributeReference) => rKeys(a.name)
+        kept = sideFs.flatMap(conjuncts).filterNot {
+          case IsNotNull(a: AttributeReference) =>
+            val s = sideOf(a); s >= 0 && keyNodes((s, a.name))
           case _ => false
         }
-      } yield QShape(JoinSig(lsig, rsig, keys), kept)
+      } yield QShape(JoinSig(sides.map(_._1), edges), kept)
     case _ => None
   }
+
+  /** Flatten a tree of INNER joins into its leaf graft reads (each with
+    * the attribute set identifying which side a key belongs to), the
+    * join-condition conjuncts, and the side filters hoisted by
+    * [[decompose]]. Wrappers (attr-only Projects, hints, deterministic
+    * Filters) between join nodes fold through. */
+  private def flattenJoin(p: LogicalPlan)
+      : Option[(Seq[(SourceSig, AttributeSet)],
+                Seq[Expression], Seq[Expression])] = p match {
+    case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      flattenJoin(c)
+    case h: ResolvedHint => flattenJoin(h.child)
+    case f: LFilter if f.condition.deterministic &&
+        f.condition.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      flattenJoin(f.child).map { case (s, cs, fs) =>
+        (s, cs, f.condition +: fs)
+      }
+    case j: Join if j.joinType == Inner && j.condition.isDefined =>
+      for {
+        (ls, lc, lf) <- flattenJoin(j.left).orElse(leafSide(j.left))
+        (rs, rc, rf) <- flattenJoin(j.right).orElse(leafSide(j.right))
+      } yield (ls ++ rs, lc ++ rc ++ conjuncts(j.condition.get), lf ++ rf)
+    case _ => None
+  }
+
+  /** One leaf read of a join tree. The DV anti-join inside a graft read
+    * is NOT an inner join, so [[decompose]] (not [[flattenJoin]])
+    * absorbs it here. */
+  private def leafSide(p: LogicalPlan)
+      : Option[(Seq[(SourceSig, AttributeSet)],
+                Seq[Expression], Seq[Expression])] =
+    decompose(p).map { case (sig, fs) => (Seq((sig, p.outputSet)), Nil, fs) }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
     q <- decomposeAny(agg.child)

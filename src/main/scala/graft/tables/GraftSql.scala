@@ -188,11 +188,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case CloneStmt(target, source) => clone(resolve(source), targetRoot(target))
     case GraftSql.CreateMvProbe() =>
       GraftSql.parseCreateMvJoin(stmt) match {
-        case Some((orReplace, mvIdent, selectList, factIdent, dimIdent,
-            usingCols, onCond, groupBy)) =>
+        case Some((orReplace, mvIdent, selectList, factIdent, joins,
+            groupBy)) =>
           createJoinMaterializedView(mvIdent, orReplace, selectList,
-            factIdent, dimIdent,
-            GraftSql.parseJoinKeys(usingCols, onCond, factIdent, dimIdent),
+            factIdent,
+            joins.map { case (dimIdent, usingCols, onCond) =>
+              (dimIdent, GraftSql.parseJoinKeys(usingCols, onCond,
+                factIdent, dimIdent))
+            },
             groupBy)
         case None =>
           val (orReplace, mvIdent, selectList, srcIdent, where, groupBy) =
@@ -259,19 +262,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             src.exists && src.latestVersion.contains(covered),
             props.getOrElse(GraftSql.MvWhereProp, ""))
         }.orElse(props.get(graft.plans.JoinMv.FactProp).map { factRoot =>
-          // join-shaped definition: fresh only when BOTH covered
-          // snapshots are still the sources' heads
+          // join-shaped definition: fresh only when EVERY covered
+          // snapshot is still its source's head
           val fact = VersionedTable(spark, factRoot)
-          val dimT = VersionedTable(spark,
-            props(graft.plans.JoinMv.DimProp))
+          val dimTs = props(graft.plans.JoinMv.DimProp).split(";").toSeq
+            .map(VersionedTable(spark, _))
           val fV = props(graft.plans.JoinMv.FactVersionProp).toLong
-          val dV = props(graft.plans.JoinMv.DimVersionProp).toLong
+          val dVs = props(graft.plans.JoinMv.DimVersionProp)
+            .split(";").toSeq.map(_.toLong)
           (s"$l.$t",
             props(graft.plans.JoinMv.GroupProp),
             props(graft.plans.JoinMv.AggsProp),
             fV,
             fact.exists && fact.latestVersion.contains(fV) &&
-              dimT.exists && dimT.latestVersion.contains(dV),
+              dimTs.zip(dVs).forall { case (d, v) =>
+                d.exists && d.latestVersion.contains(v)
+              },
             s"join:${props(graft.plans.JoinMv.KeysProp)}")
         })
       }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh", "where")
@@ -447,11 +453,12 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         // re-key); agg-only columns re-key below like the single-table
         // path
         val joinHard = joinMvsSourcedFrom(t.root).filter {
-          case (_, props, isFact) =>
+          case (_, props, side) =>
+            val segs = graft.plans.JoinMv.parseKeySegments(
+              props(graft.plans.JoinMv.KeysProp))
             props(graft.plans.JoinMv.GroupProp).split(",").contains(f) ||
-              props(graft.plans.JoinMv.KeysProp).split(",")
-                .map(_.split("=", 2))
-                .exists(kv => if (isFact) kv(0) == f else kv(1) == f)
+              (if (side < 0) segs.flatten.exists(_._1 == f)
+               else segs(side).exists(_._2 == f))
         }
         require(joinHard.isEmpty,
           s"RENAME COLUMN: `$f` is a GROUP or JOIN-KEY column of join " +
@@ -502,14 +509,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           s"DROP COLUMN: `$name` is referenced by materialized view(s) " +
             s"${dependents.map(_._1).mkString(", ")} — drop them first")
         val joinDeps = joinMvsSourcedFrom(t.root).filter {
-          case (_, props, isFact) =>
+          case (_, props, side) =>
+            val segs = graft.plans.JoinMv.parseKeySegments(
+              props(graft.plans.JoinMv.KeysProp))
             props(graft.plans.JoinMv.GroupProp).split(",")
               .contains(name) ||
               GraftSql.parseAggSpecs(props(graft.plans.JoinMv.AggsProp))
                 .exists(_._2 == name) ||
-              props(graft.plans.JoinMv.KeysProp).split(",")
-                .map(_.split("=", 2))
-                .exists(kv => if (isFact) kv(0) == name else kv(1) == name)
+              (if (side < 0) segs.flatten.exists(_._1 == name)
+               else segs(side).exists(_._2 == name))
         }
         require(joinDeps.isEmpty,
           s"DROP COLUMN: `$name` is referenced by join materialized " +
@@ -973,38 +981,51 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   }
 
   /** CREATE [OR REPLACE] MATERIALIZED VIEW mv AS
-    *   SELECT g…, fn(c) AS out… FROM fact JOIN dim USING (k,…)|ON … GROUP BY g…
+    *   SELECT g…, fn(c) AS out… FROM fact JOIN dim₁ USING (k,…)|ON …
+    *   [JOIN dim₂ …] GROUP BY g…
     *
     * The join form: materialization, durable definition and routing via
     * [[graft.plans.JoinMv]] (fact-CDF incremental maintenance under the
-    * fixed-dim identity). Cross-side column ambiguity is refused by
-    * registration; WHERE is not part of the join grammar. */
+    * fixed-dims identity; star schemas welcome — every dim is pinned).
+    * Cross-side column ambiguity is refused up front; WHERE is not part
+    * of the join grammar. */
   private def createJoinMaterializedView(mvIdent: String, orReplace: Boolean,
-      selectList: String, factIdent: String, dimIdent: String,
-      keys: Seq[(String, String)], groupBy: String): DataFrame = {
+      selectList: String, factIdent: String,
+      dims: Seq[(String, Seq[(String, String)])],
+      groupBy: String): DataFrame = {
     import spark.implicits._
     val fact = resolve(factIdent)
-    val dim = resolve(dimIdent)
+    val dimTables = dims.map { case (id, keys) => (id, resolve(id), keys) }
     val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)
     val fCols = fact.read.columns.toSet
-    val dCols = dim.read.columns.toSet
+    val sideCols: Seq[(String, Set[String])] =
+      (factIdent, fCols) +: dimTables.map { case (id, t, _) =>
+        (id, t.read.columns.toSet)
+      }
     val missing = (groupCols ++ aggs.map(_._2).filterNot(_ == "*"))
-      .filterNot(c => fCols(c) || dCols(c))
-    require(missing.isEmpty, s"materialized view: neither $factIdent " +
-      s"nor $dimIdent has columns ${missing.mkString(",")}")
-    // refuse cross-side ambiguity BEFORE materializing (registerJoin
-    // re-checks; this just fails with the clear message, not a mid-
-    // materialization analysis error)
-    val sameNamedKeys = keys.collect { case (l, r) if l == r => l }.toSet
+      .filterNot(c => sideCols.exists(_._2(c)))
+    require(missing.isEmpty, s"materialized view: no join side has " +
+      s"columns ${missing.mkString(",")}")
+    // refuse cross-side ambiguity BEFORE materializing (the clear
+    // message, not a mid-materialization analysis error). Same-named
+    // KEY pairs are value-equal under the inner join, so they may
+    // repeat between the fact and the dim they join.
+    val sameNamedKeys = dims.flatMap(_._2)
+      .collect { case (l, r) if l == r => l }.toSet
     (groupCols ++ aggs.map(_._2).filterNot(_ == "*")).foreach { n =>
-      require(!(fCols(n) && dCols(n)) || sameNamedKeys(n),
-        s"materialized view: column `$n` exists on both join sides — " +
-          "ambiguous (only same-named key pairs may repeat)")
+      val carriers = sideCols.count(_._2(n))
+      require(carriers <= 1 || sameNamedKeys(n),
+        s"materialized view: column `$n` exists on multiple join " +
+          "sides — ambiguous (only same-named key pairs may repeat)")
     }
     val mv = VersionedTable(spark, targetRoot(mvIdent))
     require(orReplace || !mv.exists,
       s"materialized view target exists: $mvIdent (use CREATE OR REPLACE)")
-    graft.plans.JoinMv.create(fact, dim, keys, groupCols,
+    graft.plans.JoinMv.create(fact,
+      dimTables.map { case (_, t, keys) =>
+        graft.plans.JoinMv.DimSide(t, keys)
+      },
+      groupCols,
       aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) },
       mv)
     Seq((mvIdent, "create",
@@ -1188,17 +1209,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       else None
     })
 
-  /** Join MVs whose fact or dim root is `srcRoot`; the Boolean flags
-    * which side (true = fact) — key-column guards are side-specific. */
+  /** Join MVs whose fact or one of whose dims is `srcRoot`; the Int
+    * flags which side (-1 = fact, else the dim's index) — key-column
+    * guards are side-specific. */
   private def joinMvsSourcedFrom(srcRoot: String)
-      : Seq[(String, Map[String, String], Boolean)] =
+      : Seq[(String, Map[String, String], Int)] =
     catalog.toSeq.flatMap(_.tables.flatMap { case (l, t) =>
       val props = catalog.get.table(l, t).properties
       if (props.get(graft.plans.JoinMv.FactProp).contains(srcRoot))
-        Some((s"$l.$t", props, true))
-      else if (props.get(graft.plans.JoinMv.DimProp).contains(srcRoot))
-        Some((s"$l.$t", props, false))
-      else None
+        Some((s"$l.$t", props, -1))
+      else props.get(graft.plans.JoinMv.DimProp)
+        .map(_.split(";").indexOf(srcRoot)).filter(_ >= 0)
+        .map(i => (s"$l.$t", props, i))
     })
 
   /** RENAME COLUMN follow-through for JOIN definitions: agg source
@@ -1227,19 +1249,21 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * a stale definition. */
   private def requireJoinMvRekeyUnambiguous(srcRoot: String,
                                             from: String): Unit =
-    joinMvsSourcedFrom(srcRoot).foreach { case (identMv, props, isFact) =>
+    joinMvsSourcedFrom(srcRoot).foreach { case (identMv, props, side) =>
       val aggs = GraftSql.parseAggSpecs(props(graft.plans.JoinMv.AggsProp))
       if (aggs.exists(_._2 == from)) {
-        val otherRoot = props(
-          if (isFact) graft.plans.JoinMv.DimProp
-          else graft.plans.JoinMv.FactProp)
-        val otherHas = scala.util.Try(
-          VersionedTable(spark, otherRoot).read.columns.contains(from))
-          .getOrElse(false)
+        val allRoots = props(graft.plans.JoinMv.FactProp) +:
+          props(graft.plans.JoinMv.DimProp).split(";").toSeq
+        val sideIdx = side + 1 // -1 fact → 0; dim i → i+1
+        val otherHas = allRoots.zipWithIndex.exists {
+          case (r, i) => i != sideIdx && scala.util.Try(
+            VersionedTable(spark, r).read.columns.contains(from))
+            .getOrElse(false)
+        }
         require(!otherHas,
           s"RENAME COLUMN: `$from` is an agg column of join MV " +
-            s"$identMv and BOTH join sides now carry it — the agg's " +
-            "source side is ambiguous; drop and recreate the MV")
+            s"$identMv and ANOTHER join side now carries it too — the " +
+            "agg's source side is ambiguous; drop and recreate the MV")
       }
     }
 
@@ -1351,14 +1375,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         } else None
       }.orElse(props.get(graft.plans.JoinMv.FactProp).flatMap { factRoot =>
         val fact = VersionedTable(spark, factRoot)
-        val dimT = VersionedTable(spark, props(graft.plans.JoinMv.DimProp))
+        val dimTs = props(graft.plans.JoinMv.DimProp).split(";").toSeq
+          .map(VersionedTable(spark, _))
         val fV = props(graft.plans.JoinMv.FactVersionProp).toLong
-        val dV = props(graft.plans.JoinMv.DimVersionProp).toLong
-        if (fact.exists && dimT.exists &&
+        val dVs = props(graft.plans.JoinMv.DimVersionProp)
+          .split(";").toSeq.map(_.toLong)
+        // only the single-dim shape can arm (the rewrite rule matches
+        // two-table joins); multi-dim definitions refresh-only
+        if (dimTs.length == 1 && fact.exists &&
             fact.latestVersion.contains(fV) &&
-            dimT.latestVersion.contains(dV) &&
+            dimTs.zip(dVs).forall { case (d, v) =>
+              d.exists && d.latestVersion.contains(v)
+            } &&
             graft.plans.MvRewrite.isRegistrable(fact, Some(fV)) &&
-            graft.plans.MvRewrite.isRegistrable(dimT, Some(dV))) {
+            graft.plans.MvRewrite.isRegistrable(dimTs.head, Some(dVs.head))) {
           graft.plans.JoinMv.arm(spark, mv)
           Some(s"$l.$t")
         } else None
@@ -2695,23 +2725,28 @@ object GraftSql {
   private val RefreshMvStmt =
     ("""(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+""" + Ident +
       """\s*;?\s*""").r
-  // the JOIN form of CREATE MV — INNER equi-join of two tables with
-  // USING (same-named keys) or ON f.k = d.k [AND …] (qualifiers are the
-  // joined tables' names); maintained by [[graft.plans.JoinMv]]
+  // the JOIN form of CREATE MV — INNER equi-joins of a fact with one
+  // or MORE dims, each with USING (same-named keys) or
+  // ON f.k = d.k [AND …] (qualifiers are the joined tables' names);
+  // maintained by [[graft.plans.JoinMv]] (star schema: dims pinned)
+  private val IdentNc = """(?:graft\.`[^`]+`|[\w.]+)"""
   private val CreateMvJoinRe =
     ("""(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+""" +
       Ident + """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + Ident +
-      """\s+JOIN\s+""" + Ident +
-      """\s+(?:USING\s*\(([\w`,\s]+?)\)|ON\s+(.+?))""" +
+      """((?:\s+JOIN\s+""" + IdentNc +
+      """\s+(?:USING\s*\([\w`,\s]+?\)|ON\s+.+?))+)""" +
       """\s+GROUP\s+BY\s+([\w`,\s]+?)\s*;?\s*""").r
+  private val JoinSegRe =
+    ("""(?is)\s*(""" + IdentNc +
+      """)\s+(?:USING\s*\(([\w`,\s]+?)\)|ON\s+(.+?))\s*""").r
 
   /** Join-form CREATE MV split, literal-masked like [[parseCreateMv]].
-    * Returns (orReplace, mv, selectList, fact, dim, usingCols?, on?,
-    * groupBy); None when the statement has no JOIN (the single-table
-    * parser owns it). */
+    * Returns (orReplace, mv, selectList, fact, joins, groupBy) where
+    * each join is (dimIdent, usingCols?, onCond?); None when the
+    * statement has no JOIN (the single-table parser owns it). */
   private[tables] def parseCreateMvJoin(stmt: String)
-      : Option[(Boolean, String, String, String, String,
-        Option[String], Option[String], String)] = {
+      : Option[(Boolean, String, String, String,
+        Seq[(String, Option[String], Option[String])], String)] = {
     val mask = stringLiteralMask(stmt)
     val chars = stmt.toCharArray
     var i = 0
@@ -2725,8 +2760,17 @@ object GraftSql {
     def g(idx: Int): Option[String] =
       if (m.group(idx) == null) None
       else Some(stmt.substring(m.start(idx), m.end(idx)))
-    Some((m.group(1) != null, g(2).get, g(3).get, g(4).get, g(5).get,
-      g(6), g(7), g(8).get))
+    // the joins blob re-splits on the JOIN keyword (safe: the grammar's
+    // ON conjuncts are qual.k = qual.k only — no literals to confuse)
+    val joins = g(5).get.split("(?i)\\s+JOIN\\s+").toSeq
+      .map(_.trim).filter(_.nonEmpty).map {
+        case JoinSegRe(dim, using, on) =>
+          (dim, Option(using), Option(on).map(_.trim))
+        case seg => sys.error(
+          s"materialized view join: unparseable JOIN clause `$seg`")
+      }
+    Some((m.group(1) != null, g(2).get, g(3).get, g(4).get, joins,
+      g(6).get))
   }
 
   /** Key pairs of the join form: USING lists same-named pairs; ON takes

@@ -809,6 +809,63 @@ class MvSqlSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("star-schema join MV: two pinned dims, fact CDF absorbed as " +
+       "signed deltas; any dim commit re-materializes; min/max goes " +
+       "through per-touched-group recompute") {
+    val (cat, sql) = joinWarehouse()
+    // a second dim: team → venue
+    cat.table("silver", "jvenue")
+      .append(Seq((1, "north"), (2, "south"), (9, "east"))
+        .toDF("team", "venue"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_star AS SELECT color, " +
+      "venue, sum(pts) AS sum_pts, count(pts) AS cnt_pts, " +
+      "count(*) AS cnt FROM silver.jfact " +
+      "JOIN silver.jdim USING (team) JOIN silver.jvenue USING (team) " +
+      "GROUP BY color, venue")
+    val mv = cat.table("gold", "mv_star")
+    def recomputed(): Set[(String, String, Long, Long)] = {
+      val f = cat.table("silver", "jfact").read
+      val d = cat.table("silver", "jdim").read
+      val v = cat.table("silver", "jvenue").read
+      f.join(d, "team").join(v, "team").groupBy("color", "venue")
+        .agg(fsum("pts").as("s"), count(lit(1)).as("c"))
+        .as[(String, String, Long, Long)].collect().toSet
+    }
+    def state(): Set[(String, String, Long, Long)] =
+      mv.read.select("color", "venue", "sum_pts", "cnt")
+        .as[(String, String, Long, Long)].collect().toSet
+    try {
+      assert(state() === recomputed())
+      // fact DML absorbs through the two pinned dims as CDF deltas
+      cat.table("silver", "jfact")
+        .append(Seq((1, 7L), (2, 3L)).toDF("team", "pts"))
+      sql.sql("DELETE FROM silver.jfact WHERE pts = 5")
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_star")
+        .select("mode").as[String].head() === "cdf")
+      assert(state() === recomputed())
+      // a dim commit breaks the fixed-dims identity → full
+      sql.sql("UPDATE silver.jvenue SET venue = 'west' WHERE team = 2")
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_star")
+        .select("mode").as[String].head() === "full")
+      assert(state() === recomputed())
+      // min/max in a star definition: per-touched-group recompute
+      sql.sql("CREATE MATERIALIZED VIEW gold.mv_star2 AS SELECT venue, " +
+        "max(pts) AS max_pts, count(*) AS cnt FROM silver.jfact " +
+        "JOIN silver.jdim USING (team) JOIN silver.jvenue USING (team) " +
+        "GROUP BY venue")
+      cat.table("silver", "jfact")
+        .append(Seq((1, 99L)).toDF("team", "pts"))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_star2")
+        .select("mode").as[String].head() === "groups")
+      assert(cat.table("gold", "mv_star2").read
+        .filter(col("venue") === "north").select("max_pts")
+        .as[Long].head() === 99L)
+    } finally {
+      MvRewrite.deregister(mv)
+      MvRewrite.deregister(cat.table("gold", "mv_star2"))
+    }
+  }
+
   test("join-MV agg re-key refuses when a later ADD COLUMN put the " +
        "same name on BOTH sides (no silent side flip)") {
     val (cat, sql) = joinWarehouse()
@@ -821,7 +878,7 @@ class MvSqlSpec extends SparkSpec {
       cat.table("silver", "jdim").addColumns("pts BIGINT")
       val e = intercept[IllegalArgumentException](sql.sql(
         "ALTER TABLE silver.jfact RENAME COLUMN pts TO points"))
-      assert(e.getMessage.contains("BOTH join sides"),
+      assert(e.getMessage.contains("ANOTHER join side"),
         s"expected the ambiguous re-key refusal, got: ${e.getMessage}")
       // the stored definition is untouched
       assert(mv.properties(graft.plans.JoinMv.AggsProp)

@@ -3567,6 +3567,53 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // Quantile rollup MV: per-group log2-octave histograms
+    // (DDSketch-shaped, deterministic integer bucketing) kept fresh
+    // incrementally — appends ADD to bucket counts, and unlike HLL/CMS
+    // the counts form a group, so retractions SUBTRACT through the
+    // change feed (mode2 "cdf"): the merged histogram EQUALS a rebuild's
+    // without ever re-reading the source. n_rows/n_vals are
+    // oracle-exact; `within_bound` pins each p50/p99 readout inside the
+    // 1/(2·sub) relative guarantee against the exact rank statistic.
+    "q_quant_rollup" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft-qt-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val mv = VersionedTable(s, s"$root/mv")
+      src.enableChangeFeed()
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_orderkey").as("okey"),
+        col("l_extendedprice").cast("double").as("price"))
+      src.append(li.filter(col("okey") % 2 === 0))
+      graft.ops.Sketches.createQuant(src, mv, Seq("flag"), "price")
+      src.append(li.filter(col("okey") % 2 =!= 0))
+      val mode1 = graft.ops.Sketches.refreshQuant(s, mv)
+      src.delete(col("okey") % 7 === 0) // retraction: absorbs, no rebuild
+      val mode2 = graft.ops.Sketches.refreshQuant(s, mv)
+      val approx = graft.ops.Sketches.quantValues(mv.read, Seq("flag"),
+        Seq(0.5, 0.99))
+      // exact rank statistic with the SAME definition the readout
+      // targets: the ceil(q*n)-th smallest non-NULL value per group
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("price")
+      val vals = src.read.filter(col("price").isNotNull)
+      val qsDf = { import s.implicits._; Seq(0.5, 0.99).toDF("q") }
+      val exact = vals
+        .withColumn("rn", row_number().over(w))
+        .join(vals.groupBy("flag").agg(count(lit(1)).as("n")), Seq("flag"))
+        .crossJoin(qsDf)
+        .filter(col("rn") ===
+          greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        .select(col("flag"), col("q"), col("price").as("exact_q"))
+      approx.join(exact, Seq("flag", "q"))
+        .join(mv.read.select("flag", "n_rows"), Seq("flag"))
+        .select(col("flag"), (col("q") * 100).cast("int").as("pct"),
+          col("n_rows"), col("n_vals"),
+          (abs(col("approx_value") - col("exact_q")) <=
+            abs(col("exact_q")) / 32.0 * 1.01 + 0.01).as("within_bound"))
+        .withColumn("mode1", lit(mode1)).withColumn("mode2", lit(mode2))
+        .orderBy("flag", "pct")
+    }),
+
     // MV7: min/max maintenance under retractions WITHOUT a full
     // recompute. Signed deltas cannot retract a min/max, but the change
     // feed names WHICH groups moved — REFRESH recomputes only those
@@ -4279,6 +4326,15 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
         |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_quant_rollup" ->
+      """WITH f AS (SELECT l_returnflag AS flag FROM lineitem
+        |           WHERE l_orderkey % 7 <> 0),
+        |g AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1)
+        |SELECT flag, pct, n AS n_rows, n AS n_vals,
+        |  TRUE AS within_bound, 'incremental' AS mode1, 'cdf' AS mode2
+        |FROM g CROSS JOIN (VALUES (50), (99)) AS p(pct)
+        |ORDER BY flag, pct""".stripMargin,
 
     "q_mv12_star" ->
       """WITH f AS (SELECT l_orderkey AS okey,

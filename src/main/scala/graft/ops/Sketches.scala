@@ -304,6 +304,233 @@ object Sketches {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Quantile rollups: mergeable log2-octave histograms
+  // ---------------------------------------------------------------------
+
+  val QuantSourceProp = "graft.quant.source"
+  val QuantGroupProp = "graft.quant.group"
+  val QuantValueProp = "graft.quant.value"
+  val QuantParamsProp = "graft.quant.params" // "scale,subBuckets"
+  val QuantVersionProp = "graft.quant.sourceVersion"
+  val QuantEpochProp = "graft.quant.epoch"
+  private val QuantTxnApp = "graft-quant:"
+
+  /** Attach the histogram bucket key of `valueCol` as `__qk`.
+    *
+    * The sketch is a DDSketch-shaped relative-error histogram (Masson
+    * et al., VLDB 2019) with a deliberately DETERMINISTIC, engine-
+    * portable bucket function: no logarithms, no randomness — only
+    * integer arithmetic and IEEE +|-|*|/ (both correctly rounded and
+    * bit-identical on the JVM and in any IEEE engine, which is what
+    * lets an oracle replay the bucketing relationally).
+    *
+    *   w   = max(1, floor(|v| * scale + 0.5))        exact scaled magnitude
+    *   e   = length(bin(w)) - 1                      exact floor(log2 w)
+    *   key = sign(v) * (1 + e*sub + ((w - 2^e) * sub) div 2^e)   (0 for v=0)
+    *
+    * Each power-of-two octave splits into `sub` equal-width buckets, so
+    * a bucket's midpoint misstates a member by at most 1/(2*sub)
+    * relative (plus the 0.5/scale absolute rounding floor) — sub=16
+    * gives ~3% rank-safe relative error at 8 bytes/bucket and ≤
+    * 64*sub live buckets per sign. Ascending key order IS ascending
+    * value order (negative keys mirror), so quantile readout is a
+    * cumulative walk. */
+  private def withBucketKey(df: DataFrame, valueCol: String, scale: Long,
+                            sub: Int): DataFrame =
+    df.withColumn("__w", greatest(lit(1L),
+        floor(abs(col(valueCol)) * lit(scale.toDouble) + lit(0.5d))
+          .cast("long")))
+      .withColumn("__e", (length(bin(col("__w"))) - lit(1)).cast("int"))
+      .withColumn("__q", expr("shiftleft(1L, __e)"))
+      .withColumn("__qk",
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .when(col(valueCol) === 0d, lit(0L))
+          .otherwise(signum(col(valueCol)).cast("long") *
+            (lit(1L) + col("__e").cast("long") * lit(sub.toLong) +
+              expr(s"((__w - __q) * ${sub}L) div __q"))))
+      .drop("__w", "__e", "__q")
+
+  /** The shared aggregation: per group, a (signed) row count, non-NULL
+    * value count, and the bucket→count histogram map. `sgn` is +1 for
+    * snapshot/append slices and ±1 for CDF slices — histogram counts
+    * form a GROUP under addition (unlike HLL registers or CMS
+    * counters), which is what makes retractions incrementally
+    * absorbable. Two shuffles, both with map-side partials; the second
+    * input is (groups × live buckets)-sized, never data-sized. */
+  private def quantAgg(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, scale: Long, sub: Int,
+                       sgn: Column): DataFrame = {
+    val gc = groupCols.map(col)
+    withBucketKey(df, valueCol, scale, sub)
+      .withColumn("__sgn", sgn)
+      .groupBy((gc :+ col("__qk")): _*)
+      .agg(sum(col("__sgn")).as("__c"))
+      .groupBy(gc: _*)
+      .agg(sum(col("__c")).as("n_rows"),
+        sum(when(col("__qk").isNotNull, col("__c")).otherwise(0L))
+          .as("n_vals"),
+        // deterministic entry order; zero-net buckets stay out of the
+        // map (a CDF slice's churn that cancels adds nothing)
+        map_from_entries(array_sort(collect_list(
+          when(col("__qk").isNotNull && col("__c") =!= 0L,
+            struct(col("__qk"), col("__c")))))).as("quant_sketch"))
+  }
+
+  /** One-shot quantile rollup: per group, exact row/value counts + the
+    * log2-octave histogram of `valueCol` (map<bigint,bigint>, ≤
+    * 64*sub*2+1 entries ≈ KB-scale per group). */
+  def quantRollup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  scale: Long = 100L, sub: Int = 16): DataFrame = {
+    require(scale > 0 && sub > 0, s"quantRollup: scale=$scale sub=$sub")
+    quantAgg(df, groupCols, valueCol, scale, sub, lit(1L))
+  }
+
+  /** Approximate quantiles from a rollup: for each requested q in
+    * (0, 1], the midpoint value of the first bucket whose cumulative
+    * count reaches rank ceil(q * n_vals) — within 1/(2*sub) relative
+    * (+0.5/scale absolute) of the exact quantile. Groups with zero
+    * non-NULL values emit no rows. The walk runs over the
+    * (groups × buckets) relation, never the data. */
+  def quantValues(rollup: DataFrame, groupCols: Seq[String],
+                  qs: Seq[Double], scale: Long = 100L,
+                  sub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = rollup.sparkSession
+    import spark.implicits._
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"qs=$qs")
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col("bkey"))
+    val exploded = rollup
+      .select((gc :+ col("n_vals") :+ explode(col("quant_sketch"))): _*)
+      .withColumnRenamed("key", "bkey").withColumnRenamed("value", "bcnt")
+      .withColumn("cum", sum(col("bcnt")).over(w))
+    val picked = exploded.crossJoin(qs.toDF("q"))
+      .filter(col("cum") >=
+        greatest(lit(1L), ceil(col("q") * col("n_vals")).cast("long")))
+      .groupBy((gc :+ col("q")): _*)
+      .agg(min(col("bkey")).as("bkey"), max(col("n_vals")).as("n_vals"))
+    // midpoint reconstruction mirrors the bucket function: integer
+    // octave/offset recovery, then IEEE arithmetic in a FIXED operation
+    // order (an oracle replaying the same order reproduces every bit)
+    picked
+      .withColumn("__i", abs(col("bkey")) - lit(1L))
+      .withColumn("__f", expr(s"__i % ${sub}L"))
+      .withColumn("__qd",
+        expr(s"cast(shiftleft(1L, cast(__i div ${sub}L as int)) as double)"))
+      .withColumn("approx_value",
+        when(col("bkey") === 0L, lit(0d))
+          .otherwise(signum(col("bkey")) *
+            ((col("__qd") + (col("__f").cast("double") + lit(0.5d)) *
+              col("__qd") / lit(sub.toDouble)) / lit(scale.toDouble))))
+      .drop("__i", "__f", "__qd", "bkey")
+  }
+
+  /** Materialize the quantile rollup of `src` into `mv` and persist the
+    * definition for [[refreshQuant]]. */
+  def createQuant(src: VersionedTable, mv: VersionedTable,
+                  groupCols: Seq[String], valueCol: String,
+                  scale: Long = 100L, sub: Int = 16): Unit = {
+    val v = src.latestVersion.getOrElse(
+      sys.error(s"quantile rollup: empty table at ${src.root}"))
+    if (mv.exists) mv.clearBucketSpec()
+    mv.overwrite(quantRollup(src.readVersion(v), groupCols, valueCol,
+      scale, sub))
+    val epoch = mv.properties.get(QuantEpochProp)
+      .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1
+    mv.setProperties(Map(
+      QuantSourceProp -> src.root, QuantGroupProp -> groupCols.mkString(","),
+      QuantValueProp -> valueCol, QuantParamsProp -> s"$scale,$sub",
+      QuantVersionProp -> v.toString, QuantEpochProp -> epoch.toString))
+  }
+
+  /** Catch the quantile rollup up with its source. Append-only tails
+    * absorb as bucket-count additions (`"incremental"`); slices WITH
+    * retractions still absorb when the source's change feed is on —
+    * deletes subtract from exactly the buckets they once incremented,
+    * so the merged histogram EQUALS a rebuild's (`"cdf"` — the
+    * capability HLL and CMS rollups structurally lack). Only a
+    * feed-inexpressible slice (overwrite/restore mid-range, NULL group
+    * keys) rebuilds (`"full"`). Crash replays are txn-ledger no-ops. */
+  def refreshQuant(spark: SparkSession, mv: VersionedTable): String = {
+    val props = mv.properties
+    val src = VersionedTable(spark, props.getOrElse(QuantSourceProp,
+      sys.error(s"${mv.root} is not a quantile rollup (no $QuantSourceProp)")))
+    val groupCols = props(QuantGroupProp).split(",").toSeq
+    val valueCol = props(QuantValueProp)
+    val Array(scale, sub) = props(QuantParamsProp).split(",")
+    val txnApp = QuantTxnApp + props.getOrElse(QuantEpochProp, "0") +
+      ":" + mv.root
+    val v0Prop = props(QuantVersionProp).toLong
+    val v0 = math.max(v0Prop, mv.lastTxnVersion(txnApp).getOrElse(v0Prop))
+    val hist = src.history
+    val head = hist.lastOption.map(_.version).getOrElse(v0)
+    val later = hist.filter(e => e.version > v0 && e.version <= head)
+    val absorbless = graft.tables.GraftSql.AbsorblessActions
+    def finish(mode: String): String = {
+      if (head > v0Prop)
+        mv.setProperties(Map(QuantVersionProp -> head.toString))
+      mode
+    }
+    def recompute(): String = {
+      mv.overwrite(quantRollup(src.readVersion(head), groupCols, valueCol,
+        scale.toLong, sub.toInt))
+      finish("full")
+    }
+    // shared by the append and CDF paths — only the slice and sign differ
+    def absorb(slice: DataFrame, sgn: Column,
+               mode: String): Option[String] = {
+      val delta = quantAgg(slice, groupCols, valueCol, scale.toLong,
+        sub.toInt, sgn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // a DML commit that matched zero rows feeds an empty slice
+        if (delta.isEmpty) Some(finish("noop"))
+        // NULL group values cannot ride the merge (NULL never matches)
+        else if (graft.tables.GraftSql.hasNullKeys(delta, groupCols)) None
+        else {
+          mv.merge(delta, groupCols, updateExprs = Map(
+            "n_rows" -> ((t: Column, u: Column) => t + u),
+            "n_vals" -> ((t: Column, u: Column) => t + u),
+            // bucket-wise signed addition, zero-count buckets dropped:
+            // the merged map is EXACTLY the map a rebuild would produce
+            "quant_sketch" -> ((t: Column, u: Column) => map_filter(
+              map_zip_with(t, u, (_, a, b) =>
+                coalesce(a, lit(0L)) + coalesce(b, lit(0L))),
+              (_, x) => x =!= 0L))),
+            txn = Some((txnApp, head)))
+          // emptied groups drop, as a recompute would (idempotent —
+          // a crash replay that no-ops the merge still converges)
+          if (!mv.read.filter(col("n_rows") === 0L).limit(1).isEmpty) {
+            mv.delete(col("n_rows") === 0L)
+            ()
+          }
+          Some(finish(mode))
+        }
+      } finally { delta.unpersist(); () }
+    }
+    if (later.isEmpty || later.forall(e => absorbless(e.action)))
+      finish("noop")
+    else if (later.forall(e =>
+        e.action == "append" || absorbless(e.action)) &&
+        src.addedSetsLive(v0, head) &&
+        absorb(src.readAddedBetween(v0, head), lit(1L), "incremental")
+          .isDefined)
+      "incremental"
+    else if (src.changeFeedEnabled) {
+      try {
+        val sgn = when(col("_change_type")
+            .isin("insert", "update_postimage"), 1L)
+          .when(col("_change_type")
+            .isin("delete", "update_preimage"), -1L)
+        absorb(src.readChangeFeed(v0, Some(head)), sgn, "cdf")
+          .getOrElse(recompute())
+      } catch {
+        case _: graft.tables.CdfNotExpressible => recompute()
+      }
+    } else recompute()
+  }
+
   /** Bounded candidate state: any group whose union exceeded the cap
     * re-ranks its candidates by sketch estimate and keeps topM. Rollup
     * tables are group-count-sized, so this probe is metadata-cheap;

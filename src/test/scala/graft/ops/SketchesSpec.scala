@@ -195,4 +195,113 @@ class SketchesSpec extends SparkSpec {
     assert(estimates(mv) === snap)
     assert(mv.latestVersion.get === mvV)
   }
+
+  // -------------------------------------------------------------------
+  // Quantile rollups
+  // -------------------------------------------------------------------
+
+  private def quantState(mv: VersionedTable): Map[String, (Long, Long, Map[Long, Long])] =
+    mv.read.select("g", "n_rows", "n_vals", "quant_sketch")
+      .as[(String, Long, Long, Map[Long, Long])].collect()
+      .map { case (g, nr, nv, m) => g -> ((nr, nv, m)) }.toMap
+
+  private def quantRebuild(src: VersionedTable): Map[String, (Long, Long, Map[Long, Long])] =
+    Sketches.quantRollup(src.read, Seq("g"), "v")
+      .select("g", "n_rows", "n_vals", "quant_sketch")
+      .as[(String, Long, Long, Map[Long, Long])].collect()
+      .map { case (g, nr, nv, m) => g -> ((nr, nv, m)) }.toMap
+
+  test("quantile rollup: merged histograms EXACTLY equal a one-shot " +
+       "build, and readouts stay inside the 1/(2*sub) relative bound " +
+       "across negatives, zeros and NULLs") {
+    val root = tmpDir("qt-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    // deterministic spread over ~5 octaves, both signs, zeros, NULLs
+    def vals(tag: Int, n: Int) = (0 until n).map { i =>
+      val v = ((i * 37 + tag * 11) % 997) match {
+        case 0 => 0.0
+        case x if x % 13 == 0 => -(x.toDouble / 7.0)
+        case x => x.toDouble / 3.0
+      }
+      (s"g${i % 3}", if (i % 29 == 0) None else Some(v))
+    }
+    src.append(vals(0, 3000).toDF("g", "v"))
+    Sketches.createQuant(src, mv, Seq("g"), "v")
+    src.append(vals(1, 2000).toDF("g", "v"))
+    assert(Sketches.refreshQuant(spark, mv) === "incremental")
+    assert(quantState(mv) === quantRebuild(src),
+      "bucket-count addition must equal the from-scratch histogram")
+    // readout accuracy: ceil(q*n)-th smallest vs bucket midpoint
+    val approx = Sketches.quantValues(mv.read, Seq("g"),
+        Seq(0.1, 0.5, 0.9, 0.99))
+      .select("g", "q", "approx_value")
+      .as[(String, Double, Double)].collect()
+    assert(approx.length === 12)
+    val byGroup = src.read.filter(col("v").isNotNull)
+      .select("g", "v").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).sorted }
+    approx.foreach { case (g, q, est) =>
+      val xs = byGroup(g)
+      val exact = xs(math.max(0, math.ceil(q * xs.length).toInt - 1))
+      val bound = math.abs(exact) / 32.0 * 1.01 + 0.01
+      assert(math.abs(est - exact) <= bound,
+        s"$g q=$q est=$est exact=$exact bound=$bound")
+    }
+  }
+
+  test("quantile rollup absorbs RETRACTIONS incrementally through the " +
+       "change feed — cdf mode, merged state ≡ rebuild, emptied group " +
+       "drops; without the feed the same slice rebuilds") {
+    val root = tmpDir("qt2-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.enableChangeFeed()
+    def slice(tag: Int) = (0 until 800).map(i =>
+      (s"g${i % 3}", ((i * 31 + tag) % 500).toDouble / 2.0))
+    src.append(slice(0).toDF("g", "v"))
+    Sketches.createQuant(src, mv, Seq("g"), "v")
+    src.append(slice(1).toDF("g", "v"))
+    src.delete(col("v") < 50.0)
+    src.update(Map("v" -> (col("v") + lit(1000.0))), col("v") > 200.0)
+    assert(Sketches.refreshQuant(spark, mv) === "cdf",
+      "histogram counts subtract — deletes/updates must NOT rebuild")
+    assert(quantState(mv) === quantRebuild(src),
+      "signed bucket merge must equal the from-scratch histogram")
+    // emptied group: delete every g2 row
+    src.delete(col("g") === "g2")
+    assert(Sketches.refreshQuant(spark, mv) === "cdf")
+    assert(!quantState(mv).contains("g2"), "emptied group must drop")
+    assert(quantState(mv) === quantRebuild(src))
+    assert(Sketches.refreshQuant(spark, mv) === "noop")
+    // feed off: the same retraction shape falls back to a rebuild
+    val src2 = VersionedTable(spark, s"$root/src2")
+    val mv2 = VersionedTable(spark, s"$root/mv2")
+    src2.append(slice(0).toDF("g", "v"))
+    Sketches.createQuant(src2, mv2, Seq("g"), "v")
+    src2.delete(col("v") < 50.0)
+    assert(Sketches.refreshQuant(spark, mv2) === "full")
+    assert(quantState(mv2) === quantRebuild(src2))
+  }
+
+  test("quantile rollup crash replay: a stale covered-version property " +
+       "replays the signed merge as a txn no-op") {
+    val root = tmpDir("qt3-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.enableChangeFeed()
+    src.append((0 until 500).map(i => (s"g${i % 2}", i.toDouble))
+      .toDF("g", "v"))
+    Sketches.createQuant(src, mv, Seq("g"), "v")
+    val covered = mv.properties(Sketches.QuantVersionProp)
+    src.delete(col("v") < 100.0)
+    assert(Sketches.refreshQuant(spark, mv) === "cdf")
+    val snap = quantState(mv)
+    val mvV = mv.latestVersion.get
+    mv.setProperties(Map(Sketches.QuantVersionProp -> covered))
+    assert(Sketches.refreshQuant(spark, mv) === "noop",
+      "the txn ledger must recognize the absorbed slice")
+    assert(quantState(mv) === snap)
+    assert(mv.latestVersion.get === mvV)
+  }
 }

@@ -3536,6 +3536,67 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // percentile_approx in SQL MVs: the quantile is materialized as a
+    // MERGEABLE log2-octave histogram (map<bigint,bigint>) and kept
+    // fresh incrementally — appends ADD bucket counts (mode1
+    // "incremental") and, unlike HLL registers or min/max, deletes
+    // SUBTRACT through the change feed (mode2 "cdf", never a rebuild).
+    // The registered view presents the per-row readout as a DOUBLE
+    // under the declared name; `within_bound` pins each presented
+    // p50/p99 inside the 1/(2·sub) relative guarantee against the
+    // exact rank statistic, and `hist_stored` pins the storage type.
+    "q_sql_mv_quant" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-mvqt-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val src = cat.table("silver", "li")
+      src.enableChangeFeed()
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"), col("l_orderkey").as("okey"),
+        col("l_extendedprice").cast("double").as("price"))
+      src.append(li.filter(col("okey") % 2 === 0))
+      gsql.sql("CREATE MATERIALIZED VIEW gold.mv_flag_price AS " +
+        "SELECT flag, count(*) AS n_rows, " +
+        "percentile_approx(price, 0.5) AS p50, " +
+        "approx_percentile(price, 0.99) AS p99 " +
+        "FROM silver.li GROUP BY flag")
+      src.append(li.filter(col("okey") % 2 =!= 0))
+      val mode1 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_flag_price")
+        .select("mode").as[String].head()
+      src.delete(col("okey") % 7 === 0)
+      val mode2 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_flag_price")
+        .select("mode").as[String].head()
+      val histStored = cat.table("gold", "mv_flag_price")
+        .read.schema("p50").dataType
+        .isInstanceOf[org.apache.spark.sql.types.MapType]
+      cat.registerViews()
+      val presented = s.sql(
+        "SELECT flag, n_rows, p50, p99 FROM gold_mv_flag_price")
+      // exact rank statistic, same definition the readout targets
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("flag").orderBy("price")
+      val vals = src.read.filter(col("price").isNotNull)
+      val qsDf = Seq(0.5, 0.99).toDF("q")
+      val exact = vals
+        .withColumn("rn", row_number().over(w))
+        .join(vals.groupBy("flag").agg(count(lit(1)).as("n")), Seq("flag"))
+        .crossJoin(qsDf)
+        .filter(col("rn") ===
+          greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+        .select(col("flag"), col("q"), col("price").as("exact_q"))
+      presented.join(exact, Seq("flag"))
+        .select(col("flag"), (col("q") * 100).cast("int").as("pct"),
+          col("n_rows"),
+          (abs(when(col("q") === 0.5, col("p50")).otherwise(col("p99"))
+            - col("exact_q")) <=
+            abs(col("exact_q")) / 32.0 * 1.01 + 0.01).as("within_bound"))
+        .withColumn("mode1", lit(mode1)).withColumn("mode2", lit(mode2))
+        .withColumn("hist_stored", lit(histStored))
+        .orderBy("flag", "pct")
+    }),
+
     // Mergeable distinct-count sketch rollup: COUNT(DISTINCT x) per
     // group kept fresh INCREMENTALLY via HLL sketch union — the one
     // aggregate exact MVs cannot maintain. `mode`/`overwrites` pin that
@@ -4376,6 +4437,16 @@ object SparkEntry {
         |  TRUE AS estimate_ok, 'incremental' AS mode,
         |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_mv_quant" ->
+      """WITH f AS (SELECT l_returnflag AS flag FROM lineitem
+        |           WHERE l_orderkey % 7 <> 0),
+        |g AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM f GROUP BY 1)
+        |SELECT flag, pct, n_rows, TRUE AS within_bound,
+        |  'incremental' AS mode1, 'cdf' AS mode2, TRUE AS hist_stored
+        |FROM g CROSS JOIN (VALUES (50), (99)) AS p(pct)
+        |ORDER BY flag, pct""".stripMargin,
 
     "q_sql_mv_join" ->
       """WITH base AS (SELECT o_custkey AS ck, o_orderkey AS ok,

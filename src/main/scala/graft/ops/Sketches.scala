@@ -426,6 +426,44 @@ object Sketches {
       .drop("__i", "__f", "__qd", "bkey")
   }
 
+  /** Per-ROW quantile readout of ONE histogram map column — the scalar
+    * twin of [[quantValues]] (same rank definition, same midpoint
+    * reconstruction), for surfaces that present a stored histogram
+    * under a scalar name (SQL MV reads, [[quantReadoutSql]] callers).
+    * Pure built-in HOFs over the ≤64·sub·2-entry map: a cumulative
+    * walk of the key-sorted entries picks the first bucket whose count
+    * reaches rank ceil(q·n), n being the map's own value sum — the
+    * histogram carries its count, no companion column needed. Empty or
+    * NULL map (a group whose values all retracted) reads NULL.
+    * `qLit` is the SQL literal text of q, kept verbatim so DDL-supplied
+    * quantiles round-trip without float reformatting. */
+  def quantReadoutSql(mapCol: String, qLit: String, scale: Long = 100L,
+                      sub: Int = 16): String = {
+    require(qLit.toDouble > 0 && qLit.toDouble <= 1,
+      s"quantile must be in (0,1], got $qLit")
+    val n = s"aggregate(map_values($mapCol), 0L, (a, v) -> a + v)"
+    // midpoint of bucket k: sign(k) * (2^(i div sub) * (1 + (i%sub + 0.5)/sub)) / scale
+    // with i = |k|-1 — the quantValues reconstruction, fixed op order
+    val mid = s"""CASE WHEN acc.k IS NULL THEN CAST(NULL AS DOUBLE)
+      WHEN acc.k = 0L THEN 0.0D
+      ELSE CAST(SIGN(acc.k) AS DOUBLE) *
+        ((CAST(shiftleft(1L, CAST((ABS(acc.k) - 1) DIV $sub AS INT)) AS DOUBLE)
+          + (CAST((ABS(acc.k) - 1) % $sub AS DOUBLE) + 0.5D)
+            * CAST(shiftleft(1L, CAST((ABS(acc.k) - 1) DIV $sub AS INT)) AS DOUBLE)
+            / CAST($sub AS DOUBLE))
+         / CAST($scale AS DOUBLE)) END"""
+    s"""CASE WHEN $mapCol IS NULL OR size($mapCol) = 0 THEN CAST(NULL AS DOUBLE)
+      ELSE aggregate(
+        array_sort(map_entries($mapCol)),
+        named_struct('cum', 0L, 'k', CAST(NULL AS BIGINT)),
+        (acc, e) -> IF(acc.k IS NOT NULL, acc,
+          named_struct('cum', acc.cum + e.value,
+            'k', IF(acc.cum + e.value >=
+                      GREATEST(1L, CAST(CEIL($qLit * $n) AS BIGINT)),
+                    e.key, CAST(NULL AS BIGINT)))),
+        acc -> $mid) END"""
+  }
+
   /** Materialize the quantile rollup of `src` into `mv` and persist the
     * definition for [[refreshQuant]]. */
   def createQuant(src: VersionedTable, mv: VersionedTable,

@@ -69,6 +69,7 @@ object JoinMv {
                      aggs: Seq[(String, String, String)],
                      factV: Long, dimVs: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    graft.functions.QuantFunctions.register(fact.spark)
     val joined = joinAll(fact.readVersion(factV),
       dims.zip(dimVs).map { case (d, v) => (d.table.readVersion(v), d.keys) })
     joined.groupBy(groupCols.map(col): _*)
@@ -143,7 +144,7 @@ object JoinMv {
       mv: VersionedTable, groupCols: Seq[String],
       aggs: Seq[MvRewrite.AggSpec], factV: Long,
       dimVs: Seq[Long]): Unit =
-    if (aggs.exists(_.fn == "hll")) MvRewrite.deregisterRoot(mv.root)
+    if (aggs.exists(a => GraftSql.approxAgg(a.fn))) MvRewrite.deregisterRoot(mv.root)
     else MvRewrite.registerJoinChain(fact, Some(factV),
       dims.zip(dimVs).map { case (d, v) =>
         MvRewrite.JoinDim(d.table, d.keys, Some(v))

@@ -905,6 +905,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
                                      where: Option[String],
                                      groupBy: String): DataFrame = {
     import spark.implicits._
+    graft.functions.QuantFunctions.register(spark)
     val src = resolve(srcIdent)
     val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)
     val srcCols = src.read.columns.toSet
@@ -1059,6 +1060,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * (the rewrite registry is in-memory; the definition is not). */
   private def refreshMaterializedView(mvIdent: String): DataFrame = {
     import spark.implicits._
+    graft.functions.QuantFunctions.register(spark)
     val mv = resolve(mvIdent)
     val props = mv.properties
     val srcRoot = props.getOrElse(GraftSql.MvSourceProp,
@@ -1368,7 +1370,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         val aggSpecs = GraftSql.parseAggSpecs(props(GraftSql.MvAggsProp))
         if (src.exists && src.latestVersion.contains(covered) &&
             !props.contains(GraftSql.MvWhereProp) &&
-            !aggSpecs.exists(_._1 == "hll")) {
+            !aggSpecs.exists(a => GraftSql.approxAgg(a._1))) {
           armMvRewrite(src, mv,
             props(GraftSql.MvGroupProp).split(",").toSeq, aggSpecs, covered)
           Some(s"$l.$t")
@@ -1411,7 +1413,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // Registration pins the COVERED version, never the live head (a
     // concurrent commit between the pin and this call must stay
     // un-served).
-    if (aggs.exists(_._1 == "hll"))
+    if (aggs.exists(a => GraftSql.approxAgg(a._1)))
       // sketch estimates must NEVER transparently replace a query's own
       // aggregate (Spark's approx_count_distinct is a different
       // estimator — results would silently change); and a REPLACE that
@@ -2347,10 +2349,21 @@ object GraftSql {
         require(cc != "*" || f == "count",
           s"materialized view: $f(*) is not a materializable aggregate")
         (bs, as :+ ((f, cc, stripTicks(out))))
+      // percentile_approx(c, q) materializes as a MERGEABLE log2-octave
+      // histogram ("quant<q>" in the stored spec): bucket counts form a
+      // group under addition, so refresh absorbs appends AND retractions
+      // as signed bucket merges — the quantile shape an incremental MV
+      // can maintain exactly (the estimate equals a rebuild's)
+      case ((bs, as), MvQuantItem(c, qt, out)) =>
+        require(qt.toDouble > 0 && qt.toDouble <= 1,
+          s"materialized view: percentile_approx quantile must be in " +
+            s"(0,1], got $qt")
+        (bs, as :+ ((s"quant$qt", stripTicks(c), stripTicks(out))))
       case ((bs, as), MvColItem(c)) => (bs :+ stripTicks(c), as)
       case (_, item) => sys.error(
         "materialized view: select items must be a group column or " +
-          s"sum|count|min|max|approx_count_distinct(col) AS name — got " +
+          s"sum|count|min|max|approx_count_distinct(col)|" +
+          s"percentile_approx(col, q) AS name — got " +
           s"`${item.trim}` (avg is derived by the rewrite rule from " +
           "sum+count)")
     }
@@ -2368,6 +2381,24 @@ object GraftSql {
     * columns: ±~1.6%/√2^lgK ≈ 2.5% at 12, KB-scale per group. */
   private[graft] val MvHllLgK = 12
 
+  /** Histogram resolution for materialized `percentile_approx` columns:
+    * readouts land within 1/(2·sub) ≈ 3.1% relative (+0.5/scale
+    * absolute) of the exact rank statistic; ≤64·sub buckets per sign
+    * live at once — KB-scale per group at any data size. */
+  private[graft] val MvQuantScale = 100L
+  private[graft] val MvQuantSub = 16
+
+  /** Is `fn` a stored percentile-histogram spec (`quant<q>`)? */
+  private[graft] def isQuantFn(fn: String): Boolean = fn.startsWith("quant")
+  /** The quantile a `quant<q>` spec names, as its verbatim literal. */
+  private[graft] def quantQ(fn: String): String = fn.stripPrefix("quant")
+  /** Aggregates whose MV columns are ESTIMATES (sketches/histograms) —
+    * these must never transparently replace a query's own aggregate
+    * (different estimator, silently different numbers), so definitions
+    * carrying any of them refresh-only and never arm routing. */
+  private[graft] def approxAgg(fn: String): Boolean =
+    fn == "hll" || isQuantFn(fn)
+
   private[graft] def mvAggColumns(
       aggs: Seq[(String, String, String)]): Seq[Column] =
     aggs.map { case (fn, c, out) =>
@@ -2382,6 +2413,14 @@ object GraftSql {
         // presentation projects hll_sketch_estimate — see presentMvRead
         case "hll"   => org.apache.spark.sql.functions.call_function(
           "hll_sketch_agg", col(c), lit(MvHllLgK))
+        // the STORED column is the histogram (map<bigint,bigint>,
+        // signed-mergeable); presentation runs the per-row cumulative
+        // readout — see presentMvRead. Callers must have
+        // QuantFunctions.register'd (mvAggSession does)
+        case qf if isQuantFn(qf) =>
+          org.apache.spark.sql.functions.call_function(
+            "graft_quant_hist", col(c).cast("double"), lit(1L),
+            lit(MvQuantScale), lit(MvQuantSub))
       }).as(out)
     }
 
@@ -2441,15 +2480,23 @@ object GraftSql {
   private[graft] def presentMvRead(tbl: VersionedTable): DataFrame = {
     val df = tbl.read
     val props = tbl.properties
-    val hllOuts = (props.get(MvAggsProp).toSeq ++
-      props.get(graft.plans.JoinMv.AggsProp).toSeq)
-      .flatMap(parseAggSpecs).collect { case ("hll", _, o) => o }.toSet
-    if (hllOuts.isEmpty) df
+    val specs = (props.get(MvAggsProp).toSeq ++
+      props.get(graft.plans.JoinMv.AggsProp).toSeq).flatMap(parseAggSpecs)
+    val hllOuts = specs.collect { case ("hll", _, o) => o }.toSet
+    // quant columns present as the DOUBLE readout of their stored
+    // histogram: a per-row cumulative walk over the ≤2k-entry map
+    // (Sketches.quantReadoutSql) — no join, no shuffle, no companion
+    val quantOuts = specs.collect {
+      case (f, _, o) if isQuantFn(f) => o -> quantQ(f)
+    }.toMap
+    if (hllOuts.isEmpty && quantOuts.isEmpty) df
     else df.select(df.columns.toSeq.map { c =>
       if (hllOuts(c))
         org.apache.spark.sql.functions.call_function(
           "hll_sketch_estimate", col(c)).as(c)
-      else col(c)
+      else quantOuts.get(c).fold(col(c))(q =>
+        expr(graft.ops.Sketches.quantReadoutSql(c, q,
+          MvQuantScale, MvQuantSub)).as(c))
     }: _*)
   }
 
@@ -2486,6 +2533,7 @@ object GraftSql {
       touchedKeys: DataFrame, freshRows: => DataFrame,
       groupCols: Seq[String], aggs: Seq[(String, String, String)],
       txnApp: String, version: Long): Unit = {
+    graft.functions.QuantFunctions.register(touchedKeys.sparkSession)
     val touched = touchedKeys
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2526,12 +2574,14 @@ object GraftSql {
     !df.filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).isEmpty
 
   /** Whether `aggs` can absorb retractions from a row-level change feed:
-    * sum/count only, count(*) materialized (emptied groups must drop),
-    * every sum(c) with a count(c) companion (NULL-fix). */
+    * sum/count/quant only, count(*) materialized (emptied groups must
+    * drop), every sum(c) with a count(c) companion (NULL-fix). Quant
+    * histograms need no companion — bucket counts retract directly and
+    * the map carries its own value count. */
   private[graft] def cdfMaintainable(aggs: Seq[(String, String, String)]): Boolean =
     aggs.exists(a => a._1 == "count" && a._2 == "*") &&
       aggs.forall { case (f, c, _) =>
-        f == "count" || (f == "sum" && aggs.exists(a =>
+        f == "count" || isQuantFn(f) || (f == "sum" && aggs.exists(a =>
           a._1 == "count" && a._2 == c))
       }
 
@@ -2550,8 +2600,9 @@ object GraftSql {
                                    aggs: Seq[(String, String, String)],
                                    txn: Option[(String, Long)],
                                    partitionBy: Seq[String] = Nil): Unit = {
+    graft.functions.QuantFunctions.register(feed.sparkSession)
     require(cdfMaintainable(aggs),
-      "CDF aggregate maintenance needs count(*) plus sum/count-only " +
+      "CDF aggregate maintenance needs count(*) plus sum/count/quant " +
         s"aggregates (with count(c) for every sum(c)); got ${aggs.mkString(",")}")
     val countStar = aggs.collectFirst { case ("count", "*", o) => o }.get
     val sgn = when(col("_change_type")
@@ -2565,6 +2616,12 @@ object GraftSql {
         when(col(c).isNotNull, col("__sgn")).otherwise(0L)).as(o)
       case ("sum", c, o) =>
         org.apache.spark.sql.functions.sum(col(c) * col("__sgn")).as(o)
+      // the sign rides INTO the histogram: preimages subtract from
+      // exactly the buckets they once incremented
+      case (qf, c, o) if isQuantFn(qf) =>
+        org.apache.spark.sql.functions.call_function("graft_quant_hist",
+          col(c).cast("double"), col("__sgn"),
+          lit(MvQuantScale), lit(MvQuantSub)).as(o)
       case (f, c, _) => sys.error(s"unreachable: $f($c) on the cdf path")
     }
     // persisted: the emptiness probe and the merge must not each pay
@@ -2588,8 +2645,9 @@ object GraftSql {
           s"value in group column(s) ${groupCols.mkString(",")} — NULL " +
           "keys cannot merge incrementally; coalesce them upstream")
       mv.merge(delta, groupCols, updateExprs = aggs.map {
-        case ("count", _, o) => o -> ((t: Column, u: Column) => t + u)
-        case (_, _, o)       => o -> mvCombine("sum")
+        case ("count", _, o)              => o -> ((t: Column, u: Column) => t + u)
+        case (qf, _, o) if isQuantFn(qf)  => o -> mvCombine(qf)
+        case (_, _, o)                    => o -> mvCombine("sum")
       }.toMap, txn = txn, partitionBy = partitionBy)
     } finally { delta.unpersist(); () }
     // emptied groups drop, as a recompute would (guarded: per-batch
@@ -2619,10 +2677,13 @@ object GraftSql {
   private[graft] def parseAggSpecs(s: String): Seq[(String, String, String)] =
     s.split(";").toSeq.map { one =>
       one.split(":", 3) match {
-        case Array(f, c, o) if Set("sum", "count", "min", "max", "hll")(f) =>
+        case Array(f, c, o) if Set("sum", "count", "min", "max", "hll")(f) ||
+            (isQuantFn(f) &&
+              scala.util.Try(quantQ(f).toDouble).toOption
+                .exists(q => q > 0 && q <= 1)) =>
           (f, c, o)
         case _ => sys.error(s"bad aggregate spec `$one` (expected " +
-          "fn:col:out with fn in sum|count|min|max|hll)")
+          "fn:col:out with fn in sum|count|min|max|hll|quant<q>)")
       }
     }
 
@@ -2643,6 +2704,17 @@ object GraftSql {
       case "hll"   => (t, u) => org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.functions.call_function("hll_union", t, u),
         t, u)
+      // bucket-wise SIGNED addition, zero-net buckets dropped — the
+      // merged histogram EXACTLY equals a rebuild's (counts form a
+      // group under addition, so this combine serves appends AND
+      // signed CDF deltas alike)
+      case qf if isQuantFn(qf) => (t, u) => {
+        import org.apache.spark.sql.functions.{coalesce, map_filter, map_zip_with, lit => l}
+        coalesce(map_filter(
+          map_zip_with(t, u, (_, a, b) =>
+            coalesce(a, l(0L)) + coalesce(b, l(0L))),
+          (_, x) => x =!= 0L), t, u)
+      }
     }
 
   /** UTC timestamp literal → epoch millis (`yyyy-MM-dd[ HH:mm:ss]`,
@@ -2873,6 +2945,11 @@ object GraftSql {
       m => java.util.regex.Matcher.quoteReplacement(m.group(1)))
   private val MvAggItem =
     """(?is)\s*(sum|count|min|max|approx_count_distinct)\s*\(\s*(\*|`[^`]+`|\w+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
+  // two-arg approximate-percentile form; q must be a plain numeric
+  // literal — its TEXT is kept verbatim in the stored spec (`quant<q>`)
+  // so the readout replays exactly the quantile the DDL named
+  private val MvQuantItem =
+    """(?is)\s*(?:percentile_approx|approx_percentile)\s*\(\s*(`[^`]+`|\w+)\s*,\s*([0-9]*\.?[0-9]+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s+AS\s+""" +

@@ -284,6 +284,35 @@ class SketchesSpec extends SparkSpec {
     assert(quantState(mv2) === quantRebuild(src2))
   }
 
+  test("graft_quant_hist single-pass aggregate equals the relational " +
+       "rollup bucket-for-bucket (the JVM and SQL bucket functions are " +
+       "twins) and the per-row readout equals quantValues") {
+    graft.functions.QuantFunctions.register(spark)
+    val df = (0 until 4000).map { i =>
+      val v = ((i * 37) % 997) match {
+        case 0                => 0.0
+        case x if x % 13 == 0 => -(x.toDouble / 7.0)
+        case x                => x.toDouble / 3.0
+      }
+      (s"g${i % 4}", if (i % 29 == 0) None else Some(v))
+    }.toDF("g", "v")
+    val viaAgg = df.groupBy("g").agg(
+      call_function("graft_quant_hist", col("v").cast("double"), lit(1L),
+        lit(100L), lit(16)).as("h"))
+    val rollup = Sketches.quantRollup(df, Seq("g"), "v")
+    assert(viaAgg.as[(String, Map[Long, Long])].collect().toMap ===
+      rollup.select("g", "quant_sketch")
+        .as[(String, Map[Long, Long])].collect().toMap)
+    // scalar readout (the MV presentation path) ≡ relational quantValues
+    val perRow = rollup
+      .select(col("g"),
+        expr(Sketches.quantReadoutSql("quant_sketch", "0.9")).as("v90"))
+      .as[(String, Double)].collect().toMap
+    val relational = Sketches.quantValues(rollup, Seq("g"), Seq(0.9))
+      .select("g", "approx_value").as[(String, Double)].collect().toMap
+    assert(perRow === relational)
+  }
+
   test("quantile rollup crash replay: a stale covered-version property " +
        "replays the signed merge as a txn no-op") {
     val root = tmpDir("qt3-")

@@ -536,6 +536,75 @@ class TableStreamSpec extends SparkSpec {
     assert(state() === full)
   }
 
+  test("sink: aggregate mode maintains quant HISTOGRAM columns from " +
+    "the change feed — retractions subtract bucket counts, merged " +
+    "state equals a one-shot rebuild") {
+    val src = tmpDir("ts-qagg-src-")
+    val mvRoot = tmpDir("ts-qagg-mv-")
+    val cp = tmpDir("ts-qagg-cp-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append((0 until 900).map(i => (s"g${i % 2}", (i % 300).toDouble / 2.0))
+      .toDF("k", "v"))                                          // v0
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .option("aggregate", "count:*:cnt;quant0.5:v:p50")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    sync()
+    graft.functions.QuantFunctions.register(spark)
+    val mv = VersionedTable(spark, mvRoot)
+    def state(): Map[String, (Long, Map[Long, Long])] =
+      mv.read.select("k", "cnt", "p50")
+        .as[(String, Long, Map[Long, Long])].collect()
+        .map { case (k, c, m) => k -> ((c, m)) }.toMap
+    def rebuild(): Map[String, (Long, Map[Long, Long])] =
+      t.read.groupBy("k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.call_function("graft_quant_hist",
+          $"v".cast("double"), org.apache.spark.sql.functions.lit(1L),
+          org.apache.spark.sql.functions.lit(
+            graft.tables.GraftSql.MvQuantScale),
+          org.apache.spark.sql.functions.lit(
+            graft.tables.GraftSql.MvQuantSub)).as("p50"))
+        .as[(String, Long, Map[Long, Long])].collect()
+        .map { case (k, c, m) => k -> ((c, m)) }.toMap
+    assert(state() === rebuild())
+    // retraction mix: deletes and updates subtract from exactly the
+    // buckets they once incremented; an emptied... (g1 survives)
+    t.delete($"v" < 30.0)                                       // v1
+    t.update(Map("v" -> ($"v" + 500.0)), $"v" > 120.0)          // v2
+    t.append(Seq(("g2", 7.5)).toDF("k", "v"))                   // v3
+    sync()
+    assert(state() === rebuild(),
+      "signed bucket merge must equal the from-scratch histogram")
+    // replay with nothing new: idempotent
+    sync()
+    assert(state() === rebuild())
+    // the presented readout (per-row cumulative walk) stays within the
+    // 1/(2·sub) relative bound of the exact median
+    val got = mv.read.selectExpr("k",
+        graft.ops.Sketches.quantReadoutSql("p50", "0.5") + " AS est")
+      .as[(String, Double)].collect().toMap
+    val exact = t.read.select("k", "v").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (k, a) =>
+        val xs = a.map(_._2).sorted
+        k -> xs(math.max(0, math.ceil(0.5 * xs.length).toInt - 1))
+      }
+    got.foreach { case (k, est) =>
+      val e = exact(k)
+      assert(math.abs(est - e) <= math.abs(e) / 32.0 * 1.01 + 0.01,
+        s"$k est=$est exact=$e")
+    }
+  }
+
   test("sink: aggregateFilter maintains a FILTERED streaming MV - rows " +
     "crossing the predicate boundary absorb as signed deltas") {
     val src = tmpDir("ts-fagg-src-")

@@ -979,4 +979,125 @@ class MvSqlSpec extends SparkSpec {
     assert(graft.ops.Sketches.withEstimate(mv.read)
       .filter(col("g") === "g1").select("n_rows").as[Long].head() === 2L)
   }
+
+  test("percentile_approx in a JOIN MV: fact churn (including " +
+       "retractions) absorbs as signed histogram deltas through the " +
+       "pinned dims; merged state equals a rebuild; routing never arms") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    val fact = cat.table("silver", "jfact")
+    fact.append((0 until 600).map(i => ((i % 2) + 1, (i % 97).toLong))
+      .toDF("team", "pts"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jq AS SELECT color, " +
+      "count(*) AS cnt, percentile_approx(pts, 0.9) AS p90 " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_jq")
+    try {
+      graft.functions.QuantFunctions.register(spark)
+      // an estimate-bearing join definition must never arm routing
+      assert(!scansMv(joinQ(cat)))
+      def rebuilt(): Map[String, (Long, Map[Long, Long])] = {
+        val f = cat.table("silver", "jfact").read
+        val d = cat.table("silver", "jdim").read
+        f.join(d, "team").groupBy("color")
+          .agg(count(lit(1)).as("cnt"),
+            call_function("graft_quant_hist", col("pts").cast("double"),
+              lit(1L), lit(GraftSql.MvQuantScale), lit(GraftSql.MvQuantSub))
+              .as("h"))
+          .as[(String, Long, Map[Long, Long])].collect()
+          .map { case (c, n, m) => c -> ((n, m)) }.toMap
+      }
+      def state(): Map[String, (Long, Map[Long, Long])] =
+        mv.read.select("color", "cnt", "p90")
+          .as[(String, Long, Map[Long, Long])].collect()
+          .map { case (c, n, m) => c -> ((n, m)) }.toMap
+      assert(state() === rebuilt())
+      // fact retractions subtract through the histogram — "cdf", never
+      // "groups"/"full" (the min/max limitation does not apply)
+      fact.append((0 until 100).map(i => ((i % 2) + 1, (i % 31 + 200).toLong))
+        .toDF("team", "pts"))
+      sql.sql("DELETE FROM silver.jfact WHERE pts < 20")
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jq")
+        .select("mode").as[String].head() === "cdf")
+      assert(state() === rebuilt(),
+        "signed histogram merge through the join must equal a rebuild")
+    } finally MvRewrite.deregisterRoot(mv.root)
+  }
+
+  test("percentile_approx MV: histogram-backed storage, appends absorb " +
+       "incrementally, RETRACTIONS absorb through the change feed with " +
+       "merged state equal to a rebuild, readouts present through the " +
+       "registered view within the relative bound, routing never arms") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "lat")
+    src.enableChangeFeed()
+    def batch(tag: Int) = (0 until 2000).map { i =>
+      val v = ((i * 13 + tag * 7) % 997) match {
+        case 0                    => 0.0
+        case x if x % 11 == 0     => -(x.toDouble / 4.0)
+        case x                    => x.toDouble / 3.0
+      }
+      (s"g${i % 3}", v)
+    }.toDF("g", "ms")
+    src.append(batch(0))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_lat AS SELECT g, " +
+      "count(*) AS n, percentile_approx(ms, 0.5) AS p50, " +
+      "approx_percentile(ms, 0.99) AS p99 FROM silver.lat GROUP BY g")
+    val mv = cat.table("gold", "mv_lat")
+    try {
+      // storage is the signed-mergeable histogram; presentation reads out
+      assert(mv.read.schema("p50").dataType
+        .isInstanceOf[org.apache.spark.sql.types.MapType])
+      cat.registerViews()
+      assert(spark.table("gold_mv_lat").schema("p50").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      // a histogram ESTIMATE must never transparently serve a query
+      assert(!scansMv(src.read.groupBy("g").agg(count(lit(1)).as("c"))))
+      // append-only tail: bucket-count addition
+      src.append(batch(1))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_lat")
+        .select("mode").as[String].head() === "incremental")
+      // retraction: histogram counts SUBTRACT through the feed — the
+      // capability hll/min/max lack ("cdf", not "groups"/"full")
+      src.delete(col("ms") > 200.0)
+      src.update(Map("ms" -> (col("ms") - lit(5.0))), col("ms") < -100.0)
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_lat")
+        .select("mode").as[String].head() === "cdf")
+      // merged storage EXACTLY equals a one-shot rebuild's histogram
+      def hist(df: DataFrame, out: String): Map[String, Map[Long, Long]] =
+        df.select(col("g"), col(out)).as[(String, Map[Long, Long])]
+          .collect().toMap
+      val oneShot = src.read.groupBy("g").agg(
+        call_function("graft_quant_hist", col("ms").cast("double"),
+          lit(1L), lit(GraftSql.MvQuantScale), lit(GraftSql.MvQuantSub))
+          .as("h"))
+      assert(hist(mv.read, "p50") === hist(oneShot, "h"))
+      assert(hist(mv.read, "p99") === hist(oneShot, "h"))
+      // presented readout lands within 1/(2·sub) relative of the exact
+      // rank statistic, per group and quantile
+      cat.registerViews()
+      val got = spark.sql(
+        "SELECT g, n, p50, p99 FROM gold_mv_lat ORDER BY g")
+        .as[(String, Long, Double, Double)].collect()
+      val byGroup = src.read.select("g", "ms").as[(String, Double)]
+        .collect().groupBy(_._1).map { case (g, a) =>
+          g -> a.map(_._2).sorted }
+      got.foreach { case (g, n, p50, p99) =>
+        val xs = byGroup(g)
+        assert(n === xs.length.toLong)
+        Seq((0.5, p50), (0.99, p99)).foreach { case (q, est) =>
+          val exact = xs(math.max(0, math.ceil(q * xs.length).toInt - 1))
+          val bound = math.abs(exact) / 32.0 * 1.01 + 0.01
+          assert(math.abs(est - exact) <= bound,
+            s"$g q=$q est=$est exact=$exact bound=$bound")
+        }
+      }
+      // emptied group drops, as a recompute would
+      src.delete(col("g") === "g2")
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_lat")
+        .select("mode").as[String].head() === "cdf")
+      assert(mv.read.filter(col("g") === "g2").isEmpty)
+    } finally MvRewrite.deregisterRoot(mv.root)
+  }
 }

@@ -3536,6 +3536,50 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // approx_top_k through the SQL MV surface: the stored column is a
+    // mergeable struct<CMS sketch, candidate set>. Appends absorb as
+    // counter-wise sums + candidate unions (mode1 "incremental");
+    // counters cannot retract, so the delete refreshes through the
+    // per-touched-group recompute (mode2 "groups" — O(changed groups),
+    // never a full rescan, never a silent under-count). The registered
+    // view presents the estimate-ranked top-k; on this bounded item
+    // domain the readout EQUALS the exact per-group top-5, which the
+    // oracle replays with plain GROUP BY + row_number.
+    "q_sql_mv_topk" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-mvtk-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val src = cat.table("silver", "li")
+      src.enableChangeFeed()
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        concat(lit("b"), floor(log2(col("l_orderkey") % 1024 + 1))
+          .cast("int").cast("string")).as("item"),
+        col("l_orderkey").as("okey"))
+      src.append(li.filter(col("okey") % 2 === 0))
+      gsql.sql("CREATE MATERIALIZED VIEW gold.mv_flag_items AS " +
+        "SELECT flag, count(*) AS n_rows, " +
+        "approx_top_k(item, 5) AS top_items " +
+        "FROM silver.li GROUP BY flag")
+      src.append(li.filter(col("okey") % 2 =!= 0))
+      val mode1 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_flag_items")
+        .select("mode").as[String].head()
+      src.delete(col("okey") % 7 === 0)
+      val mode2 = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_flag_items")
+        .select("mode").as[String].head()
+      cat.registerViews()
+      s.sql("SELECT flag, n_rows, top_items FROM gold_mv_flag_items")
+        .select(col("flag"), col("n_rows"),
+          posexplode(col("top_items")).as(Seq("pos", "ti")))
+        .select(col("flag"), col("n_rows"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("ti.item").as("item"), col("ti.est_count").as("est_count"))
+        .withColumn("mode1", lit(mode1)).withColumn("mode2", lit(mode2))
+        .orderBy("flag", "rank")
+    }),
+
     // percentile_approx in SQL MVs: the quantile is materialized as a
     // MERGEABLE log2-octave histogram (map<bigint,bigint>) and kept
     // fresh incrementally — appends ADD bucket counts (mode1
@@ -4437,6 +4481,23 @@ object SparkEntry {
         |  TRUE AS estimate_ok, 'incremental' AS mode,
         |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_mv_topk" ->
+      """WITH it AS (SELECT l_returnflag AS flag,
+        |  'b' || CAST(CAST(floor(log2(l_orderkey % 1024 + 1)) AS INT)
+        |             AS VARCHAR) AS item
+        |  FROM lineitem WHERE l_orderkey % 7 <> 0),
+        |n AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM it GROUP BY 1),
+        |c AS (SELECT flag, item, count(*) AS cnt FROM it GROUP BY 1, 2),
+        |r AS (SELECT flag, item, cnt, row_number() OVER (
+        |        PARTITION BY flag ORDER BY cnt DESC, item) AS rank
+        |      FROM c)
+        |SELECT r.flag, n.n_rows, CAST(r.rank AS INT) AS rank, r.item,
+        |  CAST(r.cnt AS BIGINT) AS est_count,
+        |  'incremental' AS mode1, 'groups' AS mode2
+        |FROM r JOIN n ON r.flag = n.flag
+        |WHERE r.rank <= 5 ORDER BY 1, 3""".stripMargin,
 
     "q_sql_mv_quant" ->
       """WITH f AS (SELECT l_returnflag AS flag FROM lineitem

@@ -121,6 +121,10 @@ object SketchFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    // quiet idempotence: rollup refresh and MV read paths register per
+    // call, and a re-registration logs a replace warning every time
+    if (registry.functionExists(FunctionIdentifier("graft_cms_merge")))
+      return
 
     registry.registerFunction(
       FunctionIdentifier("graft_cms_merge"),

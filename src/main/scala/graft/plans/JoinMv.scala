@@ -69,7 +69,7 @@ object JoinMv {
                      aggs: Seq[(String, String, String)],
                      factV: Long, dimVs: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    graft.functions.QuantFunctions.register(fact.spark)
+    GraftSql.registerMvFunctions(fact.spark)
     val joined = joinAll(fact.readVersion(factV),
       dims.zip(dimVs).map { case (d, v) => (d.table.readVersion(v), d.keys) })
     joined.groupBy(groupCols.map(col): _*)

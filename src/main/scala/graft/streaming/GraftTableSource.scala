@@ -296,7 +296,7 @@ final class GraftTableSink(root: String, appId: String,
         // there is no source table here to recompute from, and a wrong
         // rollup must never land quietly.
         import org.apache.spark.sql.functions.{col, max, when}
-        graft.functions.QuantFunctions.register(sliced.sparkSession)
+        graft.tables.GraftSql.registerMvFunctions(sliced.sparkSession)
         val delta = sliced.groupBy(mergeKeys.map(col): _*)
           .agg(graft.tables.GraftSql.mvAggColumns(aggs).head,
             graft.tables.GraftSql.mvAggColumns(aggs).tail :+

@@ -905,7 +905,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
                                      where: Option[String],
                                      groupBy: String): DataFrame = {
     import spark.implicits._
-    graft.functions.QuantFunctions.register(spark)
+    GraftSql.registerMvFunctions(spark)
     val src = resolve(srcIdent)
     val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)
     val srcCols = src.read.columns.toSet
@@ -1060,7 +1060,7 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * (the rewrite registry is in-memory; the definition is not). */
   private def refreshMaterializedView(mvIdent: String): DataFrame = {
     import spark.implicits._
-    graft.functions.QuantFunctions.register(spark)
+    GraftSql.registerMvFunctions(spark)
     val mv = resolve(mvIdent)
     val props = mv.properties
     val srcRoot = props.getOrElse(GraftSql.MvSourceProp,
@@ -2359,11 +2359,19 @@ object GraftSql {
           s"materialized view: percentile_approx quantile must be in " +
             s"(0,1], got $qt")
         (bs, as :+ ((s"quant$qt", stripTicks(c), stripTicks(out))))
+      // approx_top_k(c, k) materializes as CMS + candidate-set state
+      // ("topk<k>"): append slices absorb as counter sums + candidate
+      // unions; counters cannot retract, so deletes refresh through the
+      // per-touched-group recompute, never a silent under-count
+      case ((bs, as), MvTopkItem(c, k, out)) =>
+        require(k.toInt > 0,
+          s"materialized view: approx_top_k k must be positive, got $k")
+        (bs, as :+ ((s"topk${k.toInt}", stripTicks(c), stripTicks(out))))
       case ((bs, as), MvColItem(c)) => (bs :+ stripTicks(c), as)
       case (_, item) => sys.error(
         "materialized view: select items must be a group column or " +
           s"sum|count|min|max|approx_count_distinct(col)|" +
-          s"percentile_approx(col, q) AS name — got " +
+          s"percentile_approx(col, q)|approx_top_k(col, k) AS name — got " +
           s"`${item.trim}` (avg is derived by the rewrite rule from " +
           "sum+count)")
     }
@@ -2388,16 +2396,36 @@ object GraftSql {
   private[graft] val MvQuantScale = 100L
   private[graft] val MvQuantSub = 16
 
+  /** CMS parameters for materialized `approx_top_k` columns: ±eps·n
+    * counting error at the stated confidence, KB-scale per group; the
+    * library rollup's defaults (`ops/Sketches.freqRollup`). */
+  private[graft] val MvCmsEps = 0.0005
+  private[graft] val MvCmsConfidence = 0.99
+  private[graft] val MvCmsSeed = 42
+
   /** Is `fn` a stored percentile-histogram spec (`quant<q>`)? */
   private[graft] def isQuantFn(fn: String): Boolean = fn.startsWith("quant")
   /** The quantile a `quant<q>` spec names, as its verbatim literal. */
   private[graft] def quantQ(fn: String): String = fn.stripPrefix("quant")
+  /** Is `fn` a stored heavy-hitter spec (`topk<k>`)? */
+  private[graft] def isTopkFn(fn: String): Boolean = fn.startsWith("topk")
+  /** The k a `topk<k>` spec names. */
+  private[graft] def topkK(fn: String): Int = fn.stripPrefix("topk").toInt
   /** Aggregates whose MV columns are ESTIMATES (sketches/histograms) —
     * these must never transparently replace a query's own aggregate
     * (different estimator, silently different numbers), so definitions
     * carrying any of them refresh-only and never arm routing. */
   private[graft] def approxAgg(fn: String): Boolean =
-    fn == "hll" || isQuantFn(fn)
+    fn == "hll" || isQuantFn(fn) || isTopkFn(fn)
+
+  /** Register every custom function the MV build/maintain/read paths
+    * may call (quant histograms, CMS scalars, top-k state) — idempotent
+    * and quiet, invoked at each funnel entry. */
+  private[graft] def registerMvFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.functions.QuantFunctions.register(spark)
+    graft.functions.SketchFunctions.register(spark)
+    graft.functions.TopkFunctions.register(spark)
+  }
 
   private[graft] def mvAggColumns(
       aggs: Seq[(String, String, String)]): Seq[Column] =
@@ -2416,11 +2444,18 @@ object GraftSql {
         // the STORED column is the histogram (map<bigint,bigint>,
         // signed-mergeable); presentation runs the per-row cumulative
         // readout — see presentMvRead. Callers must have
-        // QuantFunctions.register'd (mvAggSession does)
+        // registerMvFunctions'd (every MV funnel entry does)
         case qf if isQuantFn(qf) =>
           org.apache.spark.sql.functions.call_function(
             "graft_quant_hist", col(c).cast("double"), lit(1L),
             lit(MvQuantScale), lit(MvQuantSub))
+        // the STORED column is struct<sketch, cands> (CMS + candidate
+        // set, both mergeable); presentation ranks and slices to k —
+        // see presentMvRead. Items ride as strings (uniform hash family)
+        case tf if isTopkFn(tf) =>
+          org.apache.spark.sql.functions.call_function(
+            "graft_topk_agg", col(c).cast("string"), lit(topkK(tf)),
+            lit(MvCmsEps), lit(MvCmsConfidence), lit(MvCmsSeed))
       }).as(out)
     }
 
@@ -2489,16 +2524,40 @@ object GraftSql {
     val quantOuts = specs.collect {
       case (f, _, o) if isQuantFn(f) => o -> quantQ(f)
     }.toMap
-    if (hllOuts.isEmpty && quantOuts.isEmpty) df
-    else df.select(df.columns.toSeq.map { c =>
-      if (hllOuts(c))
-        org.apache.spark.sql.functions.call_function(
-          "hll_sketch_estimate", col(c)).as(c)
-      else quantOuts.get(c).fold(col(c))(q =>
-        expr(graft.ops.Sketches.quantReadoutSql(c, q,
-          MvQuantScale, MvQuantSub)).as(c))
-    }: _*)
+    // topk columns present as the k-sliced, estimate-ranked readout of
+    // their stored state: array<struct<item, est_count>> — per-row
+    // transform over the O(k) candidate array, no join, no shuffle
+    val topkOuts = specs.collect {
+      case (f, _, o) if isTopkFn(f) => o -> topkK(f)
+    }.toMap
+    if (hllOuts.isEmpty && quantOuts.isEmpty && topkOuts.isEmpty) df
+    else {
+      if (topkOuts.nonEmpty) // the readout calls graft_cms_estimate
+        graft.functions.SketchFunctions.register(df.sparkSession)
+      df.select(df.columns.toSeq.map { c =>
+        if (hllOuts(c))
+          org.apache.spark.sql.functions.call_function(
+            "hll_sketch_estimate", col(c)).as(c)
+        else if (topkOuts.contains(c))
+          expr(topkReadoutSql(c, topkOuts(c))).as(c)
+        else quantOuts.get(c).fold(col(c))(q =>
+          expr(graft.ops.Sketches.quantReadoutSql(c, q,
+            MvQuantScale, MvQuantSub)).as(c))
+      }: _*)
+    }
   }
+
+  /** Per-row heavy-hitter readout of one stored topk struct: estimate
+    * every candidate against the row's own sketch, rank (est desc,
+    * item asc — deterministic), slice to k. */
+  private[graft] def topkReadoutSql(c: String, k: Int): String =
+    s"""slice(array_sort(
+      transform($c.cands, i -> named_struct(
+        'item', i, 'est_count', graft_cms_estimate($c.sketch, i))),
+      (a, b) -> IF(a.est_count > b.est_count, -1,
+        IF(a.est_count < b.est_count, 1,
+          IF(a.item < b.item, -1, IF(a.item > b.item, 1, 0))))),
+      1, $k)"""
 
   /** Txn-app-id prefix for MV maintenance merges (replay idempotence). */
   private[graft] val MvTxnApp = "graft-mv:"
@@ -2533,7 +2592,7 @@ object GraftSql {
       touchedKeys: DataFrame, freshRows: => DataFrame,
       groupCols: Seq[String], aggs: Seq[(String, String, String)],
       txnApp: String, version: Long): Unit = {
-    graft.functions.QuantFunctions.register(touchedKeys.sparkSession)
+    registerMvFunctions(touchedKeys.sparkSession)
     val touched = touchedKeys
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2600,7 +2659,7 @@ object GraftSql {
                                    aggs: Seq[(String, String, String)],
                                    txn: Option[(String, Long)],
                                    partitionBy: Seq[String] = Nil): Unit = {
-    graft.functions.QuantFunctions.register(feed.sparkSession)
+    registerMvFunctions(feed.sparkSession)
     require(cdfMaintainable(aggs),
       "CDF aggregate maintenance needs count(*) plus sum/count/quant " +
         s"aggregates (with count(c) for every sum(c)); got ${aggs.mkString(",")}")
@@ -2680,10 +2739,12 @@ object GraftSql {
         case Array(f, c, o) if Set("sum", "count", "min", "max", "hll")(f) ||
             (isQuantFn(f) &&
               scala.util.Try(quantQ(f).toDouble).toOption
-                .exists(q => q > 0 && q <= 1)) =>
+                .exists(q => q > 0 && q <= 1)) ||
+            (isTopkFn(f) &&
+              scala.util.Try(topkK(f)).toOption.exists(_ > 0)) =>
           (f, c, o)
         case _ => sys.error(s"bad aggregate spec `$one` (expected " +
-          "fn:col:out with fn in sum|count|min|max|hll|quant<q>)")
+          "fn:col:out with fn in sum|count|min|max|hll|quant<q>|topk<k>)")
       }
     }
 
@@ -2715,6 +2776,13 @@ object GraftSql {
             coalesce(a, l(0L)) + coalesce(b, l(0L))),
           (_, x) => x =!= 0L), t, u)
       }
+      // counter-wise sketch sum + candidate union, estimate-pruned —
+      // mirrors the library freq rollup's merge + pruneCandidates
+      case tf if isTopkFn(tf) => (t, u) =>
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.call_function(
+            "graft_topk_combine", t, u,
+            org.apache.spark.sql.functions.lit(topkK(tf))), t, u)
     }
 
   /** UTC timestamp literal → epoch millis (`yyyy-MM-dd[ HH:mm:ss]`,
@@ -2950,6 +3018,10 @@ object GraftSql {
   // so the readout replays exactly the quantile the DDL named
   private val MvQuantItem =
     """(?is)\s*(?:percentile_approx|approx_percentile)\s*\(\s*(`[^`]+`|\w+)\s*,\s*([0-9]*\.?[0-9]+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
+  // approx_top_k(col, k): k a positive int literal, kept in the spec
+  // (`topk<k>`) — presentation slices the stored candidate state to k
+  private val MvTopkItem =
+    """(?is)\s*approx_top_k\s*\(\s*(`[^`]+`|\w+)\s*,\s*(\d+)\s*\)\s+AS\s+(`[^`]+`|\w+)\s*""".r
   private val MvColItem = """(?is)\s*(`[^`]+`|\w+)\s*""".r
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`\s+AS\s+""" +

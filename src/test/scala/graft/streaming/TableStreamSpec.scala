@@ -712,23 +712,34 @@ class TableStreamSpec extends SparkSpec {
         .writeStream.format("graft-table")
         .option("checkpointLocation", cp)
         .option("mergeKeys", "k")
-        .option("aggregate", "min:v:min_v;max:v:max_v;count:*:cnt;hll:v:du")
+        .option("aggregate",
+          "min:v:min_v;max:v:max_v;count:*:cnt;hll:v:du;topk2:v:top_v")
         .trigger(Trigger.AvailableNow())
         .start(mvRoot)
       q.awaitTermination()
     }
     sync()
     val mv = VersionedTable(spark, mvRoot)
+    graft.functions.SketchFunctions.register(spark)
     def state(): Set[(String, Long, Long, Long, Long)] =
       mv.read.selectExpr("k", "min_v", "max_v", "cnt",
         "hll_sketch_estimate(du)")
         .as[(String, Long, Long, Long, Long)].collect().toSet
+    // the topk struct combines on the same insert-only path: top-1 by
+    // estimate (ties break item-ascending on the stringified values)
+    def tops(): Map[String, String] =
+      mv.read.selectExpr("k",
+          graft.tables.GraftSql.topkReadoutSql("top_v", 1) + " AS t")
+        .selectExpr("k", "t[0].item")
+        .as[(String, String)].collect().toMap
     assert(state() === Set(("a", 2L, 10L, 2L, 2L), ("b", 5L, 5L, 1L, 1L)))
+    assert(tops() === Map("a" -> "10", "b" -> "5"))
     // a second append: mins/maxes combine, sketches union, all per key
     t.append(Seq(("a", 7L), ("c", 3L)).toDF("k", "v"))
     sync()
     assert(state() === Set(("a", 2L, 10L, 3L, 3L), ("b", 5L, 5L, 1L, 1L),
       ("c", 3L, 3L, 1L, 1L)))
+    assert(tops() === Map("a" -> "10", "b" -> "5", "c" -> "3"))
     // replay with nothing new: idempotent
     sync()
     assert(state() === Set(("a", 2L, 10L, 3L, 3L), ("b", 5L, 5L, 1L, 1L),

@@ -980,6 +980,61 @@ class MvSqlSpec extends SparkSpec {
       .filter(col("g") === "g1").select("n_rows").as[Long].head() === 2L)
   }
 
+  test("approx_top_k MV: CMS+candidate storage, appends absorb as " +
+       "counter sums + candidate unions, retractions refresh per " +
+       "TOUCHED group, readout matches the exact top-k, routing " +
+       "never arms") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "clicks")
+    src.enableChangeFeed()
+    // bounded item domain (10/group): candidate caps never prune, CMS
+    // width dwarfs the domain — readout is EXACTLY the true top-k
+    def batch(tag: Int, n: Int) = (0 until n).map { i =>
+      (s"g${i % 2}", s"item${(i * 7 + tag) % 10}")
+    }.toDF("g", "item")
+    src.append(batch(0, 600))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_clicks AS SELECT g, " +
+      "count(*) AS n, approx_top_k(item, 3) AS top_items " +
+      "FROM silver.clicks GROUP BY g")
+    val mv = cat.table("gold", "mv_clicks")
+    try {
+      // storage is the mergeable struct; presentation is the readout
+      assert(mv.read.schema("top_items").dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType])
+      cat.registerViews()
+      def exactTop(k: Int): Map[String, Seq[(String, Long)]] =
+        src.read.groupBy("g", "item").agg(count(lit(1)).as("c"))
+          .as[(String, String, Long)].collect()
+          .groupBy(_._1).map { case (g, a) =>
+            g -> a.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1))
+              .take(k).toSeq
+          }
+      def presented(): Map[String, Seq[(String, Long)]] =
+        spark.sql("SELECT g, top_items FROM gold_mv_clicks")
+          .as[(String, Seq[(String, Long)])].collect().toMap
+      assert(presented() === exactTop(3))
+      // routing must never serve an estimate
+      assert(!scansMv(src.read.groupBy("g").agg(count(lit(1)).as("c"))))
+      // append: counter sums + candidate union ("incremental")
+      src.append(batch(3, 400))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_clicks")
+        .select("mode").as[String].head() === "incremental")
+      cat.registerViews()
+      assert(presented() === exactTop(3),
+        "merged sketch+candidates must reproduce the exact top-k on a " +
+          "bounded domain")
+      // retraction: counters cannot subtract — the feed names the
+      // touched groups and ONLY those recompute ("groups", not "full")
+      src.delete(col("item") === "item5")
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_clicks")
+        .select("mode").as[String].head() === "groups")
+      cat.registerViews()
+      assert(presented() === exactTop(3))
+      assert(!presented().values.exists(_.exists(_._1 == "item5")))
+    } finally MvRewrite.deregisterRoot(mv.root)
+  }
+
   test("percentile_approx in a JOIN MV: fact churn (including " +
        "retractions) absorbs as signed histogram deltas through the " +
        "pinned dims; merged state equals a rebuild; routing never arms") {

@@ -3536,6 +3536,41 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // Generated-column partition pruning (Delta's generated partition
+    // filters): `month` is GENERATED ALWAYS AS (substring(ship, 1, 7))
+    // and drives the hive layout; the query filters on `ship` ONLY, and
+    // the GeneratedPrune rule derives `month >= substring(bound, 1, 7)`
+    // — the scan opens exactly the months at-or-after the bound, pinned
+    // by `parts_scanned`/`parts_total` (the oracle replays both from
+    // the distinct months) while `sum_qty` pins result correctness.
+    "q_m18_generated_prune" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-gpq-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      graft.plans.MvRewrite.install(s)
+      gsql.sql("CREATE TABLE silver.ship (ship STRING, qty BIGINT, " +
+        "month STRING GENERATED ALWAYS AS (substring(ship, 1, 7))) " +
+        "PARTITIONED BY (month)")
+      val tbl = cat.table("silver", "ship")
+      tbl.append(t(s, dir, "lineitem").select(
+        col("l_shipdate").cast("string").as("ship"),
+        col("l_quantity").cast("long").as("qty")),
+        partitionBy = Seq("month"))
+      val probe = tbl.read.filter(col("ship") >= "1997-01-01").select("qty")
+      val scanned = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.filter(_.relation.partitionSchema.nonEmpty)
+        .map(_.selectedPartitions.partitionCount.toLong).sum
+      val total = tbl.read.select("month").distinct().count()
+      tbl.read.filter(col("ship") >= "1997-01-01")
+        .agg(sum("qty").as("sum_qty"))
+        .withColumn("parts_scanned", lit(scanned))
+        .withColumn("parts_total", lit(total))
+        .withColumn("pruned", lit(scanned < total))
+    }),
+
     // approx_top_k through the SQL MV surface: the stored column is a
     // mergeable struct<CMS sketch, candidate set>. Appends absorb as
     // counter-wise sums + candidate unions (mode1 "incremental");
@@ -4481,6 +4516,18 @@ object SparkEntry {
         |  TRUE AS estimate_ok, 'incremental' AS mode,
         |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m18_generated_prune" ->
+      """WITH s AS (SELECT CAST(l_shipdate AS VARCHAR) AS ship,
+        |             CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |m AS (SELECT DISTINCT substring(ship, 1, 7) AS mo FROM s)
+        |SELECT
+        |  (SELECT CAST(sum(qty) AS BIGINT) FROM s
+        |   WHERE ship >= '1997-01-01') AS sum_qty,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM m
+        |   WHERE mo >= '1997-01') AS parts_scanned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS parts_total,
+        |  TRUE AS pruned""".stripMargin,
 
     "q_sql_mv_topk" ->
       """WITH it AS (SELECT l_returnflag AS flag,

@@ -289,11 +289,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     * files go away, or the rule would route queries to a dead path. */
   def deregisterRoot(root: String): Unit = entries.remove(root)
 
-  /** Arm an already-built session (Verify/Bench/tests). Idempotent. */
+  /** Arm an already-built session (Verify/Bench/tests). Idempotent.
+    * Installs the whole graft rule set — routing plus generated-column
+    * partition-filter derivation. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(this))
-      spark.experimental.extraOptimizations = cur :+ this
+    val add = Seq(this, GeneratedPrune).filterNot(cur.contains)
+    if (add.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ add
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -819,6 +822,8 @@ object MvRewrite extends Rule[LogicalPlan] {
 /** `spark.sql.extensions=graft.plans.GraftSparkExtensions` — build-time
   * registration of the graft optimizer rules. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MvRewrite)
+    e.injectOptimizerRule(_ => GeneratedPrune)
+  }
 }

@@ -1921,7 +1921,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   private def readEntry(e: LogEntry): DataFrame =
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
-    else readSets(e.fileSets, e.dvs, renamesAt = e.version)
+    else {
+      val df = readSets(e.fileSets, e.dvs, renamesAt = e.version)
+      // generated-partition-filter derivation (one stat() when the
+      // table declares no generated columns)
+      graft.plans.GeneratedPrune.arm(this, df)
+      df
+    }
 
   /** Read `fileSets` with the snapshot's deletion vectors applied —
     * merge-on-read (Delta deletion vectors): the scan projects each row's

@@ -3536,6 +3536,34 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // DROP TABLE → catalog trash, UNDROP TABLE restores (Databricks
+    // UNDROP): the drop is one atomic rename into `_trash`, the undrop
+    // one rename back — zero data rewritten at any size, and history
+    // (both appends' versions) survives the round trip, pinned by
+    // `history_intact`. `was_in_trash` pins that the drop actually
+    // routed through the restorable trash, not a delete.
+    "q_sql_undrop" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-ud-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nk"), col("n_name").as("name"))
+      val src = cat.table("silver", "nat")
+      src.append(n.filter(col("nk") % 2 === 0))
+      src.append(n.filter(col("nk") % 2 =!= 0))
+      gsql.sql("DROP TABLE silver.nat")
+      val wasInTrash = cat.trashEntries
+        .exists(e => e._1 == "silver" && e._2 == "nat")
+      gsql.sql("UNDROP TABLE silver.nat")
+      val back = cat.table("silver", "nat")
+      back.read
+        .withColumn("was_in_trash", lit(wasInTrash))
+        .withColumn("history_intact", lit(back.latestVersion.contains(1L)))
+        .orderBy("nk")
+    }),
+
     // Generated-column partition pruning (Delta's generated partition
     // filters): `month` is GENERATED ALWAYS AS (substring(ship, 1, 7))
     // and drives the hive layout; the query filters on `ship` ONLY, and
@@ -4516,6 +4544,11 @@ object SparkEntry {
         |  TRUE AS estimate_ok, 'incremental' AS mode,
         |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_undrop" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS name,
+        |  TRUE AS was_in_trash, TRUE AS history_intact
+        |FROM nation ORDER BY nk""".stripMargin,
 
     "q_m18_generated_prune" ->
       """WITH s AS (SELECT CAST(l_shipdate AS VARCHAR) AS ship,

@@ -285,20 +285,81 @@ final class Catalog(spark: SparkSession, root: String) {
     useCat && useSch && priv
   }
 
-  /** DROP TABLE semantics (01_environment_smoke_test.py:93): remove the
-    * table directory and its temp view if registered. */
+  /** DROP TABLE semantics (01_environment_smoke_test.py:93): un-register
+    * the table and MOVE its directory into the catalog trash — one
+    * atomic rename, no data rewritten — where [[undropTable]] can
+    * restore it for [[Catalog.TrashRetentionMs]] (Databricks UNDROP
+    * TABLE: at 100 TB an accidental drop must not be unrecoverable).
+    * Each drop lazily purges expired trash, so the trash is
+    * self-maintaining without a scheduled job. */
   def dropTable(layer: String, name: String): Unit = {
-    // an armed materialized view keyed by this root must un-arm BEFORE
-    // its files go away, or the routing rule would serve matching
-    // queries from a dead path — the same guard the SQL DROP funnel
-    // applies; direct library callers get it here
+    // armed optimizer registrations keyed by this root must clear
+    // BEFORE the path goes away — routing would serve matching queries
+    // from a dead path, and prune derivation would hold a stale spec
     graft.plans.MvRewrite.deregisterRoot(s"$root/$layer/$name")
+    graft.plans.GeneratedPrune.deregisterRoot(s"$root/$layer/$name")
     spark.catalog.dropTempView(s"${layer}_$name")
-    VersionedTable.deleteRecursively(Paths.get(root, layer, name))
+    val src = Paths.get(root, layer, name)
+    if (Files.exists(src)) {
+      Files.createDirectories(trashDir)
+      Files.move(src,
+        trashDir.resolve(s"$layer.$name.${System.currentTimeMillis()}"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    purgeTrash()
+    ()
+  }
+
+  // ------------------------------------------------------- catalog trash
+
+  private def trashDir = Paths.get(root, "_trash")
+
+  /** Dropped tables still restorable, newest drop first:
+    * (layer, table, droppedAtMillis, path). */
+  def trashEntries: Seq[(String, String, Long, java.nio.file.Path)] =
+    listDir(trashDir).flatMap { p =>
+      p.getFileName.toString.split("\\.") match {
+        case Array(l, t, ts) if ts.forall(_.isDigit) =>
+          Some((l, t, ts.toLong, p))
+        case _ => None
+      }
+    }.sortBy(-_._3)
+
+  /** UNDROP TABLE: restore the NEWEST trash entry for `layer.name` —
+    * one atomic rename back; log, data, sidecars and every ledger
+    * travel untouched, so history, constraints and time travel survive
+    * the drop/undrop round trip. Refuses when a live table already
+    * occupies the name. */
+  def undropTable(layer: String, name: String): Unit = {
+    require(Layers.contains(layer), s"unknown layer $layer")
+    require(!Files.exists(Paths.get(root, layer, name)),
+      s"UNDROP: $layer.$name already exists")
+    val e = trashEntries.find(x => x._1 == layer && x._2 == name)
+      .getOrElse(sys.error(
+        s"UNDROP: no dropped table $layer.$name in the catalog trash"))
+    Files.createDirectories(Paths.get(root, layer))
+    Files.move(e._4, Paths.get(root, layer, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Reclaim trash entries older than `retentionMs`; returns the purged
+    * entry names. Runs lazily on every drop with the default retention;
+    * callable directly for an immediate purge. */
+  def purgeTrash(retentionMs: Long = Catalog.TrashRetentionMs): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - retentionMs
+    trashEntries.filter(_._3 < cutoff).map { e =>
+      VersionedTable.deleteRecursively(e._4)
+      e._4.getFileName.toString
+    }
   }
 }
 
 object Catalog {
+  /** How long a dropped table stays restorable (Databricks UNDROP's
+    * 7-day window). */
+  val TrashRetentionMs: Long = 7L * 24 * 3600 * 1000
   /** Serializes grants-ledger read-modify-writes within the JVM. */
   private[tables] val grantsLock = new Object
   /** Serializes views-ledger read-modify-writes within the JVM. */

@@ -87,7 +87,8 @@ import org.apache.spark.sql.types.StructType
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   ALTER TABLE <table> RENAME TO <table>   -- one directory move
   *   SHOW COLUMNS IN <table>
-  *   DROP TABLE [IF EXISTS] <table>
+  *   DROP TABLE [IF EXISTS] <table>          -- moves to the catalog trash
+  *   UNDROP TABLE <table>                    -- restore the newest drop
   *
   * A DML identifier that is NOT a graft table (unknown layer, no catalog
   * bound) delegates to vanilla `spark.sql`, so Spark catalog tables and
@@ -363,6 +364,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         Option(parts).toSeq.flatMap(splitTop(_, ',')).map(stripTicks), query))
     case DropTableStmt(ifExists, ident) =>
       dropOwned(ident, ifExists != null).getOrElse(spark.sql(stmt))
+    case UndropTableStmt(ident) =>
+      undropOwned(ident)
     case MergeStmt(tgt, tAlias, src, sAlias, on, clauses) =>
       owned(tgt).fold(spark.sql(stmt))(
         mergeInto(_, tAlias, src, sAlias, on, clauses))
@@ -1919,6 +1922,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     }
   }
 
+  /** UNDROP TABLE <layer.table> — restore the newest trash entry
+    * (Databricks UNDROP): one atomic rename back, history/constraints/
+    * time travel intact. Catalog identifiers only — a dropped
+    * explicit-path table was never catalog-managed. */
+  private def undropOwned(ident: String): DataFrame = {
+    import spark.implicits._
+    val cat = catalog.getOrElse(
+      sys.error("UNDROP TABLE needs a catalog-bound GraftSql"))
+    ident.split("[._]", 2) match {
+      case Array(layer, name) if cat.Layers.contains(layer.toLowerCase) =>
+        cat.undropTable(layer.toLowerCase, name)
+        Seq(ident).toDF("undropped")
+      case _ => sys.error(s"UNDROP TABLE: not a catalog table: $ident")
+    }
+  }
+
   /** INSERT INTO appends (bucket-split on merge-bucketed tables so later
     * MERGEs stay copy-on-write; hive layout preserved so pruning
     * survives); INSERT OVERWRITE replaces the snapshot. Standard SQL
@@ -3050,6 +3069,8 @@ object GraftSql {
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s+AS\s+((?:SELECT|VALUES|WITH|TABLE|FROM|\()(?:.|\n)*?)\s*;?\s*""").r
   private val DropTableStmt =
     ("""(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?""" + Ident + """\s*;?\s*""").r
+  private val UndropTableStmt =
+    ("""(?is)\s*UNDROP\s+TABLE\s+""" + Ident + """\s*;?\s*""").r
   private val DeleteStmt =
     ("""(?is)\s*DELETE\s+FROM\s+""" + Ident +
       """(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r

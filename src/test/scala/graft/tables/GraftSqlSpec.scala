@@ -1701,4 +1701,42 @@ class GraftSqlSpec extends SparkSpec {
     assert(sql.sql("SHOW COLUMNS FROM gold.sc").as[String].collect().toSeq ===
       Seq("a", "bb", "c"))
   }
+
+  test("DROP TABLE moves to the catalog trash; UNDROP restores the " +
+       "newest drop with history, constraints and time travel intact; " +
+       "expired trash purges and stops being restorable") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "ud")
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    t.append(Seq((3, "c")).toDF("k", "v"))
+    t.addCheck("kpos", "k > 0")
+    sql.sql("DROP TABLE silver.ud")
+    assert(!cat.table("silver", "ud").exists)
+    assert(cat.trashEntries.exists(e => e._1 == "silver" && e._2 == "ud"))
+    assert(sql.sql("UNDROP TABLE silver.ud")
+      .as[String].head() === "silver.ud")
+    val back = cat.table("silver", "ud")
+    assert(back.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    assert(back.latestVersion === Some(1L)) // history travelled
+    assert(back.readVersion(0).count() === 2)
+    assert(back.checks === Seq(("kpos", "k > 0")))
+    // UNDROP restores the NEWEST drop of the name
+    sql.sql("DROP TABLE silver.ud")
+    val t2 = cat.table("silver", "ud")
+    t2.append(Seq((9, "z")).toDF("k", "v"))
+    sql.sql("DROP TABLE silver.ud")
+    sql.sql("UNDROP TABLE silver.ud")
+    assert(cat.table("silver", "ud").read.as[(Int, String)]
+      .collect().toSet === Set((9, "z")))
+    // a live table refuses UNDROP over it
+    assertThrows[Exception](sql.sql("UNDROP TABLE silver.ud"))
+    // purge with zero retention: both trash generations reclaimed
+    sql.sql("DROP TABLE silver.ud")
+    assert(cat.purgeTrash(retentionMs = 0L).nonEmpty)
+    assert(cat.trashEntries.isEmpty)
+    assertThrows[Exception](sql.sql("UNDROP TABLE silver.ud"))
+    // never-dropped names refuse too
+    assertThrows[Exception](sql.sql("UNDROP TABLE silver.never_was"))
+  }
 }

@@ -3536,6 +3536,65 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // COMMENT ON TABLE/COLUMN (UC/Delta comment surface): durable in
+    // the table's properties, surfaced through DESCRIBE's comment
+    // column where user text JOINS the engine contract annotations
+    // (identity/generated/default) instead of hiding them.
+    "q_sql_comment" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-cm-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      cat.table("silver", "reg").append(t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("rk"), col("r_name").as("name")))
+      gsql.sql("COMMENT ON TABLE silver.reg IS 'regions of record'")
+      gsql.sql("COMMENT ON COLUMN silver.reg.rk IS 'region key'")
+      val tblComment = cat.table("silver", "reg")
+        .properties.getOrElse("comment", "")
+      gsql.sql("DESCRIBE silver.reg")
+        .withColumn("table_comment", lit(tblComment))
+        .orderBy("col_name")
+    }),
+
+    // RELY key constraints + join elimination (Databricks informational
+    // PK/FK): customer declares PRIMARY KEY RELY, orders a FOREIGN KEY
+    // RELY onto it — and the dim join disappears from queries that use
+    // no customer columns: INNER becomes `orders WHERE ck IS NOT NULL`,
+    // LEFT becomes orders verbatim. Both plan flags are hashed, and the
+    // oracle replays the joined aggregate from ORDERS ALONE — the
+    // elimination's correctness claim is itself the oracle.
+    "q_sql_pkfk_elim" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-pkfk-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      graft.plans.MvRewrite.install(s)
+      val cust = cat.table("silver", "cust")
+      cust.append(t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("ck"),
+        col("c_mktsegment").as("seg")))
+      val ord = cat.table("silver", "ord")
+      ord.append(t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("ck"),
+        col("o_totalprice").cast("double").as("price")))
+      gsql.sql("ALTER TABLE silver.cust ADD CONSTRAINT pk_c " +
+        "PRIMARY KEY (ck) RELY")
+      gsql.sql("ALTER TABLE silver.ord ADD CONSTRAINT fk_c " +
+        "FOREIGN KEY (ck) REFERENCES silver.cust RELY")
+      def q(jt: String) = ord.read.join(cust.read, Seq("ck"), jt)
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("price")).cast("long")).as("sum_price"))
+      def joinFree(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty
+      q("inner")
+        .withColumn("inner_join_free", lit(joinFree(q("inner"))))
+        .withColumn("left_join_free", lit(joinFree(q("left"))))
+    }),
+
     // DROP TABLE → catalog trash, UNDROP TABLE restores (Databricks
     // UNDROP): the drop is one atomic rename into `_trash`, the undrop
     // one rename back — zero data rewritten at any size, and history
@@ -4544,6 +4603,20 @@ object SparkEntry {
         |  TRUE AS estimate_ok, 'incremental' AS mode,
         |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_comment" ->
+      """SELECT * FROM (VALUES
+        |  ('name', 'string', '', 'regions of record'),
+        |  ('rk', 'bigint', 'region key', 'regions of record'))
+        |AS t(col_name, data_type, comment, table_comment)
+        |ORDER BY col_name""".stripMargin,
+
+    "q_sql_pkfk_elim" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |    AS sum_price,
+        |  TRUE AS inner_join_free, TRUE AS left_join_free
+        |FROM orders""".stripMargin,
 
     "q_sql_undrop" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS name,

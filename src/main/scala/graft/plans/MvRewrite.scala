@@ -294,7 +294,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * partition-filter derivation. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    val add = Seq(this, GeneratedPrune).filterNot(cur.contains)
+    val add = Seq(this, GeneratedPrune, JoinElim).filterNot(cur.contains)
     if (add.nonEmpty)
       spark.experimental.extraOptimizations = cur ++ add
   }
@@ -825,5 +825,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => MvRewrite)
     e.injectOptimizerRule(_ => GeneratedPrune)
+    e.injectOptimizerRule(_ => JoinElim)
   }
 }

@@ -298,6 +298,7 @@ final class Catalog(spark: SparkSession, root: String) {
     // from a dead path, and prune derivation would hold a stale spec
     graft.plans.MvRewrite.deregisterRoot(s"$root/$layer/$name")
     graft.plans.GeneratedPrune.deregisterRoot(s"$root/$layer/$name")
+    graft.plans.JoinElim.deregisterRoot(s"$root/$layer/$name")
     spark.catalog.dropTempView(s"${layer}_$name")
     val src = Paths.get(root, layer, name)
     if (Files.exists(src)) {

@@ -73,6 +73,8 @@ import org.apache.spark.sql.types.StructType
   *   INSERT INTO <table> REPLACE WHERE <cond> <query>  -- Delta replaceWhere
   *   TRUNCATE TABLE <table>                 -- schema-preserving empty
   *   DESCRIBE [TABLE] <table>               -- columns + engine contracts
+  *   COMMENT ON TABLE <t> IS '…'|NULL
+  *   COMMENT ON COLUMN <t>.<c> IS '…'|NULL
   *   UPDATE <table> SET c = expr [, ...] [WHERE cond]
   *   DELETE FROM <table> [WHERE cond]
   *   MERGE INTO <table> [AS] t USING <src> [AS] s ON t.k = s.k [AND ...]
@@ -84,6 +86,9 @@ import org.apache.spark.sql.types.StructType
   *   ALTER TABLE <table> ALTER COLUMN <c> SET NOT NULL | DROP NOT NULL
   *   ALTER TABLE <table> ALTER COLUMN <c> TYPE <t>   -- lossless widening
   *   ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <t> ADD CONSTRAINT <n> PRIMARY KEY (cols) [NOT ENFORCED] [RELY]
+  *   ALTER TABLE <t> ADD CONSTRAINT <n> FOREIGN KEY (cols)
+  *     REFERENCES <t2> [(cols)] [NOT ENFORCED] [RELY]   -- informational keys
   *   ALTER TABLE <table> DROP CONSTRAINT <name>
   *   ALTER TABLE <table> RENAME TO <table>   -- one directory move
   *   SHOW COLUMNS IN <table>
@@ -664,15 +669,61 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           Seq(cs.mkString(",")).toDF("cluster_by")
         }
       }
+    case AddPkStmt(ident, name, cols, rely) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.addPrimaryKey(name, splitTop(cols, ',').map(stripTicks), rely != null)
+        graft.plans.JoinElim.arm(t)
+        import spark.implicits._
+        Seq((name, "PRIMARY KEY", rely != null)).toDF(
+          "constraint", "kind", "rely")
+      }
+    case AddFkStmt(ident, name, cols, refIdent, refCols, rely) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        val ref = resolve(refIdent)
+        val rc = Option(refCols).map(splitTop(_, ',').map(stripTicks))
+          .getOrElse(ref.primaryKey.map(_._2).getOrElse(sys.error(
+            s"FOREIGN KEY: $refIdent declares no primary key — name " +
+              "the referenced columns explicitly")))
+        val missing = rc.filterNot(ref.read.columns.contains)
+        require(missing.isEmpty,
+          s"FOREIGN KEY: $refIdent lacks column(s) ${missing.mkString(",")}")
+        t.addForeignKey(name, splitTop(cols, ',').map(stripTicks),
+          ref.root, rc, rely != null)
+        graft.plans.JoinElim.arm(t)
+        import spark.implicits._
+        Seq((name, "FOREIGN KEY", rely != null)).toDF(
+          "constraint", "kind", "rely")
+      }
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.addCheck(name, checkExpr)
         import spark.implicits._
         Seq((name, checkExpr)).toDF("constraint", "check_expr")
       }
+    case CommentTableStmt(ident, text) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        if (text.equalsIgnoreCase("NULL")) t.unsetProperties(Seq("comment"))
+        else t.setProperties(Map("comment" -> unquoteComment(text)))
+        Seq(ident).toDF("commented")
+      }
+    case CommentColumnStmt(dotted, text) =>
+      val cut = dotted.lastIndexOf('.')
+      require(cut > 0, s"COMMENT ON COLUMN: need table.column, got $dotted")
+      val (ident, c) = (dotted.substring(0, cut), dotted.substring(cut + 1))
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        require(t.read.columns.contains(c),
+          s"COMMENT ON COLUMN: no column `$c` at ${t.root}")
+        val key = GraftSql.ColumnCommentPrefix + c
+        if (text.equalsIgnoreCase("NULL")) t.unsetProperties(Seq(key))
+        else t.setProperties(Map(key -> unquoteComment(text)))
+        Seq(dotted).toDF("commented")
+      }
     case DropConstraintStmt(ident, name) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
-        t.dropCheck(name)
+        if (!t.dropKeyConstraint(name)) t.dropCheck(name)
+        graft.plans.JoinElim.arm(t) // a dropped RELY key must stop firing NOW
         import spark.implicits._
         Seq(name).toDF("dropped_constraint")
       }
@@ -855,6 +906,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       .toDF("operation", "version", "n_file_sets")
   }
 
+  /** `'it''s'` → `it's` (SQL single-quote literal). */
+  private def unquoteComment(lit: String): String =
+    lit.stripPrefix("'").stripSuffix("'").replace("''", "'")
+
   /** DESCRIBE <table> — Spark's (col_name, data_type, comment) shape;
     * the comment column carries the engine-enforced column contracts
     * (identity, generated expression) so the DDL surface is
@@ -867,11 +922,17 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       s"GENERATED ALWAYS AS (${c._2})").toMap
     val dflts = tbl.defaultColumns.map(c => c._1 ->
       s"DEFAULT ${c._2}").toMap
-    tbl.read.schema.fields.toSeq.map(f =>
+    val user = tbl.properties.collect {
+      case (k, v) if k.startsWith(GraftSql.ColumnCommentPrefix) =>
+        k.stripPrefix(GraftSql.ColumnCommentPrefix) -> v
+    }
+    tbl.read.schema.fields.toSeq.map { f =>
+      val contract = idents.getOrElse(f.name,
+        gens.getOrElse(f.name, dflts.getOrElse(f.name, "")))
       (f.name, f.dataType.catalogString,
-        idents.getOrElse(f.name,
-          gens.getOrElse(f.name, dflts.getOrElse(f.name, "")))))
-      .toDF("col_name", "data_type", "comment")
+        Seq(user.getOrElse(f.name, ""), contract)
+          .filter(_.nonEmpty).mkString("; "))
+    }.toDF("col_name", "data_type", "comment")
   }
 
   private def analyze(tbl: VersionedTable, cols: String): DataFrame = {
@@ -1575,6 +1636,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val props =
       t.properties.toSeq ++
         t.checks.map { case (n, e) => (s"graft.constraints.$n", e) } ++
+        // informational keys ride the same folded-properties shape the
+        // CHECK constraints use (Delta's delta.constraints.* analog)
+        t.keyConstraints.map { case (n, spec) =>
+          (s"graft.keyConstraints.$n", spec) } ++
         t.bucketSpec.toSeq.flatMap(sp => Seq(
           "graft.bucket.keys" -> sp.keys.mkString(","),
           "graft.bucket.num" -> sp.numBuckets.toString)) ++
@@ -2487,6 +2552,9 @@ object GraftSql {
   /** Per-column mask expressions (`ALTER TABLE … ALTER COLUMN c SET
     * MASK (expr)`): property key `graft.columnMask.<col>`. */
   val ColumnMaskPrefix = "graft.columnMask."
+  /** Column comments (`COMMENT ON COLUMN t.c IS '…'`): property key
+    * `graft.columnComment.<col>`; table comments use plain `comment`. */
+  val ColumnCommentPrefix = "graft.columnComment."
 
   /** `current_principal()` → the session principal as a string literal
     * (the predicate/mask text stays principal-free and durable; each
@@ -3357,9 +3425,28 @@ object GraftSql {
   private val AddConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
+  // informational keys (Databricks PK/FK grammar, NOT ENFORCED implied;
+  // RELY marks the assertion trusted for join elimination)
+  private val AddPkStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+PRIMARY\s+KEY\s*\(([^)]+)\)""" +
+      """(?:\s+NOT\s+ENFORCED)?(\s+RELY)?\s*;?\s*""").r
+  private val AddFkStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+ADD\s+CONSTRAINT\s+(\w+)\s+FOREIGN\s+KEY\s*\(([^)]+)\)""" +
+      """\s+REFERENCES\s+""" + Ident +
+      """\s*(?:\(([^)]+)\))?(?:\s+NOT\s+ENFORCED)?(\s+RELY)?\s*;?\s*""").r
   private val DropConstraintStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""").r
+  // COMMENT ON: single-quoted text ('' = escaped quote) or NULL to unset.
+  // The COLUMN form captures the whole dotted name; the last segment is
+  // the column (the greedy Ident would swallow it otherwise).
+  private val CommentTableStmt =
+    ("""(?is)\s*COMMENT\s+ON\s+TABLE\s+""" + Ident +
+      """\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*""").r
+  private val CommentColumnStmt =
+    """(?is)\s*COMMENT\s+ON\s+COLUMN\s+([\w.]+)\s+IS\s+('(?:[^']|'')*'|NULL)\s*;?\s*""".r
   private val MergeStmt =
     ("""(?is)\s*MERGE\s+INTO\s+""" + Ident + """(?:\s+AS)?\s+(\w+)""" +
       """\s+USING\s+(.+?)(?:\s+AS)?\s+(\w+)\s+ON\s+(.+?)\s+(WHEN\s+(?:.|\n)+?)\s*;?\s*""").r

@@ -609,7 +609,90 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** CREATE OR REPLACE reset: a replaced table is a fresh table (Delta
     * semantics) — its constraint set starts empty. */
   private[tables] def clearChecks(): Unit = {
-    Files.deleteIfExists(checksPath); ()
+    Files.deleteIfExists(checksPath)
+    Files.deleteIfExists(keysPath)
+    ()
+  }
+
+  // ------------------------------------------------- informational keys
+
+  private def keysPath: Path = Paths.get(root, "_keys.json")
+
+  /** Informational key constraints (Databricks PRIMARY KEY / FOREIGN
+    * KEY: never enforced — declaring them is a USER ASSERTION about the
+    * data; `RELY` additionally marks the assertion trusted for
+    * optimization, exactly Databricks' RELY semantics: a false RELY
+    * yields wrong results there too). Stored as (name, spec) with spec
+    *   `PRIMARY KEY (c1,c2)[ RELY]`
+    *   `FOREIGN KEY (c1,…) REFERENCES <root> (d1,…)[ RELY]` */
+  def keyConstraints: Seq[(String, String)] =
+    if (!Files.exists(keysPath)) Nil
+    else CheckJson.findAllMatchIn(Files.readString(keysPath))
+      .map(m => (m.group(1), m.group(2))).toSeq
+
+  /** The declared primary key: (name, columns, rely). At most one. */
+  def primaryKey: Option[(String, Seq[String], Boolean)] =
+    keyConstraints.collectFirst {
+      case (n, VersionedTable.PkSpec(cols, rely)) =>
+        (n, cols.split(",").toSeq.map(_.trim), rely != null)
+    }
+
+  /** Declared foreign keys: (name, cols, referenced root, referenced
+    * cols, rely). */
+  def foreignKeys: Seq[(String, Seq[String], String, Seq[String], Boolean)] =
+    keyConstraints.collect {
+      case (n, VersionedTable.FkSpec(cols, ref, refCols, rely)) =>
+        (n, cols.split(",").toSeq.map(_.trim), ref,
+          refCols.split(",").toSeq.map(_.trim), rely != null)
+    }
+
+  private def requireFreshConstraintName(name: String): Unit =
+    require(!checks.exists(_._1 == name) &&
+      !keyConstraints.exists(_._1 == name),
+      s"constraint $name already exists at $root")
+
+  /** `ALTER TABLE … ADD CONSTRAINT name PRIMARY KEY (cols) [RELY]`. */
+  def addPrimaryKey(name: String, cols: Seq[String],
+                    rely: Boolean): Unit = {
+    requireCleanNamedExpr(name, cols.mkString(","), "primary key")
+    requireFreshConstraintName(name)
+    require(primaryKey.isEmpty,
+      s"a primary key is already declared at $root")
+    require(cols.nonEmpty, "PRIMARY KEY: no columns")
+    val missing = cols.filterNot(read.columns.contains)
+    require(missing.isEmpty,
+      s"PRIMARY KEY: no column(s) ${missing.mkString(",")} at $root")
+    writeNamedExprs(keysPath, "keys", keyConstraints :+
+      (name, s"PRIMARY KEY (${cols.mkString(",")})" +
+        (if (rely) " RELY" else "")))
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name FOREIGN KEY (cols) REFERENCES
+    * ref (refCols) [RELY]`. */
+  def addForeignKey(name: String, cols: Seq[String], refRoot: String,
+                    refCols: Seq[String], rely: Boolean): Unit = {
+    requireCleanNamedExpr(name, cols.mkString(","), "foreign key")
+    requireFreshConstraintName(name)
+    require(cols.nonEmpty && cols.length == refCols.length,
+      s"FOREIGN KEY: ${cols.length} column(s) referencing " +
+        s"${refCols.length}")
+    require(!refRoot.contains("\"") && !refRoot.contains("\\"),
+      s"FOREIGN KEY: bad reference root $refRoot")
+    val missing = cols.filterNot(read.columns.contains)
+    require(missing.isEmpty,
+      s"FOREIGN KEY: no column(s) ${missing.mkString(",")} at $root")
+    writeNamedExprs(keysPath, "keys", keyConstraints :+
+      (name, s"FOREIGN KEY (${cols.mkString(",")}) REFERENCES $refRoot " +
+        s"(${refCols.mkString(",")})" + (if (rely) " RELY" else "")))
+  }
+
+  /** Drop an informational key constraint by name (no-op when absent —
+    * the SQL funnel routes DROP CONSTRAINT here after checks). */
+  def dropKeyConstraint(name: String): Boolean = {
+    val cur = keyConstraints
+    val next = cur.filterNot(_._1 == name)
+    if (next.length == cur.length) false
+    else { writeNamedExprs(keysPath, "keys", next); true }
   }
 
   // ------------------------------------------------------- table properties
@@ -1468,6 +1551,15 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       require(!refPat.matcher(ex).matches(),
         s"$what: `$c` is referenced by `$name` ($ex) at $root")
     }
+    // informational keys: a renamed/dropped key column would silently
+    // invalidate a RELY assertion the optimizer is trusting — the
+    // constraint must be dropped first, explicitly
+    (primaryKey.map(pk => (pk._1, pk._2)).toSeq ++
+      foreignKeys.map(fk => (fk._1, fk._2))).foreach { case (name, cols) =>
+      require(!cols.contains(c),
+        s"$what: `$c` is part of key constraint `$name` at $root — " +
+          "DROP CONSTRAINT first")
+    }
   }
 
   /** Names old file-sets may still physically carry even though the
@@ -1923,9 +2015,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     if (e.fileSets.isEmpty) spark.emptyDataFrame // overwrite-with-empty edge
     else {
       val df = readSets(e.fileSets, e.dvs, renamesAt = e.version)
-      // generated-partition-filter derivation (one stat() when the
-      // table declares no generated columns)
+      // optimizer registrations, both one stat() in the common
+      // nothing-declared case: generated-partition-filter derivation
+      // and RELY-key join elimination
       graft.plans.GeneratedPrune.arm(this, df)
+      graft.plans.JoinElim.arm(this)
       df
     }
 
@@ -3965,6 +4059,10 @@ object VersionedTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private val CheckJson = """\{"name":"([^"]*)","expr":"([^"]*)"\}""".r
+  private[tables] val PkSpec =
+    """PRIMARY KEY \(([^)]*)\)( RELY)?""".r
+  private[tables] val FkSpec =
+    """FOREIGN KEY \(([^)]*)\) REFERENCES (.+) \(([^)]*)\)( RELY)?""".r
   private val RenameJson = """\{"v":(\d+),"from":"([^"]*)","to":"([^"]*)"\}""".r
   private val DropJson = """\{"v":(\d+),"drop":"([^"]*)"\}""".r
   private val IdentityJson =

@@ -1702,6 +1702,30 @@ class GraftSqlSpec extends SparkSpec {
       Seq("a", "bb", "c"))
   }
 
+  test("COMMENT ON TABLE/COLUMN persists, surfaces through DESCRIBE " +
+       "and TBLPROPERTIES, joins engine contracts, and NULL unsets") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.cm (k INT, v STRING DEFAULT 'x')")
+    sql.sql("COMMENT ON TABLE silver.cm IS 'fact of record'")
+    sql.sql("COMMENT ON COLUMN silver.cm.k IS 'business key'")
+    sql.sql("COMMENT ON COLUMN silver.cm.v IS 'value text'")
+    assert(cat.table("silver", "cm").properties("comment") ===
+      "fact of record")
+    val desc = sql.sql("DESCRIBE silver.cm")
+      .as[(String, String, String)].collect()
+      .map { case (n, _, c) => n -> c }.toMap
+    assert(desc("k") === "business key")
+    // a user comment JOINS the engine contract, not replaces it
+    assert(desc("v") === "value text; DEFAULT 'x'")
+    // NULL unsets; unknown columns refuse
+    sql.sql("COMMENT ON COLUMN silver.cm.k IS NULL")
+    assert(sql.sql("DESCRIBE silver.cm")
+      .filter(col("col_name") === "k").select("comment")
+      .as[String].head() === "")
+    assertThrows[Exception](
+      sql.sql("COMMENT ON COLUMN silver.cm.nope IS 'x'"))
+  }
+
   test("DROP TABLE moves to the catalog trash; UNDROP restores the " +
        "newest drop with history, constraints and time travel intact; " +
        "expired trash purges and stops being restorable") {

@@ -3775,12 +3775,18 @@ object SparkEntry {
       val root = Files.createTempDirectory("graft-sk-").toString
       val src = VersionedTable(s, s"$root/src")
       val mv = VersionedTable(s, s"$root/mv")
+      src.enableChangeFeed()
       val li = t(s, dir, "lineitem").select(
         col("l_returnflag").as("flag"), col("l_orderkey").as("okey"))
       src.append(li.filter(col("okey") % 2 === 0))
       graft.ops.Sketches.create(src, mv, Seq("flag"), "okey")
       src.append(li.filter(col("okey") % 2 =!= 0))
       val mode = graft.ops.Sketches.refresh(s, mv)
+      // retraction: registers can't subtract, but the feed names the
+      // touched groups — ONLY those recompute (mode2 "groups"), and
+      // `overwrites` staying 1 pins that no rebuild ever ran
+      src.delete(col("okey") % 7 === 0)
+      val mode2 = graft.ops.Sketches.refresh(s, mv)
       val exact = src.read.groupBy("flag")
         .agg(countDistinct("okey").as("exact_distinct"))
       graft.ops.Sketches.withEstimate(mv.read)
@@ -3789,6 +3795,7 @@ object SparkEntry {
           (abs(col("approx_distinct") / col("exact_distinct") - 1.0)
             <= 0.05).as("estimate_ok"))
         .withColumn("mode", lit(mode))
+        .withColumn("mode2", lit(mode2))
         .withColumn("overwrites",
           lit(mv.history.count(_.action == "overwrite")))
         .orderBy("flag")
@@ -4551,8 +4558,10 @@ object SparkEntry {
     "q_sketch_rollup" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
-        |  TRUE AS estimate_ok, 'incremental' AS mode, 1 AS overwrites
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  TRUE AS estimate_ok, 'incremental' AS mode, 'groups' AS mode2,
+        |  1 AS overwrites
+        |FROM lineitem WHERE l_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quant_rollup" ->
       """WITH f AS (SELECT l_returnflag AS flag FROM lineitem

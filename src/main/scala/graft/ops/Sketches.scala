@@ -21,9 +21,11 @@ import graft.tables.VersionedTable
   * engine reads O(appended rows), shuffles group-count×KB of sketch
   * bytes, and bucket-COW-merges the touched groups.
   *
-  * Deletes cannot retract an HLL register, so a slice with retractions
-  * falls back to a full rebuild — same policy and the same loud
-  * visibility as the exact-MV machinery's `"full"` mode.
+  * Deletes cannot retract an HLL register — but when the source's
+  * change feed is on, the feed names WHICH groups moved and only those
+  * recompute from the pinned snapshot (`"groups"`, O(touched groups'
+  * rows)); without the feed a retraction slice falls back to a full
+  * rebuild (`"full"`), the exact-MV machinery's policy.
   *
   * Estimates are approximate (±~1.6%/√2^lgK); the EXACT `n_rows`
   * companion rides along both as a freshness witness and because a
@@ -59,6 +61,46 @@ object Sketches {
     rollup.withColumn("approx_distinct",
       call_function("hll_sketch_estimate", col("distinct_sketch")))
 
+  /** Per-TOUCHED-group recompute+replace — the retraction path for
+    * rollups whose state cannot subtract (HLL registers, CMS counters):
+    * the change feed names WHICH groups moved; only those groups
+    * re-aggregate from the pinned snapshot (`mkRollup` over a semi-join
+    * — AQE broadcasts the touched-key set when small, so the source
+    * never shuffles) and REPLACE-merge into the rollup; vanished groups
+    * tombstone FIRST so the replace's txn marker drives crash resume
+    * (the same ordering as GraftSql.mergeTouchedGroups, for the same
+    * reason). O(touched groups' rows), never O(table). None = NULL
+    * group keys in the slice (cannot merge) — the caller rebuilds. */
+  private def touchedGroupsRefresh(mv: VersionedTable, feed: DataFrame,
+      snapshot: DataFrame, mkRollup: DataFrame => DataFrame,
+      replaceCols: Seq[String], groupCols: Seq[String],
+      txnApp: String, head: Long): Option[Unit] = {
+    val touched = feed.select(groupCols.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (touched.isEmpty) Some(())
+      else if (graft.tables.GraftSql.hasNullKeys(touched, groupCols)) None
+      else {
+        val fresh = mkRollup(
+          snapshot.join(touched, groupCols, "left_semi"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val gone = touched.join(
+            fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
+          if (!gone.isEmpty) {
+            mv.merge(gone.withColumn(graft.ops.Merge.DeleteCol, lit(true)),
+              groupCols, txn = Some((txnApp + ":del", head)))
+            ()
+          }
+          mv.merge(fresh, groupCols, updateExprs = replaceCols.map(c =>
+            c -> ((_: Column, u: Column) => u)).toMap,
+            txn = Some((txnApp, head)))
+          Some(())
+        } finally { fresh.unpersist(); () }
+      }
+    } finally { touched.unpersist(); () }
+  }
+
   /** Materialize the rollup of `src` into `mv` at the current snapshot
     * and persist the definition for [[refresh]]. */
   def create(src: VersionedTable, mv: VersionedTable,
@@ -93,8 +135,10 @@ object Sketches {
 
   /** Catch the rollup up with its source. Append-only tails absorb as
     * partial-sketch merges (`"incremental"` — O(appended rows));
-    * retractions rebuild (`"full"`); nothing new is `"noop"`. Crash
-    * replays are txn-ledger no-ops like every other maintenance merge. */
+    * retractions recompute only the feed-named touched groups
+    * (`"groups"`) when the change feed is on, and rebuild (`"full"`)
+    * otherwise; nothing new is `"noop"`. Crash replays are txn-ledger
+    * no-ops like every other maintenance merge. */
   def refresh(spark: SparkSession, mv: VersionedTable): String = {
     val props = mv.properties
     val src = VersionedTable(spark, props.getOrElse(SourceProp,
@@ -144,9 +188,21 @@ object Sketches {
         src.addedSetsLive(v0, head) && incremental().isDefined)
       "incremental"
     else {
-      mv.overwrite(rollup(src.readVersion(head), groupCols,
-        distinctCol, lgK))
-      finish("full")
+      // registers cannot retract, but the feed names WHICH groups
+      // moved — recompute only those ("groups"), rebuild otherwise
+      val groups: Option[String] =
+        if (!src.changeFeedEnabled) None
+        else try touchedGroupsRefresh(mv,
+          src.readChangeFeed(v0, Some(head)), src.readVersion(head),
+          d => rollup(d, groupCols, distinctCol, lgK),
+          Seq("n_rows", "distinct_sketch"), groupCols, txnApp, head)
+          .map(_ => finish("groups"))
+        catch { case _: graft.tables.CdfNotExpressible => None }
+      groups.getOrElse {
+        mv.overwrite(rollup(src.readVersion(head), groupCols,
+          distinctCol, lgK))
+        finish("full")
+      }
     }
   }
 
@@ -298,9 +354,23 @@ object Sketches {
         src.addedSetsLive(v0, head) && incremental().isDefined)
       "incremental"
     else {
-      mv.overwrite(freqRollup(src.readVersion(head), groupCols, itemCol,
-        eps.toDouble, conf.toDouble, seed.toInt, topM.toInt))
-      finish("full")
+      // counters cannot retract; recompute only the touched groups
+      // when the feed can name them ("groups"), rebuild otherwise
+      val groups: Option[String] =
+        if (!src.changeFeedEnabled) None
+        else try touchedGroupsRefresh(mv,
+          src.readChangeFeed(v0, Some(head)), src.readVersion(head),
+          d => freqRollup(d, groupCols, itemCol, eps.toDouble,
+            conf.toDouble, seed.toInt, topM.toInt),
+          Seq("n_rows", "freq_sketch", "top_candidates"), groupCols,
+          txnApp, head)
+          .map(_ => finish("groups"))
+        catch { case _: graft.tables.CdfNotExpressible => None }
+      groups.getOrElse {
+        mv.overwrite(freqRollup(src.readVersion(head), groupCols, itemCol,
+          eps.toDouble, conf.toDouble, seed.toInt, topM.toInt))
+        finish("full")
+      }
     }
   }
 

@@ -66,6 +66,70 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("retraction with the change feed ON recomputes only TOUCHED " +
+       "groups (mode groups, no overwrite): untouched groups' sketch " +
+       "bytes carry verbatim, a fully-deleted group drops, state " +
+       "equals a rebuild") {
+    val root = tmpDir("sk-g-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.enableChangeFeed()
+    src.append((0 until 3000).map(i => (s"g${i % 3}", (i % 400).toLong))
+      .toDF("g", "k"))
+    Sketches.create(src, mv, Seq("g"), "k")
+    val untouchedBytes = mv.read.filter(col("g") === "g2")
+      .select("distinct_sketch").as[Array[Byte]].head()
+    // delete touches ONLY g0; g2 vanishes entirely in a second slice
+    src.delete(col("g") === "g0" && col("k") < 100L)
+    assert(Sketches.refresh(spark, mv) === "groups")
+    assert(mv.history.count(_.action == "overwrite") === 1,
+      "the groups path must never rebuild (1 = the CREATE overwrite)")
+    def rebuilt(g: String): (Long, Long) = {
+      val n = src.read.filter(col("g") === g).count()
+      val d = src.read.filter(col("g") === g)
+        .select(countDistinct("k")).as[Long].head()
+      (n, d)
+    }
+    estimates(mv).foreach { case (g, (n, est)) =>
+      val (rn, rd) = rebuilt(g)
+      assert(n === rn, s"$g row count")
+      assert(math.abs(est / rd.toDouble - 1.0) < 0.05, s"$g estimate")
+    }
+    // untouched group's sketch BYTES rode through unrecomputed
+    assert(java.util.Arrays.equals(
+      mv.read.filter(col("g") === "g2")
+        .select("distinct_sketch").as[Array[Byte]].head(), untouchedBytes))
+    // vanished group drops, as a rebuild would
+    src.delete(col("g") === "g2")
+    assert(Sketches.refresh(spark, mv) === "groups")
+    assert(mv.read.filter(col("g") === "g2").isEmpty)
+    assert(Sketches.refresh(spark, mv) === "noop")
+  }
+
+  test("frequency rollup retraction with the change feed ON: touched " +
+       "groups recompute, heavy hitters re-rank exactly") {
+    val root = tmpDir("cms-g-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.enableChangeFeed()
+    src.append((Seq.fill(500)(("g0", "hot")) ++ Seq.fill(300)(("g0", "warm"))
+      ++ Seq.fill(400)(("g1", "only")) ++
+      (0 until 200).map(i => ("g0", s"n$i"))).toDF("g", "item"))
+    Sketches.createFreq(src, mv, Seq("g"), "item", topM = 3)
+    val g1Bytes = mv.read.filter(col("g") === "g1")
+      .select("freq_sketch").as[Array[Byte]].head()
+    src.delete(col("item") === "hot") // touches only g0
+    assert(Sketches.refreshFreq(spark, mv) === "groups")
+    assert(Sketches.topFreqItems(mv.read, Seq("g"), 1)
+      .filter(col("g") === "g0").select("item", "est_count")
+      .as[(String, Long)].head() === (("warm", 300L)),
+      "post-retraction top item must re-rank with the EXACT new count")
+    assert(java.util.Arrays.equals(
+      mv.read.filter(col("g") === "g1")
+        .select("freq_sketch").as[Array[Byte]].head(), g1Bytes),
+      "untouched group's sketch must carry verbatim")
+  }
+
   test("NULL group keys fall back to a full rebuild — the NULL group " +
        "never splits across duplicate MV rows") {
     val root = tmpDir("sk4-")

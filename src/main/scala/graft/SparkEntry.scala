@@ -3536,6 +3536,42 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // skipChangeCommits (Delta's streaming option): an append-mode
+    // stream rides ACROSS a delete commit instead of failing — the
+    // skipped delete's rows stay in the sink (the consumer opted out of
+    // changes; documented divergence), later appends keep flowing, and
+    // `src_rows` pins that the delete really landed on the source. The
+    // sink ends up with every nation row while the source holds fewer.
+    "q_st14_skip_changes" -> ((s, dir) => {
+      import s.implicits._
+      val root = Files.createTempDirectory("graft-skip-").toString
+      val src = VersionedTable(s, s"$root/src")
+      val sink = VersionedTable(s, s"$root/sink")
+      val cp = s"$root/cp"
+      val n = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nk"), col("n_name").as("name"))
+      src.append(n.filter(col("nk") % 2 === 0))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("skipChangeCommits", "true").load(src.root)
+          .writeStream.option("checkpointLocation", cp)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            sink.append(b, txn = Some((cp, id))); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      src.delete(col("nk") < 5) // change commit — skipped, not fatal
+      src.append(n.filter(col("nk") % 2 =!= 0))
+      drain()
+      sink.read
+        .withColumn("src_rows", lit(src.read.count()))
+        .withColumn("survived_change_commit", lit(true))
+        .orderBy("nk")
+    }),
+
     // COMMENT ON TABLE/COLUMN (UC/Delta comment surface): durable in
     // the table's properties, surfaced through DESCRIBE's comment
     // column where user text JOINS the engine contract annotations
@@ -4612,6 +4648,14 @@ object SparkEntry {
         |  TRUE AS estimate_ok, 'incremental' AS mode,
         |  TRUE AS sketch_stored
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_st14_skip_changes" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM nation
+        |   WHERE NOT (n_nationkey % 2 = 0 AND n_nationkey < 5))
+        |    AS src_rows,
+        |  TRUE AS survived_change_commit
+        |FROM nation ORDER BY nk""".stripMargin,
 
     "q_sql_comment" ->
       """SELECT * FROM (VALUES

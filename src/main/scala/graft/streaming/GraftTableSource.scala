@@ -35,7 +35,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * timestamp (mutually exclusive with `startingVersion`);
   * a numeric `startingVersion` starts at that commit (its own changes
   * included). Row-changing commits inside a batch range fail the
-  * append-mode stream loudly — stream the change feed for DML tables.
+  * append-mode stream loudly — stream the change feed for DML tables,
+  * or set `skipChangeCommits=true` (Delta's option) to ride across
+  * them, delivering only the range's appends (the skipped commits'
+  * effects never reach the sink — the consumer opted out of changes).
   * Column-mapping DDL (RENAME/DROP COLUMN) is metadata-only: a restarted
   * query streams straight across it under the new names; a query whose
   * declared schema predates the DDL stops with restart guidance.
@@ -49,7 +52,8 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
                              maxVersionsPerTrigger: Option[Long],
                              metadataPath: String,
                              maxBytesPerTrigger: Option[Long] = None,
-                             startingTimestamp: Option[String] = None)
+                             startingTimestamp: Option[String] = None,
+                             skipChangeCommits: Boolean = false)
     extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -200,7 +204,10 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     if (hi > served) { served = hi; persistServed() }
     val df =
       if (cdf) table.readChangeFeed(lo, Some(hi))
-      else table.readAddedBetween(lo, hi)
+      // skipChangeCommits (Delta's option): an append-mode stream rides
+      // across delete/update/merge/overwrite commits, delivering only
+      // the range's appends — the consumer has opted out of changes
+      else table.readAddedBetween(lo, hi, onlyAppends = skipChangeCommits)
     // column-mapping DDL landing AFTER this query declared its schema:
     // the batch (current names) can no longer bind the declared (old)
     // names — stop with guidance instead of an unresolved-column error.
@@ -393,12 +400,20 @@ final class GraftTableSourceProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
+    {
+    val skip = parameters.get("skipChangeCommits")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    require(!skip || !cdf(parameters),
+      "graft-table source: skipChangeCommits and readChangeFeed are " +
+        "contradictory — the feed EXISTS to deliver changes")
     new GraftTableSource(tableFor(sqlContext, parameters), cdf(parameters),
       parameters.get("startingVersion"),
       parameters.get("maxVersionsPerTrigger").map(_.toLong).filter(_ > 0),
       metadataPath,
       parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0),
-      parameters.get("startingTimestamp"))
+      parameters.get("startingTimestamp"),
+      skipChangeCommits = skip)
+    }
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

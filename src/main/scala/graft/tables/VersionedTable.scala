@@ -1696,7 +1696,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       }.forall(fs => Files.exists(dataDir.resolve(fs)))
   }
 
-  def readAddedBetween(fromV: Long, toV: Long): DataFrame = {
+  def readAddedBetween(fromV: Long, toV: Long,
+                       onlyAppends: Boolean = false): DataFrame = {
     if (fromV == -1L) {
       // snapshot batch — read under the CURRENT column mapping, not the
       // version-scoped one (readVersion's contract): a stream's declared
@@ -1735,7 +1736,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val rowChanging = range.filterNot(e =>
       e.action == "append" || dataIdentical.contains(e.action) ||
         metadataOnly.contains(e.action))
-    require(rowChanging.isEmpty,
+    // onlyAppends (the streaming source's skipChangeCommits): deliver
+    // the range's append commits and SKIP row-changing ones entirely —
+    // a merge's inserts ride its rewritten buckets and are skipped with
+    // the commit, exactly Delta's skipChangeCommits contract (the
+    // consumer has opted out of seeing changes, not just deletes)
+    require(onlyAppends || rowChanging.isEmpty,
       s"readAddedBetween needs append-or-maintenance commits in ($fromV, " +
         s"$toV] at $root; saw ${rowChanging.map(_.action).distinct.mkString(",")} — " +
         "stream the change feed instead")

@@ -131,6 +131,38 @@ class TableStreamSpec extends SparkSpec {
       .collect().toSet === Set((2, "new")))
   }
 
+  test("skipChangeCommits rides an append stream across delete/update/" +
+       "merge commits, delivering only the appends; contradictory with " +
+       "readChangeFeed") {
+    val root = tmpDir("ts-skip-")
+    val sink = tmpDir("ts-skip-sink-")
+    val cp = tmpDir("ts-skip-cp-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))          // v0
+    runOnce(root, cp, sink, Map("skipChangeCommits" -> "true"))
+    val out = VersionedTable(spark, sink)
+    assert(out.read.count() === 2)
+    // a delete, an update, a merge and an append inside ONE range:
+    // only the append's rows flow; nothing fails
+    t.delete($"k" === 1)                                       // v1
+    t.update(Map("v" -> org.apache.spark.sql.functions.lit("b2")), $"k" === 2)                // v2
+    t.merge(Seq((5, "e")).toDF("k", "v"), Seq("k"))            // v3
+    t.append(Seq((3, "c"), (4, "d")).toDF("k", "v"))           // v4
+    runOnce(root, cp, sink, Map("skipChangeCommits" -> "true"))
+    assert(out.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c"), (4, "d")),
+      "only the appended rows flow — the merge's insert rides its " +
+        "rewritten bucket and is skipped WITH the change commit")
+    // idempotent: nothing new re-delivers
+    runOnce(root, cp, sink, Map("skipChangeCommits" -> "true"))
+    assert(out.read.count() === 4)
+    // with the feed: contradictory options refuse at query start
+    t.enableChangeFeed()
+    assertThrows[Exception](
+      runOnce(root, tmpDir("ts-skip-cp2-"), tmpDir("ts-skip-sink2-"),
+        Map("skipChangeCommits" -> "true", "readChangeFeed" -> "true")))
+  }
+
   test("a row-changing commit inside a batch range fails the stream loudly") {
     val root = tmpDir("ts-dml-")
     val sink = tmpDir("ts-dml-sink-")

@@ -2575,8 +2575,10 @@ object GraftSql {
     * physical table is reached only by owner-level library code, the
     * same trust line the grants ledger draws. */
   private[graft] def governedRead(tbl: VersionedTable): DataFrame = {
-    val base = presentMvRead(tbl)
+    // ONE properties read serves presentation and policy — this runs
+    // per table per registerViews, and _props.json is a file read
     val props = tbl.properties
+    val base = presentMvRead(tbl, props)
     val principal = base.sparkSession.conf.getOption(PrincipalConf)
       .filter(_.nonEmpty)
     def subst(s: String): String = substPrincipal(s, principal)
@@ -2599,9 +2601,12 @@ object GraftSql {
     * `SELECT approx_users FROM gold_mv` reads a number, while REFRESH
     * keeps merging the underlying registers. Non-MV tables (or
     * sketch-free MVs) pass through untouched. */
-  private[graft] def presentMvRead(tbl: VersionedTable): DataFrame = {
+  private[graft] def presentMvRead(tbl: VersionedTable): DataFrame =
+    presentMvRead(tbl, tbl.properties)
+
+  private[graft] def presentMvRead(tbl: VersionedTable,
+                                   props: Map[String, String]): DataFrame = {
     val df = tbl.read
-    val props = tbl.properties
     val specs = (props.get(MvAggsProp).toSeq ++
       props.get(graft.plans.JoinMv.AggsProp).toSeq).flatMap(parseAggSpecs)
     val hllOuts = specs.collect { case ("hll", _, o) => o }.toSet

@@ -1638,6 +1638,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         setProperties(Map(ClusterByProp ->
           cols.map(c => if (c == from) to else c).mkString(",")))
     }
+    // a column COMMENT follows its column (documentation must not
+    // silently detach on rename)
+    val ccKey = graft.tables.GraftSql.ColumnCommentPrefix + from
+    properties.get(ccKey).foreach { text =>
+      unsetProperties(Seq(ccKey))
+      setProperties(Map(
+        graft.tables.GraftSql.ColumnCommentPrefix + to -> text))
+    }
     entry
   }
 

@@ -1724,6 +1724,12 @@ class GraftSqlSpec extends SparkSpec {
       .as[String].head() === "")
     assertThrows[Exception](
       sql.sql("COMMENT ON COLUMN silver.cm.nope IS 'x'"))
+    // a comment follows its column through RENAME
+    sql.sql("COMMENT ON COLUMN silver.cm.k IS 'business key'")
+    sql.sql("ALTER TABLE silver.cm RENAME COLUMN k TO key_id")
+    assert(sql.sql("DESCRIBE silver.cm")
+      .filter(col("col_name") === "key_id").select("comment")
+      .as[String].head() === "business key")
   }
 
   test("DROP TABLE moves to the catalog trash; UNDROP restores the " +

@@ -1811,6 +1811,25 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
           sys.error(s"PERMISSION_DENIED: $verb is owner-only " +
             s"(session principal `$principal` — unset ${GraftSql.PrincipalConf} " +
             "to administer grants)")
+        case GraftSql.UndropHead() =>
+          // charge MODIFY on the named object WITHOUT the existence
+          // filter: the target is in the trash by definition, and an
+          // ungoverned UNDROP would let any principal resurrect (and
+          // then read) a governed table's dropped data
+          val scanStmt = GraftSql.untickWordNames(stmt)
+          val mask = GraftSql.stringLiteralMask(scanStmt)
+          GraftSql.IdentToken.findAllMatchIn(scanStmt)
+            .filter(m => !mask(m.start))
+            .flatMap(m => m.matched.split("[._]", 2) match {
+              case Array(l, t) if cat.Layers.contains(l.toLowerCase) =>
+                Some((l.toLowerCase, t))
+              case _ => None
+            })
+            .toSeq.distinct.foreach { case (l, t) =>
+              if (!cat.authorized(principal, "MODIFY", l, t, ledger))
+                sys.error(s"PERMISSION_DENIED: principal `$principal` " +
+                  s"lacks MODIFY on $l.$t")
+            }
         case _ =>
           // CREATE VIEW / CREATE MV read their sources; the view object
           // itself is a NEW object (creation is ungoverned) — without
@@ -1860,10 +1879,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             .toSeq.distinct
           named.zipWithIndex.foreach { case ((l, t), i) =>
             val action = if (head == "MODIFY" && i > 0) "SELECT" else head
-            if (cat.table(l, t).exists &&
-                !cat.authorized(principal, action, l, t, ledger))
-              sys.error(s"PERMISSION_DENIED: principal `$principal` " +
-                s"lacks $action on $l.$t")
+            // COMMENT ON COLUMN names `layer.table.column` — when the
+            // first-split "table" (`cm.k`) does not exist, retry the
+            // leading segment so the real table is still charged
+            val target =
+              if (cat.table(l, t).exists) Some(t)
+              else t.split("[._]").headOption
+                .filter(h => h != t && cat.table(l, h).exists)
+            target.foreach { t2 =>
+              if (!cat.authorized(principal, action, l, t2, ledger))
+                sys.error(s"PERMISSION_DENIED: principal `$principal` " +
+                  s"lacks $action on $l.$t2")
+            }
           }
       }
     case _ => // owner session or no catalog: everything is authorized
@@ -3074,7 +3101,11 @@ object GraftSql {
   private[tables] val ShowGrantsHead = """(?is)^\s*SHOW\s+GRANTS\b.*""".r
   private[tables] val ModifyHead =
     ("""(?is)^\s*(?:OPTIMIZE|VACUUM|RESTORE|INSERT|UPDATE|DELETE|MERGE|COPY""" +
-      """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE|FSCK)\b.*""").r
+      """|ALTER|DROP|CREATE|REORG|TRUNCATE|REFRESH|CONVERT|ANALYZE|FSCK""" +
+      """|COMMENT)\b.*""").r
+  // UNDROP's target does not EXIST yet (it is in the trash), so the
+  // generic scan's existence filter would skip it — dedicated head
+  private[tables] val UndropHead = """(?is)^\s*UNDROP\b.*""".r
   private[tables] val ReadHead =
     ("""(?is)^\s*(?:SELECT|WITH|DESCRIBE|DESC|SHOW|VALUES|TABLE""" +
       """|FROM)\b.*""").r

@@ -269,4 +269,43 @@ class GrantsSpec extends SparkSpec {
       ()
     } finally spark.conf.unset(GraftSql.PrincipalConf)
   }
+
+  test("UNDROP and COMMENT ON are governed: UNDROP charges MODIFY on " +
+       "the in-trash target (existence filter bypassed), COMMENT ON " +
+       "COLUMN's three-part name still charges the real table") {
+    val (_, cat) = freshCat("grants-ud-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE silver.gt (k INT, v STRING)")
+    gsql.sql("INSERT INTO silver.gt VALUES (1, 'a')")
+    gsql.sql("GRANT USE CATALOG ON CATALOG wh TO `other`") // arms enforcement
+    try {
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      // COMMENT ON TABLE and COLUMN both deny without MODIFY
+      val d1 = intercept[RuntimeException](
+        gsql.sql("COMMENT ON TABLE silver.gt IS 'x'"))
+      assert(d1.getMessage.contains("lacks MODIFY on silver.gt"))
+      val d2 = intercept[RuntimeException](
+        gsql.sql("COMMENT ON COLUMN silver.gt.k IS 'x'"))
+      assert(d2.getMessage.contains("lacks MODIFY on silver.gt"),
+        s"the 3-part name must charge the real table: ${d2.getMessage}")
+      // drop as the owner, then UNDROP as the principal: denied —
+      // resurrecting a governed table's data is a MODIFY
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("DROP TABLE silver.gt")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      val d3 = intercept[RuntimeException](
+        gsql.sql("UNDROP TABLE silver.gt"))
+      assert(d3.getMessage.contains("lacks MODIFY on silver.gt"))
+      // the full conjunctive chain authorizes all three
+      spark.conf.unset(GraftSql.PrincipalConf)
+      gsql.sql("GRANT USE CATALOG ON CATALOG wh TO `analyst`")
+      gsql.sql("GRANT USE SCHEMA ON SCHEMA silver TO `analyst`")
+      gsql.sql("GRANT MODIFY ON SCHEMA silver TO `analyst`")
+      spark.conf.set(GraftSql.PrincipalConf, "analyst")
+      gsql.sql("UNDROP TABLE silver.gt")
+      gsql.sql("COMMENT ON TABLE silver.gt IS 'governed'")
+      gsql.sql("COMMENT ON COLUMN silver.gt.k IS 'key'")
+      assert(cat.table("silver", "gt").properties("comment") === "governed")
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+  }
 }

@@ -101,6 +101,40 @@ object Sketches {
     } finally { touched.unpersist(); () }
   }
 
+  /** Every maintained-rollup definition property across ALL families —
+    * exact MVs, join MVs, HLL/CMS/quantile rollups. A table carries AT
+    * MOST ONE live definition: each creator sweeps every OTHER family's
+    * props (and its own, harmlessly re-set just after) so a REPLACE can
+    * never leave two refreshers claiming the same table — otherwise
+    * REFRESH MATERIALIZED VIEW dispatches on the stale definition
+    * against the overwritten data. Epoch props deliberately survive:
+    * they namespace each family's txn-marker ledger across re-creates,
+    * and resetting one would let a later same-family re-create resume
+    * from a dead era's markers. */
+  private def definitionProps: Seq[String] = Seq(
+    graft.tables.GraftSql.MvSourceProp, graft.tables.GraftSql.MvGroupProp,
+    graft.tables.GraftSql.MvAggsProp, graft.tables.GraftSql.MvVersionProp,
+    graft.tables.GraftSql.MvWhereProp,
+    graft.plans.JoinMv.FactProp, graft.plans.JoinMv.DimProp,
+    graft.plans.JoinMv.KeysProp, graft.plans.JoinMv.GroupProp,
+    graft.plans.JoinMv.AggsProp, graft.plans.JoinMv.FactVersionProp,
+    graft.plans.JoinMv.DimVersionProp,
+    SourceProp, GroupProp, DistinctProp, LgkProp, VersionProp,
+    FreqSourceProp, FreqGroupProp, FreqItemProp, FreqParamsProp,
+    FreqVersionProp,
+    QuantSourceProp, QuantGroupProp, QuantValueProp, QuantParamsProp,
+    QuantVersionProp)
+
+  /** Pre-REPLACE sweep shared by all rollup creators: drop the old
+    * definition's merge bucketing (the overwrite would try to bucket by
+    * a column the new rollup lacks) and every family's definition
+    * props. */
+  private[graft] def clearReplacedDefinition(mv: VersionedTable): Unit =
+    if (mv.exists) {
+      mv.clearBucketSpec()
+      mv.unsetProperties(definitionProps)
+    }
+
   /** Materialize the rollup of `src` into `mv` at the current snapshot
     * and persist the definition for [[refresh]]. */
   def create(src: VersionedTable, mv: VersionedTable,
@@ -108,22 +142,7 @@ object Sketches {
              lgK: Int = 12): Unit = {
     val v = src.latestVersion.getOrElse(
       sys.error(s"sketch rollup: empty table at ${src.root}"))
-    // a REPLACE with a different group set must not inherit the old
-    // definition's merge bucketing (the overwrite would try to bucket
-    // by a column the new rollup lacks), and a replaced MV/join-MV
-    // definition's properties must go, or two refreshers would claim
-    // the table — the same discipline as JoinMv.create
-    if (mv.exists) {
-      mv.clearBucketSpec()
-      mv.unsetProperties(Seq(
-        graft.tables.GraftSql.MvSourceProp, graft.tables.GraftSql.MvGroupProp,
-        graft.tables.GraftSql.MvAggsProp, graft.tables.GraftSql.MvVersionProp,
-        graft.tables.GraftSql.MvWhereProp,
-        graft.plans.JoinMv.FactProp, graft.plans.JoinMv.DimProp,
-        graft.plans.JoinMv.KeysProp, graft.plans.JoinMv.GroupProp,
-        graft.plans.JoinMv.AggsProp, graft.plans.JoinMv.FactVersionProp,
-        graft.plans.JoinMv.DimVersionProp))
-    }
+    clearReplacedDefinition(mv)
     mv.overwrite(rollup(src.readVersion(v), groupCols, distinctCol, lgK))
     val epoch = mv.properties.get(EpochProp)
       .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1
@@ -284,7 +303,7 @@ object Sketches {
                  seed: Int = 42, topM: Int = 20): Unit = {
     val v = src.latestVersion.getOrElse(
       sys.error(s"frequency rollup: empty table at ${src.root}"))
-    if (mv.exists) mv.clearBucketSpec()
+    clearReplacedDefinition(mv)
     mv.overwrite(freqRollup(src.readVersion(v), groupCols, itemCol,
       eps, confidence, seed, topM))
     val epoch = mv.properties.get(FreqEpochProp)
@@ -541,7 +560,7 @@ object Sketches {
                   scale: Long = 100L, sub: Int = 16): Unit = {
     val v = src.latestVersion.getOrElse(
       sys.error(s"quantile rollup: empty table at ${src.root}"))
-    if (mv.exists) mv.clearBucketSpec()
+    clearReplacedDefinition(mv)
     mv.overwrite(quantRollup(src.readVersion(v), groupCols, valueCol,
       scale, sub))
     val epoch = mv.properties.get(QuantEpochProp)

@@ -110,7 +110,16 @@ object GeneratedPrune extends Rule[LogicalPlan] {
     case y: Year => isMonotone(y.child)
     case td: TruncDate => td.format.foldable && isMonotone(td.date)
     case tt: TruncTimestamp => tt.format.foldable && isMonotone(tt.timestamp)
-    case pd: ParseToDate if pd.format.isEmpty => isMonotone(pd.left)
+    // to_date over STRING is NOT monotone: Spark's lenient parser accepts
+    // non-canonical forms ('2026-1-5') whose lexicographic order disagrees
+    // with their date order, so a range derived from the string comparison
+    // could prune a partition that holds matching rows. Only date/timestamp
+    // sources (where to_date is a calendar truncation) derive ranges;
+    // string sources still get equality/IN derivation.
+    case pd: ParseToDate if pd.format.isEmpty =>
+      isMonotone(pd.left) && (pd.left.dataType == DateType ||
+        pd.left.dataType == TimestampType ||
+        pd.left.dataType == TimestampNTZType)
     case _ => false
   }
 
@@ -167,8 +176,13 @@ object GeneratedPrune extends Rule[LogicalPlan] {
       else if (spec.genType == genAttr.dataType)
         Some(Literal.create(v, spec.genType))
       else {
+        // session time zone, not JVM default: arm() resolved the template
+        // under the session TZ, so the boundary cast must agree or
+        // timestamp/date literals shift by a day and mis-prune
+        val sessionTz = org.apache.spark.sql.internal.SQLConf.get
+          .sessionLocalTimeZone
         val c = Cast(Literal.create(v, spec.genType), genAttr.dataType,
-          Some(java.util.TimeZone.getDefault.getID)).eval(null)
+          Some(sessionTz)).eval(null)
         if (c == null) None else Some(Literal.create(c, genAttr.dataType))
       }
     }.toOption.flatten

@@ -110,13 +110,10 @@ object JoinMv {
       sys.error(s"join MV: empty dim table at ${d.table.root}")))
     val specs = aggs.map(a => (a.fn, a.col, a.mvCol))
     // a REPLACE with a different group set must not inherit the old
-    // definition's merge bucketing; and a replaced SINGLE-TABLE MV's
-    // properties must go, or REFRESH would see two definitions
-    if (mv.exists) {
-      mv.clearBucketSpec()
-      mv.unsetProperties(Seq(GraftSql.MvSourceProp, GraftSql.MvGroupProp,
-        GraftSql.MvAggsProp, GraftSql.MvVersionProp, GraftSql.MvWhereProp))
-    }
+    // definition's merge bucketing; and a replaced definition of ANY
+    // other rollup family (single-table MV, sketch/CMS/quantile) must
+    // go, or REFRESH would see two definitions
+    graft.ops.Sketches.clearReplacedDefinition(mv)
     mv.overwrite(rollup(fact, dims, groupCols, specs, factV, dimVs))
     val epoch = mv.properties.get(EpochProp)
       .flatMap(e => scala.util.Try(e.toLong).toOption).getOrElse(-1L) + 1

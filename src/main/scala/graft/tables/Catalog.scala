@@ -317,14 +317,24 @@ final class Catalog(spark: SparkSession, root: String) {
   private def trashDir = Paths.get(root, "_trash")
 
   /** Dropped tables still restorable, newest drop first:
-    * (layer, table, droppedAtMillis, path). */
+    * (layer, table, droppedAtMillis, path). Entries are
+    * `layer.name.millis`; the NAME may itself contain dots (the
+    * resolver admits them), so parse from both ends — layer names
+    * never contain '.' and the drop timestamp is always the last
+    * segment — instead of a fixed 3-way split that would orphan a
+    * dotted name (neither UNDROPpable nor purgeable). */
   def trashEntries: Seq[(String, String, Long, java.nio.file.Path)] =
     listDir(trashDir).flatMap { p =>
-      p.getFileName.toString.split("\\.") match {
-        case Array(l, t, ts) if ts.forall(_.isDigit) =>
-          Some((l, t, ts.toLong, p))
-        case _ => None
-      }
+      val fn = p.getFileName.toString
+      val layerCut = fn.indexOf('.')
+      val tsCut = fn.lastIndexOf('.')
+      if (layerCut > 0 && tsCut > layerCut + 1) {
+        val ts = fn.substring(tsCut + 1)
+        if (ts.nonEmpty && ts.forall(_.isDigit))
+          Some((fn.substring(0, layerCut),
+            fn.substring(layerCut + 1, tsCut), ts.toLong, p))
+        else None
+      } else None
     }.sortBy(-_._3)
 
   /** UNDROP TABLE: restore the NEWEST trash entry for `layer.name` —

@@ -996,16 +996,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val epoch = (if (mv.exists)
       mv.properties.get(GraftSql.MvEpochProp).map(_.toLong).getOrElse(0L)
     else 0L) + 1L
-    if (mv.exists) {
-      mv.clearBucketSpec()
-      // a replaced JOIN definition's properties must go, or the
-      // REFRESH dispatch would see two definitions
-      mv.unsetProperties(Seq(graft.plans.JoinMv.FactProp,
-        graft.plans.JoinMv.DimProp, graft.plans.JoinMv.KeysProp,
-        graft.plans.JoinMv.GroupProp, graft.plans.JoinMv.AggsProp,
-        graft.plans.JoinMv.FactVersionProp,
-        graft.plans.JoinMv.DimVersionProp))
-    }
+    // a replaced JOIN / sketch / CMS / quantile definition's properties
+    // must go, or the REFRESH dispatch would see two definitions
+    graft.ops.Sketches.clearReplacedDefinition(mv)
     val base0 = src.readVersion(srcV)
     val base = where.fold(base0) { p =>
       val f = base0.filter(expr(p))

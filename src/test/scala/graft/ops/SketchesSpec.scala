@@ -179,6 +179,35 @@ class SketchesSpec extends SparkSpec {
       .filter(col("h") === "x").select("n_rows").as[Long].head() === 2L)
   }
 
+  test("a REPLACE across rollup families sweeps the old definition's " +
+       "properties — one table never carries two live definitions") {
+    val root = tmpDir("sk6-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.append(rows(500, 100).toDF("g", "k"))
+    Sketches.create(src, mv, Seq("g"), "k")
+    assert(mv.properties.contains(Sketches.SourceProp))
+    // HLL rollup replaced by a CMS rollup: the sketch definition must
+    // go, or REFRESH would still dispatch on it against freq data
+    Sketches.createFreq(src, mv, Seq("g"), "k")
+    assert(!mv.properties.contains(Sketches.SourceProp),
+      "replaced HLL definition survived a freq REPLACE")
+    assert(mv.properties.contains(Sketches.FreqSourceProp))
+    src.append(rows(100, 50).toDF("g", "k"))
+    assert(Sketches.refreshFreq(spark, mv) === "incremental")
+    // ...and a CMS rollup replaced by a quantile rollup
+    Sketches.createQuant(src, mv, Seq("g"), "k")
+    assert(!mv.properties.contains(Sketches.FreqSourceProp),
+      "replaced freq definition survived a quant REPLACE")
+    assert(mv.properties.contains(Sketches.QuantSourceProp))
+    src.append(rows(100, 50).toDF("g", "k"))
+    assert(Sketches.refreshQuant(spark, mv) === "incremental")
+    // epochs survive the sweep: a later same-family re-create must not
+    // resume from a dead era's txn markers
+    assert(mv.properties.contains(Sketches.EpochProp))
+    assert(mv.properties.contains(Sketches.FreqEpochProp))
+  }
+
   test("frequency rollup: merged count-min sketches EXACTLY equal a " +
        "one-shot build; heavy hitters surface through the candidate " +
        "union; estimates never undercount") {

@@ -117,6 +117,46 @@ class GeneratedPruneSpec extends SparkSpec {
     assert(ored.as[Int].collect().sorted.toSeq === Seq(1, 2))
   }
 
+  test("to_date over a STRING source derives equality but never ranges " +
+       "(lenient parsing breaks lexicographic-order monotonicity)") {
+    MvRewrite.install(spark)
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.td (ts STRING, v INT, " +
+      "d DATE GENERATED ALWAYS AS (to_date(ts))) PARTITIONED BY (d)")
+    // '2026-1-5' is lexicographically >= '2026-01-31' yet lives in the
+    // 2026-01-05 partition — a string-order-derived range would prune
+    // its partition and silently drop the row
+    sql.sql("INSERT INTO silver.td (ts, v) VALUES " +
+      "('2026-01-31', 1), ('2026-1-5', 2), ('2026-02-10', 3)")
+    val t = cat.table("silver", "td")
+    val ranged = t.read.filter(col("ts") >= "2026-01-31").select("v")
+    assert(partsScanned(ranged) === 3,
+      "range derivation through to_date(STRING) is unsound")
+    assert(ranged.as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    // equality still derives (any deterministic f)
+    val eq = t.read.filter(col("ts") === "2026-02-10").select("v")
+    assert(partsScanned(eq) === 1)
+    assert(eq.as[Int].collect().toSeq === Seq(3))
+  }
+
+  test("to_date over a TIMESTAMP source still derives ranges " +
+       "(calendar truncation is monotone)") {
+    MvRewrite.install(spark)
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.tdt (ts TIMESTAMP, v INT, " +
+      "d DATE GENERATED ALWAYS AS (to_date(ts))) PARTITIONED BY (d)")
+    sql.sql("INSERT INTO silver.tdt (ts, v) VALUES " +
+      "(TIMESTAMP'2026-03-01 10:00:00', 1), " +
+      "(TIMESTAMP'2026-03-02 10:00:00', 2), " +
+      "(TIMESTAMP'2026-03-03 10:00:00', 3)")
+    val t = cat.table("silver", "tdt")
+    val q = t.read
+      .filter(col("ts") >= lit("2026-03-02 00:00:00").cast("timestamp"))
+      .select("v")
+    assert(partsScanned(q) === 2)
+    assert(q.as[Int].collect().sorted.toSeq === Seq(2, 3))
+  }
+
   test("derivation survives column pruning (generated column absent " +
        "from the query output) and a plain SQL view read") {
     MvRewrite.install(spark)

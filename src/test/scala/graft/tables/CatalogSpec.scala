@@ -31,6 +31,26 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("gold_dim_team"))
   }
 
+  test("a dotted table name round-trips DROP → trash → UNDROP " +
+       "(the 3-way split would orphan it)") {
+    val root = tmpDir("cat-dot-")
+    val cat = new Catalog(spark, root)
+    cat.bootstrap()
+    cat.table("gold", "stats.v2").overwrite(Seq((1, 2)).toDF("a", "b"))
+    cat.dropTable("gold", "stats.v2")
+    assert(cat.tables.isEmpty)
+    val entries = cat.trashEntries
+    assert(entries.map(e => (e._1, e._2)) === Seq(("gold", "stats.v2")),
+      s"dotted name mis-parsed in trash: $entries")
+    cat.undropTable("gold", "stats.v2")
+    assert(cat.tables === Seq(("gold", "stats.v2")))
+    assert(cat.table("gold", "stats.v2").read.count() === 1L)
+    // ...and an expired dotted entry is purgeable, not a permanent leak
+    cat.dropTable("gold", "stats.v2")
+    assert(cat.purgeTrash(retentionMs = -1L).nonEmpty)
+    assert(cat.trashEntries.isEmpty)
+  }
+
   test("unknown layer is rejected") {
     val cat = new Catalog(spark, tmpDir("cat-"))
     assertThrows[IllegalArgumentException](cat.table("platinum", "x"))

@@ -3436,11 +3436,15 @@ object SparkEntry {
     }),
 
     // Read governance: ALTER TABLE SET ROW FILTER + column masks,
-    // enforced on the registered warehouse views per session principal
-    // (current_principal() binds at registration). Two sessions read
-    // the same table: the segment analyst sees only their rows with a
-    // masked phone; admin sees everything unmasked. The oracle replays
-    // both policies relationally.
+    // enforced on the registered warehouse views per session principal.
+    // current_principal() stays a LIVE expression in the registered
+    // plan (folded from spark.graft.principal per query execution), so
+    // the views register ONCE and the two reads below differ only in
+    // the conf flip — the segment analyst sees only their rows with a
+    // masked name; admin sees everything unmasked. Each read
+    // materializes under its own principal (the plan binds at
+    // execution, by design). The oracle replays both policies
+    // relationally.
     "q_sql_governance" -> ((s, dir) => {
       import s.implicits._
       val wh = Files.createTempDirectory("graft-gov-").toString
@@ -3457,14 +3461,15 @@ object SparkEntry {
       gsql.sql("ALTER TABLE silver.cust ALTER COLUMN name SET MASK " +
         "(CASE WHEN current_principal() = 'admin' THEN name " +
         "ELSE concat('***', right(name, 4)) END)")
-      def readAs(p: String) = {
+      cat.registerViews() // ONCE — the policy follows the conf live
+      def readAs(p: String): (Long, Long, String, String) = {
         s.conf.set("spark.graft.principal", p)
-        cat.registerViews()
-        s.sql("SELECT count(*) AS n_visible, sum(bal) AS sum_bal, " +
-          "min(name) AS min_name FROM silver_cust")
-          .withColumn("who", lit(p))
+        val r = s.sql("SELECT count(*) AS n_visible, sum(bal) AS sum_bal, " +
+          "min(name) AS min_name FROM silver_cust").head()
+        (r.getLong(0), r.getLong(1), r.getString(2), p)
       }
-      try readAs("BUILDING").unionByName(readAs("admin")).orderBy("who")
+      try Seq(readAs("BUILDING"), readAs("admin")).sortBy(_._4)
+        .toDF("n_visible", "sum_bal", "min_name", "who")
       finally s.conf.unset("spark.graft.principal")
     }),
 

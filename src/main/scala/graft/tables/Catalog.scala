@@ -45,17 +45,21 @@ final class Catalog(spark: SparkSession, root: String) {
     * HISTORY SQL surface, docs/backlog.md:55-58) — then every DURABLE
     * view from the warehouse ledger, in creation order (a later view
     * may reference an earlier one or any table view). */
-  def registerViews(): Seq[String] =
+  def registerViews(): Seq[String] = {
+    // durable view SQL may reference current_principal() directly
+    graft.functions.CurrentPrincipal.register(spark)
     tables.flatMap { case (l, t) =>
       val name = s"${l}_$t"
       val tbl = table(l, t)
       // governed read: sketch columns present as estimates, row
-      // filters trim, column masks rewrite — per the SESSION's
-      // principal (re-register after changing spark.graft.principal)
+      // filters trim, column masks rewrite — current_principal() stays
+      // a live expression, so the policy follows every later change of
+      // spark.graft.principal without re-registering
       GraftSql.governedRead(tbl).createOrReplaceTempView(name)
       tbl.historyDf.createOrReplaceTempView(s"${name}_history")
       Seq(name, s"${name}_history")
     } ++ registerDurableViews()
+  }
 
   /** Register the durable views, order-insensitively: CREATE TEMP VIEW
     * analyzes its query eagerly, so a definition referencing a view

@@ -577,15 +577,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // durable in table properties, enforced on every registered-view
     // read (Catalog.registerViews binds governedRead). Validated HERE —
     // a predicate/mask that cannot resolve must fail the DDL, not every
-    // later SELECT. current_principal() is substituted per session.
+    // later SELECT. current_principal() resolves to the live-bound
+    // expression, so validation is principal-independent by nature.
     case SetRowFilterStmt(ident, pred) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         import spark.implicits._
+        graft.functions.CurrentPrincipal.register(spark)
         val p = pred.trim
-        // validate with a dummy principal: the filter must resolve for
-        // EVERY session, including ones with no principal bound
-        t.read.filter(expr(GraftSql.substPrincipal(p, Some("__probe__"))))
-          .queryExecution.analyzed
+        t.read.filter(expr(p)).queryExecution.analyzed
         t.setProperties(Map(GraftSql.RowFilterProp -> p))
         Seq((ident, p)).toDF("table", "row_filter")
       }
@@ -603,9 +602,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         require(schema.fieldNames.contains(name),
           s"SET MASK: no column `$name` in ${t.root}")
         val mexpr = m.trim
+        graft.functions.CurrentPrincipal.register(spark)
         // the mask may reference the row's other columns; it must cast
         // back to the column's own type (schema-stable governance)
-        t.read.select(expr(GraftSql.substPrincipal(mexpr, Some("__probe__")))
+        t.read.select(expr(mexpr)
           .cast(schema(name).dataType)).queryExecution.analyzed
         t.setProperties(Map(GraftSql.ColumnMaskPrefix + name -> mexpr))
         Seq((name, mexpr)).toDF("column", "mask_expr")
@@ -2565,9 +2565,10 @@ object GraftSql {
 
   /** Row-filter predicate applied to every governed read of the table
     * (`ALTER TABLE … SET ROW FILTER (pred)`). May reference
-    * `current_principal()`, substituted from `spark.graft.principal`
-    * at read-registration time (NULL when unset — a filter comparing
-    * against it then matches nothing, deny-by-default). */
+    * `current_principal()` — a LIVE expression folded from
+    * `spark.graft.principal` per query execution
+    * ([[graft.functions.CurrentPrincipal]]; NULL when unset — a filter
+    * comparing against it then matches nothing, deny-by-default). */
   val RowFilterProp = "graft.rowFilter"
   /** Per-column mask expressions (`ALTER TABLE … ALTER COLUMN c SET
     * MASK (expr)`): property key `graft.columnMask.<col>`. */
@@ -2576,9 +2577,11 @@ object GraftSql {
     * `graft.columnComment.<col>`; table comments use plain `comment`. */
   val ColumnCommentPrefix = "graft.columnComment."
 
-  /** `current_principal()` → the session principal as a string literal
-    * (the predicate/mask text stays principal-free and durable; each
-    * session binds its own identity at registration). */
+  /** `current_principal()` → a string literal, TEXT-level. Governed
+    * reads no longer use this (they bind the live
+    * [[graft.functions.CurrentPrincipal]] expression); it remains for
+    * parser-only passes — identifier scans over policy/view text where
+    * a bare `parseExpression` just needs principal-free attributes. */
   private[graft] def substPrincipal(sql: String,
                                     principal: Option[String]): String =
     """(?i)current_principal\s*\(\s*\)""".r.replaceAllIn(sql,
@@ -2593,17 +2596,21 @@ object GraftSql {
     * the physical one). This is what [[Catalog.registerViews]] binds —
     * SQL readers see policy-trimmed rows and masked values; the
     * physical table is reached only by owner-level library code, the
-    * same trust line the grants ledger draws. */
+    * same trust line the grants ledger draws.
+    *
+    * `current_principal()` in the policy text stays a LIVE expression
+    * ([[graft.functions.CurrentPrincipal]]) in the registered plan:
+    * Catalyst folds it to the session's `spark.graft.principal` per
+    * query execution, so flipping the principal conf changes what the
+    * very next query sees — no re-registration. */
   private[graft] def governedRead(tbl: VersionedTable): DataFrame = {
     // ONE properties read serves presentation and policy — this runs
     // per table per registerViews, and _props.json is a file read
     val props = tbl.properties
     val base = presentMvRead(tbl, props)
-    val principal = base.sparkSession.conf.getOption(PrincipalConf)
-      .filter(_.nonEmpty)
-    def subst(s: String): String = substPrincipal(s, principal)
+    graft.functions.CurrentPrincipal.register(base.sparkSession)
     val filtered = props.get(RowFilterProp)
-      .fold(base)(p => base.filter(expr(subst(p))))
+      .fold(base)(p => base.filter(expr(p)))
     val masks = props.collect {
       case (k, v) if k.startsWith(ColumnMaskPrefix) =>
         k.stripPrefix(ColumnMaskPrefix) -> v
@@ -2611,7 +2618,7 @@ object GraftSql {
     if (masks.isEmpty) filtered
     else filtered.select(base.schema.fields.toSeq.map { f =>
       masks.get(f.name).fold(col(f.name))(m =>
-        expr(subst(m)).cast(f.dataType).as(f.name))
+        expr(m).cast(f.dataType).as(f.name))
     }: _*)
   }
 
@@ -3077,7 +3084,7 @@ object GraftSql {
   // template): privileges are comma-separated words (possibly
   // multi-word: USE SCHEMA / ALL PRIVILEGES), principals backticked
   // group names or bare words
-  val PrincipalConf = "spark.graft.principal"
+  val PrincipalConf: String = graft.functions.CurrentPrincipal.Conf
   private val GrantStmt =
     """(?is)\s*GRANT\s+([\w\s,]+?)\s+ON\s+(?i:(TABLE|SCHEMA|CATALOG))\s+([\w.`]+)\s+TO\s+`?([\w@.-]+)`?\s*;?\s*""".r
   private val RevokeStmt =

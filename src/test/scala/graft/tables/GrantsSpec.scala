@@ -230,6 +230,38 @@ class GrantsSpec extends SparkSpec {
     } finally spark.conf.unset(GraftSql.PrincipalConf)
   }
 
+  test("governed views follow a LIVE principal flip — register ONCE, " +
+       "every later query re-binds current_principal() from the conf") {
+    val (_, cat) = freshCat("live-")
+    val gsql = GraftSql(spark, cat)
+    gsql.sql("CREATE TABLE silver.sales (region STRING, amount BIGINT)")
+    gsql.sql("INSERT INTO silver.sales VALUES ('eu', 10), ('eu', 20), " +
+      "('us', 7)")
+    gsql.sql("ALTER TABLE silver.sales SET ROW FILTER " +
+      "(region = current_principal() OR current_principal() = 'admin')")
+    gsql.sql("ALTER TABLE silver.sales ALTER COLUMN amount SET MASK " +
+      "(CASE WHEN current_principal() = 'admin' THEN amount " +
+      "ELSE CAST(-1 AS BIGINT) END)")
+    try {
+      spark.conf.set(GraftSql.PrincipalConf, "eu")
+      cat.registerViews() // the ONLY registration in this test
+      assert(spark.table("silver_sales").count() === 2)
+      assert(spark.sql("SELECT sum(amount) FROM silver_sales")
+        .as[Long].head() === -2L, "masked for a non-admin")
+      // flip WITHOUT re-registering: the next query must see the new
+      // identity's policy immediately
+      spark.conf.set(GraftSql.PrincipalConf, "us")
+      assert(spark.table("silver_sales").count() === 1)
+      spark.conf.set(GraftSql.PrincipalConf, "admin")
+      assert(spark.table("silver_sales").count() === 3)
+      assert(spark.sql("SELECT sum(amount) FROM silver_sales")
+        .as[Long].head() === 37L, "admin sees unmasked amounts")
+      // unset → current_principal() folds to NULL → deny-by-default
+      spark.conf.unset(GraftSql.PrincipalConf)
+      assert(spark.table("silver_sales").count() === 0)
+    } finally spark.conf.unset(GraftSql.PrincipalConf)
+  }
+
   test("column masks rewrite governed reads schema-stably; the row " +
        "filter sees UNMASKED values; policy columns refuse RENAME/DROP") {
     val (_, cat) = freshCat("mask-")

@@ -1643,19 +1643,25 @@ object SparkEntry {
     }),
 
     // IVF ANN, build-once/serve-many: write the cell-partitioned serving
-    // table, then the query is a partition-pruned probe-read of the nProbe
-    // nearest cells (rows-only: KMeans cells are engine-specific; recall
-    // and pruning pinned by SimilaritySpec).
+    // table, then the query is a partition-pruned probe-read of the
+    // nProbe nearest cells. Probed at FULL cell coverage (nProbe =
+    // nCells) so the candidate set is provably total and the DuckDB
+    // oracle replays the cosine arithmetic exactly — a PARTIAL probe's
+    // candidate set depends on the engine's k-means centroids, which an
+    // oracle reading only the source parquet cannot reconstruct
+    // (partial-probe recall + partition pruning are plan-pinned by
+    // SimilaritySpec instead). Distinct query vector and k from
+    // q_sim_ivf_exact, so the two hash checks cover different rankings.
     "q_sim_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
+      val q = e.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0)
       val path = cachedServingTable("ivf",
         s"$dir-c16-${sourceFingerprint(s"$dir/embeddings.parquet")}") { staging =>
         Similarity.writeIvfTable(e.filter(col("vec_id") =!= 0), staging,
           nCells = 16)
       }
-      Similarity.ivfProbeTopK(s, path, q, k = 10, nProbe = 4)
+      Similarity.ivfProbeTopK(s, path, q, k = 12, nProbe = 16)
     }),
 
     // IVF exactness witness: probing ALL cells degenerates to brute-force
@@ -1855,11 +1861,17 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("exact_orders"))),
 
     // LSH ANN serving table: bucket-partitioned write + multiprobe
-    // partition-pruned probe-read (rows-only: buckets engine-specific;
-    // recall and pruning pinned by SimilaritySpec).
+    // partition-pruned probe-read. Probed at FULL Hamming radius
+    // (probeHamming = numPlanes) so every bucket is enumerated, the
+    // candidate set is provably total, and the DuckDB oracle replays
+    // the cosine arithmetic exactly — a radius-1 probe's candidate set
+    // depends on the engine's hyperplane draws, which the oracle cannot
+    // reconstruct from the source parquet (multiprobe recall + pruning
+    // are plan-pinned by SimilaritySpec). Distinct query vector and k
+    // from q_sim_lsh_exact, so the two hash checks differ.
     "q_sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
+      val q = e.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0)
       // 5 planes → 32 buckets: sized to the corpus (over-partitioning a
       // small table into 256 dirs costs more than it prunes; at larger SF
@@ -1869,7 +1881,7 @@ object SparkEntry {
         Similarity.writeLshTable(e.filter(col("vec_id") =!= 0), staging,
           numPlanes = 5, dim = q.size)
       }
-      Similarity.lshProbeTopK(s, path, q, k = 10, probeHamming = 1)
+      Similarity.lshProbeTopK(s, path, q, k = 12, probeHamming = 5)
     }),
 
     // LSH exactness witness (q_sim_ivf_exact's sibling): probing the FULL
@@ -5627,6 +5639,26 @@ object SparkEntry {
         |                              CAST(qv AS DOUBLE[])), 4) AS sim4
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY sim4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // full-radius LSH probe (provably-total candidates) == brute force
+    // over the served corpus, query vector = vec_id 7, k = 12
+    "q_sim_lsh_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                              CAST(qv AS DOUBLE[])), 4) AS sim4
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 12""".stripMargin,
+
+    // full-coverage IVF probe (nProbe = nCells, provably-total
+    // candidates) == brute force, query vector = vec_id 7, k = 12
+    "q_sim_ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT vec_id,
+        | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                              CAST(qv AS DOUBLE[])), 4) AS sim4
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY sim4 DESC, vec_id ASC LIMIT 12""".stripMargin,
 
     // full-radius LSH multiprobe == brute force: same oracle as q_sim_topk
     "q_sim_lsh_exact" ->

@@ -46,7 +46,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * retention jobs like any landing folder).
   */
 final class PollSource(spark: SparkSession, fetcherName: String,
-                       walDir: String) extends Source {
+                       walDir: String,
+                       retry: PollSource.RetryPolicy =
+                         PollSource.RetryPolicy()) extends Source {
 
   private val root = Paths.get(walDir)
   // 6+ digits: %06d grows past sequence 999999 — an anchored {6} would
@@ -71,8 +73,41 @@ final class PollSource(spark: SparkSession, fetcherName: String,
   override def getOffset: Option[V1Offset] = {
     val fetch = PollSource.fetcher(fetcherName)
     val next = landedSeqs.lastOption.map(_ + 1).getOrElse(0L)
-    fetch(next).filter(_.nonEmpty).foreach(land(next, _))
+    fetchWithRetry(fetch, next).filter(_.nonEmpty).foreach(land(next, _))
     landedSeqs.lastOption.map(LongOffset(_))
+  }
+
+  /** The backlog's "backoff + retry strategy" (docs/backlog.md:67): a
+    * TRANSIENT fetch failure retries in-trigger — up to
+    * `fetchRetries` extra attempts, exponentially backed off from
+    * `fetchBackoffMs` and capped at `fetchBackoffMaxMs` — before
+    * failing the query loudly (a permanently dead endpoint must not be
+    * silently absorbed as "nothing new" forever). Retrying is safe by
+    * construction: only the FETCH replays; landing stays downstream of
+    * one successful fetch, and the idempotent `batch-%06d` rename means
+    * even a fetch whose previous attempt DID land (crash between land
+    * and offset, concurrent trigger) cannot double-land its sequence.
+    * The backoff sleeps the driver's micro-batch planning thread —
+    * exactly the thread that must not advance while the poll is down. */
+  private def fetchWithRetry(fetch: Long => Option[Seq[String]],
+                             seq: Long): Option[Seq[String]] = {
+    var attempt = 0
+    while (true) {
+      try return fetch(seq)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= retry.fetchRetries)
+            throw new IllegalStateException(
+              s"graft-poll: fetch of sequence $seq failed after " +
+                s"${attempt + 1} attempt(s)", e)
+          // 1L<<attempt with a shift guard — no overflow at high caps
+          val factor = 1L << math.min(attempt, 30)
+          Thread.sleep(math.min(retry.fetchBackoffMaxMs,
+            retry.fetchBackoffMs * factor))
+          attempt += 1
+      }
+    }
+    None // unreachable
   }
 
   private def land(seq: Long, payloads: Seq[String]): Unit = {
@@ -115,6 +150,20 @@ final class PollSource(spark: SparkSession, fetcherName: String,
 }
 
 object PollSource {
+  /** Per-trigger fetch retry policy
+    * (`.option("fetchRetries"/"fetchBackoffMs"/"fetchBackoffMaxMs", …)`):
+    * `fetchRetries` EXTRA attempts after the first failure, exponential
+    * backoff from `fetchBackoffMs` doubling per attempt, capped at
+    * `fetchBackoffMaxMs`. */
+  final case class RetryPolicy(fetchRetries: Int = 3,
+                               fetchBackoffMs: Long = 100L,
+                               fetchBackoffMaxMs: Long = 10000L) {
+    require(fetchRetries >= 0 && fetchBackoffMs >= 0 &&
+      fetchBackoffMaxMs >= fetchBackoffMs,
+      s"bad poll retry policy: retries=$fetchRetries " +
+        s"backoff=$fetchBackoffMs max=$fetchBackoffMaxMs")
+  }
+
   /** Raw landing schema, the reference's bronze payload shape: the poll
     * sequence (idempotency key half) + the raw payload string;
     * downstream parses with from_json exactly like the file-stream
@@ -153,10 +202,19 @@ final class PollSourceProvider extends StreamSourceProvider
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    val dflt = PollSource.RetryPolicy()
     new PollSource(sqlContext.sparkSession,
       parameters.getOrElse("fetcher",
         sys.error("graft-poll needs .option(\"fetcher\", <registered name>)")),
       parameters.getOrElse("path",
-        sys.error("graft-poll: .load(<WAL dir>) is required")))
+        sys.error("graft-poll: .load(<WAL dir>) is required")),
+      PollSource.RetryPolicy(
+        parameters.get("fetchRetries").map(_.toInt)
+          .getOrElse(dflt.fetchRetries),
+        parameters.get("fetchBackoffMs").map(_.toLong)
+          .getOrElse(dflt.fetchBackoffMs),
+        parameters.get("fetchBackoffMaxMs").map(_.toLong)
+          .getOrElse(dflt.fetchBackoffMaxMs)))
+  }
 }

@@ -71,6 +71,54 @@ class PollSourceSpec extends SparkSpec {
     assert(ex.getMessage.contains("no fetcher"))
   }
 
+  test("transient fetch failures retry with backoff inside the trigger; " +
+       "exhausted retries fail the query loudly; a retried fetch " +
+       "cannot double-land its sequence") {
+    val wal = tmpDir("poll-wal4-")
+    val cp = tmpDir("poll-cp4-")
+    val attempts = new AtomicInteger(0)
+    // fails twice, then delivers — one page, then dry
+    PollSource.registerFetcher("flaky", seq => {
+      if (attempts.incrementAndGet() <= 2)
+        sys.error(s"transient poll failure #${attempts.get()}")
+      if (seq < 1) Some(Seq(s"p$seq")) else None
+    })
+    val got = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-poll")
+      .option("fetcher", "flaky")
+      .option("fetchRetries", "3").option("fetchBackoffMs", "1")
+      .load(wal)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.as[(Long, String)].collect(); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toSeq === Seq((0L, "p0")),
+      "the in-trigger retry must deliver the page")
+    assert(attempts.get() === 3, "2 failures + 1 success, all one trigger")
+    // exactly one landed dir despite the retries — landing is
+    // downstream of the one successful fetch
+    assert(new java.io.File(wal).listFiles().map(_.getName).count(
+      _.startsWith("batch-")) === 1)
+    // a permanently dead endpoint exhausts the budget and fails LOUDLY
+    PollSource.registerFetcher("dead", _ => sys.error("endpoint down"))
+    val deadSrc = new PollSource(spark, "dead", tmpDir("poll-wal5-"),
+      PollSource.RetryPolicy(fetchRetries = 2, fetchBackoffMs = 1))
+    val ex = intercept[IllegalStateException](deadSrc.getOffset)
+    assert(ex.getMessage.contains("after 3 attempt(s)"))
+    // retries=0 → exactly one attempt, no silent absorption
+    val n0 = new AtomicInteger(0)
+    PollSource.registerFetcher("dead0", _ => {
+      n0.incrementAndGet(); sys.error("down")
+    })
+    intercept[IllegalStateException](new PollSource(spark, "dead0",
+      tmpDir("poll-wal6-"),
+      PollSource.RetryPolicy(fetchRetries = 0)).getOffset)
+    assert(n0.get() === 1)
+  }
+
   test("payloads flow into a bronze table via from_json, exactly-once") {
     val wal = tmpDir("poll-wal3-")
     val cp = tmpDir("poll-cp3-")

@@ -2478,6 +2478,57 @@ object SparkEntry {
       } finally MvRewrite.deregister(mv)
     }),
 
+    // MV13: SCD2-dimension join MV maintained from the DIM side — the
+    // slowly-changing dimension pattern composed with incremental MV
+    // maintenance. The dim is Scd2-kept (closed versions stay queryable;
+    // the MV joins the is_current view via the definition's dim filter),
+    // and an SCD2 batch that re-segments customers absorbs as a signed
+    // dim-side delta: the closed versions RETRACT their fact rows from
+    // the old groups, the opened versions add them to the new — one
+    // bucket-COW merge, `overwrites` pins that the O(MV) rebuild never
+    // happened. At 100 TB this is a handful of touched groups per dim
+    // batch instead of re-joining the fact table because a dimension
+    // attribute moved. The oracle replays the current-view join
+    // relationally (CASE over the re-segmented keys).
+    "q_mv13_scd2_dim" -> ((s, dir) => {
+      import graft.plans.{JoinMv, MvRewrite}
+      val root = Files.createTempDirectory("graft-mvscd-").toString
+      val fact = VersionedTable(s, s"$root/fact")
+      val dim = VersionedTable(s, s"$root/dim")
+      val mv = VersionedTable(s, s"$root/mv")
+      fact.enableChangeFeed(); dim.enableChangeFeed()
+      fact.append(t(s, dir, "orders").select(
+        col("o_custkey").as("ck"),
+        floor(col("o_totalprice")).cast("long").as("p")))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      graft.ops.Scd2.applyBatchToTable(dim, cust,
+        keys = Seq("ck"), tracked = Seq("seg"),
+        batchTs = lit("2026-01-01 00:00:00"))
+      JoinMv.create(fact,
+        Seq(JoinMv.DimSide(dim, Seq(("ck", "ck")), Some("is_current"))),
+        Seq("seg"), Seq(
+          MvRewrite.AggSpec("sum", "p", "sum_p"),
+          MvRewrite.AggSpec("count", "p", "cnt_p"),
+          MvRewrite.AggSpec("count", "*", "cnt")), mv)
+      try {
+        // SCD2 batch: every 10th customer moves to a new segment — the
+        // old current rows close (retract), new versions open (add)
+        graft.ops.Scd2.applyBatchToTable(dim,
+          cust.withColumn("seg",
+            when(col("ck") % 10 === 0, lit("PROMOTED"))
+              .otherwise(col("seg"))),
+          keys = Seq("ck"), tracked = Seq("seg"),
+          batchTs = lit("2026-02-01 00:00:00"))
+        val mode = JoinMv.refresh(s, mv)
+        mv.read.select(col("seg"), col("sum_p"), col("cnt"))
+          .withColumn("mode", lit(mode))
+          .withColumn("overwrites",
+            lit(mv.history.count(_.action == "overwrite")))
+          .orderBy("seg")
+      } finally MvRewrite.deregister(mv)
+    }),
+
     // MV3: CDC-driven incremental aggregate — the change feed consumed
     // end-to-end. readAddedSince handles append-only feeds and mv2's
     // partition feed recomputes whole partitions; row-level CDF is what
@@ -4764,6 +4815,21 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt,
         |  'cdf' AS mode, 1 AS overwrites
         |FROM fin JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // the SCD2 current-view join after the re-segmentation batch: every
+    // 10th customer's CURRENT version carries the new segment; the MV
+    // absorbed the batch as a dim-side signed delta (mode literal), one
+    // overwrite ever (the CREATE's materialization)
+    "q_mv13_scd2_dim" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |             CAST(floor(o_totalprice) AS BIGINT) AS p FROM orders),
+        |c AS (SELECT c_custkey AS ck,
+        |        CASE WHEN c_custkey % 10 = 0 THEN 'PROMOTED'
+        |             ELSE c_mktsegment END AS seg FROM customer)
+        |SELECT seg, CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  'cdf-dims' AS mode, 1 AS overwrites
+        |FROM f JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
     "q_mv5_rollup" ->
       """SELECT l_returnflag AS rf,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -118,7 +118,7 @@ object Sketches {
     graft.plans.JoinMv.FactProp, graft.plans.JoinMv.DimProp,
     graft.plans.JoinMv.KeysProp, graft.plans.JoinMv.GroupProp,
     graft.plans.JoinMv.AggsProp, graft.plans.JoinMv.FactVersionProp,
-    graft.plans.JoinMv.DimVersionProp,
+    graft.plans.JoinMv.DimVersionProp, graft.plans.JoinMv.DimFilterProp,
     SourceProp, GroupProp, DistinctProp, LgkProp, VersionProp,
     FreqSourceProp, FreqGroupProp, FreqItemProp, FreqParamsProp,
     FreqVersionProp,

@@ -26,10 +26,32 @@ import graft.tables.{GraftSql, VersionedTable}
   * Cost per refresh: O(changed fact rows) + the touched MV cells —
   * never O(fact).
   *
-  * '''Dim changes''' break the fixed-dims identity and trigger a full
-  * re-materialization (the Databricks MV position for non-SCD dims);
-  * dims are small and slow-moving by construction, so this is the
-  * right trade at 100 TB — the fact table is what churns.
+  * '''Dim changes''' absorb incrementally too when the dim has its
+  * change feed on: the join distributes over EITHER side's row-set
+  * delta, so maintenance telescopes one side at a time —
+  * `F ⋈ (D+ΔD) = (F ⋈ D) + (F ⋈ ΔD)` with F pinned, exactly the dual
+  * of the fact identity. The MV's durable invariant is
+  * `MV = F@p_f ⋈ D₁@p₁ ⋈ … ⋈ Dₙ@pₙ` (per-side covered pins); each
+  * refresh slice advances ONE side from its pin to its head, joining
+  * every OTHER side at its CURRENT pin, which composes to the head
+  * join regardless of how many sides moved. A dim UPDATE thus costs
+  * the fact rows matching the changed dim keys (a semi-join-sized,
+  * bucket-prunable read), never O(MV) — at 100 TB the difference
+  * between touching a handful of groups and rebuilding the rollup
+  * because one team changed its name. Dims WITHOUT a change feed keep
+  * the old full-re-materialization trade. Signed-delta absorption
+  * needs [[GraftSql.cdfMaintainable]] aggs; min/max agg sets fall back
+  * to full on dim movement (per-touched-group recompute still serves
+  * fact-only movement).
+  *
+  * '''SCD2 dims''' compose through an optional per-dim FILTER
+  * ([[DimSide.filter]], e.g. `is_current`): the MV joins the dim's
+  * current-rows view, and because a row filter σ distributes over
+  * signed deltas (σ(D+ΔD) = σ(D)+σ(ΔD)), the filtered change feed of
+  * an [[graft.ops.Scd2]]-maintained dimension IS the view's delta —
+  * closing a version retracts it, opening one inserts it. Filtered
+  * definitions never arm transparent routing (a query over the
+  * UNFILTERED join must not be served from the filtered rollup).
   *
   * State is durable in the MV table's properties (`graft.mv.join.*`;
   * multi-dim definitions `;`-join roots/versions and `|`-join per-dim
@@ -49,6 +71,10 @@ object JoinMv {
   val KeysProp = "graft.mv.join.keys"
   val GroupProp = "graft.mv.join.group"
   val AggsProp = "graft.mv.join.aggs" // "fn:col:out;…"
+  /** `;`-joined per-dim row filters (URL-encoded SQL, "" = none),
+    * positionally matching [[DimProp]]; absent = no dim filtered (the
+    * pre-existing definition format parses unchanged). */
+  val DimFilterProp = "graft.mv.join.dimFilter"
   val FactVersionProp = "graft.mv.join.factVersion"
   /** `;`-joined covered dim versions, positionally matching [[DimProp]]. */
   val DimVersionProp = "graft.mv.join.dimVersion"
@@ -57,9 +83,19 @@ object JoinMv {
   val EpochProp = "graft.mv.join.epoch"
   private val TxnApp = "graft-mvjoin:"
 
-  /** One dim side of a definition: table + this join's key pairs. */
+  /** One dim side of a definition: table + this join's key pairs +
+    * an optional row filter (SQL over the dim's columns — the SCD2
+    * `is_current` current-view hook). */
   final case class DimSide(table: VersionedTable,
-                           keys: Seq[(String, String)])
+                           keys: Seq[(String, String)],
+                           filter: Option[String] = None)
+
+  /** The dim side as the join sees it: filtered when the definition
+    * narrows it (snapshot reads and change-feed slices alike — a
+    * per-row filter distributes over signed deltas). */
+  private def sided(side: DimSide, df: DataFrame): DataFrame =
+    side.filter.map(f => df.filter(org.apache.spark.sql.functions.expr(f)))
+      .getOrElse(df)
 
   /** The registered join, aggregated: every side PINNED at an explicit
     * version (maintenance must never read a live head another writer
@@ -71,7 +107,9 @@ object JoinMv {
     import org.apache.spark.sql.functions.col
     GraftSql.registerMvFunctions(fact.spark)
     val joined = joinAll(fact.readVersion(factV),
-      dims.zip(dimVs).map { case (d, v) => (d.table.readVersion(v), d.keys) })
+      dims.zip(dimVs).map { case (d, v) =>
+        (sided(d, d.table.readVersion(v)), d.keys)
+      })
     joined.groupBy(groupCols.map(col): _*)
       .agg(GraftSql.mvAggColumns(aggs).head,
         GraftSql.mvAggColumns(aggs).tail: _*)
@@ -126,6 +164,9 @@ object JoinMv {
       AggsProp -> specs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
       FactVersionProp -> factV.toString,
       DimVersionProp -> dimVs.mkString(";"),
+      DimFilterProp -> dims.map(_.filter.map(f =>
+        java.net.URLEncoder.encode(f, "UTF-8")).getOrElse(""))
+        .mkString(";"),
       EpochProp -> epoch.toString))
     armRouting(fact, dims, mv, groupCols, aggs, factV, dimVs)
   }
@@ -141,7 +182,10 @@ object JoinMv {
       mv: VersionedTable, groupCols: Seq[String],
       aggs: Seq[MvRewrite.AggSpec], factV: Long,
       dimVs: Seq[Long]): Unit =
-    if (aggs.exists(a => GraftSql.approxAgg(a.fn))) MvRewrite.deregisterRoot(mv.root)
+    // filtered dims narrow the joined row-set: a query over the
+    // UNFILTERED join must never transparently read the filtered MV
+    if (aggs.exists(a => GraftSql.approxAgg(a.fn)) ||
+        dims.exists(_.filter.nonEmpty)) MvRewrite.deregisterRoot(mv.root)
     else MvRewrite.registerJoinChain(fact, Some(factV),
       dims.zip(dimVs).map { case (d, v) =>
         MvRewrite.JoinDim(d.table, d.keys, Some(v))
@@ -174,10 +218,18 @@ object JoinMv {
     val keySegs = parseKeySegments(need(KeysProp))
     require(roots.length == keySegs.length,
       s"${mv.root}: ${roots.length} dims but ${keySegs.length} key lists")
+    // -1 limit: a trailing "" (last dim unfiltered) must not collapse
+    val filters = p.get(DimFilterProp)
+      .map(_.split(";", -1).toSeq.map(f =>
+        if (f.isEmpty) None
+        else Some(java.net.URLDecoder.decode(f, "UTF-8"))))
+      .getOrElse(Seq.fill(roots.length)(None))
+    require(filters.length == roots.length,
+      s"${mv.root}: ${roots.length} dims but ${filters.length} filters")
     Def(
       VersionedTable(spark, need(FactProp)),
-      roots.zip(keySegs).map { case (r, ks) =>
-        DimSide(VersionedTable(spark, r), ks)
+      roots.zip(keySegs).zip(filters).map { case ((r, ks), flt) =>
+        DimSide(VersionedTable(spark, r), ks, flt)
       },
       need(GroupProp).split(",").toSeq,
       GraftSql.parseAggSpecs(need(AggsProp)),
@@ -192,35 +244,57 @@ object JoinMv {
     *   - `"noop"`: nothing new (or only data-identical maintenance
     *     commits — compaction etc.) on any side; version pins advance
     *     and routing re-arms on the new snapshots.
-    *   - `"cdf"`: dims unchanged, fact changes absorbed as signed
+    *   - `"cdf"`: only the fact moved; its changes absorb as signed
     *     deltas from the change feed joined to the pinned dims —
     *     O(changed fact rows). Needs sum/count-only aggs with the
     *     count companions ([[GraftSql.cdfMaintainable]]).
+    *   - `"cdf-dims"`: one or more DIMS moved (fact too, possibly) and
+    *     every moved side has its change feed on — per-side telescoped
+    *     signed-delta slices, one merge per moved side, each joining
+    *     that side's feed to every other side at its current pin.
+    *     O(changed fact rows) + O(fact rows matching changed dim keys).
     *   - `"groups"`: dims unchanged, fact CDF on, but min/max (or a
     *     companion-less sum) in the agg set — the feed names the
     *     touched groups (through the dim joins), ONLY those groups
     *     recompute from the pinned snapshots and merge; vanished
     *     groups delete. O(changed groups × group size).
-    *   - `"full"`: a dim moved, CDF unavailable, or a NULL group key
-    *     in the delta — re-materialize every side at its head.
+    *   - `"full"`: a moved side has no change feed, min/max aggs meet a
+    *     dim move, CDF unavailable (overwrite/restore/vacuumed), or a
+    *     NULL group key in a delta — re-materialize every side at head.
     */
   def refresh(spark: SparkSession, mv: VersionedTable): String = {
     val d = definition(spark, mv)
     val txnApp = TxnApp + d.epoch + ":" + mv.root
-    // resume from max(property, ledger): a crash between the merge and
+    // one txn app PER SIDE: each side's merges are markered with the
+    // covered version of THAT side, so a crash anywhere in the slice
+    // sequence resumes with every already-absorbed side's pin advanced
+    // (the fact app keeps the historical unsuffixed name — pre-existing
+    // ledgers must keep resuming)
+    def dimApp(i: Int) = s"$txnApp:dim$i"
+    // resume from max(property, ledger): a crash between a merge and
     // the property bump must not double-count the absorbed slice
-    val v0 = math.max(d.factV, mv.lastTxnVersion(txnApp).getOrElse(d.factV))
+    val factPin = math.max(d.factV,
+      mv.lastTxnVersion(txnApp).getOrElse(d.factV))
+    val dimPins = d.dimVs.zipWithIndex.map { case (dv, i) =>
+      math.max(dv, mv.lastTxnVersion(dimApp(i)).getOrElse(dv))
+    }
     val factHistory = d.fact.history
-    val factHead = factHistory.lastOption.map(_.version).getOrElse(v0)
-    val dimHeads = d.dims.zip(d.dimVs).map { case (dim, dv) =>
+    val factHead = factHistory.lastOption.map(_.version).getOrElse(factPin)
+    val dimHeads = d.dims.zip(dimPins).map { case (dim, dv) =>
       dim.table.latestVersion.getOrElse(dv)
     }
-    val later = factHistory.filter(e => e.version > v0 && e.version <= factHead)
     // the shared set INCLUDES rename/drop-column: the DDL guards refuse
     // touching group/key columns and re-key agg specs, so those commits
     // are metadata-only on any side — a dim rename must not trigger
     // an O(fact) re-materialization
     val absorbless = GraftSql.AbsorblessActions
+    def moved(h: Seq[VersionedTable.LogEntry], lo: Long, hi: Long): Boolean =
+      h.exists(e => e.version > lo && e.version <= hi &&
+        !absorbless(e.action))
+    val factMoved = moved(factHistory, factPin, factHead)
+    val dimMoved = d.dims.zip(dimPins).zip(dimHeads).map {
+      case ((dim, dv), head) => moved(dim.table.history, dv, head)
+    }
     def finish(mode: String, fv: Long, dvs: Seq[Long]): String = {
       if (fv > d.factV || dvs != d.dimVs)
         mv.setProperties(Map(FactVersionProp -> fv.toString,
@@ -235,36 +309,62 @@ object JoinMv {
         factHead, dimHeads))
       finish("full", factHead, dimHeads)
     }
-    val dimMoved = d.dims.zip(d.dimVs).zip(dimHeads).exists {
-      case ((dim, dv), head) =>
-        dim.table.history
-          .filter(e => e.version > dv && e.version <= head)
-          .exists(e => !absorbless(e.action))
-    }
-    lazy val pinnedDims = d.dims.zip(d.dimVs)
-      .map { case (dim, dv) => (dim.table.readVersion(dv), dim.keys) }
-    if (dimMoved) recompute()
-    else if (later.isEmpty || later.forall(e => absorbless(e.action)))
+    def dimAt(i: Int, v: Long): DataFrame =
+      sided(d.dims(i), d.dims(i).table.readVersion(v))
+    if (!factMoved && !dimMoved.contains(true))
       finish("noop", factHead, dimHeads)
-    else if (!d.fact.changeFeedEnabled) recompute()
+    else if ((factMoved && !d.fact.changeFeedEnabled) ||
+        dimMoved.zip(d.dims).exists { case (m, dim) =>
+          m && !dim.table.changeFeedEnabled })
+      recompute()
     else if (GraftSql.cdfMaintainable(d.aggs)) {
-      // the fixed-dims identity: ΔF ⋈ D* is the group-by's change slice
-      val feed = d.fact.readChangeFeed(v0, Some(factHead))
+      // telescoped per-side slices: the MV invariant is
+      // F@p_f ⋈ Dᵢ@pᵢ; each slice advances ONE side to its head with
+      // every other side read at its CURRENT pin, so the sequence
+      // composes to the all-heads join whatever subset moved
       try {
-        GraftSql.applyCdfDelta(mv, joinAll(feed, pinnedDims),
-          d.groupCols, d.aggs, txn = Some((txnApp, factHead)))
-        finish("cdf", factHead, dimHeads)
+        val pins = dimPins.toArray
+        if (factMoved) {
+          val feed = d.fact.readChangeFeed(factPin, Some(factHead))
+          GraftSql.applyCdfDelta(mv,
+            joinAll(feed, d.dims.indices.map(i =>
+              (dimAt(i, pins(i)), d.dims(i).keys))),
+            d.groupCols, d.aggs, txn = Some((txnApp, factHead)))
+        }
+        d.dims.indices.foreach { i =>
+          if (dimMoved(i)) {
+            // σ(ΔDᵢ): the filter distributes over the signed delta, so
+            // the filtered feed IS the filtered view's change slice
+            // (SCD2: closing a version retracts it from is_current)
+            val feed = sided(d.dims(i),
+              d.dims(i).table.readChangeFeed(pins(i), Some(dimHeads(i))))
+            GraftSql.applyCdfDelta(mv,
+              joinAll(d.fact.readVersion(factHead),
+                d.dims.indices.map { j =>
+                  (if (j == i) feed else dimAt(j, pins(j)),
+                    d.dims(j).keys)
+                }),
+              d.groupCols, d.aggs, txn = Some((dimApp(i), dimHeads(i))))
+          }
+          pins(i) = dimHeads(i)
+        }
+        finish(if (dimMoved.contains(true)) "cdf-dims" else "cdf",
+          factHead, dimHeads)
       } catch {
         case _: graft.tables.CdfNotExpressible => recompute()
       }
-    } else {
+    } else if (dimMoved.contains(true)) recompute()
+    else {
       // min/max: per-touched-group recompute — the CDF (joined to the
       // pinned dims) names which groups moved; only those re-aggregate.
       // The recompute+tombstone+replace core is GraftSql's shared
       // helper — only the source relation (fact⋈dims) differs here.
       import org.apache.spark.sql.functions.col
+      lazy val pinnedDims = d.dims.zip(dimPins)
+        .map { case (dim, dv) => (sided(dim, dim.table.readVersion(dv)),
+          dim.keys) }
       try {
-        val feed = d.fact.readChangeFeed(v0, Some(factHead))
+        val feed = d.fact.readChangeFeed(factPin, Some(factHead))
         GraftSql.mergeTouchedGroups(mv,
           joinAll(feed, pinnedDims)
             .select(d.groupCols.map(col): _*).distinct(),

@@ -161,6 +161,165 @@ class JoinMvSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("dim mutations absorb as signed CDF deltas when the dim feed is " +
+       "on: no O(MV) rebuild, result equals the recompute") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-dd-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, "p1", 10L), (1, "p2", 20L), (2, "p3", 5L),
+      (3, "p4", 7L), (9, "p9", 99L)).toDF("t", "player", "v"))
+    dim.append(Seq((1, "red"), (2, "blue"), (3, "red")).toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), sumAggs, mv)
+    try {
+      // dim UPDATE moves team 3 red→blue, dim APPEND matches t=9, dim
+      // DELETE drops team 2 — three dim-side change shapes in one slice
+      dim.update(Map("color" -> lit("blue")), col("t") === 3)
+      dim.append(Seq((9, "green")).toDF("t", "color"))
+      dim.delete(col("t") === 2)
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(mvRows(mv) === recomputed(fact, dim)
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+      assert(mv.history.count(_.action == "overwrite") === 1,
+        "a dim change must merge a delta, never rewrite the whole MV")
+      // and the maintained MV keeps serving rewrites at the new pins
+      val q = recomputed(fact, dim)
+      assert(MvRewrite.scannedPaths(q).forall(_.contains("/mv/")))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("fact and dim moving in the same refresh window telescope: one " +
+       "slice per side, composed result equals the recompute") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-fd-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, "p1", 10L), (2, "p3", 5L), (3, "p4", 7L))
+      .toDF("t", "player", "v"))
+    dim.append(Seq((1, "red"), (2, "blue"), (3, "red")).toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), sumAggs, mv)
+    try {
+      fact.append(Seq((2, "p5", 50L), (1, "p6", 1L)).toDF("t", "player", "v"))
+      fact.delete(col("player") === "p1")
+      dim.update(Map("color" -> lit("gold")), col("t") === 1)
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(mvRows(mv) === recomputed(fact, dim)
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+      assert(mv.history.count(_.action == "overwrite") === 1)
+      // converged: the next refresh sees nothing new
+      assert(JoinMv.refresh(spark, mv) === "noop")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("SCD2 dim composes through the is_current filter: closing a " +
+       "version retracts it, the MV tracks the current-rows join " +
+       "without a rebuild, and routing never arms for filtered dims") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-scd-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, "p1", 10L), (1, "p2", 20L), (2, "p3", 5L),
+      (3, "p4", 7L)).toDF("t", "player", "v"))
+    graft.ops.Scd2.applyBatchToTable(dim,
+      Seq((1, "red"), (2, "blue"), (3, "red")).toDF("t", "color"),
+      keys = Seq("t"), tracked = Seq("color"),
+      batchTs = lit("2026-01-01 00:00:00"))
+    JoinMv.create(fact,
+      Seq(JoinMv.DimSide(dim, Seq(("t", "t")), Some("is_current"))),
+      Seq("color"), sumAggs, mv)
+    try {
+      def currentJoin: DataFrame = {
+        val f = fact.read; val d = dim.read.filter(col("is_current"))
+        f.join(d, f("t") === d("t")).groupBy(d("color"))
+          .agg(sum("v").as("sum_v"), count("v").as("cnt_v"),
+            count(lit(1)).as("cnt"))
+      }
+      assert(mvRows(mv) === currentJoin
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+      // SCD2 batch: team 1 changes color (close + open), team 9 is new
+      // (no fact match). The closed red version must RETRACT from the
+      // MV even though its row still exists in the dim table.
+      graft.ops.Scd2.applyBatchToTable(dim,
+        Seq((1, "gold"), (9, "green")).toDF("t", "color"),
+        keys = Seq("t"), tracked = Seq("color"),
+        batchTs = lit("2026-02-01 00:00:00"))
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(mvRows(mv) === currentJoin
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+      assert(mvRows(mv).map(_._1) === Seq("blue", "gold", "red"),
+        "team 1's fact rows must now roll up under gold, not red")
+      assert(mv.history.count(_.action == "overwrite") === 1,
+        "an SCD2 dim batch must never trigger an O(MV) rebuild")
+      // filtered definitions must not serve the unfiltered join
+      val f = fact.read; val d = dim.read
+      val unfiltered = f.join(d, f("t") === d("t")).groupBy(d("color"))
+        .agg(sum("v").as("sum_v"))
+      assert(!MvRewrite.scannedPaths(unfiltered).exists(_.contains("/mv/")),
+        "a query over ALL dim versions must not read the current-rows MV")
+      // durable: a fresh definition parse (restart) keeps maintaining
+      graft.ops.Scd2.applyBatchToTable(dim,
+        Seq((2, "black")).toDF("t", "color"),
+        keys = Seq("t"), tracked = Seq("color"),
+        batchTs = lit("2026-03-01 00:00:00"))
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(mvRows(mv) === currentJoin
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("crash replay of a dim slice: a stale dim-version property " +
+       "resumes from the per-side txn ledger, never double-counting") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-dcr-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, "p1", 10L), (2, "p3", 5L)).toDF("t", "player", "v"))
+    dim.append(Seq((1, "red"), (2, "blue")).toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), sumAggs, mv)
+    try {
+      val coveredBefore = mv.properties(JoinMv.DimVersionProp)
+      dim.update(Map("color" -> lit("gold")), col("t") === 1)
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      val rows = mvRows(mv)
+      val mvV = mv.latestVersion.get
+      // crash window: dim-slice merge committed, property bump lost
+      mv.setProperties(Map(JoinMv.DimVersionProp -> coveredBefore))
+      assert(JoinMv.refresh(spark, mv) === "noop",
+        "per-dim ledger resume must see the slice as already absorbed")
+      assert(mvRows(mv) === rows)
+      assert(mv.latestVersion.get === mvV, "replay must be metadata-only")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("min/max agg sets fall back to full on dim movement (signed " +
+       "deltas cannot retract a max); a feedless dim still recomputes") {
+    MvRewrite.install(spark)
+    val aggs = sumAggs :+ MvRewrite.AggSpec("max", "v", "max_v")
+    val root = tmpDir("graft-jmv-mm-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, "p1", 10L), (2, "p3", 5L)).toDF("t", "player", "v"))
+    dim.append(Seq((1, "red"), (2, "blue")).toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), aggs, mv)
+    try {
+      dim.update(Map("color" -> lit("gold")), col("t") === 1)
+      assert(JoinMv.refresh(spark, mv) === "full")
+      assert(mv.read.select("color", "max_v").orderBy("color")
+        .as[(String, Long)].collect().toSeq ===
+        Seq(("blue", 5L), ("gold", 10L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("metadata-only DDL commits are absorbless: a dim rename of an " +
        "unreferenced column must not trigger an O(fact) rebuild") {
     MvRewrite.install(spark)

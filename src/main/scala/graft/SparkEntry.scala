@@ -3640,6 +3640,51 @@ object SparkEntry {
         .orderBy("nk")
     }),
 
+    // ST15: continuously-maintained STAR rollup — the sink's aggregate
+    // mode with `joinDims`: each micro-batch's fact change rows join
+    // the PINNED dim snapshot before the signed-delta merge (ΔF ⋈ D*,
+    // the streaming face of the join MV). Two sync rounds mix appends,
+    // a reprice UPDATE and a range DELETE; between them the dim is
+    // OVERWRITTEN — which must not leak, because the pin was recorded
+    // on the MV before the first merge. The oracle replays the final
+    // fact against the ORIGINAL dim rows.
+    "q_st15_join_mv_stream" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st15-").toString
+      val fact = VersionedTable(s, s"$tmp/fact")
+      val dim = VersionedTable(s, s"$tmp/dim")
+      val o = t(s, dir, "orders").select(
+        col("o_custkey").as("ck"),
+        col("o_orderkey").cast("long").as("ok"),
+        floor(col("o_totalprice")).cast("long").as("p"))
+      fact.enableChangeFeed()
+      fact.append(o.filter(col("ok") % 2 === 0))                       // v0
+      dim.append(t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg")))
+      def sync(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("readChangeFeed", "true").load(s"$tmp/fact")
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$tmp/cp")
+          .option("mergeKeys", "seg")
+          .option("aggregate", "sum:p:sum_p;count:*:cnt;count:p:cnt_p")
+          .option("joinDims", s"$tmp/dim")
+          .option("joinKeys", "ck=ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$tmp/mv")
+        q.awaitTermination()
+      }
+      sync()
+      fact.append(o.filter(col("ok") % 2 === 1))                       // v1
+      fact.update(Map("p" -> (col("p") + 1000L)), col("ok") % 10 === 3) // v2
+      fact.delete(col("ok") <= 999)                                    // v3
+      // dim churn that must NOT reach the stream: the pin is durable
+      dim.overwrite(dim.read.withColumn("seg", lit("MUTATED")))
+      sync()
+      VersionedTable(s, s"$tmp/mv").read
+        .select("seg", "sum_p", "cnt", "cnt_p")
+        .orderBy("seg")
+    }),
+
     // COMMENT ON TABLE/COLUMN (UC/Delta comment surface): durable in
     // the table's properties, surfaced through DESCRIBE's comment
     // column where user text JOINS the engine contract annotations
@@ -4724,6 +4769,21 @@ object SparkEntry {
         |    AS src_rows,
         |  TRUE AS survived_change_commit
         |FROM nation ORDER BY nk""".stripMargin,
+
+    // final fact state ⋈ ORIGINAL dim rows (the stream's recorded pin —
+    // the post-round-1 dim overwrite must be invisible)
+    "q_st15_join_mv_stream" ->
+      """WITH base AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |                CAST(floor(o_totalprice) AS BIGINT) AS p
+        |              FROM orders),
+        |fin AS (SELECT ck,
+        |          CASE WHEN ok % 10 = 3 THEN p + 1000 ELSE p END AS p
+        |        FROM base WHERE ok > 999),
+        |c AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer)
+        |SELECT seg, CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(p) AS BIGINT) AS cnt_p
+        |FROM fin JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_sql_comment" ->
       """SELECT * FROM (VALUES

@@ -115,7 +115,9 @@ object JoinMv {
         GraftSql.mvAggColumns(aggs).tail: _*)
   }
 
-  private def joinAll(f: DataFrame,
+  /** Left-fold the dim sides onto `f` (shared with the streaming
+    * aggregate sink's fact⋈pinned-dims mode). */
+  private[graft] def joinAll(f: DataFrame,
                       dims: Seq[(DataFrame, Seq[(String, String)])]): DataFrame =
     dims.foldLeft(f) { case (acc, (d, keys)) => joinOn(acc, d, keys) }
 

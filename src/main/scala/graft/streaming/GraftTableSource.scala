@@ -260,7 +260,22 @@ object GraftTableSource {
   * (approx-distinct sketches), companion-less sums — run an
   * INSERT-ONLY combine path instead (least/greatest, register union),
   * valid over append-only sources; a retraction fails the query
-  * loudly. The txn app id is the query's
+  * loudly.
+  *
+  * '''Join-shaped streaming MVs''' (`joinDims = "root[;root…]"`,
+  * `joinKeys = "lk=rk[,…][|…]"`): each micro-batch's fact change rows
+  * join the PINNED dim snapshots before the signed-delta merge — the
+  * fixed-dims identity ΔF ⋈ D* from [[graft.plans.JoinMv]], continuously
+  * maintained: a star rollup whose fact side is a stream. Dim pins
+  * resolve once — `joinDimVersions = "v[;v…]"` explicitly, else each
+  * dim's head at first use — and are RECORDED in the MV's properties
+  * BEFORE the first merge, so every later batch, restart, and crash
+  * replay joins the identical dim snapshots (re-pinning would make
+  * replayed deltas disagree with what already landed). A dim that must
+  * move re-pins through the batch refresher's dim-side slices, not by
+  * restarting the stream.
+  *
+  * The txn app id is the query's
   * checkpoint location (stable across restarts) unless a `txnAppId`
   * option pins it explicitly. */
 final class GraftTableSink(root: String, appId: String,
@@ -268,8 +283,41 @@ final class GraftTableSink(root: String, appId: String,
                            mergeKeys: Seq[String], applyChanges: Boolean,
                            aggregate: Option[String],
                            aggFilter: Option[String],
-                           autoCompactEvery: Option[Long])
+                           autoCompactEvery: Option[Long],
+                           joinDims: Seq[String] = Nil,
+                           joinKeys: Seq[Seq[(String, String)]] = Nil,
+                           joinPins: Option[Seq[Long]] = None)
     extends Sink {
+
+  /** The pinned dim sides of a join-shaped streaming MV, resolved from
+    * the MV's recorded properties (every batch after the first) or
+    * recorded now (first batch, BEFORE any data lands — crash-safe:
+    * the pins commit before the delta that uses them, so a replay can
+    * never join a different dim snapshot). */
+  private def pinnedDimSides(mv: VersionedTable)
+      : Seq[(DataFrame, Seq[(String, String)])] = {
+    val spark = mv.spark
+    val recorded = mv.properties.get(GraftTableSink.StreamDimVersionProp)
+      .map(_.split(";").toSeq.map(_.toLong))
+    val pins = recorded.getOrElse {
+      val resolved = joinPins.getOrElse(joinDims.map { r =>
+        VersionedTable(spark, r).latestVersion.getOrElse(sys.error(
+          s"graft-table sink: joinDims table $r is empty — a pinned " +
+            "dim needs at least one committed version"))
+      })
+      mv.setProperties(Map(
+        GraftTableSink.StreamDimProp -> joinDims.mkString(";"),
+        GraftTableSink.StreamDimVersionProp -> resolved.mkString(";")))
+      resolved
+    }
+    require(pins.length == joinDims.length,
+      s"graft-table sink: ${joinDims.length} joinDims but " +
+        s"${pins.length} recorded dim pins at $root — the MV was built " +
+        "by a different join definition; use a fresh MV root")
+    joinDims.zip(pins).zip(joinKeys).map { case ((r, v), ks) =>
+      (VersionedTable(spark, r).readVersion(v), ks)
+    }
+  }
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
@@ -285,8 +333,13 @@ final class GraftTableSink(root: String, appId: String,
       require(batch.columns.contains("_change_type"),
         "graft-table sink: aggregate mode consumes a change-feed stream " +
           "(.option(\"readChangeFeed\", \"true\") on the source)")
-      val sliced = aggFilter.fold(batch)(p =>
+      val filtered = aggFilter.fold(batch)(p =>
         batch.filter(org.apache.spark.sql.functions.expr(p)))
+      // star shape: the fact delta joined to the pinned dims IS the
+      // rollup's change slice (ΔF ⋈ D*) — signs ride the fact rows
+      val sliced =
+        if (joinDims.isEmpty) filtered
+        else graft.plans.JoinMv.joinAll(filtered, pinnedDimSides(table))
       val aggs = graft.tables.GraftSql.parseAggSpecs(aggregate.get)
       if (graft.tables.GraftSql.cdfMaintainable(aggs))
         graft.tables.GraftSql.applyCdfDelta(table, sliced,
@@ -370,6 +423,13 @@ final class GraftTableSink(root: String, appId: String,
     }
   }
   override def toString: String = s"GraftTableSink[$root]"
+}
+
+object GraftTableSink {
+  /** Join-shaped streaming MV definition, recorded on the MV table:
+    * `;`-joined dim roots and the covered (pinned) dim versions. */
+  val StreamDimProp = "graft.mv.stream.dim"
+  val StreamDimVersionProp = "graft.mv.stream.dimVersion"
 }
 
 /** `format("graft-table")` registration (META-INF service file). */
@@ -466,11 +526,30 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       "graft-table sink: aggregateFilter needs aggregate mode")
     aggFilter.foreach(
       sqlContext.sparkSession.sessionState.sqlParser.parseExpression)
+    // join-shaped streaming MV: pinned dim sides of the aggregate.
+    // All shape errors fail HERE, at query start.
+    val joinDims = parameters.get("joinDims").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(";").toSeq.map(_.trim)).getOrElse(Nil)
+    val joinKeys = parameters.get("joinKeys").map(_.trim).filter(_.nonEmpty)
+      .map(graft.plans.JoinMv.parseKeySegments).getOrElse(Nil)
+    require(joinDims.isEmpty || aggregate.nonEmpty,
+      "graft-table sink: joinDims needs aggregate mode (the star " +
+        "rollup is an aggregate MV)")
+    require(joinDims.length == joinKeys.length,
+      s"graft-table sink: ${joinDims.length} joinDims but " +
+        s"${joinKeys.length} joinKeys segments — one `lk=rk[,…]` list " +
+        "per dim, `|`-joined")
+    val joinPins = parameters.get("joinDimVersions").map(_.trim)
+      .filter(_.nonEmpty).map(_.split(";").toSeq.map(_.trim.toLong))
+    joinPins.foreach(p => require(p.length == joinDims.length,
+      s"graft-table sink: ${joinDims.length} joinDims but ${p.length} " +
+        "joinDimVersions"))
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
       mergeKeys = mergeKeys, applyChanges = applyChanges,
       aggregate = aggregate, aggFilter = aggFilter,
       autoCompactEvery = parameters.get("autoCompactEvery")
-        .map(_.toLong).filter(_ > 0))
+        .map(_.toLong).filter(_ > 0),
+      joinDims = joinDims, joinKeys = joinKeys, joinPins = joinPins)
   }
 }

@@ -568,6 +568,98 @@ class TableStreamSpec extends SparkSpec {
     assert(state() === full)
   }
 
+  test("sink: joinDims maintains a STAR rollup from the fact change " +
+    "feed — dims pinned at first use, recorded before any data lands, " +
+    "and a dim mutation between rounds never leaks into the stream") {
+    val factRoot = tmpDir("ts-jagg-fact-")
+    val dimRoot = tmpDir("ts-jagg-dim-")
+    val mvRoot = tmpDir("ts-jagg-mv-")
+    val cp = tmpDir("ts-jagg-cp-")
+    val fact = VersionedTable(spark, factRoot)
+    val dim = VersionedTable(spark, dimRoot)
+    fact.enableChangeFeed()
+    fact.append(Seq((1, 10L), (1, 2L), (2, 5L), (3, 1L)).toDF("t", "v"))
+    dim.append(Seq((1, "red"), (2, "blue"), (3, "red")).toDF("t", "color"))
+    val dimPin = dim.latestVersion.get
+    def sync(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(factRoot)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "color")
+        .option("aggregate", "sum:v:sum_v;count:*:cnt;count:v:cnt_v")
+        .option("joinDims", dimRoot)
+        .option("joinKeys", "t=t")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    sync()
+    val mv = VersionedTable(spark, mvRoot)
+    def state(): Set[(String, Option[Long], Long, Long)] =
+      mv.read.select("color", "sum_v", "cnt", "cnt_v")
+        .as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(state() === Set(("red", Some(13L), 3L, 3L),
+      ("blue", Some(5L), 1L, 1L)))
+    assert(mv.properties(GraftTableSink.StreamDimVersionProp) ===
+      dimPin.toString, "the dim pin must be recorded on the MV")
+    // round 2: fact DML (retraction included) + a DIM mutation that
+    // must NOT affect the stream (the pin was recorded in round 1)
+    dim.overwrite(Seq((1, "green"), (2, "green"), (3, "green"))
+      .toDF("t", "color"))
+    fact.update(Map("v" -> ($"v" * 10L)), $"v" === 2L)
+    fact.delete($"t" === 2)
+    fact.append(Seq((3, 7L)).toDF("t", "v"))
+    sync()
+    assert(state() === Set(("red", Some(38L), 4L, 4L)),
+      "round-2 deltas must join the PINNED dim snapshot: t=2's group " +
+        "vanishes (blue, not green), t=3 stays red")
+    // == batch recompute against the pinned dim version
+    val f = fact.read; val d = dim.readVersion(dimPin)
+    val full = f.join(d, f("t") === d("t")).groupBy(d("color"))
+      .agg(org.apache.spark.sql.functions.sum("v").as("sum_v"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.count($"v").as("cnt_v"))
+      .select("color", "sum_v", "cnt", "cnt_v")
+      .as[(String, Option[Long], Long, Long)].collect().toSet
+    assert(state() === full)
+    // idempotent: nothing new is a no-op
+    sync()
+    assert(state() === full)
+  }
+
+  test("sink: joinDims shape errors fail at query start") {
+    val factRoot = tmpDir("ts-jerr-fact-")
+    val fact = VersionedTable(spark, factRoot)
+    fact.enableChangeFeed()
+    fact.append(Seq((1, 10L)).toDF("t", "v"))
+    val e1 = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(factRoot)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", tmpDir("ts-jerr-cp1-"))
+        .option("mergeKeys", "t")
+        .option("joinDims", "/nowhere")
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("ts-jerr-mv1-"))
+    }
+    assert(e1.getMessage.contains("joinDims needs aggregate mode"))
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(factRoot)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", tmpDir("ts-jerr-cp2-"))
+        .option("mergeKeys", "t")
+        .option("aggregate", "count:*:c")
+        .option("joinDims", "/a;/b")
+        .option("joinKeys", "t=t")
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("ts-jerr-mv2-"))
+    }
+    assert(e2.getMessage.contains("joinKeys"))
+  }
+
   test("sink: aggregate mode maintains quant HISTOGRAM columns from " +
     "the change feed — retractions subtract bucket counts, merged " +
     "state equals a one-shot rebuild") {

@@ -99,6 +99,37 @@ object Bench {
       (taskMsAcc.get, cpuNsAcc.get)
     }
 
+    // Streaming probes (q_st*) spend most of their wall time on
+    // checkpoint bootstrap + micro-batch SCHEDULING, not on the work a
+    // production stream would repeat per trigger — a 40s q_st9 wall is
+    // not a 40s operator. A StreamingQueryListener accumulates each
+    // micro-batch's triggerExecution duration, so every query that ran
+    // streaming batches also publishes `stream_batches` (how many) and
+    // `stream_batch_sec` (mean per-batch seconds — the steady-state
+    // number a capacity plan actually uses). Total/wall are UNCHANGED;
+    // this is a decomposition channel, like task_time_sec. The listener
+    // rides the shared LiveListenerBus, so snapshotTask()'s drain also
+    // fences these counters between queries.
+    val streamBatchCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    val streamBatchMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          streamBatchCount.incrementAndGet()
+          val d = e.progress.durationMs
+          if (d != null) {
+            streamBatchMs.addAndGet(
+              Option(d.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+            ()
+          }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+
     // Pinned alphabetical order + best-of-2: HashMap iteration order made
     // per-query timings inherit different neighbor effects (page cache, GC,
     // streaming state-store maintenance) whenever the query set changed, so
@@ -109,8 +140,9 @@ object Bench {
     // a throwing pass must never publish its elapsed-to-failure as a timing
     // — with min-of-passes a fast crash would otherwise masquerade as a
     // speedup
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double, Boolean) = {
-      val (task0, cpu0) = snapshotTask()
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double, Long, Double, Boolean) = {
+      val (task0, cpu0) = snapshotTask() // also fences the stream counters
+      val (sb0, sm0) = (streamBatchCount.get, streamBatchMs.get)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -130,7 +162,10 @@ object Bench {
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => }
       val (task1, cpu1) = snapshotTask()
-      (dt, (task1 - task0) / 1e3, (cpu1 - cpu0) / 1e9, ok)
+      val batches = streamBatchCount.get - sb0
+      val batchSec =
+        if (batches > 0) (streamBatchMs.get - sm0) / 1e3 / batches else 0.0
+      (dt, (task1 - task0) / 1e3, (cpu1 - cpu0) / 1e9, batches, batchSec, ok)
     }
     // Host-load calibration: a fixed CPU-bound microtask (sum of 1e7-row
     // range, one job, no IO) timed immediately before the query loop. On a
@@ -160,20 +195,31 @@ object Bench {
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 10 == 0) calibrationSamples += calibrate()
       val runs = (1 to passes).map(_ => timeOnce(name, fn))
-      val good = runs.collect { case (dt, task, cpu, true) => (dt, task, cpu) }
-      // min-wall over SUCCESSFUL passes (with that pass's task/cpu time —
-      // pairing keeps wall vs task comparable); all-failed → -1 sentinel
-      // (never a plausible timing, and it drags the total down visibly)
-      name -> (if (good.nonEmpty) good.minBy(_._1) else (-1.0, -1.0, -1.0))
+      val good = runs.collect {
+        case (dt, task, cpu, nb, bs, true) => (dt, task, cpu, nb, bs)
+      }
+      // min-wall over SUCCESSFUL passes (with that pass's task/cpu/batch
+      // numbers — pairing keeps the channels comparable); all-failed →
+      // -1 sentinel (never a plausible timing, and it drags the total
+      // down visibly)
+      name -> (if (good.nonEmpty) good.minBy(_._1)
+        else (-1.0, -1.0, -1.0, 0L, 0.0))
     }
     calibrationSamples += calibrate()
-    val failed = results.collect { case (k, (v, _, _)) if v < 0 => k }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (k, (v, _, _, _, _)) if v < 0 => k }
+    val qs = results.map { case (k, (v, _, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val taskQs = results.map { case (k, (_, t, _)) => s"\"" + k + "\":" + t }
+    val taskQs = results.map { case (k, (_, t, _, _, _)) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
-    val cpuQs = results.map { case (k, (_, _, c)) => s"\"" + k + "\":" + c }
+    val cpuQs = results.map { case (k, (_, _, c, _, _)) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
+    // streaming decomposition: only queries that ran micro-batches
+    val streamed = results.filter(_._2._4 > 0)
+    val batchNQs = streamed.map { case (k, (_, _, _, nb, _)) =>
+      s"\"" + k + "\":" + nb }.mkString("{", ",", "}")
+    val batchSecQs = streamed.map { case (k, (_, _, _, _, bs)) =>
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(bs)) }.mkString("{", ",", "}")
     // a failed query contributes a 999s penalty to the TOTAL (per-query
     // value stays the -1 error marker): excluding it would make a round
     // that broke a query read as a round-over-round speedup, and the
@@ -190,7 +236,7 @@ object Bench {
     val rowsMap = tableRows
       .map { case (t, n) => s"\"" + t + "\":" + n }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"table_rows":$rowsMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"stream_batches":$batchNQs,"stream_batch_sec":$batchSecQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"table_rows":$rowsMap,"sf":"$sfDir"}"""
     println(line)
     // The committed BENCH_LATEST.json is a published artifact: only a run
     // that explicitly opts in (SPARK_GRAFT_PUBLISH=1) may overwrite it —

@@ -1570,6 +1570,42 @@ object SparkEntry {
         .orderBy("max_iter")
     }),
 
+    // ML2 artifacts: MLflow-style model-binary logging — the trained
+    // forest persists under the artifact store keyed by the
+    // content-derived run id, the ledger row records the URI, and the
+    // RELOADED model predicts identically to the in-memory one
+    // (reload_matches). run_id is plain md5 of the canonical param
+    // string, so the oracle recomputes it; re-logging replays as a txn
+    // no-op (n_rows pins it).
+    "q_ml2_artifacts" -> ((s, dir) => {
+      val feats = mlFeatures(s, dir).filter(col("player_id") % 7 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val root = Files.createTempDirectory("graft-mlart-").toString
+      val artifacts = VersionedTable(s, s"$root/ml_artifacts")
+      val t1 = graft.ml.Points.trainGBT(feats, seed = 42L, maxIter = 2)
+      graft.ml.Points.logArtifact(artifacts, s"$root/store", t1,
+        seed = 42L, maxIter = 2)
+      graft.ml.Points.logArtifact(artifacts, s"$root/store", t1,
+        seed = 42L, maxIter = 2) // replay: no second row
+      val id = graft.ml.Points.runId(42L, 2, 4)
+      val reloaded = graft.ml.Points.loadModel(artifacts, id)
+      val probe = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(graft.ml.Points.FeatureCols).setOutputCol("features")
+        .transform(feats)
+      val want = t1.model.transform(probe).select("prediction")
+        .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+        .collect().toSeq
+      val got = reloaded.transform(probe).select("prediction")
+        .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+        .collect().toSeq
+      feats.unpersist()
+      artifacts.read
+        .select(col("run_id"),
+          (col("n_files") > 0 && col("total_bytes") > 0).as("has_model"))
+        .withColumn("reload_matches", lit(got == want))
+        .withColumn("n_rows", lit(artifacts.read.count()))
+    }),
+
     // ML3 (domain form): the transfer recommender end-to-end on synthetic
     // FPL data (rows-only; constraint semantics pinned by GoldSpec).
     "q_fpl_recommend" -> ((s, dir) => {
@@ -5901,6 +5937,13 @@ object SparkEntry {
         | CAST(max_iter AS BIGINT) AS num_trees
         |FROM (VALUES (42, 2), (7, 1)) AS runs(seed, max_iter)
         |ORDER BY max_iter""".stripMargin,
+
+    // artifact ledger: one row per distinct run (replay no-ops), the
+    // md5 run id recomputable, binary persisted and reload-faithful
+    "q_ml2_artifacts" ->
+      """SELECT md5('gbt_points|seed=42|max_iter=2|max_depth=4') AS run_id,
+        | TRUE AS has_model, TRUE AS reload_matches,
+        | CAST(1 AS BIGINT) AS n_rows""".stripMargin,
 
     "q_st3_fixture_state" ->
       """SELECT fixture_id, epoch_ms(ts) AS state_ts_ms,

@@ -163,4 +163,47 @@ object Points {
         "rmse", "r2", "n_train", "n_test")
     table.append(row, txn = Some((s"gbt_points/$id", 0L)))
   }
+
+  /** MLflow-style ARTIFACT logging (docs/backlog.md:92 "Log … model
+    * artifacts" — the half [[logRun]]'s metrics/params rows didn't
+    * cover): the trained model persists under
+    * `<artifactRoot>/<run_id>/model` in Spark ML's own writable format
+    * (a small parquet forest — loadable by `GBTRegressionModel.load` on
+    * any cluster, no driver-side serialization of the model object),
+    * and ONE `(run_id, uri, n_files, total_bytes)` row lands in the
+    * artifacts table. Idempotent like the run row: the save is an
+    * overwrite of content derived purely from (params, training data),
+    * and the append is txn-marked by the content-derived run id, so
+    * re-logging the same run replays as a metadata no-op — the MLflow
+    * tracking-server contract (artifact store holds the bytes, the
+    * ledger holds the URI). Returns the artifact URI. */
+  def logArtifact(artifacts: graft.tables.VersionedTable,
+                  artifactRoot: String, t: Trained,
+                  seed: Long, maxIter: Int): String = {
+    val spark = artifacts.spark
+    import spark.implicits._
+    val id = runId(seed, maxIter, t.model.getMaxDepth)
+    val dir = s"$artifactRoot/$id/model"
+    t.model.write.overwrite().save(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var files = 0L
+    var bytes = 0L
+    while (it.hasNext) { val f = it.next(); files += 1; bytes += f.getLen }
+    val row = Seq((id, dir, files, bytes))
+      .toDF("run_id", "uri", "n_files", "total_bytes")
+    artifacts.append(row, txn = Some((s"gbt_points_artifact/$id", 0L)))
+    dir
+  }
+
+  /** Reload a logged model by run id — the artifacts table resolves the
+    * URI, Spark ML loads the forest. */
+  def loadModel(artifacts: graft.tables.VersionedTable,
+                runId: String): GBTRegressionModel = {
+    val rows = artifacts.read.filter(col("run_id") === runId)
+      .select("uri").limit(1).collect()
+    require(rows.nonEmpty, s"no logged artifact for run $runId")
+    GBTRegressionModel.load(rows.head.getString(0))
+  }
 }

@@ -97,4 +97,46 @@ class PointsSpec extends SparkSpec {
     // the run history is versioned: v1 sees only the first run
     assert(runs.readVersion(v1.version).count() === 1)
   }
+
+  test("logArtifact: the model binary persists, reloads bit-faithfully, " +
+       "and re-logging the same run is a ledger no-op") {
+    val synth = (0 until 200).map { i =>
+      val form = (i % 7).toDouble
+      (i % 30, i % 5, i / 30 + 1, 90, i % 7,
+        form, 0.1, 50, 3.0, (form * 3 + (i % 3)).toLong)
+    }.toDF("player_id", "team_id", "gameweek_id", "minutes", "points",
+      "form_score", "minutes_risk", "now_cost_tenths_million",
+      "fixture_difficulty", "target_points_next_3_gws")
+    val root = tmpDir("ml-art-")
+    val artifacts = graft.tables.VersionedTable(spark, s"$root/artifacts")
+    val t1 = Points.trainGBT(synth, seed = 42L, maxIter = 2)
+    val uri = Points.logArtifact(artifacts, s"$root/store", t1,
+      seed = 42L, maxIter = 2)
+    assert(uri.contains(Points.runId(42L, 2, 4)))
+    val row = artifacts.read
+      .select("run_id", "uri", "n_files", "total_bytes")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(row.map(_._1) === Seq(Points.runId(42L, 2, 4)))
+    assert(row.head._3 > 0 && row.head._4 > 0,
+      "the ledger row must carry the artifact's real file/byte counts")
+    // reload and predict: the persisted forest IS the trained model
+    val reloaded = Points.loadModel(artifacts, Points.runId(42L, 2, 4))
+    val probe = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Points.FeatureCols).setOutputCol("features")
+      .transform(synth)
+    val want = t1.model.transform(probe).select("prediction")
+      .as[Double].collect().toSeq
+    val got = reloaded.transform(probe).select("prediction")
+      .as[Double].collect().toSeq
+    assert(got === want, "reloaded model must predict identically")
+    // replay: same run id → overwrite of identical bytes + txn no-op
+    val vBefore = artifacts.latestVersion.get
+    Points.logArtifact(artifacts, s"$root/store", t1, seed = 42L, maxIter = 2)
+    assert(artifacts.latestVersion.get === vBefore)
+    assert(artifacts.read.count() === 1)
+    // unknown run id fails loudly
+    val e = intercept[IllegalArgumentException](
+      Points.loadModel(artifacts, "deadbeef"))
+    assert(e.getMessage.contains("no logged artifact"))
+  }
 }

@@ -1063,6 +1063,15 @@ object SparkEntry {
           col("n_regionkey").cast("long").as("n_regionkey"))
       n.filter(col("n_regionkey") <= 1 && col("n_nationkey") % 2 === 0)
         .coalesce(1).write.json(s"$tmp/landing")
+      // state partitions bake into the checkpoint at FIRST query start
+      // from spark.sql.shuffle.partitions — size them to the KEYSPACE
+      // (5 region keys), not the session's scan parallelism: a stateful
+      // aggregation pays per-partition state-store commit/maintenance
+      // every micro-batch, so 32 near-empty stores were pure overhead
+      // (the q_st9 task-time inflation the round-11 bench flagged). At
+      // scale the same knob goes UP with the keyspace.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       def drain(): Unit = {
         val q = s.readStream.schema("n_nationkey BIGINT, n_regionkey BIGINT")
           .json(s"$tmp/landing")
@@ -1076,10 +1085,12 @@ object SparkEntry {
           .start(s"$tmp/agg")
         q.awaitTermination()
       }
-      drain()
-      n.filter(col("n_regionkey") > 1 || col("n_nationkey") % 2 === 1)
-        .coalesce(1).write.mode("append").json(s"$tmp/landing")
-      drain()
+      try {
+        drain()
+        n.filter(col("n_regionkey") > 1 || col("n_nationkey") % 2 === 1)
+          .coalesce(1).write.mode("append").json(s"$tmp/landing")
+        drain()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       VersionedTable(s, s"$tmp/agg").read
         .select(col("n_regionkey"), col("n_nations"), col("key_sum"))
         .orderBy("n_regionkey")

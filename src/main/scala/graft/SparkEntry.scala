@@ -3506,6 +3506,52 @@ object SparkEntry {
       } finally MvRewrite.deregister(cat.table("gold", "mv_seg"))
     }),
 
+    // SQL SCD2 join MV: the join-form WHERE attributes `d.is_current`
+    // to the dim side, so the MV rolls up against the dimension's
+    // CURRENT versions and an SCD2 batch (close + open) absorbs as a
+    // dim-side signed delta — REFRESH mode "cdf-dims", one overwrite
+    // ever. The oracle replays the current-view join with the
+    // re-segmentation applied relationally.
+    "q_sql_mv_scd2" -> ((s, dir) => {
+      import graft.plans.MvRewrite
+      val wh = Files.createTempDirectory("graft-sqlmvscd-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val fact = cat.table("silver", "fct")
+      val dim = cat.table("silver", "cust")
+      fact.enableChangeFeed(); dim.enableChangeFeed()
+      fact.append(t(s, dir, "orders").select(
+        col("o_custkey").as("ck"),
+        floor(col("o_totalprice")).cast("long").as("p")))
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+      graft.ops.Scd2.applyBatchToTable(dim, cust,
+        keys = Seq("ck"), tracked = Seq("seg"),
+        batchTs = lit("2026-01-01 00:00:00"))
+      val gsql = graft.tables.GraftSql(s, cat)
+      MvRewrite.install(s)
+      try {
+        gsql.sql("CREATE MATERIALIZED VIEW gold.mv_cur AS SELECT seg, " +
+          "sum(p) AS sum_p, count(p) AS cnt_p, count(*) AS cnt " +
+          "FROM silver.fct JOIN silver.cust USING (ck) " +
+          "WHERE cust.is_current GROUP BY seg")
+        graft.ops.Scd2.applyBatchToTable(dim,
+          cust.withColumn("seg",
+            when(col("ck") % 10 === 0, lit("PROMOTED"))
+              .otherwise(col("seg"))),
+          keys = Seq("ck"), tracked = Seq("seg"),
+          batchTs = lit("2026-02-01 00:00:00"))
+        val mode = gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_cur")
+          .select("mode").head().getString(0)
+        val mv = cat.table("gold", "mv_cur")
+        mv.read.select(col("seg"), col("sum_p"), col("cnt"))
+          .withColumn("mode", lit(mode))
+          .withColumn("overwrites",
+            lit(mv.history.count(_.action == "overwrite")))
+          .orderBy("seg")
+      } finally MvRewrite.deregister(cat.table("gold", "mv_cur"))
+    }),
+
     // MV12: star-schema join MV — lineitem fact joined through TWO
     // pinned dims (orders → customer segment), maintained from the
     // fact's change feed: (F+ΔF)⋈D1⋈D2 = F⋈D* + ΔF⋈D*, so appends AND
@@ -4922,6 +4968,18 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt,
         |  'cdf' AS mode, 1 AS overwrites
         |FROM fin JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // same current-view join through the SQL funnel (join-form WHERE)
+    "q_sql_mv_scd2" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |             CAST(floor(o_totalprice) AS BIGINT) AS p FROM orders),
+        |c AS (SELECT c_custkey AS ck,
+        |        CASE WHEN c_custkey % 10 = 0 THEN 'PROMOTED'
+        |             ELSE c_mktsegment END AS seg FROM customer)
+        |SELECT seg, CAST(sum(p) AS BIGINT) AS sum_p,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  'cdf-dims' AS mode, 1 AS overwrites
+        |FROM f JOIN c USING (ck) GROUP BY seg ORDER BY seg""".stripMargin,
 
     // the SCD2 current-view join after the re-segmentation batch: every
     // 10th customer's CURRENT version carries the new segment; the MV

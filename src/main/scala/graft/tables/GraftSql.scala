@@ -195,14 +195,14 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case GraftSql.CreateMvProbe() =>
       GraftSql.parseCreateMvJoin(stmt) match {
         case Some((orReplace, mvIdent, selectList, factIdent, joins,
-            groupBy)) =>
+            where, groupBy)) =>
           createJoinMaterializedView(mvIdent, orReplace, selectList,
             factIdent,
             joins.map { case (dimIdent, usingCols, onCond) =>
               (dimIdent, GraftSql.parseJoinKeys(usingCols, onCond,
                 factIdent, dimIdent))
             },
-            groupBy)
+            where, groupBy)
         case None =>
           val (orReplace, mvIdent, selectList, srcIdent, where, groupBy) =
             GraftSql.parseCreateMv(stmt).getOrElse(sys.error(
@@ -284,7 +284,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
               dimTs.zip(dVs).forall { case (d, v) =>
                 d.exists && d.latestVersion.contains(v)
               },
-            s"join:${props(graft.plans.JoinMv.KeysProp)}")
+            s"join:${props(graft.plans.JoinMv.KeysProp)}" +
+              props.get(graft.plans.JoinMv.DimFilterProp)
+                .filter(_.exists(_ != ';'))
+                .map(f => s" where:$f").getOrElse(""))
         })
       }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh", "where")
     // governance (resources/uc/grants.sql): GRANT/REVOKE maintain the
@@ -1040,20 +1043,26 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
 
   /** CREATE [OR REPLACE] MATERIALIZED VIEW mv AS
     *   SELECT g…, fn(c) AS out… FROM fact JOIN dim₁ USING (k,…)|ON …
-    *   [JOIN dim₂ …] GROUP BY g…
+    *   [JOIN dim₂ …] [WHERE <dim-side preds>] GROUP BY g…
     *
     * The join form: materialization, durable definition and routing via
     * [[graft.plans.JoinMv]] (fact-CDF incremental maintenance under the
     * fixed-dims identity; star schemas welcome — every dim is pinned).
-    * Cross-side column ambiguity is refused up front; WHERE is not part
-    * of the join grammar. */
+    * Cross-side column ambiguity is refused up front. WHERE conjuncts
+    * must each touch exactly ONE dim's (qualified) columns — the SCD2
+    * current-view idiom `WHERE d.is_current` — and become that
+    * [[graft.plans.JoinMv.DimSide]]'s row filter, so dim batches keep
+    * absorbing as signed deltas; fact-side predicates are refused (the
+    * single-table form owns source filters). */
   private def createJoinMaterializedView(mvIdent: String, orReplace: Boolean,
       selectList: String, factIdent: String,
       dims: Seq[(String, Seq[(String, String)])],
-      groupBy: String): DataFrame = {
+      where: Option[String], groupBy: String): DataFrame = {
     import spark.implicits._
     val fact = resolve(factIdent)
     val dimTables = dims.map { case (id, keys) => (id, resolve(id), keys) }
+    val dimFilters = GraftSql.attributeJoinMvWhere(where, factIdent,
+      dims.map(_._1))
     val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)
     val fCols = fact.read.columns.toSet
     val sideCols: Seq[(String, Set[String])] =
@@ -1079,9 +1088,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     val mv = VersionedTable(spark, targetRoot(mvIdent))
     require(orReplace || !mv.exists,
       s"materialized view target exists: $mvIdent (use CREATE OR REPLACE)")
+    // filter columns must exist on their dim (fail at CREATE, not at
+    // the first refresh's analysis error)
+    dimTables.zip(dimFilters).foreach { case ((id, t, _), flt) =>
+      flt.foreach { f =>
+        try t.read.filter(org.apache.spark.sql.functions.expr(f))
+          .queryExecution.analyzed
+        catch { case e: Throwable => sys.error(
+          s"materialized view: WHERE predicate `$f` does not resolve " +
+            s"against dim $id: ${e.getMessage}") }
+      }
+    }
     graft.plans.JoinMv.create(fact,
-      dimTables.map { case (_, t, keys) =>
-        graft.plans.JoinMv.DimSide(t, keys)
+      dimTables.zip(dimFilters).map { case ((_, t, keys), flt) =>
+        graft.plans.JoinMv.DimSide(t, keys, flt)
       },
       groupCols,
       aggs.map { case (f, c, o) => graft.plans.MvRewrite.AggSpec(f, c, o) },
@@ -2994,18 +3014,20 @@ object GraftSql {
       Ident + """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + Ident +
       """((?:\s+JOIN\s+""" + IdentNc +
       """\s+(?:USING\s*\([\w`,\s]+?\)|ON\s+.+?))+)""" +
+      """(?:\s+WHERE\s+(.+?))?""" +
       """\s+GROUP\s+BY\s+([\w`,\s]+?)\s*;?\s*""").r
   private val JoinSegRe =
     ("""(?is)\s*(""" + IdentNc +
       """)\s+(?:USING\s*\(([\w`,\s]+?)\)|ON\s+(.+?))\s*""").r
 
   /** Join-form CREATE MV split, literal-masked like [[parseCreateMv]].
-    * Returns (orReplace, mv, selectList, fact, joins, groupBy) where
-    * each join is (dimIdent, usingCols?, onCond?); None when the
+    * Returns (orReplace, mv, selectList, fact, joins, where?, groupBy)
+    * where each join is (dimIdent, usingCols?, onCond?); None when the
     * statement has no JOIN (the single-table parser owns it). */
   private[tables] def parseCreateMvJoin(stmt: String)
       : Option[(Boolean, String, String, String,
-        Seq[(String, Option[String], Option[String])], String)] = {
+        Seq[(String, Option[String], Option[String])], Option[String],
+        String)] = {
     val mask = stringLiteralMask(stmt)
     val chars = stmt.toCharArray
     var i = 0
@@ -3029,7 +3051,79 @@ object GraftSql {
           s"materialized view join: unparseable JOIN clause `$seg`")
       }
     Some((m.group(1) != null, g(2).get, g(3).get, g(4).get, joins,
-      g(6).get))
+      g(6), g(7).get))
+  }
+
+  /** Attribute a join-MV WHERE clause to dim sides. Each top-level
+    * AND-ed conjunct must reference qualified columns of exactly ONE
+    * dim (`d.is_current`, `d.tier = 'gold'`); the qualifiers are
+    * stripped so the predicate applies to that dim relation alone
+    * ([[graft.plans.JoinMv.DimSide.filter]]), which is what keeps dim
+    * batches absorbing as signed deltas (σ distributes over ΔD).
+    * Fact-side or cross-side conjuncts are refused — a fact filter
+    * does NOT commute with the fact-CDF maintenance path as stored.
+    * Splitting and reference-scanning run on a literal-masked copy so
+    * `AND` or `a.b` inside a string constant never confuses the
+    * grammar. Returns one optional filter per dim, positionally. */
+  private[tables] def attributeJoinMvWhere(where: Option[String],
+      factIdent: String, dimIdents: Seq[String]): Seq[Option[String]] = {
+    val acc = Array.fill[List[String]](dimIdents.length)(Nil)
+    where.map(_.trim).filter(_.nonEmpty).foreach { w =>
+      val mask = stringLiteralMask(w)
+      val maskedChars = w.toCharArray
+      var i = 0
+      while (i < maskedChars.length) {
+        val c = maskedChars(i)
+        if (mask(i) && c != '\'' && c != '"' && c != '`') maskedChars(i) = 'x'
+        i += 1
+      }
+      val ms = new String(maskedChars)
+      val bounds = """(?i)\s+AND\s+""".r.findAllMatchIn(ms)
+        .map(m => (m.start, m.end)).toList
+      val starts = 0 :: bounds.map(_._2)
+      val ends = bounds.map(_._1) ::: List(w.length)
+      def formsOf(id: String): Set[String] = {
+        val idn = stripTicks(id).toLowerCase
+        Set(idn, idn.split("[._]", 2).last)
+      }
+      val factForms = formsOf(factIdent)
+      val QualRef = """`?([\w.]+)`?\.`?(\w+)`?""".r
+      starts.zip(ends).foreach { case (s, e) =>
+        val conj = w.substring(s, e).trim
+        val lead = s + w.substring(s, e).indexOf(conj)
+        val conjMasked = ms.substring(lead, lead + conj.length)
+        // refs found on the masked text, filtered to OUTSIDE literals
+        val refs = QualRef.findAllMatchIn(conjMasked)
+          .filterNot(m => mask(lead + m.start)).toList
+        require(refs.nonEmpty, "materialized view join WHERE: conjunct " +
+          s"`$conj` has no qualified column reference — qualify " +
+          "columns with the joined table names")
+        val sides = refs.map { m =>
+          val q = m.group(1).toLowerCase
+          if (factForms(q)) -1
+          else {
+            val idx = dimIdents.indexWhere(d => formsOf(d)(q))
+            require(idx >= 0, "materialized view join WHERE: unknown " +
+              s"qualifier `${m.group(1)}` in `$conj` — qualify with a " +
+              "joined table's name")
+            idx
+          }
+        }
+        require(!sides.contains(-1),
+          s"materialized view join WHERE: `$conj` references the FACT " +
+            "side — only dim-side predicates are supported in the join " +
+            "form (filter the fact with a single-table MV upstream)")
+        require(sides.distinct.length == 1,
+          s"materialized view join WHERE: `$conj` references multiple " +
+            "dims — each conjunct must touch exactly one dim")
+        val sb = new StringBuilder(conj)
+        refs.reverse.foreach(m => { sb.replace(m.start, m.end, m.group(2)); () })
+        acc(sides.head) ::= sb.toString
+      }
+    }
+    acc.toSeq.map(l =>
+      if (l.isEmpty) None
+      else Some(l.reverse.map(c => s"($c)").mkString(" AND ")))
   }
 
   /** Key pairs of the join form: USING lists same-named pairs; ON takes

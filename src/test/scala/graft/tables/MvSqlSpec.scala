@@ -669,6 +669,13 @@ class MvSqlSpec extends SparkSpec {
     (cat, sql)
   }
 
+  private def joinQ2(cat: Catalog): DataFrame = {
+    val f = cat.table("silver", "sfact").read
+    val d = cat.table("silver", "sdim").read
+    f.join(d, f("team") === d("team")).groupBy(d("color"))
+      .agg(fsum("pts").as("sv"))
+  }
+
   private def joinQ(cat: Catalog): DataFrame = {
     val f = cat.table("silver", "jfact").read
     val d = cat.table("silver", "jdim").read
@@ -724,6 +731,84 @@ class MvSqlSpec extends SparkSpec {
       assert(mv.read.filter(col("color") === "green")
         .select("sum_pts").as[Long].head() === 99L)
     } finally MvRewrite.deregister(mv)
+  }
+
+  test("join-form WHERE: dim-side predicates become DimSide filters — " +
+       "the SCD2 current-view MV in SQL, maintained from dim batches") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val fact = cat.table("silver", "sfact")
+    val dim = cat.table("silver", "sdim")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, 10L), (1, 20L), (2, 5L), (3, 7L))
+      .toDF("team", "pts"))
+    graft.ops.Scd2.applyBatchToTable(dim,
+      Seq((1, "red"), (2, "blue"), (3, "red")).toDF("team", "color"),
+      keys = Seq("team"), tracked = Seq("color"),
+      batchTs = lit("2026-01-01 00:00:00"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jscd AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.sfact JOIN silver.sdim USING (team) " +
+      "WHERE sdim.is_current GROUP BY color")
+    val mv = cat.table("gold", "mv_jscd")
+    try {
+      def current(): Seq[(String, Long, Long)] = {
+        val f = fact.read; val d = dim.read.filter(col("is_current"))
+        f.join(d, f("team") === d("team")).groupBy(d("color"))
+          .agg(fsum("pts").as("sum_pts"), count(lit(1)).as("cnt"))
+          .orderBy("color").as[(String, Long, Long)].collect().toSeq
+      }
+      assert(mv.read.select("color", "sum_pts", "cnt").orderBy("color")
+        .as[(String, Long, Long)].collect().toSeq === current())
+      // filtered definitions must never serve the unfiltered join
+      assert(!scansMv(joinQ2(cat)),
+        "a query over ALL dim versions must not read the filtered MV")
+      // SHOW surfaces the dim filter
+      assert(sql.sql("SHOW MATERIALIZED VIEWS")
+        .filter(col("mv") === "gold.mv_jscd").select("where")
+        .as[String].head().contains("where:"))
+      // SCD2 batch: team 1 re-colors (close + open) → dim-side delta
+      graft.ops.Scd2.applyBatchToTable(dim,
+        Seq((1, "gold")).toDF("team", "color"),
+        keys = Seq("team"), tracked = Seq("color"),
+        batchTs = lit("2026-02-01 00:00:00"))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jscd")
+        .select("mode").as[String].head() === "cdf-dims")
+      assert(mv.read.select("color", "sum_pts", "cnt").orderBy("color")
+        .as[(String, Long, Long)].collect().toSeq === current())
+      assert(mv.read.filter(col("color") === "gold")
+        .select("sum_pts").as[Long].head() === 30L)
+      assert(mv.history.count(_.action == "overwrite") === 1,
+        "an SCD2 dim batch must absorb as a delta, not a rebuild")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("join-form WHERE shape errors: fact-side, cross-dim, unqualified " +
+       "and unknown-qualifier conjuncts are refused at CREATE") {
+    val (cat, sql) = joinWarehouse()
+    def bad(stmt: String): String =
+      intercept[RuntimeException](sql.sql(stmt)).getMessage
+    assert(bad("CREATE MATERIALIZED VIEW gold.mv_jw1 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jfact.pts > 5 GROUP BY color").contains("FACT side"))
+    assert(bad("CREATE MATERIALIZED VIEW gold.mv_jw2 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE nosuch.flag GROUP BY color").contains("unknown qualifier"))
+    assert(bad("CREATE MATERIALIZED VIEW gold.mv_jw3 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE is_current GROUP BY color")
+      .contains("no qualified column reference"))
+    assert(bad("CREATE MATERIALIZED VIEW gold.mv_jw4 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jdim.nosuchcol GROUP BY color").contains("does not resolve"))
+    // a string literal containing AND / dots must not confuse the split
+    val dim = cat.table("silver", "jdim")
+    dim.addColumns("tier STRING")
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jw5 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jdim.tier != 'x AND y.z' GROUP BY color")
+    val mv = cat.table("gold", "mv_jw5")
+    try assert(mv.exists) finally MvRewrite.deregister(mv)
   }
 
   test("join-form ON grammar resolves qualifiers by table name; bad " +

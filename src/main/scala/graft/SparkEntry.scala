@@ -3733,6 +3733,40 @@ object SparkEntry {
         .orderBy("nk")
     }),
 
+    // ST16: ingest dedup sink — `dedupKeys` keeps the FIRST row ever
+    // seen per content hash via a bucket-pruned keep-existing merge, so
+    // an at-least-once upstream (here: a second drain delivering every
+    // planted duplicate) lands exactly-once-by-content. The oracle is
+    // the distinct-text corpus: one row per content hash survives, and
+    // `n_rows` pins that the re-deliveries really arrived and dropped.
+    "q_st16_dedup_sink" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-st16-").toString
+      val src = VersionedTable(s, s"$tmp/src")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      src.append(d)                                                    // v0
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-table").load(s"$tmp/src")
+          .select(sha2(col("text"), 256).as("h"), col("doc_id"),
+            col("text"))
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$tmp/cp")
+          .option("dedupKeys", "h")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$tmp/dedup")
+        q.awaitTermination()
+      }
+      drain()
+      // at-least-once upstream: every 7th doc re-delivered verbatim
+      src.append(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      drain()
+      val sink = VersionedTable(s, s"$tmp/dedup")
+      sink.read.select(col("h"))
+        .withColumn("n_rows", lit(sink.read.count()))
+        .orderBy("h")
+    }),
+
     // ST15: continuously-maintained STAR rollup — the sink's aggregate
     // mode with `joinDims`: each micro-batch's fact change rows join
     // the PINNED dim snapshot before the signed-delta merge (ΔF ⋈ D*,
@@ -4862,6 +4896,13 @@ object SparkEntry {
         |    AS src_rows,
         |  TRUE AS survived_change_commit
         |FROM nation ORDER BY nk""".stripMargin,
+
+    // one surviving row per distinct content hash, however many times
+    // the upstream delivered it
+    "q_st16_dedup_sink" ->
+      """WITH hashes AS (SELECT DISTINCT sha256(text) AS h FROM documents)
+        |SELECT h, (SELECT CAST(count(*) AS BIGINT) FROM hashes) AS n_rows
+        |FROM hashes ORDER BY h""".stripMargin,
 
     // final fact state ⋈ ORIGINAL dim rows (the stream's recorded pin —
     // the post-round-1 dim overwrite must be invisible)

@@ -250,7 +250,10 @@ object GraftTableSource {
   * when paired with any replayable source, with no foreachBatch
   * boilerplate (Delta's sink contract). Append mode appends; Complete
   * mode overwrites the snapshot per batch; `mergeKeys` upserts
-  * Update-mode batches by key; `applyChanges` replicates a CDF stream
+  * Update-mode batches by key; `dedupKeys` is ingest dedup — keep the
+  * FIRST row ever seen per (content-hash) key via a bucket-pruned
+  * keep-existing merge, so at-least-once upstreams land
+  * exactly-once-by-content; `applyChanges` replicates a CDF stream
   * (DLT APPLY CHANGES INTO); `aggregate = "fn:col:out;…"` maintains a
   * rollup from a CDF stream as signed deltas (streaming materialized
   * view, O(changed rows) per trigger), optionally sliced by
@@ -286,7 +289,8 @@ final class GraftTableSink(root: String, appId: String,
                            autoCompactEvery: Option[Long],
                            joinDims: Seq[String] = Nil,
                            joinKeys: Seq[Seq[(String, String)]] = Nil,
-                           joinPins: Option[Seq[Long]] = None)
+                           joinPins: Option[Seq[Long]] = None,
+                           dedupKeys: Seq[String] = Nil)
     extends Sink {
 
   /** The pinned dim sides of a join-shaped streaming MV, resolved from
@@ -397,6 +401,27 @@ final class GraftTableSink(root: String, appId: String,
         .drop("_change_type", "_commit_version", "_commit_timestamp")
       table.merge(payload, mergeKeys, partitionBy = partitionBy,
         txn = Some((appId, batchId)))
+    } else if (dedupKeys.nonEmpty) {
+      // Ingest dedup (the streaming face of the bronze dup-payload
+      // guard): keep the FIRST row ever seen per key, drop every later
+      // delivery — at-least-once upstreams (replayed pollers, repeated
+      // crawls) land exactly-once-by-content. A keep-existing merge,
+      // not an anti-join append: the bucket-COW merge probes only the
+      // hash buckets the batch's keys land in (O(batch × bucket)),
+      // where an anti-join against the table would shuffle or scan the
+      // full corpus every trigger at 100 TB. Within a batch
+      // dropDuplicates picks arbitrarily — with a content-hash key the
+      // candidate rows are byte-identical, so the pick is
+      // value-deterministic (use a wider key only if the payload
+      // genuinely varies per key, in which case latest-wins mergeKeys
+      // is the right mode instead).
+      val keep = batch.columns.filterNot(dedupKeys.contains).map(c =>
+        c -> ((t: org.apache.spark.sql.Column,
+               u: org.apache.spark.sql.Column) => t)).toMap
+      table.merge(batch.dropDuplicates(dedupKeys), dedupKeys,
+        updateExprs = keep, partitionBy = partitionBy,
+        txn = Some((appId, batchId)))
+      ()
     } else if (mergeKeys.nonEmpty)
       // Update-mode micro-batches carry the CHANGED rows of a streaming
       // aggregation; merging them by key keeps the table at
@@ -544,12 +569,23 @@ final class GraftTableSourceProvider extends StreamSourceProvider
     joinPins.foreach(p => require(p.length == joinDims.length,
       s"graft-table sink: ${joinDims.length} joinDims but ${p.length} " +
         "joinDimVersions"))
+    // ingest dedup: keep-first by key (content hash) — its own mode
+    val dedupKeys = parameters.get("dedupKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    require(dedupKeys.isEmpty ||
+      (mergeKeys.isEmpty && aggregate.isEmpty && !applyChanges &&
+        outputMode != OutputMode.Complete()),
+      "graft-table sink: dedupKeys is its own mode (append-style " +
+        "keep-first ingest) — it cannot combine with mergeKeys, " +
+        "applyChanges, aggregate, or Complete mode")
     new GraftTableSink(path, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete(),
       mergeKeys = mergeKeys, applyChanges = applyChanges,
       aggregate = aggregate, aggFilter = aggFilter,
       autoCompactEvery = parameters.get("autoCompactEvery")
         .map(_.toLong).filter(_ > 0),
-      joinDims = joinDims, joinKeys = joinKeys, joinPins = joinPins)
+      joinDims = joinDims, joinKeys = joinKeys, joinPins = joinPins,
+      dedupKeys = dedupKeys)
   }
 }

@@ -629,6 +629,53 @@ class TableStreamSpec extends SparkSpec {
     assert(state() === full)
   }
 
+  test("sink: dedupKeys keeps the FIRST row per key across batches and " +
+    "replays — at-least-once upstream, exactly-once-by-content table") {
+    val landing = tmpDir("ts-ddk-land-")
+    val sinkRoot = tmpDir("ts-ddk-sink-")
+    val cp = tmpDir("ts-ddk-cp-")
+    def land(rows: Seq[(String, String)], part: String): Unit =
+      rows.toDF("h", "payload").coalesce(1)
+        .write.mode("append").json(s"$landing/$part")
+    def drain(): Unit = {
+      val q = spark.readStream.schema("h STRING, payload STRING")
+        .json(s"$landing/*")
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("dedupKeys", "h")
+        .trigger(Trigger.AvailableNow())
+        .start(sinkRoot)
+      q.awaitTermination()
+    }
+    // batch 1: an in-batch duplicate (identical payload — content hash)
+    land(Seq(("a", "pa"), ("a", "pa"), ("b", "pb")), "p1")
+    drain()
+    val sink = VersionedTable(spark, sinkRoot)
+    def state(): Map[String, String] =
+      sink.read.as[(String, String)].collect().toMap
+    assert(state() === Map("a" -> "pa", "b" -> "pb"))
+    // batch 2: a re-delivery of `a` with a DIFFERENT payload (keep-first
+    // must win — latest-wins would show px) + a new key
+    land(Seq(("a", "px"), ("c", "pc")), "p2")
+    drain()
+    assert(state() === Map("a" -> "pa", "b" -> "pb", "c" -> "pc"))
+    // nothing new: idempotent
+    drain()
+    assert(state() === Map("a" -> "pa", "b" -> "pb", "c" -> "pc"))
+    assert(sink.read.count() === 3)
+    // mode exclusivity fails at query start
+    val e = intercept[Exception] {
+      spark.readStream.schema("h STRING, payload STRING")
+        .json(s"$landing/*")
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", tmpDir("ts-ddk-cp2-"))
+        .option("dedupKeys", "h").option("mergeKeys", "h")
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("ts-ddk-sink2-"))
+    }
+    assert(e.getMessage.contains("its own mode"))
+  }
+
   test("sink: joinDims shape errors fail at query start") {
     val factRoot = tmpDir("ts-jerr-fact-")
     val fact = VersionedTable(spark, factRoot)

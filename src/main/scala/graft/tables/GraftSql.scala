@@ -469,11 +469,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
               props(graft.plans.JoinMv.KeysProp))
             props(graft.plans.JoinMv.GroupProp).split(",").contains(f) ||
               (if (side < 0) segs.flatten.exists(_._1 == f)
-               else segs(side).exists(_._2 == f))
+               else segs(side).exists(_._2 == f) ||
+                 joinMvDimFilterCols(props, side).contains(f))
         }
         require(joinHard.isEmpty,
-          s"RENAME COLUMN: `$f` is a GROUP or JOIN-KEY column of join " +
-            s"materialized view(s) ${joinHard.map(_._1).mkString(", ")} — " +
+          s"RENAME COLUMN: `$f` is a GROUP, JOIN-KEY, or dim-FILTER " +
+            s"column of join materialized view(s) " +
+            s"${joinHard.map(_._1).mkString(", ")} — " +
             "drop and recreate them to re-key")
         // sketch rollups: group columns are the rollup's merge-bucket
         // keys AND its own columns — refuse like MV groups; the
@@ -528,7 +530,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
               GraftSql.parseAggSpecs(props(graft.plans.JoinMv.AggsProp))
                 .exists(_._2 == name) ||
               (if (side < 0) segs.flatten.exists(_._1 == name)
-               else segs(side).exists(_._2 == name))
+               else segs(side).exists(_._2 == name) ||
+                 joinMvDimFilterCols(props, side).contains(name))
         }
         require(joinDeps.isEmpty,
           s"DROP COLUMN: `$name` is referenced by join materialized " +
@@ -1345,6 +1348,24 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             "agg's source side is ambiguous; drop and recreate the MV")
       }
     }
+
+  /** Column names a join MV's dim-side FILTER references (empty when
+    * the side is the fact, has no filter, or the stored text fails to
+    * parse — the guard then falls back to the loud analysis error at
+    * the next refresh rather than blocking unrelated DDL). */
+  private def joinMvDimFilterCols(props: Map[String, String],
+                                  side: Int): Set[String] =
+    if (side < 0) Set.empty
+    else props.get(graft.plans.JoinMv.DimFilterProp)
+      .map(_.split(";", -1).toSeq).filter(fs => side < fs.length)
+      .map(_(side)).filter(_.nonEmpty)
+      .map(f => java.net.URLDecoder.decode(f, "UTF-8"))
+      .flatMap(f => scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(f).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.toSet).toOption)
+      .getOrElse(Set.empty)
 
   /** Sketch rollups (library-created but catalog-resident) whose
     * source is `srcRoot` — the dependency walk for DDL guards. */

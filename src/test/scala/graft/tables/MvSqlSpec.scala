@@ -811,6 +811,29 @@ class MvSqlSpec extends SparkSpec {
     try assert(mv.exists) finally MvRewrite.deregister(mv)
   }
 
+  test("join-form WHERE: the dim FILTER column refuses RENAME and DROP " +
+       "like group/key columns; unreferenced dim columns stay free") {
+    val (cat, sql) = joinWarehouse()
+    val dim = cat.table("silver", "jdim")
+    dim.addColumns("cur BOOLEAN, note STRING")
+    dim.update(Map("cur" -> lit(true)), lit(true))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jfc AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jdim.cur GROUP BY color")
+    val mv = cat.table("gold", "mv_jfc")
+    try {
+      val er = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.jdim RENAME COLUMN cur TO is_cur"))
+      assert(er.getMessage.contains("dim-FILTER"))
+      val ed = intercept[IllegalArgumentException](sql.sql(
+        "ALTER TABLE silver.jdim DROP COLUMN cur"))
+      assert(ed.getMessage.contains("join materialized"))
+      // an unreferenced dim column renames freely
+      sql.sql("ALTER TABLE silver.jdim RENAME COLUMN note TO remark")
+      assert(dim.read.columns.contains("remark"))
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("join-form ON grammar resolves qualifiers by table name; bad " +
        "qualifiers and cross-side ambiguity are refused loudly") {
     val (cat, sql) = joinWarehouse()

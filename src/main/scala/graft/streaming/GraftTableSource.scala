@@ -318,6 +318,14 @@ final class GraftTableSink(root: String, appId: String,
       s"graft-table sink: ${joinDims.length} joinDims but " +
         s"${pins.length} recorded dim pins at $root — the MV was built " +
         "by a different join definition; use a fresh MV root")
+    // the pins are positional: a restart naming DIFFERENT dims (same
+    // count) must not silently apply the old pins to the new tables
+    mv.properties.get(GraftTableSink.StreamDimProp).foreach { rec =>
+      require(rec == joinDims.mkString(";"),
+        s"graft-table sink: joinDims differ from the definition " +
+          s"recorded at $root (recorded `$rec`) — use a fresh MV root " +
+          "to change the join shape")
+    }
     joinDims.zip(pins).zip(joinKeys).map { case ((r, v), ks) =>
       (VersionedTable(spark, r).readVersion(v), ks)
     }

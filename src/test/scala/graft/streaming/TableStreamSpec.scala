@@ -627,6 +627,25 @@ class TableStreamSpec extends SparkSpec {
     // idempotent: nothing new is a no-op
     sync()
     assert(state() === full)
+    // a restart naming a DIFFERENT dim must refuse, not apply the
+    // recorded pin to the wrong table
+    val other = VersionedTable(spark, tmpDir("ts-jagg-dim2-"))
+    other.append(Seq((1, "x")).toDF("t", "color"))
+    fact.append(Seq((1, 1L)).toDF("t", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(factRoot)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "color")
+        .option("aggregate", "sum:v:sum_v;count:*:cnt;count:v:cnt_v")
+        .option("joinDims", other.root)
+        .option("joinKeys", "t=t")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("differ from the definition recorded"))
   }
 
   test("sink: dedupKeys keeps the FIRST row per key across batches and " +

@@ -37,8 +37,11 @@ import org.apache.spark.sql.types.StructType
   *     --  name, never auto-routed)
   *   CREATE [OR REPLACE] MATERIALIZED VIEW <table> AS
   *     SELECT g1, ..., fn(c) AS name, ... FROM <fact> JOIN <dim>
-  *     USING (k, ...) | ON <fact>.k = <dim>.k [AND ...] GROUP BY g1, ...
-  *     -- join form: routed + maintained from the fact's change feed
+  *     USING (k, ...) | ON <fact>.k = <dim>.k [AND ...]
+  *     [WHERE <dim>.pred [AND ...]] GROUP BY g1, ...
+  *     -- join form: routed + maintained from BOTH sides' change feeds;
+  *     -- dim-side WHERE = per-dim row filter (SCD2 current-view MVs;
+  *     -- filtered definitions are queried by name, never auto-routed)
   *   REFRESH MATERIALIZED VIEW <table>        -- incremental when possible
   *   SHOW MATERIALIZED VIEWS                  -- defs + coverage + freshness
   *   CREATE [OR REPLACE] VIEW <name> AS <query>  -- durable (_views ledger,

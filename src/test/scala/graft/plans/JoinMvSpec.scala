@@ -273,6 +273,115 @@ class JoinMvSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("star schema under churn on EVERY side at once: fact + both dims " +
+       "(one filtered) telescope to the recompute, one merge per side") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-star2-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val d1 = new VersionedTable(spark, s"$root/d1")
+    val d2 = new VersionedTable(spark, s"$root/d2")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); d1.enableChangeFeed(); d2.enableChangeFeed()
+    fact.append(Seq((1, 10, 5L), (1, 20, 7L), (2, 10, 11L), (3, 20, 13L))
+      .toDF("t", "r", "v"))
+    d1.append(Seq((1, "red", true), (1, "old-red", false), (2, "blue", true),
+      (3, "red", true)).toDF("t", "color", "cur"))
+    d2.append(Seq((10, "eu"), (20, "us")).toDF("r", "zone"))
+    JoinMv.create(fact, Seq(
+        JoinMv.DimSide(d1, Seq(("t", "t")), Some("cur")),
+        JoinMv.DimSide(d2, Seq(("r", "r")))),
+      Seq("color", "zone"), sumAggs, mv)
+    def want(): Seq[Seq[Any]] = {
+      val f = fact.read; val a = d1.read.filter(col("cur")); val b = d2.read
+      f.join(a, f("t") === a("t")).join(b, f("r") === b("r"))
+        .groupBy(a("color"), b("zone"))
+        .agg(sum("v").as("sum_v"), count("v").as("cnt_v"),
+          count(lit(1)).as("cnt"))
+        .orderBy("color", "zone").collect().map(_.toSeq).toSeq
+    }
+    def got(): Seq[Seq[Any]] =
+      mv.read.select("color", "zone", "sum_v", "cnt_v", "cnt")
+        .orderBy("color", "zone").collect().map(_.toSeq).toSeq
+    try {
+      assert(got() === want())
+      // one refresh window where EVERYTHING moves:
+      fact.append(Seq((2, 20, 17L)).toDF("t", "r", "v"))
+      fact.delete(col("v") === 7L)
+      d1.update(Map("cur" -> lit(false)), col("t") === 3 && col("cur"))
+      d1.append(Seq((3, "gold", true)).toDF("t", "color", "cur"))
+      d2.update(Map("zone" -> lit("apac")), col("r") === 10)
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(got() === want())
+      assert(mv.history.count(_.action == "overwrite") === 1)
+      // and again, dims only
+      d1.update(Map("cur" -> lit(false)), col("t") === 2 && col("cur"))
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(got() === want())
+      assert(JoinMv.refresh(spark, mv) === "noop")
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("randomized DML churn (seeded): maintained join MV equals the " +
+       "recompute after every refresh, across 8 mixed rounds") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-rand-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    val rnd = new scala.util.Random(20260815L)
+    val colors = Vector("red", "blue", "gold", "green")
+    fact.append((0 until 40).map(i => (i % 8, i.toLong))
+      .toDF("t", "v"))
+    dim.append((0 until 8).map(i => (i, colors(i % colors.length)))
+      .toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), sumAggs, mv)
+    def want(): Seq[Seq[Any]] = {
+      val f = fact.read; val d = dim.read
+      f.join(d, f("t") === d("t")).groupBy(d("color"))
+        .agg(sum("v").as("sum_v"), count("v").as("cnt_v"),
+          count(lit(1)).as("cnt"))
+        .orderBy("color").collect().map(_.toSeq).toSeq
+    }
+    def got(): Seq[Seq[Any]] =
+      mv.read.select("color", "sum_v", "cnt_v", "cnt")
+        .orderBy("color").collect().map(_.toSeq).toSeq
+    try {
+      var nextV = 1000L
+      (1 to 8).foreach { round =>
+        // 1-3 random mutations per round, either side
+        (0 until (1 + rnd.nextInt(3))).foreach { _ =>
+          rnd.nextInt(5) match {
+            case 0 =>
+              nextV += 1
+              fact.append(Seq((rnd.nextInt(8), nextV)).toDF("t", "v"))
+              ()
+            case 1 =>
+              fact.update(Map("v" -> (col("v") + 100L)),
+                col("t") === rnd.nextInt(8))
+              ()
+            case 2 =>
+              fact.delete(col("v") % 7 === rnd.nextInt(7).toLong)
+              ()
+            case 3 =>
+              dim.update(Map("color" -> lit(colors(rnd.nextInt(4)))),
+                col("t") === rnd.nextInt(8))
+              ()
+            case 4 =>
+              dim.delete(col("t") === rnd.nextInt(8))
+              ()
+          }
+        }
+        val mode = JoinMv.refresh(spark, mv)
+        assert(Set("cdf", "cdf-dims", "noop")(mode),
+          s"round $round must maintain incrementally, got $mode")
+        assert(got() === want(), s"divergence after round $round ($mode)")
+      }
+      assert(mv.history.count(_.action == "overwrite") === 1,
+        "8 churn rounds must never trigger a full rebuild")
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("crash replay of a dim slice: a stale dim-version property " +
        "resumes from the per-side txn ledger, never double-counting") {
     MvRewrite.install(spark)

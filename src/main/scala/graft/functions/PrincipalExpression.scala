@@ -61,8 +61,15 @@ object CurrentPrincipal {
       registry.registerFunction(id,
         new ExpressionInfo(classOf[CurrentPrincipal].getName,
           "current_principal"),
-        (_: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          CurrentPrincipal())
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          // a policy author's `current_principal('admin')` must fail the
+          // DDL loudly, not silently evaluate as the zero-arg function —
+          // a governance predicate that means something other than what
+          // was written is a leak
+          require(args.isEmpty,
+            s"current_principal takes no arguments (got ${args.length})")
+          CurrentPrincipal()
+        })
     }
     ()
   }

@@ -129,6 +129,17 @@ object Sketches {
     * definition's merge bucketing (the overwrite would try to bucket by
     * a column the new rollup lacks) and every family's definition
     * props. */
+  /** Deliberately fail-loud on a half-finished REPLACE: the sweep runs
+    * BEFORE the new materialization, so a creator that throws mid-way
+    * leaves the table with its old DATA but no definition — REFRESH then
+    * errors ("not a … rollup") until the CREATE OR REPLACE is re-run,
+    * which recovers cleanly (the sweep is idempotent). The alternative
+    * orderings are both worse: sweeping AFTER the overwrite leaves the
+    * OLD definition live on the NEW data (a stale refresher silently
+    * corrupting the replacement — the round-11 bug this sweep fixed),
+    * and restoring the saved definition on failure cannot also restore
+    * the cleared bucket spec, leaving a definition whose merges would
+    * mis-route. */
   private[graft] def clearReplacedDefinition(mv: VersionedTable): Unit =
     if (mv.exists) {
       mv.clearBucketSpec()

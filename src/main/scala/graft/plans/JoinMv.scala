@@ -313,6 +313,31 @@ object JoinMv {
     }
     def dimAt(i: Int, v: Long): DataFrame =
       sided(d.dims(i), d.dims(i).table.readVersion(v))
+    // fact relation for a DIM slice: when the fact is merge-bucketed on
+    // exactly this join's fact-side keys and the dim delta names few
+    // enough key tuples to route driver-side, the read opens only the
+    // matching buckets' file-sets — the "fact rows matching changed dim
+    // keys" cost instead of a full fact scan (bounded collect: ≤ cap
+    // small key tuples, never data-proportional). Unbucketed facts, huge
+    // deltas, or multi-dim templates fall back to the pinned full scan
+    // (the join itself still broadcasts the small delta).
+    def factForDimSlice(i: Int, feed: DataFrame): DataFrame = {
+      val cap = 10000
+      val fKeys = d.dims(i).keys.map(_._1)
+      if (!d.fact.bucketSpec.exists(_.keys == fKeys))
+        d.fact.readVersion(factHead)
+      else {
+        val tuples = feed
+          .select(d.dims(i).keys.map { case (_, rk) =>
+            org.apache.spark.sql.functions.col(rk)
+          }: _*)
+          .distinct().limit(cap + 1).collect()
+          .map(_.toSeq).toSeq
+        if (tuples.isEmpty || tuples.length > cap)
+          d.fact.readVersion(factHead)
+        else d.fact.readForKeys(tuples, asOfVersion = Some(factHead))
+      }
+    }
     if (!factMoved && !dimMoved.contains(true))
       finish("noop", factHead, dimHeads)
     else if ((factMoved && !d.fact.changeFeedEnabled) ||
@@ -341,7 +366,7 @@ object JoinMv {
             val feed = sided(d.dims(i),
               d.dims(i).table.readChangeFeed(pins(i), Some(dimHeads(i))))
             GraftSql.applyCdfDelta(mv,
-              joinAll(d.fact.readVersion(factHead),
+              joinAll(factForDimSlice(i, feed),
                 d.dims.indices.map { j =>
                   (if (j == i) feed else dimAt(j, pins(j)),
                     d.dims(j).keys)

@@ -297,12 +297,29 @@ final class GraftTableSink(root: String, appId: String,
     * the MV's recorded properties (every batch after the first) or
     * recorded now (first batch, BEFORE any data lands — crash-safe:
     * the pins commit before the delta that uses them, so a replay can
-    * never join a different dim snapshot). */
+    * never join a different dim snapshot). Immutable once recorded, so
+    * the resolved relations cache for the life of the sink — no
+    * per-trigger property reads or scan re-resolution on the hot path. */
+  @volatile private var cachedDimSides
+      : Seq[(DataFrame, Seq[(String, String)])] = null
   private def pinnedDimSides(mv: VersionedTable)
       : Seq[(DataFrame, Seq[(String, String)])] = {
+    if (cachedDimSides != null) return cachedDimSides
     val spark = mv.spark
-    val recorded = mv.properties.get(GraftTableSink.StreamDimVersionProp)
+    val props = mv.properties
+    val recorded = props.get(GraftTableSink.StreamDimVersionProp)
       .map(_.split(";").toSeq.map(_.toLong))
+    // an explicit joinDimVersions on a restart must AGREE with the
+    // recorded pins — silently keeping the old ones while the operator
+    // believes new pins are in effect is the worst of both worlds
+    (recorded, joinPins) match {
+      case (Some(rec), Some(opt)) => require(rec == opt,
+        s"graft-table sink: joinDimVersions (${opt.mkString(";")}) " +
+          s"differ from the pins recorded at $root " +
+          s"(${rec.mkString(";")}) — the recorded pins govern this MV; " +
+          "use a fresh MV root to re-pin")
+      case _ => ()
+    }
     val pins = recorded.getOrElse {
       val resolved = joinPins.getOrElse(joinDims.map { r =>
         VersionedTable(spark, r).latestVersion.getOrElse(sys.error(
@@ -320,15 +337,16 @@ final class GraftTableSink(root: String, appId: String,
         "by a different join definition; use a fresh MV root")
     // the pins are positional: a restart naming DIFFERENT dims (same
     // count) must not silently apply the old pins to the new tables
-    mv.properties.get(GraftTableSink.StreamDimProp).foreach { rec =>
+    props.get(GraftTableSink.StreamDimProp).foreach { rec =>
       require(rec == joinDims.mkString(";"),
         s"graft-table sink: joinDims differ from the definition " +
           s"recorded at $root (recorded `$rec`) — use a fresh MV root " +
           "to change the join shape")
     }
-    joinDims.zip(pins).zip(joinKeys).map { case ((r, v), ks) =>
-      (VersionedTable(spark, r).readVersion(v), ks)
+    cachedDimSides = joinDims.zip(pins).zip(joinKeys).map {
+      case ((r, v), ks) => (VersionedTable(spark, r).readVersion(v), ks)
     }
+    cachedDimSides
   }
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)

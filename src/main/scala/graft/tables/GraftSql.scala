@@ -290,7 +290,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             s"join:${props(graft.plans.JoinMv.KeysProp)}" +
               props.get(graft.plans.JoinMv.DimFilterProp)
                 .filter(_.exists(_ != ';'))
-                .map(f => s" where:$f").getOrElse(""))
+                // decode for display: the operator audits the predicate
+                // TEXT, not its URL-encoded storage form
+                .map(f => " where:" + f.split(";", -1)
+                  .map(seg => if (seg.isEmpty) ""
+                    else java.net.URLDecoder.decode(seg, "UTF-8"))
+                  .mkString(";"))
+                .getOrElse(""))
         })
       }.toDF("mv", "group_cols", "aggs", "covered_version", "fresh", "where")
     // governance (resources/uc/grants.sql): GRANT/REVOKE maintain the
@@ -3111,26 +3117,40 @@ object GraftSql {
         Set(idn, idn.split("[._]", 2).last)
       }
       val factForms = formsOf(factIdent)
-      val QualRef = """`?([\w.]+)`?\.`?(\w+)`?""".r
+      // qualifiers are IDENTIFIER-shaped (leading letter/underscore, or
+      // backticked): a decimal literal's `0.5` must never read as
+      // qualifier `0` column `5`. The column side keeps its backticks
+      // (`is current` stays quoted in the stored filter).
+      val QualRef =
+        """(`[^`]+`|[A-Za-z_][\w.]*)\.(`[^`]+`|[A-Za-z_]\w*)""".r
       starts.zip(ends).foreach { case (s, e) =>
         val conj = w.substring(s, e).trim
         val lead = s + w.substring(s, e).indexOf(conj)
         val conjMasked = ms.substring(lead, lead + conj.length)
-        // refs found on the masked text, filtered to OUTSIDE literals
+        // refs FOUND on the masked text (literal-safe), but every piece
+        // of text kept or validated reads from the ORIGINAL at the same
+        // offsets — masked 'x' runs must never leak into the definition
         val refs = QualRef.findAllMatchIn(conjMasked)
           .filterNot(m => mask(lead + m.start)).toList
+        def orig(m: scala.util.matching.Regex.Match, g: Int): String =
+          conj.substring(m.start(g), m.end(g))
         require(refs.nonEmpty, "materialized view join WHERE: conjunct " +
           s"`$conj` has no qualified column reference — qualify " +
           "columns with the joined table names")
         val sides = refs.map { m =>
-          val q = m.group(1).toLowerCase
+          val q = stripTicks(orig(m, 1)).toLowerCase
           if (factForms(q)) -1
           else {
-            val idx = dimIdents.indexWhere(d => formsOf(d)(q))
-            require(idx >= 0, "materialized view join WHERE: unknown " +
-              s"qualifier `${m.group(1)}` in `$conj` — qualify with a " +
-              "joined table's name")
-            idx
+            val hits = dimIdents.zipWithIndex
+              .filter { case (d, _) => formsOf(d)(q) }.map(_._2)
+            require(hits.nonEmpty, "materialized view join WHERE: " +
+              s"unknown qualifier `${orig(m, 1)}` in `$conj` — qualify " +
+              "with a joined table's name")
+            require(hits.length == 1, "materialized view join WHERE: " +
+              s"qualifier `${orig(m, 1)}` in `$conj` matches more than " +
+              s"one dim (${hits.map(dimIdents).mkString(", ")}) — use " +
+              "the full table name")
+            hits.head
           }
         }
         require(!sides.contains(-1),
@@ -3141,7 +3161,7 @@ object GraftSql {
           s"materialized view join WHERE: `$conj` references multiple " +
             "dims — each conjunct must touch exactly one dim")
         val sb = new StringBuilder(conj)
-        refs.reverse.foreach(m => { sb.replace(m.start, m.end, m.group(2)); () })
+        refs.reverse.foreach(m => { sb.replace(m.start, m.end, orig(m, 2)); () })
         acc(sides.head) ::= sb.toString
       }
     }

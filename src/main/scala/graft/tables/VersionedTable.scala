@@ -3571,8 +3571,21 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * rows only by naming the wrong partitions (same contract as a Delta
     * MERGE/SELECT partition predicate). */
   def readForKeys(keyValues: Seq[Seq[Any]],
-                  partitionValues: Option[Seq[Seq[String]]] = None): DataFrame = {
+                  partitionValues: Option[Seq[Seq[String]]] = None,
+                  asOfVersion: Option[Long] = None): DataFrame = {
     require(keyValues.nonEmpty, "readForKeys requires at least one key tuple")
+    // `asOfVersion` pins the lookup to that snapshot's file-sets/DVs —
+    // the maintenance-read form (a refresher must never read a head a
+    // concurrent writer is advancing). Caveat: bucket ids route with the
+    // CURRENT spec, so the caller must know the spec was not REPLACED
+    // since that version (true for maintained fact tables — spec
+    // replacement only happens through rollup-target re-creation).
+    val snap = asOfVersion match {
+      case Some(v) => Some(history.find(_.version == v).getOrElse(
+        sys.error(s"no version $v at $root")))
+      case None => history.lastOption
+    }
+    def snapRead: DataFrame = asOfVersion.map(readVersion).getOrElse(read)
     val spec = bucketSpec
     val keyFilter = (df: DataFrame) => {
       val keys = spec.map(_.keys).getOrElse(
@@ -3583,14 +3596,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       df.filter(cond)
     }
     spec match {
-      case None => keyFilter(read)
+      case None => keyFilter(snapRead)
       case Some(sp) =>
         // bucket each key tuple driver-side with Spark's own hash expr so
         // the routing matches the write path exactly (one tiny local job).
         // Literals are CAST to the table's column types first: hash() is
         // type-sensitive (hash(42: int) != hash(42L: bigint)), so an
         // uncast literal would silently probe the wrong bucket.
-        val schema = read.schema
+        val schema = snapRead.schema
         val lits = keyValues.map { tuple =>
           val typed = sp.keys.zip(tuple).map { case (k, v) =>
             schema.find(_.name == k)
@@ -3600,7 +3613,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         }
         val buckets = spark.range(1)
           .select(array(lits: _*).as("b")).head().getSeq[Int](0).toSet
-        val prev = history.lastOption.map(_.fileSets).getOrElse(Nil)
+        val prev = snap.map(_.fileSets).getOrElse(Nil)
         val (tagged, untagged) = prev.partition(bucketOf(_).isDefined)
         partitionValues.foreach { pv =>
           // an accidental empty or wrong-arity hint would silently prune
@@ -3624,9 +3637,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         val hit = tagged.filter(fs =>
           bucketOf(fs).exists(buckets.contains) && partHit(fs)) ++
           untagged // pre-spec file-sets can hold any key
-        if (hit.isEmpty) keyFilter(read.limit(0))
+        if (hit.isEmpty) keyFilter(snapRead.limit(0))
         else keyFilter(readSets(hit,
-          history.lastOption.map(_.dvs).getOrElse(Nil)))
+          snap.map(_.dvs).getOrElse(Nil)))
     }
   }
 

@@ -321,6 +321,53 @@ class JoinMvSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("a BUCKETED fact's dim slice reads only the changed keys' " +
+       "buckets (bounded key collect), result equals the recompute") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-bf-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    // merge-bucketed fact on the JOIN key — the dim-slice bucket-prune
+    // precondition
+    fact.merge((0 until 64).map(i => (i % 8, i.toLong, i.toLong * 3))
+      .toDF("t", "fid", "v"), Seq("fid"), numBuckets = 8)
+    // note: bucketed on fid, NOT the join key → full-scan fallback path
+    dim.append((0 until 8).map(i => (i, if (i % 2 == 0) "red" else "blue"))
+      .toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), sumAggs, mv)
+    try {
+      dim.update(Map("color" -> lit("gold")), col("t") === 3)
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      assert(mvRows(mv) === recomputed(fact, dim)
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+    } finally MvRewrite.deregister(mv)
+    // and the PRUNED path: fact bucketed on the join key itself
+    val root2 = tmpDir("graft-jmv-bf2-")
+    val fact2 = new VersionedTable(spark, s"$root2/fact")
+    val dim2 = new VersionedTable(spark, s"$root2/dim")
+    val mv2 = new VersionedTable(spark, s"$root2/mv")
+    fact2.enableChangeFeed(); dim2.enableChangeFeed()
+    fact2.merge((0 until 64).map(i => (i % 8, i.toLong * 3))
+      .toDF("t", "v"), Seq("t"), numBuckets = 8)
+    dim2.append((0 until 8).map(i => (i, if (i % 2 == 0) "red" else "blue"))
+      .toDF("t", "color"))
+    JoinMv.create(fact2, dim2, Seq(("t", "t")), Seq("color"), sumAggs, mv2)
+    try {
+      dim2.update(Map("color" -> lit("gold")), col("t") === 3)
+      dim2.delete(col("t") === 6)
+      assert(JoinMv.refresh(spark, mv2) === "cdf-dims")
+      val f = fact2.read; val d = dim2.read
+      val want = f.join(d, f("t") === d("t")).groupBy(d("color"))
+        .agg(sum("v").as("sum_v"), count("v").as("cnt_v"),
+          count(lit(1)).as("cnt"))
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(mvRows(mv2) === want)
+      assert(mv2.history.count(_.action == "overwrite") === 1)
+    } finally MvRewrite.deregister(mv2)
+  }
+
   test("randomized DML churn (seeded): maintained join MV equals the " +
        "recompute after every refresh, across 8 mixed rounds") {
     MvRewrite.install(spark)

@@ -809,6 +809,26 @@ class MvSqlSpec extends SparkSpec {
       "WHERE jdim.tier != 'x AND y.z' GROUP BY color")
     val mv = cat.table("gold", "mv_jw5")
     try assert(mv.exists) finally MvRewrite.deregister(mv)
+    // a decimal literal must never read as qualifier `0` column `5`
+    dim.addColumns("ratio DOUBLE")
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jw6 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jdim.ratio > 0.5 GROUP BY color")
+    val mv6 = cat.table("gold", "mv_jw6")
+    try assert(mv6.exists) finally MvRewrite.deregister(mv6)
+    // a backticked (space-bearing) column keeps its quoting in the
+    // stored filter — the masked-text scan must not leak 'x' runs
+    dim.addColumns("`is current` BOOLEAN")
+    dim.update(Map("is current" -> lit(true)), lit(true))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jw7 AS SELECT color, " +
+      "count(*) AS cnt FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jdim.`is current` GROUP BY color")
+    val mv7 = cat.table("gold", "mv_jw7")
+    try {
+      assert(mv7.exists)
+      assert(mv7.read.count() > 0,
+        "the backticked filter column must resolve and keep rows")
+    } finally MvRewrite.deregister(mv7)
   }
 
   test("join-form WHERE: the dim FILTER column refuses RENAME and DROP " +

@@ -165,6 +165,19 @@ class VersionedTableSpec extends SparkSpec {
     // multiple keys across buckets still resolve
     val multi = t.readForKeys(Seq(Seq(1L), Seq(42L), Seq(199L)))
     assert(multi.select("id").as[Long].collect().toSet === Set(1L, 42L, 199L))
+    // asOfVersion pins the lookup to that snapshot: a later merge's
+    // value must not leak into the pinned read (and pruning still holds)
+    val v0 = t.latestVersion.get
+    t.merge(Seq((42L, 9999L)).toDF("id", "v"), Seq("id"))
+    assert(t.readForKeys(Seq(Seq(42L))).select("v").as[Long]
+      .collect().toSeq === Seq(9999L))
+    val pinned = t.readForKeys(Seq(Seq(42L)), asOfVersion = Some(v0))
+    assert(pinned.select("v").as[Long].collect().toSeq === Seq(84L),
+      "asOfVersion read must serve the pinned snapshot's value")
+    val pinnedScanned = pinned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f.selectedPartitions.totalNumberOfFiles
+    }.sum
+    assert(pinnedScanned < allFiles, "pinned lookup must stay bucket-pruned")
   }
 
   test("union-arm folding: many same-schema appends plan ONE parquet scan") {

@@ -351,12 +351,21 @@ object JoinMv {
       // composes to the all-heads join whatever subset moved
       try {
         val pins = dimPins.toArray
+        // each slice's pin advance is made DURABLE before the next slice
+        // starts: the merge's txn marker covers the non-empty case
+        // (crash between merge and property bump resumes from the
+        // ledger), and the property bump alone covers the EMPTY case —
+        // an empty slice writes no marker, and without the bump a crash
+        // after a LATER side's merge would replay this slice against
+        // that side's ADVANCED pin, absorbing a cross-term twice (an
+        // empty ΔF ⋈ D@old can be non-empty as ΔF ⋈ D@new).
         if (factMoved) {
           val feed = d.fact.readChangeFeed(factPin, Some(factHead))
           GraftSql.applyCdfDelta(mv,
             joinAll(feed, d.dims.indices.map(i =>
               (dimAt(i, pins(i)), d.dims(i).keys))),
             d.groupCols, d.aggs, txn = Some((txnApp, factHead)))
+          mv.setProperties(Map(FactVersionProp -> factHead.toString))
         }
         d.dims.indices.foreach { i =>
           if (dimMoved(i)) {
@@ -372,8 +381,9 @@ object JoinMv {
                     d.dims(j).keys)
                 }),
               d.groupCols, d.aggs, txn = Some((dimApp(i), dimHeads(i))))
-          }
-          pins(i) = dimHeads(i)
+            pins(i) = dimHeads(i)
+            mv.setProperties(Map(DimVersionProp -> pins.mkString(";")))
+          } else pins(i) = dimHeads(i)
         }
         finish(if (dimMoved.contains(true)) "cdf-dims" else "cdf",
           factHead, dimHeads)

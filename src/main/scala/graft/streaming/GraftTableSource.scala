@@ -34,7 +34,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * `startingTimestamp` starts at the first commit at-or-after the UTC
   * timestamp (mutually exclusive with `startingVersion`);
   * a numeric `startingVersion` starts at that commit (its own changes
-  * included). Row-changing commits inside a batch range fail the
+  * included). CDF mode's default start replays granular history when
+  * every pre-head commit is expressible as row changes, and otherwise
+  * bootstraps with the pinned head snapshot AS INSERTS (pre-head
+  * overwrite/restore or vacuumed commits cannot reconstruct; Delta's
+  * CDF-stream bootstrap shape), streaming granular changes from there.
+  * Row-changing commits inside a batch range fail the
   * append-mode stream loudly — stream the change feed for DML tables,
   * or set `skipChangeCommits=true` (Delta's option) to ride across
   * them, delivering only the range's appends (the skipped commits'
@@ -162,11 +167,22 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     }
 
   /** Added-bytes per version, memoized — version contents are immutable,
-    * so each version's listing happens once per source instance. */
+    * so each version's listing happens once per source instance. The
+    * version→entry map is cached too (rebuilt only when a wanted version
+    * is newer than the cache): per-version linear history scans would
+    * make a long backlog's catch-up O(backlog × history) driver work. */
   private val addedBytesCache =
     scala.collection.mutable.HashMap.empty[Long, Long]
+  private var histByVersion = Map.empty[Long, VersionedTable.LogEntry]
   private def addedBytes(v: Long): Long = addedBytesCache.synchronized {
-    addedBytesCache.getOrElseUpdate(v, table.addedBytesAt(v))
+    addedBytesCache.getOrElseUpdate(v, {
+      if (!histByVersion.contains(v))
+        histByVersion = table.history.map(e => e.version -> e).toMap
+      histByVersion.get(v).fold(0L) { e =>
+        val prev = histByVersion.get(v - 1).map(_.fileSets).getOrElse(Nil)
+        e.fileSets.diff(prev).map(table.fileSetBytes).sum
+      }
+    })
   }
 
   // --- admission control (the FileStreamSource shape: a V1 Source that
@@ -178,8 +194,12 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     * stream reaches it, however many capped batches that takes. */
   @volatile private var availableNowTarget: Option[Long] = None
 
+  // an EMPTY table still pins a target (the base version): leaving None
+  // would let an AvailableNow run on a just-created table chase every
+  // commit landing during the run instead of stopping at "now"
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = table.latestVersion.map(v => math.max(v, baseVersion))
+    availableNowTarget = Some(table.latestVersion
+      .map(v => math.max(v, baseVersion)).getOrElse(baseVersion))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -203,7 +223,30 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     val hi = end.json.toLong
     if (hi > served) { served = hi; persistServed() }
     val df =
-      if (cdf) table.readChangeFeed(lo, Some(hi))
+      if (cdf) {
+        if (lo == -1L) {
+          // default-start bootstrap: granular history is richer and is
+          // delivered when expressible; a pre-head overwrite/restore
+          // (or vacuumed early commits) cannot be reconstructed as row
+          // changes, so the initial batch degrades to the PINNED
+          // snapshot as inserts (Delta's CDF-stream bootstrap shape) —
+          // deterministic under replay, since history below `hi` is
+          // immutable, and granular changes stream from `hi` onward
+          try table.readChangeFeed(lo, Some(hi))
+          catch { case _: graft.tables.CdfNotExpressible =>
+            val ts = table.history.find(_.version == hi)
+              .map(_.tsMillis).getOrElse(0L)
+            table.readVersion(hi)
+              .withColumn("_change_type",
+                org.apache.spark.sql.functions.lit("insert"))
+              .withColumn("_commit_version",
+                org.apache.spark.sql.functions.lit(hi))
+              .withColumn("_commit_timestamp",
+                org.apache.spark.sql.functions.lit(
+                  new java.sql.Timestamp(ts)))
+          }
+        } else table.readChangeFeed(lo, Some(hi))
+      }
       // skipChangeCommits (Delta's option): an append-mode stream rides
       // across delete/update/merge/overwrite commits, delivering only
       // the range's appends — the consumer has opted out of changes
@@ -328,6 +371,7 @@ final class GraftTableSink(root: String, appId: String,
       })
       mv.setProperties(Map(
         GraftTableSink.StreamDimProp -> joinDims.mkString(";"),
+        GraftTableSink.StreamKeysProp -> keysRepr,
         GraftTableSink.StreamDimVersionProp -> resolved.mkString(";")))
       resolved
     }
@@ -335,19 +379,32 @@ final class GraftTableSink(root: String, appId: String,
       s"graft-table sink: ${joinDims.length} joinDims but " +
         s"${pins.length} recorded dim pins at $root — the MV was built " +
         "by a different join definition; use a fresh MV root")
-    // the pins are positional: a restart naming DIFFERENT dims (same
-    // count) must not silently apply the old pins to the new tables
+    // the pins are positional and the KEYS are part of the definition:
+    // a restart naming different dims (same count) or different key
+    // pairs must not silently maintain a different join than what the
+    // landed batches were computed under
     props.get(GraftTableSink.StreamDimProp).foreach { rec =>
       require(rec == joinDims.mkString(";"),
         s"graft-table sink: joinDims differ from the definition " +
           s"recorded at $root (recorded `$rec`) — use a fresh MV root " +
           "to change the join shape")
     }
+    props.get(GraftTableSink.StreamKeysProp).foreach { rec =>
+      require(rec == keysRepr,
+        s"graft-table sink: joinKeys differ from the definition " +
+          s"recorded at $root (recorded `$rec`, got `$keysRepr`) — use " +
+          "a fresh MV root to change the join shape")
+    }
     cachedDimSides = joinDims.zip(pins).zip(joinKeys).map {
       case ((r, v), ks) => (VersionedTable(spark, r).readVersion(v), ks)
     }
     cachedDimSides
   }
+
+  /** The joinKeys in [[graft.plans.JoinMv.KeysProp]] format — the
+    * definition string recorded on the MV and compared on restart. */
+  private def keysRepr: String = joinKeys
+    .map(_.map { case (l, r) => s"$l=$r" }.mkString(",")).mkString("|")
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
@@ -441,10 +498,19 @@ final class GraftTableSink(root: String, appId: String,
       // value-deterministic (use a wider key only if the payload
       // genuinely varies per key, in which case latest-wins mergeKeys
       // is the right mode instead).
+      // NULL keys cannot dedup: SQL MERGE's === never matches NULL, so
+      // every redelivery of a NULL-keyed row would land again — refuse
+      // loudly (same contract as the aggregate path; coalesce or filter
+      // upstream). In-batch duplicates need no explicit pass: merge
+      // dedups its update batch by key internally.
+      require(!graft.tables.GraftSql.hasNullKeys(batch, dedupKeys),
+        "graft-table sink: NULL dedup key in the batch — NULL keys " +
+          "cannot keep-first (MERGE never matches NULL); coalesce or " +
+          "filter them upstream")
       val keep = batch.columns.filterNot(dedupKeys.contains).map(c =>
         c -> ((t: org.apache.spark.sql.Column,
                u: org.apache.spark.sql.Column) => t)).toMap
-      table.merge(batch.dropDuplicates(dedupKeys), dedupKeys,
+      table.merge(batch, dedupKeys,
         updateExprs = keep, partitionBy = partitionBy,
         txn = Some((appId, batchId)))
       ()
@@ -478,8 +544,10 @@ final class GraftTableSink(root: String, appId: String,
 
 object GraftTableSink {
   /** Join-shaped streaming MV definition, recorded on the MV table:
-    * `;`-joined dim roots and the covered (pinned) dim versions. */
+    * `;`-joined dim roots, the per-dim key lists (KeysProp format),
+    * and the covered (pinned) dim versions. */
   val StreamDimProp = "graft.mv.stream.dim"
+  val StreamKeysProp = "graft.mv.stream.keys"
   val StreamDimVersionProp = "graft.mv.stream.dimVersion"
 }
 

@@ -194,12 +194,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val h = history
     h.find(_.version == v).fold(0L) { e =>
       val prev = h.find(_.version == v - 1).map(_.fileSets).getOrElse(Nil)
-      e.fileSets.diff(prev).map(fs =>
-        filesUnder(dataDir.resolve(fs))
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(Files.size).sum).sum
+      e.fileSets.diff(prev).map(fileSetBytes).sum
     }
   }
+
+  /** Parquet bytes of one file-set directory (a listing, no opens) —
+    * the sizing primitive callers with their own version→entry map use
+    * to avoid [[addedBytesAt]]'s per-call linear history scans (the
+    * streaming byte-admission path walks a backlog version by version;
+    * two O(history) finds per version made the first catch-up on a
+    * long-lived table O(backlog × history) driver work). */
+  private[graft] def fileSetBytes(fs: String): Long =
+    filesUnder(dataDir.resolve(fs))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
 
   /** Latest committed transaction version for `appId` — the Delta
     * `txnAppId`/`txnVersion` idempotent-writes ledger, read straight from

@@ -429,6 +429,69 @@ class JoinMvSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("a crash BETWEEN slices never double-counts a cross-term: an " +
+       "empty fact slice's pin advance is durable before later slices, " +
+       "so retries absorb each delta exactly once") {
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-xt-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val d1 = new VersionedTable(spark, s"$root/d1")
+    val d2 = new VersionedTable(spark, s"$root/d2")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); d1.enableChangeFeed(); d2.enableChangeFeed()
+    fact.append(Seq((1, 10, 5L)).toDF("t", "r", "v"))
+    d1.append(Seq((1, "red")).toDF("t", "color"))
+    d2.append(Seq((10, "eu")).toDF("r", "zone"))
+    JoinMv.create(fact, Seq(
+        JoinMv.DimSide(d1, Seq(("t", "t"))),
+        JoinMv.DimSide(d2, Seq(("r", "r")))),
+      Seq("color", "zone"), sumAggs, mv)
+    try {
+      // crash injector: a CHECK on the MV that only d2's slice can trip
+      // (it alone introduces an 'apac' group) — the refresh aborts with
+      // a non-CdfNotExpressible error exactly between slices, and
+      // dropping the constraint later "reboots the process"
+      mv.addCheck("no_apac", "zone != 'apac'")
+      // the cross-term plant: a fact row whose dim-1 key arrives ONLY
+      // in this window's dim delta — ΔF ⋈ D1@old is EMPTY, while
+      // ΔF ⋈ D1@new is not. Under a naive resume the replayed fact
+      // slice would absorb (t=5, v=50) twice.
+      fact.append(Seq((5, 10, 50L)).toDF("t", "r", "v"))
+      d1.append(Seq((5, "gold")).toDF("t", "color"))
+      d2.append(Seq((10, "apac")).toDF("r", "zone")) // trips the CHECK
+      def tryRefresh(): Throwable =
+        intercept[Throwable](JoinMv.refresh(spark, mv))
+      val first = tryRefresh()
+      assert(!first.isInstanceOf[graft.tables.CdfNotExpressible])
+      def rows(): Set[Seq[Any]] =
+        mv.read.select("color", "zone", "sum_v", "cnt")
+          .collect().map(_.toSeq).toSet
+      val afterCrash = rows()
+      assert(afterCrash.contains(Seq("gold", "eu", 50L, 1L)),
+        "the d1 slice before the crash must have absorbed the new key once")
+      // retries keep crashing on d2's slice — and must NOT change the
+      // absorbed state (the naive resume double-counted the gold group
+      // on every retry: the fact slice replayed against d1's new pin)
+      tryRefresh(); tryRefresh()
+      assert(rows() === afterCrash,
+        "retried refreshes must not re-absorb already-pinned slices")
+      // defuse and complete: the pending d2 slice absorbs exactly once
+      mv.dropCheck("no_apac")
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims")
+      val f = fact.read
+      val a = d1.read
+      val b = d2.read
+      val want = f.join(a, f("t") === a("t"))
+        .join(b, f("r") === b("r"))
+        .groupBy(a("color"), b("zone"))
+        .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+        .select("color", "zone", "sum_v", "cnt")
+        .collect().map(_.toSeq).toSet
+      assert(rows() === want)
+      assert(mv.history.count(_.action == "overwrite") === 1)
+    } finally MvRewrite.deregister(mv)
+  }
+
   test("crash replay of a dim slice: a stale dim-version property " +
        "resumes from the per-side txn ledger, never double-counting") {
     MvRewrite.install(spark)

@@ -646,6 +646,22 @@ class TableStreamSpec extends SparkSpec {
       q.awaitTermination()
     }
     assert(e.getMessage.contains("differ from the definition recorded"))
+    // ... and so must a restart with different JOIN KEYS (same dims):
+    // the landed batches were computed under the recorded keys
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(factRoot)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "color")
+        .option("aggregate", "sum:v:sum_v;count:*:cnt;count:v:cnt_v")
+        .option("joinDims", dimRoot)
+        .option("joinKeys", "v=t")
+        .trigger(Trigger.AvailableNow())
+        .start(mvRoot)
+      q.awaitTermination()
+    }
+    assert(e2.getMessage.contains("joinKeys differ"))
   }
 
   test("sink: dedupKeys keeps the FIRST row per key across batches and " +
@@ -693,6 +709,12 @@ class TableStreamSpec extends SparkSpec {
         .start(tmpDir("ts-ddk-sink2-"))
     }
     assert(e.getMessage.contains("its own mode"))
+    // NULL dedup keys can never keep-first (MERGE never matches NULL):
+    // refuse loudly rather than re-landing the row every redelivery
+    land(Seq((null: String, "pnull")), "p3")
+    val en = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain())
+    assert(en.getMessage.contains("NULL dedup key"))
   }
 
   test("sink: joinDims shape errors fail at query start") {
@@ -943,6 +965,47 @@ class TableStreamSpec extends SparkSpec {
       Option(x).toSeq.flatMap(e0 =>
         Option(e0.getMessage).toSeq ++ messages(e0.getCause))
     assert(messages(e).exists(_.contains("insert-only")))
+  }
+
+  test("CDF stream over a table with pre-head OVERWRITE history " +
+    "bootstraps with the snapshot as inserts, then streams granularly") {
+    val root = tmpDir("ts-cdfboot-")
+    val cp = tmpDir("ts-cdfboot-cp-")
+    val t = VersionedTable(spark, root)
+    t.enableChangeFeed()
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))           // v0
+    t.overwrite(Seq((2, "b2"), (3, "c")).toDF("k", "v"))       // v1: not
+    t.append(Seq((4, "d")).toDF("k", "v"))                     // v2
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Int, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          collected.synchronized {
+            collected ++= batch
+              .select("_commit_version", "_change_type", "k", "v")
+              .as[(Long, String, Int, String)].collect()
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // granular replay is inexpressible across the v1 overwrite — the
+    // stream must still START, delivering the v2 snapshot as inserts
+    assert(collected.toSet === Set(
+      (2L, "insert", 2, "b2"), (2L, "insert", 3, "c"),
+      (2L, "insert", 4, "d")))
+    // from the bootstrap on, changes stream granularly
+    collected.clear()
+    t.delete($"k" === 3)                                       // v3
+    drain()
+    assert(collected.toSet === Set((3L, "delete", 3, "c")))
   }
 
   test("readChangeFeed mode streams row-level updates and deletes") {

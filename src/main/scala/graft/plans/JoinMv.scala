@@ -160,8 +160,7 @@ object JoinMv {
     mv.setProperties(Map(
       FactProp -> fact.root,
       DimProp -> dims.map(_.table.root).mkString(";"),
-      KeysProp -> dims.map(_.keys.map { case (l, r) => s"$l=$r" }
-        .mkString(",")).mkString("|"),
+      KeysProp -> formatKeys(dims.map(_.keys)),
       GroupProp -> groupCols.mkString(","),
       AggsProp -> specs.map { case (f, c, o) => s"$f:$c:$o" }.mkString(";"),
       FactVersionProp -> factV.toString,
@@ -205,6 +204,13 @@ object JoinMv {
                                groupCols: Seq[String],
                                aggs: Seq[(String, String, String)],
                                factV: Long, dimVs: Seq[Long], epoch: String)
+
+  /** The [[KeysProp]] serialization of per-dim key lists — ONE formatter
+    * shared by the batch definition and the streaming sink's recorded
+    * definition, so the two can never drift apart. */
+  private[graft] def formatKeys(keys: Seq[Seq[(String, String)]]): String =
+    keys.map(_.map { case (l, r) => s"$l=$r" }.mkString(","))
+      .mkString("|")
 
   /** Split the per-dim key segments of a [[KeysProp]] value. */
   private[graft] def parseKeySegments(keys: String): Seq[Seq[(String, String)]] =

@@ -89,6 +89,23 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     case (None, None) => -1L
   }
 
+  /** Default-start CDF bootstrap decision, made ONCE at source init:
+    * when the backlog (−1, head] is not expressible as row changes
+    * (pre-head overwrite/restore, vacuumed change sets), the stream
+    * starts with the pinned head snapshot AS INSERTS — and the first
+    * offset is clamped to at least that head so rate caps can never
+    * split the inexpressible range into a later, fatal granular read.
+    * Mid-stream inexpressible commits (landing AFTER init) stay fatal
+    * by design: a snapshot re-delivery would duplicate already-served
+    * rows. The probe is metadata-only (readChangeFeed plans eagerly and
+    * throws before any job runs). */
+  private val bootstrapFloor: Option[Long] =
+    if (!cdf || baseVersion != -1L) None
+    else table.latestVersion.flatMap { head =>
+      try { table.readChangeFeed(-1L, Some(head)); None }
+      catch { case _: graft.tables.CdfNotExpressible => Some(head) }
+    }
+
   /** Highest version already handed to a batch — the admission floor
     * for rate limiting. Persisted under the source's own checkpoint
     * metadata dir (FileStreamSource's pattern) so the clamp cannot
@@ -146,7 +163,10 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
       // version that doesn't exist
       if (v < baseVersion) None
       else {
-        val floor = math.max(served, baseVersion)
+        // the bootstrap floor keeps the snapshot-as-inserts first batch
+        // whole under maxVersions/maxBytesPerTrigger
+        val floor = math.max(served,
+          math.max(baseVersion, bootstrapFloor.getOrElse(-1L)))
         val byVersions = maxVersionsPerTrigger
           .map(n => math.min(v, floor + n)).getOrElse(v)
         // byte-based admission (Delta's maxBytesPerTrigger): admit
@@ -178,10 +198,7 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     addedBytesCache.getOrElseUpdate(v, {
       if (!histByVersion.contains(v))
         histByVersion = table.history.map(e => e.version -> e).toMap
-      histByVersion.get(v).fold(0L) { e =>
-        val prev = histByVersion.get(v - 1).map(_.fileSets).getOrElse(Nil)
-        e.fileSets.diff(prev).map(table.fileSetBytes).sum
-      }
+      table.addedBytesAt(v, histByVersion)
     })
   }
 
@@ -210,7 +227,11 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     getOffset match {
       case Some(LongOffset(capped)) =>
         val end = availableNowTarget.map(math.min(capped, _)).getOrElse(capped)
-        LongOffset(end)
+        // an empty-at-start AvailableNow run pins target -1 ("nothing to
+        // process"); a commit landing DURING the run must not produce a
+        // -1 end offset — there is no version -1 to batch, and the run's
+        // contract is to stop at "now" anyway
+        if (end < 0L) null else LongOffset(end)
       case _ => null
     }
   }
@@ -224,27 +245,35 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     if (hi > served) { served = hi; persistServed() }
     val df =
       if (cdf) {
+        // default-start bootstrap: granular history is richer and is
+        // delivered when expressible; a pre-head overwrite/restore
+        // (or vacuumed early commits) cannot be reconstructed as row
+        // changes, so the initial batch degrades to the PINNED
+        // snapshot as inserts (Delta's CDF-stream bootstrap shape) —
+        // deterministic under replay, since history below `hi` is
+        // immutable, and granular changes stream from `hi` onward.
+        // The init-time [[bootstrapFloor]] decision governs fresh
+        // starts; the try/catch keeps REPLAYED pre-floor checkpoint
+        // batches (hi below the current head) on the same fallback.
+        def snapshotAsInserts(): DataFrame = {
+          val ts = table.history.find(_.version == hi)
+            .map(_.tsMillis).getOrElse(0L)
+          table.readVersion(hi)
+            .withColumn("_change_type",
+              org.apache.spark.sql.functions.lit("insert"))
+            .withColumn("_commit_version",
+              org.apache.spark.sql.functions.lit(hi))
+            .withColumn("_commit_timestamp",
+              org.apache.spark.sql.functions.lit(
+                new java.sql.Timestamp(ts)))
+        }
         if (lo == -1L) {
-          // default-start bootstrap: granular history is richer and is
-          // delivered when expressible; a pre-head overwrite/restore
-          // (or vacuumed early commits) cannot be reconstructed as row
-          // changes, so the initial batch degrades to the PINNED
-          // snapshot as inserts (Delta's CDF-stream bootstrap shape) —
-          // deterministic under replay, since history below `hi` is
-          // immutable, and granular changes stream from `hi` onward
-          try table.readChangeFeed(lo, Some(hi))
-          catch { case _: graft.tables.CdfNotExpressible =>
-            val ts = table.history.find(_.version == hi)
-              .map(_.tsMillis).getOrElse(0L)
-            table.readVersion(hi)
-              .withColumn("_change_type",
-                org.apache.spark.sql.functions.lit("insert"))
-              .withColumn("_commit_version",
-                org.apache.spark.sql.functions.lit(hi))
-              .withColumn("_commit_timestamp",
-                org.apache.spark.sql.functions.lit(
-                  new java.sql.Timestamp(ts)))
-          }
+          if (bootstrapFloor.isDefined) snapshotAsInserts()
+          else
+            try table.readChangeFeed(lo, Some(hi))
+            catch { case _: graft.tables.CdfNotExpressible =>
+              snapshotAsInserts()
+            }
         } else table.readChangeFeed(lo, Some(hi))
       }
       // skipChangeCommits (Delta's option): an append-mode stream rides
@@ -389,11 +418,16 @@ final class GraftTableSink(root: String, appId: String,
           s"recorded at $root (recorded `$rec`) — use a fresh MV root " +
           "to change the join shape")
     }
-    props.get(GraftTableSink.StreamKeysProp).foreach { rec =>
-      require(rec == keysRepr,
+    props.get(GraftTableSink.StreamKeysProp) match {
+      case Some(rec) => require(rec == keysRepr,
         s"graft-table sink: joinKeys differ from the definition " +
           s"recorded at $root (recorded `$rec`, got `$keysRepr`) — use " +
           "a fresh MV root to change the join shape")
+      case None if recorded.isDefined =>
+        // pins recorded by an earlier release that didn't record keys:
+        // backfill with THIS restart's keys so the guard arms from here
+        mv.setProperties(Map(GraftTableSink.StreamKeysProp -> keysRepr))
+      case None => () // first batch records everything together above
     }
     cachedDimSides = joinDims.zip(pins).zip(joinKeys).map {
       case ((r, v), ks) => (VersionedTable(spark, r).readVersion(v), ks)
@@ -403,8 +437,7 @@ final class GraftTableSink(root: String, appId: String,
 
   /** The joinKeys in [[graft.plans.JoinMv.KeysProp]] format — the
     * definition string recorded on the MV and compared on restart. */
-  private def keysRepr: String = joinKeys
-    .map(_.map { case (l, r) => s"$l=$r" }.mkString(",")).mkString("|")
+  private def keysRepr: String = graft.plans.JoinMv.formatKeys(joinKeys)
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
     val batch = StreamShim.asBatch(data)
@@ -499,18 +532,24 @@ final class GraftTableSink(root: String, appId: String,
       // genuinely varies per key, in which case latest-wins mergeKeys
       // is the right mode instead).
       // NULL keys cannot dedup: SQL MERGE's === never matches NULL, so
-      // every redelivery of a NULL-keyed row would land again — refuse
-      // loudly (same contract as the aggregate path; coalesce or filter
-      // upstream). In-batch duplicates need no explicit pass: merge
-      // dedups its update batch by key internally.
-      require(!graft.tables.GraftSql.hasNullKeys(batch, dedupKeys),
-        "graft-table sink: NULL dedup key in the batch — NULL keys " +
-          "cannot keep-first (MERGE never matches NULL); coalesce or " +
-          "filter them upstream")
+      // every redelivery of a NULL-keyed row would land again. The
+      // guard rides INSIDE the merge's own staging job as a raise_error
+      // projection — zero extra batch passes, and a crash-replayed
+      // batch short-circuits on its txn marker before the guard would
+      // even evaluate. In-batch duplicates need no explicit pass:
+      // merge dedups its update batch by key internally.
+      import org.apache.spark.sql.functions.{col, raise_error, when, lit}
+      val guarded = dedupKeys.foldLeft(batch)((df, k) =>
+        df.withColumn(k,
+          when(col(k).isNull, raise_error(lit(
+            "graft-table sink: NULL dedup key in the batch — NULL keys " +
+              "cannot keep-first (MERGE never matches NULL); coalesce " +
+              "or filter them upstream")).cast(df.schema(k).dataType))
+            .otherwise(col(k))))
       val keep = batch.columns.filterNot(dedupKeys.contains).map(c =>
         c -> ((t: org.apache.spark.sql.Column,
                u: org.apache.spark.sql.Column) => t)).toMap
-      table.merge(batch, dedupKeys,
+      table.merge(guarded, dedupKeys,
         updateExprs = keep, partitionBy = partitionBy,
         txn = Some((appId, batchId)))
       ()

@@ -190,24 +190,23 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * Streaming byte-based admission control (`maxBytesPerTrigger`)
     * consults this per version; contents are immutable, so callers can
     * memoize freely. */
-  def addedBytesAt(v: Long): Long = {
-    val h = history
-    h.find(_.version == v).fold(0L) { e =>
-      val prev = h.find(_.version == v - 1).map(_.fileSets).getOrElse(Nil)
-      e.fileSets.diff(prev).map(fileSetBytes).sum
-    }
-  }
+  def addedBytesAt(v: Long): Long =
+    addedBytesAt(v, history.map(e => e.version -> e).toMap)
 
-  /** Parquet bytes of one file-set directory (a listing, no opens) —
-    * the sizing primitive callers with their own version→entry map use
-    * to avoid [[addedBytesAt]]'s per-call linear history scans (the
-    * streaming byte-admission path walks a backlog version by version;
-    * two O(history) finds per version made the first catch-up on a
-    * long-lived table O(backlog × history) driver work). */
-  private[graft] def fileSetBytes(fs: String): Long =
-    filesUnder(dataDir.resolve(fs))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+  /** Map-resolved form — backlog walkers (the streaming byte-admission
+    * path) resolve the version→entry map ONCE and size many versions
+    * against it; the single-version form's per-call linear history
+    * scans would make a long backlog's catch-up O(backlog × history)
+    * driver work. The added-bytes definition lives only here. */
+  private[graft] def addedBytesAt(v: Long,
+      byVersion: Map[Long, VersionedTable.LogEntry]): Long =
+    byVersion.get(v).fold(0L) { e =>
+      val prev = byVersion.get(v - 1).map(_.fileSets).getOrElse(Nil)
+      e.fileSets.diff(prev).map(fs =>
+        filesUnder(dataDir.resolve(fs))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size).sum).sum
+    }
 
   /** Latest committed transaction version for `appId` — the Delta
     * `txnAppId`/`txnVersion` idempotent-writes ledger, read straight from

@@ -89,23 +89,6 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     case (None, None) => -1L
   }
 
-  /** Default-start CDF bootstrap decision, made ONCE at source init:
-    * when the backlog (−1, head] is not expressible as row changes
-    * (pre-head overwrite/restore, vacuumed change sets), the stream
-    * starts with the pinned head snapshot AS INSERTS — and the first
-    * offset is clamped to at least that head so rate caps can never
-    * split the inexpressible range into a later, fatal granular read.
-    * Mid-stream inexpressible commits (landing AFTER init) stay fatal
-    * by design: a snapshot re-delivery would duplicate already-served
-    * rows. The probe is metadata-only (readChangeFeed plans eagerly and
-    * throws before any job runs). */
-  private val bootstrapFloor: Option[Long] =
-    if (!cdf || baseVersion != -1L) None
-    else table.latestVersion.flatMap { head =>
-      try { table.readChangeFeed(-1L, Some(head)); None }
-      catch { case _: graft.tables.CdfNotExpressible => Some(head) }
-    }
-
   /** Highest version already handed to a batch — the admission floor
     * for rate limiting. Persisted under the source's own checkpoint
     * metadata dir (FileStreamSource's pattern) so the clamp cannot
@@ -143,6 +126,25 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     fs.delete(servedPath, false)
     if (!fs.rename(tmp, servedPath)) fs.delete(tmp, false)
   }
+
+  /** Default-start CDF bootstrap decision, made ONCE at source init:
+    * when the backlog (−1, head] is not expressible as row changes
+    * (pre-head overwrite/restore, vacuumed change sets), the stream
+    * starts with the pinned head snapshot AS INSERTS — and the first
+    * offset is clamped to at least that head so rate caps can never
+    * split the inexpressible range into a later, fatal granular read.
+    * Mid-stream inexpressible commits (landing AFTER init) stay fatal
+    * by design: a snapshot re-delivery would duplicate already-served
+    * rows. Two cost levers vs a plan-construction probe: a restart
+    * whose persisted served floor is already past the bootstrap skips
+    * the decision entirely (getBatch's own try/catch keeps a REPLAYED
+    * pre-floor batch on the same snapshot fallback, deterministic
+    * because history below its offset is immutable), and the fresh
+    * start probes via [[VersionedTable.changeFeedExpressible]] — log
+    * metadata + file existence, no scan arms, no schema inference. */
+  private val bootstrapFloor: Option[Long] =
+    if (!cdf || baseVersion != -1L || served > baseVersion) None
+    else table.latestVersion.filterNot(h => table.changeFeedExpressible(-1L, h))
 
   override val schema: StructType = GraftTableSource.schemaFor(table, cdf)
 
@@ -256,8 +258,15 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
         // starts; the try/catch keeps REPLAYED pre-floor checkpoint
         // batches (hi below the current head) on the same fallback.
         def snapshotAsInserts(): DataFrame = {
+          // hi is an offset the engine logged for THIS table, and log
+          // entries are never pruned (vacuum reclaims data files, not
+          // history) — a miss means the checkpoint and the table no
+          // longer agree; serving epoch-0 timestamps would hide that
           val ts = table.history.find(_.version == hi)
-            .map(_.tsMillis).getOrElse(0L)
+            .map(_.tsMillis).getOrElse(sys.error(
+              s"graft-table source: checkpointed offset v$hi has no log " +
+                s"entry at ${table.root} — the checkpoint does not belong " +
+                "to this table (recreated table or wrong checkpointLocation)"))
           table.readVersion(hi)
             .withColumn("_change_type",
               org.apache.spark.sql.functions.lit("insert"))

@@ -1172,7 +1172,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // replaced definition era can never be consulted.
     val txnApp = GraftSql.MvTxnApp +
       props.getOrElse(GraftSql.MvEpochProp, "0") + ":" + mv.root
-    val v0 = math.max(v0Prop, mv.lastTxnVersion(txnApp).getOrElse(v0Prop))
+    val ledgerV = mv.lastTxnVersion(txnApp)
+    val v0 = math.max(v0Prop, ledgerV.getOrElse(v0Prop))
+    // ledger-healed resume: the ledger ahead of the property means the
+    // last slice's markered merge committed but the refresh died before
+    // its follow-up emptied-group delete / sum NULL-fix (and property
+    // bump) ran. Those follow-ups live OUTSIDE the marker's txn, so a
+    // resume that reads the slice as covered would otherwise serve
+    // phantom zero-count groups until the next non-empty delta. The
+    // sweep is idempotent and probe-guarded — a clean resume pays two
+    // short reads and commits nothing.
+    if (ledgerV.exists(_ > v0Prop) && GraftSql.cdfMaintainable(aggs))
+      GraftSql.sweepCdfPhantoms(mv, aggs)
     // ONE history read: srcV (the version this refresh will cover) and
     // the commit slice it maintains over must agree even while
     // concurrent writers advance the head
@@ -2832,7 +2843,6 @@ object GraftSql {
     require(cdfMaintainable(aggs),
       "CDF aggregate maintenance needs count(*) plus sum/count/quant " +
         s"aggregates (with count(c) for every sum(c)); got ${aggs.mkString(",")}")
-    val countStar = aggs.collectFirst { case ("count", "*", o) => o }.get
     val sgn = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L)
       .when(col("_change_type")
@@ -2878,25 +2888,40 @@ object GraftSql {
         case (_, _, o)                    => o -> mvCombine("sum")
       }.toMap, txn = txn, partitionBy = partitionBy)
     } finally { delta.unpersist(); () }
-    // emptied groups drop, as a recompute would (guarded: per-batch
-    // streaming calls must not commit a no-op delete every trigger)
-    if (!mv.read.filter(col(countStar) === 0L).limit(1).isEmpty) {
-      mv.delete(col(countStar) === 0L)
-      ()
-    }
-    // retraction NULL-fix: a surviving group whose c-values are now
-    // all NULL must show sum NULL — signed arithmetic left a number
-    aggs.foreach {
-      case ("sum", c, o) =>
-        val cnt = aggs.collectFirst { case ("count", `c`, oc) => oc }.get
-        val stale = mv.read
-          .filter(col(cnt) === 0L && col(o).isNotNull).limit(1)
-        if (!stale.isEmpty) {
-          mv.update(Map(o -> lit(null).cast(mv.read.schema(o).dataType)),
-            col(cnt) === 0L && col(o).isNotNull)
-          ()
-        }
-      case _ => ()
+    sweepCdfPhantoms(mv, aggs)
+  }
+
+  /** Idempotent follow-up repair of the CDF maintenance path: drop
+    * emptied groups (count(*) == 0, as a recompute would) and NULL-fix
+    * sums whose count(c) companion hit zero (signed arithmetic leaves a
+    * number where a recompute would show NULL). Probes guard the
+    * commits, so a clean table costs two short-circuit reads and no
+    * commit — per-batch streaming calls must not write a no-op delete
+    * every trigger. Called after every [[applyCdfDelta]] merge AND at
+    * REFRESH entry on a ledger-healed resume: a crash between the
+    * markered merge and these follow-ups otherwise leaves phantom rows
+    * servable until the next non-empty delta, because the healed resume
+    * reads the slice as already covered and short-circuits to noop. */
+  private[graft] def sweepCdfPhantoms(mv: VersionedTable,
+      aggs: Seq[(String, String, String)]): Unit = {
+    aggs.collectFirst { case ("count", "*", o) => o }.foreach { countStar =>
+      if (!mv.read.filter(col(countStar) === 0L).limit(1).isEmpty) {
+        mv.delete(col(countStar) === 0L)
+        ()
+      }
+      aggs.foreach {
+        case ("sum", c, o) =>
+          aggs.collectFirst { case ("count", `c`, oc) => oc }.foreach { cnt =>
+            val stale = mv.read
+              .filter(col(cnt) === 0L && col(o).isNotNull).limit(1)
+            if (!stale.isEmpty) {
+              mv.update(Map(o -> lit(null).cast(mv.read.schema(o).dataType)),
+                col(cnt) === 0L && col(o).isNotNull)
+              ()
+            }
+          }
+        case _ => ()
+      }
     }
   }
 
@@ -3084,6 +3109,53 @@ object GraftSql {
       g(6), g(7).get))
   }
 
+  /** Bounds (start, end) of the top-level AND separators of a masked
+    * predicate — what `(?i)\s+AND\s+` found before, minus two classes
+    * of false splits: an AND inside parentheses (so `NOT (d.a AND d.b)`
+    * stays ONE conjunct instead of re-assembling as the semantically
+    * different `(NOT (d.a)) AND (d.b)`), and the AND that pairs a
+    * BETWEEN's bounds (SQL's grammar binds it tighter than
+    * conjunction — `c BETWEEN x AND y` is one predicate). One pending
+    * BETWEEN is tracked per paren depth and cleared on close-paren;
+    * runs on the literal-masked text, so parens/keywords inside string
+    * constants never count. */
+  private[tables] def topLevelAndBounds(ms: String): List[(Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    val pendingBetween = scala.collection.mutable.Map.empty[Int, Int]
+      .withDefaultValue(0)
+    var depth = 0
+    var i = 0
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < ms.length) {
+      val c = ms.charAt(i)
+      if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') {
+        pendingBetween(depth) = 0
+        depth = math.max(0, depth - 1); i += 1
+      } else if (isWord(c)) {
+        val s = i
+        while (i < ms.length && isWord(ms.charAt(i))) i += 1
+        ms.substring(s, i).toUpperCase match {
+          case "BETWEEN" => pendingBetween(depth) += 1
+          case "AND" =>
+            if (pendingBetween(depth) > 0) pendingBetween(depth) -= 1
+            else if (depth == 0) {
+              // widen over flanking whitespace, and split only when
+              // whitespace-delimited on both sides — exactly the old
+              // regex's \s+AND\s+ contract
+              var a = s
+              while (a > 0 && ms.charAt(a - 1).isWhitespace) a -= 1
+              var b = i
+              while (b < ms.length && ms.charAt(b).isWhitespace) b += 1
+              if (a < s && b > i) { out += ((a, b)); () }
+            }
+          case _ => ()
+        }
+      } else i += 1
+    }
+    out.toList
+  }
+
   /** Attribute a join-MV WHERE clause to dim sides. Each top-level
     * AND-ed conjunct must reference qualified columns of exactly ONE
     * dim (`d.is_current`, `d.tier = 'gold'`); the qualifiers are
@@ -3108,13 +3180,18 @@ object GraftSql {
         i += 1
       }
       val ms = new String(maskedChars)
-      val bounds = """(?i)\s+AND\s+""".r.findAllMatchIn(ms)
-        .map(m => (m.start, m.end)).toList
+      val bounds = topLevelAndBounds(ms)
       val starts = 0 :: bounds.map(_._2)
       val ends = bounds.map(_._1) ::: List(w.length)
+      // '.' only — the layer.name convention. '_' is NOT a layer
+      // separator here: blindly aliasing `my_dim` as `dim` would let a
+      // conjunct mis-attribute to the wrong dim (or raise spurious
+      // ambiguity) whenever idents share an underscore suffix. An
+      // underscore-spelled catalog ident stays addressable by its exact
+      // full name.
       def formsOf(id: String): Set[String] = {
         val idn = stripTicks(id).toLowerCase
-        Set(idn, idn.split("[._]", 2).last)
+        Set(idn, idn.split("\\.", 2).last)
       }
       val factForms = formsOf(factIdent)
       // qualifiers are IDENTIFIER-shaped (leading letter/underscore, or
@@ -3182,9 +3259,11 @@ object GraftSql {
     case None =>
       val JoinEq =
         """(?is)\s*`?([\w.]+)`?\.`?(\w+)`?\s*=\s*`?([\w.]+)`?\.`?(\w+)`?\s*""".r
+      // '.' only, same reasoning as attributeJoinMvWhere's formsOf: an
+      // underscore is part of the name, never a qualifier separator
       def forms(id: String): Set[String] = {
         val idn = stripTicks(id).toLowerCase
-        Set(idn, idn.split("[._]", 2).last)
+        Set(idn, idn.split("\\.", 2).last)
       }
       def side(q: String): Char = {
         val qn = stripTicks(q).toLowerCase

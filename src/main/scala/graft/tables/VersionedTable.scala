@@ -1974,6 +1974,40 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Metadata-only probe of [[readChangeFeed]] expressibility over
+    * (`sinceVersion`, `endVersion`]: walks the SAME log entries and
+    * file-existence checks as the read, but constructs no scan plan and
+    * infers no schema — the streaming source's bootstrap decision needs
+    * the yes/no, not the frame, and the plan-construction probe paid
+    * full-history cost (per-distinct-schema arms) on every source init.
+    * Kept in lockstep with readChangeFeed's refusal cases: vacuumed
+    * explicit change sets, vacuumed appended/clone file-sets, and
+    * actions the feed cannot reconstruct as row changes
+    * (overwrite/restore/…). */
+  def changeFeedExpressible(sinceVersion: Long, endVersion: Long): Boolean = {
+    val h = history
+    val byVersion = h.map(e => e.version -> e).toMap
+    h.filter(e => e.version > sinceVersion && e.version <= endVersion)
+      .forall { e =>
+        e.cdf match {
+          case Some(id) => Files.exists(changesDir.resolve(id))
+          case None => e.action match {
+            case "append" =>
+              val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
+                .getOrElse(Set.empty)
+              e.fileSets.filterNot(prev)
+                .forall(fs => Files.exists(dataDir.resolve(fs)))
+            case "compact" | "zorder" | "purge_dv"
+               | "rename_column" | "drop_column"
+               | "set_partition_layout" => true
+            case "clone" =>
+              e.fileSets.forall(fs => Files.exists(dataDir.resolve(fs)))
+            case _ => false
+          }
+        }
+      }
+  }
+
   /** Attach the per-commit feed meta columns as literals (single-version
     * arms: clone base, hive-partitioned appends, empty feed). */
   private def stampMeta(df: DataFrame, version: Long, tsMillis: Long): DataFrame =

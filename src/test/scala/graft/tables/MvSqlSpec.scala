@@ -1283,4 +1283,123 @@ class MvSqlSpec extends SparkSpec {
       assert(mv.read.filter(col("g") === "g2").isEmpty)
     } finally MvRewrite.deregisterRoot(mv.root)
   }
+
+  test("join-form WHERE conjunct split: parenthesized AND stays ONE " +
+       "conjunct, BETWEEN's AND never splits, '_' is not a qualifier " +
+       "separator") {
+    // NOT (a AND b) must survive as one filter — a flat split would
+    // re-assemble it as (NOT a) AND b, a semantically different
+    // predicate that materializes WRONG rows silently
+    assert(GraftSql.attributeJoinMvWhere(
+      Some("NOT (jdim.a AND jdim.b)"), "silver.jfact", Seq("silver.jdim"))
+      === Seq(Some("(NOT (a AND b))")))
+    // BETWEEN x AND y is one predicate; the conjunction AFTER it splits
+    assert(GraftSql.attributeJoinMvWhere(
+      Some("jdim.r BETWEEN 0.2 AND 0.8 AND jdim.cur"),
+      "silver.jfact", Seq("silver.jdim"))
+      === Seq(Some("(r BETWEEN 0.2 AND 0.8) AND (cur)")))
+    // nesting: a parenthesized BETWEEN+AND group splits only at the top
+    assert(GraftSql.attributeJoinMvWhere(
+      Some("(jdim.r BETWEEN 1 AND 2 AND jdim.cur) AND jdim.ok"),
+      "silver.jfact", Seq("silver.jdim"))
+      === Seq(Some("((r BETWEEN 1 AND 2 AND cur)) AND (ok)")))
+    // '_' is part of a NAME, never a layer separator: `dim` must not
+    // alias `my_dim` (mis-attribution risk), the exact name still binds
+    val e = intercept[IllegalArgumentException](GraftSql.attributeJoinMvWhere(
+      Some("dim.cur"), "fact_tbl", Seq("my_dim")))
+    assert(e.getMessage.contains("unknown qualifier"))
+    assert(GraftSql.attributeJoinMvWhere(
+      Some("my_dim.cur"), "fact_tbl", Seq("my_dim")) === Seq(Some("(cur)")))
+    // and a keyword inside a string literal still never splits
+    assert(GraftSql.attributeJoinMvWhere(
+      Some("jdim.tier != 'x BETWEEN y AND z'"), "silver.jfact",
+      Seq("silver.jdim"))
+      === Seq(Some("(tier != 'x BETWEEN y AND z')")))
+  }
+
+  test("join-form WHERE end-to-end: a BETWEEN dim predicate materializes " +
+       "the right slice and maintains through fact DML") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    val dim = cat.table("silver", "jdim")
+    dim.addColumns("score DOUBLE")
+    dim.update(Map("score" -> (col("team") * lit(0.3))), lit(true))
+    // team 1 → 0.3 (in [0.2, 0.5]), team 2 → 0.6 (out)
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jbet AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) " +
+      "WHERE jdim.score BETWEEN 0.2 AND 0.5 GROUP BY color")
+    val mv = cat.table("gold", "mv_jbet")
+    try {
+      assert(mv.read.select("color", "sum_pts", "cnt")
+        .as[(String, Long, Long)].collect().toSeq === Seq(("red", 30L, 2L)))
+      // fact delta absorbs through the filtered join incrementally
+      val fact = cat.table("silver", "jfact")
+      fact.append(Seq((1, 100L), (2, 50L)).toDF("team", "pts"))
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jbet")
+        .select("mode").as[String].head() === "cdf")
+      assert(mv.read.select("color", "sum_pts", "cnt")
+        .as[(String, Long, Long)].collect().toSeq === Seq(("red", 130L, 3L)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("sweepCdfPhantoms drops zero-count groups and NULL-fixes stale " +
+       "sums, idempotently") {
+    val t = VersionedTable(spark, tmpDir("graft-sweep-"))
+    t.append(Seq(
+      ("a", Option(30L), 2L, 2L),   // healthy
+      ("b", Option(0L), 0L, 0L),    // phantom: count(*)=0, must drop
+      ("c", Option(7L), 0L, 1L))    // stale: count(v)=0 but sum non-NULL
+      .toDF("k", "sum_v", "cnt_v", "cnt"))
+    val aggs = Seq(("sum", "v", "sum_v"), ("count", "v", "cnt_v"),
+      ("count", "*", "cnt"))
+    GraftSql.sweepCdfPhantoms(t, aggs)
+    assert(t.read.orderBy("k").as[(String, Option[Long], Long, Long)]
+      .collect().toSeq === Seq(("a", Some(30L), 2L, 2L),
+        ("c", None, 0L, 1L)))
+    // probe-guarded: a clean table commits NOTHING on re-sweep
+    val v = t.latestVersion.get
+    GraftSql.sweepCdfPhantoms(t, aggs)
+    assert(t.latestVersion.get === v)
+  }
+
+  test("REFRESH on a ledger-healed resume sweeps phantom zero-count " +
+       "groups a crash left behind") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "hs")
+    src.enableChangeFeed()
+    src.append(Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")) // v0
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_hs AS SELECT k, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS cnt " +
+      "FROM silver.hs GROUP BY k")
+    val mv = cat.table("gold", "mv_hs")
+    try {
+      src.delete(col("k") === "b")                                    // v1
+      // simulate the crash window: the cdf slice's MARKERED merge
+      // committed (group b zeroed out) but the process died before the
+      // follow-up emptied-group delete ran — exactly what a resume sees
+      val epoch = mv.properties.getOrElse(GraftSql.MvEpochProp, "0")
+      val txnApp = GraftSql.MvTxnApp + epoch + ":" + mv.root
+      mv.merge(Seq(("b", -5L, -1L, -1L)).toDF("k", "sum_v", "cnt_v", "cnt"),
+        Seq("k"), updateExprs = Map(
+          "sum_v" -> GraftSql.mvCombine("sum"),
+          "cnt_v" -> GraftSql.mvCombine("count"),
+          "cnt"   -> GraftSql.mvCombine("count")),
+        txn = Some((txnApp, 1L)))
+      assert(!mv.read.filter(col("cnt") === 0L).isEmpty,
+        "staging failed: the phantom zero-count row must exist pre-refresh")
+      // the healed resume reads the slice as covered (ledger at v1) —
+      // mode noop — but the entry sweep must still repair the phantom
+      val out = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_hs")
+        .as[(String, String, Long)].head()
+      assert(out._2 === "noop" && out._3 === 1L)
+      assert(mv.read.filter(col("k") === "b").isEmpty,
+        "the phantom zero-count group must be swept on resume")
+      assert(mv.read.orderBy("k").as[(String, Long, Long, Long)]
+        .collect().toSeq === Seq(("a", 30L, 2L, 2L)))
+      assert(mv.properties(GraftSql.MvVersionProp).toLong === 1L,
+        "the stale covered-version property must heal too")
+    } finally MvRewrite.deregister(mv)
+  }
 }

@@ -2044,4 +2044,28 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(m === Seq((1L, 0L), (1L, 0L), (1L, 2L)))
   }
+
+  test("changeFeedExpressible is the metadata-only mirror of " +
+       "readChangeFeed's refusal cases") {
+    import org.apache.spark.sql.functions.col
+    val t = VersionedTable(spark, tmpDir("graft-cfe-"))
+    t.enableChangeFeed()
+    t.append(Seq((1, "a"), (2, "b")).toDF("k", "v"))           // v0
+    t.delete(col("k") === 2)                                   // v1
+    // expressible prefix: probe and plan agree
+    assert(t.changeFeedExpressible(-1L, 1L))
+    assert(t.readChangeFeed(-1L, Some(1L)).count() === 3L)     // 2 ins + 1 del
+    // an overwrite is NOT expressible as row changes — probe says no
+    // without constructing any scan, the read throws
+    t.overwrite(Seq((3, "c")).toDF("k", "v"))                  // v2
+    assert(!t.changeFeedExpressible(-1L, 2L))
+    intercept[CdfNotExpressible](t.readChangeFeed(-1L, Some(2L)))
+    // the range AFTER the overwrite is expressible again
+    t.append(Seq((4, "d")).toDF("k", "v"))                     // v3
+    assert(t.changeFeedExpressible(2L, 3L))
+    assert(t.readChangeFeed(2L, Some(3L)).count() === 1L)
+    // maintenance commits stay transparent to both
+    t.compact()                                                // v4
+    assert(t.changeFeedExpressible(2L, 4L))
+  }
 }

@@ -1288,6 +1288,47 @@ object SparkEntry {
         .orderBy("rk")
     }),
 
+    // M3+ pin-aware retention: a registered consumer's floor (SHOW
+    // PINS) holds VACUUM back over the suffix it still reads; the
+    // IGNORE PINS DRY RUN previews what the pin is protecting;
+    // advancing the pin releases it; DROP PIN removes an abandoned
+    // consumer. Every count is deterministic from the DDL (two appends
+    // fold to one set under OPTIMIZE → exactly the two pre-compaction
+    // sets are at risk), and the data reads back identical.
+    "q_m19_pin_vacuum" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-pinvac-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val n = t(s, dir, "nation")
+      val tbl = cat.table("silver", "pn")
+      tbl.append(n.filter(col("n_regionkey") <= 1))                 // v0
+      tbl.append(n.filter(col("n_regionkey") > 1))                  // v1
+      val gsql = graft.tables.GraftSql(s, cat)
+      tbl.setPin("mv:/gold/rollup", 0L)
+      gsql.sql("OPTIMIZE silver.pn")                                // v2
+      val nPins = gsql.sql("SHOW PINS silver.pn").count()
+      val heldBack =
+        gsql.sql("VACUUM silver.pn RETAIN 1 VERSIONS").head().getLong(0)
+      val atRisk = gsql.sql(
+        "VACUUM silver.pn RETAIN 1 VERSIONS IGNORE PINS DRY RUN").count()
+      val v0Live = tbl.snapshotLive(0L)
+      tbl.setPin("mv:/gold/rollup", 2L) // the consumer caught up
+      val reclaimed =
+        gsql.sql("VACUUM silver.pn RETAIN 1 VERSIONS").head().getLong(0)
+      gsql.sql("ALTER TABLE silver.pn DROP PIN 'mv:/gold/rollup'")
+      val pinsAfter = gsql.sql("SHOW PINS silver.pn").count()
+      cat.registerViews()
+      s.sql(s"""SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM silver_pn) AS n_rows,
+        (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM silver_pn) AS sum_key,
+        CAST($nPins AS BIGINT) AS n_pins,
+        CAST($heldBack AS BIGINT) AS n_reclaimed_under_pin,
+        CAST($atRisk AS BIGINT) AS n_at_risk_ignoring_pins,
+        $v0Live AS pinned_version_live,
+        CAST($reclaimed AS BIGINT) AS n_reclaimed_after_advance,
+        CAST($pinsAfter AS BIGINT) AS n_pins_after_drop""")
+    }),
+
     // Temperature-scaled mixture sampling (α=0.5 multilingual recipe):
     // per-domain keep-rates derived from corpus counts by sqrt scaling,
     // computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
@@ -4791,6 +4832,17 @@ object SparkEntry {
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
         |  'rk' AS layout
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_m19_pin_vacuum" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  CAST(1 AS BIGINT) AS n_pins,
+        |  CAST(0 AS BIGINT) AS n_reclaimed_under_pin,
+        |  CAST(2 AS BIGINT) AS n_at_risk_ignoring_pins,
+        |  TRUE AS pinned_version_live,
+        |  CAST(2 AS BIGINT) AS n_reclaimed_after_advance,
+        |  CAST(0 AS BIGINT) AS n_pins_after_drop
+        |FROM nation""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (

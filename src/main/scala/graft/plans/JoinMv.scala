@@ -169,7 +169,29 @@ object JoinMv {
         java.net.URLEncoder.encode(f, "UTF-8")).getOrElse(""))
         .mkString(";"),
       EpochProp -> epoch.toString))
+    // retention floors on every SOURCE: vacuum on a fact/dim must not
+    // reclaim the versions this MV's telescoped refresh still reads
+    fact.setPin(pinName(mv), factV)
+    dims.zip(dimVs).foreach { case (d, v) => d.table.setPin(pinName(mv), v) }
     armRouting(fact, dims, mv, groupCols, aggs, factV, dimVs)
+  }
+
+  /** The consumer-pin name this MV registers on its sources — the MV
+    * root IS the name, so SHOW PINS identifies the consumer directly. */
+  private[graft] def pinName(mv: VersionedTable): String = s"mv:${mv.root}"
+
+  /** Drop this MV's retention pins from its recorded sources (DROP
+    * MATERIALIZED VIEW teardown). Best-effort and idempotent: a
+    * half-dropped definition or an already-gone source must not fail
+    * the DROP. */
+  private[graft] def dropPins(spark: SparkSession, mv: VersionedTable): Unit = {
+    val props = mv.properties
+    (props.get(FactProp).toSeq ++
+      props.get(DimProp).toSeq.flatMap(_.split(";"))).distinct
+      .foreach { root =>
+        try VersionedTable(spark, root).dropPin(pinName(mv))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
   }
 
   /** Routing registration — exact-agg definitions of any dim count
@@ -307,6 +329,14 @@ object JoinMv {
       if (fv > d.factV || dvs != d.dimVs)
         mv.setProperties(Map(FactVersionProp -> fv.toString,
           DimVersionProp -> dvs.mkString(";")))
+      // advance the retention floors WITH the covered versions: history
+      // behind the new pins is released to vacuum, history from them up
+      // stays readable for the next refresh. (A crash before this point
+      // leaves the pins lagging — strictly safe, vacuum just retains
+      // more until the next successful refresh.)
+      d.fact.setPin(pinName(mv), fv)
+      d.dims.zip(dvs).foreach { case (dim, v) =>
+        dim.table.setPin(pinName(mv), v) }
       armRouting(d.fact, d.dims, mv, d.groupCols,
         d.aggs.map { case (f, c, o) => MvRewrite.AggSpec(f, c, o) },
         fv, dvs)
@@ -349,6 +379,15 @@ object JoinMv {
     else if ((factMoved && !d.fact.changeFeedEnabled) ||
         dimMoved.zip(d.dims).exists { case (m, dim) =>
           m && !dim.table.changeFeedEnabled })
+      recompute()
+    // clean degrade: a pinned side snapshot vacuumed out from under the
+    // definition (operator VACUUM … IGNORE PINS, or retention that ran
+    // before this MV registered its pins) cannot serve the telescoped /
+    // touched-group reads — recompute from the heads, which re-advances
+    // every pin past the damage. Checked while PLANNING, so no slice
+    // merge ever starts against a half-readable side.
+    else if (!d.dims.indices.forall(i =>
+        d.dims(i).table.snapshotLive(dimPins(i))))
       recompute()
     else if (GraftSql.cdfMaintainable(d.aggs)) {
       // telescoped per-side slices: the MV invariant is

@@ -58,7 +58,8 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
                              metadataPath: String,
                              maxBytesPerTrigger: Option[Long] = None,
                              startingTimestamp: Option[String] = None,
-                             skipChangeCommits: Boolean = false)
+                             skipChangeCommits: Boolean = false,
+                             pinRetention: Boolean = true)
     extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -245,6 +246,14 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     val lo = start.map(_.json.toLong).getOrElse(baseVersion)
     val hi = end.json.toLong
     if (hi > served) { served = hi; persistServed() }
+    // retention floor on the source table: the engine may replay THIS
+    // batch after a restart, so vacuum must keep (lo, head] readable —
+    // the pin (named by the checkpoint, so SHOW PINS identifies the
+    // consumer) sits at the batch's start until [[commit]] advances it.
+    // Best-effort: a read-only mount must not fail the batch; an
+    // unpinned stream just keeps the pre-pin behavior (retention can
+    // outrun it). `pinRetention=false` opts out entirely.
+    setRetentionPin(math.max(lo, 0L))
     val df =
       if (cdf) {
         // default-start bootstrap: granular history is richer and is
@@ -289,13 +298,30 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
       // across delete/update/merge/overwrite commits, delivering only
       // the range's appends — the consumer has opted out of changes
       else table.readAddedBetween(lo, hi, onlyAppends = skipChangeCommits)
-    // column-mapping DDL landing AFTER this query declared its schema:
-    // the batch (current names) can no longer bind the declared (old)
-    // names — stop with guidance instead of an unresolved-column error.
-    // A RESTARTED query re-declares from the current mapping and streams
-    // straight across the DDL (a boundary Delta's source refuses without
-    // schema tracking).
-    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    // Column-mapping DDL landing AFTER this query declared its schema:
+    // a RENAME is metadata-only (same physical column, new name), so
+    // the batch — which reads under the table's CURRENT names —
+    // reverse-maps through the rename chain back to the DECLARED names
+    // and the stream rides across the DDL in one run (Delta needs
+    // schemaTrackingLocation + a restart for the same boundary). A
+    // restarted query re-declares from the current mapping and streams
+    // the new names from there. The chain walk starts at the declared
+    // name, so pre-declaration renames fall through harmlessly; a NEWER
+    // same-named column (rename n→c, then ADD COLUMN n) is dropped
+    // before the re-bind — the declared name must keep meaning the
+    // column the query started with, never a later impostor.
+    val renames = table.columnRenames // (version, from, to), commit order
+    def currentNameOf(declared: String): String =
+      renames.foldLeft(declared) { case (cur, (_, f, t)) =>
+        if (f == cur) t else cur }
+    val rebound = schema.fieldNames.foldLeft(df) { (acc, n) =>
+      val cur = currentNameOf(n)
+      if (cur == n || !acc.columns.contains(cur)) acc
+      else acc.drop(n).withColumnRenamed(cur, n)
+    }
+    // a DROPPED declared column has no data to reconstruct — stop with
+    // guidance instead of an unresolved-column error
+    val missing = schema.fieldNames.filterNot(rebound.columns.contains)
     if (missing.nonEmpty) sys.error(
       s"schema of ${table.root} changed under this query (column-mapping " +
         s"DDL; now missing: ${missing.mkString(",")}). Restart the query " +
@@ -304,11 +330,21 @@ final class GraftTableSource(table: VersionedTable, cdf: Boolean,
     // project to the declared schema: field order out of the feed is not
     // part of its contract, the source's schema is
     StreamShim.asStreaming(
-      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      rebound.select(
+        schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  /** Batch committed: the replay window now starts at `end`, so the
+    * retention floor advances there — history behind it is released to
+    * vacuum while (end, head] stays protected for the next batch. */
+  override def commit(end: V1Offset): Unit =
+    setRetentionPin(math.max(end.json.toLong, 0L))
   override def stop(): Unit = ()
+
+  private def setRetentionPin(v: Long): Unit =
+    if (pinRetention)
+      try table.setPin(s"stream:$metadataPath", v)
+      catch { case scala.util.control.NonFatal(_) => () }
   override def toString: String =
     s"GraftTableSource[${table.root}${if (cdf) ", cdf" else ""}]"
 }
@@ -639,7 +675,9 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       metadataPath,
       parameters.get("maxBytesPerTrigger").map(_.toLong).filter(_ > 0),
       parameters.get("startingTimestamp"),
-      skipChangeCommits = skip)
+      skipChangeCommits = skip,
+      pinRetention = !parameters.get("pinRetention")
+        .exists(_.trim.equalsIgnoreCase("false")))
     }
 
   override def createSink(sqlContext: SQLContext,

@@ -51,6 +51,12 @@ object ChangeFeedConsumer {
     // Pin the upper bound BEFORE reading: a commit landing between the
     // read and the position write must belong to the NEXT batch, or its
     // rows would be skipped forever.
+    // Retention floor on the source (best-effort): a replay after a
+    // crash re-reads (last, latest], so vacuum must not reclaim that
+    // range's change sets out from under the checkpoint.
+    if (last >= 0L)
+      try src.setPin(s"cdc:$checkpointDir", last)
+      catch { case scala.util.control.NonFatal(_) => () }
     f(src.readChangeFeed(last, Some(latest)), last, latest)
     val tmp = dir.resolve(s".position.tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, latest.toString)

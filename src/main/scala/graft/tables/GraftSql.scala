@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.StructType
   *   OPTIMIZE <table>                          -- bin-pack small file-sets
   *   OPTIMIZE <table> ZORDER BY (c1, c2, ...)  -- multi-column clustering
   *   OPTIMIZE <table> WHERE k = 'v' [AND ...]  -- one partition's cells only
-  *   VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]
+  *   VACUUM <table> [RETAIN n VERSIONS] [IGNORE PINS] [DRY RUN]
+  *   SHOW PINS <table>                        -- consumer retention floors
+  *   ALTER TABLE <table> DROP PIN '<name>'    -- release an abandoned consumer
   *   FSCK REPAIR TABLE <table> [DRY RUN]      -- drop refs to lost files
   *   RESTORE TABLE <table> TO VERSION AS OF n
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF 'yyyy-MM-dd HH:mm:ss'
@@ -180,9 +182,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case OptimizeWhereStmt(ident, preds) =>
       optimizePartition(resolve(ident), preds)
     case OptimizeStmt(ident, zcols) => optimize(resolve(ident), Option(zcols))
-    case VacuumStmt(ident, retain, dry) =>
+    case VacuumStmt(ident, retain, ignorePins, dry) =>
       vacuum(resolve(ident), Option(retain).map(_.toInt).getOrElse(1),
-        dryRun = dry != null)
+        dryRun = dry != null, respectPins = ignorePins == null)
     case FsckStmt(ident, dry) =>
       import spark.implicits._
       val (missing, entry) = resolve(ident).fsckRepair(dryRun = dry != null)
@@ -345,6 +347,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       owned(ident).fold(spark.sql(stmt)) { t =>
         import spark.implicits._
         t.tags.toSeq.sortBy(_._1).toDF("tag", "version")
+      }
+    case ShowPinsStmt(ident) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        import spark.implicits._
+        t.pinsDetail.toSeq.sortBy(_._1)
+          .map { case (n, (v, ts)) =>
+            (n, v, new java.sql.Timestamp(ts)) }
+          .toDF("pin", "version", "pinned_at")
+      }
+    case DropPinStmt(ident, pin) =>
+      owned(ident).fold(spark.sql(stmt)) { t =>
+        t.dropPin(pin)
+        import spark.implicits._
+        Seq(pin).toDF("dropped_pin")
       }
     // DML statements delegate like ANALYZE below: an identifier that is
     // not a graft table (unknown layer, no catalog bound) falls through
@@ -1041,6 +1057,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       GraftSql.MvVersionProp -> srcV.toString,
       GraftSql.MvEpochProp -> epoch.toString) ++
       where.map(GraftSql.MvWhereProp -> _))
+    // retention floor on the source: vacuum must not reclaim the
+    // covered version or the change/added sets above it, or every
+    // REFRESH after retention degrades to a full recompute
+    src.setPin(graft.plans.JoinMv.pinName(mv), srcV)
     // filtered definitions never arm transparent routing: the rewrite
     // rule serves only shapes it can prove equivalent, and a query
     // without the predicate must keep scanning the source. A REPLACE
@@ -1295,6 +1315,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     // stale covered-version property left by the crash
     if (srcV > v0Prop)
       mv.setProperties(Map(GraftSql.MvVersionProp -> srcV.toString))
+    // advance the retention floor with the covered version (no-op when
+    // already there); a crash before this just retains more until the
+    // next refresh
+    if (srcHistory.exists(_.version == srcV))
+      src.setPin(graft.plans.JoinMv.pinName(mv), srcV)
     if (where.isEmpty) armMvRewrite(src, mv, groupCols, aggs, srcV)
     else graft.plans.MvRewrite.deregisterRoot(mv.root) // defensive: never serve a filtered MV
     Seq((mvIdent, mode, srcV)).toDF("mv", "mode", "source_version")
@@ -1619,17 +1644,22 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * JVM default zone. */
   private def parseTsUtc(ts: String): Long = GraftSql.parseTsUtc(ts)
 
-  private def vacuum(tbl: VersionedTable, retain: Int,
-                     dryRun: Boolean): DataFrame = {
+  private def vacuum(tbl: VersionedTable, retain: Int, dryRun: Boolean,
+                     respectPins: Boolean = true): DataFrame = {
     import spark.implicits._
     require(retain >= 1, s"VACUUM: RETAIN $retain VERSIONS (must be >= 1)")
     if (dryRun)
-      tbl.vacuumDryRun(retainVersions = retain).toDF("path").orderBy("path")
+      // pin-held paths preview via the IGNORE PINS DRY RUN diff (and
+      // SHOW PINS names the consumers) — the default preview keeps its
+      // one-column contract and lists exactly what VACUUM would delete
+      tbl.vacuumDryRun(retainVersions = retain, respectPins = respectPins)
+        .toDF("path").orderBy("path")
     else {
       // one listing: vacuum() reports what it actually deleted, so
       // n_reclaimed can't drift from the deletes under concurrency
       // (and the directory walk + history parse happen once, not twice)
-      val deleted = tbl.vacuum(retainVersions = retain)
+      val deleted = tbl.vacuum(retainVersions = retain,
+        respectPins = respectPins)
       Seq(deleted.length.toLong).toDF("n_reclaimed")
     }
   }
@@ -2060,6 +2090,19 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             if (!t.exists && !ifExists) sys.error(s"table not found: $other")
             // an armed materialized view must un-arm before its files go
             graft.plans.MvRewrite.deregisterRoot(t.root)
+            // … and release its retention pins on the sources, or the
+            // dropped consumer would hold vacuum back forever (UNDROP
+            // note: pins are NOT restored — the next REFRESH re-advances
+            // them, degrading to a full recompute if retention ran in
+            // between)
+            if (t.exists) {
+              graft.plans.JoinMv.dropPins(spark, t)
+              t.properties.get(GraftSql.MvSourceProp).foreach { srcRoot =>
+                try VersionedTable(spark, srcRoot)
+                  .dropPin(graft.plans.JoinMv.pinName(t))
+                catch { case scala.util.control.NonFatal(_) => () }
+              }
+            }
             cat.dropTable(layer.toLowerCase, name)
             Some(Seq(other).toDF("dropped"))
           case _ => None
@@ -3374,7 +3417,13 @@ object GraftSql {
       """\s+COMPUTE\s+STATISTICS\s+FOR\s+ALL\s+COLUMNS\s*;?\s*""").r
   private val VacuumStmt =
     ("""(?is)\s*VACUUM\s+""" + Ident +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*""").r
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+IGNORE\s+PINS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*""").r
+  private val ShowPinsStmt =
+    ("""(?is)\s*SHOW\s+PINS\s+""" + Ident + """\s*;?\s*""").r
+  private val DropPinStmt =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
+      """\s+DROP\s+PIN\s+'([^']+)'\s*;?\s*""").r
   private val DescHistoryStmt =
     ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Ident + """\s*;?\s*""").r
   private val DescDetailStmt =

@@ -3902,8 +3902,86 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def vacuum(retainVersions: Int = 1): Seq[String] = {
-    val doomed = vacuumDryRun(retainVersions)
+  // ------------------------------------------------------------------ pins
+  // Consumer retention floors. A pin is a durable name → version record
+  // meaning "a registered consumer still reads from this version
+  // forward": a join-MV's telescoped refresh reads every side at its
+  // covered version and the change sets above it; a streaming
+  // checkpoint replays (committedFloor, head]. Tags answer "keep THIS
+  // snapshot forever" (immutable, human-made); pins answer "keep
+  // everything from HERE up, until the consumer advances" — they
+  // re-point forward on every refresh/batch and vacuum retains the
+  // pinned suffix, so retention can never silently break an
+  // incremental consumer into a failed read (Delta has no analog; its
+  // streams just die past the retention cliff).
+  //
+  // One FILE per pin (name hashed into the filename, full name in the
+  // JSON): concurrent consumers advance their own pins without a
+  // read-modify-write race on a shared registry, and an atomic
+  // replacing move makes each advance all-or-nothing.
+
+  private def pinsDir: Path = Paths.get(root, "_pins")
+  private def pinFile(name: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    pinsDir.resolve(s"$digest.json")
+  }
+
+  /** Live consumer pins: name → lowest version the consumer still
+    * reads. Metadata-only (one tiny file per registered consumer). */
+  def pins: Map[String, Long] = pinsDetail.map { case (n, (v, _)) => n -> v }
+
+  /** Pins with their last-advanced wall-clock (operator surface: an
+    * abandoned checkpoint's pin shows its age in SHOW PINS). */
+  def pinsDetail: Map[String, (Long, Long)] =
+    listDir(pinsDir)
+      .filterNot(_.getFileName.toString.startsWith(".")) // in-flight tmp
+      .flatMap { p =>
+      try VersionedTable.PinJson.findFirstMatchIn(Files.readString(p))
+        .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3).toLong)))
+      catch { case _: java.io.IOException => None } // races with drop
+    }.toMap
+
+  /** Record (or advance) consumer `name`'s retention floor. Unlike
+    * tags, pins RE-POINT: every refresh/batch moves its consumer's
+    * floor forward, releasing history behind it to vacuum. A no-op
+    * when the pin already sits at `version` (hot paths call this per
+    * slice/batch and must not churn small files). */
+  def setPin(name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.contains("\""),
+      s"setPin: bad pin name `$name`")
+    require(history.exists(_.version == version),
+      s"setPin: no version $version at $root")
+    if (pinsDetail.get(name).exists(_._1 == version)) return
+    Files.createDirectories(pinsDir)
+    val tmp = pinsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp,
+      s"""{"name":"$name","v":$version,"ts":${System.currentTimeMillis()}}""")
+    Files.move(tmp, pinFile(name), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Remove consumer `name`'s pin. Idempotent — teardown paths (DROP
+    * MATERIALIZED VIEW, abandoned checkpoints) must not fail on a pin
+    * that was never written or is already gone. */
+  def dropPin(name: String): Unit = {
+    Files.deleteIfExists(pinFile(name))
+    ()
+  }
+
+  /** Whether version `v`'s snapshot is still fully readable — every
+    * data file-set (and deletion vector) the entry references exists.
+    * The clean-degrade guard for consumers whose pinned version was
+    * vacuumed anyway (pin written after the fact, or an operator's
+    * IGNORE PINS): plan a full recompute instead of failing mid-read. */
+  def snapshotLive(v: Long): Boolean =
+    history.find(_.version == v).exists(e =>
+      e.fileSets.forall(fs => Files.exists(dataDir.resolve(fs))) &&
+        e.dvs.forall(dv => Files.exists(dvDir.resolve(dv))))
+
+  def vacuum(retainVersions: Int = 1,
+             respectPins: Boolean = true): Seq[String] = {
+    val doomed = vacuumDryRun(retainVersions, respectPins)
     doomed.foreach(rel => deleteRecursively(Paths.get(root).resolve(rel)))
     doomed
   }
@@ -3931,13 +4009,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * modification-time rule). Names tracked in EXPIRED history versions
     * are reclaimed regardless of age — that is the time-travel retention
     * cliff working as designed. */
-  def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
+  def vacuumDryRun(retainVersions: Int = 1,
+                   respectPins: Boolean = true): Seq[String] = {
     val h = history
     // tagged versions are retention-exempt: a tag IS the promise that
     // its snapshot stays readable (releases pinned for reproducibility)
     val tagged = tags.values.toSet
+    // consumer pins retain their whole SUFFIX (version >= floor): an
+    // incremental consumer reads its pinned snapshot AND every change
+    // set above it, so exempting only the pinned version would still
+    // sever the feed. respectPins=false (VACUUM … IGNORE PINS) is the
+    // operator override for an abandoned consumer — registered readers
+    // then degrade to a clean full recompute via [[snapshotLive]] /
+    // CdfNotExpressible instead of failing mid-read.
+    val pinFloor: Option[Long] =
+      if (respectPins) pins.values.minOption else None
     val retained = h.takeRight(retainVersions) ++
-      h.filter(e => tagged.contains(e.version))
+      h.filter(e => tagged.contains(e.version) ||
+        pinFloor.exists(e.version >= _))
     val keep = retained.flatMap(_.fileSets).toSet
     val keepDvs = retained.flatMap(_.dvs).toSet
     val keepCdf = retained.flatMap(_.cdf).toSet
@@ -3979,6 +4068,7 @@ object VersionedTable {
     ()
   }
   private val TagJson = """\{"name":"([^"]+)","v":(\d+)\}""".r
+  private val PinJson = """\{"name":"([^"]+)","v":(\d+),"ts":(\d+)\}""".r
 
   /** Widenings where every value of the narrow type is exactly
     * representable in the wide one (so pre-DDL arms stay faithful). */

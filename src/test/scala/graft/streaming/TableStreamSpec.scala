@@ -264,22 +264,54 @@ class TableStreamSpec extends SparkSpec {
       .collect().toSet === Set((3, "c")))
   }
 
-  test("a rename landing mid-run fails the OLD query's next batch loudly") {
+  test("a rename landing mid-run re-binds to the DECLARED names in the " +
+       "same run; a mid-run DROP of a declared column still stops loudly") {
     val root = tmpDir("ts-rnmid-")
+    val sink = tmpDir("ts-rnmid-sink-")
+    val cp = tmpDir("ts-rnmid-cp-")
     val t = VersionedTable(spark, root)
-    t.append(Seq((1, "a")).toDF("k", "v"))
-    // a long-lived query: its schema was declared BEFORE the DDL. The
-    // next batch (current names) can no longer bind `v` — it must stop
-    // with restart guidance, not an unresolved-column error.
-    val src = new GraftTableSource(VersionedTable(spark, root), cdf = false,
+    t.append(Seq((1, "a")).toDF("k", "v"))                        // v0
+    t.append(Seq((2, "b")).toDF("k", "v"))                        // v1
+    // ONE query run, rate-limited to one version per batch; the DDL
+    // lands between batch 0 and batch 1 INSIDE the run. A rename is
+    // metadata-only, so batch 1 (reading the table's current names)
+    // reverse-maps to the query's declared `v` and the run completes —
+    // Delta needs schemaTrackingLocation plus a restart here. An
+    // impostor under the old name is impossible by construction — ADD
+    // COLUMNS refuses re-using a renamed-away name.
+    val q = spark.readStream.format("graft-table")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 0L) t.renameColumn("v", "val")
+        VersionedTable(spark, sink).append(batch, txn = Some((cp, id)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = VersionedTable(spark, sink)
+    assert(out.read.columns.toSeq === Seq("k", "v"),
+      "the in-flight query must keep its declared names across a rename")
+    assert(out.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")),
+      "batch 1 must deliver the renamed column's data under the " +
+        "declared name")
+    // DROP of a declared column cannot be reconstructed — the
+    // stop-with-guidance stands
+    val t2root = tmpDir("ts-dropmid-")
+    val t2 = VersionedTable(spark, t2root)
+    t2.append(Seq((1, "a")).toDF("k", "v"))
+    val src2 = new GraftTableSource(t2, cdf = false,
       startingVersion = None, maxVersionsPerTrigger = None,
-      metadataPath = "file:" + tmpDir("ts-rnmid-cp-") + "/sources/0")
-    t.renameColumn("v", "val")
-    t.append(Seq((2, "b")).toDF("k", "val"))
+      metadataPath = "file:" + tmpDir("ts-dropmid-cp-") + "/sources/0")
+    t2.dropColumn("v")
+    t2.append(Seq(2).toDF("k"))
     val e = intercept[RuntimeException] {
-      src.getBatch(None,
+      src2.getBatch(None,
         org.apache.spark.sql.execution.streaming.runtime.LongOffset(
-          t.latestVersion.get))
+          t2.latestVersion.get))
     }
     assert(e.getMessage.contains("Restart the query") &&
       e.getMessage.contains("change feed"))
@@ -1039,5 +1071,42 @@ class TableStreamSpec extends SparkSpec {
       (1L, "update_preimage", 2, "b"), (1L, "update_postimage", 2, "b2"),
       (1L, "insert", 3, "c"),
       (2L, "delete", 1, "a")))
+  }
+
+  test("the source pins its committed floor on the table; retention " +
+       "cannot sever a checkpointed stream's replay range") {
+    val root = tmpDir("ts-pin-")
+    val sink = tmpDir("ts-pin-sink-")
+    val cp = tmpDir("ts-pin-cp-")
+    val t = VersionedTable(spark, root)
+    t.append(Seq((1, "a")).toDF("k", "v"))                       // v0
+    runOnce(root, cp, sink)
+    // the first batch registered a checkpoint-named retention floor
+    val pinned = t.pinsDetail.keys.filter(_.startsWith("stream:"))
+    assert(pinned.size === 1, s"expected one stream pin, got $pinned")
+    t.append(Seq((2, "b")).toDF("k", "v"))                       // v1
+    t.append(Seq((3, "c")).toDF("k", "v"))                       // v2
+    t.compact()                                                  // v3
+    // pin at the committed floor holds the backlog the restart replays
+    assert(t.vacuum(retainVersions = 1) === Seq.empty)
+    runOnce(root, cp, sink)
+    assert(VersionedTable(spark, sink).read
+      .as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // the floor advances with the NEXT batch (getBatch's lo is the
+    // committed offset; AvailableNow runs never commit() their last
+    // batch) — after one more batch, vacuum reclaims behind it
+    t.append(Seq((4, "d")).toDF("k", "v"))                       // v4
+    runOnce(root, cp, sink)
+    assert(t.pins(pinned.head) >= 3L,
+      "the restart's batch must advance the floor to its lo offset")
+    assert(t.vacuum(retainVersions = 1).nonEmpty)
+    // pinRetention=false opts out entirely
+    val root2 = tmpDir("ts-pin2-")
+    val t2 = VersionedTable(spark, root2)
+    t2.append(Seq((1, "a")).toDF("k", "v"))
+    runOnce(root2, tmpDir("ts-pin2-cp-"), tmpDir("ts-pin2-sink-"),
+      Map("pinRetention" -> "false"))
+    assert(t2.pins.isEmpty)
   }
 }

@@ -1402,4 +1402,96 @@ class MvSqlSpec extends SparkSpec {
         "the stale covered-version property must heal too")
     } finally MvRewrite.deregister(mv)
   }
+
+  test("pin-aware VACUUM on a join-MV dim: retention holds at the pinned " +
+       "floor so the telescoped refresh stays incremental; IGNORE PINS " +
+       "degrades it to a clean full recompute with the pin re-advanced") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val fact = cat.table("silver", "pfact")
+    val dim = cat.table("silver", "pdim")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, 10L), (2, 5L)).toDF("team", "pts"))
+    dim.append(Seq((1, "red"), (2, "blue")).toDF("team", "color"))  // dim v0
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_pin AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.pfact JOIN silver.pdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_pin")
+    val pin = s"mv:${mv.root}"
+    try {
+      // CREATE registered retention floors on BOTH sources
+      assert(fact.pins.get(pin).contains(fact.latestVersion.get))
+      assert(dim.pins.get(pin).contains(0L))
+      assert(sql.sql("SHOW PINS silver.pdim").select("pin", "version")
+        .as[(String, Long)].collect().toSeq === Seq((pin, 0L)))
+      // dim moves; default retention CANNOT reclaim the pinned suffix
+      dim.update(Map("color" -> lit("green")), col("team") === 2)   // dim v1
+      assert(sql.sql("VACUUM silver.pdim RETAIN 1 VERSIONS DRY RUN")
+        .count() === 0L, "the pin must hold the covered dim version")
+      assert(sql.sql("VACUUM silver.pdim RETAIN 1 VERSIONS")
+        .as[Long].head() === 0L)
+      // telescoped refresh path INTACT after retention ran
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_pin")
+        .select("mode").as[String].head() === "cdf-dims")
+      assert(mv.read.orderBy("color").as[(String, Long, Long, Long)]
+        .collect().toSeq === Seq(("green", 5L, 1L, 1L), ("red", 10L, 1L, 1L)))
+      // ... and the refresh advanced the floor, releasing old history
+      assert(dim.pins(pin) === dim.latestVersion.get)
+      assert(sql.sql("VACUUM silver.pdim RETAIN 1 VERSIONS")
+        .as[Long].head() > 0L, "advanced pin must release v0's files")
+      // operator override: IGNORE PINS reclaims the pinned snapshot
+      dim.update(Map("color" -> lit("cyan")), col("team") === 1)    // dim v2
+      assert(sql.sql(
+        "VACUUM silver.pdim RETAIN 1 VERSIONS IGNORE PINS")
+        .as[Long].head() > 0L)
+      assert(!dim.snapshotLive(dim.pins(pin)),
+        "IGNORE PINS must have reclaimed the pinned dim snapshot")
+      // the refresh DEGRADES cleanly: full recompute, correct values,
+      // pin re-advanced past the damage
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_pin")
+        .select("mode").as[String].head() === "full")
+      assert(mv.read.orderBy("color").as[(String, Long, Long, Long)]
+        .collect().toSeq === Seq(("cyan", 10L, 1L, 1L), ("green", 5L, 1L, 1L)))
+      assert(dim.pins(pin) === dim.latestVersion.get)
+      assert(dim.snapshotLive(dim.pins(pin)))
+    } finally MvRewrite.deregister(mv)
+  }
+
+  test("single-table MV pins its source; retention keeps the incremental " +
+       "path; DROP TABLE releases the pin; ALTER TABLE DROP PIN is the " +
+       "manual override") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "psrc")
+    src.append(Seq(("a", 10L), ("b", 5L)).toDF("k", "v"))           // v0
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_ps AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.psrc GROUP BY k")
+    val mv = cat.table("gold", "mv_ps")
+    val pin = s"mv:${mv.root}"
+    try {
+      assert(src.pins.get(pin).contains(0L))
+      src.append(Seq(("a", 1L)).toDF("k", "v"))                     // v1
+      src.append(Seq(("b", 2L)).toDF("k", "v"))                     // v2
+      sql.sql("OPTIMIZE silver.psrc")                               // v3
+      // the pin holds the added sets the next refresh still reads
+      assert(sql.sql("VACUUM silver.psrc RETAIN 1 VERSIONS")
+        .as[Long].head() === 0L)
+      assert(sql.sql("REFRESH MATERIALIZED VIEW gold.mv_ps")
+        .select("mode").as[String].head() === "incremental",
+        "retention must not demote the refresh to a full recompute")
+      assert(mv.read.orderBy("k").as[(String, Long, Long)]
+        .collect().toSeq === Seq(("a", 11L, 2L), ("b", 7L, 2L)))
+      assert(src.pins(pin) === 3L)
+      // the advanced pin releases the pre-compaction history
+      assert(sql.sql("VACUUM silver.psrc RETAIN 1 VERSIONS")
+        .as[Long].head() > 0L)
+      // DROP TABLE tears the consumer down: the pin goes with it
+      sql.sql("DROP TABLE gold.mv_ps")
+      assert(!src.pins.contains(pin))
+      // manual override surface (abandoned consumers)
+      src.setPin("stream:/dead/checkpoint", 3L)
+      sql.sql("ALTER TABLE silver.psrc DROP PIN 'stream:/dead/checkpoint'")
+      assert(src.pins.isEmpty)
+    } finally MvRewrite.deregisterRoot(mv.root)
+  }
 }

@@ -2068,4 +2068,37 @@ class VersionedTableSpec extends SparkSpec {
     t.compact()                                                // v4
     assert(t.changeFeedExpressible(2L, 4L))
   }
+
+  test("consumer pins: setPin re-points, dropPin is idempotent, vacuum " +
+       "retains the pinned suffix until the pin advances or IGNORE PINS") {
+    val t = VersionedTable(spark, tmpDir("graft-pin-"))
+    (0 until 3).foreach(i => t.append(Seq((i, s"v$i")).toDF("k", "v")))
+    t.compact()                                                   // v3
+    // pins API: record, re-point, detail carries a timestamp
+    t.setPin("mv:/consumers/a", 1L)
+    assert(t.pins === Map("mv:/consumers/a" -> 1L))
+    t.setPin("mv:/consumers/a", 0L)                               // re-point
+    assert(t.pins("mv:/consumers/a") === 0L)
+    assert(t.pinsDetail("mv:/consumers/a")._2 > 0L)
+    intercept[IllegalArgumentException](t.setPin("mv:x", 99L))
+    // the pinned suffix (v0..head) holds everything back
+    assert(t.vacuumDryRun(retainVersions = 1) === Seq.empty)
+    // ... but IGNORE PINS previews the real blast radius
+    assert(t.vacuumDryRun(retainVersions = 1, respectPins = false)
+      .nonEmpty)
+    // pin advance releases history behind it
+    t.setPin("mv:/consumers/a", 3L)
+    val doomed = t.vacuumDryRun(retainVersions = 1)
+    assert(doomed.nonEmpty)
+    assert(t.vacuum(retainVersions = 1) === doomed)
+    // snapshotLive: the head survived, the pre-compaction versions died
+    assert(t.snapshotLive(3L))
+    assert(!t.snapshotLive(0L))
+    // dropPin: idempotent, and the registry empties
+    t.dropPin("mv:/consumers/a")
+    t.dropPin("mv:/consumers/a")
+    assert(t.pins === Map.empty)
+    assert(t.read.orderBy("k").as[(Int, String)].collect().toSeq ===
+      Seq((0, "v0"), (1, "v1"), (2, "v2")))
+  }
 }

@@ -803,7 +803,6 @@ object SparkEntry {
     }),
 
     "q_curation_pipeline_full" -> ((s, dir) => {
-      import org.apache.spark.storage.StorageLevel
       val txt = col("text")
       val d = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), txt)
@@ -826,15 +825,15 @@ object SparkEntry {
             .cast("long").as("q4i"),
           TextAnalysis.tokenCount(txt).as("toks"))
         .filter(col("lang") === "en" && col("q4i") >= 5000)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val afterExact = Dedup.exact(filtered)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // plan truncation: 4 ledger aggs + 3 dedup
+      val afterExact = Dedup.exact(filtered) // stages re-analyze the
+        .localCheckpoint()                   // chain per action otherwise
       val minhashLosers = Dedup.minhashNearDupPairs(afterExact,
           jaccardThreshold = 1.0, maxBucketSize = Int.MaxValue)
         .select(col("doc_id_b").as("doc_id")).distinct()
       val afterMinhash = afterExact.join(minhashLosers, Seq("doc_id"),
           "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").cast("long").as("doc_id"), col("embedding"))
       val embAll = emb.unionByName(emb.filter(col("doc_id") % 9 === 0)

@@ -99,14 +99,22 @@ object IncrementalCuration {
     * re-joins the (batch-sized) survivors exactly, so the Bloom's false
     * positives only cost a few extra rows, never correctness. */
   private def bloomProbe(state: DataFrame, stateKey: Column,
-                         batchKeys: DataFrame): DataFrame = {
+                         batchKeys: DataFrame,
+                         expectedItems: Long): DataFrame = {
     val b = batchKeys
       .select(col(batchKeys.columns.head).cast("long").as("k")).na.drop()
-    val n = b.count()
-    // an empty probe set (delete-only slice, no candidates) can match
-    // nothing — and stat.bloomFilter over zero rows yields no sketch
-    if (n == 0) return state.limit(0)
-    val bloom = b.stat.bloomFilter("k", n, 0.01)
+    // sized from the SLICE row count the caller already holds (an upper
+    // bound keeps the fpp promise; an underestimate only raises fpp on
+    // a prefilter that exact joins verify anyway) instead of a
+    // per-probe count() job — three probes per slice made that three
+    // driver-blocking jobs
+    if (expectedItems <= 0) return state.limit(0)
+    val bloom =
+      try b.stat.bloomFilter("k", expectedItems, 0.01)
+      catch { case scala.util.control.NonFatal(_) => null }
+    // an empty probe set (all candidates filtered out upstream) can
+    // match nothing — stat.bloomFilter over zero rows yields no sketch
+    if (bloom == null) return state.limit(0)
     val name = "graft_bloom_cur_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     graft.functions.TransientFunctions.register(state.sparkSession,
@@ -120,6 +128,16 @@ object IncrementalCuration {
   /** Consume every unconsumed commit of the `docs` source into the
     * workspace. Returns the applied version range, or None when caught
     * up. O(changed docs) per call. */
+  private def tlog[A](label: String)(f: => A): A = {
+    if (!sys.env.contains("GRAFT_CUR_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[cur] $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def sync(src: VersionedTable, root: String, cfg: Config = Config(),
            idCol: String = "doc_id", textCol: String = "text"): Option[(Long, Long)] = {
     val spark = src.spark
@@ -140,15 +158,25 @@ object IncrementalCuration {
           col("_change_type").as("__ct"),
           col("_commit_version").as("__cv"))
         .repartition(spark.sparkContext.defaultParallelism)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint, not persist, for every batch-sized decision
+        // set in this pipeline: the probe/dedup trees nest deeply, and
+        // Catalyst re-analyzes the FULL logical tree for every action
+        // built on top — by the final merges the driver was spending
+        // 3-5 SECONDS per action on planning alone (measured; the jobs
+        // inside summed to <1s). Truncating the lineage to a LogicalRDD
+        // makes every downstream plan shallow. The frames are O(changed
+        // docs) and the slice replays idempotently from the txn markers
+        // if an executor dies mid-batch, so the durability trade is
+        // safe here.
+        .localCheckpoint()
       // ONE tiny change-type-count job (column pruning keeps the text
       // payload out of it) decides which per-key windows the slice
       // actually needs: an insert-only batch — the bootstrap, and every
       // plain append — has no pre-states and exactly one row per key,
       // so both windows (each a full shuffle of the TEXT payload) are
       // provably no-ops and are skipped
-      val ctCounts = classified.groupBy("__ct").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ctCounts = tlog("ctCounts")(classified.groupBy("__ct").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
       val insertOnly = ctCounts.keySet.subsetOf(Set("insert"))
       // phase 1 input: every key that had a pre-state (update pre-image
       // or delete payload) leaves kept/hashes/bands; an updated key
@@ -160,44 +188,46 @@ object IncrementalCuration {
              .isin("update_preimage", "delete")),
            Seq("doc_id"), "__cv"))
         .select(col("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       try {
         // ------------------------------------------------ phase 1: purge
-        val havePre = (
-          ctCounts.getOrElse("update_preimage", 0L) +
-            ctCounts.getOrElse("delete", 0L) > 0 && !pre.isEmpty)
-        if (havePre && kept.exists) {
-          // hash rows are owned by the WINNER id — a purged key deletes
-          // its content class's row only if it owns it. The purge slice
-          // can carry SEVERAL doc_ids of one content class (a winner
-          // purged together with its suppressed duplicates), and a
-          // clause merge keyed on content_hash would pair the one
-          // target row with every same-hash source row — each
-          // non-owner pairing fires no clause and RE-EMITS the row, so
-          // the winner's row would survive its own purge (and
-          // duplicate). Keep only owner rows up front (semi-join on
-          // (content_hash, doc_id) — `hashes` has one owner per hash,
-          // so at most one source row per key survives), then the
-          // delete is unconditional and 1:1.
-          hashes.merge(
+        // nonemptiness of `pre` follows from the counts (firstPerKey of a
+        // nonempty filter) — probing pre.isEmpty was a whole extra window
+        // job on the text payload
+        val havePre = ctCounts.getOrElse("update_preimage", 0L) +
+          ctCounts.getOrElse("delete", 0L) > 0
+        val sliceRows = ctCounts.values.sum
+        // The purge no longer commits on its own: its tombstones ride
+        // the SAME bucket-COW merge as the slice's admissions — one
+        // commit per state table per slice instead of two (at change-
+        // batch sizes the per-commit fixed cost dominates the sync).
+        // Purge-before-admit ordering is preserved by COMPENSATING the
+        // admission probes with the leaving keys (state rows about to
+        // tombstone must not suppress arrivals), and tombstone/upsert
+        // key conflicts drop toward the upsert (sequential
+        // delete-then-insert lands the insert too).
+        //
+        // hash rows are owned by the WINNER id — a purged key deletes
+        // its content class's row only if it owns it. The purge slice
+        // can carry SEVERAL doc_ids of one content class (a winner
+        // purged together with its suppressed duplicates), and a
+        // clause merge keyed on content_hash would pair the one
+        // target row with every same-hash source row — each
+        // non-owner pairing fires no clause and RE-EMITS the row, so
+        // the winner's row would survive its own purge (and
+        // duplicate). Keep only owner rows up front (semi-join on
+        // (content_hash, doc_id) — `hashes` has one owner per hash,
+        // so at most one source row per key survives), then the
+        // delete is unconditional and 1:1.
+        val purgeOwners: Option[DataFrame] =
+          if (havePre && hashes.exists) Some(
             pre.select(sha2(col("text"), 256).as("content_hash"),
                 col("doc_id"))
               .join(hashes.read.select("content_hash", "doc_id"),
                 Seq("content_hash", "doc_id"), "left_semi")
-              .withColumn(Merge.DeleteCol, lit(true)),
-            Seq("content_hash"),
-            txn = Some((appId + ":ph", hi)))
-          bands.merge(
-            bandsOf(pre, "text", cfg)
-              .withColumn(Merge.DeleteCol, lit(true)),
-            Seq("band_idx", "band_hash", "doc_id"),
-            txn = Some((appId + ":pb", hi)))
-          kept.merge(
-            pre.select(col("doc_id"))
-              .withColumn(Merge.DeleteCol, lit(true)),
-            Seq("doc_id"), txn = Some((appId + ":pk", hi)))
-          ()
-        }
+              .localCheckpoint())
+          else None
+        try {
         // ------------------------------------------------ phase 2: admit
         val fin = Keyed.latestPerKey(
           classified.filter(col("__ct") =!= "update_preimage"),
@@ -216,22 +246,27 @@ object IncrementalCuration {
         // within-batch exact (min-id winner per content class)
         val batchExact = Keyed.firstPerKey(scored,
             Seq("content_hash"), "doc_id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         try {
         // a purge-only slice (deletes, or nothing passing the filter)
         // has no admission work — and must not pay three empty merge
         // job chains to find that out (plain `if`, not a return: a
         // non-local return would unwind past the consumer's position
         // commit and replay the slice forever)
-        if (!batchExact.isEmpty) {
+        if (!tlog("batchExact.isEmpty")(batchExact.isEmpty)) {
           // against-state exact: probe `hashes` behind a Bloom of the
           // batch's hash set; exclude self-matches (replay stability)
+          // AND the leaving owners (their rows tombstone in this same
+          // slice's merge — a departing doc must not suppress arrivals)
           val exactSurvivors = {
             if (!hashes.exists) batchExact
             else {
-              val hit = bloomProbe(hashes.read,
+              val hitRaw = bloomProbe(hashes.read,
                 xxhash64(col("content_hash")),
-                batchExact.select(xxhash64(col("content_hash")).as("k")))
+                batchExact.select(xxhash64(col("content_hash")).as("k")),
+                sliceRows)
+              val hit = purgeOwners.fold(hitRaw)(po =>
+                hitRaw.join(po, Seq("content_hash", "doc_id"), "left_anti"))
               batchExact.as("n").join(hit.as("o"),
                   col("n.content_hash") === col("o.content_hash") &&
                     col("n.doc_id") =!= col("o.doc_id"), "left_anti")
@@ -245,7 +280,7 @@ object IncrementalCuration {
               shinglesOf(col("text"), cfg).as("shingles"))
             .withColumn("sig", call_function("graft_minhash_hashes",
               col("shingles"), lit(cfg.numHashes)))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
           try {
           // within-batch near-dup: the batch alone through the standard
           // banded pipeline; losers are the larger ids of each pair
@@ -255,7 +290,7 @@ object IncrementalCuration {
             .select(col("doc_id_b").as("doc_id")).distinct()
           val afterLocal = exactSurvivors
             .join(localLosers, Seq("doc_id"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
           try {
             val r = cfg.numHashes / cfg.bands
             val newBands = sigd
@@ -264,7 +299,7 @@ object IncrementalCuration {
                 posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
                   b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
                   .as(Seq("band_idx", "band_hash")))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .localCheckpoint()
             try {
             // against-state near-dup: batch bands probe the `bands`
             // table behind a Bloom; exact Jaccard verify reads ONLY the
@@ -276,16 +311,24 @@ object IncrementalCuration {
                   val hitBands = bloomProbe(bands.read,
                     xxhash64(col("band_hash"), col("band_idx")),
                     newBands.select(
-                      xxhash64(col("band_hash"), col("band_idx")).as("k")))
-                  val cand = newBands.as("n").join(hitBands.as("o"),
+                      xxhash64(col("band_hash"), col("band_idx")).as("k")),
+                    sliceRows * cfg.bands)
+                  val cand0 = newBands.as("n").join(hitBands.as("o"),
                       col("n.band_idx") === col("o.band_idx") &&
                         col("n.band_hash") === col("o.band_hash") &&
                         col("n.doc_id") =!= col("o.doc_id"))
                     .select(col("n.doc_id").as("new_id"),
                       col("o.doc_id").as("old_id"))
                     .distinct()
+                  // a LEAVING kept doc tombstones in this slice's merge
+                  // and must not suppress arrivals
+                  val cand =
+                    if (!havePre) cand0
+                    else cand0.join(pre.select(col("doc_id").as("old_id")),
+                      Seq("old_id"), "left_anti")
                   val oldDocs = bloomProbe(kept.read, col("doc_id"),
-                      cand.select(col("old_id").as("k")))
+                      cand.select(col("old_id").as("k")),
+                      sliceRows * cfg.bands)
                     .select(col("doc_id").as("old_id"),
                       shinglesOf(col("text"), cfg).as("sh_o"))
                   cand
@@ -302,28 +345,71 @@ object IncrementalCuration {
             }
             val survivors = afterLocal
               .join(stateLosers, Seq("doc_id"), "left_anti")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .localCheckpoint()
             try {
-              // ---------------------------------- phase 3: state merges
-              kept.merge(survivors
-                  .select("doc_id", "text", "toks", "q4i"),
-                Seq("doc_id"), numBuckets = cfg.numBuckets,
-                txn = Some((appId + ":k", hi)))
-              hashes.merge(survivors.select("content_hash", "doc_id"),
-                Seq("content_hash"), numBuckets = cfg.numBuckets,
-                txn = Some((appId + ":h", hi)))
-              bands.merge(
-                newBands.join(survivors.select("doc_id"), Seq("doc_id")),
-                Seq("band_idx", "band_hash", "doc_id"),
-                numBuckets = cfg.numBuckets,
-                txn = Some((appId + ":b", hi)))
+              // ------------- phase 3: state merges (tombstones ride in)
+              // ONE bucket-COW commit per table: the slice's purge
+              // tombstones union with its upserts (key conflicts
+              // dropped toward the upsert — sequential delete-then-
+              // insert lands the insert; tombstone-only rows carry
+              // keys + marker, unionByName nulls the rest). Each
+              // combined batch is PERSISTED first: merge evaluates its
+              // update batch several times (dedup, delete/data split,
+              // cell staging), and re-running the probe pipeline per
+              // evaluation would cost more than the saved commits.
+              def merged(up: DataFrame, tomb: Option[DataFrame],
+                         keys: Seq[String], label: String): Unit = {
+                val batch = tomb.fold(up)(tb =>
+                  up.withColumn(Merge.DeleteCol, lit(false))
+                    .unionByName(tb.withColumn(Merge.DeleteCol, lit(true)),
+                      allowMissingColumns = true))
+                tlog(s"merge $label")(
+                  (if (label == "kept") kept
+                   else if (label == "hashes") hashes else bands)
+                    .merge(batch, keys, numBuckets = cfg.numBuckets,
+                      txn = Some((appId + ":" + label.head, hi))))
+                ()
+              }
+              merged(survivors.select("doc_id", "text", "toks", "q4i"),
+                purgeOwners.map(_ => pre.select(col("doc_id"))
+                  .join(survivors.select("doc_id"), Seq("doc_id"),
+                    "left_anti")),
+                Seq("doc_id"), "kept")
+              merged(survivors.select("content_hash", "doc_id"),
+                purgeOwners.map(_.join(survivors.select("content_hash"),
+                  Seq("content_hash"), "left_anti")),
+                Seq("content_hash"), "hashes")
+              val bandUp = newBands
+                .join(survivors.select("doc_id"), Seq("doc_id"))
+              merged(bandUp,
+                purgeOwners.map(_ => bandsOf(pre, "text", cfg)
+                  .join(bandUp.select("band_idx", "band_hash", "doc_id"),
+                    Seq("band_idx", "band_hash", "doc_id"), "left_anti")),
+                Seq("band_idx", "band_hash", "doc_id"), "bands")
               ()
             } finally { survivors.unpersist(); () }
             } finally { newBands.unpersist(); () }
           } finally { afterLocal.unpersist(); () }
           } finally { sigd.unpersist(); () }
+        } else if (purgeOwners.nonEmpty) {
+          // purge-only slice (deletes, or nothing passing the filter):
+          // tombstone-only merges, still one commit per table
+          tlog("purge hashes.merge")(hashes.merge(
+            purgeOwners.get.withColumn(Merge.DeleteCol, lit(true)),
+            Seq("content_hash"), txn = Some((appId + ":h", hi))))
+          tlog("purge bands.merge")(bands.merge(
+            bandsOf(pre, "text", cfg)
+              .withColumn(Merge.DeleteCol, lit(true)),
+            Seq("band_idx", "band_hash", "doc_id"),
+            txn = Some((appId + ":b", hi))))
+          tlog("purge kept.merge")(kept.merge(
+            pre.select(col("doc_id"))
+              .withColumn(Merge.DeleteCol, lit(true)),
+            Seq("doc_id"), txn = Some((appId + ":k", hi))))
+          ()
         }
         } finally { batchExact.unpersist(); () }
+        } finally { purgeOwners.foreach { po => po.unpersist(); () } }
       } finally { pre.unpersist(); classified.unpersist(); () }
     }
   }

@@ -4320,6 +4320,54 @@ object SparkEntry {
         CAST($nVersions AS BIGINT) AS n_versions""")
     }),
 
+    // EXPLAIN REWRITE operability surface: the MV-routing decision and
+    // its reason for every shape a user hits — served (exact and
+    // rollup), rejected (uncovered group), shape-bail, stale-fell-back
+    // (source moved), served-again after REFRESH, and no-aggregate.
+    // Every decision and reason string is deterministic from the DDL,
+    // so the whole relation hash-checks against literal rows.
+    "q_sql_explain_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-sqlexpr-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val src = cat.table("silver", "nat")
+      src.append(t(s, dir, "nation").select(
+        col("n_regionkey").cast("long").as("rk"),
+        col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name")))
+      val gsql = graft.tables.GraftSql(s, cat)
+      gsql.sql("CREATE MATERIALIZED VIEW gold.mv_nat AS SELECT rk, " +
+        "sum(k) AS sum_k, count(*) AS cnt FROM silver.nat GROUP BY rk")
+      cat.registerViews()
+      def dec(q: String): (String, Boolean, String) = {
+        val r = gsql.sql("EXPLAIN REWRITE " + q)
+          .select("decision", "mv", "reason").head()
+        (r.getString(0), r.getString(1).nonEmpty, r.getString(2))
+      }
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Boolean, String)]
+      def step(name: String, q: String): Unit =
+        { val (d, m, why) = dec(q); rows += ((name, d, m, why)); () }
+      step("1_served_exact",
+        "SELECT rk, sum(k) AS s FROM silver_nat GROUP BY rk")
+      step("2_served_rollup", "SELECT sum(k) AS s FROM silver_nat")
+      step("3_rejected_group",
+        "SELECT name, sum(k) AS s FROM silver_nat GROUP BY name")
+      step("4_shape_bail",
+        "SELECT rk + 1 AS r2, sum(k) AS s FROM silver_nat GROUP BY rk + 1")
+      step("5_no_aggregate", "SELECT * FROM silver_nat")
+      src.append(Seq((99L, 999L, "zz")).toDF("rk", "k", "name"))
+      cat.registerViews()
+      step("6_stale_fell_back",
+        "SELECT rk, sum(k) AS s FROM silver_nat GROUP BY rk")
+      gsql.sql("REFRESH MATERIALIZED VIEW gold.mv_nat")
+      step("7_served_after_refresh",
+        "SELECT rk, sum(k) AS s FROM silver_nat GROUP BY rk")
+      rows.toSeq.toDF("step", "decision", "has_mv", "reason")
+        .orderBy("step")
+    }),
+
     // SQL DML lifecycle (reference smoke flow
     // 01_environment_smoke_test.py:74-93 + backlog MERGE pattern
     // docs/backlog.md:49-51): CTAS → INSERT VALUES → UPDATE → DELETE →
@@ -4831,6 +4879,24 @@ object SparkEntry {
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
         |  'rk' AS layout
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_explain_rewrite" ->
+      """SELECT * FROM (VALUES
+        | ('1_served_exact', 'served', TRUE,
+        |  'exact group match — a projection of the MV'),
+        | ('2_served_rollup', 'served', TRUE,
+        |  'group subset — re-aggregated rollup of the MV'),
+        | ('3_rejected_group', 'rejected', TRUE,
+        |  'query groups by column(s) the MV does not group by: name'),
+        | ('4_shape_bail', 'shape-bail', FALSE,
+        |  'the aggregate''s source is not a plain (filtered) read of graft table snapshots, or an inner equi-join of them, or carries expressions the decomposition refuses'),
+        | ('5_no_aggregate', 'no-aggregate', FALSE,
+        |  'transparent MV routing serves Aggregate shapes only'),
+        | ('6_stale_fell_back', 'stale-fell-back', TRUE,
+        |  'armed over a DIFFERENT snapshot of the same table(s) — the source moved since the MV''s covered version; REFRESH MATERIALIZED VIEW re-arms it'),
+        | ('7_served_after_refresh', 'served', TRUE,
+        |  'exact group match — a projection of the MV')
+        |) AS t(step, decision, has_mv, reason) ORDER BY step""".stripMargin,
 
     "q_m19_pin_vacuum" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

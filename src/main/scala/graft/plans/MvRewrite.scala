@@ -299,11 +299,149 @@ object MvRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations = cur ++ add
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (entries.isEmpty) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val trace = explainTrace.get()
+    if (trace != null) {
+      // EXPLAIN REWRITE mode: record the decision for every Aggregate
+      // exactly where the real rewrite would fire (same optimizer
+      // position, same decomposition inputs), but leave the plan
+      // untouched — an explain must not serve anything
+      plan.foreachUp {
+        case agg: Aggregate => traceAggregate(agg, trace)
+        case _ => ()
+      }
+      plan
+    } else if (entries.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
+  }
+
+  private val explainTrace = new ThreadLocal[
+    scala.collection.mutable.ArrayBuffer[(String, String, String, String)]]
+
+  /** `EXPLAIN REWRITE` surface: the routing decision for every
+    * Aggregate of the query with its reason — (aggregate label,
+    * mv root, decision, reason) — without executing anything. Runs the
+    * REAL optimizer with the rule in trace mode, so the report can
+    * never drift from what a genuine run would decide. Decisions:
+    * `served` (this MV answers the aggregate), `rejected` (covers the
+    * snapshot but not this query surface, with why), `not-considered`
+    * (a cheaper covering MV already serves), `shape-bail`,
+    * `stale-fell-back` (an MV over the same table(s) is armed at a
+    * DIFFERENT snapshot — refresh to re-arm), and `no-candidates`. */
+  def explainRewrite(df: org.apache.spark.sql.DataFrame)
+      : Seq[(String, String, String, String)] = {
+    install(df.sparkSession) // idempotent; tracing needs the rule in place
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    explainTrace.set(buf)
+    try { df.queryExecution.optimizedPlan; () }
+    finally explainTrace.remove()
+    // the optimizer may run the user-rule batch more than once —
+    // identical re-decisions dedup
+    val rows = buf.distinct.toSeq
+    if (rows.nonEmpty) rows
+    else Seq(("", "", "no-aggregate",
+      "transparent MV routing serves Aggregate shapes only"))
+  }
+
+  private def traceAggregate(agg: Aggregate,
+      out: scala.collection.mutable.ArrayBuffer[
+        (String, String, String, String)]): Unit = {
+    def rootOfPath(p: String): String = {
+      val i = p.lastIndexOf(VersionedTable.DataDirMarker)
+      if (i < 0) p else p.substring(0, i)
+    }
+    def rootsOf(sig: RegSig): Set[String] = sig match {
+      case ScanSig(s) => s.totalPaths.map(rootOfPath)
+      case JoinSig(sides, _) =>
+        sides.flatMap(_.totalPaths.map(rootOfPath)).toSet
+    }
+    {
+        val label =
+          if (agg.groupingExpressions.isEmpty) "global"
+          else agg.groupingExpressions.map(_.sql).mkString(",")
+        if (entries.isEmpty)
+          out += ((label, "", "no-candidates",
+            "no materialized views are armed in this session"))
+        else decomposeAny(agg.child) match {
+          case None =>
+            out += ((label, "", "shape-bail",
+              "the aggregate's source is not a plain (filtered) read " +
+                "of graft table snapshots, or an inner equi-join of " +
+                "them, or carries expressions the decomposition refuses"))
+          case Some(q)
+              if !agg.groupingExpressions
+                .forall(_.isInstanceOf[AttributeReference]) =>
+            out += ((label, "", "shape-bail",
+              "grouping expressions must be plain columns"))
+          case Some(q) =>
+            val groupAttrs = agg.groupingExpressions
+              .map(_.asInstanceOf[AttributeReference])
+            val covering = entries.asScala.toSeq
+              .filter { case (_, e) => coversReg(e.sig, q.sig) }
+            if (covering.isEmpty) {
+              val qRoots = rootsOf(q.sig)
+              val stale = entries.asScala
+                .filter { case (_, e) =>
+                  rootsOf(e.sig).exists(qRoots.contains) }
+                .keys.toSeq.sorted
+              if (stale.nonEmpty) stale.foreach(r =>
+                out += ((label, r, "stale-fell-back",
+                  "armed over a DIFFERENT snapshot of the same " +
+                    "table(s) — the source moved since the MV's " +
+                    "covered version; REFRESH MATERIALIZED VIEW " +
+                    "re-arms it")))
+              else
+                out += ((label, "", "no-candidates",
+                  "no armed MV reads this query's table(s)"))
+            } else {
+              val ordered =
+                if (covering.sizeIs > 1) covering.sortBy(_._2.cost)
+                else covering
+              var served = false
+              ordered.foreach { case (root, e) =>
+                if (served)
+                  out += ((label, root, "not-considered",
+                    "a covering MV with fewer stored bytes already " +
+                      "serves this aggregate"))
+                else rewriteAgainst(agg, groupAttrs, q.filters, e) match {
+                  case Some(_) =>
+                    served = true
+                    out += ((label, root, "served",
+                      (if (agg.groupingExpressions.map(_.asInstanceOf[
+                          AttributeReference].name).toSet ==
+                          e.groupCols.toSet)
+                        "exact group match — a projection of the MV"
+                      else "group subset — re-aggregated rollup of " +
+                        "the MV") +
+                        (if (ordered.sizeIs > 1)
+                          " (cheapest covering candidate)" else "")))
+                  case None =>
+                    val qGroups = groupAttrs.map(_.name).toSet
+                    val mvGroups = e.groupCols.toSet
+                    val why =
+                      if (!qGroups.subsetOf(mvGroups))
+                        "query groups by column(s) the MV does not " +
+                          s"group by: ${(qGroups -- mvGroups).toSeq.sorted.mkString(",")}"
+                      else if (!q.filters.forall(_.references
+                          .forall(a => mvGroups(a.name))))
+                        "a filter references non-group columns — row " +
+                          "predicates cannot apply to pre-aggregated rows"
+                      else
+                        "the aggregate surface is not covered by the " +
+                          "MV's stored aggregates (unsupported function, " +
+                          "distinct/FILTER clause, or an expression the " +
+                          "rewrite refuses)"
+                    out += ((label, root, "rejected", why))
+                }
+              }
+            }
+        }
+    }
+    ()
+  }
 
   // ------------------------------------------------- source decomposition
 

@@ -407,8 +407,20 @@ final class GraftTableSink(root: String, appId: String,
                            joinDims: Seq[String] = Nil,
                            joinKeys: Seq[Seq[(String, String)]] = Nil,
                            joinPins: Option[Seq[Long]] = None,
-                           dedupKeys: Seq[String] = Nil)
+                           dedupKeys: Seq[String] = Nil,
+                           ownerTakeover: Boolean = false)
     extends Sink {
+
+  /** Stateful modes are single-writer per table: claim the sink lease
+    * before the first batch writes anything (once per sink instance —
+    * the claim is idempotent for this appId, so restarts re-claim
+    * silently; a SECOND stream under a different checkpoint refuses
+    * loudly, or takes over with `sinkOwnerTakeover=true`). Plain
+    * append/complete sinks skip the lease — concurrent appends are
+    * OCC-safe by design. */
+  private val needsLease = aggregate.nonEmpty || applyChanges ||
+    dedupKeys.nonEmpty || mergeKeys.nonEmpty || autoCompactEvery.nonEmpty
+  @volatile private var leased = false
 
   /** The pinned dim sides of a join-shaped streaming MV, resolved from
     * the MV's recorded properties (every batch after the first) or
@@ -485,6 +497,10 @@ final class GraftTableSink(root: String, appId: String,
   private def keysRepr: String = graft.plans.JoinMv.formatKeys(joinKeys)
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val table = VersionedTable(data.sparkSession, root)
+    if (needsLease && !leased) {
+      table.claimSinkOwner(appId, takeover = ownerTakeover)
+      leased = true
+    }
     val batch = StreamShim.asBatch(data)
     if (aggregate.nonEmpty) {
       // Continuous MV maintenance over a CDF stream: each micro-batch's
@@ -766,6 +782,8 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       autoCompactEvery = parameters.get("autoCompactEvery")
         .map(_.toLong).filter(_ > 0),
       joinDims = joinDims, joinKeys = joinKeys, joinPins = joinPins,
-      dedupKeys = dedupKeys)
+      dedupKeys = dedupKeys,
+      ownerTakeover = parameters.get("sinkOwnerTakeover")
+        .exists(_.trim.equalsIgnoreCase("true")))
   }
 }

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.StructType
   *   OPTIMIZE <table> WHERE k = 'v' [AND ...]  -- one partition's cells only
   *   VACUUM <table> [RETAIN n VERSIONS] [IGNORE PINS] [DRY RUN]
   *   SHOW PINS <table>                        -- consumer retention floors
+  *   EXPLAIN REWRITE <query>                  -- MV routing decision + why
   *   ALTER TABLE <table> DROP PIN '<name>'    -- release an abandoned consumer
   *   FSCK REPAIR TABLE <table> [DRY RUN]      -- drop refs to lost files
   *   RESTORE TABLE <table> TO VERSION AS OF n
@@ -824,6 +825,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case DescTableStmt(ident) =>
       scala.util.Try(resolve(ident)).toOption
         .fold(spark.sql(stmt))(describeTable)
+    // EXPLAIN REWRITE <query>: the MV-routing decision relation —
+    // which armed MV serves each aggregate and WHY, or why not
+    // (rejected / stale-fell-back / shape-bail / no-candidates) —
+    // without executing the query. Time-travel pins resolve like any
+    // SELECT so `EXPLAIN REWRITE SELECT … FROM t@v3 …` works too.
+    case ExplainRewriteStmt(inner) =>
+      val (tt, ttViews) = rewriteTimeTravel(inner)
+      try {
+        import spark.implicits._
+        graft.plans.MvRewrite.explainRewrite(spark.sql(tt))
+          .toDF("aggregate", "mv", "decision", "reason")
+      } finally ttViews.foreach(spark.catalog.dropTempView)
     case other =>
       val (tt, ttViews) = rewriteTimeTravel(other)
       val (rewritten, tcViews) = rewriteTableChanges(tt)
@@ -3421,6 +3434,8 @@ object GraftSql {
       """(\s+DRY\s+RUN)?\s*;?\s*""").r
   private val ShowPinsStmt =
     ("""(?is)\s*SHOW\s+PINS\s+""" + Ident + """\s*;?\s*""").r
+  private val ExplainRewriteStmt =
+    """(?is)\s*EXPLAIN\s+REWRITE\s+(.+?)\s*;?\s*""".r
   private val DropPinStmt =
     ("""(?is)\s*ALTER\s+TABLE\s+""" + Ident +
       """\s+DROP\s+PIN\s+'([^']+)'\s*;?\s*""").r

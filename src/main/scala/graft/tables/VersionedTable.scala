@@ -3969,6 +3969,65 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     ()
   }
 
+  // ----------------------------------------------------------- sink lease
+  // Single-writer enforcement for stateful streaming sinks. The modes
+  // that maintain derived state on a table (aggregate MVs, APPLY
+  // CHANGES replicas, ingest dedup, update-mode merges, autoCompact's
+  // read-modify-write) assume ONE owning stream: two sinks would
+  // interleave compactions wastefully, live-lock on rebase, or split a
+  // replica's key space. The lease is an atomically-created marker file
+  // (CREATE_NEW — two simultaneous claimers cannot both win), owned by
+  // the sink's txn app id, so a RESTART of the same checkpointed query
+  // re-claims its own lease silently while a second, different stream
+  // refuses loudly before writing anything.
+
+  private def sinkOwnerPath: Path = Paths.get(root, "_sink_owner")
+
+  def sinkOwner: Option[String] =
+    if (!Files.exists(sinkOwnerPath)) None
+    else Some(Files.readString(sinkOwnerPath).trim).filter(_.nonEmpty)
+
+  /** Claim (or re-claim) the sink lease for `owner`. `takeover = true`
+    * re-points an existing lease — the explicit operator move when a
+    * pipeline is rebuilt under a new checkpoint; without it a foreign
+    * lease refuses loudly. */
+  def claimSinkOwner(owner: String, takeover: Boolean = false): Unit = {
+    require(owner.nonEmpty, "claimSinkOwner: empty owner id")
+    def write(opts: java.nio.file.OpenOption*): Unit = {
+      Files.createDirectories(Paths.get(root))
+      Files.write(sinkOwnerPath, owner.getBytes("UTF-8"), opts: _*)
+      ()
+    }
+    sinkOwner match {
+      case Some(cur) if cur == owner => () // our lease (restart)
+      case Some(cur) if !takeover => sys.error(
+        s"graft-table sink: table at $root is owned by another sink " +
+          s"(owner `$cur`). A stateful sink mode (aggregate/applyChanges/" +
+          "dedupKeys/mergeKeys/autoCompact) is single-writer per table — " +
+          "stop the other stream, or take the lease over explicitly with " +
+          ".option(\"sinkOwnerTakeover\", \"true\"), or release it with " +
+          "releaseSinkOwner().")
+      case Some(_) => // takeover: atomic replace
+        val tmp = Paths.get(root, s".tmp-owner-${UUID.randomUUID()}")
+        Files.writeString(tmp, owner)
+        Files.move(tmp, sinkOwnerPath, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        ()
+      case None =>
+        try write(java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // lost the atomic race — re-enter to refuse (or match) loudly
+            claimSinkOwner(owner, takeover)
+        }
+    }
+  }
+
+  def releaseSinkOwner(): Unit = {
+    Files.deleteIfExists(sinkOwnerPath)
+    ()
+  }
+
   /** Whether version `v`'s snapshot is still fully readable — every
     * data file-set (and deletion vector) the entry references exists.
     * The clean-degrade guard for consumers whose pinned version was

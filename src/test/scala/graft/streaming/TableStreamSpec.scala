@@ -1109,4 +1109,58 @@ class TableStreamSpec extends SparkSpec {
       Map("pinRetention" -> "false"))
     assert(t2.pins.isEmpty)
   }
+
+  test("stateful sink modes are single-writer: a second stream refuses " +
+       "the lease loudly, sinkOwnerTakeover re-points it, restarts " +
+       "re-claim silently") {
+    val src1 = tmpDir("ts-lease-src1-")
+    val src2 = tmpDir("ts-lease-src2-")
+    val dst = tmpDir("ts-lease-dst-")
+    val cp1 = tmpDir("ts-lease-cp1-")
+    val cp2 = tmpDir("ts-lease-cp2-")
+    val t1 = VersionedTable(spark, src1)
+    val t2 = VersionedTable(spark, src2)
+    t1.append(Seq((1, 10L)).toDF("k", "v"))
+    t2.append(Seq((1, 99L)).toDF("k", "v"))
+    def run(from: String, cp: String, extra: Map[String, String] = Map.empty): Unit = {
+      val q = extra.foldLeft(spark.readStream.format("graft-table")
+          .load(from).writeStream.format("graft-table")
+          .option("checkpointLocation", cp)
+          .option("mergeKeys", "k")
+          .outputMode("update")) { case (w, (k, v)) => w.option(k, v) }
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    run(src1, cp1) // first stream claims the lease
+    val out = VersionedTable(spark, dst)
+    assert(out.sinkOwner.contains(cp1))
+    assert(out.read.as[(Int, Long)].collect().toSet === Set((1, 10L)))
+    // restart of the SAME checkpoint re-claims silently
+    t1.append(Seq((2, 20L)).toDF("k", "v"))
+    run(src1, cp1)
+    assert(out.read.count() === 2)
+    // a SECOND stream (different checkpoint) refuses loudly, writes nothing
+    val e = intercept[Exception](run(src2, cp2))
+    def rootCauseMsg(t: Throwable): String =
+      Option(t.getCause).map(rootCauseMsg).getOrElse(t.getMessage)
+    assert(rootCauseMsg(e).contains("owned by another sink"))
+    assert(out.read.count() === 2, "the refused sink must write NOTHING")
+    // explicit takeover re-points the lease
+    run(src2, cp2, Map("sinkOwnerTakeover" -> "true"))
+    assert(out.sinkOwner.contains(cp2))
+    assert(out.read.as[(Int, Long)].collect().toSet ===
+      Set((1, 99L), (2, 20L)), "takeover merges the new stream's rows")
+    // ... after which the ORIGINAL stream is the refused one
+    t1.append(Seq((3, 30L)).toDF("k", "v"))
+    assert(rootCauseMsg(intercept[Exception](run(src1, cp1)))
+      .contains("owned by another sink"))
+    // plain append sinks take no lease (concurrent appends are OCC-safe)
+    val dst2 = tmpDir("ts-lease-dst2-")
+    val qa = spark.readStream.format("graft-table").load(src1)
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", tmpDir("ts-lease-cpA-"))
+      .trigger(Trigger.AvailableNow()).start(dst2)
+    qa.awaitTermination()
+    assert(VersionedTable(spark, dst2).sinkOwner.isEmpty)
+  }
 }

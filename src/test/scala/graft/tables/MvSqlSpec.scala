@@ -1494,4 +1494,57 @@ class MvSqlSpec extends SparkSpec {
       assert(src.pins.isEmpty)
     } finally MvRewrite.deregisterRoot(mv.root)
   }
+
+  test("EXPLAIN REWRITE reports the routing decision and why: served, " +
+       "stale-fell-back, rejected, shape-bail, no-candidates") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "er")
+    src.append(Seq(("a", 10L, 1L), ("b", 5L, 2L)).toDF("k", "v", "w"))
+    cat.registerViews()
+    def decide(q: String): Seq[(String, String, String)] =
+      sql.sql("EXPLAIN REWRITE " + q)
+        .select("decision", "mv", "reason")
+        .as[(String, String, String)].collect().toSeq
+    // before any MV: no candidates
+    assert(decide("SELECT k, sum(v) AS s FROM silver_er GROUP BY k")
+      .map(_._1) === Seq("no-candidates"))
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_er AS SELECT k, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.er GROUP BY k")
+    val mv = cat.table("gold", "mv_er")
+    try {
+      // served: exact group match
+      val served = decide("SELECT k, sum(v) AS s FROM silver_er GROUP BY k")
+      assert(served.map(_._1) === Seq("served"))
+      assert(served.head._2 === mv.root)
+      assert(served.head._3.contains("exact group match"))
+      // served: global rollup re-aggregates
+      assert(decide("SELECT sum(v) AS s FROM silver_er")
+        .head._3.contains("group subset"))
+      // rejected: groups by a column the MV lacks
+      val rej = decide("SELECT w, sum(v) AS s FROM silver_er GROUP BY w")
+      assert(rej.map(_._1) === Seq("rejected"))
+      assert(rej.head._3.contains("does not group by: w"))
+      // rejected: aggregate surface not stored
+      assert(decide("SELECT k, min(v) AS m FROM silver_er GROUP BY k")
+        .head._3.contains("not covered"))
+      // shape-bail: grouping by an expression
+      assert(decide("SELECT upper(k) AS u, sum(v) AS s FROM silver_er " +
+        "GROUP BY upper(k)").map(_._1) === Seq("shape-bail"))
+      // no aggregate at all
+      assert(decide("SELECT * FROM silver_er").map(_._1) ===
+        Seq("no-aggregate"))
+      // stale: the source moves, the MV stops matching BY DESIGN
+      src.append(Seq(("c", 1L, 3L)).toDF("k", "v", "w"))
+      cat.registerViews() // re-pin the view to the NEW snapshot
+      val stale = decide("SELECT k, sum(v) AS s FROM silver_er GROUP BY k")
+      assert(stale.map(_._1) === Seq("stale-fell-back"))
+      assert(stale.head._2 === mv.root)
+      assert(stale.head._3.contains("REFRESH"))
+      // refresh re-arms; served again
+      sql.sql("REFRESH MATERIALIZED VIEW gold.mv_er")
+      assert(decide("SELECT k, sum(v) AS s FROM silver_er GROUP BY k")
+        .map(_._1) === Seq("served"))
+    } finally MvRewrite.deregister(mv)
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+import graft.tables.VersionedTable
+import graft.ops.{IncrementalCuration, IvfServing}
+
+/** Scale-stress artifact for the O(delta) claims: the incremental
+  * operator families (change-feed curation, IVF serving sync,
+  * bucket-COW keyed merge) each process a FIXED-size change slice
+  * against corpora grown 1× → 3× → 10×, and publish per-changed-row
+  * cost. The 100 TB argument for these paths is that per-batch work is
+  * O(changed rows) — bloom-prefiltered state probes, cell-pruned
+  * merges — so the measured slice time should stay roughly FLAT as the
+  * corpus grows, not scale with it. Run:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.ScaleBench SCALE_BENCH.json"
+  *
+  * Factors run ascending in one JVM, so JIT warm-up (if anything)
+  * biases AGAINST the flatness claim on the larger corpora. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse("SCALE_BENCH.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // session warm-up
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val factors = Seq(1, 3, 10)
+    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val nDocs = docsBase.count()
+    val nEmb = embBase.count()
+
+    // ---------------------------------------- family 1: curation sync
+    // Fixed slice: 1000 fresh distinct docs + 600 exact duplicates of
+    // EXISTING corpus docs (suppressed against state, the probe-heavy
+    // path) + 400 deletes of existing ids that own no duplicate class.
+    val curation = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-cur$f-").toString
+      val corpus = (0 until f).map(i => docsBase.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" [replica $i]")).as("text")))
+        .reduce(_.unionByName(_))
+      val src = VersionedTable(spark, s"$root/docs")
+      src.enableChangeFeed()
+      src.append(corpus)
+      val cfg = IncrementalCuration.Config(
+        jaccardThreshold = 1.0, maxBucketSize = Int.MaxValue,
+        numHashes = 16, bands = 4, numBuckets = 8)
+      val (_, bootSec) = timed(IncrementalCuration.sync(src, s"$root/ws", cfg))
+      src.append(
+        docsBase.filter(col("doc_id") < 1000)
+          .select((col("doc_id") + 900000000L).as("doc_id"),
+            concat(col("text"), lit(" fresh delta marker")).as("text"))
+        .unionByName(docsBase.filter(col("doc_id") < 600)
+          .select((col("doc_id") + 950000000L).as("doc_id"),
+            concat(col("text"), lit(" [replica 0]")).as("text"))))
+      src.delete(col("doc_id") >= 1000 && col("doc_id") < 1400)
+      val changed = 1600 + 400
+      val (_, syncSec) = timed(IncrementalCuration.sync(src, s"$root/ws", cfg))
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, nDocs * f, changed, bootSec, syncSec)
+    }
+
+    // ------------------------------------------- family 2: IVF sync
+    // Fixed delta: 100 deletes + 100 deterministic re-embeds (cell
+    // moves) + 200 fresh inserts against a 16-cell serving table.
+    val ivf = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-ivf$f-").toString
+      val corpus = (0 until f).map(i => embBase.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(i * 1e-4f)).as("embedding")))
+        .reduce(_.unionByName(_))
+      val src = VersionedTable(spark, s"$root/src")
+      src.enableChangeFeed()
+      src.append(corpus)
+      val (_, buildSec) = timed(
+        IvfServing.build(src, s"$root/serve", nCells = 16, numBuckets = 4,
+          seed = 7L))
+      src.delete(col("vec_id") < 100)
+      src.update(Map("embedding" ->
+        transform(col("embedding"), x => -x)),
+        col("vec_id") >= 100 && col("vec_id") < 200)
+      src.append(embBase.filter(col("vec_id") < 200)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")))
+      val changed = 100 + 100 + 200
+      val (_, syncSec) = timed(
+        IvfServing.sync(src, s"$root/serve", numBuckets = 4))
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, nEmb * f, changed, buildSec, syncSec)
+    }
+
+    // ----------------------------- family 3: bucket-COW keyed merge
+    // Fixed batch: 1000 updates of existing keys + 1000 fresh inserts
+    // into a 32-bucket table — the touched-cell contract says cost
+    // follows the batch's bucket coverage, not the table's row count.
+    val merge = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-mrg$f-").toString
+      val rows = 50000L * f
+      val t = VersionedTable(spark, s"$root/t")
+      t.merge(spark.range(rows).select(col("id").as("k"),
+          (col("id") % 97).as("v")), Seq("k"), numBuckets = 32)
+      val batch = spark.range(1000).select(col("id").as("k"),
+          lit(-1L).as("v"))
+        .unionByName(spark.range(1000).select(
+          (col("id") + rows + 10L).as("k"), lit(-2L).as("v")))
+      val (_, mergeSec) = timed(t.merge(batch, Seq("k"), numBuckets = 32))
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, rows, 2000, 0.0, mergeSec)
+    }
+
+    def familyJson(points: Seq[(Int, Long, Int, Double, Double)],
+                   prepName: String): String =
+      points.map { case (f, corpus, changed, prep, sync) =>
+        f"""{"factor":$f,"corpus_rows":$corpus,"changed_rows":$changed,""" +
+          f""""${prepName}_sec":$prep%.2f,"sync_sec":$sync%.2f,""" +
+          f""""ms_per_changed_row":${sync * 1000.0 / changed}%.3f}"""
+      }.mkString("[", ",", "]")
+    val json =
+      s"""{"sf":"$sfDir","cpus":$cpus,"families":{""" +
+        s""""curation_incremental":${familyJson(curation, "bootstrap")},""" +
+        s""""ivf_sync":${familyJson(ivf, "build")},""" +
+        s""""bucketed_merge":${familyJson(merge, "prep")}}}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
+  }
+}

@@ -152,7 +152,7 @@ object IncrementalCuration {
       // langid/quality/shingle expressions over it would otherwise run
       // at the file count's parallelism, not the cluster's — one tiny
       // batch-sized shuffle buys full-width kernels for every phase
-      val classified = changes.select(
+      val classified = tlog("ckpt classified")(changes.select(
           col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text"),
           col("_change_type").as("__ct"),
@@ -168,7 +168,7 @@ object IncrementalCuration {
         // docs) and the slice replays idempotently from the txn markers
         // if an executor dies mid-batch, so the durability trade is
         // safe here.
-        .localCheckpoint()
+        .localCheckpoint())
       // ONE tiny change-type-count job (column pruning keeps the text
       // payload out of it) decides which per-key windows the slice
       // actually needs: an insert-only batch — the bootstrap, and every
@@ -181,14 +181,14 @@ object IncrementalCuration {
       // phase 1 input: every key that had a pre-state (update pre-image
       // or delete payload) leaves kept/hashes/bands; an updated key
       // re-enters through admission below with its new text
-      val pre =
+      val pre = tlog("ckpt pre")(
         (if (insertOnly) classified.limit(0)
          else Keyed.firstPerKey(
            classified.filter(col("__ct")
              .isin("update_preimage", "delete")),
            Seq("doc_id"), "__cv"))
         .select(col("doc_id"), col("text"))
-        .localCheckpoint()
+        .localCheckpoint())
       try {
         // ------------------------------------------------ phase 1: purge
         // nonemptiness of `pre` follows from the counts (firstPerKey of a
@@ -244,9 +244,9 @@ object IncrementalCuration {
             col("q4i") >= cfg.minQuality4)
           .withColumn("content_hash", sha2(col("text"), 256))
         // within-batch exact (min-id winner per content class)
-        val batchExact = Keyed.firstPerKey(scored,
+        val batchExact = tlog("ckpt batchExact")(Keyed.firstPerKey(scored,
             Seq("content_hash"), "doc_id")
-          .localCheckpoint()
+          .localCheckpoint())
         try {
         // a purge-only slice (deletes, or nothing passing the filter)
         // has no admission work — and must not pay three empty merge
@@ -276,11 +276,11 @@ object IncrementalCuration {
           // and reused by the local banded pipeline, the state probe's
           // bands, the Jaccard verify, and the final bands merge (the
           // shingle/minhash kernels are the batch's dominant compute)
-          val sigd = exactSurvivors.select(col("doc_id"),
+          val sigd0 = exactSurvivors.select(col("doc_id"),
               shinglesOf(col("text"), cfg).as("shingles"))
             .withColumn("sig", call_function("graft_minhash_hashes",
               col("shingles"), lit(cfg.numHashes)))
-            .localCheckpoint()
+          val sigd = tlog("ckpt sigd")(sigd0.localCheckpoint())
           try {
           // within-batch near-dup: the batch alone through the standard
           // banded pipeline; losers are the larger ids of each pair
@@ -288,18 +288,18 @@ object IncrementalCuration {
               cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
               cfg.maxBucketSize)
             .select(col("doc_id_b").as("doc_id")).distinct()
-          val afterLocal = exactSurvivors
+          val afterLocal = tlog("ckpt afterLocal")(exactSurvivors
             .join(localLosers, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
+            .localCheckpoint())
           try {
             val r = cfg.numHashes / cfg.bands
-            val newBands = sigd
+            val newBands0 = sigd
               .join(afterLocal.select("doc_id"), Seq("doc_id"))
               .select(col("doc_id"),
                 posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
                   b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
                   .as(Seq("band_idx", "band_hash")))
-              .localCheckpoint()
+            val newBands = tlog("ckpt newBands")(newBands0.localCheckpoint())
             try {
             // against-state near-dup: batch bands probe the `bands`
             // table behind a Bloom; exact Jaccard verify reads ONLY the
@@ -343,9 +343,9 @@ object IncrementalCuration {
                     .select(col("new_id").as("doc_id")).distinct()
               }
             }
-            val survivors = afterLocal
+            val survivors = tlog("ckpt survivors")(afterLocal
               .join(stateLosers, Seq("doc_id"), "left_anti")
-              .localCheckpoint()
+              .localCheckpoint())
             try {
               // ------------- phase 3: state merges (tombstones ride in)
               // ONE bucket-COW commit per table: the slice's purge

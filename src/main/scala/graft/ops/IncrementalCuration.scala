@@ -152,12 +152,28 @@ object IncrementalCuration {
       // langid/quality/shingle expressions over it would otherwise run
       // at the file count's parallelism, not the cluster's — one tiny
       // batch-sized shuffle buys full-width kernels for every phase
+      // ONE tiny change-type-count job FIRST (column pruning keeps the
+      // text payload out of it): it decides the slice's partition count
+      // AND which per-key windows the slice needs. Right-sizing matters
+      // at BOTH ends — a 100 TB backlog slice takes the cluster's full
+      // width, while a small change batch at full width pays ~30 jobs
+      // x defaultParallelism tasks of pure scheduling overhead for
+      // kilobytes of data (measured: a material slice of q_curation's
+      // wall time at local[32]).
+      val ctCounts = tlog("ctCounts")(changes
+        .select(col("_change_type").as("__ct"))
+        .groupBy("__ct").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val sliceRows = ctCounts.values.sum
+      val sliceParts = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        sliceRows / 2000L + 1L)).toInt
       val classified = tlog("ckpt classified")(changes.select(
           col(idCol).cast("long").as("doc_id"),
           col(textCol).as("text"),
           col("_change_type").as("__ct"),
           col("_commit_version").as("__cv"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(sliceParts)
         // localCheckpoint, not persist, for every batch-sized decision
         // set in this pipeline: the probe/dedup trees nest deeply, and
         // Catalyst re-analyzes the FULL logical tree for every action
@@ -169,14 +185,10 @@ object IncrementalCuration {
         // if an executor dies mid-batch, so the durability trade is
         // safe here.
         .localCheckpoint())
-      // ONE tiny change-type-count job (column pruning keeps the text
-      // payload out of it) decides which per-key windows the slice
-      // actually needs: an insert-only batch — the bootstrap, and every
-      // plain append — has no pre-states and exactly one row per key,
-      // so both windows (each a full shuffle of the TEXT payload) are
-      // provably no-ops and are skipped
-      val ctCounts = tlog("ctCounts")(classified.groupBy("__ct").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // an insert-only batch — the bootstrap, and every plain append —
+      // has no pre-states and exactly one row per key, so both per-key
+      // windows (each a full shuffle of the TEXT payload) are provably
+      // no-ops and are skipped
       val insertOnly = ctCounts.keySet.subsetOf(Set("insert"))
       // phase 1 input: every key that had a pre-state (update pre-image
       // or delete payload) leaves kept/hashes/bands; an updated key
@@ -196,7 +208,6 @@ object IncrementalCuration {
         // job on the text payload
         val havePre = ctCounts.getOrElse("update_preimage", 0L) +
           ctCounts.getOrElse("delete", 0L) > 0
-        val sliceRows = ctCounts.values.sum
         // The purge no longer commits on its own: its tombstones ride
         // the SAME bucket-COW merge as the slice's admissions — one
         // commit per state table per slice instead of two (at change-

@@ -161,6 +161,10 @@ object Sketches {
       SourceProp -> src.root, GroupProp -> groupCols.mkString(","),
       DistinctProp -> distinctCol, LgkProp -> lgK.toString,
       VersionProp -> v.toString, EpochProp -> epoch.toString))
+    // retention floor on the source (same contract as the exact MV
+    // families): vacuum must not reclaim the covered version or the
+    // added/change sets the next refresh reads
+    src.setPin(graft.plans.JoinMv.pinName(mv), v)
   }
 
   /** Catch the rollup up with its source. Append-only tails absorb as
@@ -186,6 +190,8 @@ object Sketches {
     def finish(mode: String): String = {
       if (head > v0Prop)
         mv.setProperties(Map(VersionProp -> head.toString))
+      if (hist.exists(_.version == head))
+        src.setPin(graft.plans.JoinMv.pinName(mv), head)
       mode
     }
     def incremental(): Option[String] = {
@@ -324,6 +330,10 @@ object Sketches {
       FreqItemProp -> itemCol,
       FreqParamsProp -> s"$eps,$confidence,$seed,$topM",
       FreqVersionProp -> v.toString, FreqEpochProp -> epoch.toString))
+    // retention floor on the source (same contract as the exact MV
+    // families): vacuum must not reclaim the covered version or the
+    // added/change sets the next refresh reads
+    src.setPin(graft.plans.JoinMv.pinName(mv), v)
   }
 
   /** Catch the frequency rollup up with its source. Append-only tails
@@ -352,6 +362,8 @@ object Sketches {
     def finish(mode: String): String = {
       if (head > v0Prop)
         mv.setProperties(Map(FreqVersionProp -> head.toString))
+      if (hist.exists(_.version == head))
+        src.setPin(graft.plans.JoinMv.pinName(mv), head)
       mode
     }
     def incremental(): Option[String] = {
@@ -580,6 +592,10 @@ object Sketches {
       QuantSourceProp -> src.root, QuantGroupProp -> groupCols.mkString(","),
       QuantValueProp -> valueCol, QuantParamsProp -> s"$scale,$sub",
       QuantVersionProp -> v.toString, QuantEpochProp -> epoch.toString))
+    // retention floor on the source (same contract as the exact MV
+    // families): vacuum must not reclaim the covered version or the
+    // added/change sets the next refresh reads
+    src.setPin(graft.plans.JoinMv.pinName(mv), v)
   }
 
   /** Catch the quantile rollup up with its source. Append-only tails
@@ -608,6 +624,8 @@ object Sketches {
     def finish(mode: String): String = {
       if (head > v0Prop)
         mv.setProperties(Map(QuantVersionProp -> head.toString))
+      if (hist.exists(_.version == head))
+        src.setPin(graft.plans.JoinMv.pinName(mv), head)
       mode
     }
     def recompute(): String = {

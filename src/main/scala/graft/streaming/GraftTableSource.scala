@@ -44,9 +44,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * or set `skipChangeCommits=true` (Delta's option) to ride across
   * them, delivering only the range's appends (the skipped commits'
   * effects never reach the sink — the consumer opted out of changes).
-  * Column-mapping DDL (RENAME/DROP COLUMN) is metadata-only: a restarted
-  * query streams straight across it under the new names; a query whose
-  * declared schema predates the DDL stops with restart guidance.
+  * Column-mapping DDL (RENAME/DROP COLUMN) is metadata-only: a RENAME
+  * landing under a running query reverse-maps each batch through the
+  * rename chain back to the declared names, so the stream rides across
+  * the DDL in one run (a restart re-declares the new names from there);
+  * a DROP of a declared column stops with restart guidance. The source
+  * also records a retention-floor pin on the table (named
+  * `stream:<checkpoint>`, advanced per batch/commit) so VACUUM cannot
+  * sever the replay range — `pinRetention=false` opts out.
   *
   * V1 `Source` (the API Delta shipped on for years) rather than a DSv2
   * `MicroBatchStream` deliberately: `getBatch` returns a DataFrame, so
@@ -397,7 +402,15 @@ object GraftTableSource {
   *
   * The txn app id is the query's
   * checkpoint location (stable across restarts) unless a `txnAppId`
-  * option pins it explicitly. */
+  * option pins it explicitly.
+  *
+  * '''Single-writer lease''': every stateful mode (aggregate /
+  * applyChanges / dedupKeys / mergeKeys / autoCompactEvery) claims a
+  * per-table sink-owner lease before its first batch — restarts of the
+  * same checkpoint re-claim silently, a second stream refuses loudly
+  * before writing anything, `sinkOwnerTakeover = "true"` re-points the
+  * lease explicitly. Plain append/complete sinks stay multi-writer
+  * (concurrent appends are OCC-safe). */
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
                            mergeKeys: Seq[String], applyChanges: Boolean,

@@ -2110,11 +2110,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             // between)
             if (t.exists) {
               graft.plans.JoinMv.dropPins(spark, t)
-              t.properties.get(GraftSql.MvSourceProp).foreach { srcRoot =>
-                try VersionedTable(spark, srcRoot)
-                  .dropPin(graft.plans.JoinMv.pinName(t))
-                catch { case scala.util.control.NonFatal(_) => () }
-              }
+              val props = t.properties
+              Seq(GraftSql.MvSourceProp, graft.ops.Sketches.SourceProp,
+                  graft.ops.Sketches.FreqSourceProp,
+                  graft.ops.Sketches.QuantSourceProp)
+                .flatMap(props.get).distinct.foreach { srcRoot =>
+                  try VersionedTable(spark, srcRoot)
+                    .dropPin(graft.plans.JoinMv.pinName(t))
+                  catch { case scala.util.control.NonFatal(_) => () }
+                }
             }
             cat.dropTable(layer.toLowerCase, name)
             Some(Seq(other).toDF("dropped"))

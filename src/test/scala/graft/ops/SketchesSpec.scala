@@ -426,4 +426,30 @@ class SketchesSpec extends SparkSpec {
     assert(quantState(mv) === snap)
     assert(mv.latestVersion.get === mvV)
   }
+
+  test("sketch rollups pin their source: retention cannot demote the " +
+       "incremental path; the pin advances with each refresh") {
+    val root = tmpDir("sk-pin-")
+    val src = VersionedTable(spark, s"$root/src")
+    val mv = VersionedTable(spark, s"$root/mv")
+    src.append(rows(2000, 300).toDF("g", "k"))                     // v0
+    Sketches.create(src, mv, Seq("g"), "k")
+    val pin = s"mv:${mv.root}"
+    assert(src.pins.get(pin).contains(0L))
+    src.append(rows(1000, 400).map { case (g, k) => (g, k + 900) }
+      .toDF("g", "k"))                                             // v1
+    src.compact()                                                  // v2
+    // the pin holds the added sets the next refresh reads
+    assert(src.vacuum(retainVersions = 1) === Seq.empty)
+    assert(Sketches.refresh(spark, mv) === "incremental",
+      "retention must not demote the sketch refresh to a rebuild")
+    assert(src.pins(pin) === 2L)
+    // advanced pin releases the pre-compaction history
+    assert(src.vacuum(retainVersions = 1).nonEmpty)
+    // the merged estimate still equals a one-shot rebuild
+    val fresh = VersionedTable(spark, s"$root/fresh")
+    Sketches.create(src, fresh, Seq("g"), "k")
+    assert(estimates(mv).view.mapValues(_._2).toMap ===
+      estimates(fresh).view.mapValues(_._2).toMap)
+  }
 }

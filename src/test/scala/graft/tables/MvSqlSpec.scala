@@ -1547,4 +1547,29 @@ class MvSqlSpec extends SparkSpec {
         .map(_._1) === Seq("served"))
     } finally MvRewrite.deregister(mv)
   }
+
+  test("EXPLAIN REWRITE covers JOIN-MV routing: the star rollup serves, " +
+       "a moved side reads stale-fell-back") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jer AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_jer")
+    cat.registerViews()
+    try {
+      def decide(q: String): Seq[(String, String)] =
+        sql.sql("EXPLAIN REWRITE " + q).select("decision", "mv")
+          .as[(String, String)].collect().toSeq
+      val q = "SELECT color, sum(pts) AS sv FROM silver_jfact " +
+        "JOIN silver_jdim ON silver_jfact.team = silver_jdim.team " +
+        "GROUP BY color"
+      assert(decide(q) === Seq(("served", mv.root)))
+      // fact movement un-arms; the explain names the join MV as stale
+      cat.table("silver", "jfact").append(Seq((1, 7L)).toDF("team", "pts"))
+      cat.registerViews()
+      val stale = decide(q)
+      assert(stale === Seq(("stale-fell-back", mv.root)))
+    } finally MvRewrite.deregister(mv)
+  }
 }

@@ -1572,4 +1572,35 @@ class MvSqlSpec extends SparkSpec {
       assert(stale === Seq(("stale-fell-back", mv.root)))
     } finally MvRewrite.deregister(mv)
   }
+
+  test("EXPLAIN REWRITE cost pick: with TWO covering MVs the cheaper " +
+       "serves and the other reads not-considered") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val src = cat.table("silver", "cp")
+    src.append(Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L))
+      .toDF("g", "h", "v"))
+    cat.registerViews()
+    // fine (g,h) MV and coarse (g) MV both cover a GROUP BY g rollup;
+    // the coarse one stores fewer bytes and must win the cost pick
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_fine AS SELECT g, h, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.cp GROUP BY g, h")
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_coarse AS SELECT g, " +
+      "sum(v) AS sum_v, count(*) AS cnt FROM silver.cp GROUP BY g")
+    val fine = cat.table("gold", "mv_fine")
+    val coarse = cat.table("gold", "mv_coarse")
+    try {
+      val rows = sql.sql("EXPLAIN REWRITE SELECT g, sum(v) AS s " +
+        "FROM silver_cp GROUP BY g")
+        .select("decision", "mv").as[(String, String)].collect().toSet
+      assert(rows === Set(("served", coarse.root),
+        ("not-considered", fine.root)))
+      // the finer grouping is served by the fine MV alone
+      val rows2 = sql.sql("EXPLAIN REWRITE SELECT g, h, sum(v) AS s " +
+        "FROM silver_cp GROUP BY g, h")
+        .select("decision", "mv").as[(String, String)].collect().toSet
+      assert(rows2 === Set(("served", fine.root),
+        ("rejected", coarse.root)))
+    } finally { MvRewrite.deregister(fine); MvRewrite.deregister(coarse) }
+  }
 }

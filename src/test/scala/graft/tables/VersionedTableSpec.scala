@@ -2101,4 +2101,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.read.orderBy("k").as[(Int, String)].collect().toSeq ===
       Seq((0, "v0"), (1, "v1"), (2, "v2")))
   }
+
+  test("concurrent pin claims never corrupt the registry: per-pin files " +
+       "make simultaneous consumers independent") {
+    val t = VersionedTable(spark, tmpDir("graft-pinrace-"))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until 20).foreach(_ => t.setPin(s"mv:/consumer/$i", 0L))
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    assert(t.pins.keySet === (0 until 8).map(i => s"mv:/consumer/$i").toSet)
+    assert(t.pins.values.forall(_ === 0L))
+    // and the sink-owner lease: 8 racing claimers, exactly one wins
+    val owners = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool2.submit(new Runnable {
+          override def run(): Unit =
+            try { t.claimSinkOwner(s"cp$i"); owners.add(s"cp$i"); () }
+            catch { case _: RuntimeException => () }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool2.shutdown()
+    assert(owners.size === 1, s"exactly one claimer must win, got $owners")
+    assert(t.sinkOwner.contains(owners.peek()))
+  }
 }

@@ -4323,7 +4323,7 @@ object SparkEntry {
     // EXPLAIN REWRITE operability surface: the MV-routing decision and
     // its reason for every shape a user hits — served (exact and
     // rollup), rejected (uncovered group), shape-bail, stale-fell-back
-    // (source moved), served-again after REFRESH, and no-aggregate.
+    // (source moved), served-again after REFRESH, and no-decision.
     // Every decision and reason string is deterministic from the DDL,
     // so the whole relation hash-checks against literal rows.
     "q_sql_explain_rewrite" -> ((s, dir) => {
@@ -4356,7 +4356,7 @@ object SparkEntry {
         "SELECT name, sum(k) AS s FROM silver_nat GROUP BY name")
       step("4_shape_bail",
         "SELECT rk + 1 AS r2, sum(k) AS s FROM silver_nat GROUP BY rk + 1")
-      step("5_no_aggregate", "SELECT * FROM silver_nat")
+      step("5_no_decision", "SELECT * FROM silver_nat")
       src.append(Seq((99L, 999L, "zz")).toDF("rk", "k", "name"))
       cat.registerViews()
       step("6_stale_fell_back",
@@ -4366,6 +4366,60 @@ object SparkEntry {
         "SELECT rk, sum(k) AS s FROM silver_nat GROUP BY rk")
       rows.toSeq.toDF("step", "decision", "has_mv", "reason")
         .orderBy("step")
+    }),
+
+    // EXPLAIN REWRITE rule coverage beyond MV routing: join elimination
+    // (RELY keys) and generated-column partition pruning report their
+    // fire/no-fire decision and reason in the SAME relation. Steps use
+    // non-aggregate SELECTs so the rows are exactly the two rules' —
+    // each decision and reason string is deterministic from the DDL.
+    "q_sql_explain_rewrite_rules" -> ((s, dir) => {
+      import s.implicits._
+      val wh = Files.createTempDirectory("graft-sqlexr2-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val gsql = graft.tables.GraftSql(s, cat)
+      val dim = cat.table("silver", "xdim")
+      dim.append(t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("team"), col("r_name")))
+      val fact = cat.table("silver", "xfact")
+      fact.append(t(s, dir, "nation").select(
+        col("n_regionkey").cast("long").as("team"),
+        col("n_nationkey").cast("long").as("p")))
+      gsql.sql("ALTER TABLE silver.xdim ADD CONSTRAINT pk_xd " +
+        "PRIMARY KEY (team) RELY")
+      gsql.sql("CREATE TABLE silver.xev (ts STRING, v INT, " +
+        "day STRING GENERATED ALWAYS AS (substring(ts, 1, 10))) " +
+        "PARTITIONED BY (day)")
+      gsql.sql("INSERT INTO silver.xev (ts, v) VALUES " +
+        "('2026-01-01T10:00', 1), ('2026-01-02T09:00', 3)")
+      cat.registerViews()
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, Boolean, String)]
+      def step(name: String, q: String): Unit = {
+        gsql.sql("EXPLAIN REWRITE " + q)
+          .select("aggregate", "decision", "mv", "reason")
+          .collect().toSeq
+          .map(r => (name, r.getString(0) + ":" + r.getString(1),
+            r.getString(1), r.getString(2).nonEmpty, r.getString(3)))
+          .sortBy(_._2)
+          .foreach { r => rows += ((r._1, r._2.split(":")(0), r._3,
+            r._4, r._5)); () }
+        ()
+      }
+      step("1_join_eliminated",
+        "SELECT p FROM silver_xfact LEFT JOIN silver_xdim USING (team)")
+      step("2_join_kept",
+        "SELECT r_name FROM silver_xfact LEFT JOIN silver_xdim USING (team)")
+      step("3_partition_pruned",
+        "SELECT v FROM silver_xev WHERE ts >= '2026-01-02'")
+      step("4_prune_none", "SELECT v FROM silver_xev WHERE v = 3")
+      // a graft table read is a UNION of the schema-pin arm and the
+      // hive-partitioned data arms, so the prune trace reports per arm
+      // (STRING-typed pin arm, DATE-inferred data arm) — both rows are
+      // deterministic; reason joins the sort for a stable tiebreak
+      rows.toSeq.toDF("step", "node", "decision", "has_obj", "reason")
+        .orderBy("step", "node", "decision", "reason")
     }),
 
     // SQL DML lifecycle (reference smoke flow
@@ -4890,13 +4944,28 @@ object SparkEntry {
         |  'query groups by column(s) the MV does not group by: name'),
         | ('4_shape_bail', 'shape-bail', FALSE,
         |  'the aggregate''s source is not a plain (filtered) read of graft table snapshots, or an inner equi-join of them, or carries expressions the decomposition refuses'),
-        | ('5_no_aggregate', 'no-aggregate', FALSE,
-        |  'transparent MV routing serves Aggregate shapes only'),
+        | ('5_no_decision', 'no-decision', FALSE,
+        |  'no traced rule applies: MV routing serves Aggregate shapes, join elimination needs a join over RELY-keyed graft tables, generated-column pruning needs a filter over a table with generated partition columns'),
         | ('6_stale_fell_back', 'stale-fell-back', TRUE,
         |  'armed over a DIFFERENT snapshot of the same table(s) — the source moved since the MV''s covered version; REFRESH MATERIALIZED VIEW re-arms it'),
         | ('7_served_after_refresh', 'served', TRUE,
         |  'exact group match — a projection of the MV')
         |) AS t(step, decision, has_mv, reason) ORDER BY step""".stripMargin,
+
+    "q_sql_explain_rewrite_rules" ->
+      """SELECT * FROM (VALUES
+        | ('1_join_eliminated', 'join', 'join-eliminated', TRUE,
+        |  'LEFT join to a RELY PRIMARY KEY covered by the equi-join columns with no dim column used — at most one match per row and every left row kept: the join is the left side'),
+        | ('2_join_kept', 'join', 'join-kept', TRUE,
+        |  'the query uses dim-side columns — the join is not pure existence/multiplicity plumbing'),
+        | ('3_partition_pruned', 'scan', 'partition-pruned', TRUE,
+        |  'derived partition filter (day >= ''2026-01-02'') through the generated-column contract — directory pruning instead of a data scan'),
+        | ('3_partition_pruned', 'scan', 'partition-pruned', TRUE,
+        |  'derived partition filter (day >= DATE ''2026-01-02'') through the generated-column contract — directory pruning instead of a data scan'),
+        | ('4_prune_none', 'scan', 'prune-none', TRUE,
+        |  'no top-level AND conjunct has the shape <source column> cmp literal that derives through the generation expression (range shapes need a monotone template), or the derived predicate is already present')
+        |) AS t(step, node, decision, has_obj, reason)
+        |ORDER BY step, node, decision, reason""".stripMargin,
 
     "q_m19_pin_vacuum" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -70,6 +70,34 @@ object Merge {
         bySource.exists(_.action == DeleteRow)
   }
 
+  /** Post-combine repair riding the SAME merge commit: after
+    * `updateExprs` compute the combined post-image, `set` rewrites the
+    * named columns (expressions see the POST-combine values of every
+    * data column by name) and `deleteWhen` drops rows whose post-image
+    * matches (a matched target row emits a CDF delete; a source-only
+    * row simply never lands). This is how incremental-aggregate
+    * maintenance keeps its invariants — emptied groups drop, all-NULL
+    * sums NULL-fix — inside the one markered commit instead of as
+    * follow-up probe+commit passes (which both cost two table reads per
+    * trigger and leave a crash window the txn marker can't cover). */
+  final case class PostCombine(set: Map[String, Column] = Map.empty,
+                               deleteWhen: Option[Column] = None)
+
+  /** Apply a [[PostCombine]] to a lineage frame (from
+    * [[upsertWithLineage]]): one projection rewriting the `set` columns
+    * and OR-ing `deleteWhen` into `__delete_req`. `set` expressions all
+    * read the PRE-`set` (post-combine) values — they compose with each
+    * other by reading, not by chaining. */
+  def applyPostCombine(lineage: DataFrame, pc: PostCombine): DataFrame =
+    lineage.select(lineage.columns.toSeq.map {
+      case c if pc.set.contains(c) => pc.set(c).as(c)
+      case "__delete_req" =>
+        pc.deleteWhen.fold(col("__delete_req"))(d =>
+          col("__delete_req") || coalesce(d, lit(false)))
+          .as("__delete_req")
+      case c => col(c)
+    }: _*)
+
   /** [[upsertWithLineage]]'s general-clause sibling: full-outer join on
     * `keys` (which the source must carry under the TARGET's names), then
     * per-branch first-match clause evaluation. The source schema is

@@ -123,30 +123,65 @@ object GeneratedPrune extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val trace = MvRewrite.currentTrace
+    if (trace != null) {
+      // EXPLAIN REWRITE mode: report, per filtered scan of a table with
+      // generated partition columns, whether a partition predicate
+      // derives (and which) or why not — plan untouched. Unregistered
+      // scans are out of jurisdiction and emit nothing.
+      plan.foreachUp {
+        case Filter(cond, child) => traceDerive(cond, child, trace)
+        case _ => ()
+      }
+      plan
+    } else if (registry.isEmpty) plan
     else plan.transformUp {
       case f @ Filter(cond, child) =>
         tryDerive(cond, child).map(d => f.copy(child = d)).getOrElse(f)
     }
+  }
+
+  private def traceDerive(cond: Expression, child: LogicalPlan,
+      out: scala.collection.mutable.ArrayBuffer[
+        (String, String, String, String)]): Unit =
+    chainToRel(child, Nil).foreach { case (rel, root, specs, chainSeen) =>
+      deriveConjuncts(cond, rel, specs, chainSeen) match {
+        case derived if derived.nonEmpty =>
+          out += (("scan", root, "partition-pruned",
+            "derived partition filter " +
+              derived.map(_.sql).mkString(" AND ") +
+              " through the generated-column contract — directory " +
+              "pruning instead of a data scan"))
+          ()
+        case _ =>
+          out += (("scan", root, "prune-none",
+            "no top-level AND conjunct has the shape <source column> " +
+              "cmp literal that derives through the generation " +
+              "expression (range shapes need a monotone template), or " +
+              "the derived predicate is already present"))
+          ()
+      }
+    }
 
   /** Walk a Project/Filter chain to its single parquet relation; return
-    * (relation, its registered specs, the chain's existing Filter
+    * (relation, registered root, its specs, the chain's existing Filter
     * conjuncts — the idempotence set). */
   private def chainToRel(p: LogicalPlan, seen: Seq[Expression])
-      : Option[(LogicalRelation, Seq[GenSpec], Seq[Expression])] = p match {
+      : Option[(LogicalRelation, String, Seq[GenSpec], Seq[Expression])] =
+    p match {
     case l: LogicalRelation => l.relation match {
       case r: HadoopFsRelation =>
         val roots = r.location.rootPaths.map(x => norm(x.toString))
         val reg = registry.entrySet().iterator()
-        var hit: Option[Seq[GenSpec]] = None
+        var hit: Option[(String, Seq[GenSpec])] = None
         while (reg.hasNext && hit.isEmpty) {
           val e = reg.next()
           if (roots.nonEmpty &&
               roots.forall(_.startsWith(e.getKey + "/")))
-            hit = Some(e.getValue)
+            hit = Some((e.getKey, e.getValue))
         }
-        hit.map((l, _, seen))
+        hit.map { case (k, s) => (l, k, s, seen) }
       case _ => None
     }
     case Project(_, c) => chainToRel(c, seen)
@@ -190,13 +225,32 @@ object GeneratedPrune extends Rule[LogicalPlan] {
 
   private def tryDerive(cond: Expression,
                         child: LogicalPlan): Option[LogicalPlan] = {
-    val (rel, specs, chainSeen) = chainToRel(child, Nil) match {
+    val (rel, _, specs, chainSeen) = chainToRel(child, Nil) match {
       case Some(x) => x
       case None => return None
     }
+    val derived = deriveConjuncts(cond, rel, specs, chainSeen)
+    if (derived.isEmpty) None
+    else {
+      val pred = derived.reduce(And(_, _))
+      // insert directly above the relation: below pruned Projects (the
+      // generated column need not survive to the query's output) and
+      // where FileSourceStrategy lifts it into PartitionFilters
+      Some(child.transformUp {
+        case r: LogicalRelation if r eq rel => Filter(pred, r)
+      })
+    }
+  }
+
+  /** The derivable partition-predicate conjuncts of `cond` against one
+    * registered relation — shared by the rewrite and the EXPLAIN
+    * REWRITE trace so the report can never drift from the rule. */
+  private def deriveConjuncts(cond: Expression, rel: LogicalRelation,
+                              specs: Seq[GenSpec],
+                              chainSeen: Seq[Expression]): Seq[Expression] = {
     val conjuncts = splitAnd(cond)
     val seen = conjuncts ++ chainSeen
-    val derived = specs.flatMap { spec =>
+    specs.flatMap { spec =>
       // the source column as the QUERY references it (logical name at
       // the Filter's scope) and the generated PARTITION column as the
       // relation carries it (partition-schema attribute)
@@ -236,15 +290,5 @@ object GeneratedPrune extends Rule[LogicalPlan] {
         }
       }
     }.filterNot(d => seen.exists(_.semanticEquals(d)))
-    if (derived.isEmpty) None
-    else {
-      val pred = derived.reduce(And(_, _))
-      // insert directly above the relation: below pruned Projects (the
-      // generated column need not survive to the query's output) and
-      // where FileSourceStrategy lifts it into PartitionFilters
-      Some(child.transformUp {
-        case r: LogicalRelation if r eq rel => Filter(pred, r)
-      })
-    }
   }
 }

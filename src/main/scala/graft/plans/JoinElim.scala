@@ -61,8 +61,23 @@ object JoinElim extends Rule[LogicalPlan] {
 
   def deregisterRoot(root: String): Unit = { registry.remove(norm(root)); () }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (registry.isEmpty) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val trace = MvRewrite.currentTrace
+    if (trace != null) {
+      // EXPLAIN REWRITE mode: record the fire/no-fire decision for every
+      // join this rule would inspect, leave the plan untouched. Only
+      // joins whose dim side resolves to a registered RELY-keyed graft
+      // table report — an unregistered join is out of this rule's
+      // jurisdiction, not a decision about it.
+      plan.foreachUp {
+        case Project(ps, j: Join) =>
+          traceJoin(j, ps.flatMap(_.references), trace)
+        case Aggregate(gs, as, j: Join, _) =>
+          traceJoin(j, (gs ++ as).flatMap(_.references), trace)
+        case _ => ()
+      }
+      plan
+    } else if (registry.isEmpty) plan
     else plan.transformUp {
       case p @ Project(ps, j: Join) =>
         tryElim(j, ps.flatMap(_.references)).map(c => p.copy(child = c))
@@ -71,6 +86,17 @@ object JoinElim extends Rule[LogicalPlan] {
         tryElim(j, (gs ++ as).flatMap(_.references))
           .map(c => a.copy(child = c)).getOrElse(a)
     }
+  }
+
+  private def traceJoin(j: Join, needed: Seq[Attribute],
+      out: scala.collection.mutable.ArrayBuffer[
+        (String, String, String, String)]): Unit = decide(j, needed) match {
+    case scala.Right((root, _, why)) =>
+      out += (("join", root, "join-eliminated", why)); ()
+    case scala.Left((root, why)) if root.nonEmpty =>
+      out += (("join", root, "join-kept", why)); ()
+    case _ => () // dim side not a registered keyed table: no decision
+  }
 
   /** Chain walk: (relation root, relation, Filter conjuncts seen). */
   private def chainRoot(p: LogicalPlan, seen: Seq[Expression])
@@ -116,12 +142,31 @@ object JoinElim extends Rule[LogicalPlan] {
     case x => Seq(x)
   }
 
-  private def tryElim(j: Join, needed: Seq[Attribute]): Option[LogicalPlan] = {
-    if (j.joinType != Inner && j.joinType != LeftOuter) return None
+  private def tryElim(j: Join, needed: Seq[Attribute]): Option[LogicalPlan] =
+    decide(j, needed).toOption.map(_._2)
+
+  /** The elimination decision WITH its reasoning — one copy of the
+    * soundness logic serving both the rewrite ([[tryElim]]) and the
+    * EXPLAIN REWRITE trace. Right((dim root, replacement, why fired));
+    * Left((dim root, why kept)) — root is "" when the dim side never
+    * resolved to a registered keyed table (no jurisdiction, no row). */
+  private def decide(j: Join, needed: Seq[Attribute])
+      : Either[(String, String), (String, LogicalPlan, String)] = {
+    // resolve the dim root FIRST so even early structural bails can
+    // attribute their reason to the table whose keys are in play
+    val rootOpt = chainRoot(j.right, Nil)
+    val rRoot = rootOpt.map(_._1).filter(r => registry.containsKey(r))
+      .getOrElse("")
+    def kept(why: String) = scala.Left((rRoot, why))
+    if (j.joinType != Inner && j.joinType != LeftOuter)
+      return kept("only INNER and LEFT OUTER joins are eliminable")
     val leftOut = AttributeSet(j.left.output)
     val rightOut = AttributeSet(j.right.output)
-    if (needed.exists(rightOut.contains)) return None
-    val cond = j.condition.getOrElse(return None)
+    if (needed.exists(rightOut.contains))
+      return kept("the query uses dim-side columns — the join is not " +
+        "pure existence/multiplicity plumbing")
+    val cond = j.condition.getOrElse(
+      return kept("the join has no condition"))
     // every conjunct must be a left-attr = right-attr equality
     val pairsOpt = splitAnd(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -130,25 +175,35 @@ object JoinElim extends Rule[LogicalPlan] {
         if leftOut.contains(a) && rightOut.contains(b) => Some((a, b))
       case _ => None
     }
-    if (pairsOpt.exists(_.isEmpty)) return None
+    if (pairsOpt.exists(_.isEmpty) || pairsOpt.flatten.isEmpty)
+      return kept("the join condition is not a conjunction of " +
+        "left-column = right-column equalities")
     val pairs = pairsOpt.flatten
-    if (pairs.isEmpty) return None
-    val (rRoot, _, rFilters) = chainRoot(j.right, Nil)
-      .getOrElse(return None)
-    val rKeys = registry.get(rRoot)
-    if (rKeys == null) return None
-    val pk = rKeys.pk.filter(_._2).map(_._1).getOrElse(return None)
+    val (rRootHit, _, rFilters) = rootOpt
+      .getOrElse(return scala.Left(("", "dim side is not a graft table scan")))
+    val rKeys = registry.get(rRootHit)
+    if (rKeys == null)
+      return scala.Left(("", "dim side declares no RELY keys"))
+    val pk = rKeys.pk.filter(_._2).map(_._1).getOrElse(
+      return kept("dim side declares no RELY PRIMARY KEY"))
     // right-side equated columns, resolved to the scan's own names
     val rNames = pairs.map(p => relName(j.right, p._2))
-    if (rNames.exists(_.isEmpty)) return None
+    if (rNames.exists(_.isEmpty))
+      return kept("an equated dim column is a computed alias, not the " +
+        "scan's own attribute")
     val equatedRight = rNames.flatten
-    if (!pk.forall(equatedRight.contains)) return None // pk not covered
+    if (!pk.forall(equatedRight.contains))
+      return kept("the equi-join columns do not cover the dim's RELY " +
+        s"PRIMARY KEY (${pk.mkString(",")}) — matches may duplicate rows")
     j.joinType match {
       case LeftOuter =>
         // ≤1 match per left row and LEFT keeps every left row: the
         // join is the left side verbatim (right filters only reduce
         // match count — still ≤1)
-        Some(j.left)
+        scala.Right((rRootHit, j.left,
+          "LEFT join to a RELY PRIMARY KEY covered by the equi-join " +
+            "columns with no dim column used — at most one match per " +
+            "row and every left row kept: the join is the left side"))
       case Inner =>
         // exact-once semantics need the FK story: a dim filter can drop
         // matches — EXCEPT `IsNotNull(pk col)` (the optimizer infers it
@@ -159,14 +214,21 @@ object JoinElim extends Rule[LogicalPlan] {
             relName(j.right, a).exists(pk.contains)
           case _ => false
         }
-        if (!harmless) return None
-        if (equatedRight.toSet != pk.toSet) return None
-        val (lRoot, _, _) = chainRoot(j.left, Nil)
-          .getOrElse(return None)
+        if (!harmless)
+          return kept("INNER join with a dim-side filter — filtered " +
+            "dims can drop fact rows, so exactly-once is not provable")
+        if (equatedRight.toSet != pk.toSet)
+          return kept("INNER join condition carries equalities beyond " +
+            "the fk=pk pairs — extra terms could drop fact rows")
+        val (lRoot, _, _) = chainRoot(j.left, Nil).getOrElse(
+          return kept("fact side is not a graft table scan — no " +
+            "FOREIGN KEY to consult"))
         val lKeys = registry.get(lRoot)
-        if (lKeys == null) return None
+        if (lKeys == null)
+          return kept("fact side declares no keys — an INNER join " +
+            "needs a RELY FOREIGN KEY onto the dim's PRIMARY KEY")
         val aligned = lKeys.fks.exists { case (fcols, refRoot, refCols, rely) =>
-          rely && refRoot == rRoot && refCols.toSet == pk.toSet &&
+          rely && refRoot == rRootHit && refCols.toSet == pk.toSet &&
             pairs.forall { case (la, rb) =>
               (relName(j.left, la), relName(j.right, rb)) match {
                 case (Some(ln), Some(rn)) =>
@@ -175,11 +237,17 @@ object JoinElim extends Rule[LogicalPlan] {
               }
             }
         }
-        if (!aligned) None
+        if (!aligned)
+          kept("fact side declares no RELY FOREIGN KEY aligned onto " +
+            "the dim's PRIMARY KEY along the join columns")
         // non-NULL fact keys match exactly once; NULL keys never match
-        else Some(Filter(pairs.map(_._1).distinct
-          .map(IsNotNull(_): Expression).reduce(And(_, _)), j.left))
-      case _ => None
+        else scala.Right((rRootHit, Filter(pairs.map(_._1).distinct
+          .map(IsNotNull(_): Expression).reduce(And(_, _)), j.left),
+          "INNER join on a RELY FOREIGN KEY onto the dim's RELY " +
+            "PRIMARY KEY with no dim column used — every non-NULL " +
+            "fact key matches exactly once: the join is the fact side " +
+            "filtered to non-NULL keys"))
+      case _ => kept("unreachable join type")
     }
   }
 }

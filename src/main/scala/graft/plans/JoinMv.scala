@@ -308,6 +308,17 @@ object JoinMv {
     val dimPins = d.dimVs.zipWithIndex.map { case (dv, i) =>
       math.max(dv, mv.lastTxnVersion(dimApp(i)).getOrElse(dv))
     }
+    // ledger-healed resume: any side's ledger ahead of its recorded
+    // version property means a prior refresh crashed after a slice's
+    // markered merge. Slices committed since the repair was folded into
+    // the merge (PostCombine) can't leave phantoms — but one committed
+    // by a pre-fold binary ran its emptied-group delete / sum NULL-fix
+    // OUTSIDE the marker, and a resume that reads every side as covered
+    // would short-circuit to noop and keep serving count(*)=0 phantom
+    // groups. Same probe-guarded entry sweep as the single-table REFRESH.
+    if (GraftSql.cdfMaintainable(d.aggs) &&
+        (factPin > d.factV || dimPins.zip(d.dimVs).exists(p => p._1 > p._2)))
+      GraftSql.sweepCdfPhantoms(mv, d.aggs)
     val factHistory = d.fact.history
     val factHead = factHistory.lastOption.map(_.version).getOrElse(factPin)
     val dimHeads = d.dims.zip(dimPins).map { case (dim, dv) =>

@@ -320,6 +320,15 @@ object MvRewrite extends Rule[LogicalPlan] {
   private val explainTrace = new ThreadLocal[
     scala.collection.mutable.ArrayBuffer[(String, String, String, String)]]
 
+  /** The active EXPLAIN REWRITE trace buffer (null outside trace mode).
+    * Shared with [[JoinElim]] and [[GeneratedPrune]] so ONE decision
+    * relation carries every graft optimizer rule's fire/no-fire
+    * reasoning — the rules run in the same optimizer pass, so their
+    * rows can never drift from what a genuine run would decide. */
+  private[plans] def currentTrace
+      : scala.collection.mutable.ArrayBuffer[(String, String, String, String)] =
+    explainTrace.get()
+
   /** `EXPLAIN REWRITE` surface: the routing decision for every
     * Aggregate of the query with its reason — (aggregate label,
     * mv root, decision, reason) — without executing anything. Runs the
@@ -342,8 +351,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     // identical re-decisions dedup
     val rows = buf.distinct.toSeq
     if (rows.nonEmpty) rows
-    else Seq(("", "", "no-aggregate",
-      "transparent MV routing serves Aggregate shapes only"))
+    else Seq(("", "", "no-decision",
+      "no traced rule applies: MV routing serves Aggregate shapes, " +
+        "join elimination needs a join over RELY-keyed graft tables, " +
+        "generated-column pruning needs a filter over a table with " +
+        "generated partition columns"))
   }
 
   private def traceAggregate(agg: Aggregate,

@@ -521,9 +521,10 @@ final class GraftTableSink(root: String, appId: String,
       // (same math as REFRESH MATERIALIZED VIEW's cdf path, shared via
       // GraftSql.applyCdfDelta) — the streaming form of incremental-MV
       // maintenance: O(changed rows) per trigger, retractions included,
-      // exactly-once via the markered merge (the follow-up emptied-group
-      // delete / sum NULL-fix commits are idempotent, so crash replays
-      // that no-op the merge still converge).
+      // exactly-once via the markered merge — the emptied-group delete
+      // and sum NULL-fix ride INSIDE that one commit (PostCombine), so
+      // a crash replay no-ops the whole trigger atomically and no
+      // post-merge probe reads of the table run per trigger.
       require(batch.columns.contains("_change_type"),
         "graft-table sink: aggregate mode consumes a change-feed stream " +
           "(.option(\"readChangeFeed\", \"true\") on the source)")

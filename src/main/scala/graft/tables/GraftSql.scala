@@ -2891,9 +2891,13 @@ object GraftSql {
     * `txn`-markered for exactly-once replay). O(changed rows) + the
     * touched MV cells; emptied groups drop; a surviving group whose
     * values went all-NULL gets its sum NULL-fixed via the count(c)
-    * companion. Requires [[cdfMaintainable]] aggs. The post-merge
-    * delete/NULL-fix commits are idempotent, so a crash replay that
-    * no-ops the markered merge still converges. */
+    * companion. Requires [[cdfMaintainable]] aggs. The emptied-group
+    * drop and sum NULL-fix ride INSIDE the markered merge commit
+    * ([[graft.ops.Merge.PostCombine]]): one commit per slice, no
+    * post-merge probe reads of the MV, and no crash window between the
+    * marker and a follow-up repair — a replayed batch no-ops the whole
+    * thing atomically. ([[sweepCdfPhantoms]] remains the healed-resume
+    * repair for phantoms committed by pre-fold binaries.) */
   private[graft] def applyCdfDelta(mv: VersionedTable, feed: DataFrame,
                                    groupCols: Seq[String],
                                    aggs: Seq[(String, String, String)],
@@ -2942,26 +2946,40 @@ object GraftSql {
         throw new CdfNotExpressible("CDF aggregate maintenance: NULL " +
           s"value in group column(s) ${groupCols.mkString(",")} — NULL " +
           "keys cannot merge incrementally; coalesce them upstream")
+      // the in-commit repair: post-combine values already hold the
+      // post-merge counts, so the merge itself can (a) drop a group
+      // whose count(*) reached zero — including a group inserted AND
+      // deleted within this one slice, which must never land — and
+      // (b) NULL-fix a sum whose count(c) companion hit zero (signed
+      // arithmetic leaves 0 where a recompute would show NULL)
+      val countStar = aggs.collectFirst { case ("count", "*", o) => o }.get
+      val nullFixes = aggs.collect {
+        case ("sum", c, o) =>
+          val cnt = aggs.collectFirst { case ("count", `c`, oc) => oc }.get
+          o -> when(col(cnt) === 0L, lit(null)).otherwise(col(o))
+      }.toMap
       mv.merge(delta, groupCols, updateExprs = aggs.map {
         case ("count", _, o)              => o -> ((t: Column, u: Column) => t + u)
         case (qf, _, o) if isQuantFn(qf)  => o -> mvCombine(qf)
         case (_, _, o)                    => o -> mvCombine("sum")
-      }.toMap, txn = txn, partitionBy = partitionBy)
+      }.toMap, txn = txn, partitionBy = partitionBy,
+        postCombine = Some(graft.ops.Merge.PostCombine(
+          set = nullFixes, deleteWhen = Some(col(countStar) === 0L))))
     } finally { delta.unpersist(); () }
-    sweepCdfPhantoms(mv, aggs)
   }
 
-  /** Idempotent follow-up repair of the CDF maintenance path: drop
-    * emptied groups (count(*) == 0, as a recompute would) and NULL-fix
-    * sums whose count(c) companion hit zero (signed arithmetic leaves a
-    * number where a recompute would show NULL). Probes guard the
-    * commits, so a clean table costs two short-circuit reads and no
-    * commit — per-batch streaming calls must not write a no-op delete
-    * every trigger. Called after every [[applyCdfDelta]] merge AND at
-    * REFRESH entry on a ledger-healed resume: a crash between the
-    * markered merge and these follow-ups otherwise leaves phantom rows
-    * servable until the next non-empty delta, because the healed resume
-    * reads the slice as already covered and short-circuits to noop. */
+  /** Idempotent standalone repair of the CDF maintenance invariants:
+    * drop emptied groups (count(*) == 0, as a recompute would) and
+    * NULL-fix sums whose count(c) companion hit zero (signed arithmetic
+    * leaves a number where a recompute would show NULL). Probes guard
+    * the commits, so a clean table costs two short-circuit reads and no
+    * commit. Since the repair was folded INTO [[applyCdfDelta]]'s merge
+    * commit (PostCombine), this runs ONLY at REFRESH entry on a
+    * ledger-healed resume: new commits can't leave phantoms, but a
+    * slice committed by a pre-fold binary whose process died between
+    * the markered merge and the then-separate follow-ups would — the
+    * healed resume reads that slice as covered and short-circuits to
+    * noop, so entry is the one place left to repair it. */
   private[graft] def sweepCdfPhantoms(mv: VersionedTable,
       aggs: Seq[(String, String, String)]): Unit = {
     aggs.collectFirst { case ("count", "*", o) => o }.foreach { countStar =>

@@ -3322,7 +3322,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             partitionBy: Seq[String] = Nil,
             statsFor: Seq[String] = Nil,
             txn: Option[(String, Long)] = None,
-            clauses: Option[graft.ops.Merge.Clauses] = None): LogEntry = {
+            clauses: Option[graft.ops.Merge.Clauses] = None,
+            postCombine: Option[graft.ops.Merge.PostCombine] = None): LogEntry = {
     // appendOnly blocks MERGE wholesale (it may rewrite matched rows) —
     // Delta's delta.appendOnly draws the same line; insert-if-absent
     // flows route through the anti-join append path instead
@@ -3343,6 +3344,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       s"MERGE with conditional clauses requires an existing target at $root")
     require(clauses.isEmpty || updateExprs.isEmpty,
       "clauses and updateExprs are alternative merge surfaces — pass one")
+    // postCombine pairs with the updateExprs surface (it repairs the
+    // COMBINED post-image); the clause surface expresses conditional
+    // deletes/sets natively and must not get two delete semantics
+    require(clauses.isEmpty || postCombine.isEmpty,
+      "postCombine composes with updateExprs, not with clauses")
     // WHEN NOT MATCHED BY SOURCE must see every target row to know it is
     // unmatched: the touched-cell optimization is off, the merge is a
     // full-table pass (exactly Delta's cost for the same clause)
@@ -3487,7 +3493,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         newSets
       }
       if (touchedSets.isEmpty && touched.nonEmpty && !hasDeletes &&
-          clauses.isEmpty) {
+          clauses.isEmpty && postCombine.isEmpty) {
         // insert-only fast path: no existing rows in any touched cell —
         // the staged files ARE the new file-sets; rename them in, zero
         // further jobs (the common shape of an MV's first build and of
@@ -3495,7 +3501,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // the join path: their staged files carry the marker column and
         // tombstone rows, neither of which may land as data; clause
         // batches likewise — staged rows are clause input, and insert
-        // clauses may filter or reshape them.
+        // clauses may filter or reshape them; postCombine batches too —
+        // a staged row may be repaired or dropped before landing (a
+        // net-zero group inserted+deleted within one delta must not
+        // land as a phantom through a rename).
         val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
           Some(deduped.schema)))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
@@ -3544,13 +3553,25 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             val (a, b) = graft.ops.Merge.alignForEvolution(target, readStaged())
             (a, graft.ops.Merge.upsertWithLineage(a, b, keys, updateExprs))
         }
+        // post-combine repair rides the same projection chain: applied
+        // BEFORE check enforcement so constraints see the FINAL values
+        // (a NULL-fixed sum is what a recompute would produce), and
+        // before the __delete_req filter so repaired-away rows both
+        // vanish from the snapshot and classify as CDF deletes
+        val lineagePc = postCombine.fold(lineageRaw)(pc => {
+          require(pc.set.keySet.subsetOf(t2.columns.toSet) &&
+            pc.set.keySet.intersect(keys.toSet).isEmpty,
+            s"postCombine.set must name non-key data columns; got ${pc.set.keySet}")
+          graft.ops.Merge.applyPostCombine(lineageRaw, pc)
+        })
         // updateExprs / clause expressions compute NEW post-image values
         // that neither side was checked for — enforce on the merged
         // frame; the plain upsert needs nothing (both sides passed when
         // written/staged). Recompute preserves the lineage columns.
         val lineage =
-          if (updateExprs.isEmpty && clauses.isEmpty) lineageRaw
-          else withCheckEnforcementRecomputing(lineageRaw,
+          if (updateExprs.isEmpty && clauses.isEmpty && postCombine.isEmpty)
+            lineagePc
+          else withCheckEnforcementRecomputing(lineagePc,
             exempt = Some(col("__delete_req")))
         val dataCols = t2.columns.toSeq.map(col)
         // rows requested deleted — and their matched target, which is the
@@ -3580,7 +3601,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                 "update_postimage"),
               tagged(lineage.filter(upPresent && !tp && fired && !del)
                 .select(dataCols: _*), "insert")) ++
-              (if (hasDeletes || clauses.exists(_.mayDelete))
+              (if (hasDeletes || clauses.exists(_.mayDelete) ||
+                  postCombine.exists(_.deleteWhen.isDefined))
                 Seq(tagged(lineage.filter(tp && del).select(pre: _*),
                   "delete"))
                else Nil)

@@ -1531,9 +1531,9 @@ class MvSqlSpec extends SparkSpec {
       // shape-bail: grouping by an expression
       assert(decide("SELECT upper(k) AS u, sum(v) AS s FROM silver_er " +
         "GROUP BY upper(k)").map(_._1) === Seq("shape-bail"))
-      // no aggregate at all
+      // no aggregate at all (and no join/prune jurisdiction either)
       assert(decide("SELECT * FROM silver_er").map(_._1) ===
-        Seq("no-aggregate"))
+        Seq("no-decision"))
       // stale: the source moves, the MV stops matching BY DESIGN
       src.append(Seq(("c", 1L, 3L)).toDF("k", "v", "w"))
       cat.registerViews() // re-pin the view to the NEW snapshot
@@ -1602,5 +1602,134 @@ class MvSqlSpec extends SparkSpec {
       assert(rows2 === Set(("served", fine.root),
         ("rejected", coarse.root)))
     } finally { MvRewrite.deregister(fine); MvRewrite.deregister(coarse) }
+  }
+
+  test("EXPLAIN REWRITE covers join elimination and generated-column " +
+       "pruning: fire and no-fire reasons in the same decision relation") {
+    val (cat, sql) = warehouse()
+    MvRewrite.install(spark)
+    val dim = cat.table("silver", "xdim")
+    dim.append(Seq((1, "red"), (2, "blue")).toDF("team", "color"))
+    val fact = cat.table("silver", "xfact")
+    fact.append(Seq((1, 10L), (2, 5L), (1, 7L)).toDF("team", "p"))
+    sql.sql("ALTER TABLE silver.xdim ADD CONSTRAINT pk_x " +
+      "PRIMARY KEY (team) RELY")
+    cat.registerViews()
+    def rows(q: String): Set[(String, String, String)] =
+      sql.sql("EXPLAIN REWRITE " + q)
+        .select("aggregate", "decision", "reason")
+        .as[(String, String, String)].collect().toSet
+    // LEFT join to the RELY-PK dim, no dim column used → eliminated
+    val elim = rows("SELECT sum(p) AS s FROM silver_xfact " +
+      "LEFT JOIN silver_xdim USING (team)")
+    assert(elim.exists { case (n, d, why) =>
+      n == "join" && d == "join-eliminated" && why.contains("LEFT join") },
+      s"expected a join-eliminated row, got $elim")
+    // dim column used → kept, with the reason naming the blocker
+    val kept = rows("SELECT color, sum(p) AS s FROM silver_xfact " +
+      "LEFT JOIN silver_xdim USING (team) GROUP BY color")
+    assert(kept.exists { case (n, d, why) =>
+      n == "join" && d == "join-kept" && why.contains("dim-side columns") },
+      s"expected a join-kept row, got $kept")
+    // generated partition column: range on the SOURCE column derives
+    sql.sql("CREATE TABLE silver.xev (ts STRING, v INT, " +
+      "day STRING GENERATED ALWAYS AS (substring(ts, 1, 10))) " +
+      "PARTITIONED BY (day)")
+    sql.sql("INSERT INTO silver.xev (ts, v) VALUES " +
+      "('2026-01-01T10:00', 1), ('2026-01-02T09:00', 3)")
+    cat.registerViews()
+    val pruned = rows("SELECT v FROM silver_xev WHERE ts >= '2026-01-02'")
+    assert(pruned.exists { case (n, d, why) =>
+      n == "scan" && d == "partition-pruned" && why.contains("day") },
+      s"expected a partition-pruned row, got $pruned")
+    val noPrune = rows("SELECT v FROM silver_xev WHERE v = 3")
+    assert(noPrune.exists { case (n, d, _) =>
+      n == "scan" && d == "prune-none" },
+      s"expected a prune-none row, got $noPrune")
+  }
+
+  test("applyCdfDelta folds emptied-group drop and sum NULL-fix into the " +
+       "ONE markered merge commit — no follow-up probe or repair commits") {
+    val t = VersionedTable(spark, tmpDir("graft-cdffold-"))
+    val aggs = Seq(("sum", "v", "sum_v"), ("count", "v", "cnt_v"),
+      ("count", "*", "cnt"))
+    def feed(rows: (String, Option[Long], String)*): DataFrame =
+      rows.toDF("k", "v", "_change_type")
+    // slice 1 lands into brand-new cells (the sink-creates-table /
+    // first-batch shape, which used to take the rename-in fast path):
+    // c nets to zero rows within the slice and must never land; d's
+    // value went NULL within the slice (count(v)=0) so its sum must
+    // land NULL — not the 0 that signed arithmetic leaves
+    GraftSql.applyCdfDelta(t, feed(
+      ("a", Some(10L), "insert"), ("a", Some(2L), "insert"),
+      ("b", Some(5L), "insert"),
+      ("c", Some(1L), "insert"), ("c", Some(1L), "delete"),
+      ("d", Some(3L), "insert"),
+      ("d", Some(3L), "update_preimage"), ("d", None, "update_postimage")),
+      Seq("k"), aggs, txn = Some(("t-cdffold", 1L)))
+    assert(t.history.length === 1, "slice 1 must be exactly one commit")
+    assert(t.read.orderBy("k").as[(String, Option[Long], Long, Long)]
+      .collect().toSeq === Seq(("a", Some(12L), 2L, 2L),
+        ("b", Some(5L), 1L, 1L), ("d", None, 0L, 1L)))
+    // slice 2 against existing groups: b empties (drops in-commit), a's
+    // 2 goes NULL (sum 10, count(v) 1) — still exactly ONE commit where
+    // the pre-fold code issued merge + probe-guarded delete + update
+    GraftSql.applyCdfDelta(t, feed(
+      ("b", Some(5L), "delete"),
+      ("a", Some(2L), "update_preimage"), ("a", None, "update_postimage")),
+      Seq("k"), aggs, txn = Some(("t-cdffold", 2L)))
+    assert(t.history.length === 2, "slice 2 must be exactly one commit")
+    assert(t.read.orderBy("k").as[(String, Option[Long], Long, Long)]
+      .collect().toSeq === Seq(("a", Some(10L), 1L, 2L),
+        ("d", None, 0L, 1L)))
+    // exactly-once: a crash replay of slice 2 no-ops the WHOLE repair
+    // atomically (the marker covers drop + NULL-fix, not just the adds)
+    GraftSql.applyCdfDelta(t, feed(("b", Some(5L), "delete")),
+      Seq("k"), aggs, txn = Some(("t-cdffold", 2L)))
+    assert(t.history.length === 2, "replayed slice must commit nothing")
+    assert(t.read.orderBy("k").as[(String, Option[Long], Long, Long)]
+      .collect().toSeq === Seq(("a", Some(10L), 1L, 2L),
+        ("d", None, 0L, 1L)))
+  }
+
+  test("join-MV REFRESH on a ledger-healed resume sweeps phantom " +
+       "zero-count groups a pre-fold crash left behind") {
+    val (cat, sql) = joinWarehouse()
+    MvRewrite.install(spark)
+    sql.sql("CREATE MATERIALIZED VIEW gold.mv_jheal AS SELECT color, " +
+      "sum(pts) AS sum_pts, count(pts) AS cnt_pts, count(*) AS cnt " +
+      "FROM silver.jfact JOIN silver.jdim USING (team) GROUP BY color")
+    val mv = cat.table("gold", "mv_jheal")
+    try {
+      val fact = cat.table("silver", "jfact")
+      fact.delete(col("team") === 2) // empties blue
+      // simulate a PRE-FOLD crash: the fact slice's markered merge
+      // landed (blue zeroed out) but the process died before the
+      // then-separate emptied-group delete ran — the fact-side ledger
+      // is now ahead of FactVersionProp and a naive resume would read
+      // the slice as covered (noop) and keep serving the phantom
+      val epoch = mv.properties
+        .getOrElse(graft.plans.JoinMv.EpochProp, "0")
+      val txnApp = "graft-mvjoin:" + epoch + ":" + mv.root
+      val factHead = fact.latestVersion.get
+      mv.merge(
+        Seq(("blue", -5L, -1L, -1L))
+          .toDF("color", "sum_pts", "cnt_pts", "cnt"),
+        Seq("color"), updateExprs = Map(
+          "sum_pts"  -> GraftSql.mvCombine("sum"),
+          "cnt_pts"  -> GraftSql.mvCombine("count"),
+          "cnt"      -> GraftSql.mvCombine("count")),
+        txn = Some((txnApp, factHead)))
+      assert(!mv.read.filter(col("cnt") === 0L).isEmpty,
+        "staging failed: the phantom zero-count row must exist pre-refresh")
+      val mode = sql.sql("REFRESH MATERIALIZED VIEW gold.mv_jheal")
+        .select("mode").as[String].head()
+      assert(mode === "noop",
+        "the healed resume must read the slice as already covered")
+      assert(mv.read.filter(col("color") === "blue").isEmpty,
+        "the phantom zero-count group must be swept at refresh entry")
+      assert(mv.read.orderBy("color").as[(String, Long, Long, Long)]
+        .collect().toSeq === Seq(("red", 30L, 2L, 2L)))
+    } finally MvRewrite.deregister(mv)
   }
 }

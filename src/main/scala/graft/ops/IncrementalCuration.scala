@@ -109,11 +109,20 @@ object IncrementalCuration {
     // per-probe count() job — three probes per slice made that three
     // driver-blocking jobs
     if (expectedItems <= 0) return state.limit(0)
+    // ONLY the empty-input case may degrade to an empty probe set
+    // (zero keys can match nothing; stat.bloomFilter over zero rows
+    // yields no sketch). Any other failure is a REAL Spark job failure
+    // and must fail the slice so it replays from the txn markers —
+    // swallowing it would silently skip against-state dedup for the
+    // slice and commit duplicates into kept/hashes state (Bloom false
+    // negatives are never verified away; only false positives are).
+    // The emptiness probe runs only on the already-failed path, so the
+    // happy path stays at one job.
     val bloom =
       try b.stat.bloomFilter("k", expectedItems, 0.01)
-      catch { case scala.util.control.NonFatal(_) => null }
-    // an empty probe set (all candidates filtered out upstream) can
-    // match nothing — stat.bloomFilter over zero rows yields no sketch
+      catch { case scala.util.control.NonFatal(e) =>
+        if (b.isEmpty) null else throw e
+      }
     if (bloom == null) return state.limit(0)
     val name = "graft_bloom_cur_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -123,6 +132,22 @@ object IncrementalCuration {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomMightContainLong(exprs.head, bloom))
     state.filter(call_function(name, stateKey.cast("long")))
+  }
+
+  /** Deterministically release a localCheckpoint'ed frame's blocks.
+    * `DataFrame.unpersist` evicts CacheManager entries only — a
+    * localCheckpoint's RDD blocks (MEMORY_AND_DISK) are otherwise freed
+    * when ContextCleaner GCs the RDD, which a long-running change-feed
+    * consumer cannot wait for: slices would accumulate checkpoint
+    * blocks under memory pressure. The checkpointed plan is a
+    * [[org.apache.spark.sql.execution.LogicalRDD]] leaf; unpersisting
+    * its RDD frees the blocks now (non-blocking — the slice is done
+    * with them by the time the finally runs). */
+  private def releaseCkpt(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { r => r.unpersist(blocking = false); () }
+    ()
   }
 
   /** Consume every unconsumed commit of the `docs` source into the
@@ -398,10 +423,10 @@ object IncrementalCuration {
                     Seq("band_idx", "band_hash", "doc_id"), "left_anti")),
                 Seq("band_idx", "band_hash", "doc_id"), "bands")
               ()
-            } finally { survivors.unpersist(); () }
-            } finally { newBands.unpersist(); () }
-          } finally { afterLocal.unpersist(); () }
-          } finally { sigd.unpersist(); () }
+            } finally releaseCkpt(survivors)
+            } finally releaseCkpt(newBands)
+          } finally releaseCkpt(afterLocal)
+          } finally releaseCkpt(sigd)
         } else if (purgeOwners.nonEmpty) {
           // purge-only slice (deletes, or nothing passing the filter):
           // tombstone-only merges, still one commit per table
@@ -419,9 +444,9 @@ object IncrementalCuration {
             Seq("doc_id"), txn = Some((appId + ":k", hi))))
           ()
         }
-        } finally { batchExact.unpersist(); () }
-        } finally { purgeOwners.foreach { po => po.unpersist(); () } }
-      } finally { pre.unpersist(); classified.unpersist(); () }
+        } finally releaseCkpt(batchExact)
+        } finally purgeOwners.foreach(releaseCkpt)
+      } finally { releaseCkpt(pre); releaseCkpt(classified) }
     }
   }
 }

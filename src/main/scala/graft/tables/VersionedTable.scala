@@ -1919,10 +1919,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           // mapping DDL is metadata-only too — the mapping itself is
           // applied to every feed arm (old-era change files project to
           // current names), so the feed stays readable ACROSS renames,
-          // a boundary Delta's CDF refuses
-          case "compact" | "zorder" | "purge_dv"
-             | "rename_column" | "drop_column"
-             | "set_partition_layout" => ()
+          // a boundary Delta's CDF refuses. The classification is the
+          // SHARED VersionedTable.CdfNoChangeActions — the metadata-only
+          // probe (changeFeedExpressible) consults the same set, so the
+          // two can never drift.
+          case a if VersionedTable.CdfNoChangeActions(a) => ()
           // a clone BASE commit is the cloned snapshot itself: synthesize
           // its rows as inserts (the clone's own DVs applied — rows
           // deleted before the clone never existed here) so a CDC
@@ -1980,10 +1981,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * infers no schema — the streaming source's bootstrap decision needs
     * the yes/no, not the frame, and the plan-construction probe paid
     * full-history cost (per-distinct-schema arms) on every source init.
-    * Kept in lockstep with readChangeFeed's refusal cases: vacuumed
-    * explicit change sets, vacuumed appended/clone file-sets, and
-    * actions the feed cannot reconstruct as row changes
-    * (overwrite/restore/…). */
+    * In lockstep with readChangeFeed's refusal cases BY CONSTRUCTION:
+    * the zero-row action classification is the shared
+    * [[VersionedTable.CdfNoChangeActions]] (vacuumed explicit change
+    * sets and vacuumed appended/clone file-sets use the same
+    * file-existence checks; everything else — overwrite/restore/… — is
+    * a refusal on both paths). */
   def changeFeedExpressible(sinceVersion: Long, endVersion: Long): Boolean = {
     val h = history
     val byVersion = h.map(e => e.version -> e).toMap
@@ -1997,9 +2000,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                 .getOrElse(Set.empty)
               e.fileSets.filterNot(prev)
                 .forall(fs => Files.exists(dataDir.resolve(fs)))
-            case "compact" | "zorder" | "purge_dv"
-               | "rename_column" | "drop_column"
-               | "set_partition_layout" => true
+            case a if VersionedTable.CdfNoChangeActions(a) => true
             case "clone" =>
               e.fileSets.forall(fs => Files.exists(dataDir.resolve(fs)))
             case _ => false
@@ -4177,6 +4178,19 @@ object VersionedTable {
     * string scan; a per-row suffix regex here measurably taxed every
     * DV-bearing read. */
   private[graft] val DataDirMarker = "/data/"
+
+  /** Actions the change feed reports ZERO rows for: data-identical
+    * rewrites (compact/zorder/purge_dv) and metadata-only column/layout
+    * DDL (the mapping applies to every feed arm, so reads stay
+    * consistent ACROSS the DDL). ONE definition consulted by BOTH
+    * [[VersionedTable.readChangeFeed]] and
+    * [[VersionedTable.changeFeedExpressible]] — when the two were
+    * separate hand-maintained whitelists, any action added to one
+    * silently diverged the other (conservatively: a needless snapshot
+    * bootstrap — but only by luck of which side drifted). */
+  private[graft] val CdfNoChangeActions: Set[String] = Set(
+    "compact", "zorder", "purge_dv",
+    "rename_column", "drop_column", "set_partition_layout")
 
   /** Parsed-log cache (see [[VersionedTable.history]]): entry files are
     * write-once and checkpoint files are keyed by (inode, mtime), so

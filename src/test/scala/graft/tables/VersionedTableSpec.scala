@@ -2069,6 +2069,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.changeFeedExpressible(2L, 4L))
   }
 
+  test("every log action classifies identically through readChangeFeed " +
+       "and changeFeedExpressible (shared CdfNoChangeActions) — the " +
+       "lockstep property, so a new action cannot silently diverge them") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = VersionedTable(spark, tmpDir("graft-cfe2-"))
+    t.enableChangeFeed()
+    t.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")) // append
+    t.delete(col("k") === 2)                                   // delete
+    t.update(Map("v" -> lit("z")), col("k") === 1)             // update
+    t.merge(Seq((4, "d")).toDF("k", "v"), Seq("k"))            // merge
+    t.compact()                                                // compact
+    t.renameColumn("v", "w")                                   // rename_column
+    t.addColumns("x INT")                                      // add columns
+    t.dropColumn("x")                                          // drop_column
+    t.overwrite(Seq((9, "y")).toDF("k", "w"))                  // replace
+    t.append(Seq((10, "q")).toDF("k", "w"))
+    t.restore(t.history.head.version)                          // restore
+    val actions = t.history.map(_.action).toSet
+    // the sweep must actually exercise both classes — a fixture change
+    // that drops the non-expressible actions would hollow the property
+    assert(actions.exists(VersionedTable.CdfNoChangeActions.contains))
+    assert(actions.exists(a => Set("overwrite", "restore")(a)))
+    t.history.foreach { e =>
+      val readable = scala.util.Try(
+        t.readChangeFeed(e.version - 1, Some(e.version)).count()).isSuccess
+      assert(t.changeFeedExpressible(e.version - 1, e.version) === readable,
+        s"v${e.version} action=${e.action}: probe and read disagree")
+    }
+  }
+
   test("consumer pins: setPin re-points, dropPin is idempotent, vacuum " +
        "retains the pinned suffix until the pin advances or IGNORE PINS") {
     val t = VersionedTable(spark, tmpDir("graft-pin-"))

@@ -150,6 +150,21 @@ object IncrementalCuration {
     ()
   }
 
+  /** Run independent state-table merges concurrently and await ALL of
+    * them before surfacing the first failure — an abandoned in-flight
+    * merge must never race the slice's replay. Spark job submission is
+    * thread-safe; the frames feeding each merge are localCheckpoint'ed
+    * so no lineage recompute crosses threads. */
+  private def inParallel(fs: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val settled = fs.map(f => Future(f()))
+      .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   /** Consume every unconsumed commit of the `docs` source into the
     * workspace. Returns the applied version range, or None when caught
     * up. O(changed docs) per call. */
@@ -335,7 +350,13 @@ object IncrementalCuration {
                 posexplode(transform(sequence(lit(0), lit(cfg.bands - 1)),
                   b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r)))))
                   .as(Seq("band_idx", "band_hash")))
-            val newBands = tlog("ckpt newBands")(newBands0.localCheckpoint())
+            // fresh workspace: the band relation feeds ONLY the final
+            // merge (the state probe is skipped below), and the merge
+            // stages its batch exactly once — the checkpoint would be a
+            // pure extra materialization
+            val newBands =
+              if (!bands.exists) newBands0
+              else tlog("ckpt newBands")(newBands0.localCheckpoint())
             try {
             // against-state near-dup: batch bands probe the `bands`
             // table behind a Bloom; exact Jaccard verify reads ONLY the
@@ -379,9 +400,16 @@ object IncrementalCuration {
                     .select(col("new_id").as("doc_id")).distinct()
               }
             }
-            val survivors = tlog("ckpt survivors")(afterLocal
-              .join(stateLosers, Seq("doc_id"), "left_anti")
-              .localCheckpoint())
+            // bootstrap / fresh-workspace slices have NO state to lose
+            // against (stateLosers is empty-by-construction) — the
+            // anti-join is the identity, so skip both its job and the
+            // extra checkpoint materialization (afterLocal is already
+            // checkpointed)
+            val survivors =
+              if (!bands.exists) afterLocal
+              else tlog("ckpt survivors")(afterLocal
+                .join(stateLosers, Seq("doc_id"), "left_anti")
+                .localCheckpoint())
             try {
               // ------------- phase 3: state merges (tombstones ride in)
               // ONE bucket-COW commit per table: the slice's purge
@@ -406,43 +434,56 @@ object IncrementalCuration {
                       txn = Some((appId + ":" + label.head, hi))))
                 ()
               }
-              merged(survivors.select("doc_id", "text", "toks", "q4i"),
-                purgeOwners.map(_ => pre.select(col("doc_id"))
-                  .join(survivors.select("doc_id"), Seq("doc_id"),
-                    "left_anti")),
-                Seq("doc_id"), "kept")
-              merged(survivors.select("content_hash", "doc_id"),
-                purgeOwners.map(_.join(survivors.select("content_hash"),
-                  Seq("content_hash"), "left_anti")),
-                Seq("content_hash"), "hashes")
+              // the three merges are INDEPENDENT tables fed exclusively
+              // by checkpointed (or state-table) relations — run them
+              // concurrently: at change-batch sizes each merge is
+              // driver-latency bound (staging job + cell join + commit
+              // IO), so the slice pays max() of the three instead of
+              // their sum. Replay safety is unchanged — each table's
+              // txn marker is judged independently, and admission
+              // decisions are replay-stable against a partially-applied
+              // batch (self-match exclusion above), so any crash
+              // ordering of the three replays to the same state.
               val bandUp = newBands
                 .join(survivors.select("doc_id"), Seq("doc_id"))
-              merged(bandUp,
-                purgeOwners.map(_ => bandsOf(pre, "text", cfg)
-                  .join(bandUp.select("band_idx", "band_hash", "doc_id"),
-                    Seq("band_idx", "band_hash", "doc_id"), "left_anti")),
-                Seq("band_idx", "band_hash", "doc_id"), "bands")
-              ()
-            } finally releaseCkpt(survivors)
-            } finally releaseCkpt(newBands)
+              inParallel(Seq(
+                () => merged(survivors.select("doc_id", "text", "toks", "q4i"),
+                  purgeOwners.map(_ => pre.select(col("doc_id"))
+                    .join(survivors.select("doc_id"), Seq("doc_id"),
+                      "left_anti")),
+                  Seq("doc_id"), "kept"),
+                () => merged(survivors.select("content_hash", "doc_id"),
+                  purgeOwners.map(_.join(survivors.select("content_hash"),
+                    Seq("content_hash"), "left_anti")),
+                  Seq("content_hash"), "hashes"),
+                () => merged(bandUp,
+                  purgeOwners.map(_ => bandsOf(pre, "text", cfg)
+                    .join(bandUp.select("band_idx", "band_hash", "doc_id"),
+                      Seq("band_idx", "band_hash", "doc_id"), "left_anti")),
+                  Seq("band_idx", "band_hash", "doc_id"), "bands")))
+            // the fresh-workspace aliases are NOT their own checkpoints —
+            // releasing them would walk into the parent frames' blocks
+            } finally { if (survivors ne afterLocal) releaseCkpt(survivors) }
+            } finally { if (newBands ne newBands0) releaseCkpt(newBands) }
           } finally releaseCkpt(afterLocal)
           } finally releaseCkpt(sigd)
         } else if (purgeOwners.nonEmpty) {
           // purge-only slice (deletes, or nothing passing the filter):
-          // tombstone-only merges, still one commit per table
-          tlog("purge hashes.merge")(hashes.merge(
-            purgeOwners.get.withColumn(Merge.DeleteCol, lit(true)),
-            Seq("content_hash"), txn = Some((appId + ":h", hi))))
-          tlog("purge bands.merge")(bands.merge(
-            bandsOf(pre, "text", cfg)
-              .withColumn(Merge.DeleteCol, lit(true)),
-            Seq("band_idx", "band_hash", "doc_id"),
-            txn = Some((appId + ":b", hi))))
-          tlog("purge kept.merge")(kept.merge(
-            pre.select(col("doc_id"))
-              .withColumn(Merge.DeleteCol, lit(true)),
-            Seq("doc_id"), txn = Some((appId + ":k", hi))))
-          ()
+          // tombstone-only merges, one commit per table, concurrent for
+          // the same reason as the main branch
+          inParallel(Seq(
+            () => { tlog("purge hashes.merge")(hashes.merge(
+              purgeOwners.get.withColumn(Merge.DeleteCol, lit(true)),
+              Seq("content_hash"), txn = Some((appId + ":h", hi)))); () },
+            () => { tlog("purge bands.merge")(bands.merge(
+              bandsOf(pre, "text", cfg)
+                .withColumn(Merge.DeleteCol, lit(true)),
+              Seq("band_idx", "band_hash", "doc_id"),
+              txn = Some((appId + ":b", hi)))); () },
+            () => { tlog("purge kept.merge")(kept.merge(
+              pre.select(col("doc_id"))
+                .withColumn(Merge.DeleteCol, lit(true)),
+              Seq("doc_id"), txn = Some((appId + ":k", hi)))); () }))
         }
         } finally releaseCkpt(batchExact)
         } finally purgeOwners.foreach(releaseCkpt)

@@ -127,6 +127,45 @@ object ScaleBench {
       (f, rows, 2000, 0.0, mergeSec)
     }
 
+    // ------------------------- family 4: join-MV dim-delta maintenance
+    // Fixed dim delta: 100 customer keys change segment against a fact
+    // grown 1× → 3× → 10× (more customers, one fact row per key — the
+    // keyed-fact star shape whose bucket-pruned read JoinMv.refresh
+    // exploits). The telescoped dim slice reads ONLY the fact buckets
+    // the changed keys hash to (≤100 of 256), so the measured cost per
+    // changed dim row should stay flat while a full-scan fallback would
+    // grow with the fact. The refresh mode is asserted incremental —
+    // a silent degrade to recompute would fake a flat line at 1× and
+    // blow up at 10×.
+    val joinMv = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-jmv$f-").toString
+      val nCust = 50000L * f
+      val fact = VersionedTable(spark, s"$root/fact")
+      val dim = VersionedTable(spark, s"$root/dim")
+      val mv = VersionedTable(spark, s"$root/mv")
+      fact.enableChangeFeed(); dim.enableChangeFeed()
+      fact.merge(spark.range(nCust).select(col("id").as("ck"),
+        (col("id") % 997L).as("p")), Seq("ck"), numBuckets = 256)
+      dim.append(spark.range(nCust).select(col("id").as("ck"),
+        concat(lit("seg"), (col("id") % 37L)).as("seg")))
+      val (_, buildSec) = timed(graft.plans.JoinMv.create(fact,
+        Seq(graft.plans.JoinMv.DimSide(dim, Seq(("ck", "ck")), None)),
+        Seq("seg"), Seq(
+          graft.plans.MvRewrite.AggSpec("sum", "p", "sum_p"),
+          graft.plans.MvRewrite.AggSpec("count", "p", "cnt_p"),
+          graft.plans.MvRewrite.AggSpec("count", "*", "cnt")), mv))
+      val changed = 100
+      dim.update(Map("seg" -> lit("segMOVED")),
+        col("ck") % 500L === 7L && col("ck") < 500L * changed)
+      val (mode, syncSec) = timed(graft.plans.JoinMv.refresh(spark, mv))
+      require(mode.startsWith("cdf"),
+        s"join-MV dim slice degraded to '$mode' at factor $f — the " +
+          "measurement would not be exercising the incremental path")
+      graft.plans.MvRewrite.deregister(mv)
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, nCust, changed, buildSec, syncSec)
+    }
+
     def familyJson(points: Seq[(Int, Long, Int, Double, Double)],
                    prepName: String): String =
       points.map { case (f, corpus, changed, prep, sync) =>
@@ -138,7 +177,8 @@ object ScaleBench {
       s"""{"sf":"$sfDir","cpus":$cpus,"families":{""" +
         s""""curation_incremental":${familyJson(curation, "bootstrap")},""" +
         s""""ivf_sync":${familyJson(ivf, "build")},""" +
-        s""""bucketed_merge":${familyJson(merge, "prep")}}}"""
+        s""""bucketed_merge":${familyJson(merge, "prep")},""" +
+        s""""join_mv_dim_delta":${familyJson(joinMv, "build")}}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
   }

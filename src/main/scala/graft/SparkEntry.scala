@@ -179,6 +179,25 @@ object SparkEntry {
           slice(toks, lit(1), greatest(size(toks) - 2, lit(0)))).as("text")))
   }
 
+  /** Bit-pattern block vector of an id — the PQ provably-total corpus
+    * shared by `q_sim_pq_topk` and `q_sim_ivfpq_topk`: 8 dims as 4
+    * two-dim subspaces, subspace j holding (amp·b_j, amp·(1−b_j)) with
+    * b_j = bit j of the id and amp = 0.25·((id%3)+1). Exactly 6
+    * distinct subvectors per subspace (2 bits × 3 amps) ≤ k=8, so a
+    * trained codebook is lossless by kmeansLocal's distinct-point-init
+    * contract, and every coordinate is a multiple of 1/4 — products
+    * against a grid query stay on the 1/16 grid where float summation
+    * is bit-exact and a SQL oracle replays the ADC scores. */
+  private def bitPatternVec(id: Column): Column = {
+    val amp = ((id % 3 + 1)).cast("double") * lit(0.25d)
+    array((0 until 8).map { i =>
+      val j = i / 2
+      val bit = (floor(id.cast("long") / (1L << j)).cast("long") % 2)
+        .cast("double")
+      if (i % 2 == 0) amp * bit else amp * (lit(1.0d) - bit)
+    }: _*).cast("array<float>")
+  }
+
   /** events mapped onto the declared silver.live_event shape
     * (resources/uc/objects.sql:139-149). */
   private def eventsAsLiveEvents(s: SparkSession, dir: String): DataFrame =
@@ -591,22 +610,26 @@ object SparkEntry {
     // Similarity: PQ ANN serving — vectors compressed to m codes
     // (product quantization), query served by asymmetric distance over
     // broadcast lookup tables: m table probes per row instead of a
-    // d-dim dot product, the billion-vector memory/computation shape
-    // (rows-only: codebooks are engine-specific; lossless-case equality
-    // with brute force pinned by SimilaritySpec).
+    // d-dim dot product, the billion-vector memory/computation shape.
+    // ORACLE-CHECKED at a provably-total operating point (the IVF/LSH
+    // full-probe move): a bit-pattern corpus over the FULL id range —
+    // subspace j of 4 holds (amp·b_j, amp·(1−b_j)) with b_j = bit j of
+    // vec_id and amp = 0.25·((vec_id%3)+1) — has 6 distinct patterns
+    // per subspace ≤ k=8, so the codebook covers every pattern exactly
+    // (kmeansLocal inits from distinct points), ADC scores EQUAL true
+    // inner products, and every value sits on the 1/16 grid where any
+    // summation order is bit-exact. Distinct structure, m, k, corpus
+    // size, and query from q_sim_pq_lossless, so the two hash checks
+    // pin different rankings. Trained-codebook behavior on general
+    // corpora stays pinned by SimilaritySpec.
     "q_sim_pq_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val nrm = Similarity.l2Norm(col("embedding").cast("array<double>"))
-      val normed = e.select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"), x => x / nrm)
-          .as("embedding"))
-      val q0 = e.filter(col("vec_id") === 0).select("embedding")
-        .head().getSeq[Float](0)
-      val qn = math.sqrt(q0.map(x => x.toDouble * x).sum)
-      val q = q0.map(x => (x / qn).toFloat)
-      val cb = Similarity.pqTrain(normed, m = 8)
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), bitPatternVec(col("vec_id")).as("embedding"))
+      // query = the derived vector of vec_id 1 (bits 1,0,0,0; amp 0.5)
+      val q = Seq(0.5f, 0f, 0f, 0.5f, 0f, 0.5f, 0f, 0.5f)
+      val cb = Similarity.pqTrain(base, m = 4, k = 8)
       Similarity.pqTopK(
-        Similarity.pqEncode(normed.filter(col("vec_id") =!= 0), cb),
+        Similarity.pqEncode(base.filter(col("vec_id") =!= 1), cb),
         cb, q, 10)
     }),
 
@@ -1802,26 +1825,34 @@ object SparkEntry {
     // IVF-PQ composed serving (FAISS IVFADC): the cell-partitioned
     // incrementally-synced table stores m-byte PQ CODES instead of raw
     // vectors — the memory-bounded shape real 100 TB ANN serving uses.
-    // Same mutation tail as q_sim_ivf_sync; rows-only (ADC scores are
-    // approximate by design; the lossless witness below hash-checks the
-    // math exactly).
+    // ORACLE-CHECKED end-to-end: the bit-pattern corpus (bitPatternVec,
+    // 6 distinct subvectors per subspace ≤ k=8) makes the frozen
+    // codebook lossless, the mutation tail stays INSIDE its support
+    // (deletes; re-embeds to the pattern of vec_id+5 — a cell move the
+    // sync must absorb; fresh inserts copying low ids' patterns), and
+    // the probe reads ALL cells (nProbe = nCells) so the candidate set
+    // is total whatever the engine's centroids — build + CDF churn +
+    // sync + ADC probe hash-match the SQL replay of the final corpus.
+    // Partial-probe recall and pruning stay plan-pinned by
+    // IvfPqServingSpec; the residual mode keeps its own oracle query.
     "q_sim_ivfpq_topk" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft-ivfpq-").toString
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), bitPatternVec(col("vec_id")).as("embedding"))
       val src = VersionedTable(s, s"$root/src")
       src.enableChangeFeed()
-      src.append(e)
-      IvfPqServing.build(src, s"$root/serve", nCells = 4, m = 4,
+      src.append(base)
+      IvfPqServing.build(src, s"$root/serve", nCells = 4, m = 4, k = 8,
         numBuckets = 2, seed = 7L)
       src.delete(col("vec_id") % 17 === 0)
-      src.update(Map("embedding" ->
-        transform(col("embedding"), x => -x)), col("vec_id") % 23 === 1)
-      src.append(e.filter(col("vec_id") < 50)
+      src.update(Map("embedding" -> bitPatternVec(col("vec_id") + 5)),
+        col("vec_id") % 23 === 1)
+      src.append(base.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
       IvfPqServing.sync(src, s"$root/serve", numBuckets = 2)
-      val q = e.filter(col("vec_id") === 2)
-        .select("embedding").head().getSeq[Float](0)
-      IvfPqServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 2)
+      // query = the derived vector of vec_id 2 (bits 0,1,0,0; amp 0.75)
+      val q = Seq(0f, 0.75f, 0.75f, 0f, 0f, 0.75f, 0f, 0.75f)
+      IvfPqServing.probeTopK(s, s"$root/serve", q, k = 10, nProbe = 4)
     }),
 
     // IVF-PQ lossless witness (q_sim_pq_lossless's serving-table
@@ -6200,6 +6231,40 @@ object SparkEntry {
         |     + CASE WHEN p2 = 1 THEN amp * 0.75 ELSE 0.0 END, 4)
         |   AS pq_score4
         |FROM base ORDER BY pq_score4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // bit-pattern corpus: score vs the derived vector of vec_id 1
+    // (bits 1,0,0,0; amp 0.5) is 0.5·amp·(matching bits of vec_id)
+    "q_sim_pq_topk" ->
+      """SELECT vec_id,
+        | round(0.5 * 0.25 * CAST((vec_id % 3) + 1 AS DOUBLE) * (
+        |   CASE WHEN (vec_id % 2) = 1 THEN 1 ELSE 0 END +
+        |   CASE WHEN (CAST(floor(vec_id / 2) AS BIGINT) % 2) = 0 THEN 1 ELSE 0 END +
+        |   CASE WHEN (CAST(floor(vec_id / 4) AS BIGINT) % 2) = 0 THEN 1 ELSE 0 END +
+        |   CASE WHEN (CAST(floor(vec_id / 8) AS BIGINT) % 2) = 0 THEN 1 ELSE 0 END), 4)
+        |   AS pq_score4
+        |FROM embeddings WHERE vec_id <> 1
+        |ORDER BY pq_score4 DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // the mutated corpus replayed in SQL (deletes, pattern-of-(id+5)
+    // re-embeds, +100000 inserts copying low ids), scored vs the
+    // derived vector of vec_id 2 (bits 0,1,0,0; amp 0.75)
+    "q_sim_ivfpq_topk" ->
+      """WITH final AS (
+        | SELECT vec_id AS out_id, vec_id AS pid FROM embeddings
+        |  WHERE vec_id % 17 <> 0 AND vec_id % 23 <> 1
+        | UNION ALL
+        | SELECT vec_id, vec_id + 5 FROM embeddings
+        |  WHERE vec_id % 17 <> 0 AND vec_id % 23 = 1
+        | UNION ALL
+        | SELECT vec_id + 100000, vec_id FROM embeddings WHERE vec_id < 50)
+        |SELECT out_id AS vec_id,
+        | round(0.75 * 0.25 * CAST((pid % 3) + 1 AS DOUBLE) * (
+        |   CASE WHEN (pid % 2) = 0 THEN 1 ELSE 0 END +
+        |   CASE WHEN (CAST(floor(pid / 2) AS BIGINT) % 2) = 1 THEN 1 ELSE 0 END +
+        |   CASE WHEN (CAST(floor(pid / 4) AS BIGINT) % 2) = 0 THEN 1 ELSE 0 END +
+        |   CASE WHEN (CAST(floor(pid / 8) AS BIGINT) % 2) = 0 THEN 1 ELSE 0 END), 4)
+        |   AS pq_score4
+        |FROM final ORDER BY pq_score4 DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_sim_pq_lossless" ->
       """WITH base AS (

@@ -1351,6 +1351,46 @@ object SparkEntry {
         CAST($pinsAfter AS BIGINT) AS n_pins_after_drop""")
     }),
 
+    // Pin observability at warehouse scope: the catalog-wide SHOW PINS
+    // relation (every table's consumer floors with how far behind the
+    // head each sits) plus the VACUUM DRY RUN DETAIL decomposition
+    // (per-path reclaimable/pin-held status naming the MINIMUM-floor
+    // blocking consumer) — the what-blocks-reclamation view an operator
+    // reads instead of probing tables one by one. Ages are wall-clock
+    // and hash as non-negativity; everything else is deterministic
+    // from the DDL.
+    "q_m20_pin_observability" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-pinobs-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val n = t(s, dir, "nation")
+      val tbl = cat.table("silver", "po")
+      tbl.append(n.filter(col("n_regionkey") <= 1))                 // v0
+      tbl.append(n.filter(col("n_regionkey") > 1))                  // v1
+      val other = cat.table("gold", "po_agg")
+      other.append(t(s, dir, "region").select("r_regionkey", "r_name"))
+      val gsql = graft.tables.GraftSql(s, cat)
+      gsql.sql("OPTIMIZE silver.po")                                // v2
+      tbl.setPin("mv:/gold/stale", 0L)  // abandoned consumer
+      tbl.setPin("mv:/gold/live", 2L)   // at the head
+      other.setPin("cdc:/consumers/one", 0L)
+      val pins = gsql.sql("SHOW PINS").select(
+        lit("pin").as("kind"), col("table").as("subject"),
+        col("pin"), col("version"), col("latest_version"),
+        col("behind"), (col("age_sec") >= 0).as("ok"))
+      val detail = gsql
+        .sql("VACUUM silver.po RETAIN 1 VERSIONS DRY RUN DETAIL")
+        .groupBy("status", "blocking_pin", "pin_version")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("vacuum_detail").as("kind"),
+          col("status").as("subject"),
+          coalesce(col("blocking_pin"), lit("")).as("pin"),
+          coalesce(col("pin_version"), lit(-1L)).as("version"),
+          lit(-1L).as("latest_version"), col("n").as("behind"),
+          lit(true).as("ok"))
+      pins.unionByName(detail).orderBy("kind", "subject", "pin")
+    }),
+
     // Temperature-scaled mixture sampling (α=0.5 multilingual recipe):
     // per-domain keep-rates derived from corpus counts by sqrt scaling,
     // computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
@@ -5008,6 +5048,19 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_reclaimed_after_advance,
         |  CAST(0 AS BIGINT) AS n_pins_after_drop
         |FROM nation""".stripMargin,
+
+    "q_m20_pin_observability" ->
+      """SELECT * FROM (VALUES
+        | ('pin', 'gold.po_agg', 'cdc:/consumers/one',
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        | ('pin', 'silver.po', 'mv:/gold/live',
+        |  CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+        | ('pin', 'silver.po', 'mv:/gold/stale',
+        |  CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), TRUE),
+        | ('vacuum_detail', 'pin-held', 'mv:/gold/stale',
+        |  CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(2 AS BIGINT), TRUE)
+        |) AS t(kind, subject, pin, version, latest_version, behind, ok)
+        |ORDER BY kind, subject, pin""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (

@@ -20,8 +20,14 @@ import org.apache.spark.sql.types.StructType
   *   OPTIMIZE <table>                          -- bin-pack small file-sets
   *   OPTIMIZE <table> ZORDER BY (c1, c2, ...)  -- multi-column clustering
   *   OPTIMIZE <table> WHERE k = 'v' [AND ...]  -- one partition's cells only
-  *   VACUUM <table> [RETAIN n VERSIONS] [IGNORE PINS] [DRY RUN]
-  *   SHOW PINS <table>                        -- consumer retention floors
+  *   VACUUM <table> [RETAIN n VERSIONS] [IGNORE PINS] [DRY RUN [DETAIL]]
+  *     -- DETAIL previews the FULL blast radius with per-path status
+  *        (reclaimable vs pin-held) naming the blocking consumer pin,
+  *        its floor version, and its last-advanced age
+  *   SHOW PINS [<table>]                      -- consumer retention floors
+  *     -- without a table: every pin of every catalog table, with how
+  *        far behind the head it sits and its last-advanced age (the
+  *        warehouse-wide what-blocks-reclamation view)
   *   EXPLAIN REWRITE <query>                  -- MV routing decision + why
   *   ALTER TABLE <table> DROP PIN '<name>'    -- release an abandoned consumer
   *   FSCK REPAIR TABLE <table> [DRY RUN]      -- drop refs to lost files
@@ -183,6 +189,9 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case OptimizeWhereStmt(ident, preds) =>
       optimizePartition(resolve(ident), preds)
     case OptimizeStmt(ident, zcols) => optimize(resolve(ident), Option(zcols))
+    case VacuumDetailStmt(ident, retain) =>
+      vacuumDryRunDetail(resolve(ident),
+        Option(retain).map(_.toInt).getOrElse(1))
     case VacuumStmt(ident, retain, ignorePins, dry) =>
       vacuum(resolve(ident), Option(retain).map(_.toInt).getOrElse(1),
         dryRun = dry != null, respectPins = ignorePins == null)
@@ -357,6 +366,26 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
             (n, v, new java.sql.Timestamp(ts)) }
           .toDF("pin", "version", "pinned_at")
       }
+    // catalog-wide SHOW PINS: one relation over EVERY table's pins —
+    // the operator hunting what blocks reclamation across a warehouse
+    // reads `behind` (head − floor) and `age_sec` (last-advanced age;
+    // an abandoned checkpoint's pin keeps aging while live consumers
+    // re-point every refresh) instead of probing tables one by one
+    case ShowAllPinsStmt() =>
+      val cat = catalog.getOrElse(sys.error(
+        "SHOW PINS without a table needs a catalog-bound session"))
+      import spark.implicits._
+      val now = System.currentTimeMillis()
+      cat.tables.flatMap { case (l, tn) =>
+        val t = cat.table(l, tn)
+        val head = t.latestVersion.getOrElse(-1L)
+        t.pinsDetail.toSeq.sortBy(_._1).map { case (n, (v, ts)) =>
+          (s"$l.$tn", n, v, head, head - v, (now - ts) / 1000L,
+            new java.sql.Timestamp(ts))
+        }
+      }.toDF("table", "pin", "version", "latest_version", "behind",
+          "age_sec", "pinned_at")
+        .orderBy("table", "pin")
     case DropPinStmt(ident, pin) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
         t.dropPin(pin)
@@ -1656,6 +1685,35 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * parses in UTC too — `Timestamp.valueOf` would silently shift by the
     * JVM default zone. */
   private def parseTsUtc(ts: String): Long = GraftSql.parseTsUtc(ts)
+
+  /** `VACUUM … DRY RUN DETAIL`: the FULL blast radius with per-path
+    * status — `reclaimable` (the default VACUUM would delete it) or
+    * `pin-held` (only IGNORE PINS would) — naming the blocking consumer
+    * pin(s) (those at the minimum floor, the ones actually holding the
+    * retained suffix), their floor version, and the blocker's
+    * last-advanced age in seconds. An operator hunting reclamation
+    * reads this instead of diffing two previews by hand; a large
+    * `blocking_pin_age_sec` on a never-advancing pin is the abandoned-
+    * checkpoint signal. */
+  private def vacuumDryRunDetail(tbl: VersionedTable, retain: Int): DataFrame = {
+    import spark.implicits._
+    require(retain >= 1, s"VACUUM: RETAIN $retain VERSIONS (must be >= 1)")
+    val reclaimable = tbl.vacuumDryRun(retainVersions = retain).toSet
+    val all = tbl.vacuumDryRun(retainVersions = retain, respectPins = false)
+    val pins = tbl.pinsDetail
+    val minV = pins.values.map(_._1).minOption
+    val blockers = minV.map(v =>
+      pins.filter(_._2._1 == v).toSeq.sortBy(_._1)).getOrElse(Nil)
+    val blockerNames = blockers.map(_._1).mkString(",")
+    val blockerAge = blockers.map(_._2._2).minOption
+      .map(ts => (System.currentTimeMillis() - ts) / 1000L)
+    all.sorted.map { p =>
+      if (reclaimable(p)) (p, "reclaimable", null: String,
+        None: Option[Long], None: Option[Long])
+      else (p, "pin-held", blockerNames, minV, blockerAge)
+    }.toDF("path", "status", "blocking_pin", "pin_version",
+      "blocking_pin_age_sec")
+  }
 
   private def vacuum(tbl: VersionedTable, retain: Int, dryRun: Boolean,
                      respectPins: Boolean = true): DataFrame = {
@@ -3454,8 +3512,13 @@ object GraftSql {
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+IGNORE\s+PINS)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*""").r
+  private val VacuumDetailStmt =
+    ("""(?is)\s*VACUUM\s+""" + Ident +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s+DRY\s+RUN\s+DETAIL\s*;?\s*""").r
   private val ShowPinsStmt =
     ("""(?is)\s*SHOW\s+PINS\s+""" + Ident + """\s*;?\s*""").r
+  private val ShowAllPinsStmt =
+    """(?is)\s*SHOW\s+PINS\s*;?\s*""".r
   private val ExplainRewriteStmt =
     """(?is)\s*EXPLAIN\s+REWRITE\s+(.+?)\s*;?\s*""".r
   private val DropPinStmt =

@@ -1769,4 +1769,53 @@ class GraftSqlSpec extends SparkSpec {
     // never-dropped names refuse too
     assertThrows[Exception](sql.sql("UNDROP TABLE silver.never_was"))
   }
+
+  test("catalog-wide SHOW PINS and VACUUM DRY RUN DETAIL name what " +
+       "blocks reclamation across the warehouse") {
+    import org.apache.spark.sql.functions.col
+    val (cat, sql) = warehouse()
+    val a = cat.table("silver", "pa")
+    val b = cat.table("gold", "pb")
+    (0 until 3).foreach(i => a.append(Seq((i, s"a$i")).toDF("k", "v")))
+    a.compact()                                   // v3 — v0..v2 reclaimable
+    b.append(Seq((1, "x")).toDF("k", "v"))        // v0
+    a.setPin("mv:/consumers/stale", 0L)           // never advances
+    a.setPin("mv:/consumers/live", 3L)            // at the head
+    b.setPin("cdc:/consumers/one", 0L)
+    // catalog-wide: every table's pins in ONE relation, with how far
+    // behind the head each floor sits and a non-negative age
+    val rows = sql.sql("SHOW PINS")
+      .select("table", "pin", "version", "latest_version", "behind",
+        "age_sec")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)) === Seq(
+      ("gold.pb", "cdc:/consumers/one", 0L, 0L, 0L),
+      ("silver.pa", "mv:/consumers/live", 3L, 3L, 0L),
+      ("silver.pa", "mv:/consumers/stale", 0L, 3L, 3L)))
+    assert(rows.forall(_._6 >= 0L))
+    // DRY RUN DETAIL: the full blast radius, pin-held rows naming the
+    // MINIMUM-floor blocker (the stale consumer, not the live one)
+    val detail = sql.sql("VACUUM silver.pa RETAIN 1 VERSIONS DRY RUN DETAIL")
+      .select("status", "blocking_pin", "pin_version")
+      .as[(String, Option[String], Option[Long])].collect().toSeq
+    assert(detail.nonEmpty)
+    assert(detail.forall(_._1 == "pin-held"),
+      "with the stale pin at v0, nothing is reclaimable")
+    assert(detail.forall(d => d._2.contains("mv:/consumers/stale") &&
+      d._3.contains(0L)))
+    // the blocker ages while live consumers re-point
+    val age = sql.sql("VACUUM silver.pa RETAIN 1 VERSIONS DRY RUN DETAIL")
+      .select("blocking_pin_age_sec").as[Option[Long]].collect()
+    assert(age.forall(_.exists(_ >= 0L)))
+    // releasing the stale pin turns the same rows reclaimable — and the
+    // DETAIL statuses always partition the IGNORE PINS preview
+    val fullRadius = sql
+      .sql("VACUUM silver.pa RETAIN 1 VERSIONS IGNORE PINS DRY RUN").count()
+    a.dropPin("mv:/consumers/stale")
+    val after = sql.sql("VACUUM silver.pa RETAIN 1 VERSIONS DRY RUN DETAIL")
+      .select("status").as[String].collect().toSeq
+    assert(after.size.toLong === fullRadius)
+    assert(after.forall(_ == "reclaimable"),
+      "with only head pins left, the full radius must be reclaimable")
+  }
 }

@@ -1260,10 +1260,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val staging = stagingDir.resolve(id)
     Files.createDirectories(dataDir)
     val tag = schemaTag(df)
+    // exactly numBuckets shuffle partitions: the split hash-partitions
+    // BY the bucket column, so at most numBuckets partitions can ever
+    // be non-empty — padding to spark.sql.shuffle.partitions only added
+    // empty tasks (a material share of small-batch merge latency: the
+    // streaming replica/aggregate sinks commit batches of a few rows
+    // per trigger, paying scheduling for 32 tasks where ≤16 can carry
+    // data). Big batches lose nothing: per-bucket write parallelism is
+    // 1 under either count, and tables sized for scale size numBuckets
+    // (hundreds–thousands of cells) to match.
     df.withColumn(BucketCol, splitExpr(spec))
-      .repartition(math.max(spec.numBuckets,
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
-        col(BucketCol))
+      .repartition(spec.numBuckets, col(BucketCol))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(BucketCol)
       .parquet(staging.toString)
@@ -3316,6 +3323,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * rewrite, then copy-on-write forever after). Updates are deduplicated
     * per key first (latest by `preferUpdateBy` wins) so the join is 1:1.
     */
+  /** Env-gated merge phase timer (`GRAFT_MERGE_TIMING=1`): stderr lines
+    * per phase — the dev feedback loop for the small-batch fixed costs
+    * the streaming sinks pay per trigger. */
+  private def mlog[A](label: String)(f: => A): A = {
+    if (!sys.env.contains("GRAFT_MERGE_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[merge] $label%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+  }
+
   def merge(updates: DataFrame, keys: Seq[String],
             preferUpdateBy: Option[String] = None,
             numBuckets: Int = DefaultMergeBuckets,
@@ -3434,7 +3455,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // probe: the staged parquet IS the materialization the persist
     // provided (the dedup lineage runs exactly once), and the staged DIR
     // NAMES are the touched-cell set — the probe needs no extra pass.
-    val (staging, stageId, tag) = stageCellSplit(deduped, spec)
+    val (staging, stageId, tag) = mlog("stage")(stageCellSplit(deduped, spec))
     val touched: Set[String] = listDir(staging)
       .map(_.getFileName.toString)
       .filter(_.startsWith(s"$BucketCol="))
@@ -3506,8 +3527,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // a staged row may be repaired or dropped before landing (a
         // net-zero group inserted+deleted within one delta must not
         // land as a phantom through a rename).
-        val adopted = withStats(adoptSplitDirs(staging, stageId, tag, CellName,
-          Some(deduped.schema)))
+        val adopted = mlog("adopt+stats")(withStats(adoptSplitDirs(staging, stageId, tag, CellName,
+          Some(deduped.schema))))
         val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
         // the insert-only fast path is the ONE merge shape that accretes
         // (it folds nothing) — property-driven per-cell hygiene applies
@@ -3609,9 +3630,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                else Nil)
             writeChangeSet(frames)
           }
-          commitCellRebase("merge", consumed = touchedSets,
-            produced = withStats(writeBucketedFileSets(merged, spec)),
-            basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf)
+          mlog("commit")(commitCellRebase("merge", consumed = touchedSets,
+            produced = mlog("join+write+stats")(withStats(writeBucketedFileSets(merged, spec))),
+            basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf))
         } finally if (changeFeedEnabled) { lineage.unpersist(); () }
       }
     } finally deleteRecursively(staging)

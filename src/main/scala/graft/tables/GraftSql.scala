@@ -2879,13 +2879,12 @@ object GraftSql {
     * change slice moved; ONLY those groups re-aggregate from
     * `freshRows` (the caller's pinned-snapshot relation — filtered
     * single-table scan or fact⋈dim join) and replace-merge into the
-    * MV; vanished groups tombstone FIRST (the replace's txn marker
-    * drives crash resume, so it must land last — a crash in between
-    * replays the tombstones as a txn no-op, then completes the
-    * replace). Throws [[CdfNotExpressible]] on NULL group keys (NULL
+    * MV, with vanished groups riding the SAME commit as tombstone-
+    * marked rows — one markered merge per slice, atomic under crash
+    * replay by construction (no delete-then-replace ordering to keep
+    * straight). Throws [[CdfNotExpressible]] on NULL group keys (NULL
     * never matches in a SQL MERGE — the caller recomputes). Kept in
-    * ONE place because two copies of this crash-resume-sensitive
-    * ordering drifted once already. */
+    * ONE place so the single-table and join-MV paths cannot drift. */
   private[graft] def mergeTouchedGroups(mv: VersionedTable,
       touchedKeys: DataFrame, freshRows: => DataFrame,
       groupCols: Seq[String], aggs: Seq[(String, String, String)],
@@ -2910,16 +2909,24 @@ object GraftSql {
           .agg(mvAggColumns(aggs).head, mvAggColumns(aggs).tail: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // ONE commit: vanished groups ride the SAME merge as the
+          // re-aggregated ones — tombstone-marked key rows union with
+          // the fresh rows (missing agg columns pad NULL; tombstones
+          // only need their keys), so the replace, the deletes, and the
+          // txn marker are atomic. The previous tombstones-first /
+          // replace-second two-commit ordering was crash-resume
+          // sensitive (the doc here once had to pin WHY the order
+          // mattered); folded, there is no window to reason about and
+          // no emptiness probe job for the gone set.
           val gone = touched.join(
-            fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
-          if (!gone.isEmpty) {
-            mv.merge(gone.withColumn(graft.ops.Merge.DeleteCol, lit(true)),
-              groupCols, txn = Some((txnApp + ":del", version)))
-            ()
-          }
-          mv.merge(fresh, groupCols, updateExprs = aggs.map {
-            case (_, _, o) => o -> ((_: Column, u: Column) => u)
-          }.toMap, txn = Some((txnApp, version)))
+              fresh.select(groupCols.map(col): _*), groupCols, "left_anti")
+            .withColumn(graft.ops.Merge.DeleteCol, lit(true))
+          mv.merge(
+            fresh.withColumn(graft.ops.Merge.DeleteCol, lit(false))
+              .unionByName(gone, allowMissingColumns = true),
+            groupCols, updateExprs = aggs.map {
+              case (_, _, o) => o -> ((_: Column, u: Column) => u)
+            }.toMap, txn = Some((txnApp, version)))
           ()
         } finally { fresh.unpersist(); () }
       }

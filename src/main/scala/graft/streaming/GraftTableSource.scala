@@ -583,10 +583,19 @@ final class GraftTableSink(root: String, appId: String,
       // bucket-COW merge — inserts/updates upsert, deletes remove, all
       // under the same idempotent txn marker. The replica therefore
       // converges to the source table however the changes were batched.
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, when}
       val changes = batch.filter(col("_change_type") =!= "update_preimage")
-      val latest = graft.ops.Keyed.latestPerKey(changes, mergeKeys,
-        "_commit_version")
+      // within ONE commit a replace_where emits delete(K) AND insert(K)
+      // for every replaced key, and the commit's POST-state has K
+      // present — so the per-key pick must rank a version's delete
+      // BELOW its insert/update_postimage instead of leaving the
+      // same-version tie to row_number's arbitrary choice (which would
+      // nondeterministically drop replaced keys from the replica)
+      val latest = graft.ops.Keyed.latestPerKey(
+        changes.withColumn("__graft_ord",
+          col("_commit_version") * 2 +
+            when(col("_change_type") === "delete", 0).otherwise(1)),
+        mergeKeys, "__graft_ord").drop("__graft_ord")
       val payload = latest
         .withColumn(graft.ops.Merge.DeleteCol, col("_change_type") === "delete")
         .drop("_change_type", "_commit_version", "_commit_timestamp")

@@ -551,6 +551,17 @@ class TableStreamSpec extends SparkSpec {
     sync()
     assert(out.read.as[(Int, String)].collect().toSet ===
       Set((3, "c3"), (4, "d")))
+    // replace_where: ONE commit emits delete(K) AND insert(K) for every
+    // replaced key — the per-key pick must rank the same-version delete
+    // below the insert, or the replica nondeterministically drops
+    // replaced keys. k=3 is replaced (must survive with the new value),
+    // k=0 is net-new within the slice, k=4 is outside the predicate
+    // (untouched).
+    t.replaceWhere($"k" <= 3,
+      Seq((3, "c9"), (0, "i")).toDF("k", "v"))                  // v5
+    sync()
+    assert(out.read.as[(Int, String)].collect().toSet ===
+      Set((0, "i"), (3, "c9"), (4, "d")))
   }
 
   test("sink: aggregate mode maintains an MV from the change feed, " +

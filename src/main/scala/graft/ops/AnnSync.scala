@@ -96,10 +96,13 @@ private[ops] object AnnSync {
             Seq(idCol), "__cv")
           .select(col(idCol), col(vecCol),
             cellOf(col(vecCol)).as("__old_cell"))
-        // final state per key = the LATEST non-pre-image change
-        val fin = Keyed.latestPerKey(
+        // final state per key = the LATEST non-pre-image change (the
+        // delete-below-insert version tie-break matters: a replace_where
+        // commit deletes and re-inserts a key at ONE version, and the
+        // posting must survive with the NEW vector, not vanish)
+        val fin = Keyed.latestChangePerKey(
           classified.filter(col("__ct") =!= "update_preimage"),
-          Seq(idCol), "__cv")
+          Seq(idCol), "__cv", "__ct")
         val finCelled = fin.select(col(idCol), col(vecCol), col("__ct"),
           cellOf(col(vecCol)).as(cellCol))
         // ONE tiny job decides which phases run (the alternative —

@@ -280,9 +280,12 @@ object IncrementalCuration {
           else None
         try {
         // ------------------------------------------------ phase 2: admit
-        val fin = Keyed.latestPerKey(
+        // delete-below-insert version tie-break: a replace_where commit
+        // deletes and re-inserts a doc at ONE version — the doc must
+        // re-enter admission with its new text, not read as departed
+        val fin = Keyed.latestChangePerKey(
           classified.filter(col("__ct") =!= "update_preimage"),
-          Seq("doc_id"), "__cv")
+          Seq("doc_id"), "__cv", "__ct")
         val arrivals = (if (insertOnly) classified
                         else fin.filter(col("__ct") =!= "delete"))
           .select(col("doc_id"), col("text"))

@@ -41,6 +41,23 @@ object Keyed {
       .drop("__rn")
   }
 
+  /** The FINAL change per key of a change-feed slice: latest by commit
+    * version, with a version's `delete` ranked BELOW its
+    * insert/update_postimage. One commit can emit BOTH for one key — a
+    * replace_where deletes every replaced row and inserts its
+    * replacement in the SAME commit, whose post-state has the key
+    * present — so ordering by version alone leaves the pick to
+    * row_number's arbitrary tie-break and a consumer (replica sink,
+    * ANN sync, curation admit) would nondeterministically treat a
+    * replaced key as deleted. Pre-image rows must be filtered out by
+    * the caller (they describe the OLD state, not a final one). */
+  def latestChangePerKey(df: DataFrame, keys: Seq[String],
+                         versionCol: String, typeCol: String): DataFrame =
+    latestPerKey(
+      df.withColumn("__graft_chord", col(versionCol) * 2 +
+        when(col(typeCol) === "delete", 0).otherwise(1)),
+      keys, "__graft_chord").drop("__graft_chord")
+
   /** The reference's duplicate-payload write guard (S7,
     * 11_ingest_fpl_bootstrap.py:138-151) generalized: rows of `incoming`
     * whose key is absent from `existing`. Left-anti join — one shuffle,

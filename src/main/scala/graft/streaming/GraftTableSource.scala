@@ -583,19 +583,14 @@ final class GraftTableSink(root: String, appId: String,
       // bucket-COW merge — inserts/updates upsert, deletes remove, all
       // under the same idempotent txn marker. The replica therefore
       // converges to the source table however the changes were batched.
-      import org.apache.spark.sql.functions.{col, when}
+      import org.apache.spark.sql.functions.col
       val changes = batch.filter(col("_change_type") =!= "update_preimage")
-      // within ONE commit a replace_where emits delete(K) AND insert(K)
-      // for every replaced key, and the commit's POST-state has K
-      // present — so the per-key pick must rank a version's delete
-      // BELOW its insert/update_postimage instead of leaving the
-      // same-version tie to row_number's arbitrary choice (which would
-      // nondeterministically drop replaced keys from the replica)
-      val latest = graft.ops.Keyed.latestPerKey(
-        changes.withColumn("__graft_ord",
-          col("_commit_version") * 2 +
-            when(col("_change_type") === "delete", 0).otherwise(1)),
-        mergeKeys, "__graft_ord").drop("__graft_ord")
+      // latestChangePerKey, not a bare version order: one replace_where
+      // commit emits delete(K) AND insert(K) — the version tie must
+      // resolve to the commit's post-state or replaced keys would
+      // nondeterministically vanish from the replica
+      val latest = graft.ops.Keyed.latestChangePerKey(changes, mergeKeys,
+        "_commit_version", "_change_type")
       val payload = latest
         .withColumn(graft.ops.Merge.DeleteCol, col("_change_type") === "delete")
         .drop("_change_type", "_commit_version", "_commit_timestamp")

@@ -196,4 +196,21 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(keptIds(ws) === batchKept)
     assert(keptIds(ws) === (0L to 7L).toSet ++ Set(20L, 30L))
   }
+
+  test("replace_where re-admits the replaced doc with its NEW text — the " +
+       "same-commit delete/insert version tie must not read as departed") {
+    val (src, ws) = freshSource()
+    src.append((0 to 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    // ONE commit deletes doc 2 and re-inserts it with different text
+    // (plus a net-new doc 5 in the same slice)
+    src.replaceWhere(col("doc_id") === 2L || col("doc_id") === 5L,
+      Seq((2L, doc(200)), (5L, doc(5))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws) === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    val kept2 = IncrementalCuration.keptTable(spark, ws).read
+      .filter(col("doc_id") === 2L).select("text").as[String].head()
+    assert(kept2 === doc(200),
+      "the replaced doc must carry its post-replace text")
+  }
 }

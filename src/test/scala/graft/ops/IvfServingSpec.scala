@@ -92,6 +92,30 @@ class IvfServingSpec extends SparkSpec {
     }
   }
 
+  test("replace_where re-serves the replaced vector at its NEW position — " +
+       "the same-commit delete/insert version tie must not drop the posting") {
+    val base = mkVectors(80, 8, seed = 21)
+    val src = freshSource(base)
+    val root = tmpDir("ivf-serve-") + "/t"
+    IvfServing.build(src, root, nCells = 4, seed = 1L)
+    val serving = VersionedTable(spark, root)
+    // ONE commit deletes vec 7 and re-inserts it with a new embedding
+    // (plus a net-new vec 9000 in the same commit)
+    val newVec = mkVectors(1, 8, seed = 33).head._2
+    src.replaceWhere(col("vec_id") === 7L || col("vec_id") === 9000L,
+      Seq((7L, newVec), (9000L, mkVectors(1, 8, seed = 34).head._2))
+        .toDF("vec_id", "embedding"))
+    assert(IvfServing.sync(src, root).isDefined)
+    val gotIds = serving.read.select("vec_id").as[Long].collect().toSet
+    assert(gotIds.contains(7L) && gotIds.contains(9000L))
+    assert(serving.read.count() === serving.read
+      .select("vec_id").distinct().count(), "no duplicate postings")
+    val top = IvfServing.probeTopK(spark, root, newVec, k = 1, nProbe = 4)
+      .as[(Long, Double)].head()
+    assert(top === ((7L, 1.0)),
+      "the replaced vector must serve at its post-replace position")
+  }
+
   test("a crash-replayed sync range is a metadata no-op (txn markers)") {
     val src = freshSource(mkVectors(60, 8, seed = 7))
     val root = tmpDir("ivf-serve-") + "/t"

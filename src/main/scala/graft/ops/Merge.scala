@@ -87,10 +87,23 @@ object Merge {
     * [[upsertWithLineage]]): one projection rewriting the `set` columns
     * and OR-ing `deleteWhen` into `__delete_req`. `set` expressions all
     * read the PRE-`set` (post-combine) values — they compose with each
-    * other by reading, not by chaining. */
+    * other by reading, not by chaining.
+    *
+    * `set` rewrites apply ONLY to rows the merge touched
+    * (`__u_present`): a target-only row in a rewritten cell must pass
+    * through byte-identical, because the CDF update frames classify on
+    * the update side — a silently rewritten untouched row would change
+    * the snapshot with no change-feed row and desynchronize every
+    * downstream CDF consumer. (Such rows can only violate the repaired
+    * invariant as pre-fold crash remnants; the REFRESH-entry sweep is
+    * their heal path, and it emits real commits.) `deleteWhen` stays
+    * global — a dropped target-only row classifies as a CDF delete
+    * (`__t_present && __delete_req`), so snapshot and feed agree. */
   def applyPostCombine(lineage: DataFrame, pc: PostCombine): DataFrame =
     lineage.select(lineage.columns.toSeq.map {
-      case c if pc.set.contains(c) => pc.set(c).as(c)
+      case c if pc.set.contains(c) =>
+        when(coalesce(col("__u_present"), lit(false)), pc.set(c))
+          .otherwise(col(c)).as(c)
       case "__delete_req" =>
         pc.deleteWhen.fold(col("__delete_req"))(d =>
           col("__delete_req") || coalesce(d, lit(false)))

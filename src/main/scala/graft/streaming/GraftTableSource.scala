@@ -434,6 +434,8 @@ final class GraftTableSink(root: String, appId: String,
   private val needsLease = aggregate.nonEmpty || applyChanges ||
     dedupKeys.nonEmpty || mergeKeys.nonEmpty || autoCompactEvery.nonEmpty
   @volatile private var leased = false
+  // one-time aggregate-table heal per sink instance (see addBatch)
+  @volatile private var aggSwept = false
 
   /** The pinned dim sides of a join-shaped streaming MV, resolved from
     * the MV's recorded properties (every batch after the first) or
@@ -536,10 +538,21 @@ final class GraftTableSink(root: String, appId: String,
         if (joinDims.isEmpty) filtered
         else graft.plans.JoinMv.joinAll(filtered, pinnedDimSides(table))
       val aggs = graft.tables.GraftSql.parseAggSpecs(aggregate.get)
-      if (graft.tables.GraftSql.cdfMaintainable(aggs))
+      if (graft.tables.GraftSql.cdfMaintainable(aggs)) {
+        // one-time heal per sink instance: a slice committed by a
+        // PRE-FOLD binary whose process died between the markered merge
+        // and the then-separate phantom repair replays as a txn no-op
+        // here — and a sink table has no REFRESH entry to sweep it, so
+        // query start is the one heal point left. Probe-guarded: a
+        // clean table pays two short reads on the first trigger only.
+        if (!aggSwept && table.exists) {
+          graft.tables.GraftSql.sweepCdfPhantoms(table, aggs)
+          aggSwept = true
+        }
         graft.tables.GraftSql.applyCdfDelta(table, sliced,
           mergeKeys, aggs,
           txn = Some((appId, batchId)), partitionBy = partitionBy)
+      }
       else {
         // min/max/hll specs cannot absorb retractions as signed deltas,
         // but an INSERT-ONLY stream (a CDF over an append-only table —

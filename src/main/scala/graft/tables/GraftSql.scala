@@ -1688,29 +1688,38 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
 
   /** `VACUUM … DRY RUN DETAIL`: the FULL blast radius with per-path
     * status — `reclaimable` (the default VACUUM would delete it) or
-    * `pin-held` (only IGNORE PINS would) — naming the blocking consumer
-    * pin(s) (those at the minimum floor, the ones actually holding the
-    * retained suffix), their floor version, and the blocker's
-    * last-advanced age in seconds. An operator hunting reclamation
-    * reads this instead of diffing two previews by hand; a large
-    * `blocking_pin_age_sec` on a never-advancing pin is the abandoned-
-    * checkpoint signal. */
+    * `pin-held` (only IGNORE PINS would) — naming, PER PATH, every
+    * consumer pin whose retained suffix covers it (a pin with floor f
+    * holds a path referenced by any version ≥ f, so the path frees only
+    * when ALL listed pins drop or advance past its last referencing
+    * version), the most-behind listed floor, and the oldest listed
+    * pin's last-advanced age in seconds. An operator hunting
+    * reclamation reads this instead of diffing two previews by hand; a
+    * large `blocking_pin_age_sec` on a never-advancing pin is the
+    * abandoned-checkpoint signal. */
   private def vacuumDryRunDetail(tbl: VersionedTable, retain: Int): DataFrame = {
     import spark.implicits._
     require(retain >= 1, s"VACUUM: RETAIN $retain VERSIONS (must be >= 1)")
     val reclaimable = tbl.vacuumDryRun(retainVersions = retain).toSet
     val all = tbl.vacuumDryRun(retainVersions = retain, respectPins = false)
-    val pins = tbl.pinsDetail
-    val minV = pins.values.map(_._1).minOption
-    val blockers = minV.map(v =>
-      pins.filter(_._2._1 == v).toSeq.sortBy(_._1)).getOrElse(Nil)
-    val blockerNames = blockers.map(_._1).mkString(",")
-    val blockerAge = blockers.map(_._2._2).minOption
-      .map(ts => (System.currentTimeMillis() - ts) / 1000L)
+    val pins = tbl.pinsDetail.toSeq.sortBy(_._1)
+    val now = System.currentTimeMillis()
+    // last version referencing each reclaim-candidate name: the pin-held
+    // test per pin P is floor(P) <= maxRef(path)
+    val maxRef: Map[String, Long] = tbl.history.flatMap(e =>
+        (e.fileSets.map("data/" + _) ++ e.dvs.map("_dv/" + _) ++
+          e.cdf.map("_changes/" + _)).map(_ -> e.version))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     all.sorted.map { p =>
       if (reclaimable(p)) (p, "reclaimable", null: String,
         None: Option[Long], None: Option[Long])
-      else (p, "pin-held", blockerNames, minV, blockerAge)
+      else {
+        val holders = maxRef.get(p)
+          .map(mr => pins.filter(_._2._1 <= mr)).getOrElse(pins)
+        (p, "pin-held", holders.map(_._1).mkString(","),
+          holders.map(_._2._1).minOption,
+          holders.map(_._2._2).minOption.map(ts => (now - ts) / 1000L))
+      }
     }.toDF("path", "status", "blocking_pin", "pin_version",
       "blocking_pin_age_sec")
   }

@@ -1260,17 +1260,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val staging = stagingDir.resolve(id)
     Files.createDirectories(dataDir)
     val tag = schemaTag(df)
-    // exactly numBuckets shuffle partitions: the split hash-partitions
-    // BY the bucket column, so at most numBuckets partitions can ever
-    // be non-empty — padding to spark.sql.shuffle.partitions only added
-    // empty tasks (a material share of small-batch merge latency: the
-    // streaming replica/aggregate sinks commit batches of a few rows
-    // per trigger, paying scheduling for 32 tasks where ≤16 can carry
-    // data). Big batches lose nothing: per-bucket write parallelism is
-    // 1 under either count, and tables sized for scale size numBuckets
-    // (hundreds–thousands of cells) to match.
+    // partition count: at most numBuckets partitions can carry data
+    // (the split hash-partitions BY the bucket column), but padding the
+    // count ABOVE numBuckets still matters for big batches — hashing b
+    // bucket values into exactly b partitions collides ~1/e of them
+    // into shared partitions whose writes then serialize in one task,
+    // while a 2× slot count cuts the expected collisions sharply. The
+    // empty extra tasks were measured immaterial even on the few-row
+    // streaming-trigger merges (scheduling an empty task is ~free), so
+    // the padding is kept.
     df.withColumn(BucketCol, splitExpr(spec))
-      .repartition(spec.numBuckets, col(BucketCol))
+      .repartition(math.max(spec.numBuckets,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
+        col(BucketCol))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(BucketCol)
       .parquet(staging.toString)

@@ -1807,6 +1807,18 @@ class GraftSqlSpec extends SparkSpec {
     val age = sql.sql("VACUUM silver.pa RETAIN 1 VERSIONS DRY RUN DETAIL")
       .select("blocking_pin_age_sec").as[Option[Long]].collect()
     assert(age.forall(_.exists(_ >= 0L)))
+    // a SECOND pin mid-suffix: the old sets are referenced up to v2, so
+    // they are held by BOTH floors ≤ 2 — dropping just the stale pin
+    // would NOT free them, and the report must name every covering pin
+    // (the head pin at v3 covers nothing reclaim-eligible and stays out)
+    a.setPin("cdc:/consumers/mid", 2L)
+    val multi = sql.sql("VACUUM silver.pa RETAIN 1 VERSIONS DRY RUN DETAIL")
+      .select("blocking_pin", "pin_version")
+      .as[(Option[String], Option[Long])].collect().toSeq
+    assert(multi.nonEmpty && multi.forall(d =>
+      d._1.contains("cdc:/consumers/mid,mv:/consumers/stale") &&
+        d._2.contains(0L)), s"got $multi")
+    a.dropPin("cdc:/consumers/mid")
     // releasing the stale pin turns the same rows reclaimable — and the
     // DETAIL statuses always partition the IGNORE PINS preview
     val fullRadius = sql

@@ -169,6 +169,32 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(IncrementalCuration.sync(src, ws, cfg).isEmpty) // caught up
   }
 
+  test("parallel-merge crash states replay stably: a pre-committed " +
+       "hashes merge must not suppress its own batch docs on replay") {
+    val (src, ws) = freshSource()
+    src.append((0 to 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    src.append(Seq((200L, doc(0)), (201L, doc(7))).toDF("doc_id", "text"))
+    val hi = src.latestVersion.get
+    // the CONCURRENT state merges allow any SUBSET to land before a
+    // crash — simulate "hashes committed, kept/bands not, position not
+    // advanced": the survivor's hash row lands with the real txn marker
+    val surv = Seq((201L, doc(7))).toDF("doc_id", "text")
+      .select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+    IncrementalCuration.hashTable(spark, ws).merge(surv,
+      Seq("content_hash"), numBuckets = cfg.numBuckets,
+      txn = Some((s"curation-sync:$ws:h", hi)))
+    // replay: the hashes merge no-ops on its marker; kept/bands apply.
+    // 201's OWN hash already sitting in state must not classify 201 as
+    // a duplicate (self-match exclusion = the replay-stability claim),
+    // and 200 stays suppressed against doc 0's state hash.
+    assert(IncrementalCuration.sync(src, ws, cfg).isDefined)
+    assert(keptIds(ws) === Set(0L, 1L, 2L, 3L, 4L, 201L))
+    val h = IncrementalCuration.hashTable(spark, ws).read
+    assert(h.count() === h.select("content_hash").distinct().count(),
+      "one owner row per content class — no duplicate from the replay")
+  }
+
   test("multi-batch append history converges to the batch chain over " +
        "the final corpus") {
     val (src, ws) = freshSource()

@@ -166,6 +166,46 @@ object ScaleBench {
       (f, nCust, changed, buildSec, syncSec)
     }
 
+    // --------------------- family 5: streaming apply-changes trigger
+    // Fixed CDF slice (20 updates + 10 deletes + 20 inserts) through
+    // the graft-table sink's APPLY CHANGES mode into a replica grown
+    // 1× → 10×: the steady trigger's bucket-COW merge touches only the
+    // slice's buckets (256-bucket layout via the sink's numBuckets
+    // option), so per-changed-row cost must not grow with the replica —
+    // this measures the WHOLE trigger path (source planning, retention
+    // pin, lease, merge, checkpoint I/O), not just the merge.
+    val sinkTrigger = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-snk$f-").toString
+      val n = 50000L * f
+      val src = VersionedTable(spark, s"$root/src")
+      src.enableChangeFeed()
+      src.append(spark.range(n).select(col("id").as("k"),
+        (col("id") % 997L).as("v")))
+      def sync(): Unit = {
+        val q = spark.readStream.format("graft-table")
+          .option("readChangeFeed", "true").load(s"$root/src")
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$root/cp")
+          .option("mergeKeys", "k")
+          .option("applyChanges", "true")
+          .option("numBuckets", "256")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$root/rep")
+        q.awaitTermination()
+      }
+      val (_, bootSec) = timed(sync())
+      src.update(Map("v" -> lit(-1L)), col("k") < 20L)
+      src.delete(col("k") >= 100L && col("k") < 110L)
+      src.append(spark.range(20).select((col("id") + n + 50L).as("k"),
+        lit(-2L).as("v")))
+      val changed = 50
+      val (_, syncSec) = timed(sync())
+      require(VersionedTable(spark, s"$root/rep").read.count() == n + 10,
+        s"replica diverged at factor $f")
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, n, changed, bootSec, syncSec)
+    }
+
     def familyJson(points: Seq[(Int, Long, Int, Double, Double)],
                    prepName: String): String =
       points.map { case (f, corpus, changed, prep, sync) =>
@@ -178,7 +218,8 @@ object ScaleBench {
         s""""curation_incremental":${familyJson(curation, "bootstrap")},""" +
         s""""ivf_sync":${familyJson(ivf, "build")},""" +
         s""""bucketed_merge":${familyJson(merge, "prep")},""" +
-        s""""join_mv_dim_delta":${familyJson(joinMv, "build")}}}"""
+        s""""join_mv_dim_delta":${familyJson(joinMv, "build")},""" +
+        s""""sink_trigger":${familyJson(sinkTrigger, "bootstrap")}}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
   }

@@ -421,7 +421,9 @@ final class GraftTableSink(root: String, appId: String,
                            joinKeys: Seq[Seq[(String, String)]] = Nil,
                            joinPins: Option[Seq[Long]] = None,
                            dedupKeys: Seq[String] = Nil,
-                           ownerTakeover: Boolean = false)
+                           ownerTakeover: Boolean = false,
+                           numBuckets: Int =
+                             graft.tables.VersionedTable.DefaultMergeBuckets)
     extends Sink {
 
   /** Stateful modes are single-writer per table: claim the sink lease
@@ -551,7 +553,8 @@ final class GraftTableSink(root: String, appId: String,
         }
         graft.tables.GraftSql.applyCdfDelta(table, sliced,
           mergeKeys, aggs,
-          txn = Some((appId, batchId)), partitionBy = partitionBy)
+          txn = Some((appId, batchId)), partitionBy = partitionBy,
+          numBuckets = numBuckets)
       }
       else {
         // min/max/hll specs cannot absorb retractions as signed deltas,
@@ -581,6 +584,7 @@ final class GraftTableSink(root: String, appId: String,
             "graft-table sink: NULL group key in the aggregate batch — " +
               "NULL keys cannot merge (SQL MERGE: NULL never matches)")
           table.merge(delta.drop("__retract"), mergeKeys,
+            numBuckets = numBuckets,
             updateExprs = aggs.map { case (f, _, o) =>
               o -> graft.tables.GraftSql.mvCombine(f)
             }.toMap,
@@ -607,8 +611,8 @@ final class GraftTableSink(root: String, appId: String,
       val payload = latest
         .withColumn(graft.ops.Merge.DeleteCol, col("_change_type") === "delete")
         .drop("_change_type", "_commit_version", "_commit_timestamp")
-      table.merge(payload, mergeKeys, partitionBy = partitionBy,
-        txn = Some((appId, batchId)))
+      table.merge(payload, mergeKeys, numBuckets = numBuckets,
+        partitionBy = partitionBy, txn = Some((appId, batchId)))
     } else if (dedupKeys.nonEmpty) {
       // Ingest dedup (the streaming face of the bronze dup-payload
       // guard): keep the FIRST row ever seen per key, drop every later
@@ -641,7 +645,7 @@ final class GraftTableSink(root: String, appId: String,
       val keep = batch.columns.filterNot(dedupKeys.contains).map(c =>
         c -> ((t: org.apache.spark.sql.Column,
                u: org.apache.spark.sql.Column) => t)).toMap
-      table.merge(guarded, dedupKeys,
+      table.merge(guarded, dedupKeys, numBuckets = numBuckets,
         updateExprs = keep, partitionBy = partitionBy,
         txn = Some((appId, batchId)))
       ()
@@ -652,8 +656,8 @@ final class GraftTableSink(root: String, appId: String,
       // option). Bucket-COW merge rewrites only touched cells — O(batch
       // × bucket), not O(table) — and the txn marker keeps a replayed
       // batch a no-op, so exactly-once holds on the merge path too.
-      table.merge(batch, mergeKeys, partitionBy = partitionBy,
-        txn = Some((appId, batchId)))
+      table.merge(batch, mergeKeys, numBuckets = numBuckets,
+        partitionBy = partitionBy, txn = Some((appId, batchId)))
     else if (complete) table.overwrite(batch, partitionBy, txn = Some((appId, batchId)))
     else table.append(batch, partitionBy, txn = Some((appId, batchId)))
     // THE streaming-sink pathology at scale is small files: one
@@ -815,6 +819,13 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       joinDims = joinDims, joinKeys = joinKeys, joinPins = joinPins,
       dedupKeys = dedupKeys,
       ownerTakeover = parameters.get("sinkOwnerTakeover")
-        .exists(_.trim.equalsIgnoreCase("true")))
+        .exists(_.trim.equalsIgnoreCase("true")),
+      // bucket count for the FIRST merge into a fresh target (an
+      // existing table's frozen BucketSpec always wins): at 100 TB a
+      // first-contact stream must be able to size its cells — the
+      // default 16 buckets would freeze ~6 TB cells into the layout
+      numBuckets = parameters.get("numBuckets").map(_.trim.toInt)
+        .filter(_ > 0)
+        .getOrElse(graft.tables.VersionedTable.DefaultMergeBuckets))
   }
 }

@@ -2976,7 +2976,9 @@ object GraftSql {
                                    groupCols: Seq[String],
                                    aggs: Seq[(String, String, String)],
                                    txn: Option[(String, Long)],
-                                   partitionBy: Seq[String] = Nil): Unit = {
+                                   partitionBy: Seq[String] = Nil,
+                                   numBuckets: Int =
+                                     VersionedTable.DefaultMergeBuckets): Unit = {
     registerMvFunctions(feed.sparkSession)
     require(cdfMaintainable(aggs),
       "CDF aggregate maintenance needs count(*) plus sum/count/quant " +
@@ -3032,7 +3034,8 @@ object GraftSql {
           val cnt = aggs.collectFirst { case ("count", `c`, oc) => oc }.get
           o -> when(col(cnt) === 0L, lit(null)).otherwise(col(o))
       }.toMap
-      mv.merge(delta, groupCols, updateExprs = aggs.map {
+      mv.merge(delta, groupCols, numBuckets = numBuckets,
+        updateExprs = aggs.map {
         case ("count", _, o)              => o -> ((t: Column, u: Column) => t + u)
         case (qf, _, o) if isQuantFn(qf)  => o -> mvCombine(qf)
         case (_, _, o)                    => o -> mvCombine("sum")

@@ -564,6 +564,39 @@ class TableStreamSpec extends SparkSpec {
       Set((0, "i"), (3, "c9"), (4, "d")))
   }
 
+  test("sink: numBuckets sizes a FRESH merge target's bucket layout; an " +
+       "existing table's frozen spec wins over a later option") {
+    val src = tmpDir("ts-nb-src-")
+    val replica = tmpDir("ts-nb-rep-")
+    val cp = tmpDir("ts-nb-cp-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    t.append((0 until 40).map(i => (i, s"v$i")).toDF("k", "v"))
+    def sync(buckets: Int): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "k")
+        .option("applyChanges", "true")
+        .option("numBuckets", buckets.toString)
+        .trigger(Trigger.AvailableNow())
+        .start(replica)
+      q.awaitTermination()
+    }
+    sync(4)
+    val out = VersionedTable(spark, replica)
+    assert(out.bucketSpec.map(_.numBuckets) === Some(4),
+      "a fresh target must adopt the option's bucket count")
+    assert(out.read.count() === 40)
+    // a later run with a DIFFERENT option: the frozen spec wins (the
+    // layout is a table property, not a per-query one)
+    t.append(Seq((100, "x")).toDF("k", "v"))
+    sync(8)
+    assert(out.bucketSpec.map(_.numBuckets) === Some(4))
+    assert(out.read.count() === 41)
+  }
+
   test("sink: aggregate mode maintains an MV from the change feed, " +
     "retractions included") {
     val src = tmpDir("ts-agg-src-")

@@ -1207,4 +1207,87 @@ class TableStreamSpec extends SparkSpec {
     qa.awaitTermination()
     assert(VersionedTable(spark, dst2).sinkOwner.isEmpty)
   }
+
+  test("seeded random DML stress: the apply-changes replica AND the " +
+       "aggregate sink both converge to the source after every round") {
+    import org.apache.spark.sql.functions._
+    val src = tmpDir("ts-rnd-src-")
+    val rep = tmpDir("ts-rnd-rep-")
+    val mv = tmpDir("ts-rnd-mv-")
+    val cpR = tmpDir("ts-rnd-cpr-")
+    val cpM = tmpDir("ts-rnd-cpm-")
+    val t = VersionedTable(spark, src)
+    t.enableChangeFeed()
+    def rows(ids: Seq[Long], tag: String) =
+      ids.map(i => (i, i % 7, s"$tag$i")).toDF("k", "g", "v")
+    t.append(rows(0L until 60L, "a"))
+    def syncBoth(): Unit = {
+      val q1 = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cpR)
+        .option("mergeKeys", "k").option("applyChanges", "true")
+        .option("numBuckets", "4")
+        .trigger(Trigger.AvailableNow()).start(rep)
+      q1.awaitTermination()
+      val q2 = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", cpM)
+        .option("mergeKeys", "g")
+        .option("aggregate", "sum:k:sum_k;count:*:cnt;count:k:cnt_k")
+        .option("numBuckets", "4")
+        .trigger(Trigger.AvailableNow()).start(mv)
+      q2.awaitTermination()
+    }
+    def assertConverged(round: String): Unit = {
+      val want = t.read.select("k", "g", "v")
+        .as[(Long, Long, String)].collect().toSet
+      val got = VersionedTable(spark, rep).read.select("k", "g", "v")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got === want, s"replica diverged after $round")
+      val wantAgg = t.read.groupBy("g").agg(sum("k").as("sum_k"),
+          count(lit(1)).as("cnt"), count("k").as("cnt_k"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val gotAgg = VersionedTable(spark, mv).read
+        .select("g", "sum_k", "cnt", "cnt_k")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(gotAgg === wantAgg, s"aggregate diverged after $round")
+    }
+    syncBoth(); assertConverged("bootstrap")
+    val rnd = new scala.util.Random(42)
+    var nextId = 1000L
+    (0 until 8).foreach { r =>
+      rnd.nextInt(5) match {
+        case 0 => // fresh appends
+          val ids = nextId until (nextId + 5 + rnd.nextInt(10))
+          nextId = ids.last + 1
+          t.append(rows(ids, s"r$r-"))
+        case 1 => // merge: update a slice + insert new
+          val upd = t.read.select("k").as[Long].collect()
+            .filter(_ => rnd.nextBoolean()).take(8).toSeq
+          val ins = Seq(nextId, nextId + 1); nextId += 2
+          t.merge(rows(upd ++ ins, s"m$r-"), Seq("k"))
+          ()
+        case 2 => // predicate update
+          t.update(Map("v" -> concat(col("v"), lit(s"!u$r"))),
+            col("k") % 9 === (r % 9))
+          ()
+        case 3 => // predicate delete (may empty groups — the fold's
+                  // emptied-group drop must match the recompute)
+          t.delete(col("k") % 11 === (r % 11))
+          ()
+        case 4 => // replace_where: same-commit delete+insert per key
+          val b = r % 5
+          val keep = t.read.filter(col("k") % 5 === b)
+            .select("k").as[Long].collect()
+            .filter(_ => rnd.nextBoolean()).toSeq
+          val fresh = Seq(nextId + 3 - (nextId + 3) % 5 + b); nextId += 10
+          t.replaceWhere(col("k") % 5 === b,
+            rows((keep ++ fresh).distinct.filter(_ % 5 == b), s"w$r-"))
+          ()
+      }
+      syncBoth(); assertConverged(s"round $r")
+    }
+  }
 }

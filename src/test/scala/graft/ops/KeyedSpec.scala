@@ -44,4 +44,31 @@ class KeyedSpec extends SparkSpec {
     val again = Keyed.notIn(incoming, appended, Seq("user_id"))
     assert(again.count() === 0)
   }
+
+  test("latestChangePerKey: a version's delete ranks below its insert " +
+       "(replace_where shape), later versions still win outright") {
+    val feed = Seq(
+      // k=1: replace_where at v5 — delete AND insert at ONE version;
+      // the post-state has the key, so the insert must win the tie
+      (1L, 5L, "delete", "old"),
+      (1L, 5L, "insert", "new"),
+      // k=2: updated at v3, deleted LATER at v6 — the delete wins
+      (2L, 3L, "update_postimage", "mid"),
+      (2L, 6L, "delete", "gone"),
+      // k=3: inserted at v2, replaced at v4 (delete+insert), then a
+      // plain update at v7 — the newest version wins over any rank
+      (3L, 2L, "insert", "a"),
+      (3L, 4L, "delete", "a"),
+      (3L, 4L, "insert", "b"),
+      (3L, 7L, "update_postimage", "c"))
+      .toDF("k", "_commit_version", "_change_type", "v")
+    val out = Keyed.latestChangePerKey(feed, Seq("k"),
+        "_commit_version", "_change_type")
+      .select("k", "_change_type", "v")
+      .as[(Long, String, String)].collect()
+      .map { case (k, ct, v) => k -> ((ct, v)) }.toMap
+    assert(out(1L) === (("insert", "new")))
+    assert(out(2L) === (("delete", "gone")))
+    assert(out(3L) === (("update_postimage", "c")))
+  }
 }

@@ -1631,6 +1631,22 @@ class MvSqlSpec extends SparkSpec {
     assert(kept.exists { case (n, d, why) =>
       n == "join" && d == "join-kept" && why.contains("dim-side columns") },
       s"expected a join-kept row, got $kept")
+    // INNER join without an aligned RELY FK → kept, naming the FK gap
+    val innerKept = rows("SELECT sum(p) AS s FROM silver_xfact " +
+      "JOIN silver_xdim USING (team)")
+    assert(innerKept.exists { case (n, d, why) =>
+      n == "join" && d == "join-kept" && why.contains("FOREIGN KEY") },
+      s"expected a join-kept row naming the FK gap, got $innerKept")
+    // with the RELY FK declared the INNER join eliminates too
+    sql.sql("ALTER TABLE silver.xfact ADD CONSTRAINT fk_x FOREIGN KEY " +
+      "(team) REFERENCES silver.xdim RELY")
+    cat.registerViews()
+    val innerElim = rows("SELECT sum(p) AS s FROM silver_xfact " +
+      "JOIN silver_xdim USING (team)")
+    assert(innerElim.exists { case (n, d, why) =>
+      n == "join" && d == "join-eliminated" &&
+        why.contains("exactly once") },
+      s"expected an INNER join-eliminated row, got $innerElim")
     // generated partition column: range on the SOURCE column derives
     sql.sql("CREATE TABLE silver.xev (ts STRING, v INT, " +
       "day STRING GENERATED ALWAYS AS (substring(ts, 1, 10))) " +

@@ -363,11 +363,10 @@ object IncrementalCuration {
             try {
             // against-state near-dup: batch bands probe the `bands`
             // table behind a Bloom; exact Jaccard verify reads ONLY the
-            // candidate kept docs (bloom-prefiltered by id)
-            val stateLosers = {
-              if (!bands.exists) spark.emptyDataFrame
-                .select(lit(0L).as("doc_id")).limit(0)
-              else {
+            // candidate kept docs (bloom-prefiltered by id). Built only
+            // when band state EXISTS — the fresh-workspace branch below
+            // never consumes it.
+            def stateLosers: DataFrame = {
                   val hitBands = bloomProbe(bands.read,
                     xxhash64(col("band_hash"), col("band_idx")),
                     newBands.select(
@@ -401,13 +400,11 @@ object IncrementalCuration {
                         size(array_union(col("sh_n"), col("sh_o")))
                         .cast("double") >= cfg.jaccardThreshold)
                     .select(col("new_id").as("doc_id")).distinct()
-              }
             }
             // bootstrap / fresh-workspace slices have NO state to lose
-            // against (stateLosers is empty-by-construction) — the
-            // anti-join is the identity, so skip both its job and the
-            // extra checkpoint materialization (afterLocal is already
-            // checkpointed)
+            // against — the anti-join would be the identity, so skip
+            // both its job and the extra checkpoint materialization
+            // (afterLocal is already checkpointed)
             val survivors =
               if (!bands.exists) afterLocal
               else tlog("ckpt survivors")(afterLocal

@@ -154,15 +154,36 @@ object IncrementalCuration {
     * them before surfacing the first failure — an abandoned in-flight
     * merge must never race the slice's replay. Spark job submission is
     * thread-safe; the frames feeding each merge are localCheckpoint'ed
-    * so no lineage recompute crosses threads. */
+    * so no lineage recompute crosses threads.
+    *
+    * Fresh threads spawned BY THE CALLING THREAD, not a shared pool:
+    * (a) each merge BLOCKS on Spark actions — on ExecutionContext.global
+    *     (a cores-sized fork-join pool, shared process-wide) the merges
+    *     could serialize on a low-core host or starve unrelated work;
+    * (b) SparkContext's localProperties (job group / description /
+    *     scheduler pool) live in an InheritableThreadLocal — a child
+    *     thread inherits the caller's at construction, so a driver-side
+    *     `cancelJobGroup` reaches these jobs; a pooled thread was
+    *     created elsewhere and carries stale or empty properties.
+    * Thread-per-merge costs microseconds next to the multi-hundred-ms
+    * merges themselves. */
   private def inParallel(fs: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val settled = fs.map(f => Future(f()))
-      .map(fut => scala.util.Try(Await.result(fut, Duration.Inf)))
-    settled.collectFirst { case scala.util.Failure(e) => throw e }
-    ()
+    val outcomes = new Array[Option[Throwable]](fs.length)
+    val threads = fs.zipWithIndex.map { case (f, i) =>
+      val t = new Thread(
+        { () =>
+          outcomes(i) =
+            try { f(); None } catch { case e: Throwable => Some(e) }
+        }: Runnable,
+        s"graft-curation-merge-$i")
+      t.setDaemon(true)
+      t
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // every slot is written after join(); surface the first failure only
+    // once ALL merges have settled
+    outcomes.foreach(_.foreach(e => throw e))
   }
 
   /** Consume every unconsumed commit of the `docs` source into the

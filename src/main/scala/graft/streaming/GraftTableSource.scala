@@ -824,8 +824,18 @@ final class GraftTableSourceProvider extends StreamSourceProvider
       // existing table's frozen BucketSpec always wins): at 100 TB a
       // first-contact stream must be able to size its cells — the
       // default 16 buckets would freeze ~6 TB cells into the layout
-      numBuckets = parameters.get("numBuckets").map(_.trim.toInt)
-        .filter(_ > 0)
-        .getOrElse(graft.tables.VersionedTable.DefaultMergeBuckets))
+      // fail LOUDLY on a bad value: this option exists for the 100 TB
+      // first-contact case, where silently falling back to the default
+      // bucket count would freeze a wrong layout into the table
+      numBuckets = parameters.get("numBuckets").map { raw =>
+        val n =
+          try raw.trim.toInt
+          catch { case _: NumberFormatException => throw
+            new IllegalArgumentException("graft-table sink: numBuckets " +
+              s"must be a positive integer (got '$raw')") }
+        require(n > 0, "graft-table sink: numBuckets must be a " +
+          s"positive integer (got '$raw')")
+        n
+      }.getOrElse(graft.tables.VersionedTable.DefaultMergeBuckets))
   }
 }

@@ -380,8 +380,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         val t = cat.table(l, tn)
         val head = t.latestVersion.getOrElse(-1L)
         t.pinsDetail.toSeq.sortBy(_._1).map { case (n, (v, ts)) =>
-          (s"$l.$tn", n, v, head, head - v, (now - ts) / 1000L,
-            new java.sql.Timestamp(ts))
+          // clamp: a pin on a table with no commits yet (head = -1, or
+          // a pin at a version the log hasn't reached) must not report
+          // negative `behind` — operators sort on non-negative lag
+          (s"$l.$tn", n, v, head, math.max(0L, head - v),
+            (now - ts) / 1000L, new java.sql.Timestamp(ts))
         }
       }.toDF("table", "pin", "version", "latest_version", "behind",
           "age_sec", "pinned_at")
@@ -1700,8 +1703,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
   private def vacuumDryRunDetail(tbl: VersionedTable, retain: Int): DataFrame = {
     import spark.implicits._
     require(retain >= 1, s"VACUUM: RETAIN $retain VERSIONS (must be >= 1)")
-    val reclaimable = tbl.vacuumDryRun(retainVersions = retain).toSet
-    val all = tbl.vacuumDryRun(retainVersions = retain, respectPins = false)
+    // ONE listing pass classifies both views — two separate dry-run
+    // calls could skew (a file crossing the staging grace window or a
+    // concurrent commit between them) and mislabel a path pin-held
+    val classified = tbl.vacuumDryRunClassified(retainVersions = retain)
     val pins = tbl.pinsDetail.toSeq.sortBy(_._1)
     val now = System.currentTimeMillis()
     // last version referencing each reclaim-candidate name: the pin-held
@@ -1710,8 +1715,8 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         (e.fileSets.map("data/" + _) ++ e.dvs.map("_dv/" + _) ++
           e.cdf.map("_changes/" + _)).map(_ -> e.version))
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
-    all.sorted.map { p =>
-      if (reclaimable(p)) (p, "reclaimable", null: String,
+    classified.map { case (p, isReclaimable) =>
+      if (isReclaimable) (p, "reclaimable", null: String,
         None: Option[Long], None: Option[Long])
       else {
         val holders = maxRef.get(p)

@@ -4116,6 +4116,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * cliff working as designed. */
   def vacuumDryRun(retainVersions: Int = 1,
                    respectPins: Boolean = true): Seq[String] = {
+    val c = vacuumDryRunClassified(retainVersions)
+    (if (respectPins) c.filter(_._2) else c).map(_._1)
+  }
+
+  /** One-pass vacuum classification: every path the PIN-IGNORING vacuum
+    * would delete, flagged `true` when the default (pin-respecting)
+    * vacuum would delete it too (`false` = only a consumer pin holds
+    * it). One directory walk + one history parse feed BOTH views, so a
+    * `DRY RUN DETAIL` reading them can never skew — with two separate
+    * listings, a file crossing [[VersionedTable.StagingGraceMillis]] or
+    * a concurrent commit between the calls could land in one view but
+    * not the other and be mislabeled. */
+  def vacuumDryRunClassified(
+      retainVersions: Int = 1): Seq[(String, Boolean)] = {
     val h = history
     // tagged versions are retention-exempt: a tag IS the promise that
     // its snapshot stays readable (releases pinned for reproducibility)
@@ -4127,14 +4141,18 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // operator override for an abandoned consumer — registered readers
     // then degrade to a clean full recompute via [[snapshotLive]] /
     // CdfNotExpressible instead of failing mid-read.
-    val pinFloor: Option[Long] =
-      if (respectPins) pins.values.minOption else None
-    val retained = h.takeRight(retainVersions) ++
-      h.filter(e => tagged.contains(e.version) ||
-        pinFloor.exists(e.version >= _))
-    val keep = retained.flatMap(_.fileSets).toSet
-    val keepDvs = retained.flatMap(_.dvs).toSet
-    val keepCdf = retained.flatMap(_.cdf).toSet
+    val pinFloor: Option[Long] = pins.values.minOption
+    val base = h.takeRight(retainVersions) ++
+      h.filter(e => tagged.contains(e.version))
+    // pin-respecting retention keeps STRICTLY MORE versions, so its
+    // reclaim list is a subset of the pin-ignoring one — classifying
+    // the larger list covers both previews from the same listing
+    val pinned = base ++ h.filter(e => pinFloor.exists(e.version >= _))
+    def keepSets(retained: Seq[LogEntry]) =
+      (retained.flatMap(_.fileSets).toSet, retained.flatMap(_.dvs).toSet,
+        retained.flatMap(_.cdf).toSet)
+    val (keep, keepDvs, keepCdf) = keepSets(base)
+    val (keepP, keepDvsP, keepCdfP) = keepSets(pinned)
     // names referenced by ANY committed version: expired ones reclaim
     // immediately; an unreferenced name younger than the grace window is
     // an in-flight writer's rename-in (commit pending) — never touch it
@@ -4144,14 +4162,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     def oldEnough(p: Path) =
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: java.io.IOException => false } // races with rename-out
-    def under(dir: Path, name: String, keepNames: Set[String]) =
+    def under(dir: Path, name: String, keepNames: Set[String],
+              keepPinned: Set[String]) =
       listDir(dir).filterNot(p => keepNames.contains(p.getFileName.toString))
         .filter(p => tracked.contains(p.getFileName.toString) || oldEnough(p))
-        .map(p => s"$name/${p.getFileName}")
+        .map(p => (s"$name/${p.getFileName}",
+          !keepPinned.contains(p.getFileName.toString)))
+    // pins never protect staging orphans — reclaimable in both modes
     val staleStaging = listDir(stagingDir).filter(oldEnough)
-      .map(p => s"_staging/${p.getFileName}")
-    (under(dataDir, "data", keep) ++ under(dvDir, "_dv", keepDvs) ++
-      under(changesDir, "_changes", keepCdf) ++ staleStaging).sorted
+      .map(p => (s"_staging/${p.getFileName}", true))
+    (under(dataDir, "data", keep, keepP) ++
+      under(dvDir, "_dv", keepDvs, keepDvsP) ++
+      under(changesDir, "_changes", keepCdf, keepCdfP) ++
+      staleStaging).sortBy(_._1)
   }
 
   private def deleteRecursively(p: Path): Unit =

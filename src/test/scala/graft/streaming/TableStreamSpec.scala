@@ -347,6 +347,34 @@ class TableStreamSpec extends SparkSpec {
     assert(out.read.count() === 3)
   }
 
+  test("sink: a malformed numBuckets fails loudly, naming the option") {
+    val dst = tmpDir("ts-nbk-dst-")
+    def startWith(nb: String): Throwable = {
+      val cp = tmpDir("ts-nbk-cp-")
+      val srcDir = tmpDir("ts-nbk-in-") + "/landing"
+      Seq((1, "x")).toDF("k", "v").coalesce(1).write.json(srcDir)
+      intercept[Throwable] {
+        val q = spark.readStream.schema("k INT, v STRING").json(srcDir)
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", cp)
+          .option("mergeKeys", "k")
+          .option("numBuckets", nb)
+          .trigger(Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+    }
+    // misconfigured first-contact bucket counts must not silently fall
+    // back to the default layout: the error names the option and value
+    for (bad <- Seq("abc", "0", "-4")) {
+      val e = startWith(bad)
+      val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msg.contains("numBuckets") && msg.contains(bad),
+        s"error for numBuckets=$bad must name the option: $msg")
+    }
+  }
+
   test("sink: Complete mode overwrites the snapshot per batch") {
     val dst = tmpDir("ts-cmpl-dst-")
     val cp = tmpDir("ts-cmpl-cp-")

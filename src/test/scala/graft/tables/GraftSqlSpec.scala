@@ -1829,5 +1829,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(after.size.toLong === fullRadius)
     assert(after.forall(_ == "reclaimable"),
       "with only head pins left, the full radius must be reclaimable")
+    // a pin FILE claiming a version past the head (setPin validates,
+    // but pins are plain files — an external consumer or a restored log
+    // can leave this state) must not report a negative `behind` —
+    // operators sort on non-negative lag
+    val e = cat.table("gold", "pext")
+    e.append(Seq((1, "x")).toDF("k", "v"))        // head = v0
+    val pinsDir = java.nio.file.Paths.get(e.root, "_pins")
+    java.nio.file.Files.createDirectories(pinsDir)
+    java.nio.file.Files.writeString(pinsDir.resolve("external.json"),
+      s"""{"name":"cdc:/consumers/ahead","v":5,"ts":${System.currentTimeMillis()}}""")
+    val extRow = sql.sql("SHOW PINS")
+      .filter(col("table") === "gold.pext")
+      .select("latest_version", "behind").as[(Long, Long)].head()
+    assert(extRow === ((0L, 0L)))
   }
 }

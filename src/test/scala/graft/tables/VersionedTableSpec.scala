@@ -1398,6 +1398,24 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.vacuumDryRun(retainVersions = 1).isEmpty)
   }
 
+  test("vacuumDryRunClassified partitions the pin-ignoring radius in one pass") {
+    val t = VersionedTable(spark, tmpDir("vt-vaccls-"))
+    t.append(Seq(1).toDF("id"))         // v0: set A — below the pin floor
+    t.overwrite(Seq(2).toDF("id"))      // v1: set B — held by the pin
+    t.overwrite(Seq(3).toDF("id"))      // v2: set C — retained head
+    t.setPin("mv:/consumers/stale", 1L) // holds versions >= 1
+    val classified = t.vacuumDryRunClassified(retainVersions = 1)
+    // both dry-run views must be EXACT projections of the single pass —
+    // that is the whole point: no second listing that can skew
+    assert(classified.filter(_._2).map(_._1) ===
+      t.vacuumDryRun(retainVersions = 1))
+    assert(classified.map(_._1) ===
+      t.vacuumDryRun(retainVersions = 1, respectPins = false))
+    // the pin splits the radius: v0's set reclaims, v1/v2's are held
+    assert(classified.exists(_._2) && classified.exists(!_._2),
+      s"expected a mixed classification, got $classified")
+  }
+
   test("change feed bootstraps from a populated clone (inserts, DVs applied)") {
     val src = VersionedTable(spark, tmpDir("vt-clonecdf-src-"))
     src.enableChangeFeed()

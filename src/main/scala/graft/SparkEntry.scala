@@ -1391,6 +1391,52 @@ object SparkEntry {
       pins.unionByName(detail).orderBy("kind", "subject", "pin")
     }),
 
+    // Stale-pin policy: `VACUUM … FORCE EXPIRE PINS OLDER THAN n <unit>`
+    // — the operator tool for a DEAD consumer whose abandoned pin would
+    // otherwise hold the retention suffix (at warehouse scale, the
+    // storage) hostage forever. Explicit (refuses without an age
+    // bound), loud (one row per expired pin), audited (an `expire_pins`
+    // history commit that CDF classifies no-change). The live
+    // consumer's pin survives; the freed suffix reclaims in the same
+    // statement.
+    "q_m21_pin_expire" -> ((s, dir) => {
+      val wh = Files.createTempDirectory("graft-pinexp-").toString
+      val cat = new graft.tables.Catalog(s, wh)
+      cat.bootstrap()
+      val n = t(s, dir, "nation")
+      val tbl = cat.table("silver", "pe")
+      tbl.append(n.filter(col("n_regionkey") <= 1))                 // v0
+      tbl.append(n.filter(col("n_regionkey") > 1))                  // v1
+      val gsql = graft.tables.GraftSql(s, cat)
+      gsql.sql("OPTIMIZE silver.pe")                                // v2
+      tbl.setPinAt("mv:/gold/dead", 0L,
+        System.currentTimeMillis() - 3L * 3600 * 1000)              // 3h stale
+      tbl.setPin("mv:/gold/live", 2L)                               // current
+      val refused = scala.util.Try(
+        gsql.sql("VACUUM silver.pe FORCE EXPIRE PINS"))
+        .failed.toOption.exists(_.getMessage.contains("OLDER THAN"))
+      val heldBack =
+        gsql.sql("VACUUM silver.pe RETAIN 1 VERSIONS").head().getLong(0)
+      val exp = gsql.sql("VACUUM silver.pe RETAIN 1 VERSIONS " +
+        "FORCE EXPIRE PINS OLDER THAN 1 HOURS")
+        .select("expired_pin", "pin_version", "n_expired", "n_reclaimed")
+        .head()
+      val lastAction = tbl.history.last.action
+      val pinsLeft = gsql.sql("SHOW PINS silver.pe").count()
+      cat.registerViews()
+      s.sql(s"""SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM silver_pe) AS n_rows,
+        (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM silver_pe) AS sum_key,
+        $refused AS refused_without_age,
+        CAST($heldBack AS BIGINT) AS n_reclaimed_under_dead_pin,
+        '${exp.getString(0)}' AS expired_pin,
+        CAST(${exp.getLong(1)} AS BIGINT) AS expired_floor,
+        CAST(${exp.getLong(2)} AS BIGINT) AS n_expired,
+        CAST(${exp.getLong(3)} AS BIGINT) AS n_reclaimed_after_expire,
+        '$lastAction' AS last_action,
+        CAST($pinsLeft AS BIGINT) AS n_pins_left""")
+    }),
+
     // Temperature-scaled mixture sampling (α=0.5 multilingual recipe):
     // per-domain keep-rates derived from corpus counts by sqrt scaling,
     // computed in EXACT integer arithmetic (BigInt here, HUGEINT in the
@@ -5061,6 +5107,19 @@ object SparkEntry {
         |  CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(2 AS BIGINT), TRUE)
         |) AS t(kind, subject, pin, version, latest_version, behind, ok)
         |ORDER BY kind, subject, pin""".stripMargin,
+
+    "q_m21_pin_expire" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+        |  TRUE AS refused_without_age,
+        |  CAST(0 AS BIGINT) AS n_reclaimed_under_dead_pin,
+        |  'mv:/gold/dead' AS expired_pin,
+        |  CAST(0 AS BIGINT) AS expired_floor,
+        |  CAST(1 AS BIGINT) AS n_expired,
+        |  CAST(2 AS BIGINT) AS n_reclaimed_after_expire,
+        |  'expire_pins' AS last_action,
+        |  CAST(1 AS BIGINT) AS n_pins_left
+        |FROM nation""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (

@@ -21,6 +21,8 @@ import org.apache.spark.sql.types.StructType
   *   OPTIMIZE <table> ZORDER BY (c1, c2, ...)  -- multi-column clustering
   *   OPTIMIZE <table> WHERE k = 'v' [AND ...]  -- one partition's cells only
   *   VACUUM <table> [RETAIN n VERSIONS] [IGNORE PINS] [DRY RUN [DETAIL]]
+  *   VACUUM <table> [RETAIN n VERSIONS] FORCE EXPIRE PINS
+  *     OLDER THAN <n> MINUTES|HOURS|DAYS   -- drop dead-consumer pins, audited
   *     -- DETAIL previews the FULL blast radius with per-path status
   *        (reclaimable vs pin-held) naming the blocking consumer pin,
   *        its floor version, and its last-advanced age
@@ -192,6 +194,13 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     case VacuumDetailStmt(ident, retain) =>
       vacuumDryRunDetail(resolve(ident),
         Option(retain).map(_.toInt).getOrElse(1))
+    case VacuumExpireStmt(ident, retain, n, unit) =>
+      vacuumExpirePins(resolve(ident),
+        Option(retain).map(_.toInt).getOrElse(1), n.toLong, unit)
+    case VacuumExpireBareStmt(_, _, _) =>
+      sys.error("VACUUM … FORCE EXPIRE PINS requires OLDER THAN <n> " +
+        "MINUTES|HOURS|DAYS — expiring a pin is destructive for its " +
+        "consumer, so the statement must state an explicit age bound")
     case VacuumStmt(ident, retain, ignorePins, dry) =>
       vacuum(resolve(ident), Option(retain).map(_.toInt).getOrElse(1),
         dryRun = dry != null, respectPins = ignorePins == null)
@@ -1729,6 +1738,39 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       "blocking_pin_age_sec")
   }
 
+  /** `VACUUM … FORCE EXPIRE PINS OLDER THAN n <unit>`: expire every
+    * consumer pin whose floor has not advanced for the interval (dead
+    * consumers — a live one re-points every refresh), then run the
+    * normal pin-respecting vacuum. One row per expired pin naming it,
+    * plus the reclaim count; a no-op expiry returns a single summary
+    * row with NULL pin columns — loud, diffable, safe to script. The
+    * expiry itself is committed to history (`expire_pins`), so the
+    * audit trail survives the vanished pin files. */
+  private def vacuumExpirePins(tbl: VersionedTable, retain: Int,
+                               n: Long, unit: String): DataFrame = {
+    import spark.implicits._
+    require(retain >= 1, s"VACUUM: RETAIN $retain VERSIONS (must be >= 1)")
+    require(n > 0,
+      "VACUUM FORCE EXPIRE PINS: OLDER THAN must be a positive interval")
+    val ms = unit.toUpperCase(java.util.Locale.ROOT) match {
+      case "MINUTE" => n * 60L * 1000L
+      case "HOUR"   => n * 3600L * 1000L
+      case "DAY"    => n * 86400L * 1000L
+    }
+    val expired = tbl.expirePins(ms)
+    val reclaimed = tbl.vacuum(retainVersions = retain).length.toLong
+    val rows =
+      if (expired.isEmpty)
+        Seq((null: String, None: Option[Long], None: Option[Long], 0L,
+          reclaimed))
+      else expired.map { case (name, v, ageMs) =>
+        (name, Some(v), Some(ageMs / 1000L), expired.length.toLong,
+          reclaimed)
+      }
+    rows.toDF("expired_pin", "pin_version", "pin_age_sec", "n_expired",
+      "n_reclaimed")
+  }
+
   private def vacuum(tbl: VersionedTable, retain: Int, dryRun: Boolean,
                      respectPins: Boolean = true): DataFrame = {
     import spark.implicits._
@@ -2885,7 +2927,8 @@ object GraftSql {
     * and sketch-rollup refreshers all consult it, and they must agree. */
   private[graft] val AbsorblessActions: Set[String] = Set(
     "compact", "zorder", "purge_dv",
-    "rename_column", "drop_column", "set_partition_layout")
+    "rename_column", "drop_column", "set_partition_layout",
+    "expire_pins")
 
   /** Shared per-touched-group recompute+merge — the maintenance core
     * for agg sets that cannot absorb retractions as signed deltas
@@ -3539,6 +3582,17 @@ object GraftSql {
   private val VacuumDetailStmt =
     ("""(?is)\s*VACUUM\s+""" + Ident +
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s+DRY\s+RUN\s+DETAIL\s*;?\s*""").r
+  private val VacuumExpireStmt =
+    ("""(?is)\s*VACUUM\s+""" + Ident +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s+FORCE\s+EXPIRE\s+PINS""" +
+      """\s+OLDER\s+THAN\s+(\d+)\s+(MINUTE|HOUR|DAY)S?\s*;?\s*""").r
+  // refusal probe: FORCE EXPIRE PINS with no (or a malformed) OLDER
+  // THAN clause must fail naming the missing age bound, not fall
+  // through to Spark's parser with an opaque syntax error
+  private val VacuumExpireBareStmt =
+    ("""(?is)\s*VACUUM\s+""" + Ident +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s+FORCE\s+EXPIRE\s+PINS""" +
+      """(\s+OLDER\s+THAN\b.*?)?\s*;?\s*""").r
   private val ShowPinsStmt =
     ("""(?is)\s*SHOW\s+PINS\s+""" + Ident + """\s*;?\s*""").r
   private val ShowAllPinsStmt =

@@ -1434,11 +1434,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         .getOrElse(sys.error(s"no version $u at $root"))
     }
     val later = h.filter(e => e.version > v && e.version <= end.version)
-    // set_partition_layout carries the file-set list AND schema verbatim,
-    // so the added-set diff below is unaffected — evolution must not
-    // demote every downstream incremental consumer to a full re-read
+    // set_partition_layout / expire_pins carry the file-set list AND
+    // schema verbatim, so the added-set diff below is unaffected —
+    // evolution and pin expiry must not demote every downstream
+    // incremental consumer to a full re-read
     require(later.forall(e =>
-        e.action == "append" || e.action == "set_partition_layout"),
+        e.action == "append" || e.action == "set_partition_layout" ||
+          e.action == "expire_pins"),
       s"readAddedSince needs append-only history after v$v at $root; " +
         s"saw ${later.map(_.action).distinct.mkString(",")} — re-read the snapshot")
     val baseSets = base.fileSets.toSet
@@ -1756,7 +1758,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // method's contract); whether the CONSUMER's declared schema
     // predates the DDL is the streaming source's guard, not ours.
     val metadataOnly = Set("rename_column", "drop_column",
-      "set_partition_layout")
+      "set_partition_layout", "expire_pins")
     val rowChanging = range.filterNot(e =>
       e.action == "append" || dataIdentical.contains(e.action) ||
         metadataOnly.contains(e.action))
@@ -3994,17 +3996,54 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * when the pin already sits at `version` (hot paths call this per
     * slice/batch and must not churn small files). */
   def setPin(name: String, version: Long): Unit = {
+    if (pinsDetail.get(name).exists(_._1 == version)) return
+    setPinAt(name, version, System.currentTimeMillis())
+  }
+
+  /** [[setPin]] with an EXPLICIT last-advanced timestamp — the backfill
+    * / test seam for [[expirePins]] age policies. Production consumers
+    * go through [[setPin]], which stamps now. */
+  private[graft] def setPinAt(name: String, version: Long,
+                              tsMillis: Long): Unit = {
     require(name.nonEmpty && !name.contains("\""),
       s"setPin: bad pin name `$name`")
     require(history.exists(_.version == version),
       s"setPin: no version $version at $root")
-    if (pinsDetail.get(name).exists(_._1 == version)) return
     Files.createDirectories(pinsDir)
     val tmp = pinsDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp,
-      s"""{"name":"$name","v":$version,"ts":${System.currentTimeMillis()}}""")
+      s"""{"name":"$name","v":$version,"ts":$tsMillis}""")
     Files.move(tmp, pinFile(name), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** `VACUUM … FORCE EXPIRE PINS OLDER THAN`: drop every consumer pin
+    * whose floor has not advanced for more than `olderThanMillis`. The
+    * operator override for DEAD consumers — a live incremental consumer
+    * re-points its pin every refresh/batch, so a floor unmoved for the
+    * stated interval is an abandoned checkpoint holding the table's
+    * retention suffix (and at warehouse scale, its storage) hostage.
+    * Explicit and LOUD: commits a metadata-only `expire_pins` history
+    * entry so the expiry stays auditable in DESCRIBE HISTORY after the
+    * pin files vanish (CDF classifies it no-change, like the other
+    * metadata DDL). An expired consumer that later returns degrades to
+    * a clean full recompute, exactly like readers after `VACUUM …
+    * IGNORE PINS` ([[snapshotLive]] / CdfNotExpressible — never a
+    * mid-read failure). Returns (name, floor version, age millis) per
+    * expired pin, name-sorted. */
+  def expirePins(olderThanMillis: Long): Seq[(String, Long, Long)] = {
+    require(olderThanMillis > 0,
+      s"expirePins: age bound must be positive (got $olderThanMillis ms)")
+    val now = System.currentTimeMillis()
+    val stale = pinsDetail.toSeq
+      .filter { case (_, (_, ts)) => now - ts > olderThanMillis }
+      .sortBy(_._1)
+    if (stale.isEmpty) return Nil
+    stale.foreach { case (n, _) => dropPin(n) }
+    history.lastOption.foreach(s =>
+      commit("expire_pins", s.fileSets, basedOn = Some(s.version),
+        dvs = s.dvs))
+    stale.map { case (n, (v, ts)) => (n, v, now - ts) }
   }
 
   /** Remove consumer `name`'s pin. Idempotent — teardown paths (DROP
@@ -4236,7 +4275,8 @@ object VersionedTable {
     * bootstrap — but only by luck of which side drifted). */
   private[graft] val CdfNoChangeActions: Set[String] = Set(
     "compact", "zorder", "purge_dv",
-    "rename_column", "drop_column", "set_partition_layout")
+    "rename_column", "drop_column", "set_partition_layout",
+    "expire_pins")
 
   /** Parsed-log cache (see [[VersionedTable.history]]): entry files are
     * write-once and checkpoint files are keyed by (inode, mtime), so

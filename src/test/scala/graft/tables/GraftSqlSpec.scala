@@ -1844,4 +1844,49 @@ class GraftSqlSpec extends SparkSpec {
       .select("latest_version", "behind").as[(Long, Long)].head()
     assert(extRow === ((0L, 0L)))
   }
+
+  test("VACUUM FORCE EXPIRE PINS expires dead consumers loudly, audited " +
+       "in history; refuses without an explicit age") {
+    val (cat, sql) = warehouse()
+    val t = cat.table("silver", "pexp")
+    t.append(Seq((1, "a")).toDF("k", "v"))                       // v0
+    t.append(Seq((2, "b")).toDF("k", "v"))                       // v1
+    sql.sql("OPTIMIZE silver.pexp")                              // v2
+    val threeHoursAgo = System.currentTimeMillis() - 3L * 3600 * 1000
+    t.setPinAt("mv:/consumers/dead", 0L, threeHoursAgo)          // abandoned
+    t.setPin("mv:/consumers/live", 2L)                           // current
+    // refusal: pin expiry is destructive — no implicit age bound
+    for (stmt <- Seq("VACUUM silver.pexp FORCE EXPIRE PINS",
+        "VACUUM silver.pexp RETAIN 1 VERSIONS FORCE EXPIRE PINS",
+        "VACUUM silver.pexp FORCE EXPIRE PINS OLDER THAN")) {
+      val e = intercept[RuntimeException](sql.sql(stmt))
+      assert(e.getMessage.contains("OLDER THAN"), s"$stmt: ${e.getMessage}")
+    }
+    // the dead pin (floor 0) still holds the whole suffix: the default
+    // vacuum reclaims nothing
+    assert(sql.sql("VACUUM silver.pexp RETAIN 1 VERSIONS")
+      .head().getLong(0) === 0L)
+    // expire at 1 HOUR: only the 3h-dead pin goes; the live one stays;
+    // the freed suffix reclaims in the same statement
+    val r = sql.sql(
+      "VACUUM silver.pexp RETAIN 1 VERSIONS FORCE EXPIRE PINS " +
+        "OLDER THAN 1 HOURS")
+      .select("expired_pin", "pin_version", "n_expired", "n_reclaimed")
+      .as[(String, Option[Long], Long, Long)].collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._3)) ===
+      Seq(("mv:/consumers/dead", Some(0L), 1L)))
+    assert(r.head._4 >= 1L, s"expected reclamation, got ${r.head._4}")
+    assert(t.pins.keySet === Set("mv:/consumers/live"))
+    // the expiry is in the history audit trail (and classified
+    // no-change for CDF consumers)
+    assert(t.history.last.action === "expire_pins")
+    assert(VersionedTable.CdfNoChangeActions("expire_pins"))
+    // pin age is measured from last advance: a second expire finds
+    // nothing stale and reports a loud no-op (NULL pin, 0 expired)
+    val noop = sql.sql(
+      "VACUUM silver.pexp FORCE EXPIRE PINS OLDER THAN 1 HOURS")
+      .select("expired_pin", "n_expired")
+      .as[(Option[String], Long)].head()
+    assert(noop === ((None, 0L)))
+  }
 }

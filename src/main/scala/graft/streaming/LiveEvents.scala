@@ -242,6 +242,119 @@ object LiveEvents {
       }
   }
 
+  /** [[FixtureState]] plus the TTL lifecycle flag: `is_final = true`
+    * marks the single closing row emitted when a fixture's state
+    * expires ([[fixtureStateStreamTtl]]). */
+  final case class FixtureStateTtl(fixture_id: String, n_events: Long,
+                                   last_event_ts: java.sql.Timestamp,
+                                   last_event_key: String,
+                                   last_event_type: String,
+                                   is_final: Boolean)
+
+  /** ST3 with BOUNDED state: the keyed fixture state under an
+    * EVENT-TIME TTL. [[fixtureStateStream]]'s `NoTimeout` is fine for
+    * the FPL fixture domain (~380 keys/season), but as the keyed-state
+    * pattern this engine ships it must also demonstrate bounded state:
+    * with unbounded keys (sessions, devices, documents) a state store
+    * that never expires grows without limit and a 100 TB deployment
+    * OOMs its executors or thrashes RocksDB.
+    *
+    * Mechanics: a watermark on `event_ts` plus
+    * `GroupStateTimeout.EventTimeTimeout`. Every update re-arms the
+    * fixture's timeout at `last_event_ts + ttl` (clamped above the
+    * current watermark — Spark refuses a timeout at or below it); when
+    * the watermark passes that point, the next micro-batch fires the
+    * timed-out group with an empty input iterator, we emit ONE closing
+    * row (`is_final = true` — the "fixture settled" signal downstream
+    * consumers key on) and REMOVE the state. A later event for the same
+    * fixture starts a fresh state (n_events restarts) — exactly the
+    * session-window-reopen semantics Spark's own
+    * `flatMapGroupsWithState` examples document. State size is thereby
+    * O(keys active within the TTL horizon), not O(keys ever seen). */
+  def fixtureStateStreamTtl(events: DataFrame, ttlMillis: Long,
+      watermarkDelay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[FixtureStateTtl] = {
+    require(ttlMillis > 0, s"fixtureStateStreamTtl: ttl must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("event_ts", watermarkDelay)
+      .select(col("fixture_id").cast("string"), col("event_ts"),
+        col("event_key").cast("string"), col("event_type").cast("string"))
+      .as[EventIn]
+      .groupByKey(_.fixture_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (fixtureId: String, batch: Iterator[EventIn],
+         state: GroupState[FixtureStateTtl]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_event_ts + ttl with no new events:
+            // close the fixture and free its state slot
+            val fin = state.get.copy(is_final = true)
+            state.remove()
+            Iterator.single(fin)
+          } else {
+            var st = state.getOption.getOrElse(
+              FixtureStateTtl(fixtureId, 0L, null, "", null,
+                is_final = false))
+            var latestTs = Option(st.last_event_ts)
+            var latestKey = st.last_event_key
+            var latestType = st.last_event_type
+            batch.foreach { e =>
+              st = st.copy(n_events = st.n_events + 1)
+              // same (max ts, then smallest event_key) tie-break as the
+              // batch derivation and the NoTimeout form
+              val newer = latestTs.forall { ts =>
+                e.event_ts.after(ts) ||
+                  (e.event_ts.equals(ts) && e.event_key < latestKey)
+              }
+              if (newer) {
+                latestTs = Some(e.event_ts); latestKey = e.event_key
+                latestType = e.event_type
+              }
+            }
+            st = st.copy(last_event_ts = latestTs.orNull,
+              last_event_key = latestKey, last_event_type = latestType)
+            state.update(st)
+            // re-arm: expire ttl past the newest event, never at/below
+            // the current watermark (Spark rejects that)
+            val target = latestTs.map(_.getTime + ttlMillis)
+              .getOrElse(state.getCurrentWatermarkMs() + ttlMillis)
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(st)
+          }
+      }
+  }
+
+  /** Finite run of [[fixtureStateStreamTtl]] over a JSON landing dir:
+    * drains with availableNow, APPENDING every emitted row to `out`
+    * (the state-transition timeline, including `is_final` closings —
+    * unlike the merge-latest NoTimeout runner, closings and reopenings
+    * must both stay visible). Exactly-once per batch via txn markers. */
+  def runFixtureStateTtlAvailableNow(spark: SparkSession, landingDir: String,
+                                     checkpointDir: String,
+                                     out: VersionedTable,
+                                     ttlMillis: Long,
+                                     watermarkDelay: String = "0 seconds"): Unit = {
+    val stream = spark.readStream
+      .schema(Schemas.liveEventRaw)
+      .json(landingDir)
+      .filter(col("_corrupt_record").isNull && col("fixture_id").isNotNull &&
+        col("event_ts").isNotNull && col("event_key").isNotNull)
+    val states = fixtureStateStreamTtl(stream, ttlMillis, watermarkDelay).toDF()
+    val q = states.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        out.append(batch, txn = Some((s"state-ttl@$checkpointDir", batchId)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Finite run of [[fixtureStateStream]] over a JSON landing dir: drains
     * with availableNow, merging each batch's emitted states into `out`
     * keyed by fixture (newest batch wins). Returns after the drain. */

@@ -192,6 +192,48 @@ class LiveEventsSpec extends SparkSpec {
     assert(after === Set(("f1", 2L, "card"), ("f2", 2L, "goal")))
   }
 
+  test("event-time TTL bounds the fixture state: final row on expiry, " +
+       "fresh state on reopen") {
+    val tmp = tmpDir("state-ttl-")
+    val out = VersionedTable(spark, s"$tmp/state")
+    val ttlMs = 3600L * 1000                      // 1 hour of event time
+    def run(rows: Seq[(String, String, Timestamp, String, String, String)]): Unit = {
+      rows.toDF("event_key", "fixture_id", "event_ts", "player_id",
+          "event_type", "payload")
+        .coalesce(1).write.mode("append").json(s"$tmp/landing")
+      LiveEvents.runFixtureStateTtlAvailableNow(spark, s"$tmp/landing",
+        s"$tmp/cp", out, ttlMs, watermarkDelay = "0 seconds")
+    }
+    def states = out.read
+      .select("fixture_id", "n_events", "last_event_type", "is_final")
+      .as[(String, Long, String, Boolean)].collect().toSeq
+      .sortBy(r => (r._1, r._2, r._4))
+    // run 1: f1 latest at 1200s, f2 at 300s — watermark ends at 1200s,
+    // expiries armed at 4800s / 3900s; nothing fires
+    run(Seq(("k1", "f1", ts(600), "p1", "goal", "{}"),
+      ("k2", "f1", ts(1200), "p2", "card", "{}"),
+      ("k3", "f2", ts(300), "p3", "kickoff", "{}")))
+    assert(states === Seq(("f1", 2L, "card", false),
+      ("f2", 1L, "kickoff", false)))
+    // run 2: f2 jumps to 10000s, pushing the watermark past f1's 4800s
+    // expiry — the engine's trailing no-data micro-batch fires the
+    // timeout in the same drain: f1 emits ONE closing row (is_final,
+    // the settled n_events=2 state) and frees its state slot; f2 (just
+    // re-armed to 13600s) stays live
+    run(Seq(("k4", "f2", ts(10000), "p4", "goal", "{}")))
+    assert(states.filter(_._1 == "f1") ===
+      Seq(("f1", 2L, "card", false), ("f1", 2L, "card", true)))
+    assert(states.filter(_._1 == "f2").map(_._2).max === 2L)
+    assert(!states.exists(r => r._1 == "f2" && r._4),
+      "a re-armed live fixture must not expire")
+    // run 3: a NEW f1 event after expiry starts a FRESH state —
+    // n_events restarts at 1, proving the slot was removed, not parked
+    run(Seq(("k5", "f1", ts(10010), "p5", "goal", "{}")))
+    assert(states.filter(r => r._1 == "f1" && !r._4).map(_._2).toSet ===
+      Set(2L, 1L))
+    assert(states.count(_._4) === 1, "exactly one closing row so far")
+  }
+
   test("availableNow ingest + conform: stream lands in bronze, merges to silver") {
     val tmp = tmpDir("les-")
     val landing = s"$tmp/landing"

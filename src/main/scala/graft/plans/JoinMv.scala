@@ -430,10 +430,19 @@ object JoinMv {
             // (SCD2: closing a version retracts it from is_current)
             val feed = sided(d.dims(i),
               d.dims(i).table.readChangeFeed(pins(i), Some(dimHeads(i))))
+            // broadcast the CHANGE SLICE explicitly: the CDF feed reads
+            // through a metadata-path join, so Catalyst has no size
+            // stats for it and (measured, ProfScd2) picks the FACT as
+            // the broadcast side — 150k rows built and fetched per task
+            // where the churned-dim slice is 50× smaller. The slice is
+            // O(churned dim rows), the same bound the star schema
+            // already assumes makes a dim broadcastable.
             GraftSql.applyCdfDelta(mv,
               joinAll(factForDimSlice(i, feed),
                 d.dims.indices.map { j =>
-                  (if (j == i) feed else dimAt(j, pins(j)),
+                  (if (j == i)
+                    org.apache.spark.sql.functions.broadcast(feed)
+                  else dimAt(j, pins(j)),
                     d.dims(j).keys)
                 }),
               d.groupCols, d.aggs, txn = Some((dimApp(i), dimHeads(i))))

@@ -1260,19 +1260,19 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val staging = stagingDir.resolve(id)
     Files.createDirectories(dataDir)
     val tag = schemaTag(df)
-    // partition count: at most numBuckets partitions can carry data
-    // (the split hash-partitions BY the bucket column), but padding the
-    // count ABOVE numBuckets still matters for big batches — hashing b
-    // bucket values into exactly b partitions collides ~1/e of them
-    // into shared partitions whose writes then serialize in one task,
-    // while a 2× slot count cuts the expected collisions sharply. The
-    // empty extra tasks were measured immaterial even on the few-row
-    // streaming-trigger merges (scheduling an empty task is ~free), so
-    // the padding is kept.
+    // REBALANCE (not repartition(n, col)): AQE right-sizes the split to
+    // the batch. An explicit repartition(N) pins N tasks — a change-
+    // slice merge (group-count-sized delta, the MV/replica hot path)
+    // then pays N× fixed task overhead (~60-100ms deser+sched each,
+    // measured via ProfScd2) for rows that fit in ONE task, while a
+    // 100 TB batch gets exactly N tasks however skewed. The rebalance
+    // hint hash-distributes by the bucket column, COALESCES undersized
+    // outputs (tiny delta → 1 task) and SPLITS oversized ones (a hot
+    // bucket fans out across tasks instead of serializing in one —
+    // partitionBy still routes every row to its bucket's directory, so
+    // the staged layout is unchanged). */
     df.withColumn(BucketCol, splitExpr(spec))
-      .repartition(math.max(spec.numBuckets,
-        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt),
-        col(BucketCol))
+      .hint("rebalance", BucketCol)
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(BucketCol)
       .parquet(staging.toString)

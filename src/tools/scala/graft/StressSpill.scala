@@ -18,7 +18,7 @@ import graft.tables.VersionedTable
   * dying when executor memory is short — the situation a 100 TB
   * deployment's executors actually face.
   *
-  * Checksums are order-independent sums of per-row hashes, so task
+  * Checksums are order-independent XORs of per-row hashes, so task
   * layout, spilling, and AQE decisions cannot move them; the IVF
   * k-means trains on the FULL collected corpus (bounded here) so the
   * centroids cannot drift with sampling layout either. */
@@ -59,25 +59,38 @@ object StressSpill {
         s""""spill_mem_mb":${spilledMem.get / 1048576L}}"""
     }
 
-    val tmp = Files.createTempDirectory("graft-spill-").toString
+    val tmp = sys.env.get("GRAFT_SPILL_DIR").map { d =>
+      Files.createDirectories(java.nio.file.Paths.get(d)); d
+    }.getOrElse(Files.createTempDirectory("graft-spill-").toString)
 
-    // 1. bucket-COW merge: amplified lineitem (amp × 600k rows)
-    //    bootstrap + keyed update merge — the SMJ + cell sort/write path
+    // 1. bucket-COW merge: amplified orders (amp × 4 × 150k rows).
+    //    o_orderkey is UNIQUE, so the derived keys are collision-free —
+    //    colliding source keys would hit the plain upsert's DOCUMENTED
+    //    arbitrary dedup (dropDuplicates; "dedup the source or pass
+    //    preferUpdateBy") whose pick legitimately moves under spill's
+    //    sort-fallback ordering, and the checksum would chase that
+    //    nondeterminism instead of the spill path. (Found the hard way:
+    //    the sf0.1 lineitem fixture has duplicate (orderkey, linenumber)
+    //    pairs.)
     shape("cow_merge") {
-      def li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("long").as("qty"),
-          floor(col("l_extendedprice")).cast("long").as("price"))
-        .withColumn("__rep", explode(sequence(lit(0L), lit(amp - 1L))))
-        // l_linenumber is 1..7: *10 keeps derived keys collision-free
-        .select(((col("l_orderkey") * amp + col("__rep")) * 10 +
-          col("l_linenumber")).as("k"), col("qty"), col("price"))
+      val reps = amp * 4L
+      def src = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("qty"),
+          col("o_custkey").cast("long").as("price"))
+        .withColumn("__rep", explode(sequence(lit(0L), lit(reps - 1L))))
+        .select((col("o_orderkey") * reps + col("__rep")).as("k"),
+          col("qty"), col("price"))
       val t = VersionedTable(spark, s"$tmp/cow")
-      t.merge(li, Seq("k"), numBuckets = 16)
-      t.merge(li.filter(col("k") % 5 === 0)
+      t.merge(src, Seq("k"), numBuckets = 16)
+      t.merge(src.filter(col("k") % 5 === 0)
         .withColumn("qty", col("qty") + 1), Seq("k"), numBuckets = 16)
-      t.read.agg(sum(xxhash64(col("k"), col("qty"), col("price"))))
-        .head().getLong(0)
+      // bit_xor: order-independent and overflow-free (an ANSI sum of
+      // millions of xxhash64 values overflows long)
+      // bit_xor: order-independent and overflow-free (an ANSI sum of
+      // millions of xxhash64 values overflows long)
+      t.read.agg(bit_xor(xxhash64(col("k"), col("qty"), col("price"))) +
+        count(lit(1))).head().getLong(0)
     }
 
     // 2. MinHash banded near-dup over amplified documents — the
@@ -92,8 +105,8 @@ object StressSpill {
           // the pair volume scales with reps² per original doc
           col("text"))
       val pairs = graft.ops.Dedup.minhashNearDupPairs(docs)
-      pairs.agg(coalesce(sum(xxhash64(col("doc_id_a"), col("doc_id_b"))),
-        lit(0L)) + count(lit(1))).head().getLong(0)
+      pairs.agg(coalesce(bit_xor(xxhash64(col("doc_id_a"),
+        col("doc_id_b"))), lit(0L)) + count(lit(1))).head().getLong(0)
     }
 
     // 3. IVF build over amplified embeddings — bounded k-means train +
@@ -109,7 +122,7 @@ object StressSpill {
           col("embedding"))
       val idx = graft.ops.Similarity.ivfIndex(emb, nCells = 32,
         trainSampleSize = Int.MaxValue) // full train: no sample-order drift
-      idx.assigned.agg(sum(xxhash64(col("vec_id"), col("ivf_cell"))))
+      idx.assigned.agg(bit_xor(xxhash64(col("vec_id"), col("ivf_cell"))))
         .head().getLong(0)
     }
 

@@ -206,6 +206,106 @@ object ScaleBench {
       (f, n, changed, bootSec, syncSec)
     }
 
+    // ------------------- family 6a: sketch-MV refresh vs base growth
+    // Fixed append slice (2000 rows) absorbed into an HLL rollup MV as
+    // the BASE table grows 1× → 10×. The refresh reads ONLY the added
+    // sets (readAddedBetween) and merges a group-count-sized delta, so
+    // cost per appended row must stay flat; the mode is asserted
+    // "incremental" — a silent rebuild would grow with the base.
+    val sketchMv = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-skm$f-").toString
+      val n = 50000L * f
+      val src = VersionedTable(spark, s"$root/src")
+      val mv = VersionedTable(spark, s"$root/mv")
+      src.enableChangeFeed()
+      src.append(spark.range(n).select(
+        concat(lit("g"), col("id") % 37L).as("flag"), col("id").as("okey")))
+      val (_, buildSec) = timed(
+        graft.ops.Sketches.create(src, mv, Seq("flag"), "okey"))
+      src.append(spark.range(2000).select(
+        concat(lit("g"), col("id") % 37L).as("flag"),
+        (col("id") + n + 10L).as("okey")))
+      val changed = 2000
+      val (mode, syncSec) = timed(graft.ops.Sketches.refresh(spark, mv))
+      require(mode == "incremental",
+        s"sketch refresh degraded to '$mode' at factor $f")
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, n, changed, buildSec, syncSec)
+    }
+
+    // ---------------- family 6b: streaming star-rollup trigger vs dims
+    // Fixed fact CDF slice (50 updates) through the aggregate sink's
+    // fact⋈dim star mode while the DIM grows 1× → 10×: the batch joins
+    // the pinned dim snapshot, and the slice's cost must follow the
+    // slice, not the dim — the batch side is broadcast against the
+    // dim scan, and the merge touches only the slice's groups.
+    val starStream = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-str$f-").toString
+      val nDim = 50000L * f
+      val fact = VersionedTable(spark, s"$root/fact")
+      val dim = VersionedTable(spark, s"$root/dim")
+      fact.enableChangeFeed()
+      fact.append(spark.range(20000L).select(
+        (col("id") % nDim).as("ck"), (col("id") % 997L).as("p")))
+      dim.append(spark.range(nDim).select(col("id").as("ck"),
+        concat(lit("s"), col("id") % 37L).as("seg")))
+      def sync(): Unit = {
+        val q = spark.readStream.format("graft-table")
+          .option("readChangeFeed", "true").load(s"$root/fact")
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", s"$root/cp")
+          .option("mergeKeys", "seg")
+          .option("aggregate", "sum:p:sum_p;count:*:cnt;count:p:cnt_p")
+          .option("joinDims", s"$root/dim")
+          .option("joinKeys", "ck=ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(s"$root/mv")
+        q.awaitTermination()
+      }
+      val (_, bootSec) = timed(sync())
+      fact.update(Map("p" -> (col("p") + 1L)), col("ck") < 50L)
+      val changed = 50
+      val (_, syncSec) = timed(sync())
+      require(VersionedTable(spark, s"$root/mv").read.count() == 37L,
+        s"star rollup diverged at factor $f")
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, nDim, changed, bootSec, syncSec)
+    }
+
+    // -------------------------- skew A/B: hot-bucket merge batches
+    // Same 500k-row 32-bucket table, same 4000-row update batch — once
+    // spread uniformly across buckets, once with EVERY key hashing to
+    // ONE bucket (keys filtered by the engine's own bucket expression,
+    // pmod(hash(k), 32) == 0). The staged split REBALANCE fans the hot
+    // bucket across tasks and the COW join processes one cell instead
+    // of 32, so the two must land within ~2× — a hot batch serializing
+    // in one task would show up as a multiple here.
+    val skew = {
+      val root = Files.createTempDirectory("graft-scale-skw-").toString
+      val rows = 500000L
+      def freshTable(tag: String): VersionedTable = {
+        val t = VersionedTable(spark, s"$root/$tag")
+        t.merge(spark.range(rows).select(col("id").as("k"),
+          (col("id") % 97L).as("v")), Seq("k"), numBuckets = 32)
+        t
+      }
+      val uniformKeys = spark.range(4000L).select(
+        (col("id") * 125L).as("k"))                     // spread: all buckets
+      val hotKeys = spark.range(rows)
+        .filter(pmod(hash(col("id")), lit(32)) === 0)   // the engine's split
+        .limit(4000).select(col("id").as("k"))
+      Seq(("uniform", uniformKeys), ("hot", hotKeys)).map { case (tag, keys) =>
+        val t = freshTable(tag)
+        val batch = keys.withColumn("v", lit(-1L))
+        val (_, sec) = timed(t.merge(batch, Seq("k"), numBuckets = 32))
+        val nCells = t.history.last.fileSets.length
+        (tag, sec, nCells)
+      } match { case pts =>
+        VersionedTable.deleteRecursively(Paths.get(root))
+        pts
+      }
+    }
+
     def familyJson(points: Seq[(Int, Long, Int, Double, Double)],
                    prepName: String): String =
       points.map { case (f, corpus, changed, prep, sync) =>
@@ -219,7 +319,13 @@ object ScaleBench {
         s""""ivf_sync":${familyJson(ivf, "build")},""" +
         s""""bucketed_merge":${familyJson(merge, "prep")},""" +
         s""""join_mv_dim_delta":${familyJson(joinMv, "build")},""" +
-        s""""sink_trigger":${familyJson(sinkTrigger, "bootstrap")}}}"""
+        s""""sink_trigger":${familyJson(sinkTrigger, "bootstrap")},""" +
+        s""""sketch_mv_refresh":${familyJson(sketchMv, "build")},""" +
+        s""""star_rollup_trigger":${familyJson(starStream, "bootstrap")},""" +
+        s""""skewed_merge":[""" + skew.map { case (tag, sec, cells) =>
+          f"""{"dist":"$tag","merge_sec":$sec%.2f,"file_sets":$cells}"""
+        }.mkString(",") +
+        f"""],"skew_ratio":${skew(1)._2 / skew(0)._2}%.2f}}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
   }

@@ -203,8 +203,10 @@ object Sketches {
       try {
         // NULL group values cannot ride the merge (SQL MERGE: NULL
         // never matches — every refresh would INSERT a fresh NULL row,
-        // splitting the group's count and sketch across duplicates)
-        if (graft.tables.GraftSql.hasNullKeys(delta, groupCols)) None
+        // splitting the group's count and sketch across duplicates).
+        // Full-consumption probe so the persist actually materializes
+        // before the merge plans on it (GraftSql.probeDelta).
+        if (graft.tables.GraftSql.probeDelta(delta, groupCols)._2 > 0L) None
         else {
           mv.merge(delta, groupCols, updateExprs = Map(
             "n_rows" -> ((t: Column, u: Column) => t + u),
@@ -371,7 +373,8 @@ object Sketches {
         itemCol, eps.toDouble, conf.toDouble, seed.toInt, topM.toInt)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (graft.tables.GraftSql.hasNullKeys(delta, groupCols)) None
+        // full-consumption probe: materializes the persist too
+        if (graft.tables.GraftSql.probeDelta(delta, groupCols)._2 > 0L) None
         else {
           mv.merge(delta, groupCols, updateExprs = Map(
             "n_rows" -> ((t: Column, u: Column) => t + u),
@@ -640,10 +643,14 @@ object Sketches {
         sub.toInt, sgn)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // one full-consumption probe (empties + NULL keys) that also
+        // materializes the persist (GraftSql.probeDelta)
+        val (nRows, nNullKeys) =
+          graft.tables.GraftSql.probeDelta(delta, groupCols)
         // a DML commit that matched zero rows feeds an empty slice
-        if (delta.isEmpty) Some(finish("noop"))
+        if (nRows == 0L) Some(finish("noop"))
         // NULL group values cannot ride the merge (NULL never matches)
-        else if (graft.tables.GraftSql.hasNullKeys(delta, groupCols)) None
+        else if (nNullKeys > 0L) None
         else {
           mv.merge(delta, groupCols, updateExprs = Map(
             "n_rows" -> ((t: Column, u: Column) => t + u),

@@ -2994,6 +2994,26 @@ object GraftSql {
   private[graft] def hasNullKeys(df: DataFrame, cols: Seq[String]): Boolean =
     !df.filter(cols.map(col(_).isNull).reduce(_ || _)).limit(1).isEmpty
 
+  /** ONE full-consumption pass over a PERSISTED group-count-sized
+    * delta: (row count, NULL-key row count) — and, critically, the
+    * pass COMPLETES the cache. Limit-style probes ([[hasNullKeys]],
+    * `isEmpty`) abort partition iterators mid-way and Spark only
+    * caches fully-consumed partitions, so probing a persisted delta
+    * that way leaves it cold and the merge that follows re-pays the
+    * whole upstream scan + join + aggregation (measured 4.5 s of a
+    * 13.5 s slice, ProfScd2). Every incremental maintainer that
+    * persists a delta then merges it must probe through here. */
+  private[graft] def probeDelta(delta: DataFrame,
+                                groupCols: Seq[String]): (Long, Long) = {
+    val r = delta.agg(
+      org.apache.spark.sql.functions.count(lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          when(groupCols.map(col(_).isNull).reduce(_ || _), 1L)
+            .otherwise(0L)), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Whether `aggs` can absorb retractions from a row-level change feed:
     * sum/count/quant only, count(*) materialized (emptied groups must
     * drop), every sum(c) with a count(c) companion (NULL-fix). Quant
@@ -3070,31 +3090,18 @@ object GraftSql {
       .agg(signedAggs.head, signedAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE full-consumption aggregate answers BOTH probes (emptiness,
-      // NULL group keys) and — critically — COMPLETES the persist:
-      // limit-style probes (isEmpty / filter.limit(1)) abort partition
-      // iterators mid-way, and Spark only caches a partition whose
-      // iterator was fully consumed, so under the old two-probe shape
-      // the cache stayed empty and the merge's staged split re-paid the
-      // whole feed scan + join + aggregation (measured: 4.5s of the
-      // 13.5s total task time on the sf0.1 scd2 slice, ProfScd2). A
-      // global aggregate drains every partition, so the merge below
-      // plans against a fully-materialized group-count-sized cache.
-      val probe = delta.agg(
-        org.apache.spark.sql.functions.count(lit(1)).as("n"),
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.sum(
-            when(groupCols.map(col(_).isNull).reduce(_ || _), 1L)
-              .otherwise(0L)), lit(0L)).as("n_null")).head()
+      // one full-consumption probe: answers emptiness + NULL keys AND
+      // completes the persist (see [[probeDelta]])
+      val (nRows, nNullKeys) = probeDelta(delta, groupCols)
       // a DDL-only slice (rename/property commits carry no change rows)
       // must not stage an empty merge — and in the streaming sink a
       // pure-DDL version range batches as zero rows
-      if (probe.getLong(0) == 0L) return
+      if (nRows == 0L) return
       // NULL group values cannot ride the merge (NULL never matches a
       // key — each batch would insert a fresh NULL row): refuse loudly.
       // REFRESH catches this and recomputes; the streaming sink surfaces
       // it to the user (coalesce the group column upstream).
-      if (probe.getLong(1) > 0L)
+      if (nNullKeys > 0L)
         throw new CdfNotExpressible("CDF aggregate maintenance: NULL " +
           s"value in group column(s) ${groupCols.mkString(",")} — NULL " +
           "keys cannot merge incrementally; coalesce them upstream")

@@ -167,13 +167,15 @@ object IncrementalCuration {
     *     created elsewhere and carries stale or empty properties.
     * Thread-per-merge costs microseconds next to the multi-hundred-ms
     * merges themselves. */
-  private def inParallel(fs: Seq[() => Unit]): Unit = {
-    val outcomes = new Array[Option[Throwable]](fs.length)
+  private def inParallel[A](fs: Seq[() => A]): Seq[A] = {
+    val outcomes =
+      new Array[Either[Throwable, A]](fs.length).asInstanceOf[Array[AnyRef]]
     val threads = fs.zipWithIndex.map { case (f, i) =>
       val t = new Thread(
         { () =>
           outcomes(i) =
-            try { f(); None } catch { case e: Throwable => Some(e) }
+            (try Right(f()) catch { case e: Throwable => Left(e) })
+              .asInstanceOf[AnyRef]
         }: Runnable,
         s"graft-curation-merge-$i")
       t.setDaemon(true)
@@ -182,8 +184,60 @@ object IncrementalCuration {
     threads.foreach(_.start())
     threads.foreach(_.join())
     // every slot is written after join(); surface the first failure only
-    // once ALL merges have settled
-    outcomes.foreach(_.foreach(e => throw e))
+    // once ALL preparations have settled
+    outcomes.toSeq.map(_.asInstanceOf[Either[Throwable, A]]).map {
+      case Left(e)  => throw e
+      case Right(a) => a
+    }
+  }
+
+  // ------------------------------------ slice-scoped atomic intent
+  // The three state tables commit AS ONE: each merge is PREPARED
+  // (staged, COW-joined, files renamed into place — log entry held
+  // back), then one atomic intent file records all prepared entries,
+  // then the entries append. Crash before the intent → NO table
+  // changed (orphans age-gate to vacuum, the slice replays whole);
+  // crash after → [[rollForwardIntent]] completes every append before
+  // the next sync reads any state. The observable crash-state space is
+  // therefore all-or-none, not "any subset of three merges".
+
+  private def intentPath(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_slice_intent.json")
+
+  /** Complete a crash-interrupted slice: append every prepared entry
+    * (idempotent — replayed txn markers short-circuit), then drop the
+    * intent. Runs at [[sync]] entry, BEFORE any state is read. */
+  private def rollForwardIntent(spark: SparkSession, root: String): Unit = {
+    val p = intentPath(root)
+    if (!java.nio.file.Files.exists(p)) return
+    java.nio.file.Files.readString(p).linesIterator
+      .filter(_.trim.nonEmpty).foreach { line =>
+        val i = line.indexOf('\t')
+        val pc = VersionedTable.PreparedCommit.fromJson(line.substring(i + 1))
+        VersionedTable(spark, line.substring(0, i)).commitPrepared(pc)
+        ()
+      }
+    java.nio.file.Files.delete(p)
+    ()
+  }
+
+  /** The slice's commit point: ONE atomic intent write, then the
+    * per-table log appends, then the intent drops. */
+  private def commitSlice(root: String,
+      entries: Seq[(VersionedTable, Option[VersionedTable.PreparedCommit])]): Unit = {
+    val todo = entries.collect { case (t, Some(pc)) => (t, pc) }
+    if (todo.isEmpty) return
+    val p = intentPath(root)
+    val tmp = p.resolveSibling(s".intent-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp,
+      todo.map { case (t, pc) => s"${t.root}\t${pc.toJson}" }
+        .mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    todo.foreach { case (t, pc) => t.commitPrepared(pc); () }
+    java.nio.file.Files.delete(p)
+    ()
   }
 
   /** Consume every unconsumed commit of the `docs` source into the
@@ -207,6 +261,9 @@ object IncrementalCuration {
     val hashes = hashTable(spark, root)
     val bands = bandTable(spark, root)
     val appId = s"curation-sync:$root"
+    // complete any crash-interrupted slice BEFORE reading state: after
+    // this line the workspace only ever shows all-or-none of a slice
+    rollForwardIntent(spark, root)
     ChangeFeedConsumer.consumeAvailable(src, s"$root/_sync") { (changes, _, hi) =>
       // repartition BEFORE the text kernels: a change-feed batch reads
       // as a handful of parquet splits (one append ≈ one file), and the
@@ -442,46 +499,43 @@ object IncrementalCuration {
               // update batch several times (dedup, delete/data split,
               // cell staging), and re-running the probe pipeline per
               // evaluation would cost more than the saved commits.
-              def merged(up: DataFrame, tomb: Option[DataFrame],
-                         keys: Seq[String], label: String): Unit = {
+              def prepared(up: DataFrame, tomb: Option[DataFrame],
+                           keys: Seq[String], label: String)
+                  : (VersionedTable, Option[VersionedTable.PreparedCommit]) = {
                 val batch = tomb.fold(up)(tb =>
                   up.withColumn(Merge.DeleteCol, lit(false))
                     .unionByName(tb.withColumn(Merge.DeleteCol, lit(true)),
                       allowMissingColumns = true))
-                tlog(s"merge $label")(
-                  (if (label == "kept") kept
-                   else if (label == "hashes") hashes else bands)
-                    .merge(batch, keys, numBuckets = cfg.numBuckets,
-                      txn = Some((appId + ":" + label.head, hi))))
-                ()
+                val tbl = if (label == "kept") kept
+                  else if (label == "hashes") hashes else bands
+                (tbl, tlog(s"prepare $label")(
+                  tbl.mergePrepared(batch, keys, numBuckets = cfg.numBuckets,
+                    txn = Some((appId + ":" + label.head, hi)))))
               }
               // the three merges are INDEPENDENT tables fed exclusively
-              // by checkpointed (or state-table) relations — run them
-              // concurrently: at change-batch sizes each merge is
-              // driver-latency bound (staging job + cell join + commit
-              // IO), so the slice pays max() of the three instead of
-              // their sum. Replay safety is unchanged — each table's
-              // txn marker is judged independently, and admission
-              // decisions are replay-stable against a partially-applied
-              // batch (self-match exclusion above), so any crash
-              // ordering of the three replays to the same state.
+              // by checkpointed (or state-table) relations — PREPARE
+              // them concurrently (the staging + COW join jobs dominate,
+              // so the slice pays max() of the three instead of their
+              // sum), then flip all three through ONE atomic slice
+              // intent (commitSlice): a crash leaves either no table
+              // changed or, after roll-forward, every table changed.
               val bandUp = newBands
                 .join(survivors.select("doc_id"), Seq("doc_id"))
-              inParallel(Seq(
-                () => merged(survivors.select("doc_id", "text", "toks", "q4i"),
+              commitSlice(root, inParallel(Seq(
+                () => prepared(survivors.select("doc_id", "text", "toks", "q4i"),
                   purgeOwners.map(_ => pre.select(col("doc_id"))
                     .join(survivors.select("doc_id"), Seq("doc_id"),
                       "left_anti")),
                   Seq("doc_id"), "kept"),
-                () => merged(survivors.select("content_hash", "doc_id"),
+                () => prepared(survivors.select("content_hash", "doc_id"),
                   purgeOwners.map(_.join(survivors.select("content_hash"),
                     Seq("content_hash"), "left_anti")),
                   Seq("content_hash"), "hashes"),
-                () => merged(bandUp,
+                () => prepared(bandUp,
                   purgeOwners.map(_ => bandsOf(pre, "text", cfg)
                     .join(bandUp.select("band_idx", "band_hash", "doc_id"),
                       Seq("band_idx", "band_hash", "doc_id"), "left_anti")),
-                  Seq("band_idx", "band_hash", "doc_id"), "bands")))
+                  Seq("band_idx", "band_hash", "doc_id"), "bands"))))
             // the fresh-workspace aliases are NOT their own checkpoints —
             // releasing them would walk into the parent frames' blocks
             } finally { if (survivors ne afterLocal) releaseCkpt(survivors) }
@@ -492,19 +546,22 @@ object IncrementalCuration {
           // purge-only slice (deletes, or nothing passing the filter):
           // tombstone-only merges, one commit per table, concurrent for
           // the same reason as the main branch
-          inParallel(Seq(
-            () => { tlog("purge hashes.merge")(hashes.merge(
+          commitSlice(root, inParallel(Seq(
+            () => (hashes, tlog("purge hashes.prepare")(hashes.mergePrepared(
               purgeOwners.get.withColumn(Merge.DeleteCol, lit(true)),
-              Seq("content_hash"), txn = Some((appId + ":h", hi)))); () },
-            () => { tlog("purge bands.merge")(bands.merge(
+              Seq("content_hash"), numBuckets = cfg.numBuckets,
+              txn = Some((appId + ":h", hi))))),
+            () => (bands, tlog("purge bands.prepare")(bands.mergePrepared(
               bandsOf(pre, "text", cfg)
                 .withColumn(Merge.DeleteCol, lit(true)),
               Seq("band_idx", "band_hash", "doc_id"),
-              txn = Some((appId + ":b", hi)))); () },
-            () => { tlog("purge kept.merge")(kept.merge(
+              numBuckets = cfg.numBuckets,
+              txn = Some((appId + ":b", hi))))),
+            () => (kept, tlog("purge kept.prepare")(kept.mergePrepared(
               pre.select(col("doc_id"))
                 .withColumn(Merge.DeleteCol, lit(true)),
-              Seq("doc_id"), txn = Some((appId + ":k", hi)))); () }))
+              Seq("doc_id"), numBuckets = cfg.numBuckets,
+              txn = Some((appId + ":k", hi))))))))
         }
         } finally releaseCkpt(batchExact)
         } finally purgeOwners.foreach(releaseCkpt)

@@ -416,6 +416,75 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * ConcurrentModificationException — at 1000 executors this is the
     * difference between "ingest appends serialize with the continuous
     * MERGE conformer" and "every merge retries from scratch". */
+  // --------------------- prepared (two-phase) merge commits
+  // A multi-table consumer (the curation slice: kept/hashes/bands) must
+  // not expose a crash state where SOME of its state tables absorbed a
+  // slice and others did not. [[mergePrepared]] runs the ENTIRE merge —
+  // staging, COW join, cell writes, CDF change set — but stops short of
+  // the log append: every file already sits under its final name,
+  // invisible (untracked names are age-gated by vacuum) until
+  // [[commitPrepared]] appends the one entry. The caller stages every
+  // table, records ONE atomic intent, then commits each — a crash
+  // before the intent changes nothing; after it, recovery rolls ALL
+  // tables forward (idempotent: replayed txn markers short-circuit).
+
+  private val prepareSink =
+    new ThreadLocal[Option[VersionedTable.PreparedCommit => Unit]] {
+      override def initialValue: Option[VersionedTable.PreparedCommit => Unit] = None
+    }
+
+  /** [[merge]] stopped short of the log append. Returns None when the
+    * txn marker shows the slice already applied (nothing to commit). */
+  def mergePrepared(updates: DataFrame, keys: Seq[String],
+      preferUpdateBy: Option[String] = None,
+      numBuckets: Int = DefaultMergeBuckets,
+      updateExprs: Map[String, (Column, Column) => Column] = Map.empty,
+      txn: Option[(String, Long)] = None)
+      : Option[VersionedTable.PreparedCommit] = {
+    var captured: Option[VersionedTable.PreparedCommit] = None
+    prepareSink.set(Some(pc => captured = Some(pc)))
+    try { merge(updates, keys, preferUpdateBy, numBuckets, updateExprs,
+      txn = txn); () }
+    finally prepareSink.set(None)
+    captured
+  }
+
+  /** Append a [[mergePrepared]] capture's log entry. Idempotent under
+    * replay (the txn marker short-circuits), loud on a concurrent
+    * commit (prepared flows are single-writer by contract). */
+  def commitPrepared(p: VersionedTable.PreparedCommit): LogEntry = {
+    val e =
+      if (p.cellRebase)
+        commitCellRebase(p.action, p.consumed, p.produced, p.basedOn,
+          p.txn, p.dvs, p.cdf)
+      else if (txnAlreadyApplied(p.txn)) history.last
+      else commit(p.action, p.produced, p.basedOn, p.txn, p.dvs, p.cdf)
+    if (p.autoCompact) maybeAutoCompact(e) else e
+  }
+
+  /** The single funnel for [[merge]]'s three commit shapes: in prepared
+    * mode it captures the request instead of appending (the returned
+    * synthetic entry is discarded by [[mergePrepared]]). */
+  private def mergeCommit(cellRebase: Boolean, autoCompact: Boolean,
+      consumed: Seq[String], produced: Seq[String], basedOn: Option[Long],
+      txn: Option[(String, Long)], dvs: Seq[String],
+      cdf: Option[String]): LogEntry =
+    prepareSink.get() match {
+      case Some(sink) =>
+        sink(VersionedTable.PreparedCommit("merge", consumed, produced,
+          basedOn, txn, dvs, cdf, cellRebase, autoCompact))
+        LogEntry(basedOn.map(_ + 1).getOrElse(0L),
+          System.currentTimeMillis(), "merge",
+          history.lastOption.map(_.fileSets).getOrElse(Nil)
+            .diff(consumed) ++ produced, txn, dvs, cdf)
+      case None =>
+        val e =
+          if (cellRebase) commitCellRebase("merge", consumed, produced,
+            basedOn, txn, dvs, cdf)
+          else commit("merge", produced, basedOn, txn, dvs, cdf)
+        if (autoCompact) maybeAutoCompact(e) else e
+    }
+
   private[tables] def commitCellRebase(action: String,
       consumed: Seq[String], produced: Seq[String], basedOn: Option[Long],
       txn: Option[(String, Long)] = None, dvs: Seq[String] = Nil,
@@ -3537,9 +3606,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // the insert-only fast path is the ONE merge shape that accretes
         // (it folds nothing) — property-driven per-cell hygiene applies
         // here, exactly where Delta's auto-compact runs after writes
-        maybeAutoCompact(commitCellRebase("merge", consumed = Nil,
-          produced = adopted, basedOn = rv, txn = txn, dvs = prevDvs,
-          cdf = cdf))
+        mergeCommit(cellRebase = true, autoCompact = true,
+          consumed = Nil, produced = adopted, basedOn = rv, txn = txn,
+          dvs = prevDvs, cdf = cdf)
       } else if (touched.isEmpty && !bySourceAll) {
         // empty update batch, nothing touched (BY SOURCE clauses still
         // take the join path: an empty source deletes/updates rows)
@@ -3547,9 +3616,11 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           if (hasDeletes) deduped.drop(graft.ops.Merge.DeleteCol)
           else if (clauses.isDefined) read.limit(0) // table-shaped, not source
           else deduped
-        commit("merge",
-          if (prev.nonEmpty) prev
-          else writeBucketedFileSets(dedupedData, spec), // schema-bearing empty
+        mergeCommit(cellRebase = false, autoCompact = false,
+          consumed = Nil,
+          produced =
+            if (prev.nonEmpty) prev
+            else writeBucketedFileSets(dedupedData, spec), // schema-bearing empty
           basedOn = rv, txn = txn, dvs = prevDvs,
           cdf = noChanges(dedupedData))
       } else {
@@ -3634,7 +3705,8 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                else Nil)
             writeChangeSet(frames)
           }
-          mlog("commit")(commitCellRebase("merge", consumed = touchedSets,
+          mlog("commit")(mergeCommit(cellRebase = true, autoCompact = false,
+            consumed = touchedSets,
             produced = mlog("join+write+stats")(withStats(writeBucketedFileSets(merged, spec))),
             basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf))
         } finally if (changeFeedEnabled) { lineage.unpersist(); () }
@@ -4413,6 +4485,47 @@ object VersionedTable {
     * `txnAppId`/`txnVersion` idempotence marker: riding IN the entry
     * makes it atomic with the data commit, so "was this batch already
     * applied?" and "what does the table contain?" can never disagree. */
+  /** One staged-but-not-appended merge commit ([[VersionedTable
+    * .mergePrepared]]): everything durable except the log entry. JSON
+    * round-trips so a multi-table intent record can survive a crash
+    * and be rolled forward. */
+  final case class PreparedCommit(action: String, consumed: Seq[String],
+      produced: Seq[String], basedOn: Option[Long],
+      txn: Option[(String, Long)], dvs: Seq[String], cdf: Option[String],
+      cellRebase: Boolean, autoCompact: Boolean) {
+    def toJson: String = {
+      def arr(xs: Seq[String]) =
+        xs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+      val b = basedOn.fold("")(v => s""","basedOn":$v""")
+      val tx = txn.fold("") { case (app, v) =>
+        s""","txnApp":"$app","txnVersion":$v""" }
+      val cd = cdf.fold("")(c => s""","cdf":"$c"""")
+      s"""{"action":"$action","consumed":${arr(consumed)},""" +
+        s""""produced":${arr(produced)}$b$tx,"dvs":${arr(dvs)}$cd,""" +
+        s""""cellRebase":$cellRebase,"autoCompact":$autoCompact}"""
+    }
+  }
+  object PreparedCommit {
+    private val Pattern =
+      ("""\{"action":"([^"]*)","consumed":\[([^\]]*)\],""" +
+        """"produced":\[([^\]]*)\](?:,"basedOn":(\d+))?""" +
+        """(?:,"txnApp":"([^"]*)","txnVersion":(\d+))?,"dvs":\[([^\]]*)\]""" +
+        """(?:,"cdf":"([^"]*)")?,"cellRebase":(true|false),""" +
+        """"autoCompact":(true|false)\}""").r
+    private def arr(s: String): Seq[String] =
+      if (s == null || s.isEmpty) Nil
+      else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    def fromJson(line: String): PreparedCommit = line.trim match {
+      case Pattern(action, consumed, produced, basedOn, app, txv, dvs,
+          cdf, cell, ac) =>
+        PreparedCommit(action, arr(consumed), arr(produced),
+          Option(basedOn).map(_.toLong),
+          Option(app).map(a => (a, txv.toLong)), arr(dvs), Option(cdf),
+          cell.toBoolean, ac.toBoolean)
+      case other => sys.error(s"unparseable PreparedCommit: $other")
+    }
+  }
+
   final case class LogEntry(version: Long, tsMillis: Long, action: String,
                             fileSets: Seq[String],
                             txn: Option[(String, Long)] = None,

@@ -195,6 +195,54 @@ class IncrementalCurationSpec extends SparkSpec {
       "one owner row per content class — no duplicate from the replay")
   }
 
+  test("slice intent is atomic visibility: prepared merges stay invisible " +
+       "without an intent; with one, sync rolls every table forward first") {
+    val (src, ws) = freshSource()
+    src.append((0 to 4).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    val kept = IncrementalCuration.keptTable(spark, ws)
+    val hashes = IncrementalCuration.hashTable(spark, ws)
+    // PREPARE merges into two state tables (staged, COW-joined, files
+    // renamed into place) — and assert NOTHING is visible: no log
+    // entry, no rows. This is the crash-before-intent half of the
+    // protocol: a slice that dies mid-prepare changes no table.
+    val keptV0 = kept.latestVersion.get
+    val hashV0 = hashes.latestVersion.get
+    val pk = kept.mergePrepared(
+      Seq((999L, "synthetic", 1L, 9999L))
+        .toDF("doc_id", "text", "toks", "q4i"),
+      Seq("doc_id"), numBuckets = cfg.numBuckets,
+      txn = Some(("test-intent:k", 1L))).get
+    val ph = hashes.mergePrepared(
+      Seq(("deadbeef", 999L)).toDF("content_hash", "doc_id"),
+      Seq("content_hash"), numBuckets = cfg.numBuckets,
+      txn = Some(("test-intent:h", 1L))).get
+    assert(kept.latestVersion.get === keptV0 &&
+      hashes.latestVersion.get === hashV0,
+      "a prepared merge must not append a log entry")
+    assert(!keptIds(ws).contains(999L), "prepared data must be invisible")
+    // JSON round-trip — the intent record must survive a crash
+    assert(VersionedTable.PreparedCommit.fromJson(pk.toJson) === pk)
+    // crash-after-intent half: record the intent, then sync — recovery
+    // commits BOTH tables before the slice reads any state
+    val intent = java.nio.file.Paths.get(ws, "_slice_intent.json")
+    java.nio.file.Files.createDirectories(intent.getParent)
+    java.nio.file.Files.writeString(intent,
+      s"${kept.root}\t${pk.toJson}\n${hashes.root}\t${ph.toJson}\n")
+    src.append(Seq((50L, doc(9))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws).contains(999L),
+      "roll-forward must commit the prepared kept merge")
+    assert(hashes.read.filter(col("content_hash") === "deadbeef")
+      .count() === 1L, "roll-forward must commit the prepared hashes merge")
+    assert(keptIds(ws).contains(50L), "the slice itself still applies")
+    assert(java.nio.file.Files.notExists(intent), "intent drops after commit")
+    // replayed roll-forward is a no-op (txn markers short-circuit)
+    val keptV1 = kept.latestVersion.get
+    kept.commitPrepared(pk)
+    assert(kept.latestVersion.get === keptV1)
+  }
+
   test("multi-batch append history converges to the batch chain over " +
        "the final corpus") {
     val (src, ws) = freshSource()

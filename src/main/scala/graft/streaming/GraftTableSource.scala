@@ -575,12 +575,22 @@ final class GraftTableSink(root: String, appId: String,
                 .as("__retract"): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          require(delta.filter(col("__retract") === 1).limit(1).isEmpty,
+          // ONE full-consumption probe: both guards in a single pass
+          // that also COMPLETES the persist — limit-style probes abort
+          // partition iterators and void caching, so the merge below
+          // would re-pay the batch aggregation (GraftSql.probeDelta)
+          import org.apache.spark.sql.functions.{coalesce, lit, sum}
+          val guards = delta.agg(
+            coalesce(sum(col("__retract")), lit(0)).as("retract"),
+            coalesce(sum(when(
+              mergeKeys.map(col(_).isNull).reduce(_ || _), 1L)
+              .otherwise(0L)), lit(0L)).as("nullkeys")).head()
+          require(guards.getLong(0) == 0L,
             "graft-table sink: this aggregate spec has min/max or " +
               "approx_count_distinct — those cannot retract, so the " +
               "stream must be insert-only (append-only source); got " +
               "update/delete change rows")
-          require(!graft.tables.GraftSql.hasNullKeys(delta, mergeKeys),
+          require(guards.getLong(1) == 0L,
             "graft-table sink: NULL group key in the aggregate batch — " +
               "NULL keys cannot merge (SQL MERGE: NULL never matches)")
           table.merge(delta.drop("__retract"), mergeKeys,

@@ -78,8 +78,11 @@ object Sketches {
     val touched = feed.select(groupCols.map(col): _*).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (touched.isEmpty) Some(())
-      else if (graft.tables.GraftSql.hasNullKeys(touched, groupCols)) None
+      // one full-consumption probe that also materializes the persist
+      val (nTouched, nNullKeys) =
+        graft.tables.GraftSql.probeDelta(touched, groupCols)
+      if (nTouched == 0L) Some(())
+      else if (nNullKeys > 0L) None
       else {
         val fresh = mkRollup(
           snapshot.join(touched, groupCols, "left_semi"))

@@ -1308,8 +1308,10 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
         try {
           // NULL group values cannot ride the merge (SQL MERGE: NULL
           // never matches, so every refresh would INSERT a fresh NULL
-          // row) — a delta touching the NULL group recomputes instead
-          if (GraftSql.hasNullKeys(delta, groupCols)) { recompute(); "full" }
+          // row) — a delta touching the NULL group recomputes instead.
+          // Full-consumption probe: materializes the persist too.
+          if (GraftSql.probeDelta(delta, groupCols)._2 > 0L) {
+            recompute(); "full" }
           else {
             // txn marker: a crash between this commit and the covered-
             // version bump replays as a metadata no-op, not a double-count
@@ -2950,8 +2952,11 @@ object GraftSql {
     val touched = touchedKeys
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (touched.isEmpty) () // DDL-only slice: nothing moved
-      else if (hasNullKeys(touched, groupCols))
+      // one full-consumption probe: both guards AND the persist
+      // materializes (limit-style probes void caching — [[probeDelta]])
+      val (nTouched, nNullKeys) = probeDelta(touched, groupCols)
+      if (nTouched == 0L) () // DDL-only slice: nothing moved
+      else if (nNullKeys > 0L)
         throw new CdfNotExpressible("group-recompute refresh: NULL " +
           s"value in group column(s) ${groupCols.mkString(",")} — " +
           "NULL keys cannot merge; recomputing")

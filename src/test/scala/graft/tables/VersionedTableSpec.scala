@@ -1416,6 +1416,35 @@ class VersionedTableSpec extends SparkSpec {
       s"expected a mixed classification, got $classified")
   }
 
+  test("an abandoned prepared merge is invisible and vacuum-reclaimable") {
+    val t = VersionedTable(spark, tmpDir("vt-prep-"))
+    t.merge(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    val v0 = t.latestVersion.get
+    // prepare-and-crash: files land under final names, no log entry
+    val pc = t.mergePrepared(Seq((2, "B"), (3, "c")).toDF("k", "v"),
+      Seq("k"), numBuckets = 2, txn = Some(("prep-test", 1L))).get
+    assert(t.latestVersion.get === v0)
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b")), "prepared data must be invisible")
+    // the orphaned file-sets reclaim once past the staging grace window
+    // (they are tracked by NO committed version)
+    val dataDir = java.nio.file.Paths.get(t.root, "data")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - VersionedTable.StagingGraceMillis - 60000)
+    java.nio.file.Files.list(dataDir).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p, old); () }
+    val preview = t.vacuumDryRun(retainVersions = 1).toSet
+    assert(pc.produced.forall(fs => preview.contains(s"data/$fs")),
+      s"abandoned prepared sets must be reclaimable: $preview")
+    // committing the prepared entry WOULD have applied it — on a fresh
+    // prepare (this one's files were just aged for the vacuum check)
+    val pc2 = t.mergePrepared(Seq((4, "d")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, txn = Some(("prep-test2", 1L))).get
+    t.commitPrepared(pc2)
+    assert(t.read.as[(Int, String)].collect().toSet ===
+      Set((1, "a"), (2, "b"), (4, "d")))
+  }
+
   test("change feed bootstraps from a populated clone (inserts, DVs applied)") {
     val src = VersionedTable(spark, tmpDir("vt-clonecdf-src-"))
     src.enableChangeFeed()

@@ -206,17 +206,47 @@ object IncrementalCuration {
 
   /** Complete a crash-interrupted slice: append every prepared entry
     * (idempotent — replayed txn markers short-circuit), then drop the
-    * intent. Runs at [[sync]] entry, BEFORE any state is read. */
+    * intent. Runs at [[sync]] entry, BEFORE any state is read.
+    *
+    * If ANY prepared file-set has vanished (an operator ran VACUUM
+    * during an outage longer than the staging grace window — orphaned
+    * prepared files are untracked and age out), the intent is
+    * ABANDONED whole: no table commits, the intent drops, and the
+    * slice replays from the unadvanced consumer position. Committing
+    * the survivors would break the all-or-none contract AND point log
+    * entries at deleted data. Tables whose marker already carries the
+    * slice are fine either way (their files are tracked and
+    * vacuum-protected). */
   private def rollForwardIntent(spark: SparkSession, root: String): Unit = {
     val p = intentPath(root)
+    // a crash between the intent's tmp write and its atomic move can
+    // strand a `.intent-*` sibling — pre-commit-point by definition,
+    // never read; sweep it
+    val dir = p.getParent
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().forEachRemaining { f =>
+        if (f.getFileName.toString.startsWith(".intent-")) {
+          java.nio.file.Files.deleteIfExists(f); ()
+        }
+      } finally s.close()
+    }
     if (!java.nio.file.Files.exists(p)) return
-    java.nio.file.Files.readString(p).linesIterator
-      .filter(_.trim.nonEmpty).foreach { line =>
+    val entries = java.nio.file.Files.readString(p).linesIterator
+      .filter(_.trim.nonEmpty).map { line =>
         val i = line.indexOf('\t')
-        val pc = VersionedTable.PreparedCommit.fromJson(line.substring(i + 1))
-        VersionedTable(spark, line.substring(0, i)).commitPrepared(pc)
-        ()
-      }
+        (VersionedTable(spark, line.substring(0, i)),
+          VersionedTable.PreparedCommit.fromJson(line.substring(i + 1)))
+      }.toSeq
+    val intact = entries.forall { case (t, pc) =>
+      // already committed (marker present) counts as intact; otherwise
+      // every produced data file-set must still exist on disk
+      pc.txn.exists { case (app, v) =>
+        t.lastTxnVersion(app).exists(_ >= v) } ||
+        pc.produced.forall(fs => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(t.root, "data", fs)))
+    }
+    if (intact) entries.foreach { case (t, pc) => t.commitPrepared(pc); () }
     java.nio.file.Files.delete(p)
     ()
   }

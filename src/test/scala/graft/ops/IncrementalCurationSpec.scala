@@ -243,6 +243,43 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(kept.latestVersion.get === keptV1)
   }
 
+  test("an intent whose prepared files were vacuumed away is abandoned " +
+       "whole — no table commits, the slice replays") {
+    val (src, ws) = freshSource()
+    src.append((0 to 3).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    val kept = IncrementalCuration.keptTable(spark, ws)
+    val pk = kept.mergePrepared(
+      Seq((999L, "synthetic", 1L, 9999L))
+        .toDF("doc_id", "text", "toks", "q4i"),
+      Seq("doc_id"), numBuckets = cfg.numBuckets,
+      txn = Some(("test-intent:k", 1L))).get
+    // simulate VACUUM during a long outage: the orphaned prepared
+    // file-sets age out and are reclaimed before recovery runs
+    pk.produced.foreach { fs =>
+      val p = java.nio.file.Paths.get(kept.root, "data", fs)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally s.close()
+      } else java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    val intent = java.nio.file.Paths.get(ws, "_slice_intent.json")
+    java.nio.file.Files.writeString(intent, s"${kept.root}\t${pk.toJson}\n")
+    val keptV = kept.latestVersion.get
+    src.append(Seq((60L, doc(8))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(!keptIds(ws).contains(999L),
+      "an intent with vanished files must not commit any entry")
+    assert(keptIds(ws).contains(60L), "the live slice still applies")
+    assert(java.nio.file.Files.notExists(intent), "the dead intent drops")
+    assert(kept.history.forall(e => e.version <= keptV ||
+      !e.txn.exists(_._1 == "test-intent:k")),
+      "no log entry may reference the vacuumed file-sets")
+  }
+
   test("multi-batch append history converges to the batch chain over " +
        "the final corpus") {
     val (src, ws) = freshSource()

@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   * measure the queries, not JVM/session initialization (standard
   * power-run methodology). */
 object Bench {
+
+  /** The committed reference for the calibration-normalized channel:
+    * the calibration-sample MEDIAN of the round-15 published baseline
+    * run (BENCH_LATEST.json as of r15, 20 samples, median 0.2361s on a
+    * quiet host). Normalized numbers divide by (run median / this), so
+    * a run on a 40%-slower host reads ~flat instead of ~1.4×. Fixed by
+    * design — re-deriving it from the (overwritable) BENCH_LATEST
+    * would let the reference drift with every publish. */
+  val ReferenceCalibrationSec: Double = 0.2361
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -235,8 +245,25 @@ object Bench {
       .mkString("[", ",", "]")
     val rowsMap = tableRows
       .map { case (t, n) => s"\"" + t + "\":" + n }.mkString("{", ",", "}")
+    // Calibration-normalized channel: this host swings ±30-60% across
+    // days, which swamps 10-50% code effects in cross-day comparisons.
+    // Every artifact therefore also publishes its numbers divided by
+    // (this run's calibration median / the committed reference
+    // calibration) — a first-order host-speed correction that turns
+    // "1.41× the baseline" into "~1.04× once the host is accounted
+    // for" WITHOUT hand analysis. It is a correction, not a substitute:
+    // same-host interleaved A/B (graft.BenchAB) remains the
+    // adjudication protocol for specific regressions.
+    val sorted = calibrationSamples.sorted
+    val calMedian = sorted(sorted.length / 2)
+    val calRatio = calMedian / ReferenceCalibrationSec
+    def norm(v: Double): Double = if (v < 0 || calRatio <= 0) v else v / calRatio
+    val totalNorm = norm(total)
+    val qsNorm = results.map { case (k, (v, _, _, _, _)) =>
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+        Double.box(norm(v))) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"stream_batches":$batchNQs,"stream_batch_sec":$batchSecQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_samples":$calArr,"table_rows":$rowsMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.length},"queries":$qs,"task_time_sec":$taskQs,"cpu_time_sec":$cpuQs,"stream_batches":$batchNQs,"stream_batch_sec":$batchSecQs,"errors":$errs,"calibration_sec":$calibration,"calibration_max_sec":${calibrationSamples.max},"calibration_median_sec":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(calMedian))},"calibration_ref_sec":$ReferenceCalibrationSec,"calibration_ratio":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(calRatio))},"value_normalized":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(totalNorm))},"queries_normalized":$qsNorm,"calibration_samples":$calArr,"table_rows":$rowsMap,"sf":"$sfDir"}"""
     println(line)
     // The committed BENCH_LATEST.json is a published artifact: only a run
     // that explicitly opts in (SPARK_GRAFT_PUBLISH=1) may overwrite it —

@@ -232,19 +232,42 @@ object IncrementalCuration {
       } finally s.close()
     }
     if (!java.nio.file.Files.exists(p)) return
-    val entries = java.nio.file.Files.readString(p).linesIterator
-      .filter(_.trim.nonEmpty).map { line =>
-        val i = line.indexOf('\t')
-        (VersionedTable(spark, line.substring(0, i)),
-          VersionedTable.PreparedCommit.fromJson(line.substring(i + 1)))
-      }.toSeq
+    // An unparseable intent (torn write, hand-edited file, a line from
+    // a future format) must ABANDON, not wedge every subsequent sync:
+    // abandoning is always safe — prepared files are untracked (vacuum
+    // reclaims them) and the consumer position never advanced, so the
+    // slice simply replays whole.
+    val parsed = scala.util.Try {
+      java.nio.file.Files.readString(p).linesIterator
+        .filter(_.trim.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          require(i > 0, s"no tab separator in intent line: $line")
+          (VersionedTable(spark, line.substring(0, i)),
+            VersionedTable.PreparedCommit.fromJson(line.substring(i + 1)))
+        }.toSeq
+    }
+    val entries = parsed.getOrElse {
+      java.nio.file.Files.delete(p)
+      return
+    }
     val intact = entries.forall { case (t, pc) =>
       // already committed (marker present) counts as intact; otherwise
-      // every produced data file-set must still exist on disk
+      // EVERYTHING the log entry would reference must still exist on
+      // disk — produced data file-sets, but also the prepared cdf
+      // change set and any DV files. A vacuum during the outage can
+      // reclaim any of them (all are untracked, merely age-gated), and
+      // committing an entry that points at a deleted cdf/dv file would
+      // dangle for change-feed readers — the exact contract this
+      // recovery exists to uphold.
       pc.txn.exists { case (app, v) =>
-        t.lastTxnVersion(app).exists(_ >= v) } ||
+        t.lastTxnVersion(app).exists(_ >= v) } || {
         pc.produced.forall(fs => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(t.root, "data", fs)))
+          java.nio.file.Paths.get(t.root, "data", fs))) &&
+        pc.cdf.forall(c => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(t.root, "_changes", c))) &&
+        pc.dvs.forall(d => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(t.root, "_dv", d)))
+      }
     }
     if (intact) entries.foreach { case (t, pc) => t.commitPrepared(pc); () }
     java.nio.file.Files.delete(p)

@@ -83,6 +83,15 @@ object JoinMv {
   val EpochProp = "graft.mv.join.epoch"
   private val TxnApp = "graft-mvjoin:"
 
+  /** Row bound for explicitly broadcasting a dim's CDF change slice in
+    * the per-side maintenance join. The slice is O(churned dim rows)
+    * and Catalyst has no stats for it, so a hint is normally right —
+    * but a full-dim rewrite churns everything, and above this bound the
+    * maintenance join falls back to a shuffle rather than risking the
+    * 8GB-broadcast / driver-memory ceiling. 1M rows of a typical dim
+    * (≤1KB/row) stays well under the default executor/driver budgets. */
+  private[graft] val BroadcastSliceRowCap = 1000000
+
   /** One dim side of a definition: table + this join's key pairs +
     * an optional row filter (SQL over the dim's columns — the SCD2
     * `is_current` current-view hook). */
@@ -435,14 +444,22 @@ object JoinMv {
             // stats for it and (measured, ProfScd2) picks the FACT as
             // the broadcast side — 150k rows built and fetched per task
             // where the churned-dim slice is 50× smaller. The slice is
-            // O(churned dim rows), the same bound the star schema
-            // already assumes makes a dim broadcastable.
+            // USUALLY O(churned dim rows) — but a full-dim rewrite /
+            // backfill churns every row, so the hint is GATED on a
+            // bounded row probe (limit stops the probe early): above
+            // the cap the join degrades to the slower-but-safe shuffle
+            // instead of an 8GB-broadcast / driver-memory failure.
+            val feedFits = feed
+              .limit(JoinMv.BroadcastSliceRowCap + 1).count() <=
+              JoinMv.BroadcastSliceRowCap
             GraftSql.applyCdfDelta(mv,
               joinAll(factForDimSlice(i, feed),
                 d.dims.indices.map { j =>
-                  (if (j == i)
-                    org.apache.spark.sql.functions.broadcast(feed)
-                  else dimAt(j, pins(j)),
+                  (if (j == i) {
+                    if (feedFits)
+                      org.apache.spark.sql.functions.broadcast(feed)
+                    else feed
+                  } else dimAt(j, pins(j)),
                     d.dims(j).keys)
                 }),
               d.groupCols, d.aggs, txn = Some((dimApp(i), dimHeads(i))))

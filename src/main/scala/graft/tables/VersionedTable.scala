@@ -4064,12 +4064,23 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
 
   /** Record (or advance) consumer `name`'s retention floor. Unlike
     * tags, pins RE-POINT: every refresh/batch moves its consumer's
-    * floor forward, releasing history behind it to vacuum. A no-op
-    * when the pin already sits at `version` (hot paths call this per
-    * slice/batch and must not churn small files). */
+    * floor forward, releasing history behind it to vacuum. A
+    * same-version call is USUALLY a no-op (hot paths call this per
+    * slice/batch and must not churn small files) — but the pin's
+    * timestamp is its liveness signal for `FORCE EXPIRE PINS`, and a
+    * perfectly live consumer over a quiescent upstream legitimately
+    * sits at one version for hours. So a same-version call DOES
+    * refresh the timestamp once it is older than
+    * [[VersionedTable.PinHeartbeatMillis]]: age then means "last
+    * confirmed alive", not "last advanced", at a bounded one write per
+    * heartbeat interval per consumer. */
   def setPin(name: String, version: Long): Unit = {
-    if (pinsDetail.get(name).exists(_._1 == version)) return
-    setPinAt(name, version, System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    pinsDetail.get(name) match {
+      case Some((v, ts)) if v == version &&
+          now - ts < VersionedTable.PinHeartbeatMillis => ()
+      case _ => setPinAt(name, version, now)
+    }
   }
 
   /** [[setPin]] with an EXPLICIT last-advanced timestamp — the backfill
@@ -4092,8 +4103,10 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   /** `VACUUM … FORCE EXPIRE PINS OLDER THAN`: drop every consumer pin
     * whose floor has not advanced for more than `olderThanMillis`. The
     * operator override for DEAD consumers — a live incremental consumer
-    * re-points its pin every refresh/batch, so a floor unmoved for the
-    * stated interval is an abandoned checkpoint holding the table's
+    * re-points its pin every refresh/batch AND heartbeats its timestamp
+    * on same-version calls ([[setPin]]), so a timestamp unmoved for the
+    * stated interval means "not confirmed alive", not merely "floor
+    * didn't advance": an abandoned checkpoint holding the table's
     * retention suffix (and at warehouse scale, its storage) hostage.
     * Explicit and LOUD: commits a metadata-only `expire_pins` history
     * entry so the expiry stays auditable in DESCRIBE HISTORY after the
@@ -4111,10 +4124,14 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       .filter { case (_, (_, ts)) => now - ts > olderThanMillis }
       .sortBy(_._1)
     if (stale.isEmpty) return Nil
-    stale.foreach { case (n, _) => dropPin(n) }
+    // Audit BEFORE destruction: if the commit loses the version slot to
+    // a concurrent writer and throws, the pins are still intact and the
+    // statement can simply be retried — never "pins destroyed with no
+    // history record and the statement errored anyway".
     history.lastOption.foreach(s =>
       commit("expire_pins", s.fileSets, basedOn = Some(s.version),
         dvs = s.dvs))
+    stale.foreach { case (n, _) => dropPin(n) }
     stale.map { case (n, (v, ts)) => (n, v, now - ts) }
   }
 
@@ -4309,6 +4326,13 @@ object VersionedTable {
   private val TagJson = """\{"name":"([^"]+)","v":(\d+)\}""".r
   private val PinJson = """\{"name":"([^"]+)","v":(\d+),"ts":(\d+)\}""".r
 
+  /** How often a same-version [[setPin]] rewrites its pin file purely to
+    * refresh the liveness timestamp (see [[setPin]]'s doc). One minute
+    * bounds small-file churn for a per-batch streaming consumer while
+    * keeping `FORCE EXPIRE PINS OLDER THAN` (whose sane bounds are
+    * hours-to-days) safe for live-but-quiescent consumers. */
+  private[graft] val PinHeartbeatMillis: Long = 60_000L
+
   /** Widenings where every value of the narrow type is exactly
     * representable in the wide one (so pre-DDL arms stay faithful). */
   private val LosslessWidenings: Set[(org.apache.spark.sql.types.DataType,
@@ -4494,33 +4518,75 @@ object VersionedTable {
       txn: Option[(String, Long)], dvs: Seq[String], cdf: Option[String],
       cellRebase: Boolean, autoCompact: Boolean) {
     def toJson: String = {
+      import PreparedCommit.esc
       def arr(xs: Seq[String]) =
-        xs.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+        xs.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
       val b = basedOn.fold("")(v => s""","basedOn":$v""")
       val tx = txn.fold("") { case (app, v) =>
-        s""","txnApp":"$app","txnVersion":$v""" }
-      val cd = cdf.fold("")(c => s""","cdf":"$c"""")
-      s"""{"action":"$action","consumed":${arr(consumed)},""" +
+        s""","txnApp":"${esc(app)}","txnVersion":$v""" }
+      val cd = cdf.fold("")(c => s""","cdf":"${esc(c)}"""")
+      s"""{"action":"${esc(action)}","consumed":${arr(consumed)},""" +
         s""""produced":${arr(produced)}$b$tx,"dvs":${arr(dvs)}$cd,""" +
         s""""cellRebase":$cellRebase,"autoCompact":$autoCompact}"""
     }
   }
   object PreparedCommit {
+    // mergePrepared is public API: a caller-supplied txn appId (or a
+    // table root) may contain quotes, commas, backslashes — anything.
+    // toJson escapes per JSON; fromJson's string pattern is
+    // escape-aware, so round-trips are lossless and an intent line can
+    // never be rendered unparseable by its own writer.
+    private[tables] def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    private def unesc(s: String): String = {
+      val b = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"'  => b += '"';  i += 2
+            case '\\' => b += '\\'; i += 2
+            case 'n'  => b += '\n'; i += 2
+            case 'r'  => b += '\r'; i += 2
+            case 't'  => b += '\t'; i += 2
+            case 'u' if i + 5 < s.length =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case o => b += o; i += 2
+          }
+        } else { b += c; i += 1 }
+      }
+      b.result()
+    }
+    // a JSON string body: any run of non-quote/non-backslash chars or
+    // backslash-escaped pairs — raw commas and escaped quotes included
+    private val Str = """(?:[^"\\]|\\.)*"""
+    private val Elem = ("\"(" + Str + ")\"").r
     private val Pattern =
-      ("""\{"action":"([^"]*)","consumed":\[([^\]]*)\],""" +
+      ("""\{"action":"(""" + Str + """)","consumed":\[([^\]]*)\],""" +
         """"produced":\[([^\]]*)\](?:,"basedOn":(\d+))?""" +
-        """(?:,"txnApp":"([^"]*)","txnVersion":(\d+))?,"dvs":\[([^\]]*)\]""" +
-        """(?:,"cdf":"([^"]*)")?,"cellRebase":(true|false),""" +
+        """(?:,"txnApp":"(""" + Str + """)","txnVersion":(\d+))?""" +
+        ""","dvs":\[([^\]]*)\]""" +
+        """(?:,"cdf":"(""" + Str + """)")?,"cellRebase":(true|false),""" +
         """"autoCompact":(true|false)\}""").r
     private def arr(s: String): Seq[String] =
       if (s == null || s.isEmpty) Nil
-      else s.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      else Elem.findAllMatchIn(s).map(m => unesc(m.group(1))).toSeq
     def fromJson(line: String): PreparedCommit = line.trim match {
       case Pattern(action, consumed, produced, basedOn, app, txv, dvs,
           cdf, cell, ac) =>
-        PreparedCommit(action, arr(consumed), arr(produced),
+        PreparedCommit(unesc(action), arr(consumed), arr(produced),
           Option(basedOn).map(_.toLong),
-          Option(app).map(a => (a, txv.toLong)), arr(dvs), Option(cdf),
+          Option(app).map(a => (unesc(a), txv.toLong)), arr(dvs),
+          Option(cdf).map(unesc),
           cell.toBoolean, ac.toBoolean)
       case other => sys.error(s"unparseable PreparedCommit: $other")
     }

@@ -280,6 +280,59 @@ class IncrementalCurationSpec extends SparkSpec {
       "no log entry may reference the vacuumed file-sets")
   }
 
+  test("intact means EVERYTHING the entry would reference: a vacuumed " +
+       "cdf change set abandons the intent even when data sets survive") {
+    val (src, ws) = freshSource()
+    src.append((0 to 3).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    val kept = IncrementalCuration.keptTable(spark, ws)
+    kept.enableChangeFeed()
+    val pk = kept.mergePrepared(
+      Seq((999L, "synthetic", 1L, 9999L))
+        .toDF("doc_id", "text", "toks", "q4i"),
+      Seq("doc_id"), numBuckets = cfg.numBuckets,
+      txn = Some(("test-intent:k", 1L))).get
+    assert(pk.cdf.isDefined, "CDF-enabled merge must stage a change set")
+    // vacuum reclaimed ONLY the orphaned change set (untracked and
+    // age-gated, like the data sets — but a different directory)
+    VersionedTable.deleteRecursively(
+      java.nio.file.Paths.get(kept.root, "_changes", pk.cdf.get))
+    val intent = java.nio.file.Paths.get(ws, "_slice_intent.json")
+    java.nio.file.Files.writeString(intent, s"${kept.root}\t${pk.toJson}\n")
+    src.append(Seq((70L, doc(8))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(!keptIds(ws).contains(999L),
+      "committing would point the log at a deleted change set")
+    assert(keptIds(ws).contains(70L), "the live slice still applies")
+    assert(java.nio.file.Files.notExists(intent))
+  }
+
+  test("prepared-commit JSON survives hostile txn appIds, and an " +
+       "unparseable intent is abandoned instead of wedging sync") {
+    // quotes, commas, backslashes, newlines — mergePrepared is public
+    // API; the intent line must round-trip whatever the caller names
+    val hostile = "app\"with,comma\\and\nnewline\tandctl"
+    val pc = VersionedTable.PreparedCommit(
+      action = "merge", consumed = Seq("a,b", "c\"d"),
+      produced = Seq("e\\f"), basedOn = Some(3L),
+      txn = Some((hostile, 7L)), dvs = Seq("x,y\"z"),
+      cdf = Some("c-1,\"2"), cellRebase = false, autoCompact = true)
+    assert(VersionedTable.PreparedCommit.fromJson(pc.toJson) === pc)
+    assert(!pc.toJson.contains('\n'), "intent lines are newline-framed")
+    // a torn/garbage intent from any source must not wedge every sync
+    val (src, ws) = freshSource()
+    src.append((0 to 2).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    val intent = java.nio.file.Paths.get(ws, "_slice_intent.json")
+    java.nio.file.Files.writeString(intent,
+      "/no/such/table\t{this is not json\n")
+    src.append(Seq((80L, doc(9))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws).contains(80L),
+      "sync must proceed past an unparseable intent")
+    assert(java.nio.file.Files.notExists(intent), "the garbage intent drops")
+  }
+
   test("multi-batch append history converges to the batch chain over " +
        "the final corpus") {
     val (src, ws) = freshSource()

@@ -2179,6 +2179,33 @@ class VersionedTableSpec extends SparkSpec {
       Seq((0, "v0"), (1, "v1"), (2, "v2")))
   }
 
+  test("pin liveness heartbeat: a same-version setPin refreshes a stale " +
+       "timestamp (age = last confirmed alive), fresh ones don't churn") {
+    val t = VersionedTable(spark, tmpDir("graft-pinhb-"))
+    t.append(Seq((1, "a")).toDF("k", "v"))                        // v0
+    // a live consumer over a QUIESCENT upstream: floor stays at v0 for
+    // hours, but its per-batch setPin calls must keep it expiry-safe
+    val stale = System.currentTimeMillis() - 2 * 3600 * 1000L
+    t.setPinAt("mv:/consumers/q", 0L, stale)
+    t.setPin("mv:/consumers/q", 0L)                     // per-batch touch
+    val refreshed = t.pinsDetail("mv:/consumers/q")._2
+    assert(refreshed > stale, "stale same-version setPin must heartbeat")
+    assert(t.expirePins(3600 * 1000L) === Nil,
+      "a heartbeating consumer must survive FORCE EXPIRE")
+    // within the heartbeat interval: same-version calls stay no-ops
+    // (hot paths call this per slice and must not churn small files)
+    t.setPin("mv:/consumers/q", 0L)
+    assert(t.pinsDetail("mv:/consumers/q")._2 === refreshed)
+    // the expiry audit lands BEFORE destruction: after a successful
+    // expire the entry exists AND the pin is gone; nothing destroys a
+    // pin without its history record landing first
+    t.setPinAt("mv:/consumers/dead", 0L, stale)
+    val expired = t.expirePins(3600 * 1000L)
+    assert(expired.map(_._1) === Seq("mv:/consumers/dead"))
+    assert(t.history.last.action === "expire_pins")
+    assert(!t.pins.contains("mv:/consumers/dead"))
+  }
+
   test("concurrent pin claims never corrupt the registry: per-pin files " +
        "make simultaneous consumers independent") {
     val t = VersionedTable(spark, tmpDir("graft-pinrace-"))

@@ -272,6 +272,58 @@ object ScaleBench {
       (f, nDim, changed, bootSec, syncSec)
     }
 
+    // ------------------ family 8: SCD2 all-sides-churn join-MV refresh
+    // The q_sql_mv_scd2 shape reduced to its maintenance slice: an MV
+    // over fact ⋈ current-version dim (SCD2 `is_current` filter), where
+    // ONE refresh absorbs churn on BOTH sides — 100 customers
+    // re-segmented (each closing its current version AND opening a new
+    // one: a retract + an insert in the filtered dim's signed delta)
+    // plus 100 fact-row updates — against a fact grown 1× → 10×. The
+    // dim slice's fact read is bucket-pruned to the churned keys'
+    // buckets and the fact slice is a signed CDF delta, so per-churned-
+    // row cost must stay flat; the mode is asserted cdf* — a silent
+    // recompute would fake flat at 1× and grow with the fact. This
+    // family makes commit 0342be1's "maintenance cut" claim a
+    // REGENERABLE measurement instead of a commit-message narrative.
+    val scd2 = factors.map { f =>
+      val root = Files.createTempDirectory(s"graft-scale-scd$f-").toString
+      val nCust = 50000L * f // keyed fact: one row per customer, like family 4
+      val fact = VersionedTable(spark, s"$root/fact")
+      val dim = VersionedTable(spark, s"$root/dim")
+      val mv = VersionedTable(spark, s"$root/mv")
+      fact.enableChangeFeed(); dim.enableChangeFeed()
+      fact.merge(spark.range(nCust).select(col("id").as("ck"),
+        (col("id") % 997L).as("p")), Seq("ck"), numBuckets = 256)
+      val cust = spark.range(nCust).select(col("id").as("ck"),
+        concat(lit("seg"), col("id") % 37L).as("seg"))
+      graft.ops.Scd2.applyBatchToTable(dim, cust, keys = Seq("ck"),
+        tracked = Seq("seg"), batchTs = lit("2026-01-01 00:00:00"))
+      val (_, buildSec) = timed(graft.plans.JoinMv.create(fact,
+        Seq(graft.plans.JoinMv.DimSide(dim, Seq(("ck", "ck")),
+          Some("is_current"))),
+        Seq("seg"), Seq(
+          graft.plans.MvRewrite.AggSpec("sum", "p", "sum_p"),
+          graft.plans.MvRewrite.AggSpec("count", "p", "cnt_p"),
+          graft.plans.MvRewrite.AggSpec("count", "*", "cnt")), mv))
+      // all-sides churn in ONE refresh: 100 dims re-version (close +
+      // reopen under the is_current filter) + 100 fact rows move value
+      graft.ops.Scd2.applyBatchToTable(dim,
+        cust.withColumn("seg", when(col("ck") < 100L,
+          lit("PROMOTED")).otherwise(col("seg"))),
+        keys = Seq("ck"), tracked = Seq("seg"),
+        batchTs = lit("2026-02-01 00:00:00"))
+      fact.update(Map("p" -> lit(-1L)),
+        col("ck") >= 100L && col("ck") < 200L)
+      val changed = 200
+      val (mode, syncSec) = timed(graft.plans.JoinMv.refresh(spark, mv))
+      require(mode.startsWith("cdf"),
+        s"scd2 join-MV churn slice degraded to '$mode' at factor $f — " +
+          "the measurement would not be exercising the incremental path")
+      graft.plans.MvRewrite.deregister(mv)
+      VersionedTable.deleteRecursively(Paths.get(root))
+      (f, nCust, changed, buildSec, syncSec)
+    }
+
     // -------------------------- skew A/B: hot-bucket merge batches
     // Same 500k-row 32-bucket table, same 4000-row update batch — once
     // spread uniformly across buckets, once with EVERY key hashing to
@@ -322,6 +374,7 @@ object ScaleBench {
         s""""sink_trigger":${familyJson(sinkTrigger, "bootstrap")},""" +
         s""""sketch_mv_refresh":${familyJson(sketchMv, "build")},""" +
         s""""star_rollup_trigger":${familyJson(starStream, "bootstrap")},""" +
+        s""""scd2_churn_refresh":${familyJson(scd2, "build")},""" +
         s""""skewed_merge":[""" + skew.map { case (tag, sec, cells) =>
           f"""{"dist":"$tag","merge_sec":$sec%.2f,"file_sets":$cells}"""
         }.mkString(",") +

@@ -1818,6 +1818,35 @@ object SparkEntry {
         .orderBy("fixture_id")
     }),
 
+    // ST3 TTL form (event-time timeout): the bounded-state variant of
+    // q_st4. One availableNow drain over a SINGLE-FILE landing dir →
+    // one data batch, during which the watermark is still 0, so every
+    // fixture emits exactly one running row; the trailing no-data
+    // micro-batch then advances the watermark to the stream's max
+    // event time and fires expiry for every fixture whose armed
+    // timeout (last event + TTL, in ms) is STRICTLY below it — each
+    // emits one closing `is_final` row and frees its state slot.
+    // Strict-< and ms flooring mirror Spark's
+    // InputProcessor.processTimedOutState + EventTimeStats, so the
+    // DuckDB oracle replays the expiry cutoff exactly. 6h TTL over the
+    // 30-day events corpus expires most-but-not-all fixtures (both
+    // lifecycle classes present at every SF).
+    "q_st17_ttl_state" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft-ttl-").toString
+      eventsAsLiveEvents(s, dir)
+        .filter(col("event_key").cast("long") % 11 === 0)
+        .drop("updated_at").coalesce(1).write.json(s"$tmp/landing")
+      val out = VersionedTable(s, s"$tmp/state")
+      withStatePartitions(s, 4) {
+        graft.streaming.LiveEvents.runFixtureStateTtlAvailableNow(
+          s, s"$tmp/landing", s"$tmp/cp", out, ttlMillis = 21600000L)
+      }
+      out.read.select(col("fixture_id"), col("n_events"),
+          unix_millis(col("last_event_ts")).as("last_ts_ms"),
+          col("last_event_type"), col("is_final"))
+        .orderBy("fixture_id", "is_final")
+    }),
+
     // ST4: watermarked tumbling-window streaming aggregation over an
     // availableNow drain — equals the batch window expression, which the
     // DuckDB oracle replicates with date_trunc.
@@ -6939,6 +6968,28 @@ object SparkEntry {
         |          ORDER BY ts DESC, CAST(event_id AS VARCHAR) ASC) AS rn
         | FROM events WHERE event_id % 9 = 0)
         |WHERE rn = 1 ORDER BY fixture_id""".stripMargin,
+
+    "q_st17_ttl_state" ->
+      """WITH e AS (SELECT * FROM events WHERE event_id % 11 = 0),
+        |base AS (
+        |  SELECT CAST(user_id % 100 AS VARCHAR) AS fixture_id,
+        |         CAST(count(*) OVER (PARTITION BY user_id % 100) AS BIGINT) AS n_events,
+        |         epoch_ms(ts) AS last_ts_ms,
+        |         event_type AS last_event_type,
+        |         row_number() OVER (PARTITION BY user_id % 100
+        |           ORDER BY ts DESC, CAST(event_id AS VARCHAR) ASC) AS rn
+        |  FROM e),
+        |last AS (SELECT fixture_id, n_events, last_ts_ms, last_event_type
+        |         FROM base WHERE rn = 1),
+        |mx AS (SELECT max(epoch_ms(ts)) AS mts FROM e)
+        |SELECT fixture_id, n_events, last_ts_ms, last_event_type,
+        |       FALSE AS is_final
+        |FROM last
+        |UNION ALL
+        |SELECT l.fixture_id, l.n_events, l.last_ts_ms, l.last_event_type,
+        |       TRUE AS is_final
+        |FROM last l, mx WHERE l.last_ts_ms + 21600000 < mts
+        |ORDER BY fixture_id, is_final""".stripMargin,
 
     "q_st5_windowed_counts" ->
       """SELECT CAST(user_id % 100 AS VARCHAR) AS fixture_id,

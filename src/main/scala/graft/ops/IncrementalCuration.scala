@@ -68,7 +68,7 @@ object IncrementalCuration {
 
   private[ops] def hashTable(spark: SparkSession, root: String) =
     VersionedTable(spark, s"$root/hashes")
-  private def bandTable(spark: SparkSession, root: String) =
+  private[ops] def bandTable(spark: SparkSession, root: String) =
     VersionedTable(spark, s"$root/bands")
 
   /** The per-doc banded LSH rows of `df` (doc_id, band_idx, band_hash) —
@@ -204,6 +204,17 @@ object IncrementalCuration {
   private def intentPath(root: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "_slice_intent.json")
 
+  /** Crash-injection seam: invoked at EVERY phase boundary of the slice
+    * commit protocol (prepare per table, intent tmp write, intent
+    * atomic move, each per-table log append, intent drop). A spec swaps
+    * in a hook that throws at a chosen boundary to simulate a crash
+    * exactly there; production leaves it None — one volatile read per
+    * boundary. Volatile, not ThreadLocal: the prepare boundaries fire
+    * on [[inParallel]]'s child threads. */
+  @volatile private[graft] var crashHook: Option[String => Unit] = None
+  @inline private def crashPoint(name: String): Unit =
+    crashHook.foreach(_(name))
+
   /** Complete a crash-interrupted slice: append every prepared entry
     * (idempotent — replayed txn markers short-circuit), then drop the
     * intent. Runs at [[sync]] entry, BEFORE any state is read.
@@ -285,11 +296,17 @@ object IncrementalCuration {
     java.nio.file.Files.writeString(tmp,
       todo.map { case (t, pc) => s"${t.root}\t${pc.toJson}" }
         .mkString("", "\n", "\n"))
+    crashPoint("intent:tmp")
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    todo.foreach { case (t, pc) => t.commitPrepared(pc); () }
+    crashPoint("intent:moved")
+    todo.zipWithIndex.foreach { case ((t, pc), i) =>
+      t.commitPrepared(pc)
+      crashPoint(s"commit:$i")
+    }
     java.nio.file.Files.delete(p)
+    crashPoint("intent:dropped")
     ()
   }
 
@@ -561,9 +578,11 @@ object IncrementalCuration {
                       allowMissingColumns = true))
                 val tbl = if (label == "kept") kept
                   else if (label == "hashes") hashes else bands
-                (tbl, tlog(s"prepare $label")(
+                val pc = tlog(s"prepare $label")(
                   tbl.mergePrepared(batch, keys, numBuckets = cfg.numBuckets,
-                    txn = Some((appId + ":" + label.head, hi)))))
+                    txn = Some((appId + ":" + label.head, hi))))
+                crashPoint(s"prepare:$label")
+                (tbl, pc)
               }
               // the three merges are INDEPENDENT tables fed exclusively
               // by checkpointed (or state-table) relations — PREPARE

@@ -333,6 +333,78 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(java.nio.file.Files.notExists(intent), "the garbage intent drops")
   }
 
+  test("crash-point matrix: a kill at EVERY slice-protocol phase " +
+       "boundary replays to the control state; vacuum reclaims all " +
+       "orphans without touching the converged snapshot") {
+    // the FULL boundary set of the protocol: three concurrent prepares,
+    // intent tmp write, intent atomic move, each per-table log append,
+    // intent drop (the last = crash before the consumer position
+    // commits). Seeded shuffle so the iteration order can't encode a
+    // hidden dependency between boundaries.
+    val boundaries = new scala.util.Random(20250816L).shuffle(Seq(
+      "prepare:kept", "prepare:hashes", "prepare:bands",
+      "intent:tmp", "intent:moved",
+      "commit:0", "commit:1", "commit:2", "intent:dropped"))
+    // batch B exercises every state shape in ONE slice: a cross-batch
+    // exact dup, a near dup, fresh docs, and a deleted source doc
+    // (purge tombstones riding the same prepared merges)
+    val batchA = (0 to 5).map(i => (i.toLong, doc(i)))
+    val batchB = Seq((200L, doc(0)), (201L, doc(8)),
+      (202L, doc(4).toUpperCase), (203L, doc(9)))
+    def drive(src: VersionedTable, ws: String)(mid: => Unit): Unit = {
+      src.append(batchA.toDF("doc_id", "text"))
+      IncrementalCuration.sync(src, ws, cfg)
+      src.delete(col("doc_id") === 5L)
+      src.append(batchB.toDF("doc_id", "text"))
+      mid
+    }
+    def tables(ws: String) = Seq(
+      IncrementalCuration.keptTable(spark, ws),
+      IncrementalCuration.hashTable(spark, ws),
+      IncrementalCuration.bandTable(spark, ws))
+    def contents(ws: String): Seq[Set[String]] =
+      tables(ws).map(_.read.collect().map(_.toString).toSet)
+    // control: the same two batches with no crash anywhere
+    val (csrc, cws) = freshSource()
+    drive(csrc, cws)(IncrementalCuration.sync(csrc, cws, cfg))
+    val want = contents(cws)
+    assert(want.head.nonEmpty && want(1).nonEmpty && want(2).nonEmpty)
+    boundaries.foreach { b =>
+      val (src, ws) = freshSource()
+      drive(src, ws) {
+        IncrementalCuration.crashHook = Some(name =>
+          if (name == b) throw new RuntimeException(s"crash-injected:$b"))
+        try {
+          val e = intercept[Exception](IncrementalCuration.sync(src, ws, cfg))
+          assert(e.getMessage != null && e.getMessage.contains("crash-injected"),
+            s"boundary $b: expected the injected crash, got $e")
+        } finally IncrementalCuration.crashHook = None
+        // recovery = just running the next sync: roll-forward for
+        // post-intent crashes, whole-slice replay for pre-intent ones
+        IncrementalCuration.sync(src, ws, cfg)
+      }
+      assert(contents(ws) === want, s"boundary $b: state diverged")
+      assert(java.nio.file.Files.notExists(
+        java.nio.file.Paths.get(ws, "_slice_intent.json")),
+        s"boundary $b: intent must not survive recovery")
+      // orphan reclamation: age every file past the staging grace, then
+      // vacuum — afterwards NOTHING is reclaimable and the converged
+      // snapshot still reads identically (pre-intent crashes leave
+      // staged-but-never-committed file-sets; vacuum owns them)
+      tables(ws).foreach { t =>
+        val old = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - VersionedTable.StagingGraceMillis - 60000)
+        java.nio.file.Files.walk(java.nio.file.Paths.get(t.root)).forEach {
+          p => java.nio.file.Files.setLastModifiedTime(p, old); () }
+        t.vacuum(retainVersions = 1)
+        assert(t.vacuumDryRun(retainVersions = 1).isEmpty,
+          s"boundary $b: vacuum must reclaim every orphan at ${t.root}")
+      }
+      assert(contents(ws) === want,
+        s"boundary $b: vacuum touched the live snapshot")
+    }
+  }
+
   test("multi-batch append history converges to the batch chain over " +
        "the final corpus") {
     val (src, ws) = freshSource()

@@ -150,9 +150,20 @@ object BenchAB {
       val parts = Seq("wall", "task", "batch").flatMap { ch =>
         val hs = series(heads, ch); val bs = series(bases, ch)
         if (hs.flatten.isEmpty && bs.flatten.isEmpty) Nil
-        else Seq(
-          s""""head_$ch":${arr(hs)}""", s""""base_$ch":${arr(bs)}""",
-          s""""${ch}_ratio_median":${fmt(median(ratios(ch)))}""")
+        else {
+          // min-of-passes ratio: contention only ever INFLATES a pass,
+          // so min(head)/min(base) is the robust channel when one pass
+          // catches a transient the pairing can't cancel
+          val minRatio = (hs.flatten, bs.flatten) match {
+            case (h, b) if h.nonEmpty && b.nonEmpty && b.min > 0 =>
+              h.min / b.min
+            case _ => Double.NaN
+          }
+          Seq(
+            s""""head_$ch":${arr(hs)}""", s""""base_$ch":${arr(bs)}""",
+            s""""${ch}_ratio_median":${fmt(median(ratios(ch)))}""",
+            s""""${ch}_ratio_min":${fmt(minRatio)}""")
+        }
       }
       s""""$q":{${parts.mkString(",")}}"""
     }

@@ -291,6 +291,14 @@ object IncrementalCuration {
       entries: Seq[(VersionedTable, Option[VersionedTable.PreparedCommit])]): Unit = {
     val todo = entries.collect { case (t, Some(pc)) => (t, pc) }
     if (todo.isEmpty) return
+    // intent lines are `<root>\t<json>\n`-framed; PreparedCommit.toJson
+    // escapes its own strings, but the ROOT rides raw — refuse the two
+    // characters that would tear the framing rather than write an
+    // intent recovery must abandon
+    todo.foreach { case (t, _) =>
+      require(!t.root.contains('\t') && !t.root.contains('\n'),
+        s"slice intent: table root must not contain tab/newline: ${t.root}")
+    }
     val p = intentPath(root)
     val tmp = p.resolveSibling(s".intent-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.writeString(tmp,

@@ -89,8 +89,10 @@ object JoinMv {
     * but a full-dim rewrite churns everything, and above this bound the
     * maintenance join falls back to a shuffle rather than risking the
     * 8GB-broadcast / driver-memory ceiling. 1M rows of a typical dim
-    * (≤1KB/row) stays well under the default executor/driver budgets. */
-  private[graft] val BroadcastSliceRowCap = 1000000
+    * (≤1KB/row) stays well under the default executor/driver budgets.
+    * `var`, not `val`: a test seam only — the spec pins the above-cap
+    * fallback's correctness at test row counts. */
+  @volatile private[graft] var BroadcastSliceRowCap = 1000000
 
   /** One dim side of a definition: table + this join's key pairs +
     * an optional row filter (SQL over the dim's columns — the SCD2

@@ -215,6 +215,44 @@ class JoinMvSpec extends SparkSpec {
     } finally MvRewrite.deregister(mv)
   }
 
+  test("a dim change slice ABOVE the broadcast row cap falls back to an " +
+       "unhinted (shuffle-able) join — same maintained state, no forced " +
+       "broadcast of an unbounded slice") {
+    // The explicit broadcast of the dim's CDF slice is gated on a
+    // bounded row probe (an SCD2 full-dim rewrite churns EVERY row —
+    // unbounded — and an unconditional hint would drive that into the
+    // 8GB-broadcast / driver-memory ceiling). This pins the over-cap
+    // path's CORRECTNESS: scope the cap below the slice size and the
+    // refresh must still maintain incrementally and converge.
+    MvRewrite.install(spark)
+    val root = tmpDir("graft-jmv-cap-")
+    val fact = new VersionedTable(spark, s"$root/fact")
+    val dim = new VersionedTable(spark, s"$root/dim")
+    val mv = new VersionedTable(spark, s"$root/mv")
+    fact.enableChangeFeed(); dim.enableChangeFeed()
+    fact.append(Seq((1, "p1", 10L), (1, "p2", 20L), (2, "p3", 5L),
+      (3, "p4", 7L)).toDF("t", "player", "v"))
+    dim.append(Seq((1, "red"), (2, "blue"), (3, "red")).toDF("t", "color"))
+    JoinMv.create(fact, dim, Seq(("t", "t")), Seq("color"), sumAggs, mv)
+    val prevCap = JoinMv.BroadcastSliceRowCap
+    JoinMv.BroadcastSliceRowCap = 1 // every real slice is now "too big"
+    try {
+      // full-dim rewrite: every row churns (the exact shape the cap
+      // exists for) — slice = 3 update pre/post pairs > cap
+      dim.update(Map("color" -> lit("gold")), lit(true))
+      assert(JoinMv.refresh(spark, mv) === "cdf-dims",
+        "over-cap slices must still maintain incrementally, not rebuild")
+      assert(mvRows(mv) === recomputed(fact, dim)
+        .as[(String, Option[Long], Long, Long)].collect().toSeq.sortBy(_._1))
+      assert(mv.history.count(_.action == "overwrite") === 1,
+        "the fallback is a join-strategy change, never a recompute")
+      assert(JoinMv.refresh(spark, mv) === "noop")
+    } finally {
+      JoinMv.BroadcastSliceRowCap = prevCap
+      MvRewrite.deregister(mv)
+    }
+  }
+
   test("SCD2 dim composes through the is_current filter: closing a " +
        "version retracts it, the MV tracks the current-rows join " +
        "without a rebuild, and routing never arms for filtered dims") {

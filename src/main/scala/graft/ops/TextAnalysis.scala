@@ -156,10 +156,16 @@ object TextAnalysis {
 
   /** TF-IDF term weights per (document, term): tf = raw in-doc term
     * count, idf = ln(N / df) over the corpus. Two shuffles total — one
-    * groupBy (doc, term) for tf, one groupBy term for df — then a
-    * broadcast-sized join of the per-term df back onto the tf rows (the
-    * term dictionary is vastly smaller than the corpus; Spark broadcasts
-    * it). The doc count N is one scalar agg, not a per-row window. */
+    * groupBy (doc, term) for tf, one groupBy term for df — then the
+    * per-term df joins back onto the tf rows. The df side is UNHINTED
+    * deliberately: a term dictionary is usually far smaller than the
+    * corpus and AQE converts the join to a broadcast at runtime from
+    * the df aggregate's ACTUAL size — but web-scale vocabularies grow
+    * with the corpus (Heap's law: noise, URLs, typos), and a forced
+    * broadcast hint would drive a multi-GB dictionary into the 8GB
+    * broadcast / driver ceiling where AQE's runtime decision simply
+    * keeps the shuffle. Same gating philosophy as JoinMv's dim-slice
+    * cap. The doc count N is one scalar agg, not a per-row window. */
   def tfidf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     // N rides along as a broadcast one-row cross join: the operator stays
@@ -172,7 +178,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term")
       .agg(count(lit(1)).as("df")) // tf rows are distinct per (doc, term)
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
       .drop("__n")

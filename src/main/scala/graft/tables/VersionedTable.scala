@@ -3536,10 +3536,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // an EMPTY batch stages no parquet files (just _SUCCESS), which
     // spark.read.parquet cannot infer a schema from — fall back to the
     // (empty) lineage frame so a legacy/unparseable prev file-set can
-    // still migrate through the upsert path without crashing
+    // still migrate through the upsert path without crashing.
+    // The schema is passed EXPLICITLY (it is exactly the frame we just
+    // wrote, plus the split dir column): inference otherwise costs one
+    // driver-blocking footer-read job per merge — pure fixed latency on
+    // the per-trigger streaming paths (measured ~0.1-0.4s/batch).
     def readStaged(): DataFrame =
       if (touched.isEmpty) deduped
-      else spark.read.parquet(staging.toString).drop(BucketCol)
+      else spark.read
+        .schema(asNullable(deduped.schema)
+          .add(BucketCol, org.apache.spark.sql.types.StringType))
+        .parquet(staging.toString).drop(BucketCol)
     try {
       if (bucketSpec.isEmpty) {
         writeSpec(spec)

@@ -2168,12 +2168,24 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     * scans/pruning/pushdown are unchanged underneath. DV entries whose
     * file was since rewritten match nothing (the path no longer exists in
     * the snapshot) — inert, reclaimed by [[purgeDeleteVectors]]/vacuum. */
+  /** Deletion-vector files carry exactly ([[VersionedTable.DvFileCol]]
+    * string, [[VersionedTable.DvPosCol]] long) — schema pinned so
+    * DV-bearing reads never pay a footer-inference job. */
+  private def readDvFiles(dvs: Seq[String]): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          VersionedTable.DvFileCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          VersionedTable.DvPosCol, org.apache.spark.sql.types.LongType))))
+      .parquet(dvs.map(d => dvDir.resolve(d).toString): _*)
+
   private def readSets(fileSets: Seq[String], dvs: Seq[String],
                        renamesAt: Long = Long.MaxValue): DataFrame =
     if (dvs.isEmpty || fileSets.isEmpty) readFileSets(fileSets, renamesAt = renamesAt)
     else {
       val withPos = readFileSets(fileSets, withPos = true, renamesAt = renamesAt)
-      val dv = spark.read.parquet(dvs.map(d => dvDir.resolve(d).toString): _*)
+      val dv = readDvFiles(dvs)
       val keep = withPos.columns
         .filterNot(c => c == DvFileCol || c == DvPosCol)
       withPos.join(broadcast(dv), Seq(DvFileCol, DvPosCol), "left_anti")
@@ -3037,9 +3049,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val withPos = readFileSets(snap.fileSets, withPos = true)
     val live =
       if (snap.dvs.isEmpty) withPos
-      else withPos.join(
-        broadcast(spark.read.parquet(
-          snap.dvs.map(d => dvDir.resolve(d).toString): _*)),
+      else withPos.join(broadcast(readDvFiles(snap.dvs)),
         Seq(DvFileCol, DvPosCol), "left_anti")
     val id = s"dv-${UUID.randomUUID()}"
     val out = dvDir.resolve(id)
@@ -3137,7 +3147,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val snap = history.lastOption.getOrElse(sys.error(s"empty table at $root"))
     val rv = Some(snap.version)
     if (snap.dvs.isEmpty) return snap // no vectors: nothing to do, no commit
-    val dv = spark.read.parquet(snap.dvs.map(d => dvDir.resolve(d).toString): _*)
+    val dv = readDvFiles(snap.dvs)
     // a DV row's file-set is the first segment of its relative path;
     // entries of rewritten (vanished) file-sets drop out via the
     // intersect. Bounded collect: ≤ one row per file-set.

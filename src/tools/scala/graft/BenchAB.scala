@@ -58,6 +58,7 @@ object BenchAB {
     pb.environment().put("SPARK_GRAFT_BENCH_PASSES", "1")
     only.foreach(pb.environment().put("SPARK_GRAFT_BENCH_ONLY", _))
     pb.environment().remove("SPARK_GRAFT_PUBLISH") // never clobber BENCH_LATEST
+    pb.environment().put("SPARK_GRAFT_NO_ROUND", "1") // nor BENCH_ROUND
     pb.redirectErrorStream(false)
     pb.redirectError(logPath.toFile)
     val proc = pb.start()
@@ -83,9 +84,13 @@ object BenchAB {
         b.result()
       }
     }
+    // null-guarded like qmap: a base-revision child predating the
+    // calibration fields must degrade to cal_median=0.0, not NPE the
+    // whole A/B session mid-run
     val cal = {
       val a = n.get("calibration_samples")
-      (0 until a.size()).map(a.get(_).asDouble()).sorted
+      if (a == null) Seq.empty[Double]
+      else (0 until a.size()).map(a.get(_).asDouble()).sorted
     }
     Map(
       "total" -> n.get("value").asDouble(),
@@ -103,6 +108,20 @@ object BenchAB {
   private def fmt(d: Double): String =
     if (d.isNaN) "null"
     else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+  // caller-supplied paths ride into the output JSON — escape them so a
+  // worktree path containing a quote/backslash can't produce an invalid
+  // artifact (query names are self-generated identifiers; paths aren't)
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
@@ -173,9 +192,9 @@ object BenchAB {
         r("cal_median").asInstanceOf[Double])}}"""
     }.mkString("[", ",", "]")
     val out =
-      s"""{"protocol":"interleaved-abba","pairs":$pairs,"sf":"$sfDir",""" +
-        s""""head_classes":"$headCp","base_classes":"$baseCp",""" +
-        s""""only":${only.fold("null")(o => "\"" + o + "\"")},""" +
+      s"""{"protocol":"interleaved-abba","pairs":$pairs,"sf":${jstr(sfDir)},""" +
+        s""""head_classes":${jstr(headCp)},"base_classes":${jstr(baseCp)},""" +
+        s""""only":${only.fold("null")(jstr)},""" +
         s""""passes":$passJson,"queries":{${qJson.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), out + "\n")
     println(out)

@@ -247,7 +247,11 @@ object IncrementalCuration {
     // a future format) must ABANDON, not wedge every subsequent sync:
     // abandoning is always safe — prepared files are untracked (vacuum
     // reclaims them) and the consumer position never advanced, so the
-    // slice simply replays whole.
+    // slice simply replays whole. Abandon = QUARANTINE, not delete:
+    // the file moves aside under a timestamped name (so the evidence
+    // of what went wrong survives for the operator) and the failure is
+    // logged LOUDLY — a silently vanishing intent would hide a torn
+    // write or a format regression forever.
     val parsed = scala.util.Try {
       java.nio.file.Files.readString(p).linesIterator
         .filter(_.trim.nonEmpty).map { line =>
@@ -257,9 +261,20 @@ object IncrementalCuration {
             VersionedTable.PreparedCommit.fromJson(line.substring(i + 1)))
         }.toSeq
     }
-    val entries = parsed.getOrElse {
-      java.nio.file.Files.delete(p)
-      return
+    val entries = parsed match {
+      case scala.util.Success(e) => e
+      case scala.util.Failure(why) =>
+        val q = p.resolveSibling(
+          s"_slice_intent.quarantined-${System.currentTimeMillis()}")
+        java.nio.file.Files.move(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        System.err.println(
+          s"[curation] ABANDONED unparseable slice intent at $p " +
+            s"(quarantined to ${q.getFileName}): ${why.getMessage}. " +
+            "Safe: prepared files are untracked (vacuum reclaims them) " +
+            "and the consumer position never advanced, so the slice " +
+            "replays whole.")
+        return
     }
     val intact = entries.forall { case (t, pc) =>
       // already committed (marker present) counts as intact; otherwise

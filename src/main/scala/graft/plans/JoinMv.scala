@@ -439,32 +439,44 @@ object JoinMv {
             // σ(ΔDᵢ): the filter distributes over the signed delta, so
             // the filtered feed IS the filtered view's change slice
             // (SCD2: closing a version retracts it from is_current)
+            // the slice's CDF feed is consumed up to three times (the
+            // fit probe, factForDimSlice's distinct-keys collect, the
+            // maintenance join itself), so it's persisted for the
+            // slice's duration: one metadata-path CDF read instead of
+            // three. The probe is a FULL count, not limit(cap+1) — a
+            // limit stops tasks early and leaves the cache cold
+            // (partition-granular caching), so every later consumer
+            // would re-read from files; the full count both fills the
+            // cache and yields the exact row count the broadcast gate
+            // needs. MEMORY_AND_DISK: a backfill-sized slice spills
+            // instead of evicting or OOMing.
             val feed = sided(d.dims(i),
               d.dims(i).table.readChangeFeed(pins(i), Some(dimHeads(i))))
-            // broadcast the CHANGE SLICE explicitly: the CDF feed reads
-            // through a metadata-path join, so Catalyst has no size
-            // stats for it and (measured, ProfScd2) picks the FACT as
-            // the broadcast side — 150k rows built and fetched per task
-            // where the churned-dim slice is 50× smaller. The slice is
-            // USUALLY O(churned dim rows) — but a full-dim rewrite /
-            // backfill churns every row, so the hint is GATED on a
-            // bounded row probe (limit stops the probe early): above
-            // the cap the join degrades to the slower-but-safe shuffle
-            // instead of an 8GB-broadcast / driver-memory failure.
-            val feedFits = feed
-              .limit(JoinMv.BroadcastSliceRowCap + 1).count() <=
-              JoinMv.BroadcastSliceRowCap
-            GraftSql.applyCdfDelta(mv,
-              joinAll(factForDimSlice(i, feed),
-                d.dims.indices.map { j =>
-                  (if (j == i) {
-                    if (feedFits)
-                      org.apache.spark.sql.functions.broadcast(feed)
-                    else feed
-                  } else dimAt(j, pins(j)),
-                    d.dims(j).keys)
-                }),
-              d.groupCols, d.aggs, txn = Some((dimApp(i), dimHeads(i))))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              // broadcast the CHANGE SLICE explicitly: the CDF feed reads
+              // through a metadata-path join, so Catalyst has no size
+              // stats for it and (measured, ProfScd2) picks the FACT as
+              // the broadcast side — 150k rows built and fetched per task
+              // where the churned-dim slice is 50× smaller. The slice is
+              // USUALLY O(churned dim rows) — but a full-dim rewrite /
+              // backfill churns every row, so the hint is GATED on the
+              // row count: above the cap the join degrades to the
+              // slower-but-safe shuffle instead of an 8GB-broadcast /
+              // driver-memory failure.
+              val feedFits = feed.count() <= JoinMv.BroadcastSliceRowCap
+              GraftSql.applyCdfDelta(mv,
+                joinAll(factForDimSlice(i, feed),
+                  d.dims.indices.map { j =>
+                    (if (j == i) {
+                      if (feedFits)
+                        org.apache.spark.sql.functions.broadcast(feed)
+                      else feed
+                    } else dimAt(j, pins(j)),
+                      d.dims(j).keys)
+                  }),
+                d.groupCols, d.aggs, txn = Some((dimApp(i), dimHeads(i))))
+            } finally { feed.unpersist(); () }
             pins(i) = dimHeads(i)
             mv.setProperties(Map(DimVersionProp -> pins.mkString(";")))
           } else pins(i) = dimHeads(i)

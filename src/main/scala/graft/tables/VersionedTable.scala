@@ -4552,13 +4552,18 @@ object VersionedTable {
     // table root) may contain quotes, commas, backslashes — anything.
     // toJson escapes per JSON; fromJson's string pattern is
     // escape-aware, so round-trips are lossless and an intent line can
-    // never be rendered unparseable by its own writer.
+    // never be rendered unparseable by its own writer. ']' escapes to
+    // the (JSON-legal) unicode form u005d because fromJson captures
+    // ARRAY bodies with "any non-']' char" — a raw ']' inside an
+    // element would end the body early and break the claimed lossless
+    // round-trip.
     private[tables] def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
+      case ']'  => "\\u005d"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }

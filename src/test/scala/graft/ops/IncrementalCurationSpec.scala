@@ -309,14 +309,15 @@ class IncrementalCurationSpec extends SparkSpec {
 
   test("prepared-commit JSON survives hostile txn appIds, and an " +
        "unparseable intent is abandoned instead of wedging sync") {
-    // quotes, commas, backslashes, newlines — mergePrepared is public
-    // API; the intent line must round-trip whatever the caller names
+    // quotes, commas, backslashes, newlines, brackets (']' would end a
+    // regex-captured array body early) — mergePrepared is public API;
+    // the intent line must round-trip whatever the caller names
     val hostile = "app\"with,comma\\and\nnewline\tandctl"
     val pc = VersionedTable.PreparedCommit(
-      action = "merge", consumed = Seq("a,b", "c\"d"),
-      produced = Seq("e\\f"), basedOn = Some(3L),
-      txn = Some((hostile, 7L)), dvs = Seq("x,y\"z"),
-      cdf = Some("c-1,\"2"), cellRebase = false, autoCompact = true)
+      action = "merge", consumed = Seq("a,b", "c\"d", "br[ack]ets"),
+      produced = Seq("e\\f", "end]"), basedOn = Some(3L),
+      txn = Some((hostile, 7L)), dvs = Seq("x,y\"z", "]lead"),
+      cdf = Some("c-1,\"2]"), cellRebase = false, autoCompact = true)
     assert(VersionedTable.PreparedCommit.fromJson(pc.toJson) === pc)
     assert(!pc.toJson.contains('\n'), "intent lines are newline-framed")
     // a torn/garbage intent from any source must not wedge every sync
@@ -331,6 +332,21 @@ class IncrementalCurationSpec extends SparkSpec {
     assert(keptIds(ws).contains(80L),
       "sync must proceed past an unparseable intent")
     assert(java.nio.file.Files.notExists(intent), "the garbage intent drops")
+    // abandon = quarantine, not delete: the torn file survives under a
+    // quarantine name as operator evidence
+    val quarantined = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(intent.getParent)
+      try s.iterator().asScala.toSeq.map(_.getFileName.toString)
+        .filter(_.startsWith("_slice_intent.quarantined-"))
+      finally s.close()
+    }
+    assert(quarantined.nonEmpty,
+      "the unparseable intent must be quarantined, not silently deleted")
+    // and a LATER sync is untouched by the quarantined sibling
+    src.append(Seq((81L, doc(3))).toDF("doc_id", "text"))
+    IncrementalCuration.sync(src, ws, cfg)
+    assert(keptIds(ws).contains(81L))
   }
 
   test("crash-point matrix: a kill at EVERY slice-protocol phase " +

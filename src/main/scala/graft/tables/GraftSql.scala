@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.StructType
   *   VACUUM <table> [RETAIN n VERSIONS] [IGNORE PINS] [DRY RUN [DETAIL]]
   *   VACUUM <table> [RETAIN n VERSIONS] FORCE EXPIRE PINS
   *     OLDER THAN <n> MINUTES|HOURS|DAYS   -- drop dead-consumer pins, audited
+  *     -- bound must be >= 1 HOUR: pin age is measured against the
+  *        CONSUMER's clock (60s liveness heartbeats), so sub-hour
+  *        bounds could expire live consumers on clock-skewed hosts
   *     -- DETAIL previews the FULL blast radius with per-path status
   *        (reclaimable vs pin-held) naming the blocking consumer pin,
   *        its floor version, and its last-advanced age
@@ -358,9 +361,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       }
     case DropTagStmt(ident, tag) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
-        t.dropTag(stripTicks(tag))
+        val tg = stripTicks(tag)
+        // loud on unknown tags: a typo'd DROP TAG silently no-opping
+        // would leave the operator believing a vacuum-exempt version
+        // was released when it still pins retention
+        require(t.tags.contains(tg),
+          s"DROP TAG: no tag '$tg' on $ident (SHOW TAGS lists them)")
+        t.dropTag(tg)
         import spark.implicits._
-        Seq(stripTicks(tag)).toDF("dropped_tag")
+        Seq(tg).toDF("dropped_tag")
       }
     case ShowTagsStmt(ident) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
@@ -769,9 +778,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       }
     case AddConstraintStmt(ident, name, checkExpr) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
-        t.addCheck(name, checkExpr)
+        // multiline/aligned DDL is legal SQL, but the named-expr ledger
+        // stores exprs line-framed and SHOW CREATE surfaces them
+        // verbatim: whitespace outside string literals canonicalizes to
+        // single spaces (semantics-preserving — found by the grammar
+        // fuzzer, SqlFuzzSpec)
+        val ce = collapseExprWs(checkExpr)
+        t.addCheck(name, ce)
         import spark.implicits._
-        Seq((name, checkExpr)).toDF("constraint", "check_expr")
+        Seq((name, ce)).toDF("constraint", "check_expr")
       }
     case CommentTableStmt(ident, text) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
@@ -795,7 +810,16 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       }
     case DropConstraintStmt(ident, name) =>
       owned(ident).fold(spark.sql(stmt)) { t =>
-        if (!t.dropKeyConstraint(name)) t.dropCheck(name)
+        // loud on unknown names (engine contract): a typo'd DROP that
+        // silently no-ops would leave the operator believing the
+        // constraint is gone while it still enforces / fires JoinElim
+        if (!t.dropKeyConstraint(name)) {
+          require(t.checks.exists(_._1 == name),
+            s"DROP CONSTRAINT: no constraint named $name on $ident " +
+              "(neither CHECK nor PRIMARY/FOREIGN KEY — DESCRIBE " +
+              "lists the live set)")
+          t.dropCheck(name)
+        }
         graft.plans.JoinElim.arm(t) // a dropped RELY key must stop firing NOW
         import spark.implicits._
         Seq(name).toDF("dropped_constraint")
@@ -1747,7 +1771,11 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * plus the reclaim count; a no-op expiry returns a single summary
     * row with NULL pin columns — loud, diffable, safe to script. The
     * expiry itself is committed to history (`expire_pins`), so the
-    * audit trail survives the vanished pin files. */
+    * audit trail survives the vanished pin files. The age bound is
+    * floored at 1 HOUR: liveness timestamps are written by consumer
+    * clocks (same-version heartbeats every ~60s), so the bound must
+    * dominate both the heartbeat period and plausible cross-host
+    * clock skew — sane production bounds are hours-to-days. */
   private def vacuumExpirePins(tbl: VersionedTable, retain: Int,
                                n: Long, unit: String): DataFrame = {
     import spark.implicits._
@@ -1759,6 +1787,18 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       case "HOUR"   => n * 3600L * 1000L
       case "DAY"    => n * 86400L * 1000L
     }
+    // Floor at one hour: pin liveness is a wall-clock HEARTBEAT
+    // (consumers re-stamp every ~60s while alive), and heartbeat
+    // timestamps come from the CONSUMER's clock — a bound comparable
+    // to plausible cross-host clock skew would expire consumers that
+    // are alive but merely skewed. One hour dwarfs both the heartbeat
+    // period and any sanely-NTP'd skew; the operational guidance
+    // remains hours-to-days.
+    require(ms >= 3600L * 1000L,
+      s"VACUUM FORCE EXPIRE PINS: OLDER THAN $n $unit is below the 1 HOUR " +
+        "floor — pin timestamps are consumer-clock heartbeats (refreshed " +
+        "every ~60s while alive), so a sub-hour bound risks expiring live " +
+        "consumers on clock-skewed hosts. Use >= 1 HOURS.")
     val expired = tbl.expirePins(ms)
     val reclaimed = tbl.vacuum(retainVersions = retain).length.toLong
     val rows =
@@ -3987,6 +4027,28 @@ object GraftSql {
 
   private def stripTicks(s: String): String =
     s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Whitespace runs OUTSIDE string literals collapse to one space:
+    * multiline/aligned DDL is legal SQL, but named-expr ledgers (CHECK
+    * constraints) store their exprs line-framed and surface them
+    * verbatim (SHOW CREATE TABLE), so the stored spelling is
+    * canonicalized — same semantics whatever the statement's layout.
+    * Quoted content passes through untouched (literals are data). */
+  private[tables] def collapseExprWs(e: String): String = {
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < e.length) {
+      val c = e.charAt(i)
+      if (inQ) { sb += c; if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { inQ = true; sb += c; i += 1 }
+      else if (c.isWhitespace) {
+        while (i < e.length && e.charAt(i).isWhitespace) i += 1
+        sb += ' '
+      } else { sb += c; i += 1 }
+    }
+    sb.result().trim
+  }
 
   /** Source files under `dir`, recursively, skipping hidden/metadata
     * names — the same convention as Spark's file index. */

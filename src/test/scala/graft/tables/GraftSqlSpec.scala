@@ -1862,6 +1862,16 @@ class GraftSqlSpec extends SparkSpec {
       val e = intercept[RuntimeException](sql.sql(stmt))
       assert(e.getMessage.contains("OLDER THAN"), s"$stmt: ${e.getMessage}")
     }
+    // floor: liveness timestamps are consumer-clock heartbeats, so a
+    // bound comparable to clock skew could expire LIVE consumers —
+    // sub-hour intervals refuse loudly; >= 1h in MINUTES is fine
+    for (stmt <- Seq(
+        "VACUUM silver.pexp FORCE EXPIRE PINS OLDER THAN 59 MINUTES",
+        "VACUUM silver.pexp FORCE EXPIRE PINS OLDER THAN 5 MINUTES")) {
+      val e = intercept[RuntimeException](sql.sql(stmt))
+      assert(e.getMessage.contains("1 HOUR"), s"$stmt: ${e.getMessage}")
+    }
+    assert(t.pins.size === 2, "refused statements must not touch pins")
     // the dead pin (floor 0) still holds the whole suffix: the default
     // vacuum reclaims nothing
     assert(sql.sql("VACUUM silver.pexp RETAIN 1 VERSIONS")
@@ -1882,9 +1892,11 @@ class GraftSqlSpec extends SparkSpec {
     assert(t.history.last.action === "expire_pins")
     assert(VersionedTable.CdfNoChangeActions("expire_pins"))
     // pin age is measured from last advance: a second expire finds
-    // nothing stale and reports a loud no-op (NULL pin, 0 expired)
+    // nothing stale and reports a loud no-op (NULL pin, 0 expired).
+    // Phrased in MINUTES at exactly the floor — proving the floor
+    // gates the INTERVAL, not the unit keyword.
     val noop = sql.sql(
-      "VACUUM silver.pexp FORCE EXPIRE PINS OLDER THAN 1 HOURS")
+      "VACUUM silver.pexp FORCE EXPIRE PINS OLDER THAN 60 MINUTES")
       .select("expired_pin", "n_expired")
       .as[(Option[String], Long)].head()
     assert(noop === ((None, 0L)))

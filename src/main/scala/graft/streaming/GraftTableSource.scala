@@ -410,7 +410,15 @@ object GraftTableSource {
   * same checkpoint re-claim silently, a second stream refuses loudly
   * before writing anything, `sinkOwnerTakeover = "true"` re-points the
   * lease explicitly. Plain append/complete sinks stay multi-writer
-  * (concurrent appends are OCC-safe). */
+  * (concurrent appends are OCC-safe).
+  *
+  * '''Trigger latency''' (`splitMinPartitionSize = "<bytes>"`, e.g.
+  * `"64kb"`): the staged-split write REBALANCEs and AQE coalesces a
+  * tiny micro-batch into one task — the right default on a shared
+  * cluster, at ~+0.2s/trigger wall (adjudicated, r16). A
+  * latency-critical sink lowers AQE's coalesce floor for ITS OWN
+  * writes only; the conf is set around each batch and restored after,
+  * so no other query in the session is un-coalesced. */
 final class GraftTableSink(root: String, appId: String,
                            partitionBy: Seq[String], complete: Boolean,
                            mergeKeys: Seq[String], applyChanges: Boolean,
@@ -423,7 +431,8 @@ final class GraftTableSink(root: String, appId: String,
                            dedupKeys: Seq[String] = Nil,
                            ownerTakeover: Boolean = false,
                            numBuckets: Int =
-                             graft.tables.VersionedTable.DefaultMergeBuckets)
+                             graft.tables.VersionedTable.DefaultMergeBuckets,
+                           splitMinPartitionSize: Option[String] = None)
     extends Sink {
 
   /** Stateful modes are single-writer per table: claim the sink lease
@@ -512,7 +521,28 @@ final class GraftTableSink(root: String, appId: String,
   /** The joinKeys in [[graft.plans.JoinMv.KeysProp]] format — the
     * definition string recorded on the MV and compared on restart. */
   private def keysRepr: String = graft.plans.JoinMv.formatKeys(joinKeys)
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+  // The trigger-latency escape hatch (per-sink, not session-global):
+  // the table write's staged split REBALANCEs and AQE coalesces a
+  // kilobyte-scale micro-batch to ONE task — right for a shared
+  // cluster (32 scheduled tasks per tiny trigger is the anti-pattern),
+  // but a latency-critical pipeline can buy back parallelism by
+  // lowering AQE's coalesce floor FOR THIS SINK'S WRITES only. The
+  // session conf is set around the batch body and restored after it —
+  // micro-batches of one sink run serially, so the scope is exactly
+  // the sink's own jobs, and every other query in the session keeps
+  // the default coalescing.
+  private def withSplitFloor[A](spark: org.apache.spark.sql.SparkSession)
+                               (f: => A): A =
+    splitMinPartitionSize.fold(f) { v =>
+      val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, v)
+      try f
+      finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    withSplitFloor(data.sparkSession) {
     val table = VersionedTable(data.sparkSession, root)
     if (needsLease && !leased) {
       table.claimSinkOwner(appId, takeover = ownerTakeover)
@@ -846,6 +876,21 @@ final class GraftTableSourceProvider extends StreamSourceProvider
         require(n > 0, "graft-table sink: numBuckets must be a " +
           s"positive integer (got '$raw')")
         n
-      }.getOrElse(graft.tables.VersionedTable.DefaultMergeBuckets))
+      }.getOrElse(graft.tables.VersionedTable.DefaultMergeBuckets),
+      // trigger-latency knob: AQE's coalesce floor, scoped to THIS
+      // sink's writes (see GraftTableSink.withSplitFloor). Validated
+      // at query start — a typo'd size must not surface as an AQE
+      // planning error minutes later inside the first trigger.
+      splitMinPartitionSize = parameters.get("splitMinPartitionSize")
+        .map(_.trim).filter(_.nonEmpty).map { raw =>
+          try {
+            require(org.apache.spark.network.util.JavaUtils
+              .byteStringAsBytes(raw) > 0)
+            raw
+          } catch { case _: Exception => throw
+            new IllegalArgumentException("graft-table sink: " +
+              "splitMinPartitionSize must be a positive byte size " +
+              s"(e.g. '64kb', '1m'); got '$raw'") }
+        })
   }
 }

@@ -1318,4 +1318,90 @@ class TableStreamSpec extends SparkSpec {
       syncBoth(); assertConverged(s"round $r")
     }
   }
+
+  test("sink: splitMinPartitionSize un-coalesces THIS sink's staged " +
+       "split (the trigger-latency knob); conf restores after the batch " +
+       "and a bad value refuses at query start") {
+    import org.apache.spark.sql.functions.{col, sha2}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    // drain the async listener bus deterministically (same reflective
+    // seam Bench uses — waitUntilEmpty is private[spark], i.e. public
+    // in bytecode); fallback sleep is fine at test granularity
+    def drainBus(): Unit =
+      try {
+        val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+          .invoke(spark.sparkContext)
+        bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" &&
+            m.getParameterCount == 1 &&
+            m.getParameterTypes()(0) == java.lang.Long.TYPE)
+          .fold(Thread.sleep(1000))(m =>
+            { m.invoke(bus, java.lang.Long.valueOf(10000L)); () })
+      } catch { case _: Throwable => Thread.sleep(1000) }
+    // Max task count over ANY stage of one sink trigger. Streaming
+    // masks inner callsites (every stage reports "start at …"), so the
+    // staged-split stage can't be picked out by name — but it is the
+    // ONLY AQE-coalesce-affected stage in the trigger: the json source
+    // is one file, the shuffle map side mirrors it, and every metadata
+    // job is single-task. A max > 1 can only come from the split's
+    // un-coalesced reduce stage.
+    def splitTasks(opt: Option[String]): Int = {
+      val dst = tmpDir("ts-smps-dst-")
+      val cp = tmpDir("ts-smps-cp-")
+      val srcDir = tmpDir("ts-smps-in-") + "/landing"
+      spark.range(4000).select(col("id").as("k"),
+        sha2(col("id").cast("string"), 256).as("v"))
+        .coalesce(1).write.json(srcDir)
+      val confBefore = spark.conf.getOption(key)
+      val counts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+      val l = new SparkListener {
+        override def onStageCompleted(
+            sc: SparkListenerStageCompleted): Unit = {
+          counts.add(sc.stageInfo.numTasks); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val w = spark.readStream.schema("k BIGINT, v STRING").json(srcDir)
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", cp)
+          .option("mergeKeys", "k")
+          .option("numBuckets", "16")
+        val q = opt.fold(w)(v => w.option("splitMinPartitionSize", v))
+          .trigger(Trigger.AvailableNow()).start(dst)
+        q.awaitTermination()
+        drainBus()
+      } finally spark.sparkContext.removeSparkListener(l)
+      // config-scoped write: the session conf is back exactly as it was
+      assert(spark.conf.getOption(key) === confBefore,
+        "splitMinPartitionSize must restore the session conf after the batch")
+      assert(!counts.isEmpty, "no stage observed during the sink trigger")
+      import scala.jdk.CollectionConverters._
+      counts.asScala.map(_.intValue).max
+    }
+    // default: AQE coalesces the kilobyte-scale trigger to ONE task —
+    // the adjudicated shared-cluster default (r16, ProfQ)
+    assert(splitTasks(None) === 1,
+      "default staged split should coalesce a tiny batch to one task")
+    // the knob: a 1-byte floor keeps every non-empty shuffle partition
+    // as its own task — the latency-critical deployment's trade
+    assert(splitTasks(Some("1b")) > 1,
+      "splitMinPartitionSize must fan the staged split back out")
+    // a typo'd size refuses at query start, naming the option
+    val e = intercept[Throwable] {
+      spark.readStream.schema("k BIGINT, v STRING")
+        .json(tmpDir("ts-smps-bad-"))
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", tmpDir("ts-smps-badcp-"))
+        .option("mergeKeys", "k")
+        .option("splitMinPartitionSize", "lots")
+        .trigger(Trigger.AvailableNow())
+        .start(tmpDir("ts-smps-baddst-"))
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("splitMinPartitionSize") && msg.contains("lots"),
+      s"error must name the option and value: $msg")
+  }
 }

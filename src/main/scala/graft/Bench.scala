@@ -28,7 +28,7 @@ object Bench {
     * concentrated in small-file-bound table-maintenance queries while
     * CPU calibration said only 1.92×; paired A/B showed the code flat.
     * Two channels let a reader bracket a mixed workload. */
-  val ReferenceCalibrationIoSec: Double = 0.08
+  val ReferenceCalibrationIoSec: Double = 0.065
 
   /** I/O-channel microtask: create/write/fsync/read/delete a fixed set
     * of small files in a bench-owned tmpdir. Sized to the workload the

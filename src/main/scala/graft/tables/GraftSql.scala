@@ -341,6 +341,20 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
       catalog.get.revokeAll(ps, t, n, stripTicks(principal)) // one write
       ps.map(p => ("revoke", p, t, n, stripTicks(principal)))
         .toDF("op", "privilege", "object_type", "object", "principal")
+    // refusal probe: a GRANT/REVOKE that missed the strict forms above
+    // (arbitrary quoted principal, unknown object type, missing TO/FROM)
+    // must fail NAMING the contract — Spark has no native GRANT, so the
+    // fall-through would be an opaque INVALID_STATEMENT (found by the
+    // script-splitting fuzzer planting a `;`-bearing backticked
+    // principal)
+    case GraftSql.GrantAdminHead(op) if catalog.isDefined =>
+      sys.error(s"${op.toUpperCase(java.util.Locale.ROOT)}: unrecognized " +
+        "form — expected `GRANT|REVOKE p1[, p2] ON TABLE|SCHEMA|CATALOG " +
+        "<object> TO|FROM principal`, where the principal is a " +
+        "keyword-shaped name (letters, digits, _ @ . -), optionally " +
+        "backticked. Arbitrary quoted principals are unsupported by " +
+        "design: the grants ledger stores plain names (see " +
+        "resources/uc/grants.sql's group-name shape).")
     case ShowGrantsOnCatalogStmt() if catalog.isDefined =>
       grantsDf(catalog.get.grants.filter(_._2 == "CATALOG"))
     case ShowGrantsOnStmt(otype, oname) if catalog.isDefined =>

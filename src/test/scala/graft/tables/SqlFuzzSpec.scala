@@ -353,6 +353,49 @@ class SqlFuzzSpec extends SparkSpec {
     assert(2 * executedPairs >= 1100, s"only ${2 * executedPairs} executions")
   }
 
+  test("script splitting fixpoint: a seeded multi-statement script with " +
+       "hostile literals (semicolons, comment markers, quotes in " +
+       "comments) executes identically to its statements run one-by-one") {
+    val (catA, gA, rootA) = bootstrap()
+    val (catB, gB, rootB) = bootstrap()
+    val rng = new scala.util.Random(Seed + 7)
+    val gen = new Gen(rng)
+    // the splitter's adversaries, planted explicitly: separators and
+    // comment markers INSIDE literals/backticks are data; apostrophes
+    // INSIDE comments must not open string state
+    val hostile = Seq(
+      "COMMENT ON TABLE silver.fz1 IS 'semi;colon -- not a comment'",
+      "INSERT INTO silver.fz1 (k, v) VALUES (7077, 'a;b--c'), (7078, 'd\"e')",
+      "UPDATE silver.fz1 SET v = concat(v, ';') WHERE k = 7077",
+      "ALTER TABLE silver.fz1 ADD CONSTRAINT ck_script " +
+        "CHECK (k > -5 OR v != 'x;y')",
+      "GRANT SELECT ON TABLE silver.fz1 TO `weird.group-name`",
+      "COMMENT ON COLUMN silver.fz1.v IS 'don''t; stop -- here'")
+    val generated = Seq.fill(12)(gen.next()).flatten.map(_._1)
+    // SHOW TABLES last: sqlScript returns the LAST statement's result
+    val stmts = (hostile ++ generated) :+ "SHOW TABLES"
+    val script = stmts.map { s =>
+      val lead = rng.nextInt(3) match {
+        case 0 => s"-- comment; with 'quotes\" and -- markers\n"
+        case 1 => "\n  \n"
+        case _ => ""
+      }
+      lead + s + (if (rng.nextBoolean()) " -- trailing; 'note" else "")
+    }.mkString("\n;\n")
+    val scriptResult = gA.sqlScript(script)
+    val oneByOne = stmts.map(gB.sql(_)).last
+    assert(rowsOf(scriptResult, rootA) === rowsOf(oneByOne, rootB),
+      "sqlScript must return the LAST statement's result")
+    assert(stateOf(catA, gA, rootA) === stateOf(catB, gB, rootB),
+      "script execution diverged from statement-by-statement execution")
+    // and the hostile literal content survived splitting intact
+    import org.apache.spark.sql.functions.col
+    val v = catA.table("silver", "fz1").read
+      .filter(col("k") === 7077).select("v").collect().map(_.getString(0))
+    assert(v.length === 1 && v.head == "a;b--c;",
+      s"literal with separators mangled: ${v.toSeq}")
+  }
+
   test("error paths refuse loudly and commit nothing: one malformed " +
        "statement per major family") {
     val (cat, g, _) = bootstrap()
@@ -371,7 +414,12 @@ class SqlFuzzSpec extends SparkSpec {
       "COPY INTO silver.fz1 FROM '/no/such/dir' FILEFORMAT = XML", // format
       "INSERT INTO silver.fz1 (k, nope) VALUES (1, 'x')",   // unknown column
       "ALTER TABLE silver.fz1 ADD CONSTRAINT bad CHECK (k <> )", // bad expr
-      "CREATE TABLE silver.bad SHALLOW CLONE silver.never_was"   // no source
+      "CREATE TABLE silver.bad SHALLOW CLONE silver.never_was",  // no source
+      // principals are keyword-shaped by design (plain-TSV ledger);
+      // an arbitrary quoted principal must refuse NAMING the contract,
+      // not fall through to Spark's opaque INVALID_STATEMENT
+      "GRANT SELECT ON TABLE silver.fz1 TO `weird;user--name`",
+      "REVOKE SELECT ON TABLE silver.fz1 FROM `has space`"
     )
     val silent = malformed.flatMap { stmt =>
       try { g.sql(stmt); Some(s"<$stmt> silently succeeded") }

@@ -1089,9 +1089,15 @@ final class GraftSql(spark: SparkSession, catalog: Option[Catalog]) {
     * maintained average column would be wrong under merge combining. */
   private def createMaterializedView(mvIdent: String, orReplace: Boolean,
                                      selectList: String, srcIdent: String,
-                                     where: Option[String],
+                                     whereRaw: Option[String],
                                      groupBy: String): DataFrame = {
     import spark.implicits._
+    // multiline/aligned DDL is legal SQL, but the WHERE predicate
+    // persists verbatim in the MV's properties (line-framed ledger, and
+    // every maintenance slice re-parses it): canonicalize whitespace
+    // outside string literals, same as CHECK constraints (found by the
+    // grammar fuzzer)
+    val where = whereRaw.map(GraftSql.collapseExprWs)
     GraftSql.registerMvFunctions(spark)
     val src = resolve(srcIdent)
     val (groupCols, aggs) = GraftSql.parseMvSelect(selectList, groupBy)

@@ -2294,7 +2294,20 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
                                     fpp: Double = DefaultBloomFpp): Unit = {
     if ((statsRequested.isEmpty && bloomRequested.isEmpty) ||
       fileSets.isEmpty) return
-    val paths = fileSets.map(fs => dataDir.resolve(fs).toString)
+    // hive-partitioned file-set roots CANNOT share one multi-path read:
+    // two roots each holding `p=…/` dirs trip Spark's partition
+    // discovery (CONFLICTING_DIRECTORY_STRUCTURES — it wants a single
+    // basePath, which these sets deliberately don't share). Mirror
+    // [[readFileSets]]: flat sets keep the one grouped multi-path scan,
+    // each partitioned set becomes its own arm, unioned by name (found
+    // by the SQL fuzzer: ANALYZE on a partitioned table with two
+    // uncovered file-sets aborted)
+    val (partRoots, flatRoots) = fileSets.map(fs => dataDir.resolve(fs))
+      .partition(hasHivePartitionDirs)
+    val arms =
+      (if (flatRoots.nonEmpty)
+        Seq(spark.read.parquet(flatRoots.map(_.toString): _*))
+      else Nil) ++ partRoots.map(p => spark.read.parquet(p.toString))
     // file-set id = first segment after the LAST `/data/` marker
     // ([[DataDirMarker]]), not a dataDir-prefix anchor: under a
     // symlinked/re-rooted open the rendered path's prefix need not match
@@ -2302,7 +2315,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     // all sidecars would then collapse into one bogus group and no
     // file-set would get coverage (the `expected` guard below catches
     // any residual extraction break loudly)
-    val fsDf = spark.read.parquet(paths: _*)
+    val fsDf = arms.reduce(_.unionByName(_, allowMissingColumns = true))
       .withColumn("__fs", substring_index(
         substring_index(input_file_name(), DataDirMarker, -1), "/", 1))
     // only columns the written files actually HAVE: inherited stats

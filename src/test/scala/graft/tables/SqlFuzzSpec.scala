@@ -99,11 +99,12 @@ class SqlFuzzSpec extends SparkSpec {
     private val tags = scala.collection.mutable.ArrayBuffer.empty[String]
     private val cks = scala.collection.mutable.ArrayBuffer.empty[String]
     private val props = scala.collection.mutable.ArrayBuffer.empty[String]
+    private val mvs = scala.collection.mutable.ArrayBuffer.empty[String]
     private def t(): String = if (rng.nextBoolean()) "silver.fz1" else "silver.fz2"
 
     /** next batch of statements (usually one; transient-table scripts
       * emit a short sequence) with optional read-compare. */
-    def next(): Seq[(String, Option[Cmp])] = rng.nextInt(24) match {
+    def next(): Seq[(String, Option[Cmp])] = rng.nextInt(25) match {
       case 0 | 1 | 2 => // named-column insert (schema-growth-proof)
         val a = rng.nextInt(1000); val b = rng.nextInt(1000)
         Seq((s"INSERT INTO ${t()} (k, v) VALUES ($a, 'a$a'), ($b, 'b$b')",
@@ -259,6 +260,30 @@ class SqlFuzzSpec extends SparkSpec {
             "FOR ALL COLUMNS", None))
           case _ => Seq(("SHOW PARTITIONS silver.pt", Some(("parts", Full))))
         }
+      case 23 => // materialized-view lifecycle over a frozen-schema base
+        // (the grammar-richest CREATE form: select list, optional
+        // filter, GROUP BY — plus REFRESH's mode machinery and the
+        // SHOW relation, all deterministic across the twins)
+        if (mvs.nonEmpty && rng.nextInt(4) == 0) {
+          val m = mvs.remove(rng.nextInt(mvs.length))
+          Seq((s"DROP TABLE $m", None))
+        } else if (mvs.nonEmpty && rng.nextBoolean()) {
+          val m = mvs(rng.nextInt(mvs.length))
+          val a = rng.nextInt(500)
+          Seq(
+            (s"INSERT INTO silver.mvb (k, v, g) VALUES " +
+              s"($a, 'x$a', 'g${a % 5}'), (${a + 7}, 'y$a', 'g${a % 3}')",
+              None),
+            (s"REFRESH MATERIALIZED VIEW $m", None),
+            ("SHOW MATERIALIZED VIEWS", Some(("mv_list", Full))))
+        } else {
+          val m = s"silver.mvf${id()}"
+          mvs += m
+          val filt = if (rng.nextBoolean()) " WHERE k > 5" else ""
+          Seq((s"CREATE OR REPLACE MATERIALIZED VIEW $m AS " +
+            s"SELECT g, SUM(k) AS s, COUNT(*) AS c " +
+            s"FROM silver.mvb$filt GROUP BY g", None))
+        }
       case _ => // misc read surface
         rng.nextInt(4) match {
           case 0 => Seq((s"FSCK REPAIR TABLE ${t()} DRY RUN",
@@ -283,6 +308,9 @@ class SqlFuzzSpec extends SparkSpec {
       "CREATE TABLE silver.m1 (k BIGINT, v STRING)",
       "CREATE TABLE silver.m2 (k BIGINT, v STRING)",
       "CREATE TABLE silver.pt (k BIGINT, p STRING) PARTITIONED BY (p)",
+      "CREATE TABLE silver.mvb (k BIGINT, v STRING, g STRING)",
+      "INSERT INTO silver.mvb (k, v, g) VALUES (1, 'a', 'g0'), " +
+        "(2, 'b', 'g1'), (9, 'c', 'g0')",
       "INSERT INTO silver.fz1 (k, v) VALUES (1, 'one'), (2, 'two')",
       "INSERT INTO silver.fz2 (k, v) VALUES (3, 'three')",
       "INSERT INTO silver.m1 (k, v) VALUES (10, 'ten')",

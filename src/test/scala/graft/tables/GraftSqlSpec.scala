@@ -197,6 +197,35 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.inputFiles.length < t.read.inputFiles.length)
   }
 
+  test("ANALYZE covers multiple hive-partitioned file-sets in one " +
+       "statement (regression: the sidecar job read every root in one " +
+       "multi-path scan, and two partitioned roots trip Spark's " +
+       "partition-discovery conflict)") {
+    val (cat, sql) = warehouse()
+    sql.sql("CREATE TABLE silver.anp (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    // two separate commits → two partitioned file-set roots, both
+    // uncovered, so one ANALYZE must read both
+    sql.sql("INSERT INTO silver.anp VALUES (1, 'a'), (20, 'b')")
+    sql.sql("INSERT INTO silver.anp VALUES (5, 'a'), (90, 'b')")
+    val n = sql.sql(
+      "ANALYZE TABLE silver.anp COMPUTE STATISTICS FOR ALL COLUMNS")
+      .as[Long].head()
+    // 3 = CREATE's empty schema-bearing set + the two insert sets
+    assert(n === 3L, "every uncovered file-set analyzes in one pass")
+    // the fresh stats actually serve range pruning
+    val t = cat.table("silver", "anp")
+    assert(t.readRange("k", "1", "6").count() === 2L)
+    // a ZERO-ROW file-set (CREATE's schema-bearing empty set) can never
+    // gain coverage — the grouped stats agg yields no row for it — so
+    // it alone stays a target on re-ANALYZE; re-scanning an empty set
+    // costs nothing and "stat-less sets are never skipped" keeps reads
+    // exact
+    assert(sql.sql(
+      "ANALYZE TABLE silver.anp COMPUTE STATISTICS FOR ALL COLUMNS")
+      .as[Long].head() === 1L)
+  }
+
   test("OPTIMIZE racing concurrent appends never loses a row") {
     // Maintenance alongside ingest: OPTIMIZE is a read-modify-write, so
     // a concurrent append can win its version slot first — OPTIMIZE must

@@ -289,8 +289,12 @@ object IncrementalCuration {
         t.lastTxnVersion(app).exists(_ >= v) } || {
         pc.produced.forall(fs => java.nio.file.Files.exists(
           java.nio.file.Paths.get(t.root, "data", fs))) &&
-        pc.cdf.forall(c => java.nio.file.Files.exists(
-          java.nio.file.Paths.get(t.root, "_changes", c))) &&
+        // the synthetic-inserts sentinel names no _changes/ file — its
+        // "change set" is the produced file-sets, checked above
+        pc.cdf.filterNot(
+            _ == graft.tables.VersionedTable.CdfSyntheticInserts)
+          .forall(c => java.nio.file.Files.exists(
+            java.nio.file.Paths.get(t.root, "_changes", c))) &&
         pc.dvs.forall(d => java.nio.file.Files.exists(
           java.nio.file.Paths.get(t.root, "_dv", d)))
       }

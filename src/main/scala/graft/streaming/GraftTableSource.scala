@@ -598,6 +598,11 @@ final class GraftTableSink(root: String, appId: String,
         // rollup must never land quietly.
         import org.apache.spark.sql.functions.{col, max, when}
         graft.tables.GraftSql.registerMvFunctions(sliced.sparkSession)
+        // group-count-sized cached shuffle output: AQE scope, same as
+        // applyCdfDelta (un-scoped it pins shuffle.partitions cache
+        // partitions per trigger — fixed per-task overhead × partitions)
+        graft.tables.VersionedTable.withAqeCachedPartitioning(
+            sliced.sparkSession) {
         val delta = sliced.groupBy(mergeKeys.map(col): _*)
           .agg(graft.tables.GraftSql.mvAggColumns(aggs).head,
             graft.tables.GraftSql.mvAggColumns(aggs).tail :+
@@ -631,6 +636,7 @@ final class GraftTableSink(root: String, appId: String,
             txn = Some((appId, batchId)), partitionBy = partitionBy)
           ()
         } finally { delta.unpersist(); () }
+        }
       }
     } else if (applyChanges) {
       // APPLY CHANGES INTO (DLT) over a CDF stream: the micro-batch

@@ -3009,6 +3009,11 @@ object GraftSql {
       groupCols: Seq[String], aggs: Seq[(String, String, String)],
       txnApp: String, version: Long): Unit = {
     registerMvFunctions(touchedKeys.sparkSession)
+    // both persisted deltas (touched keys, fresh aggregates) are
+    // group-count-sized shuffle outputs: cached under the AQE scope so
+    // their partitioning collapses to the data, not shuffle.partitions
+    // (the un-scoped cache ran 32-task stages over ≤12 rows — ProfQ r17)
+    VersionedTable.withAqeCachedPartitioning(touchedKeys.sparkSession) {
     val touched = touchedKeys
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -3053,6 +3058,7 @@ object GraftSql {
         } finally { fresh.unpersist(); () }
       }
     } finally { touched.unpersist(); () }
+    }
   }
 
   /** Any row with a NULL in a group column? (one short-circuit probe) */

@@ -1970,31 +1970,38 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
       if (missing.nonEmpty) throw new CdfNotExpressible(
         s"changes of v$v at $root were vacuumed; re-read the snapshot")
     entries.foreach { e =>
+      // synthesized inserts read the added file-sets directly — if a
+      // later rewrite + vacuum reclaimed them, fail with the same curated
+      // message as the explicit-change-set path. Raw read, deliberately
+      // WITHOUT later deletion vectors: the feed reports rows as of THIS
+      // commit; later deletes appear as their own delete changes. Shared
+      // by plain appends and the insert-only merge fast path (whose
+      // [[VersionedTable.CdfSyntheticInserts]] sentinel says "my change
+      // set is my added file-sets" — no second copy is ever written).
+      def synthesizeAddedInserts(): Unit = {
+        val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
+          .getOrElse(Set.empty)
+        val added = e.fileSets.filterNot(prev)
+        vacuumedGuard(e.version,
+          added.filterNot(fs => Files.exists(dataDir.resolve(fs))))
+        added.foreach { fs =>
+          val p = dataDir.resolve(fs)
+          if (hasHivePartitionDirs(p))
+            loneFrames += stampMeta(tagged(readFileSets(Seq(fs)), "insert"),
+              e.version, e.tsMillis)
+          else appendFlat += ((e, p))
+        }
+      }
       e.cdf match {
+        case Some(VersionedTable.CdfSyntheticInserts) =>
+          synthesizeAddedInserts()
         case Some(id) =>
           val p = changesDir.resolve(id)
           vacuumedGuard(e.version, if (Files.exists(p)) Nil else Seq(id))
           explicitSets += ((e, p))
         case None => e.action match {
           case "append" =>
-            val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
-              .getOrElse(Set.empty)
-            val added = e.fileSets.filterNot(prev)
-            // synthesized inserts read the appended file-sets directly —
-            // if a later rewrite + vacuum reclaimed them, fail with the
-            // same curated message as the explicit-change-set path. Raw
-            // read, deliberately WITHOUT later deletion vectors: the feed
-            // reports rows as of THIS commit; later deletes appear as
-            // their own delete changes.
-            vacuumedGuard(e.version,
-              added.filterNot(fs => Files.exists(dataDir.resolve(fs))))
-            added.foreach { fs =>
-              val p = dataDir.resolve(fs)
-              if (hasHivePartitionDirs(p))
-                loneFrames += stampMeta(tagged(readFileSets(Seq(fs)), "insert"),
-                  e.version, e.tsMillis)
-              else appendFlat += ((e, p))
-            }
+            synthesizeAddedInserts()
           // data-identical rewrites: no logical change to report. Column
           // mapping DDL is metadata-only too — the mapping itself is
           // applied to every feed arm (old-era change files project to
@@ -2072,14 +2079,17 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
     val byVersion = h.map(e => e.version -> e).toMap
     h.filter(e => e.version > sinceVersion && e.version <= endVersion)
       .forall { e =>
+        def addedSetsLive: Boolean = {
+          val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
+            .getOrElse(Set.empty)
+          e.fileSets.filterNot(prev)
+            .forall(fs => Files.exists(dataDir.resolve(fs)))
+        }
         e.cdf match {
+          case Some(VersionedTable.CdfSyntheticInserts) => addedSetsLive
           case Some(id) => Files.exists(changesDir.resolve(id))
           case None => e.action match {
-            case "append" =>
-              val prev = byVersion.get(e.version - 1).map(_.fileSets.toSet)
-                .getOrElse(Set.empty)
-              e.fileSets.filterNot(prev)
-                .forall(fs => Files.exists(dataDir.resolve(fs)))
+            case "append" => addedSetsLive
             case a if VersionedTable.CdfNoChangeActions(a) => true
             case "clone" =>
               e.fileSets.forall(fs => Files.exists(dataDir.resolve(fs)))
@@ -2609,9 +2619,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
   private def overlappingFileSets(fileSets: Seq[String], column: String,
                                   lower: String, upper: String,
                                   dt: org.apache.spark.sql.types.DataType): Seq[String] = {
-    val bounds = spark.range(1).select(
-      lit(lower).cast(dt).cast("string"), lit(upper).cast(dt).cast("string"))
-      .collect().head
+    // literal-only evaluation: constant-folds to a LocalRelation, no job
+    val bounds = VersionedTable.literalRow(spark, Seq(
+      lit(lower).cast(dt).cast("string"), lit(upper).cast(dt).cast("string")))
     require(!bounds.isNullAt(0) && !bounds.isNullAt(1),
       s"bound not castable to $dt: ($lower, $upper)")
     val (lo, hi) = (bounds.getString(0), bounds.getString(1))
@@ -3632,7 +3642,12 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // land as a phantom through a rename).
         val adopted = mlog("adopt+stats")(withStats(adoptSplitDirs(staging, stageId, tag, CellName,
           Some(deduped.schema))))
-        val cdf = writeChangeSet(Seq(tagged(readFileSets(adopted), "insert")))
+        // the change set IS the adopted file-sets (all inserts): record
+        // the sentinel and let readChangeFeed synthesize them — writing
+        // an explicit change set here would materialize a second full
+        // copy of the batch (one write + one read per CDF-on commit)
+        val cdf = if (!changeFeedEnabled) None
+                  else Some(VersionedTable.CdfSyntheticInserts)
         // the insert-only fast path is the ONE merge shape that accretes
         // (it folds nothing) — property-driven per-cell hygiene applies
         // here, exactly where Delta's auto-compact runs after writes
@@ -3705,6 +3720,13 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
         // SAME output row after the full-outer join — drop here; an
         // unmatched tombstone contributes nothing either way
         val merged = lineage.filter(!col("__delete_req")).select(dataCols: _*)
+        // persisted under the AQE-cached-partitioning scope: the lineage
+        // is O(touched cells + batch) rows behind a full-outer join —
+        // without the scope its cache pins shuffle.partitions partitions
+        // and the CDF write below (3-4 union arms over the cache) runs
+        // arms × partitions tiny tasks, each shipping the whole merge
+        // plan (measured 96 tasks / 6-10s summed deser at sf0.1, ProfQ)
+        VersionedTable.withAqeCachedPartitioning(spark) {
         if (changeFeedEnabled)
           lineage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -3740,6 +3762,7 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
             produced = mlog("join+write+stats")(withStats(writeBucketedFileSets(merged, spec))),
             basedOn = rv, txn = txn, dvs = prevDvs, cdf = cdf))
         } finally if (changeFeedEnabled) { lineage.unpersist(); () }
+        }
       }
     } finally deleteRecursively(staging)
   }
@@ -3802,8 +3825,9 @@ final class VersionedTable(val spark: SparkSession, val root: String) {
           }
           pmod(hash(typed: _*), lit(sp.numBuckets))
         }
-        val buckets = spark.range(1)
-          .select(array(lits: _*).as("b")).head().getSeq[Int](0).toSet
+        // literal-only bucket routing: folds to a LocalRelation, no job
+        val buckets = VersionedTable.literalRow(spark,
+          Seq(array(lits: _*).as("b"))).getSeq[Int](0).toSet
         val prev = snap.map(_.fileSets).getOrElse(Nil)
         val (tagged, untagged) = prev.partition(bucketOf(_).isDefined)
         partitionValues.foreach { pv =>
@@ -4353,6 +4377,44 @@ object VersionedTable {
     Files.deleteIfExists(p)
     ()
   }
+  /** Run `f` with AQE allowed to re-partition CACHED plan output
+    * (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`,
+    * default false). By default a persisted shuffle output keeps
+    * `spark.sql.shuffle.partitions` cache partitions however tiny the
+    * data, and every consumer of the cache pays that many fixed task
+    * overheads per read — on the merge/CDF hot path the change-set
+    * write alone ran 3 union arms × 32 cached partitions = 96 tasks
+    * whose summed deserialization (the full merge plan ships with
+    * every task) was 6-10s at sf0.1 (ProfQ, r17). Scoped-and-restored:
+    * the conf is consulted when `.persist()` registers the plan, so
+    * wrapping the persist site is sufficient; session-global flipping
+    * would change behavior of caller-owned caches. Every incremental
+    * maintainer that persists a group-count-sized delta then merges it
+    * must persist under this scope (see GraftSql.applyCdfDelta, which
+    * pioneered the pattern in r15 — measured ~60-100ms/task there). */
+  private[graft] def withAqeCachedPartitioning[T](
+      spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Evaluate a one-row projection of LITERAL expressions driver-side:
+    * a projection over `SELECT 1`'s OneRowRelation constant-folds to a
+    * LocalRelation, so `head()`/`collect()` short-circuit on the
+    * LocalTableScan without launching a Spark job. The previous
+    * `spark.range(1).select(...)` idiom paid a full
+    * defaultParallelism-task job (range() slices by default
+    * parallelism — 32 tasks, ~0.3-1.3s with GC, ProfQ r17) to cast a
+    * couple of constants on the readForKeys / stats-pruning hot paths. */
+  private[graft] def literalRow(spark: SparkSession,
+      exprs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Row =
+    spark.sql("SELECT 1").select(exprs: _*).head()
+
   private val TagJson = """\{"name":"([^"]+)","v":(\d+)\}""".r
   private val PinJson = """\{"name":"([^"]+)","v":(\d+),"ts":(\d+)\}""".r
 
@@ -4465,6 +4527,20 @@ object VersionedTable {
 
   /** Live property key: CDF on/off (Delta's delta.enableChangeDataFeed). */
   val CdfProp = "graft.enableChangeFeed"
+
+  /** Sentinel `cdf` id for commits whose change set IS the commit's added
+    * file-sets, all inserts (the insert-only merge fast path): the feed
+    * reader synthesizes the inserts from the file-set diff — exactly the
+    * synthesis plain appends always used — instead of the writer
+    * materializing a byte-for-byte second copy of the batch under
+    * `_changes/`. On a CDF-enabled ingest/MV-bootstrap merge this removes
+    * one full write + one full read of the batch per commit (measured
+    * 3.5s task / ~1.5s wall of the scd2 bootstrap at sf0.1, ProfQ r17);
+    * at 100 TB it halves the write amplification of CDF-on append-shaped
+    * merges. `@` keeps it disjoint from real ids (`c-<uuid>`); vacuum &
+    * fsck treat it as a name that never matches a `_changes/` listing
+    * (harmless), and the prepared-commit intact check skips it. */
+  private[graft] val CdfSyntheticInserts = "@sets"
 
   /** Live property key: declared cluster columns (bare OPTIMIZE z-orders
     * by them — the liquid-clustering declaration). */

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.{HashMap => JHashMap}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
@@ -51,9 +49,21 @@ object QuantKernels {
 case class QuantHistAgg(
     child: Expression, sgn: Expression, scale: Long, sub: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[JHashMap[Long, Long]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   require(scale > 0 && sub > 0, s"graft_quant_hist: scale=$scale sub=$sub")
+  // Keys are BOUNDED: |key| = 1 + e*sub + frac ≤ 64*sub (e ≤ 63,
+  // frac < sub), so the buffer is a dense signed-count array indexed by
+  // key + 64*sub — O(1) unboxed bumps and a vector-add merge where the
+  // previous JHashMap[Long, Long] paid per-row boxing + hashing (the
+  // CDF quant-delta aggregation spent ~3s CPU over 514k rows at sf0.1,
+  // ProfQ r17; the dense buffer roughly halves it). 2*64*sub+1 slots =
+  // 16KB at the engine's sub=16 — KB-scale per group, same bound as
+  // before. eval() walks ascending indices, so the emitted map is
+  // byte-identical (keys ascending, zero-net buckets dropped).
+  private val off = 64 * sub
+  require(off <= (1 << 20),
+    s"graft_quant_hist: sub=$sub too large for the dense buffer")
 
   override def children: Seq[Expression] = Seq(child, sgn)
   // no implicit-cast mixin (AbstractDataType is private[sql]); callers
@@ -69,56 +79,67 @@ case class QuantHistAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_quant_hist"
 
-  override def createAggregationBuffer(): JHashMap[Long, Long] =
-    new JHashMap[Long, Long]()
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](2 * off + 1)
 
-  override def update(buf: JHashMap[Long, Long],
-                      input: InternalRow): JHashMap[Long, Long] = {
+  override def update(buf: Array[Long],
+                      input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val s = sgn.eval(input)
       if (s != null && s.asInstanceOf[Long] != 0L)
-        bump(buf, QuantKernels.bucketKey(v.asInstanceOf[Double], scale, sub),
-          s.asInstanceOf[Long])
+        buf((QuantKernels.bucketKey(v.asInstanceOf[Double], scale, sub)
+          + off).toInt) += s.asInstanceOf[Long]
     }
     buf
   }
 
-  override def merge(buf: JHashMap[Long, Long],
-                     other: JHashMap[Long, Long]): JHashMap[Long, Long] = {
-    other.forEach((k, c) => bump(buf, k, c))
+  override def merge(buf: Array[Long],
+                     other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
     buf
   }
 
-  private def bump(buf: JHashMap[Long, Long], k: Long, c: Long): Unit = {
-    val n = buf.getOrDefault(k, 0L) + c
-    if (n == 0L) { buf.remove(k); () } else { buf.put(k, n); () }
-  }
-
-  override def eval(buf: JHashMap[Long, Long]): Any = {
-    val keys = new Array[Long](buf.size())
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0
     var i = 0
-    val it = buf.keySet().iterator()
-    while (it.hasNext) { keys(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(keys)
+    while (i < buf.length) { if (buf(i) != 0L) n += 1; i += 1 }
+    val keys = new Array[Long](n)
+    val cnts = new Array[Long](n)
+    var j = 0
+    i = 0
+    while (i < buf.length) {
+      if (buf(i) != 0L) { keys(j) = i.toLong - off; cnts(j) = buf(i); j += 1 }
+      i += 1
+    }
     new ArrayBasedMapData(
-      new GenericArrayData(keys),
-      new GenericArrayData(keys.map(buf.get(_))))
+      new GenericArrayData(keys), new GenericArrayData(cnts))
   }
 
-  override def serialize(buf: JHashMap[Long, Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size())
-    bb.putInt(buf.size())
-    buf.forEach((k, c) => { bb.putLong(k); bb.putLong(c); () })
+  // wire format unchanged from the JHashMap era (count, then k/c pairs
+  // of the non-zero buckets) — the format only lives inside one query's
+  // partial/final exchange, but keeping it stable costs nothing
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    var n = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0L) n += 1; i += 1 }
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    i = 0
+    while (i < buf.length) {
+      if (buf(i) != 0L) { bb.putLong(i.toLong - off); bb.putLong(buf(i)) }
+      i += 1
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): JHashMap[Long, Long] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new JHashMap[Long, Long](math.max(8, n * 2))
+    val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.put(bb.getLong, bb.getLong); i += 1 }
+    while (i < n) { buf((bb.getLong + off).toInt) = bb.getLong; i += 1 }
     buf
   }
 

@@ -2238,4 +2238,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(owners.size === 1, s"exactly one claimer must win, got $owners")
     assert(t.sinkOwner.contains(owners.peek()))
   }
+
+  test("insert-only merge records the synthetic-inserts sentinel: no " +
+      "_changes copy is written, the feed synthesizes identical inserts") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("vt-cdf-sentinel-")
+    val t = VersionedTable(spark, root)
+    t.enableChangeFeed()
+    // insert-only fast path: merge into an empty table (the MV/ingest
+    // bootstrap shape)
+    t.merge(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k")) // v0
+    val changesDir = java.nio.file.Paths.get(root, "_changes")
+    // the batch must NOT be materialized a second time under _changes/
+    assert(!java.nio.file.Files.isDirectory(changesDir) ||
+      !java.nio.file.Files.list(changesDir).iterator().hasNext,
+      "insert-only merge wrote an explicit change set")
+    // ... yet the feed shows exactly the inserts, same as an explicit set
+    assert(t.readChangeFeed(-1)
+      .select("_commit_version", "_change_type", "k", "v")
+      .as[(Long, String, Int, String)].collect().toSet ===
+      Set((0L, "insert", 1, "a"), (0L, "insert", 2, "b"),
+        (0L, "insert", 3, "c")))
+    assert(t.changeFeedExpressible(-1L, 0L))
+    // a second insert-only merge (disjoint keys, no touched cells)
+    // synthesizes from ITS added sets only
+    t.merge(Seq((10, "j"), (11, "k")).toDF("k", "v"), Seq("k"))         // v1
+    assert(t.readChangeFeed(0).select("_change_type", "k")
+      .as[(String, Int)].collect().toSet ===
+      Set(("insert", 10), ("insert", 11)))
+    // compaction rewrites the data sets: the feed over the OLD range
+    // degrades exactly like a synthesized append would once the sets
+    // are vacuumed — until then it stays readable
+    t.compact()
+    assert(t.readChangeFeed(1).count() === 0)  // compact: no logical change
+    t.vacuum(retainVersions = 1)
+    assert(!t.changeFeedExpressible(-1L, 1L))
+    intercept[RuntimeException] { t.readChangeFeed(-1).count() }
+  }
 }

@@ -207,6 +207,44 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Pairwise cosine similarity (array<double>, array<double>) → double —
+  * the codegen'd twin of [[graft.ops.Similarity.cosine]]'s higher-order
+  * formulation, bit-identical by construction (one fused left-to-right
+  * loop per row; see [[HashKernels.cosinePair]] for the exact NULL /
+  * mismatch / zero-norm semantics). NOT null-intolerant: a NULL input
+  * array yields 0.0 (matching the HOF's otherwise(0.0)), and only a
+  * dimension mismatch with positive norms yields SQL NULL — so eval and
+  * codegen handle nulls explicitly instead of the nullSafe shortcuts. */
+case class CosinePair(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cosine"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    HashKernels.cosinePair(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val boxed = ctx.freshName("cosBoxed")
+    ev.copy(code = a.code + b.code + code"""
+      final java.lang.Double $boxed = graft.functions.HashKernels.cosinePair(
+        ${a.isNull} ? null : ${a.value}, ${b.isNull} ? null : ${b.value});
+      final boolean ${ev.isNull} = ($boxed == null);
+      final double ${ev.value} = ${ev.isNull} ? 0.0d : $boxed.doubleValue();""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosinePair =
+    copy(left = newLeft, right = newRight)
+}
+
 /** string text → array<long> winnowed fingerprints, each packing
   * `(hash32 << 32) | codepointPos` ([[HashKernels.winnow]]): the
   * candidate generator for exact-substring duplicate-span detection
@@ -373,6 +411,15 @@ object GraftFunctions {
           NearestCell(vec, cents)
         case _ => throw new IllegalArgumentException(
           "usage: graft_nearest_cell(array<double>, <array<array<double>> literal>)")
+      })
+
+    registry.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosinePair].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => CosinePair(a, b)
+        case _ => throw new IllegalArgumentException(
+          "usage: graft_cosine(array<double>, array<double>)")
       })
 
     registry.registerFunction(

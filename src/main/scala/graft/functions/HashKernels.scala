@@ -160,6 +160,57 @@ object HashKernels {
     bucket
   }
 
+  /** Pairwise cosine similarity of two array<double> columns — one fused
+    * loop per row where the higher-order formulation
+    * (`when(l2Norm(a)*l2Norm(b) > 0, dot/(na*nb)).otherwise(0)`) pays
+    * ~3·dim interpreted lambda dispatches per row (measured ~1ms/row at
+    * dim 64, the dominant cost of every brute-force re-rank). Semantics
+    * mirror the HOF EXACTLY, accumulator order included (each of
+    * d/Σa²/Σb² sums left-to-right, so IEEE results are bit-identical):
+    *  - null array or null element → 0.0 (the HOF's norm goes NULL,
+    *    the `when` condition is NULL, the otherwise(0.0) fires);
+    *  - dimension mismatch with a passing norm condition → SQL NULL
+    *    (the HOF's zip_with pads with NULL, so dot is NULL while the
+    *    condition is TRUE);
+    *  - zero norm → 0.0; a NaN norm yields NaN (Spark orders NaN as
+    *    LARGEST, so the HOF's `n > 0` is TRUE for NaN and the division
+    *    itself surfaces). */
+  def cosinePair(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null) return java.lang.Double.valueOf(0.0d)
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return java.lang.Double.valueOf(0.0d); i += 1
+    }
+    i = 0
+    while (i < m) {
+      if (b.isNullAt(i)) return java.lang.Double.valueOf(0.0d); i += 1
+    }
+    // Spark's comparison semantics order NaN as the LARGEST double, so
+    // the HOF's `n > 0` gate PASSES for a NaN norm product
+    @inline def gate(v: Double): Boolean =
+      java.lang.Double.isNaN(v) || v > 0
+    if (n != m) {
+      // norms are per-side, so the HOF's condition can still pass —
+      // in which case its NULL dot surfaces as a NULL similarity
+      var sa = 0.0d; var sb = 0.0d
+      i = 0; while (i < n) { val x = a.getDouble(i); sa += x * x; i += 1 }
+      i = 0; while (i < m) { val y = b.getDouble(i); sb += y * y; i += 1 }
+      return if (gate(math.sqrt(sa) * math.sqrt(sb))) null
+             else java.lang.Double.valueOf(0.0d)
+    }
+    var d = 0.0d; var sa = 0.0d; var sb = 0.0d
+    i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; sa += x * x; sb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(sa) * math.sqrt(sb)
+    java.lang.Double.valueOf(if (gate(nn)) d / nn else 0.0d)
+  }
+
   /** array<double> × centroids → nearest-centroid index (squared L2,
     * lowest-index tiebreak); degenerate inputs → cell 0. */
   def nearestCell(vec: ArrayData, centroids: Array[Array[Double]]): Int = {

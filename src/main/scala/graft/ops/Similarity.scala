@@ -43,11 +43,14 @@ object Similarity {
   def bruteForceCosine(embeddings: DataFrame, query: Seq[Float],
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
-    val d = dot(col(vecCol).cast("array<double>"), vecLit(query))
-    val sim = when(l2Norm(col(vecCol).cast("array<double>")) > 0 && lit(qn) > 0,
-      d / (l2Norm(col(vecCol).cast("array<double>")) * lit(qn))).otherwise(0.0d)
-    embeddings.select(col(idCol), sim.as("cosine_sim"))
+    // codegen'd fused kernel, bit-identical to the previous HOF form
+    // (dot / (l2Norm(vec) * l2Norm(query)), each sum left-to-right; the
+    // query-side norm equals the old driver-computed qn) — the HOF paid
+    // ~3·dim interpreted lambda dispatches per row on every re-rank
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col(idCol),
+      call_function("graft_cosine",
+        col(vecCol).cast("array<double>"), vecLit(query)).as("cosine_sim"))
   }
 
   /** Brute-force cosine top-k against a constant query vector. */
@@ -417,9 +420,11 @@ object Similarity {
     // dims, the dominant bytes). The cast moves inside the post-join
     // cosine — identical values (cast-then-compute either way), half the
     // wire format.
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
     val vecD = col(vecCol).cast("array<double>")
     val pts = assigned.withColumn("__cent_sim",
-      cosine(vecD, element_at(centLit, col("ivf_cell") + 1)))
+      call_function("graft_cosine", vecD,
+        element_at(centLit, col("ivf_cell") + 1)))
     def side(sfx: String) = pts.select(col("ivf_cell"),
       col(idCol).as(s"id$sfx"), col(vecCol).as(s"vec$sfx"),
       col("__cent_sim").as(s"cs$sfx"))
@@ -427,7 +432,8 @@ object Similarity {
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("cs_b") < col("cs_a") ||
         (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
-      .filter(cosine(col("vec_a").cast("array<double>"),
+      .filter(call_function("graft_cosine",
+        col("vec_a").cast("array<double>"),
         col("vec_b").cast("array<double>")) >= tau)
       .select(col("id_a").as(idCol)).distinct()
   }
@@ -600,7 +606,8 @@ object Similarity {
       .join(bucketed.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(bucketed.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a").cast("array<double>"),
+        call_function("graft_cosine",
+          col("vec_a").cast("array<double>"),
           col("vec_b").cast("array<double>")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }

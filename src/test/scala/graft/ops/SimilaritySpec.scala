@@ -398,4 +398,47 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 8, 42L) === Similarity.hyperplanes(4, 8, 42L))
     assert(Similarity.hyperplanes(4, 8, 42L) !== Similarity.hyperplanes(4, 8, 43L))
   }
+
+  test("graft_cosine kernel == higher-order cosine, bit-identical, " +
+      "including NULL / zero / NaN / mismatch edges") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val rows: Seq[(Long, Seq[java.lang.Double], Seq[java.lang.Double])] =
+      (0 until 300).map { i =>
+        (i.toLong,
+          Seq.fill(12)(java.lang.Double.valueOf(rnd.nextGaussian())),
+          Seq.fill(12)(java.lang.Double.valueOf(rnd.nextGaussian())))
+      } ++ Seq(
+        // zero-norm sides → 0.0
+        (1000L, Seq.fill(12)(java.lang.Double.valueOf(0.0)),
+          Seq.fill(12)(java.lang.Double.valueOf(1.0))),
+        // NaN element → NaN norm; Spark orders NaN LARGEST so the
+        // HOF's n > 0 gate passes and the NaN division surfaces
+        (1001L, java.lang.Double.valueOf(Double.NaN) +:
+          Seq.fill(11)(java.lang.Double.valueOf(1.0)),
+          Seq.fill(12)(java.lang.Double.valueOf(1.0))),
+        // NULL element → 0.0
+        (1002L, (null: java.lang.Double) +:
+          Seq.fill(11)(java.lang.Double.valueOf(1.0)),
+          Seq.fill(12)(java.lang.Double.valueOf(1.0))),
+        // dimension mismatch with positive norms → SQL NULL
+        (1003L, Seq.fill(8)(java.lang.Double.valueOf(1.0)),
+          Seq.fill(12)(java.lang.Double.valueOf(1.0))))
+    val df = rows.toDF("id", "a", "b")
+    // bit-identity: compare the raw doubles (and NULL-ness) directly
+    val bad = df.select(col("id"),
+        call_function("graft_cosine", col("a"), col("b")).as("fast"),
+        Similarity.cosine(col("a"), col("b")).as("hof"))
+      .filter(!(col("fast") <=> col("hof"))).count()
+    assert(bad === 0)
+    // and the documented edge outcomes hold
+    val byId = df.select(col("id"),
+        call_function("graft_cosine", col("a"), col("b")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .toMap
+    assert(byId(1000L) === 0.0 && byId(1002L) === 0.0)
+    assert(byId(1001L) != null && byId(1001L).isNaN)
+    assert(byId(1003L) === null)
+  }
 }
